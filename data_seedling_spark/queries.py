@@ -1,0 +1,491 @@
+"""Query catalog: the driver-facing inventory of implemented operators.
+
+Each entry pairs a Spark DataFrame program with an ANSI-SQL oracle that
+DuckDB runs over the same parquet tables (driver contract in
+``__spark_entry__.py``). Names map to SURVEY.md §2 operator IDs.
+
+Determinism rules (the driver hash-compares values):
+
+- **Money sums are computed in exact decimal.** A double sum depends on
+  addition order (Spark partial aggregation vs DuckDB's scan order), so
+  every sum over a price expression is ``round(x, 2) → decimal(18,2) →
+  sum → double``: the per-row double arithmetic is IEEE-identical in
+  both engines, the decimal sum is order-independent and exact, and the
+  final decimal→double cast is deterministic. Integral-valued doubles
+  (``l_quantity``) sum exactly in double and need no special casing.
+- Every computed column is aliased identically in the Spark plan and
+  the SQL text (driver sorts columns by name before hashing).
+- Ties near LIMIT boundaries are broken by a unique key.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .tables import load_table
+
+
+@dataclass
+class QuerySpec:
+    """One implemented operator/query with its optional DuckDB oracle."""
+
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None
+    doc: str = ""
+    tags: tuple[str, ...] = field(default_factory=tuple)
+
+
+_REGISTRY: dict[str, QuerySpec] = {}
+
+
+def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        _REGISTRY[name] = QuerySpec(fn=fn, oracle=oracle, doc=fn.__doc__ or "", tags=tags)
+        return fn
+
+    return deco
+
+
+def registry() -> dict[str, QuerySpec]:
+    # Import side-effect modules that register additional queries.
+    from . import queries_llm  # noqa: F401
+    from . import queries_pipeline  # noqa: F401
+
+    return dict(_REGISTRY)
+
+
+def dec_sum(col, alias: str, scale: int = 2):
+    """Order-independent exact sum of a money expression.
+
+    round→decimal→sum→double is bit-identical across engines; see module
+    docstring. SQL twin: ``CAST(SUM(CAST(ROUND(x, s) AS DECIMAL(18,s))) AS
+    DOUBLE)``.
+
+    **Pick ``scale`` so the true value sits exactly on the decimal
+    grid** — e.g. a 2-decimal price × a 2-decimal factor needs scale 4:
+    then the double is within ~1 ulp of a grid point, nowhere near a
+    rounding boundary, and both engines round identically. A too-coarse
+    scale lands real half-way cases (x.xx5) whose double representation
+    the two engines may round in opposite directions.
+    """
+    return (
+        F.sum(F.round(col, scale).cast("decimal(18,{})".format(scale)))
+        .cast("double")
+        .alias(alias)
+    )
+
+
+def _dec_sum_sql(expr: str, scale: int = 2) -> str:
+    return f"CAST(SUM(CAST(ROUND({expr}, {scale}) AS DECIMAL(18,{scale}))) AS DOUBLE)"
+
+
+# ---------------------------------------------------------------------------
+# Flagship (entry): scan → filter → 3-way join → agg → sort
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "flagship_revenue_by_nation",
+    oracle=f"""
+    SELECT n_name,
+           {_dec_sum_sql('l_extendedprice * (1 - l_discount)', 4)} AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1998-01-01'
+    GROUP BY n_name
+    ORDER BY revenue DESC, n_name
+    """,
+    tags=("S1", "P6", "J1", "A1", "W1"),
+)
+def flagship_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue by customer nation over a two-year ship window.
+
+    The capability target is the reference's scan→transform→aggregate
+    dataflow (SURVEY §3.1) expressed declaratively. Scale posture:
+    ``nation`` (25 rows) and ``customer`` are broadcast so the only
+    shuffle is lineitem⋈orders and the final 25-group aggregation; the
+    shipdate filter and 4-column projection push down to the parquet
+    scan.
+    """
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+
+    return (
+        lineitem.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+        )
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+        .join(orders.select("o_orderkey", "o_custkey"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            F.broadcast(customer.select("c_custkey", "c_nationkey")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue", 4),
+            F.count("*").alias("n_items"),
+        )
+        .orderBy(F.col("revenue").desc(), "n_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Core relational operators (SURVEY §2.2–2.6)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "pricing_summary",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           SUM(l_quantity) AS sum_qty,
+           {_dec_sum_sql('l_extendedprice')} AS sum_base_price,
+           {_dec_sum_sql('l_extendedprice * (1 - l_discount)', 4)} AS sum_disc_price,
+           {_dec_sum_sql('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 6)} AS sum_charge,
+           SUM(l_quantity) / COUNT(*) AS avg_qty,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+    tags=("A1", "A2", "F-agg", "W1"),
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q1-shaped pricing summary: 2-key groupBy, six aggregates.
+
+    Partial (map-side) aggregation + final 6-group hash agg; all
+    arithmetic stays in WholeStageCodegen. ``avg`` is expressed as
+    exact-sum/count to stay order-independent.
+    """
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        lineitem.where(F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            dec_sum(F.col("l_extendedprice"), "sum_base_price"),
+            dec_sum(disc_price, "sum_disc_price", 4),
+            dec_sum(disc_price * (1 + F.col("l_tax")), "sum_charge", 6),
+            (F.sum("l_quantity") / F.count("*")).alias("avg_qty"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@query(
+    "groupby_count_status",
+    oracle="""
+    SELECT o_orderstatus AS value, COUNT(*) AS count
+    FROM orders GROUP BY o_orderstatus ORDER BY value
+    """,
+    tags=("A1",),
+)
+def groupby_count_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's entire ``example_transform`` capability (A1):
+    ``df.groupby(col).count()`` (reference ``transform.py:30``)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.select(F.col("o_orderstatus").alias("value"))
+        .groupBy("value")
+        .count()
+        .orderBy("value")
+    )
+
+
+@query(
+    "filter_predicates",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity, l_discount
+    FROM lineitem
+    WHERE l_returnflag IN ('A', 'R')
+      AND l_linestatus <> 'O'
+      AND l_quantity >= 45
+      AND l_discount <> 0.0
+    """,
+    tags=("P4", "P6", "P7", "P8", "P9"),
+)
+def filter_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conjunction + IN-list + inequality predicates with projection
+    (reference P6–P9: ``datalake.py:179-183``, ``watermark.py:61-64``).
+    All four predicates push down to the parquet scan."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return lineitem.where(
+        F.col("l_returnflag").isin("A", "R")
+        & (F.col("l_linestatus") != "O")
+        & (F.col("l_quantity") >= 45)
+        & (F.col("l_discount") != 0.0)
+    ).select("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity", "l_discount")
+
+
+@query(
+    "project_cast_literal",
+    oracle="""
+    SELECT c_custkey,
+           CAST(FLOOR(c_acctbal) AS BIGINT) AS acctbal_floor,
+           c_name || '#' || c_mktsegment AS name_segment,
+           'data_seedling' AS engine_tag
+    FROM customer
+    """,
+    tags=("P1", "P2", "P4", "P11", "P12", "F2"),
+)
+def project_cast_literal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Projection with derived column, cast, concat, literal
+    (reference P1/P2/P11/P12, ``transform.py:139-145``)."""
+    customer = load_table(spark, sf_dir, "customer")
+    return customer.select(
+        "c_custkey",
+        F.floor("c_acctbal").alias("acctbal_floor"),
+        F.concat(F.col("c_name"), F.lit("#"), F.col("c_mktsegment")).alias("name_segment"),
+        F.lit("data_seedling").alias("engine_tag"),
+    )
+
+
+@query(
+    "salted_hash_ids",
+    oracle="""
+    SELECT c_custkey,
+           sha256(CAST(c_custkey AS VARCHAR) || '2b6ef354-salt') AS c_custkey_hashed
+    FROM customer
+    """,
+    tags=("F1", "F2", "P11"),
+)
+def salted_hash_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted SHA-256 ID hashing, the reference's pseudonymisation
+    primitive (F1/F2, ``transform.py:139-145``): rename to
+    ``<col>_hashed`` per the column-name convention (SURVEY §1.2)."""
+    customer = load_table(spark, sf_dir, "customer")
+    salted = F.concat(F.col("c_custkey").cast("string"), F.lit("2b6ef354-salt"))
+    return customer.select(
+        "c_custkey",
+        F.sha2(salted.cast("binary"), 256).alias("c_custkey_hashed"),
+    )
+
+
+@query(
+    "datetime_truncation",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS ts_hour, COUNT(*) AS n_events
+    FROM events GROUP BY 1 ORDER BY ts_hour
+    """,
+    tags=("F3", "A1"),
+)
+def datetime_truncation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Datetime generalisation for k-anonymity (F3, reference
+    ``transform.py:108,185-188``): hour-truncate event timestamps."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.select(F.date_trunc("hour", F.col("ts")).alias("ts_hour"))
+        .groupBy("ts_hour")
+        .agg(F.count("*").alias("n_events"))
+        .orderBy("ts_hour")
+    )
+
+
+@query(
+    "top_orders_limit",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 25
+    """,
+    tags=("W2", "W3", "A4"),
+)
+def top_orders_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sort-desc + limit (W2/W3, reference ``watermark.py:99``,
+    ``feature_extraction.py:86``); tie-broken on the unique key so the
+    LIMIT boundary is deterministic. Spark plans this as TakeOrderedAndProject
+    (no global sort)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .select("o_orderkey", "o_totalprice")
+        .limit(25)
+    )
+
+
+@query(
+    "join_segment_rollup",
+    oracle=f"""
+    SELECT c_mktsegment,
+           COUNT(*) AS n_orders,
+           {_dec_sum_sql('o_totalprice')} AS segment_value
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+    tags=("J1", "A1"),
+)
+def join_segment_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inner equi-join on key (J1, reference ``feature_extraction.py:108``)
+    + aggregation. Customer is the broadcast side."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    return (
+        orders.join(
+            F.broadcast(customer.select("c_custkey", "c_mktsegment")),
+            orders.o_custkey == F.col("c_custkey"),
+        )
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_orders"), dec_sum(F.col("o_totalprice"), "segment_value"))
+        .orderBy("c_mktsegment")
+    )
+
+
+@query(
+    "semi_anti_customers",
+    oracle="""
+    SELECT c.c_custkey, c.c_name,
+           CASE WHEN o.o_custkey IS NOT NULL THEN 1 ELSE 0 END AS has_orders
+    FROM customer c
+    LEFT JOIN (SELECT DISTINCT o_custkey FROM orders) o
+      ON c.c_custkey = o.o_custkey
+    """,
+    tags=("J2", "J3"),
+)
+def semi_anti_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi/anti-join semantics (J2/J3): the relational equivalents of
+    the reference's MERGE matched-delete / not-matched-insert branches
+    (``datalake.py:190-211``). Expressed as semi ∪ anti with a flag so
+    one result exercises both."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    with_orders = (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left_semi")
+        .select("c_custkey", "c_name")
+        .withColumn("has_orders", F.lit(1))
+    )
+    without_orders = (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+        .withColumn("has_orders", F.lit(0))
+    )
+    return with_orders.unionByName(without_orders)
+
+
+@query(
+    "union_reassemble",
+    oracle="""
+    SELECT l_returnflag, COUNT(*) AS n_rows, SUM(l_quantity) AS total_qty
+    FROM lineitem
+    GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    tags=("U1", "P6", "A1"),
+)
+def union_reassemble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-way union-all reassembly (U1, reference
+    ``feature_extraction.py:111``): split on disjoint predicates, union
+    back, aggregate — must equal the unsplit aggregate."""
+    from functools import reduce
+
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    shards = [
+        lineitem.where(F.col("l_quantity") < 17),
+        lineitem.where((F.col("l_quantity") >= 17) & (F.col("l_quantity") < 34)),
+        lineitem.where(F.col("l_quantity") >= 34),
+    ]
+    reassembled = reduce(DataFrame.unionByName, shards)
+    return (
+        reassembled.groupBy("l_returnflag")
+        .agg(F.count("*").alias("n_rows"), F.sum("l_quantity").alias("total_qty"))
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "merge_insert_apply",
+    oracle="""
+    WITH target AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders WHERE o_orderkey % 3 <> 0
+    ), source AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders WHERE o_orderkey % 2 = 0
+    )
+    SELECT o_orderkey, o_orderstatus, o_totalprice FROM target
+    UNION ALL
+    SELECT s.o_orderkey, s.o_orderstatus, s.o_totalprice
+    FROM source s WHERE NOT EXISTS (
+      SELECT 1 FROM target t WHERE t.o_orderkey = s.o_orderkey
+    )
+    """,
+    tags=("S7", "J3", "U1"),
+)
+def merge_insert_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE not-matched-insert branch (S7, reference
+    ``datalake.py:204-211``) expressed relationally: target ∪ (source
+    ANTI-JOIN target on PK). This is exactly the plan our
+    ``operators.merge.merge_increment`` writes for insert feeds."""
+    from .operators.merge import apply_inserts
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    target = orders.where(F.col("o_orderkey") % 3 != 0)
+    source = orders.where(F.col("o_orderkey") % 2 == 0)
+    return apply_inserts(target, source, primary_keys=["o_orderkey"])
+
+
+@query(
+    "merge_delete_apply",
+    oracle="""
+    WITH target AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+    ), deletes AS (
+      SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F' AND o_orderkey % 5 = 0
+    )
+    SELECT t.o_orderkey, t.o_orderstatus, t.o_totalprice
+    FROM target t WHERE NOT EXISTS (
+      SELECT 1 FROM deletes d WHERE d.o_orderkey = t.o_orderkey
+    )
+    """,
+    tags=("S8", "J2"),
+)
+def merge_delete_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE matched-delete branch (S8, reference ``datalake.py:190-197``)
+    expressed relationally: target ANTI-JOIN deletes on PK."""
+    from .operators.merge import apply_deletes
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    deletes = orders.where(
+        (F.col("o_orderstatus") == "F") & (F.col("o_orderkey") % 5 == 0)
+    ).select("o_orderkey")
+    return apply_deletes(target=orders, deletes=deletes, primary_keys=["o_orderkey"])
+
+
+@query(
+    "distinct_users_by_type",
+    oracle="""
+    SELECT event_type,
+           COUNT(DISTINCT user_id) AS n_users,
+           COUNT(*) AS n_events
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    tags=("A1", "A2"),
+)
+def distinct_users_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct aggregation (expand + two-phase agg under AQE)."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.count("*").alias("n_events"),
+        )
+        .orderBy("event_type")
+    )
