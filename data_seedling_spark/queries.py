@@ -52,6 +52,7 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 
 def registry() -> dict[str, QuerySpec]:
     # Import side-effect modules that register additional queries.
+    from . import queries_analytics  # noqa: F401
     from . import queries_llm  # noqa: F401
     from . import queries_pipeline  # noqa: F401
 

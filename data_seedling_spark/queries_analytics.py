@@ -1,0 +1,486 @@
+"""Extended analytics operators (SURVEY §2.5 note / §7 Phase 4).
+
+The reference has no ranking windows, set ops, grouping sets, pivot,
+sessionization, or as-of/range joins — these are the standard analytics
+surface our engine adds as Spark built-ins (SURVEY.md §2.5 "These are
+Spark built-ins our engine exposes in the extended surface").
+
+Determinism: running sums use decimal accumulation (same rationale as
+``queries.dec_sum``); every window ordering carries a unique tie-break
+key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from .queries import _dec_sum_sql, dec_sum, query
+from .tables import load_table
+
+
+@query(
+    "window_top_orders_per_segment",
+    oracle="""
+    SELECT c_mktsegment, o_orderkey, o_totalprice, rn
+    FROM (
+      SELECT c_mktsegment, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (
+               PARTITION BY c_mktsegment
+               ORDER BY o_totalprice DESC, o_orderkey
+             ) AS rn
+      FROM orders JOIN customer ON o_custkey = c_custkey
+    ) WHERE rn <= 3
+    """,
+    tags=("window", "J1"),
+)
+def window_top_orders_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K per group via ranking window — the canonical OLAP pattern.
+
+    Scale: rank-pushdown (WindowGroupLimit in Spark 3.5+/4) keeps only
+    K rows per partition before the full sort, so the shuffle carries
+    O(groups×K) rows, not the table.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    w = W.partitionBy("c_mktsegment").orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+    return (
+        orders.join(
+            F.broadcast(customer.select("c_custkey", "c_mktsegment")),
+            orders.o_custkey == F.col("c_custkey"),
+        )
+        .select("c_mktsegment", "o_orderkey", "o_totalprice")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+    )
+
+
+@query(
+    "window_running_user_value",
+    oracle="""
+    SELECT event_id, user_id, ts,
+           CAST(SUM(CAST(ROUND(value, 2) AS DECIMAL(18,2))) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS running_value,
+           ROW_NUMBER() OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+           ) AS event_seq
+    FROM events
+    """,
+    tags=("window",),
+)
+def window_running_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running (cumulative) per-user aggregate + sequence number.
+
+    Decimal accumulation keeps the running sum order-independent-exact
+    (window order is total thanks to the event_id tie-break).
+    """
+    events = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return events.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.sum(F.round(F.col("value"), 2).cast("decimal(18,2)"))
+        .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .cast("double")
+        .alias("running_value"),
+        F.row_number().over(w).alias("event_seq"),
+    )
+
+
+@query(
+    "window_lag_gap_seconds",
+    oracle="""
+    SELECT event_id, user_id, ts,
+           CAST(floor((epoch_us(ts) -
+                       epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+                      ) / 1000000.0) AS BIGINT) AS gap_sec
+    FROM events
+    """,
+    tags=("window",),
+)
+def window_lag_gap_seconds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag() inter-arrival gap per user (NULL for first event)."""
+    events = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(w)
+    gap = (F.unix_micros(F.col("ts").cast("timestamp")) - F.unix_micros(prev_ts.cast("timestamp"))) / 1_000_000
+    return events.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.floor(gap).cast("bigint").alias("gap_sec"),
+    )
+
+
+@query(
+    "rollup_order_status_priority",
+    oracle=f"""
+    SELECT o_orderstatus, o_orderpriority,
+           COUNT(*) AS n_orders,
+           {_dec_sum_sql('o_totalprice')} AS total_value
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+    tags=("rollup",),
+)
+def rollup_order_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals (status → status+priority → grand total)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n_orders"), dec_sum(F.col("o_totalprice"), "total_value")
+    )
+
+
+@query(
+    "cube_returnflag_linestatus",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS n_rows, SUM(l_quantity) AS total_qty
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    tags=("cube",),
+)
+def cube_returnflag_linestatus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over two dimensions (all 4 grouping-set combinations)."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return lineitem.cube("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n_rows"), F.sum("l_quantity").alias("total_qty")
+    )
+
+
+@query(
+    "pivot_status_by_priority",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS n_open,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_filled,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS n_partial
+    FROM orders GROUP BY o_orderpriority
+    """,
+    tags=("pivot",),
+)
+def pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot order status into columns per priority (explicit value list
+    so the plan needs no discovery pass)."""
+    orders = load_table(spark, sf_dir, "orders")
+    pivoted = (
+        orders.groupBy("o_orderpriority").pivot("o_orderstatus", ["O", "F", "P"]).count()
+    )
+    return pivoted.select(
+        "o_orderpriority",
+        F.coalesce(F.col("O"), F.lit(0)).alias("n_open"),
+        F.coalesce(F.col("F"), F.lit(0)).alias("n_filled"),
+        F.coalesce(F.col("P"), F.lit(0)).alias("n_partial"),
+    )
+
+
+@query(
+    "unpivot_part_attributes",
+    oracle="""
+    SELECT p_partkey, attr, val FROM (
+      SELECT p_partkey, 'size' AS attr, CAST(p_size AS DOUBLE) AS val FROM part
+      UNION ALL
+      SELECT p_partkey, 'retailprice' AS attr, p_retailprice AS val FROM part
+    )
+    """,
+    tags=("unpivot",),
+)
+def unpivot_part_attributes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt) wide columns to long form via the built-in
+    ``unpivot`` (SQL ``stack`` equivalent)."""
+    part = load_table(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.col("p_size").cast("double").alias("size"),
+        F.col("p_retailprice").alias("retailprice"),
+    ).unpivot("p_partkey", ["size", "retailprice"], "attr", "val")
+
+
+@query(
+    "set_ops_customer_activity",
+    oracle="""
+    SELECT c_custkey FROM customer
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    EXCEPT
+    SELECT o_custkey FROM orders WHERE o_totalprice > 400000
+    """,
+    tags=("setops",),
+)
+def set_ops_customer_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT set algebra on key sets."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    open_cust = orders.where(F.col("o_orderstatus") == "O").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    big_cust = orders.where(F.col("o_totalprice") > 400000).select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return customer.select("c_custkey").intersect(open_cust).exceptAll(big_cust.distinct())
+
+
+@query(
+    "sessionize_events",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+      SELECT user_id, ts,
+             CAST(SUM(new_session) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS BIGINT) AS session_id
+      FROM seq
+    )
+    SELECT user_id, session_id, COUNT(*) AS n_events,
+           MIN(ts) AS session_start, MAX(ts) AS session_end
+    FROM sess GROUP BY user_id, session_id
+    """,
+    tags=("window", "sessionization"),
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity threshold): lag →
+    new-session flag → running-sum session id → per-session aggregate.
+
+    The batch twin of streaming ``session_window`` (see
+    ``streaming.windows``). One shuffle on user_id serves both window
+    passes and the final group-by.
+    """
+    events = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_sec = (
+        F.unix_micros(F.col("ts").cast("timestamp"))
+        - F.unix_micros(F.lag("ts").over(w).cast("timestamp"))
+    ) / 1_000_000
+    flagged = events.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(gap_sec.isNull() | (gap_sec > 1800), 1).otherwise(0).alias("new_session"),
+    )
+    with_session = flagged.select(
+        "user_id",
+        "ts",
+        F.sum("new_session")
+        .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .alias("session_id"),
+    )
+    return with_session.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )
+
+
+@query(
+    "tumbling_window_events",
+    oracle=f"""
+    SELECT to_timestamp(CAST(floor(epoch(ts) / 21600) * 21600 AS BIGINT))::TIMESTAMP AS w_start,
+           event_type,
+           COUNT(*) AS n_events,
+           {_dec_sum_sql('value')} AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    tags=("window-agg", "streaming-twin"),
+)
+def tumbling_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 6-hour event-time windows (batch twin of the Structured
+    Streaming windowed aggregation in ``streaming.windows``)."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            F.window(F.col("ts"), "6 hours").alias("w"),
+            "event_type",
+        )
+        .agg(F.count("*").alias("n_events"), dec_sum(F.col("value"), "total_value"))
+        .select(
+            F.col("w.start").alias("w_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@query(
+    "asof_join_purchase_click",
+    oracle="""
+    SELECT p.event_id, p.user_id, p.ts, c.ts AS last_click_ts
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+    tags=("asof-join",),
+)
+def asof_join_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (Spark lacks a native one): for each purchase, the
+    most recent click at-or-before it, per user.
+
+    Implemented as the union-window pattern: tag both streams, order by
+    (ts, tag), carry the last non-null click timestamp forward. One
+    shuffle on user_id; no per-row Python. DuckDB's native ASOF JOIN is
+    the oracle.
+
+    Tie semantics: a click at exactly the purchase ts counts (tag 0
+    sorts before tag 1).
+    """
+    events = load_table(spark, sf_dir, "events")
+    clicks = events.where(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("ts").alias("click_ts"), F.lit(0).alias("is_purchase"),
+        "event_id",
+    )
+    purchases = events.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.lit(None).cast("timestamp_ntz").alias("click_ts"),
+        F.lit(1).alias("is_purchase"), "event_id",
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "is_purchase", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    merged = clicks.unionByName(purchases).withColumn(
+        "last_click_ts", F.last("click_ts", ignorenulls=True).over(w)
+    )
+    return merged.where(F.col("is_purchase") == 1).select(
+        "event_id", "user_id", "ts", "last_click_ts"
+    )
+
+
+@query(
+    "range_join_price_bands",
+    oracle="""
+    SELECT b.band, COUNT(*) AS n_parts, CAST(MIN(p_retailprice) AS DOUBLE) AS min_price
+    FROM part
+    JOIN (VALUES ('low', 0.0, 940.0),
+                 ('mid', 940.0, 970.0),
+                 ('high', 970.0, 10000.0)) AS b(band, lo, hi)
+      ON p_retailprice >= b.lo AND p_retailprice < b.hi
+    GROUP BY b.band
+    """,
+    tags=("range-join",),
+)
+def range_join_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (theta) join against a small banding dimension.
+
+    The dimension is broadcast, so the theta condition evaluates as a
+    BroadcastNestedLoopJoin over 3 rows — no shuffle. For big-big range
+    joins the engine buckets the range key first (see operators docs).
+    """
+    part = load_table(spark, sf_dir, "part")
+    bands = spark.createDataFrame(
+        [("low", 0.0, 940.0), ("mid", 940.0, 970.0), ("high", 970.0, 10000.0)],
+        ["band", "lo", "hi"],
+    )
+    return (
+        part.join(
+            F.broadcast(bands),
+            (F.col("p_retailprice") >= F.col("lo")) & (F.col("p_retailprice") < F.col("hi")),
+        )
+        .groupBy("band")
+        .agg(F.count("*").alias("n_parts"), F.min("p_retailprice").alias("min_price"))
+    )
+
+
+@query(
+    "exists_subquery_orders",
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM orders o
+    WHERE EXISTS (
+      SELECT 1 FROM lineitem l
+      WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity = 50
+    )
+    """,
+    tags=("J2", "subquery"),
+)
+def exists_subquery_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS decorrelation → left-semi join (Catalyst rewrites the
+    subquery; we declare it via the semi-join directly)."""
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    full_qty = lineitem.where(F.col("l_quantity") == 50).select("l_orderkey")
+    return orders.join(
+        full_qty, orders.o_orderkey == full_qty.l_orderkey, "left_semi"
+    ).select("o_orderkey", "o_totalprice")
+
+
+@query(
+    "case_null_buckets",
+    oracle="""
+    SELECT bucket, COUNT(*) AS n_customers
+    FROM (
+      SELECT CASE
+               WHEN c_acctbal < 0 THEN 'debt'
+               WHEN c_acctbal < 1000 THEN 'low'
+               WHEN c_acctbal < 5000 THEN 'mid'
+               ELSE 'high'
+             END AS bucket
+      FROM customer
+    ) GROUP BY bucket
+    """,
+    tags=("case-when",),
+)
+def case_null_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE/WHEN bucketing + aggregation."""
+    customer = load_table(spark, sf_dir, "customer")
+    bucket = (
+        F.when(F.col("c_acctbal") < 0, "debt")
+        .when(F.col("c_acctbal") < 1000, "low")
+        .when(F.col("c_acctbal") < 5000, "mid")
+        .otherwise("high")
+    )
+    return (
+        customer.select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n_customers"))
+    )
+
+
+@query(
+    "string_functions_parts",
+    oracle="""
+    SELECT p_partkey,
+           upper(p_brand) AS brand_upper,
+           substr(p_name, 1, 8) AS name_prefix,
+           length(p_name) AS name_len,
+           replace(p_type, ' ', '_') AS type_snake,
+           CAST(contains(p_name, 'a') AS INT) AS has_a
+    FROM part
+    """,
+    tags=("string-fn",),
+)
+def string_functions_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String function surface: upper/substr/length/replace/contains."""
+    part = load_table(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.upper("p_brand").alias("brand_upper"),
+        F.substring("p_name", 1, 8).alias("name_prefix"),
+        F.length("p_name").alias("name_len"),
+        F.replace(F.col("p_type"), F.lit(" "), F.lit("_")).alias("type_snake"),
+        F.col("p_name").contains("a").cast("int").alias("has_a"),
+    )
+
+
+@query("approx_distinct_quantiles", oracle=None, tags=("approx",))
+def approx_distinct_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate aggregates (HLL++ distinct, GK quantiles). Sketch
+    outputs are engine-specific, so the driver records a rows-only
+    check; the pytest suite bounds their error vs exact values."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return lineitem.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.percentile_approx("l_quantity", [0.25, 0.5, 0.75]).alias("qty_quartiles"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+    )

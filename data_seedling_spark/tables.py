@@ -70,11 +70,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
     for c in ns_cols:
+        # Integer DIV, not `/`: epoch-nanos (~1.7e18) exceeds double's
+        # 2^53 integer range, so float division corrupts the low digits.
+        # Truncation (floor for positive epochs) matches DuckDB's ns→µs.
         df = df.withColumn(
             c,
-            F.timestamp_micros(F.floor(F.col(c) / 1000).cast("long")).cast(
-                "timestamp_ntz"
-            ),
+            F.timestamp_micros(F.expr(f"`{c}` DIV 1000")).cast("timestamp_ntz"),
         )
     return df
 
