@@ -1,0 +1,263 @@
+"""Versioned table substrate: Parquet + JSON commit ledger.
+
+Reproduces the observable semantics of the reference's Delta Lake usage
+(SURVEY §1.1, §2.1) without Delta on the classpath:
+
+- every write is a numbered **version** (S6; reference ``datalake.py:225``),
+- ``read_changes(lo, hi)`` is the CDC scan (S2; reference
+  ``datalake.py:88-94``) emitting ``_change_type`` /
+  ``_commit_version`` / ``_commit_timestamp`` rows, including
+  *overwrite = delete-all-previous + insert-all-new* (reference
+  ``test_datalake.py:273-334``),
+- ``latest_version()`` is the table-history scan (S11; reference
+  ``watermark.py:98-103``),
+- ``merge(changes, pks)`` is the MERGE sink (S7/S8/S9; reference
+  ``datalake.py:142-239``) built on ``operators.merge``,
+- ``update(...)`` is the point-UPDATE (S10; reference
+  ``watermark.py:125-130``).
+
+Layout::
+
+    table_dir/
+      _ledger.json          # ordered commit records
+      v00000/*.parquet      # rows written by that commit
+      v00003.changes/       # explicit change rows (merge commits only)
+
+Scale note: this substrate is the *local test double* for Delta/Iceberg
+— the protocol (watermark + change-feed read + idempotent merge) is
+what the engine owns; on a real lakehouse the same call sites bind to
+``spark.read.format("delta").option("readChangeFeed", ...)``. Snapshot
+reads union only the parquet files live at that version, so Catalyst
+still sees a plain parquet scan with full pushdown/pruning.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .merge import (
+    CHANGE_TYPE,
+    COMMIT_TIMESTAMP,
+    COMMIT_VERSION,
+    CT_DELETE,
+    CT_INSERT,
+    apply_change_feed,
+    strip_reserved_columns,
+)
+
+_LEDGER = "_ledger.json"
+
+
+class NoSuchVersionError(ValueError):
+    pass
+
+
+@dataclass
+class Commit:
+    version: int
+    mode: str  # "overwrite" | "append" | "merge"
+    timestamp_ms: int
+    has_changes_dir: bool = False
+
+    def to_json(self) -> dict:
+        return {
+            "version": self.version,
+            "mode": self.mode,
+            "timestamp_ms": self.timestamp_ms,
+            "has_changes_dir": self.has_changes_dir,
+        }
+
+
+class VersionedTable:
+    """A parquet table with Delta-like versioning + change feed."""
+
+    def __init__(
+        self, spark: SparkSession, path: str, write_partitions: int | None = None
+    ):
+        """``write_partitions`` caps output files per commit — set it
+        for small/state tables so each version is one or a few files;
+        leave ``None`` for data tables (writer parallelism preserved)."""
+        self.spark = spark
+        self.path = path
+        self.write_partitions = write_partitions
+
+    def _shape(self, df: DataFrame) -> DataFrame:
+        return df.coalesce(self.write_partitions) if self.write_partitions else df
+
+    # -- ledger bookkeeping -------------------------------------------------
+
+    def _ledger_path(self) -> str:
+        return os.path.join(self.path, _LEDGER)
+
+    def commits(self) -> list[Commit]:
+        if not os.path.exists(self._ledger_path()):
+            return []
+        with open(self._ledger_path()) as f:
+            return [Commit(**c) for c in json.load(f)]
+
+    def _write_ledger(self, commits: list[Commit]) -> None:
+        tmp = self._ledger_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump([c.to_json() for c in commits], f, indent=1)
+        os.replace(tmp, self._ledger_path())  # atomic commit point
+
+    def exists(self) -> bool:
+        return bool(self.commits())
+
+    def latest_version(self) -> int:
+        """S11 high-watermark read (reference ``watermark.py:98-103``)."""
+        commits = self.commits()
+        if not commits:
+            raise NoSuchVersionError(f"table {self.path} has no commits")
+        return commits[-1].version
+
+    def history(self) -> list[dict]:
+        return [c.to_json() for c in self.commits()]
+
+    def _version_dir(self, version: int) -> str:
+        return os.path.join(self.path, f"v{version:05d}")
+
+    def _changes_dir(self, version: int) -> str:
+        return os.path.join(self.path, f"v{version:05d}.changes")
+
+    # -- writes ---------------------------------------------------------------
+
+    def write(self, df: DataFrame, mode: str = "append") -> int:
+        """S6 sink: persist ``df`` as a new version. ``mode`` is
+        ``append`` or ``overwrite`` (a create is an overwrite of an
+        empty table). Reserved CDC columns are stripped before the
+        write (reference ``datalake.py:219-223``)."""
+        if mode not in ("append", "overwrite"):
+            raise ValueError(f"unsupported mode {mode!r}")
+        commits = self.commits()
+        version = commits[-1].version + 1 if commits else 0
+        os.makedirs(self.path, exist_ok=True)
+        self._shape(strip_reserved_columns(df)).write.mode("overwrite").parquet(
+            self._version_dir(version)
+        )
+        commits.append(Commit(version, mode, int(time.time() * 1000)))
+        self._write_ledger(commits)
+        return version
+
+    def merge(self, changes: DataFrame, primary_keys: list[str]) -> int:
+        """S7/S8/S9 MERGE sink: apply a CDC feed (insert/delete rows,
+        updates rejected) and commit the new snapshot plus the explicit
+        change rows for downstream CDF readers."""
+        target = self.read()
+        new_snapshot = apply_change_feed(target, changes, primary_keys)
+        commits = self.commits()
+        version = commits[-1].version + 1 if commits else 0
+        # Materialise the feed once: it is both the CDF record and the
+        # input to the snapshot (avoids recomputing the anti-joins).
+        self._shape(changes.select(*target.columns, CHANGE_TYPE)).write.mode(
+            "overwrite"
+        ).parquet(self._changes_dir(version))
+        self._shape(new_snapshot).write.mode("overwrite").parquet(
+            self._version_dir(version)
+        )
+        commits.append(
+            Commit(version, "merge", int(time.time() * 1000), has_changes_dir=True)
+        )
+        self._write_ledger(commits)
+        return version
+
+    def update(self, condition, assignments: dict) -> int:
+        """S10 point UPDATE (reference ``watermark.py:125-130``): new
+        version with ``assignments`` applied where ``condition`` holds."""
+        df = self.read()
+        updated = df
+        for col_name, value in assignments.items():
+            updated = updated.withColumn(
+                col_name, F.when(condition, value).otherwise(F.col(col_name))
+            )
+        return self.write(updated, mode="overwrite")
+
+    # -- reads ----------------------------------------------------------------
+
+    def _live_versions(self, as_of: int) -> list[Commit]:
+        """Commits contributing to the snapshot at ``as_of``: the latest
+        overwrite/merge at-or-before it, plus later appends."""
+        commits = [c for c in self.commits() if c.version <= as_of]
+        if not commits:
+            raise NoSuchVersionError(f"{self.path}: no version <= {as_of}")
+        base = 0
+        for i, c in enumerate(commits):
+            if c.mode in ("overwrite", "merge"):
+                base = i
+        return commits[base:]
+
+    def read(self, version: int | None = None) -> DataFrame:
+        """S1 snapshot scan (optionally time-travel to ``version``).
+
+        Unions the parquet scans of the live commits — still a plain
+        columnar scan to Catalyst (pushdown + pruning intact).
+        """
+        as_of = self.latest_version() if version is None else version
+        dfs = [
+            self.spark.read.parquet(self._version_dir(c.version))
+            for c in self._live_versions(as_of)
+        ]
+        return reduce(DataFrame.unionByName, dfs)
+
+    def schema(self):
+        return self.read().schema
+
+    def read_changes(self, starting_version: int, ending_version: int) -> DataFrame:
+        """S2 CDC scan: row-level changes in ``[lo, hi]`` with reserved
+        metadata columns (reference ``datalake.py:88-94``).
+
+        - append commit → its rows as ``insert``
+        - overwrite commit → previous snapshot as ``delete`` + new rows
+          as ``insert`` (Delta CDF overwrite semantics)
+        - merge commit → its recorded change rows verbatim
+        """
+        by_version = {c.version: c for c in self.commits()}
+        parts: list[DataFrame] = []
+        for v in range(starting_version, ending_version + 1):
+            commit = by_version.get(v)
+            if commit is None:
+                raise NoSuchVersionError(f"{self.path}: version {v} does not exist")
+            ts = F.lit(commit.timestamp_ms).cast("long")
+            if commit.mode == "merge":
+                chg = self.spark.read.parquet(self._changes_dir(v))
+                parts.append(
+                    chg.withColumn(COMMIT_VERSION, F.lit(v).cast("long")).withColumn(
+                        COMMIT_TIMESTAMP, ts
+                    )
+                )
+                continue
+            rows = self.spark.read.parquet(self._version_dir(v))
+            if commit.mode == "overwrite" and v > 0:
+                prev = self.read(version=v - 1)
+                parts.append(
+                    prev.withColumn(CHANGE_TYPE, F.lit(CT_DELETE))
+                    .withColumn(COMMIT_VERSION, F.lit(v).cast("long"))
+                    .withColumn(COMMIT_TIMESTAMP, ts)
+                )
+            parts.append(
+                rows.withColumn(CHANGE_TYPE, F.lit(CT_INSERT))
+                .withColumn(COMMIT_VERSION, F.lit(v).cast("long"))
+                .withColumn(COMMIT_TIMESTAMP, ts)
+            )
+        if not parts:
+            raise NoSuchVersionError(
+                f"{self.path}: empty change range [{starting_version}, {ending_version}]"
+            )
+        return reduce(DataFrame.unionByName, parts)
+
+    def empty_like(self) -> DataFrame:
+        """S3 schema-preserving empty relation (reference ``datalake.py:83-86``)."""
+        return self.spark.createDataFrame([], self.schema())
+
+    def vacuum(self) -> None:
+        """S14: physical-file maintenance is a no-op change to readers
+        (reference ``test_datalake.py:240-241``). Our ledger keeps all
+        versions locally, so this only validates the call shape."""
+        return None

@@ -1,0 +1,135 @@
+"""Versioned-table / CDC tests (reference ``test_datalake.py:36-448``
+coverage: multi-version inserts, overwrite-as-delete+insert, merge
+insert/delete, update rejection, vacuum no-op)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from data_seedling_spark.operators.ledger import NoSuchVersionError, VersionedTable
+from data_seedling_spark.operators.merge import (
+    CHANGE_TYPE,
+    CT_DELETE,
+    CT_INSERT,
+    CT_UPDATE_POST,
+    UpdatesNotSupportedError,
+    apply_change_feed,
+)
+
+
+def rows(df, *cols):
+    return sorted(tuple(r) for r in df.select(*cols).collect())
+
+
+def make_df(spark, pairs):
+    return spark.createDataFrame([Row(key=k, value=v) for k, v in pairs])
+
+
+def test_write_and_read_versions(spark, tmp_table_dir):
+    t = VersionedTable(spark, tmp_table_dir)
+    v0 = t.write(make_df(spark, [(1, "a"), (2, "b")]), mode="overwrite")
+    v1 = t.write(make_df(spark, [(3, "c")]), mode="append")
+    assert (v0, v1) == (0, 1)
+    assert t.latest_version() == 1
+    assert rows(t.read(), "key", "value") == [(1, "a"), (2, "b"), (3, "c")]
+    # time travel
+    assert rows(t.read(version=0), "key", "value") == [(1, "a"), (2, "b")]
+
+
+def test_append_changes_are_inserts(spark, tmp_table_dir):
+    t = VersionedTable(spark, tmp_table_dir)
+    t.write(make_df(spark, [(1, "a")]), mode="overwrite")
+    t.write(make_df(spark, [(2, "b")]), mode="append")
+    chg = t.read_changes(1, 1)
+    assert rows(chg, "key", "value", CHANGE_TYPE, "_commit_version") == [
+        (2, "b", CT_INSERT, 1)
+    ]
+
+
+def test_overwrite_changes_are_delete_plus_insert(spark, tmp_table_dir):
+    """Delta CDF overwrite semantics (reference ``test_datalake.py:273-334``)."""
+    t = VersionedTable(spark, tmp_table_dir)
+    t.write(make_df(spark, [(1, "a"), (2, "b")]), mode="overwrite")
+    t.write(make_df(spark, [(9, "z")]), mode="overwrite")
+    chg = t.read_changes(1, 1)
+    assert rows(chg, "key", "value", CHANGE_TYPE) == [
+        (1, "a", CT_DELETE),
+        (2, "b", CT_DELETE),
+        (9, "z", CT_INSERT),
+    ]
+    assert rows(t.read(), "key", "value") == [(9, "z")]
+
+
+def test_merge_applies_deletes_and_inserts(spark, tmp_table_dir):
+    t = VersionedTable(spark, tmp_table_dir)
+    t.write(make_df(spark, [(1, "a"), (2, "b"), (3, "c")]), mode="overwrite")
+    feed = (
+        make_df(spark, [(2, "b"), (4, "d")])
+        .withColumn(
+            CHANGE_TYPE,
+            F.when(F.col("key") == 2, CT_DELETE).otherwise(CT_INSERT),
+        )
+    )
+    t.merge(feed, primary_keys=["key"])
+    assert rows(t.read(), "key", "value") == [(1, "a"), (3, "c"), (4, "d")]
+    # merge commit exposes its change rows through the CDF
+    chg = t.read_changes(1, 1)
+    assert rows(chg, "key", CHANGE_TYPE) == [(2, CT_DELETE), (4, CT_INSERT)]
+
+
+def test_merge_insert_is_idempotent_on_keys(spark, tmp_table_dir):
+    """ST2: replaying the same insert feed must not duplicate keys."""
+    t = VersionedTable(spark, tmp_table_dir)
+    t.write(make_df(spark, [(1, "a")]), mode="overwrite")
+    feed = make_df(spark, [(1, "a"), (2, "b")]).withColumn(CHANGE_TYPE, F.lit(CT_INSERT))
+    t.merge(feed, primary_keys=["key"])
+    t.merge(feed, primary_keys=["key"])
+    assert rows(t.read(), "key", "value") == [(1, "a"), (2, "b")]
+
+
+def test_update_feed_rejected(spark, tmp_table_dir):
+    """S9 guard (reference ``datalake.py:177-188``)."""
+    t = VersionedTable(spark, tmp_table_dir)
+    t.write(make_df(spark, [(1, "a")]), mode="overwrite")
+    feed = make_df(spark, [(1, "a2")]).withColumn(CHANGE_TYPE, F.lit(CT_UPDATE_POST))
+    with pytest.raises(UpdatesNotSupportedError):
+        t.merge(feed, primary_keys=["key"])
+
+
+def test_point_update(spark, tmp_table_dir):
+    t = VersionedTable(spark, tmp_table_dir)
+    t.write(make_df(spark, [(1, "a"), (2, "b")]), mode="overwrite")
+    t.update(F.col("key") == 2, {"value": F.lit("B")})
+    assert rows(t.read(), "key", "value") == [(1, "a"), (2, "B")]
+
+
+def test_vacuum_is_noop_change(spark, tmp_table_dir):
+    t = VersionedTable(spark, tmp_table_dir)
+    t.write(make_df(spark, [(1, "a")]), mode="overwrite")
+    before = t.latest_version()
+    t.vacuum()
+    assert t.latest_version() == before
+
+
+def test_missing_version_raises(spark, tmp_table_dir):
+    t = VersionedTable(spark, tmp_table_dir)
+    with pytest.raises(NoSuchVersionError):
+        t.latest_version()
+    t.write(make_df(spark, [(1, "a")]), mode="overwrite")
+    with pytest.raises(NoSuchVersionError):
+        t.read_changes(5, 6)
+
+
+def test_apply_change_feed_net_effect(spark):
+    target = make_df(spark, [(1, "a"), (2, "b")])
+    feed = (
+        make_df(spark, [(2, "b"), (3, "c")])
+        .withColumn(
+            CHANGE_TYPE,
+            F.when(F.col("key") == 2, CT_DELETE).otherwise(CT_INSERT),
+        )
+    )
+    out = apply_change_feed(target, feed, ["key"])
+    assert rows(out, "key", "value") == [(1, "a"), (3, "c")]
