@@ -101,3 +101,119 @@ def _run_roundtrip(spark, orders, source, target, state) -> DataFrame:
         primary_keys=["o_orderkey"],
     )
     return target.read()
+
+
+# ---------------------------------------------------------------------------
+# Pseudonymisation / NLP pipeline queries (Phase 3)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "pseudonymise_customers",
+    oracle="""
+    SELECT c_nationkey, c_acctbal, c_mktsegment,
+           sha256(CAST(c_custkey AS VARCHAR) || '2b6ef354-salt') AS c_custkey_hashed
+    FROM customer
+    """,
+    tags=("UD3", "F1", "F2", "P3"),
+)
+def pseudonymise_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Config-driven pseudonymisation of the customer table: salted
+    SHA-256 of the key (renamed ``_hashed``), direct identifier
+    removed (reference ``transform.py:156-195`` dispatch)."""
+    from .config import TABLE_CONFIG
+    from .pipelines.pseudonymise import pseudo_transform
+
+    customer = load_table(spark, sf_dir, "customer")
+    return pseudo_transform(customer, TABLE_CONFIG["customer"])
+
+
+@query(
+    "pseudonymise_events",
+    oracle="""
+    SELECT event_id, date_trunc('hour', ts) AS ts, event_type, value,
+           sha256(CAST(user_id AS VARCHAR) || '2b6ef354-salt') AS user_id_hashed
+    FROM events
+    """,
+    tags=("UD3", "F1", "F3", "P3"),
+)
+def pseudonymise_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pseudonymise the event stream: hash the user id, truncate the
+    timestamp to the hour (k-anonymity generalisation), drop free-form
+    properties."""
+    from .config import TABLE_CONFIG
+    from .pipelines.pseudonymise import pseudo_transform
+
+    events = load_table(spark, sf_dir, "events")
+    return pseudo_transform(events, TABLE_CONFIG["events"])
+
+
+@query(
+    "anonymise_documents",
+    oracle=r"""
+    SELECT doc_id, lang,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(text,
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL_ADDRESS>', 'g'),
+                   'https?://[^\s]+', '<URL>', 'g'),
+                 '\b\d{4}-\d{2}-\d{2}\b', '<DATE_TIME>', 'g'),
+               '\b(?:\+?\d[\d\s-]{7,}\d)\b', '<PHONE_NUMBER>', 'g'),
+             '\b(?:customer|supplier)\b', '<PERSON>', 'g') AS text
+    FROM documents
+    """,
+    tags=("UD1",),
+)
+def anonymise_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Free-text entity masking (UD1; reference ``presidio.py:24-46``)
+    as an Arrow-batched pandas UDF with the deterministic regex rule
+    set; the oracle applies the identical rules via RE2."""
+    from .pipelines.pseudonymise import anonymise_columns
+
+    documents = load_table(spark, sf_dir, "documents")
+    return anonymise_columns(documents, ["text"]).select("doc_id", "lang", "text")
+
+
+@query(
+    "feature_extract_documents",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split(text, ' '),
+                         t -> t IN ('customer','supplier','part','order','query','scan')
+             ) AS ents
+      FROM documents
+    )
+    SELECT doc_id,
+           len(ents) AS n_entities,
+           CASE WHEN len(ents) > 0 THEN ents[1] END AS first_entity,
+           greatest(len(ents) - 1, 0) AS n_relations
+    FROM toks
+    """,
+    tags=("UD2", "UD4", "P5"),
+)
+def feature_extract_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mock-NLP feature extraction (UD2/UD4) + dotted-path projection
+    into the nested output (P5; reference
+    ``test_feature_extraction.py:181-215``): entity count, first entity
+    text, relation count per document."""
+    from .config import TableConfig
+    from .pipelines.feature_extraction import extract_features
+
+    documents = load_table(spark, sf_dir, "documents")
+    cfg = TableConfig(primary_keys=["doc_id"], analysed_columns=["text"])
+    extracted = extract_features(
+        documents, cfg, api_keys=("key0", "key1"), probe_rows=100
+    )
+    ents = F.col("text_extracted.document.entities")
+    rels = F.col("text_extracted.document.relations")
+    return extracted.select(
+        "doc_id",
+        F.size(ents).cast("bigint").alias("n_entities"),
+        F.when(F.size(ents) > 0, F.element_at(ents, 1).getField("text")).alias(
+            "first_entity"
+        ),
+        F.size(rels).cast("bigint").alias("n_relations"),
+    )

@@ -1,0 +1,88 @@
+"""Pseudonymisation stage tests (reference ``test_pseudonymisation.py``
+coverage: golden hash, missing-column KeyError, invalid datetime →
+NULL, NULL-safe anonymisation, no-config passthrough)."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from data_seedling_spark.config import DateTimeRoundOpt, TableConfig
+from data_seedling_spark.pipelines.pseudonymise import (
+    anonymise_columns,
+    hash_columns,
+    pseudo_transform,
+    remove_columns,
+    round_datetime_columns,
+)
+
+SALT = "unit-salt"
+
+
+def test_hash_golden_value(spark):
+    """Golden: sha256('1' + salt) hex — the reference pins the same
+    shape (``test_pseudonymisation.py:219-224``)."""
+    df = spark.createDataFrame([Row(id=1)])
+    out = hash_columns(df, ["id"], SALT)
+    expected = hashlib.sha256(f"1{SALT}".encode()).hexdigest()
+    assert out.columns == ["id_hashed"]
+    assert out.first()["id_hashed"] == expected
+
+
+def test_hash_missing_column_raises(spark):
+    df = spark.createDataFrame([Row(id=1)])
+    with pytest.raises(KeyError):
+        hash_columns(df, ["nope"], SALT)
+
+
+def test_round_datetime_hour_and_invalid_to_null(spark):
+    df = spark.createDataFrame(
+        [Row(k=1, ts="2023-11-05 13:37:42"), Row(k=2, ts="not a date")]
+    )
+    out = round_datetime_columns(df, {"ts": DateTimeRoundOpt.HOUR})
+    got = {r["k"]: r["ts"] for r in out.collect()}
+    assert str(got[1]) == "2023-11-05 13:00:00"
+    assert got[2] is None
+
+
+def test_remove_columns_validates(spark):
+    df = spark.createDataFrame([Row(a=1, b=2)])
+    assert remove_columns(df, ["b"]).columns == ["a"]
+    with pytest.raises(KeyError):
+        remove_columns(df, ["z"])
+
+
+def test_anonymise_masks_and_is_null_safe(spark):
+    df = spark.createDataFrame(
+        [
+            Row(k=1, text="mail bob@example.com then visit https://x.io/a"),
+            Row(k=2, text="customer called on 2023-11-05"),
+            Row(k=3, text=None),
+        ]
+    )
+    out = {r["k"]: r["text"] for r in anonymise_columns(df, ["text"]).collect()}
+    assert out[1] == "mail <EMAIL_ADDRESS> then visit <URL>"
+    assert out[2] == "<PERSON> called on <DATE_TIME>"
+    assert out[3] is None
+
+
+def test_pseudo_transform_dispatch_and_passthrough(spark):
+    df = spark.createDataFrame([Row(id=7, name="x", ts="2024-02-03 04:05:06", keep=1)])
+    cfg = TableConfig(
+        primary_keys=["id"],
+        hash_columns=["id"],
+        round_datetime_columns={"ts": DateTimeRoundOpt.MONTH},
+        remove_columns=["name"],
+        salt=SALT,
+    )
+    out = pseudo_transform(df, cfg)
+    assert set(out.columns) == {"id_hashed", "ts", "keep"}
+    row = out.first()
+    assert str(row["ts"]) == "2024-02-01 00:00:00"
+    # empty config = passthrough (reference test_pseudonymisation.py:101-118)
+    passthrough = pseudo_transform(df, TableConfig(primary_keys=["id"]))
+    assert passthrough.columns == df.columns
+    assert passthrough.collect() == df.collect()
