@@ -1,0 +1,290 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Four escalating strategies, all declared as DataFrame plans:
+
+- **exact**: group on a content hash — the hash (32 B) shuffles instead
+  of the document body, which is the difference between shuffling
+  100 TB and shuffling ~100 GB at corpus scale,
+- **n-gram Jaccard (exact, blocked)**: word-shingle set similarity with
+  a blocking key to bound the pair count; the oracle-checkable truth
+  for the approximate variants,
+- **MinHash + LSH**: signature → bands → bucket join → candidate pairs
+  → exact-Jaccard verification; the linear-shuffle scale path
+  (`Broder 1997, "On the resemblance and containment of documents"`;
+  banding per Leskovec/Rajaraman/Ullman, *Mining of Massive Datasets*
+  ch. 3),
+- **SimHash**: 64-bit fingerprints whose Hamming distance tracks cosine
+  similarity of the token multiset (`Charikar 2002`), computed from
+  JVM-side token hashes + a vectorized numpy reduction.
+
+Token hashing stays JVM-side (``xxhash64``) so Python only sees fixed-
+width integers through Arrow, never the document text.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup_groups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Representative (min id) + multiplicity per distinct text.
+
+    Grouping key is ``sha2(text)`` so the shuffle carries 32-byte keys;
+    the text itself never moves. Collision probability at 2^-256 is
+    below hardware-error rates.
+    """
+    h = F.sha2(F.col(text_col).cast("binary"), 256).alias("_h")
+    return (
+        df.select(h, F.col(id_col))
+        .groupBy("_h")
+        .agg(F.min(id_col).alias(id_col), F.count("*").alias("n_copies"))
+        .drop("_h")
+    )
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Keep one row (min id) per distinct text: rank-1 over the content
+    hash. WindowGroupLimit prunes before the sort at scale."""
+    from pyspark.sql import Window as W
+
+    h = F.sha2(F.col(text_col).cast("binary"), 256)
+    w = W.partitionBy(h).orderBy(id_col)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Shingling + exact Jaccard
+# ---------------------------------------------------------------------------
+
+
+def word_shingles(text_col, n: int = 3):
+    """Distinct word n-gram shingles as an array column (JVM-side:
+    split + sequence + transform + array_distinct)."""
+    words = F.split(text_col, " ")
+    k = F.size(words) - (n - 1)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(k - 1, F.lit(-1))),
+        lambda i: F.concat_ws(" ", *[F.get(words, i + j) for j in range(n)]),
+    )
+    return F.array_distinct(grams)
+
+
+def jaccard(a, b):
+    """|A∩B| / |A∪B| over array columns (JVM set intersection)."""
+    inter = F.size(F.array_intersect(a, b)).cast("double")
+    union = F.size(F.array_union(a, b))
+    return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    block_cols: list[str],
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact blocked near-dup pairs: all-pairs Jaccard *within* a
+    blocking key (bounded quadratic). The ground truth the LSH variant
+    approximates; at corpus scale use ``minhash_lsh_pairs`` instead."""
+    sh = df.select(
+        *block_cols, F.col(id_col), word_shingles(F.col(text_col), n).alias("shingles")
+    )
+    a = sh.alias("a")
+    b = sh.alias("b")
+    cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+    for c in block_cols:
+        cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+    j = jaccard(F.col("a.shingles"), F.col("b.shingles"))
+    return (
+        a.join(b, cond)
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+            F.round(j, 4).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+_MERSENNE = (1 << 61) - 1
+
+
+def _perm_params(num_perm: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, _MERSENNE, size=num_perm, dtype=np.int64)
+    b = rng.integers(0, _MERSENNE, size=num_perm, dtype=np.int64)
+    return a, b
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_perm: int = 64,
+    shingle_n: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """``(id, signature[num_perm])`` MinHash signatures.
+
+    Shingle hashing is JVM ``xxhash64``; the num_perm universal-hash
+    minima are one vectorized numpy pass per Arrow batch
+    ((a·h + b) mod M61 over a (perms × shingles) broadcast). Python
+    never deserialises text.
+    """
+    a_params, b_params = _perm_params(num_perm, seed)
+
+    hashed = df.select(
+        F.col(id_col),
+        F.transform(
+            word_shingles(F.col(text_col), shingle_n), lambda s: F.xxhash64(s)
+        ).alias("_shingle_hashes"),
+    )
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def minhash(hashes: pd.Series) -> pd.Series:
+        out = []
+        for hs in hashes:
+            if hs is None or len(hs) == 0:
+                out.append([int(_MERSENNE)] * len(a_params))
+                continue
+            h = np.asarray(hs, dtype=np.uint64).astype(object)  # exact bigint math
+            # (a*h + b) mod M61, per permutation — object dtype avoids overflow
+            sig = [
+                int(min((int(ai) * hv + int(bi)) % _MERSENNE for hv in h))
+                for ai, bi in zip(a_params, b_params)
+            ]
+            out.append(sig)
+        return pd.Series(out)
+
+    return hashed.select(F.col(id_col), minhash("_shingle_hashes").alias("signature"))
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, id_col: str, bands: int = 8
+) -> DataFrame:
+    """Band the signatures and bucket-join: documents sharing any
+    band-hash become candidates. Shuffle is O(rows × bands), never
+    quadratic."""
+    rows_per_band = None  # derived from signature length lazily
+    sig_len = len(signatures.select("signature").first()["signature"])
+    rows_per_band = sig_len // bands
+    band_cols = [
+        F.xxhash64(
+            F.concat_ws(
+                ",",
+                F.lit(b),
+                *[
+                    F.get(F.col("signature"), b * rows_per_band + r).cast("string")
+                    for r in range(rows_per_band)
+                ],
+            )
+        ).alias(f"_band{b}")
+        for b in range(bands)
+    ]
+    banded = signatures.select(F.col(id_col), *band_cols)
+    stacked = banded.selectExpr(
+        id_col,
+        "stack({}, {}) as (band, bucket)".format(
+            bands, ", ".join(f"{b}, _band{b}" for b in range(bands))
+        ),
+    )
+    a = stacked.alias("a")
+    b = stacked.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_perm: int = 64,
+    bands: int = 8,
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+    seed: int = 42,
+) -> DataFrame:
+    """Full near-dup pipeline: MinHash → LSH buckets → candidate pairs
+    → **exact** Jaccard verification (no false positives; recall is the
+    banding curve ~1-(1-t^r)^b)."""
+    sigs = minhash_signatures(df, text_col, id_col, num_perm, shingle_n, seed)
+    cands = lsh_candidate_pairs(sigs, id_col, bands)
+    sh = df.select(
+        F.col(id_col), word_shingles(F.col(text_col), shingle_n).alias("shingles")
+    )
+    verified = (
+        cands.join(sh.withColumnRenamed(id_col, "doc_a"), on="doc_a")
+        .withColumnRenamed("shingles", "sh_a")
+        .join(sh.withColumnRenamed(id_col, "doc_b"), on="doc_b")
+        .withColumnRenamed("shingles", "sh_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 4).alias("jaccard"),
+        )
+    )
+    return verified.where(F.col("jaccard") >= threshold)
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash64(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """64-bit SimHash per document from JVM token hashes: sum of ±1 per
+    bit over token hashes, sign → bit. Emitted as zero-padded hex so
+    prefixes are orderable; Hamming distance between hex fingerprints
+    approximates token-multiset cosine distance."""
+    hashed = df.select(
+        F.col(id_col),
+        F.transform(F.split(F.col(text_col), " "), lambda t: F.xxhash64(t)).alias(
+            "_tok_hashes"
+        ),
+    )
+
+    @F.pandas_udf(T.StringType())
+    def simhash(hashes: pd.Series) -> pd.Series:
+        out = []
+        for hs in hashes:
+            if hs is None or len(hs) == 0:
+                out.append("0" * 16)
+                continue
+            h = np.asarray(hs, dtype=np.int64).view(np.uint64)
+            bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(np.int32)
+            votes = (2 * bits - 1).sum(axis=0)
+            fp = np.uint64(0)
+            for i in range(64):
+                if votes[i] > 0:
+                    fp |= np.uint64(1) << np.uint64(i)
+            out.append(format(int(fp), "016x"))
+        return pd.Series(out)
+
+    return hashed.select(F.col(id_col), simhash("_tok_hashes").alias("simhash"))

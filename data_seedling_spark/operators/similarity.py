@@ -1,0 +1,134 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+- ``cosine_topk``: brute-force exact top-k — the correctness baseline.
+  The query set is broadcast, so the big side streams once with no
+  shuffle; per-pair math is JVM ``zip_with``/``aggregate`` (no Python).
+- ``hyperplane_lsh_topk``: random-hyperplane LSH (`Charikar 2002`) —
+  sign-bit signatures bucket the corpus; candidates are ranked only
+  within matching buckets. The scale path: shuffle is O(rows), and the
+  bucket join replaces the all-pairs cross product.
+
+Arithmetic notes: embeddings are cast to double *before* any math
+(float math differs between engines), and dot/norm use a sequential
+left-fold so the oracle can reproduce the exact double result.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def cosine(a, b):
+    """dot/(‖a‖·‖b‖) over double array columns (sequential fold —
+    deterministic and oracle-reproducible)."""
+    return _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
+
+
+def cosine_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Exact top-k neighbors per query by cosine (self-pairs excluded).
+
+    Plan shape: broadcast(queries) ⋈ corpus (no shuffle on the corpus)
+    → per-row JVM cosine → rank window partitioned by query id. The
+    window shuffle carries only (query, candidate, score) triples.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("_qv"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("_cv"),
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("_qv"), F.col("_cv")), 6).alias("score"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("score").desc(), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
+def hyperplane_signature(vec_col, planes: np.ndarray):
+    """Sign-bit LSH signature as a bigint: bit i = (v·plane_i > 0).
+    Planes are baked into the plan as literals (tiny) — JVM-only math."""
+    bits = [
+        F.when(
+            F.aggregate(
+                F.zip_with(
+                    vec_col,
+                    F.array(*[F.lit(float(x)) for x in planes[i]]),
+                    lambda x, y: x * y,
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            > 0,
+            F.lit(1 << i).cast("long"),
+        ).otherwise(F.lit(0).cast("long"))
+        for i in range(len(planes))
+    ]
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out
+
+
+def make_planes(dim: int, n_planes: int = 12, seed: int = 42) -> np.ndarray:
+    return np.random.default_rng(seed).standard_normal((n_planes, dim))
+
+
+def hyperplane_lsh_topk(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+    n_planes: int = 12,
+    dim: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate all-pairs top-k: rank candidates only within the
+    same LSH bucket. Recall trades against bucket size via
+    ``n_planes``; candidates found are scored exactly."""
+    planes = make_planes(dim, n_planes, seed)
+    v = df.select(
+        F.col(id_col),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+    ).withColumn("_bucket", hyperplane_signature(F.col("_v"), planes))
+    a, b = v.alias("a"), v.alias("b")
+    scored = (
+        a.join(
+            b,
+            (F.col("a._bucket") == F.col("b._bucket"))
+            & (F.col(f"a.{id_col}") != F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("query_id"),
+            F.col(f"b.{id_col}").alias("neighbor_id"),
+            F.round(cosine(F.col("a._v"), F.col("b._v")), 6).alias("score"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("score").desc(), "neighbor_id")
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)

@@ -1,5 +1,306 @@
-"""LLM-data-pipeline query registrations (dedup, similarity, text
-analysis, multimodal). Populated in Phase 4; importing this module
-registers entries into ``queries._REGISTRY``."""
+"""LLM-data-pipeline query registrations (SURVEY §7 Phase 4 / the
+north-star additions): dedup, similarity search, text analysis,
+multimodal columns — each oracle-checked where SQL-expressible.
+"""
 
 from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .queries import query
+from .tables import load_table
+
+_VOCAB_SQL = "('the','a','and','of','to')"
+
+
+# ---------------------------------------------------------------------------
+# Deduplication
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_exact_documents",
+    oracle="""
+    SELECT min(doc_id) AS doc_id, COUNT(*) AS n_copies
+    FROM documents GROUP BY text
+    """,
+    tags=("dedup-exact",),
+)
+def dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: representative + multiplicity per distinct text,
+    grouped on the 32-byte content hash so the document bodies never
+    shuffle (operators.dedup.exact_dedup_groups)."""
+    from .operators.dedup import exact_dedup_groups
+
+    documents = load_table(spark, sf_dir, "documents")
+    return exact_dedup_groups(documents, "text", "doc_id")
+
+
+@query(
+    "ngram_jaccard_dedup",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents
+    ), sh AS (
+      SELECT doc_id, lang,
+             list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                            FOR i IN range(1, greatest(len(w) - 1, 1))]) AS shingles
+      FROM t
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           round(len(list_intersect(a.shingles, b.shingles))::DOUBLE
+                 / len(list_distinct(list_concat(a.shingles, b.shingles))), 4) AS jaccard
+    FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.shingles, b.shingles))::DOUBLE
+          / len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.8
+    """,
+    tags=("dedup-jaccard",),
+)
+def ngram_jaccard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard near-dup pairs (≥0.8) within language
+    blocks — the oracle-checkable ground truth that minhash_lsh_near_dup
+    approximates at scale."""
+    from .operators.dedup import ngram_jaccard_pairs
+
+    documents = load_table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(
+        documents, "text", "doc_id", block_cols=["lang"], n=3, threshold=0.8
+    )
+
+
+@query("minhash_lsh_near_dup", oracle=None, tags=("dedup-minhash-lsh",))
+def minhash_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(64) + LSH(8 bands) near-dup pairs with exact-Jaccard
+    verification — the linear-shuffle scale path. Signature minima are
+    hash-function-specific, so the driver records rows-only; the pytest
+    suite asserts recall of every exact-dup pair and zero false
+    positives vs the blocked ground truth."""
+    from .operators.dedup import minhash_lsh_pairs
+
+    documents = load_table(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(documents, "text", "doc_id", threshold=0.8)
+
+
+@query("simhash_documents", oracle=None, tags=("dedup-simhash",))
+def simhash_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash fingerprints (hex) per document; identical texts
+    collide exactly, near-identical token multisets land within small
+    Hamming distance (verified in tests)."""
+    from .operators.dedup import simhash64
+
+    documents = load_table(spark, sf_dir, "documents")
+    return simhash64(documents, "text", "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "similarity_topk_bruteforce",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 10
+    ), scored AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id,
+             round(list_dot_product(qv, e.embedding::DOUBLE[])
+                   / (sqrt(list_dot_product(qv, qv))
+                      * sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))),
+                   6) AS score
+      FROM q JOIN embeddings e ON e.vec_id <> q.query_id
+    )
+    SELECT query_id, neighbor_id, score, rank FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY score DESC, neighbor_id
+      ) AS rank FROM scored
+    ) WHERE rank <= 5
+    """,
+    tags=("similarity-topk",),
+)
+def similarity_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 for queries vec_id<10: broadcast query set ⋈
+    corpus, JVM fold for dot/norms, rank window. The correctness
+    baseline for the LSH ANN variant."""
+    from .operators.similarity import cosine_topk
+
+    embeddings = load_table(spark, sf_dir, "embeddings")
+    queries = embeddings.where(F.col("vec_id") < 10)
+    return cosine_topk(queries, embeddings, k=5)
+
+
+@query("ann_lsh_hyperplane", oracle=None, tags=("similarity-ann",))
+def ann_lsh_hyperplane(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate all-pairs top-3 via random-hyperplane LSH buckets
+    (seeded planes baked into the plan). Rows-only check: bucket
+    contents are hash-specific; tests bound recall against brute
+    force."""
+    from .operators.similarity import hyperplane_lsh_topk
+
+    embeddings = load_table(spark, sf_dir, "embeddings")
+    return hyperplane_lsh_topk(embeddings, k=3, n_planes=8)
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_quality_scores",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents)
+    SELECT doc_id,
+           length(text) AS n_chars,
+           len(w) AS n_words,
+           len(list_distinct(w)) AS n_distinct_words,
+           round(len(list_distinct(w))::DOUBLE / len(w), 4) AS type_token_ratio,
+           round(len(list_filter(w, x -> x IN {_VOCAB_SQL}))::DOUBLE / len(w), 4)
+             AS stopword_ratio,
+           round(list_sum(list_transform(w, x -> length(x)))::DOUBLE / len(w), 4)
+             AS mean_word_len
+    FROM t
+    """,
+    tags=("text-quality",),
+)
+def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus quality signals (C4/Gopher-style heuristic inputs), all
+    JVM expressions."""
+    from .operators.textstats import quality_scores
+
+    documents = load_table(spark, sf_dir, "documents")
+    return quality_scores(documents, "text", "doc_id")
+
+
+@query(
+    "language_id_documents",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    v AS (
+      SELECT doc_id,
+             len(list_filter(w, x -> x IN ('the','a','and','of','to'))) AS en_hits,
+             len(list_filter(w, x -> x IN ('der','die','das','und','zu'))) AS de_hits,
+             len(list_filter(w, x -> x IN ('el','la','los','y','de'))) AS es_hits,
+             len(list_filter(w, x -> x IN ('le','la','les','et','de'))) AS fr_hits
+      FROM t
+    )
+    SELECT doc_id,
+           CASE WHEN greatest(en_hits, de_hits, es_hits, fr_hits) = 0 THEN 'und'
+                WHEN en_hits = greatest(en_hits, de_hits, es_hits, fr_hits) THEN 'en'
+                WHEN de_hits = greatest(en_hits, de_hits, es_hits, fr_hits) THEN 'de'
+                WHEN es_hits = greatest(en_hits, de_hits, es_hits, fr_hits) THEN 'es'
+                ELSE 'fr' END AS predicted_lang,
+           en_hits,
+           greatest(en_hits, de_hits, es_hits, fr_hits) AS best_hits
+    FROM v
+    """,
+    tags=("text-langid",),
+)
+def language_id_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Function-word-vote language ID heuristic with deterministic
+    argmax tie order; a model-based classifier plugs in the same shape
+    via mapInPandas."""
+    from .operators.textstats import language_id
+
+    documents = load_table(spark, sf_dir, "documents")
+    return language_id(documents, "text", "doc_id")
+
+
+@query(
+    "token_count_documents",
+    oracle=r"""
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS ws_tokens,
+           len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS regex_tokens,
+           octet_length(encode(text)) AS n_bytes
+    FROM documents
+    """,
+    tags=("text-tokens",),
+)
+def token_count_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token budgeting: whitespace tokens + BPE-ish regex tokens +
+    bytes per document."""
+    from .operators.textstats import token_counts
+
+    documents = load_table(spark, sf_dir, "documents")
+    return token_counts(documents, "text", "doc_id")
+
+
+@query(
+    "doc_fingerprints",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm
+      FROM documents
+    ), sh AS (
+      SELECT doc_id, norm, string_split(norm, ' ') AS w FROM t
+    )
+    SELECT doc_id,
+           sha256(norm) AS content_sha,
+           list_min(list_transform(
+             [w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+              FOR i IN range(1, greatest(len(w) - 1, 1))],
+             s -> sha256(s))) AS min_shingle_sha
+    FROM sh
+    """,
+    tags=("text-fingerprint",),
+)
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalised content hash (exact-dup key) + min-shingle hash
+    (edit-tolerant winnowing-style key)."""
+    from .operators.textstats import fingerprints
+
+    documents = load_table(spark, sf_dir, "documents")
+    return fingerprints(documents, "text", "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Multimodal columns
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "multimodal_metadata",
+    oracle="""
+    SELECT doc_id,
+           octet_length(encode(text)) AS byte_len,
+           'text/plain' AS mime,
+           sha256(text) AS checksum
+    FROM documents
+    """,
+    tags=("multimodal-meta",),
+)
+def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary payload column + typed metadata struct (byte length,
+    mime, checksum), projected back out of the struct — the schema
+    pattern for opaque image/audio/video columns."""
+    from .operators.multimodal import attach_binary_payload
+
+    documents = load_table(spark, sf_dir, "documents")
+    with_payload = attach_binary_payload(documents, "text")
+    return with_payload.select(
+        "doc_id",
+        F.col("payload_meta.byte_len").alias("byte_len"),
+        F.col("payload_meta.mime").alias("mime"),
+        F.col("payload_meta.checksum").alias("checksum"),
+    )
+
+
+@query("multimodal_decode_stub", oracle=None, tags=("multimodal-decode",))
+def multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched decode plumbing over binary payloads (stubbed
+    decoder — media codecs absent in this container); returns decoded
+    dimensions per document. Rows-only check; schema and batch shape
+    are the real contract."""
+    from .operators.multimodal import attach_binary_payload, decode_stub
+
+    documents = load_table(spark, sf_dir, "documents")
+    with_payload = attach_binary_payload(documents, "text")
+    decoded = decode_stub(with_payload)
+    return decoded.select(
+        "doc_id",
+        F.col("decoded.width").alias("width"),
+        F.col("decoded.height").alias("height"),
+        F.col("decoded.ok").alias("decode_ok"),
+    )

@@ -1,0 +1,173 @@
+"""LLM-data-pipeline operator tests: dedup recall/precision, similarity
+ranking vs numpy brute force, text stats, multimodal plumbing."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def documents(spark):
+    return spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    return spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+
+
+def with_injected_dups(documents, n=5, id_offset=1_000_000):
+    """Corpus + copies of the first n texts under fresh ids (the sf0.001
+    slice has no natural exact dups)."""
+    copies = (
+        documents.orderBy("doc_id")
+        .limit(n)
+        .withColumn("doc_id", F.col("doc_id") + id_offset)
+    )
+    return documents.unionByName(copies)
+
+
+def test_exact_dedup_keeps_one_per_text(spark, documents):
+    from data_seedling_spark.operators.dedup import exact_dedup
+
+    corpus = with_injected_dups(documents)
+    total = corpus.count()
+    distinct_texts = corpus.select("text").distinct().count()
+    assert distinct_texts < total
+    assert exact_dedup(corpus, "text", "doc_id").count() == distinct_texts
+    # representatives are the min ids — none of the injected copies survive
+    survivors = exact_dedup(corpus, "text", "doc_id").where(
+        F.col("doc_id") >= 1_000_000
+    )
+    assert survivors.count() == 0
+
+
+def test_minhash_lsh_finds_all_exact_dups_no_false_positives(spark, documents):
+    """Exact dups have Jaccard 1.0 → identical signatures → recall 1;
+    the exact-Jaccard verify step guarantees zero false positives."""
+    from data_seedling_spark.operators.dedup import minhash_lsh_pairs
+
+    corpus = with_injected_dups(documents)
+    dup_pairs = {
+        tuple(r)
+        for r in (
+            corpus.alias("a")
+            .join(
+                corpus.alias("b"),
+                (F.col("a.text") == F.col("b.text"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select("a.doc_id", "b.doc_id")
+            .collect()
+        )
+    }
+    found = minhash_lsh_pairs(corpus, "text", "doc_id", threshold=0.8)
+    found_pairs = {(r["doc_a"], r["doc_b"]) for r in found.collect()}
+    assert dup_pairs <= found_pairs
+    for r in found.collect():
+        assert r["jaccard"] >= 0.8  # verified, no false positives
+
+
+def test_simhash_identical_texts_collide(spark):
+    from data_seedling_spark.operators.dedup import simhash64
+
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="the quick brown fox jumps"),
+            Row(doc_id=2, text="the quick brown fox jumps"),
+            Row(doc_id=3, text="completely different words entirely here"),
+        ]
+    )
+    out = {r["doc_id"]: r["simhash"] for r in simhash64(df, "text", "doc_id").collect()}
+    assert out[1] == out[2]
+    assert out[1] != out[3]
+    assert len(out[1]) == 16  # zero-padded 64-bit hex
+
+
+def test_cosine_topk_matches_numpy(spark, embeddings):
+    from data_seedling_spark.operators.similarity import cosine_topk
+
+    pdf = embeddings.toPandas().sort_values("vec_id")
+    mat = np.stack(pdf["embedding"].map(np.asarray)).astype(np.float64)
+    ids = pdf["vec_id"].to_numpy()
+    norms = np.linalg.norm(mat, axis=1)
+    sims = (mat @ mat.T) / np.outer(norms, norms)
+
+    queries = embeddings.where(F.col("vec_id") < 3)
+    got = cosine_topk(queries, embeddings, k=4).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append((r["rank"], r["neighbor_id"], r["score"]))
+    for qid, rows in by_q.items():
+        qi = np.where(ids == qid)[0][0]
+        order = np.argsort(-sims[qi])
+        expected = [int(ids[j]) for j in order if ids[j] != qid][:4]
+        got_ids = [nid for _, nid, _ in sorted(rows)]
+        assert got_ids == expected
+        for rank, nid, score in rows:
+            ni = np.where(ids == nid)[0][0]
+            assert abs(score - sims[qi, ni]) < 1e-5
+
+
+def test_ann_lsh_candidates_are_exactly_scored(spark, embeddings):
+    """ANN results: every reported score must equal the true cosine
+    (approximation affects recall, never score correctness)."""
+    from data_seedling_spark.operators.similarity import hyperplane_lsh_topk
+
+    got = hyperplane_lsh_topk(embeddings, k=2, n_planes=6).limit(50).collect()
+    assert len(got) > 0
+    pdf = embeddings.toPandas()
+    vecs = {int(r["vec_id"]): np.asarray(r["embedding"], dtype=np.float64) for _, r in pdf.iterrows()}
+    for r in got:
+        a, b = vecs[r["query_id"]], vecs[r["neighbor_id"]]
+        true = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+        assert abs(r["score"] - true) < 1e-5
+
+
+def test_quality_scores_ranges(spark, documents):
+    from data_seedling_spark.operators.textstats import quality_scores
+
+    out = quality_scores(documents, "text", "doc_id")
+    bad = out.where(
+        (F.col("type_token_ratio") <= 0)
+        | (F.col("type_token_ratio") > 1)
+        | (F.col("stopword_ratio") < 0)
+        | (F.col("stopword_ratio") > 1)
+        | (F.col("n_words") <= 0)
+    ).count()
+    assert bad == 0
+
+
+def test_token_counts_consistency(spark):
+    from data_seedling_spark.operators.textstats import token_counts
+
+    df = spark.createDataFrame([Row(doc_id=1, text="hello world 42 !")])
+    r = token_counts(df, "text", "doc_id").first()
+    assert r["ws_tokens"] == 4
+    assert r["regex_tokens"] == 4  # hello, world, 42, !
+    assert r["n_bytes"] == len("hello world 42 !".encode())
+
+
+def test_multimodal_payload_roundtrip(spark):
+    from data_seedling_spark.operators.multimodal import (
+        attach_binary_payload,
+        decode_stub,
+        frame_sample_stub,
+    )
+
+    df = spark.createDataFrame([Row(doc_id=1, text="x" * 200), Row(doc_id=2, text="y")])
+    wp = attach_binary_payload(df, "text")
+    metas = {r["doc_id"]: r["payload_meta"] for r in wp.collect()}
+    assert metas[1]["byte_len"] == 200
+    assert metas[1]["mime"] == "text/plain"
+
+    decoded = decode_stub(wp)
+    d = {r["doc_id"]: r["decoded"] for r in decoded.collect()}
+    assert d[1]["ok"] and d[1]["width"] == 201  # deterministic fake
+    frames = frame_sample_stub(wp)
+    assert frames.where(F.col("doc_id") == 1).count() > 0
