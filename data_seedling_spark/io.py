@@ -1,0 +1,106 @@
+"""Source/sink surface beyond parquet (SURVEY §2.1 S12/S13/S15).
+
+- ``jdbc_*``: the reference's feature-store sink (S12; reference
+  ``db.py:59-136``) — connection options assembled the same way; the
+  actual round-trip needs a JDBC driver jar on the classpath, which
+  this container doesn't ship, so callers get a clear error instead of
+  a Py4J stack.
+- ``register_parquet_table``: catalog DDL (S13; reference
+  ``datalake.py:102-120``) via ``CREATE TABLE ... USING parquet
+  LOCATION`` — the external-location registration pattern, minus Unity
+  Catalog.
+- ``sql``: ad-hoc SQL entry point (S15).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass
+class JdbcConfig:
+    """Connection shape mirroring the reference's ``DatabaseConfig``
+    (``db.py:59-108``): host/db/credentials → url + properties."""
+
+    host: str
+    database: str
+    username: str
+    password: str
+    port: int = 1433
+    driver: str = "com.microsoft.sqlserver.jdbc.SQLServerDriver"
+
+    @property
+    def url(self) -> str:
+        return f"jdbc:sqlserver://{self.host}:{self.port};databaseName={self.database}"
+
+    def options(self, table: str) -> dict[str, str]:
+        return {
+            "url": self.url,
+            "dbtable": table,
+            "user": self.username,
+            "password": self.password,
+            "driver": self.driver,
+        }
+
+
+def _driver_available(spark: SparkSession, driver: str) -> bool:
+    try:
+        spark._jvm.java.lang.Class.forName(driver)  # noqa: SLF001
+        return True
+    except Exception:  # noqa: BLE001
+        return False
+
+
+def jdbc_append(
+    df: DataFrame, config: JdbcConfig, table: str, batchsize: int = 10_000
+) -> None:
+    """S12 feature-store append (reference ``db.py:111-136``).
+
+    ``batchsize`` bounds rows per INSERT round-trip; partition count =
+    concurrent connections, so repartition small before calling if the
+    target DB can't take the writer fan-in.
+    """
+    spark = df.sparkSession
+    if not _driver_available(spark, config.driver):
+        raise RuntimeError(
+            f"JDBC driver {config.driver} is not on the classpath; add the "
+            "driver jar via spark.jars to enable the feature-store sink"
+        )
+    (
+        df.write.format("jdbc")
+        .mode("append")
+        .options(batchsize=str(batchsize), **config.options(table))
+        .save()
+    )
+
+
+def jdbc_read(spark: SparkSession, config: JdbcConfig, query: str) -> DataFrame:
+    """JDBC source with predicate pushdown via a pushdown query."""
+    if not _driver_available(spark, config.driver):
+        raise RuntimeError(
+            f"JDBC driver {config.driver} is not on the classpath; add the "
+            "driver jar via spark.jars to enable the JDBC source"
+        )
+    return (
+        spark.read.format("jdbc")
+        .options(**{**config.options(f"({query}) q"), "dbtable": f"({query}) q"})
+        .load()
+    )
+
+
+def register_parquet_table(
+    spark: SparkSession, name: str, location: str, catalog_schema: str = "default"
+) -> None:
+    """S13 catalog DDL (reference ``datalake.py:102-120``): register an
+    external parquet location as a queryable table, idempotently."""
+    spark.sql(
+        f"CREATE TABLE IF NOT EXISTS {catalog_schema}.`{name}` "
+        f"USING parquet LOCATION '{location}'"
+    )
+
+
+def sql(spark: SparkSession, statement: str) -> DataFrame:
+    """S15 ad-hoc SQL entry point."""
+    return spark.sql(statement)

@@ -1,0 +1,116 @@
+"""Structured Streaming operators (the streaming twins of the batch
+surface; SURVEY §2.9 — the reference is batch-incremental, these are
+the Spark-native streaming analogues its protocol maps onto).
+
+Patterns covered:
+
+- file-source stream → event-time **tumbling window** aggregate with a
+  lateness watermark,
+- **session windows** (``F.session_window``) — the streaming twin of
+  the batch sessionization query,
+- **foreachBatch CDC apply**: each micro-batch merged into a
+  ``VersionedTable`` by primary key — exactly the reference's
+  merge routine driven by a stream instead of a polling driver (ST3/ST4),
+- **stateful dedup** via ``dropDuplicatesWithinWatermark``.
+
+All helpers take a bounded parquet directory and are driven to
+completion with ``trigger(availableNow=...)`` + ``processAllAvailable``
+in tests (local smoke of cluster semantics).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.ledger import VersionedTable
+from ..operators.merge import CHANGE_TYPE, CT_INSERT
+
+
+def read_events_stream(
+    spark: SparkSession, path: str, schema, ts_col: str = "ts",
+    glob: str | None = None,
+) -> DataFrame:
+    """File-source stream over a parquet directory (the streaming file
+    source requires a directory; ``glob`` narrows to specific files).
+    The nanos→micros conversion mirrors ``tables.load_table``."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    reader = spark.readStream.schema(schema)
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    df = reader.parquet(path)
+    if dict(df.dtypes).get(ts_col) == "bigint":
+        df = df.withColumn(
+            ts_col, F.timestamp_micros(F.expr(f"`{ts_col}` DIV 1000"))
+        )
+    return df
+
+
+def tumbling_counts(
+    stream: DataFrame,
+    window: str = "6 hours",
+    lateness: str = "1 hour",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Event-time tumbling aggregate with watermark-bounded state: late
+    rows beyond ``lateness`` are dropped and completed windows are
+    evicted from the state store (bounded memory at any scale)."""
+    return (
+        stream.withWatermark(ts_col, lateness)
+        .groupBy(F.window(F.col(ts_col), window).alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select(F.col("w.start").alias("w_start"), "event_type", "n_events")
+    )
+
+
+def session_counts(
+    stream: DataFrame, gap: str = "30 minutes", lateness: str = "1 hour",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Native session windows (gap-close semantics identical to the
+    batch ``sessionize_events`` query)."""
+    return (
+        stream.withWatermark(ts_col, lateness)
+        .groupBy(F.session_window(F.col(ts_col), gap).alias("s"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("s.start").alias("session_start"),
+            F.col("s.end").alias("session_end"),
+            "user_id",
+            "n_events",
+        )
+    )
+
+
+def stream_merge_into(
+    stream: DataFrame,
+    target: VersionedTable,
+    primary_keys: list[str],
+    checkpoint_dir: str,
+):
+    """foreachBatch CDC apply (ST3): every micro-batch becomes one
+    idempotent PK-merge commit on the versioned target — the streaming
+    form of ``streaming.incremental.write_increment``. Checkpoint +
+    idempotent merge ⇒ effectively exactly-once on keys."""
+
+    def apply_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        feed = batch_df.withColumn(CHANGE_TYPE, F.lit(CT_INSERT))
+        if target.exists():
+            target.merge(feed, primary_keys)
+        else:
+            target.write(batch_df, mode="overwrite")
+
+    return (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def streaming_dedup(
+    stream: DataFrame, keys: list[str], lateness: str = "1 hour", ts_col: str = "ts"
+) -> DataFrame:
+    """Stateful streaming dedup: first occurrence per key wins within
+    the watermark horizon (state evicted after ``lateness``)."""
+    return stream.withWatermark(ts_col, lateness).dropDuplicatesWithinWatermark(keys)

@@ -1,0 +1,37 @@
+"""Source/sink tests: catalog DDL registration, gated JDBC errors."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+
+from data_seedling_spark.io import (
+    JdbcConfig,
+    jdbc_append,
+    register_parquet_table,
+    sql,
+)
+from tests.conftest import SF_SMOKE
+
+
+def test_register_parquet_table_and_query(spark):
+    register_parquet_table(spark, "nation_ext", f"{SF_SMOKE}/nation.parquet")
+    out = sql(spark, "SELECT COUNT(*) AS n FROM default.`nation_ext`").first()
+    assert out["n"] == 25
+    # idempotent re-register
+    register_parquet_table(spark, "nation_ext", f"{SF_SMOKE}/nation.parquet")
+
+
+def test_jdbc_config_url_shape():
+    cfg = JdbcConfig(host="h", database="db", username="u", password="p")
+    assert cfg.url == "jdbc:sqlserver://h:1433;databaseName=db"
+    opts = cfg.options("features")
+    assert opts["dbtable"] == "features"
+    assert opts["driver"].endswith("SQLServerDriver")
+
+
+def test_jdbc_append_without_driver_raises_clearly(spark):
+    cfg = JdbcConfig(host="h", database="db", username="u", password="p")
+    df = spark.createDataFrame([Row(value=1)])
+    with pytest.raises(RuntimeError, match="driver .* not on the classpath"):
+        jdbc_append(df, cfg, "features")
