@@ -128,8 +128,9 @@ _MERSENNE = (1 << 61) - 1
 
 def _perm_params(num_perm: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
     rng = np.random.default_rng(seed)
-    a = rng.integers(1, _MERSENNE, size=num_perm, dtype=np.int64)
-    b = rng.integers(0, _MERSENNE, size=num_perm, dtype=np.int64)
+    # Odd multipliers → multiply-shift universal family over Z/2^64.
+    a = rng.integers(1, 1 << 62, size=num_perm, dtype=np.uint64) * np.uint64(2) + np.uint64(1)
+    b = rng.integers(0, 1 << 62, size=num_perm, dtype=np.uint64)
     return a, b
 
 
@@ -144,9 +145,10 @@ def minhash_signatures(
     """``(id, signature[num_perm])`` MinHash signatures.
 
     Shingle hashing is JVM ``xxhash64``; the num_perm universal-hash
-    minima are one vectorized numpy pass per Arrow batch
-    ((a·h + b) mod M61 over a (perms × shingles) broadcast). Python
-    never deserialises text.
+    minima are one vectorized numpy pass per document (multiply-shift
+    family ``a·h + b`` in wrapping uint64 — native-speed SIMD, the same
+    construction datasketch/Spark MinHashLSH use with a prime modulus).
+    Python never deserialises text.
     """
     a_params, b_params = _perm_params(num_perm, seed)
 
@@ -157,33 +159,34 @@ def minhash_signatures(
         ).alias("_shingle_hashes"),
     )
 
+    empty_sig = [int(np.iinfo(np.int64).max)] * num_perm
+
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def minhash(hashes: pd.Series) -> pd.Series:
         out = []
-        for hs in hashes:
-            if hs is None or len(hs) == 0:
-                out.append([int(_MERSENNE)] * len(a_params))
-                continue
-            h = np.asarray(hs, dtype=np.uint64).astype(object)  # exact bigint math
-            # (a*h + b) mod M61, per permutation — object dtype avoids overflow
-            sig = [
-                int(min((int(ai) * hv + int(bi)) % _MERSENNE for hv in h))
-                for ai, bi in zip(a_params, b_params)
-            ]
-            out.append(sig)
+        with np.errstate(over="ignore"):  # wrapping uint64 is the point
+            for hs in hashes:
+                if hs is None or len(hs) == 0:
+                    out.append(empty_sig)
+                    continue
+                h = np.asarray(hs, dtype=np.int64).view(np.uint64)
+                # (perms × shingles) wrap-multiply-add, min per perm;
+                # >>1 maps into signed-long range for the LongType sig.
+                m = (a_params[:, None] * h[None, :] + b_params[:, None]) >> np.uint64(1)
+                out.append(m.min(axis=1).astype(np.int64).tolist())
         return pd.Series(out)
 
     return hashed.select(F.col(id_col), minhash("_shingle_hashes").alias("signature"))
 
 
 def lsh_candidate_pairs(
-    signatures: DataFrame, id_col: str, bands: int = 8
+    signatures: DataFrame, id_col: str, bands: int = 8, sig_len: int | None = None
 ) -> DataFrame:
     """Band the signatures and bucket-join: documents sharing any
     band-hash become candidates. Shuffle is O(rows × bands), never
     quadratic."""
-    rows_per_band = None  # derived from signature length lazily
-    sig_len = len(signatures.select("signature").first()["signature"])
+    if sig_len is None:  # probe only when the caller doesn't know it
+        sig_len = len(signatures.select("signature").first()["signature"])
     rows_per_band = sig_len // bands
     band_cols = [
         F.xxhash64(
@@ -235,7 +238,7 @@ def minhash_lsh_pairs(
     → **exact** Jaccard verification (no false positives; recall is the
     banding curve ~1-(1-t^r)^b)."""
     sigs = minhash_signatures(df, text_col, id_col, num_perm, shingle_n, seed)
-    cands = lsh_candidate_pairs(sigs, id_col, bands)
+    cands = lsh_candidate_pairs(sigs, id_col, bands, sig_len=num_perm)
     sh = df.select(
         F.col(id_col), word_shingles(F.col(text_col), shingle_n).alias("shingles")
     )

@@ -137,13 +137,21 @@ def extract_features(
     probe_rows: int = 100,
     min_parallelism: int = 32,
     seed: int = 42,
+    rejoin: bool = False,
 ) -> DataFrame:
     """UD4 orchestration (reference ``feature_extraction.py:54-120``).
 
     Size-probe with ``take`` (cheaper than count), scale parallelism up
     for the expensive stage, shard across API keys, extract per shard,
-    re-attach by primary key, union. Small inputs skip sharding and use
-    a single key (reference ``feature_extraction.py:113-118``).
+    union. Small inputs skip sharding and use a single key (reference
+    ``feature_extraction.py:113-118``).
+
+    ``rejoin=True`` reproduces the reference's exact dataflow — project
+    to (pks + analysed columns), extract on the projection, PK-join the
+    result back (J1). That shape matters when the extractor ships rows
+    to an external service (minimal payload); for the colocated
+    ``mapInPandas`` path it only adds a shuffle, so the default
+    extracts in place (Arrow passthrough of untouched columns is free).
     """
     pks = config.primary_keys
     probe = df.take(probe_rows)
@@ -159,9 +167,15 @@ def extract_features(
     shards = df.randomSplit([1.0] * len(api_keys), seed=seed)
     done = []
     for shard, key in zip(shards, api_keys):
-        sub = shard.select(*pks, *config.analysed_columns)
-        for col in config.analysed_columns:
-            sub = analyse_text(sub, col, extractor, key)
-        extracted_cols = [c + EXTRACTED_SUFFIX for c in config.analysed_columns]
-        done.append(shard.join(sub.select(*pks, *extracted_cols), on=pks))
+        if rejoin:
+            sub = shard.select(*pks, *config.analysed_columns)
+            for col in config.analysed_columns:
+                sub = analyse_text(sub, col, extractor, key)
+            extracted_cols = [c + EXTRACTED_SUFFIX for c in config.analysed_columns]
+            done.append(shard.join(sub.select(*pks, *extracted_cols), on=pks))
+        else:
+            sub = shard
+            for col in config.analysed_columns:
+                sub = analyse_text(sub, col, extractor, key)
+            done.append(sub)
     return reduce(DataFrame.unionByName, done)

@@ -65,7 +65,9 @@ def test_extract_features_sharded_reassembles_all_rows(spark):
     texts = [f"customer number {i} sends order" for i in range(40)]
     df = docs_df(spark, texts)
     cfg = TableConfig(primary_keys=["doc_id"], analysed_columns=["text"])
-    out = extract_features(df, cfg, api_keys=("k0", "k1", "k2"), probe_rows=10)
+    out = extract_features(
+        df, cfg, api_keys=("k0", "k1", "k2"), probe_rows=10, rejoin=True
+    )
     rows = out.select("doc_id", "text_extracted.document.entities").collect()
     assert sorted(r["doc_id"] for r in rows) == list(range(40))
     # every doc has the same two entities
