@@ -484,3 +484,76 @@ def approx_distinct_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile_approx("l_quantity", [0.25, 0.5, 0.75]).alias("qty_quartiles"),
         F.countDistinct("l_partkey").alias("exact_parts"),
     )
+
+
+@query(
+    "sql_api_shipping_priority",
+    oracle=f"""
+    SELECT o_orderkey,
+           {_dec_sum_sql('l_extendedprice * (1 - l_discount)', 4)} AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-03-15'
+      AND l_shipdate  > TIMESTAMP '1995-03-15'
+    GROUP BY o_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, o_orderkey
+    LIMIT 20
+    """,
+    tags=("S15", "sql-api"),
+)
+def sql_api_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q3-shaped query through the **SQL entry point** (S15;
+    reference ``Demo.ipynb`` cell 20): views registered, plan written in
+    SQL — Catalyst produces the same plan as the DataFrame form."""
+    from .tables import register_views
+
+    register_views(spark, sf_dir, ("customer", "orders", "lineitem"))
+    return spark.sql("""
+        SELECT o_orderkey,
+               CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount), 4)
+                             AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+               o_orderdate, o_orderpriority
+        FROM customer JOIN orders ON c_custkey = o_custkey
+                      JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1998-03-15'
+          AND l_shipdate  > TIMESTAMP '1995-03-15'
+        GROUP BY o_orderkey, o_orderdate, o_orderpriority
+        ORDER BY revenue DESC, o_orderkey
+        LIMIT 20
+    """)
+
+
+@query(
+    "grouped_zscore_pandas",
+    oracle="""
+    SELECT c_custkey, c_mktsegment,
+           round((c_acctbal - avg(c_acctbal) OVER seg)
+                 / NULLIF(stddev_samp(c_acctbal) OVER seg, 0), 4) AS acctbal_z
+    FROM customer
+    WINDOW seg AS (PARTITION BY c_mktsegment)
+    """,
+    tags=("applyInPandas", "UDAF"),
+)
+def grouped_zscore_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map pandas operator (``applyInPandas``): per-segment
+    z-score of account balance — the UDAF-shaped escape hatch for
+    logic Spark SQL can't express (here it can, which is exactly what
+    makes it oracle-checkable)."""
+    customer = load_table(spark, sf_dir, "customer")
+
+    def zscore(pdf):
+        import numpy as np
+
+        std = pdf["c_acctbal"].std(ddof=1)
+        mean = pdf["c_acctbal"].mean()
+        z = (pdf["c_acctbal"] - mean) / std if std and not np.isnan(std) else None
+        out = pdf[["c_custkey", "c_mktsegment"]].copy()
+        out["acctbal_z"] = z.round(4) if z is not None else None
+        return out
+
+    return customer.groupBy("c_mktsegment").applyInPandas(
+        zscore, "c_custkey long, c_mktsegment string, acctbal_z double"
+    )

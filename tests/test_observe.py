@@ -1,0 +1,33 @@
+"""Observation-based metrics tests (A5 without the eager-count
+anti-pattern)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+
+from data_seedling_spark.operators.observe import (
+    MetricsLog,
+    observed_rows,
+    write_with_metrics,
+)
+
+
+def test_observed_rows_piggybacks_on_action(spark):
+    df = spark.createDataFrame([Row(v=i) for i in range(7)])
+    observed, obs = observed_rows(df)
+    observed.write.format("noop").mode("overwrite").save()  # the ONE action
+    assert obs.get["n_rows"] == 7
+
+
+def test_write_with_metrics_accumulates_tagged_sums(spark, tmp_path):
+    metrics = MetricsLog()
+    df = spark.createDataFrame([Row(v=i) for i in range(5)])
+
+    def writer(d):
+        d.write.mode("overwrite").parquet(str(tmp_path / "out"))
+
+    n = write_with_metrics(df, writer, metrics, activity="pseudo", table="Notes")
+    assert n == 5
+    write_with_metrics(df, writer, metrics, activity="pseudo", table="Notes")
+    assert metrics.get("rows_updated", activity="pseudo", table="Notes") == 10
+    assert metrics.get("rows_updated", activity="other", table="Notes") == 0
