@@ -1,0 +1,81 @@
+"""Join strategies for scale: bucketed co-located joins and salted
+skew joins.
+
+These are the two manual levers left once Catalyst/AQE has done its
+part (SURVEY §4 — the reference leaves everything to Catalyst; a 100 TB
+deployment cannot):
+
+- **Bucketing** pre-shuffles a table once at write time
+  (``bucketBy(n, key).saveAsTable``); every later equi-join or
+  aggregation on the key reads co-located buckets and skips the
+  exchange entirely. Worth it for any fact table joined repeatedly on
+  the same key.
+- **Salting** splits a pathologically hot key across ``salt_factor``
+  sub-keys: the big side gets a random salt, the small side is
+  exploded across all salts, and the join key becomes (key, salt) —
+  turning one straggler partition into ``salt_factor`` even ones.
+  AQE's skew-join split handles moderate skew automatically; salting
+  is for the extreme tail (a single key holding >1 partition's worth).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def write_bucketed(
+    df: DataFrame, table_name: str, key: str, buckets: int = 8, sort: bool = True
+) -> None:
+    """Persist as a bucketed (and optionally sorted) managed table.
+    Joins/aggs on ``key`` between tables bucketed the same way run
+    without a shuffle Exchange (verified in tests by plan inspection).
+
+    Drops any previous incarnation first: a stale warehouse location
+    from an earlier session would otherwise fail the save."""
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table_name}")
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    stale = os.path.join(warehouse.removeprefix("file:"), table_name.lower())
+    if os.path.exists(stale):
+        shutil.rmtree(stale)
+    writer = df.write.mode("overwrite").bucketBy(buckets, key)
+    if sort:
+        writer = writer.sortBy(key)
+    writer.saveAsTable(table_name)
+
+
+def bucketed_join(
+    spark: SparkSession, left_table: str, right_table: str, key: str, how: str = "inner"
+) -> DataFrame:
+    """Join two same-bucketed tables on their bucket key — shuffle-free
+    by construction."""
+    return spark.table(left_table).join(spark.table(right_table), on=key, how=how)
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    salt_factor: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-resistant equi-join: salt the big side randomly, explode
+    the small side across every salt, join on (key, salt).
+
+    Row multiplicity is preserved exactly (each big-side row matches
+    precisely the one small-side replica carrying its salt), so the
+    result equals ``big.join(small, key, how)`` for inner/left joins.
+    """
+    salted_big = big.withColumn(
+        "_salt", (F.rand(seed=42) * salt_factor).cast("int")
+    )
+    exploded_small = small.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(salt_factor)]))
+    )
+    return (
+        salted_big.join(exploded_small, on=[key, "_salt"], how=how).drop("_salt")
+    )

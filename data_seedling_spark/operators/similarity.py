@@ -132,3 +132,115 @@ def hyperplane_lsh_topk(
     )
     w = W.partitionBy("query_id").orderBy(F.col("score").desc(), "neighbor_id")
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str | None = "label",
+    threshold: float = 0.4,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs within a blocking key.
+
+    Blocking bounds the pair count (quadratic only inside a block); at
+    corpus scale the block key comes from a coarse quantizer (see
+    ``ivf_assign``) instead of a label column.
+    """
+    v = df.select(
+        F.col(id_col),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+        *( [F.col(block_col)] if block_col else [] ),
+    )
+    a, b = v.alias("a"), v.alias("b")
+    cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+    if block_col:
+        cond = cond & (F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))
+    return (
+        a.join(b, cond)
+        .select(
+            F.col(f"a.{id_col}").alias("vec_a"),
+            F.col(f"b.{id_col}").alias("vec_b"),
+            F.round(cosine(F.col("a._v"), F.col("b._v")), 6).alias("score"),
+        )
+        .where(F.col("score") >= threshold)
+    )
+
+
+def ivf_assign(
+    df: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id: str = "centroid_id",
+) -> DataFrame:
+    """IVF coarse quantization: assign each vector to its nearest
+    centroid (argmin squared L2; deterministic tie-break on centroid
+    id). Centroids are broadcast; assignment is one scan, no shuffle.
+
+    Squared L2 uses the dot identity ‖v‖²+‖c‖²−2v·c so the oracle can
+    reproduce the exact doubles via ``list_dot_product``.
+    """
+    sq_dist = (
+        _dot(F.col("_v"), F.col("_v"))
+        + _dot(F.col("_c"), F.col("_c"))
+        - 2 * _dot(F.col("_v"), F.col("_c"))
+    )
+    v = df.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v"))
+    c = centroids.select(
+        F.col(centroid_id), F.col(vec_col).cast("array<double>").alias("_c")
+    )
+    scored = v.join(F.broadcast(c)).select(
+        id_col, centroid_id, F.round(sq_dist, 6).alias("_d")
+    )
+    w = W.partitionBy(id_col).orderBy("_d", centroid_id)
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select(id_col, centroid_id)
+    )
+
+
+def ivf_topk(
+    df: DataFrame,
+    query_ids,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+    centroid_stride: int = 50,
+) -> DataFrame:
+    """IVF ANN search, nprobe=1: quantize the corpus against a
+    deterministic centroid set (every ``centroid_stride``-th vector —
+    a k-means fit plugs in identically), then rank candidates only
+    inside the query's cell. Shuffle is O(rows); the cross product
+    never materialises."""
+    centroids = (
+        df.where((F.col(id_col) % centroid_stride) == 0)
+        .select((F.col(id_col) / centroid_stride).cast("long").alias("centroid_id"),
+                F.col(vec_col))
+    )
+    assigned = ivf_assign(df, centroids, id_col, vec_col)
+    v = df.join(assigned, on=id_col).select(
+        F.col(id_col),
+        F.col("centroid_id"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+    )
+    q = v.where(F.col(id_col).isin(list(query_ids))).select(
+        F.col(id_col).alias("query_id"),
+        F.col("centroid_id").alias("_qc"),
+        F.col("_v").alias("_qv"),
+    )
+    scored = (
+        v.join(
+            F.broadcast(q),
+            (F.col("centroid_id") == F.col("_qc"))
+            & (F.col(id_col) != F.col("query_id")),
+        )
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            F.round(cosine(F.col("_qv"), F.col("_v")), 6).alias("score"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("score").desc(), "neighbor_id")
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)

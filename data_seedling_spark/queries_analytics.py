@@ -557,3 +557,66 @@ def grouped_zscore_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     return customer.groupBy("c_mktsegment").applyInPandas(
         zscore, "c_custkey long, c_mktsegment string, acctbal_z double"
     )
+
+
+@query(
+    "correlated_avg_quantity",
+    oracle=f"""
+    SELECT l.l_partkey,
+           COUNT(*) AS n_small_lines,
+           {_dec_sum_sql('l.l_extendedprice')} AS small_revenue
+    FROM lineitem l
+    JOIN (
+      SELECT l_partkey, AVG(l_quantity) AS avg_qty
+      FROM lineitem GROUP BY l_partkey
+    ) p ON l.l_partkey = p.l_partkey
+    WHERE l.l_quantity < 0.5 * p.avg_qty
+    GROUP BY l.l_partkey
+    """,
+    tags=("subquery-correlated",),
+)
+def correlated_avg_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q17-shaped correlated scalar subquery (lines below half
+    their part's average quantity), decorrelated explicitly into the
+    aggregate-then-join plan Catalyst would produce. avg(l_quantity) is
+    exact: integral values, single-op division."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    avg_per_part = lineitem.groupBy("l_partkey").agg(
+        F.avg("l_quantity").alias("avg_qty")
+    )
+    return (
+        lineitem.join(avg_per_part, on="l_partkey")
+        .where(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
+        .groupBy("l_partkey")
+        .agg(
+            F.count("*").alias("n_small_lines"),
+            dec_sum(F.col("l_extendedprice"), "small_revenue"),
+        )
+    )
+
+
+@query(
+    "grouping_sets_orders",
+    oracle=f"""
+    SELECT o_orderstatus, o_orderpriority,
+           COUNT(*) AS n_orders,
+           {_dec_sum_sql('o_totalprice')} AS total_value
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+    tags=("grouping-sets",),
+)
+def grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (disjoint hierarchies — not expressible
+    as one rollup/cube) through the SQL entry point."""
+    from .tables import register_views
+
+    register_views(spark, sf_dir, ("orders",))
+    return spark.sql("""
+        SELECT o_orderstatus, o_orderpriority,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(ROUND(o_totalprice, 2) AS DECIMAL(18,2))) AS DOUBLE)
+                 AS total_value
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """)

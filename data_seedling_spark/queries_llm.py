@@ -304,3 +304,78 @@ def multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("decoded.height").alias("height"),
         F.col("decoded.ok").alias("decode_ok"),
     )
+
+
+@query(
+    "embedding_near_dup",
+    oracle="""
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+                 / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+                    * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))),
+                 6) AS score
+    FROM embeddings a JOIN embeddings b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+          / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+             * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) >= 0.4
+    """,
+    tags=("dedup-embedding",),
+)
+def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (≥0.4) inside label
+    blocks — the embedding leg of the dedup suite; at corpus scale the
+    block key comes from the IVF quantizer instead of a label."""
+    from .operators.similarity import embedding_near_dup_pairs
+
+    embeddings = load_table(spark, sf_dir, "embeddings")
+    return embedding_near_dup_pairs(embeddings, threshold=0.4)
+
+
+@query(
+    "ivf_ann_topk",
+    oracle="""
+    WITH c AS (
+      SELECT vec_id // 50 AS centroid_id, embedding::DOUBLE[] AS cv
+      FROM embeddings WHERE vec_id % 50 = 0
+    ), v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS vv FROM embeddings
+    ), assigned AS (
+      SELECT vec_id, centroid_id FROM (
+        SELECT v.vec_id, c.centroid_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY v.vec_id
+                 ORDER BY round(list_dot_product(vv, vv) + list_dot_product(cv, cv)
+                                - 2 * list_dot_product(vv, cv), 6),
+                          c.centroid_id
+               ) AS rn
+        FROM v, c
+      ) WHERE rn = 1
+    ), cells AS (
+      SELECT v.vec_id, a.centroid_id, v.vv FROM v JOIN assigned a USING (vec_id)
+    ), scored AS (
+      SELECT q.vec_id AS query_id, x.vec_id AS neighbor_id,
+             round(list_dot_product(q.vv, x.vv)
+                   / (sqrt(list_dot_product(q.vv, q.vv))
+                      * sqrt(list_dot_product(x.vv, x.vv))), 6) AS score
+      FROM cells q JOIN cells x
+        ON q.centroid_id = x.centroid_id AND x.vec_id <> q.vec_id
+      WHERE q.vec_id < 10
+    )
+    SELECT query_id, neighbor_id, score, rank FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY score DESC, neighbor_id
+      ) AS rank FROM scored
+    ) WHERE rank <= 3
+    """,
+    tags=("similarity-ivf",),
+)
+def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN (nprobe=1): deterministic coarse quantizer (every 50th
+    vector as a centroid; a k-means fit plugs in identically), search
+    only the query's cell. Fully SQL-expressible, so unlike the
+    hyperplane-LSH variant this approximate index is oracle-checked."""
+    from .operators.similarity import ivf_topk
+
+    embeddings = load_table(spark, sf_dir, "embeddings")
+    return ivf_topk(embeddings, query_ids=range(10), k=3, centroid_stride=50)
