@@ -217,3 +217,50 @@ def feature_extract_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.size(rels).cast("bigint").alias("n_relations"),
     )
+
+
+@query(
+    "incremental_pseudonymisation",
+    oracle="""
+    WITH feed AS (
+      SELECT * FROM customer WHERE c_custkey % 2 = 0
+    )
+    SELECT c_nationkey, c_acctbal, c_mktsegment,
+           sha256(CAST(c_custkey AS VARCHAR) || '2b6ef354-salt') AS c_custkey_hashed
+    FROM feed
+    """,
+    tags=("ST1", "ST3", "UD3", "pipeline-e2e"),
+)
+def incremental_pseudonymisation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's flagship pipeline end-to-end (SURVEY §3.1):
+    bronze versioned source → CDC read → **pseudonymise the increment**
+    (hash key, drop name) → merge into silver → advance watermark —
+    then return the silver snapshot. The oracle reproduces the final
+    state relationally.
+
+    Primary key after pseudonymisation is the hashed key (the original
+    is dropped), matching the reference's silver-zone key convention.
+    """
+    from .config import TABLE_CONFIG
+    from .pipelines.pseudonymise import pseudo_transform
+    from .streaming.incremental import run_incremental_activity
+
+    customer = load_table(spark, sf_dir, "customer")
+    base = tempfile.mkdtemp(prefix="inc_pseudo_")
+    bronze = VersionedTable(spark, f"{base}/bronze", write_partitions=4)
+    silver = VersionedTable(spark, f"{base}/silver", write_partitions=4)
+    state = VersionedTable(spark, f"{base}/state", write_partitions=1)
+
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        bronze.write(customer.where(F.col("c_custkey") % 2 == 0), mode="overwrite")
+        run_incremental_activity(
+            spark, bronze, silver, state,
+            activity="pseudonymisation", table_name="customer",
+            primary_keys=["c_custkey_hashed"],
+            transform=lambda df: pseudo_transform(df, TABLE_CONFIG["customer"]),
+        )
+        return silver.read()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
