@@ -1,0 +1,123 @@
+"""Property-based tests (hypothesis) for engine invariants the oracle
+comparison can't express: merge algebra, decimal-sum exactness, dedup
+metrics, masking idempotency."""
+
+from __future__ import annotations
+
+from decimal import Decimal
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+slow = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+keys = st.lists(st.integers(min_value=0, max_value=30), min_size=0, max_size=25)
+
+
+@given(target_keys=keys, insert_keys=keys, delete_keys=keys)
+@slow
+def test_change_feed_algebra(spark, target_keys, insert_keys, delete_keys):
+    """apply_change_feed ≡ (target − deletes) ∪ (inserts − that) on key
+    sets, for any feed."""
+    from data_seedling_spark.operators.merge import (
+        CHANGE_TYPE,
+        CT_DELETE,
+        CT_INSERT,
+        apply_change_feed,
+    )
+
+    target_keys = sorted(set(target_keys))
+    insert_keys = sorted(set(insert_keys))
+    delete_keys = sorted(set(delete_keys) - set(insert_keys))
+    target = spark.createDataFrame(
+        [Row(k=k, v=f"t{k}") for k in target_keys], "k int, v string"
+    )
+    feed_rows = [Row(k=k, v=f"i{k}", ct=CT_INSERT) for k in insert_keys] + [
+        Row(k=k, v=f"d{k}", ct=CT_DELETE) for k in delete_keys
+    ]
+    feed = spark.createDataFrame(feed_rows, "k int, v string, ct string").withColumnRenamed(
+        "ct", CHANGE_TYPE
+    )
+    got = sorted(r["k"] for r in apply_change_feed(target, feed, ["k"]).collect())
+    expected = sorted(
+        (set(target_keys) - set(delete_keys)) | set(insert_keys)
+    )
+    assert got == expected
+
+
+@given(
+    values=st.lists(
+        st.decimals(
+            min_value=Decimal("-99999.99"),
+            max_value=Decimal("99999.99"),
+            places=2,
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+@slow
+def test_dec_sum_equals_exact_decimal_sum(spark, values):
+    """dec_sum must equal the exact Decimal sum regardless of partition
+    count / addition order (the determinism contract every money
+    aggregate relies on)."""
+    from data_seedling_spark.queries import dec_sum
+
+    df = spark.createDataFrame(
+        [Row(x=float(v)) for v in values], "x double"
+    ).repartition(4)
+    got = df.agg(dec_sum(F.col("x"), "s")).first()["s"]
+    assert got == float(sum(values))
+
+
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet=st.sampled_from("ab @.:/12-"),
+            min_size=0,
+            max_size=60,
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+@slow
+def test_masking_is_idempotent(spark, texts):
+    """Masking twice == masking once (placeholders contain no maskable
+    patterns) — guards against rules that match their own output."""
+    from data_seedling_spark.pipelines.pseudonymise import default_anonymiser
+    import pandas as pd
+
+    once = default_anonymiser(pd.Series(texts))
+    twice = default_anonymiser(once)
+    assert list(once) == list(twice)
+
+
+@given(
+    docs=st.lists(
+        st.text(alphabet=st.sampled_from("abc "), min_size=1, max_size=40),
+        min_size=2,
+        max_size=10,
+    )
+)
+@slow
+def test_jaccard_pairs_symmetric_and_bounded(spark, docs):
+    """Exact n-gram Jaccard: scores in [0,1]; identical docs always
+    reach threshold 1.0."""
+    from data_seedling_spark.operators.dedup import ngram_jaccard_pairs
+
+    rows = [Row(doc_id=i, lang="x", text=t) for i, t in enumerate(docs)]
+    rows.append(Row(doc_id=len(docs), lang="x", text=docs[0]))  # guaranteed dup
+    df = spark.createDataFrame(rows)
+    out = ngram_jaccard_pairs(df, "text", "doc_id", ["lang"], n=2, threshold=0.0)
+    scores = [(r["doc_a"], r["doc_b"], r["jaccard"]) for r in out.collect()]
+    assert all(0.0 <= s <= 1.0 for _, _, s in scores)
+    dup_score = [s for a, b, s in scores if a == 0 and b == len(docs)]
+    assert dup_score and dup_score[0] == 1.0
