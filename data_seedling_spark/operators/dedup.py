@@ -29,6 +29,17 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+
+def scale_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """X1 pattern (reference ``pseudonymisation.py:55-57``): raise
+    parallelism before expensive per-row work. Small tables often
+    arrive as one file → one partition, which would serialize the
+    whole stage on a single core."""
+    target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
 # ---------------------------------------------------------------------------
 # Exact dedup
 # ---------------------------------------------------------------------------
@@ -70,15 +81,30 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 
 def word_shingles(text_col, n: int = 3):
-    """Distinct word n-gram shingles as an array column (JVM-side:
-    split + sequence + transform + array_distinct)."""
-    words = F.split(text_col, " ")
-    k = F.size(words) - (n - 1)
-    grams = F.transform(
-        F.sequence(F.lit(0), F.greatest(k - 1, F.lit(-1))),
-        lambda i: F.concat_ws(" ", *[F.get(words, i + j) for j in range(n)]),
-    )
-    return F.array_distinct(grams)
+    """Distinct word n-gram shingles as an array column.
+
+    Arrow-vectorized pandas UDF rather than a JVM higher-order
+    expression: an index-lambda formulation (``transform(sequence,
+    i -> concat_ws(get(words,i)...))``) embeds the ``split`` inside the
+    lambda body, and Catalyst re-evaluates it per element access —
+    ~n×shingles splits of the full text *per row* (measured 30× slower).
+    The Python split runs once per document and produces byte-identical
+    strings to the SQL oracle's ``string_split`` formulation.
+    """
+
+    @F.pandas_udf(T.ArrayType(T.StringType()))
+    def shingle(texts: pd.Series) -> pd.Series:
+        out = []
+        for text in texts:
+            if text is None:
+                out.append([])
+                continue
+            words = text.split(" ")
+            grams = [" ".join(words[i : i + n]) for i in range(len(words) - n + 1)]
+            out.append(list(dict.fromkeys(grams)))
+        return pd.Series(out)
+
+    return shingle(text_col)
 
 
 def jaccard(a, b):
@@ -99,9 +125,18 @@ def ngram_jaccard_pairs(
     """Exact blocked near-dup pairs: all-pairs Jaccard *within* a
     blocking key (bounded quadratic). The ground truth the LSH variant
     approximates; at corpus scale use ``minhash_lsh_pairs`` instead."""
+    df = scale_out(df)
+    # Shingles are hashed to int64 before the pairwise intersections:
+    # array_intersect over longs is far cheaper than over strings, and
+    # the Jaccard value is identical up to 2^-64 collisions. Persisted:
+    # both self-join sides read the shingled frame.
     sh = df.select(
-        *block_cols, F.col(id_col), word_shingles(F.col(text_col), n).alias("shingles")
-    )
+        *block_cols,
+        F.col(id_col),
+        F.transform(
+            word_shingles(F.col(text_col), n), lambda s: F.xxhash64(s)
+        ).alias("shingles"),
+    ).persist()
     a = sh.alias("a")
     b = sh.alias("b")
     cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
@@ -152,6 +187,7 @@ def minhash_signatures(
     """
     a_params, b_params = _perm_params(num_perm, seed)
 
+    df = scale_out(df)
     hashed = df.select(
         F.col(id_col),
         F.transform(
@@ -237,11 +273,15 @@ def minhash_lsh_pairs(
     """Full near-dup pipeline: MinHash → LSH buckets → candidate pairs
     → **exact** Jaccard verification (no false positives; recall is the
     banding curve ~1-(1-t^r)^b)."""
-    sigs = minhash_signatures(df, text_col, id_col, num_perm, shingle_n, seed)
+    # Signatures and shingle sets each feed both sides of a self-join;
+    # persist them so the expensive subtree (shingling + hashing +
+    # numpy minima) runs once, not once per join side. At corpus scale
+    # this is a checkpoint to storage; locally MEMORY_AND_DISK.
+    sigs = minhash_signatures(df, text_col, id_col, num_perm, shingle_n, seed).persist()
     cands = lsh_candidate_pairs(sigs, id_col, bands, sig_len=num_perm)
-    sh = df.select(
+    sh = scale_out(df).select(
         F.col(id_col), word_shingles(F.col(text_col), shingle_n).alias("shingles")
-    )
+    ).persist()
     verified = (
         cands.join(sh.withColumnRenamed(id_col, "doc_a"), on="doc_a")
         .withColumnRenamed("shingles", "sh_a")
@@ -266,6 +306,7 @@ def simhash64(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     bit over token hashes, sign → bit. Emitted as zero-padded hex so
     prefixes are orderable; Hamming distance between hex fingerprints
     approximates token-multiset cosine distance."""
+    df = scale_out(df)
     hashed = df.select(
         F.col(id_col),
         F.transform(F.split(F.col(text_col), " "), lambda t: F.xxhash64(t)).alias(

@@ -113,6 +113,10 @@ def test_jaccard_pairs_symmetric_and_bounded(spark, docs):
     reach threshold 1.0."""
     from data_seedling_spark.operators.dedup import ngram_jaccard_pairs
 
+    # pad so every doc has ≥2 words: a doc with no n-gram shingles has
+    # Jaccard 0 against everything by convention (both engines agree),
+    # which would vacuously break the guaranteed-dup assertion below
+    docs = [t + " zz" for t in docs]
     rows = [Row(doc_id=i, lang="x", text=t) for i, t in enumerate(docs)]
     rows.append(Row(doc_id=len(docs), lang="x", text=docs[0]))  # guaranteed dup
     df = spark.createDataFrame(rows)
