@@ -104,3 +104,18 @@ def register_parquet_table(
 def sql(spark: SparkSession, statement: str) -> DataFrame:
     """S15 ad-hoc SQL entry point."""
     return spark.sql(statement)
+
+
+def write_partitioned(
+    df: DataFrame, path: str, partition_cols: list[str], mode: str = "overwrite"
+) -> None:
+    """Hive-style partitioned parquet layout: one directory per
+    partition value. Reads filtered on the partition columns prune
+    whole directories before any I/O (PartitionFilters in the scan
+    node) — the physical-layout lever for time/tenant-partitioned
+    100 TB tables."""
+    df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+
+
+def read_partitioned(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)

@@ -59,6 +59,10 @@ class NoSuchVersionError(ValueError):
     pass
 
 
+class SchemaMismatchError(ValueError):
+    """Append schema diverges from the table schema (S6 validation)."""
+
+
 @dataclass
 class Commit:
     version: int
@@ -137,6 +141,8 @@ class VersionedTable:
         if mode not in ("append", "overwrite"):
             raise ValueError(f"unsupported mode {mode!r}")
         commits = self.commits()
+        if mode == "append" and commits:
+            self._validate_schema(df)
         version = commits[-1].version + 1 if commits else 0
         os.makedirs(self.path, exist_ok=True)
         self._shape(strip_reserved_columns(df)).write.mode("overwrite").parquet(
@@ -178,6 +184,19 @@ class VersionedTable:
                 col_name, F.when(condition, value).otherwise(F.col(col_name))
             )
         return self.write(updated, mode="overwrite")
+
+    def _validate_schema(self, df: DataFrame) -> None:
+        """Delta-style schema validation on append (reference
+        ``design_doc.md:47``): same column names and types as the
+        current snapshot, order-insensitive. Overwrites may evolve the
+        schema; appends may not silently diverge."""
+        incoming = {f.name: f.dataType for f in strip_reserved_columns(df).schema.fields}
+        current = {f.name: f.dataType for f in self.schema().fields}
+        if incoming != current:
+            raise SchemaMismatchError(
+                f"append schema {sorted(incoming)} does not match table "
+                f"schema {sorted(current)} at {self.path}"
+            )
 
     # -- reads ----------------------------------------------------------------
 

@@ -620,3 +620,105 @@ def grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM orders
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
     """)
+
+
+@query(
+    "not_in_suppliers",
+    oracle="""
+    SELECT p.p_brand, COUNT(DISTINCT s.s_suppkey) AS n_suppliers
+    FROM part p
+    JOIN lineitem l ON l.l_partkey = p.p_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    WHERE s.s_suppkey NOT IN (
+      SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+    )
+    GROUP BY p.p_brand
+    """,
+    tags=("J3", "not-in", "subquery"),
+)
+def not_in_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q16-shaped NOT IN anti-join + distinct-count rollup:
+    suppliers not on the exclusion list, counted per part brand."""
+    part = load_table(spark, sf_dir, "part")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier")
+    excluded = supplier.where(F.col("s_acctbal") < 0).select("s_suppkey")
+    good = supplier.join(excluded, on="s_suppkey", how="left_anti")
+    return (
+        lineitem.join(F.broadcast(part), lineitem.l_partkey == part.p_partkey)
+        .join(F.broadcast(good), lineitem.l_suppkey == good.s_suppkey)
+        .groupBy("p_brand")
+        .agg(F.countDistinct("s_suppkey").alias("n_suppliers"))
+    )
+
+
+@query(
+    "disjunctive_predicate_revenue",
+    oracle=f"""
+    SELECT {_dec_sum_sql('l_extendedprice * (1 - l_discount)', 4)} AS revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'BRAND#11' AND p_size BETWEEN 1 AND 15 AND l_quantity >= 1 AND l_quantity <= 20)
+       OR (p_brand = 'BRAND#22' AND p_size BETWEEN 10 AND 30 AND l_quantity >= 15 AND l_quantity <= 35)
+       OR (p_brand = 'BRAND#33' AND p_size BETWEEN 20 AND 50 AND l_quantity >= 25 AND l_quantity <= 50)
+    """,
+    tags=("P6-P9", "disjunctive"),
+)
+def disjunctive_predicate_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q19-shaped OR-of-ANDs predicate across two tables — the
+    join-condition shape that exercises CNF conversion / partial
+    pushdown in the optimizer."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    j = lineitem.join(F.broadcast(part), lineitem.l_partkey == part.p_partkey)
+    q = F.col("l_quantity")
+    cond = (
+        ((F.col("p_brand") == "BRAND#11") & F.col("p_size").between(1, 15) & q.between(1, 20))
+        | ((F.col("p_brand") == "BRAND#22") & F.col("p_size").between(10, 30) & q.between(15, 35))
+        | ((F.col("p_brand") == "BRAND#33") & F.col("p_size").between(20, 50) & q.between(25, 50))
+    )
+    return j.where(cond).agg(
+        dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue", 4),
+        F.count("*").alias("n_lines"),
+    )
+
+
+@query(
+    "min_cost_supplier_per_part",
+    oracle="""
+    WITH costs AS (
+      SELECT l_partkey, l_suppkey,
+             min(l_extendedprice) AS min_price
+      FROM lineitem GROUP BY l_partkey, l_suppkey
+    ), best AS (
+      SELECT l_partkey, min(min_price) AS best_price FROM costs GROUP BY l_partkey
+    )
+    SELECT c.l_partkey AS p_partkey, c.l_suppkey AS s_suppkey,
+           c.min_price AS best_price
+    FROM costs c JOIN best b
+      ON c.l_partkey = b.l_partkey AND c.min_price = b.best_price
+    """,
+    tags=("J1", "min-per-group"),
+)
+def min_cost_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q2-shaped min-per-group join-back: the cheapest supplier(s)
+    per part (all ties kept, as in Q2's correlated-min semantics).
+    min(double) is order-independent -> exact."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    costs = lineitem.groupBy("l_partkey", "l_suppkey").agg(
+        F.min("l_extendedprice").alias("min_price")
+    )
+    best = costs.groupBy("l_partkey").agg(F.min("min_price").alias("best_price"))
+    c, b = costs.alias("c"), best.alias("b")
+    return (
+        c.join(
+            b,
+            (F.col("c.l_partkey") == F.col("b.l_partkey"))
+            & (F.col("c.min_price") == F.col("b.best_price")),
+        )
+        .select(
+            F.col("c.l_partkey").alias("p_partkey"),
+            F.col("c.l_suppkey").alias("s_suppkey"),
+            F.col("c.min_price").alias("best_price"),
+        )
+    )

@@ -114,3 +114,41 @@ def streaming_dedup(
     """Stateful streaming dedup: first occurrence per key wins within
     the watermark horizon (state evicted after ``lateness``)."""
     return stream.withWatermark(ts_col, lateness).dropDuplicatesWithinWatermark(keys)
+
+
+def running_totals_stateful(
+    stream: DataFrame,
+    key_col: str = "user_id",
+    value_col: str = "value",
+    ts_col: str = "ts",
+):
+    """Custom stateful streaming operator via ``applyInPandasWithState``:
+    a per-key running (count, sum) carried in the state store across
+    micro-batches — the arbitrary-state escape hatch when windowed
+    aggregates can't express the logic. Emits one row per key per
+    batch with the updated totals."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        # state carries integer cents so multi-batch accumulation is
+        # exact and unit-consistent
+        count, cents = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            count += len(pdf)
+            cents += int(round(float(pdf[value_col].sum()) * 100))
+        state.update((count, cents))
+        yield pd.DataFrame(
+            {key_col: [key[0]], "n_events": [count], "total_cents": [cents]}
+        )
+
+    return (
+        stream.groupBy(key_col)
+        .applyInPandasWithState(
+            update,
+            outputStructType=f"{key_col} long, n_events long, total_cents long",
+            stateStructType="count long, total_cents long",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -35,3 +35,18 @@ def test_jdbc_append_without_driver_raises_clearly(spark):
     df = spark.createDataFrame([Row(value=1)])
     with pytest.raises(RuntimeError, match="driver .* not on the classpath"):
         jdbc_append(df, cfg, "features")
+
+
+def test_partitioned_write_prunes_partitions(spark, tmp_path):
+    from data_seedling_spark.io import read_partitioned, write_partitioned
+
+    events = spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+    out = str(tmp_path / "parted")
+    write_partitioned(events, out, ["o_orderstatus"])
+    df = read_partitioned(spark, out).where("o_orderstatus = 'F'")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    # only the F partition contributes rows
+    assert df.count() == events.where("o_orderstatus = 'F'").count()
+    got_statuses = {r["o_orderstatus"] for r in df.select("o_orderstatus").distinct().collect()}
+    assert got_statuses == {"F"}

@@ -105,3 +105,35 @@ def test_streaming_dedup_first_wins(spark, events_schema):
     n_users = spark.read.parquet(EVENTS).select("user_id").distinct().count()
     assert out.select("user_id").distinct().count() == n_users
     assert out.count() == n_users
+
+
+def test_stateful_running_totals(spark, events_schema):
+    from data_seedling_spark.streaming.windows import running_totals_stateful
+
+    stream = read_events_stream(spark, EVENTS_DIR, events_schema, glob=EVENTS_GLOB)
+    out = run_to_memory(
+        spark, running_totals_stateful(stream), f"rt_{uuid.uuid4().hex[:8]}",
+        mode="update",
+    )
+    batch = spark.read.parquet(EVENTS)
+    want_counts = {
+        r["user_id"]: r["n"]
+        for r in batch.groupBy("user_id").agg(F.count("*").alias("n")).collect()
+    }
+    # last emitted row per key must equal the full-batch aggregate
+    got = {r["user_id"]: r["n_events"] for r in out.collect()}
+    assert got == want_counts
+
+
+def test_ledger_append_schema_validation(spark, tmp_path):
+    from pyspark.sql import Row
+    from data_seedling_spark.operators.ledger import SchemaMismatchError, VersionedTable
+    import pytest as _pytest
+
+    t = VersionedTable(spark, str(tmp_path / "sv"))
+    t.write(spark.createDataFrame([Row(k=1, v="a")]), mode="overwrite")
+    with _pytest.raises(SchemaMismatchError):
+        t.write(spark.createDataFrame([Row(k=1, other=2)]), mode="append")
+    # overwrite may evolve the schema
+    t.write(spark.createDataFrame([Row(k=1, other=2)]), mode="overwrite")
+    assert set(t.read().columns) == {"k", "other"}
