@@ -722,3 +722,89 @@ def min_cost_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c.min_price").alias("best_price"),
         )
     )
+
+
+@query(
+    "json_extract_props",
+    oracle="""
+    SELECT event_type,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+             AS total_k,
+           COUNT(*) FILTER (WHERE json_extract_string(props, '$.k') IS NOT NULL)
+             AS n_with_k
+    FROM events GROUP BY event_type
+    """,
+    tags=("json", "semi-structured"),
+)
+def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured JSON column handling: parse ``events.props``
+    with an explicit schema (``from_json`` — no inference pass) and
+    aggregate an extracted field."""
+    events = load_table(spark, sf_dir, "events")
+    parsed = events.withColumn(
+        "_p", F.from_json(F.col("props"), "k BIGINT")
+    )
+    return parsed.groupBy("event_type").agg(
+        F.sum(F.col("_p.k")).alias("total_k"),
+        F.count(F.col("_p.k")).alias("n_with_k"),
+    )
+
+
+@query(
+    "explode_shingle_vocabulary",
+    oracle="""
+    SELECT word, COUNT(*) AS n_docs
+    FROM (
+      SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS word
+      FROM documents
+    )
+    GROUP BY word
+    HAVING COUNT(*) >= 100
+    """,
+    tags=("explode", "lateral"),
+)
+def explode_shingle_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generator/unnest surface: explode per-document distinct words
+    into a document-frequency table (the inverted-index building
+    block). Map-side explode + partial-aggregated count."""
+    documents = load_table(spark, sf_dir, "documents")
+    return (
+        documents.select(
+            "doc_id",
+            F.explode(F.array_distinct(F.split(F.col("text"), " "))).alias("word"),
+        )
+        .groupBy("word")
+        .agg(F.count("*").alias("n_docs"))
+        .where(F.col("n_docs") >= 100)
+    )
+
+
+@query(
+    "map_type_aggregation",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           MIN(value) AS min_value,
+           MAX(value) AS max_value
+    FROM events GROUP BY event_type
+    """,
+    tags=("map-type",),
+)
+def map_type_aggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-typed intermediate values: build a per-row
+    ``map<string,double>`` of features, then aggregate entries back out
+    — exercises MapType construction/access, which the final projection
+    flattens for the oracle."""
+    events = load_table(spark, sf_dir, "events")
+    with_map = events.withColumn(
+        "features",
+        F.create_map(
+            F.lit("value"), F.col("value"),
+            F.lit("hour"), F.hour("ts").cast("double"),
+        ),
+    )
+    return with_map.groupBy("event_type").agg(
+        F.count(F.col("features")["hour"]).alias("n"),
+        F.min(F.col("features")["value"]).alias("min_value"),
+        F.max(F.col("features")["value"]).alias("max_value"),
+    )
