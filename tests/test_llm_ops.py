@@ -171,3 +171,26 @@ def test_multimodal_payload_roundtrip(spark):
     assert d[1]["ok"] and d[1]["width"] == 201  # deterministic fake
     frames = frame_sample_stub(wp)
     assert frames.where(F.col("doc_id") == 1).count() > 0
+
+
+def test_approx_sketches_error_bounds(spark):
+    """HLL++ distinct within 10% of exact; approx quartiles inside the
+    value range and ordered — the bound the rows-only driver check
+    can't express."""
+    from data_seedling_spark.tables import load_table
+    from tests.conftest import SF_SMOKE
+
+    lineitem = load_table(spark, SF_SMOKE, "lineitem")
+    r = (
+        lineitem.agg(
+            F.approx_count_distinct("l_partkey").alias("approx"),
+            F.countDistinct("l_partkey").alias("exact"),
+            F.percentile_approx("l_quantity", [0.25, 0.5, 0.75]).alias("quartiles"),
+            F.min("l_quantity").alias("lo"),
+            F.max("l_quantity").alias("hi"),
+        )
+        .first()
+    )
+    assert abs(r["approx"] - r["exact"]) / r["exact"] < 0.10
+    q1, q2, q3 = r["quartiles"]
+    assert r["lo"] <= q1 <= q2 <= q3 <= r["hi"]
