@@ -808,3 +808,109 @@ def map_type_aggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.col("features")["value"]).alias("min_value"),
         F.max(F.col("features")["value"]).alias("max_value"),
     )
+
+
+@query(
+    "null_safe_equality",
+    oracle="""
+    WITH j AS (
+      SELECT c.c_custkey, c.c_acctbal,
+             CASE WHEN c.c_acctbal IS NOT DISTINCT FROM o.o_totalprice
+                  THEN 1 ELSE 0 END AS same_value
+      FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+    )
+    SELECT same_value, COUNT(*) AS n FROM j GROUP BY same_value
+    """,
+    tags=("null-semantics",),
+)
+def null_safe_equality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality (``<=>`` / IS NOT DISTINCT FROM) through an
+    outer join — the three-valued-logic corner the ANSI surface must
+    get right."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    j = customer.join(orders, customer.c_custkey == orders.o_custkey, "left").select(
+        F.col("c_acctbal").eqNullSafe(F.col("o_totalprice")).cast("int").alias("same_value")
+    )
+    return j.groupBy("same_value").agg(F.count("*").alias("n"))
+
+
+@query(
+    "cross_join_region_status",
+    oracle="""
+    SELECT r_name, o.o_orderstatus, COUNT(*) AS n
+    FROM region r
+    CROSS JOIN (SELECT DISTINCT o_orderstatus FROM orders) o
+    JOIN orders ord ON ord.o_orderstatus = o.o_orderstatus
+    GROUP BY r_name, o.o_orderstatus
+    """,
+    tags=("cross-join",),
+)
+def cross_join_region_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit cartesian product of two small dims, re-joined to the
+    fact table (the dimension-scaffold pattern; crossJoin is explicit,
+    never accidental)."""
+    region = load_table(spark, sf_dir, "region")
+    orders = load_table(spark, sf_dir, "orders")
+    statuses = orders.select("o_orderstatus").distinct()
+    scaffold = region.select("r_name").crossJoin(statuses)
+    return (
+        scaffold.join(orders, on="o_orderstatus")
+        .groupBy("r_name", "o_orderstatus")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@query(
+    "data_quality_report",
+    oracle="""
+    SELECT CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS not_null_o_custkey,
+           CAST(SUM(CASE WHEN o_totalprice NOT BETWEEN 0 AND 1000000
+                          OR o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS range_o_totalprice,
+           CAST(SUM(CASE WHEN NOT regexp_matches(o_orderpriority, '^[1-5]-')
+                          OR o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS matches_o_orderpriority
+    FROM orders
+    """,
+    tags=("data-quality",),
+)
+def data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative expectations (not-null / range / regex) compiled
+    into ONE aggregate scan (operators.quality.check)."""
+    from .operators.quality import check, in_range, matches, not_null
+
+    orders = load_table(spark, sf_dir, "orders")
+    return check(
+        orders,
+        [
+            not_null("o_custkey"),
+            in_range("o_totalprice", 0, 1_000_000),
+            matches("o_orderpriority", r"^[1-5]-"),
+        ],
+    )
+
+
+@query(
+    "referential_orphans",
+    oracle="""
+    SELECT o_orderkey, o_custkey FROM orders o
+    WHERE o_custkey > 1000 AND NOT EXISTS (
+      SELECT 1 FROM customer c
+      WHERE c.c_custkey = o.o_custkey AND c.c_custkey <= 1000
+    )
+    """,
+    tags=("data-quality", "J3"),
+)
+def referential_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity check as an anti-join: orders whose
+    customer is missing from a truncated parent set (parent limited to
+    keys ≤1000 so the check provably fires)."""
+    from .operators.quality import referential_violations
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer").where(F.col("c_custkey") <= 1000)
+    return referential_violations(
+        orders.select("o_orderkey", "o_custkey"), customer, fk="o_custkey", pk="c_custkey"
+    ).where(F.col("o_custkey") > 1000)
