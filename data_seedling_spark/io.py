@@ -119,3 +119,32 @@ def write_partitioned(
 
 def read_partitioned(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
+
+
+def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """CSV sink with header (interchange format; schema degrades to
+    strings on read without an explicit schema)."""
+    df.write.mode(mode).option("header", "true").csv(path)
+
+
+def read_csv(spark: SparkSession, path: str, schema=None) -> DataFrame:
+    """CSV source. Always pass ``schema`` in production — inference
+    costs an extra full scan and guesses types."""
+    reader = spark.read.option("header", "true")
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", "true")
+    return reader.csv(path)
+
+
+def write_json_lines(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """JSON-lines sink (one object per row)."""
+    df.write.mode(mode).json(path)
+
+
+def read_json_lines(spark: SparkSession, path: str, schema=None) -> DataFrame:
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)

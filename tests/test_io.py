@@ -50,3 +50,23 @@ def test_partitioned_write_prunes_partitions(spark, tmp_path):
     assert df.count() == events.where("o_orderstatus = 'F'").count()
     got_statuses = {r["o_orderstatus"] for r in df.select("o_orderstatus").distinct().collect()}
     assert got_statuses == {"F"}
+
+
+def test_csv_and_json_roundtrip(spark, tmp_path):
+    from data_seedling_spark.io import (
+        read_csv,
+        read_json_lines,
+        write_csv,
+        write_json_lines,
+    )
+
+    nation = spark.read.parquet(f"{SF_SMOKE}/nation.parquet")
+    csv_path, json_path = str(tmp_path / "csv"), str(tmp_path / "json")
+
+    write_csv(nation, csv_path)
+    back_csv = read_csv(spark, csv_path, schema=nation.schema)
+    assert sorted(map(tuple, back_csv.collect())) == sorted(map(tuple, nation.collect()))
+
+    write_json_lines(nation, json_path)
+    back_json = read_json_lines(spark, json_path, schema=nation.schema)
+    assert sorted(map(tuple, back_json.collect())) == sorted(map(tuple, nation.collect()))
