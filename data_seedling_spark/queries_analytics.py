@@ -914,3 +914,93 @@ def referential_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return referential_violations(
         orders.select("o_orderkey", "o_custkey"), customer, fk="o_custkey", pk="c_custkey"
     ).where(F.col("o_custkey") > 1000)
+
+
+@query(
+    "sliding_window_events",
+    oracle="""
+    WITH buckets AS (
+      SELECT w_start, event_type, n_events FROM (
+        SELECT to_timestamp(CAST(floor(epoch(ts) / 21600) * 21600 AS BIGINT))::TIMESTAMP
+                 AS w_start, event_type, COUNT(*) AS n_events
+        FROM events GROUP BY 1, 2
+        UNION ALL
+        SELECT to_timestamp(CAST(floor((epoch(ts) - 10800) / 21600) * 21600 + 10800 AS BIGINT))::TIMESTAMP
+                 AS w_start, event_type, COUNT(*) AS n_events
+        FROM events GROUP BY 1, 2
+      )
+    )
+    SELECT w_start, event_type, CAST(SUM(n_events) AS BIGINT) AS n_events
+    FROM buckets GROUP BY w_start, event_type
+    """,
+    tags=("window-agg", "sliding"),
+)
+def sliding_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding event-time windows (6h window, 3h slide): every row lands
+    in two overlapping windows. The oracle reproduces the two offset
+    bucket families relationally."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            F.window(F.col("ts"), "6 hours", "3 hours").alias("w"), "event_type"
+        )
+        .agg(F.count("*").alias("n_events"))
+        .select(F.col("w.start").alias("w_start"), "event_type", "n_events")
+    )
+
+
+@query(
+    "ranking_functions_suite",
+    oracle="""
+    SELECT c_custkey, c_mktsegment,
+           NTILE(4) OVER w AS quartile,
+           round(PERCENT_RANK() OVER w, 6) AS pct_rank,
+           round(CUME_DIST() OVER w, 6) AS cume,
+           FIRST_VALUE(c_custkey) OVER w AS richest_key,
+           DENSE_RANK() OVER w AS drank
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
+    """,
+    tags=("window", "ranking"),
+)
+def ranking_functions_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full ranking-window surface: ntile, percent_rank, cume_dist,
+    first_value, dense_rank over one deterministic ordering."""
+    customer = load_table(spark, sf_dir, "customer")
+    w = W.partitionBy("c_mktsegment").orderBy(F.col("c_acctbal").desc(), "c_custkey")
+    return customer.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.first("c_custkey").over(w).alias("richest_key"),
+        F.dense_rank().over(w).alias("drank"),
+    )
+
+
+@query(
+    "rolling_24h_user_activity",
+    oracle="""
+    SELECT event_id, user_id, ts,
+           CAST(COUNT(*) OVER (
+             PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS n_last_24h
+    FROM events
+    """,
+    tags=("window", "range-frame"),
+)
+def rolling_24h_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-range rolling frame: events per user in the trailing 24 h,
+    via RANGE BETWEEN over epoch-microseconds (the value-based frame
+    that ROWS BETWEEN cannot express on irregular event times)."""
+    events = load_table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts").cast("timestamp")))
+        .rangeBetween(-86_400_000_000, 0)
+    )
+    return events.select(
+        "event_id", "user_id", "ts", F.count("*").over(w).alias("n_last_24h")
+    )
