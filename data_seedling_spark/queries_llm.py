@@ -379,3 +379,51 @@ def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     embeddings = load_table(spark, sf_dir, "embeddings")
     return ivf_topk(embeddings, query_ids=range(10), k=3, centroid_stride=50)
+
+
+@query(
+    "dedup_cluster_assignment",
+    oracle="""
+    WITH RECURSIVE edges AS (
+      WITH t AS (
+        SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents
+      ), sh AS (
+        SELECT doc_id, lang,
+               list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                              FOR i IN range(1, greatest(len(w) - 1, 1))]) AS shingles
+        FROM t
+      )
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.shingles, b.shingles))::DOUBLE
+            / len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.8
+    ), sym AS (
+      SELECT doc_a AS a, doc_b AS b FROM edges
+      UNION SELECT doc_b, doc_a FROM edges
+    ), reach AS (
+      SELECT a, b FROM sym
+      UNION
+      SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+    )
+    SELECT a AS doc_id,
+           least(a, min(b)) AS cluster_id,
+           CAST(a = least(a, min(b)) AS INT) AS is_canonical
+    FROM reach GROUP BY a
+    """,
+    tags=("dedup-clusters", "iterative"),
+)
+def dedup_cluster_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative connected components over the exact near-dup pair
+    graph → duplicate clusters with a canonical (min-id) member per
+    cluster. Spark side: min-label propagation with localCheckpoint
+    per round and observe-based convergence (the DataFrame-native
+    iterative-algorithm pattern); oracle: recursive-CTE transitive
+    closure."""
+    from .operators.dedup import ngram_jaccard_pairs
+    from .operators.graph import dedup_clusters
+
+    documents = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(
+        documents, "text", "doc_id", block_cols=["lang"], n=3, threshold=0.8
+    )
+    return dedup_clusters(pairs)
