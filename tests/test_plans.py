@@ -1,0 +1,77 @@
+"""Physical-plan audits: regression-lock the scale properties.
+
+Correctness tests prove the answers right; these prove the *plans*
+stay right — filters reach the parquet scan, small sides broadcast,
+rank windows prune before sorting. A regression here is invisible at
+sf0.01 and fatal at 100 TB.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from data_seedling_spark.queries import registry
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def reg():
+    return registry()
+
+
+def plan_of(spark, reg, name: str) -> str:
+    df = reg[name].fn(spark, SF_SMOKE)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_flagship_pushes_filters_and_broadcasts(spark, reg):
+    plan = plan_of(spark, reg, "flagship_revenue_by_nation")
+    assert "PushedFilters: [IsNotNull(l_shipdate), GreaterThanOrEqual(l_shipdate" in plan
+    assert "BroadcastHashJoin" in plan
+    # the 4-column projection reaches the scan: no full-width lineitem read
+    assert "l_comment" not in plan
+
+
+def test_pricing_summary_partial_aggregation(spark, reg):
+    plan = plan_of(spark, reg, "pricing_summary")
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    assert plan.count("HashAggregate") >= 2  # partial + final
+
+
+def test_topk_window_group_limit_pushdown(spark, reg):
+    plan = plan_of(spark, reg, "window_top_orders_per_segment")
+    assert "WindowGroupLimit" in plan
+
+
+def test_merge_branches_are_single_joins(spark, reg):
+    insert_plan = plan_of(spark, reg, "merge_insert_apply")
+    delete_plan = plan_of(spark, reg, "merge_delete_apply")
+    assert "LeftAnti" in insert_plan
+    assert "LeftAnti" in delete_plan
+
+
+def test_semi_join_for_exists(spark, reg):
+    plan = plan_of(spark, reg, "exists_subquery_orders")
+    assert "LeftSemi" in plan
+
+
+def test_similarity_topk_broadcasts_queries_no_python(spark, reg):
+    plan = plan_of(spark, reg, "similarity_topk_bruteforce")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    # all math stays JVM-side: no Python evaluation nodes
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+
+
+def test_exact_dedup_shuffles_hash_not_text(spark, reg):
+    plan = plan_of(spark, reg, "dedup_exact_documents")
+    # grouping key is the sha2 hash; the raw text column must not
+    # survive past the scan-side projection into the exchange
+    exchange = plan[plan.index("Exchange") :] if "Exchange" in plan else plan
+    assert "sha2" in plan
+    assert "text" not in exchange.split("\n")[0]
+
+
+def test_range_join_is_broadcast_not_cartesian_shuffle(spark, reg):
+    plan = plan_of(spark, reg, "range_join_price_bands")
+    assert "BroadcastNestedLoopJoin" in plan
