@@ -148,3 +148,17 @@ def read_json_lines(spark: SparkSession, path: str, schema=None) -> DataFrame:
     if schema is not None:
         reader = reader.schema(schema)
     return reader.json(path)
+
+
+def write_sorted(
+    df: DataFrame, path: str, sort_cols: list[str], partitions: int | None = None
+) -> None:
+    """Range-partition + sort-within-partitions before writing: parquet
+    row-group min/max stats become narrow and disjoint on the sort key,
+    so selective scans skip whole row groups (data skipping without an
+    index). The single-column analogue of Z-ordering."""
+    if partitions:
+        df = df.repartitionByRange(partitions, *sort_cols)
+    else:
+        df = df.repartitionByRange(*sort_cols)
+    df.sortWithinPartitions(*sort_cols).write.mode("overwrite").parquet(path)

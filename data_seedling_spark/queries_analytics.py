@@ -1004,3 +1004,30 @@ def rolling_24h_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return events.select(
         "event_id", "user_id", "ts", F.count("*").over(w).alias("n_last_24h")
     )
+
+
+@query(
+    "statistical_aggregates",
+    oracle="""
+    SELECT l_returnflag,
+           round(stddev_samp(l_quantity), 4) AS qty_stddev,
+           round(var_samp(l_quantity), 4) AS qty_var,
+           round(corr(l_quantity, l_extendedprice), 4) AS qty_price_corr,
+           round(covar_samp(l_quantity, l_discount), 4) AS qty_disc_covar,
+           CAST(median(l_quantity) AS DOUBLE) AS qty_median
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("stats-agg",),
+)
+def statistical_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregate surface: stddev/variance/correlation/
+    covariance/median. Integral-valued quantities keep the moment sums
+    exact; results rounded at grid-safe scale."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return lineitem.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_quantity"), 4).alias("qty_stddev"),
+        F.round(F.var_samp("l_quantity"), 4).alias("qty_var"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("qty_price_corr"),
+        F.round(F.covar_samp("l_quantity", "l_discount"), 4).alias("qty_disc_covar"),
+        F.expr("CAST(median(l_quantity) AS DOUBLE)").alias("qty_median"),
+    )

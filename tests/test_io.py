@@ -70,3 +70,35 @@ def test_csv_and_json_roundtrip(spark, tmp_path):
     write_json_lines(nation, json_path)
     back_json = read_json_lines(spark, json_path, schema=nation.schema)
     assert sorted(map(tuple, back_json.collect())) == sorted(map(tuple, nation.collect()))
+
+
+def test_sorted_write_narrows_row_group_stats(spark, tmp_path):
+    """Row-group min/max spans on the sort key must shrink massively vs
+    the unsorted layout — the statistic data skipping relies on."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from data_seedling_spark.io import write_sorted
+
+    lineitem = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
+    out = str(tmp_path / "sorted")
+    write_sorted(lineitem, out, ["l_shipdate"], partitions=4)
+
+    spans, total_span = [], None
+    for f in glob.glob(f"{out}/*.parquet"):
+        meta = pq.ParquetFile(f).metadata
+        idx = [meta.schema.column(i).name for i in range(meta.num_columns)].index(
+            "l_shipdate"
+        )
+        for rg in range(meta.num_row_groups):
+            st = meta.row_group(rg).column(idx).statistics
+            spans.append((st.min, st.max))
+    lo = min(s[0] for s in spans)
+    hi = max(s[1] for s in spans)
+    total_span = (hi - lo).total_seconds()
+    avg_span = sum((b - a).total_seconds() for a, b in spans) / len(spans)
+    # sorted layout → each row group covers a small slice of the range
+    assert avg_span < total_span / 2
+    # and the sorted table still reads back complete
+    assert spark.read.parquet(out).count() == lineitem.count()

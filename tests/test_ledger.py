@@ -133,3 +133,22 @@ def test_apply_change_feed_net_effect(spark):
     )
     out = apply_change_feed(target, feed, ["key"])
     assert rows(out, "key", "value") == [(1, "a"), (3, "c")]
+
+
+def test_corrupted_ledger_raises_clearly(spark, tmp_table_dir):
+    import os
+
+    t = VersionedTable(spark, tmp_table_dir)
+    t.write(make_df(spark, [(1, "a")]), mode="overwrite")
+    with open(os.path.join(tmp_table_dir, "_ledger.json"), "w") as f:
+        f.write("{not json")
+    with pytest.raises(Exception):
+        t.latest_version()
+
+
+def test_merge_missing_pk_column_fails_fast(spark, tmp_table_dir):
+    t = VersionedTable(spark, tmp_table_dir)
+    t.write(make_df(spark, [(1, "a")]), mode="overwrite")
+    feed = make_df(spark, [(2, "b")]).withColumn(CHANGE_TYPE, F.lit(CT_INSERT))
+    with pytest.raises(Exception):
+        t.merge(feed, primary_keys=["nonexistent_key"])

@@ -86,3 +86,27 @@ def test_pseudo_transform_dispatch_and_passthrough(spark):
     passthrough = pseudo_transform(df, TableConfig(primary_keys=["id"]))
     assert passthrough.columns == df.columns
     assert passthrough.collect() == df.collect()
+
+
+def test_broadcast_lookup_udf(spark):
+    """X3 parity (reference ``presidio.py:37-46``): driver-built state
+    shipped to executors once via sc.broadcast and used inside a
+    vectorized UDF — the lookup-table flavor (model engines use
+    per-worker lazy init instead; see pipelines docstring)."""
+    import pandas as pd
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    lookup = spark.sparkContext.broadcast({0: "AFRICA", 1: "AMERICA", 2: "ASIA"})
+
+    # no type hints: stringified annotations (PEP 563) don't resolve a
+    # test-local `pd` import, so declare the eval type via the decorator
+    @F.pandas_udf(T.StringType(), F.PandasUDFType.SCALAR)
+    def region_name(keys):
+        table = lookup.value  # deserialized once per worker, not per row
+        return keys.map(lambda k: table.get(k, "UNKNOWN"))
+
+    df = spark.createDataFrame([Row(k=0), Row(k=2), Row(k=9)])
+    got = {r["k"]: r["name"] for r in df.select("k", region_name("k").alias("name")).collect()}
+    assert got == {0: "AFRICA", 2: "ASIA", 9: "UNKNOWN"}
