@@ -264,3 +264,45 @@ def incremental_pseudonymisation(spark: SparkSession, sf_dir: str) -> DataFrame:
         return silver.read()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+
+
+@query(
+    "nested_relations_projection",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split(text, ' '),
+                         t -> t IN ('customer','supplier','part','order','query','scan')
+             ) AS ents
+      FROM documents
+    )
+    SELECT doc_id,
+           CASE WHEN len(ents) >= 2 THEN 'FOLLOWED_BY' END AS first_relation_type,
+           CASE WHEN len(ents) >= 2 THEN ents[1] END AS first_relation_source,
+           CASE WHEN len(ents) >= 2 THEN ents[2] END AS first_relation_target,
+           greatest(len(ents) - 1, 0) AS n_relations
+    FROM toks
+    """,
+    tags=("P5", "UD2"),
+)
+def nested_relations_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dotted-path projection into the *relations* branch of the nested
+    extraction output (reference ``test_feature_extraction.py:211-215``
+    queries ``.document.relations.relationType``): first relation's
+    type/source/target plus the relation count per document."""
+    from .config import TableConfig
+    from .pipelines.feature_extraction import extract_features
+
+    documents = load_table(spark, sf_dir, "documents")
+    cfg = TableConfig(primary_keys=["doc_id"], analysed_columns=["text"])
+    extracted = extract_features(documents, cfg)
+    rels = F.col("text_extracted.document.relations")
+    # try_element_at: ANSI mode throws on out-of-bounds (empty relations)
+    first = F.try_element_at(rels, F.lit(1))
+    return extracted.select(
+        "doc_id",
+        first.getField("relationType").alias("first_relation_type"),
+        first.getField("source").alias("first_relation_source"),
+        first.getField("target").alias("first_relation_target"),
+        F.size(rels).cast("bigint").alias("n_relations"),
+    )

@@ -73,3 +73,25 @@ def test_extract_features_sharded_reassembles_all_rows(spark):
     # every doc has the same two entities
     for r in rows:
         assert [e["text"] for e in r["entities"]] == ["customer", "order"]
+
+
+def test_extract_features_multiple_columns(spark):
+    """analysed_columns with >1 entry: each gets its own _extracted
+    struct (reference analyses a configurable column list)."""
+    from pyspark.sql import functions as F
+
+    df = docs_df(spark, ["customer makes order", "supplier ships part"]).withColumn(
+        "title", F.lit("query scan")
+    )
+    cfg = TableConfig(primary_keys=["doc_id"], analysed_columns=["text", "title"])
+    out = extract_features(df, cfg)
+    assert {"text_extracted", "title_extracted"} <= set(out.columns)
+    r = out.orderBy("doc_id").first()
+    assert [e["text"] for e in r["text_extracted"]["document"]["entities"]] == [
+        "customer",
+        "order",
+    ]
+    assert [e["text"] for e in r["title_extracted"]["document"]["entities"]] == [
+        "query",
+        "scan",
+    ]
