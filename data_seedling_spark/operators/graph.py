@@ -33,9 +33,14 @@ def connected_components(
 
     ``edges`` is undirected input (each pair listed once is enough).
     """
-    sym = edges.select(
-        F.col(src).alias("a"), F.col(dst).alias("b")
-    ).unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+    # persist: the symmetrised edge list feeds every iteration (and is
+    # built from the edges subtree twice) — without this the upstream
+    # pair-generation pipeline re-runs once per round per side
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .persist()
+    )
 
     labels = (
         sym.select(F.col("a").alias("node"))

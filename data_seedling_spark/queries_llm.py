@@ -427,3 +427,45 @@ def dedup_cluster_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
         documents, "text", "doc_id", block_cols=["lang"], n=3, threshold=0.8
     )
     return dedup_clusters(pairs)
+
+
+@query(
+    "udtf_token_spans",
+    oracle="""
+    SELECT doc_id, tok AS token, CAST(pos - 1 AS INT) AS position
+    FROM (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+             generate_subscripts(string_split(text, ' '), 1) AS pos
+      FROM documents
+    )
+    WHERE tok IN ('customer','supplier','part')
+    """,
+    tags=("UDTF",),
+)
+def udtf_token_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (table function) surface: one input document →
+    0..n output rows (matched token + position). The generator-shaped
+    escape hatch when a transform's cardinality varies per row and
+    built-in ``explode`` can't express the row logic."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="token: string, position: int")
+    class TokenSpans:
+        VOCAB = {"customer", "supplier", "part"}
+
+        def eval(self, text: str):
+            if text is None:
+                return
+            for i, tok in enumerate(text.split(" ")):
+                if tok in self.VOCAB:
+                    yield tok, i
+
+    spark.udtf.register("token_spans", TokenSpans)
+    documents = load_table(spark, sf_dir, "documents")
+    documents.createOrReplaceTempView("_udtf_docs")
+    return spark.sql(
+        """
+        SELECT d.doc_id, s.token, s.position
+        FROM _udtf_docs d, LATERAL token_spans(d.text) s
+        """
+    )
