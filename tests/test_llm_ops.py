@@ -194,3 +194,58 @@ def test_approx_sketches_error_bounds(spark):
     assert abs(r["approx"] - r["exact"]) / r["exact"] < 0.10
     q1, q2, q3 = r["quartiles"]
     assert r["lo"] <= q1 <= q2 <= q3 <= r["hi"]
+
+
+def test_minhash_lsh_recall_on_planted_near_dups(spark, documents):
+    """Plant high-Jaccard near-dups (every 50th word edited) and
+    require ≥80% recall of the truly-above-threshold pairs — the
+    banding curve's promise, not just the trivial exact-dup case."""
+    import pandas as pd
+
+    from data_seedling_spark.operators.dedup import (
+        jaccard,
+        minhash_lsh_pairs,
+        word_shingles,
+    )
+
+    base = documents.orderBy("doc_id").limit(30).toPandas()
+
+    def perturb(text):
+        words = text.split(" ")
+        return " ".join(
+            w if i % 50 else "EDITED" for i, w in enumerate(words)
+        )
+
+    edited = pd.DataFrame(
+        {
+            "doc_id": base["doc_id"] + 2_000_000,
+            "text": base["text"].map(perturb),
+            "lang": base["lang"],
+            "source": base["source"],
+            "n_chars": base["n_chars"],
+        }
+    )
+    corpus = spark.createDataFrame(pd.concat([base, edited]))
+
+    # ground truth: planted pairs whose true shingle Jaccard ≥ 0.8
+    sh = corpus.select("doc_id", word_shingles(F.col("text"), 3).alias("s"))
+    a, b = sh.alias("a"), sh.alias("b")
+    truth = (
+        a.join(b, F.col("b.doc_id") == F.col("a.doc_id") + 2_000_000)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            jaccard(F.col("a.s"), F.col("b.s")).alias("j"),
+        )
+        .where(F.col("j") >= 0.8)
+        .collect()
+    )
+    assert len(truth) >= 10  # the perturbation actually lands near 0.85
+
+    found = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_lsh_pairs(corpus, "text", "doc_id", threshold=0.8).collect()
+    }
+    true_pairs = {(r["doc_a"], r["doc_b"]) for r in truth}
+    recall = len(true_pairs & found) / len(true_pairs)
+    assert recall >= 0.8, f"recall {recall:.2f} over {len(true_pairs)} planted pairs"
