@@ -83,11 +83,7 @@ def jdbc_read(spark: SparkSession, config: JdbcConfig, query: str) -> DataFrame:
             f"JDBC driver {config.driver} is not on the classpath; add the "
             "driver jar via spark.jars to enable the JDBC source"
         )
-    return (
-        spark.read.format("jdbc")
-        .options(**{**config.options(f"({query}) q"), "dbtable": f"({query}) q"})
-        .load()
-    )
+    return spark.read.format("jdbc").options(**config.options(f"({query}) q")).load()
 
 
 def register_parquet_table(

@@ -222,7 +222,14 @@ def lsh_candidate_pairs(
     band-hash become candidates. Shuffle is O(rows × bands), never
     quadratic."""
     if sig_len is None:  # probe only when the caller doesn't know it
-        sig_len = len(signatures.select("signature").first()["signature"])
+        first = signatures.select("signature").first()
+        if first is None:  # empty corpus → no candidate pairs
+            spark = signatures.sparkSession
+            return spark.createDataFrame(
+                [], f"doc_a {signatures.schema[id_col].dataType.simpleString()}, "
+                    f"doc_b {signatures.schema[id_col].dataType.simpleString()}"
+            ).toDF("doc_a", "doc_b")
+        sig_len = len(first["signature"])
     rows_per_band = sig_len // bands
     band_cols = [
         F.xxhash64(

@@ -74,8 +74,13 @@ def connected_components(
         )
         labels = updated.localCheckpoint()  # materialises → observation valid
         if int(obs.get["n_changed"] or 0) == 0:
-            break
-    return labels
+            return labels
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iterations} "
+        "iterations (graph diameter exceeds the budget); raise "
+        "max_iterations — silently returning partial labels would split "
+        "true components"
+    )
 
 
 def dedup_clusters(

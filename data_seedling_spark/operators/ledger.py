@@ -48,6 +48,7 @@ from .merge import (
     COMMIT_VERSION,
     CT_DELETE,
     CT_INSERT,
+    RESERVED_COLUMNS,
     apply_change_feed,
     strip_reserved_columns,
 )
@@ -157,14 +158,19 @@ class VersionedTable:
         updates rejected) and commit the new snapshot plus the explicit
         change rows for downstream CDF readers."""
         target = self.read()
-        new_snapshot = apply_change_feed(target, changes, primary_keys)
         commits = self.commits()
         version = commits[-1].version + 1 if commits else 0
-        # Materialise the feed once: it is both the CDF record and the
-        # input to the snapshot (avoids recomputing the anti-joins).
-        self._shape(changes.select(*target.columns, CHANGE_TYPE)).write.mode(
-            "overwrite"
-        ).parquet(self._changes_dir(version))
+        # Write the feed first, then compute the snapshot FROM the
+        # written parquet: the (possibly expensive) upstream feed
+        # pipeline executes exactly once — the guard count inside
+        # apply_change_feed and the two anti-joins all read the
+        # materialised copy.
+        feed_cols = [c for c in changes.columns if c in (*target.columns, *RESERVED_COLUMNS)]
+        self._shape(changes.select(*feed_cols)).write.mode("overwrite").parquet(
+            self._changes_dir(version)
+        )
+        materialised = self.spark.read.parquet(self._changes_dir(version))
+        new_snapshot = apply_change_feed(target, materialised, primary_keys)
         self._shape(new_snapshot).write.mode("overwrite").parquet(
             self._version_dir(version)
         )

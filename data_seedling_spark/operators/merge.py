@@ -74,24 +74,79 @@ def apply_inserts(
 ) -> DataFrame:
     """MERGE not-matched-insert branch (S7): append source rows whose
     PKs are absent from the target. Plan: source LEFT ANTI target on
-    PKs, then union-all. Target columns define the output schema."""
+    PKs, then union-all. Target columns define the output schema.
+
+    The source is deduplicated per PK first (deterministically: the
+    max row by the remaining columns wins) — without this, two source
+    rows sharing a key that is absent from the target would BOTH pass
+    the anti-join and break the PK invariant.
+    """
     keys = list(primary_keys)
+    source = dedupe_by_keys(source.select(*target.columns), keys)
     new_rows = source.join(target.select(*keys).distinct(), on=keys, how="left_anti")
     return target.unionByName(new_rows.select(*target.columns))
+
+
+def dedupe_by_keys(df: DataFrame, keys: list[str]) -> DataFrame:
+    """One row per key, deterministic winner (greatest remaining-column
+    struct — unlike ``dropDuplicates``, which keeps an arbitrary row
+    that can differ between runs and break replay idempotence)."""
+    from pyspark.sql import Window as W
+
+    others = [c for c in df.columns if c not in keys]
+    if not others:
+        return df.distinct()
+    order = F.struct(*[F.col(c) for c in others]).desc()
+    w = W.partitionBy(*keys).orderBy(order)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
 
 
 def apply_change_feed(
     target: DataFrame, changes: DataFrame, primary_keys: Sequence[str]
 ) -> DataFrame:
-    """Apply a full CDC feed: reject updates, delete, then insert
-    (ST3 change routing, reference ``datalake.py:177-216``).
+    """Apply a full CDC feed: reject updates, then apply the **net
+    effect per primary key** (ST3 change routing, reference
+    ``datalake.py:177-216``).
 
-    Deduplicates change rows per PK by the latest commit version so a
-    multi-version feed applies its net effect, matching the reference's
-    per-version MERGE loop outcome.
+    A multi-version feed can carry several changes for one key (insert
+    in v1, delete in v2, …). Applying "all deletes, then all inserts"
+    would resurrect deleted rows and double-insert re-created keys, so
+    the feed is first reduced to each key's LAST change, ordered by
+    ``_commit_version`` (inserts outrank deletes within one version —
+    a single merge commit deletes before it inserts). Feeds without
+    ``_commit_version`` are treated as one version. The reduced feed
+    then routes: last=delete → anti-join out; last=insert → upsert.
     """
+    from pyspark.sql import Window as W
+
     reject_updates(changes)
-    deletes = changes.where(F.col(CHANGE_TYPE) == CT_DELETE)
-    inserts = strip_reserved_columns(changes.where(F.col(CHANGE_TYPE) == CT_INSERT))
-    result = apply_deletes(target, deletes, primary_keys)
+
+    version = (
+        F.col(COMMIT_VERSION)
+        if COMMIT_VERSION in changes.columns
+        else F.lit(0).cast("long")
+    )
+    is_insert = (F.col(CHANGE_TYPE) == CT_INSERT).cast("int")
+    keys = list(primary_keys)
+    w = W.partitionBy(*keys).orderBy(
+        version.desc(),
+        is_insert.desc(),
+        # deterministic tie-break among same-version duplicates
+        F.struct(*[F.col(c) for c in target.columns]).desc(),
+    )
+    last_change = (
+        changes.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    deletes = last_change.where(F.col(CHANGE_TYPE) == CT_DELETE)
+    inserts = strip_reserved_columns(
+        last_change.where(F.col(CHANGE_TYPE) == CT_INSERT)
+    )
+    # upsert = delete both the deleted AND re-inserted keys, then insert
+    result = apply_deletes(target, last_change.select(*keys), primary_keys)
     return apply_inserts(result, inserts, primary_keys)

@@ -69,7 +69,14 @@ def salted_join(
     Row multiplicity is preserved exactly (each big-side row matches
     precisely the one small-side replica carrying its salt), so the
     result equals ``big.join(small, key, how)`` for inner/left joins.
+    Other join types would count each unmatched small-side replica
+    separately and are rejected.
     """
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        raise ValueError(
+            f"salted_join supports inner/left joins only, got {how!r} "
+            "(the exploded small side breaks right/full/semi multiplicity)"
+        )
     salted_big = big.withColumn(
         "_salt", (F.rand(seed=42) * salt_factor).cast("int")
     )

@@ -89,10 +89,15 @@ def write_increment(
     if increment.is_empty_range or increment.changes.isEmpty():
         return
     if not target.exists():
-        inserts = increment.changes.where(F.col(CHANGE_TYPE) == CT_INSERT)
-        target.write(strip_reserved_columns(inserts), mode="overwrite")
-    else:
-        target.merge(increment.changes, primary_keys)
+        # Create empty, then merge: the first feed may already span
+        # several source versions (insert+delete on one key), and the
+        # update-rejection guard must hold on run 1 exactly as on run N.
+        schema = strip_reserved_columns(increment.changes).schema
+        target.write(
+            increment.changes.sparkSession.createDataFrame([], schema),
+            mode="overwrite",
+        )
+    target.merge(increment.changes, primary_keys)
     update_watermark(state, activity, table_name, increment.high_watermark)
 
 

@@ -33,3 +33,11 @@ def test_dedup_clusters_canonical_flags(spark):
     )
     out = {r["doc_id"]: (r["cluster_id"], r["is_canonical"]) for r in dedup_clusters(pairs).collect()}
     assert out == {5: (5, 1), 9: (5, 0), 12: (5, 0), 30: (30, 1), 31: (30, 0)}
+
+
+def test_components_raise_on_exhausted_iterations(spark):
+    import pytest as _pytest
+
+    pairs = [(i, i + 1) for i in range(10)]  # diameter 10 chain
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges_df(spark, pairs), max_iterations=2)

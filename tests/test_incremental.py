@@ -128,3 +128,42 @@ def test_high_watermark_tracks_source(spark, tmp_path):
     source.write(make_df(spark, [(1, "a")]), mode="overwrite")
     source.write(make_df(spark, [(2, "b")]), mode="append")
     assert get_high_watermark(source) == 1
+
+
+def test_first_write_applies_net_effect_and_rejects_updates(spark, tmp_path):
+    """Run 1 with a multi-version source (overwrite then overwrite):
+    the feed carries insert+delete+insert for the same key — the target
+    must hold only the final value, and update images must be rejected
+    on run 1 exactly as on run N."""
+    from data_seedling_spark.operators.merge import (
+        CHANGE_TYPE,
+        CT_UPDATE_POST,
+        UpdatesNotSupportedError,
+    )
+    import pytest as _pytest
+
+    source = VersionedTable(spark, str(tmp_path / "src"))
+    target = VersionedTable(spark, str(tmp_path / "dst"))
+    state = VersionedTable(spark, str(tmp_path / "state"))
+    source.write(make_df(spark, [(1, "a")]), mode="overwrite")
+    source.write(make_df(spark, [(1, "b")]), mode="overwrite")  # CDF: del a + ins b
+    run_incremental_activity(
+        spark, source, target, state, ACTIVITY, TABLE, primary_keys=["key"]
+    )
+    assert rows(target.read(), "key", "value") == [(1, "b")]
+
+    # update rejection on a brand-new target
+    target2 = VersionedTable(spark, str(tmp_path / "dst2"))
+    state2 = VersionedTable(spark, str(tmp_path / "state2"))
+    source2 = VersionedTable(spark, str(tmp_path / "src2"))
+    source2.write(make_df(spark, [(1, "a")]), mode="overwrite")
+    inc = read_increment(spark, source2, state2, ACTIVITY, TABLE)
+    bad = inc.changes.withColumn(CHANGE_TYPE, F.lit(CT_UPDATE_POST))
+    from data_seedling_spark.streaming.incremental import Increment, write_increment
+
+    with _pytest.raises(UpdatesNotSupportedError):
+        write_increment(
+            target2,
+            Increment(bad, inc.low_watermark, inc.high_watermark),
+            ["key"], state2, ACTIVITY, TABLE,
+        )

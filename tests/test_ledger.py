@@ -152,3 +152,37 @@ def test_merge_missing_pk_column_fails_fast(spark, tmp_table_dir):
     feed = make_df(spark, [(2, "b")]).withColumn(CHANGE_TYPE, F.lit(CT_INSERT))
     with pytest.raises(Exception):
         t.merge(feed, primary_keys=["nonexistent_key"])
+
+
+def test_multi_version_feed_net_effect_same_key(spark, tmp_table_dir):
+    """insert(v1) then delete(v2) of one key must NOT resurrect the
+    row; delete(v1) then insert(v2) must re-create it with the new
+    value (per-PK version ordering)."""
+    from data_seedling_spark.operators.merge import COMMIT_VERSION
+
+    t = VersionedTable(spark, tmp_table_dir)
+    t.write(make_df(spark, [(1, "old"), (9, "keep")]), mode="overwrite")
+    feed = spark.createDataFrame(
+        [
+            # key 2: inserted in v1, deleted in v2 → must stay absent
+            Row(key=2, value="x", _ct=CT_INSERT, _v=1),
+            Row(key=2, value="x", _ct=CT_DELETE, _v=2),
+            # key 1: deleted in v1, re-inserted in v2 → new value wins
+            Row(key=1, value="old", _ct=CT_DELETE, _v=1),
+            Row(key=1, value="new", _ct=CT_INSERT, _v=2),
+        ]
+    ).withColumnsRenamed({"_ct": CHANGE_TYPE, "_v": COMMIT_VERSION})
+    t.merge(feed, primary_keys=["key"])
+    assert rows(t.read(), "key", "value") == [(1, "new"), (9, "keep")]
+
+
+def test_duplicate_key_inserts_collapse_to_one_row(spark, tmp_table_dir):
+    """Two insert rows sharing a PK (absent from target) must yield ONE
+    target row — deterministically the greatest by remaining columns."""
+    t = VersionedTable(spark, tmp_table_dir)
+    t.write(make_df(spark, [(1, "a")]), mode="overwrite")
+    feed = make_df(spark, [(2, "early"), (2, "late")]).withColumn(
+        CHANGE_TYPE, F.lit(CT_INSERT)
+    )
+    t.merge(feed, primary_keys=["key"])
+    assert rows(t.read(), "key", "value") == [(1, "a"), (2, "late")]

@@ -56,3 +56,14 @@ def test_salted_left_join_keeps_unmatched_rows(spark):
     out = salted_join(big, small, "k", salt_factor=3, how="left")
     got = {(r["k"], r["w"]) for r in out.collect()}
     assert got == {(1, "X"), (2, "Y"), (9, None)}
+
+
+def test_salted_join_rejects_unsupported_how(spark):
+    from pyspark.sql import Row
+
+    import pytest as _pytest
+
+    big = spark.createDataFrame([Row(k=1)])
+    small = spark.createDataFrame([Row(k=1)])
+    with _pytest.raises(ValueError, match="inner/left"):
+        salted_join(big, small, "k", how="right")
