@@ -1031,3 +1031,62 @@ def statistical_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.covar_samp("l_quantity", "l_discount"), 4).alias("qty_disc_covar"),
         F.expr("CAST(median(l_quantity) AS DOUBLE)").alias("qty_median"),
     )
+
+
+@query(
+    "scalar_subquery_idle_rich",
+    oracle="""
+    SELECT c.c_custkey, c.c_acctbal, COUNT(o.o_orderkey) AS n_orders
+    FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+    WHERE c.c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+    GROUP BY c.c_custkey, c.c_acctbal
+    HAVING COUNT(o.o_orderkey) < 8
+    """,
+    tags=("subquery-scalar", "having"),
+)
+def scalar_subquery_idle_rich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q22-shaped: scalar subquery in the predicate (above-average
+    balance) + low order activity (HAVING on an outer-join count). The
+    scalar aggregate broadcasts as a literal after its own tiny job;
+    avg over doubles is safe here because it feeds only a strict
+    inequality against well-separated values, not a hash."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    avg_bal = (
+        customer.where(F.col("c_acctbal") > 0)
+        .agg(F.avg("c_acctbal"))
+        .first()[0]
+    )
+    return (
+        customer.where(F.col("c_acctbal") > avg_bal)
+        .join(orders, customer.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey", "c_acctbal")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+        .where(F.col("n_orders") < 8)
+    )
+
+
+@query(
+    "having_share_of_total",
+    oracle=f"""
+    SELECT c_nationkey,
+           {_dec_sum_sql('c_acctbal')} AS nation_balance
+    FROM customer
+    GROUP BY c_nationkey
+    HAVING {_dec_sum_sql('c_acctbal')} >
+           0.05 * (SELECT {_dec_sum_sql('c_acctbal')} FROM customer)
+    """,
+    tags=("having", "subquery-scalar"),
+)
+def having_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q11-shaped HAVING against a scalar subquery: nations
+    holding >5% of total customer balance. Both the group sums and the
+    grand total use the exact-decimal pattern, so the 0.05× threshold
+    compares identical doubles in both engines."""
+    customer = load_table(spark, sf_dir, "customer")
+    total = customer.agg(dec_sum(F.col("c_acctbal"), "t")).first()["t"]
+    return (
+        customer.groupBy("c_nationkey")
+        .agg(dec_sum(F.col("c_acctbal"), "nation_balance"))
+        .where(F.col("nation_balance") > 0.05 * total)
+    )
