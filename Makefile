@@ -1,0 +1,23 @@
+# Discovery contract mirroring the reference's Makefile targets
+# (reference docs/design_principles.md:27 — install/test/artifacts).
+# No runtime deps to install in this container; targets are the
+# entry points a pipeline CI would call.
+
+.PHONY: install test check bench smoke
+
+install:
+	@echo "dependencies are preinstalled (pyspark, pyarrow, pandas, numpy, duckdb, pytest, hypothesis)"
+
+test:
+	python -m pytest tests/ -q
+
+check:
+	python tools/check_oracle.py
+
+bench:
+	python bench.py
+
+smoke:
+	python -c "from pyspark.sql import SparkSession; import __spark_entry__ as E; \
+	  s = SparkSession.builder.master('local[4]').getOrCreate(); \
+	  print(E.entry(s).count(), 'rows')"

@@ -26,3 +26,13 @@ declarative plan genuinely needs help).
 """
 
 __version__ = "0.1.0"
+
+from .session import build_session  # noqa: E402,F401
+from .tables import load_table, load_tables, register_views  # noqa: E402,F401
+
+__all__ = [
+    "build_session",
+    "load_table",
+    "load_tables",
+    "register_views",
+]
