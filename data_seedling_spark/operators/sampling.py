@@ -1,0 +1,70 @@
+"""Dataset-splitting and packing operators for training-data pipelines.
+
+- ``hash_split``: deterministic train/validation/test assignment by
+  content-independent key hash — reproducible across runs, cluster
+  sizes, and engines (unlike ``randomSplit``, whose per-partition RNG
+  ties the split to the physical partitioning). The md5-prefix bucket
+  is engine-portable, so the assignment is oracle-checkable.
+- ``pack_sequences``: greedy in-order packing of documents into
+  token-budget bins (sequence packing for LLM training): bin id =
+  ⌊exclusive-running-token-count / budget⌋ under a total order.
+
+Scale note: ``pack_sequences`` as written uses one global ordering
+window (single-partition sort for the running sum). At corpus scale,
+partition the order key first (e.g. by shard) and pack per shard —
+bins never cross shards, which is what training loaders want anyway.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+SPLITS = ("train", "validation", "test")
+
+
+def hash_bucket(key_col, buckets: int = 100):
+    """Deterministic [0, buckets) bucket from the md5 prefix of the key
+    (portable: DuckDB twin is ``CAST('0x'||substr(md5(k),1,8) AS
+    BIGINT) % buckets``)."""
+    h = F.conv(F.substring(F.md5(key_col.cast("string")), 1, 8), 16, 10).cast("bigint")
+    return F.pmod(h, F.lit(buckets))
+
+
+def hash_split(
+    df: DataFrame,
+    key_col: str,
+    train_pct: int = 90,
+    validation_pct: int = 5,
+) -> DataFrame:
+    """Add a ``split`` column: train/validation/test by hash bucket.
+    Stable under reprocessing — a document never migrates between
+    splits when the corpus grows (the leakage guarantee randomSplit
+    cannot give)."""
+    bucket = hash_bucket(F.col(key_col))
+    split = (
+        F.when(bucket < train_pct, SPLITS[0])
+        .when(bucket < train_pct + validation_pct, SPLITS[1])
+        .otherwise(SPLITS[2])
+    )
+    return df.withColumn("split", split)
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    token_count_col,
+    budget: int = 4096,
+) -> DataFrame:
+    """Assign each document (in ``id_col`` order) to a token-budget
+    bin: bin = ⌊tokens-before-this-doc / budget⌋. In-order greedy
+    packing; oversized documents overflow their own bin rather than
+    being dropped (filter beforehand if truncation is the policy)."""
+    w = W.orderBy(id_col).rowsBetween(W.unboundedPreceding, -1)
+    tokens_before = F.coalesce(F.sum(token_count_col).over(w), F.lit(0))
+    return df.select(
+        F.col(id_col),
+        token_count_col.alias("n_tokens"),
+        F.floor(tokens_before / budget).cast("bigint").alias("bin_id"),
+    )

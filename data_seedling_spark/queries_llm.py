@@ -469,3 +469,68 @@ def udtf_token_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM _udtf_docs d, LATERAL token_spans(d.text) s
         """
     )
+
+
+@query(
+    "train_test_split_hash",
+    oracle="""
+    WITH assigned AS (
+      SELECT doc_id, lang,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100
+               AS bucket
+      FROM documents
+    )
+    SELECT CASE WHEN bucket < 90 THEN 'train'
+                WHEN bucket < 95 THEN 'validation'
+                ELSE 'test' END AS split,
+           lang,
+           COUNT(*) AS n_docs
+    FROM assigned GROUP BY 1, 2
+    """,
+    tags=("sampling", "split"),
+)
+def train_test_split_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/5/5 train/validation/test assignment by key
+    hash (reproducible across runs/cluster sizes; documents never
+    migrate between splits as the corpus grows), rolled up per
+    language."""
+    from .operators.sampling import hash_split
+
+    documents = load_table(spark, sf_dir, "documents")
+    return (
+        hash_split(documents, "doc_id", train_pct=90, validation_pct=5)
+        .groupBy("split", "lang")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+@query(
+    "sequence_packing_bins",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents
+    ), packed AS (
+      SELECT doc_id, n_tokens,
+             CAST(floor(COALESCE(SUM(n_tokens) OVER (
+               ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) / 2048.0) AS BIGINT) AS bin_id
+      FROM toks
+    )
+    SELECT bin_id, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens
+    FROM packed GROUP BY bin_id
+    """,
+    tags=("sampling", "packing"),
+)
+def sequence_packing_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy in-order sequence packing into 2048-token bins (the
+    batch-construction step of an LLM data loader), summarised per
+    bin."""
+    from .operators.sampling import pack_sequences
+
+    documents = load_table(spark, sf_dir, "documents")
+    packed = pack_sequences(
+        documents, "doc_id", F.size(F.split(F.col("text"), " ")), budget=2048
+    )
+    return packed.groupBy("bin_id").agg(
+        F.count("*").alias("n_docs"), F.sum("n_tokens").alias("bin_tokens")
+    )

@@ -249,3 +249,39 @@ def test_minhash_lsh_recall_on_planted_near_dups(spark, documents):
     true_pairs = {(r["doc_a"], r["doc_b"]) for r in truth}
     recall = len(true_pairs & found) / len(true_pairs)
     assert recall >= 0.8, f"recall {recall:.2f} over {len(true_pairs)} planted pairs"
+
+
+def test_hash_split_stable_under_corpus_growth(spark, documents):
+    """The leakage guarantee: a document's split never changes when
+    more documents arrive (unlike randomSplit)."""
+    from data_seedling_spark.operators.sampling import hash_split
+
+    small = documents.limit(100)
+    full_assign = {
+        r["doc_id"]: r["split"]
+        for r in hash_split(documents, "doc_id").select("doc_id", "split").collect()
+    }
+    small_assign = {
+        r["doc_id"]: r["split"]
+        for r in hash_split(small, "doc_id").select("doc_id", "split").collect()
+    }
+    assert all(full_assign[k] == v for k, v in small_assign.items())
+    # proportions roughly honored
+    from collections import Counter
+
+    c = Counter(full_assign.values())
+    assert c["train"] > c["validation"] and c["train"] > c["test"]
+
+
+def test_pack_sequences_respects_order_and_budget(spark):
+    from pyspark.sql import Row
+
+    from data_seedling_spark.operators.sampling import pack_sequences
+
+    df = spark.createDataFrame(
+        [Row(doc_id=i, n=300) for i in range(10)]  # 300 tokens each
+    )
+    out = pack_sequences(df, "doc_id", F.col("n"), budget=1000).collect()
+    bins = {r["doc_id"]: r["bin_id"] for r in out}
+    # 0..3 fit bin 0 (0,300,600,900 < 1000), 4..6 bin 1, 7..9 bin 2
+    assert bins == {0: 0, 1: 0, 2: 0, 3: 0, 4: 1, 5: 1, 6: 1, 7: 2, 8: 2, 9: 2}
