@@ -534,3 +534,57 @@ def sequence_packing_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     return packed.groupBy("bin_id").agg(
         F.count("*").alias("n_docs"), F.sum("n_tokens").alias("bin_tokens")
     )
+
+
+@query(
+    "split_contamination_check",
+    oracle="""
+    WITH sh AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w,
+             CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 90
+                  THEN 'train' ELSE 'holdout' END AS split
+      FROM documents
+    ), assigned AS (
+      SELECT doc_id, split,
+             list_min(list_transform(
+               [w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                FOR i IN range(1, greatest(len(w) - 1, 1))],
+               s -> sha256(s))) AS fp
+      FROM sh
+    )
+    SELECT t.doc_id AS holdout_doc_id,
+           CAST(COUNT(tr.doc_id) AS BIGINT) AS n_train_collisions
+    FROM assigned t
+    JOIN assigned tr ON t.fp = tr.fp AND tr.split = 'train'
+    WHERE t.split = 'holdout'
+    GROUP BY t.doc_id
+    """,
+    tags=("contamination", "dedup-exact", "split"),
+)
+def split_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/holdout contamination: holdout documents whose
+    edit-tolerant fingerprint (min-shingle hash) also appears in the
+    train split — the leakage audit every eval pipeline needs, catching
+    near-dup contamination that exact hashes miss. Composition of the
+    fingerprint and hash-split operators; equi-join on 64-byte hashes,
+    so the document bodies never shuffle."""
+    from .operators.sampling import hash_bucket
+    from .operators.textstats import fingerprints
+
+    documents = load_table(spark, sf_dir, "documents")
+    fp = fingerprints(documents, "text", "doc_id").select(
+        "doc_id", F.col("min_shingle_sha").alias("content_sha")
+    )
+    assigned = fp.withColumn(
+        "split",
+        F.when(hash_bucket(F.col("doc_id")) < 90, "train").otherwise("holdout"),
+    )
+    holdout = assigned.where(F.col("split") == "holdout")
+    train = assigned.where(F.col("split") == "train")
+    return (
+        holdout.alias("t")
+        .join(train.alias("tr"), F.col("t.content_sha") == F.col("tr.content_sha"))
+        .groupBy(F.col("t.doc_id").alias("holdout_doc_id"))
+        .agg(F.count("*").alias("n_train_collisions"))
+    )
