@@ -137,3 +137,24 @@ def test_ledger_append_schema_validation(spark, tmp_path):
     # overwrite may evolve the schema
     t.write(spark.createDataFrame([Row(k=1, other=2)]), mode="overwrite")
     assert set(t.read().columns) == {"k", "other"}
+
+
+def test_foreachbatch_checkpoint_prevents_reprocessing(spark, events_schema, tmp_path):
+    """Restarting the same stream against the same checkpoint must not
+    re-merge already-committed batches (exactly-once across restarts,
+    not just within a run)."""
+    stream = read_events_stream(spark, EVENTS_DIR, events_schema, glob=EVENTS_GLOB).select(
+        "event_id", "event_type", "user_id"
+    )
+    target = VersionedTable(spark, str(tmp_path / "t"), write_partitions=4)
+    ck = str(tmp_path / "ck")
+    q1 = stream_merge_into(stream, target, ["event_id"], ck)
+    q1.awaitTermination(120)
+    v_after_first = target.latest_version()
+    n_rows = target.read().count()
+
+    # restart: same source, same checkpoint → nothing new to process
+    q2 = stream_merge_into(stream, target, ["event_id"], ck)
+    q2.awaitTermination(120)
+    assert target.latest_version() == v_after_first  # no new commit
+    assert target.read().count() == n_rows
