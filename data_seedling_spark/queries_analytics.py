@@ -1090,3 +1090,94 @@ def having_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(dec_sum(F.col("c_acctbal"), "nation_balance"))
         .where(F.col("nation_balance") > 0.05 * total)
     )
+
+
+@query(
+    "nation_trade_volume",
+    oracle=f"""
+    SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+           CAST(EXTRACT(year FROM l_shipdate) AS INT) AS ship_year,
+           {_dec_sum_sql('l_extendedprice * (1 - l_discount)', 4)} AS volume
+    FROM lineitem
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    JOIN nation sn ON sn.n_nationkey = s_nationkey
+    JOIN nation cn ON cn.n_nationkey = c_nationkey
+    WHERE sn.n_name <> cn.n_name
+    GROUP BY 1, 2, 3
+    """,
+    tags=("J1", "Q7-shape"),
+)
+def nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q7-shaped cross-nation trade volume: the five-table join
+    path with the nation dimension joined twice under different roles
+    (supplier vs customer side), grouped by year."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    sn = nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    cn = nation.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    return (
+        lineitem.join(F.broadcast(supplier), lineitem.l_suppkey == supplier.s_suppkey)
+        .join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .where(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("ship_year"),
+        )
+        .agg(dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "volume", 4))
+    )
+
+
+@query(
+    "product_profit_by_nation_year",
+    oracle=f"""
+    SELECT n_name AS nation,
+           CAST(EXTRACT(year FROM o_orderdate) AS INT) AS order_year,
+           {_dec_sum_sql('l_extendedprice * (1 - l_discount) - p_retailprice * l_quantity * 0.1', 4)}
+             AS profit
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN orders ON o_orderkey = l_orderkey
+    JOIN nation ON n_nationkey = s_nationkey
+    GROUP BY 1, 2
+    """,
+    tags=("J1", "Q9-shape"),
+)
+def product_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q9-shaped profit rollup: revenue minus a retail-price-based
+    cost proxy (the schema has no supplycost column), per supplier
+    nation and order year. The profit expression stays on the 4-decimal
+    grid: price×(1−disc) has 4 decimals and retail×qty×0.1 has ≤3."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    supplier = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders")
+    nation = load_table(spark, sf_dir, "nation")
+    profit = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.col("p_retailprice") * F.col("l_quantity") * 0.1
+    )
+    return (
+        lineitem.join(F.broadcast(part), lineitem.l_partkey == part.p_partkey)
+        .join(F.broadcast(supplier), lineitem.l_suppkey == supplier.s_suppkey)
+        .join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("order_year"),
+        )
+        .agg(dec_sum(profit, "profit", 4))
+    )

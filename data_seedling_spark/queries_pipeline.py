@@ -306,3 +306,42 @@ def nested_relations_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         first.getField("target").alias("first_relation_target"),
         F.size(rels).cast("bigint").alias("n_relations"),
     )
+
+
+@query(
+    "streaming_pseudonymise_pipeline",
+    oracle="""
+    SELECT event_id, date_trunc('hour', ts) AS ts, event_type, value,
+           sha256(CAST(user_id AS VARCHAR) || '2b6ef354-salt') AS user_id_hashed
+    FROM events
+    """,
+    tags=("streaming-e2e", "ST3", "UD3"),
+)
+def streaming_pseudonymise_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming end-to-end pipeline: file-source event stream →
+    pseudonymise each micro-batch (hash user id, truncate timestamp,
+    drop props) → foreachBatch PK-merge into a versioned silver table →
+    return the final snapshot. Same result as the batch
+    ``pseudonymise_events`` — which is exactly the point: one transform
+    definition serves both execution modes."""
+    from .config import TABLE_CONFIG
+    from .pipelines.pseudonymise import pseudo_transform
+    from .streaming.windows import read_events_stream, stream_merge_into
+
+    base = tempfile.mkdtemp(prefix="stream_pseudo_")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = read_events_stream(spark, sf_dir, schema, glob="events.parquet")
+    transformed = pseudo_transform(stream, TABLE_CONFIG["events"])
+    target = VersionedTable(spark, f"{base}/silver", write_partitions=4)
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = stream_merge_into(
+            transformed, target, primary_keys=["event_id"],
+            checkpoint_dir=f"{base}/ck",
+        )
+        q.awaitTermination(300)
+        return target.read()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
