@@ -43,6 +43,11 @@ HEADLINE = [
     "text_quality_scores",
     "pseudonymise_customers",
     "feature_extract_documents",
+    "train_test_split_hash",
+    "sequence_packing_bins",
+    "split_contamination_check",
+    "embedding_near_dup",
+    "nation_trade_volume",
 ]
 
 
