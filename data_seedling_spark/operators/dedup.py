@@ -267,19 +267,63 @@ def lsh_candidate_pairs(
     )
 
 
+def lsh_recall(jaccard_sim: float, bands: int, rows_per_band: int) -> float:
+    """Banding S-curve: probability a pair with true Jaccard ``j`` shares
+    at least one LSH band = ``1 - (1 - j^r)^b``. This is the standard
+    MinHash-LSH collision analysis (Leskovec/Rajaraman/Ullman, Mining of
+    Massive Datasets §3.4) — the expected recall of
+    ``lsh_candidate_pairs`` at similarity ``j``."""
+    return 1.0 - (1.0 - jaccard_sim**rows_per_band) ** bands
+
+
+def tune_bands(
+    num_perm: int,
+    target_jaccard: float,
+    min_recall: float = 0.9,
+    reject_jaccard: float | None = None,
+) -> tuple[int, int]:
+    """Pick ``(bands, rows_per_band)`` for a target Jaccard threshold.
+
+    Among band counts that tile the signature (``rows_per_band =
+    num_perm // bands``, leftover rows unused — matching
+    ``lsh_candidate_pairs``), choose the one that keeps recall at
+    ``target_jaccard`` ≥ ``min_recall`` while minimising the collision
+    probability at ``reject_jaccard`` (default ``target/2``) — i.e. the
+    steepest usable S-curve, which at corpus scale is what bounds the
+    candidate-pair shuffle volume. Falls back to max-recall when no
+    banding meets ``min_recall``.
+    """
+    if not 0.0 < target_jaccard < 1.0:
+        raise ValueError(f"target_jaccard must be in (0,1), got {target_jaccard}")
+    if reject_jaccard is None:
+        reject_jaccard = target_jaccard / 2
+    candidates = [(b, num_perm // b) for b in range(1, num_perm + 1) if num_perm // b >= 1]
+    ok = [
+        (b, r)
+        for b, r in candidates
+        if lsh_recall(target_jaccard, b, r) >= min_recall
+    ]
+    if ok:
+        return min(ok, key=lambda br: (lsh_recall(reject_jaccard, *br), -br[1]))
+    return max(candidates, key=lambda br: lsh_recall(target_jaccard, *br))
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str,
     id_col: str,
     num_perm: int = 64,
-    bands: int = 8,
+    bands: int | None = 8,
     shingle_n: int = 3,
     threshold: float = 0.8,
     seed: int = 42,
 ) -> DataFrame:
     """Full near-dup pipeline: MinHash → LSH buckets → candidate pairs
     → **exact** Jaccard verification (no false positives; recall is the
-    banding curve ~1-(1-t^r)^b)."""
+    banding curve ~1-(1-t^r)^b). ``bands=None`` auto-tunes the banding
+    to the ``threshold`` via :func:`tune_bands`."""
+    if bands is None:
+        bands, _ = tune_bands(num_perm, threshold)
     # Signatures and shingle sets each feed both sides of a self-join;
     # persist them so the expensive subtree (shingling + hashing +
     # numpy minima) runs once, not once per join side. At corpus scale

@@ -1181,3 +1181,264 @@ def product_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .agg(dec_sum(profit, "profit", 4))
     )
+
+
+@query(
+    "market_share_by_year",
+    oracle=f"""
+    SELECT order_year,
+           CAST({_dec_sum_sql("CASE WHEN supp_nation = 'NATION_1' THEN volume ELSE 0 END", 4)}
+                AS DOUBLE)
+             / CAST({_dec_sum_sql('volume', 4)} AS DOUBLE) AS mkt_share,
+           {_dec_sum_sql('volume', 4)} AS total_volume
+    FROM (
+      SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS order_year,
+             l_extendedprice * (1 - l_discount) AS volume,
+             sn.n_name AS supp_nation
+      FROM lineitem
+      JOIN part     ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation cn ON cn.n_nationkey = c_nationkey
+      JOIN region   ON r_regionkey = cn.n_regionkey
+      JOIN nation sn ON sn.n_nationkey = s_nationkey
+      WHERE r_name = 'AMERICA' AND p_type = 'STANDARD'
+        AND o_orderdate BETWEEN TIMESTAMP '1995-01-01' AND TIMESTAMP '1996-12-31'
+    )
+    GROUP BY order_year
+    """,
+    tags=("J1", "Q8-shape"),
+)
+def market_share_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q8-shaped national market share: one nation's fraction of
+    regional trade volume per year, over the seven-table join path
+    (nation joined twice — customer side restricts the region, supplier
+    side names the share).
+
+    Determinism: numerator and denominator are each exact-decimal sums
+    cast to double; the share is one IEEE double division, identical in
+    both engines. Scale: every dimension side is broadcast, so the plan
+    is a single pass over lineitem with no dimension shuffles; the CASE
+    numerator folds into the same hash aggregate as the denominator
+    (one shuffle on order_year)."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    supplier = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    cn = nation.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cn_region")
+    )
+    sn = nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    volume = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        lineitem.join(
+            F.broadcast(part.where(F.col("p_type") == "STANDARD").select("p_partkey")),
+            lineitem.l_partkey == F.col("p_partkey"),
+        )
+        .join(
+            orders.where(
+                F.col("o_orderdate").between("1995-01-01", "1996-12-31 00:00:00")
+            ),
+            lineitem.l_orderkey == F.col("o_orderkey"),
+        )
+        .join(
+            F.broadcast(customer.select("c_custkey", "c_nationkey")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .join(
+            F.broadcast(
+                region.where(F.col("r_name") == "AMERICA").select("r_regionkey")
+            ),
+            F.col("cn_region") == F.col("r_regionkey"),
+        )
+        .join(F.broadcast(supplier.select("s_suppkey", "s_nationkey")),
+              lineitem.l_suppkey == F.col("s_suppkey"))
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .groupBy(F.year("o_orderdate").alias("order_year"))
+        .agg(
+            dec_sum(
+                F.when(F.col("supp_nation") == "NATION_1", volume).otherwise(0.0),
+                "national_volume",
+                4,
+            ),
+            dec_sum(volume, "total_volume", 4),
+        )
+        .select(
+            "order_year",
+            (F.col("national_volume") / F.col("total_volume")).alias("mkt_share"),
+            "total_volume",
+        )
+    )
+
+
+@query(
+    "customer_order_distribution",
+    oracle="""
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+      SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      FROM customer
+      LEFT JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey
+    )
+    GROUP BY c_count
+    """,
+    tags=("J1", "Q13-shape", "outer-join"),
+)
+def customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q13-shaped order-count histogram: customers bucketed by how
+    many non-urgent orders they placed, *including the zero bucket* —
+    the left outer join keeps order-less customers and COUNT(o_orderkey)
+    ignores the null-extended rows.
+
+    Scale: the filter on orders is applied before the join (pushdown),
+    the first aggregate shuffles on c_custkey (same key as the join, so
+    AQE can reuse the exchange), and the second aggregate is over at
+    most a few hundred distinct counts — a near-free final shuffle."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        customer.select("c_custkey")
+        .join(
+            orders.where(F.col("o_orderpriority") != "1-URGENT").select(
+                "o_custkey", "o_orderkey"
+            ),
+            F.col("c_custkey") == F.col("o_custkey"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+    )
+
+
+@query(
+    "large_volume_customers",
+    oracle="""
+    SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+           CAST(SUM(l_quantity) AS DOUBLE) AS total_qty
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (
+      SELECT l_orderkey FROM lineitem
+      GROUP BY l_orderkey HAVING SUM(l_quantity) > 250
+    )
+    GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+    """,
+    tags=("J1", "Q18-shape", "subquery-in"),
+)
+def large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q18-shaped large-volume customers: orders whose total
+    lineitem quantity exceeds a threshold, joined back to the customer.
+
+    Expressed Spark-first as aggregate→filter→join rather than an
+    IN-subquery: the heavy lineitem aggregation runs once and its
+    (small) surviving key set drives the joins. Quantities are integral
+    doubles ≤50 over ≤7-row groups, so the double sum is exact in any
+    order. Scale: the HAVING survivor set is tiny (top ~1% of orders),
+    so both subsequent joins broadcast it; lineitem is re-joined only
+    to recompute nothing — the aggregate carries total_qty forward."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    big = (
+        lineitem.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .where(F.col("total_qty") > 250)
+    )
+    return (
+        orders.join(F.broadcast(big), orders.o_orderkey == big.l_orderkey)
+        .join(F.broadcast(customer.select("c_custkey", "c_name")),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice",
+            "total_qty",
+        )
+    )
+
+
+@query(
+    "waiting_suppliers",
+    oracle="""
+    SELECT s_name, COUNT(*) AS numwait
+    FROM (
+      SELECT DISTINCT l1.l_orderkey, l1.l_suppkey
+      FROM lineitem l1
+      JOIN orders ON o_orderkey = l1.l_orderkey
+      WHERE o_orderstatus = 'F'
+        AND l1.l_shipdate > o_orderdate + INTERVAL 90 DAY
+        AND EXISTS (
+          SELECT 1 FROM lineitem l2
+          WHERE l2.l_orderkey = l1.l_orderkey
+            AND l2.l_suppkey <> l1.l_suppkey
+        )
+        AND NOT EXISTS (
+          SELECT 1 FROM lineitem l3
+          WHERE l3.l_orderkey = l1.l_orderkey
+            AND l3.l_suppkey <> l1.l_suppkey
+            AND l3.l_shipdate > o_orderdate + INTERVAL 90 DAY
+        )
+    ) d
+    JOIN supplier ON s_suppkey = d.l_suppkey
+    GROUP BY s_name
+    """,
+    tags=("J1", "Q21-shape", "window", "subquery-exists"),
+)
+def waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q21-shaped sole-late-supplier count, at (order, supplier)
+    granularity: suppliers who shipped >90 days after the order date on
+    finalised multi-supplier orders where *every other* supplier shipped
+    on time. (The schema has no commit/receipt dates, so lateness is
+    ship-vs-order date.)
+
+    Spark-first reformulation: instead of the reference-SQL's correlated
+    EXISTS / NOT EXISTS pair (two extra passes over lineitem), collapse
+    to per-(order, supplier) late flags with one aggregate, then one
+    window over the order to count suppliers and late suppliers — the
+    sole-late condition is `late AND n_supp > 1 AND n_late = 1`. One
+    shuffle on l_orderkey serves the orders join, the aggregate, and
+    the window; the correlated-subquery oracle verifies equivalence."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    supplier = load_table(spark, sf_dir, "supplier")
+    flagged = (
+        lineitem.join(
+            orders.where(F.col("o_orderstatus") == "F").select(
+                "o_orderkey", "o_orderdate"
+            ),
+            lineitem.l_orderkey == F.col("o_orderkey"),
+        )
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(
+            F.max(
+                (
+                    F.col("l_shipdate")
+                    > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+                ).cast("int")
+            ).alias("late")
+        )
+    )
+    w = W.partitionBy("l_orderkey")
+    sole_late = (
+        flagged.withColumn("n_supp", F.count("*").over(w))
+        .withColumn("n_late", F.sum("late").over(w))
+        .where((F.col("late") == 1) & (F.col("n_supp") > 1) & (F.col("n_late") == 1))
+    )
+    return (
+        sole_late.join(
+            F.broadcast(supplier.select("s_suppkey", "s_name")),
+            sole_late.l_suppkey == F.col("s_suppkey"),
+        )
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+    )

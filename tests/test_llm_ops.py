@@ -285,3 +285,95 @@ def test_pack_sequences_respects_order_and_budget(spark):
     bins = {r["doc_id"]: r["bin_id"] for r in out}
     # 0..3 fit bin 0 (0,300,600,900 < 1000), 4..6 bin 1, 7..9 bin 2
     assert bins == {0: 0, 1: 0, 2: 0, 3: 0, 4: 1, 5: 1, 6: 1, 7: 2, 8: 2, 9: 2}
+
+
+def test_banding_curve_and_tuner_properties():
+    """tune_bands picks a valid tiling whose S-curve meets the recall
+    floor at the target and stays steeper (lower false-candidate mass)
+    than wider-band alternatives; the curve itself is monotone in j."""
+    from data_seedling_spark.operators.dedup import lsh_recall, tune_bands
+
+    # curve monotone in similarity, and more bands never lowers recall
+    js = [i / 20 for i in range(1, 20)]
+    for b, r in [(8, 8), (16, 4), (32, 2)]:
+        curve = [lsh_recall(j, b, r) for j in js]
+        assert all(x <= y + 1e-12 for x, y in zip(curve, curve[1:]))
+    assert lsh_recall(0.5, 16, 4) >= lsh_recall(0.5, 8, 4)
+
+    for num_perm in (64, 128, 256):
+        prev_threshold = 0.0
+        for target in (0.5, 0.7, 0.8, 0.9):
+            b, r = tune_bands(num_perm, target, min_recall=0.9)
+            assert 1 <= b <= num_perm and r == num_perm // b
+            assert lsh_recall(target, b, r) >= 0.9
+            # implied S-curve threshold (1/b)^(1/r) rises with target
+            thr = (1.0 / b) ** (1.0 / r)
+            assert thr >= prev_threshold - 1e-9
+            prev_threshold = thr
+
+    # impossible floor falls back to the max-recall banding (b=num_perm):
+    # at target 0.3 the best a 4-perm signature can do is 1-0.7^4 ≈ 0.76
+    b, r = tune_bands(4, 0.3, min_recall=0.9)
+    assert (b, r) == (4, 1)
+
+    with pytest.raises(ValueError):
+        tune_bands(64, 1.5)
+
+
+def test_minhash_auto_banding_recall(spark, documents):
+    """bands=None auto-tunes banding from the threshold; the tuned
+    pipeline keeps the planted-pair recall promise of the fixed-band
+    test above (same corpus construction, every-50th-word edits)."""
+    import pandas as pd
+
+    from data_seedling_spark.operators.dedup import (
+        jaccard,
+        lsh_recall,
+        minhash_lsh_pairs,
+        tune_bands,
+        word_shingles,
+    )
+
+    b, r = tune_bands(64, 0.8, min_recall=0.9)
+    assert lsh_recall(0.8, b, r) >= 0.9
+
+    base = documents.orderBy("doc_id").limit(30).toPandas()
+
+    def perturb(text):
+        words = text.split(" ")
+        return " ".join(w if i % 50 else "EDITED" for i, w in enumerate(words))
+
+    edited = pd.DataFrame(
+        {
+            "doc_id": base["doc_id"] + 2_000_000,
+            "text": base["text"].map(perturb),
+            "lang": base["lang"],
+            "source": base["source"],
+            "n_chars": base["n_chars"],
+        }
+    )
+    corpus = spark.createDataFrame(pd.concat([base, edited]))
+
+    sh = corpus.select("doc_id", word_shingles(F.col("text"), 3).alias("s"))
+    a, bb = sh.alias("a"), sh.alias("b")
+    truth = {
+        (row["doc_a"], row["doc_b"])
+        for row in (
+            a.join(bb, F.col("b.doc_id") == F.col("a.doc_id") + 2_000_000)
+            .select(
+                F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+                jaccard(F.col("a.s"), F.col("b.s")).alias("j"),
+            )
+            .where(F.col("j") >= 0.8)
+            .collect()
+        )
+    }
+    found = {
+        (row["doc_a"], row["doc_b"])
+        for row in minhash_lsh_pairs(
+            corpus, "text", "doc_id", bands=None, threshold=0.8
+        ).collect()
+    }
+    recall = len(truth & found) / len(truth)
+    assert recall >= 0.8, f"auto-tuned recall {recall:.2f} over {len(truth)} pairs"
