@@ -57,7 +57,76 @@ def run_one(fn, spark, sf_dir: str) -> float:
     return time.time() - t0
 
 
+def _stage_metrics(spark) -> dict:
+    """Cumulative stage-level metrics from the Spark status REST API.
+
+    Attributes where time goes (scan input vs shuffle vs executor
+    compute) so a bench regression points at a stage family, not just a
+    query. Returns zeros if the UI is disabled."""
+    import urllib.request
+
+    base = spark.sparkContext.uiWebUrl
+    if not base:
+        return {}
+    app_id = spark.sparkContext.applicationId
+    try:
+        with urllib.request.urlopen(
+            f"{base}/api/v1/applications/{app_id}/stages?status=complete", timeout=10
+        ) as resp:
+            stages = json.load(resp)
+    except Exception:
+        return {}
+    acc = {
+        "executor_run_ms": 0,
+        "executor_cpu_ms": 0,
+        "input_bytes": 0,
+        "shuffle_read_bytes": 0,
+        "shuffle_write_bytes": 0,
+        "spill_bytes": 0,
+        "stages": 0,
+    }
+    for s in stages:
+        acc["executor_run_ms"] += s.get("executorRunTime", 0)
+        acc["executor_cpu_ms"] += s.get("executorCpuTime", 0) // 1_000_000
+        acc["input_bytes"] += s.get("inputBytes", 0)
+        acc["shuffle_read_bytes"] += s.get("shuffleReadBytes", 0)
+        acc["shuffle_write_bytes"] += s.get("shuffleWriteBytes", 0)
+        acc["spill_bytes"] += s.get("diskBytesSpilled", 0)
+        acc["stages"] += 1
+    return acc
+
+
+def profile(names: list[str] | None = None) -> None:
+    """`bench.py --profile [names]`: one line per query with wall time
+    plus the stage-metric delta (shuffle/input/compute attribution)."""
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    # The standard session turns the UI off; the status REST API that
+    # serves the stage metrics lives behind it.
+    spark = build_session("bench-profile", extra_conf={"spark.ui.enabled": "true"})
+
+    from data_seedling_spark.queries import registry
+
+    reg = registry()
+    selected = names or [n for n in HEADLINE if n in reg]
+    run_one(reg[selected[0]].fn, spark, sf_dir)  # warmup
+
+    for name in selected:
+        before = _stage_metrics(spark)
+        wall = run_one(reg[name].fn, spark, sf_dir)
+        after = _stage_metrics(spark)
+        delta = {
+            k: after.get(k, 0) - before.get(k, 0)
+            for k in after
+        }
+        delta.update({"query": name, "wall_sec": round(wall, 3)})
+        print(json.dumps(delta), flush=True)
+
+
 def main() -> None:
+    if "--profile" in sys.argv:
+        idx = sys.argv.index("--profile")
+        profile(sys.argv[idx + 1 :] or None)
+        return
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1).rstrip(".")) if m else -1.0

@@ -377,3 +377,33 @@ def test_minhash_auto_banding_recall(spark, documents):
     }
     recall = len(truth & found) / len(truth)
     assert recall >= 0.8, f"auto-tuned recall {recall:.2f} over {len(truth)} pairs"
+
+
+def test_jvm_shingles_and_minhash_match_pandas_semantics(spark, documents):
+    """The all-JVM shingle/minhash path: shingle sets are byte-identical
+    to the pandas UDF path, and JVM signatures give recall 1 on exact
+    duplicates (identical text → identical signature)."""
+    from data_seedling_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures_jvm,
+        with_word_shingles_jvm,
+        word_shingles,
+    )
+
+    docs = documents.limit(40)
+    a = docs.select("doc_id", F.array_sort(word_shingles(F.col("text"), 3)).alias("s"))
+    b = with_word_shingles_jvm(docs, "text", "s").select(
+        "doc_id", F.array_sort("s").alias("s")
+    )
+    assert (
+        a.alias("a").join(b.alias("b"), "doc_id").where(
+            ~(F.col("a.s") == F.col("b.s"))
+        ).count()
+        == 0
+    )
+
+    dup = docs.withColumn("doc_id", F.col("doc_id") + 5_000_000)
+    sigs = minhash_signatures_jvm(docs.unionByName(dup), "text", "doc_id")
+    cands = lsh_candidate_pairs(sigs, "doc_id", bands=8, sig_len=64)
+    found = cands.where(F.col("doc_b") == F.col("doc_a") + 5_000_000).count()
+    assert found == 40  # every exact dup collides in every band
