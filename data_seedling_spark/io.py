@@ -146,6 +146,19 @@ def read_json_lines(spark: SparkSession, path: str, schema=None) -> DataFrame:
     return reader.json(path)
 
 
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """ORC sink — the other columnar interchange format (Hive
+    ecosystems). Types, nested structs, and predicate-pushdown stats
+    survive the round-trip like parquet's."""
+    df.write.mode(mode).orc(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC source; schema comes from file metadata (self-describing),
+    and filters push down to stripe/row-group level like parquet."""
+    return spark.read.orc(path)
+
+
 def write_sorted(
     df: DataFrame, path: str, sort_cols: list[str], partitions: int | None = None
 ) -> None:

@@ -345,3 +345,55 @@ def streaming_pseudonymise_pipeline(spark: SparkSession, sf_dir: str) -> DataFra
         return target.read()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+
+
+@query(
+    "stream_interval_join_clicks",
+    oracle="""
+    SELECT c.user_id AS user_id,
+           c.event_id AS l_event_id, c.ts AS l_ts,
+           p.event_id AS r_event_id, p.ts AS r_ts
+    FROM events c
+    JOIN events p
+      ON p.user_id = c.user_id
+     AND p.ts >= c.ts
+     AND p.ts <= c.ts + INTERVAL 1 HOUR
+    WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+    """,
+    tags=("streaming", "stream-stream-join"),
+)
+def stream_interval_join_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join, hash-verified against the batch
+    truth: purchases within one hour after a click by the same user,
+    both sides consumed as event-time streams with watermarks. The
+    watermark + range predicate bound the join state (state ∝ rate ×
+    horizon); the memory sink collects the joined rows, which must
+    equal the static interval join the oracle runs."""
+    import uuid as _uuid
+
+    from .streaming.windows import read_events_stream, stream_interval_join
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+
+    def side(event_type: str) -> DataFrame:
+        return (
+            read_events_stream(spark, sf_dir, schema, glob="events.parquet")
+            .where(F.col("event_type") == event_type)
+            .select("user_id", "ts", "event_id")
+        )
+
+    joined = stream_interval_join(
+        side("click"), side("purchase"), key="user_id", horizon="1 hour"
+    )
+    name = f"ssj_{_uuid.uuid4().hex[:10]}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.table(name)

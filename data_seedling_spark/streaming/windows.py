@@ -108,6 +108,48 @@ def stream_merge_into(
     )
 
 
+def stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    horizon: str = "1 hour",
+    lateness: str = "1 hour",
+    left_prefix: str = "l_",
+    right_prefix: str = "r_",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Stream-stream inner join on ``key`` within an event-time interval:
+    right rows whose timestamp falls in ``[left.ts, left.ts + horizon]``.
+
+    Both sides carry watermarks, which is what lets Spark bound the join
+    state: a buffered left row is evicted once the right watermark
+    passes ``left.ts + horizon`` (and vice versa), so state size tracks
+    rate × horizon, not stream length. Without the time-range predicate
+    the state store would have to hold both streams forever.
+
+    Columns come back prefixed per side (the two event streams share a
+    schema); the join key keeps its name.
+    """
+    lcols = [F.col(c).alias(f"{left_prefix}{c}") for c in left.columns if c != key]
+    rcols = [F.col(c).alias(f"{right_prefix}{c}") for c in right.columns if c != key]
+    lw = left.select(key, *lcols).withWatermark(f"{left_prefix}{ts_col}", lateness)
+    rw = (
+        right.select(F.col(key).alias("_rkey"), *rcols)
+        .withWatermark(f"{right_prefix}{ts_col}", lateness)
+    )
+    lt, rt = F.col(f"{left_prefix}{ts_col}"), F.col(f"{right_prefix}{ts_col}")
+    # The equi-key AND the time range must both sit in the join
+    # condition itself: the range is what the state-cleanup predicate
+    # is derived from.
+    return lw.join(
+        rw,
+        (F.col(key) == F.col("_rkey"))
+        & (rt >= lt)
+        & (rt <= lt + F.expr(f"INTERVAL {horizon}")),
+        "inner",
+    ).drop("_rkey")
+
+
 def streaming_dedup(
     stream: DataFrame, keys: list[str], lateness: str = "1 hour", ts_col: str = "ts"
 ) -> DataFrame:

@@ -4,6 +4,7 @@ from __future__ import annotations
 
 import pytest
 from pyspark.sql import Row
+from pyspark.sql import functions as F
 
 from data_seedling_spark.io import (
     JdbcConfig,
@@ -102,3 +103,25 @@ def test_sorted_write_narrows_row_group_stats(spark, tmp_path):
     assert avg_span < total_span / 2
     # and the sorted table still reads back complete
     assert spark.read.parquet(out).count() == lineitem.count()
+
+
+def test_orc_roundtrip_with_nested_types(spark, tmp_path):
+    """ORC round-trip preserves values AND nested struct/array types
+    (the shape the feature-extraction output uses)."""
+    from data_seedling_spark.io import read_orc, write_orc
+
+    nation = spark.read.parquet(f"{SF_SMOKE}/nation.parquet")
+    nested = nation.select(
+        "n_nationkey",
+        F.struct(
+            F.col("n_name").alias("name"),
+            F.array(F.col("n_regionkey"), F.lit(99)).alias("keys"),
+        ).alias("meta"),
+    )
+    path = str(tmp_path / "orc")
+    write_orc(nested, path)
+    back = read_orc(spark, path)
+    # names and types survive; nullability widens on read (standard for
+    # self-describing file formats)
+    assert back.schema.simpleString() == nested.schema.simpleString()
+    assert sorted(map(repr, back.collect())) == sorted(map(repr, nested.collect()))
