@@ -261,3 +261,51 @@ def ivf_topk(
     )
     w = W.partitionBy("query_id").orderBy(F.col("score").desc(), "neighbor_id")
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+def kmeans_lloyd(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    init_stride: int = 50,
+    iters: int = 2,
+) -> DataFrame:
+    """Distributed Lloyd's k-means over an embedding column, returning
+    the final (id, centroid_id) assignment.
+
+    Init is deterministic (every ``init_stride``-th vector), each
+    iteration is assign (broadcast centroids, one scan — `ivf_assign`)
+    then update (element-wise mean via posexplode → per-(centroid,
+    position) average → re-assemble). Centroid coordinates round to the
+    1e-6 grid after each update so the engine-independent doubles the
+    assignment compares are identical in the SQL oracle (the same
+    contract `ivf_assign` uses for distances). Clusters that lose all
+    members drop out (standard Lloyd's degeneracy; k can shrink).
+
+    Scale: per iteration one broadcast join (k×dim doubles — fine to
+    ~10⁵ centroids) + one shuffle of rows×dim (pos, val) pairs for the
+    update; iterations are driver-looped like `operators.graph`'s label
+    propagation, with the lineage cut implicitly by the aggregate.
+    """
+    vecs = df.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias(vec_col)
+    ).persist()
+    centroids = vecs.where(F.col(id_col) % init_stride == 0).select(
+        F.expr(f"`{id_col}` DIV {init_stride}").alias("centroid_id"),
+        F.col(vec_col),
+    )
+    for _ in range(iters):
+        assigned = ivf_assign(vecs, centroids, id_col, vec_col)
+        centroids = (
+            assigned.join(vecs, id_col)
+            .select("centroid_id", F.posexplode(vec_col).alias("pos", "val"))
+            .groupBy("centroid_id", "pos")
+            .agg(F.round(F.avg("val"), 6).alias("val"))
+            .groupBy("centroid_id")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "val"))).alias("_pv"))
+            .select(
+                "centroid_id",
+                F.transform("_pv", lambda s: s["val"]).alias(vec_col),
+            )
+        )
+    return ivf_assign(vecs, centroids, id_col, vec_col)

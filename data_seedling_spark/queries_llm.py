@@ -588,3 +588,65 @@ def split_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("t.doc_id").alias("holdout_doc_id"))
         .agg(F.count("*").alias("n_train_collisions"))
     )
+
+
+def _km_assign_cte(name: str, cent: str) -> str:
+    """DuckDB CTE: argmin-squared-L2 assignment of v against ``cent``
+    — the dot-identity + round(,6) + centroid tie-break contract of
+    ``operators.similarity.ivf_assign``."""
+    return f"""
+    {name} AS (
+      SELECT vec_id, cid FROM (
+        SELECT v.vec_id, c.cid,
+               ROW_NUMBER() OVER (
+                 PARTITION BY v.vec_id
+                 ORDER BY round(list_dot_product(vv, vv)
+                               + list_dot_product(cv, cv)
+                               - 2 * list_dot_product(vv, cv), 6),
+                          c.cid
+               ) AS rn
+        FROM v, {cent} c
+      ) WHERE rn = 1
+    )"""
+
+
+def _km_update_cte(name: str, assign: str) -> str:
+    """DuckDB CTE: element-wise centroid mean via parallel unnest of
+    values and subscripts, rounded to the 1e-6 grid like the engine."""
+    return f"""
+    {name} AS (
+      SELECT cid, list(val ORDER BY pos) AS cv FROM (
+        SELECT cid, pos, round(avg(val), 6) AS val FROM (
+          SELECT a.cid AS cid,
+                 unnest(v.vv) AS val,
+                 unnest(range(1, len(v.vv) + 1)) AS pos
+          FROM v JOIN {assign} a USING (vec_id)
+        ) GROUP BY cid, pos
+      ) GROUP BY cid
+    )"""
+
+
+@query(
+    "kmeans_cluster_assignment",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS vv FROM embeddings
+    ), c0 AS (
+      SELECT vec_id // 50 AS cid, embedding::DOUBLE[] AS cv
+      FROM embeddings WHERE vec_id % 50 = 0
+    ),{_km_assign_cte('a1', 'c0')},{_km_update_cte('c1', 'a1')},
+    {_km_assign_cte('a2', 'c1')},{_km_update_cte('c2', 'a2')},
+    {_km_assign_cte('a3', 'c2')}
+    SELECT vec_id, cid AS centroid_id FROM a3
+    """,
+    tags=("kmeans", "iterative", "similarity-ivf"),
+)
+def kmeans_cluster_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd's k-means (2 update iterations, deterministic
+    stride init) over the embeddings table — the iterative-algorithm
+    pattern hash-verified end-to-end: the oracle unrolls both
+    iterations as SQL CTEs and must land on identical assignments."""
+    from .operators.similarity import kmeans_lloyd
+
+    embeddings = load_table(spark, sf_dir, "embeddings")
+    return kmeans_lloyd(embeddings, init_stride=50, iters=2)

@@ -407,3 +407,28 @@ def test_jvm_shingles_and_minhash_match_pandas_semantics(spark, documents):
     cands = lsh_candidate_pairs(sigs, "doc_id", bands=8, sig_len=64)
     found = cands.where(F.col("doc_b") == F.col("doc_a") + 5_000_000).count()
     assert found == 40  # every exact dup collides in every band
+
+
+def test_kmeans_lloyd_reduces_inertia(spark, embeddings):
+    """Lloyd's iterations never increase within-cluster variance: the
+    2-iteration assignment must have inertia ≤ the stride-init
+    assignment (numpy recomputes both from scratch)."""
+    from data_seedling_spark.operators.similarity import kmeans_lloyd
+
+    pdf = embeddings.toPandas().sort_values("vec_id")
+    mat = np.stack(pdf["embedding"].map(np.asarray)).astype(np.float64)
+    ids = pdf["vec_id"].to_numpy()
+
+    def inertia(assign_rows):
+        cid = {r["vec_id"]: r["centroid_id"] for r in assign_rows}
+        labels = np.array([cid[i] for i in ids])
+        total = 0.0
+        for c in np.unique(labels):
+            pts = mat[labels == c]
+            total += float(((pts - pts.mean(axis=0)) ** 2).sum())
+        return total
+
+    a0 = kmeans_lloyd(embeddings, init_stride=50, iters=0).collect()
+    a2 = kmeans_lloyd(embeddings, init_stride=50, iters=2).collect()
+    assert len(a0) == len(a2) == embeddings.count()  # every vector assigned
+    assert inertia(a2) <= inertia(a0) + 1e-9
