@@ -48,10 +48,20 @@ HEADLINE = [
     "split_contamination_check",
     "embedding_near_dup",
     "nation_trade_volume",
+    "market_share_by_year",
+    "customer_order_distribution",
+    "large_volume_customers",
+    "waiting_suppliers",
+    "kmeans_cluster_assignment",
 ]
 
 
 def run_one(fn, spark, sf_dir: str) -> float:
+    # Queries persist() shared subtrees and hand cache ownership to the
+    # caller; dropping the cache between timed runs keeps measurements
+    # independent (no cross-query eviction thrash, no free rides on a
+    # previous run's cache) and bounds bench memory.
+    spark.catalog.clearCache()
     t0 = time.time()
     fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
     return time.time() - t0

@@ -284,9 +284,13 @@ def kmeans_lloyd(
 
     Scale: per iteration one broadcast join (k×dim doubles — fine to
     ~10⁵ centroids) + one shuffle of rows×dim (pos, val) pairs for the
-    update; iterations are driver-looped like `operators.graph`'s label
-    propagation, with the lineage cut implicitly by the aggregate.
+    update. Centroids are collected to the driver between iterations
+    (k×dim doubles — the same thing MLlib's KMeans keeps driver-side):
+    that cuts the lineage each round, so iteration N's plan doesn't
+    re-embed iterations 1..N-1, and the rebuilt centroid frame
+    broadcasts from a local relation instead of a growing subtree.
     """
+    spark = df.sparkSession
     vecs = df.select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias(vec_col)
     ).persist()
@@ -296,7 +300,7 @@ def kmeans_lloyd(
     )
     for _ in range(iters):
         assigned = ivf_assign(vecs, centroids, id_col, vec_col)
-        centroids = (
+        updated = (
             assigned.join(vecs, id_col)
             .select("centroid_id", F.posexplode(vec_col).alias("pos", "val"))
             .groupBy("centroid_id", "pos")
@@ -307,5 +311,8 @@ def kmeans_lloyd(
                 "centroid_id",
                 F.transform("_pv", lambda s: s["val"]).alias(vec_col),
             )
+        ).collect()
+        centroids = spark.createDataFrame(
+            updated, f"centroid_id long, {vec_col} array<double>"
         )
     return ivf_assign(vecs, centroids, id_col, vec_col)

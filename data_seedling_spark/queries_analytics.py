@@ -1442,3 +1442,58 @@ def waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s_name")
         .agg(F.count("*").alias("numwait"))
     )
+
+
+@query(
+    "top_revenue_suppliers",
+    oracle=f"""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             {_dec_sum_sql('l_extendedprice * (1 - l_discount)', 4)} AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate <  TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    """,
+    tags=("Q15-shape", "subquery-scalar", "view"),
+)
+def top_revenue_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q15-shaped top supplier(s): the revenue "view" computed
+    once, its max taken as a scalar, and the equality filter applied to
+    the same frame — exact-decimal revenue makes `== max` safe (both
+    sides sit on the 1e-4 grid; no float-compare hazard).
+
+    Scale: the revenue aggregate shuffles lineitem once on l_suppkey;
+    the persist means the scalar max and the filter reuse it instead of
+    recomputing the scan, and the surviving row set (usually 1) joins
+    the supplier dim by broadcast."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier")
+    revenue = (
+        lineitem.where(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1996-04-01")
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(
+            dec_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                "total_revenue",
+                4,
+            )
+        )
+        .persist()
+    )
+    top = revenue.agg(F.max("total_revenue").alias("m")).first()["m"]
+    return (
+        revenue.where(F.col("total_revenue") == top)
+        .join(
+            F.broadcast(supplier.select("s_suppkey", "s_name")),
+            F.col("supplier_no") == F.col("s_suppkey"),
+        )
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
