@@ -56,15 +56,37 @@ def pack_sequences(
     id_col: str,
     token_count_col,
     budget: int = 4096,
+    n_shards: int | None = None,
 ) -> DataFrame:
     """Assign each document (in ``id_col`` order) to a token-budget
     bin: bin = ⌊tokens-before-this-doc / budget⌋. In-order greedy
     packing; oversized documents overflow their own bin rather than
-    being dropped (filter beforehand if truncation is the policy)."""
-    w = W.orderBy(id_col).rowsBetween(W.unboundedPreceding, -1)
+    being dropped (filter beforehand if truncation is the policy).
+
+    ``n_shards=None`` uses ONE global ordering window — exact, but the
+    running sum funnels through a single partition, so it tops out
+    around tens of millions of rows. With ``n_shards`` set, documents
+    are hash-sharded first (deterministic md5 bucket of the id, same
+    family as :func:`hash_split`) and packed per shard in parallel;
+    the output gains a ``shard`` column and ``bin_id`` is unique per
+    (shard, bin_id). Corpus-scale packing jobs should pick n_shards ≈
+    corpus_tokens / (10⁷ × budget) so each shard's window stays small.
+    """
+    if n_shards is None:
+        w = W.orderBy(id_col).rowsBetween(W.unboundedPreceding, -1)
+        tokens_before = F.coalesce(F.sum(token_count_col).over(w), F.lit(0))
+        return df.select(
+            F.col(id_col),
+            token_count_col.alias("n_tokens"),
+            F.floor(tokens_before / budget).cast("bigint").alias("bin_id"),
+        )
+    shard = hash_bucket(F.col(id_col), n_shards)
+    w = W.partitionBy("shard").orderBy(id_col).rowsBetween(W.unboundedPreceding, -1)
+    with_shard = df.withColumn("shard", shard)
     tokens_before = F.coalesce(F.sum(token_count_col).over(w), F.lit(0))
-    return df.select(
+    return with_shard.select(
         F.col(id_col),
+        "shard",
         token_count_col.alias("n_tokens"),
         F.floor(tokens_before / budget).cast("bigint").alias("bin_id"),
     )

@@ -650,3 +650,46 @@ def kmeans_cluster_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     embeddings = load_table(spark, sf_dir, "embeddings")
     return kmeans_lloyd(embeddings, init_stride=50, iters=2)
+
+
+@query(
+    "sequence_packing_sharded",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 8
+               AS shard,
+             len(string_split(text, ' ')) AS n_tokens
+      FROM documents
+    ), packed AS (
+      SELECT doc_id, shard, n_tokens,
+             CAST(floor(COALESCE(SUM(n_tokens) OVER (
+               PARTITION BY shard
+               ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) / 2048.0) AS BIGINT) AS bin_id
+      FROM toks
+    )
+    SELECT shard, bin_id, COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens
+    FROM packed GROUP BY shard, bin_id
+    """,
+    tags=("sampling", "packing", "shard"),
+)
+def sequence_packing_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-scale variant of sequence packing: documents hash-shard
+    deterministically (md5 bucket) and each shard packs independently
+    under its own running-sum window — 8 parallel windows here, one
+    per shard at 100 TB, instead of one global single-partition sort."""
+    from .operators.sampling import pack_sequences
+
+    documents = load_table(spark, sf_dir, "documents")
+    packed = pack_sequences(
+        documents,
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")),
+        budget=2048,
+        n_shards=8,
+    )
+    return packed.groupBy("shard", "bin_id").agg(
+        F.count("*").alias("n_docs"), F.sum("n_tokens").alias("bin_tokens")
+    )

@@ -432,3 +432,36 @@ def test_kmeans_lloyd_reduces_inertia(spark, embeddings):
     a2 = kmeans_lloyd(embeddings, init_stride=50, iters=2).collect()
     assert len(a0) == len(a2) == embeddings.count()  # every vector assigned
     assert inertia(a2) <= inertia(a0) + 1e-9
+
+
+def test_pack_sequences_sharded_parallel_packing(spark):
+    """Sharded packing: every document lands in exactly one shard,
+    per-shard bins respect the budget (beyond single-doc overflow),
+    and shard assignment is deterministic across calls."""
+    from data_seedling_spark.operators.sampling import pack_sequences
+
+    df = spark.range(200).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 7 * 100 + 50).alias("n")
+    )
+    out = pack_sequences(df, "doc_id", F.col("n"), budget=1000, n_shards=4).collect()
+    assert len(out) == 200
+    assert {r["shard"] for r in out} <= set(range(4))
+
+    # within each (shard, bin): total tokens ≤ budget unless a bin holds
+    # docs that overflowed in-order (greedy prefix rule: tokens_before
+    # < budget when the doc entered)
+    from collections import defaultdict
+
+    bins = defaultdict(list)
+    for r in out:
+        bins[(r["shard"], r["bin_id"])].append(r)
+    for (_, _), rows in bins.items():
+        rows.sort(key=lambda r: r["doc_id"])
+        # prefix rule: every doc's tokens-before within its bin < budget
+        acc = 0
+        for r in rows:
+            assert acc < 1000
+            acc += r["n_tokens"]
+
+    again = pack_sequences(df, "doc_id", F.col("n"), budget=1000, n_shards=4).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
