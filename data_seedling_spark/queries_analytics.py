@@ -1497,3 +1497,108 @@ def top_revenue_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("s_suppkey", "s_name", "total_revenue")
     )
+
+
+@query(
+    "hourly_activity_gap_filled",
+    oracle="""
+    WITH bounds AS (
+      SELECT date_trunc('hour', MIN(ts)) AS lo, date_trunc('hour', MAX(ts)) AS hi
+      FROM events
+    ), hours AS (
+      SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour FROM bounds
+    ), types AS (
+      SELECT DISTINCT event_type FROM events
+    ), counts AS (
+      SELECT date_trunc('hour', ts) AS hour, event_type, COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT h.hour, t.event_type, COALESCE(c.n, 0) AS n_events
+    FROM hours h CROSS JOIN types t
+    LEFT JOIN counts c ON c.hour = h.hour AND c.event_type = t.event_type
+    """,
+    tags=("timeseries", "gap-fill", "outer-join"),
+)
+def hourly_activity_gap_filled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap filling: the hourly activity grid with explicit
+    zero rows for silent hours — the densification step every
+    monitoring/forecasting consumer needs, since a groupBy alone emits
+    nothing for empty buckets.
+
+    Scale: the dense grid is hours × types (tiny — it grows with the
+    time span, not the data) and is built by sequence+explode from the
+    observed bounds, then broadcast against the aggregated counts; the
+    only fact-sized work is the one counts aggregate."""
+    events = load_table(spark, sf_dir, "events")
+    counts = (
+        events.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour"), "event_type"
+        ).agg(F.count("*").alias("n"))
+    ).persist()
+    bounds = events.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    hours = bounds.select(
+        F.explode(
+            F.sequence(F.col("lo"), F.col("hi"), F.expr("INTERVAL 1 HOUR"))
+        ).alias("hour")
+    )
+    types = events.select("event_type").distinct()
+    return (
+        hours.crossJoin(types)
+        .join(
+            counts,
+            ["hour", "event_type"],
+            "left",
+        )
+        .select(
+            "hour",
+            "event_type",
+            F.coalesce(F.col("n"), F.lit(0)).alias("n_events"),
+        )
+    )
+
+
+@query(
+    "fuzzy_name_matches",
+    oracle="""
+    SELECT a.p_partkey AS part_a, b.p_partkey AS part_b,
+           levenshtein(a.p_name, b.p_name) AS edit_dist
+    FROM part a
+    JOIN part b
+      ON string_split(a.p_name, ' ')[2] = string_split(b.p_name, ' ')[2]
+     AND a.p_partkey < b.p_partkey
+    WHERE levenshtein(a.p_name, b.p_name) <= 2 AND a.p_name <> b.p_name
+    """,
+    tags=("fuzzy", "levenshtein", "self-join"),
+)
+def fuzzy_name_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy matching: near-identical part names (edit distance
+    ≤ 2, e.g. one adjective letter apart) found by a self-join *blocked
+    on the noun token* — the classic entity-resolution shape. The block
+    key turns the O(n²) cross product into per-block candidates, and
+    levenshtein (JVM built-in) runs only inside blocks. At corpus scale
+    the block key shuffles both sides co-located, exactly like the
+    MinHash band join."""
+    part = load_table(spark, sf_dir, "part")
+    keyed = part.select(
+        "p_partkey",
+        "p_name",
+        F.split(F.col("p_name"), " ").getItem(1).alias("_block"),
+    )
+    a, b = keyed.alias("a"), keyed.alias("b")
+    dist = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
+    return (
+        a.join(
+            b,
+            (F.col("a._block") == F.col("b._block"))
+            & (F.col("a.p_partkey") < F.col("b.p_partkey")),
+        )
+        .where((dist <= 2) & (F.col("a.p_name") != F.col("b.p_name")))
+        .select(
+            F.col("a.p_partkey").alias("part_a"),
+            F.col("b.p_partkey").alias("part_b"),
+            dist.alias("edit_dist"),
+        )
+    )
