@@ -181,6 +181,40 @@ def embedding_near_dup_pairs(
     )
 
 
+def embedding_near_dup_ivf(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.4,
+    centroid_stride: int = 50,
+) -> DataFrame:
+    """Embedding near-dup pairs blocked on IVF quantizer cells — the
+    corpus-scale path.
+
+    A label/metadata block key has data-dependent cardinality (one
+    dominant label ⇒ quadratic all-pairs); quantizer cells instead
+    *scale with the corpus* (~rows/``centroid_stride`` cells), so mean
+    block size stays ≈``centroid_stride`` regardless of corpus size and
+    the pair join stays O(rows·stride). Same deterministic stride
+    quantizer as ``ivf_topk`` — a k-means fit plugs in identically.
+    Near-dup vectors are near in space, so cell blocking keeps recall
+    high for the ≥threshold band (cell-boundary pairs are the miss
+    mode, same knob as nprobe in IVF search).
+    """
+    centroids = df.where((F.col(id_col) % centroid_stride) == 0).select(
+        (F.col(id_col) / centroid_stride).cast("long").alias("centroid_id"),
+        F.col(vec_col),
+    )
+    assigned = ivf_assign(df, centroids, id_col, vec_col)
+    blocked = df.join(assigned, on=id_col).select(
+        F.col(id_col), F.col("centroid_id"), F.col(vec_col)
+    )
+    return embedding_near_dup_pairs(
+        blocked, id_col=id_col, vec_col=vec_col,
+        block_col="centroid_id", threshold=threshold,
+    )
+
+
 def ivf_assign(
     df: DataFrame,
     centroids: DataFrame,

@@ -50,13 +50,84 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
     return deco
 
 
+# Curated registry order. The driver's correctness harness checks the
+# first 50 entries, so the window must span every §2 family plus the
+# full LLM-pipeline and pipeline-protocol suites (the north-star
+# surface), not just whichever module imported first. Names listed here
+# come first (in this order); everything else follows in registration
+# order. A name listed here but not registered is a hard error so the
+# curation can't silently rot.
+_PRIORITY: tuple[str, ...] = (
+    # Flagship + core relational (reference's §2 families S/P/J/A/W/U/F).
+    "flagship_revenue_by_nation",
+    "pricing_summary",
+    "groupby_count_status",
+    "filter_predicates",
+    "project_cast_literal",
+    "salted_hash_ids",
+    "datetime_truncation",
+    "top_orders_limit",
+    "join_segment_rollup",
+    "semi_anti_customers",
+    "union_reassemble",
+    "merge_insert_apply",
+    "merge_delete_apply",
+    "distinct_users_by_type",
+    # High-value extended-surface representatives.
+    "approx_distinct_quantiles",
+    "window_top_orders_per_segment",
+    "asof_join_purchase_click",
+    "nation_trade_volume",
+    "fuzzy_name_matches",
+    # LLM training-data pipeline suite (BASELINE north_star).
+    "dedup_exact_documents",
+    "ngram_jaccard_dedup",
+    "minhash_lsh_near_dup",
+    "simhash_documents",
+    "similarity_topk_bruteforce",
+    "ann_lsh_hyperplane",
+    "text_quality_scores",
+    "language_id_documents",
+    "token_count_documents",
+    "doc_fingerprints",
+    "multimodal_metadata",
+    "multimodal_decode_stub",
+    "embedding_near_dup",
+    "embedding_near_dup_ivf",
+    "ivf_ann_topk",
+    "dedup_cluster_assignment",
+    "udtf_token_spans",
+    "train_test_split_hash",
+    "sequence_packing_bins",
+    "sequence_packing_sharded",
+    "split_contamination_check",
+    "kmeans_cluster_assignment",
+    # Pipeline-protocol suite (reference CDC / pseudonymisation /
+    # feature extraction / streaming — SURVEY §3).
+    "cdc_incremental_roundtrip",
+    "pseudonymise_customers",
+    "pseudonymise_events",
+    "anonymise_documents",
+    "feature_extract_documents",
+    "incremental_pseudonymisation",
+    "nested_relations_projection",
+    "streaming_pseudonymise_pipeline",
+    "stream_interval_join_clicks",
+)
+
+
 def registry() -> dict[str, QuerySpec]:
     # Import side-effect modules that register additional queries.
     from . import queries_analytics  # noqa: F401
     from . import queries_llm  # noqa: F401
     from . import queries_pipeline  # noqa: F401
 
-    return dict(_REGISTRY)
+    missing = [n for n in _PRIORITY if n not in _REGISTRY]
+    if missing:
+        raise KeyError(f"_PRIORITY names not registered: {missing}")
+    ordered = {name: _REGISTRY[name] for name in _PRIORITY}
+    ordered.update((n, s) for n, s in _REGISTRY.items() if n not in ordered)
+    return ordered
 
 
 def dec_sum(col, alias: str, scale: int = 2):

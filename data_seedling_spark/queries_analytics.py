@@ -477,11 +477,16 @@ def string_functions_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 def approx_distinct_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate aggregates (HLL++ distinct, GK quantiles). Sketch
     outputs are engine-specific, so the driver records a rows-only
-    check; the pytest suite bounds their error vs exact values."""
+    check; the pytest suite bounds their error vs exact values. All
+    output columns are scalars (the quartile array is flattened via
+    element_at) so the driver's row canonicalizer can hash them."""
     lineitem = load_table(spark, sf_dir, "lineitem")
+    quartiles = F.percentile_approx("l_quantity", [0.25, 0.5, 0.75])
     return lineitem.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_partkey").alias("approx_parts"),
-        F.percentile_approx("l_quantity", [0.25, 0.5, 0.75]).alias("qty_quartiles"),
+        F.element_at(quartiles, 1).alias("qty_p25"),
+        F.element_at(quartiles, 2).alias("qty_p50"),
+        F.element_at(quartiles, 3).alias("qty_p75"),
         F.countDistinct("l_partkey").alias("exact_parts"),
     )
 

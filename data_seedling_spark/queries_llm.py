@@ -324,12 +324,58 @@ def multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (≥0.4) inside label
-    blocks — the embedding leg of the dedup suite; at corpus scale the
-    block key comes from the IVF quantizer instead of a label."""
+    blocks — the small-data oracle twin of the dedup suite's embedding
+    leg. The corpus-scale path is ``embedding_near_dup_ivf`` (blocks on
+    quantizer cells whose count grows with the corpus)."""
     from .operators.similarity import embedding_near_dup_pairs
 
     embeddings = load_table(spark, sf_dir, "embeddings")
     return embedding_near_dup_pairs(embeddings, threshold=0.4)
+
+
+@query(
+    "embedding_near_dup_ivf",
+    oracle="""
+    WITH c AS (
+      SELECT vec_id // 50 AS centroid_id, embedding::DOUBLE[] AS cv
+      FROM embeddings WHERE vec_id % 50 = 0
+    ), v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS vv FROM embeddings
+    ), assigned AS (
+      SELECT vec_id, centroid_id FROM (
+        SELECT v.vec_id, c.centroid_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY v.vec_id
+                 ORDER BY round(list_dot_product(vv, vv) + list_dot_product(cv, cv)
+                                - 2 * list_dot_product(vv, cv), 6),
+                          c.centroid_id
+               ) AS rn
+        FROM v, c
+      ) WHERE rn = 1
+    ), cells AS (
+      SELECT v.vec_id, a.centroid_id, v.vv FROM v JOIN assigned a USING (vec_id)
+    )
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round(list_dot_product(a.vv, b.vv)
+                 / (sqrt(list_dot_product(a.vv, a.vv))
+                    * sqrt(list_dot_product(b.vv, b.vv))), 6) AS score
+    FROM cells a JOIN cells b
+      ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+    WHERE round(list_dot_product(a.vv, b.vv)
+                / (sqrt(list_dot_product(a.vv, a.vv))
+                   * sqrt(list_dot_product(b.vv, b.vv))), 6) >= 0.4
+    """,
+    tags=("dedup-embedding", "similarity-ivf"),
+)
+def embedding_near_dup_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-scale embedding near-dup: block on IVF quantizer cells
+    (cell count ~ rows/stride, so mean block size is constant in corpus
+    size) instead of a data-dependent label column. Deterministic
+    stride quantizer keeps the approximate index oracle-checkable."""
+    from .operators.similarity import embedding_near_dup_ivf as _near_dup_ivf
+
+    embeddings = load_table(spark, sf_dir, "embeddings")
+    return _near_dup_ivf(embeddings, threshold=0.4, centroid_stride=50)
 
 
 @query(

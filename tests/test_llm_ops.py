@@ -129,6 +129,49 @@ def test_ann_lsh_candidates_are_exactly_scored(spark, embeddings):
         assert abs(r["score"] - true) < 1e-5
 
 
+def test_embedding_near_dup_ivf_block_cardinality(spark, embeddings):
+    """The IVF near-dup block key must *scale with the corpus*: cell
+    count grows ~rows/stride (so mean block size stays ~stride), unlike
+    a label key whose handful of blocks go quadratic. Also checks every
+    reported pair is a true >=threshold cosine pair within a cell."""
+    from data_seedling_spark.operators.similarity import (
+        embedding_near_dup_ivf,
+        ivf_assign,
+    )
+
+    stride = 20
+    n_rows = embeddings.count()
+
+    def n_cells(df):
+        cents = df.where((F.col("vec_id") % stride) == 0).select(
+            (F.col("vec_id") / stride).cast("long").alias("centroid_id"),
+            "embedding",
+        )
+        return (
+            ivf_assign(df, cents).select("centroid_id").distinct().count()
+        )
+
+    half = embeddings.where(F.col("vec_id") < n_rows // 2)
+    cells_half, cells_full = n_cells(half), n_cells(embeddings)
+    assert cells_full > cells_half  # cardinality grows with corpus
+    assert cells_full >= (n_rows // stride) // 2  # ~rows/stride, not O(1)
+
+    pairs = embedding_near_dup_ivf(
+        embeddings, threshold=0.4, centroid_stride=stride
+    ).collect()
+    pdf = embeddings.toPandas()
+    vecs = {
+        int(r["vec_id"]): np.asarray(r["embedding"], dtype=np.float64)
+        for _, r in pdf.iterrows()
+    }
+    assert len(pairs) > 0
+    for r in pairs:
+        a, b = vecs[r["vec_a"]], vecs[r["vec_b"]]
+        true = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+        assert abs(r["score"] - true) < 1e-5
+        assert r["score"] >= 0.4
+
+
 def test_quality_scores_ranges(spark, documents):
     from data_seedling_spark.operators.textstats import quality_scores
 
