@@ -46,7 +46,7 @@ HEADLINE = [
     "train_test_split_hash",
     "sequence_packing_bins",
     "split_contamination_check",
-    "embedding_near_dup",
+    "embedding_near_dup_ivf",
     "nation_trade_volume",
     "market_share_by_year",
     "customer_order_distribution",

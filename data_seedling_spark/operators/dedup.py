@@ -34,11 +34,15 @@ def scale_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     """X1 pattern (reference ``pseudonymisation.py:55-57``): raise
     parallelism before expensive per-row work. Small tables often
     arrive as one file → one partition, which would serialize the
-    whole stage on a single core."""
+    whole stage on a single core.
+
+    Repartitions unconditionally to the cluster's default parallelism:
+    probing the current partition count via ``df.rdd`` would force a
+    deserialization boundary into the plan object, and AQE coalesces
+    the shuffle back down if the input was already wide enough.
+    """
     target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+    return df.repartition(target)
 
 # ---------------------------------------------------------------------------
 # Exact dedup

@@ -228,6 +228,13 @@ def ivf_assign(
 
     Squared L2 uses the dot identity ‖v‖²+‖c‖²−2v·c so the oracle can
     reproduce the exact doubles via ``list_dot_product``.
+
+    The argmin is ``min_by`` over the (distance, centroid) struct — a
+    declarative aggregate with map-side partial combine, so the shuffle
+    carries one row per vector instead of the rows×k scored pairs a
+    rank-window formulation would sort. (distance, centroid) is unique
+    per candidate, so min_by is deterministic; equivalent to
+    ``ROW_NUMBER() OVER (ORDER BY dist, centroid) = 1``.
     """
     sq_dist = (
         _dot(F.col("_v"), F.col("_v"))
@@ -241,11 +248,8 @@ def ivf_assign(
     scored = v.join(F.broadcast(c)).select(
         id_col, centroid_id, F.round(sq_dist, 6).alias("_d")
     )
-    w = W.partitionBy(id_col).orderBy("_d", centroid_id)
-    return (
-        scored.withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") == 1)
-        .select(id_col, centroid_id)
+    return scored.groupBy(id_col).agg(
+        F.min_by(centroid_id, F.struct("_d", centroid_id)).alias(centroid_id)
     )
 
 

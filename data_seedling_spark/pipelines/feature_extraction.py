@@ -163,7 +163,9 @@ def extract_features(
             result = analyse_text(result, col, extractor, api_keys[0])
         return result
 
-    df = df.repartition(max(min_parallelism, df.rdd.getNumPartitions()))
+    df = df.repartition(
+        max(min_parallelism, df.sparkSession.sparkContext.defaultParallelism)
+    )
     shards = df.randomSplit([1.0] * len(api_keys), seed=seed)
     done = []
     for shard, key in zip(shards, api_keys):
