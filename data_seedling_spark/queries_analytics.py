@@ -1580,24 +1580,52 @@ def hourly_activity_gap_filled(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def fuzzy_name_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocked fuzzy matching: near-identical part names (edit distance
-    ≤ 2, e.g. one adjective letter apart) found by a self-join *blocked
-    on the noun token* — the classic entity-resolution shape. The block
-    key turns the O(n²) cross product into per-block candidates, and
-    levenshtein (JVM built-in) runs only inside blocks. At corpus scale
-    the block key shuffles both sides co-located, exactly like the
-    MinHash band join."""
+    ≤ 2, e.g. one adjective letter apart) found by a self-join blocked
+    on (noun token, length band) — the classic entity-resolution shape
+    with two skew guards. The noun token alone is Zipfian (a common
+    noun grows linearly with table size → one quadratic block on one
+    task), so:
+
+    1. **Length band** (``len(name) DIV 2``): edit distance ≤ 2 bounds
+       the length gap at 2, so true pairs sit in the same or adjacent
+       band — the probe side fans out to {band−1, band, band+1} and
+       every true pair is matched exactly once (on the build side's own
+       band). Prunes cross-band candidates before levenshtein runs.
+    2. **Deterministic salt** (``xxhash64(pk) % 8``): the build side
+       keeps its own salt, the probe side fans out across all 8, so a
+       hot (noun, band) block splits into 8 even join cells — the
+       straggler cap AQE's skew-split gives for free on real skew, made
+       explicit and measurable (docs/SCALE.md §skew).
+
+    Probe fan-out is 3×8 = 24 replicas of just (pk, name) — bytes, not
+    documents. Result set is provably identical to plain noun blocking,
+    so the oracle needs neither guard."""
     part = load_table(spark, sf_dir, "part")
+    n_salts = 8
+    band = (F.length("p_name") / 2).cast("int")
     keyed = part.select(
         "p_partkey",
         "p_name",
         F.split(F.col("p_name"), " ").getItem(1).alias("_block"),
+        band.alias("_band"),
+        F.pmod(F.xxhash64("p_partkey"), F.lit(n_salts)).alias("_salt"),
     )
-    a, b = keyed.alias("a"), keyed.alias("b")
+    probe = (
+        keyed.drop("_salt")
+        .withColumn(
+            "_pband",
+            F.explode(F.array(F.col("_band") - 1, F.col("_band"), F.col("_band") + 1)),
+        )
+        .withColumn("_psalt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)])))
+    )
+    a, b = keyed.alias("a"), probe.alias("b")
     dist = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
     return (
         a.join(
             b,
             (F.col("a._block") == F.col("b._block"))
+            & (F.col("a._band") == F.col("b._pband"))
+            & (F.col("a._salt") == F.col("b._psalt"))
             & (F.col("a.p_partkey") < F.col("b.p_partkey")),
         )
         .where((dist <= 2) & (F.col("a.p_name") != F.col("b.p_name")))

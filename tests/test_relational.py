@@ -67,3 +67,23 @@ def test_salted_join_rejects_unsupported_how(spark):
     small = spark.createDataFrame([Row(k=1)])
     with _pytest.raises(ValueError, match="inner/left"):
         salted_join(big, small, "k", how="right")
+
+
+def test_fuzzy_blocking_guards_cap_block_size_sf01(spark):
+    """fuzzy_name_matches' skew guards at sf0.1: the (noun, band, salt)
+    build-side cells must be far smaller than the raw noun blocks
+    (Zipfian noun -> one quadratic straggler without the guards)."""
+    from data_seedling_spark.tables import load_table
+
+    part = load_table(spark, "/root/testdata/sf0.1", "part")
+    keyed = part.select(
+        F.split("p_name", " ").getItem(1).alias("_block"),
+        (F.length("p_name") / 2).cast("int").alias("_band"),
+        F.pmod(F.xxhash64("p_partkey"), F.lit(8)).alias("_salt"),
+    )
+    noun_max = keyed.groupBy("_block").count().agg(F.max("count")).first()[0]
+    cell_max = (
+        keyed.groupBy("_block", "_band", "_salt").count().agg(F.max("count")).first()[0]
+    )
+    assert cell_max * 4 < noun_max  # straggler split into even cells
+    assert cell_max <= noun_max / 8 * 1.5  # salt spreads ~evenly
