@@ -1,9 +1,11 @@
 """Source/sink surface beyond parquet (SURVEY §2.1 S12/S13/S15).
 
 - ``jdbc_*``: the reference's feature-store sink (S12; reference
-  ``db.py:59-136``) — connection options assembled the same way; the
-  actual round-trip needs a JDBC driver jar on the classpath, which
-  this container doesn't ship, so callers get a clear error instead of
+  ``db.py:59-136``) — connection options assembled the same way. The
+  path is exercised end-to-end against embedded Derby (the jars ship
+  inside the Spark distribution; ``JdbcConfig.derby_memory``); for
+  servers whose driver jar isn't on the classpath (e.g. the
+  reference's SQL Server target) callers get a clear error instead of
   a Py4J stack.
 - ``register_parquet_table``: catalog DDL (S13; reference
   ``datalake.py:102-120``) via ``CREATE TABLE ... USING parquet
@@ -22,7 +24,13 @@ from pyspark.sql import DataFrame, SparkSession
 @dataclass
 class JdbcConfig:
     """Connection shape mirroring the reference's ``DatabaseConfig``
-    (``db.py:59-108``): host/db/credentials → url + properties."""
+    (``db.py:59-108``): host/db/credentials → url + properties.
+
+    ``url_override`` swaps the server-form URL for an embedded target
+    (``derby_memory`` builds one) without changing the option plumbing
+    the sink/source use — the same seam the reference's config object
+    gives its tests.
+    """
 
     host: str
     database: str
@@ -30,9 +38,26 @@ class JdbcConfig:
     password: str
     port: int = 1433
     driver: str = "com.microsoft.sqlserver.jdbc.SQLServerDriver"
+    url_override: str | None = None
+
+    @classmethod
+    def derby_memory(cls, database: str) -> "JdbcConfig":
+        """Embedded in-memory Derby target (jars ship with Spark) —
+        the offline stand-in for the reference's SQL Server feature
+        store; exercises the exact same reader/writer code path."""
+        return cls(
+            host="embedded",
+            database=database,
+            username="",
+            password="",
+            driver="org.apache.derby.jdbc.EmbeddedDriver",
+            url_override=f"jdbc:derby:memory:{database};create=true",
+        )
 
     @property
     def url(self) -> str:
+        if self.url_override:
+            return self.url_override
         return f"jdbc:sqlserver://{self.host}:{self.port};databaseName={self.database}"
 
     def options(self, table: str) -> dict[str, str]:
@@ -83,7 +108,9 @@ def jdbc_read(spark: SparkSession, config: JdbcConfig, query: str) -> DataFrame:
             f"JDBC driver {config.driver} is not on the classpath; add the "
             "driver jar via spark.jars to enable the JDBC source"
         )
-    return spark.read.format("jdbc").options(**config.options(f"({query}) q")).load()
+    # ``AS`` is required by Derby for a derived-table alias and accepted
+    # by every other dialect.
+    return spark.read.format("jdbc").options(**config.options(f"({query}) AS q")).load()
 
 
 def register_parquet_table(

@@ -91,7 +91,6 @@ _PRIORITY: tuple[str, ...] = (
     "token_count_documents",
     "doc_fingerprints",
     "multimodal_metadata",
-    "multimodal_decode_stub",
     "embedding_near_dup",
     "embedding_near_dup_ivf",
     "ivf_ann_topk",
@@ -104,6 +103,7 @@ _PRIORITY: tuple[str, ...] = (
     "kmeans_cluster_assignment",
     # Pipeline-protocol suite (reference CDC / pseudonymisation /
     # feature extraction / streaming — SURVEY §3).
+    "jdbc_feature_store_roundtrip",
     "cdc_incremental_roundtrip",
     "pseudonymise_customers",
     "pseudonymise_events",

@@ -397,3 +397,48 @@ def stream_interval_join_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.processAllAvailable()
     q.stop()
     return spark.table(name)
+
+
+@query(
+    "jdbc_feature_store_roundtrip",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(ROUND(o_totalprice, 2) AS DECIMAL(18,2))) AS DOUBLE)
+             AS total_value
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    tags=("S12", "jdbc"),
+)
+def jdbc_feature_store_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S12 feature-store sink + source end-to-end (reference
+    ``db.py:111-136``): aggregate orders, overwrite-append the feature
+    frame over JDBC into embedded Derby (driver jars ship inside the
+    Spark distribution), then read it back through the pushdown-query
+    source. The returned frame is what came OUT of the database, so the
+    oracle checks the whole write→read loop, not just the aggregate.
+    Overwrite mode keeps the query idempotent across driver re-runs."""
+    from .io import JdbcConfig, jdbc_read
+    from .queries import dec_sum
+
+    features = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            dec_sum(F.col("o_totalprice"), "total_value"),
+        )
+    )
+    cfg = JdbcConfig.derby_memory("feature_store_q")
+    (
+        features.write.format("jdbc")
+        .mode("overwrite")
+        .options(**cfg.options("order_features"))
+        .save()
+    )
+    return jdbc_read(
+        spark,
+        cfg,
+        'SELECT "o_orderpriority", "n_orders", "total_value" FROM order_features',
+    )

@@ -125,3 +125,25 @@ def test_orc_roundtrip_with_nested_types(spark, tmp_path):
     # self-describing file formats)
     assert back.schema.simpleString() == nested.schema.simpleString()
     assert sorted(map(repr, back.collect())) == sorted(map(repr, nested.collect()))
+
+
+def test_jdbc_derby_roundtrip_e2e(spark):
+    """S12 end-to-end over embedded Derby (jars ship with Spark): the
+    feature-store append + pushdown-query read, exercising the exact
+    reader/writer option plumbing the SQL Server target uses."""
+    from data_seedling_spark.io import jdbc_read
+
+    cfg = JdbcConfig.derby_memory("feature_store")
+    df = spark.createDataFrame(
+        [Row(pk=1, score=0.5), Row(pk=2, score=0.7), Row(pk=3, score=0.9)]
+    )
+    jdbc_append(df, cfg, "features")
+    jdbc_append(df.where(F.col("pk") == 1), cfg, "features")  # append, not replace
+
+    # Spark's writer quotes identifiers, so Derby stores them
+    # case-sensitively — quote them in the pushdown query too.
+    back = jdbc_read(
+        spark, cfg, 'SELECT "pk", "score" FROM features WHERE "score" < 0.9'
+    )
+    got = sorted((r["pk"], r["score"]) for r in back.collect())
+    assert got == [(1, 0.5), (1, 0.5), (2, 0.7)]
