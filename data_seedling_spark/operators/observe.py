@@ -13,21 +13,40 @@ after the action completes, at zero extra scans. The driver-side
 
 from __future__ import annotations
 
+from collections.abc import Callable
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
+#: Exporter seam (reference ``monitoring.py:53-94`` ships measurements
+#: to Azure Monitor via OpenCensus): any callable taking
+#: (metric_name, value, tags). Transport-specific exporters (console,
+#: StatsD, a cloud monitor SDK) plug in here without touching the
+#: aggregation semantics.
+MetricExporter = Callable[[str, float, dict[str, str]], None]
+
+
+def console_exporter(name: str, value: float, tags: dict[str, str]) -> None:
+    """Minimal reference exporter: one parseable line per measurement."""
+    tag_str = ",".join(f"{k}={v}" for k, v in sorted(tags.items()))
+    print(f"metric {name}={value} {tag_str}")
+
 
 @dataclass
 class MetricsLog:
-    """Driver-side tagged-sum accumulator (reference ``SumAggregation``)."""
+    """Driver-side tagged-sum accumulator (reference ``SumAggregation``)
+    with a pluggable export fan-out: every ``record`` updates the local
+    sums *and* pushes the raw measurement to each exporter."""
 
     sums: dict[tuple, float] = field(default_factory=dict)
+    exporters: list[MetricExporter] = field(default_factory=list)
 
     def record(self, name: str, value: float, **tags: str) -> None:
         key = (name, *sorted(tags.items()))
         self.sums[key] = self.sums.get(key, 0.0) + value
+        for export in self.exporters:
+            export(name, value, dict(tags))
 
     def get(self, name: str, **tags: str) -> float:
         return self.sums.get((name, *sorted(tags.items())), 0.0)

@@ -16,6 +16,7 @@ left-fold so the oracle can reproduce the exact double result.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
@@ -113,35 +114,82 @@ def hyperplane_lsh_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 3,
-    n_planes: int = 12,
+    n_planes: int = 8,
     dim: int = 64,
     seed: int = 42,
+    n_tables: int = 8,
 ) -> DataFrame:
-    """Approximate all-pairs top-k: rank candidates only within the
-    same LSH bucket. Recall trades against bucket size via
-    ``n_planes``; candidates found are scored exactly."""
-    planes = make_planes(dim, n_planes, seed)
-    v = (
-        df.select(
-            F.col(id_col),
-            F.col(vec_col).cast("array<double>").alias("_v"),
-        )
-        .withColumn("_bucket", hyperplane_signature(F.col("_v"), planes))
-        .withColumn("_n", norm(F.col("_v")))
+    """Approximate all-pairs top-k via multi-table hyperplane LSH.
+
+    Classic (bands-of-hashes) LSH layout: ``n_tables`` independent
+    signature tables of ``n_planes`` sign bits each; a pair is a
+    candidate if it collides in ANY table, so miss probability decays
+    exponentially in ``n_tables`` (1−(1−p^planes)^tables) while each
+    table's buckets stay small. One table with many planes — the naive
+    layout — over-partitions the space and recall collapses; the
+    measured curve is asserted in ``test_llm_ops.py`` and documented in
+    docs/SCALE.md.
+
+    Plan shape: vectors fan out n_tables× (ids + signatures only),
+    bucket-equi-join per table, pair dedupe across tables, then ONE
+    exact scoring pass per surviving pair (vectors re-joined by id) —
+    so approximation affects recall, never reported scores. Shuffle is
+    O(rows × n_tables) plus the candidate pairs; the all-pairs product
+    never materialises.
+    """
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+
+    v = df.select(
+        F.col(id_col),
+        F.col(vec_col).cast("array<double>").alias("_v"),
     )
-    a, b = v.alias("a"), v.alias("b")
-    pair_score = _dot(F.col("a._v"), F.col("b._v")) / (F.col("a._n") * F.col("b._n"))
-    scored = (
+
+    # All n_tables signatures in one Arrow-batched pass: a (tables ×
+    # planes, dim) matmul per batch, sign bits packed per table. The
+    # JVM-expression form (n_tables × n_planes fold expressions over
+    # 64-double literal arrays) chokes Catalyst's analyzer — ~10s of
+    # plan time for an 8×8 layout — so this is the rare case where the
+    # vectorized UDF beats built-ins. Planes are rebuilt per worker
+    # from the seed (deterministic, nothing shipped).
+    @pandas_udf(T.ArrayType(T.LongType()))
+    def _signatures(vecs: pd.Series) -> pd.Series:
+        all_planes = np.concatenate(
+            [make_planes(dim, n_planes, seed + 1000 * t) for t in range(n_tables)]
+        )  # (n_tables * n_planes, dim)
+        mat = np.stack(vecs.map(lambda x: np.asarray(x, dtype=np.float64)))
+        bits = (mat @ all_planes.T > 0).reshape(len(mat), n_tables, n_planes)
+        weights = 1 << np.arange(n_planes, dtype=np.int64)
+        buckets = (bits * weights).sum(axis=2)  # (rows, n_tables)
+        return pd.Series(list(buckets))
+
+    tagged = v.select(
+        F.col(id_col),
+        F.posexplode(_signatures(F.col("_v"))).alias("_table", "_bucket"),
+    )
+    a, b = tagged.alias("a"), tagged.alias("b")
+    candidates = (
         a.join(
             b,
-            (F.col("a._bucket") == F.col("b._bucket"))
+            (F.col("a._table") == F.col("b._table"))
+            & (F.col("a._bucket") == F.col("b._bucket"))
             & (F.col(f"a.{id_col}") != F.col(f"b.{id_col}")),
         )
         .select(
             F.col(f"a.{id_col}").alias("query_id"),
             F.col(f"b.{id_col}").alias("neighbor_id"),
-            F.round(pair_score, 6).alias("score"),
         )
+        .distinct()
+    )
+    vq = v.select(F.col(id_col).alias("query_id"), F.col("_v").alias("_qv"))
+    vn = v.select(F.col(id_col).alias("neighbor_id"), F.col("_v").alias("_nv"))
+    pair_score = _dot(F.col("_qv"), F.col("_nv")) / (
+        F.sqrt(_dot(F.col("_qv"), F.col("_qv"))) * F.sqrt(_dot(F.col("_nv"), F.col("_nv")))
+    )
+    scored = (
+        candidates.join(vq, "query_id")
+        .join(vn, "neighbor_id")
+        .select("query_id", "neighbor_id", F.round(pair_score, 6).alias("score"))
     )
     w = W.partitionBy("query_id").orderBy(F.col("score").desc(), "neighbor_id")
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)

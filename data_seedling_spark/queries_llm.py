@@ -132,14 +132,16 @@ def similarity_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("ann_lsh_hyperplane", oracle=None, tags=("similarity-ann",))
 def ann_lsh_hyperplane(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate all-pairs top-3 via random-hyperplane LSH buckets
-    (seeded planes baked into the plan). Rows-only check: bucket
-    contents are hash-specific; tests bound recall against brute
-    force."""
+    """Approximate all-pairs top-3 via multi-table random-hyperplane
+    LSH (8 tables × 8 sign bits; miss probability decays exponentially
+    in table count). Rows-only check: bucket contents are hash-
+    specific; tests assert recall floors against the brute-force twin
+    (planted near-dups and natural top-k; measured curve in
+    docs/SCALE.md §ann)."""
     from .operators.similarity import hyperplane_lsh_topk
 
     embeddings = load_table(spark, sf_dir, "embeddings")
-    return hyperplane_lsh_topk(embeddings, k=3, n_planes=8)
+    return hyperplane_lsh_topk(embeddings, k=3, n_planes=8, n_tables=8)
 
 
 # ---------------------------------------------------------------------------

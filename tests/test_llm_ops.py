@@ -114,6 +114,59 @@ def test_cosine_topk_matches_numpy(spark, embeddings):
             assert abs(score - sims[qi, ni]) < 1e-5
 
 
+def test_ann_multi_table_recall_floors(spark, embeddings):
+    """Recall floors for multi-table hyperplane LSH vs the brute-force
+    twin (docs/SCALE.md §ann has the measured curve):
+
+    - planted high-cosine near-dups (the dedup regime LSH is for):
+      recall@3 >= 0.9 at 8 tables x 8 planes;
+    - natural top-3 on near-uniform random vectors (the documented
+      adversarial case — angles ~65-70 degrees): >= 0.10 floor; IVF is
+      the engine's general-ANN path for that regime.
+    """
+    import pandas as pd
+
+    from data_seedling_spark.operators.similarity import (
+        cosine_topk,
+        hyperplane_lsh_topk,
+    )
+
+    pdf = embeddings.toPandas()
+    vecs = np.stack(pdf["embedding"].map(lambda v: np.asarray(v, dtype=np.float64)))
+    rng = np.random.default_rng(7)
+    pert = vecs + rng.standard_normal(vecs.shape) * 0.15 * np.abs(vecs).mean()
+    cos = (vecs * pert).sum(1) / (
+        np.linalg.norm(vecs, axis=1) * np.linalg.norm(pert, axis=1)
+    )
+    assert cos.min() > 0.85  # planted pairs genuinely near-dup
+
+    both = pd.DataFrame(
+        {
+            "vec_id": list(pdf["vec_id"]) + list(pdf["vec_id"] + 10_000_000),
+            "embedding": list(map(list, vecs)) + list(map(list, pert)),
+        }
+    )
+    corpus = spark.createDataFrame(both)
+    found = {
+        (r["query_id"], r["neighbor_id"])
+        for r in hyperplane_lsh_topk(corpus, k=3, n_planes=8, n_tables=8).collect()
+    }
+    planted = [(int(i), int(i) + 10_000_000) for i in pdf["vec_id"]]
+    planted_recall = sum(p in found for p in planted) / len(planted)
+    assert planted_recall >= 0.9, f"planted near-dup recall {planted_recall:.2f}"
+
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk(embeddings, embeddings, k=3).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in hyperplane_lsh_topk(embeddings, k=3, n_planes=8, n_tables=8).collect()
+    }
+    natural_recall = len(exact & approx) / len(exact)
+    assert natural_recall >= 0.10, f"natural top-3 recall {natural_recall:.2f}"
+
+
 def test_ann_lsh_candidates_are_exactly_scored(spark, embeddings):
     """ANN results: every reported score must equal the true cosine
     (approximation affects recall, never score correctness)."""

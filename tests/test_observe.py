@@ -31,3 +31,23 @@ def test_write_with_metrics_accumulates_tagged_sums(spark, tmp_path):
     write_with_metrics(df, writer, metrics, activity="pseudo", table="Notes")
     assert metrics.get("rows_updated", activity="pseudo", table="Notes") == 10
     assert metrics.get("rows_updated", activity="other", table="Notes") == 0
+
+
+def test_metrics_exporter_seam_receives_raw_measurements(spark, tmp_path):
+    """The exporter fan-out (reference monitoring.py's Azure exporter
+    seam): each record() pushes the raw measurement to every exporter
+    while the local tagged sums keep accumulating."""
+    shipped = []
+    metrics = MetricsLog(exporters=[lambda n, v, t: shipped.append((n, v, t))])
+    df = spark.createDataFrame([Row(v=i) for i in range(4)])
+
+    def writer(d):
+        d.write.mode("overwrite").parquet(str(tmp_path / "out2"))
+
+    write_with_metrics(df, writer, metrics, activity="pseudo", table="Notes")
+    write_with_metrics(df, writer, metrics, activity="pseudo", table="Notes")
+    assert shipped == [
+        ("rows_updated", 4, {"activity": "pseudo", "table": "Notes"}),
+        ("rows_updated", 4, {"activity": "pseudo", "table": "Notes"}),
+    ]
+    assert metrics.get("rows_updated", activity="pseudo", table="Notes") == 8
