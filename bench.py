@@ -153,13 +153,17 @@ def main() -> None:
         run_one(reg[names[0]].fn, spark, sf_dir)
 
     # Steady-state timing: whole-stage codegen compiles on first
-    # execution (measured ~7s for the widest generated method), so run
-    # each query twice and report the better run.
+    # execution (measured ~7s for the widest generated method), so each
+    # query runs twice and reports the better run. The two samples are
+    # taken in separate full passes, minutes apart, because host noise
+    # on a shared box is time-correlated (the same code measured
+    # 3s-14s across a few minutes): back-to-back repeats land in the
+    # same noisy window, interleaved passes don't.
     timings: dict[str, float] = {}
-    for name in names:
-        first = run_one(reg[name].fn, spark, sf_dir)
-        second = run_one(reg[name].fn, spark, sf_dir)
-        timings[name] = round(min(first, second), 3)
+    for _pass in range(2):
+        for name in names:
+            t = run_one(reg[name].fn, spark, sf_dir)
+            timings[name] = round(min(timings.get(name, float("inf")), t), 3)
 
     total = round(sum(timings.values()), 3)
     print(
