@@ -1635,3 +1635,213 @@ def fuzzy_name_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
             dist.alias("edit_dist"),
         )
     )
+
+
+@query(
+    "region_supplier_revenue",
+    oracle=f"""
+    SELECT n_name AS nation,
+           {_dec_sum_sql('l_extendedprice * (1 - l_discount)', 4)} AS revenue
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'REGION_0'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1997-01-01'
+    GROUP BY n_name
+    ORDER BY revenue DESC, nation
+    """,
+    tags=("J1", "Q5-shape"),
+)
+def region_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q5-shaped local-supplier volume: six-table join where the
+    customer and supplier must share a nation (the extra non-PK join
+    predicate is Q5's defining feature), filtered to one region and
+    order year. All four dimensions broadcast; the only shuffles are
+    lineitem⋈orders and the 25-group aggregate."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return (
+        lineitem.join(
+            orders.where(
+                (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+                & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(supplier),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(
+            F.broadcast(region.where(F.col("r_name") == "REGION_0")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue", 4))
+        .orderBy(F.col("revenue").desc(), "nation")
+    )
+
+
+@query(
+    "forecast_revenue_change",
+    oracle=f"""
+    SELECT {_dec_sum_sql('l_extendedprice * l_discount', 4)} AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.02 AND 0.09
+      AND l_quantity < 24
+    """,
+    tags=("P6", "A2", "Q6-shape"),
+)
+def forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q6-shaped forecast-revenue query: pure scan → conjunctive
+    filter → scalar aggregate. Every predicate pushes to the parquet
+    scan; the whole query is one WholeStageCodegen span with a single
+    partial+final agg — the minimal possible plan."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return (
+        lineitem.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+            & (F.col("l_discount") >= 0.02)
+            & (F.col("l_discount") <= 0.09)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(dec_sum(F.col("l_extendedprice") * F.col("l_discount"), "revenue", 4))
+    )
+
+
+@query(
+    "returned_item_customers",
+    oracle=f"""
+    SELECT c_custkey, c_name,
+           {_dec_sum_sql('l_extendedprice * (1 - l_discount)', 4)} AS revenue,
+           c_acctbal, n_name AS nation
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1996-07-01'
+    GROUP BY c_custkey, c_name, c_acctbal, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+    tags=("J1", "A1", "W2", "Q10-shape"),
+)
+def returned_item_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q10-shaped returned-item ranking: which customers returned
+    the most value in a half-year window. Group keys include the
+    customer attributes (functionally dependent on the PK) so no
+    re-join is needed after the aggregate; top-20 with PK tie-break
+    plans as TakeOrderedAndProject."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        lineitem.where(F.col("l_returnflag") == "R")
+        .join(
+            orders.where(
+                (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+                & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp_ntz"))
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", F.col("n_name").alias("nation"))
+        .agg(dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue", 4))
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "nation")
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+@query(
+    "shipping_priority_counts",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    tags=("A1", "F-case", "Q12-shape"),
+)
+def shipping_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q12-shaped priority split (adapted: the synthetic schema
+    has no shipmode/commit/receipt columns, so the category is
+    l_returnflag and the window is on shipdate): conditional-CASE
+    counting inside a grouped aggregate over the orders⋈lineitem
+    join."""
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        lineitem.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+        )
+        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "promo_revenue_share",
+    oracle=f"""
+    SELECT CAST({_dec_sum_sql(
+        "CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0 END", 4
+    )} AS DOUBLE)
+      / {_dec_sum_sql('l_extendedprice * (1 - l_discount)', 4)} AS promo_share
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+      AND l_shipdate <  TIMESTAMP '1996-04-01'
+    """,
+    tags=("A2", "F-case", "Q14-shape"),
+)
+def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q14-shaped promo-revenue ratio for one ship month.
+    Numerator and denominator are exact decimal sums; ONE double
+    division at the end keeps the ratio bit-identical across engines
+    (the determinism contract from the module docstring)."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", disc_price).otherwise(F.lit(0.0))
+    return (
+        lineitem.where(
+            (F.col("l_shipdate") >= F.lit("1996-03-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp_ntz"))
+        )
+        .join(F.broadcast(part.select("p_partkey", "p_type")),
+              F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            (dec_sum(promo, "_n", 4) / dec_sum(disc_price, "_d", 4)).alias("promo_share")
+        )
+    )
