@@ -101,3 +101,94 @@ def fingerprints(df: DataFrame, text_col: str, id_col: str, shingle_n: int = 3) 
         F.sha2(norm.cast("binary"), 256).alias("content_sha"),
         F.array_min(shingle_hashes).alias("min_shingle_sha"),
     )
+
+
+def repetition_ratio(
+    df: DataFrame, text_col: str, id_col: str, shingle_n: int = 3
+) -> DataFrame:
+    """Intra-document repetition: fraction of word n-gram occurrences
+    that are duplicates of an earlier occurrence — the Gopher-style
+    "repetitious document" pre-training filter signal. 0 = no repeated
+    n-grams; →1 as the document degenerates into a loop. All JVM array
+    expressions, one scan, no shuffle."""
+    with_words = df.select(
+        F.col(id_col), F.split(F.col(text_col), " ").alias("_w")
+    )
+    # Materialize the words array BEFORE the index lambda — embedding
+    # split() inside the lambda re-evaluates it per element (30×).
+    grams = F.when(
+        F.size("_w") >= shingle_n,
+        F.transform(
+            F.sequence(F.lit(1), F.size("_w") - (shingle_n - 1)),
+            lambda i: F.concat_ws(" ", F.slice("_w", i, shingle_n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    total = F.size(grams)
+    distinct = F.size(F.array_distinct(grams))
+    return with_words.select(
+        F.col(id_col),
+        total.alias("n_ngrams"),
+        distinct.alias("n_distinct_ngrams"),
+        F.round(
+            (total - distinct).cast("double") / F.greatest(total, F.lit(1)), 6
+        ).alias("repetition_ratio"),
+    )
+
+
+def term_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Corpus vocabulary table: per lower-cased whitespace token, total
+    occurrences (term_freq) and number of documents containing it
+    (doc_freq). One explode + one two-phase aggregate; the shuffle key
+    is the token, so hot stopwords are the skew — partial (map-side)
+    aggregation absorbs them before the exchange."""
+    tokens = df.select(
+        F.col(id_col).alias("_doc"),
+        F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("token"),
+    ).where(F.col("token") != "")
+    return tokens.groupBy("token").agg(
+        F.count("*").alias("term_freq"),
+        F.countDistinct("_doc").alias("doc_freq"),
+    )
+
+
+def tfidf_top_terms(
+    df: DataFrame, text_col: str, id_col: str, k: int = 3
+) -> DataFrame:
+    """Top-k characteristic terms per document by a deterministic
+    tf-idf variant: score = tf × N / df (the log in classic idf is
+    monotone, so rankings match, and dropping it keeps the score a
+    single IEEE division — bit-identical across engines, per the
+    engine's ratio contract).
+
+    Plan: one explode → per-(doc, token) tf → token-keyed join against
+    the doc-freq aggregate → rank window per doc. The df table scales
+    with vocabulary, not corpus, but is NOT broadcast (unbounded vocab
+    at corpus scale); the join shuffles on the token key. N rides in
+    via a broadcast scalar (no driver-side action)."""
+    tokens = df.select(
+        F.col(id_col).alias("doc_id_"),
+        F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("token"),
+    ).where(F.col("token") != "")
+    tf = tokens.groupBy("doc_id_", "token").agg(F.count("*").alias("tf"))
+    dfreq = tokens.groupBy("token").agg(F.countDistinct("doc_id_").alias("df"))
+    n_docs = df.select(
+        F.countDistinct(F.col(id_col)).alias("n_docs")
+    )
+    scored = (
+        tf.join(dfreq, "token")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            F.col("doc_id_").alias(id_col),
+            "token",
+            F.round(
+                F.col("tf").cast("double") * F.col("n_docs") / F.col("df"), 6
+            ).alias("tfidf"),
+        )
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy(id_col).orderBy(F.col("tfidf").desc(), "token")
+    return (
+        scored.withColumn("term_rank", F.row_number().over(w))
+        .where(F.col("term_rank") <= k)
+    )

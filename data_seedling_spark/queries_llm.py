@@ -257,6 +257,100 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fingerprints(documents, "text", "doc_id")
 
 
+@query(
+    "repetition_ratio_documents",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ), g AS (
+      SELECT doc_id,
+             [w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+              FOR i IN range(1, greatest(len(w) - 1, 1))] AS grams
+      FROM t
+    )
+    SELECT doc_id,
+           CAST(len(grams) AS INT) AS n_ngrams,
+           CAST(len(list_distinct(grams)) AS INT) AS n_distinct_ngrams,
+           round((len(grams) - len(list_distinct(grams)))::DOUBLE
+                 / greatest(len(grams), 1), 6) AS repetition_ratio
+    FROM g
+    """,
+    tags=("text-quality", "gopher-filter"),
+)
+def repetition_ratio_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition ratio (duplicate word-3-gram share) —
+    the Gopher-style repetitious-text pre-training filter. One scan,
+    JVM array expressions, no shuffle."""
+    from .operators.textstats import repetition_ratio
+
+    documents = load_table(spark, sf_dir, "documents")
+    return repetition_ratio(documents, "text", "doc_id")
+
+
+@query(
+    "corpus_vocabulary",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+      FROM documents
+    )
+    SELECT token,
+           CAST(COUNT(*) AS BIGINT) AS term_freq,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS doc_freq
+    FROM tok WHERE token <> ''
+    GROUP BY token
+    """,
+    tags=("text-corpus", "vocabulary"),
+)
+def corpus_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary table (term_freq + doc_freq per lower-cased
+    token): the tokenizer-training / stopword-discovery primitive.
+    Token-keyed two-phase aggregate; map-side partials absorb hot
+    stopword keys before the exchange."""
+    from .operators.textstats import term_stats
+
+    documents = load_table(spark, sf_dir, "documents")
+    return term_stats(documents, "text", "doc_id")
+
+
+@query(
+    "tfidf_top_terms",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, token, COUNT(*) AS tf
+      FROM tok WHERE token <> '' GROUP BY doc_id, token
+    ), dfq AS (
+      SELECT token, COUNT(DISTINCT doc_id) AS df
+      FROM tok WHERE token <> '' GROUP BY token
+    ), n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents)
+    SELECT doc_id, token, tfidf, term_rank FROM (
+      SELECT tf.doc_id, tf.token,
+             round(tf.tf::DOUBLE * n.n_docs / dfq.df, 6) AS tfidf,
+             ROW_NUMBER() OVER (
+               PARTITION BY tf.doc_id
+               ORDER BY round(tf.tf::DOUBLE * n.n_docs / dfq.df, 6) DESC, tf.token
+             ) AS term_rank
+      FROM tf JOIN dfq USING (token), n
+    ) WHERE term_rank <= 3
+    """,
+    tags=("text-corpus", "tfidf"),
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 characteristic terms per document by deterministic tf-idf
+    (score = tf × N / df; the log in classic idf is monotone so the
+    ranking is identical, and one IEEE division keeps the score
+    hash-comparable across engines). The doc-freq side is joined on
+    the token key, not broadcast — vocabulary is unbounded at corpus
+    scale."""
+    from .operators.textstats import tfidf_top_terms as _tfidf
+
+    documents = load_table(spark, sf_dir, "documents")
+    return _tfidf(documents, "text", "doc_id", k=3)
+
+
 # ---------------------------------------------------------------------------
 # Multimodal columns
 # ---------------------------------------------------------------------------
