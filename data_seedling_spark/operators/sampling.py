@@ -90,3 +90,26 @@ def pack_sequences(
         token_count_col.alias("n_tokens"),
         F.floor(tokens_before / budget).cast("bigint").alias("bin_id"),
     )
+
+
+def stratified_hash_sample(
+    df: DataFrame,
+    key_col: str,
+    stratum_col: str,
+    fractions: dict[str, float],
+    default_fraction: float = 0.0,
+    buckets: int = 1000,
+) -> DataFrame:
+    """Deterministic per-stratum sampling: keep a row iff its hash
+    bucket falls under the stratum's cutoff. Unlike ``sampleBy`` the
+    decision is a pure function of the key, so re-runs, retries and
+    growing corpora all select the same rows (the property that makes
+    sampled pipelines idempotent), and it stays exact-oracle-able.
+    One scan, no shuffle; the predicate pushes past column pruning."""
+    bucket = hash_bucket(F.col(key_col), buckets)
+    cutoff = F.lit(int(default_fraction * buckets))
+    for value, frac in sorted(fractions.items()):
+        cutoff = F.when(
+            F.col(stratum_col) == value, F.lit(int(frac * buckets))
+        ).otherwise(cutoff)
+    return df.where(bucket < cutoff)

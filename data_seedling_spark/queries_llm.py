@@ -835,3 +835,95 @@ def sequence_packing_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
     return packed.groupBy("shard", "bin_id").agg(
         F.count("*").alias("n_docs"), F.sum("n_tokens").alias("bin_tokens")
     )
+
+
+@query(
+    "stratified_sample_documents",
+    oracle="""
+    SELECT doc_id, lang, source
+    FROM documents
+    WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 1000
+          < CASE lang WHEN 'en' THEN 500 WHEN 'de' THEN 250 ELSE 100 END
+    """,
+    tags=("sampling", "stratified"),
+)
+def stratified_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: 50% of English, 25% of
+    German, 10% of everything else, selected by key hash so the sample
+    is stable under re-runs and corpus growth (idempotent-pipeline
+    property `sampleBy` lacks). Exact-oracle-able because the decision
+    is a pure function of (doc_id, lang)."""
+    from .operators.sampling import stratified_hash_sample
+
+    documents = load_table(spark, sf_dir, "documents")
+    return stratified_hash_sample(
+        documents.select("doc_id", "lang", "source"),
+        key_col="doc_id",
+        stratum_col="lang",
+        fractions={"en": 0.5, "de": 0.25},
+        default_fraction=0.1,
+    )
+
+
+@query(
+    "document_curation_flags",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ), q AS (
+      SELECT doc_id,
+             len(w) AS n_words,
+             round(len(list_distinct(w))::DOUBLE / len(w), 4) AS ttr,
+             round(len(list_filter(w, x -> x IN ('the','a','and','of','to')))::DOUBLE
+                   / len(w), 4) AS stop_ratio
+      FROM t
+    ), g AS (
+      SELECT doc_id,
+             [w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+              FOR i IN range(1, greatest(len(w) - 1, 1))] AS grams
+      FROM t
+    ), r AS (
+      SELECT doc_id,
+             round((len(grams) - len(list_distinct(grams)))::DOUBLE
+                   / greatest(len(grams), 1), 6) AS rep_ratio
+      FROM g
+    )
+    SELECT q.doc_id,
+           CAST(q.n_words < 50 AS INT) AS flag_too_short,
+           CAST(q.ttr < 0.30 AS INT) AS flag_low_diversity,
+           CAST(q.stop_ratio < 0.01 AS INT) AS flag_no_stopwords,
+           CAST(r.rep_ratio > 0.20 AS INT) AS flag_repetitious,
+           CAST(q.n_words >= 50 AND q.ttr >= 0.30 AND q.stop_ratio >= 0.01
+                AND r.rep_ratio <= 0.20 AS INT) AS keep
+    FROM q JOIN r ON q.doc_id = r.doc_id
+    """,
+    tags=("text-quality", "curation", "c4-filter"),
+)
+def document_curation_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/Gopher-style curation verdict per document: length, lexical
+    diversity, stopword-presence and repetition gates with per-gate
+    flags plus the final keep bit. Composes the quality and repetition
+    operators on one scan each, joined on the PK — the shape of a real
+    pre-training data filter stage."""
+    from .operators.textstats import quality_scores, repetition_ratio
+
+    documents = load_table(spark, sf_dir, "documents")
+    q = quality_scores(documents, "text", "doc_id")
+    r = repetition_ratio(documents, "text", "doc_id")
+    keep = (
+        (F.col("n_words") >= 50)
+        & (F.col("type_token_ratio") >= 0.30)
+        & (F.col("stopword_ratio") >= 0.01)
+        & (F.col("repetition_ratio") <= 0.20)
+    )
+    return (
+        q.join(r, "doc_id")
+        .select(
+            "doc_id",
+            (F.col("n_words") < 50).cast("int").alias("flag_too_short"),
+            (F.col("type_token_ratio") < 0.30).cast("int").alias("flag_low_diversity"),
+            (F.col("stopword_ratio") < 0.01).cast("int").alias("flag_no_stopwords"),
+            (F.col("repetition_ratio") > 0.20).cast("int").alias("flag_repetitious"),
+            keep.cast("int").alias("keep"),
+        )
+    )
