@@ -442,3 +442,43 @@ def jdbc_feature_store_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         cfg,
         'SELECT "o_orderpriority", "n_orders", "total_value" FROM order_features',
     )
+
+
+@query(
+    "streaming_dedup_exact",
+    oracle="""
+    SELECT DISTINCT sha256(text) AS content_sha FROM documents
+    """,
+    tags=("streaming", "dedup-exact"),
+)
+def streaming_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup: consume documents as a file stream,
+    ``dropDuplicates`` on the 32-byte content hash (so dedup state
+    stores hashes, not bodies — the same shuffle-bytes argument as the
+    batch operator, applied to the state store), memory-sink the
+    surviving hashes. Result must equal the batch DISTINCT —
+    hash-verified by the oracle. In production the state is bounded
+    with a watermark (dropDuplicatesWithinWatermark); this availableNow
+    run processes one bounded backlog."""
+    import uuid as _uuid
+
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    hashes = stream.select(
+        F.sha2(F.col("text").cast("binary"), 256).alias("content_sha")
+    ).dropDuplicates(["content_sha"])
+    name = f"sdd_{_uuid.uuid4().hex[:10]}"
+    q = (
+        hashes.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.table(name)
