@@ -86,3 +86,28 @@ def salted_join(
     return (
         salted_big.join(exploded_small, on=[key, "_salt"], how=how).drop("_salt")
     )
+
+
+#: Runtime bloom-filter join pruning (Spark's row-level runtime
+#: filtering): when one join side carries a selective filter, Spark
+#: builds a bloom filter over its join keys at runtime and pushes a
+#: might_contain probe into the other side's scan — at 100 TB this
+#: drops most of the big side's rows BEFORE the shuffle instead of
+#: after it. Off by default below large thresholds; these confs turn
+#: it on for mid-size plans. Plan signature: bloom_filter_agg on the
+#: creation side, might_contain in the application side's filter.
+RUNTIME_BLOOM_CONF = {
+    "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+    # apply even to small application-side scans (default 10GB gate)
+    "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+}
+
+
+def enable_runtime_bloom(spark) -> None:
+    """Turn on runtime bloom-filter join pruning for this session.
+    Sessions built for 100 TB runs should set these at submit time;
+    this helper exists so tests and notebooks can flip them and assert
+    the plan shape (`test_relational.py`)."""
+    for k, v in RUNTIME_BLOOM_CONF.items():
+        spark.conf.set(k, v)

@@ -192,3 +192,29 @@ def tfidf_top_terms(
         scored.withColumn("term_rank", F.row_number().over(w))
         .where(F.col("term_rank") <= k)
     )
+
+
+#: Scrub-scan patterns, kept to the regex intersection of Java (Spark)
+#: and RE2 (DuckDB oracle) dialects so the counts are oracle-checkable.
+PII_PATTERNS = {
+    "n_emails": r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+",
+    "n_urls": r"https?://[^ ]+",
+    "n_long_digit_runs": r"[0-9]{4,}",
+}
+
+
+def pii_scan(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Per-document PII/boilerplate indicator counts (email-like,
+    URL-like, long digit runs) — the scan half of an anonymisation
+    pipeline: run it first to find WHAT needs scrubbing and how much,
+    route flagged documents to the (heavier) anonymise transform. Pure
+    JVM regexp_count; one scan, no shuffle."""
+    counts = [
+        F.regexp_count(F.col(text_col), F.lit(pat)).alias(name)
+        for name, pat in PII_PATTERNS.items()
+    ]
+    flagged = sum(
+        (F.regexp_count(F.col(text_col), F.lit(p)) for p in PII_PATTERNS.values()),
+        F.lit(0),
+    )
+    return df.select(F.col(id_col), *counts, (flagged > 0).cast("int").alias("needs_scrub"))

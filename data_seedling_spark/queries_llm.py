@@ -927,3 +927,63 @@ def document_curation_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
             keep.cast("int").alias("keep"),
         )
     )
+
+
+@query(
+    "pii_scan_documents",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+')) AS INT)
+             AS n_emails,
+           CAST(len(regexp_extract_all(text, 'https?://[^ ]+')) AS INT) AS n_urls,
+           CAST(len(regexp_extract_all(text, '[0-9]{4,}')) AS INT) AS n_long_digit_runs,
+           CAST(len(regexp_extract_all(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+'))
+                + len(regexp_extract_all(text, 'https?://[^ ]+'))
+                + len(regexp_extract_all(text, '[0-9]{4,}')) > 0 AS INT) AS needs_scrub
+    FROM documents
+    """,
+    tags=("text-pii", "curation"),
+)
+def pii_scan_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII/boilerplate scrub scan: per-document counts of email-like,
+    URL-like and long-digit-run matches plus the routing flag — the
+    cheap first pass that decides which documents enter the heavier
+    anonymise transform (reference's Presidio domain, scan half)."""
+    from .operators.textstats import pii_scan
+
+    documents = load_table(spark, sf_dir, "documents")
+    return pii_scan(documents, "text", "doc_id")
+
+
+@query(
+    "heavy_hitter_tokens",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+      FROM documents
+    ), stats AS (
+      SELECT token,
+             CAST(COUNT(*) AS BIGINT) AS term_freq,
+             CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS doc_freq
+      FROM tok WHERE token <> '' GROUP BY token
+    )
+    SELECT token, term_freq, doc_freq
+    FROM stats
+    ORDER BY term_freq DESC, token
+    LIMIT 20
+    """,
+    tags=("text-corpus", "heavy-hitters"),
+)
+def heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus heavy hitters: top-20 tokens by total occurrences (the
+    exact ground truth a sketch-based heavy-hitter pass approximates).
+    TakeOrderedAndProject over the vocabulary aggregate — no global
+    sort."""
+    from .operators.textstats import term_stats
+
+    documents = load_table(spark, sf_dir, "documents")
+    return (
+        term_stats(documents, "text", "doc_id")
+        .orderBy(F.col("term_freq").desc(), "token")
+        .limit(20)
+    )

@@ -87,3 +87,42 @@ def test_fuzzy_blocking_guards_cap_block_size_sf01(spark):
     )
     assert cell_max * 4 < noun_max  # straggler split into even cells
     assert cell_max <= noun_max / 8 * 1.5  # salt spreads ~evenly
+
+
+def test_runtime_bloom_filter_prunes_big_side(spark):
+    """With runtime bloom filtering on, a selective dimension filter
+    induces a bloom_filter_agg on the small side and a might_contain
+    probe on the fact side's scan — row-level pruning before the
+    shuffle (the 100 TB join lever beyond static partition pruning)."""
+    from data_seedling_spark.operators.relational import enable_runtime_bloom
+
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.optimizer.runtime.bloomFilter.enabled",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        enable_runtime_bloom(spark)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        orders = spark.read.parquet(f"{SF_SMOKE}/orders.parquet").where(
+            F.col("o_totalprice") > 400000
+        )
+        lineitem = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
+        j = lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "bloom_filter_agg" in plan
+        assert "might_contain" in plan
+        # sanity: result unchanged vs plain join
+        assert j.count() == lineitem.join(
+            orders, F.col("l_orderkey") == F.col("o_orderkey")
+        ).count()
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
