@@ -1845,3 +1845,65 @@ def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             (dec_sum(promo, "_n", 4) / dec_sum(disc_price, "_d", 4)).alias("promo_share")
         )
     )
+
+
+@query(
+    "exact_quantiles_by_flag",
+    oracle="""
+    SELECT l_returnflag,
+           quantile_cont(l_quantity, 0.25) AS qty_p25,
+           quantile_cont(l_quantity, 0.50) AS qty_p50,
+           quantile_cont(l_quantity, 0.75) AS qty_p75,
+           CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    tags=("A2", "quantiles-exact"),
+)
+def exact_quantiles_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The exact twin of ``approx_distinct_quantiles``: linear-
+    interpolated quartiles (Spark ``percentile`` ≡ DuckDB
+    ``quantile_cont``, hash-identical on integral-valued doubles) and
+    exact distinct counts. Exact percentiles need the full value
+    multiset per group — the reason the sketch variant exists at
+    corpus scale — so pairing the two queries documents the trade."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    q = F.expr("percentile(l_quantity, array(0.25, 0.5, 0.75))")
+    return (
+        lineitem.groupBy("l_returnflag")
+        .agg(
+            F.element_at(q, 1).alias("qty_p25"),
+            F.element_at(q, 2).alias("qty_p50"),
+            F.element_at(q, 3).alias("qty_p75"),
+            F.countDistinct("l_partkey").alias("exact_parts"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query("hll_sketch_mergeable_distinct", oracle=None, tags=("approx", "sketch-merge"))
+def hll_sketch_mergeable_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distinct-count sketches (Apache DataSketches HLL via
+    Spark 3.5+ aggregates): build one sketch per order-status shard,
+    then union the shard sketches into the global estimate — the
+    re-aggregation pattern that lets 100 TB pipelines sketch per
+    partition/day and combine later without re-scanning. Sketch bytes
+    are library-specific, so the driver records rows-only; pytest
+    asserts the union estimate equals the whole-corpus sketch and sits
+    within HLL error of exact."""
+    orders = load_table(spark, sf_dir, "orders")
+    per_shard = orders.groupBy("o_orderstatus").agg(
+        F.hll_sketch_agg("o_custkey").alias("sketch")
+    )
+    return per_shard.select(
+        "o_orderstatus",
+        F.hll_sketch_estimate("sketch").alias("shard_distinct_customers"),
+    ).unionByName(
+        per_shard.agg(
+            F.lit("ALL").alias("o_orderstatus"),
+            F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias(
+                "shard_distinct_customers"
+            ),
+        )
+    )

@@ -482,3 +482,48 @@ def streaming_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.processAllAvailable()
     q.stop()
     return spark.table(name)
+
+
+@query(
+    "stream_static_enrich",
+    oracle="""
+    SELECT e.event_id, e.user_id, e.event_type, c.c_mktsegment AS segment
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    WHERE e.event_type = 'purchase'
+    """,
+    tags=("streaming", "stream-static-join"),
+)
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment: purchase events consumed as a file
+    stream, joined per micro-batch against the static customer
+    dimension (broadcast — no stream state at all, the cheapest join
+    class in Structured Streaming). Result must equal the batch join,
+    hash-verified by the oracle."""
+    import uuid as _uuid
+
+    from .streaming.windows import read_events_stream
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    events = (
+        read_events_stream(spark, sf_dir, schema, glob="events.parquet")
+        .where(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "event_type")
+    )
+    customer = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey"), F.col("c_mktsegment").alias("segment")
+    )
+    enriched = events.join(
+        F.broadcast(customer), events.user_id == F.col("c_custkey")
+    ).drop("c_custkey")
+    name = f"sse_{_uuid.uuid4().hex[:10]}"
+    q = (
+        enriched.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.table(name)

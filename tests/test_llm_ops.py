@@ -561,3 +561,26 @@ def test_pack_sequences_sharded_parallel_packing(spark):
 
     again = pack_sequences(df, "doc_id", F.col("n"), budget=1000, n_shards=4).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_hll_sketch_union_equals_whole_corpus_sketch(spark):
+    """Mergeability: union of per-shard HLL sketches must give the
+    SAME estimate as one sketch over the whole corpus (that identity
+    is what makes sketch-per-partition → union-later valid at 100 TB),
+    and land within HLL error of the exact distinct count."""
+    from data_seedling_spark.tables import load_table
+    from tests.conftest import SF_SMOKE
+
+    orders = load_table(spark, SF_SMOKE, "orders")
+    unioned = (
+        orders.groupBy("o_orderstatus")
+        .agg(F.hll_sketch_agg("o_custkey").alias("s"))
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("s")).alias("est"))
+        .first()["est"]
+    )
+    whole = orders.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("o_custkey")).alias("est")
+    ).first()["est"]
+    exact = orders.select("o_custkey").distinct().count()
+    assert unioned == whole
+    assert abs(unioned - exact) / exact < 0.05
