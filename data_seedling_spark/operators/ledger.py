@@ -231,6 +231,23 @@ class VersionedTable:
         ]
         return reduce(DataFrame.unionByName, dfs)
 
+    def version_at_timestamp(self, timestamp_ms: int) -> int:
+        """Timestamp-based time travel (the ``timestampAsOf`` half of
+        the Delta contract, next to ``read(version)``'s ``versionAsOf``):
+        latest version whose commit timestamp is at-or-before the given
+        epoch-millis. Driver-side over the JSON ledger — commit counts,
+        not data, so O(commits)."""
+        eligible = [c.version for c in self.commits() if c.timestamp_ms <= timestamp_ms]
+        if not eligible:
+            raise NoSuchVersionError(
+                f"{self.path}: no commit at or before timestamp {timestamp_ms}"
+            )
+        return max(eligible)
+
+    def read_at_timestamp(self, timestamp_ms: int) -> DataFrame:
+        """Snapshot as of an epoch-millis timestamp."""
+        return self.read(self.version_at_timestamp(timestamp_ms))
+
     def schema(self):
         return self.read().schema
 

@@ -1907,3 +1907,47 @@ def hll_sketch_mergeable_distinct(spark: SparkSession, sf_dir: str) -> DataFrame
             ),
         )
     )
+
+
+@query(
+    "window_value_functions",
+    oracle="""
+    SELECT user_id, event_id,
+           first_value(value) OVER w AS first_val,
+           last_value(value) OVER w AS last_val,
+           nth_value(value, 2) OVER w AS second_val,
+           round(avg(value) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
+           ), 4) AS moving_avg_3
+    FROM events
+    WHERE user_id < 50
+    WINDOW w AS (
+      PARTITION BY user_id ORDER BY ts, event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+    )
+    """,
+    tags=("window-value-fns", "rows-frame"),
+)
+def window_value_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window value functions (first/last/nth over an unbounded frame)
+    plus a ROWS-frame moving average — the frame classes the range-
+    based `rolling_24h_user_activity` doesn't cover. Ordering carries
+    the unique event_id tie-break so frames are deterministic."""
+    events = load_table(spark, sf_dir, "events")
+    full = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    )
+    trailing = (
+        W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-2, 0)
+    )
+    return events.where(F.col("user_id") < 50).select(
+        "user_id",
+        "event_id",
+        F.first("value").over(full).alias("first_val"),
+        F.last("value").over(full).alias("last_val"),
+        F.nth_value("value", 2).over(full).alias("second_val"),
+        F.round(F.avg("value").over(trailing), 4).alias("moving_avg_3"),
+    )

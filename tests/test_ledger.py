@@ -186,3 +186,24 @@ def test_duplicate_key_inserts_collapse_to_one_row(spark, tmp_table_dir):
     )
     t.merge(feed, primary_keys=["key"])
     assert rows(t.read(), "key", "value") == [(1, "a"), (2, "late")]
+
+
+def test_timestamp_time_travel(spark, tmp_table_dir):
+    """timestampAsOf half of the travel contract: resolve a commit
+    timestamp to its version, read the snapshot as of that instant."""
+    t = VersionedTable(spark, tmp_table_dir)
+    t.write(make_df(spark, [(1, "a")]), mode="overwrite")
+    t.write(make_df(spark, [(2, "b")]), mode="append")
+    ts_v0 = t.commits()[0].timestamp_ms
+    ts_v1 = t.commits()[1].timestamp_ms
+    assert t.version_at_timestamp(ts_v0) == 0
+    assert t.version_at_timestamp(ts_v1) == 1
+    assert t.version_at_timestamp(ts_v1 + 10_000) == 1  # after last commit
+    assert rows(t.read_at_timestamp(ts_v0), "key", "value") == [(1, "a")]
+    assert rows(t.read_at_timestamp(ts_v1), "key", "value") == [(1, "a"), (2, "b")]
+    import pytest as _pytest
+
+    from data_seedling_spark.operators.ledger import NoSuchVersionError
+
+    with _pytest.raises(NoSuchVersionError):
+        t.version_at_timestamp(ts_v0 - 1)
