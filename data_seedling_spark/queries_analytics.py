@@ -1951,3 +1951,51 @@ def window_value_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.nth_value("value", 2).over(full).alias("second_val"),
         F.round(F.avg("value").over(trailing), 4).alias("moving_avg_3"),
     )
+
+
+@query(
+    "session_window_native",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS sid
+      FROM seq
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+           COUNT(*) AS n_events
+    FROM sess GROUP BY user_id, sid
+    """,
+    tags=("window", "session-window-native"),
+)
+def session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalyst's native ``session_window`` aggregate (UpdatingSessions
+    + merging exec) — the built-in counterpart to the hand-rolled
+    gaps-and-islands ``sessionize_events``. Semantics difference worth
+    the second query: session_window starts a NEW session at a gap of
+    exactly the threshold (>=), and its session end is last-event + gap
+    — the oracle mirrors both."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            "user_id", F.session_window(F.col("ts"), "30 minutes").alias("sw")
+        )
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+        )
+    )

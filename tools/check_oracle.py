@@ -50,6 +50,12 @@ def frame_digest(pdf) -> tuple[int, list[str], str, list[str]]:
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    ap.add_argument(
+        "--vanilla",
+        action="store_true",
+        help="use a bare SparkSession like the driver does (catches "
+        "accidental dependence on build_session's tuned conf)",
+    )
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
 
@@ -58,7 +64,14 @@ def main() -> int:
     reg = registry()
     names = args.names or list(reg)
 
-    spark = build_session("check_oracle")
+    if args.vanilla:
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local[8]").appName("check_oracle").getOrCreate()
+        )
+    else:
+        spark = build_session("check_oracle")
     con = duckdb.connect()
     for t in TABLE_NAMES:
         con.execute(
