@@ -303,3 +303,24 @@ class VersionedTable:
         (reference ``test_datalake.py:240-241``). Our ledger keeps all
         versions locally, so this only validates the call shape."""
         return None
+
+    def compact(self, sort_by: list[str] | None = None, target_files: int = 1) -> int:
+        """OPTIMIZE-style compaction: rewrite the live snapshot as one
+        overwrite commit of ``target_files`` files, optionally sorted by
+        ``sort_by`` so parquet row-group min/max stats become selective
+        on those columns (the poor man's clustering/Z-order — at 100 TB
+        the append path accumulates small files and unsorted row
+        groups, and scan throughput + pruning degrade until a compact).
+
+        A no-op change to readers: same rows, new version. Returns the
+        new version number.
+        """
+        snapshot = self.read()
+        if sort_by:
+            snapshot = snapshot.sortWithinPartitions(*sort_by)
+        snapshot = snapshot.coalesce(target_files)
+        # Safe to write directly: overwrite commits land in a NEW
+        # version directory (old files survive until vacuum), so the
+        # snapshot's lineage never reads files the write replaces and
+        # the rewrite streams without a checkpoint.
+        return self.write(snapshot, mode="overwrite")

@@ -207,3 +207,21 @@ def test_timestamp_time_travel(spark, tmp_table_dir):
 
     with _pytest.raises(NoSuchVersionError):
         t.version_at_timestamp(ts_v0 - 1)
+
+
+def test_compact_preserves_rows_and_reduces_files(spark, tmp_table_dir):
+    """OPTIMIZE-style compaction: same rows, new version, fewer files;
+    old versions stay readable (time travel unaffected)."""
+    t = VersionedTable(spark, tmp_table_dir)
+    t.write(make_df(spark, [(1, "a")]), mode="overwrite")
+    for i in range(2, 6):
+        t.write(make_df(spark, [(i, chr(96 + i))]), mode="append")
+    before = rows(t.read(), "key", "value")
+    files_before = len(t.read().inputFiles())
+    v = t.compact(sort_by=["key"])
+    assert v == t.latest_version()
+    assert rows(t.read(), "key", "value") == before
+    assert len(t.read().inputFiles()) < files_before
+    assert len(t.read().inputFiles()) == 1
+    # history intact: pre-compact snapshot still readable
+    assert rows(t.read(version=v - 1), "key", "value") == before

@@ -125,3 +125,39 @@ def test_jaccard_pairs_symmetric_and_bounded(spark, docs):
     assert all(0.0 <= s <= 1.0 for _, _, s in scores)
     dup_score = [s for a, b, s in scores if a == 0 and b == len(docs)]
     assert dup_score and dup_score[0] == 1.0
+
+
+@given(
+    n_rows=st.integers(min_value=20, max_value=120),
+    frac=st.sampled_from([0.0, 0.1, 0.25, 0.5, 1.0]),
+)
+@slow
+def test_stratified_hash_sample_properties(spark, n_rows, frac):
+    """Stratified hash sampling invariants for any corpus/fraction:
+    (1) deterministic — same input, same sample; (2) growth-stable —
+    a row's keep/drop never changes when more rows arrive; (3) a
+    fraction of 0 keeps nothing and 1.0 keeps the whole stratum."""
+    from data_seedling_spark.operators.sampling import stratified_hash_sample
+
+    df = spark.createDataFrame(
+        [Row(k=i, s="a" if i % 3 else "b") for i in range(n_rows)],
+        "k long, s string",
+    )
+    kept1 = {r["k"] for r in stratified_hash_sample(df, "k", "s", {"a": frac}).collect()}
+    kept2 = {r["k"] for r in stratified_hash_sample(df, "k", "s", {"a": frac}).collect()}
+    assert kept1 == kept2  # deterministic
+
+    grown = spark.createDataFrame(
+        [Row(k=i, s="a" if i % 3 else "b") for i in range(n_rows * 2)],
+        "k long, s string",
+    )
+    kept_grown = {
+        r["k"] for r in stratified_hash_sample(grown, "k", "s", {"a": frac}).collect()
+    }
+    assert kept1 == {k for k in kept_grown if k < n_rows}  # growth-stable
+
+    a_keys = {i for i in range(n_rows) if i % 3}
+    if frac == 0.0:
+        assert kept1 == set()
+    if frac == 1.0:
+        assert kept1 == a_keys  # default 0 drops stratum b entirely
