@@ -64,6 +64,10 @@ class SchemaMismatchError(ValueError):
     """Append schema diverges from the table schema (S6 validation)."""
 
 
+class ConstraintViolationError(ValueError):
+    """A write violated a CHECK constraint (Delta invariant parity)."""
+
+
 @dataclass
 class Commit:
     version: int
@@ -134,24 +138,63 @@ class VersionedTable:
 
     # -- writes ---------------------------------------------------------------
 
-    def write(self, df: DataFrame, mode: str = "append") -> int:
+    def write(
+        self,
+        df: DataFrame,
+        mode: str = "append",
+        merge_schema: bool = False,
+        constraints: dict[str, "F.Column"] | None = None,
+    ) -> int:
         """S6 sink: persist ``df`` as a new version. ``mode`` is
         ``append`` or ``overwrite`` (a create is an overwrite of an
         empty table). Reserved CDC columns are stripped before the
-        write (reference ``datalake.py:219-223``)."""
+        write (reference ``datalake.py:219-223``).
+
+        ``merge_schema=True`` is Delta's ``mergeSchema`` append
+        evolution: the incoming frame may ADD nullable columns (shared
+        columns must still type-match); older versions surface NULLs
+        for the new columns on read. ``constraints`` maps name →
+        boolean Column (Delta CHECK-invariant parity): the data is
+        written first, then all constraints are counted in ONE
+        aggregate pass over the *materialised* parquet (so the upstream
+        pipeline executes exactly once, like ``merge``); on any
+        violation the ledger entry is never committed — the orphaned
+        directory stays invisible to readers — and the write raises
+        with per-constraint violation counts. NULL predicate results
+        count as violations (a constraint must prove itself true).
+        """
         if mode not in ("append", "overwrite"):
             raise ValueError(f"unsupported mode {mode!r}")
         commits = self.commits()
         if mode == "append" and commits:
-            self._validate_schema(df)
+            self._validate_schema(df, merge_schema=merge_schema)
         version = commits[-1].version + 1 if commits else 0
         os.makedirs(self.path, exist_ok=True)
         self._shape(strip_reserved_columns(df)).write.mode("overwrite").parquet(
             self._version_dir(version)
         )
+        if constraints:
+            self._check_constraints(
+                self.spark.read.parquet(self._version_dir(version)), constraints
+            )
         commits.append(Commit(version, mode, int(time.time() * 1000)))
         self._write_ledger(commits)
         return version
+
+    def _check_constraints(self, df: DataFrame, constraints: dict) -> None:
+        counts = df.agg(
+            *[
+                F.sum(
+                    F.when(F.coalesce(expr, F.lit(False)), 0).otherwise(1)
+                ).alias(name)
+                for name, expr in constraints.items()
+            ]
+        ).first()
+        violated = {n: counts[n] for n in constraints if (counts[n] or 0) > 0}
+        if violated:
+            raise ConstraintViolationError(
+                f"write to {self.path} rejected; violations: {violated}"
+            )
 
     def merge(self, changes: DataFrame, primary_keys: list[str]) -> int:
         """S7/S8/S9 MERGE sink: apply a CDC feed (insert/delete rows,
@@ -191,13 +234,28 @@ class VersionedTable:
             )
         return self.write(updated, mode="overwrite")
 
-    def _validate_schema(self, df: DataFrame) -> None:
+    def _validate_schema(self, df: DataFrame, merge_schema: bool = False) -> None:
         """Delta-style schema validation on append (reference
         ``design_doc.md:47``): same column names and types as the
         current snapshot, order-insensitive. Overwrites may evolve the
-        schema; appends may not silently diverge."""
+        schema; appends may not silently diverge. With
+        ``merge_schema`` the incoming frame may be a superset (new
+        columns evolve the table; shared columns must still
+        type-match) — Delta's ``mergeSchema`` option."""
         incoming = {f.name: f.dataType for f in strip_reserved_columns(df).schema.fields}
         current = {f.name: f.dataType for f in self.schema().fields}
+        if merge_schema:
+            mismatched = {
+                n for n, t in current.items() if n in incoming and incoming[n] != t
+            }
+            missing = set(current) - set(incoming)
+            if mismatched or missing:
+                raise SchemaMismatchError(
+                    f"mergeSchema append at {self.path}: type-changed "
+                    f"{sorted(mismatched)}, dropped {sorted(missing)} "
+                    "(evolution may only ADD columns)"
+                )
+            return
         if incoming != current:
             raise SchemaMismatchError(
                 f"append schema {sorted(incoming)} does not match table "
@@ -229,7 +287,12 @@ class VersionedTable:
             self.spark.read.parquet(self._version_dir(c.version))
             for c in self._live_versions(as_of)
         ]
-        return reduce(DataFrame.unionByName, dfs)
+        # allowMissingColumns: after a mergeSchema append, pre-evolution
+        # versions surface NULLs for the added columns (Delta read
+        # semantics). Identical-schema unions are unaffected.
+        return reduce(
+            lambda a, b: a.unionByName(b, allowMissingColumns=True), dfs
+        )
 
     def version_at_timestamp(self, timestamp_ms: int) -> int:
         """Timestamp-based time travel (the ``timestampAsOf`` half of
@@ -292,7 +355,11 @@ class VersionedTable:
             raise NoSuchVersionError(
                 f"{self.path}: empty change range [{starting_version}, {ending_version}]"
             )
-        return reduce(DataFrame.unionByName, parts)
+        # allowMissingColumns: change ranges that straddle a mergeSchema
+        # append still union (pre-evolution rows carry NULLs).
+        return reduce(
+            lambda a, b: a.unionByName(b, allowMissingColumns=True), parts
+        )
 
     def empty_like(self) -> DataFrame:
         """S3 schema-preserving empty relation (reference ``datalake.py:83-86``)."""

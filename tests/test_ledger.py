@@ -225,3 +225,58 @@ def test_compact_preserves_rows_and_reduces_files(spark, tmp_table_dir):
     assert len(t.read().inputFiles()) == 1
     # history intact: pre-compact snapshot still readable
     assert rows(t.read(version=v - 1), "key", "value") == before
+
+
+def test_merge_schema_append_evolution(spark, tmp_table_dir):
+    """Delta mergeSchema parity: append may ADD columns; old versions
+    read back with NULLs; plain append still rejects divergence; CDC
+    across the evolution boundary unions."""
+    from data_seedling_spark.operators.ledger import SchemaMismatchError
+
+    t = VersionedTable(spark, tmp_table_dir)
+    t.write(make_df(spark, [(1, "a")]), mode="overwrite")
+    wide = spark.createDataFrame([Row(key=2, value="b", score=0.5)])
+    with pytest.raises(SchemaMismatchError):
+        t.write(wide, mode="append")  # not without opting in
+    t.write(wide, mode="append", merge_schema=True)
+    assert rows(t.read(), "key", "value", "score") == [
+        (1, "a", None),
+        (2, "b", 0.5),
+    ]
+    # dropping or retyping a column is still rejected under mergeSchema
+    with pytest.raises(SchemaMismatchError):
+        t.write(make_df(spark, [(3, "c")]), mode="append", merge_schema=True)
+    with pytest.raises(SchemaMismatchError):
+        t.write(
+            spark.createDataFrame([Row(key=3, value="c", score="high")]),
+            mode="append",
+            merge_schema=True,
+        )
+    chg = t.read_changes(0, 1)
+    assert rows(chg, "key", "value", "score") == [(1, "a", None), (2, "b", 0.5)]
+
+
+def test_write_constraints_reject_and_commit(spark, tmp_table_dir):
+    """CHECK-constraint parity: violating writes leave no new version;
+    per-constraint counts reported; NULL predicate = violation."""
+    from data_seedling_spark.operators.ledger import ConstraintViolationError
+
+    t = VersionedTable(spark, tmp_table_dir)
+    checks = {
+        "key_positive": F.col("key") > 0,
+        "value_not_null": F.col("value").isNotNull(),
+    }
+    t.write(make_df(spark, [(1, "a")]), mode="overwrite", constraints=checks)
+    bad = spark.createDataFrame(
+        [Row(key=-1, value="x"), Row(key=2, value=None), Row(key=None, value="y")],
+        "key long, value string",
+    )
+    with pytest.raises(ConstraintViolationError) as exc:
+        t.write(bad, mode="append", constraints=checks)
+    assert "key_positive" in str(exc.value) and "value_not_null" in str(exc.value)
+    # rejected write committed nothing: snapshot and history unchanged
+    assert t.latest_version() == 0
+    assert rows(t.read(), "key", "value") == [(1, "a")]
+    # a clean append under the same constraints commits
+    t.write(make_df(spark, [(2, "b")]), mode="append", constraints=checks)
+    assert t.latest_version() == 1
