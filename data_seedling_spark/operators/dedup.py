@@ -472,3 +472,74 @@ def simhash64(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         return pd.Series(out)
 
     return hashed.select(F.col(id_col), simhash("_tok_hashes").alias("simhash"))
+
+
+def chunk_dedup(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    chunk_words: int = 10,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Duplicate-span removal (the C4 / `Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better"` policy, at chunk
+    granularity): split every document into non-overlapping
+    ``chunk_words``-word chunks, find chunks occurring in at least
+    ``min_docs`` *distinct* documents, remove every occurrence, and
+    reassemble the surviving chunks in their original order.
+
+    Returns ``(id_col, clean_text, n_removed_chunks)`` — one row per
+    input document (fully-deduplicated documents keep a row with empty
+    text, so a downstream length filter owns the drop policy).
+
+    Scale shape: the global frequency group-by and the anti-join both
+    key on ``sha2(chunk)`` — 32-byte hashes shuffle, never the chunk
+    text; reassembly is a per-document ``collect_list`` whose state is
+    bounded by document length, not corpus size. No windows, no Python.
+    (The oracle groups on the chunk text itself — identical equivalence
+    classes, since a sha2 collision is negligible.)
+    """
+    cw = chunk_words
+    base = df.select(
+        F.col(id_col), F.split(F.col(text_col), " ").alias("_w")
+    ).withColumn(
+        "chunks",
+        F.transform(
+            F.sequence(
+                F.lit(0),
+                F.greatest(F.ceil(F.size("_w") / cw), F.lit(1)).cast("int") - 1,
+            ),
+            lambda i: F.array_join(F.slice(F.col("_w"), i * cw + 1, cw), " "),
+        ),
+    )
+    exploded = base.select(
+        id_col, F.posexplode("chunks").alias("pos", "chunk")
+    ).withColumn("_h", F.sha2(F.col("chunk"), 256))
+    dup_hashes = (
+        exploded.groupBy("_h")
+        .agg(F.countDistinct(id_col).alias("_nd"))
+        .where(F.col("_nd") >= min_docs)
+        .select("_h")
+    )
+    kept = exploded.join(dup_hashes, "_h", "left_anti")
+    reassembled = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "chunk"))),
+                lambda s: s["chunk"],
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.count("*").alias("_n_kept"),
+    )
+    return (
+        base.select(id_col, F.size("chunks").alias("_n_chunks"))
+        .join(reassembled, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+            (F.col("_n_chunks") - F.coalesce(F.col("_n_kept"), F.lit(0)))
+            .cast("long")
+            .alias("n_removed_chunks"),
+        )
+    )

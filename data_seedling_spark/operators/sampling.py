@@ -92,6 +92,50 @@ def pack_sequences(
     )
 
 
+def mix_domains(
+    df: DataFrame,
+    key_col: str,
+    domain_col: str,
+    weights: dict[str, float],
+    default_weight: float = 1.0,
+    buckets: int = 1000,
+) -> DataFrame:
+    """Deterministic dataset mixing: replicate/downsample each row by
+    its domain's target weight (the domain-reweighting step of a
+    pre-training data pipeline — e.g. upsample curated text 2×,
+    downsample web crawl to 0.3×).
+
+    A weight ``w`` keeps ``⌊w⌋`` copies of every row plus one more for
+    the deterministic ``frac(w)`` fraction of keys (same md5-bucket
+    family as :func:`hash_split`, so the decision is a pure function of
+    the key: re-runs, retries, and corpus growth reproduce the exact
+    same mixture — the property a ``rand()``-based mixer can't give).
+    Rows landing on 0 copies are filtered *before* the generate, and
+    the output carries a ``copy_num`` column (1..n) so downstream
+    shuffles can treat replicas as distinct rows.
+
+    Plan shape: one scan → filter → explode(sequence) — no shuffle, no
+    Python; the filter prunes dropped rows before any replication cost.
+    """
+    bucket = hash_bucket(F.col(key_col), buckets)
+
+    def copies(w: float):
+        whole = int(w)
+        rem = int(round((w - whole) * buckets))
+        return F.lit(whole) + (bucket < rem).cast("int")
+
+    n_copies = copies(default_weight)
+    for domain, w in sorted(weights.items()):
+        n_copies = F.when(F.col(domain_col) == domain, copies(w)).otherwise(n_copies)
+    return (
+        df.withColumn("_n_copies", n_copies)
+        .where(F.col("_n_copies") >= 1)
+        .withColumn("copy_num", F.explode(F.sequence(F.lit(1), F.col("_n_copies"))))
+        .withColumn("copy_num", F.col("copy_num").cast("long"))
+        .drop("_n_copies")
+    )
+
+
 def stratified_hash_sample(
     df: DataFrame,
     key_col: str,

@@ -402,3 +402,134 @@ def kmeans_lloyd(
             updated, f"centroid_id long, {vec_col} array<double>"
         )
     return ivf_assign(vecs, centroids, id_col, vec_col)
+
+
+def pq_codebooks(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 4,
+    dim: int = 64,
+    centroid_stride: int = 50,
+) -> DataFrame:
+    """Product-quantization codebooks (`Jégou et al. 2011, "Product
+    Quantization for Nearest Neighbor Search"`): split the space into
+    ``m`` subspaces of ``dim/m`` dims; each subspace's codebook is the
+    sub-vectors of a deterministic stride sample (a per-subspace
+    k-means fit plugs in identically — same substitution ``ivf_topk``
+    makes). Returns ``(subspace, code_id, subvec)``: m × (rows/stride)
+    rows — tiny, always broadcastable."""
+    sub = dim // m
+    sampled = df.where((F.col(id_col) % centroid_stride) == 0).select(
+        F.expr(f"`{id_col}` DIV {centroid_stride}").alias("code_id"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+    )
+    return sampled.select(
+        "code_id",
+        F.posexplode(
+            F.array(*[F.slice(F.col("_v"), j * sub + 1, sub) for j in range(m)])
+        ).alias("subspace", "subvec"),
+    ).select("subspace", "code_id", "subvec")
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 4,
+    dim: int = 64,
+) -> DataFrame:
+    """PQ encoding: per subspace, assign each vector's sub-vector to
+    its nearest codeword (argmin squared-L2 via the dot identity,
+    rounded to the 1e-6 grid so the oracle reproduces the doubles;
+    deterministic tie-break on code id — the ``ivf_assign`` contract).
+
+    Plan shape: explode each vector into m sub-vectors, broadcast-join
+    the codebooks, ``min_by`` partial-aggregate per (vector, subspace).
+    The shuffle carries one (id, subspace, code) row per sub-vector —
+    the 100 TB corpus compresses to m bytes-ish per vector, which is
+    the entire point of PQ."""
+    sub = dim // m
+    vecs = df.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v")
+    ).select(
+        id_col,
+        F.posexplode(
+            F.array(*[F.slice(F.col("_v"), j * sub + 1, sub) for j in range(m)])
+        ).alias("subspace", "_s"),
+    )
+    sq_dist = (
+        _dot(F.col("_s"), F.col("_s"))
+        + _dot(F.col("subvec"), F.col("subvec"))
+        - 2 * _dot(F.col("_s"), F.col("subvec"))
+    )
+    scored = vecs.join(F.broadcast(codebooks), "subspace").select(
+        id_col, "subspace", "code_id", F.round(sq_dist, 6).alias("_d")
+    )
+    return scored.groupBy(id_col, "subspace").agg(
+        F.min_by("code_id", F.struct("_d", "code_id")).alias("code")
+    )
+
+
+def pq_adc_topk(
+    df: DataFrame,
+    query_ids,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+    m: int = 4,
+    dim: int = 64,
+    centroid_stride: int = 50,
+) -> DataFrame:
+    """PQ ANN search with asymmetric distance computation (ADC): the
+    corpus is scanned as codes only; each query builds a (subspace ×
+    codeword) → partial-distance lookup table from its *exact*
+    sub-vectors, and a document's approximate distance is the sum of
+    its m table entries.
+
+    Plan shape: the LUT (|queries| × m × codebook) is broadcast; the
+    encoded corpus streams through one equi-join on (subspace, code)
+    and a (query, doc) partial-sum aggregate — shuffle is O(rows × m ×
+    |queries|) fixed-width rows, vectors never move after encoding.
+    Partial distances sum through decimal(28,6) so the total is
+    addition-order-independent and the oracle hash-matches exactly.
+    """
+    sub = dim // m
+    codebooks = pq_codebooks(df, id_col, vec_col, m, dim, centroid_stride)
+    codes = pq_encode(df, codebooks, id_col, vec_col, m, dim)
+    queries = df.where(F.col(id_col).isin(list(query_ids))).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("_qv"),
+    ).select(
+        "query_id",
+        F.posexplode(
+            F.array(*[F.slice(F.col("_qv"), j * sub + 1, sub) for j in range(m)])
+        ).alias("subspace", "_qs"),
+    )
+    lut_dist = (
+        _dot(F.col("_qs"), F.col("_qs"))
+        + _dot(F.col("subvec"), F.col("subvec"))
+        - 2 * _dot(F.col("_qs"), F.col("subvec"))
+    )
+    lut = queries.join(F.broadcast(codebooks), "subspace").select(
+        "query_id", "subspace", "code_id", F.round(lut_dist, 6).alias("_d")
+    )
+    approx = (
+        codes.join(
+            F.broadcast(lut),
+            (codes["subspace"] == lut["subspace"])
+            & (codes["code"] == lut["code_id"])
+            & (codes[id_col] != lut["query_id"]),
+        )
+        .groupBy("query_id", id_col)
+        .agg(
+            F.sum(F.col("_d").cast("decimal(28,6)")).cast("double").alias("approx_dist")
+        )
+    )
+    w = W.partitionBy("query_id").orderBy("approx_dist", "neighbor_id")
+    return (
+        approx.select("query_id", F.col(id_col).alias("neighbor_id"), "approx_dist")
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )

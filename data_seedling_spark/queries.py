@@ -82,8 +82,8 @@ _PRIORITY: tuple[str, ...] = (
     # LLM training-data pipeline suite (BASELINE north_star).
     "dedup_exact_documents",
     "ngram_jaccard_dedup",
+    "chunk_dedup_documents",
     "minhash_lsh_near_dup",
-    "simhash_documents",
     "similarity_topk_bruteforce",
     "ann_lsh_hyperplane",
     "text_quality_scores",
@@ -91,13 +91,13 @@ _PRIORITY: tuple[str, ...] = (
     "token_count_documents",
     "doc_fingerprints",
     "multimodal_metadata",
-    "embedding_near_dup",
     "embedding_near_dup_ivf",
     "ivf_ann_topk",
+    "pq_ann_topk",
     "dedup_cluster_assignment",
     "udtf_token_spans",
     "train_test_split_hash",
-    "sequence_packing_bins",
+    "domain_mix_documents",
     "sequence_packing_sharded",
     "split_contamination_check",
     "kmeans_cluster_assignment",

@@ -987,3 +987,150 @@ def heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("term_freq").desc(), "token")
         .limit(20)
     )
+
+
+@query(
+    "domain_mix_documents",
+    oracle="""
+    WITH c AS (
+      SELECT doc_id, lang, source,
+             CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+               % 1000 AS b
+      FROM documents
+    ), n AS (
+      SELECT doc_id, lang, source,
+             CASE lang
+               WHEN 'en' THEN 1 + CAST(b < 500 AS INT)
+               WHEN 'de' THEN 2
+               WHEN 'fr' THEN CAST(b < 500 AS INT)
+               ELSE CAST(b < 250 AS INT)
+             END AS n_copies
+      FROM c
+    )
+    SELECT doc_id, lang, source,
+           unnest(range(1, n_copies + 1)) AS copy_num
+    FROM n WHERE n_copies >= 1
+    """,
+    tags=("sampling", "data-mixing"),
+)
+def domain_mix_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic domain mixing for a pre-training run: upsample
+    English 1.5x and German 2x, halve French, keep 25% of everything
+    else — replication and downsampling both decided by key hash, so
+    the mixture is exactly reproducible across runs and engines
+    (operators.sampling.mix_domains). One scan, filter-then-explode,
+    no shuffle."""
+    from .operators.sampling import mix_domains
+
+    documents = load_table(spark, sf_dir, "documents")
+    return mix_domains(
+        documents.select("doc_id", "lang", "source"),
+        key_col="doc_id",
+        domain_col="lang",
+        weights={"en": 1.5, "de": 2.0, "fr": 0.5},
+        default_weight=0.25,
+    )
+
+
+@query(
+    "chunk_dedup_documents",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ), c AS (
+      SELECT doc_id,
+             [array_to_string(w[i*10+1 : i*10+10], ' ')
+              FOR i IN range(0, greatest(CAST(ceil(len(w) / 10.0) AS INT), 1))]
+               AS chunks
+      FROM t
+    ), e AS (
+      SELECT doc_id, unnest(chunks) AS chunk,
+             unnest(range(1, len(chunks) + 1)) AS pos
+      FROM c
+    ), d AS (
+      SELECT chunk FROM e GROUP BY chunk HAVING COUNT(DISTINCT doc_id) >= 2
+    ), k AS (
+      SELECT e.doc_id, e.pos, e.chunk FROM e ANTI JOIN d USING (chunk)
+    ), r AS (
+      SELECT doc_id, string_agg(chunk, ' ' ORDER BY pos) AS clean_text,
+             COUNT(*) AS n_kept
+      FROM k GROUP BY doc_id
+    )
+    SELECT c.doc_id,
+           coalesce(r.clean_text, '') AS clean_text,
+           CAST(len(c.chunks) - coalesce(r.n_kept, 0) AS BIGINT) AS n_removed_chunks
+    FROM c LEFT JOIN r USING (doc_id)
+    """,
+    tags=("dedup-chunk", "c4"),
+)
+def chunk_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-span removal (C4 / Lee et al. 2022 policy at 10-word
+    chunk granularity): chunks occurring in 2+ distinct documents are
+    removed from every document; survivors reassemble in order. Global
+    chunk frequencies group on sha2 hashes so 32-byte keys shuffle,
+    never the text (operators.dedup.chunk_dedup)."""
+    from .operators.dedup import chunk_dedup
+
+    documents = load_table(spark, sf_dir, "documents")
+    return chunk_dedup(documents, "text", "doc_id", chunk_words=10, min_docs=2)
+
+
+@query(
+    "pq_ann_topk",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS ve FROM embeddings
+    ), sp AS (
+      SELECT j FROM range(0, 4) AS t(j)
+    ), cb AS (
+      SELECT sp.j AS subspace, vec_id // 50 AS code_id,
+             ve[sp.j*16+1 : sp.j*16+16] AS c
+      FROM v, sp WHERE vec_id % 50 = 0
+    ), sv AS (
+      SELECT vec_id, sp.j AS subspace, ve[sp.j*16+1 : sp.j*16+16] AS s
+      FROM v, sp
+    ), enc AS (
+      SELECT vec_id, subspace, code_id AS code FROM (
+        SELECT sv.vec_id, sv.subspace, cb.code_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY sv.vec_id, sv.subspace
+                 ORDER BY round(list_dot_product(sv.s, sv.s)
+                                + list_dot_product(cb.c, cb.c)
+                                - 2 * list_dot_product(sv.s, cb.c), 6),
+                          cb.code_id
+               ) AS rn
+        FROM sv JOIN cb ON sv.subspace = cb.subspace
+      ) WHERE rn = 1
+    ), lut AS (
+      SELECT sv.vec_id AS query_id, sv.subspace, cb.code_id,
+             round(list_dot_product(sv.s, sv.s) + list_dot_product(cb.c, cb.c)
+                   - 2 * list_dot_product(sv.s, cb.c), 6) AS d
+      FROM sv JOIN cb ON sv.subspace = cb.subspace
+      WHERE sv.vec_id IN (7, 123, 321)
+    ), approx AS (
+      SELECT lut.query_id, enc.vec_id AS neighbor_id,
+             CAST(SUM(CAST(d AS DECIMAL(28,6))) AS DOUBLE) AS approx_dist
+      FROM enc JOIN lut
+        ON enc.subspace = lut.subspace AND enc.code = lut.code_id
+      WHERE enc.vec_id <> lut.query_id
+      GROUP BY lut.query_id, enc.vec_id
+    )
+    SELECT query_id, neighbor_id, approx_dist, rank FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY approx_dist, neighbor_id
+      ) AS rank FROM approx
+    ) WHERE rank <= 3
+    """,
+    tags=("similarity-pq",),
+)
+def pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN with asymmetric distance computation
+    (Jegou et al. 2011): corpus scanned as m=4 codes per vector,
+    per-query LUT of exact-subvector-to-codeword distances, document
+    distance = sum of table entries through decimal so the total is
+    order-independent. Like IVF (and unlike LSH), the deterministic
+    stride codebooks make this approximate index fully oracle-checked."""
+    from .operators.similarity import pq_adc_topk
+
+    embeddings = load_table(spark, sf_dir, "embeddings")
+    return pq_adc_topk(embeddings, query_ids=(7, 123, 321), k=3)

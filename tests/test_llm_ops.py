@@ -584,3 +584,107 @@ def test_hll_sketch_union_equals_whole_corpus_sketch(spark):
     exact = orders.select("o_custkey").distinct().count()
     assert unioned == whole
     assert abs(unioned - exact) / exact < 0.05
+
+
+def test_mix_domains_copy_semantics(spark):
+    """Whole weights replicate exactly; zero-ish defaults drop; the
+    mixture is a pure function of the key (rerun-identical), and a
+    fractional weight keeps roughly that share of a stratum."""
+    from data_seedling_spark.operators.sampling import mix_domains
+
+    df = spark.createDataFrame(
+        [Row(k=i, dom="curated" if i % 2 else "web") for i in range(400)]
+    )
+    mixed = mix_domains(df, "k", "dom", {"curated": 2.0, "web": 0.5})
+    rows = mixed.groupBy("dom").count().collect()
+    counts = {r["dom"]: r["count"] for r in rows}
+    assert counts["curated"] == 2 * 200  # exactly two copies each
+    assert 60 <= counts["web"] <= 140  # ~half, hash-decided
+    # copy_num distinguishes replicas
+    per_key = (
+        mixed.where(F.col("dom") == "curated")
+        .groupBy("k")
+        .agg(F.sort_array(F.collect_list("copy_num")).alias("c"))
+        .collect()
+    )
+    assert all(r["c"] == [1, 2] for r in per_key)
+    # deterministic across invocations
+    again = {
+        (r["k"], r["copy_num"]) for r in mix_domains(
+            df, "k", "dom", {"curated": 2.0, "web": 0.5}
+        ).collect()
+    }
+    assert again == {(r["k"], r["copy_num"]) for r in mixed.collect()}
+    # unlisted domain with default 0 drops entirely
+    none_kept = mix_domains(df, "k", "dom", {"curated": 1.0}, default_weight=0.0)
+    assert none_kept.where(F.col("dom") == "web").count() == 0
+
+
+def test_chunk_dedup_removes_shared_spans_in_order(spark):
+    """A chunk shared by 2+ docs disappears from all of them; unique
+    chunks reassemble in original order; a fully-duplicated doc stays
+    as a row with empty text."""
+    from data_seedling_spark.operators.dedup import chunk_dedup
+
+    boiler = " ".join(f"b{i}" for i in range(10))  # one exact 10-word chunk
+    u1 = " ".join(f"x{i}" for i in range(10))
+    u2 = " ".join(f"y{i}" for i in range(10))
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=f"{boiler} {u1}"),
+            Row(doc_id=2, text=f"{u2} {boiler}"),
+            Row(doc_id=3, text=boiler),
+        ]
+    )
+    out = {r["doc_id"]: r for r in chunk_dedup(df, "text", "doc_id").collect()}
+    assert out[1]["clean_text"] == u1 and out[1]["n_removed_chunks"] == 1
+    assert out[2]["clean_text"] == u2 and out[2]["n_removed_chunks"] == 1
+    assert out[3]["clean_text"] == "" and out[3]["n_removed_chunks"] == 1
+    # order preservation with multiple surviving chunks
+    long_doc = spark.createDataFrame(
+        [Row(doc_id=10, text=f"{u1} {boiler} {u2}"), Row(doc_id=11, text=boiler)]
+    )
+    got = {
+        r["doc_id"]: r["clean_text"]
+        for r in chunk_dedup(long_doc, "text", "doc_id").collect()
+    }
+    assert got[10] == f"{u1} {u2}"
+
+
+def test_pq_encoding_and_adc_ranking(spark):
+    """PQ codes are valid codebook ids, cluster-mates share codes, and
+    ADC search returns same-cluster neighbors first (4 well-separated
+    clusters, centers sampled into the codebook by stride)."""
+    from data_seedling_spark.operators.dedup import scale_out  # noqa: F401 (parity import)
+    from data_seedling_spark.operators.similarity import (
+        pq_adc_topk,
+        pq_codebooks,
+        pq_encode,
+    )
+
+    rng = np.random.default_rng(7)
+    centers = rng.standard_normal((4, 64)) * 10
+    rows = [
+        Row(
+            vec_id=c * 50 + i,
+            embedding=[float(x) for x in centers[c] + rng.standard_normal(64) * 0.05],
+        )
+        for c in range(4)
+        for i in range(50)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cb = pq_codebooks(df, m=4, dim=64, centroid_stride=50)
+    # 4 subspaces x 4 sampled codewords (ids 0,50,100,150 -> codes 0..3)
+    assert cb.count() == 16
+    codes = pq_encode(df, cb, m=4, dim=64)
+    assert codes.count() == 200 * 4
+    # every vector quantizes each subspace to its own cluster's codeword
+    mismatches = codes.where(
+        F.col("code") != F.expr("vec_id DIV 50")
+    ).count()
+    assert mismatches == 0
+    top = pq_adc_topk(df, query_ids=(10, 60, 110, 160), k=3, m=4, dim=64)
+    got = top.collect()
+    assert len(got) == 4 * 3
+    for r in got:
+        assert r["query_id"] // 50 == r["neighbor_id"] // 50  # same cluster
