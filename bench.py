@@ -53,6 +53,12 @@ HEADLINE = [
     "large_volume_customers",
     "waiting_suppliers",
     "kmeans_cluster_assignment",
+    "chunk_dedup_documents",
+    "domain_mix_documents",
+    "pq_ann_topk",
+    "global_row_index_documents",
+    "domain_quota_sample",
+    "unigram_logprob_scores",
 ]
 
 

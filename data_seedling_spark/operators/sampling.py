@@ -157,3 +157,72 @@ def stratified_hash_sample(
             F.col(stratum_col) == value, F.lit(int(frac * buckets))
         ).otherwise(cutoff)
     return df.where(bucket < cutoff)
+
+
+def global_index(
+    df: DataFrame,
+    key_col: str,
+    n_shards: int = 64,
+    index_col: str = "global_idx",
+) -> DataFrame:
+    """Assign dense 0..N-1 row indexes WITHOUT a global sort — the
+    DataFrame-native replacement for ``rdd.zipWithIndex()`` (training
+    loaders want stable contiguous sample ids; a single ``ORDER BY``
+    window funnels the corpus through one partition).
+
+    Two-pass construction: rows hash-shard deterministically on the
+    key; pass 1 counts each shard (n_shards rows — the running-total
+    window over *that* is trivially small); pass 2 ranks within shards
+    in parallel and adds the broadcast shard offset. The index equals
+    ``row_number() OVER (ORDER BY shard, key) - 1`` — a deterministic
+    total order, which is what makes it oracle-checkable — but no
+    stage ever materialises that global order.
+    """
+    sharded = df.withColumn("_shard", hash_bucket(F.col(key_col), n_shards))
+    offsets = (
+        sharded.groupBy("_shard")
+        .count()
+        .select(
+            "_shard",
+            F.coalesce(
+                F.sum("count").over(
+                    W.orderBy("_shard").rowsBetween(W.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ).alias("_offset"),
+        )
+    )
+    w = W.partitionBy("_shard").orderBy(key_col)
+    return (
+        sharded.join(F.broadcast(offsets), "_shard")
+        .withColumn(
+            index_col, (F.row_number().over(w) - 1 + F.col("_offset")).cast("long")
+        )
+        .drop("_shard", "_offset")
+    )
+
+
+def quota_sample(
+    df: DataFrame,
+    key_col: str,
+    domain_col: str,
+    quota: int,
+    rank_col: str = "sample_rank",
+) -> DataFrame:
+    """Cap each domain at ``quota`` rows, chosen by key-hash order — the
+    per-source cap of a curation pipeline (e.g. at most N pages per
+    site). Hash order makes the chosen subset a pure function of the
+    keys: deterministic, growth-stable for already-seen keys' relative
+    order, and engine-portable for the oracle.
+
+    Plan shape: one rank window per domain, but the ``rank <= quota``
+    filter is pushed map-side by Spark's WindowGroupLimit rule, so each
+    partition forwards at most ``quota`` rows per domain into the
+    shuffle — this scales to billion-row domains, where a naive
+    rank-then-filter would sort whole domains on single reducers.
+    """
+    w = W.partitionBy(domain_col).orderBy(hash_bucket(F.col(key_col)), key_col)
+    return (
+        df.withColumn(rank_col, F.row_number().over(w))
+        .where(F.col(rank_col) <= quota)
+    )

@@ -218,3 +218,36 @@ def pii_scan(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         F.lit(0),
     )
     return df.select(F.col(id_col), *counts, (flagged > 0).cast("int").alias("needs_scrub"))
+
+
+def unigram_logprob(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Unigram language-model quality score: train token frequencies on
+    the corpus itself (one aggregate), then score each document by its mean
+    token log-probability — the cheap stand-in for the perplexity
+    filter of a CCNet/Gopher-style curation stage (low mean log-prob =
+    rare-token soup = likely junk).
+
+    Returns ``(id_col, n_tokens, avg_logprob)``. Per-token log-probs
+    round to the 1e-6 grid and sum through decimal so the mean is
+    addition-order-independent (the engine-portability contract every
+    oracle-checked double in this repo follows).
+
+    Scale shape: the frequency table keys the join on the token itself
+    — at web-corpus scale that's a shuffle join of (token, count)
+    fixed-width rows against exploded tokens, no broadcast assumption
+    on the vocabulary; the scalar corpus total rides along as a
+    broadcast single row. All JVM expressions.
+    """
+    tokens = df.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("token")
+    ).where(F.col("token") != "")
+    freqs = tokens.groupBy("token").agg(F.count("*").alias("_tf"))
+    total = freqs.agg(F.sum("_tf").alias("_total"))
+    logp = F.round(F.log(F.col("_tf") / F.col("_total")), 6)
+    scored = tokens.join(freqs, "token").join(F.broadcast(total))
+    return scored.groupBy(id_col).agg(
+        F.count("*").alias("n_tokens"),
+        F.round(
+            F.sum(logp.cast("decimal(28,6)")).cast("double") / F.count("*"), 6
+        ).alias("avg_logprob"),
+    )

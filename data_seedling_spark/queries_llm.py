@@ -1134,3 +1134,94 @@ def pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     embeddings = load_table(spark, sf_dir, "embeddings")
     return pq_adc_topk(embeddings, query_ids=(7, 123, 321), k=3)
+
+
+@query(
+    "global_row_index_documents",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id,
+             CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+               % 16 AS shard
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(ROW_NUMBER() OVER (ORDER BY shard, doc_id) - 1 AS BIGINT)
+             AS global_idx
+    FROM s
+    """,
+    tags=("sampling", "indexing"),
+)
+def global_row_index_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense 0..N-1 row indexing without a global sort: hash-shard,
+    count shards, rank within shards + broadcast offsets
+    (operators.sampling.global_index — the DataFrame-native
+    zipWithIndex). The oracle IS the global sort the distributed
+    construction provably equals."""
+    from .operators.sampling import global_index
+
+    documents = load_table(spark, sf_dir, "documents")
+    return global_index(documents.select("doc_id"), "doc_id", n_shards=16)
+
+
+@query(
+    "domain_quota_sample",
+    oracle="""
+    WITH r AS (
+      SELECT doc_id, lang,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang
+               ORDER BY CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                             AS BIGINT) % 100,
+                        doc_id
+             ) AS sample_rank
+      FROM documents
+    )
+    SELECT doc_id, lang, sample_rank FROM r WHERE sample_rank <= 40
+    """,
+    tags=("sampling", "quota"),
+)
+def domain_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain cap (at most 40 docs per language), chosen by key
+    hash so the kept subset is deterministic and engine-portable.
+    Spark's WindowGroupLimit pushes the rank<=N filter map-side, so
+    billion-row domains never sort on one reducer
+    (operators.sampling.quota_sample)."""
+    from .operators.sampling import quota_sample
+
+    documents = load_table(spark, sf_dir, "documents")
+    return quota_sample(
+        documents.select("doc_id", "lang"), "doc_id", "lang", quota=40
+    )
+
+
+@query(
+    "unigram_logprob_scores",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, token FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+      ) WHERE token <> ''
+    ), f AS (
+      SELECT token, CAST(COUNT(*) AS BIGINT) AS tf FROM t GROUP BY token
+    ), tot AS (
+      SELECT CAST(SUM(tf) AS BIGINT) AS total FROM f
+    )
+    SELECT t.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           round(CAST(SUM(CAST(round(ln(tf / total), 6) AS DECIMAL(28,6)))
+                      AS DOUBLE) / COUNT(*), 6) AS avg_logprob
+    FROM t JOIN f USING (token) CROSS JOIN tot
+    GROUP BY t.doc_id
+    """,
+    tags=("text-quality", "perplexity-proxy"),
+)
+def unigram_logprob_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM quality scoring (the perplexity-filter stand-in of a
+    CCNet/Gopher curation stage): corpus-trained token frequencies, one
+    shuffle join on the token, mean per-token log-prob through the
+    decimal grid (operators.textstats.unigram_logprob)."""
+    from .operators.textstats import unigram_logprob
+
+    documents = load_table(spark, sf_dir, "documents")
+    return unigram_logprob(documents, "text", "doc_id")

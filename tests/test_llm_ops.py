@@ -688,3 +688,64 @@ def test_pq_encoding_and_adc_ranking(spark):
     assert len(got) == 4 * 3
     for r in got:
         assert r["query_id"] // 50 == r["neighbor_id"] // 50  # same cluster
+
+
+def test_global_index_dense_and_sort_free(spark, documents):
+    """Indexes are exactly 0..N-1 (dense, unique), equal to the global
+    sort's row_number, and the plan contains no single-partition global
+    Sort+Window (the shard windows partition by _shard)."""
+    from data_seedling_spark.operators.sampling import global_index
+
+    n = documents.count()
+    idx = global_index(documents.select("doc_id"), "doc_id", n_shards=8)
+    rows = idx.collect()
+    assert sorted(r["global_idx"] for r in rows) == list(range(n))
+    # matches the semantic spec: order by (shard bucket, key)
+    from data_seedling_spark.operators.sampling import hash_bucket
+
+    spec = (
+        documents.select("doc_id")
+        .withColumn("_s", hash_bucket(F.col("doc_id"), 8))
+        .orderBy("_s", "doc_id")
+        .collect()
+    )
+    expect = {r["doc_id"]: i for i, r in enumerate(spec)}
+    assert {r["doc_id"]: r["global_idx"] for r in rows} == expect
+    # the corpus-side rank window is partitioned by the shard key (the
+    # only unpartitioned window is the n_shards-row offsets frame)
+    plan = idx._jdf.queryExecution().executedPlan().toString()
+    assert "windowspecdefinition(_shard" in plan
+
+
+def test_quota_sample_caps_and_pushes_group_limit(spark, documents):
+    from data_seedling_spark.operators.sampling import quota_sample
+
+    out = quota_sample(documents.select("doc_id", "lang"), "doc_id", "lang", quota=7)
+    per = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert per and all(v <= 7 for v in per.values())
+    langs = {r["lang"] for r in documents.select("lang").distinct().collect()}
+    assert set(per) == langs  # every domain represented
+    # WindowGroupLimit: the rank filter runs map-side before the shuffle
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+
+
+def test_unigram_logprob_orders_common_above_rare(spark):
+    """A document of corpus-frequent tokens scores higher (closer to 0)
+    than a document of corpus-rare tokens; all scores are negative."""
+    from data_seedling_spark.operators.textstats import unigram_logprob
+
+    common = " ".join(["the"] * 20)
+    rare = " ".join(f"zq{i}" for i in range(20))  # each appears once
+    filler = " ".join(["the", "a", "and"] * 50)
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=common),
+            Row(doc_id=2, text=rare),
+            Row(doc_id=3, text=filler),
+        ]
+    )
+    out = {r["doc_id"]: r for r in unigram_logprob(df, "text", "doc_id").collect()}
+    assert all(r["avg_logprob"] < 0 for r in out.values())
+    assert out[1]["avg_logprob"] > out[2]["avg_logprob"]
+    assert out[1]["n_tokens"] == 20 and out[2]["n_tokens"] == 20
