@@ -226,3 +226,63 @@ def quota_sample(
         df.withColumn(rank_col, F.row_number().over(w))
         .where(F.col(rank_col) <= quota)
     )
+
+
+def temperature_mix(
+    df: DataFrame,
+    key_col: str,
+    domain_col: str,
+    alpha: float = 0.5,
+    buckets: int = 1000,
+) -> DataFrame:
+    """Temperature-smoothed domain mixing (the multilingual sampling
+    rule of XLM / mT5: sample domain d with probability proportional to
+    ``share_d ** alpha``): compute each domain's corpus share, smooth it
+    with exponent ``alpha`` (< 1 upsamples the tail, downsamples the
+    head), renormalise, and convert to a per-row replication weight
+    ``w_d = target_share_d / natural_share_d``. Replication uses the
+    same deterministic floor+hash-fraction device as
+    :func:`mix_domains`, so the mixture is a pure function of the data.
+
+    Everything stays in the plan: the domain-share frame is a
+    ``groupBy(domain)`` aggregate (|domains| rows) broadcast back onto
+    the corpus — no driver round-trip, so the operator composes with
+    streaming/incremental callers. Weights round to the 1e-6 grid
+    before the floor/fraction split so the replication decision is
+    engine-portable (the oracle reproduces it in SQL).
+
+    Output: input columns + ``copy_num`` (1..n per kept row).
+    """
+    counts = df.groupBy(domain_col).agg(F.count("*").alias("_c"))
+    smoothed = counts.select(
+        domain_col,
+        F.col("_c"),
+        # rounded to the grid so the normaliser sum is exact in decimal
+        F.round(F.pow(F.col("_c").cast("double"), F.lit(alpha)), 6).alias("_ca"),
+    )
+    totals = smoothed.agg(
+        F.sum("_c").alias("_n"),
+        F.sum(F.col("_ca").cast("decimal(28,6)")).cast("double").alias("_za"),
+    )
+    weights = smoothed.join(F.broadcast(totals)).select(
+        domain_col,
+        # w = (c^a / Z_a) * N / c, on the 1e-6 grid
+        F.round((F.col("_ca") / F.col("_za")) * F.col("_n") / F.col("_c"), 6).alias(
+            "_w"
+        ),
+    )
+    bucket = hash_bucket(F.col(key_col), buckets)
+    n_copies = (
+        F.floor(F.col("_w")).cast("int")
+        + (bucket < F.round((F.col("_w") - F.floor(F.col("_w"))) * buckets)).cast(
+            "int"
+        )
+    )
+    return (
+        df.join(F.broadcast(weights), domain_col)
+        .withColumn("_n_copies", n_copies)
+        .where(F.col("_n_copies") >= 1)
+        .withColumn("copy_num", F.explode(F.sequence(F.lit(1), F.col("_n_copies"))))
+        .withColumn("copy_num", F.col("copy_num").cast("long"))
+        .drop("_w", "_n_copies")
+    )

@@ -308,12 +308,16 @@ def ivf_topk(
     vec_col: str = "embedding",
     k: int = 3,
     centroid_stride: int = 50,
+    nprobe: int = 1,
 ) -> DataFrame:
-    """IVF ANN search, nprobe=1: quantize the corpus against a
-    deterministic centroid set (every ``centroid_stride``-th vector —
-    a k-means fit plugs in identically), then rank candidates only
-    inside the query's cell. Shuffle is O(rows); the cross product
-    never materialises."""
+    """IVF ANN search: quantize the corpus against a deterministic
+    centroid set (every ``centroid_stride``-th vector — a k-means fit
+    plugs in identically), then rank candidates only inside each
+    query's ``nprobe`` nearest cells. Shuffle is O(rows × nprobe-ish);
+    the cross product never materialises. ``nprobe`` is the standard
+    recall/cost knob — cell-boundary misses (the nprobe=1 failure
+    mode) disappear as probes widen, and each corpus vector lives in
+    exactly one cell so no candidate pair duplicates."""
     centroids = (
         df.where((F.col(id_col) % centroid_stride) == 0)
         .select((F.col(id_col) / centroid_stride).cast("long").alias("centroid_id"),
@@ -325,10 +329,30 @@ def ivf_topk(
         F.col("centroid_id"),
         F.col(vec_col).cast("array<double>").alias("_v"),
     )
-    q = v.where(F.col(id_col).isin(list(query_ids))).select(
+    # Rank each query's probe cells by quantizer distance (same rounded
+    # dot-identity contract as ivf_assign; nprobe=1 degenerates to the
+    # argmin assignment). The window partitions by query over |queries|
+    # × k rows — driver-side small either way.
+    q_raw = df.where(F.col(id_col).isin(list(query_ids))).select(
         F.col(id_col).alias("query_id"),
-        F.col("centroid_id").alias("_qc"),
-        F.col("_v").alias("_qv"),
+        F.col(vec_col).cast("array<double>").alias("_qv"),
+    )
+    c = centroids.select(
+        "centroid_id", F.col(vec_col).cast("array<double>").alias("_c")
+    )
+    probe_dist = (
+        _dot(F.col("_qv"), F.col("_qv"))
+        + _dot(F.col("_c"), F.col("_c"))
+        - 2 * _dot(F.col("_qv"), F.col("_c"))
+    )
+    pw = W.partitionBy("query_id").orderBy(
+        F.round(probe_dist, 6), "centroid_id"
+    )
+    q = (
+        q_raw.join(F.broadcast(c))
+        .withColumn("_pr", F.row_number().over(pw))
+        .where(F.col("_pr") <= nprobe)
+        .select("query_id", F.col("centroid_id").alias("_qc"), "_qv")
     )
     v = v.withColumn("_n", norm(F.col("_v")))
     q = q.withColumn("_qn", norm(F.col("_qv")))

@@ -1225,3 +1225,108 @@ def unigram_logprob_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     documents = load_table(spark, sf_dir, "documents")
     return unigram_logprob(documents, "text", "doc_id")
+
+
+@query(
+    "ivf_ann_topk_nprobe2",
+    oracle="""
+    WITH c AS (
+      SELECT vec_id // 50 AS centroid_id, embedding::DOUBLE[] AS cv
+      FROM embeddings WHERE vec_id % 50 = 0
+    ), v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS vv FROM embeddings
+    ), assigned AS (
+      SELECT vec_id, centroid_id FROM (
+        SELECT v.vec_id, c.centroid_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY v.vec_id
+                 ORDER BY round(list_dot_product(vv, vv) + list_dot_product(cv, cv)
+                                - 2 * list_dot_product(vv, cv), 6),
+                          c.centroid_id
+               ) AS rn
+        FROM v, c
+      ) WHERE rn = 1
+    ), probes AS (
+      SELECT vec_id AS query_id, centroid_id FROM (
+        SELECT v.vec_id, c.centroid_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY v.vec_id
+                 ORDER BY round(list_dot_product(vv, vv) + list_dot_product(cv, cv)
+                                - 2 * list_dot_product(vv, cv), 6),
+                          c.centroid_id
+               ) AS rn
+        FROM v, c WHERE v.vec_id < 10
+      ) WHERE rn <= 2
+    ), cells AS (
+      SELECT v.vec_id, a.centroid_id, v.vv FROM v JOIN assigned a USING (vec_id)
+    ), scored AS (
+      SELECT p.query_id, x.vec_id AS neighbor_id,
+             round(list_dot_product(q.vv, x.vv)
+                   / (sqrt(list_dot_product(q.vv, q.vv))
+                      * sqrt(list_dot_product(x.vv, x.vv))), 6) AS score
+      FROM probes p
+      JOIN cells x ON x.centroid_id = p.centroid_id AND x.vec_id <> p.query_id
+      JOIN v q ON q.vec_id = p.query_id
+    )
+    SELECT query_id, neighbor_id, score, rank FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY score DESC, neighbor_id
+      ) AS rank FROM scored
+    ) WHERE rank <= 3
+    """,
+    tags=("similarity-ivf", "nprobe"),
+)
+def ivf_ann_topk_nprobe2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with nprobe=2: each query searches its two nearest
+    quantizer cells, eliminating the cell-boundary miss mode of
+    nprobe=1 at ~2x candidate cost — the standard IVF recall/cost
+    knob, still fully oracle-checked (deterministic probes and
+    distances)."""
+    from .operators.similarity import ivf_topk
+
+    embeddings = load_table(spark, sf_dir, "embeddings")
+    return ivf_topk(embeddings, query_ids=range(10), k=3, centroid_stride=50, nprobe=2)
+
+
+@query(
+    "temperature_mix_documents",
+    oracle="""
+    WITH c AS (
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS cnt FROM documents GROUP BY lang
+    ), s AS (
+      SELECT lang, cnt, round(pow(CAST(cnt AS DOUBLE), 0.5), 6) AS ca FROM c
+    ), t AS (
+      SELECT CAST(SUM(cnt) AS BIGINT) AS n,
+             CAST(SUM(CAST(ca AS DECIMAL(28,6))) AS DOUBLE) AS za
+      FROM s
+    ), w AS (
+      SELECT lang, round((ca / za) * n / cnt, 6) AS w FROM s CROSS JOIN t
+    ), d AS (
+      SELECT doc_id, d0.lang, w.w,
+             CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+               % 1000 AS b
+      FROM documents d0 JOIN w ON d0.lang = w.lang
+    ), nc AS (
+      SELECT doc_id, lang,
+             CAST(floor(w) AS INT)
+               + CAST(b < round((w - floor(w)) * 1000) AS INT) AS n_copies
+      FROM d
+    )
+    SELECT doc_id, lang, unnest(range(1, n_copies + 1)) AS copy_num
+    FROM nc WHERE n_copies >= 1
+    """,
+    tags=("sampling", "data-mixing", "temperature"),
+)
+def temperature_mix_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XLM/mT5-style temperature sampling (alpha=0.5): domain shares
+    smoothed by sqrt, renormalised, converted to deterministic per-row
+    replication — head languages shrink, tail languages replicate. The
+    whole weight computation stays in the plan (a |domains|-row
+    broadcast), no driver round-trip
+    (operators.sampling.temperature_mix)."""
+    from .operators.sampling import temperature_mix
+
+    documents = load_table(spark, sf_dir, "documents")
+    return temperature_mix(
+        documents.select("doc_id", "lang"), "doc_id", "lang", alpha=0.5
+    )

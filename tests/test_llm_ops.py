@@ -749,3 +749,50 @@ def test_unigram_logprob_orders_common_above_rare(spark):
     assert all(r["avg_logprob"] < 0 for r in out.values())
     assert out[1]["avg_logprob"] > out[2]["avg_logprob"]
     assert out[1]["n_tokens"] == 20 and out[2]["n_tokens"] == 20
+
+
+def test_temperature_mix_flattens_skew(spark):
+    """alpha=0.5 upsamples the tail domain (w>1 -> replication) and
+    downsamples the head (w<1 -> hash-kept subset); the realised
+    mixture sits near the smoothed target shares; deterministic."""
+    from data_seedling_spark.operators.sampling import temperature_mix
+
+    df = spark.createDataFrame(
+        [Row(k=i, dom="big" if i < 300 else "small") for i in range(330)]
+    )
+    mixed = temperature_mix(df, "k", "dom", alpha=0.5)
+    counts = {r["dom"]: r["n"] for r in mixed.groupBy("dom").agg(F.count("*").alias("n")).collect()}
+    # targets: w_big ~ 0.836 (251), w_small ~ 2.642 (79)
+    assert 220 <= counts["big"] <= 280
+    assert 60 <= counts["small"] <= 100
+    assert counts["small"] / 30 > 2.0  # tail replicated
+    again = {r["dom"]: r["n"] for r in temperature_mix(df, "k", "dom", alpha=0.5).groupBy("dom").agg(F.count("*").alias("n")).collect()}
+    assert again == counts
+    # alpha=1 is the identity mixture: every row exactly once
+    ident = temperature_mix(df, "k", "dom", alpha=1.0)
+    assert ident.count() == 330
+    assert ident.agg(F.max("copy_num")).first()[0] == 1
+
+
+def test_ivf_nprobe2_recall_dominates_nprobe1(spark, embeddings):
+    """Candidates(nprobe=1) is a subset of candidates(nprobe=2), so
+    recall against the exact brute-force top-k can only improve."""
+    from data_seedling_spark.operators.similarity import cosine_topk, ivf_topk
+
+    k = 3
+    exact = cosine_topk(
+        embeddings.where(F.col("vec_id") < 10), embeddings, k=k
+    )
+    truth = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+
+    def recall(nprobe):
+        got = {
+            (r["query_id"], r["neighbor_id"])
+            for r in ivf_topk(
+                embeddings, query_ids=range(10), k=k, nprobe=nprobe
+            ).collect()
+        }
+        return len(got & truth) / len(truth)
+
+    r1, r2 = recall(1), recall(2)
+    assert r2 >= r1
