@@ -283,9 +283,14 @@ class VersionedTable:
         columnar scan to Catalyst (pushdown + pruning intact).
         """
         as_of = self.latest_version() if version is None else version
+        live = self._live_versions(as_of)
+        vacuumed = [c.version for c in live if not os.path.exists(self._version_dir(c.version))]
+        if vacuumed:
+            raise NoSuchVersionError(
+                f"{self.path}: snapshot {as_of} needs vacuumed version(s) {vacuumed}"
+            )
         dfs = [
-            self.spark.read.parquet(self._version_dir(c.version))
-            for c in self._live_versions(as_of)
+            self.spark.read.parquet(self._version_dir(c.version)) for c in live
         ]
         # allowMissingColumns: after a mergeSchema append, pre-evolution
         # versions surface NULLs for the added columns (Delta read
@@ -365,11 +370,37 @@ class VersionedTable:
         """S3 schema-preserving empty relation (reference ``datalake.py:83-86``)."""
         return self.spark.createDataFrame([], self.schema())
 
-    def vacuum(self) -> None:
-        """S14: physical-file maintenance is a no-op change to readers
-        (reference ``test_datalake.py:240-241``). Our ledger keeps all
-        versions locally, so this only validates the call shape."""
-        return None
+    def vacuum(self, retain_last_versions: int | None = None) -> list[int]:
+        """S14 physical-file maintenance. With no argument this is the
+        reference's no-op call shape (``test_datalake.py:240-241``) —
+        a no-op change to readers. With ``retain_last_versions=N`` it
+        behaves like Delta's retention vacuum: delete the data files of
+        versions that do NOT contribute to any of the last N snapshots,
+        and return the vacuumed version numbers. Contributing versions
+        are computed from the ledger (an old *append* stays live inside
+        later snapshots until an overwrite/merge supersedes it, so it
+        is never deleted just for being old). Vacuumed versions keep
+        their ledger entry (history stays queryable) but time-travel to
+        them raises ``NoSuchVersionError``.
+        """
+        if retain_last_versions is None:
+            return []
+        commits = self.commits()
+        if not commits:
+            return []
+        retained = commits[-max(retain_last_versions, 1):]
+        live: set[int] = set()
+        for c in retained:
+            live.update(x.version for x in self._live_versions(c.version))
+        removed: list[int] = []
+        import shutil
+
+        for c in commits:
+            target = self._version_dir(c.version)
+            if c.version not in live and os.path.exists(target):
+                shutil.rmtree(target)
+                removed.append(c.version)
+        return removed
 
     def compact(self, sort_by: list[str] | None = None, target_files: int = 1) -> int:
         """OPTIMIZE-style compaction: rewrite the live snapshot as one

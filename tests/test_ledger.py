@@ -280,3 +280,28 @@ def test_write_constraints_reject_and_commit(spark, tmp_table_dir):
     # a clean append under the same constraints commits
     t.write(make_df(spark, [(2, "b")]), mode="append", constraints=checks)
     assert t.latest_version() == 1
+
+
+def test_vacuum_retention_deletes_only_superseded(spark, tmp_table_dir):
+    """Retention vacuum: appends that still feed retained snapshots
+    survive any age; overwrite-superseded versions delete; vacuumed
+    time travel raises; history metadata stays."""
+    t = VersionedTable(spark, tmp_table_dir)
+    t.write(make_df(spark, [(1, "a")]), mode="overwrite")   # v0
+    t.write(make_df(spark, [(2, "b")]), mode="append")       # v1
+    t.write(make_df(spark, [(9, "z")]), mode="overwrite")    # v2
+    t.write(make_df(spark, [(10, "y")]), mode="append")      # v3
+    # retain last 2 snapshots (v2, v3): v0/v1 are superseded by v2
+    removed = t.vacuum(retain_last_versions=2)
+    assert removed == [0, 1]
+    assert rows(t.read(), "key", "value") == [(9, "z"), (10, "y")]
+    assert rows(t.read(version=2), "key", "value") == [(9, "z")]
+    with pytest.raises(NoSuchVersionError):
+        t.read(version=1)
+    assert len(t.history()) == 4  # ledger metadata intact
+    # appends never deleted merely for age: retain only the latest
+    # snapshot — v2 (the base overwrite) and v3 both still contribute
+    assert t.vacuum(retain_last_versions=1) == []
+    assert rows(t.read(), "key", "value") == [(9, "z"), (10, "y")]
+    # bare call remains the reference's no-op shape
+    assert t.vacuum() == []
