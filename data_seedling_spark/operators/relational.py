@@ -111,3 +111,48 @@ def enable_runtime_bloom(spark) -> None:
     the plan shape (`test_relational.py`)."""
     for k, v in RUNTIME_BLOOM_CONF.items():
         spark.conf.set(k, v)
+
+
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    lo_col: str,
+    hi_col: str,
+    bin_width: int,
+    how: str = "inner",
+) -> DataFrame:
+    """Big×big point-in-interval join without a nested loop: bin the
+    numeric point key, explode each interval into every bin it
+    overlaps, equi-join on the bin, refine with the exact
+    ``lo <= point < hi`` predicate.
+
+    A raw theta join between two large tables falls back to
+    BroadcastNestedLoopJoin (or a cartesian) — the classic range-join
+    scale cliff. Binning turns it into a shuffle equi-join: cost is
+    O(points + intervals × mean_span/bin_width) rows through the
+    shuffle, and each (point, interval) pair meets in exactly one bin
+    (the point's own), so no dedup pass is needed. ``bin_width``
+    trades interval fan-out against bin selectivity — pick it near the
+    median interval span so each interval explodes into ~2 bins.
+    """
+    pb = points.withColumn(
+        "_bin", F.floor(F.col(point_col) / bin_width).cast("long")
+    )
+    ib = intervals.withColumn(
+        "_bin",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(lo_col) / bin_width).cast("long"),
+                F.floor(F.col(hi_col) / bin_width).cast("long"),
+            )
+        ),
+    )
+    return (
+        pb.join(ib, "_bin", how)
+        .where(
+            (F.col(point_col) >= F.col(lo_col))
+            & (F.col(point_col) < F.col(hi_col))
+        )
+        .drop("_bin")
+    )

@@ -1999,3 +1999,44 @@ def session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+@query(
+    "interval_join_ship_windows",
+    oracle="""
+    SELECT o.o_orderkey, CAST(COUNT(*) AS BIGINT) AS n_shipped
+    FROM orders o JOIN lineitem l
+      ON l.l_shipdate >= o.o_orderdate
+     AND l.l_shipdate < o.o_orderdate + INTERVAL 90 DAY
+    WHERE o.o_orderkey % 997 = 0
+    GROUP BY o.o_orderkey
+    """,
+    tags=("range-join", "interval-bin"),
+)
+def interval_join_ship_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Big×big interval join via bin blocking: corpus-wide shipments
+    falling inside each sampled order's 90-day window. A raw theta
+    join here is a BroadcastNestedLoopJoin (the range-join scale
+    cliff); `operators.relational.interval_join` bins the day number
+    (64-day bins, so each window explodes into ~2 bins) and
+    equi-joins, leaving only the exact [lo, hi) refine as a filter."""
+    from .operators.relational import interval_join
+
+    epoch = F.lit("1992-01-01")
+    lineitem = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_shipdate"),
+        F.datediff(F.col("l_shipdate"), epoch).cast("double").alias("ship_day"),
+    )
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") % 997 == 0)
+        .select(
+            "o_orderkey",
+            F.datediff(F.col("o_orderdate"), epoch).cast("double").alias("lo_day"),
+            (F.datediff(F.col("o_orderdate"), epoch) + 90).cast("double").alias("hi_day"),
+        )
+    )
+    joined = interval_join(
+        lineitem, orders, "ship_day", "lo_day", "hi_day", bin_width=64
+    )
+    return joined.groupBy("o_orderkey").agg(F.count("*").alias("n_shipped"))

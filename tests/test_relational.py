@@ -126,3 +126,33 @@ def test_runtime_bloom_filter_prunes_big_side(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_interval_join_matches_theta_join_no_nested_loop(spark):
+    """Binned interval join equals the naive theta join and plans as an
+    equi-join (no BroadcastNestedLoop / cartesian)."""
+    from pyspark.sql import Row
+
+    from data_seedling_spark.operators.relational import interval_join
+
+    points = spark.createDataFrame(
+        [Row(pid=i, x=float(i)) for i in range(100)]
+    )
+    ivs = spark.createDataFrame(
+        [
+            Row(iid=1, lo=10.0, hi=20.0),
+            Row(iid=2, lo=15.0, hi=40.0),
+            Row(iid=3, lo=90.0, hi=200.0),
+            Row(iid=4, lo=300.0, hi=310.0),  # matches nothing
+        ]
+    )
+    got = interval_join(points, ivs, "x", "lo", "hi", bin_width=16)
+    naive = points.join(
+        ivs, (F.col("x") >= F.col("lo")) & (F.col("x") < F.col("hi"))
+    )
+    key = lambda df: sorted((r["pid"], r["iid"]) for r in df.collect())
+    assert key(got) == key(naive)
+    # each pair meets in exactly one bin — no duplicates to dedup
+    assert len(key(got)) == len(set(key(got)))
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
