@@ -198,3 +198,26 @@ def write_sorted(
     else:
         df = df.repartitionByRange(*sort_cols)
     df.sortWithinPartitions(*sort_cols).write.mode("overwrite").parquet(path)
+
+
+def read_binary_files(
+    spark: SparkSession, path: str, glob: str | None = None
+) -> DataFrame:
+    """Raw-asset ingestion for the multimodal pipeline: Spark's
+    ``binaryFile`` source yields one row per file — ``(path,
+    modificationTime, length, content: binary)`` — which is exactly the
+    opaque-payload + typed-metadata contract
+    ``operators.multimodal`` builds on. ``glob`` filters by filename
+    pattern (pushed to the file index, so non-matching files are never
+    opened).
+
+    Scale note: each file must fit in one row (driver maxes at
+    ``spark.sql.files.maxPartitionBytes`` per task either way) — the
+    right granularity for images/audio clips; chunk video into segment
+    files upstream. Listing parallelises across executors for large
+    directories.
+    """
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    return reader.load(path)

@@ -147,3 +147,30 @@ def test_jdbc_derby_roundtrip_e2e(spark):
     )
     got = sorted((r["pk"], r["score"]) for r in back.collect())
     assert got == [(1, 0.5), (1, 0.5), (2, 0.7)]
+
+
+def test_read_binary_files_feeds_multimodal_contract(spark, tmp_path):
+    """binaryFile rows (path/length/content) flow into the multimodal
+    payload+metadata shape; glob pushdown skips non-matching files."""
+    from data_seedling_spark.io import read_binary_files
+
+    (tmp_path / "a.jpg").write_bytes(b"\xff\xd8JPEGDATA")
+    (tmp_path / "b.jpg").write_bytes(b"\xff\xd8MORE")
+    (tmp_path / "skip.txt").write_bytes(b"not an image")
+    df = read_binary_files(spark, str(tmp_path), glob="*.jpg")
+    rows = df.orderBy("path").collect()
+    assert [r["length"] for r in rows] == [10, 6]
+    assert rows[0]["content"].startswith(b"\xff\xd8")
+    # compose with the multimodal metadata struct
+    from pyspark.sql import functions as F
+
+    assets = df.select(
+        F.col("path").alias("asset_id"),
+        F.col("content").alias("payload"),
+        F.struct(
+            F.lit("image/jpeg").alias("mime"),
+            F.col("length").alias("n_bytes"),
+        ).alias("meta"),
+    )
+    got = assets.select("meta.mime", "meta.n_bytes").collect()
+    assert all(r["mime"] == "image/jpeg" for r in got)
