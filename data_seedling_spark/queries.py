@@ -95,7 +95,7 @@ _PRIORITY: tuple[str, ...] = (
     "ivf_ann_topk",
     "pq_ann_topk",
     "dedup_cluster_assignment",
-    "udtf_token_spans",
+    "incremental_dedup_ingest",
     "train_test_split_hash",
     "domain_mix_documents",
     "sequence_packing_sharded",

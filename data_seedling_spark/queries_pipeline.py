@@ -527,3 +527,68 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.processAllAvailable()
     q.stop()
     return spark.table(name)
+
+
+@query(
+    "incremental_dedup_ingest",
+    oracle="""
+    WITH c0 AS (SELECT doc_id, text, lang FROM documents WHERE doc_id % 3 = 0),
+         c1 AS (SELECT doc_id, text, lang FROM documents WHERE doc_id % 3 = 1),
+         base AS (
+           SELECT min(doc_id) AS doc_id FROM c0 GROUP BY text
+         ),
+         inc AS (
+           SELECT min(doc_id) AS doc_id FROM c1
+           WHERE text NOT IN (SELECT text FROM c0)
+           GROUP BY text
+         )
+    SELECT d.doc_id, d.lang FROM base b JOIN documents d ON b.doc_id = d.doc_id
+    UNION ALL
+    SELECT d.doc_id, d.lang FROM inc i JOIN documents d ON i.doc_id = d.doc_id
+    """,
+    tags=("S2", "ST1", "dedup-exact", "llm-pipeline"),
+)
+def incremental_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LLM-corpus marriage of the reference's CDC protocol: a
+    curated target corpus ingests document batches incrementally, and
+    every increment is deduplicated (a) within itself and (b) against
+    everything already ingested — without ever rescanning the corpus
+    text (the anti-join keys on sha2, 32-byte hashes).
+
+    Batch 0 (keys ≡0 mod 3) seeds the target; batch 1 (≡1 mod 3)
+    arrives as a CDC append and only its genuinely-new texts land. At
+    100 TB this is THE dedup deployment shape — re-running blocked
+    all-pairs over the full corpus per ingest is the anti-pattern;
+    increment × hash-index is linear in the increment.
+    """
+    documents = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    from .operators.dedup import exact_dedup
+
+    base = tempfile.mkdtemp(prefix="inc_dedup_")
+    source = VersionedTable(spark, f"{base}/src", write_partitions=4)
+    target = VersionedTable(spark, f"{base}/dst", write_partitions=4)
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        key = F.col("doc_id")
+        source.write(documents.where(key % 3 == 0), mode="overwrite")
+        # run 1: seed the target with the deduped initial snapshot
+        target.write(
+            exact_dedup(source.read_changes(0, 0).select("doc_id", "text", "lang"),
+                        "text", "doc_id"),
+            mode="overwrite",
+        )
+        # batch 1 arrives; run 2 consumes ONLY the increment
+        source.write(documents.where(key % 3 == 1), mode="append")
+        increment = source.read_changes(1, 1).select("doc_id", "text", "lang")
+        within = exact_dedup(increment, "text", "doc_id")
+        seen = target.read().select(
+            F.sha2(F.col("text").cast("binary"), 256).alias("_h")
+        )
+        fresh = within.withColumn(
+            "_h", F.sha2(F.col("text").cast("binary"), 256)
+        ).join(seen, "_h", "left_anti").drop("_h")
+        target.write(fresh, mode="append")
+        return target.read().select("doc_id", "lang")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)

@@ -158,3 +158,35 @@ def test_stratified_sample_filter_reaches_scan(spark, reg):
     plan = plan_of(spark, reg, "stratified_sample_documents")
     assert "Exchange" not in plan  # pure filter: no shuffle at all
     assert "ReadSchema" in plan and "text" not in plan.split("ReadSchema")[1][:200]
+
+
+def test_domain_mix_no_shuffle_no_python(spark, reg):
+    """Mixing is scan → filter → generate: zero Exchange, zero Python."""
+    plan = plan_of(spark, reg, "domain_mix_documents")
+    assert "Exchange" not in plan
+    assert "Generate" in plan  # the explode(sequence) replicator
+    assert "EvalPython" not in plan
+
+
+def test_chunk_dedup_shuffles_hashes_not_text(spark, reg):
+    """Duplicate-span removal: frequency group-by and removal anti-join
+    both key on sha2; no Python anywhere in the plan."""
+    plan = plan_of(spark, reg, "chunk_dedup_documents")
+    assert "LeftAnti" in plan
+    assert "sha2" in plan
+    assert "EvalPython" not in plan
+
+
+def test_pq_ann_broadcasts_lut_no_nested_loop(spark, reg):
+    """ADC scan: the (subspace, code) LUT join must be a broadcast
+    hash join — the corpus streams codes, vectors never re-shuffle."""
+    plan = plan_of(spark, reg, "pq_ann_topk")
+    assert "BroadcastHashJoin" in plan
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+
+
+def test_interval_join_plans_as_equi_join(spark, reg):
+    """The binned interval join must never fall back to the range-join
+    nested-loop cliff."""
+    plan = plan_of(spark, reg, "interval_join_ship_windows")
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
