@@ -2040,3 +2040,96 @@ def interval_join_ship_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         lineitem, orders, "ship_day", "lo_day", "hi_day", bin_width=64
     )
     return joined.groupBy("o_orderkey").agg(F.count("*").alias("n_shipped"))
+
+
+@query(
+    "funnel_view_click_purchase",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, min(ts) AS v_ts FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ), c AS (
+      SELECT e.user_id, min(e.ts) AS c_ts
+      FROM events e JOIN v ON e.user_id = v.user_id AND e.ts > v.v_ts
+      WHERE e.event_type = 'click' GROUP BY e.user_id
+    ), p AS (
+      SELECT e.user_id, min(e.ts) AS p_ts
+      FROM events e JOIN c ON e.user_id = c.user_id AND e.ts > c.c_ts
+      WHERE e.event_type = 'purchase' GROUP BY e.user_id
+    )
+    SELECT CAST((SELECT COUNT(*) FROM v) AS BIGINT) AS n_viewed,
+           CAST((SELECT COUNT(*) FROM c) AS BIGINT) AS n_clicked_after_view,
+           CAST((SELECT COUNT(*) FROM p) AS BIGINT) AS n_purchased_after_click
+    """,
+    tags=("funnel", "event-analytics"),
+)
+def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel: users who viewed, then clicked strictly after
+    their first view, then purchased strictly after that click. Each
+    stage is one conditional-min aggregate joined to the previous
+    stage's frontier — three hash aggregates on user_id (the same
+    shuffle key, so the exchanges reuse partitioning), never a
+    per-user event sort."""
+    events = load_table(spark, sf_dir, "events")
+    v = (
+        events.where(F.col("event_type") == "view")
+        .groupBy("user_id").agg(F.min("ts").alias("v_ts"))
+    )
+    c = (
+        events.where(F.col("event_type") == "click")
+        .join(v, "user_id").where(F.col("ts") > F.col("v_ts"))
+        .groupBy("user_id").agg(F.min("ts").alias("c_ts"))
+    )
+    p = (
+        events.where(F.col("event_type") == "purchase")
+        .join(c, "user_id").where(F.col("ts") > F.col("c_ts"))
+        .groupBy("user_id").agg(F.min("ts").alias("p_ts"))
+    )
+    return (
+        v.agg(F.count("*").alias("n_viewed"))
+        .crossJoin(c.agg(F.count("*").alias("n_clicked_after_view")))
+        .crossJoin(p.agg(F.count("*").alias("n_purchased_after_click")))
+    )
+
+
+@query(
+    "cohort_weekly_retention",
+    oracle="""
+    WITH first_week AS (
+      SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+      FROM events GROUP BY user_id
+    ), activity AS (
+      SELECT DISTINCT e.user_id, f.cohort_week,
+             date_diff('day', f.cohort_week, date_trunc('week', e.ts)) // 7
+               AS week_offset
+      FROM events e JOIN first_week f ON e.user_id = f.user_id
+    )
+    SELECT cohort_week, week_offset,
+           CAST(COUNT(*) AS BIGINT) AS n_active
+    FROM activity GROUP BY cohort_week, week_offset
+    """,
+    tags=("cohort", "retention", "event-analytics"),
+)
+def cohort_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users grouped by first-activity week,
+    counted as active in each later week. Two aggregates on user_id +
+    one on (cohort, offset); distinct-per-week happens inside the
+    aggregate, not via a window."""
+    events = load_table(spark, sf_dir, "events")
+    first_week = events.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    activity = (
+        events.join(first_week, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            F.expr(
+                "datediff(date_trunc('week', ts), cohort_week) DIV 7"
+            ).alias("week_offset"),
+        )
+        .distinct()
+    )
+    return activity.groupBy("cohort_week", "week_offset").agg(
+        F.count("*").alias("n_active")
+    )
