@@ -2133,3 +2133,90 @@ def cohort_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     return activity.groupBy("cohort_week", "week_offset").agg(
         F.count("*").alias("n_active")
     )
+
+
+@query(
+    "interpolated_sparse_hourly",
+    oracle="""
+    WITH bounds AS (
+      SELECT date_trunc('hour', MIN(ts)) AS lo, date_trunc('hour', MAX(ts)) AS hi
+      FROM events
+    ), hours AS (
+      SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour FROM bounds
+    ), idx AS (
+      SELECT hour, ROW_NUMBER() OVER (ORDER BY hour) - 1 AS t_idx FROM hours
+    ), types AS (
+      SELECT DISTINCT event_type FROM events
+    ), sparse AS (
+      SELECT date_trunc('hour', ts) AS hour, event_type,
+             round(CAST(SUM(CAST(round(value, 6) AS DECIMAL(28,6))) AS DOUBLE)
+                   / COUNT(*), 6) AS avg_value
+      FROM events WHERE user_id % 50 = 0 GROUP BY 1, 2
+    ), grid AS (
+      SELECT i.t_idx, t.event_type, s.avg_value
+      FROM idx i CROSS JOIN types t
+      LEFT JOIN sparse s ON s.hour = i.hour AND s.event_type = t.event_type
+    ), w AS (
+      SELECT *,
+        last_value(avg_value IGNORE NULLS) OVER (
+          PARTITION BY event_type ORDER BY t_idx
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+        last_value(CASE WHEN avg_value IS NOT NULL THEN t_idx END IGNORE NULLS)
+          OVER (PARTITION BY event_type ORDER BY t_idx
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pt,
+        first_value(avg_value IGNORE NULLS) OVER (
+          PARTITION BY event_type ORDER BY t_idx
+          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+        first_value(CASE WHEN avg_value IS NOT NULL THEN t_idx END IGNORE NULLS)
+          OVER (PARTITION BY event_type ORDER BY t_idx
+          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt
+      FROM grid
+    )
+    SELECT event_type, t_idx, avg_value,
+      CASE WHEN avg_value IS NOT NULL THEN avg_value
+           WHEN pv IS NULL THEN nv
+           WHEN nv IS NULL THEN pv
+           ELSE floor((pv + (nv - pv) * (t_idx - pt) / (nt - pt)) * 1e6 + 0.5)
+                  / 1e6
+      END AS interp_value
+    FROM w
+    """,
+    tags=("timeseries", "interpolation"),
+)
+def interpolated_sparse_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear interpolation over a sparse hourly series (2% user
+    sample → most hours empty): densify to the full hour grid with
+    NULL gaps, then reconstruct each gap from its neighbours
+    (operators.timeseries.interpolate_linear). The grid grows with the
+    time span, not the data; the windows carry one (value, t) pair of
+    state per series."""
+    from .operators.timeseries import interpolate_linear
+
+    events = load_table(spark, sf_dir, "events")
+    bounds = events.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    idx = bounds.select(
+        F.posexplode(
+            F.sequence(F.col("lo"), F.col("hi"), F.expr("INTERVAL 1 HOUR"))
+        ).alias("t_idx", "hour")
+    )
+    types = events.select("event_type").distinct()
+    sparse = (
+        events.where(F.col("user_id") % 50 == 0)
+        .groupBy(F.date_trunc("hour", F.col("ts")).alias("hour"), "event_type")
+        .agg(
+            F.round(
+                F.sum(F.round(F.col("value"), 6).cast("decimal(28,6)")).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("avg_value")
+        )
+    )
+    grid = (
+        idx.crossJoin(types)
+        .join(sparse, ["hour", "event_type"], "left")
+        .select("event_type", "t_idx", "avg_value")
+    )
+    return interpolate_linear(grid, "event_type", "t_idx", "avg_value")

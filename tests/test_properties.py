@@ -161,3 +161,38 @@ def test_stratified_hash_sample_properties(spark, n_rows, frac):
         assert kept1 == set()
     if frac == 1.0:
         assert kept1 == a_keys  # default 0 drops stratum b entirely
+
+
+def test_interpolate_linear_gaps_and_edges(spark):
+    """Interior gaps draw the straight line between neighbours;
+    leading/trailing gaps clamp; known points pass through exactly."""
+    from data_seedling_spark.operators.timeseries import interpolate_linear
+
+    df = spark.createDataFrame(
+        [
+            # series A: known at t=1 (2.0) and t=5 (10.0); edges null
+            Row(k="A", t=0, v=None),
+            Row(k="A", t=1, v=2.0),
+            Row(k="A", t=2, v=None),
+            Row(k="A", t=3, v=None),
+            Row(k="A", t=4, v=None),
+            Row(k="A", t=5, v=10.0),
+            Row(k="A", t=6, v=None),
+            # series B: single known point
+            Row(k="B", t=0, v=None),
+            Row(k="B", t=1, v=7.5),
+        ],
+        "k string, t int, v double",
+    )
+    out = {
+        (r["k"], r["t"]): r["interp_value"]
+        for r in interpolate_linear(df, "k", "t", "v").collect()
+    }
+    assert out[("A", 0)] == 2.0  # leading clamp
+    assert out[("A", 1)] == 2.0  # pass-through
+    assert out[("A", 2)] == 4.0
+    assert out[("A", 3)] == 6.0
+    assert out[("A", 4)] == 8.0
+    assert out[("A", 5)] == 10.0
+    assert out[("A", 6)] == 10.0  # trailing clamp
+    assert out[("B", 0)] == 7.5 and out[("B", 1)] == 7.5
