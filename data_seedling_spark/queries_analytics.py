@@ -2220,3 +2220,62 @@ def interpolated_sparse_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_type", "t_idx", "avg_value")
     )
     return interpolate_linear(grid, "event_type", "t_idx", "avg_value")
+
+
+@query(
+    "table_diff_reconciliation",
+    oracle="""
+    WITH l AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+    ), r AS (
+      SELECT o_orderkey, o_orderstatus,
+             CASE WHEN o_orderkey % 7 = 1 THEN o_totalprice + 1.0
+                  ELSE o_totalprice END AS o_totalprice
+      FROM orders WHERE o_orderkey % 7 <> 0
+      UNION ALL
+      SELECT o_orderkey + 10000000, o_orderstatus, o_totalprice
+      FROM orders WHERE o_orderkey % 7 = 2
+    )
+    SELECT COALESCE(l.o_orderkey, r.o_orderkey) AS o_orderkey,
+           CASE WHEN l.o_orderkey IS NULL THEN 'added'
+                WHEN r.o_orderkey IS NULL THEN 'removed'
+                WHEN l.o_totalprice <> r.o_totalprice
+                     OR l.o_orderstatus <> r.o_orderstatus THEN 'changed'
+           END AS diff_status
+    FROM l FULL OUTER JOIN r ON l.o_orderkey = r.o_orderkey
+    WHERE CASE WHEN l.o_orderkey IS NULL THEN 'added'
+               WHEN r.o_orderkey IS NULL THEN 'removed'
+               WHEN l.o_totalprice <> r.o_totalprice
+                    OR l.o_orderstatus <> r.o_orderstatus THEN 'changed'
+          END IS NOT NULL
+    """,
+    tags=("reconciliation", "data-diff"),
+)
+def table_diff_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level reconciliation between a table and its mutated twin
+    (the migration-validation tool: keys ≡0 mod 7 dropped → removed,
+    ≡1 repriced → changed, ≡2 re-keyed → added). Both sides reduce to
+    (pk, sha2 row-hash) before the full outer join, so diffing two
+    100 TB tables shuffles ~40 B/key (operators.diff.table_diff);
+    the oracle computes the same verdicts by direct value comparison."""
+    from .operators.diff import table_diff
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    key = F.col("o_orderkey")
+    mutated = (
+        orders.where(key % 7 != 0)
+        .withColumn(
+            "o_totalprice",
+            F.when(key % 7 == 1, F.col("o_totalprice") + 1.0).otherwise(
+                F.col("o_totalprice")
+            ),
+        )
+        .unionByName(
+            orders.where(key % 7 == 2).withColumn(
+                "o_orderkey", key + 10_000_000
+            )
+        )
+    )
+    return table_diff(orders, mutated, ["o_orderkey"])

@@ -156,3 +156,31 @@ def test_interval_join_matches_theta_join_no_nested_loop(spark):
     assert len(key(got)) == len(set(key(got)))
     plan = got._jdf.queryExecution().executedPlan().toString()
     assert "NestedLoop" not in plan and "Cartesian" not in plan
+
+
+def test_table_diff_statuses_and_null_handling(spark):
+    """added/removed/changed verdicts; NULL vs empty string are
+    DIFFERENT values (the sentinel distinguishes them); unchanged rows
+    are omitted; column order never affects the verdict."""
+    from pyspark.sql import Row
+
+    from data_seedling_spark.operators.diff import table_diff
+
+    left = spark.createDataFrame(
+        [
+            Row(pk=1, a="x", b="same"),
+            Row(pk=2, a=None, b="same"),
+            Row(pk=3, a="gone", b="gone"),
+            Row(pk=4, a="u", b="v"),
+        ]
+    )
+    right = spark.createDataFrame(
+        [
+            Row(pk=1, a="x", b="same"),        # unchanged -> omitted
+            Row(pk=2, a="", b="same"),          # NULL -> "" must be 'changed'
+            Row(pk=4, a="u", b="v"),            # same values...
+            Row(pk=5, a="new", b="new"),
+        ]
+    ).select("pk", "b", "a")                    # ...reordered columns
+    got = {r["pk"]: r["diff_status"] for r in table_diff(left, right, ["pk"]).collect()}
+    assert got == {2: "changed", 3: "removed", 5: "added"}
