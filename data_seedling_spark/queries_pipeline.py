@@ -592,3 +592,64 @@ def incremental_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         return target.read().select("doc_id", "lang")
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+
+
+@query(
+    "scd2_order_history",
+    oracle="""
+    WITH chg AS (
+      SELECT o_orderkey, o_totalprice, 'insert' AS ct, 0 AS v
+      FROM orders WHERE o_orderkey % 4 = 1
+      UNION ALL
+      SELECT o_orderkey, o_totalprice, 'insert', 1
+      FROM orders WHERE o_orderkey % 4 = 2
+      UNION ALL
+      SELECT o_orderkey, o_totalprice, 'delete', 2
+      FROM orders WHERE o_orderkey % 8 = 1
+      UNION ALL
+      SELECT o_orderkey, o_totalprice, 'insert', 2
+      FROM orders WHERE o_orderkey % 4 = 3
+    ), led AS (
+      SELECT *,
+             lead(v) OVER (PARTITION BY o_orderkey ORDER BY v, ct) AS vto
+      FROM chg
+    )
+    SELECT o_orderkey, o_totalprice,
+           CAST(v AS BIGINT) AS valid_from_version,
+           CAST(vto AS BIGINT) AS valid_to_version,
+           CAST(vto IS NULL AS INT) AS is_current
+    FROM led WHERE ct = 'insert'
+    """,
+    tags=("scd2", "S2", "warehouse"),
+)
+def scd2_order_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 slowly-changing-dimension history built from the CDC
+    feed of a versioned source (same deterministic commit slices as
+    `cdc_incremental_roundtrip`): one lead() window per key turns the
+    raw change stream into validity segments — deleted keys' segments
+    close, superseded inserts chain (operators.scd.scd2_from_changes)."""
+    from .operators.scd import scd2_from_changes
+
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    base = tempfile.mkdtemp(prefix="scd2_")
+    source = VersionedTable(spark, f"{base}/src", write_partitions=4)
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        from .operators.merge import CHANGE_TYPE, CT_DELETE, CT_INSERT
+
+        key = F.col("o_orderkey")
+        source.write(orders.where(key % 4 == 1), mode="overwrite")
+        source.write(orders.where(key % 4 == 2), mode="append")
+        feed = (
+            orders.where(key % 8 == 1)
+            .withColumn(CHANGE_TYPE, F.lit(CT_DELETE))
+            .unionByName(
+                orders.where(key % 4 == 3).withColumn(CHANGE_TYPE, F.lit(CT_INSERT))
+            )
+        )
+        source.merge(feed, primary_keys=["o_orderkey"])
+        changes = source.read_changes(0, source.latest_version())
+        return scd2_from_changes(changes, ["o_orderkey"], ["o_totalprice"])
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)

@@ -305,3 +305,37 @@ def test_vacuum_retention_deletes_only_superseded(spark, tmp_table_dir):
     assert rows(t.read(), "key", "value") == [(9, "z"), (10, "y")]
     # bare call remains the reference's no-op shape
     assert t.vacuum() == []
+
+
+def test_scd2_segments_close_and_chain(spark, tmp_table_dir):
+    """SCD2 from the change feed: re-inserted key chains segments
+    (old closes at the new version), deleted key closes without a
+    successor, untouched key stays current; overwrite's same-version
+    delete+insert closes old at v and opens new at v."""
+    from data_seedling_spark.operators.scd import scd2_from_changes
+
+    t = VersionedTable(spark, tmp_table_dir)
+    t.write(make_df(spark, [(1, "a1"), (2, "b1"), (3, "c1")]), mode="overwrite")  # v0
+    feed = (
+        make_df(spark, [(1, "a2")]).withColumn(CHANGE_TYPE, F.lit(CT_INSERT))
+        .unionByName(make_df(spark, [(2, "b1")]).withColumn(CHANGE_TYPE, F.lit(CT_DELETE)))
+    )
+    t.merge(feed, primary_keys=["key"])  # v1
+    hist = scd2_from_changes(
+        t.read_changes(0, 1), ["key"], ["value"]
+    )
+    got = {
+        (r["key"], r["valid_from_version"]): (r["valid_to_version"], r["is_current"], r["value"])
+        for r in hist.collect()
+    }
+    assert got[(1, 0)] == (1, 0, "a1")   # superseded segment
+    assert got[(1, 1)] == (None, 1, "a2")  # current segment
+    assert got[(2, 0)] == (1, 0, "b1")   # deleted -> closed, no successor
+    assert got[(3, 0)] == (None, 1, "c1")  # untouched -> current
+    assert len(got) == 4
+    # overwrite closes everything at v2 and reopens the new rows at v2
+    t.write(make_df(spark, [(9, "z")]), mode="overwrite")  # v2
+    hist2 = scd2_from_changes(t.read_changes(0, 2), ["key"], ["value"])
+    cur = {r["key"]: r for r in hist2.where(F.col("is_current") == 1).collect()}
+    assert set(cur) == {9}
+    assert cur[9]["valid_from_version"] == 2
