@@ -1330,3 +1330,118 @@ def temperature_mix_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return temperature_mix(
         documents.select("doc_id", "lang"), "doc_id", "lang", alpha=0.5
     )
+
+
+@query(
+    "weighted_sample_documents",
+    oracle="""
+    WITH u AS (
+      SELECT doc_id, lang, n_chars,
+             (CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+                % 1000000 + 0.5) / 1000000 AS uu
+      FROM documents
+    )
+    SELECT doc_id, lang, n_chars FROM (
+      SELECT doc_id, lang, n_chars,
+             round(ln(uu) / n_chars, 6) AS es_key
+      FROM u
+      ORDER BY es_key DESC, doc_id
+      LIMIT 100
+    )
+    """,
+    tags=("sampling", "weighted"),
+)
+def weighted_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-weighted document sample (Efraimidis-Spirakis A-ES,
+    k=100, weight = n_chars): longer documents proportionally likelier,
+    selection a pure function of the ids — reproducible sampling the
+    rand()-based equivalents cannot give
+    (operators.sampling.weighted_sample)."""
+    from .operators.sampling import weighted_sample
+
+    documents = load_table(spark, sf_dir, "documents")
+    return weighted_sample(
+        documents.select("doc_id", "lang", "n_chars"),
+        "doc_id",
+        F.col("n_chars"),
+        k=100,
+    )
+
+
+@query(
+    "pit_join_scd2_orders",
+    oracle="""
+    WITH chg AS (
+      SELECT o_orderkey, o_totalprice, 'insert' AS ct, 0 AS v
+      FROM orders WHERE o_orderkey % 4 = 1
+      UNION ALL
+      SELECT o_orderkey, o_totalprice, 'insert', 1
+      FROM orders WHERE o_orderkey % 4 = 2
+      UNION ALL
+      SELECT o_orderkey, o_totalprice, 'delete', 2
+      FROM orders WHERE o_orderkey % 8 = 1
+      UNION ALL
+      SELECT o_orderkey, o_totalprice, 'insert', 2
+      FROM orders WHERE o_orderkey % 4 = 3
+    ), led AS (
+      SELECT *,
+             lead(v) OVER (PARTITION BY o_orderkey ORDER BY v, ct) AS vto
+      FROM chg
+    ), hist AS (
+      SELECT o_orderkey, o_totalprice, v AS vfrom, vto
+      FROM led WHERE ct = 'insert'
+    )
+    SELECT o_orderkey, o_totalprice,
+           CAST(1 AS BIGINT) AS as_of_version
+    FROM hist
+    WHERE vfrom <= 1 AND (vto IS NULL OR vto > 1)
+    """,
+    tags=("scd2", "point-in-time", "warehouse"),
+)
+def pit_join_scd2_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time read off the SCD2 history: the rows valid AS OF
+    version 1 — the consumer pattern type-2 history exists for
+    (training-data reproducibility: 'join features exactly as they
+    were'). A validity-range filter over the history, no time travel
+    re-read."""
+    from .operators.merge import CHANGE_TYPE, CT_DELETE, CT_INSERT
+    from .operators.scd import scd2_from_changes
+
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    import tempfile
+
+    from .operators.ledger import VersionedTable
+
+    base = tempfile.mkdtemp(prefix="pit_scd2_")
+    source = VersionedTable(spark, f"{base}/src", write_partitions=4)
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        key = F.col("o_orderkey")
+        source.write(orders.where(key % 4 == 1), mode="overwrite")
+        source.write(orders.where(key % 4 == 2), mode="append")
+        feed = (
+            orders.where(key % 8 == 1)
+            .withColumn(CHANGE_TYPE, F.lit(CT_DELETE))
+            .unionByName(
+                orders.where(key % 4 == 3).withColumn(CHANGE_TYPE, F.lit(CT_INSERT))
+            )
+        )
+        source.merge(feed, primary_keys=["o_orderkey"])
+        hist = scd2_from_changes(
+            source.read_changes(0, source.latest_version()),
+            ["o_orderkey"],
+            ["o_totalprice"],
+        )
+        as_of = 1
+        return hist.where(
+            (F.col("valid_from_version") <= as_of)
+            & (
+                F.col("valid_to_version").isNull()
+                | (F.col("valid_to_version") > as_of)
+            )
+        ).select(
+            "o_orderkey", "o_totalprice", F.lit(as_of).cast("long").alias("as_of_version")
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)

@@ -196,3 +196,20 @@ def test_interpolate_linear_gaps_and_edges(spark):
     assert out[("A", 5)] == 10.0
     assert out[("A", 6)] == 10.0  # trailing clamp
     assert out[("B", 0)] == 7.5 and out[("B", 1)] == 7.5
+
+
+def test_weighted_sample_biases_toward_heavy_rows(spark):
+    """A-ES sampling: deterministic across invocations, k rows out,
+    and heavily-weighted rows are overrepresented vs uniform."""
+    from data_seedling_spark.operators.sampling import weighted_sample
+
+    # 500 light rows (w=1) + 100 heavy rows (w=50)
+    df = spark.createDataFrame(
+        [Row(k=i, w=50.0 if i < 100 else 1.0) for i in range(600)]
+    )
+    got1 = {r["k"] for r in weighted_sample(df, "k", F.col("w"), k=100).collect()}
+    got2 = {r["k"] for r in weighted_sample(df, "k", F.col("w"), k=100).collect()}
+    assert got1 == got2 and len(got1) == 100
+    heavy = sum(1 for k in got1 if k < 100)
+    # uniform would give ~17 heavy rows; weight-proportional gives far more
+    assert heavy >= 50
