@@ -59,6 +59,10 @@ HEADLINE = [
     "global_row_index_documents",
     "domain_quota_sample",
     "unigram_logprob_scores",
+    "temperature_mix_documents",
+    "interval_join_ship_windows",
+    "interpolated_sparse_hourly",
+    "funnel_view_click_purchase",
 ]
 
 
