@@ -251,3 +251,42 @@ def unigram_logprob(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
             F.sum(logp.cast("decimal(28,6)")).cast("double") / F.count("*"), 6
         ).alias("avg_logprob"),
     )
+
+
+def feature_hash(
+    df: DataFrame, text_col: str, id_col: str, dim: int = 64
+) -> DataFrame:
+    """Hashing-trick featurizer (`Weinberger et al. 2009, "Feature
+    Hashing for Large Scale Multitask Learning"`): token counts bucketed
+    into a FIXED ``dim``-slot vector by token hash — the
+    vocabulary-free text vectorizer whose output width never depends on
+    corpus size (no fit step, no dictionary to ship).
+
+    Returns ``(id_col, features: array<bigint>)`` dense vectors,
+    assembled JVM-side: per-(doc, slot) counts → map_from_entries →
+    gather over the slot sequence. The hash is the engine-portable
+    md5-prefix family, so slot assignment (and thus the whole vector)
+    is oracle-reproducible. Shuffle carries (id, slot, count) triples —
+    bounded by dim per document, not vocabulary.
+    """
+    tokens = df.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("token")
+    ).where(F.col("token") != "")
+    slot = F.pmod(
+        F.conv(F.substring(F.md5(F.col("token")), 1, 8), 16, 10).cast("bigint"),
+        F.lit(dim),
+    )
+    counts = tokens.select(id_col, slot.alias("slot")).groupBy(
+        id_col, "slot"
+    ).agg(F.count("*").alias("n"))
+    return counts.groupBy(id_col).agg(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda i: F.coalesce(
+                F.map_from_entries(
+                    F.collect_list(F.struct(F.col("slot"), F.col("n")))
+                )[i.cast("bigint")],
+                F.lit(0).cast("bigint"),
+            ),
+        ).alias("features")
+    )

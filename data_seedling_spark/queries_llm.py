@@ -1445,3 +1445,38 @@ def pit_join_scd2_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+
+
+@query(
+    "feature_hash_documents",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+    )
+    SELECT doc_id,
+           CAST('0x' || substr(md5(token), 1, 8) AS BIGINT) % 64 AS slot,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM tok WHERE token <> ''
+    GROUP BY 1, 2
+    """,
+    tags=("feature-hashing", "vectorizer"),
+)
+def feature_hash_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick document vectors (Weinberger et al. 2009, dim=64):
+    vocabulary-free fixed-width features. The dense assembly runs
+    JVM-side (operators.textstats.feature_hash); the query re-explodes
+    the vectors to (doc, slot, count) long form both because that is
+    what the oracle can aggregate relationally AND because array cells
+    crash the driver canonicalizer — so the round-trip through the
+    dense vector is itself under test."""
+    from .operators.textstats import feature_hash
+
+    documents = load_table(spark, sf_dir, "documents")
+    dense = feature_hash(documents, "text", "doc_id", dim=64)
+    return (
+        dense.select(
+            "doc_id", F.posexplode("features").alias("slot", "n")
+        )
+        .where(F.col("n") > 0)
+        .select("doc_id", F.col("slot").cast("bigint").alias("slot"), "n")
+    )

@@ -796,3 +796,24 @@ def test_ivf_nprobe2_recall_dominates_nprobe1(spark, embeddings):
 
     r1, r2 = recall(1), recall(2)
     assert r2 >= r1
+
+
+def test_feature_hash_dense_vectors(spark):
+    """Fixed dim, slot-sum equals token count, identical tokens land
+    in identical slots (vocabulary-free determinism)."""
+    from data_seedling_spark.operators.textstats import feature_hash
+
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="a b a c"),
+            Row(doc_id=2, text="a a a a a"),
+        ]
+    )
+    out = {r["doc_id"]: r["features"] for r in feature_hash(df, "text", "doc_id", dim=8).collect()}
+    assert all(len(v) == 8 for v in out.values())
+    assert sum(out[1]) == 4 and sum(out[2]) == 5
+    # doc2 is one token repeated: exactly one hot slot
+    assert sorted(out[2], reverse=True)[0] == 5 and sum(1 for x in out[2] if x) == 1
+    # 'a' hashes to the same slot in both docs
+    a_slot = out[2].index(5)
+    assert out[1][a_slot] == 2
