@@ -1480,3 +1480,55 @@ def feature_hash_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("n") > 0)
         .select("doc_id", F.col("slot").cast("bigint").alias("slot"), "n")
     )
+
+
+@query(
+    "bigram_conditional_probs",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ), big AS (
+      SELECT w[i] AS w1, w[i+1] AS w2
+      FROM t, unnest(range(1, greatest(len(w), 1))) AS r(i)
+      WHERE i < len(w)
+    ), pair AS (
+      SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n_pair FROM big GROUP BY 1, 2
+    ), pre AS (
+      SELECT w1, CAST(SUM(n_pair) AS BIGINT) AS n_prefix FROM pair GROUP BY 1
+    )
+    SELECT p.w1, p.w2, p.n_pair,
+           round(p.n_pair / r.n_prefix, 6) AS cond_prob
+    FROM pair p JOIN pre r USING (w1)
+    WHERE p.n_pair >= 20
+    """,
+    tags=("ngram-lm", "text-corpus"),
+)
+def bigram_conditional_probs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram next-token statistics: P(w2 | w1) for all bigrams seen
+    >= 20 times — the corpus-analysis table behind n-gram LM scoring
+    and repeated-phrase mining. One slide-by-one zip of each document's
+    token array (JVM arrays_zip, no Python), two token-keyed
+    aggregates, one exact-count division (single IEEE op, both
+    engines)."""
+    documents = load_table(spark, sf_dir, "documents")
+    words = documents.select(F.split(F.col("text"), " ").alias("w"))
+    bigrams = words.select(
+        F.explode(
+            F.arrays_zip(
+                F.slice(F.col("w"), 1, F.greatest(F.size("w") - 1, F.lit(0))),
+                F.slice(F.col("w"), 2, F.greatest(F.size("w") - 1, F.lit(0))),
+            )
+        ).alias("b")
+    ).select(F.col("b.0").alias("w1"), F.col("b.1").alias("w2"))
+    pair = bigrams.groupBy("w1", "w2").agg(F.count("*").alias("n_pair"))
+    pre = pair.groupBy("w1").agg(F.sum("n_pair").alias("n_prefix"))
+    return (
+        pair.join(pre, "w1")
+        .where(F.col("n_pair") >= 20)
+        .select(
+            "w1",
+            "w2",
+            "n_pair",
+            F.round(F.col("n_pair") / F.col("n_prefix"), 6).alias("cond_prob"),
+        )
+    )
