@@ -2279,3 +2279,96 @@ def table_diff_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return table_diff(orders, mutated, ["o_orderkey"])
+
+
+@query(
+    "outlier_flags_iqr",
+    oracle="""
+    WITH q AS (
+      SELECT l_returnflag,
+             quantile_cont(l_quantity, 0.25) AS q1,
+             quantile_cont(l_quantity, 0.75) AS q3
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l.l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(l.l_quantity < q.q1 - 1.5 * (q.q3 - q.q1)
+                         OR l.l_quantity > q.q3 + 1.5 * (q.q3 - q.q1) AS INT))
+                AS BIGINT) AS n_outliers
+    FROM lineitem l JOIN q ON l.l_returnflag = q.l_returnflag
+    GROUP BY l.l_returnflag
+    """,
+    tags=("data-quality", "outliers", "iqr"),
+)
+def outlier_flags_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-fence outlier counting per group: exact grouped quartiles
+    (Spark `percentile` == DuckDB `quantile_cont`, bit-exact) broadcast
+    back onto the fact scan, fences evaluated inline — two passes total,
+    the group-stats join pattern every data-quality suite needs."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    q = lineitem.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_quantity, 0.25D)").alias("q1"),
+        F.expr("percentile(l_quantity, 0.75D)").alias("q3"),
+    )
+    iqr = F.col("q3") - F.col("q1")
+    is_outlier = (F.col("l_quantity") < F.col("q1") - 1.5 * iqr) | (
+        F.col("l_quantity") > F.col("q3") + 1.5 * iqr
+    )
+    return (
+        lineitem.join(F.broadcast(q), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(is_outlier.cast("int")).alias("n_outliers"),
+        )
+    )
+
+
+@query(
+    "price_histogram_equiwidth",
+    oracle="""
+    WITH b AS (
+      SELECT MIN(p_retailprice) AS lo, MAX(p_retailprice) AS hi FROM part
+    )
+    SELECT least(1 + CAST(floor((p_retailprice - b.lo) / (b.hi - b.lo) * 20)
+                          AS BIGINT), 20) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST(MIN(p_retailprice) AS DOUBLE) AS bucket_min,
+           CAST(MAX(p_retailprice) AS DOUBLE) AS bucket_max
+    FROM part, b
+    GROUP BY 1
+    """,
+    tags=("histogram", "profiling"),
+)
+def price_histogram_equiwidth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of part prices (20 buckets between the
+    observed min/max): the profiling primitive behind optimizer
+    statistics and drift monitors. The bucket expression is written
+    out (floor of the scaled offset, max value clamped into the last
+    bucket) as the SAME IEEE ops in both engines — `width_bucket`
+    exists in Spark but not DuckDB, and a portable expression beats a
+    builtin with engine-specific boundary behavior. Bounds ride in as
+    a broadcast scalar row; one aggregate pass."""
+    part = load_table(spark, sf_dir, "part")
+    b = part.agg(
+        F.min("p_retailprice").alias("lo"), F.max("p_retailprice").alias("hi")
+    )
+    bucket = F.least(
+        1
+        + F.floor(
+            (F.col("p_retailprice") - F.col("lo"))
+            / (F.col("hi") - F.col("lo"))
+            * 20
+        ).cast("bigint"),
+        F.lit(20).cast("bigint"),
+    )
+    return (
+        part.crossJoin(F.broadcast(b))
+        .select(bucket.alias("bucket"), "p_retailprice")
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_parts"),
+            F.min("p_retailprice").alias("bucket_min"),
+            F.max("p_retailprice").alias("bucket_max"),
+        )
+    )
