@@ -1532,3 +1532,57 @@ def bigram_conditional_probs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n_pair") / F.col("n_prefix"), 6).alias("cond_prob"),
         )
     )
+
+
+@query(
+    "multimodal_decode_bmp",
+    oracle="""
+    SELECT doc_id,
+           CAST(1 + n_chars % 8 AS INT) AS width,
+           CAST(1 + n_chars % 5 AS INT) AS height,
+           CAST(doc_id % 256 AS DOUBLE) AS mean_r,
+           CAST((doc_id * 7) % 256 AS DOUBLE) AS mean_g,
+           CAST((doc_id * 13) % 256 AS DOUBLE) AS mean_b
+    FROM documents
+    """,
+    tags=("multimodal", "decode", "bmp"),
+)
+def multimodal_decode_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode, oracle-checked end-to-end: solid-colour BMPs
+    are encoded per document (dims and RGB are pure functions of the
+    row), shipped as binary payloads, decoded back by the pure-numpy
+    BMP codec over mapInPandas — and the oracle predicts every decoded
+    value in closed form. This retires the 'decode is a stub' caveat
+    for the one codec that needs no external library; jpeg/png plug
+    into the same batched seam (operators.multimodal.decode_images)."""
+    import numpy as np
+    import pandas as pd  # noqa: F401
+
+    from .operators.multimodal import decode_images, encode_bmp
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+
+    def build(batches):
+        for pdf in batches:
+            pdf["payload"] = [
+                encode_bmp(
+                    np.full(
+                        (1 + int(n) % 5, 1 + int(n) % 8, 3),
+                        [int(i) % 256, (int(i) * 7) % 256, (int(i) * 13) % 256],
+                        dtype=np.uint8,
+                    )
+                )
+                for i, n in zip(pdf["doc_id"], pdf["n_chars"])
+            ]
+            yield pdf
+
+    with_payload = docs.mapInPandas(build, "doc_id long, n_chars long, payload binary")
+    dec = decode_images(with_payload)
+    return dec.select(
+        "doc_id",
+        F.col("decoded.width").alias("width"),
+        F.col("decoded.height").alias("height"),
+        F.col("decoded.mean_r").alias("mean_r"),
+        F.col("decoded.mean_g").alias("mean_g"),
+        F.col("decoded.mean_b").alias("mean_b"),
+    )

@@ -817,3 +817,37 @@ def test_feature_hash_dense_vectors(spark):
     # 'a' hashes to the same slot in both docs
     a_slot = out[2].index(5)
     assert out[1][a_slot] == 2
+
+
+def test_bmp_decode_real_roundtrip(spark):
+    """The decode path is REAL for BMP: payloads built by encode_bmp
+    round-trip through the Spark mapInPandas decode with exact dims
+    and channel means (width=3 forces the 4-byte row padding branch);
+    non-image payloads isolate as ok=False rows."""
+    from data_seedling_spark.operators.multimodal import (
+        decode_bmp,
+        decode_images,
+        encode_bmp,
+    )
+
+    rng = np.random.default_rng(11)
+    img_a = rng.integers(0, 256, (5, 3, 3), dtype=np.uint8)  # padded rows
+    img_b = rng.integers(0, 256, (4, 4, 3), dtype=np.uint8)
+    # local roundtrip first
+    d = decode_bmp(encode_bmp(img_a))
+    assert (d["width"], d["height"]) == (3, 5)
+    assert abs(d["mean_r"] - img_a[..., 0].mean()) < 1e-9
+    # through Spark
+    df = spark.createDataFrame(
+        [
+            Row(asset_id=1, payload=bytearray(encode_bmp(img_a))),
+            Row(asset_id=2, payload=bytearray(encode_bmp(img_b))),
+            Row(asset_id=3, payload=bytearray(b"not an image")),
+        ],
+        "asset_id long, payload binary",
+    )
+    out = {r["asset_id"]: r["decoded"] for r in decode_images(df).collect()}
+    assert out[1]["ok"] and (out[1]["width"], out[1]["height"]) == (3, 5)
+    assert out[2]["ok"] and (out[2]["width"], out[2]["height"]) == (4, 4)
+    assert abs(out[2]["mean_g"] - img_b[..., 1].mean()) < 1e-9
+    assert out[3]["ok"] is False and out[3]["width"] is None
