@@ -174,3 +174,31 @@ def test_read_binary_files_feeds_multimodal_contract(spark, tmp_path):
     )
     got = assets.select("meta.mime", "meta.n_bytes").collect()
     assert all(r["mime"] == "image/jpeg" for r in got)
+
+
+def test_python_datasource_synthetic_docs(spark):
+    """Custom Python Data Source (Spark 4 API): partitioned planning,
+    content a pure function of doc_id (partitioning never changes the
+    corpus), options respected."""
+    from data_seedling_spark.sources import register_sources
+
+    register_sources(spark)
+    df = (
+        spark.read.format("synthetic_docs")
+        .option("rows", 500)
+        .option("partitions", 8)
+        .load()
+    )
+    assert df.count() == 500
+    assert df.rdd.getNumPartitions() == 8
+    narrow = (
+        spark.read.format("synthetic_docs")
+        .option("rows", 500)
+        .option("partitions", 2)
+        .load()
+    )
+    wide_rows = sorted(tuple(r) for r in df.collect())
+    narrow_rows = sorted(tuple(r) for r in narrow.collect())
+    assert wide_rows == narrow_rows  # repartition-invariant content
+    first = dict(zip(df.columns, wide_rows[0]))
+    assert first["doc_id"] == 0 and first["n_chars"] == len(first["text"])
