@@ -2372,3 +2372,38 @@ def price_histogram_equiwidth(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("p_retailprice").alias("bucket_max"),
         )
     )
+
+
+@query(
+    "frequent_part_pairs",
+    oracle="""
+    SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM lineitem a JOIN lineitem b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2
+    HAVING COUNT(*) >= 2
+    """,
+    tags=("market-basket", "co-occurrence"),
+)
+def frequent_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: part pairs bought together in 2+
+    orders. The pair join blocks on the order key, so the quadratic
+    blow-up is bounded by basket size (TPC-H: ≤7 lines/order) — the
+    same block-the-explosion discipline as the dedup family, and the
+    counting backbone of association-rule mining."""
+    lineitem = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = lineitem.alias("a"), lineitem.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count("*").alias("n_orders"))
+        .where(F.col("n_orders") >= 2)
+    )
