@@ -213,3 +213,83 @@ def test_weighted_sample_biases_toward_heavy_rows(spark):
     heavy = sum(1 for k in got1 if k < 100)
     # uniform would give ~17 heavy rows; weight-proportional gives far more
     assert heavy >= 50
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.integers(min_value=0, max_value=5), min_size=1, max_size=30),
+        min_size=1,
+        max_size=8,
+    )
+)
+@slow
+def test_chunk_dedup_invariants(spark, docs):
+    """For ANY corpus (docs as word-index lists): (1) kept+removed
+    chunks == total chunks per doc; (2) removed chunks are exactly
+    those whose text occurs in >= 2 distinct docs; (3) clean text is a
+    subsequence of the original chunk sequence."""
+    from data_seedling_spark.operators.dedup import chunk_dedup
+
+    cw = 3
+    rows = [
+        Row(doc_id=i, text=" ".join(f"w{x}" for x in words))
+        for i, words in enumerate(docs)
+    ]
+    df = spark.createDataFrame(rows)
+    out = {r["doc_id"]: r for r in chunk_dedup(df, "text", "doc_id", chunk_words=cw).collect()}
+
+    def chunks_of(words):
+        toks = [f"w{x}" for x in words]
+        return [" ".join(toks[i : i + cw]) for i in range(0, len(toks), cw)]
+
+    from collections import defaultdict
+
+    owners = defaultdict(set)
+    for i, words in enumerate(docs):
+        for c in chunks_of(words):
+            owners[c].add(i)
+    dup = {c for c, o in owners.items() if len(o) >= 2}
+    for i, words in enumerate(docs):
+        cs = chunks_of(words)
+        expect_kept = [c for c in cs if c not in dup]
+        assert out[i]["clean_text"] == " ".join(expect_kept)
+        assert out[i]["n_removed_chunks"] == len(cs) - len(expect_kept)
+
+
+@given(
+    points=st.lists(st.integers(min_value=-50, max_value=150), min_size=0, max_size=40),
+    ivs=st.lists(
+        st.tuples(
+            st.integers(min_value=-20, max_value=120),
+            st.integers(min_value=1, max_value=60),
+        ),
+        min_size=0,
+        max_size=10,
+    ),
+)
+@slow
+def test_interval_join_equals_theta_for_any_inputs(spark, points, ivs):
+    """Binned interval join == naive theta join for arbitrary points
+    and intervals (incl. negatives, empty sides, bin-straddling
+    spans), with no duplicate pairs."""
+    from data_seedling_spark.operators.relational import interval_join
+
+    pdf = spark.createDataFrame(
+        [Row(pid=i, x=float(x)) for i, x in enumerate(points)], "pid int, x double"
+    )
+    idf = spark.createDataFrame(
+        [Row(iid=i, lo=float(lo), hi=float(lo + span)) for i, (lo, span) in enumerate(ivs)],
+        "iid int, lo double, hi double",
+    )
+    got = sorted(
+        (r["pid"], r["iid"])
+        for r in interval_join(pdf, idf, "x", "lo", "hi", bin_width=16).collect()
+    )
+    expect = sorted(
+        (i, j)
+        for i, x in enumerate(points)
+        for j, (lo, span) in enumerate(ivs)
+        if lo <= x < lo + span
+    )
+    assert got == expect
+    assert len(got) == len(set(got))
