@@ -202,3 +202,50 @@ def test_stream_stream_interval_join_matches_batch(spark, events_schema):
     exp_set = {tuple(r) for r in expected.collect()}
     assert len(exp_set) > 0  # the data actually exercises the join
     assert got_set == exp_set
+
+
+def test_ledger_appends_streaming_source_exactly_once(spark, tmp_path):
+    """Native Structured Streaming over the ledger (Python DataSource
+    streaming API): commit versions are the offsets, so a checkpointed
+    restart delivers ONLY the new appends (exactly-once), and
+    non-append commits raise instead of emitting wrong semantics."""
+    import pytest as _pytest
+    from pyspark.sql import Row
+
+    from data_seedling_spark.operators.ledger import VersionedTable
+    from data_seedling_spark.sources import register_streaming_sources
+
+    register_streaming_sources(spark)
+    table_dir = str(tmp_path / "tbl")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    t = VersionedTable(spark, table_dir, write_partitions=1)
+    t.write(spark.createDataFrame([Row(k=1, v="a")]), mode="overwrite")  # v0
+    t.write(spark.createDataFrame([Row(k=2, v="b")]), mode="append")     # v1
+
+    def drain():
+        q = (
+            spark.readStream.format("ledger_appends")
+            .option("path", table_dir)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(60)
+        q.stop()
+        return {
+            (r["k"], r["v"], r["_commit_version"])
+            for r in spark.read.parquet(out).collect()
+        }
+
+    assert drain() == {(1, "a", 0), (2, "b", 1)}
+    # new append lands; restart from checkpoint delivers ONLY v2
+    t.write(spark.createDataFrame([Row(k=3, v="c")]), mode="append")     # v2
+    assert drain() == {(1, "a", 0), (2, "b", 1), (3, "c", 2)}
+    # an overwrite breaks append-only tailing loudly
+    t.write(spark.createDataFrame([Row(k=9, v="z")]), mode="overwrite")  # v3
+    with _pytest.raises(Exception, match="append-only"):
+        drain()
