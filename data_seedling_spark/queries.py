@@ -78,7 +78,7 @@ _PRIORITY: tuple[str, ...] = (
     "window_top_orders_per_segment",
     "asof_join_purchase_click",
     "nation_trade_volume",
-    "fuzzy_name_matches",
+    "interval_join_ship_windows",
     # LLM training-data pipeline suite (BASELINE north_star).
     "dedup_exact_documents",
     "ngram_jaccard_dedup",
@@ -90,7 +90,7 @@ _PRIORITY: tuple[str, ...] = (
     "language_id_documents",
     "token_count_documents",
     "doc_fingerprints",
-    "multimodal_metadata",
+    "multimodal_decode_bmp",
     "embedding_near_dup_ivf",
     "ivf_ann_topk",
     "pq_ann_topk",
@@ -106,7 +106,7 @@ _PRIORITY: tuple[str, ...] = (
     "jdbc_feature_store_roundtrip",
     "cdc_incremental_roundtrip",
     "pseudonymise_customers",
-    "pseudonymise_events",
+    "scd2_order_history",
     "anonymise_documents",
     "feature_extract_documents",
     "incremental_pseudonymisation",
