@@ -98,7 +98,7 @@ _PRIORITY: tuple[str, ...] = (
     "incremental_dedup_ingest",
     "train_test_split_hash",
     "domain_mix_documents",
-    "sequence_packing_sharded",
+    "pretraining_corpus_pipeline",
     "split_contamination_check",
     "kmeans_cluster_assignment",
     # Pipeline-protocol suite (reference CDC / pseudonymisation /

@@ -1586,3 +1586,81 @@ def multimodal_decode_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("decoded.mean_g").alias("mean_g"),
         F.col("decoded.mean_b").alias("mean_b"),
     )
+
+
+@query(
+    "pretraining_corpus_pipeline",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, lang, text, string_split(text, ' ') AS w FROM documents
+    ), g AS (
+      SELECT doc_id, lang, text, len(w) AS n_tokens,
+             CASE WHEN len(w) >= 3
+                  THEN [w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                        FOR i IN range(1, len(w) - 1)]
+                  ELSE [] END AS grams
+      FROM base
+    ), q AS (
+      SELECT doc_id, lang, text, n_tokens FROM g
+      WHERE n_tokens >= 50
+        AND (len(grams) - len(list_distinct(grams)))::DOUBLE
+              / greatest(len(grams), 1) <= 0.2
+    ), d AS (
+      SELECT doc_id, lang, n_tokens FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+        FROM q
+      ) WHERE rn = 1
+    ), c AS (
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS cnt FROM d GROUP BY lang
+    ), s AS (
+      SELECT lang, cnt, round(pow(CAST(cnt AS DOUBLE), 0.5), 6) AS ca FROM c
+    ), t AS (
+      SELECT CAST(SUM(cnt) AS BIGINT) AS n,
+             CAST(SUM(CAST(ca AS DECIMAL(28,6))) AS DOUBLE) AS za FROM s
+    ), wt AS (
+      SELECT lang, round((ca / za) * n / cnt, 6) AS w FROM s CROSS JOIN t
+    ), mix AS (
+      SELECT d.doc_id, d.lang, d.n_tokens,
+             CAST(floor(w) AS INT)
+               + CAST((CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                            AS BIGINT) % 1000)
+                      < round((w - floor(w)) * 1000) AS INT) AS n_copies
+      FROM d JOIN wt ON d.lang = wt.lang
+    ), rep AS (
+      SELECT doc_id, lang, n_tokens,
+             unnest(range(1, n_copies + 1)) AS copy_num
+      FROM mix WHERE n_copies >= 1
+    ), keyed AS (
+      SELECT doc_id, copy_num, lang, n_tokens,
+             doc_id * 8 + copy_num AS seq_id,
+             CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                            AS BIGINT) % 100 < 90 THEN 'train'
+                  WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                            AS BIGINT) % 100 < 95 THEN 'validation'
+                  ELSE 'test' END AS split,
+             CAST('0x' || substr(md5(CAST(doc_id * 8 + copy_num AS VARCHAR)), 1, 8)
+                  AS BIGINT) % 4 AS shard
+      FROM rep
+    )
+    SELECT doc_id, copy_num, lang, split, shard,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(floor(coalesce(SUM(n_tokens) OVER (
+                 PARTITION BY split, shard ORDER BY seq_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 / 2048) AS BIGINT) AS bin_id
+    FROM keyed
+    """,
+    tags=("llm-pipeline", "end-to-end", "showcase"),
+)
+def pretraining_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE end-to-end curation pipeline, hash-verified as one
+    composition: quality gate (length + repeated-trigram ratio) →
+    exact dedup → temperature-smoothed language rebalance → leak-proof
+    hash split → sharded token-budget packing. One lazy plan, no
+    intermediate actions; every decision a pure function of keys and
+    corpus stats, which is what makes a 7-stage pipeline
+    oracle-checkable end-to-end (pipelines.pretrain)."""
+    from .pipelines.pretrain import build_pretraining_corpus
+
+    documents = load_table(spark, sf_dir, "documents")
+    return build_pretraining_corpus(documents)

@@ -851,3 +851,29 @@ def test_bmp_decode_real_roundtrip(spark):
     assert out[2]["ok"] and (out[2]["width"], out[2]["height"]) == (4, 4)
     assert abs(out[2]["mean_g"] - img_b[..., 1].mean()) < 1e-9
     assert out[3]["ok"] is False and out[3]["width"] is None
+
+
+def test_pretraining_pipeline_invariants(spark, documents):
+    """End-to-end corpus pipeline sanity: replicas unique on
+    (doc_id, copy_num); every doc in exactly one split; bins within
+    each (split, shard) are contiguous from 0; no document exceeds the
+    quality gates."""
+    from data_seedling_spark.pipelines.pretrain import build_pretraining_corpus
+
+    out = build_pretraining_corpus(documents)
+    rows = out.collect()
+    assert rows, "pipeline produced an empty corpus"
+    keys = [(r["doc_id"], r["copy_num"]) for r in rows]
+    assert len(keys) == len(set(keys))
+    by_doc_split = {}
+    for r in rows:
+        by_doc_split.setdefault(r["doc_id"], set()).add(r["split"])
+    assert all(len(s) == 1 for s in by_doc_split.values())  # no split leakage
+    from collections import defaultdict
+
+    bins = defaultdict(set)
+    for r in rows:
+        bins[(r["split"], r["shard"])].add(r["bin_id"])
+    for got in bins.values():
+        assert got == set(range(len(got)))  # dense bins per shard
+    assert all(r["n_tokens"] >= 50 for r in rows)
