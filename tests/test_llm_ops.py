@@ -877,3 +877,31 @@ def test_pretraining_pipeline_invariants(spark, documents):
     for got in bins.values():
         assert got == set(range(len(got)))  # dense bins per shard
     assert all(r["n_tokens"] >= 50 for r in rows)
+
+
+def test_pq_planted_near_dup_recall_floor(spark, embeddings):
+    """PQ-ADC in the dedup regime: a planted high-cosine twin's ADC
+    distance is ~the query's own quantization error — the global
+    minimum — so recall@3 >= 0.9 (measured 1.0 at top-1). Natural
+    top-k on these near-uniform vectors is the documented adversarial
+    case (docs/SCALE.md §ann); trained codebooks are the fix, and the
+    codebook seam accepts them."""
+    from data_seedling_spark.operators.similarity import pq_adc_topk
+
+    pdf = embeddings.toPandas()
+    vecs = np.stack(pdf["embedding"].map(lambda v: np.asarray(v, dtype=np.float64)))
+    rng = np.random.default_rng(7)
+    pert = vecs + rng.standard_normal(vecs.shape) * 0.15 * np.abs(vecs).mean()
+    rows = [(int(i), [float(x) for x in v]) for i, v in zip(pdf["vec_id"], vecs)]
+    rows += [
+        (int(i) + 10_000_000, [float(x) for x in v])
+        for i, v in zip(pdf["vec_id"], pert)
+    ]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    qids = [int(x) for x in pdf["vec_id"][:50]]
+    got = pq_adc_topk(corpus, qids, k=3, m=8, dim=64, centroid_stride=50).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    recall = sum(1 for q in qids if q + 10_000_000 in by_q.get(q, set())) / len(qids)
+    assert recall >= 0.9, f"planted near-dup recall {recall:.2f}"
