@@ -63,6 +63,7 @@ HEADLINE = [
     "interval_join_ship_windows",
     "interpolated_sparse_hourly",
     "funnel_view_click_purchase",
+    "pretraining_corpus_pipeline",
 ]
 
 
