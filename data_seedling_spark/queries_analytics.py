@@ -2407,3 +2407,46 @@ def frequent_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_orders"))
         .where(F.col("n_orders") >= 2)
     )
+
+
+@query(
+    "table_profile_orders",
+    oracle="""
+    SELECT 'o_custkey' AS column_name,
+           CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_distinct
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderkey',
+           CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority',
+           CAST(SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus',
+           CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) FROM orders
+    """,
+    tags=("profiling", "data-quality", "catalog-stats"),
+)
+def table_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style column profile (null count + distinct count per
+    column) in ONE scan: a single wide aggregate computes every
+    column's stats, then a 1-row unpivot emits the long form — versus
+    the oracle's per-column UNION (C scans). At 100 TB that is the
+    difference between one pass and one pass per column."""
+    orders = load_table(spark, sf_dir, "orders")
+    cols = ["o_custkey", "o_orderkey", "o_orderpriority", "o_orderstatus"]
+    aggs = []
+    for c in cols:
+        aggs.append(F.sum(F.col(c).isNull().cast("int")).cast("long").alias(f"{c}__n"))
+        aggs.append(F.countDistinct(c).alias(f"{c}__d"))
+    one = orders.agg(*aggs)
+    stack_expr = ", ".join(f"'{c}', `{c}__n`, `{c}__d`" for c in cols)
+    return one.select(
+        F.expr(
+            f"stack({len(cols)}, {stack_expr}) AS (column_name, n_nulls, n_distinct)"
+        )
+    )
