@@ -2450,3 +2450,91 @@ def table_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"stack({len(cols)}, {stack_expr}) AS (column_name, n_nulls, n_distinct)"
         )
     )
+
+
+@query(
+    "winsorized_quantity_stats",
+    oracle="""
+    WITH q AS (
+      SELECT l_returnflag,
+             quantile_cont(l_quantity, 0.05) AS p05,
+             quantile_cont(l_quantity, 0.95) AS p95
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l.l_returnflag,
+           CAST(SUM(CAST(ROUND(least(greatest(l.l_quantity, q.p05), q.p95), 2)
+                         AS DECIMAL(18,2))) AS DOUBLE) AS winsorized_sum,
+           CAST(SUM(CAST(l.l_quantity < q.p05 OR l.l_quantity > q.p95 AS INT))
+                AS BIGINT) AS n_clamped
+    FROM lineitem l JOIN q ON l.l_returnflag = q.l_returnflag
+    GROUP BY l.l_returnflag
+    """,
+    tags=("data-cleaning", "winsorize"),
+)
+def winsorized_quantity_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization: clamp each group's values into its exact
+    [p05, p95] band before aggregating (the robust-statistics cleaning
+    step that tames heavy tails without dropping rows). Exact grouped
+    percentiles broadcast onto the fact scan; the clamped sum goes
+    through the decimal grid."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    q = lineitem.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_quantity, 0.05D)").alias("p05"),
+        F.expr("percentile(l_quantity, 0.95D)").alias("p95"),
+    )
+    clamped = F.least(F.greatest(F.col("l_quantity"), F.col("p05")), F.col("p95"))
+    out_of_band = (F.col("l_quantity") < F.col("p05")) | (
+        F.col("l_quantity") > F.col("p95")
+    )
+    return (
+        lineitem.join(F.broadcast(q), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.round(clamped, 2).cast("decimal(18,2)"))
+            .cast("double")
+            .alias("winsorized_sum"),
+            F.sum(out_of_band.cast("int")).cast("long").alias("n_clamped"),
+        )
+    )
+
+
+@query(
+    "benford_first_digit_audit",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100, 0) AS BIGINT)
+                              AS VARCHAR), 1, 1) AS INT) AS digit
+      FROM orders WHERE o_totalprice > 0
+    )
+    SELECT digit,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           round(COUNT(*) / (SELECT COUNT(*) FROM d), 6) AS share,
+           round(log10(1.0 + 1.0 / digit), 6) AS benford_expected
+    FROM d GROUP BY digit
+    """,
+    tags=("data-quality", "benford", "audit"),
+)
+def benford_first_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit of order totals — the classic
+    anomaly screen for fabricated numeric data. The leading digit
+    comes from the INTEGER cents representation (double→string
+    formatting is engine-specific; bigint→string is not), shares are
+    one exact-count division, and the Benford curve log10(1 + 1/d)
+    rides along for comparison."""
+    orders = load_table(spark, sf_dir, "orders")
+    digit = F.substring(
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").cast("string"), 1, 1
+    ).cast("int")
+    d = orders.where(F.col("o_totalprice") > 0).select(digit.alias("digit"))
+    total = d.agg(F.count("*").alias("_t"))
+    return (
+        d.groupBy("digit")
+        .agg(F.count("*").alias("n"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "digit",
+            "n",
+            F.round(F.col("n") / F.col("_t"), 6).alias("share"),
+            F.round(F.log10(1.0 + 1.0 / F.col("digit")), 6).alias("benford_expected"),
+        )
+    )
