@@ -2538,3 +2538,99 @@ def benford_first_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.log10(1.0 + 1.0 / F.col("digit")), 6).alias("benford_expected"),
         )
     )
+
+
+@query(
+    "pagerank_supplier_iteration",
+    oracle="""
+    WITH edges AS (
+      SELECT DISTINCT o.o_custkey AS src, l.l_suppkey AS dst
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ), outdeg AS (
+      SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM edges GROUP BY src
+    ), contrib AS (
+      SELECT e.dst, round(1.0 / d.deg, 6) AS c
+      FROM edges e JOIN outdeg d ON e.src = d.src
+    )
+    SELECT dst AS supp_key,
+           round(0.15 + 0.85 * CAST(SUM(CAST(c AS DECIMAL(28,6))) AS DOUBLE), 6)
+             AS pagerank
+    FROM contrib
+    GROUP BY dst
+    HAVING COUNT(*) >= 20
+    """,
+    tags=("graph", "pagerank"),
+)
+def pagerank_supplier_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One PageRank iteration over the customer→supplier purchase
+    graph (uniform init, damping 0.85), suppliers with 20+ in-edges.
+    The iteration is two aggregates and one edge-keyed join — the unit
+    of work an iterative ranking loops (the engine's k-means /
+    connected-components pattern: driver-looped, lineage cut per
+    round). Per-edge contributions round to the grid and sum through
+    decimal, so the iteration is engine-exact — what makes a
+    DISTRIBUTED ranking verifiable against a relational oracle."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    edges = (
+        lineitem.select("l_orderkey", "l_suppkey")
+        .join(orders.select("o_orderkey", "o_custkey"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(F.col("o_custkey").alias("src"), F.col("l_suppkey").alias("dst"))
+        .distinct()
+    )
+    outdeg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    contrib = edges.join(outdeg, "src").select(
+        "dst", F.round(1.0 / F.col("deg"), 6).alias("c")
+    )
+    return (
+        contrib.groupBy("dst")
+        .agg(
+            F.round(
+                0.15
+                + 0.85 * F.sum(F.col("c").cast("decimal(28,6)")).cast("double"),
+                6,
+            ).alias("pagerank"),
+            F.count("*").alias("_n"),
+        )
+        .where(F.col("_n") >= 20)
+        .select(F.col("dst").alias("supp_key"), "pagerank")
+    )
+
+
+@query(
+    "mad_robust_dispersion",
+    oracle="""
+    WITH med AS (
+      SELECT l_returnflag, quantile_cont(l_quantity, 0.5) AS m
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l.l_returnflag,
+           CAST(med.m AS DOUBLE) AS median_qty,
+           CAST(quantile_cont(abs(l.l_quantity - med.m), 0.5) AS DOUBLE) AS mad
+    FROM lineitem l JOIN med ON l.l_returnflag = med.l_returnflag
+    GROUP BY l.l_returnflag, med.m
+    """,
+    tags=("robust-stats", "mad"),
+)
+def mad_robust_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median absolute deviation per group — the robust dispersion
+    measure outlier detectors prefer over stddev. Two exact-percentile
+    passes (group medians broadcast back onto the scan); both engines'
+    linear-interpolated medians are bit-exact on these values."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    med = lineitem.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_quantity, 0.5D)").alias("m")
+    )
+    return (
+        lineitem.join(F.broadcast(med), "l_returnflag")
+        .groupBy("l_returnflag", "m")
+        .agg(
+            F.expr("percentile(abs(l_quantity - m), 0.5D)").alias("mad")
+        )
+        .select(
+            "l_returnflag",
+            F.col("m").cast("double").alias("median_qty"),
+            F.col("mad").cast("double").alias("mad"),
+        )
+    )
