@@ -1664,3 +1664,121 @@ def pretraining_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     documents = load_table(spark, sf_dir, "documents")
     return build_pretraining_corpus(documents)
+
+
+@query(
+    "token_distribution_drift",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id % 2 AS half, unnest(string_split(text, ' ')) AS token
+      FROM documents
+    ), t AS (
+      SELECT half, token FROM tok WHERE token <> ''
+    ), vocab AS (
+      SELECT DISTINCT token FROM t
+    ), c AS (
+      SELECT v.token,
+             CAST(coalesce(a.n, 0) AS BIGINT) AS c0,
+             CAST(coalesce(b.n, 0) AS BIGINT) AS c1
+      FROM vocab v
+      LEFT JOIN (SELECT token, COUNT(*) AS n FROM t WHERE half = 0 GROUP BY token) a
+        ON v.token = a.token
+      LEFT JOIN (SELECT token, COUNT(*) AS n FROM t WHERE half = 1 GROUP BY token) b
+        ON v.token = b.token
+    ), tot AS (
+      SELECT CAST(SUM(c0) AS BIGINT) AS n0, CAST(SUM(c1) AS BIGINT) AS n1,
+             CAST(COUNT(*) AS BIGINT) AS v
+      FROM c
+    )
+    SELECT round(CAST(SUM(CAST(round(
+             ((c0 + 1) / (n0 + v)) * ln(((c0 + 1) / (n0 + v))
+                                        / ((c1 + 1) / (n1 + v))), 9)
+             AS DECIMAL(28,9))) AS DOUBLE), 6) AS kl_divergence,
+           CAST(MAX(v) AS BIGINT) AS n_vocab
+    FROM c CROSS JOIN tot
+    """,
+    tags=("drift", "kl-divergence", "monitoring"),
+)
+def token_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift monitor: KL(first half ‖ second half) of the
+    corpus token distribution with add-one smoothing — the screen a
+    training pipeline runs between data snapshots before a model ever
+    sees the delta. Per-token terms round to the grid and sum through
+    decimal, so a 10^7-term KL is engine-exact."""
+    documents = load_table(spark, sf_dir, "documents")
+    t = documents.select(
+        (F.col("doc_id") % 2).alias("half"),
+        F.explode(F.split(F.col("text"), " ")).alias("token"),
+    ).where(F.col("token") != "")
+    c = (
+        t.groupBy("token")
+        .agg(
+            F.sum((F.col("half") == 0).cast("int")).cast("long").alias("c0"),
+            F.sum((F.col("half") == 1).cast("int")).cast("long").alias("c1"),
+        )
+    )
+    tot = c.agg(
+        F.sum("c0").alias("n0"), F.sum("c1").alias("n1"), F.count("*").alias("v")
+    )
+    p = (F.col("c0") + 1) / (F.col("n0") + F.col("v"))
+    q = (F.col("c1") + 1) / (F.col("n1") + F.col("v"))
+    term = F.round(p * F.log(p / q), 9)
+    return (
+        c.crossJoin(F.broadcast(tot))
+        .agg(
+            F.round(
+                F.sum(term.cast("decimal(28,9)")).cast("double"), 6
+            ).alias("kl_divergence"),
+            F.max("v").cast("long").alias("n_vocab"),
+        )
+    )
+
+
+@query(
+    "chi_square_lang_source",
+    oracle="""
+    WITH o AS (
+      SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n
+      FROM documents GROUP BY lang, source
+    ), r AS (
+      SELECT lang, CAST(SUM(n) AS BIGINT) AS rn FROM o GROUP BY lang
+    ), c AS (
+      SELECT source, CAST(SUM(n) AS BIGINT) AS cn FROM o GROUP BY source
+    ), t AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS total FROM o
+    )
+    SELECT round(CAST(SUM(CAST(round(
+             (o.n - (r.rn * c.cn) / t.total)
+             * (o.n - (r.rn * c.cn) / t.total)
+             / ((r.rn * c.cn) / t.total), 9) AS DECIMAL(28,9))) AS DOUBLE), 6)
+             AS chi_square,
+           CAST(COUNT(*) AS BIGINT) AS n_cells
+    FROM o JOIN r ON o.lang = r.lang
+           JOIN c ON o.source = c.source
+           CROSS JOIN t
+    """,
+    tags=("statistics", "chi-square", "independence"),
+)
+def chi_square_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence statistic for the lang × source
+    contingency table — the categorical-drift / sampling-bias audit.
+    Expected cells come from exact-count marginal products (one double
+    division each), per-cell terms sum through the decimal grid."""
+    documents = load_table(spark, sf_dir, "documents")
+    o = documents.groupBy("lang", "source").agg(F.count("*").alias("n"))
+    r = o.groupBy("lang").agg(F.sum("n").alias("rn"))
+    c = o.groupBy("source").agg(F.sum("n").alias("cn"))
+    t = o.agg(F.sum("n").alias("total"))
+    e = (F.col("rn") * F.col("cn")) / F.col("total")
+    term = F.round((F.col("n") - e) * (F.col("n") - e) / e, 9)
+    return (
+        o.join(F.broadcast(r), "lang")
+        .join(F.broadcast(c), "source")
+        .crossJoin(F.broadcast(t))
+        .agg(
+            F.round(
+                F.sum(term.cast("decimal(28,9)")).cast("double"), 6
+            ).alias("chi_square"),
+            F.count("*").alias("n_cells"),
+        )
+    )
