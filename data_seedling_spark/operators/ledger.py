@@ -422,3 +422,28 @@ class VersionedTable:
         # snapshot's lineage never reads files the write replaces and
         # the rewrite streams without a checkpoint.
         return self.write(snapshot, mode="overwrite")
+
+
+def zorder_key(col_a, col_b, bits: int = 16):
+    """Bit-interleaved Z-order key over two rank-normalised integer
+    columns — the multi-dimensional clustering key behind Delta's
+    OPTIMIZE ZORDER BY. Sorting by the interleaved key gives row
+    groups that are selective on BOTH columns at once (a plain
+    compound sort is selective only on its leading column).
+
+    Callers pre-normalise each column to [0, 2^bits) ranks (e.g.
+    ``ntile(65536)`` or a min/max affine map); the interleave itself
+    is pure JVM bit arithmetic — shiftleft/or per bit, folded into one
+    codegen expression, no Python.
+    """
+    from pyspark.sql import functions as F
+
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        bit_a = F.shiftright(col_a.cast("long"), i).bitwiseAND(F.lit(1))
+        bit_b = F.shiftright(col_b.cast("long"), i).bitwiseAND(F.lit(1))
+        z = (
+            z.bitwiseOR(F.shiftleft(bit_a, 2 * i + 1))
+            .bitwiseOR(F.shiftleft(bit_b, 2 * i))
+        )
+    return z
