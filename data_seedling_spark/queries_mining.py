@@ -1,0 +1,505 @@
+"""Mining / advanced-analytics query additions (round 2, session 3).
+
+Multidimensional dominance (skyline), inequality and trend statistics,
+graph triangle motifs, neighborhood-based recommendation, and
+decimal-exact exponential smoothing. Every query keeps the engine's
+determinism contract: exact decimal sums for anything hashed, one
+final IEEE double op chain, identical aliases in Spark and SQL.
+
+These extend SURVEY.md §2's aggregate/window/join families with the
+shapes a warehouse team actually layers on top of them (reference
+scope: SAFEHR-data/Data-Seedling `example_transform/src/example_transform/
+transform.py:1-200` stops at project/filter/merge — the mining tier
+here is the superset a Spark engine provides on the same tables).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from .queries import query
+from .tables import load_table
+
+
+@query(
+    "pareto_frontier_parts",
+    oracle="""
+    WITH by_price AS (
+      SELECT p_retailprice AS price, max(p_size) AS best_size
+      FROM part GROUP BY p_retailprice
+    ), frontier_prices AS (
+      SELECT price, best_size,
+             max(best_size) OVER (
+               ORDER BY price
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ) AS cheaper_best
+      FROM by_price
+    )
+    SELECT p.p_partkey, p.p_retailprice AS price, p.p_size AS size
+    FROM part p
+    JOIN frontier_prices f ON p.p_retailprice = f.price
+    WHERE p.p_size = f.best_size
+      AND (f.cheaper_best IS NULL OR f.best_size > f.cheaper_best)
+    """,
+    tags=("skyline", "dominance", "window"),
+)
+def pareto_frontier_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline (Pareto frontier): parts where no other part is both
+    cheaper-or-equal AND larger-or-equal with one strict (minimize
+    price, maximize size).
+
+    The naive formulation is a quadratic NOT EXISTS self-join. For two
+    dimensions the frontier is a running-max scan: group to one row
+    per distinct price (max size), then a strictly-preceding running
+    max over prices — a part survives iff it achieves its price
+    group's max AND beats every cheaper group's max. One shuffle on
+    price + a window over *distinct prices only* (bounded by price
+    cardinality, not row count). Skylines are also distributive
+    (skyline(A ∪ B) = skyline(skyline(A) ∪ skyline(B))), so at 100 TB
+    the same operator runs per-partition first and merges frontiers —
+    the group-by here already plays that role for the 2-D case.
+    """
+    part = load_table(spark, sf_dir, "part")
+    by_price = part.groupBy(F.col("p_retailprice").alias("price")).agg(
+        F.max("p_size").alias("best_size")
+    )
+    w = W.orderBy("price").rowsBetween(W.unboundedPreceding, -1)
+    frontier = by_price.withColumn("cheaper_best", F.max("best_size").over(w)).where(
+        F.col("cheaper_best").isNull()
+        | (F.col("best_size") > F.col("cheaper_best"))
+    )
+    return (
+        part.join(
+            F.broadcast(frontier),
+            (part.p_retailprice == frontier.price)
+            & (part.p_size == frontier.best_size),
+        )
+        .select("p_partkey", F.col("p_retailprice").alias("price"), F.col("p_size").alias("size"))
+    )
+
+
+@query(
+    "gini_revenue_concentration",
+    oracle="""
+    WITH rev AS (
+      SELECT o_custkey,
+             CAST(SUM(CAST(round(o_totalprice, 2) AS DECIMAL(18,2)))
+                  AS DECIMAL(18,2)) AS r
+      FROM orders GROUP BY o_custkey
+    ), ranked AS (
+      SELECT r, row_number() OVER (ORDER BY r, o_custkey) AS i FROM rev
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(SUM(CAST(r AS DECIMAL(28,2))) AS DOUBLE) AS total_revenue,
+           round(
+             2.0 * CAST(SUM(CAST(i AS DECIMAL(10,0)) * CAST(r AS DECIMAL(18,2)))
+                        AS DOUBLE)
+               / (CAST(count(*) AS DOUBLE) * CAST(SUM(CAST(r AS DECIMAL(28,2))) AS DOUBLE))
+             - (CAST(count(*) AS DOUBLE) + 1.0) / CAST(count(*) AS DOUBLE),
+             9) AS gini
+    FROM ranked
+    """,
+    tags=("inequality", "gini", "rank"),
+)
+def gini_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer revenue concentration — the
+    standard inequality audit over a ranked value distribution:
+    ``G = 2·Σ(i·xᵢ) / (n·Σxᵢ) − (n+1)/n`` with xᵢ ascending.
+
+    Revenue per customer is an exact decimal sum; the rank-weighted
+    sum i·xᵢ is a decimal×bigint product summed in decimal, so both
+    moments are order-independent and exact, and G is a fixed chain of
+    IEEE double ops on identical inputs. Ties in revenue contribute
+    x·Σi regardless of tie order, so the custkey tie-break changes
+    nothing but keeps row_number deterministic. The global rank window
+    here funnels one partition at query scale; at corpus scale rank
+    by range-bucketing revenue and adding broadcast per-bucket offsets
+    (the two-pass ``global_index`` pattern in operators/sampling.py,
+    with range buckets instead of hash shards).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    rev = orders.groupBy("o_custkey").agg(
+        F.sum(F.round("o_totalprice", 2).cast("decimal(18,2)"))
+        .cast("decimal(18,2)")
+        .alias("r")
+    )
+    ranked = rev.select(
+        "r", F.row_number().over(W.orderBy("r", "o_custkey")).alias("i")
+    )
+    n = F.count("*")
+    tot = F.sum(F.col("r").cast("decimal(28,2)")).cast("double")
+    weighted = F.sum(
+        F.col("i").cast("decimal(10,0)") * F.col("r").cast("decimal(18,2)")
+    ).cast("double")
+    return ranked.agg(
+        n.cast("long").alias("n_customers"),
+        tot.alias("total_revenue"),
+        F.round(
+            2.0 * weighted / (n.cast("double") * tot)
+            - (n.cast("double") + 1.0) / n.cast("double"),
+            9,
+        ).alias("gini"),
+    )
+
+
+@query(
+    "ols_price_quantity_trend",
+    oracle="""
+    WITH m AS (
+      SELECT l_returnflag,
+             CAST(count(*) AS DECIMAL(8,0)) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(10,0))) AS DECIMAL(10,0)) AS sx,
+             CAST(SUM(CAST(round(l_extendedprice, 2) AS DECIMAL(18,2)))
+                  AS DECIMAL(14,2)) AS sy,
+             CAST(SUM(CAST(round(l_quantity * l_extendedprice, 2) AS DECIMAL(18,2)))
+                  AS DECIMAL(16,2)) AS sxy,
+             CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(10,0)))
+                  AS DECIMAL(14,0)) AS sxx,
+             CAST(SUM(CAST(round(l_extendedprice * l_extendedprice, 4)
+                           AS DECIMAL(24,4))) AS DECIMAL(21,4)) AS syy
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag,
+           CAST(n AS BIGINT) AS n_rows,
+           round(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS slope,
+           round((CAST(sy AS DOUBLE)
+                  - CAST(n * sxy - sx * sy AS DOUBLE)
+                    / CAST(n * sxx - sx * sx AS DOUBLE)
+                    * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE), 6) AS intercept,
+           round(CAST(n * sxy - sx * sy AS DOUBLE) * CAST(n * sxy - sx * sy AS DOUBLE)
+                 / (CAST(n * sxx - sx * sx AS DOUBLE) * CAST(n * syy - sy * sy AS DOUBLE)),
+                 6) AS r2
+    FROM m
+    """,
+    tags=("regression", "ols", "stats-agg"),
+)
+def ols_price_quantity_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-form simple OLS per group (extendedprice ~ quantity):
+    slope = (nΣxy − ΣxΣy) / (nΣx² − (Σx)²), plus intercept and R².
+
+    The built-in ``regr_slope``/``corr`` accumulate double moments
+    whose value depends on partial-aggregation order — fine for
+    analysis, unusable for a hash-compared contract. Here all five
+    moments are exact decimal sums (quantity is integral, price sits
+    on the 2-decimal grid, price² on the 4-decimal grid), combined in
+    decimal within precision bounds chosen for ≤10⁷ rows per group
+    (widen two digits per 100× growth), and only the final
+    slope/intercept/R² chain runs in IEEE doubles — identical in both
+    engines. One partial+final aggregate pass, no shuffle beyond the
+    3-group rollup; this is the map-side-combine shape that survives
+    any scale.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    m = li.groupBy("l_returnflag").agg(
+        F.count("*").cast("decimal(8,0)").alias("n"),
+        F.sum(F.col("l_quantity").cast("decimal(10,0)"))
+        .cast("decimal(10,0)")
+        .alias("sx"),
+        F.sum(F.round("l_extendedprice", 2).cast("decimal(18,2)"))
+        .cast("decimal(14,2)")
+        .alias("sy"),
+        F.sum(
+            F.round(F.col("l_quantity") * F.col("l_extendedprice"), 2).cast(
+                "decimal(18,2)"
+            )
+        )
+        .cast("decimal(16,2)")
+        .alias("sxy"),
+        F.sum((F.col("l_quantity") * F.col("l_quantity")).cast("decimal(10,0)"))
+        .cast("decimal(14,0)")
+        .alias("sxx"),
+        F.sum(
+            F.round(F.col("l_extendedprice") * F.col("l_extendedprice"), 4).cast(
+                "decimal(24,4)"
+            )
+        )
+        .cast("decimal(21,4)")
+        .alias("syy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    dx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    dy = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    slope = num / dx
+    return m.select(
+        "l_returnflag",
+        F.col("n").cast("long").alias("n_rows"),
+        F.round(slope, 6).alias("slope"),
+        F.round(
+            (F.col("sy").cast("double") - slope * F.col("sx").cast("double"))
+            / F.col("n").cast("double"),
+            6,
+        ).alias("intercept"),
+        F.round(num * num / (dx * dy), 6).alias("r2"),
+    )
+
+
+@query(
+    "triangle_count_copurchase",
+    oracle="""
+    WITH pairs AS (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    )
+    SELECT CAST((SELECT count(*) FROM pairs) AS BIGINT) AS n_edges,
+           CAST((SELECT count(DISTINCT u) FROM
+                  (SELECT u FROM pairs UNION ALL SELECT v FROM pairs) t(u))
+                AS BIGINT) AS n_nodes,
+           CAST((SELECT count(*)
+                 FROM pairs e1
+                 JOIN pairs e2 ON e1.v = e2.u
+                 JOIN pairs e3 ON e3.u = e1.u AND e3.v = e2.v) AS BIGINT)
+             AS n_triangles
+    """,
+    tags=("graph", "triangles", "motif"),
+)
+def triangle_count_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census of the part co-purchase graph (parts appearing
+    in the same order are adjacent) — the classic clustering-structure
+    motif count.
+
+    Edges are id-oriented (u < v) so each triangle is generated
+    exactly once by the wedge join (u<v<w): e(u,v) ⋈ e(v,w) ⋈ e(u,w).
+    The per-order pair expansion is bounded by basket size (k·(k−1)/2
+    per order, k ≈ items per order — a constant), so edge count grows
+    linearly with orders. At skewed scale the orientation should flip
+    from id-order to degree-order (each wedge pivots at its
+    lowest-degree vertex, bounding work at O(m^{3/2}) — Schank &
+    Wagner's forward algorithm); id-orientation keeps the oracle
+    twin trivially identical and is right at this density. Counts are
+    integers: nothing to round, hash-exact by construction.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.alias("a")
+    b = li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        .distinct()
+        .persist()
+    )
+    n_edges = edges.count()
+    n_nodes = (
+        edges.select(F.col("u").alias("x"))
+        .unionAll(edges.select(F.col("v").alias("x")))
+        .distinct()
+        .count()
+    )
+    e1 = edges.alias("e1")
+    e2 = edges.alias("e2")
+    e3 = edges.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.v") == F.col("e2.u"))
+        .join(
+            e3,
+            (F.col("e3.u") == F.col("e1.u")) & (F.col("e3.v") == F.col("e2.v")),
+        )
+        .count()
+    )
+    spark_df = spark.createDataFrame(
+        [(n_edges, n_nodes, tri)], "n_edges long, n_nodes long, n_triangles long"
+    )
+    edges.unpersist()
+    return spark_df
+
+
+@query(
+    "item_item_cosine_recommend",
+    oracle="""
+    WITH basket AS (
+      SELECT o.o_custkey AS cust, l.l_partkey AS item,
+             CAST(count(*) AS BIGINT) AS c
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      GROUP BY o.o_custkey, l.l_partkey
+    ), norms AS (
+      SELECT item, CAST(SUM(c * c) AS BIGINT) AS n2 FROM basket GROUP BY item
+    ), dots AS (
+      SELECT a.item AS item_a, b.item AS item_b,
+             CAST(SUM(a.c * b.c) AS BIGINT) AS dot,
+             CAST(count(*) AS BIGINT) AS n_users
+      FROM basket a JOIN basket b
+        ON a.cust = b.cust AND a.item < b.item
+      GROUP BY a.item, b.item
+    )
+    SELECT item_a, item_b, dot, n_users,
+           round(CAST(dot AS DOUBLE) / (sqrt(CAST(na.n2 AS DOUBLE))
+                                        * sqrt(CAST(nb.n2 AS DOUBLE))), 6)
+             AS cosine
+    FROM dots
+    JOIN norms na ON na.item = dots.item_a
+    JOIN norms nb ON nb.item = dots.item_b
+    WHERE n_users >= 3
+    ORDER BY cosine DESC, item_a, item_b
+    LIMIT 50
+    """,
+    tags=("recommendation", "cosine", "co-occurrence"),
+)
+def item_item_cosine_recommend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item collaborative filtering: cosine similarity between
+    parts over the implicit customer×part purchase-count matrix, top
+    50 pairs with ≥3 shared customers.
+
+    Dot products and squared norms are integer sums (exact,
+    order-free); IEEE ``sqrt`` is correctly rounded by spec, so the
+    one cosine expression is deterministic across engines — no decimal
+    staging needed. The pair generation joins baskets on the customer
+    key, so candidate work is Σ basketᵢ² — bounded by per-customer
+    basket size, the same guarantee as the triangle census; a
+    power-user cap (drop customers above k items before pairing) is
+    the standard guard when baskets are Zipfian. Support pruning
+    (n_users ≥ 3) happens before the norm join, and the norm side
+    broadcasts.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    basket = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(
+            F.col("o_custkey").alias("cust"), F.col("l_partkey").alias("item")
+        )
+        .agg(F.count("*").alias("c"))
+    ).persist()
+    norms = basket.groupBy("item").agg(F.sum(F.col("c") * F.col("c")).alias("n2"))
+    a = basket.alias("a")
+    b = basket.alias("b")
+    dots = (
+        a.join(
+            b,
+            (F.col("a.cust") == F.col("b.cust"))
+            & (F.col("a.item") < F.col("b.item")),
+        )
+        .groupBy(
+            F.col("a.item").alias("item_a"), F.col("b.item").alias("item_b")
+        )
+        .agg(
+            F.sum(F.col("a.c") * F.col("b.c")).alias("dot"),
+            F.count("*").alias("n_users"),
+        )
+        .where(F.col("n_users") >= 3)
+    )
+    out = (
+        dots.join(
+            F.broadcast(norms.select(F.col("item").alias("item_a"), F.col("n2").alias("_na"))),
+            "item_a",
+        )
+        .join(
+            F.broadcast(norms.select(F.col("item").alias("item_b"), F.col("n2").alias("_nb"))),
+            "item_b",
+        )
+        .select(
+            "item_a",
+            "item_b",
+            "dot",
+            "n_users",
+            F.round(
+                F.col("dot").cast("double")
+                / (
+                    F.sqrt(F.col("_na").cast("double"))
+                    * F.sqrt(F.col("_nb").cast("double"))
+                ),
+                6,
+            ).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), "item_a", "item_b")
+        .limit(50)
+    )
+    return out
+
+
+@query(
+    "ewma_user_value",
+    oracle="""
+    WITH lagged AS (
+      SELECT user_id, ts, value,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC)
+               AS rn,
+             lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS v1,
+             lag(value, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS v2,
+             lag(value, 3) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS v3,
+             lag(value, 4) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS v4,
+             lag(value, 5) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS v5,
+             lag(value, 6) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS v6,
+             lag(value, 7) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS v7
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT user_id,
+           round(CAST(
+               CAST(round(value, 6) AS DECIMAL(20,6)) * CAST(1.0 AS DECIMAL(8,7))
+             + coalesce(CAST(round(v1, 6) AS DECIMAL(20,6)), 0) * CAST(0.5 AS DECIMAL(8,7))
+             + coalesce(CAST(round(v2, 6) AS DECIMAL(20,6)), 0) * CAST(0.25 AS DECIMAL(8,7))
+             + coalesce(CAST(round(v3, 6) AS DECIMAL(20,6)), 0) * CAST(0.125 AS DECIMAL(8,7))
+             + coalesce(CAST(round(v4, 6) AS DECIMAL(20,6)), 0) * CAST(0.0625 AS DECIMAL(8,7))
+             + coalesce(CAST(round(v5, 6) AS DECIMAL(20,6)), 0) * CAST(0.03125 AS DECIMAL(8,7))
+             + coalesce(CAST(round(v6, 6) AS DECIMAL(20,6)), 0) * CAST(0.015625 AS DECIMAL(8,7))
+             + coalesce(CAST(round(v7, 6) AS DECIMAL(20,6)), 0) * CAST(0.0078125 AS DECIMAL(8,7))
+             AS DOUBLE)
+             / CAST(
+                 CAST(1.0 AS DECIMAL(8,7))
+               + CASE WHEN v1 IS NULL THEN 0 ELSE CAST(0.5 AS DECIMAL(8,7)) END
+               + CASE WHEN v2 IS NULL THEN 0 ELSE CAST(0.25 AS DECIMAL(8,7)) END
+               + CASE WHEN v3 IS NULL THEN 0 ELSE CAST(0.125 AS DECIMAL(8,7)) END
+               + CASE WHEN v4 IS NULL THEN 0 ELSE CAST(0.0625 AS DECIMAL(8,7)) END
+               + CASE WHEN v5 IS NULL THEN 0 ELSE CAST(0.03125 AS DECIMAL(8,7)) END
+               + CASE WHEN v6 IS NULL THEN 0 ELSE CAST(0.015625 AS DECIMAL(8,7)) END
+               + CASE WHEN v7 IS NULL THEN 0 ELSE CAST(0.0078125 AS DECIMAL(8,7)) END
+               AS DOUBLE),
+           6) AS ewma_value
+    FROM lagged WHERE rn = 1
+    """,
+    tags=("timeseries", "ewma", "window"),
+)
+def ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average (α = 1/2) of each user's
+    last 8 purchase values — the smoothing primitive behind activity
+    scores and anomaly baselines.
+
+    A window SUM over doubles is association-order-dependent (segment
+    trees vs sequential accumulation differ between engines), so the
+    trailing window is unrolled into explicit ``lag`` terms: weights
+    ½ᵏ are exact 7-decimal constants, each product is exact decimal
+    arithmetic, and the normalizing mass adapts to series shorter
+    than 8 via the same NULL pattern — one double division at the
+    end. Single window pass partitioned by user (no global sort); the
+    8-term unroll is fixed-depth regardless of history length, which
+    is what makes trailing-EWMA cheap where full-history recursion
+    would need a stateful scan (``applyInPandasWithState`` covers the
+    streaming variant in streaming/windows.py).
+    """
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_type") == "purchase"
+    )
+    asc = W.partitionBy("user_id").orderBy("ts", "event_id")
+    desc = W.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    lagged = ev.select(
+        "user_id",
+        F.row_number().over(desc).alias("rn"),
+        F.col("value").alias("v0"),
+        *[F.lag("value", k).over(asc).alias(f"v{k}") for k in range(1, 8)],
+    ).where(F.col("rn") == 1)
+    weights = [1.0, 0.5, 0.25, 0.125, 0.0625, 0.03125, 0.015625, 0.0078125]
+    num = None
+    den = None
+    for k, wt in enumerate(weights):
+        col = F.col(f"v{k}")
+        wdec = F.lit(wt).cast("decimal(8,7)")
+        term = F.coalesce(F.round(col, 6).cast("decimal(20,6)"), F.lit(0)) * wdec
+        mass = (
+            wdec
+            if k == 0
+            else F.when(col.isNull(), F.lit(0)).otherwise(wdec)
+        )
+        num = term if num is None else num + term
+        den = mass if den is None else den + mass
+    return lagged.select(
+        "user_id",
+        F.round(num.cast("double") / den.cast("double"), 6).alias("ewma_value"),
+    )
