@@ -160,19 +160,22 @@ def gini_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(SUM(CAST(round(l_extendedprice * l_extendedprice, 4)
                            AS DECIMAL(24,4))) AS DECIMAL(21,4)) AS syy
       FROM lineitem GROUP BY l_returnflag
+    ),
+    d AS (
+      SELECT l_returnflag,
+             CAST(n AS DOUBLE) AS n, CAST(sx AS DOUBLE) AS sx,
+             CAST(sy AS DOUBLE) AS sy, CAST(sxy AS DOUBLE) AS sxy,
+             CAST(sxx AS DOUBLE) AS sxx, CAST(syy AS DOUBLE) AS syy
+      FROM m
     )
     SELECT l_returnflag,
            CAST(n AS BIGINT) AS n_rows,
-           round(CAST(n * sxy - sx * sy AS DOUBLE)
-                 / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS slope,
-           round((CAST(sy AS DOUBLE)
-                  - CAST(n * sxy - sx * sy AS DOUBLE)
-                    / CAST(n * sxx - sx * sx AS DOUBLE)
-                    * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE), 6) AS intercept,
-           round(CAST(n * sxy - sx * sy AS DOUBLE) * CAST(n * sxy - sx * sy AS DOUBLE)
-                 / (CAST(n * sxx - sx * sx AS DOUBLE) * CAST(n * syy - sy * sy AS DOUBLE)),
-                 6) AS r2
-    FROM m
+           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+           round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n,
+                 6) AS intercept,
+           round((n * sxy - sx * sy) * (n * sxy - sx * sy)
+                 / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+    FROM d
     """,
     tags=("regression", "ols", "stats-agg"),
 )
@@ -184,11 +187,12 @@ def ols_price_quantity_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     whose value depends on partial-aggregation order — fine for
     analysis, unusable for a hash-compared contract. Here all five
     moments are exact decimal sums (quantity is integral, price sits
-    on the 2-decimal grid, price² on the 4-decimal grid), combined in
-    decimal within precision bounds chosen for ≤10⁷ rows per group
-    (widen two digits per 100× growth), and only the final
-    slope/intercept/R² chain runs in IEEE doubles — identical in both
-    engines. One partial+final aggregate pass, no shuffle beyond the
+    on the 2-decimal grid, price² on the 4-decimal grid); each moment
+    is then cast to DOUBLE *before* any product so the whole
+    slope/intercept/R² chain is a fixed sequence of IEEE double ops,
+    identical in both engines — and no engine ever multiplies wide
+    decimals (DuckDB overflows DECIMAL(18)×DECIMAL(18) products that
+    Spark widens silently). One partial+final aggregate pass, no shuffle beyond the
     3-group rollup; this is the map-side-combine shape that survives
     any scale.
     """
@@ -219,19 +223,21 @@ def ols_price_quantity_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("decimal(21,4)")
         .alias("syy"),
     )
-    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
-    dx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
-    dy = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    nd = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    syy = F.col("syy").cast("double")
+    num = nd * sxy - sx * sy
+    dx = nd * sxx - sx * sx
+    dy = nd * syy - sy * sy
     slope = num / dx
     return m.select(
         "l_returnflag",
         F.col("n").cast("long").alias("n_rows"),
         F.round(slope, 6).alias("slope"),
-        F.round(
-            (F.col("sy").cast("double") - slope * F.col("sx").cast("double"))
-            / F.col("n").cast("double"),
-            6,
-        ).alias("intercept"),
+        F.round((sy - slope * sx) / nd, 6).alias("intercept"),
         F.round(num * num / (dx * dy), 6).alias("r2"),
     )
 
