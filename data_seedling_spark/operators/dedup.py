@@ -36,12 +36,27 @@ def scale_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     arrive as one file → one partition, which would serialize the
     whole stage on a single core.
 
-    Repartitions unconditionally to the cluster's default parallelism:
-    probing the current partition count via ``df.rdd`` would force a
-    deserialization boundary into the plan object, and AQE coalesces
-    the shuffle back down if the input was already wide enough.
+    Width probe is ``df.inputFiles()`` — driver-side file-listing
+    metadata, no job, no ``df.rdd`` plan conversion. When the leaf
+    scans already expose at least ``target`` files the input is wide
+    enough and the shuffle is skipped entirely; parquet being
+    splittable means file count only *under*-estimates width, so the
+    skip is conservative. Non-file sources (in-memory frames, empty
+    file lists) repartition unconditionally — AQE coalesces the
+    shuffle back down if the input was already wide.
+
+    An interleaved A/B at sf0.1 (3 passes, BASELINE.md protocol)
+    showed the conditional-vs-unconditional choice is noise-level for
+    the bench corpus (single-file input repartitions either way); the
+    probe matters for many-file corpora where the extra full-row
+    shuffle is real.
     """
     target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    try:
+        if len(df.inputFiles()) >= target:
+            return df
+    except Exception:  # non-file-backed plans: no metadata to probe
+        pass
     return df.repartition(target)
 
 # ---------------------------------------------------------------------------
@@ -204,15 +219,18 @@ def _perm_params(num_perm: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
     return a, b
 
 
-def minhash_signatures(
-    df: DataFrame,
-    text_col: str,
+def minhash_signatures_from_shingles(
+    shingled: DataFrame,
+    shingles_col: str,
     id_col: str,
     num_perm: int = 64,
-    shingle_n: int = 3,
     seed: int = 42,
 ) -> DataFrame:
-    """``(id, signature[num_perm])`` MinHash signatures.
+    """``(id, signature[num_perm])`` MinHash signatures from an
+    already-shingled ``(id, array<string>)`` frame — the shared tail of
+    :func:`minhash_signatures` and :func:`minhash_lsh_pairs`, split out
+    so pipelines that need both shingles *and* signatures (LSH with
+    exact-Jaccard verification) shingle the corpus exactly once.
 
     Shingle hashing is JVM ``xxhash64``; the num_perm universal-hash
     minima are one vectorized numpy pass per document (multiply-shift
@@ -222,12 +240,11 @@ def minhash_signatures(
     """
     a_params, b_params = _perm_params(num_perm, seed)
 
-    df = scale_out(df)
-    hashed = df.select(
+    hashed = shingled.select(
         F.col(id_col),
-        F.transform(
-            word_shingles(F.col(text_col), shingle_n), lambda s: F.xxhash64(s)
-        ).alias("_shingle_hashes"),
+        F.transform(F.col(shingles_col), lambda s: F.xxhash64(s)).alias(
+            "_shingle_hashes"
+        ),
     )
 
     empty_sig = [int(np.iinfo(np.int64).max)] * num_perm
@@ -248,6 +265,25 @@ def minhash_signatures(
         return pd.Series(out)
 
     return hashed.select(F.col(id_col), minhash("_shingle_hashes").alias("signature"))
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_perm: int = 64,
+    shingle_n: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """``(id, signature[num_perm])`` MinHash signatures straight from
+    text: shingle (Arrow-batched pandas UDF) then delegate to
+    :func:`minhash_signatures_from_shingles`."""
+    shingled = scale_out(df.select(F.col(id_col), F.col(text_col))).select(
+        F.col(id_col), word_shingles(F.col(text_col), shingle_n).alias("_shingles")
+    )
+    return minhash_signatures_from_shingles(
+        shingled, "_shingles", id_col, num_perm, seed
+    )
 
 
 def minhash_signatures_jvm(
@@ -413,15 +449,24 @@ def minhash_lsh_pairs(
     to the ``threshold`` via :func:`tune_bands`."""
     if bands is None:
         bands, _ = tune_bands(num_perm, threshold)
-    # Signatures and shingle sets each feed both sides of a self-join;
-    # persist them so the expensive subtree (shingling + hashing +
-    # numpy minima) runs once, not once per join side. At corpus scale
-    # this is a checkpoint to storage; locally MEMORY_AND_DISK.
-    sigs = minhash_signatures(df, text_col, id_col, num_perm, shingle_n, seed).persist()
-    cands = lsh_candidate_pairs(sigs, id_col, bands, sig_len=num_perm)
-    sh = scale_out(df).select(
-        F.col(id_col), word_shingles(F.col(text_col), shingle_n).alias("shingles")
+    # Shingle the corpus exactly ONCE: the shingle sets feed both the
+    # signature subtree and both sides of the verification join, so the
+    # expensive pandas-UDF pass over text runs one time and everything
+    # downstream reads the cached (id, shingles) rows. Signatures also
+    # feed both sides of the band self-join → persisted too. At corpus
+    # scale these persists are checkpoints to storage; locally
+    # MEMORY_AND_DISK.
+    sh = (
+        scale_out(df.select(F.col(id_col), F.col(text_col)))
+        .select(
+            F.col(id_col), word_shingles(F.col(text_col), shingle_n).alias("shingles")
+        )
+        .persist()
+    )
+    sigs = minhash_signatures_from_shingles(
+        sh, "shingles", id_col, num_perm, seed
     ).persist()
+    cands = lsh_candidate_pairs(sigs, id_col, bands, sig_len=num_perm)
     verified = (
         cands.join(sh.withColumnRenamed(id_col, "doc_a"), on="doc_a")
         .withColumnRenamed("shingles", "sh_a")
