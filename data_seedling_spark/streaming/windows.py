@@ -27,6 +27,22 @@ from ..operators.ledger import VersionedTable
 from ..operators.merge import CHANGE_TYPE, CT_INSERT
 
 
+def ensure_event_time(df: DataFrame, ts_col: str) -> DataFrame:
+    """Make ``ts_col`` watermark-compatible.
+
+    Spark 4 infers parquet timestamps as TIMESTAMP_NTZ
+    (``spark.sql.parquet.inferTimestampNTZ.enabled`` defaults true), but
+    ``withWatermark`` requires TIMESTAMP (with timezone) — the event-time
+    machinery tracks instants, not wall clocks. The cast is
+    value-preserving under a UTC session timezone (the engine's
+    configured default); callers comparing against batch truth keep
+    identical wall-clock values either way.
+    """
+    if dict(df.dtypes).get(ts_col) == "timestamp_ntz":
+        df = df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return df
+
+
 def read_events_stream(
     spark: SparkSession, path: str, schema, ts_col: str = "ts",
     glob: str | None = None,
@@ -43,7 +59,7 @@ def read_events_stream(
         df = df.withColumn(
             ts_col, F.timestamp_micros(F.expr(f"`{ts_col}` DIV 1000"))
         )
-    return df
+    return ensure_event_time(df, ts_col)
 
 
 def tumbling_counts(
@@ -55,6 +71,7 @@ def tumbling_counts(
     """Event-time tumbling aggregate with watermark-bounded state: late
     rows beyond ``lateness`` are dropped and completed windows are
     evicted from the state store (bounded memory at any scale)."""
+    stream = ensure_event_time(stream, ts_col)
     return (
         stream.withWatermark(ts_col, lateness)
         .groupBy(F.window(F.col(ts_col), window).alias("w"), "event_type")
@@ -69,6 +86,7 @@ def session_counts(
 ) -> DataFrame:
     """Native session windows (gap-close semantics identical to the
     batch ``sessionize_events`` query)."""
+    stream = ensure_event_time(stream, ts_col)
     return (
         stream.withWatermark(ts_col, lateness)
         .groupBy(F.session_window(F.col(ts_col), gap).alias("s"), "user_id")
@@ -130,6 +148,8 @@ def stream_interval_join(
     Columns come back prefixed per side (the two event streams share a
     schema); the join key keeps its name.
     """
+    left = ensure_event_time(left, ts_col)
+    right = ensure_event_time(right, ts_col)
     lcols = [F.col(c).alias(f"{left_prefix}{c}") for c in left.columns if c != key]
     rcols = [F.col(c).alias(f"{right_prefix}{c}") for c in right.columns if c != key]
     lw = left.select(key, *lcols).withWatermark(f"{left_prefix}{ts_col}", lateness)
@@ -155,6 +175,7 @@ def streaming_dedup(
 ) -> DataFrame:
     """Stateful streaming dedup: first occurrence per key wins within
     the watermark horizon (state evicted after ``lateness``)."""
+    stream = ensure_event_time(stream, ts_col)
     return stream.withWatermark(ts_col, lateness).dropDuplicatesWithinWatermark(keys)
 
 

@@ -249,3 +249,27 @@ def test_ledger_appends_streaming_source_exactly_once(spark, tmp_path):
     t.write(spark.createDataFrame([Row(k=9, v="z")]), mode="overwrite")  # v3
     with _pytest.raises(Exception, match="append-only"):
         drain()
+
+
+def test_ntz_event_time_is_watermark_compatible(spark):
+    """Spark 4 infers parquet timestamps as TIMESTAMP_NTZ, which
+    withWatermark rejects (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE). Every
+    streaming helper must coerce NTZ event time to TIMESTAMP before
+    watermarking — regression for the r3 driver failure."""
+    from data_seedling_spark.streaming.windows import ensure_event_time
+
+    ntz = spark.range(3).select(
+        F.col("id"),
+        F.expr(
+            "cast(timestamp_seconds(id * 3600) as timestamp_ntz)"
+        ).alias("ts"),
+    )
+    assert dict(ntz.dtypes)["ts"] == "timestamp_ntz"
+    fixed = ensure_event_time(ntz, "ts")
+    assert dict(fixed.dtypes)["ts"] == "timestamp"
+    # watermark now analyzes cleanly (batch frames accept it as a no-op)
+    fixed.withWatermark("ts", "1 hour").count()
+    # helpers apply the coercion themselves
+    tumbling_counts(
+        ntz.withColumn("event_type", F.lit("x")), "6 hours"
+    ).schema  # would raise AnalysisException without the guard
