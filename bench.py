@@ -44,7 +44,7 @@ HEADLINE = [
     "pseudonymise_customers",
     "feature_extract_documents",
     "train_test_split_hash",
-    "sequence_packing_bins",
+    "sequence_packing_sharded",
     "split_contamination_check",
     "embedding_near_dup_ivf",
     "nation_trade_volume",

@@ -159,6 +159,25 @@ def stratified_hash_sample(
     return df.where(bucket < cutoff)
 
 
+def _cumulative_offsets(counts: DataFrame, bucket_col: str) -> DataFrame:
+    """Exclusive running total of ``count`` in ``bucket_col`` order,
+    one row per bucket, computed as a broadcast triangular self-join —
+    O(buckets²) pairs on a frame that is tiny by construction, with no
+    window node at all (an unpartitioned running-sum window would
+    funnel through one partition and Catalyst folds away constant
+    partition keys, so there is no warning-free window spelling)."""
+    a, b = counts.alias("a"), counts.alias("b")
+    return (
+        a.join(
+            F.broadcast(b),
+            F.col(f"b.{bucket_col}") < F.col(f"a.{bucket_col}"),
+            "left",
+        )
+        .groupBy(F.col(f"a.{bucket_col}").alias(bucket_col))
+        .agg(F.coalesce(F.sum("b.count"), F.lit(0)).alias("_offset"))
+    )
+
+
 def global_index(
     df: DataFrame,
     key_col: str,
@@ -171,27 +190,16 @@ def global_index(
     window funnels the corpus through one partition).
 
     Two-pass construction: rows hash-shard deterministically on the
-    key; pass 1 counts each shard (n_shards rows — the running-total
-    window over *that* is trivially small); pass 2 ranks within shards
-    in parallel and adds the broadcast shard offset. The index equals
+    key; pass 1 counts each shard and derives cumulative offsets via a
+    broadcast triangular join over the n_shards-row counts frame (no
+    window node anywhere); pass 2 ranks within shards in parallel and
+    adds the broadcast shard offset. The index equals
     ``row_number() OVER (ORDER BY shard, key) - 1`` — a deterministic
     total order, which is what makes it oracle-checkable — but no
     stage ever materialises that global order.
     """
     sharded = df.withColumn("_shard", hash_bucket(F.col(key_col), n_shards))
-    offsets = (
-        sharded.groupBy("_shard")
-        .count()
-        .select(
-            "_shard",
-            F.coalesce(
-                F.sum("count").over(
-                    W.orderBy("_shard").rowsBetween(W.unboundedPreceding, -1)
-                ),
-                F.lit(0),
-            ).alias("_offset"),
-        )
-    )
+    offsets = _cumulative_offsets(sharded.groupBy("_shard").count(), "_shard")
     w = W.partitionBy("_shard").orderBy(key_col)
     return (
         sharded.join(F.broadcast(offsets), "_shard")
@@ -199,6 +207,39 @@ def global_index(
             index_col, (F.row_number().over(w) - 1 + F.col("_offset")).cast("long")
         )
         .drop("_shard", "_offset")
+    )
+
+
+def range_rank(
+    df: DataFrame,
+    order_col: str,
+    tie_cols: tuple[str, ...] = (),
+    bucket_expr=None,
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Dense global 1..N rank over ``(order_col, *tie_cols)`` WITHOUT a
+    global sort — the range-bucket twin of :func:`global_index`.
+
+    ``bucket_expr`` must be MONOTONE non-decreasing in ``order_col``
+    (default ``floor(order_col)``): then bucket boundaries respect the
+    global order, equal values always share a bucket, and
+    ``per-bucket row_number + broadcast cumulative bucket offsets``
+    reproduces exactly ``row_number() OVER (ORDER BY order_col,
+    *tie_cols)`` while every rank window stays partitioned. Pass 1
+    counts buckets (offsets frame = one row per distinct bucket —
+    keep the bucket width coarse enough to broadcast); pass 2 ranks
+    within buckets in parallel.
+    """
+    b = bucket_expr if bucket_expr is not None else F.floor(F.col(order_col))
+    bucketed = df.withColumn("_rb", b.cast("long"))
+    offsets = _cumulative_offsets(bucketed.groupBy("_rb").count(), "_rb")
+    w = W.partitionBy("_rb").orderBy(order_col, *tie_cols)
+    return (
+        bucketed.join(F.broadcast(offsets), "_rb")
+        .withColumn(
+            rank_col, (F.row_number().over(w) + F.col("_offset")).cast("long")
+        )
+        .drop("_rb", "_offset")
     )
 
 

@@ -199,24 +199,37 @@ def embedding_near_dup_pairs(
     df: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    block_col: str | None = "label",
+    block_col: str | None = None,
     threshold: float = 0.4,
+    centroid_stride: int = 50,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs within a blocking key.
 
-    Blocking bounds the pair count (quadratic only inside a block); at
-    corpus scale the block key comes from a coarse quantizer (see
-    ``ivf_assign``) instead of a label column.
+    Blocking bounds the pair count (quadratic only inside a block).
+    ``block_col=None`` — the default — blocks on IVF quantizer cells
+    (delegates to :func:`embedding_near_dup_ivf`): cell count grows
+    with the corpus, so mean block size stays ≈``centroid_stride``
+    and the join is O(rows·stride) at any scale. Passing an explicit
+    metadata column (e.g. ``"label"``) keeps the exact within-block
+    shape for small oracle-checked runs, at the cost of
+    data-dependent block cardinality — one dominant label makes the
+    in-block join quadratic, so never ship a metadata block key
+    against an unbounded corpus.
     """
+    if block_col is None:
+        return embedding_near_dup_ivf(
+            df, id_col=id_col, vec_col=vec_col,
+            threshold=threshold, centroid_stride=centroid_stride,
+        )
     v = df.select(
         F.col(id_col),
         F.col(vec_col).cast("array<double>").alias("_v"),
-        *( [F.col(block_col)] if block_col else [] ),
+        F.col(block_col),
     ).withColumn("_n", norm(F.col("_v")))
     a, b = v.alias("a"), v.alias("b")
-    cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
-    if block_col:
-        cond = cond & (F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))
+    cond = (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")) & (
+        F.col(f"a.{block_col}") == F.col(f"b.{block_col}")
+    )
     score = _dot(F.col("a._v"), F.col("b._v")) / (F.col("a._n") * F.col("b._n"))
     return (
         a.join(b, cond)

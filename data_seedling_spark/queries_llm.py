@@ -426,7 +426,7 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.similarity import embedding_near_dup_pairs
 
     embeddings = load_table(spark, sf_dir, "embeddings")
-    return embedding_near_dup_pairs(embeddings, threshold=0.4)
+    return embedding_near_dup_pairs(embeddings, block_col="label", threshold=0.4)
 
 
 @query(

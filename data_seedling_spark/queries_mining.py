@@ -113,21 +113,26 @@ def gini_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     moments are order-independent and exact, and G is a fixed chain of
     IEEE double ops on identical inputs. Ties in revenue contribute
     x·Σi regardless of tie order, so the custkey tie-break changes
-    nothing but keeps row_number deterministic. The global rank window
-    here funnels one partition at query scale; at corpus scale rank
-    by range-bucketing revenue and adding broadcast per-bucket offsets
-    (the two-pass ``global_index`` pattern in operators/sampling.py,
-    with range buckets instead of hash shards).
+    nothing but keeps row_number deterministic. Ranking uses
+    ``range_rank`` (operators/sampling.py): revenue range-buckets at
+    $50k width, per-bucket row_number in parallel + broadcast bucket
+    offsets — exactly ``row_number() OVER (ORDER BY r, custkey)``
+    (the bucket key is monotone in r, so ties never straddle buckets)
+    with every rank window partitioned instead of one global
+    single-partition sort.
     """
+    from .operators.sampling import range_rank
+
     orders = load_table(spark, sf_dir, "orders")
     rev = orders.groupBy("o_custkey").agg(
         F.sum(F.round("o_totalprice", 2).cast("decimal(18,2)"))
         .cast("decimal(18,2)")
         .alias("r")
     )
-    ranked = rev.select(
-        "r", F.row_number().over(W.orderBy("r", "o_custkey")).alias("i")
-    )
+    ranked = range_rank(
+        rev, "r", tie_cols=("o_custkey",),
+        bucket_expr=F.floor(F.col("r") / 50000), rank_col="i",
+    ).select("r", "i")
     n = F.count("*")
     tot = F.sum(F.col("r").cast("decimal(28,2)")).cast("double")
     weighted = F.sum(

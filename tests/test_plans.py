@@ -190,3 +190,28 @@ def test_interval_join_plans_as_equi_join(spark, reg):
     nested-loop cliff."""
     plan = plan_of(spark, reg, "interval_join_ship_windows")
     assert "NestedLoop" not in plan and "Cartesian" not in plan
+
+
+def _unpartitioned_windows(plan: str) -> list[str]:
+    """Window specs with no partition columns: windowspecdefinition's
+    FIRST argument is already an ordered column (`col ASC/DESC ...`)
+    instead of a bare partition column."""
+    import re
+
+    return re.findall(
+        r"windowspecdefinition\(\s*[^,()]*\s(?:ASC|DESC)[^)]*", plan
+    )
+
+
+def test_scale_safe_rankings_have_no_global_windows(spark, reg):
+    """gini (range_rank), sharded packing, and global_index must plan
+    every window partitioned — an unpartitioned running-sum window
+    funnels the corpus through one partition (the WindowExec
+    'Moving all data to a single partition' scale-killer)."""
+    for name in (
+        "gini_revenue_concentration",
+        "sequence_packing_sharded",
+        "global_row_index_documents",
+    ):
+        plan = plan_of(spark, reg, name)
+        assert _unpartitioned_windows(plan) == [], name
