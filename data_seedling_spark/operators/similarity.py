@@ -413,18 +413,18 @@ def kmeans_lloyd(
     re-embed iterations 1..N-1, and the rebuilt centroid frame
     broadcasts from a local relation instead of a growing subtree.
     """
-    spark = df.sparkSession
     vecs = df.select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias(vec_col)
     ).persist()
-    centroids = vecs.where(F.col(id_col) % init_stride == 0).select(
+    init = vecs.where(F.col(id_col) % init_stride == 0).select(
         F.expr(f"`{id_col}` DIV {init_stride}").alias("centroid_id"),
         F.col(vec_col),
     )
+    cent_rows = [(r["centroid_id"], list(r[vec_col])) for r in init.collect()]
     for _ in range(iters):
-        assigned = ivf_assign(vecs, centroids, id_col, vec_col)
+        assigned = _assign_literal_centroids(vecs, cent_rows, id_col, vec_col)
         updated = (
-            assigned.join(vecs, id_col)
+            assigned
             .select("centroid_id", F.posexplode(vec_col).alias("pos", "val"))
             .groupBy("centroid_id", "pos")
             .agg(F.round(F.avg("val"), 6).alias("val"))
@@ -435,10 +435,65 @@ def kmeans_lloyd(
                 F.transform("_pv", lambda s: s["val"]).alias(vec_col),
             )
         ).collect()
-        centroids = spark.createDataFrame(
-            updated, f"centroid_id long, {vec_col} array<double>"
+        cent_rows = [(r["centroid_id"], list(r[vec_col])) for r in updated]
+    return _assign_literal_centroids(vecs, cent_rows, id_col, vec_col).select(
+        id_col, "centroid_id"
+    )
+
+
+def _py_dot(a: list, b: list) -> float:
+    """Sequential left-fold dot product — the same IEEE op order as the
+    JVM ``_dot`` fold, so a driver-side precomputed ‖c‖² is
+    bit-identical to computing it in the plan."""
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc = acc + x * y
+    return acc
+
+
+def _assign_literal_centroids(
+    vecs: DataFrame, cent_rows, id_col: str, vec_col: str
+) -> DataFrame:
+    """Nearest-centroid assignment as a pure projection: the centroid
+    set (already driver-side between Lloyd iterations) becomes a
+    constant-folded literal array and the argmin is a per-row
+    ``array_min`` over (distance, centroid) structs — zero joins and
+    zero shuffles, versus ``ivf_assign``'s broadcast join + groupBy
+    per iteration. Distances reproduce ``ivf_assign``'s contract
+    exactly: the ‖v‖²+‖c‖²−2v·c dot identity, round to the 1e-6 grid,
+    lexicographic (distance, centroid) tie-break. Only for bounded k
+    (literal k×dim doubles in the plan; the broadcast-join path covers
+    unbounded centroid frames)."""
+    # One F.expr over a generated SQL literal: building k×dim doubles
+    # as individual F.lit/F.array Column objects costs a py4j
+    # round-trip each (~2.5 s for 40×64 at sf0.1); the SQL parser
+    # ingests the same constant array in one call. repr() doubles
+    # round-trip bit-exactly through the parser.
+    def d(x: float) -> str:
+        return f"{float(x)!r}D"
+
+    carr = F.expr(
+        "array("
+        + ",".join(
+            f"named_struct('cc',{d(_py_dot(c, c))},'cid',{int(cid)}L,"
+            f"'c',array({','.join(d(x) for x in c)}))"
+            for cid, c in cent_rows
         )
-    return ivf_assign(vecs, centroids, id_col, vec_col)
+        + ")"
+    )
+    with_vv = vecs.withColumn("_vv", _dot(F.col(vec_col), F.col(vec_col)))
+    scored = F.transform(
+        carr,
+        lambda s: F.struct(
+            F.round(
+                F.col("_vv") + s["cc"] - 2 * _dot(F.col(vec_col), s["c"]), 6
+            ).alias("_d"),
+            s["cid"].alias("centroid_id"),
+        ),
+    )
+    return with_vv.withColumn(
+        "centroid_id", F.array_min(scored)["centroid_id"]
+    ).drop("_vv")
 
 
 def pq_codebooks(

@@ -107,12 +107,16 @@ def test_customer_distribution_left_join_pushdown(spark, reg):
     assert "LeftOuter" in plan
 
 
-def test_kmeans_assign_broadcasts_centroids(spark, reg):
-    """k-means: centroid sides broadcast (assignment is one scan of the
-    vectors); no Python stage anywhere — the whole loop is JVM-side."""
+def test_kmeans_assign_is_joinless_projection(spark, reg):
+    """k-means: the final assignment is a pure projection over a
+    constant-folded literal centroid array (argmin via array_min) —
+    no join of ANY kind, no shuffle, no Python stage. One scan of the
+    vectors produces the answer."""
     plan = plan_of(spark, reg, "kmeans_cluster_assignment")
-    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "Join" not in plan
+    assert "Exchange" not in plan
     assert "Python" not in plan
+    assert "array_min" in plan
 
 
 def test_q5_shape_broadcasts_all_dimensions(spark, reg):
