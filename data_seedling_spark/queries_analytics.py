@@ -1648,7 +1648,7 @@ def fuzzy_name_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
     JOIN nation   ON s_nationkey = n_nationkey
     JOIN region   ON n_regionkey = r_regionkey
-    WHERE r_name = 'REGION_0'
+    WHERE r_name = 'ASIA'
       AND o_orderdate >= TIMESTAMP '1996-01-01'
       AND o_orderdate <  TIMESTAMP '1997-01-01'
     GROUP BY n_name
@@ -1684,7 +1684,7 @@ def region_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
         .join(
-            F.broadcast(region.where(F.col("r_name") == "REGION_0")),
+            F.broadcast(region.where(F.col("r_name") == "ASIA")),
             F.col("n_regionkey") == F.col("r_regionkey"),
         )
         .groupBy(F.col("n_name").alias("nation"))
