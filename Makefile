@@ -3,7 +3,7 @@
 # No runtime deps to install in this container; targets are the
 # entry points a pipeline CI would call.
 
-.PHONY: install test check bench smoke
+.PHONY: install test check check-oracle bench smoke
 
 install:
 	@echo "dependencies are preinstalled (pyspark, pyarrow, pandas, numpy, duckdb, pytest, hypothesis)"
@@ -12,6 +12,12 @@ test:
 	python -m pytest tests/ -q
 
 check:
+	python tools/check_oracle.py
+
+# Full-registry sweep over every queries() entry — the round-loop gate
+# (the driver itself verifies only a 50-query window; this is how a
+# red tail query gets caught before it ships).
+check-oracle:
 	python tools/check_oracle.py
 
 bench:
