@@ -115,6 +115,44 @@ def default_anonymiser(series: pd.Series) -> pd.Series:
     return series.map(mask)
 
 
+# Process-level engine cache for per_worker(). Executors import this
+# module by name (the package ships to workers), so the dict lives once
+# per Python worker process and survives task re-deserialization — the
+# property that makes heavyweight engines affordable: init once per
+# worker, not once per task/batch.
+_WORKER_ENGINES: dict[str, object] = {}
+
+
+def per_worker(key: str, factory):
+    """Wrap a heavyweight anonymiser engine factory as a lazily
+    per-worker-initialised callable (UD1 seam; reference
+    ``presidio.py:24-46`` builds Presidio engines once and reuses
+    them). ``factory()`` must return a ``Series -> Series`` callable;
+    it runs at most once per executor Python process — the contract a
+    Presidio/transformer-style analyzer needs (seconds of model load,
+    unpicklable native state). Usage::
+
+        anonymise_columns(df, cols,
+                          anonymiser=per_worker("presidio", build_engine))
+    """
+
+    def anonymise(series: pd.Series) -> pd.Series:
+        # Resolve the cache through a runtime import: this closure is
+        # cloudpickled BY VALUE per task, and a direct global reference
+        # would be captured as a per-task copy (defeating the cache —
+        # measured: one init per task, not per worker). The import
+        # returns the worker process's real module singleton.
+        import importlib
+
+        mod = importlib.import_module(__name__)
+        engine = mod._WORKER_ENGINES.get(key)
+        if engine is None:
+            engine = mod._WORKER_ENGINES[key] = factory()
+        return engine(series)
+
+    return anonymise
+
+
 def anonymise_columns(
     df: DataFrame, cols: list[str], anonymiser=None
 ) -> DataFrame:
@@ -157,6 +195,7 @@ __all__ = [
     "anonymise_columns",
     "default_anonymiser",
     "hash_columns",
+    "per_worker",
     "pseudo_transform",
     "remove_columns",
     "round_datetime_columns",

@@ -110,3 +110,72 @@ def test_broadcast_lookup_udf(spark):
     df = spark.createDataFrame([Row(k=0), Row(k=2), Row(k=9)])
     got = {r["k"]: r["name"] for r in df.select("k", region_name("k").alias("name")).collect()}
     assert got == {0: "AFRICA", 2: "ASIA", 9: "UNKNOWN"}
+
+
+def test_stateful_engine_injection_inits_once_per_worker(spark, tmp_path):
+    """UD1 pluggability under a heavyweight stateful engine: inject a
+    fake Presidio-style analyzer (expensive stateful init) through
+    per_worker() and prove (a) the output is identical to the default
+    regex path on its domain, (b) the engine initialised at most once
+    per executor Python process even though the job ran many
+    tasks/batches. The fake is a closure so it pickles by value
+    (worker processes cannot import the test module); every init and
+    every batch drop pid-stamped marker files the driver counts."""
+    import os
+
+    from data_seedling_spark.pipelines.pseudonymise import (
+        anonymise_columns,
+        per_worker,
+    )
+    from tests.conftest import SF_SMOKE
+
+    marker_dir = str(tmp_path / "inits")
+    batch_dir = str(tmp_path / "batches")
+    os.makedirs(marker_dir)
+    os.makedirs(batch_dir)
+
+    def build_engine():
+        # runs ON the worker: one call = one heavyweight engine init
+        import os as _os
+        import pathlib as _pathlib
+        import uuid as _uuid
+
+        from data_seedling_spark.pipelines.pseudonymise import _compile_rules
+
+        _pathlib.Path(
+            marker_dir, f"init_{_os.getpid()}_{_uuid.uuid4().hex}"
+        ).touch()
+        rules = _compile_rules()  # same rule set as the default path
+
+        def engine(series):
+            _pathlib.Path(
+                batch_dir, f"batch_{_os.getpid()}_{_uuid.uuid4().hex}"
+            ).touch()
+
+            def mask(text):
+                if text is None:
+                    return None
+                for rx, repl in rules:
+                    text = rx.sub(repl, text)
+                return text
+
+            return series.map(mask)
+
+        return engine
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").repartition(8)
+    injected = anonymise_columns(
+        docs, ["text"], anonymiser=per_worker("fake-heavy", build_engine)
+    ).select("doc_id", "text")
+    baseline = anonymise_columns(docs, ["text"]).select("doc_id", "text")
+    got = {r["doc_id"]: r["text"] for r in injected.collect()}
+    want = {r["doc_id"]: r["text"] for r in baseline.collect()}
+    assert got == want and len(got) > 0
+
+    inits = os.listdir(marker_dir)
+    batches = os.listdir(batch_dir)
+    init_pids = {f.split("_")[1] for f in inits}
+    # one init per worker process, full stop
+    assert len(inits) == len(init_pids) >= 1
+    # and the cache was exercised: strictly more batches than inits
+    assert len(batches) > len(inits)
