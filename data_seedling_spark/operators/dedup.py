@@ -30,20 +30,50 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
+def _estimated_scan_partitions(df: DataFrame, files: list[str]) -> int:
+    """Reproduce Spark's FilePartition packing arithmetic from driver
+    metadata: ``ceil(Σ(size + openCostInBytes) / maxPartitionBytes)``.
+    File COUNT alone over-states width — Spark bins many small files
+    into few partitions, so 1000 tiny files can still scan on two
+    cores. Sizes come from the Hadoop FileSystem (works for any FS the
+    session can read); capped at a 64-file stat sample extrapolated by
+    mean size so the probe stays O(1) RPCs on huge file lists."""
+    spark = df.sparkSession
+    sc = spark.sparkContext
+    ju = sc._jvm.org.apache.spark.network.util.JavaUtils
+    max_pb = ju.byteStringAsBytes(
+        spark.conf.get("spark.sql.files.maxPartitionBytes", "128MB")
+    )
+    open_cost = ju.byteStringAsBytes(
+        spark.conf.get("spark.sql.files.openCostInBytes", "4MB")
+    )
+    hconf = sc._jsc.hadoopConfiguration()
+    jpath = sc._jvm.org.apache.hadoop.fs.Path
+    sample = files[:64]
+    total = 0
+    for f in sample:
+        p = jpath(f)
+        total += p.getFileSystem(hconf).getFileStatus(p).getLen()
+    est_bytes = (total / len(sample) + open_cost) * len(files)
+    return int(est_bytes // max_pb) + (est_bytes % max_pb > 0)
+
+
 def scale_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     """X1 pattern (reference ``pseudonymisation.py:55-57``): raise
     parallelism before expensive per-row work. Small tables often
     arrive as one file → one partition, which would serialize the
     whole stage on a single core.
 
-    Width probe is ``df.inputFiles()`` — driver-side file-listing
-    metadata, no job, no ``df.rdd`` plan conversion. When the leaf
-    scans already expose at least ``target`` files the input is wide
-    enough and the shuffle is skipped entirely; parquet being
-    splittable means file count only *under*-estimates width, so the
-    skip is conservative. Non-file sources (in-memory frames, empty
-    file lists) repartition unconditionally — AQE coalesces the
-    shuffle back down if the input was already wide.
+    Width probe is ``df.inputFiles()`` (driver-side metadata, no job)
+    PLUS a byte-based partition estimate mirroring Spark's file
+    packing: the shuffle is skipped only when the scan would already
+    run at ``target``-way parallelism — requiring ≥ target files AND
+    ≥ target estimated packed partitions. File count alone is not
+    enough: maxPartitionBytes/openCostInBytes binning folds many
+    small files into few partitions, exactly the shape this helper
+    exists to widen. Non-file sources (in-memory frames, empty file
+    lists) repartition unconditionally — AQE coalesces the shuffle
+    back down if the input was already wide.
 
     An interleaved A/B at sf0.1 (3 passes, BASELINE.md protocol)
     showed the conditional-vs-unconditional choice is noise-level for
@@ -52,11 +82,9 @@ def scale_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     shuffle is real.
     """
     target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
-    try:
-        if len(df.inputFiles()) >= target:
-            return df
-    except Exception:  # non-file-backed plans: no metadata to probe
-        pass
+    files = df.inputFiles()  # [] for non-file-backed plans, no raise
+    if len(files) >= target and _estimated_scan_partitions(df, files) >= target:
+        return df
     return df.repartition(target)
 
 # ---------------------------------------------------------------------------
@@ -442,11 +470,26 @@ def minhash_lsh_pairs(
     shingle_n: int = 3,
     threshold: float = 0.8,
     seed: int = 42,
+    cache_registry: list | None = None,
 ) -> DataFrame:
     """Full near-dup pipeline: MinHash → LSH buckets → candidate pairs
     → **exact** Jaccard verification (no false positives; recall is the
     banding curve ~1-(1-t^r)^b). ``bands=None`` auto-tunes the banding
-    to the ``threshold`` via :func:`tune_bands`."""
+    to the ``threshold`` via :func:`tune_bands`.
+
+    Cache lifetime: the shingle and signature frames are persisted
+    (each feeds two subtrees) and stay cached for the session by
+    default — repeated invocations accumulate MEMORY_AND_DISK entries.
+    Callers running this repeatedly should pass ``cache_registry``
+    (any list): the two persisted handles are appended to it, and
+    after materialising the result the caller unpersists them::
+
+        handles: list = []
+        pairs = minhash_lsh_pairs(df, ..., cache_registry=handles)
+        pairs.write.parquet(out)
+        for h in handles:
+            h.unpersist()
+    """
     if bands is None:
         bands, _ = tune_bands(num_perm, threshold)
     # Shingle the corpus exactly ONCE: the shingle sets feed both the
@@ -466,6 +509,8 @@ def minhash_lsh_pairs(
     sigs = minhash_signatures_from_shingles(
         sh, "shingles", id_col, num_perm, seed
     ).persist()
+    if cache_registry is not None:
+        cache_registry.extend([sh, sigs])
     cands = lsh_candidate_pairs(sigs, id_col, bands, sig_len=num_perm)
     verified = (
         cands.join(sh.withColumnRenamed(id_col, "doc_a"), on="doc_a")

@@ -905,3 +905,53 @@ def test_pq_planted_near_dup_recall_floor(spark, embeddings):
         by_q.setdefault(r["query_id"], set()).add(r["neighbor_id"])
     recall = sum(1 for q in qids if q + 10_000_000 in by_q.get(q, set())) / len(qids)
     assert recall >= 0.9, f"planted near-dup recall {recall:.2f}"
+
+
+def test_scale_out_widens_many_small_files(spark, tmp_path):
+    """The width probe must not be fooled by file COUNT: Spark packs
+    many small files into few scan partitions (maxPartitionBytes /
+    openCostInBytes binning), so 40 tiny files still scan on ~2 cores.
+    scale_out's byte-based estimate catches that and repartitions;
+    a genuinely partition-sized input skips the shuffle."""
+    from data_seedling_spark.operators.dedup import (
+        _estimated_scan_partitions,
+        scale_out,
+    )
+
+    path = str(tmp_path / "many_small")
+    spark.range(40).repartition(40).write.parquet(path)
+    df = spark.read.parquet(path)
+    files = df.inputFiles()
+    # AQE may coalesce the write below 40 files, but well above the
+    # 16-way target the probe is tested against
+    assert len(files) > 16
+    # tiny files + 4MB open cost each pack into ~1-2 scan partitions:
+    # far below a 16-way target despite >16 files
+    est = _estimated_scan_partitions(df, files)
+    assert est < 16
+    widened = scale_out(df, min_partitions=16)
+    assert widened.rdd.getNumPartitions() == 16
+
+    # in-memory (non-file) frames repartition unconditionally, no raise
+    mem = spark.range(100)
+    assert scale_out(mem, min_partitions=8).rdd.getNumPartitions() == 8
+
+
+def test_minhash_cache_registry_exposes_persisted_handles(spark):
+    """minhash_lsh_pairs persists two frames per invocation; the
+    cache_registry hook hands them to the caller for unpersist so
+    repeated invocations in one session don't accumulate cache."""
+    from data_seedling_spark.operators.dedup import minhash_lsh_pairs
+    from tests.conftest import SF_SMOKE
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").limit(50)
+    handles: list = []
+    pairs = minhash_lsh_pairs(
+        docs, "text", "doc_id", num_perm=16, bands=4, cache_registry=handles
+    )
+    pairs.count()
+    assert len(handles) == 2
+    assert all(h.storageLevel.useMemory for h in handles)
+    for h in handles:
+        h.unpersist()
+    assert not any(h.storageLevel.useMemory for h in handles)
