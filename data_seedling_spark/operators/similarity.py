@@ -276,6 +276,85 @@ def embedding_near_dup_ivf(
     )
 
 
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.85,
+    centroid_stride: int = 50,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    "SemDeDup: Data-efficient learning at web-scale through semantic
+    deduplication", arXiv 2303.09540): cluster the embedding space
+    with a coarse quantizer, then inside each cluster drop every
+    vector that has an EARLIER (lower-id) neighbor above the cosine
+    threshold — the deterministic min-id representative rule, so the
+    kept set is a pure function of the data and oracle-checkable.
+
+    Plan shape = ``embedding_near_dup_ivf`` (cell-blocked pair join,
+    O(rows·stride) candidates at any corpus size) + one distinct on
+    pruned ids + one anti-join. Returns the surviving rows
+    ``(id, cell)``. Semantics note: pruning removes every vector with
+    *any* earlier in-cell neighbor ≥ threshold (one relational pass),
+    not the sequential greedy that would resurrect a vector whose
+    only earlier neighbor was itself pruned — at dedup thresholds
+    near-dup sets are cliques and the two rules coincide.
+    """
+    pairs = embedding_near_dup_ivf(
+        df, id_col=id_col, vec_col=vec_col,
+        threshold=threshold, centroid_stride=centroid_stride,
+    )
+    pruned = pairs.select(F.col("vec_b").alias(id_col)).distinct()
+    centroids = df.where((F.col(id_col) % centroid_stride) == 0).select(
+        (F.col(id_col) / centroid_stride).cast("long").alias("centroid_id"),
+        F.col(vec_col),
+    )
+    cells = ivf_assign(df, centroids, id_col, vec_col)
+    return cells.join(pruned, id_col, "left_anti").select(id_col, "centroid_id")
+
+
+def quantize_int8(
+    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization of an embedding column —
+    the storage/bandwidth step of a corpus-scale vector index (4×
+    smaller than float32, 8× smaller than the double working type).
+
+    scale = max|x| / 127; q = floor(x/scale + 0.5) (explicit half-up
+    spelled as floor so every engine reproduces it bit-for-bit — SQL
+    ``round`` half-up vs banker's varies); reconstruction = q·scale.
+    Emits per-vector audit stats rather than the codes themselves:
+    (id, scale, max_abs_err, saturated) where max_abs_err is the
+    worst reconstruction error (bounded by scale/2) and saturated
+    counts |q| = 127 hits. Pure JVM array expressions — one scan, no
+    shuffle, no Python.
+    """
+    vv = F.col("_v")
+    amax = F.array_max(F.transform(vv, lambda x: F.abs(x)))
+    scale = amax / F.lit(127.0)
+    q = F.transform(
+        vv, lambda x: F.floor(x / F.col("_scale") + F.lit(0.5)).cast("int")
+    )
+    err = F.array_max(
+        F.zip_with(
+            F.col("_q"), vv,
+            lambda qi, x: F.abs(qi.cast("double") * F.col("_scale") - x),
+        )
+    )
+    saturated = F.size(F.filter(F.col("_q"), lambda qi: F.abs(qi) == 127))
+    return (
+        df.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v"))
+        .withColumn("_scale", scale)
+        .withColumn("_q", q)
+        .select(
+            F.col(id_col),
+            F.round(F.col("_scale"), 9).alias("scale"),
+            F.round(err, 9).alias("max_abs_err"),
+            saturated.cast("long").alias("saturated"),
+        )
+    )
+
+
 def ivf_assign(
     df: DataFrame,
     centroids: DataFrame,

@@ -86,6 +86,53 @@ def token_counts(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+def chunk_with_overlap(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    chunk_size: int = 64,
+    stride: int = 48,
+) -> DataFrame:
+    """Sliding-window document chunking with overlap — the
+    retrieval/RAG and long-context prep step: chunk *i* covers words
+    ``[i·stride, i·stride + chunk_size)``, so consecutive chunks share
+    ``chunk_size - stride`` words. The last chunk may be short;
+    documents of ≤ chunk_size words emit exactly one chunk.
+
+    Plan shape: one scan → split → posexplode(sequence) → slice/join —
+    row-local generate, no shuffle, no Python; output grows by the
+    ~``1/stride`` duplication factor inherent to overlap. Chunk count
+    is ``ceil(max(n - chunk_size, 0) / stride) + 1`` with the
+    arithmetic in doubles so every engine lands the same boundary.
+    """
+    words = F.split(F.col(text_col), " ")
+    n = F.size(words)
+    last_idx = F.greatest(
+        F.ceil((n - F.lit(chunk_size)) / F.lit(float(stride))), F.lit(0)
+    ).cast("int")
+    return (
+        df.select(F.col(id_col), words.alias("_w"), n.alias("_n"), last_idx.alias("_last"))
+        .select(
+            F.col(id_col),
+            F.posexplode(F.sequence(F.lit(0), F.col("_last"))).alias(
+                "chunk_id", "_i"
+            ),
+            F.col("_w"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("chunk_id").cast("long").alias("chunk_id"),
+            F.array_join(
+                F.slice(F.col("_w"), F.col("chunk_id") * stride + 1, chunk_size),
+                " ",
+            ).alias("chunk_text"),
+            F.size(
+                F.slice(F.col("_w"), F.col("chunk_id") * stride + 1, chunk_size)
+            ).cast("long").alias("n_words"),
+        )
+    )
+
+
 def fingerprints(df: DataFrame, text_col: str, id_col: str, shingle_n: int = 3) -> DataFrame:
     """Document fingerprints: sha-256 of whitespace-normalised text
     (exact-dup key) + min-shingle hash (winnowing-style content key

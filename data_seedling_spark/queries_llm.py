@@ -1782,3 +1782,114 @@ def chi_square_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_cells"),
         )
     )
+
+
+@query(
+    "semantic_dedup_embeddings",
+    oracle="""
+    WITH c AS (
+      SELECT vec_id // 50 AS centroid_id, embedding::DOUBLE[] AS cv
+      FROM embeddings WHERE vec_id % 50 = 0
+    ), v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS vv FROM embeddings
+    ), assigned AS (
+      SELECT vec_id, centroid_id, vv FROM (
+        SELECT v.vec_id, c.centroid_id, v.vv,
+               ROW_NUMBER() OVER (
+                 PARTITION BY v.vec_id
+                 ORDER BY round(list_dot_product(vv, vv) + list_dot_product(cv, cv)
+                                - 2 * list_dot_product(vv, cv), 6),
+                          c.centroid_id
+               ) AS rn
+        FROM v, c
+      ) WHERE rn = 1
+    ), pruned AS (
+      SELECT DISTINCT b.vec_id
+      FROM assigned a JOIN assigned b
+        ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+      WHERE round(list_dot_product(a.vv, b.vv)
+                  / (sqrt(list_dot_product(a.vv, a.vv))
+                     * sqrt(list_dot_product(b.vv, b.vv))), 6) >= 0.4
+    )
+    SELECT a.vec_id, a.centroid_id
+    FROM assigned a ANTI JOIN pruned p ON a.vec_id = p.vec_id
+    """,
+    tags=("dedup-semantic", "similarity-ivf"),
+)
+def semantic_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (Abbas et al. 2023): coarse
+    quantizer cells as clusters, drop every vector with an earlier
+    in-cell neighbor at cosine >= 0.4, keep the min-id
+    representatives. Cell blocking keeps the pair stage
+    O(rows x stride) at any corpus size."""
+    from .operators.similarity import semantic_dedup
+
+    embeddings = load_table(spark, sf_dir, "embeddings")
+    return semantic_dedup(embeddings, threshold=0.4, centroid_stride=50)
+
+
+@query(
+    "chunk_documents_overlap",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS w,
+             len(string_split(text, ' ')) AS n
+      FROM documents
+    ), idx AS (
+      SELECT doc_id, w,
+             unnest(range(0, CAST(greatest(ceil((n - 64) / 48.0), 0) AS BIGINT) + 1))
+               AS chunk_id
+      FROM w
+    )
+    SELECT doc_id, chunk_id,
+           array_to_string(w[chunk_id * 48 + 1 : chunk_id * 48 + 64], ' ')
+             AS chunk_text,
+           CAST(len(w[chunk_id * 48 + 1 : chunk_id * 48 + 64]) AS BIGINT)
+             AS n_words
+    FROM idx
+    """,
+    tags=("chunking", "rag"),
+)
+def chunk_documents_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking with overlap (64-word chunks, stride
+    48, 16-word overlap) — retrieval/RAG corpus prep. Row-local
+    generate: no shuffle, no Python."""
+    from .operators.textstats import chunk_with_overlap
+
+    documents = load_table(spark, sf_dir, "documents")
+    return chunk_with_overlap(documents, "text", "doc_id", chunk_size=64, stride=48)
+
+
+@query(
+    "embedding_int8_quant",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS vv FROM embeddings
+    ), s AS (
+      SELECT vec_id, vv,
+             list_max(list_transform(vv, x -> abs(x))) / 127.0 AS scale
+      FROM v
+    ), q AS (
+      SELECT vec_id, vv, scale,
+             list_transform(vv, x -> floor(x / scale + 0.5)) AS qq
+      FROM s
+    )
+    SELECT vec_id,
+           round(scale, 9) AS scale,
+           round(list_max(list_transform(range(1, len(vv) + 1),
+                                         i -> abs(qq[i] * scale - vv[i]))), 9)
+             AS max_abs_err,
+           CAST(len(list_filter(qq, x -> abs(x) = 127)) AS BIGINT) AS saturated
+    FROM q
+    """,
+    tags=("quantization", "embedding"),
+)
+def embedding_int8_quant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization audit: scale, worst
+    reconstruction error (bounded by scale/2) and saturation count per
+    embedding. floor(x/scale + 0.5) spells half-up explicitly so the
+    quantized codes are engine-portable."""
+    from .operators.similarity import quantize_int8
+
+    embeddings = load_table(spark, sf_dir, "embeddings")
+    return quantize_int8(embeddings)

@@ -955,3 +955,86 @@ def test_minhash_cache_registry_exposes_persisted_handles(spark):
     for h in handles:
         h.unpersist()
     assert not any(h.storageLevel.useMemory for h in handles)
+
+
+def test_semantic_dedup_kept_set_properties(spark):
+    """SemDeDup keep-rule invariants: (a) kept ⊆ corpus, (b) the
+    minimum id of every cell survives, (c) no kept vector has an
+    earlier KEPT in-cell neighbor above threshold (the representative
+    property), (d) pruning is deterministic across invocations."""
+    from data_seedling_spark.operators.similarity import (
+        embedding_near_dup_ivf,
+        semantic_dedup,
+    )
+    from tests.conftest import SF_SMOKE
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    kept = semantic_dedup(emb, threshold=0.4, centroid_stride=20)
+    kept_rows = kept.collect()
+    kept_ids = {r["vec_id"] for r in kept_rows}
+    all_ids = {r["vec_id"] for r in emb.select("vec_id").collect()}
+    assert kept_ids <= all_ids and kept_ids
+
+    # min id per cell always survives (it has no earlier neighbor)
+    min_per_cell = {}
+    for r in kept_rows:
+        c = r["centroid_id"]
+        min_per_cell[c] = min(min_per_cell.get(c, 10**9), r["vec_id"])
+    pairs = embedding_near_dup_ivf(
+        emb, threshold=0.4, centroid_stride=20
+    ).collect()
+    # representative property: no kept-kept pair (a<b both kept)
+    assert not any(
+        p["vec_a"] in kept_ids and p["vec_b"] in kept_ids for p in pairs
+    )
+    # determinism
+    again = {r["vec_id"] for r in semantic_dedup(
+        emb, threshold=0.4, centroid_stride=20
+    ).collect()}
+    assert again == kept_ids
+
+
+def test_chunk_overlap_covers_and_reassembles(spark):
+    """Chunking invariants: concatenating each document's chunks at
+    stride offsets reproduces the original word sequence exactly
+    (coverage, no gaps); consecutive chunks share chunk_size-stride
+    words; short docs emit exactly one chunk."""
+    from data_seedling_spark.operators.textstats import chunk_with_overlap
+    from tests.conftest import SF_SMOKE
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").limit(40)
+    out = chunk_with_overlap(docs, "text", "doc_id", chunk_size=32, stride=24)
+    by_doc = {}
+    for r in out.collect():
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    originals = {r["doc_id"]: r["text"].split(" ") for r in docs.collect()}
+    assert set(by_doc) == set(originals)
+    for doc_id, rows in by_doc.items():
+        rows.sort(key=lambda r: r["chunk_id"])
+        words = originals[doc_id]
+        rebuilt = []
+        for r in rows:
+            cw = r["chunk_text"].split(" ") if r["chunk_text"] else []
+            assert len(cw) == r["n_words"] <= 32
+            start = r["chunk_id"] * 24
+            assert cw == words[start : start + 32]
+            rebuilt = rebuilt[:start] + cw
+        assert rebuilt == words
+        if len(words) <= 32:
+            assert len(rows) == 1
+
+
+def test_int8_quantization_error_bound(spark):
+    """Reconstruction error of symmetric int8 quantization is bounded
+    by scale/2 (half-up rounding), and saturation only hits the
+    max-magnitude coordinate(s)."""
+    from data_seedling_spark.operators.similarity import quantize_int8
+    from tests.conftest import SF_SMOKE
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    rows = quantize_int8(emb).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r["scale"] > 0
+        assert 0 <= r["max_abs_err"] <= r["scale"] / 2 + 1e-9
+        assert r["saturated"] >= 1  # the max-|x| coordinate quantizes to ±127
