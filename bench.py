@@ -64,6 +64,9 @@ HEADLINE = [
     "interpolated_sparse_hourly",
     "funnel_view_click_purchase",
     "pretraining_corpus_pipeline",
+    "semantic_dedup_embeddings",
+    "chunk_documents_overlap",
+    "embedding_int8_quant",
 ]
 
 
