@@ -54,6 +54,7 @@ from .merge import (
 )
 
 _LEDGER = "_ledger.json"
+_CLAIMS = "_claims"
 
 
 class NoSuchVersionError(ValueError):
@@ -62,6 +63,13 @@ class NoSuchVersionError(ValueError):
 
 class SchemaMismatchError(ValueError):
     """Append schema diverges from the table schema (S6 validation)."""
+
+
+class ConcurrentWriteConflictError(RuntimeError):
+    """Another writer claimed the target version first (optimistic
+    concurrency): re-read the table and retry the operation, or let
+    the built-in retry loops do it (blind appends and merges retry
+    automatically; overwrites surface the conflict)."""
 
 
 class ConstraintViolationError(ValueError):
@@ -117,6 +125,88 @@ class VersionedTable:
             json.dump([c.to_json() for c in commits], f, indent=1)
         os.replace(tmp, self._ledger_path())  # atomic commit point
 
+    # -- optimistic concurrency ---------------------------------------------
+    #
+    # Multi-writer protocol (Delta-style OCC, single-FS flavor): before
+    # writing version N, a writer takes an EXCLUSIVE claim on N via
+    # O_CREAT|O_EXCL — the one atomic-create point every shared
+    # filesystem gives. Exactly one concurrent writer wins each version
+    # number; losers see ConcurrentWriteConflictError and either retry
+    # against the advanced snapshot (blind appends, merges — they
+    # commute / recompute) or surface the conflict (overwrites, whose
+    # intent may be stale). The ledger file itself is still written
+    # only by claim holders, in version order, so its atomic-rename
+    # update needs no further coordination. A writer that crashes
+    # between claim and ledger write leaves a stale claim blocking its
+    # version; `clear_stale_claims` is the documented recovery.
+
+    def _claim_path(self, version: int) -> str:
+        return os.path.join(self.path, _CLAIMS, f"{version:05d}.claim")
+
+    def _claim(self, version: int) -> None:
+        os.makedirs(os.path.join(self.path, _CLAIMS), exist_ok=True)
+        try:
+            fd = os.open(
+                self._claim_path(version), os.O_CREAT | os.O_EXCL | os.O_WRONLY
+            )
+        except FileExistsError:
+            raise ConcurrentWriteConflictError(
+                f"{self.path}: version {version} already claimed by a "
+                "concurrent writer; re-read and retry"
+            ) from None
+        with os.fdopen(fd, "w") as f:
+            json.dump({"pid": os.getpid(), "ts_ms": int(time.time() * 1000)}, f)
+
+    def _release_claim(self, version: int) -> None:
+        try:
+            os.remove(self._claim_path(version))
+        except FileNotFoundError:
+            pass
+
+    def _await_version(self, version: int, timeout_s: float = 30.0) -> bool:
+        """After losing a claim race, wait for the winner's ledger
+        entry to land before recomputing (the claim exists for the
+        winner's whole data-write window; retrying before the ledger
+        advances just re-collides). True once ``version`` is
+        committed; False on timeout — a stale claim from a crashed
+        writer (see :meth:`clear_stale_claims`)."""
+        deadline = time.time() + timeout_s
+        while time.time() < deadline:
+            commits = self.commits()
+            if commits and commits[-1].version >= version:
+                return True
+            time.sleep(0.05)
+        return False
+
+    def clear_stale_claims(self, older_than_s: float = 3600.0) -> list[int]:
+        """Recovery for crashed writers: drop claims that never became
+        commits and are older than ``older_than_s``. Claims at or below
+        the latest committed version are always garbage (their race was
+        decided); the claim for latest+1 is removed only past the age
+        threshold, since a live writer may hold it mid-commit."""
+        claims_dir = os.path.join(self.path, _CLAIMS)
+        if not os.path.isdir(claims_dir):
+            return []
+        committed = {c.version for c in self.commits()}
+        latest = max(committed, default=-1)
+        now_ms = time.time() * 1000
+        cleared = []
+        for name in sorted(os.listdir(claims_dir)):
+            v = int(name.split(".")[0])
+            if v in committed or v <= latest:
+                os.remove(os.path.join(claims_dir, name))
+                cleared.append(v)
+                continue
+            try:
+                with open(os.path.join(claims_dir, name)) as f:
+                    ts = json.load(f).get("ts_ms", 0)
+            except (json.JSONDecodeError, OSError):
+                ts = 0
+            if now_ms - ts > older_than_s * 1000:
+                os.remove(os.path.join(claims_dir, name))
+                cleared.append(v)
+        return cleared
+
     def exists(self) -> bool:
         return bool(self.commits())
 
@@ -144,6 +234,8 @@ class VersionedTable:
         mode: str = "append",
         merge_schema: bool = False,
         constraints: dict[str, "F.Column"] | None = None,
+        expected_version: int | None = None,
+        max_retries: int = 2,
     ) -> int:
         """S6 sink: persist ``df`` as a new version. ``mode`` is
         ``append`` or ``overwrite`` (a create is an overwrite of an
@@ -162,23 +254,58 @@ class VersionedTable:
         directory stays invisible to readers — and the write raises
         with per-constraint violation counts. NULL predicate results
         count as violations (a constraint must prove itself true).
+
+        Concurrency (OCC): the target version is claimed exclusively
+        before any data lands. On a claim conflict, blind appends
+        retry against the advanced snapshot up to ``max_retries``
+        (appends commute); overwrites raise — their intent was formed
+        against a snapshot that no longer exists.
+        ``expected_version`` makes read-modify-write safe: the write
+        aborts if the table advanced past the version the caller read
+        (what :meth:`update` passes).
         """
         if mode not in ("append", "overwrite"):
             raise ValueError(f"unsupported mode {mode!r}")
-        commits = self.commits()
-        if mode == "append" and commits:
-            self._validate_schema(df, merge_schema=merge_schema)
-        version = commits[-1].version + 1 if commits else 0
-        os.makedirs(self.path, exist_ok=True)
-        self._shape(strip_reserved_columns(df)).write.mode("overwrite").parquet(
-            self._version_dir(version)
-        )
-        if constraints:
-            self._check_constraints(
-                self.spark.read.parquet(self._version_dir(version)), constraints
+        attempts = 0
+        while True:
+            commits = self.commits()
+            latest = commits[-1].version if commits else -1
+            if expected_version is not None and latest != expected_version:
+                raise ConcurrentWriteConflictError(
+                    f"{self.path}: expected latest version {expected_version}, "
+                    f"found {latest}; re-read and retry the read-modify-write"
+                )
+            if mode == "append" and commits:
+                self._validate_schema(df, merge_schema=merge_schema)
+            version = latest + 1
+            os.makedirs(self.path, exist_ok=True)
+            try:
+                self._claim(version)
+                break
+            except ConcurrentWriteConflictError:
+                attempts += 1
+                if (
+                    mode == "append"
+                    and expected_version is None
+                    and attempts <= max_retries
+                    and self._await_version(version)
+                ):
+                    continue
+                raise
+        try:
+            self._shape(strip_reserved_columns(df)).write.mode("overwrite").parquet(
+                self._version_dir(version)
             )
-        commits.append(Commit(version, mode, int(time.time() * 1000)))
-        self._write_ledger(commits)
+            if constraints:
+                self._check_constraints(
+                    self.spark.read.parquet(self._version_dir(version)), constraints
+                )
+            commits.append(Commit(version, mode, int(time.time() * 1000)))
+            self._write_ledger(commits)
+        except BaseException:
+            # failed or aborted writes must not block the version slot
+            self._release_claim(version)
+            raise
         return version
 
     def _check_constraints(self, df: DataFrame, constraints: dict) -> None:
@@ -196,43 +323,73 @@ class VersionedTable:
                 f"write to {self.path} rejected; violations: {violated}"
             )
 
-    def merge(self, changes: DataFrame, primary_keys: list[str]) -> int:
+    def merge(
+        self, changes: DataFrame, primary_keys: list[str], max_retries: int = 2
+    ) -> int:
         """S7/S8/S9 MERGE sink: apply a CDC feed (insert/delete rows,
         updates rejected) and commit the new snapshot plus the explicit
-        change rows for downstream CDF readers."""
-        target = self.read()
-        commits = self.commits()
-        version = commits[-1].version + 1 if commits else 0
-        # Write the feed first, then compute the snapshot FROM the
-        # written parquet: the (possibly expensive) upstream feed
-        # pipeline executes exactly once — the guard count inside
-        # apply_change_feed and the two anti-joins all read the
-        # materialised copy.
-        feed_cols = [c for c in changes.columns if c in (*target.columns, *RESERVED_COLUMNS)]
-        self._shape(changes.select(*feed_cols)).write.mode("overwrite").parquet(
-            self._changes_dir(version)
-        )
-        materialised = self.spark.read.parquet(self._changes_dir(version))
-        new_snapshot = apply_change_feed(target, materialised, primary_keys)
-        self._shape(new_snapshot).write.mode("overwrite").parquet(
-            self._version_dir(version)
-        )
-        commits.append(
-            Commit(version, "merge", int(time.time() * 1000), has_changes_dir=True)
-        )
-        self._write_ledger(commits)
+        change rows for downstream CDF readers.
+
+        Concurrency (OCC): the version is claimed before the target
+        snapshot is read, so the snapshot the feed applies to is the
+        claim's immediate predecessor. A claim conflict retries the
+        whole merge against the advanced table (each attempt
+        recomputes from a fresh ``read()``, so retrying is safe) up to
+        ``max_retries``."""
+        attempts = 0
+        while True:
+            commits = self.commits()
+            version = commits[-1].version + 1 if commits else 0
+            try:
+                self._claim(version)
+                break
+            except ConcurrentWriteConflictError:
+                attempts += 1
+                if attempts <= max_retries and self._await_version(version):
+                    continue
+                raise
+        try:
+            target = self.read()
+            # Write the feed first, then compute the snapshot FROM the
+            # written parquet: the (possibly expensive) upstream feed
+            # pipeline executes exactly once — the guard count inside
+            # apply_change_feed and the two anti-joins all read the
+            # materialised copy.
+            feed_cols = [
+                c for c in changes.columns if c in (*target.columns, *RESERVED_COLUMNS)
+            ]
+            self._shape(changes.select(*feed_cols)).write.mode("overwrite").parquet(
+                self._changes_dir(version)
+            )
+            materialised = self.spark.read.parquet(self._changes_dir(version))
+            new_snapshot = apply_change_feed(target, materialised, primary_keys)
+            self._shape(new_snapshot).write.mode("overwrite").parquet(
+                self._version_dir(version)
+            )
+            commits.append(
+                Commit(version, "merge", int(time.time() * 1000), has_changes_dir=True)
+            )
+            self._write_ledger(commits)
+        except BaseException:
+            self._release_claim(version)
+            raise
         return version
 
     def update(self, condition, assignments: dict) -> int:
         """S10 point UPDATE (reference ``watermark.py:125-130``): new
-        version with ``assignments`` applied where ``condition`` holds."""
+        version with ``assignments`` applied where ``condition`` holds.
+        Read-modify-write guarded by ``expected_version``: if another
+        writer commits between this read and the write, the update
+        aborts with ConcurrentWriteConflictError instead of silently
+        dropping the concurrent rows."""
+        expected = self.latest_version()
         df = self.read()
         updated = df
         for col_name, value in assignments.items():
             updated = updated.withColumn(
                 col_name, F.when(condition, value).otherwise(F.col(col_name))
             )
-        return self.write(updated, mode="overwrite")
+        return self.write(updated, mode="overwrite", expected_version=expected)
 
     def _validate_schema(self, df: DataFrame, merge_schema: bool = False) -> None:
         """Delta-style schema validation on append (reference

@@ -389,3 +389,120 @@ def test_zorder_compact_clusters_both_columns(spark, tmp_table_dir):
     assert spans(v, "x") < spans(0, "x") * 0.6
     assert spans(v, "y") < spans(0, "y") * 0.6
     assert rows(t.read(), "payload") == rows(t.read(version=0), "payload")
+
+
+def test_occ_concurrent_appends_both_commit(spark, tmp_table_dir):
+    """Two writers appending at the same moment race for the version
+    claim; the loser retries against the advanced snapshot. Both
+    commits land, on distinct versions, with all rows present."""
+    import threading
+
+    from data_seedling_spark.operators.ledger import VersionedTable
+
+    VersionedTable(spark, tmp_table_dir, write_partitions=1).write(
+        spark.createDataFrame([(0, "base")], "k long, v string"), mode="overwrite"
+    )
+    barrier = threading.Barrier(2)
+    results, errors = {}, []
+
+    def append(tag):
+        try:
+            t = VersionedTable(spark, tmp_table_dir, write_partitions=1)
+            df = spark.createDataFrame([(hash(tag) % 1000, tag)], "k long, v string")
+            barrier.wait()
+            results[tag] = t.write(df, mode="append")
+        except Exception as e:  # pragma: no cover - failure reporting
+            errors.append(e)
+
+    threads = [threading.Thread(target=append, args=(f"w{i}",)) for i in range(2)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errors
+    assert sorted(results.values()) == [1, 2]
+    t = VersionedTable(spark, tmp_table_dir)
+    vals = {r["v"] for r in t.read().collect()}
+    assert vals == {"base", "w0", "w1"}
+
+
+def test_occ_claimed_version_conflicts(spark, tmp_table_dir):
+    """A held claim blocks that version: overwrites surface the
+    conflict immediately; appends raise once retries are exhausted."""
+    import pytest as _pytest
+
+    from data_seedling_spark.operators.ledger import (
+        ConcurrentWriteConflictError,
+        VersionedTable,
+    )
+
+    t = VersionedTable(spark, tmp_table_dir, write_partitions=1)
+    t.write(spark.createDataFrame([(1, "a")], "k long, v string"), mode="overwrite")
+    t._claim(1)  # a concurrent writer mid-commit
+    df = spark.createDataFrame([(2, "b")], "k long, v string")
+    with _pytest.raises(ConcurrentWriteConflictError):
+        t.write(df, mode="overwrite")
+    with _pytest.raises(ConcurrentWriteConflictError):
+        # max_retries=0: a held claim with no committing writer would
+        # otherwise park in _await_version for its full timeout
+        t.write(df, mode="append", max_retries=0)
+
+
+def test_occ_failed_write_releases_claim(spark, tmp_table_dir):
+    """A constraint-rejected write must not block its version slot."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from data_seedling_spark.operators.ledger import (
+        ConstraintViolationError,
+        VersionedTable,
+    )
+
+    t = VersionedTable(spark, tmp_table_dir, write_partitions=1)
+    t.write(spark.createDataFrame([(1, "a")], "k long, v string"), mode="overwrite")
+    bad = spark.createDataFrame([(-5, "neg")], "k long, v string")
+    with _pytest.raises(ConstraintViolationError):
+        t.write(bad, mode="append", constraints={"k_pos": F.col("k") > 0})
+    # the slot freed: the next append takes version 1
+    ok = spark.createDataFrame([(7, "ok")], "k long, v string")
+    assert t.write(ok, mode="append") == 1
+
+
+def test_occ_update_aborts_on_stale_read(spark, tmp_table_dir):
+    """expected_version guards read-modify-write: a commit landing
+    after the caller's read makes the write abort instead of silently
+    dropping the concurrent rows."""
+    import pytest as _pytest
+
+    from data_seedling_spark.operators.ledger import (
+        ConcurrentWriteConflictError,
+        VersionedTable,
+    )
+
+    t = VersionedTable(spark, tmp_table_dir, write_partitions=1)
+    t.write(spark.createDataFrame([(1, "a")], "k long, v string"), mode="overwrite")
+    t.write(spark.createDataFrame([(2, "b")], "k long, v string"), mode="append")
+    stale = spark.createDataFrame([(9, "stale")], "k long, v string")
+    with _pytest.raises(ConcurrentWriteConflictError, match="expected latest"):
+        t.write(stale, mode="overwrite", expected_version=0)
+
+
+def test_occ_clear_stale_claims(spark, tmp_table_dir):
+    """Crash recovery: superseded claims and over-age orphans clear;
+    a fresh claim for the next version (live writer) survives."""
+    import json as _json
+    import os as _os
+
+    from data_seedling_spark.operators.ledger import VersionedTable
+
+    t = VersionedTable(spark, tmp_table_dir, write_partitions=1)
+    t.write(spark.createDataFrame([(1, "a")], "k long, v string"), mode="overwrite")
+    # superseded claim (version 0 already committed) + stale orphan at 1
+    t._claim(1)
+    with open(t._claim_path(1), "w") as f:
+        _json.dump({"pid": 0, "ts_ms": 0}, f)  # ancient
+    t._claim(2)  # fresh: a live writer
+    cleared = t.clear_stale_claims(older_than_s=3600)
+    assert 1 in cleared and 2 not in cleared
+    assert _os.path.exists(t._claim_path(2))
+    t._release_claim(2)
