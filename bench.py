@@ -67,6 +67,7 @@ HEADLINE = [
     "semantic_dedup_embeddings",
     "chunk_documents_overlap",
     "embedding_int8_quant",
+    "pq_codebooks_trained",
 ]
 
 

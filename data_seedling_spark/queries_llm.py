@@ -1893,3 +1893,92 @@ def embedding_int8_quant(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     embeddings = load_table(spark, sf_dir, "embeddings")
     return quantize_int8(embeddings)
+
+
+def _pq_sub_ctes(s: int, sub: int, stride: int) -> str:
+    """Per-subspace CTE chain for trained-PQ codebooks: slice the
+    embedding to subspace ``s``, stride-init, and unroll two Lloyd
+    iterations with the same assign/update contract as the kmeans
+    oracle (dot-identity argmin rounded to 1e-6, centroid tie-break,
+    element-mean rounded to 1e-6)."""
+    lo, hi = s * sub + 1, (s + 1) * sub
+    v = f"v{s}"
+
+    def assign(name: str, cent: str) -> str:
+        return f"""
+    {name} AS (
+      SELECT vec_id, cid FROM (
+        SELECT {v}.vec_id, c.cid,
+               ROW_NUMBER() OVER (
+                 PARTITION BY {v}.vec_id
+                 ORDER BY round(list_dot_product(vv, vv)
+                               + list_dot_product(cv, cv)
+                               - 2 * list_dot_product(vv, cv), 6),
+                          c.cid
+               ) AS rn
+        FROM {v}, {cent} c
+      ) WHERE rn = 1
+    )"""
+
+    def update(name: str, a: str) -> str:
+        return f"""
+    {name} AS (
+      SELECT cid, list(val ORDER BY pos) AS cv FROM (
+        SELECT cid, pos, round(avg(val), 6) AS val FROM (
+          SELECT a.cid AS cid,
+                 unnest({v}.vv) AS val,
+                 unnest(range(1, len({v}.vv) + 1)) AS pos
+          FROM {v} JOIN {a} a USING (vec_id)
+        ) GROUP BY cid, pos
+      ) GROUP BY cid
+    )"""
+
+    return f"""
+    {v} AS (
+      SELECT vec_id, (embedding::DOUBLE[])[{lo}:{hi}] AS vv FROM embeddings
+    ), c{s}_0 AS (
+      SELECT vec_id // {stride} AS cid,
+             (embedding::DOUBLE[])[{lo}:{hi}] AS cv
+      FROM embeddings WHERE vec_id % {stride} = 0
+    ),{assign(f'a{s}_1', f'c{s}_0')},{update(f'c{s}_1', f'a{s}_1')},
+    {assign(f'a{s}_2', f'c{s}_1')},{update(f'c{s}_2', f'a{s}_2')}"""
+
+
+_PQ_TRAINED_ORACLE = (
+    "WITH "
+    + ",".join(_pq_sub_ctes(s, 16, 50) for s in range(4))
+    + "\n    "
+    + "\n    UNION ALL ".join(
+        f"""SELECT {s} AS subspace, cid AS code_id,
+               unnest(range(1, len(cv) + 1)) AS pos, unnest(cv) AS val
+        FROM c{s}_2"""
+        for s in range(4)
+    )
+)
+
+
+@query(
+    "pq_codebooks_trained",
+    oracle=_PQ_TRAINED_ORACLE,
+    tags=("pq", "kmeans", "quantization"),
+)
+def pq_codebooks_trained_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained product-quantization codebooks: an independent Lloyd's
+    fit per 16-dim subspace (m=4, 2 iterations, stride init), emitted
+    element-wise (subspace, code_id, pos, val) so the iterative fit is
+    hash-checkable end-to-end. The resulting frame drops into the ADC
+    search unchanged."""
+    from .operators.similarity import pq_codebooks_trained
+
+    embeddings = load_table(spark, sf_dir, "embeddings")
+    books = pq_codebooks_trained(embeddings, m=4, dim=64, init_stride=50, iters=2)
+    return books.select(
+        "subspace",
+        "code_id",
+        F.posexplode("subvec").alias("_p", "val"),
+    ).select(
+        "subspace",
+        "code_id",
+        (F.col("_p") + 1).cast("long").alias("pos"),
+        "val",
+    )

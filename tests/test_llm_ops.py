@@ -1038,3 +1038,53 @@ def test_int8_quantization_error_bound(spark):
         assert r["scale"] > 0
         assert 0 <= r["max_abs_err"] <= r["scale"] / 2 + 1e-9
         assert r["saturated"] >= 1  # the max-|x| coordinate quantizes to ±127
+
+
+def test_trained_pq_codebooks_drop_into_adc_search(spark):
+    """Roadmap claim made real: pq_codebooks_trained returns the same
+    (subspace, code_id, subvec) frame shape as the stride codebooks,
+    so pq_encode consumes it unchanged. Trained codebooks must reduce
+    (or tie) total quantization distortion versus their own k-means
+    init — the Lloyd's monotonicity property."""
+    from pyspark.sql import functions as F
+
+    from data_seedling_spark.operators.similarity import (
+        _dot,
+        pq_codebooks,
+        pq_codebooks_trained,
+        pq_encode,
+    )
+    from tests.conftest import SF_SMOKE
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    stride = pq_codebooks(emb, m=4, dim=64, centroid_stride=20)
+    trained = pq_codebooks_trained(emb, m=4, dim=64, init_stride=20, iters=2)
+    assert [(f.name, f.dataType) for f in trained.schema] == [
+        (f.name, f.dataType) for f in stride.schema
+    ]
+    assert trained.count() == stride.count()
+
+    def distortion(books):
+        codes = pq_encode(emb, books, m=4, dim=64)
+        sub = 16
+        vecs = emb.select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("_v")
+        ).select(
+            "vec_id",
+            F.posexplode(
+                F.array(*[F.slice(F.col("_v"), j * sub + 1, sub) for j in range(4)])
+            ).alias("subspace", "_s"),
+        )
+        joined = (
+            codes.withColumnRenamed("code", "code_id")
+            .join(books, ["subspace", "code_id"])
+            .join(vecs, ["vec_id", "subspace"])
+        )
+        d = (
+            _dot(F.col("_s"), F.col("_s"))
+            + _dot(F.col("subvec"), F.col("subvec"))
+            - 2 * _dot(F.col("_s"), F.col("subvec"))
+        )
+        return joined.agg(F.sum(d)).first()[0]
+
+    assert distortion(trained) <= distortion(stride) + 1e-6
