@@ -215,3 +215,54 @@ def running_totals_stateful(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def running_totals_tws(
+    stream: DataFrame,
+    key_col: str = "user_id",
+    value_col: str = "value",
+):
+    """The Spark-4 ``transformWithStateInPandas`` twin of
+    :func:`running_totals_stateful` — the arbitrary-stateful-processing
+    v2 API (SPARK-49414): a ``StatefulProcessor`` with typed value
+    state instead of the single GroupState blob. Same contract (per-key
+    running count + integer-cent total, one row per key per batch);
+    state schema evolution, TTL, and secondary timers come with the
+    API where the v1 operator had none. Requires the RocksDB state
+    store provider (``spark.sql.streaming.stateStore.providerClass``)
+    and a working ``google.protobuf`` (the TWS state server's wire
+    protocol) — both ship on real Spark 4 clusters; the conformance
+    test import-gates on the latter."""
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._totals = handle.getValueState(
+                "totals", "count long, total_cents long"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            count, cents = (
+                self._totals.get() if self._totals.exists() else (0, 0)
+            )
+            for pdf in rows:
+                count += len(pdf)
+                cents += int(round(float(pdf[value_col].sum()) * 100))
+            self._totals.update((count, cents))
+            yield pd.DataFrame(
+                {key_col: [key[0]], "n_events": [count], "total_cents": [cents]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return stream.groupBy(key_col).transformWithStateInPandas(
+        statefulProcessor=RunningTotals(),
+        outputStructType=f"{key_col} long, n_events long, total_cents long",
+        outputMode="Update",
+        timeMode="None",
+    )

@@ -273,3 +273,59 @@ def test_ntz_event_time_is_watermark_compatible(spark):
     tumbling_counts(
         ntz.withColumn("event_type", F.lit("x")), "6 hours"
     ).schema  # would raise AnalysisException without the guard
+
+
+def test_transform_with_state_matches_v1_operator(spark, events_schema):
+    """Spark-4 transformWithStateInPandas twin must land on exactly
+    the totals of the applyInPandasWithState operator and the batch
+    aggregate (integer-cent state: exact accumulation). The TWS state
+    protocol speaks protobuf between the JVM and its Python state
+    server; environments without a working google.protobuf (like this
+    sandbox) can't run the operator at all, so the test gates on the
+    import the runner itself performs."""
+    pytest.importorskip("google.protobuf.descriptor")
+    from data_seedling_spark.streaming.windows import running_totals_tws
+
+    old_provider = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", ""
+    )
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream = read_events_stream(spark, EVENTS_DIR, events_schema, glob=EVENTS_GLOB)
+        out = run_to_memory(
+            spark,
+            running_totals_tws(stream),
+            f"tws_{uuid.uuid4().hex[:8]}",
+            mode="update",
+        )
+        # last emitted row per key = final totals
+        got = {
+            r["user_id"]: (r["n_events"], r["total_cents"])
+            for r in out.collect()
+        }
+        from data_seedling_spark.tables import load_table
+
+        batch = (
+            load_table(spark, SF_SMOKE, "events")
+            .groupBy("user_id")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"),
+            )
+        )
+        want = {r["user_id"]: (r["n"], r["cents"]) for r in batch.collect()}
+        assert set(got) == set(want)
+        mismatches = {
+            k: (got[k], want[k]) for k in want if got[k][0] != want[k][0]
+        }
+        assert not mismatches
+    finally:
+        if old_provider:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", old_provider
+            )
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
