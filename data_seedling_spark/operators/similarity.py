@@ -401,6 +401,7 @@ def ivf_topk(
     k: int = 3,
     centroid_stride: int = 50,
     nprobe: int = 1,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF ANN search: quantize the corpus against a deterministic
     centroid set (every ``centroid_stride``-th vector — a k-means fit
@@ -409,12 +410,20 @@ def ivf_topk(
     the cross product never materialises. ``nprobe`` is the standard
     recall/cost knob — cell-boundary misses (the nprobe=1 failure
     mode) disappear as probes widen, and each corpus vector lives in
-    exactly one cell so no candidate pair duplicates."""
-    centroids = (
-        df.where((F.col(id_col) % centroid_stride) == 0)
-        .select((F.col(id_col) / centroid_stride).cast("long").alias("centroid_id"),
-                F.col(vec_col))
-    )
+    exactly one cell so no candidate pair duplicates.
+
+    ``centroids`` injects a pre-built index frame
+    ``(centroid_id, <vec_col>)`` — a k-means fit, or the index read
+    back from a feature store (the build-once / search-many
+    lifecycle); None builds the stride quantizer inline."""
+    if centroids is None:
+        centroids = (
+            df.where((F.col(id_col) % centroid_stride) == 0)
+            .select(
+                (F.col(id_col) / centroid_stride).cast("long").alias("centroid_id"),
+                F.col(vec_col),
+            )
+        )
     assigned = ivf_assign(df, centroids, id_col, vec_col)
     v = df.join(assigned, on=id_col).select(
         F.col(id_col),

@@ -653,3 +653,65 @@ def scd2_order_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         return scd2_from_changes(changes, ["o_orderkey"], ["o_totalprice"])
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+
+
+@query(
+    "ann_index_lifecycle",
+    oracle="""
+    WITH c AS (
+      SELECT vec_id // 50 AS centroid_id, embedding::DOUBLE[] AS cv
+      FROM embeddings WHERE vec_id % 50 = 0
+    ), v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS vv FROM embeddings
+    ), assigned AS (
+      SELECT vec_id, centroid_id FROM (
+        SELECT v.vec_id, c.centroid_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY v.vec_id
+                 ORDER BY round(list_dot_product(vv, vv) + list_dot_product(cv, cv)
+                                - 2 * list_dot_product(vv, cv), 6),
+                          c.centroid_id
+               ) AS rn
+        FROM v, c
+      ) WHERE rn = 1
+    ), cells AS (
+      SELECT v.vec_id, a.centroid_id, v.vv FROM v JOIN assigned a USING (vec_id)
+    ), scored AS (
+      SELECT q.vec_id AS query_id, x.vec_id AS neighbor_id,
+             round(list_dot_product(q.vv, x.vv)
+                   / (sqrt(list_dot_product(q.vv, q.vv))
+                      * sqrt(list_dot_product(x.vv, x.vv))), 6) AS score
+      FROM cells q JOIN cells x
+        ON q.centroid_id = x.centroid_id AND x.vec_id <> q.vec_id
+      WHERE q.vec_id < 10
+    )
+    SELECT query_id, neighbor_id, score, rank FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY score DESC, neighbor_id
+      ) AS rank FROM scored
+    ) WHERE rank <= 3
+    """,
+    tags=("similarity-ivf", "index-lifecycle", "S6"),
+)
+def ann_index_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ANN index deployment lifecycle end-to-end: build the IVF
+    coarse index once, persist it as a versioned feature table
+    (ledger S6 sink), read it back, and search with the PERSISTED
+    copy. Parquet double/float arrays round-trip bit-exactly, so the
+    search result must hash-equal the inline-index query
+    (``ivf_ann_topk``'s oracle verbatim) — which is precisely the
+    property a build-once/search-many index service relies on."""
+    from .operators.similarity import ivf_topk
+
+    embeddings = load_table(spark, sf_dir, "embeddings")
+    centroids = embeddings.where((F.col("vec_id") % 50) == 0).select(
+        (F.col("vec_id") / 50).cast("long").alias("centroid_id"),
+        F.col("embedding"),
+    )
+    base = tempfile.mkdtemp(prefix="ann_index_")
+    index_table = VersionedTable(spark, f"{base}/ivf_index", write_partitions=1)
+    index_table.write(centroids, mode="overwrite")
+    persisted = index_table.read()
+    return ivf_topk(
+        embeddings, query_ids=range(10), k=3, centroids=persisted
+    )
