@@ -74,7 +74,7 @@ _PRIORITY: tuple[str, ...] = (
     "merge_delete_apply",
     "distinct_users_by_type",
     # High-value extended-surface representatives.
-    "approx_distinct_quantiles",
+    "semantic_dedup_embeddings",
     "window_top_orders_per_segment",
     "asof_join_purchase_click",
     "nation_trade_volume",
@@ -85,11 +85,11 @@ _PRIORITY: tuple[str, ...] = (
     "chunk_dedup_documents",
     "minhash_lsh_near_dup",
     "similarity_topk_bruteforce",
-    "ann_lsh_hyperplane",
+    "pq_codebooks_trained",
     "text_quality_scores",
     "language_id_documents",
     "token_count_documents",
-    "doc_fingerprints",
+    "ann_index_lifecycle",
     "multimodal_decode_bmp",
     "embedding_near_dup_ivf",
     "ivf_ann_topk",
