@@ -139,9 +139,9 @@ def encode_bmp(img) -> bytes:
     return header + info + b"".join(rows)
 
 
-def decode_bmp(data: bytes) -> dict:
-    """24-bit uncompressed BMP bytes → dims + per-channel means
-    (matching DECODED_IMAGE_SCHEMA, ``ok`` excluded)."""
+def decode_bmp_pixels(data: bytes):
+    """24-bit uncompressed BMP bytes → uint8 RGB (H, W, 3) array —
+    the pixel-level inverse of :func:`encode_bmp`."""
     import struct
 
     import numpy as np
@@ -155,7 +155,14 @@ def decode_bmp(data: bytes) -> dict:
         raise ValueError(f"unsupported BMP variant (bpp={bpp}, h={h})")
     row_size = (w * 3 + 3) & ~3
     buf = np.frombuffer(data, np.uint8, row_size * h, offset).reshape(h, row_size)
-    px = buf[:, : w * 3].reshape(h, w, 3)[::-1, :, ::-1]  # un-flip, BGR→RGB
+    return buf[:, : w * 3].reshape(h, w, 3)[::-1, :, ::-1]  # un-flip, BGR→RGB
+
+
+def decode_bmp(data: bytes) -> dict:
+    """24-bit uncompressed BMP bytes → dims + per-channel means
+    (matching DECODED_IMAGE_SCHEMA, ``ok`` excluded)."""
+    px = decode_bmp_pixels(data)
+    h, w = px.shape[0], px.shape[1]
     return {
         "width": int(w),
         "height": int(h),
@@ -163,6 +170,54 @@ def decode_bmp(data: bytes) -> dict:
         "mean_g": float(px[..., 1].mean()),
         "mean_b": float(px[..., 2].mean()),
     }
+
+
+def resize_nearest(px, width: int, height: int):
+    """Nearest-neighbor resize by integer index mapping:
+    ``src = (dst * src_dim) // dst_dim`` — pure integer arithmetic, so
+    any engine (and the SQL oracle) reproduces the exact pixel
+    selection."""
+    import numpy as np
+
+    h, w = px.shape[0], px.shape[1]
+    ys = (np.arange(height) * h) // height
+    xs = (np.arange(width) * w) // width
+    return px[ys][:, xs]
+
+
+def resize_images(
+    df: DataFrame,
+    payload_col: str = "payload",
+    width: int = 4,
+    height: int = 3,
+    out_col: str = "resized",
+) -> DataFrame:
+    """REAL image resize over ``mapInPandas``: decode BMP → nearest-
+    neighbor index resize → re-encode BMP into ``out_col``. Per-row
+    error isolation (undecodable payloads yield NULL, never a failed
+    batch). Same Arrow-batched plumbing as ``decode_images``; a
+    Pillow/opencv resampler swaps in as a kernel change, not a plan
+    change."""
+    out_schema = T.StructType(
+        df.schema.fields + [T.StructField(out_col, T.BinaryType())]
+    )
+
+    def run(batches):
+        for pdf in batches:
+            resized = []
+            for b in pdf[payload_col]:
+                if b is None:
+                    resized.append(None)
+                    continue
+                try:
+                    px = decode_bmp_pixels(bytes(b))
+                    resized.append(encode_bmp(resize_nearest(px, width, height)))
+                except Exception:
+                    resized.append(None)
+            pdf[out_col] = resized
+            yield pdf
+
+    return df.mapInPandas(run, out_schema)
 
 
 def decode_images(

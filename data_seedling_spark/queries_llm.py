@@ -1982,3 +1982,81 @@ def pq_codebooks_trained_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("_p") + 1).cast("long").alias("pos"),
         "val",
     )
+
+
+@query(
+    "multimodal_resize_bmp",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id,
+             CAST(1 + n_chars % 8 AS INT) AS w,
+             CAST(1 + n_chars % 5 AS INT) AS h
+      FROM documents
+    ), grid AS (
+      SELECT doc_id, w, h,
+             unnest(range(0, 4)) AS x2
+      FROM dims
+    ), cells AS (
+      SELECT doc_id, w, h, x2, unnest(range(0, 3)) AS y2
+      FROM grid
+    ), px AS (
+      SELECT doc_id,
+             (doc_id + ((x2 * w) // 4) + ((y2 * h) // 3)) % 256 AS r,
+             (doc_id * 7 + ((x2 * w) // 4)) % 256 AS g,
+             (doc_id * 13 + ((y2 * h) // 3)) % 256 AS b
+      FROM cells
+    )
+    SELECT doc_id,
+           CAST(4 AS INT) AS width,
+           CAST(3 AS INT) AS height,
+           AVG(CAST(r AS DOUBLE)) AS mean_r,
+           AVG(CAST(g AS DOUBLE)) AS mean_g,
+           AVG(CAST(b AS DOUBLE)) AS mean_b
+    FROM px GROUP BY doc_id
+    """,
+    tags=("multimodal", "resize", "bmp"),
+)
+def multimodal_resize_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL resize verified end-to-end through the full media loop:
+    gradient BMPs (pixel values are pure functions of doc_id, x, y)
+    encode → nearest-neighbor resize to 4×3 (integer index map
+    ``src = dst*src_dim // dst_dim``) → re-encode → decode — and the
+    oracle recomputes every resized pixel on a SQL-generated grid.
+    Gradients (not solid colours) make the check non-trivial: a wrong
+    index map or a flipped row order changes the means."""
+    import numpy as np
+    import pandas as pd  # noqa: F401
+
+    from .operators.multimodal import decode_images, encode_bmp, resize_images
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+
+    def build(batches):
+        for pdf in batches:
+            payloads = []
+            for i, n in zip(pdf["doc_id"], pdf["n_chars"]):
+                w, h = 1 + int(n) % 8, 1 + int(n) % 5
+                ys, xs = np.mgrid[0:h, 0:w]
+                img = np.stack(
+                    [
+                        (int(i) + xs + ys) % 256,
+                        (int(i) * 7 + xs) % 256,
+                        (int(i) * 13 + ys) % 256,
+                    ],
+                    axis=-1,
+                ).astype(np.uint8)
+                payloads.append(encode_bmp(img))
+            pdf["payload"] = payloads
+            yield pdf
+
+    with_payload = docs.mapInPandas(build, "doc_id long, n_chars long, payload binary")
+    resized = resize_images(with_payload, width=4, height=3)
+    dec = decode_images(resized, payload_col="resized")
+    return dec.select(
+        "doc_id",
+        F.col("decoded.width").alias("width"),
+        F.col("decoded.height").alias("height"),
+        F.col("decoded.mean_r").alias("mean_r"),
+        F.col("decoded.mean_g").alias("mean_g"),
+        F.col("decoded.mean_b").alias("mean_b"),
+    )

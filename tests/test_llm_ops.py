@@ -1088,3 +1088,55 @@ def test_trained_pq_codebooks_drop_into_adc_search(spark):
         return joined.agg(F.sum(d)).first()[0]
 
     assert distortion(trained) <= distortion(stride) + 1e-6
+
+
+def test_bmp_resize_pixel_exact():
+    """resize_nearest is an exact integer index map: upscale of a 2x2
+    checker and identity resize both reproduce predictable pixels, and
+    the BMP roundtrip after resize is lossless."""
+    import numpy as np
+
+    from data_seedling_spark.operators.multimodal import (
+        decode_bmp_pixels,
+        encode_bmp,
+        resize_nearest,
+    )
+
+    img = np.array(
+        [[[0, 0, 0], [255, 0, 0]], [[0, 255, 0], [0, 0, 255]]], dtype=np.uint8
+    )
+    # identity
+    assert (resize_nearest(img, 2, 2) == img).all()
+    # 2x upscale: each source pixel becomes a 2x2 block
+    up = resize_nearest(img, 4, 4)
+    assert up.shape == (4, 4, 3)
+    assert (up[0:2, 0:2] == img[0, 0]).all()
+    assert (up[0:2, 2:4] == img[0, 1]).all()
+    assert (up[2:4, 2:4] == img[1, 1]).all()
+    # downscale 4x4 -> 2x2 picks rows/cols 0 and 2
+    down = resize_nearest(up, 2, 2)
+    assert (down == img).all()
+    # BMP roundtrip after resize is lossless
+    assert (decode_bmp_pixels(encode_bmp(up)) == up).all()
+
+
+def test_resize_images_isolates_bad_payloads(spark):
+    """A corrupt payload yields NULL resized bytes, never a failed
+    batch; good payloads in the same batch still resize."""
+    import numpy as np
+
+    from data_seedling_spark.operators.multimodal import (
+        decode_bmp_pixels,
+        encode_bmp,
+        resize_images,
+    )
+
+    good = encode_bmp(np.zeros((2, 2, 3), dtype=np.uint8))
+    df = spark.createDataFrame(
+        [(1, bytearray(good)), (2, bytearray(b"not a bmp")), (3, None)],
+        "id long, payload binary",
+    )
+    rows = {r["id"]: r["resized"] for r in resize_images(df, width=4, height=3).collect()}
+    assert rows[2] is None and rows[3] is None
+    px = decode_bmp_pixels(bytes(rows[1]))
+    assert px.shape == (3, 4, 3) and (px == 0).all()
