@@ -254,3 +254,131 @@ def decode_images(
             yield pdf
 
     return df.mapInPandas(run, out_schema)
+
+
+# ---------------------------------------------------------------------------
+# Real audio path: WAV/PCM16 (RIFF header + raw little-endian samples —
+# the audio twin of the BMP codec: no library needed). mp3/flac/ogg
+# stay behind the decoder seam until their libs exist in the runtime.
+# ---------------------------------------------------------------------------
+
+AUDIO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("duration_ms", T.LongType()),
+        T.StructField("windows", T.ArrayType(
+            T.StructType(
+                [
+                    T.StructField("window_idx", T.IntegerType()),
+                    T.StructField("rms", T.DoubleType()),
+                    T.StructField("peak", T.IntegerType()),
+                ]
+            )
+        )),
+        T.StructField("ok", T.BooleanType()),
+    ]
+)
+
+
+def encode_wav(samples, sample_rate: int = 16000) -> bytes:
+    """int16 mono PCM array → WAV bytes (44-byte RIFF header +
+    little-endian samples)."""
+    import struct
+
+    import numpy as np
+
+    samples = np.asarray(samples, dtype="<i2")
+    data = samples.tobytes()
+    byte_rate = sample_rate * 2
+    header = struct.pack(
+        "<4sI4s4sIHHIIHH4sI",
+        b"RIFF", 36 + len(data), b"WAVE",
+        b"fmt ", 16, 1, 1, sample_rate, byte_rate, 2, 16,
+        b"data", len(data),
+    )
+    return header + data
+
+
+def decode_wav(data: bytes):
+    """WAV bytes → (sample_rate, int16 numpy array). Only the
+    PCM16-mono subset ``encode_wav`` emits; anything else raises (the
+    caller isolates per row)."""
+    import struct
+
+    import numpy as np
+
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a WAV payload")
+    fmt, channels, rate, bits = struct.unpack_from("<HHIxxxxxxH", data, 20)
+    if (fmt, channels, bits) != (1, 1, 16):
+        raise ValueError(f"unsupported WAV variant ({fmt}, {channels}ch, {bits}bit)")
+    n = struct.unpack_from("<I", data, 40)[0]
+    return rate, np.frombuffer(data, "<i2", n // 2, 44)
+
+
+def audio_features(
+    df: DataFrame,
+    payload_col: str = "payload",
+    window: int = 256,
+    out_col: str = "audio",
+) -> DataFrame:
+    """REAL audio feature extraction over ``mapInPandas``: decode
+    WAV/PCM16, then per fixed-size window emit RMS energy
+    (``sqrt(mean(x²))`` in float64 — integer squares sum exactly, and
+    IEEE sqrt is correctly rounded, so the doubles are engine-portable
+    as-is; round at the QUERY edge with ``F.round``, not here: Python
+    ``round`` is banker's, SQL round is half-up) and the absolute
+    peak — the
+    segmentation/energy pass an audio curation pipeline runs before
+    VAD or transcription. Short final windows keep their true length
+    in the mean. Per-row error isolation: ``ok=False`` rows, never
+    failed batches."""
+
+    def run(batches):
+        import numpy as np
+
+        for pdf in batches:
+            feats = []
+            for b in pdf[payload_col]:
+                if b is None:
+                    feats.append(None)
+                    continue
+                try:
+                    rate, samples = decode_wav(bytes(b))
+                    x = samples.astype(np.float64)
+                    wins = []
+                    for i in range(0, max(len(x), 1), window):
+                        seg = x[i : i + window]
+                        if len(seg) == 0:
+                            break
+                        wins.append(
+                            {
+                                "window_idx": i // window,
+                                "rms": float(np.sqrt((seg * seg).mean())),
+                                "peak": int(np.abs(samples[i : i + window]).max()),
+                            }
+                        )
+                    feats.append(
+                        {
+                            "sample_rate": int(rate),
+                            "n_samples": len(samples),
+                            "duration_ms": int(len(samples) * 1000 // rate),
+                            "windows": wins,
+                            "ok": True,
+                        }
+                    )
+                except Exception:
+                    feats.append(
+                        {
+                            "sample_rate": None, "n_samples": None,
+                            "duration_ms": None, "windows": None, "ok": False,
+                        }
+                    )
+            pdf[out_col] = feats
+            yield pdf
+
+    out_schema = T.StructType(
+        df.schema.fields + [T.StructField(out_col, AUDIO_FEATURES_SCHEMA)]
+    )
+    return df.mapInPandas(run, out_schema)

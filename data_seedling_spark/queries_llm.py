@@ -2060,3 +2060,71 @@ def multimodal_resize_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("decoded.mean_g").alias("mean_g"),
         F.col("decoded.mean_b").alias("mean_b"),
     )
+
+
+@query(
+    "multimodal_audio_energy",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, 200 + doc_id % 100 AS n FROM documents
+    ), t AS (
+      SELECT doc_id, n, unnest(range(0, n)) AS t FROM d
+    ), x AS (
+      SELECT doc_id, n, CAST(t // 256 AS INT) AS window_idx,
+             ((doc_id * 31 + t * 7) % 2048) - 1024 AS v
+      FROM t
+    )
+    SELECT doc_id,
+           CAST(16000 AS INT) AS sample_rate,
+           CAST(n AS BIGINT) AS n_samples,
+           CAST(n * 1000 // 16000 AS BIGINT) AS duration_ms,
+           window_idx,
+           round(sqrt(AVG(CAST(v AS DOUBLE) * CAST(v AS DOUBLE))), 6) AS rms,
+           CAST(MAX(abs(v)) AS INT) AS peak
+    FROM x GROUP BY doc_id, n, window_idx
+    """,
+    tags=("multimodal", "audio", "wav"),
+)
+def multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio feature extraction, oracle-checked end-to-end:
+    deterministic int16 waveforms (sample = f(doc_id, t)) encode to
+    WAV/PCM16 — the audio codec that, like BMP, needs no library —
+    decode back, and window into 256-sample RMS/peak segments; the
+    oracle recomputes every window on a SQL-generated sample grid.
+    This retires the 'audio is a stub' caveat; mp3/flac plug into the
+    same batched seam as a codec change."""
+    import numpy as np
+    import pandas as pd  # noqa: F401
+
+    from .operators.multimodal import audio_features, encode_wav
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def build(batches):
+        for pdf in batches:
+            payloads = []
+            for i in pdf["doc_id"]:
+                n = 200 + int(i) % 100
+                t = np.arange(n, dtype=np.int64)
+                samples = ((int(i) * 31 + t * 7) % 2048) - 1024
+                payloads.append(encode_wav(samples.astype(np.int16)))
+            pdf["payload"] = payloads
+            yield pdf
+
+    with_payload = docs.mapInPandas(build, "doc_id long, payload binary")
+    feats = audio_features(with_payload, window=256)
+    return feats.select(
+        "doc_id",
+        F.col("audio.sample_rate").alias("sample_rate"),
+        F.col("audio.n_samples").alias("n_samples"),
+        F.col("audio.duration_ms").alias("duration_ms"),
+        F.explode("audio.windows").alias("w"),
+    ).select(
+        "doc_id",
+        "sample_rate",
+        "n_samples",
+        "duration_ms",
+        F.col("w.window_idx").alias("window_idx"),
+        F.round(F.col("w.rms"), 6).alias("rms"),
+        F.col("w.peak").alias("peak"),
+    )

@@ -1140,3 +1140,38 @@ def test_resize_images_isolates_bad_payloads(spark):
     assert rows[2] is None and rows[3] is None
     px = decode_bmp_pixels(bytes(rows[1]))
     assert px.shape == (3, 4, 3) and (px == 0).all()
+
+
+def test_wav_roundtrip_and_audio_feature_isolation(spark):
+    """WAV/PCM16 encode→decode is lossless; audio_features windows
+    cover all samples, peak is exact, and corrupt payloads isolate to
+    ok=False rows instead of failing the batch."""
+    import numpy as np
+
+    from data_seedling_spark.operators.multimodal import (
+        audio_features,
+        decode_wav,
+        encode_wav,
+    )
+
+    samples = (np.arange(600, dtype=np.int64) * 37 % 4096 - 2048).astype(np.int16)
+    rate, back = decode_wav(encode_wav(samples, sample_rate=8000))
+    assert rate == 8000 and (back == samples).all()
+
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(encode_wav(samples, sample_rate=8000))),
+            (2, bytearray(b"RIFFjunk")),
+        ],
+        "id long, payload binary",
+    )
+    rows = {r["id"]: r["audio"] for r in audio_features(df, window=256).collect()}
+    assert rows[2]["ok"] is False
+    a = rows[1]
+    assert a["ok"] and a["sample_rate"] == 8000 and a["n_samples"] == 600
+    assert [w["window_idx"] for w in a["windows"]] == [0, 1, 2]
+    # windows cover all samples: 256 + 256 + 88
+    assert a["duration_ms"] == 600 * 1000 // 8000
+    assert a["windows"][2]["peak"] == int(np.abs(samples[512:]).max())
+    expect_rms = float(np.sqrt((samples[:256].astype(np.float64) ** 2).mean()))
+    assert abs(a["windows"][0]["rms"] - expect_rms) < 1e-9
