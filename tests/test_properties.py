@@ -293,3 +293,46 @@ def test_interval_join_equals_theta_for_any_inputs(spark, points, ivs):
     )
     assert got == expect
     assert len(got) == len(set(got))
+
+
+@slow
+@given(
+    vals=st.lists(
+        st.tuples(
+            st.integers(min_value=-1000, max_value=1000),  # order value
+            st.integers(min_value=0, max_value=50),        # tie-break id
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    width=st.sampled_from([1, 7, 100, 10_000]),
+)
+def test_range_rank_equals_global_row_number(spark, vals, width):
+    """range_rank's contract: for ANY data and ANY bucket width, the
+    two-pass bucketed rank equals row_number() OVER (ORDER BY val, id)
+    — monotone buckets mean ties never straddle buckets, so the
+    partitioned windows + broadcast offsets reproduce the global sort
+    exactly (what gini_revenue_concentration relies on)."""
+    from pyspark.sql import Window as W
+
+    from data_seedling_spark.operators.sampling import range_rank
+
+    # duplicate (val, id) pairs would make row_number itself
+    # nondeterministic — the contract is over unique sort keys
+    rows = [Row(val=v, id=i) for v, i in sorted(set(vals))]
+    df = spark.createDataFrame(rows, "val long, id long")
+    got = {
+        (r["val"], r["id"]): r["rank"]
+        for r in range_rank(
+            df, "val", tie_cols=("id",),
+            bucket_expr=F.floor(F.col("val") / width),
+        ).collect()
+    }
+    want = {
+        (r["val"], r["id"]): r["rank"]
+        for r in df.select(
+            "val", "id",
+            F.row_number().over(W.orderBy("val", "id")).alias("rank"),
+        ).collect()
+    }
+    assert got == want
