@@ -2128,3 +2128,80 @@ def multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("w.rms"), 6).alias("rms"),
         F.col("w.peak").alias("peak"),
     )
+
+
+@query(
+    "hard_negative_mining",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS vv FROM embeddings
+    ), pairs AS (
+      SELECT q.vec_id AS anchor_id, x.vec_id AS cand_id, x.label AS cand_label,
+             q.label AS anchor_label,
+             round(list_dot_product(q.vv, x.vv)
+                   / (sqrt(list_dot_product(q.vv, q.vv))
+                      * sqrt(list_dot_product(x.vv, x.vv))), 6) AS score
+      FROM v q JOIN v x ON x.vec_id <> q.vec_id
+      WHERE q.vec_id < 10
+    )
+    SELECT anchor_id, cand_id AS negative_id, score, rank FROM (
+      SELECT anchor_id, cand_id, score,
+             ROW_NUMBER() OVER (
+               PARTITION BY anchor_id ORDER BY score DESC, cand_id
+             ) AS rank
+      FROM pairs
+      WHERE cand_label <> anchor_label AND score BETWEEN 0.05 AND 0.6
+    ) WHERE rank <= 5
+    """,
+    tags=("contrastive", "mining", "similarity"),
+)
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-training data prep: for each anchor, the top hard
+    negatives — different-label candidates whose cosine falls in the
+    'hard' band (similar enough to be informative, below the
+    near-duplicate zone that would poison the loss with false
+    negatives). Plan shape = broadcast(anchors) ⋈ corpus with the band
+    + label filters applied BEFORE the rank window, so the window
+    sorts only surviving candidates; at corpus scale the candidate
+    stage swaps to the IVF/LSH index exactly like ANN search."""
+    from .operators.similarity import _dot
+
+    embeddings = load_table(spark, sf_dir, "embeddings")
+    v = embeddings.select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("_v")
+    )
+    anchors = v.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("label").alias("anchor_label"),
+        F.col("_v").alias("_av"),
+    )
+    score = F.round(
+        _dot(F.col("_av"), F.col("_v"))
+        / (
+            F.sqrt(_dot(F.col("_av"), F.col("_av")))
+            * F.sqrt(_dot(F.col("_v"), F.col("_v")))
+        ),
+        6,
+    )
+    scored = (
+        v.join(F.broadcast(anchors), F.col("vec_id") != F.col("anchor_id"))
+        .select(
+            "anchor_id",
+            F.col("vec_id").alias("negative_id"),
+            "anchor_label",
+            "label",
+            score.alias("score"),
+        )
+        .where(
+            (F.col("label") != F.col("anchor_label"))
+            & F.col("score").between(0.05, 0.6)
+        )
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("anchor_id").orderBy(F.col("score").desc(), "negative_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 5)
+        .select("anchor_id", "negative_id", "score", "rank")
+    )
