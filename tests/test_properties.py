@@ -336,3 +336,37 @@ def test_range_rank_equals_global_row_number(spark, vals, width):
         ).collect()
     }
     assert got == want
+
+
+@slow
+@given(
+    n_words=st.integers(min_value=1, max_value=120),
+    chunk=st.integers(min_value=2, max_value=40),
+    stride_frac=st.floats(min_value=0.25, max_value=1.0),
+)
+def test_chunk_overlap_invariants_any_geometry(spark, n_words, chunk, stride_frac):
+    """For ANY (doc length, chunk size, stride<=chunk): chunks at
+    stride offsets reconstruct the document exactly, every chunk is
+    non-empty and <=chunk_size, overlap width is chunk-stride except
+    possibly at the tail, and short docs emit exactly one chunk."""
+    from data_seedling_spark.operators.textstats import chunk_with_overlap
+
+    stride = max(1, int(chunk * stride_frac))
+    words = [f"w{i}" for i in range(n_words)]
+    df = spark.createDataFrame([(1, " ".join(words))], "doc_id long, text string")
+    rows = sorted(
+        chunk_with_overlap(df, "text", "doc_id", chunk_size=chunk, stride=stride)
+        .collect(),
+        key=lambda r: r["chunk_id"],
+    )
+    assert rows[0]["chunk_id"] == 0
+    rebuilt: list = []
+    for r in rows:
+        cw = r["chunk_text"].split(" ")
+        assert 1 <= len(cw) == r["n_words"] <= chunk
+        start = r["chunk_id"] * stride
+        assert cw == words[start : start + chunk]
+        rebuilt = rebuilt[:start] + cw
+    assert rebuilt == words
+    if n_words <= chunk:
+        assert len(rows) == 1
