@@ -49,3 +49,24 @@ def test_all_window_queries_runnable_smoke(spark):
     for name in list(q)[:50]:
         df = q[name](spark, SF_SMOKE)
         assert df.schema is not None, name
+
+
+def test_cli_list_run_and_unknown(spark, capsys):
+    """python -m data_seedling_spark: list filters by tag, run prints
+    JSON rows, unknown names exit 1 with near matches."""
+    import json
+
+    import pytest as _pytest
+
+    from data_seedling_spark.__main__ import main
+
+    assert main(["list", "--tag", "dedup-exact"]) == 0
+    out = capsys.readouterr().out
+    assert "dedup_exact_documents" in out and "oracle" in out
+
+    assert main(["run", "groupby_count_status", "--sf-dir", SF_SMOKE, "-n", "5"]) == 0
+    rows = [json.loads(line) for line in capsys.readouterr().out.strip().splitlines()]
+    assert rows and all({"value", "count"} <= set(r) for r in rows)
+
+    with _pytest.raises(SystemExit):
+        main(["run", "definitely_not_a_query"])
