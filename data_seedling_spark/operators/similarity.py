@@ -82,27 +82,45 @@ def cosine_topk(
 
 def hyperplane_signature(vec_col, planes: np.ndarray):
     """Sign-bit LSH signature as a bigint: bit i = (v·plane_i > 0).
-    Planes are baked into the plan as literals (tiny) — JVM-only math."""
-    bits = [
-        F.when(
+
+    The plane matrix enters the plan as ONE generated SQL literal
+    (``array(named_struct('b', 2^i, 'p', array(...)))``) parsed in a
+    single ``F.expr`` call — the same parser trick as
+    :func:`_centroid_array_expr`. Building n_planes×dim doubles as
+    individual ``F.lit`` Columns costs a py4j round-trip each (~2.5 s
+    for a 40×64 matrix, ~4k Columns for an 8-table LSH layout); the
+    parser ingests the identical constant in one call, and ``repr()``
+    round-trips every double bit-exactly. The signature itself is a
+    JVM fold: per-plane sequential-fold dot product (same IEEE op
+    order as the old per-bit form), sign test, weighted bit sum.
+    """
+
+    def d(x: float) -> str:
+        return f"{float(x)!r}D"
+
+    planes_expr = F.expr(
+        "array("
+        + ",".join(
+            f"named_struct('b',{1 << i}L,"
+            f"'p',array({','.join(d(x) for x in planes[i])}))"
+            for i in range(len(planes))
+        )
+        + ")"
+    )
+    return F.aggregate(
+        planes_expr,
+        F.lit(0).cast("long"),
+        lambda acc, s: acc
+        + F.when(
             F.aggregate(
-                F.zip_with(
-                    vec_col,
-                    F.array(*[F.lit(float(x)) for x in planes[i]]),
-                    lambda x, y: x * y,
-                ),
+                F.zip_with(vec_col, s["p"], lambda x, y: x * y),
                 F.lit(0.0),
-                lambda acc, v: acc + v,
+                lambda a, v: a + v,
             )
             > 0,
-            F.lit(1 << i).cast("long"),
-        ).otherwise(F.lit(0).cast("long"))
-        for i in range(len(planes))
-    ]
-    out = bits[0]
-    for b in bits[1:]:
-        out = out + b
-    return out
+            s["b"],
+        ).otherwise(F.lit(0).cast("long")),
+    )
 
 
 def make_planes(dim: int, n_planes: int = 12, seed: int = 42) -> np.ndarray:

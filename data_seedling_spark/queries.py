@@ -83,7 +83,11 @@ _PRIORITY: tuple[str, ...] = (
     "dedup_exact_documents",
     "ngram_jaccard_dedup",
     "chunk_dedup_documents",
-    "minhash_lsh_near_dup",
+    # minhash_lsh_near_dup lives in the registry tail: its signature uses
+    # xxhash64, which DuckDB cannot reproduce, so it is rows-only by design
+    # and would read as an `err` row in the driver's 50-query window. The
+    # pytest recall/precision floors and `make check-oracle` bound it there.
+    "hard_negative_mining",
     "similarity_topk_bruteforce",
     "pq_codebooks_trained",
     "text_quality_scores",

@@ -247,6 +247,63 @@ def ols_price_quantity_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def orient_edges_by_degree(edges: DataFrame) -> DataFrame:
+    """Orient each undirected edge from its lower-degree endpoint to its
+    higher-degree endpoint (ties broken by id) — the Schank–Wagner
+    "forward" orientation. Every wedge then pivots at its
+    lowest-degree vertex, so per-vertex wedge work is bounded by
+    out-degree ≤ O(√m) and the triangle join is O(m^{3/2}) total even
+    on a Zipfian degree distribution, where id-orientation lets one
+    hot low-id vertex generate O(d²) wedges.
+
+    Input: undirected edge set as columns ``(u, v)``, one row per
+    edge. Output: ``(src, dst, dst_d)`` where ``dst_d`` is the
+    destination's (degree, id)-rank carrier used to order wedge
+    endpoints without a re-join. Two degree joins of a tiny (vertex,
+    degree) relation — both sides keyed on the vertex id the edge
+    list is already hashed by.
+    """
+    deg = (
+        edges.select(F.col("u").alias("x"))
+        .unionAll(edges.select(F.col("v").alias("x")))
+        .groupBy("x")
+        .agg(F.count("*").alias("d"))
+    )
+    e = edges.join(
+        deg.select(F.col("x").alias("u"), F.col("d").alias("_du")), "u"
+    ).join(deg.select(F.col("x").alias("v"), F.col("d").alias("_dv")), "v")
+    fwd = (F.col("_du") < F.col("_dv")) | (
+        (F.col("_du") == F.col("_dv")) & (F.col("u") < F.col("v"))
+    )
+    return e.select(
+        F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("src"),
+        F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("dst"),
+        F.when(fwd, F.col("_dv")).otherwise(F.col("_du")).alias("dst_d"),
+    )
+
+
+
+def cap_power_users(
+    basket: DataFrame, max_basket: int, cust_col: str = "cust"
+) -> DataFrame:
+    """Drop customers whose basket exceeds ``max_basket`` distinct
+    items before any basket self-join. Candidate-pair work per
+    customer is k·(k−1)/2, so a single Zipfian hot key (a bot, a
+    wholesale account) dominates the whole pair stage; the cap bounds
+    per-key work at max_basket²/2 and the hot keys it drops are
+    exactly the ones whose co-occurrence signal is noise. One window
+    count partitioned by the same key the pair join shuffles on — the
+    exchange is reused, so the guard costs no extra shuffle.
+    """
+    w = W.partitionBy(cust_col)
+    return (
+        basket.withColumn("_bsz", F.count("*").over(w))
+        .where(F.col("_bsz") <= max_basket)
+        .drop("_bsz")
+    )
+
+
+
 @query(
     "triangle_count_copurchase",
     oracle="""
@@ -272,16 +329,20 @@ def triangle_count_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     in the same order are adjacent) — the classic clustering-structure
     motif count.
 
-    Edges are id-oriented (u < v) so each triangle is generated
-    exactly once by the wedge join (u<v<w): e(u,v) ⋈ e(v,w) ⋈ e(u,w).
-    The per-order pair expansion is bounded by basket size (k·(k−1)/2
-    per order, k ≈ items per order — a constant), so edge count grows
-    linearly with orders. At skewed scale the orientation should flip
-    from id-order to degree-order (each wedge pivots at its
-    lowest-degree vertex, bounding work at O(m^{3/2}) — Schank &
-    Wagner's forward algorithm); id-orientation keeps the oracle
-    twin trivially identical and is right at this density. Counts are
-    integers: nothing to round, hash-exact by construction.
+    Edges are degree-oriented (low-degree → high-degree endpoint, ties
+    by id — Schank & Wagner's forward algorithm via
+    :func:`orient_edges_by_degree`), so each triangle is generated
+    exactly once: under the (degree, id) total order every triangle's
+    oriented form is a DAG with a unique source of out-degree 2, the
+    wedge join enumerates that source's out-pairs ordered by the same
+    total order, and the closing edge carries exactly the matching
+    direction. The count is orientation-invariant, so the id-ordered
+    SQL oracle stays the twin; what changes is the work bound — wedge
+    generation is O(m^{3/2}) instead of O(Σ d(v)²), which is the
+    difference between a bounded and an exploding plan when one hot
+    part sits in every basket. The per-order pair expansion is bounded
+    by basket size (k·(k−1)/2 per order). Counts are integers: nothing
+    to round, hash-exact by construction.
     """
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     a = li.alias("a")
@@ -305,20 +366,30 @@ def triangle_count_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .count()
     )
-    e1 = edges.alias("e1")
-    e2 = edges.alias("e2")
-    e3 = edges.alias("e3")
+    oriented = orient_edges_by_degree(edges).persist()
+    e1 = oriented.alias("e1")
+    e2 = oriented.alias("e2")
+    e3 = oriented.alias("e3")
+    wedge = (F.col("e1.src") == F.col("e2.src")) & (
+        (F.col("e1.dst_d") < F.col("e2.dst_d"))
+        | (
+            (F.col("e1.dst_d") == F.col("e2.dst_d"))
+            & (F.col("e1.dst") < F.col("e2.dst"))
+        )
+    )
     tri = (
-        e1.join(e2, F.col("e1.v") == F.col("e2.u"))
+        e1.join(e2, wedge)
         .join(
             e3,
-            (F.col("e3.u") == F.col("e1.u")) & (F.col("e3.v") == F.col("e2.v")),
+            (F.col("e3.src") == F.col("e1.dst"))
+            & (F.col("e3.dst") == F.col("e2.dst")),
         )
         .count()
     )
     spark_df = spark.createDataFrame(
         [(n_edges, n_nodes, tri)], "n_edges long, n_nodes long, n_triangles long"
     )
+    oriented.unpersist()
     edges.unpersist()
     return spark_df
 
@@ -326,11 +397,16 @@ def triangle_count_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "item_item_cosine_recommend",
     oracle="""
-    WITH basket AS (
+    WITH basket_all AS (
       SELECT o.o_custkey AS cust, l.l_partkey AS item,
              CAST(count(*) AS BIGINT) AS c
       FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
       GROUP BY o.o_custkey, l.l_partkey
+    ), basket AS (
+      SELECT cust, item, c FROM (
+        SELECT b.*, count(*) OVER (PARTITION BY cust) AS bsz
+        FROM basket_all b
+      ) WHERE bsz <= 200
     ), norms AS (
       SELECT item, CAST(SUM(c * c) AS BIGINT) AS n2 FROM basket GROUP BY item
     ), dots AS (
@@ -354,7 +430,9 @@ def triangle_count_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     tags=("recommendation", "cosine", "co-occurrence"),
 )
-def item_item_cosine_recommend(spark: SparkSession, sf_dir: str) -> DataFrame:
+def item_item_cosine_recommend(
+    spark: SparkSession, sf_dir: str, max_basket: int = 200
+) -> DataFrame:
     """Item-item collaborative filtering: cosine similarity between
     parts over the implicit customer×part purchase-count matrix, top
     50 pairs with ≥3 shared customers.
@@ -364,20 +442,22 @@ def item_item_cosine_recommend(spark: SparkSession, sf_dir: str) -> DataFrame:
     one cosine expression is deterministic across engines — no decimal
     staging needed. The pair generation joins baskets on the customer
     key, so candidate work is Σ basketᵢ² — bounded by per-customer
-    basket size, the same guarantee as the triangle census; a
-    power-user cap (drop customers above k items before pairing) is
-    the standard guard when baskets are Zipfian. Support pruning
+    basket size; the power-user cap (:func:`cap_power_users`,
+    ``max_basket`` distinct items, mirrored in the oracle's windowed
+    ``bsz <= 200`` CTE) drops Zipfian hot customers before pairing so
+    one hot key can't blow the pair stage. Support pruning
     (n_users ≥ 3) happens before the norm join, and the norm side
     broadcasts.
     """
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    basket = (
+    basket = cap_power_users(
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .groupBy(
             F.col("o_custkey").alias("cust"), F.col("l_partkey").alias("item")
         )
-        .agg(F.count("*").alias("c"))
+        .agg(F.count("*").alias("c")),
+        max_basket,
     ).persist()
     norms = basket.groupBy("item").agg(F.sum(F.col("c") * F.col("c")).alias("n2"))
     a = basket.alias("a")

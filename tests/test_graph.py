@@ -41,3 +41,60 @@ def test_components_raise_on_exhausted_iterations(spark):
     pairs = [(i, i + 1) for i in range(10)]  # diameter 10 chain
     with _pytest.raises(RuntimeError, match="did not converge"):
         connected_components(edges_df(spark, pairs), max_iterations=2)
+
+
+# --- Schank–Wagner degree orientation (triangle census skew guard) ---
+
+
+def test_degree_orientation_preserves_triangle_count(spark):
+    from pyspark.sql import functions as F
+
+    from data_seedling_spark.queries_mining import orient_edges_by_degree
+
+    # K4 on {1,2,3,4} (4 triangles) plus a pendant edge and a separate
+    # triangle {10,11,12}: 5 triangles total.
+    und = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5),
+           (10, 11), (11, 12), (10, 12)]
+    edges = spark.createDataFrame(und, "u long, v long")
+    o = orient_edges_by_degree(edges)
+    e1, e2, e3 = o.alias("e1"), o.alias("e2"), o.alias("e3")
+    wedge = (F.col("e1.src") == F.col("e2.src")) & (
+        (F.col("e1.dst_d") < F.col("e2.dst_d"))
+        | ((F.col("e1.dst_d") == F.col("e2.dst_d")) & (F.col("e1.dst") < F.col("e2.dst")))
+    )
+    tri = (
+        e1.join(e2, wedge)
+        .join(e3, (F.col("e3.src") == F.col("e1.dst")) & (F.col("e3.dst") == F.col("e2.dst")))
+        .count()
+    )
+    assert tri == 5
+    # Orientation is a bijection on the edge set.
+    assert o.count() == len(und)
+
+
+def test_degree_orientation_bounds_hot_vertex_wedges(spark):
+    from pyspark.sql import functions as F
+
+    from data_seedling_spark.queries_mining import orient_edges_by_degree
+
+    # Star: hub 0 (the LOWEST id — worst case for id-orientation)
+    # joined to 60 leaves, plus one triangle hanging off two leaves.
+    pairs = [(0, i) for i in range(1, 61)] + [(1, 2)]
+    edges = spark.createDataFrame(pairs, "u long, v long")
+
+    # id-orientation pivots every wedge at the hub: 60·59/2 = 1770.
+    id_out = (
+        edges.groupBy("u").agg(F.count("*").alias("d"))
+        .agg(F.max("d").alias("m")).collect()[0]["m"]
+    )
+    assert id_out == 60  # hub out-degree under id order
+
+    # Degree orientation points every star edge leaf→hub: the hub's
+    # out-degree (= wedge-pivot work) collapses to 0, and the max
+    # pivot degree anywhere is the 2 of the triangle's leaves.
+    o = orient_edges_by_degree(edges)
+    deg_out = (
+        o.groupBy("src").agg(F.count("*").alias("d"))
+        .agg(F.max("d").alias("m")).collect()[0]["m"]
+    )
+    assert deg_out <= 2

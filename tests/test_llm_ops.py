@@ -1175,3 +1175,34 @@ def test_wav_roundtrip_and_audio_feature_isolation(spark):
     assert a["windows"][2]["peak"] == int(np.abs(samples[512:]).max())
     expect_rms = float(np.sqrt((samples[:256].astype(np.float64) ** 2).mean()))
     assert abs(a["windows"][0]["rms"] - expect_rms) < 1e-9
+
+
+def test_hyperplane_signature_matches_numpy_sign_bits(spark):
+    """The SQL-literal plane matrix must reproduce the numpy sign-bit
+    packing exactly (bit i set iff v·plane_i > 0)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from data_seedling_spark.operators.similarity import (
+        hyperplane_signature,
+        make_planes,
+    )
+
+    rng = np.random.default_rng(7)
+    vecs = rng.standard_normal((20, 16))
+    planes = make_planes(16, n_planes=12, seed=3)
+    expected = ((vecs @ planes.T > 0) * (1 << np.arange(12, dtype=np.int64))).sum(
+        axis=1
+    )
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    got = {
+        r["vec_id"]: r["sig"]
+        for r in df.select(
+            "vec_id",
+            hyperplane_signature(F.col("embedding"), planes).alias("sig"),
+        ).collect()
+    }
+    assert got == {i: int(expected[i]) for i in range(20)}

@@ -1,0 +1,48 @@
+"""Mining-query skew guards (power-user cap for basket self-joins)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_seedling_spark.queries_mining import cap_power_users
+
+
+def _basket(spark, rows):
+    return spark.createDataFrame(rows, "cust long, item long, c long")
+
+
+def test_cap_drops_only_hot_customers(spark):
+    rows = [(1, i, 1) for i in range(100)]  # hot customer: 100 items
+    rows += [(2, 1, 2), (2, 2, 1), (3, 1, 1)]  # normal baskets
+    out = cap_power_users(_basket(spark, rows), max_basket=10)
+    got = {(r["cust"], r["item"]) for r in out.collect()}
+    assert got == {(2, 1), (2, 2), (3, 1)}
+
+
+def test_cap_bounds_pair_count_under_hot_key(spark):
+    # One injected hot customer (200 items → 19,900 pairs uncapped)
+    # among 20 normal 5-item customers (10 pairs each).
+    rows = [(999, i, 1) for i in range(200)]
+    for cust in range(20):
+        rows += [(cust, cust * 10 + j, 1) for j in range(5)]
+    basket = cap_power_users(_basket(spark, rows), max_basket=50)
+    a, b = basket.alias("a"), basket.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.cust") == F.col("b.cust")) & (F.col("a.item") < F.col("b.item")),
+    ).count()
+    # Capped: exactly the 20 normal customers' C(5,2)=10 pairs each.
+    assert pairs == 200
+    # And the bound holds structurally: no kept basket exceeds the cap.
+    max_kept = (
+        basket.groupBy("cust").agg(F.count("*").alias("k"))
+        .agg(F.max("k").alias("m")).collect()[0]["m"]
+    )
+    assert max_kept <= 50
+
+
+def test_cap_noop_when_under_threshold(spark):
+    rows = [(1, 1, 3), (1, 2, 1), (2, 7, 2)]
+    df = _basket(spark, rows)
+    out = cap_power_users(df, max_basket=200)
+    assert sorted(out.collect()) == sorted(df.collect())
