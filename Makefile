@@ -11,8 +11,9 @@ install:
 test:
 	python -m pytest tests/ -q
 
+# Emulates the driver's CORRECTNESS gate: first-50-query window.
 check:
-	python tools/check_oracle.py
+	python tools/check_oracle.py --window 50
 
 # Full-registry sweep over every queries() entry — the round-loop gate
 # (the driver itself verifies only a 50-query window; this is how a

@@ -69,6 +69,8 @@ class TableBackend(Protocol):
 
     def empty_like(self) -> DataFrame: ...
 
+    def vacuum(self, retain_last_versions: int | None = None) -> list: ...
+
 
 class DeltaBackend:
     """delta-spark adapter for :class:`TableBackend`.
@@ -88,6 +90,16 @@ class DeltaBackend:
       the exact option surface the reference consumes,
     - ``update``/``vacuum``/``history`` → their DeltaTable twins.
 
+    Change data feed is enabled the way the reference does it
+    (``patient_notes/conftest.py:58``): the session default
+    ``spark.databricks.delta.properties.defaults.enableChangeDataFeed``
+    is set at adapter construction, so every table this backend
+    creates gets the ``delta.enableChangeDataFeed`` TABLE property in
+    its creation commit itself — CDF covers version 0 onward, and no
+    reliance on writer-level ``delta.*`` options (which are not
+    reliably persisted as table properties across delta-spark
+    versions).
+
     Import-gated: constructing it without delta-spark on the classpath
     raises ImportError with the activation hint; no other module
     imports delta at module scope, so the engine stays runnable
@@ -105,6 +117,12 @@ class DeltaBackend:
             ) from e
         self.spark = spark
         self.path = path
+        # Reference mechanism for CDF-on-create; a per-table property
+        # set post-hoc would miss the creation commit's changes.
+        spark.conf.set(
+            "spark.databricks.delta.properties.defaults.enableChangeDataFeed",
+            "true",
+        )
 
     def _table(self):  # pragma: no cover - exercised only with jars
         from delta.tables import DeltaTable
@@ -124,7 +142,6 @@ class DeltaBackend:
             df.write.format("delta")
             .mode(mode)
             .option("mergeSchema", str(kwargs.get("merge_schema", False)).lower())
-            .option("delta.enableChangeDataFeed", "true")
             .save(self.path)
         )
         return self.latest_version()
@@ -179,8 +196,30 @@ class DeltaBackend:
     def empty_like(self) -> DataFrame:  # pragma: no cover
         return self.spark.createDataFrame([], self.read().schema)
 
-    def vacuum(self, retain_hours: float = 168.0):  # pragma: no cover
-        self._table().vacuum(retain_hours)
+    def vacuum(self, retain_last_versions: int | None = None) -> list:  # pragma: no cover
+        """Protocol-shaped vacuum. ``None`` → Delta's default-retention
+        vacuum (the reference's no-op call shape, S14). An int is
+        translated to Delta's hour-based retention via the commit
+        timestamp of the Nth-newest version in ``history()`` — files
+        referenced by a retained snapshot survive either way. Delta
+        guards sub-default retention behind
+        ``spark.databricks.delta.retentionDurationCheck.enabled``;
+        callers opting into aggressive version-based cleanup must
+        disable that check, exactly as on any Delta deployment.
+        Returns [] — Delta does not report vacuumed versions, and
+        vacuumed history stays queryable, matching the ledger.
+        """
+        if retain_last_versions is None:
+            self._table().vacuum()
+            return []
+        import datetime
+
+        hist = sorted(self.history(), key=lambda h: h["version"], reverse=True)
+        keep = hist[: max(retain_last_versions, 1)]
+        cutoff = min(h["timestamp"] for h in keep)
+        now = datetime.datetime.now(tz=cutoff.tzinfo)
+        hours = max((now - cutoff).total_seconds() / 3600.0, 0.0)
+        self._table().vacuum(hours)
         return []
 
 

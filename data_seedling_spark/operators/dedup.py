@@ -82,9 +82,18 @@ def scale_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     shuffle is real.
     """
     target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
-    files = df.inputFiles()  # [] for non-file-backed plans, no raise
-    if len(files) >= target and _estimated_scan_partitions(df, files) >= target:
-        return df
+    try:
+        files = df.inputFiles()  # [] for non-file-backed plans
+        if len(files) >= target and _estimated_scan_partitions(df, files) >= target:
+            return df
+    except Exception:
+        # The probe is an optimization, never a correctness gate: the
+        # stat sample races file listing (a file compacted/deleted
+        # between inputFiles() and getFileStatus raises), and FS
+        # auth/config issues surface here too. Any probe failure falls
+        # through to the unconditional repartition — the behavior the
+        # probe exists to avoid, never worse than not probing.
+        pass
     return df.repartition(target)
 
 # ---------------------------------------------------------------------------

@@ -128,3 +128,39 @@ def test_empty_like_preserves_schema(backend, spark):
     empty = backend.empty_like()
     assert empty.count() == 0
     assert empty.schema == backend.read().schema
+
+
+def test_vacuum_default_is_noop_change(backend, spark):
+    """Protocol vacuum with no argument is the reference's no-op call
+    shape (S14): latest snapshot unchanged, a list comes back, and the
+    call is polymorphic across backends (one agreed signature)."""
+    backend.write(_rows(spark, [(1, "a"), (2, "b")]), mode="overwrite")
+    removed = backend.vacuum()
+    assert isinstance(removed, list)
+    assert sorted(r["k"] for r in backend.read().collect()) == [1, 2]
+
+
+def test_vacuum_retention_keeps_recent_snapshots(backend, spark):
+    """Version-based retention through the protocol signature: after
+    vacuum(retain_last_versions=1) the latest snapshot must read
+    intact. (The ledger also deletes superseded version dirs —
+    asserted in test_ledger.py; Delta's physical deletion depends on
+    its retention-check conf, so the portable contract is
+    latest-snapshot integrity.)"""
+    backend.write(_rows(spark, [(1, "a")]), mode="overwrite")
+    backend.write(_rows(spark, [(9, "z")]), mode="overwrite")
+    if isinstance(backend, DeltaBackend):
+        # Delta guards sub-default (168 h) retention; aggressive
+        # version-based cleanup opts in, exactly as on any deployment.
+        spark.conf.set(
+            "spark.databricks.delta.retentionDurationCheck.enabled", "false"
+        )
+        try:
+            backend.vacuum(retain_last_versions=1)
+        finally:
+            spark.conf.set(
+                "spark.databricks.delta.retentionDurationCheck.enabled", "true"
+            )
+    else:
+        backend.vacuum(retain_last_versions=1)
+    assert [r["k"] for r in backend.read().collect()] == [9]

@@ -283,7 +283,13 @@ def test_transform_with_state_matches_v1_operator(spark, events_schema):
     server; environments without a working google.protobuf (like this
     sandbox) can't run the operator at all, so the test gates on the
     import the runner itself performs."""
-    pytest.importorskip("google.protobuf.descriptor")
+    pytest.importorskip(
+        "google.protobuf.descriptor",
+        reason="transformWithStateInPandas gate: the TWS JVM<->Python state "
+        "server speaks protobuf; google.protobuf is not installed in this "
+        "environment. Where protobuf exists this test MUST run (a skip "
+        "there means the env is silently broken).",
+    )
     from data_seedling_spark.streaming.windows import running_totals_tws
 
     old_provider = spark.conf.get(

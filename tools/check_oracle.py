@@ -56,6 +56,14 @@ def main() -> int:
         help="use a bare SparkSession like the driver does (catches "
         "accidental dependence on build_session's tuned conf)",
     )
+    ap.add_argument(
+        "--window",
+        type=int,
+        default=None,
+        metavar="N",
+        help="check only the first N registry entries (the driver "
+        "verifies a 50-query window; omit for the full-registry sweep)",
+    )
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
 
@@ -63,6 +71,8 @@ def main() -> int:
 
     reg = registry()
     names = args.names or list(reg)
+    if args.window is not None and not args.names:
+        names = names[: args.window]
 
     if args.vanilla:
         from pyspark.sql import SparkSession
