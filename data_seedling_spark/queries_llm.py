@@ -2205,3 +2205,184 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= 5)
         .select("anchor_id", "negative_id", "score", "rank")
     )
+
+
+@query(
+    "dsir_importance_weights",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, source,
+             CAST('0x' || substr(md5(token), 1, 8) AS BIGINT) % 256 AS b
+      FROM (
+        SELECT doc_id, source, unnest(string_split(text, ' ')) AS token
+        FROM documents
+      ) WHERE token <> ''
+    ), doc_counts AS (
+      SELECT doc_id, b, CAST(count(*) AS BIGINT) AS n
+      FROM tok GROUP BY doc_id, b
+    ), raw AS (
+      SELECT b, CAST(count(*) AS BIGINT) AS cr FROM tok GROUP BY b
+    ), tgt AS (
+      SELECT b, CAST(count(*) AS BIGINT) AS ct
+      FROM tok WHERE source IN ('src1', 'src2', 'src3') GROUP BY b
+    ), tots AS (
+      SELECT CAST((SELECT SUM(cr) FROM raw) AS DOUBLE) AS cr_tot,
+             CAST((SELECT coalesce(SUM(ct), 0) FROM tgt) AS DOUBLE) AS ct_tot
+    ), lr AS (
+      SELECT raw.b,
+             round(ln((coalesce(ct, 0) + 1.0) / (ct_tot + 256.0)), 6)
+               - round(ln((cr + 1.0) / (cr_tot + 256.0)), 6) AS logratio
+      FROM raw LEFT JOIN tgt ON raw.b = tgt.b CROSS JOIN tots
+    )
+    SELECT doc_id,
+           CAST(SUM(n) AS BIGINT) AS n_tokens,
+           round(CAST(SUM(CAST(round(logratio, 6) AS DECIMAL(28,6)) * n)
+                      AS DOUBLE), 6) AS dsir_logweight
+    FROM doc_counts JOIN lr USING (b)
+    GROUP BY doc_id
+    """,
+    tags=("llm", "dsir", "importance-sampling", "curation"),
+)
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): per-document
+    log-importance log p̂_target(doc) − log p̂_raw(doc) under two
+    add-one-smoothed bag-of-hashed-unigrams models — target = the
+    high-quality domain slice (sources src1-3 here, standing in for
+    Wikipedia+books), raw = the whole corpus. Documents are then
+    resampled ∝ exp(weight) upstream of pretraining; this query is
+    the weighting stage, the part that must scale.
+
+    Features use the engine-portable md5-prefix hash family
+    (``conv(substr(md5(token),1,8),16,10) % 256`` — same family as
+    ``feature_hash``), so the bucketed model is oracle-reproducible;
+    at corpus scale the SAME 256-bucket table is what ships (DSIR's
+    own design: fixed feature dim regardless of vocabulary).
+
+    Determinism: both ``ln`` terms round to the 1e-6 grid before the
+    (exact) double subtraction, per-bucket weight products accumulate
+    in decimal, final cast to double — addition-order-free. Scale
+    shape: one token-explode scan feeds doc×bucket counts, the raw and
+    target bucket tables (256 rows each — broadcast), and the weight
+    join touches only (doc_id, bucket, n) triples; the corpus text
+    never reshuffles.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    n_buckets = 256
+    target_sources = ("src1", "src2", "src3")
+    tok = docs.select(
+        "doc_id",
+        "source",
+        F.explode(F.split(F.col("text"), " ")).alias("token"),
+    ).where(F.col("token") != "")
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5(F.col("token")), 1, 8), 16, 10).cast("bigint"),
+        F.lit(n_buckets),
+    )
+    ds = tok.select("doc_id", "source", bucket.alias("b")).persist()
+    doc_counts = ds.groupBy("doc_id", "b").agg(F.count("*").alias("n"))
+    raw = ds.groupBy("b").agg(F.count("*").alias("cr"))
+    tgt = (
+        ds.where(F.col("source").isin(*target_sources))
+        .groupBy("b")
+        .agg(F.count("*").alias("ct"))
+    )
+    tots = raw.agg(F.sum("cr").cast("double").alias("cr_tot")).crossJoin(
+        tgt.agg(F.coalesce(F.sum("ct"), F.lit(0)).cast("double").alias("ct_tot"))
+    )
+    lr = (
+        raw.join(tgt, "b", "left")
+        .crossJoin(F.broadcast(tots))
+        .select(
+            "b",
+            (
+                F.round(
+                    F.log(
+                        (F.coalesce(F.col("ct"), F.lit(0)) + F.lit(1.0))
+                        / (F.col("ct_tot") + F.lit(float(n_buckets)))
+                    ),
+                    6,
+                )
+                - F.round(
+                    F.log(
+                        (F.col("cr") + F.lit(1.0))
+                        / (F.col("cr_tot") + F.lit(float(n_buckets)))
+                    ),
+                    6,
+                )
+            ).alias("logratio"),
+        )
+    )
+    out = (
+        doc_counts.join(F.broadcast(lr), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n").alias("n_tokens"),
+            F.round(
+                F.sum(
+                    F.round(F.col("logratio"), 6).cast("decimal(28,6)")
+                    * F.col("n")
+                ).cast("double"),
+                6,
+            ).alias("dsir_logweight"),
+        )
+    )
+    return out
+
+
+@query(
+    "char_entropy_documents",
+    oracle="""
+    WITH ch AS (
+      SELECT doc_id, unnest(list_transform(
+               range(1, length(text) + 1), i -> text[i])) AS c
+      FROM documents
+    ), counts AS (
+      SELECT doc_id, c, CAST(count(*) AS BIGINT) AS n
+      FROM ch GROUP BY doc_id, c
+    ), tot AS (
+      SELECT doc_id, CAST(SUM(n) AS BIGINT) AS total FROM counts GROUP BY doc_id
+    )
+    SELECT doc_id,
+           CAST(max(total) AS BIGINT) AS n_chars_split,
+           round(CAST(-SUM(CAST(round((n / CAST(total AS DOUBLE))
+                                      * ln(n / CAST(total AS DOUBLE)), 9)
+                                AS DECIMAL(28,9))) AS DOUBLE), 6) AS entropy
+    FROM counts JOIN tot USING (doc_id)
+    GROUP BY doc_id
+    """,
+    tags=("llm", "entropy", "curation", "gibberish"),
+)
+def char_entropy_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level Shannon entropy per document — the cheap
+    gibberish/binary-spill detector of a curation stack: natural text
+    sits in a narrow entropy band; base64 blobs and key-mash junk sit
+    far above it, and repeated-character padding far below. Neither
+    the quality heuristics nor the repetition gate catches those
+    (word-level signals see "one long token"), which is why entropy
+    rides alongside them.
+
+    Pure JVM path: positions → substr transform → explode →
+    per-(doc, char) counts; the shuffle carries (doc_id, char, count)
+    triples, never the text. Per-char −p·ln p terms round to the 1e-9
+    grid and sum through decimal (order-free), final round at 1e-6.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    chars = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr("transform(sequence(1, length(text)), i -> substr(text, i, 1))")
+        ).alias("c"),
+    )
+    counts = chars.groupBy("doc_id", "c").agg(F.count("*").alias("n"))
+    tot = counts.groupBy("doc_id").agg(F.sum("n").alias("total"))
+    p = F.col("n") / F.col("total").cast("double")
+    term = F.round(p * F.log(p), 9).cast("decimal(28,9)")
+    return (
+        counts.join(tot, "doc_id")
+        .groupBy("doc_id")
+        .agg(
+            F.max("total").alias("n_chars_split"),
+            F.round((-F.sum(term)).cast("double"), 6).alias("entropy"),
+        )
+    )

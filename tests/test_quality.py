@@ -57,3 +57,62 @@ def test_referential_violations(spark):
     parent = spark.createDataFrame([Row(pk=1), Row(pk=2)])
     out = referential_violations(child, parent, fk="fk", pk="pk").collect()
     assert [r["fk"] for r in out] == [9]
+
+
+def test_char_entropy_bounds_and_ordering(spark, tmp_path):
+    """0 ≤ H ≤ ln(|alphabet|); uniform-random junk scores above
+    natural-ish text, constant padding scores 0."""
+    import math
+
+    from data_seedling_spark.queries_llm import char_entropy_documents
+
+    import pandas as pd
+
+    pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [
+                "aaaaaaaaaaaaaaaa",
+                "the cat sat on the mat and looked at the dog",
+                "q8Zx!kP2vM9@jW4#nB7$rT5^yU1&cL3*",
+            ],
+            "lang": ["en"] * 3,
+            "source": ["src1"] * 3,
+            "n_chars": [16, 44, 32],
+        }
+    ).to_parquet(str(tmp_path / "documents.parquet"))
+    out = {
+        r["doc_id"]: r["entropy"]
+        for r in char_entropy_documents(spark, str(tmp_path)).collect()
+    }
+    assert out[1] == 0.0
+    assert 0 < out[2] < out[3]
+    # H ≤ ln(distinct chars) for every doc (result sits on a 1e-6 grid)
+    assert out[3] <= math.log(32) + 1e-6
+
+
+def test_dsir_weights_favor_target_domain(spark, tmp_path):
+    """Planted fixture: docs built from the target domain's vocabulary
+    must out-weigh docs from a disjoint vocabulary — the resampling
+    property DSIR exists for."""
+    from data_seedling_spark.queries_llm import dsir_importance_weights
+
+    target_text = "alpha beta gamma delta epsilon zeta"
+    junk_text = "zork grue plugh xyzzy foobar quux"
+    rows = []
+    # Target slice (src1) establishes the target distribution.
+    for i in range(5):
+        rows.append((i, target_text, "en", "src1", len(target_text)))
+    # Raw-only docs: one reuses target vocab, one is disjoint junk.
+    rows.append((100, target_text, "en", "src9", len(target_text)))
+    rows.append((101, junk_text, "en", "src9", len(junk_text)))
+    import pandas as pd
+
+    pd.DataFrame(
+        rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
+    ).to_parquet(str(tmp_path / "documents.parquet"))
+    out = {
+        r["doc_id"]: r["dsir_logweight"]
+        for r in dsir_importance_weights(spark, str(tmp_path)).collect()
+    }
+    assert out[100] > out[101]
