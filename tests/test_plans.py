@@ -219,3 +219,20 @@ def test_scale_safe_rankings_have_no_global_windows(spark, reg):
     ):
         plan = plan_of(spark, reg, name)
         assert _unpartitioned_windows(plan) == [], name
+
+
+def test_dsir_broadcasts_bucket_model_no_python(spark, reg):
+    """The 256-row log-ratio model must broadcast into the per-doc
+    weight join (never shuffle the doc×bucket counts against it), and
+    the whole weighting stage stays JVM-side."""
+    plan = plan_of(spark, reg, "dsir_importance_weights")
+    assert "BroadcastHashJoin" in plan
+    assert "Python" not in plan  # no UDF fallback anywhere
+
+
+def test_char_entropy_shuffles_counts_not_text(spark, reg):
+    """Entropy aggregates per-(doc, char) counts; after the explode the
+    exchange must carry the tiny grouped rows, and nothing Python."""
+    plan = plan_of(spark, reg, "char_entropy_documents")
+    assert "Python" not in plan
+    assert plan.count("HashAggregate") >= 2  # partial + final combine
