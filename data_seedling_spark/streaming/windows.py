@@ -135,8 +135,9 @@ def stream_interval_join(
     left_prefix: str = "l_",
     right_prefix: str = "r_",
     ts_col: str = "ts",
+    how: str = "inner",
 ) -> DataFrame:
-    """Stream-stream inner join on ``key`` within an event-time interval:
+    """Stream-stream join on ``key`` within an event-time interval:
     right rows whose timestamp falls in ``[left.ts, left.ts + horizon]``.
 
     Both sides carry watermarks, which is what lets Spark bound the join
@@ -144,6 +145,15 @@ def stream_interval_join(
     passes ``left.ts + horizon`` (and vice versa), so state size tracks
     rate × horizon, not stream length. Without the time-range predicate
     the state store would have to hold both streams forever.
+
+    ``how="leftOuter"`` adds the null-emission semantics: a left row
+    whose interval closes with no match is emitted with nulls on the
+    right side *when the watermark passes* ``left.ts + horizon`` — i.e.
+    in a later micro-batch, once no in-order right row could still
+    arrive. Inner results still emit eagerly; only the null rows wait
+    for eviction. (This is exactly Spark's contract: outer stream-stream
+    joins REQUIRE the watermark + time-range condition this operator
+    always supplies.)
 
     Columns come back prefixed per side (the two event streams share a
     schema); the join key keeps its name.
@@ -166,7 +176,7 @@ def stream_interval_join(
         (F.col(key) == F.col("_rkey"))
         & (rt >= lt)
         & (rt <= lt + F.expr(f"INTERVAL {horizon}")),
-        "inner",
+        how,
     ).drop("_rkey")
 
 

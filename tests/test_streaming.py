@@ -335,3 +335,55 @@ def test_transform_with_state_matches_v1_operator(spark, events_schema):
             )
         else:
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
+def test_stream_interval_join_left_outer_emits_nulls_after_watermark(
+    spark, tmp_path
+):
+    """leftOuter stream-stream interval join: matched rows emit
+    eagerly; an unmatched left row emits WITH NULLS only after the
+    watermark passes its interval end (state eviction) — driven here
+    by maxFilesPerTrigger=1 so the watermark actually advances across
+    micro-batches, the part a single-batch test cannot exercise."""
+    import datetime as dt
+    import os
+
+    import pandas as pd
+
+    from data_seedling_spark.streaming.windows import stream_interval_join
+
+    t = lambda h, m=0: dt.datetime(2024, 1, 1, h, m)
+    ldir, rdir = tmp_path / "left", tmp_path / "right"
+    ldir.mkdir(), rdir.mkdir()
+    # Batch 1 (left): one matchable row, one row that will never match.
+    pd.DataFrame(
+        {"user_id": [1, 2], "ts": [t(10, 0), t(10, 5)], "v": [100, 200]}
+    ).to_parquet(str(ldir / "f1.parquet"), coerce_timestamps="us")
+    # Right: the match for user 1 plus a watermark pusher at 14:00.
+    pd.DataFrame(
+        {"user_id": [1, 99], "ts": [t(10, 30), t(14, 0)], "v": [7, 8]}
+    ).to_parquet(str(rdir / "f1.parquet"), coerce_timestamps="us")
+    # Batch 2 (left): dummy row that drags the LEFT watermark (and so
+    # the global min-watermark) past user 2's interval end (11:05).
+    pd.DataFrame({"user_id": [98], "ts": [t(14, 0)], "v": [0]}).to_parquet(
+        str(ldir / "f2.parquet"), coerce_timestamps="us"
+    )
+    os.utime(str(ldir / "f2.parquet"), (2e9, 2e9))  # strictly later mtime
+
+    schema = "user_id long, ts timestamp, v long"
+    left = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(ldir))
+    )
+    right = spark.readStream.schema(schema).parquet(str(rdir))
+    joined = stream_interval_join(
+        left, right, key="user_id", horizon="1 hour", lateness="1 hour",
+        how="leftOuter",
+    )
+    out = run_to_memory(spark, joined, f"oj_{uuid.uuid4().hex[:8]}")
+    rows = {r["user_id"]: (r["l_v"], r["r_v"]) for r in out.collect()}
+    assert rows[1] == (100, 7)  # matched pair, eager emission
+    assert rows[2] == (200, None)  # interval closed unmatched -> null row
+    # user 98's interval is still open at final watermark: no null row.
+    assert 98 not in rows
