@@ -236,6 +236,7 @@ class VersionedTable:
         constraints: dict[str, "F.Column"] | None = None,
         expected_version: int | None = None,
         max_retries: int = 2,
+        collect_stats: list[str] | None = None,
     ) -> int:
         """S6 sink: persist ``df`` as a new version. ``mode`` is
         ``append`` or ``overwrite`` (a create is an overwrite of an
@@ -263,6 +264,12 @@ class VersionedTable:
         ``expected_version`` makes read-modify-write safe: the write
         aborts if the table advanced past the version the caller read
         (what :meth:`update` passes).
+
+        ``collect_stats=[cols]`` records per-file min/max stats for the
+        new version at commit time (Delta stats parity — see
+        :meth:`collect_file_stats` / :meth:`read_pruned`); stats are
+        written inside the version dir before the ledger entry, so they
+        can never exist for an uncommitted version's readers.
         """
         if mode not in ("append", "overwrite"):
             raise ValueError(f"unsupported mode {mode!r}")
@@ -300,6 +307,10 @@ class VersionedTable:
                 self._check_constraints(
                     self.spark.read.parquet(self._version_dir(version)), constraints
                 )
+            if collect_stats:
+                # Delta-parity: stats land at write time (footer-only
+                # metadata reads), so readers can prune immediately.
+                self.collect_file_stats(version, collect_stats)
             commits.append(Commit(version, mode, int(time.time() * 1000)))
             self._write_ledger(commits)
         except BaseException:
@@ -456,6 +467,96 @@ class VersionedTable:
             lambda a, b: a.unionByName(b, allowMissingColumns=True), dfs
         )
 
+    # -- file statistics / data skipping ------------------------------------
+    #
+    # Delta parity: the transaction log records per-file min/max column
+    # stats at WRITE time, and readers prune files from the manifest
+    # before any scan task launches. At 100 TB that is the difference
+    # between opening every footer in the table and opening only the
+    # files whose [min, max] can intersect the predicate. Stats live in
+    # a `_file_stats.json` sidecar per version dir (footer-only pyarrow
+    # reads at commit time — metadata, not data); files or columns
+    # without stats are always kept (pruning is a safe
+    # over-approximation, never a correctness gate).
+
+    def _stats_path(self, version: int) -> str:
+        return os.path.join(self._version_dir(version), "_file_stats.json")
+
+    def collect_file_stats(self, version: int, columns: list[str]) -> dict:
+        """Record per-file [min, max] for ``columns`` of one committed
+        version. Footer-only reads (O(files) metadata RPCs, no data);
+        min/max come from parquet row-group statistics aggregated per
+        file. Values are stored JSON-native (numbers/strings;
+        timestamps as ISO strings via ``str``), compared on read with
+        the same coercion."""
+        import glob as _glob
+
+        import pyarrow.parquet as pq
+
+        stats: dict[str, dict[str, list]] = {}
+        for fpath in sorted(
+            _glob.glob(os.path.join(self._version_dir(version), "*.parquet"))
+        ):
+            md = pq.ParquetFile(fpath).metadata
+            names = {md.schema.column(i).name: i for i in range(md.num_columns)}
+            per_col: dict[str, list] = {}
+            for col in columns:
+                if col not in names:
+                    continue
+                mins, maxs = [], []
+                for rg in range(md.num_row_groups):
+                    st = md.row_group(rg).column(names[col]).statistics
+                    if st is None or not st.has_min_max:
+                        mins = []
+                        break
+                    mins.append(st.min)
+                    maxs.append(st.max)
+                if mins:
+                    per_col[col] = [
+                        _json_stat(min(mins)), _json_stat(max(maxs))
+                    ]
+            if per_col:
+                stats[os.path.basename(fpath)] = per_col
+        tmp = self._stats_path(version) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(stats, f, indent=1)
+        os.replace(tmp, self._stats_path(version))
+        return stats
+
+    def read_pruned(
+        self, ranges: dict[str, tuple], version: int | None = None
+    ) -> DataFrame:
+        """Snapshot scan that skips files whose stats prove they cannot
+        satisfy ``ranges`` (col → (lo, hi); either bound may be None
+        for half-open). The surviving files still go through the normal
+        Spark scan — callers apply their actual filter on top, so
+        pruning only ever removes provably-dead IO. Files without
+        recorded stats are kept."""
+        as_of = self.latest_version() if version is None else version
+        live = self._live_versions(as_of)
+        dfs = []
+        for c in live:
+            vdir = self._version_dir(c.version)
+            stats = {}
+            if os.path.exists(self._stats_path(c.version)):
+                with open(self._stats_path(c.version)) as f:
+                    stats = json.load(f)
+            import glob as _glob
+
+            files = sorted(_glob.glob(os.path.join(vdir, "*.parquet")))
+            kept = [
+                f
+                for f in files
+                if _file_may_match(stats.get(os.path.basename(f)), ranges)
+            ]
+            if kept:
+                dfs.append(self.spark.read.parquet(*kept))
+        if not dfs:
+            return self.empty_like()
+        return reduce(
+            lambda a, b: a.unionByName(b, allowMissingColumns=True), dfs
+        )
+
     def version_at_timestamp(self, timestamp_ms: int) -> int:
         """Timestamp-based time travel (the ``timestampAsOf`` half of
         the Delta contract, next to ``read(version)``'s ``versionAsOf``):
@@ -579,6 +680,37 @@ class VersionedTable:
         # snapshot's lineage never reads files the write replaces and
         # the rewrite streams without a checkpoint.
         return self.write(snapshot, mode="overwrite")
+
+
+def _json_stat(v):
+    """JSON-native form of a parquet statistic (numbers/strings pass
+    through; everything else — timestamps, dates, bytes — via str so
+    ordering-compatible text compares on read)."""
+    if isinstance(v, (int, float, str)) or v is None:
+        return v
+    if isinstance(v, bytes):
+        return v.decode("utf-8", "replace")
+    return str(v)
+
+
+def _file_may_match(file_stats: dict | None, ranges: dict) -> bool:
+    """False only when stats PROVE the file cannot contain a matching
+    row: some predicate column has [min, max] disjoint from (lo, hi).
+    Missing stats (file or column) keep the file."""
+    if not file_stats:
+        return True
+    for col, (lo, hi) in ranges.items():
+        if col not in file_stats:
+            continue
+        fmin, fmax = file_stats[col]
+        try:
+            if lo is not None and fmax is not None and fmax < lo:
+                return False
+            if hi is not None and fmin is not None and fmin > hi:
+                return False
+        except TypeError:  # mixed-type compare: keep the file
+            continue
+    return True
 
 
 def zorder_key(col_a, col_b, bits: int = 16):

@@ -506,3 +506,77 @@ def test_occ_clear_stale_claims(spark, tmp_table_dir):
     assert 1 in cleared and 2 not in cleared
     assert _os.path.exists(t._claim_path(2))
     t._release_claim(2)
+
+
+# --- file-stats data skipping (Delta stats parity) ---
+
+
+def test_file_stats_prune_skips_disjoint_files(spark, tmp_table_dir):
+    from pyspark.sql import Row
+
+    t = VersionedTable(spark, tmp_table_dir, write_partitions=1)
+    v0 = t.write(
+        spark.createDataFrame([Row(k=i, v="lo") for i in range(100)]),
+        mode="overwrite",
+    )
+    v1 = t.write(
+        spark.createDataFrame([Row(k=i, v="hi") for i in range(1000, 1100)])
+    )
+    t.collect_file_stats(v0, ["k"])
+    t.collect_file_stats(v1, ["k"])
+
+    pruned = t.read_pruned({"k": (1000, None)})
+    # the manifest drops the lo file before any scan task exists
+    assert len(pruned.inputFiles()) == 1
+    got = pruned.where("k >= 1000")
+    assert got.count() == 100
+    assert {r["v"] for r in got.collect()} == {"hi"}
+    # full snapshot still reads both
+    assert t.read().count() == 200
+
+
+def test_file_stats_missing_keeps_files(spark, tmp_table_dir):
+    from pyspark.sql import Row
+
+    t = VersionedTable(spark, tmp_table_dir, write_partitions=1)
+    t.write(spark.createDataFrame([Row(k=1)]), mode="overwrite")
+    t.write(spark.createDataFrame([Row(k=2)]))  # no stats collected
+    out = t.read_pruned({"k": (100, None)})
+    # no stats anywhere -> nothing provably dead -> both files kept
+    assert len(out.inputFiles()) == 2
+    # and the real filter on top still gives the right answer
+    assert out.where("k >= 100").count() == 0
+
+
+def test_file_stats_string_column_pruning(spark, tmp_table_dir):
+    from pyspark.sql import Row
+
+    t = VersionedTable(spark, tmp_table_dir, write_partitions=1)
+    v0 = t.write(
+        spark.createDataFrame([Row(name=n) for n in ["apple", "banana"]]),
+        mode="overwrite",
+    )
+    v1 = t.write(spark.createDataFrame([Row(name=n) for n in ["yak", "zebra"]]))
+    t.collect_file_stats(v0, ["name"])
+    t.collect_file_stats(v1, ["name"])
+    out = t.read_pruned({"name": ("x", None)})
+    assert len(out.inputFiles()) == 1
+    assert {r["name"] for r in out.collect()} == {"yak", "zebra"}
+
+
+def test_write_collect_stats_enables_pruning_immediately(spark, tmp_table_dir):
+    from pyspark.sql import Row
+
+    t = VersionedTable(spark, tmp_table_dir, write_partitions=1)
+    t.write(
+        spark.createDataFrame([Row(k=i) for i in range(10)]),
+        mode="overwrite",
+        collect_stats=["k"],
+    )
+    t.write(
+        spark.createDataFrame([Row(k=i) for i in range(500, 510)]),
+        collect_stats=["k"],
+    )
+    out = t.read_pruned({"k": (None, 100)})
+    assert len(out.inputFiles()) == 1
+    assert out.where("k <= 100").count() == 10
