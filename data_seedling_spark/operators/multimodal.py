@@ -5,10 +5,13 @@ struct; decode / feature-extract / resize / frame-sample run as
 Arrow-batched ``mapInPandas`` operators so each python worker touches
 one batch of payloads at a time (bounded memory, no driver collect).
 
-The actual codecs (Pillow/ffmpeg/torchaudio) are NOT in this
-container, so ``decode_stub`` produces a deterministic fake — the
-Spark-side plumbing (schema, batch shape, partitioning) is real and
-tested; swap ``_fake_decode`` for a real decoder to go live.
+BMP, PNG and WAV/PCM16 are REAL library-free codecs (fixed headers,
+stdlib zlib for PNG's DEFLATE, numpy for filters/samples), decoded and
+oracle-checked end-to-end. jpeg/mp3/video need external codecs
+(Pillow/ffmpeg/torchaudio) that are NOT in this container, so they
+stay behind ``decode_stub``'s deterministic fake — the Spark-side
+plumbing (schema, batch shape, partitioning) is identical and tested;
+swap ``_fake_decode`` for a real decoder to go live.
 """
 
 from __future__ import annotations
@@ -103,9 +106,10 @@ def frame_sample_stub(
 
 
 # ---------------------------------------------------------------------------
-# Real decode path: BMP (the one raster codec that needs no library —
-# a fixed 54-byte header + raw padded BGR rows). jpeg/png/video stay
-# behind decoder= seams until their libs exist in the runtime.
+# Real decode path: BMP (fixed 54-byte header + raw padded BGR rows)
+# and PNG (chunks + CRC32 + DEFLATE — stdlib zlib + numpy unfilter).
+# jpeg/video stay behind decoder= seams until their libs exist in the
+# runtime.
 # ---------------------------------------------------------------------------
 
 DECODED_IMAGE_SCHEMA = T.StructType(
@@ -158,10 +162,10 @@ def decode_bmp_pixels(data: bytes):
     return buf[:, : w * 3].reshape(h, w, 3)[::-1, :, ::-1]  # un-flip, BGR→RGB
 
 
-def decode_bmp(data: bytes) -> dict:
-    """24-bit uncompressed BMP bytes → dims + per-channel means
-    (matching DECODED_IMAGE_SCHEMA, ``ok`` excluded)."""
-    px = decode_bmp_pixels(data)
+def decode_image(data: bytes) -> dict:
+    """Image bytes (BMP or PNG, format-sniffed) → dims + per-channel
+    means (matching DECODED_IMAGE_SCHEMA, ``ok`` excluded)."""
+    px = decode_image_pixels(data)
     h, w = px.shape[0], px.shape[1]
     return {
         "width": int(w),
@@ -170,6 +174,165 @@ def decode_bmp(data: bytes) -> dict:
         "mean_g": float(px[..., 1].mean()),
         "mean_b": float(px[..., 2].mean()),
     }
+
+
+def _png_filter_row(cur, prev, nch: int, f: int):
+    """Apply PNG filter ``f`` to one scanline at ENCODE time. Unlike
+    decoding, filtering is not a recurrence (predictors read original
+    pixel values), so every filter vectorizes."""
+    import numpy as np
+
+    cur_i = cur.astype(np.int32)
+    a = np.concatenate([np.zeros(nch, np.int32), cur_i[:-nch]])
+    b = prev.astype(np.int32)
+    c = np.concatenate([np.zeros(nch, np.int32), b[:-nch]])
+    if f == 0:
+        pred = np.zeros_like(cur_i)
+    elif f == 1:  # Sub
+        pred = a
+    elif f == 2:  # Up
+        pred = b
+    elif f == 3:  # Average
+        pred = (a + b) >> 1
+    elif f == 4:  # Paeth
+        p = a + b - c
+        pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+        pred = np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+    else:
+        raise ValueError(f"bad PNG filter type {f}")
+    return ((cur_i - pred) & 0xFF).astype(np.uint8)
+
+
+def encode_png(img, filter_type: int = 0) -> bytes:
+    """uint8 RGB (H, W, 3) array → PNG bytes (8-bit truecolor, one
+    zlib-deflated IDAT). Library-free: PNG's container is chunks +
+    CRC32 + DEFLATE, all stdlib. ``filter_type`` picks the scanline
+    filter (0=None, 1=Sub, 2=Up, 3=Average, 4=Paeth) — a real encoder
+    chooses per row for compression; exposing it lets tests and
+    oracle queries exercise every unfilter path in the decoder."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    img = np.asarray(img, dtype=np.uint8)
+    h, w, nch = img.shape
+    prev = np.zeros(w * nch, np.uint8)
+    lines = []
+    for y in range(h):
+        cur = img[y].reshape(-1)
+        lines.append(
+            bytes([filter_type])
+            + _png_filter_row(cur, prev, nch, filter_type).tobytes()
+        )
+        prev = cur
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)  # 8-bit RGB
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(b"".join(lines)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def decode_png_pixels(data: bytes):
+    """PNG bytes → uint8 RGB (H, W, 3) array. Real decoder, no
+    imaging library: chunk walk → zlib inflate → per-scanline
+    unfilter (all five filter types: None/Sub/Up/Average/Paeth).
+    Supports 8-bit depth, color types gray(0)/RGB(2)/gray+alpha(4)/
+    RGBA(6), non-interlaced; gray expands and alpha drops so every
+    caller sees RGB. Up-filtered rows vectorize; Sub/Average/Paeth
+    are sequential per scanline (their recurrence is inherently so)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if data[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG payload")
+    pos, ihdr, idat = 8, None, []
+    while pos + 8 <= len(data):
+        ln, tag = struct.unpack_from(">I4s", data, pos)
+        body = data[pos + 8 : pos + 8 + ln]
+        if tag == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif tag == b"IDAT":
+            idat.append(body)
+        elif tag == b"IEND":
+            break
+        pos += 12 + ln
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    w, h, depth, ctype, _comp, _filt, interlace = ihdr
+    if depth != 8 or interlace != 0 or ctype not in (0, 2, 4, 6):
+        raise ValueError(
+            f"unsupported PNG variant (depth={depth}, color={ctype}, "
+            f"interlace={interlace})"
+        )
+    nch = {0: 1, 2: 3, 4: 2, 6: 4}[ctype]
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * nch
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG scanline payload size mismatch")
+    out = np.empty((h, stride), np.uint8)
+    prev = np.zeros(stride, np.int32)
+    pos = 0
+    for y in range(h):
+        f = raw[pos]
+        line = np.frombuffer(raw, np.uint8, stride, pos + 1).astype(np.int32)
+        pos += 1 + stride
+        if f == 0:
+            cur = line
+        elif f == 2:  # Up
+            cur = (line + prev) & 0xFF
+        elif f in (1, 3, 4):  # Sub / Average / Paeth
+            cur = np.empty(stride, np.int32)
+            for x in range(stride):
+                a = cur[x - nch] if x >= nch else 0
+                b = prev[x]
+                c = prev[x - nch] if x >= nch else 0
+                if f == 1:
+                    pred = a
+                elif f == 3:
+                    pred = (a + b) >> 1
+                else:
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                cur[x] = (line[x] + pred) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter type {f}")
+        out[y] = cur.astype(np.uint8)
+        prev = cur
+    px = out.reshape(h, w, nch)
+    if ctype == 0:
+        return np.repeat(px, 3, axis=2)
+    if ctype == 4:
+        return np.repeat(px[:, :, :1], 3, axis=2)
+    if ctype == 6:
+        return np.ascontiguousarray(px[:, :, :3])
+    return px
+
+
+def decode_image_pixels(data: bytes):
+    """Format-sniffing pixel decode: BMP and PNG are REAL library-free
+    codecs; other magics raise (and the mapInPandas operators turn
+    that into ok=False / NULL per row). jpeg/video stay behind the
+    decoder seam until their libs exist in the runtime."""
+    if data[:2] == b"BM":
+        return decode_bmp_pixels(data)
+    if data[:8] == b"\x89PNG\r\n\x1a\n":
+        return decode_png_pixels(data)
+    raise ValueError("unrecognized image payload (supported: BMP, PNG)")
 
 
 def resize_nearest(px, width: int, height: int):
@@ -192,12 +355,12 @@ def resize_images(
     height: int = 3,
     out_col: str = "resized",
 ) -> DataFrame:
-    """REAL image resize over ``mapInPandas``: decode BMP → nearest-
-    neighbor index resize → re-encode BMP into ``out_col``. Per-row
-    error isolation (undecodable payloads yield NULL, never a failed
-    batch). Same Arrow-batched plumbing as ``decode_images``; a
-    Pillow/opencv resampler swaps in as a kernel change, not a plan
-    change."""
+    """REAL image resize over ``mapInPandas``: decode (BMP or PNG,
+    format-sniffed) → nearest-neighbor index resize → re-encode BMP
+    into ``out_col``. Per-row error isolation (undecodable payloads
+    yield NULL, never a failed batch). Same Arrow-batched plumbing as
+    ``decode_images``; a Pillow/opencv resampler swaps in as a kernel
+    change, not a plan change."""
     out_schema = T.StructType(
         df.schema.fields + [T.StructField(out_col, T.BinaryType())]
     )
@@ -210,7 +373,7 @@ def resize_images(
                     resized.append(None)
                     continue
                 try:
-                    px = decode_bmp_pixels(bytes(b))
+                    px = decode_image_pixels(bytes(b))
                     resized.append(encode_bmp(resize_nearest(px, width, height)))
                 except Exception:
                     resized.append(None)
@@ -223,12 +386,12 @@ def resize_images(
 def decode_images(
     df: DataFrame, payload_col: str = "payload", out_col: str = "decoded"
 ) -> DataFrame:
-    """REAL image decode over ``mapInPandas``: BMP payloads decode to
-    dims + channel means; anything else yields ``ok=False`` instead of
-    failing the batch (per-row error isolation — one corrupt asset
-    must not kill a 100 TB decode job). Same batched plumbing as
-    ``decode_stub``, so swapping in Pillow for jpeg/png is a decoder
-    change, not a plan change."""
+    """REAL image decode over ``mapInPandas``: BMP and PNG payloads
+    (format-sniffed) decode to dims + channel means; anything else
+    yields ``ok=False`` instead of failing the batch (per-row error
+    isolation — one corrupt asset must not kill a 100 TB decode job).
+    Same batched plumbing as ``decode_stub``, so swapping in Pillow
+    for jpeg swaps a decoder, not a plan."""
     out_schema = T.StructType(
         df.schema.fields + [T.StructField(out_col, DECODED_IMAGE_SCHEMA)]
     )
@@ -241,7 +404,7 @@ def decode_images(
                     decoded.append(None)
                     continue
                 try:
-                    d = decode_bmp(bytes(b))
+                    d = decode_image(bytes(b))
                     d["ok"] = True
                 except Exception:
                     d = {

@@ -2386,3 +2386,67 @@ def char_entropy_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round((-F.sum(term)).cast("double"), 6).alias("entropy"),
         )
     )
+
+
+@query(
+    "multimodal_decode_png",
+    oracle="""
+    SELECT doc_id,
+           CAST(1 + n_chars % 8 AS INT) AS width,
+           CAST(1 + n_chars % 5 AS INT) AS height,
+           (SELECT avg((doc_id + 11 * x.r) % 256)
+              FROM (SELECT unnest(range(0, 1 + n_chars % 8)) AS r) x) AS mean_r,
+           (SELECT avg((doc_id * 7 + 11 * x.r) % 256)
+              FROM (SELECT unnest(range(0, 1 + n_chars % 8)) AS r) x) AS mean_g,
+           (SELECT avg((doc_id * 13 + 11 * x.r) % 256)
+              FROM (SELECT unnest(range(0, 1 + n_chars % 8)) AS r) x) AS mean_b
+    FROM documents
+    """,
+    tags=("multimodal", "decode", "png"),
+)
+def multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PNG decode, oracle-checked end-to-end: per document an
+    x-gradient RGB image is PNG-encoded (stdlib zlib + CRC32 chunks)
+    with the scanline filter chosen by parity — Up(2) for even
+    doc_ids, Paeth(4) for odd — shipped as a binary payload, decoded
+    back by the library-free PNG decoder (chunk walk → inflate →
+    per-scanline unfilter) over the same mapInPandas seam as BMP, with
+    the oracle predicting every decoded channel mean in closed form.
+    The filter mix makes the ORACLE (not just pytest) prove the
+    Up and Paeth unfilter recurrences; gradient rows mean a wrong
+    unfilter cannot cancel out in the mean. Channel means are integer
+    sums / count — one IEEE division, identical in both engines.
+    """
+    import numpy as np
+    import pandas as pd  # noqa: F401
+
+    from .operators.multimodal import decode_images, encode_png
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+
+    def build(batches):
+        for pdf in batches:
+            payloads = []
+            for i, n in zip(pdf["doc_id"], pdf["n_chars"]):
+                i, n = int(i), int(n)
+                w, h = 1 + n % 8, 1 + n % 5
+                x = np.arange(w, dtype=np.int64) * 11
+                row = np.stack(
+                    [(i + x) % 256, (i * 7 + x) % 256, (i * 13 + x) % 256],
+                    axis=1,
+                ).astype(np.uint8)
+                img = np.broadcast_to(row, (h, w, 3))
+                payloads.append(encode_png(img, filter_type=2 if i % 2 == 0 else 4))
+            pdf["payload"] = payloads
+            yield pdf
+
+    with_payload = docs.mapInPandas(build, "doc_id long, n_chars long, payload binary")
+    dec = decode_images(with_payload)
+    return dec.select(
+        "doc_id",
+        F.col("decoded.width").alias("width"),
+        F.col("decoded.height").alias("height"),
+        F.col("decoded.mean_r").alias("mean_r"),
+        F.col("decoded.mean_g").alias("mean_g"),
+        F.col("decoded.mean_b").alias("mean_b"),
+    )

@@ -825,7 +825,7 @@ def test_bmp_decode_real_roundtrip(spark):
     and channel means (width=3 forces the 4-byte row padding branch);
     non-image payloads isolate as ok=False rows."""
     from data_seedling_spark.operators.multimodal import (
-        decode_bmp,
+        decode_image,
         decode_images,
         encode_bmp,
     )
@@ -834,7 +834,7 @@ def test_bmp_decode_real_roundtrip(spark):
     img_a = rng.integers(0, 256, (5, 3, 3), dtype=np.uint8)  # padded rows
     img_b = rng.integers(0, 256, (4, 4, 3), dtype=np.uint8)
     # local roundtrip first
-    d = decode_bmp(encode_bmp(img_a))
+    d = decode_image(encode_bmp(img_a))
     assert (d["width"], d["height"]) == (3, 5)
     assert abs(d["mean_r"] - img_a[..., 0].mean()) < 1e-9
     # through Spark
@@ -1206,3 +1206,73 @@ def test_hyperplane_signature_matches_numpy_sign_bits(spark):
         ).collect()
     }
     assert got == {i: int(expected[i]) for i in range(20)}
+
+
+def test_png_codec_roundtrip_all_filters():
+    """Library-free PNG: encode with each of the five scanline filters,
+    decode back bit-exact (the unfilter recurrences are the risky part)."""
+    import numpy as np
+
+    from data_seedling_spark.operators.multimodal import (
+        decode_png_pixels,
+        encode_png,
+    )
+
+    rng = np.random.default_rng(17)
+    img = rng.integers(0, 256, (9, 7, 3), dtype=np.uint8)
+    for f in range(5):
+        out = decode_png_pixels(encode_png(img, filter_type=f))
+        assert (out == img).all(), f"filter {f} roundtrip mismatch"
+
+
+def test_image_format_sniffing_mixed_column(spark):
+    """One binary column carrying BMP + PNG + junk: decode_images must
+    sniff per row, decode both real formats, and isolate the junk as
+    ok=False (never fail the batch)."""
+    import numpy as np
+    from pyspark.sql import Row
+
+    from data_seedling_spark.operators.multimodal import (
+        decode_images,
+        encode_bmp,
+        encode_png,
+    )
+
+    rng = np.random.default_rng(23)
+    img = rng.integers(0, 256, (4, 6, 3), dtype=np.uint8)
+    df = spark.createDataFrame(
+        [
+            Row(asset_id=1, payload=bytearray(encode_bmp(img))),
+            Row(asset_id=2, payload=bytearray(encode_png(img, filter_type=4))),
+            Row(asset_id=3, payload=bytearray(b"\x89PNG but truncated")),
+            Row(asset_id=4, payload=bytearray(b"neither")),
+        ]
+    )
+    got = {
+        r["asset_id"]: r["decoded"]
+        for r in decode_images(df).collect()
+    }
+    for aid in (1, 2):
+        d = got[aid]
+        assert d["ok"] and (d["width"], d["height"]) == (6, 4)
+        assert abs(d["mean_r"] - img[..., 0].mean()) < 1e-9
+    assert got[1]["mean_g"] == got[2]["mean_g"]  # same pixels, both codecs
+    assert not got[3]["ok"] and not got[4]["ok"]
+
+
+def test_resize_handles_png_input(spark):
+    import numpy as np
+    from pyspark.sql import Row
+
+    from data_seedling_spark.operators.multimodal import (
+        decode_bmp_pixels,
+        encode_png,
+        resize_images,
+    )
+
+    rng = np.random.default_rng(29)
+    img = rng.integers(0, 256, (8, 8, 3), dtype=np.uint8)
+    df = spark.createDataFrame([Row(asset_id=1, payload=bytearray(encode_png(img)))])
+    out = resize_images(df, width=4, height=2).collect()[0]
+    px = decode_bmp_pixels(bytes(out["resized"]))
+    assert px.shape == (2, 4, 3)
