@@ -68,6 +68,9 @@ HEADLINE = [
     "chunk_documents_overlap",
     "embedding_int8_quant",
     "pq_codebooks_trained",
+    "dsir_importance_weights",
+    "char_entropy_documents",
+    "multimodal_decode_png",
 ]
 
 
