@@ -70,3 +70,30 @@ def write_with_metrics(
     n = int(obs.get["n_rows"])
     metrics.record("rows_updated", n, activity=activity, table=table)
     return n
+
+
+def jsonl_exporter(path: str) -> MetricExporter:
+    """File-transport exporter: one JSON object per measurement,
+    append-only — the shape log shippers (fluentd/vector/otel file
+    receivers) ingest directly, so a cluster without a metrics SDK
+    still gets durable, parseable telemetry. The reference exports to
+    Azure Monitor (``patient_notes/monitoring.py:53-94``); this is the
+    vendor-free twin on the same MetricExporter seam."""
+    import json
+    import time as _time
+
+    def export(name: str, value: float, tags: dict[str, str]) -> None:
+        with open(path, "a") as f:
+            f.write(
+                json.dumps(
+                    {
+                        "ts_ms": int(_time.time() * 1000),
+                        "metric": name,
+                        "value": value,
+                        "tags": dict(sorted(tags.items())),
+                    }
+                )
+                + "\n"
+            )
+
+    return export

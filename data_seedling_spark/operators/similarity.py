@@ -837,3 +837,114 @@ def pq_adc_topk(
         .withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
     )
+
+
+# ---------------------------------------------------------------------------
+# PCA / whitening for embedding pipelines: distributed Gram-matrix
+# aggregation (the MLlib RowMatrix pattern — per-batch X^T X partials,
+# one d^2-sized reduce), driver-side eigendecomposition of the tiny
+# d x d result, literal-matrix projection. Dimensionality reduction
+# upstream of ANN is the standard recipe (OPQ/IVF pipelines rotate or
+# project first); nothing here shuffles vectors except the one
+# (i, j, partial) reduce whose cardinality is batches x d^2, not rows.
+# ---------------------------------------------------------------------------
+
+
+def gram_matrix_df(
+    df: DataFrame, vec_col: str = "embedding", dim: int = 64
+) -> DataFrame:
+    """Upper-triangular Gram matrix G[i,j] = Σ_rows round(v_i·v_j, 6)
+    as a DataFrame ``(i, j, g)``, engine-exact: every per-row product
+    rounds to the 1e-6 grid BEFORE summation and partial sums of grid
+    values are exactly representable in float64 (values ≤ ~2^53·1e-6),
+    so batch partials → decimal reduce reproduces a sequential SQL sum
+    bit-for-bit regardless of batch boundaries or cluster size — the
+    same order-independence contract as ``queries.dec_sum``.
+
+    Shape: mapInPandas emits d·(d+1)/2 partial rows per Arrow batch
+    (numpy outer products, chunked to bound memory); the only shuffle
+    reduces batches × d² fixed-width triples. 100 TB of vectors still
+    reduces to a 64×64 matrix."""
+    import numpy as np
+
+    iu = np.triu_indices(dim)
+
+    def partials(batches):
+        for pdf in batches:
+            mats = np.stack(
+                pdf[vec_col].map(lambda v: np.asarray(v, dtype=np.float64))
+            )
+            acc = np.zeros((dim, dim))
+            for start in range(0, len(mats), 512):
+                chunk = mats[start : start + 512]
+                acc += np.round(
+                    chunk[:, :, None] * chunk[:, None, :], 6
+                ).sum(axis=0)
+            yield pd.DataFrame(
+                {"i": iu[0] + 1, "j": iu[1] + 1, "p": acc[iu]}
+            )
+
+    parts = df.select(F.col(vec_col).cast("array<double>").alias(vec_col)).mapInPandas(
+        partials, "i int, j int, p double"
+    )
+    return parts.groupBy("i", "j").agg(
+        F.round(F.sum(F.col("p").cast("decimal(28,6)")).cast("double"), 6).alias("g")
+    )
+
+
+def pca_components(
+    df: DataFrame, vec_col: str = "embedding", k: int = 8, dim: int = 64
+):
+    """Top-k principal directions of the (uncentered) second-moment
+    matrix: the Gram reduce runs distributed, the d×d eigenproblem
+    runs on the driver (same driver-state budget as k-means
+    centroids). Deterministic: the Gram entries are decimal-exact, and
+    each eigenvector's sign is fixed so its largest-|component| entry
+    is positive. Returns ``(eigvals, components)`` with components
+    shape (k, dim), orthonormal rows, eigvals descending."""
+    import numpy as np
+
+    rows = gram_matrix_df(df, vec_col, dim).collect()
+    g = np.zeros((dim, dim))
+    for r in rows:
+        g[r["i"] - 1, r["j"] - 1] = r["g"]
+        g[r["j"] - 1, r["i"] - 1] = r["g"]
+    vals, vecs = np.linalg.eigh(g)
+    order = np.argsort(vals)[::-1][:k]
+    comps = vecs[:, order].T
+    for c in comps:
+        if c[np.argmax(np.abs(c))] < 0:
+            c *= -1.0
+    return vals[order], comps
+
+
+def pca_project(
+    df: DataFrame,
+    components,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_col: str = "projected",
+) -> DataFrame:
+    """Project vectors onto principal directions as a pure JVM
+    projection: the (k, dim) component matrix enters the plan as ONE
+    parsed SQL literal (the ``_centroid_array_expr`` trick) and each
+    output coordinate is a sequential-fold dot product rounded to the
+    1e-6 grid. No shuffle, no Python, no driver data."""
+
+    def d(x: float) -> str:
+        return f"{float(x)!r}D"
+
+    comps_expr = F.expr(
+        "array("
+        + ",".join(
+            f"array({','.join(d(x) for x in row)})" for row in components
+        )
+        + ")"
+    )
+    v = F.col(vec_col).cast("array<double>")
+    return df.select(
+        F.col(id_col),
+        F.transform(
+            comps_expr, lambda c: F.round(_dot(v, c), 6)
+        ).alias(out_col),
+    )

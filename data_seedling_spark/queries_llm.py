@@ -2450,3 +2450,58 @@ def multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("decoded.mean_g").alias("mean_g"),
         F.col("decoded.mean_b").alias("mean_b"),
     )
+
+
+@query(
+    "embedding_gram_matrix",
+    oracle="""
+    WITH x AS (
+      SELECT vec_id, r.i AS i, CAST(embedding[r.i] AS DOUBLE) AS v
+      FROM embeddings, (SELECT unnest(range(1, 65)) AS i) r
+    )
+    SELECT a.i AS i, b.i AS j,
+           round(CAST(SUM(CAST(round(a.v * b.v, 6) AS DECIMAL(28,6)))
+                      AS DOUBLE), 6) AS g
+    FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i <= b.i
+    GROUP BY a.i, b.i
+    """,
+    tags=("llm", "pca", "gram", "embeddings"),
+)
+def embedding_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Gram/second-moment matrix of the embedding corpus —
+    the aggregation stage of PCA/whitening (the rotation ANN pipelines
+    apply before quantization). The MLlib RowMatrix pattern: numpy
+    X^T X partials per Arrow batch, ONE reduce of batches × d²
+    fixed-width triples; 100 TB of vectors still reduces to 64×64.
+    Engine-exact because every per-row product rounds to the 1e-6 grid
+    before summation and grid partial sums are exactly representable
+    in float64 (operators.similarity.gram_matrix_df docstring); the
+    oracle recomputes the same sums row-at-a-time in decimal.
+    """
+    from .operators.similarity import gram_matrix_df
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return gram_matrix_df(emb, "embedding", dim=64)
+
+
+@query(
+    "pca_project_embeddings",
+    oracle=None,  # eigendecomposition is not SQL-expressible; pytest
+    # asserts orthonormality, eigenvalue ordering, projection parity
+    # with numpy, and variance-capture dominance (test_llm_ops.py).
+    tags=("llm", "pca", "projection", "embeddings"),
+)
+def pca_project_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA projection of the embedding corpus onto its top-8 principal
+    directions: distributed Gram reduce → driver-side 64×64 ``eigh``
+    (same driver-state budget as k-means centroids) → sign-fixed
+    components re-enter the plan as ONE parsed SQL literal, and each
+    output coordinate is a JVM fold dot product. Deterministic end to
+    end: decimal-exact Gram, LAPACK on identical input, canonical
+    sign, 1e-6-grid outputs.
+    """
+    from .operators.similarity import pca_components, pca_project
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    _, comps = pca_components(emb, "embedding", k=8, dim=64)
+    return pca_project(emb, comps)

@@ -1276,3 +1276,43 @@ def test_resize_handles_png_input(spark):
     out = resize_images(df, width=4, height=2).collect()[0]
     px = decode_bmp_pixels(bytes(out["resized"]))
     assert px.shape == (2, 4, 3)
+
+
+def test_pca_components_properties(spark, embeddings):
+    """Distributed PCA invariants: orthonormal sign-fixed components,
+    descending eigenvalues, parity with a local numpy eigh over the
+    identically-rounded Gram, and top-1 variance dominance."""
+    import numpy as np
+
+    from data_seedling_spark.operators.similarity import (
+        pca_components,
+        pca_project,
+    )
+
+    vals, comps = pca_components(embeddings, k=6, dim=64)
+    assert np.allclose(comps @ comps.T, np.eye(6), atol=1e-9)
+    assert all(vals[i] >= vals[i + 1] for i in range(5))
+
+    X = np.stack(
+        [np.asarray(r["embedding"], np.float64) for r in embeddings.collect()]
+    )
+    G = np.zeros((64, 64))
+    for r in X:
+        G += np.round(np.outer(r, r), 6)
+    w = np.linalg.eigvalsh(G)
+    assert np.allclose(sorted(w)[::-1][:6], vals, rtol=1e-9)
+
+    # projection parity with numpy on the same components
+    out = {
+        r["vec_id"]: np.array(r["projected"])
+        for r in pca_project(embeddings, comps).collect()
+    }
+    ids = [r["vec_id"] for r in embeddings.collect()]
+    want = X @ comps.T
+    got = np.stack([out[i] for i in ids])
+    assert np.abs(got - np.round(want, 6)).max() <= 1e-6
+
+    # captured variance along PC1 dominates any raw axis
+    proj_var = (got[:, 0] ** 2).sum()
+    axis_var = (X**2).sum(axis=0).max()
+    assert proj_var >= axis_var * 0.99

@@ -51,3 +51,20 @@ def test_metrics_exporter_seam_receives_raw_measurements(spark, tmp_path):
         ("rows_updated", 4, {"activity": "pseudo", "table": "Notes"}),
     ]
     assert metrics.get("rows_updated", activity="pseudo", table="Notes") == 8
+
+
+def test_jsonl_exporter_appends_parseable_lines(tmp_path):
+    import json
+
+    from data_seedling_spark.operators.observe import MetricsLog, jsonl_exporter
+
+    path = str(tmp_path / "metrics.jsonl")
+    log = MetricsLog(exporters=[jsonl_exporter(path)])
+    log.record("rows_updated", 10, activity="pseudonymise", table="notes")
+    log.record("rows_updated", 5, activity="pseudonymise", table="notes")
+    lines = [json.loads(line) for line in open(path)]
+    assert [ln["value"] for ln in lines] == [10, 5]
+    assert all(ln["metric"] == "rows_updated" for ln in lines)
+    assert lines[0]["tags"] == {"activity": "pseudonymise", "table": "notes"}
+    # local sums unaffected by the export fan-out
+    assert log.get("rows_updated", activity="pseudonymise", table="notes") == 15
