@@ -871,6 +871,9 @@ def gram_matrix_df(
 
     def partials(batches):
         for pdf in batches:
+            pdf = pdf[pdf[vec_col].notna()]
+            if pdf.empty:  # empty partitions are routine at scale
+                continue
             mats = np.stack(
                 pdf[vec_col].map(lambda v: np.asarray(v, dtype=np.float64))
             )
