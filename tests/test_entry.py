@@ -26,6 +26,7 @@ def test_registry_contract_shapes():
         "ann_lsh_hyperplane",
         "hll_sketch_mergeable_distinct",
         "multimodal_decode_stub",
+        "pca_project_embeddings",  # eigendecomposition: no SQL twin
     }, f"unexpected rows-only queries: {missing_oracle}"
     for sql in o.values():
         assert sql.strip(), "empty oracle"
