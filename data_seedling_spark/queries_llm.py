@@ -2364,9 +2364,15 @@ def char_entropy_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Pure JVM path: positions → substr transform → explode →
     per-(doc, char) counts; the shuffle carries (doc_id, char, count)
-    triples, never the text. Per-char −p·ln p terms round to the 1e-9
-    grid and sum through decimal (order-free), final round at 1e-6.
+    triples, never the text. The per-doc total is a window sum OVER
+    THE COUNTS (not a second aggregate of the raw chars — a join
+    formulation makes Catalyst re-scan and re-explode the whole text
+    for the build side; the plan test pins the single Generate).
+    Per-char −p·ln p terms round to the 1e-9 grid and sum through
+    decimal (order-free), final round at 1e-6.
     """
+    from pyspark.sql import Window as W
+
     docs = load_table(spark, sf_dir, "documents")
     chars = docs.select(
         "doc_id",
@@ -2375,11 +2381,13 @@ def char_entropy_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("c"),
     )
     counts = chars.groupBy("doc_id", "c").agg(F.count("*").alias("n"))
-    tot = counts.groupBy("doc_id").agg(F.sum("n").alias("total"))
+    counts = counts.withColumn(
+        "total", F.sum("n").over(W.partitionBy("doc_id"))
+    )
     p = F.col("n") / F.col("total").cast("double")
     term = F.round(p * F.log(p), 9).cast("decimal(28,9)")
     return (
-        counts.join(tot, "doc_id")
+        counts
         .groupBy("doc_id")
         .agg(
             F.max("total").alias("n_chars_split"),

@@ -232,7 +232,12 @@ def test_dsir_broadcasts_bucket_model_no_python(spark, reg):
 
 def test_char_entropy_shuffles_counts_not_text(spark, reg):
     """Entropy aggregates per-(doc, char) counts; after the explode the
-    exchange must carry the tiny grouped rows, and nothing Python."""
+    exchange must carry the tiny grouped rows, and nothing Python.
+    Exactly ONE text scan + char explode: the per-doc total comes from
+    a window over the counts, not a second aggregate of the raw chars
+    (the join formulation re-scanned and re-exploded the whole text)."""
     plan = plan_of(spark, reg, "char_entropy_documents")
     assert "Python" not in plan
     assert plan.count("HashAggregate") >= 2  # partial + final combine
+    assert plan.count("Generate explode") == 1
+    assert plan.count("FileScan") == 1
