@@ -370,3 +370,24 @@ def test_chunk_overlap_invariants_any_geometry(spark, n_words, chunk, stride_fra
     assert rebuilt == words
     if n_words <= chunk:
         assert len(rows) == 1
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    w=st.integers(min_value=1, max_value=12),
+    h=st.integers(min_value=1, max_value=12),
+    f=st.integers(min_value=0, max_value=4),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_png_roundtrip_property(w, h, f, seed):
+    """Any uint8 RGB image, any scanline filter: encode→decode is the
+    identity (the unfilter recurrences invert the filters exactly)."""
+    import numpy as np
+
+    from data_seedling_spark.operators.multimodal import (
+        decode_png_pixels,
+        encode_png,
+    )
+
+    img = np.random.default_rng(seed).integers(0, 256, (h, w, 3), dtype=np.uint8)
+    assert (decode_png_pixels(encode_png(img, filter_type=f)) == img).all()
