@@ -715,3 +715,63 @@ def ann_index_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(
         embeddings, query_ids=range(10), k=3, centroids=persisted
     )
+
+
+@query(
+    "k_anonymity_audit",
+    oracle="""
+    WITH cohorts AS (
+      SELECT n.n_name AS nation, c.c_mktsegment AS segment,
+             CAST(floor(c.c_acctbal / 2000) AS BIGINT) AS balance_band,
+             CAST(count(*) AS BIGINT) AS cohort_size
+      FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+      GROUP BY 1, 2, 3
+    )
+    SELECT nation, segment, balance_band, cohort_size,
+           CAST(cohort_size < 5 AS BOOLEAN) AS below_k,
+           round(1.0 / cohort_size, 6) AS reident_risk
+    FROM cohorts
+    ORDER BY cohort_size, nation, segment, balance_band
+    LIMIT 200
+    """,
+    tags=("privacy", "k-anonymity", "pseudonymisation", "audit"),
+)
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over quasi-identifiers — the re-identification
+    risk check a pseudonymisation pipeline (the reference's entire
+    domain: hospital notes, ``patient_notes/docs/design_doc.md:23-39``)
+    runs on its OUTPUT: hashing direct identifiers is not enough if
+    the remaining quasi-identifier combination (here nation × market
+    segment × coarsened balance band) isolates individuals into
+    cohorts smaller than k. Emits every cohort with its size, a
+    below-k flag (k=5, the conventional floor), and the worst-case
+    re-identification probability 1/size. One shuffle on the
+    quasi-identifier tuple with map-side partial aggregation; the
+    dimension join broadcasts. The 1/size division is a single IEEE
+    op on exact integers — identical in both engines.
+    """
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_nationkey", "c_mktsegment", "c_acctbal"
+    )
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    cohorts = (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.col("c_mktsegment").alias("segment"),
+            F.floor(F.col("c_acctbal") / 2000).alias("balance_band"),
+        )
+        .agg(F.count("*").alias("cohort_size"))
+    )
+    return (
+        cohorts.select(
+            "nation",
+            "segment",
+            "balance_band",
+            "cohort_size",
+            (F.col("cohort_size") < 5).alias("below_k"),
+            F.round(F.lit(1.0) / F.col("cohort_size"), 6).alias("reident_risk"),
+        )
+        .orderBy("cohort_size", "nation", "segment", "balance_band")
+        .limit(200)
+    )
