@@ -1316,3 +1316,37 @@ def test_pca_components_properties(spark, embeddings):
     proj_var = (got[:, 0] ** 2).sum()
     axis_var = (X**2).sum(axis=0).max()
     assert proj_var >= axis_var * 0.99
+
+
+def test_pca_rotation_feeds_pq_and_beats_axis_truncation(spark, embeddings):
+    """OPQ premise, integration-proved: the PCA projection drops into
+    the PQ stack unchanged (same vec schema), and rotating before
+    truncating to 8 dims loses no more energy than keeping any 8 raw
+    axes (Eckart–Young — the reason ANN pipelines rotate first)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from data_seedling_spark.operators.similarity import (
+        pca_components,
+        pca_project,
+        pq_codebooks,
+        pq_encode,
+    )
+
+    _, comps = pca_components(embeddings, k=8, dim=64)
+    proj = pca_project(embeddings, comps).select(
+        "vec_id", F.col("projected").alias("embedding")
+    )
+    # mechanical drop-in: PQ codebooks + encoding over the rotated space
+    books = pq_codebooks(proj, m=2, dim=8)
+    codes = pq_encode(proj, books, m=2, dim=8)
+    per_vec = codes.groupBy("vec_id").count().agg(F.min("count"), F.max("count"))
+    lo, hi = per_vec.collect()[0]
+    assert (lo, hi) == (2, 2)  # every vector coded in both subspaces
+
+    X = np.stack(
+        [np.asarray(r["embedding"], np.float64) for r in embeddings.collect()]
+    )
+    err_pca = (X**2).sum() - ((X @ comps.T) ** 2).sum()
+    err_raw_best = (X**2).sum() - np.sort((X**2).sum(axis=0))[-8:].sum()
+    assert err_pca <= err_raw_best + 1e-6
