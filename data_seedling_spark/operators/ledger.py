@@ -660,7 +660,12 @@ class VersionedTable:
                 removed.append(c.version)
         return removed
 
-    def compact(self, sort_by: list[str] | None = None, target_files: int = 1) -> int:
+    def compact(
+        self,
+        sort_by: list[str] | None = None,
+        target_files: int = 1,
+        collect_stats: list[str] | None = None,
+    ) -> int:
         """OPTIMIZE-style compaction: rewrite the live snapshot as one
         overwrite commit of ``target_files`` files, optionally sorted by
         ``sort_by`` so parquet row-group min/max stats become selective
@@ -668,18 +673,32 @@ class VersionedTable:
         the append path accumulates small files and unsorted row
         groups, and scan throughput + pruning degrade until a compact).
 
+        ``collect_stats`` records per-file min/max for the rewritten
+        files (Delta's OPTIMIZE ZORDER + stats composition): with
+        ``target_files > 1`` the snapshot range-partitions on
+        ``sort_by`` first, so each output file owns a disjoint key
+        range and :meth:`read_pruned` can skip whole files, not just
+        row groups.
+
         A no-op change to readers: same rows, new version. Returns the
         new version number.
         """
         snapshot = self.read()
-        if sort_by:
+        if sort_by and target_files > 1:
+            snapshot = snapshot.repartitionByRange(target_files, *sort_by)
             snapshot = snapshot.sortWithinPartitions(*sort_by)
-        snapshot = snapshot.coalesce(target_files)
+        elif sort_by:
+            snapshot = snapshot.sortWithinPartitions(*sort_by)
+            snapshot = snapshot.coalesce(target_files)
+        else:
+            snapshot = snapshot.coalesce(target_files)
         # Safe to write directly: overwrite commits land in a NEW
         # version directory (old files survive until vacuum), so the
         # snapshot's lineage never reads files the write replaces and
         # the rewrite streams without a checkpoint.
-        return self.write(snapshot, mode="overwrite")
+        return self.write(
+            snapshot, mode="overwrite", collect_stats=collect_stats
+        )
 
 
 def _json_stat(v):

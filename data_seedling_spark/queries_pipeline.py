@@ -775,3 +775,52 @@ def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("cohort_size", "nation", "segment", "balance_band")
         .limit(200)
     )
+
+
+@query(
+    "l_diversity_audit",
+    oracle="""
+    SELECT n.n_name AS nation,
+           CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS order_year,
+           CAST(count(*) AS BIGINT) AS cohort_size,
+           CAST(count(DISTINCT o.o_orderpriority) AS BIGINT) AS l_distinct,
+           CAST(count(DISTINCT o.o_orderpriority) < 3 AS BOOLEAN) AS below_l
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+    tags=("privacy", "l-diversity", "pseudonymisation", "audit"),
+)
+def l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit — k-anonymity's companion check: a cohort can
+    be large (k-anonymous) yet still leak if everyone in it shares the
+    same sensitive value, so each quasi-identifier cohort (nation ×
+    order year) must carry at least l distinct sensitive values
+    (order priority standing in for the sensitive attribute; l=3).
+    Count-distinct per cohort expands to the standard two-phase
+    aggregate (distinct-tuple partial, then count) — map-side combine
+    on both phases, broadcast dimension joins, integer outputs
+    (hash-exact).
+    """
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_orderpriority"
+    )
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    l_distinct = F.countDistinct("o_orderpriority")
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("order_year"),
+        )
+        .agg(
+            F.count("*").alias("cohort_size"),
+            l_distinct.alias("l_distinct"),
+            (l_distinct < 3).alias("below_l"),
+        )
+        .orderBy("nation", "order_year")
+    )

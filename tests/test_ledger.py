@@ -580,3 +580,25 @@ def test_write_collect_stats_enables_pruning_immediately(spark, tmp_table_dir):
     out = t.read_pruned({"k": (None, 100)})
     assert len(out.inputFiles()) == 1
     assert out.where("k <= 100").count() == 10
+
+
+def test_compact_with_stats_enables_file_skipping(spark, tmp_table_dir):
+    """OPTIMIZE + stats composition: many small appends -> range-
+    clustered compact with per-file stats -> read_pruned skips whole
+    files, not just row groups."""
+    from pyspark.sql import Row
+
+    t = VersionedTable(spark, tmp_table_dir)
+    for base in (0, 1000, 2000, 3000):
+        t.write(
+            spark.createDataFrame([Row(k=base + i) for i in range(100)]),
+            mode="append" if base else "overwrite",
+        )
+    v = t.compact(sort_by=["k"], target_files=4, collect_stats=["k"])
+    assert t.latest_version() == v
+    assert t.read().count() == 400
+    pruned = t.read_pruned({"k": (3000, None)})
+    # range clustering put the top range in one file; stats prove the
+    # other three dead
+    assert len(pruned.inputFiles()) == 1
+    assert pruned.where("k >= 3000").count() == 100
