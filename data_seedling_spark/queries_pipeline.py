@@ -824,3 +824,84 @@ def l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nation", "order_year")
     )
+
+
+@query(
+    "incremental_agg_maintenance",
+    oracle="""
+    WITH created  AS (SELECT o_orderkey, o_orderstatus, o_totalprice
+                      FROM orders WHERE o_orderkey % 4 = 1),
+         appended AS (SELECT o_orderkey, o_orderstatus, o_totalprice
+                      FROM orders WHERE o_orderkey % 4 = 2),
+         inserted AS (SELECT o_orderkey, o_orderstatus, o_totalprice
+                      FROM orders WHERE o_orderkey % 4 = 3),
+         deleted  AS (SELECT o_orderkey FROM orders WHERE o_orderkey % 8 = 1),
+         final AS (
+           SELECT * FROM (
+             SELECT * FROM created UNION ALL
+             SELECT * FROM appended UNION ALL
+             SELECT * FROM inserted
+           ) s
+           WHERE NOT EXISTS (SELECT 1 FROM deleted d
+                             WHERE d.o_orderkey = s.o_orderkey))
+    SELECT o_orderstatus,
+           COUNT(*) AS order_cnt,
+           CAST(SUM(CAST(ROUND(o_totalprice, 2) AS DECIMAL(18,2))) AS DOUBLE)
+             AS revenue
+    FROM final GROUP BY o_orderstatus
+    """,
+    tags=("S2", "ST1", "ST2", "A1", "ivm", "gold-layer"),
+)
+def incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-aggregate maintenance (IVM): a gold
+    ``GROUP BY o_orderstatus`` revenue table kept current from the CDC
+    feed of a versioned orders source — the fact table is never
+    rescanned after the first fold.
+
+    Same deterministic commit slices as ``cdc_incremental_roundtrip``
+    (v0 create ≡1 mod 4, v1 append ≡2, v2 merge deleting ≡1 mod 8 and
+    inserting ≡3 mod 4). Refresh #1 folds v0–v1; refresh #2 folds only
+    v2's increment (delete pre-images contribute −1/−price, inserts
+    +1/+price); refresh #3 proves the replay no-op path (the applied
+    watermark rides inside the view commit — ``operators.matview``).
+    The oracle recomputes the aggregate from the net final state; the
+    incremental path must land on exactly the same decimal sums.
+    """
+    from .operators.matview import COUNT_COL, SOURCE_HI, MaterializedAggregate
+    from .operators.merge import CHANGE_TYPE, CT_DELETE, CT_INSERT
+
+    orders = load_table(spark, sf_dir, "orders").select(*_ORDER_COLS)
+    base = tempfile.mkdtemp(prefix="ivm_")
+    source = VersionedTable(spark, f"{base}/src", write_partitions=4)
+    view = MaterializedAggregate(
+        spark,
+        VersionedTable(spark, f"{base}/gold", write_partitions=1),
+        group_keys=["o_orderstatus"],
+        sum_measures={"revenue": "o_totalprice"},
+    )
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        key = F.col("o_orderkey")
+        source.write(orders.where(key % 4 == 1), mode="overwrite")
+        source.write(orders.where(key % 4 == 2), mode="append")
+        view.refresh(source)  # folds v0..v1
+        feed = (
+            orders.where(key % 8 == 1)
+            .withColumn(CHANGE_TYPE, F.lit(CT_DELETE))
+            .unionByName(
+                orders.where(key % 4 == 3).withColumn(CHANGE_TYPE, F.lit(CT_INSERT))
+            )
+        )
+        source.merge(feed, primary_keys=["o_orderkey"])
+        lo, hi = view.refresh(source)  # folds v2 only
+        assert (lo, hi) == (2, 2), f"expected to fold exactly v2, got {(lo, hi)}"
+        lo, hi = view.refresh(source)  # replay: already current
+        assert lo > hi, "replayed refresh must be a no-op"
+        return view.table.read().select(
+            "o_orderstatus",
+            F.col(COUNT_COL).alias("order_cnt"),
+            F.col("revenue").cast("double").alias("revenue"),
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
