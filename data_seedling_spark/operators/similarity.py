@@ -951,3 +951,56 @@ def pca_project(
             comps_expr, lambda c: F.round(_dot(v, c), 6)
         ).alias(out_col),
     )
+
+
+def two_stage_rerank_topk(
+    df: DataFrame,
+    query_ids,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+    candidates: int = 10,
+    m: int = 4,
+    dim: int = 64,
+    centroid_stride: int = 50,
+) -> DataFrame:
+    """Two-stage retrieval: PQ-ADC candidate generation (top
+    ``candidates`` by approximate distance — the corpus moves as m
+    codes per vector) followed by an exact-cosine rerank of only those
+    candidates against the full vectors — the production ANN serving
+    shape (Jégou et al. 2011 §V.A reranks ADC shortlists with exact
+    distances; every IVF-PQ deployment does the same).
+
+    Plan shape: stage 1 is :func:`pq_adc_topk`'s broadcast-LUT scan;
+    stage 2 broadcasts the (|queries| × candidates) shortlist INTO the
+    corpus scan to fetch full vectors — one more corpus pass, no
+    corpus shuffle — then broadcasts the query vectors and ranks ≤
+    ``candidates`` rows per query. Exact scores use the same rounded
+    dot-identity contract as the brute-force baseline, so the rerank
+    is oracle-checkable end-to-end."""
+    shortlist = pq_adc_topk(
+        df, query_ids, id_col, vec_col, candidates, m, dim, centroid_stride
+    ).select("query_id", "neighbor_id")
+    vecs = df.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v")
+    )
+    cand_vecs = vecs.join(
+        F.broadcast(shortlist), vecs[id_col] == F.col("neighbor_id")
+    ).select("query_id", "neighbor_id", F.col("_v").alias("_nv"))
+    q_vecs = vecs.where(F.col(id_col).isin(list(query_ids))).select(
+        F.col(id_col).alias("query_id"), F.col("_v").alias("_qv")
+    )
+    exact = (
+        F.round(
+            _dot(F.col("_qv"), F.col("_nv"))
+            / (norm(F.col("_qv")) * norm(F.col("_nv"))),
+            6,
+        )
+    )
+    scored = cand_vecs.join(F.broadcast(q_vecs), "query_id").select(
+        "query_id", "neighbor_id", exact.alias("score")
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("score").desc(), "neighbor_id")
+    return scored.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= k
+    )

@@ -2513,3 +2513,81 @@ def pca_project_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     _, comps = pca_components(emb, "embedding", k=8, dim=64)
     return pca_project(emb, comps)
+
+
+@query(
+    "ann_two_stage_rerank",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS ve FROM embeddings
+    ), sp AS (
+      SELECT j FROM range(0, 4) AS t(j)
+    ), cb AS (
+      SELECT sp.j AS subspace, vec_id // 50 AS code_id,
+             ve[sp.j*16+1 : sp.j*16+16] AS c
+      FROM v, sp WHERE vec_id % 50 = 0
+    ), sv AS (
+      SELECT vec_id, sp.j AS subspace, ve[sp.j*16+1 : sp.j*16+16] AS s
+      FROM v, sp
+    ), enc AS (
+      SELECT vec_id, subspace, code_id AS code FROM (
+        SELECT sv.vec_id, sv.subspace, cb.code_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY sv.vec_id, sv.subspace
+                 ORDER BY round(list_dot_product(sv.s, sv.s)
+                                + list_dot_product(cb.c, cb.c)
+                                - 2 * list_dot_product(sv.s, cb.c), 6),
+                          cb.code_id
+               ) AS rn
+        FROM sv JOIN cb ON sv.subspace = cb.subspace
+      ) WHERE rn = 1
+    ), lut AS (
+      SELECT sv.vec_id AS query_id, sv.subspace, cb.code_id,
+             round(list_dot_product(sv.s, sv.s) + list_dot_product(cb.c, cb.c)
+                   - 2 * list_dot_product(sv.s, cb.c), 6) AS d
+      FROM sv JOIN cb ON sv.subspace = cb.subspace
+      WHERE sv.vec_id IN (7, 123, 321)
+    ), approx AS (
+      SELECT lut.query_id, enc.vec_id AS neighbor_id,
+             CAST(SUM(CAST(d AS DECIMAL(28,6))) AS DOUBLE) AS approx_dist
+      FROM enc JOIN lut
+        ON enc.subspace = lut.subspace AND enc.code = lut.code_id
+      WHERE enc.vec_id <> lut.query_id
+      GROUP BY lut.query_id, enc.vec_id
+    ), shortlist AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY query_id ORDER BY approx_dist, neighbor_id
+        ) AS rank FROM approx
+      ) WHERE rank <= 10
+    ), exact AS (
+      SELECT s.query_id, s.neighbor_id,
+             round(list_dot_product(q.ve, n.ve)
+                   / (sqrt(list_dot_product(q.ve, q.ve))
+                      * sqrt(list_dot_product(n.ve, n.ve))), 6) AS score
+      FROM shortlist s
+      JOIN v q ON q.vec_id = s.query_id
+      JOIN v n ON n.vec_id = s.neighbor_id
+    )
+    SELECT query_id, neighbor_id, score, rank FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY score DESC, neighbor_id
+      ) AS rank FROM exact
+    ) WHERE rank <= 3
+    """,
+    tags=("similarity-pq", "two-stage", "serving"),
+)
+def ann_two_stage_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage retrieval, the production ANN serving shape: PQ-ADC
+    shortlist (top-10 by approximate distance over the coded corpus)
+    then exact-cosine rerank of only the shortlist against full
+    vectors (Jegou et al. 2011 SS V.A). Stage 1 never moves vectors;
+    stage 2 touches |queries| x 10 of them. Both stages are
+    deterministic, so the composed index is oracle-checked end-to-end
+    (operators.similarity.two_stage_rerank_topk)."""
+    from .operators.similarity import two_stage_rerank_topk
+
+    embeddings = load_table(spark, sf_dir, "embeddings")
+    return two_stage_rerank_topk(
+        embeddings, query_ids=(7, 123, 321), k=3, candidates=10
+    )

@@ -241,3 +241,15 @@ def test_char_entropy_shuffles_counts_not_text(spark, reg):
     assert plan.count("HashAggregate") >= 2  # partial + final combine
     assert plan.count("Generate explode") == 1
     assert plan.count("FileScan") == 1
+
+
+def test_two_stage_rerank_broadcasts_shortlist_and_queries(spark, reg):
+    """Stage-2 rerank: the PQ shortlist and the query vectors are
+    broadcast INTO corpus-side scans — full vectors are fetched by one
+    more scan pass, never by shuffling the corpus; no nested loop, no
+    Python, and every rank window stays query-partitioned."""
+    plan = plan_of(spark, reg, "ann_two_stage_rerank")
+    assert "BroadcastHashJoin" in plan
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+    assert "Python" not in plan
+    assert not _unpartitioned_windows(plan)
