@@ -5,9 +5,10 @@ struct; decode / feature-extract / resize / frame-sample run as
 Arrow-batched ``mapInPandas`` operators so each python worker touches
 one batch of payloads at a time (bounded memory, no driver collect).
 
-BMP, PNG and WAV/PCM16 are REAL library-free codecs (fixed headers,
-stdlib zlib for PNG's DEFLATE, numpy for filters/samples), decoded and
-oracle-checked end-to-end. jpeg/mp3/video need external codecs
+BMP, PNG, baseline JPEG and WAV/PCM16 are REAL library-free codecs
+(fixed headers, stdlib zlib for PNG's DEFLATE, numpy for
+filters/DCT/samples), decoded and oracle-checked end-to-end.
+mp3/video (and non-baseline JPEG) need external codecs
 (Pillow/ffmpeg/torchaudio) that are NOT in this container, so they
 stay behind ``decode_stub``'s deterministic fake — the Spark-side
 plumbing (schema, batch shape, partitioning) is identical and tested;
@@ -106,10 +107,10 @@ def frame_sample_stub(
 
 
 # ---------------------------------------------------------------------------
-# Real decode path: BMP (fixed 54-byte header + raw padded BGR rows)
-# and PNG (chunks + CRC32 + DEFLATE — stdlib zlib + numpy unfilter).
-# jpeg/video stay behind decoder= seams until their libs exist in the
-# runtime.
+# Real decode path: BMP (fixed 54-byte header + raw padded BGR rows),
+# PNG (chunks + CRC32 + DEFLATE — stdlib zlib + numpy unfilter), and
+# baseline JPEG (further below). video stays behind decoder= seams
+# until its libs exist in the runtime.
 # ---------------------------------------------------------------------------
 
 DECODED_IMAGE_SCHEMA = T.StructType(
@@ -324,15 +325,22 @@ def decode_png_pixels(data: bytes):
 
 
 def decode_image_pixels(data: bytes):
-    """Format-sniffing pixel decode: BMP and PNG are REAL library-free
-    codecs; other magics raise (and the mapInPandas operators turn
-    that into ok=False / NULL per row). jpeg/video stay behind the
-    decoder seam until their libs exist in the runtime."""
+    """Format-sniffing pixel decode: BMP, PNG and baseline JPEG are
+    REAL library-free codecs; other magics raise (and the mapInPandas
+    operators turn that into ok=False / NULL per row). video stays
+    behind the decoder seam until its libs exist in the runtime."""
     if data[:2] == b"BM":
         return decode_bmp_pixels(data)
     if data[:8] == b"\x89PNG\r\n\x1a\n":
         return decode_png_pixels(data)
-    raise ValueError("unrecognized image payload (supported: BMP, PNG)")
+    if data[:2] == b"\xff\xd8":
+        import numpy as np
+
+        px = decode_jpeg_pixels(data)
+        # grayscale streams present as RGB so every downstream feature
+        # (means, resize, re-encode) sees one shape
+        return px if px.ndim == 3 else np.stack([px] * 3, axis=2)
+    raise ValueError("unrecognized image payload (supported: BMP, PNG, JPEG)")
 
 
 def resize_nearest(px, width: int, height: int):
@@ -386,12 +394,13 @@ def resize_images(
 def decode_images(
     df: DataFrame, payload_col: str = "payload", out_col: str = "decoded"
 ) -> DataFrame:
-    """REAL image decode over ``mapInPandas``: BMP and PNG payloads
-    (format-sniffed) decode to dims + channel means; anything else
-    yields ``ok=False`` instead of failing the batch (per-row error
-    isolation — one corrupt asset must not kill a 100 TB decode job).
-    Same batched plumbing as ``decode_stub``, so swapping in Pillow
-    for jpeg swaps a decoder, not a plan."""
+    """REAL image decode over ``mapInPandas``: BMP, PNG and baseline
+    JPEG payloads (format-sniffed) decode to dims + channel means;
+    anything else yields ``ok=False`` instead of failing the batch
+    (per-row error isolation — one corrupt asset must not kill a
+    100 TB decode job). Same batched plumbing as ``decode_stub``, so
+    swapping in Pillow/ffmpeg for the remaining formats swaps a
+    decoder, not a plan."""
     out_schema = T.StructType(
         df.schema.fields + [T.StructField(out_col, DECODED_IMAGE_SCHEMA)]
     )
@@ -442,6 +451,349 @@ AUDIO_FEATURES_SCHEMA = T.StructType(
         T.StructField("ok", T.BooleanType()),
     ]
 )
+
+
+# ---------------------------------------------------------------------------
+# Real JPEG path: baseline JFIF (SOI/APP0/DQT/SOF0/DHT/SOS), library-free.
+# The encoder emits 4:4:4 (or grayscale) baseline JPEG with canonical
+# fixed-length Huffman tables declared in DHT; the decoder is a general
+# baseline decoder driven entirely by the stream's own DQT/DHT/SOF0
+# markers (it decodes Annex-K-table streams just the same, as long as
+# sampling is 1x1). Exactness lever for oracles: a constant 8x8 block
+# is DC-only through the float DCT (AC sums cancel to ~0 and round
+# away), and with a quant value dividing 8 the DC roundtrips exactly —
+# so constant-block images decode bit-exact and their channel means
+# have closed forms. Progressive/arithmetic/subsampled variants stay
+# behind the decoder seam.
+# ---------------------------------------------------------------------------
+
+_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+#: canonical-Huffman specs (bits-per-length counts + symbol order), in
+#: DHT wire layout. DC: the 12 size categories as 4-bit codes; AC: all
+#: 162 (run,size) symbols as 8-bit codes (EOB=0x00, ZRL=0xF0). Both
+#: leave the all-ones code unused, so 1-padding at scan end never
+#: decodes as a symbol.
+_DC_BITS = [0, 0, 0, 12, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+_DC_VALS = list(range(12))
+_AC_VALS = [0x00, 0xF0] + [
+    (run << 4) | size for run in range(16) for size in range(1, 11)
+]
+_AC_BITS = [0, 0, 0, 0, 0, 0, 0, len(_AC_VALS), 0, 0, 0, 0, 0, 0, 0, 0]
+
+
+def _dct_matrix():
+    import numpy as np
+
+    x = np.arange(8)
+    m = 0.5 * np.cos((2 * x[None, :] + 1) * x[:, None] * np.pi / 16)
+    m[0, :] = 0.5 / np.sqrt(2.0)
+    return m
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, value: int, nbits: int) -> None:
+        self.acc = (self.acc << nbits) | (value & ((1 << nbits) - 1))
+        self.nbits += nbits
+        while self.nbits >= 8:
+            byte = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:  # byte stuffing
+                self.out.append(0x00)
+            self.nbits -= 8
+            self.acc &= (1 << self.nbits) - 1
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            self.write(0x7F, 8 - self.nbits)  # pad with 1s
+        return bytes(self.out)
+
+
+def _huff_codes(bits, vals):
+    """Canonical Huffman code assignment from a DHT (bits, values)
+    spec — the shared table construction for encoder and decoder."""
+    codes, code = {}, 0
+    i = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            codes[vals[i]] = (code, length)
+            code += 1
+            i += 1
+        code <<= 1
+    return codes
+
+
+def _category(v: int) -> int:
+    return 0 if v == 0 else int(abs(v)).bit_length()
+
+
+def _encode_block(writer, block, qtable, prev_dc, dc_codes, ac_codes, dctm):
+    """One 8x8 block: level shift → DCT → quantize → zigzag → DPCM DC
+    + run-length AC, all huffman-coded. Returns the new DC predictor."""
+    import numpy as np
+
+    coeffs = dctm @ (block.astype(np.float64) - 128.0) @ dctm.T
+    q = np.round(coeffs / qtable).astype(np.int64)
+    zz = q.reshape(64)[_ZIGZAG]
+    diff = int(zz[0]) - prev_dc
+    size = _category(diff)
+    code, length = dc_codes[size]
+    writer.write(code, length)
+    if size:
+        writer.write(diff if diff >= 0 else diff + (1 << size) - 1, size)
+    run = 0
+    last_nz = max([i for i in range(1, 64) if zz[i]] or [0])
+    for i in range(1, last_nz + 1):
+        v = int(zz[i])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            c, ln = ac_codes[0xF0]  # ZRL
+            writer.write(c, ln)
+            run -= 16
+        size = _category(v)
+        c, ln = ac_codes[(run << 4) | size]
+        writer.write(c, ln)
+        writer.write(v if v >= 0 else v + (1 << size) - 1, size)
+        run = 0
+    if last_nz < 63:
+        c, ln = ac_codes[0x00]  # EOB
+        writer.write(c, ln)
+    return int(zz[0])
+
+
+def encode_jpeg(img, quant_value: int = 1) -> bytes:
+    """uint8 array → baseline JFIF bytes. ``(H, W)`` encodes grayscale
+    (1 component); ``(H, W, 3)`` RGB encodes 4:4:4 YCbCr. Dimensions
+    pad up to 8 with edge replication (SOF0 carries the true size, the
+    decoder crops back). ``quant_value`` fills the uniform quant table;
+    any divisor of 8 makes constant blocks roundtrip bit-exact."""
+    import struct
+
+    import numpy as np
+
+    img = np.asarray(img, dtype=np.uint8)
+    gray = img.ndim == 2
+    h, w = img.shape[:2]
+    ph, pw = (h + 7) & ~7, (w + 7) & ~7
+    pad = [(0, ph - h), (0, pw - w)] + ([] if gray else [(0, 0)])
+    img = np.pad(img, pad, mode="edge")
+    if gray:
+        planes = [img.astype(np.float64)]
+    else:
+        r, g, b = (img[:, :, i].astype(np.float64) for i in range(3))
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+        cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+        planes = [np.round(p) for p in (y, cb, cr)]
+    qtable = np.full((8, 8), quant_value, dtype=np.float64)
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += (
+        b"\xff\xe0"
+        + struct.pack(">H", 16)
+        + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    )
+    zz_q = qtable.reshape(64)[_ZIGZAG].astype(np.uint8)
+    out += b"\xff\xdb" + struct.pack(">HB", 67, 0) + zz_q.tobytes()
+    ncomp = len(planes)
+    out += b"\xff\xc0" + struct.pack(">HBHHB", 8 + 3 * ncomp, 8, h, w, ncomp)
+    for cid in range(1, ncomp + 1):
+        out += struct.pack(">BBB", cid, 0x11, 0)  # 1x1 sampling, qtable 0
+    for tclass, bits, vals in ((0, _DC_BITS, _DC_VALS), (1, _AC_BITS, _AC_VALS)):
+        out += b"\xff\xc4" + struct.pack(">HB", 19 + len(vals), tclass << 4)
+        out += bytes(bits) + bytes(vals)
+    out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * ncomp, ncomp)
+    for cid in range(1, ncomp + 1):
+        out += struct.pack(">BB", cid, 0x00)  # DC table 0, AC table 0
+    out += b"\x00\x3f\x00"  # spectral selection 0..63, no approx
+    dc_codes = _huff_codes(_DC_BITS, _DC_VALS)
+    ac_codes = _huff_codes(_AC_BITS, _AC_VALS)
+    dctm = _dct_matrix()
+    writer = _BitWriter()
+    prev = [0] * ncomp
+    for by in range(ph // 8):
+        for bx in range(pw // 8):
+            for ci, plane in enumerate(planes):  # interleaved 1x1 MCU
+                block = plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+                prev[ci] = _encode_block(
+                    writer, block, qtable, prev[ci], dc_codes, ac_codes, dctm
+                )
+    out += writer.flush()
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+class _BitReader:
+    """Entropy-segment bit reader with 0xFF00 unstuffing."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+
+    def _fill(self) -> None:
+        byte = self.data[self.pos]
+        if byte == 0xFF:
+            nxt = self.data[self.pos + 1]
+            if nxt != 0x00:
+                raise EOFError("marker inside entropy data")
+            self.pos += 2
+        else:
+            self.pos += 1
+        self.acc = (self.acc << 8) | byte
+        self.nbits += 8
+
+    def read(self, nbits: int) -> int:
+        while self.nbits < nbits:
+            self._fill()
+        self.nbits -= nbits
+        v = (self.acc >> self.nbits) & ((1 << nbits) - 1)
+        self.acc &= (1 << self.nbits) - 1
+        return v
+
+
+def _read_huff_symbol(reader, table):
+    code, length = 0, 0
+    while length < 16:
+        code = (code << 1) | reader.read(1)
+        length += 1
+        sym = table.get((code, length))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid huffman code")
+
+
+def _extend(v: int, size: int) -> int:
+    return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+
+
+def decode_jpeg_pixels(data: bytes):
+    """Baseline JFIF bytes → uint8 array: ``(H, W)`` for grayscale
+    streams, ``(H, W, 3)`` RGB for 3-component 4:4:4. A general
+    baseline decoder (tables read from the stream's DQT/DHT, any
+    number of tables, any canonical code lengths); only subsampled,
+    progressive, and restart-interval variants raise."""
+    import struct
+
+    import numpy as np
+
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload")
+    pos = 2
+    qtables: dict[int, object] = {}
+    htables: dict[tuple[int, int], dict] = {}
+    frame = None
+    scan_comps = None
+    while pos < len(data):
+        if data[pos] != 0xFF:
+            raise ValueError("marker expected")
+        marker = data[pos + 1]
+        pos += 2
+        if marker == 0xD9:  # EOI
+            break
+        seg_len = struct.unpack_from(">H", data, pos)[0]
+        seg = data[pos + 2 : pos + seg_len]
+        if marker == 0xDB:  # DQT (possibly several tables)
+            off = 0
+            while off < len(seg):
+                pq, tq = seg[off] >> 4, seg[off] & 0xF
+                if pq != 0:
+                    raise ValueError("16-bit quant tables unsupported")
+                vals = np.frombuffer(seg, np.uint8, 64, off + 1).astype(np.float64)
+                q = np.empty(64)
+                q[_ZIGZAG] = vals
+                qtables[tq] = q.reshape(8, 8)
+                off += 65
+        elif marker == 0xC0:  # SOF0 baseline
+            _, h, w, ncomp = struct.unpack_from(">BHHB", seg, 0)
+            comps = []
+            for i in range(ncomp):
+                cid, samp, tq = struct.unpack_from(">BBB", seg, 6 + 3 * i)
+                if samp != 0x11:
+                    raise ValueError("subsampled JPEG unsupported")
+                comps.append((cid, tq))
+            frame = (h, w, comps)
+        elif marker in (0xC1, 0xC2, 0xC3):
+            raise ValueError("only baseline (SOF0) JPEG supported")
+        elif marker == 0xC4:  # DHT (possibly several tables)
+            off = 0
+            while off < len(seg):
+                tclass, tid = seg[off] >> 4, seg[off] & 0xF
+                bits = list(seg[off + 1 : off + 17])
+                nvals = sum(bits)
+                vals = list(seg[off + 17 : off + 17 + nvals])
+                htables[(tclass, tid)] = {
+                    (c, ln): s for s, (c, ln) in _huff_codes(bits, vals).items()
+                }
+                off += 17 + nvals
+        elif marker == 0xDD:
+            raise ValueError("restart intervals unsupported")
+        elif marker == 0xDA:  # SOS
+            ns = seg[0]
+            scan_comps = [
+                (seg[1 + 2 * i], seg[2 + 2 * i] >> 4, seg[2 + 2 * i] & 0xF)
+                for i in range(ns)
+            ]
+            pos += seg_len
+            break
+        pos += seg_len
+    if frame is None or scan_comps is None:
+        raise ValueError("missing SOF0/SOS")
+    h, w, comps = frame
+    ph, pw = (h + 7) & ~7, (w + 7) & ~7
+    dctm = _dct_matrix()
+    planes = [np.zeros((ph, pw)) for _ in comps]
+    qt = {cid: qtables[tq] for cid, tq in comps}
+    reader = _BitReader(data, pos)
+    prev = [0] * len(comps)
+    for by in range(ph // 8):
+        for bx in range(pw // 8):
+            for ci, (cid, dc_id, ac_id) in enumerate(scan_comps):
+                dc_tab = htables[(0, dc_id)]
+                ac_tab = htables[(1, ac_id)]
+                zz = np.zeros(64, dtype=np.int64)
+                size = _read_huff_symbol(reader, dc_tab)
+                diff = _extend(reader.read(size), size) if size else 0
+                prev[ci] += diff
+                zz[0] = prev[ci]
+                k = 1
+                while k < 64:
+                    sym = _read_huff_symbol(reader, ac_tab)
+                    if sym == 0x00:  # EOB
+                        break
+                    if sym == 0xF0:  # ZRL
+                        k += 16
+                        continue
+                    k += sym >> 4
+                    size = sym & 0xF
+                    zz[k] = _extend(reader.read(size), size)
+                    k += 1
+                block = np.empty(64)
+                block[_ZIGZAG] = zz
+                coeffs = block.reshape(8, 8) * qt[cid]
+                px = dctm.T @ coeffs @ dctm + 128.0
+                planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = px
+    planes = [p[:h, :w] for p in planes]
+    if len(planes) == 1:
+        return np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
+    y, cb, cr = planes
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    rgb = np.stack([r, g, b], axis=2)
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
 
 
 def encode_wav(samples, sample_rate: int = 16000) -> bytes:

@@ -2591,3 +2591,65 @@ def ann_two_stage_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return two_stage_rerank_topk(
         embeddings, query_ids=(7, 123, 321), k=3, candidates=10
     )
+
+
+@query(
+    "multimodal_decode_jpeg",
+    oracle="""
+    SELECT doc_id,
+           CAST(8 * (1 + n_chars % 3) AS INT) AS width,
+           CAST(8 * (1 + n_chars % 2) AS INT) AS height,
+           (SELECT avg((doc_id + 17 * bxs.r + 29 * bys.r2) % 256)
+              FROM (SELECT unnest(range(0, 1 + n_chars % 3)) AS r) bxs,
+                   (SELECT unnest(range(0, 1 + n_chars % 2)) AS r2) bys)
+             AS mean_gray
+    FROM documents
+    """,
+    tags=("multimodal", "decode", "jpeg"),
+)
+def multimodal_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL baseline JPEG decode, oracle-checked end-to-end: per
+    document a constant-8x8-block grayscale image is JPEG-encoded
+    (library-free JFIF writer: float DCT, uniform quant, canonical
+    Huffman DHT, byte stuffing) and decoded back by the general
+    baseline decoder (marker walk -> huffman -> dequant -> IDCT) over
+    the same mapInPandas seam as BMP/PNG. Constant blocks are DC-only
+    through the float DCT and the quant value divides 8, so every
+    pixel roundtrips bit-exact and the oracle predicts the decoded
+    mean in closed form: avg over blocks of
+    (doc_id + 17*bx + 29*by) % 256 -- the block grid makes a wrong
+    DC predictor chain (DPCM), zigzag, or dequant visibly shift the
+    mean. Lossy-path behavior (AC coefficients, color transform) is
+    bounded separately in pytest; this query proves the entropy/DCT
+    plumbing exactly."""
+    import numpy as np
+    import pandas as pd  # noqa: F401
+
+    from .operators.multimodal import decode_images, encode_jpeg
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+
+    def build(batches):
+        for pdf in batches:
+            payloads = []
+            for i, n in zip(pdf["doc_id"], pdf["n_chars"]):
+                i, n = int(i), int(n)
+                wb, hb = 1 + n % 3, 1 + n % 2
+                bx = np.arange(wb, dtype=np.int64)[None, :]
+                by = np.arange(hb, dtype=np.int64)[:, None]
+                blocks = (i + 17 * bx + 29 * by) % 256
+                img = np.kron(blocks, np.ones((8, 8), dtype=np.int64)).astype(
+                    np.uint8
+                )
+                payloads.append(encode_jpeg(img))
+            pdf["payload"] = payloads
+            yield pdf
+
+    with_payload = docs.mapInPandas(build, "doc_id long, n_chars long, payload binary")
+    dec = decode_images(with_payload)
+    return dec.select(
+        "doc_id",
+        F.col("decoded.width").alias("width"),
+        F.col("decoded.height").alias("height"),
+        F.col("decoded.mean_r").alias("mean_gray"),
+    )

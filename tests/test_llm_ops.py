@@ -1350,3 +1350,72 @@ def test_pca_rotation_feeds_pq_and_beats_axis_truncation(spark, embeddings):
     err_pca = (X**2).sum() - ((X @ comps.T) ** 2).sum()
     err_raw_best = (X**2).sum() - np.sort((X**2).sum(axis=0))[-8:].sum()
     assert err_pca <= err_raw_best + 1e-6
+
+
+def test_jpeg_constant_block_roundtrip_exact():
+    """Constant 8x8 blocks are DC-only through the float DCT, and the
+    uniform quant value divides 8 — the whole entropy/DCT chain
+    (huffman, DPCM, zigzag, byte stuffing) must roundtrip bit-exact."""
+    import numpy as np
+
+    from data_seedling_spark.operators.multimodal import (
+        decode_jpeg_pixels,
+        encode_jpeg,
+    )
+
+    rng = np.random.default_rng(7)
+    for q in (1, 2, 8):
+        blocks = rng.integers(0, 256, (3, 4))
+        img = np.kron(blocks, np.ones((8, 8), dtype=np.int64)).astype(np.uint8)
+        assert np.array_equal(decode_jpeg_pixels(encode_jpeg(img, quant_value=q)), img)
+
+
+def test_jpeg_lossy_path_bounded_and_cropped():
+    """Arbitrary gray and RGB content: the q=1 lossy path (AC
+    coefficient rounding + YCbCr transform) stays within a small bound
+    and non-multiple-of-8 sizes crop back to the SOF dims."""
+    import numpy as np
+
+    from data_seedling_spark.operators.multimodal import (
+        decode_jpeg_pixels,
+        encode_jpeg,
+    )
+
+    rng = np.random.default_rng(11)
+    gray = rng.integers(0, 256, (19, 13), dtype=np.uint8)
+    out = decode_jpeg_pixels(encode_jpeg(gray))
+    assert out.shape == (19, 13)
+    assert np.abs(out.astype(int) - gray.astype(int)).max() <= 3
+    rgb = rng.integers(0, 256, (10, 22, 3), dtype=np.uint8)
+    out = decode_jpeg_pixels(encode_jpeg(rgb))
+    assert out.shape == (10, 22, 3)
+    assert np.abs(out.astype(int) - rgb.astype(int)).max() <= 4
+
+
+def test_jpeg_flows_through_sniffing_resize_and_decode(spark):
+    """JPEG payloads ride the same format-sniffed operators as
+    BMP/PNG: decode_images reports dims/means with ok=True, and
+    resize_images re-encodes a JPEG source to BMP through the full
+    media loop."""
+    import numpy as np
+    from pyspark.sql import Row
+
+    from data_seedling_spark.operators.multimodal import (
+        decode_bmp_pixels,
+        decode_images,
+        encode_jpeg,
+        resize_images,
+    )
+
+    img = np.full((16, 16), 99, dtype=np.uint8)
+    rows = [Row(doc_id=1, payload=bytearray(encode_jpeg(img))),
+            Row(doc_id=2, payload=bytearray(b"\xff\xd8garbage"))]
+    df = spark.createDataFrame(rows)
+    out = {r["doc_id"]: r["decoded"] for r in decode_images(df).collect()}
+    assert out[1]["ok"] and out[1]["width"] == 16 and out[1]["mean_r"] == 99.0
+    assert not out[2]["ok"]
+    resized = {r["doc_id"]: r["resized"] for r in
+               resize_images(df, width=4, height=2).collect()}
+    px = decode_bmp_pixels(bytes(resized[1]))
+    assert px.shape == (2, 4, 3) and (px == 99).all()
+    assert resized[2] is None

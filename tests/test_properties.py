@@ -391,3 +391,26 @@ def test_png_roundtrip_property(w, h, f, seed):
 
     img = np.random.default_rng(seed).integers(0, 256, (h, w, 3), dtype=np.uint8)
     assert (decode_png_pixels(encode_png(img, filter_type=f)) == img).all()
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    wb=st.integers(min_value=1, max_value=4),
+    hb=st.integers(min_value=1, max_value=4),
+    q=st.sampled_from([1, 2, 4, 8]),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_jpeg_constant_block_roundtrip_property(wb, hb, q, seed):
+    """Any constant-8x8-block gray image, any quant value dividing 8:
+    JPEG encode→decode is the identity (DC-only blocks survive the
+    float DCT and uniform quantization exactly)."""
+    import numpy as np
+
+    from data_seedling_spark.operators.multimodal import (
+        decode_jpeg_pixels,
+        encode_jpeg,
+    )
+
+    blocks = np.random.default_rng(seed).integers(0, 256, (hb, wb))
+    img = np.kron(blocks, np.ones((8, 8), dtype=np.int64)).astype(np.uint8)
+    assert np.array_equal(decode_jpeg_pixels(encode_jpeg(img, quant_value=q)), img)
