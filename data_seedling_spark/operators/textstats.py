@@ -337,3 +337,74 @@ def feature_hash(
             ),
         ).alias("features")
     )
+
+
+def greedy_subword_tokenize(
+    df: DataFrame,
+    vocab: tuple[str, ...],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Greedy longest-match subword tokenization (the WordPiece
+    inference rule: at each position consume the longest vocabulary
+    piece, else emit UNK and consume one character) over a broadcast
+    vocabulary, returning per-document token and UNK counts.
+
+    Scale posture: the vocabulary ships once per python worker inside
+    the Arrow-batched ``mapInPandas`` closure (BPE/WordPiece vocabs
+    are ~30k entries — broadcast-sized by construction); tokenization
+    is row-local, so the operator adds no shuffle and composes with
+    any upstream scan. The greedy automaton is deterministic, which is
+    what makes a SQL oracle possible: the same longest-prefix
+    recurrence expressed as a recursive CTE must land on identical
+    counts.
+    """
+    from pyspark.sql import types as T
+
+    pieces = sorted(set(vocab), key=len, reverse=True)
+    by_first: dict[str, list[str]] = {}
+    for p in pieces:
+        by_first.setdefault(p[0], []).append(p)
+
+    def tokenize_word(word: str) -> tuple[int, int]:
+        ntok = nunk = pos = 0
+        n = len(word)
+        while pos < n:
+            match_len = 0
+            for p in by_first.get(word[pos], ()):
+                if word.startswith(p, pos):
+                    match_len = len(p)
+                    break  # candidates are longest-first
+            if match_len:
+                pos += match_len
+            else:
+                pos += 1
+                nunk += 1
+            ntok += 1
+        return ntok, nunk
+
+    schema = T.StructType(
+        [
+            df.schema[id_col],
+            T.StructField("n_tokens", T.LongType()),
+            T.StructField("n_unk", T.LongType()),
+        ]
+    )
+
+    def run(batches):
+        for pdf in batches:
+            toks, unks = [], []
+            for text in pdf[text_col]:
+                ntok = nunk = 0
+                for word in ("" if text is None else text).lower().split():
+                    t, u = tokenize_word(word)
+                    ntok += t
+                    nunk += u
+                toks.append(ntok)
+                unks.append(nunk)
+            out = pdf[[id_col]].copy()
+            out["n_tokens"] = toks
+            out["n_unk"] = unks
+            yield out
+
+    return df.select(id_col, text_col).mapInPandas(run, schema)

@@ -2653,3 +2653,58 @@ def multimodal_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("decoded.height").alias("height"),
         F.col("decoded.mean_r").alias("mean_gray"),
     )
+
+
+_SUBWORD_VOCAB = (
+    "the", "ing", "tion", "ed", "er", "re", "and", "of", "to", "qu",
+    "a", "b", "c", "d", "e", "f", "g", "h", "i", "j", "k", "l", "m",
+)
+
+
+@query(
+    "subword_tokenize_greedy",
+    oracle="""
+    WITH RECURSIVE vocab(piece) AS (
+      SELECT unnest(['the','ing','tion','ed','er','re','and','of','to','qu']
+             || [chr(c::INT) FOR c IN range(97, 110)])
+    ), words AS (
+      SELECT doc_id, lower(w) AS word
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+      WHERE w <> ''
+    ), wid AS (
+      SELECT row_number() OVER () AS word_id, doc_id, word FROM words
+    ), seg AS (
+      SELECT word_id, doc_id, 1 AS pos, word, 0 AS ntok, 0 AS nunk FROM wid
+      UNION ALL
+      SELECT word_id, doc_id,
+             pos + coalesce(
+               (SELECT max(len(v.piece)) FROM vocab v
+                WHERE substr(word, pos, len(v.piece)) = v.piece), 1),
+             word, ntok + 1,
+             nunk + CASE WHEN EXISTS (SELECT 1 FROM vocab v
+                            WHERE substr(word, pos, len(v.piece)) = v.piece)
+                    THEN 0 ELSE 1 END
+      FROM seg WHERE pos <= len(word)
+    ), per_word AS (
+      SELECT word_id, doc_id, max(ntok) AS ntok, max(nunk) AS nunk
+      FROM seg GROUP BY word_id, doc_id
+    )
+    SELECT doc_id, SUM(ntok)::BIGINT AS n_tokens, SUM(nunk)::BIGINT AS n_unk
+    FROM per_word GROUP BY doc_id
+    """,
+    tags=("llm", "tokenizer", "subword", "UD2-shape"),
+)
+def subword_tokenize_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy longest-match subword tokenization (WordPiece inference
+    rule) against a broadcast vocabulary — per-document token + UNK
+    counts, the sizing pass every pretraining mix needs. The vocabulary
+    deliberately drops single letters n-z so the UNK branch is
+    exercised on real rows. The greedy automaton is deterministic, so
+    the oracle replays the identical longest-prefix recurrence as a
+    recursive CTE (one step per consumed position) — a rare case of an
+    oracle-checked tokenizer (operators.textstats.greedy_subword_tokenize;
+    row-local mapInPandas, no shuffle)."""
+    from .operators.textstats import greedy_subword_tokenize
+
+    documents = load_table(spark, sf_dir, "documents")
+    return greedy_subword_tokenize(documents, _SUBWORD_VOCAB)

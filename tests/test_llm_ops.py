@@ -1419,3 +1419,34 @@ def test_jpeg_flows_through_sniffing_resize_and_decode(spark):
     px = decode_bmp_pixels(bytes(resized[1]))
     assert px.shape == (2, 4, 3) and (px == 99).all()
     assert resized[2] is None
+
+
+def test_greedy_subword_tokenizer_hand_cases(spark):
+    """Greedy longest-match: 'theming' with vocab {the,them,ing,t,h,e,m,i,n,g}
+    must take 'them' (longest at pos 0), then 'ing' — never the shorter
+    'the' split. UNK consumes exactly one character."""
+    from pyspark.sql import Row
+
+    from data_seedling_spark.operators.textstats import greedy_subword_tokenize
+
+    vocab = ("the", "them", "ing", "t", "h", "e", "m", "i", "n", "g")
+    rows = [
+        Row(doc_id=1, text="theming"),       # them+ing = 2 tokens, 0 unk
+        Row(doc_id=2, text="the theme"),     # the | them+e = 1 + 2
+        Row(doc_id=3, text="zzz"),           # 3 UNKs (z not in vocab)
+        Row(doc_id=4, text="THEMING"),       # lowercased first
+        Row(doc_id=5, text=None),            # null text → zero counts
+        Row(doc_id=6, text="t h e"),         # whitespace splits words
+    ]
+    out = {
+        r["doc_id"]: (r["n_tokens"], r["n_unk"])
+        for r in greedy_subword_tokenize(spark.createDataFrame(rows), vocab).collect()
+    }
+    assert out == {
+        1: (2, 0),
+        2: (3, 0),
+        3: (3, 3),
+        4: (2, 0),
+        5: (0, 0),
+        6: (3, 0),
+    }
