@@ -408,3 +408,86 @@ def greedy_subword_tokenize(
             yield out
 
     return df.select(id_col, text_col).mapInPandas(run, schema)
+
+
+def pmi_collocations(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_count: int = 5,
+    top_n: int = 20,
+) -> DataFrame:
+    """Collocation mining by pointwise mutual information: adjacent
+    bigrams scoring ``ln(p(ab) / (p(a)·p(b)))`` — the standard phrase
+    detector (word2vec's phrase pass, NLTK collocations) for deciding
+    which token pairs should fuse in a tokenizer vocabulary.
+
+    Scale posture: bigrams are built row-locally (``arrays_zip`` of the
+    token array against its own tail — no shuffle, no self-join); the
+    only shuffles are the unigram and bigram count aggregations, both
+    token-keyed with map-side combine. Corpus totals ride a broadcast
+    cross join (two longs). The PMI double is an explicitly-ordered
+    sum of ``round``-gridded logs, so the SQL oracle reproduces it
+    bit-for-bit, and the final top-N is rank-windowed with a full
+    deterministic tie-break.
+    """
+    from pyspark.sql import Window as W
+
+    toks = df.select(
+        F.split(F.col(text_col), " ").alias("_t")
+    ).select(F.filter("_t", lambda x: x != "").alias("_t"))
+    toks = toks.persist()
+    uni = (
+        toks.select(F.explode("_t").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("c_tok"))
+    )
+    big = (
+        toks.select(
+            F.explode(
+                F.arrays_zip(
+                    F.slice("_t", 1, F.greatest(F.size("_t") - 1, F.lit(0))),
+                    F.slice("_t", 2, F.greatest(F.size("_t") - 1, F.lit(0))),
+                )
+            ).alias("_b")
+        )
+        .select(F.col("_b.0").alias("tok_a"), F.col("_b.1").alias("tok_b"))
+        .groupBy("tok_a", "tok_b")
+        .agg(F.count("*").alias("c_ab"))
+        .where(F.col("c_ab") >= min_count)
+    )
+    n_tok = uni.agg(F.sum("c_tok").alias("n_tok"))
+    n_big = (
+        toks.select(
+            F.sum(F.greatest(F.size("_t") - 1, F.lit(0))).alias("n_big")
+        )
+    )
+    ua = uni.select(F.col("tok").alias("tok_a"), F.col("c_tok").alias("c_a"))
+    ub = uni.select(F.col("tok").alias("tok_b"), F.col("c_tok").alias("c_b"))
+    ln = F.log  # natural log in both engines
+    pmi = F.round(
+        (
+            (
+                ((ln("c_ab") + ln("n_tok")) + ln("n_tok")) - ln("n_big")
+            )
+            - ln("c_a")
+        )
+        - ln("c_b"),
+        6,
+    )
+    w = W.partitionBy().orderBy(F.col("pmi").desc(), "tok_a", "tok_b")
+    scored = (
+        big.join(ua, "tok_a")
+        .join(ub, "tok_b")
+        .crossJoin(F.broadcast(n_tok))
+        .crossJoin(F.broadcast(n_big))
+        .select("tok_a", "tok_b", "c_ab", pmi.alias("pmi"))
+    )
+    # candidate set after min_count is collocation-sized (thousands),
+    # so the single-partition rank window is over a pre-shrunk frame —
+    # same posture as every top-N in the registry
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= top_n)
+        .select("tok_a", "tok_b", F.col("c_ab").cast("long").alias("c_ab"), "pmi", "rank")
+    )

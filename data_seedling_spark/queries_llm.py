@@ -2708,3 +2708,54 @@ def subword_tokenize_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     documents = load_table(spark, sf_dir, "documents")
     return greedy_subword_tokenize(documents, _SUBWORD_VOCAB)
+
+
+@query(
+    "pmi_collocations_top",
+    oracle="""
+    WITH t AS (
+      SELECT list_filter(string_split(text, ' '), x -> x <> '') AS w
+      FROM documents
+    ), uni AS (
+      SELECT tok, COUNT(*)::BIGINT AS c
+      FROM (SELECT unnest(w) AS tok FROM t) GROUP BY tok
+    ), big AS (
+      SELECT tok_a, tok_b, COUNT(*)::BIGINT AS c_ab FROM (
+        SELECT p['a'] AS tok_a, p['b'] AS tok_b FROM (
+          SELECT unnest([{'a': w[i], 'b': w[i+1]}
+                         FOR i IN range(1, len(w))]) AS p
+          FROM t)
+      ) GROUP BY tok_a, tok_b
+      HAVING COUNT(*) >= 5
+    ), tot AS (
+      SELECT (SELECT SUM(c) FROM uni)::BIGINT AS n_tok,
+             (SELECT SUM(greatest(len(w) - 1, 0)) FROM t)::BIGINT AS n_big
+    ), scored AS (
+      SELECT b.tok_a, b.tok_b, b.c_ab,
+             round(((((ln(b.c_ab) + ln(n_tok)) + ln(n_tok)) - ln(n_big))
+                    - ln(ua.c)) - ln(ub.c), 6) AS pmi
+      FROM big b
+      JOIN uni ua ON ua.tok = b.tok_a
+      JOIN uni ub ON ub.tok = b.tok_b
+      CROSS JOIN tot
+    )
+    SELECT tok_a, tok_b, c_ab, pmi, rank FROM (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY pmi DESC, tok_a, tok_b) AS rank
+      FROM scored
+    ) WHERE rank <= 20
+    """,
+    tags=("llm", "collocations", "pmi", "phrase-mining"),
+)
+def pmi_collocations_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining by pointwise mutual information — the phrase
+    detector (word2vec phrase pass) that decides which adjacent token
+    pairs deserve a fused vocabulary entry. Bigrams build row-locally
+    (arrays_zip against the array's own tail — no self-join); only the
+    token-keyed count aggregations shuffle; corpus totals broadcast.
+    The PMI double is an explicitly-ordered sum of logs of exact
+    integer counts, so DuckDB reproduces it bit-for-bit
+    (operators.textstats.pmi_collocations)."""
+    from .operators.textstats import pmi_collocations
+
+    documents = load_table(spark, sf_dir, "documents")
+    return pmi_collocations(documents, "text", "doc_id", min_count=5, top_n=20)
