@@ -905,3 +905,153 @@ def incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+
+
+@query(
+    "gdpr_forget_propagation",
+    oracle="""
+    SELECT c_nationkey, c_acctbal, c_mktsegment,
+           sha256(CAST(c_custkey AS VARCHAR) || '2b6ef354-salt')
+             AS c_custkey_hashed
+    FROM customer
+    WHERE c_custkey % 13 <> 0
+    """,
+    tags=("S2", "S8", "ST3", "privacy", "right-to-erasure"),
+)
+def gdpr_forget_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-erasure propagation through a pseudonymised zone: the
+    silver mirror is keyed by the salted hash (the raw key was dropped
+    at ingest), so a forget request arriving as raw-key CDC deletes
+    must flow *through the same pseudonymisation transform* to find
+    its silver rows — the hash is deterministic precisely so erasure
+    stays routable after de-identification (the reference's salted-
+    SHA-256 design, ``transform.py:141-145``; its docs motivate salt
+    rotation vs erasure trade-offs).
+
+    v0 seeds bronze with every customer; run 1 builds silver. The
+    forget feed deletes custkeys ≡ 0 (mod 13) from bronze; run 2
+    consumes only that increment, pseudonymises the delete pre-images,
+    and the hashed-key MERGE removes the silver rows. The oracle is
+    the surviving customers pseudonymised relationally."""
+    from .config import TABLE_CONFIG
+    from .operators.merge import CHANGE_TYPE, CT_DELETE
+    from .pipelines.pseudonymise import pseudo_transform
+    from .streaming.incremental import run_incremental_activity
+
+    customer = load_table(spark, sf_dir, "customer")
+    base = tempfile.mkdtemp(prefix="gdpr_")
+    bronze = VersionedTable(spark, f"{base}/bronze", write_partitions=4)
+    silver = VersionedTable(spark, f"{base}/silver", write_partitions=4)
+    state = VersionedTable(spark, f"{base}/state", write_partitions=1)
+    run = lambda: run_incremental_activity(  # noqa: E731
+        spark, bronze, silver, state,
+        activity="pseudonymisation", table_name="customer",
+        primary_keys=["c_custkey_hashed"],
+        transform=lambda df: pseudo_transform(df, TABLE_CONFIG["customer"]),
+    )
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        bronze.write(customer, mode="overwrite")
+        run()
+        forget = customer.where(F.col("c_custkey") % 13 == 0).withColumn(
+            CHANGE_TYPE, F.lit(CT_DELETE)
+        )
+        bronze.merge(forget, primary_keys=["c_custkey"])
+        run()
+        return silver.read()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+
+
+@query(
+    "csv_source_roundtrip",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(ROUND(o_totalprice, 2) AS DECIMAL(18,2))) AS DOUBLE)
+             AS revenue
+    FROM orders
+    WHERE o_orderkey % 5 = 0
+    GROUP BY o_orderstatus
+    """,
+    tags=("S5-csv", "source-format", "A1"),
+)
+def csv_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV source fidelity, driver-checked: a deterministic orders
+    slice writes to headered CSV (`io.write_csv`) and reads back with
+    an explicit schema (`io.read_csv` — no inference job at scale),
+    then aggregates. Doubles survive because Spark writes the
+    shortest-roundtrip representation; the oracle aggregates the
+    original parquet, so any text-encode/parse drift (quoting, nulls,
+    locale, precision) breaks the hash."""
+    from .io import read_csv, write_csv
+
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") % 5 == 0)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    )
+    path = tempfile.mkdtemp(prefix="csv_rt_") + "/orders"
+    write_csv(orders, path)
+    back = read_csv(
+        spark, path,
+        schema="o_orderkey long, o_orderstatus string, o_totalprice double",
+    )
+    from .queries import dec_sum
+
+    return back.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_orders"),
+        dec_sum(F.col("o_totalprice"), "revenue"),
+    )
+
+
+@query(
+    "json_source_nested_roundtrip",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(ROUND(o_totalprice, 2) AS DECIMAL(18,2))) AS DOUBLE)
+             AS revenue
+    FROM orders
+    WHERE o_orderkey % 7 = 0
+    GROUP BY o_orderpriority
+    """,
+    tags=("S5-json", "source-format", "P5", "A1"),
+)
+def json_source_nested_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines source fidelity with a NESTED payload: orders rows
+    nest into ``detail: {status, priority, price}`` structs, write as
+    JSON lines, read back with an explicit nested schema, and the
+    aggregate projects through the dotted path — proving struct
+    encode/decode plus nested-field projection on a text source (the
+    P5 capability over S5-json). Oracle aggregates the original
+    parquet."""
+    from .io import read_json_lines, write_json_lines
+    from .queries import dec_sum
+
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") % 7 == 0)
+        .select(
+            "o_orderkey",
+            F.struct(
+                F.col("o_orderstatus").alias("status"),
+                F.col("o_orderpriority").alias("priority"),
+                F.col("o_totalprice").alias("price"),
+            ).alias("detail"),
+        )
+    )
+    path = tempfile.mkdtemp(prefix="json_rt_") + "/orders"
+    write_json_lines(orders, path)
+    back = read_json_lines(
+        spark, path,
+        schema="o_orderkey long, "
+        "detail struct<status:string, priority:string, price:double>",
+    )
+    return back.groupBy(
+        F.col("detail.priority").alias("o_orderpriority")
+    ).agg(
+        F.count("*").alias("n_orders"),
+        dec_sum(F.col("detail.price"), "revenue"),
+    )
