@@ -178,3 +178,52 @@ class MaterializedAggregate:
         # gives the same atomicity for a view-sized table.)
         self.table.write(new_state, mode="overwrite")
         return lo, hi
+
+
+def fold_stream_batch(
+    view: MaterializedAggregate, batch: DataFrame, batch_id: int
+) -> bool:
+    """Fold one Structured-Streaming micro-batch into the view — the
+    foreachBatch twin of :meth:`MaterializedAggregate.refresh`, with
+    the stream's ``batch_id`` as the in-commit watermark (the standard
+    idempotent-foreachBatch guard: a batch replayed after a failure
+    sees ``batch_id <= applied_hi`` and no-ops instead of
+    double-counting). Batches without a change-type column are treated
+    as pure inserts (append streams); CDC streams pass their own
+    change types through. Returns False when the batch was already
+    applied."""
+    if batch_id <= view.applied_hi():
+        return False
+    if CHANGE_TYPE not in batch.columns:
+        batch = batch.withColumn(CHANGE_TYPE, F.lit(CT_INSERT))
+    delta = aggregate_delta(batch, view.group_keys, view.sum_measures, view.scale)
+    if not view.table.exists():
+        first = delta.where(F.col(COUNT_COL) > 0).withColumn(
+            SOURCE_HI, F.lit(batch_id).cast("long")
+        )
+        view.table.write(first, mode="overwrite")
+        return True
+    old = view.table.read()
+    new_state = apply_aggregate_delta(
+        old.drop(SOURCE_HI), delta, view.group_keys
+    ).withColumn(SOURCE_HI, F.lit(batch_id).cast("long"))
+    view.table.write(new_state, mode="overwrite")
+    return True
+
+
+def stream_aggregate_into(
+    stream: DataFrame, view: MaterializedAggregate, checkpoint_dir: str
+):
+    """Maintain a materialized aggregate from a stream: every
+    micro-batch folds through :func:`fold_stream_batch` — incremental
+    sums with exactly-once semantics from checkpoint + the batch-id
+    guard, without any full recompute. The streaming form of the
+    CDC-batch :meth:`MaterializedAggregate.refresh`."""
+    return (
+        stream.writeStream.foreachBatch(
+            lambda batch, bid: fold_stream_batch(view, batch, bid) and None
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

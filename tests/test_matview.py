@@ -151,3 +151,61 @@ def test_apply_delta_touches_only_delta_groups(spark):
         for r in apply_aggregate_delta(old, delta, ["grp"]).collect()
     }
     assert new == {"a": (1, Decimal("0.00")), "z": (5, Decimal("99.00"))}
+
+
+def test_stream_aggregate_into_matches_batch_and_guards_replay(spark, tmp_path):
+    """Streaming IVM: events stream (one file per trigger where
+    possible) folds into the view via foreachBatch; the result equals
+    the batch aggregate, and replaying an already-applied batch_id
+    no-ops (the idempotent-foreachBatch guard)."""
+    from data_seedling_spark.operators.matview import (
+        MaterializedAggregate,
+        fold_stream_batch,
+        stream_aggregate_into,
+    )
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    events = "/root/testdata/sf0.001"
+    schema = spark.read.parquet(events + "/events.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(events)
+        .select("event_type", "value")
+    )
+    view = MaterializedAggregate(
+        spark,
+        VersionedTable(spark, str(tmp_path / "gold"), write_partitions=1),
+        group_keys=["event_type"],
+        sum_measures={"total_value": "value"},
+    )
+    q = stream_aggregate_into(stream, view, str(tmp_path / "ck"))
+    q.awaitTermination(120)
+    expected = {
+        r["event_type"]: (r["cnt"], r["total"])
+        for r in spark.read.parquet(events + "/events.parquet")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum(F.round("value", 2).cast("decimal(18,2)"))
+            .cast("decimal(18,2)")
+            .alias("total"),
+        )
+        .collect()
+    }
+    got = {
+        r["event_type"]: (r[COUNT_COL], r["total_value"])
+        for r in view.table.read().collect()
+    }
+    assert got == expected
+    # replay guard: re-folding the full input under an old batch_id is
+    # a no-op instead of a double count
+    batch = spark.read.parquet(events + "/events.parquet").select(
+        "event_type", "value"
+    )
+    assert fold_stream_batch(view, batch, 0) is False
+    got2 = {
+        r["event_type"]: (r[COUNT_COL], r["total_value"])
+        for r in view.table.read().collect()
+    }
+    assert got2 == expected
