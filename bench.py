@@ -71,6 +71,11 @@ HEADLINE = [
     "dsir_importance_weights",
     "char_entropy_documents",
     "multimodal_decode_png",
+    "incremental_agg_maintenance",
+    "ann_two_stage_rerank",
+    "multimodal_decode_jpeg",
+    "subword_tokenize_greedy",
+    "pmi_collocations_top",
 ]
 
 

@@ -491,3 +491,78 @@ def pmi_collocations(
         .where(F.col("rank") <= top_n)
         .select("tok_a", "tok_b", F.col("c_ab").cast("long").alias("c_ab"), "pmi", "rank")
     )
+
+
+def count_min_estimates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    depth: int = 4,
+    width: int = 256,
+    top_n: int = 10,
+) -> DataFrame:
+    """Count-min sketch (Cormode & Muthukrishnan 2005) over the token
+    stream, evaluated against exact truth: build the d×w counter grid,
+    then read back the estimates for the exact top-N tokens. The
+    estimate is ``min_d counter[d][h_d(token)]`` — always ≥ the true
+    count, within εN with high probability.
+
+    The sketch is *mergeable state*: counters are a plain
+    ``(row, bucket) → count`` aggregate, so shards/days sketch
+    independently and combine by addition — the 100 TB pattern. Hashes
+    are md5-prefix buckets (the engine's portable-hash convention,
+    ``sampling.hash_bucket``), which is what makes this sketch
+    oracle-checkable — DuckDB reproduces every counter and every
+    estimate exactly, rather than the usual rows-only sketch check.
+    """
+    from pyspark.sql import Window as W
+
+    tok = (
+        df.select(F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("token"))
+        .where(F.col("token") != "")
+    ).persist()
+    rows_idx = F.explode(F.array(*[F.lit(i) for i in range(depth)])).alias("d")
+    hashed = tok.select("token", rows_idx).withColumn(
+        "bucket",
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("d").cast("string"), F.lit(":"), F.col("token"))),
+                1, 8,
+            ),
+            16, 10,
+        ).cast("bigint") % width,
+    )
+    counters = hashed.groupBy("d", "bucket").agg(F.count("*").alias("c"))
+    truth = (
+        tok.groupBy("token")
+        .agg(F.count("*").alias("true_count"))
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                W.partitionBy().orderBy(F.col("true_count").desc(), "token")
+            ),
+        )
+        .where(F.col("rank") <= top_n)
+    )
+    probes = truth.select("token", "true_count", "rank", rows_idx).withColumn(
+        "bucket",
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("d").cast("string"), F.lit(":"), F.col("token"))),
+                1, 8,
+            ),
+            16, 10,
+        ).cast("bigint") % width,
+    )
+    return (
+        probes.join(F.broadcast(counters), ["d", "bucket"])
+        .groupBy("token", "true_count", "rank")
+        .agg(F.min("c").alias("cm_estimate"))
+        .select(
+            "token",
+            "true_count",
+            "cm_estimate",
+            (F.col("cm_estimate") >= F.col("true_count")).alias("never_under"),
+            "rank",
+        )
+    )

@@ -2759,3 +2759,55 @@ def pmi_collocations_top(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     documents = load_table(spark, sf_dir, "documents")
     return pmi_collocations(documents, "text", "doc_id", min_count=5, top_n=20)
+
+
+@query(
+    "count_min_heavy_hitters",
+    oracle="""
+    WITH tok AS (
+      SELECT unnest(string_split(lower(text), ' ')) AS token FROM documents
+    ), tokf AS (
+      SELECT token FROM tok WHERE token <> ''
+    ), dd AS (
+      SELECT unnest(range(0, 4)) AS d
+    ), hashed AS (
+      SELECT token, d,
+             CAST('0x' || substr(md5(CAST(d AS VARCHAR) || ':' || token), 1, 8)
+                  AS BIGINT) % 256 AS bucket
+      FROM tokf, dd
+    ), counters AS (
+      SELECT d, bucket, COUNT(*)::BIGINT AS c FROM hashed GROUP BY d, bucket
+    ), truth AS (
+      SELECT token, COUNT(*)::BIGINT AS true_count FROM tokf GROUP BY token
+    ), top AS (
+      SELECT token, true_count,
+             ROW_NUMBER() OVER (ORDER BY true_count DESC, token) AS rank
+      FROM truth QUALIFY rank <= 10
+    ), probes AS (
+      SELECT t.token, t.true_count, t.rank, dd.d,
+             CAST('0x' || substr(md5(CAST(dd.d AS VARCHAR) || ':' || t.token), 1, 8)
+                  AS BIGINT) % 256 AS bucket
+      FROM top t, dd
+    )
+    SELECT p.token, p.true_count,
+           MIN(c.c) AS cm_estimate,
+           MIN(c.c) >= p.true_count AS never_under,
+           p.rank
+    FROM probes p JOIN counters c USING (d, bucket)
+    GROUP BY p.token, p.true_count, p.rank
+    """,
+    tags=("sketch", "count-min", "heavy-hitters", "mergeable"),
+)
+def count_min_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch over the token stream, read back against exact
+    truth for the top-10 tokens (Cormode & Muthukrishnan 2005). The
+    d x w counter grid is a plain (row, bucket) aggregate — mergeable
+    by addition across shards/days, the 100 TB sketch pattern — and
+    the md5-prefix bucket hashing (the engine's portable-hash
+    convention) makes every counter and estimate DuckDB-reproducible:
+    an oracle-checked sketch, not the usual rows-only check
+    (operators.textstats.count_min_estimates)."""
+    from .operators.textstats import count_min_estimates
+
+    documents = load_table(spark, sf_dir, "documents")
+    return count_min_estimates(documents, "text", "doc_id")

@@ -1450,3 +1450,50 @@ def test_greedy_subword_tokenizer_hand_cases(spark):
         5: (0, 0),
         6: (3, 0),
     }
+
+
+def test_count_min_sketch_merges_by_addition(spark):
+    """Counters built per shard and summed equal the whole-corpus
+    counters (the mergeable-state property), and every estimate
+    dominates the true count."""
+    from pyspark.sql import functions as F
+
+    from data_seedling_spark.operators.textstats import count_min_estimates
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    whole = count_min_estimates(docs, "text", "doc_id", top_n=15)
+    rows = whole.collect()
+    assert len(rows) == 15
+    assert all(r["never_under"] for r in rows)
+    assert all(r["cm_estimate"] >= r["true_count"] for r in rows)
+
+    # mergeability: shard the corpus, sketch each half, add counters —
+    # reading the merged grid must give the same estimates
+    def grid(df):
+        from data_seedling_spark.operators.textstats import count_min_estimates  # noqa: F401
+        tok = (
+            df.select(F.explode(F.split(F.lower(F.col("text")), " ")).alias("token"))
+            .where(F.col("token") != "")
+        )
+        d = F.explode(F.array(*[F.lit(i) for i in range(4)])).alias("d")
+        hashed = tok.select("token", d).withColumn(
+            "bucket",
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.col("d").cast("string"), F.lit(":"), "token")),
+                    1, 8,
+                ), 16, 10,
+            ).cast("bigint") % 256,
+        )
+        return hashed.groupBy("d", "bucket").agg(F.count("*").alias("c"))
+
+    left = grid(docs.where(F.col("doc_id") % 2 == 0))
+    right = grid(docs.where(F.col("doc_id") % 2 == 1))
+    merged = (
+        left.unionByName(right).groupBy("d", "bucket").agg(F.sum("c").alias("c"))
+    )
+    full = grid(docs)
+    diff = merged.join(full, ["d", "bucket"], "full_outer").where(
+        merged["c"].eqNullSafe(full["c"]) == False  # noqa: E712
+    )
+    assert diff.count() == 0
