@@ -1004,3 +1004,99 @@ def two_stage_rerank_topk(
     return scored.withColumn("rank", F.row_number().over(w)).where(
         F.col("rank") <= k
     )
+
+
+def ivfpq_residual_topk(
+    df: DataFrame,
+    query_ids,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+    m: int = 4,
+    dim: int = 64,
+    centroid_stride: int = 50,
+) -> DataFrame:
+    """IVF-PQ with residual encoding (Jégou et al. 2011 §IV — the
+    composition every production ANN index ships): a coarse IVF
+    quantizer partitions the space, PQ encodes the *residual*
+    ``v − c(v)`` (residuals cluster near the origin, so the same
+    codebook budget spends its resolution where the data actually is),
+    and search ADC-scans only the query's cell with a LUT built from
+    the query's own residual.
+
+    Plan shape: assignment is the broadcast-centroid ``min_by`` scan;
+    residuals are one ``zip_with`` projection (rounded to the 1e-6
+    grid so the SQL oracle reproduces the doubles); codes move as m
+    small ints per vector; the per-query LUT broadcasts; candidate
+    restriction is the cell equi-join — the corpus never shuffles
+    full vectors after the residual pass. Deterministic stride
+    centroids/codebooks keep the whole composition oracle-checkable
+    (swap in :func:`kmeans_lloyd` / :func:`pq_codebooks_trained`
+    fits for recall)."""
+    sub = dim // m
+    centroids = df.where((F.col(id_col) % centroid_stride) == 0).select(
+        (F.col(id_col) / centroid_stride).cast("long").alias("centroid_id"),
+        F.col(vec_col),
+    )
+    assigned = ivf_assign(df, centroids, id_col, vec_col)
+    c = centroids.select(
+        "centroid_id", F.col(vec_col).cast("array<double>").alias("_c")
+    )
+    residuals = (
+        df.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v"))
+        .join(assigned, on=id_col)
+        .join(F.broadcast(c), on="centroid_id")
+        .select(
+            id_col,
+            "centroid_id",
+            F.zip_with(
+                "_v", "_c", lambda a, b: F.round(a - b, 6)
+            ).alias("_r"),
+        )
+        # three consumers (codebook sample, encode scan, query residuals)
+        # — persist so the assign+subtract pass runs once, not per branch
+        .persist()
+    )
+    codebooks = pq_codebooks(residuals, id_col, "_r", m, dim, centroid_stride)
+    codes = pq_encode(residuals, codebooks, id_col, "_r", m, dim)
+    q_res = residuals.where(F.col(id_col).isin(list(query_ids))).select(
+        F.col(id_col).alias("query_id"),
+        F.col("centroid_id").alias("_qcell"),
+        F.col("_r").alias("_qr"),
+    )
+    q_sub = q_res.select(
+        "query_id",
+        "_qcell",
+        F.posexplode(
+            F.array(*[F.slice(F.col("_qr"), j * sub + 1, sub) for j in range(m)])
+        ).alias("subspace", "_qs"),
+    )
+    lut_dist = (
+        _dot(F.col("_qs"), F.col("_qs"))
+        + _dot(F.col("subvec"), F.col("subvec"))
+        - 2 * _dot(F.col("_qs"), F.col("subvec"))
+    )
+    lut = q_sub.join(F.broadcast(codebooks), "subspace").select(
+        "query_id", "_qcell", "subspace", "code_id",
+        F.round(lut_dist, 6).alias("_d"),
+    )
+    cand = codes.join(assigned, on=id_col)
+    approx = (
+        cand.join(
+            F.broadcast(lut),
+            (cand["subspace"] == lut["subspace"])
+            & (cand["code"] == lut["code_id"])
+            & (cand["centroid_id"] == lut["_qcell"])  # cell restriction
+            & (cand[id_col] != lut["query_id"]),
+        )
+        .groupBy("query_id", id_col)
+        .agg(
+            F.sum(F.col("_d").cast("decimal(28,6)")).cast("double").alias("approx_dist")
+        )
+    )
+    w = W.partitionBy("query_id").orderBy("approx_dist", "neighbor_id")
+    return (
+        approx.select("query_id", F.col(id_col).alias("neighbor_id"), "approx_dist")
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )

@@ -2811,3 +2811,84 @@ def count_min_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     documents = load_table(spark, sf_dir, "documents")
     return count_min_estimates(documents, "text", "doc_id")
+
+
+@query(
+    "ivfpq_residual_topk",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS ve FROM embeddings
+    ), c AS (
+      SELECT vec_id // 50 AS centroid_id, ve AS cv FROM v WHERE vec_id % 50 = 0
+    ), assigned AS (
+      SELECT vec_id, centroid_id FROM (
+        SELECT v.vec_id, c.centroid_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY v.vec_id
+                 ORDER BY round(list_dot_product(ve, ve) + list_dot_product(cv, cv)
+                                - 2 * list_dot_product(ve, cv), 6),
+                          c.centroid_id
+               ) AS rn
+        FROM v, c
+      ) WHERE rn = 1
+    ), res AS (
+      SELECT v.vec_id, a.centroid_id,
+             [round(v.ve[i] - c.cv[i], 6) FOR i IN range(1, 65)] AS rv
+      FROM v JOIN assigned a USING (vec_id) JOIN c USING (centroid_id)
+    ), sp AS (
+      SELECT j FROM range(0, 4) AS t(j)
+    ), cb AS (
+      SELECT sp.j AS subspace, vec_id // 50 AS code_id,
+             rv[sp.j*16+1 : sp.j*16+16] AS cbv
+      FROM res, sp WHERE vec_id % 50 = 0
+    ), sv AS (
+      SELECT vec_id, centroid_id, sp.j AS subspace,
+             rv[sp.j*16+1 : sp.j*16+16] AS s
+      FROM res, sp
+    ), enc AS (
+      SELECT vec_id, centroid_id, subspace, code_id AS code FROM (
+        SELECT sv.vec_id, sv.centroid_id, sv.subspace, cb.code_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY sv.vec_id, sv.subspace
+                 ORDER BY round(list_dot_product(sv.s, sv.s)
+                                + list_dot_product(cb.cbv, cb.cbv)
+                                - 2 * list_dot_product(sv.s, cb.cbv), 6),
+                          cb.code_id
+               ) AS rn
+        FROM sv JOIN cb ON sv.subspace = cb.subspace
+      ) WHERE rn = 1
+    ), lut AS (
+      SELECT sv.vec_id AS query_id, sv.centroid_id AS qcell, sv.subspace,
+             cb.code_id,
+             round(list_dot_product(sv.s, sv.s) + list_dot_product(cb.cbv, cb.cbv)
+                   - 2 * list_dot_product(sv.s, cb.cbv), 6) AS d
+      FROM sv JOIN cb ON sv.subspace = cb.subspace
+      WHERE sv.vec_id IN (7, 123, 321)
+    ), approx AS (
+      SELECT lut.query_id, enc.vec_id AS neighbor_id,
+             CAST(SUM(CAST(d AS DECIMAL(28,6))) AS DOUBLE) AS approx_dist
+      FROM enc JOIN lut
+        ON enc.subspace = lut.subspace AND enc.code = lut.code_id
+       AND enc.centroid_id = lut.qcell
+      WHERE enc.vec_id <> lut.query_id
+      GROUP BY lut.query_id, enc.vec_id
+    )
+    SELECT query_id, neighbor_id, approx_dist, rank FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY approx_dist, neighbor_id
+      ) AS rank FROM approx
+    ) WHERE rank <= 3
+    """,
+    tags=("similarity-pq", "similarity-ivf", "ivfpq", "residual"),
+)
+def ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ with residual encoding (Jegou et al. 2011 Sec IV) — the
+    composition production ANN indexes (FAISS IVFPQ) ship: coarse IVF
+    cells + PQ codes of the residual v - c(v), searched cell-local
+    with a per-query residual LUT. Deterministic stride
+    centroids/codebooks keep the full composition oracle-checked
+    (operators.similarity.ivfpq_residual_topk)."""
+    from .operators.similarity import ivfpq_residual_topk
+
+    embeddings = load_table(spark, sf_dir, "embeddings")
+    return ivfpq_residual_topk(embeddings, query_ids=(7, 123, 321), k=3)

@@ -1055,3 +1055,40 @@ def json_source_nested_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_orders"),
         dec_sum(F.col("detail.price"), "revenue"),
     )
+
+
+@query(
+    "orc_source_roundtrip",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS n_items,
+           CAST(SUM(CAST(ROUND(l_extendedprice, 2) AS DECIMAL(18,2))) AS DOUBLE)
+             AS gross
+    FROM lineitem
+    WHERE l_orderkey % 11 = 0
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    tags=("S5-orc", "source-format", "A1"),
+)
+def orc_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC source fidelity (the third columnar format next to parquet
+    and the text sources): a deterministic lineitem slice writes to ORC
+    and reads back, then aggregates; the oracle aggregates the original
+    parquet, so any type-mapping or compression drift breaks the hash.
+    ORC scans keep predicate pushdown and column pruning like parquet —
+    the formats are interchangeable at the plan level."""
+    from .io import read_orc, write_orc
+    from .queries import dec_sum
+
+    lineitem = (
+        load_table(spark, sf_dir, "lineitem")
+        .where(F.col("l_orderkey") % 11 == 0)
+        .select("l_orderkey", "l_returnflag", "l_linestatus", "l_extendedprice")
+    )
+    path = tempfile.mkdtemp(prefix="orc_rt_") + "/lineitem"
+    write_orc(lineitem, path)
+    back = read_orc(spark, path)
+    return back.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n_items"),
+        dec_sum(F.col("l_extendedprice"), "gross"),
+    )

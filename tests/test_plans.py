@@ -253,3 +253,16 @@ def test_two_stage_rerank_broadcasts_shortlist_and_queries(spark, reg):
     assert "NestedLoop" not in plan and "Cartesian" not in plan
     assert "Python" not in plan
     assert not _unpartitioned_windows(plan)
+
+
+def test_ivfpq_residual_no_python_no_cartesian(spark, reg):
+    """Residual IVF-PQ: centroids and codebooks broadcast; the corpus
+    moves as residual codes, never re-shuffled vectors; all JVM. The
+    BroadcastNestedLoopJoin inside ivf_assign is the intended
+    bounded-centroid cross-score (broadcast side = k centroids), so
+    only an *unbroadcast* cartesian is forbidden."""
+    plan = plan_of(spark, reg, "ivfpq_residual_topk")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "Python" not in plan
+    assert not _unpartitioned_windows(plan)
