@@ -202,3 +202,41 @@ def test_python_datasource_synthetic_docs(spark):
     assert wide_rows == narrow_rows  # repartition-invariant content
     first = dict(zip(df.columns, wide_rows[0]))
     assert first["doc_id"] == 0 and first["n_chars"] == len(first["text"])
+
+
+def test_ledger_python_datasource_snapshot_and_time_travel(spark, tmp_path):
+    """spark.read.format('ledger'): the Python DataSource connector
+    (Spark 4 pyspark.sql.datasource) resolves the same snapshot as
+    VersionedTable.read — schema from the footer, one InputPartition
+    per file, Arrow-batch reads — including the version= time-travel
+    option."""
+    from pyspark.sql import functions as F
+
+    from data_seedling_spark.operators.ledger import VersionedTable
+    from data_seedling_spark.sources_pyds import LedgerDataSource
+
+    spark.dataSource.register(LedgerDataSource)
+    t = VersionedTable(spark, str(tmp_path / "t"), write_partitions=2)
+    orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    t.write(orders.where(F.col("o_orderkey") % 2 == 0), mode="overwrite")
+    t.write(orders.where(F.col("o_orderkey") % 2 == 1), mode="append")
+
+    via_ds = spark.read.format("ledger").option("path", str(tmp_path / "t")).load()
+    assert via_ds.schema == t.read().schema
+    assert via_ds.count() == t.read().count()
+    assert sorted(
+        (r["o_orderstatus"], r["count"])
+        for r in via_ds.groupBy("o_orderstatus").count().collect()
+    ) == sorted(
+        (r["o_orderstatus"], r["count"])
+        for r in t.read().groupBy("o_orderstatus").count().collect()
+    )
+    v0 = (
+        spark.read.format("ledger")
+        .option("path", str(tmp_path / "t"))
+        .option("version", 0)
+        .load()
+    )
+    assert v0.count() == t.read(0).count()
