@@ -414,3 +414,105 @@ def test_jpeg_constant_block_roundtrip_property(wb, hb, q, seed):
     blocks = np.random.default_rng(seed).integers(0, 256, (hb, wb))
     img = np.kron(blocks, np.ones((8, 8), dtype=np.int64)).astype(np.uint8)
     assert np.array_equal(decode_jpeg_pixels(encode_jpeg(img, quant_value=q)), img)
+
+
+@given(
+    batches=st.lists(
+        st.lists(
+            st.tuples(
+                st.sampled_from(["a", "b", "c", "d"]),      # group
+                st.integers(min_value=0, max_value=99),      # cents
+                st.sampled_from(["insert", "delete"]),
+            ),
+            min_size=0, max_size=8,
+        ),
+        min_size=1, max_size=4,
+    )
+)
+@slow
+def test_matview_incremental_equals_recompute(spark, tmp_path_factory, batches):
+    """IVM soundness for ANY change sequence: folding batches
+    incrementally lands on exactly the aggregate a full recompute of
+    the net row state gives — deletes only fire for live rows (the
+    change feed is taken from the ledger, which enforces that), and
+    decimal measures make ⊕/⊖ order-irrelevant."""
+    from collections import Counter
+
+    from data_seedling_spark.operators.ledger import VersionedTable
+    from data_seedling_spark.operators.matview import (
+        COUNT_COL,
+        MaterializedAggregate,
+    )
+    from data_seedling_spark.operators.merge import CHANGE_TYPE
+
+    tmp = tmp_path_factory.mktemp("ivm_prop")
+    src = VersionedTable(spark, str(tmp / "src"), write_partitions=1)
+    view = MaterializedAggregate(
+        spark,
+        VersionedTable(spark, str(tmp / "gold"), write_partitions=1),
+        group_keys=["grp"],
+        sum_measures={"revenue": "amount"},
+    )
+    live: dict[int, tuple[str, int]] = {}   # rid -> (grp, cents)
+    next_id = 0
+    first = True
+    for batch in batches:
+        rows = []
+        deleted_in_batch: set[int] = set()
+        # deletes target rows live BEFORE this batch: a same-commit
+        # insert+delete of one key is not a shape a real change feed
+        # emits (and the merge's net-effect rule would keep the insert)
+        live_before = set(live)
+        for grp, cents, op in batch:
+            if op == "insert":
+                rows.append(Row(rid=next_id, grp=grp,
+                                amount=cents / 1.0, ct="insert"))
+                live[next_id] = (grp, cents)
+                next_id += 1
+            elif not first:
+                victim = next(
+                    (rid for rid in live_before
+                     if live.get(rid) == (grp, cents)
+                     and rid not in deleted_in_batch),
+                    None,
+                )
+                if victim is not None:
+                    # delete a REAL live row, pre-image carried (CDC shape)
+                    rows.append(Row(rid=victim, grp=grp,
+                                    amount=cents / 1.0, ct="delete"))
+                    deleted_in_batch.add(victim)
+                    del live[victim]
+        if not rows:
+            continue
+        df = spark.createDataFrame(rows).withColumnRenamed("ct", CHANGE_TYPE)
+        if first:
+            src.write(df.where(F.col(CHANGE_TYPE) == "insert")
+                      .drop(CHANGE_TYPE), mode="overwrite")
+            first = False
+        else:
+            src.merge(df, primary_keys=["rid"])
+        view.refresh(src)
+    if first:
+        return  # no non-empty batch generated
+    expected: dict = {}
+    for grp, cents in live.values():
+        cnt, total = expected.get(grp, (0, Decimal("0.00")))
+        expected[grp] = (cnt + 1, total + Decimal(cents))
+    got = {
+        r["grp"]: (r[COUNT_COL], r["revenue"])
+        for r in view.table.read().collect()
+    }
+    assert got == {g: (c, t.quantize(Decimal("0.01"))) for g, (c, t) in expected.items()}
+    # and the view equals a full recompute of the actual source snapshot
+    recomputed = {
+        r["grp"]: (r["c"], r["t"])
+        for r in src.read()
+        .groupBy("grp")
+        .agg(
+            F.count("*").alias("c"),
+            F.sum(F.round("amount", 2).cast("decimal(18,2)"))
+            .cast("decimal(18,2)").alias("t"),
+        )
+        .collect()
+    }
+    assert got == recomputed
