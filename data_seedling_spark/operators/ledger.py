@@ -524,14 +524,22 @@ class VersionedTable:
         return stats
 
     def read_pruned(
-        self, ranges: dict[str, tuple], version: int | None = None
+        self,
+        ranges: dict[str, tuple] | None = None,
+        version: int | None = None,
+        equals: dict | None = None,
     ) -> DataFrame:
-        """Snapshot scan that skips files whose stats prove they cannot
-        satisfy ``ranges`` (col → (lo, hi); either bound may be None
-        for half-open). The surviving files still go through the normal
-        Spark scan — callers apply their actual filter on top, so
-        pruning only ever removes provably-dead IO. Files without
-        recorded stats are kept."""
+        """Snapshot scan that skips files whose metadata proves they
+        cannot satisfy the predicate: ``ranges`` (col → (lo, hi),
+        either bound None for half-open) prunes on min/max stats;
+        ``equals`` (col → value) additionally probes the per-file
+        Bloom index (``collect_bloom_index``) — the point-lookup case
+        where min/max is useless because every file spans the key
+        range. The surviving files still go through the normal Spark
+        scan — callers apply their actual filter on top, so pruning
+        only ever removes provably-dead IO (Bloom has no false
+        negatives). Files without recorded stats/blooms are kept."""
+        ranges = ranges or {}
         as_of = self.latest_version() if version is None else version
         live = self._live_versions(as_of)
         dfs = []
@@ -541,6 +549,10 @@ class VersionedTable:
             if os.path.exists(self._stats_path(c.version)):
                 with open(self._stats_path(c.version)) as f:
                     stats = json.load(f)
+            blooms = {}
+            if equals and os.path.exists(self._bloom_path(c.version)):
+                with open(self._bloom_path(c.version)) as f:
+                    blooms = json.load(f)
             import glob as _glob
 
             files = sorted(_glob.glob(os.path.join(vdir, "*.parquet")))
@@ -548,6 +560,9 @@ class VersionedTable:
                 f
                 for f in files
                 if _file_may_match(stats.get(os.path.basename(f)), ranges)
+                and _bloom_may_match(
+                    blooms.get(os.path.basename(f)), equals or {}
+                )
             ]
             if kept:
                 dfs.append(self.spark.read.parquet(*kept))
@@ -556,6 +571,63 @@ class VersionedTable:
         return reduce(
             lambda a, b: a.unionByName(b, allowMissingColumns=True), dfs
         )
+
+    def _bloom_path(self, version: int) -> str:
+        return os.path.join(self._version_dir(version), "_bloom_index.json")
+
+    def collect_bloom_index(
+        self, version: int, columns: list[str], bits_per_key: int = 10
+    ) -> dict:
+        """Record a per-file Bloom filter over ``columns`` of one
+        committed version — the Hudi/Delta bloom-index pattern for
+        point lookups on high-cardinality keys, where min/max stats
+        prune nothing because every file spans the key range.
+
+        Unlike ``collect_file_stats`` this reads the indexed COLUMN
+        data (not just footers) — the index build is a deliberate
+        one-time cost per commit, paid on the few key columns worth
+        indexing. Sizing is the textbook optimum: m = bits_per_key ×
+        distinct keys, k = round(ln2 · m/n) hashes (≈1% false
+        positives at 10 bits/key). Bits serialize as base64 into a
+        ``_bloom_index.json`` sidecar."""
+        import base64
+        import glob as _glob
+
+        import pyarrow.parquet as pq
+
+        index: dict[str, dict] = {}
+        for fpath in sorted(
+            _glob.glob(os.path.join(self._version_dir(version), "*.parquet"))
+        ):
+            pf = pq.ParquetFile(fpath)
+            present = [c for c in columns if c in pf.schema_arrow.names]
+            if not present:
+                continue
+            table = pf.read(columns=present)
+            per_col: dict[str, dict] = {}
+            for col in present:
+                values = {v for v in table.column(col).to_pylist() if v is not None}
+                if not values:
+                    continue
+                n = len(values)
+                m = max(64, bits_per_key * n)
+                k = max(1, round(0.693 * m / n))
+                bits = bytearray((m + 7) // 8)
+                for v in values:
+                    for pos in _bloom_positions(v, m, k):
+                        bits[pos >> 3] |= 1 << (pos & 7)
+                per_col[col] = {
+                    "m": m,
+                    "k": k,
+                    "bits": base64.b64encode(bytes(bits)).decode(),
+                }
+            if per_col:
+                index[os.path.basename(fpath)] = per_col
+        tmp = self._bloom_path(version) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(index, f)
+        os.replace(tmp, self._bloom_path(version))
+        return index
 
     def version_at_timestamp(self, timestamp_ms: int) -> int:
         """Timestamp-based time travel (the ``timestampAsOf`` half of
@@ -729,6 +801,37 @@ def _file_may_match(file_stats: dict | None, ranges: dict) -> bool:
                 return False
         except TypeError:  # mixed-type compare: keep the file
             continue
+    return True
+
+
+def _bloom_positions(value, m: int, k: int):
+    """k bit positions for ``value`` via md5 of a seeded canonical
+    string — the same portable-hash convention as ``sampling.
+    hash_bucket`` (no library, deterministic across processes)."""
+    import hashlib
+
+    canon = str(value)
+    for i in range(k):
+        h = hashlib.md5(f"{i}:{canon}".encode()).hexdigest()
+        yield int(h[:12], 16) % m
+
+
+def _bloom_may_match(file_blooms: dict | None, equals: dict) -> bool:
+    """False only when a Bloom filter PROVES a point predicate can't
+    match (some probe bit unset). Missing index/column keeps the file;
+    false positives only ever keep extra files."""
+    if not file_blooms or not equals:
+        return True
+    import base64
+
+    for col, value in equals.items():
+        spec = file_blooms.get(col)
+        if spec is None:
+            continue
+        bits = base64.b64decode(spec["bits"])
+        for pos in _bloom_positions(value, spec["m"], spec["k"]):
+            if not bits[pos >> 3] & (1 << (pos & 7)):
+                return False
     return True
 
 

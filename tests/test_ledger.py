@@ -602,3 +602,47 @@ def test_compact_with_stats_enables_file_skipping(spark, tmp_table_dir):
     # other three dead
     assert len(pruned.inputFiles()) == 1
     assert pruned.where("k >= 3000").count() == 100
+
+
+def test_bloom_index_prunes_point_lookups_across_full_range_files(
+    spark, tmp_table_dir
+):
+    """Every file spans the whole key range (hash-spread writes), so
+    min/max stats prune NOTHING — the bloom index is what turns a
+    point lookup into a near-single-file read. No false negatives:
+    the matching file always survives."""
+    from pyspark.sql import Row
+
+    t = VersionedTable(spark, tmp_table_dir, write_partitions=1)
+    # 4 commits, each holding a hash-spread slice: every file's
+    # [min, max] covers ~the whole keyspace
+    versions = []
+    for s in range(4):
+        versions.append(
+            t.write(
+                spark.createDataFrame(
+                    [Row(k=i, v=f"s{s}") for i in range(s, 4000, 4)]
+                ),
+                mode="overwrite" if s == 0 else "append",
+            )
+        )
+    for v in versions:
+        t.collect_file_stats(v, ["k"])
+        t.collect_bloom_index(v, ["k"])
+
+    # range pruning alone keeps all 4 files (overlapping ranges)
+    assert len(t.read_pruned({"k": (1001, 1001)}).inputFiles()) == 4
+    # bloom pruning drops the provably-dead files (1 true + ~1% fp)
+    pruned = t.read_pruned(equals={"k": 1001})
+    assert len(pruned.inputFiles()) <= 2
+    got = pruned.where("k = 1001").collect()
+    assert len(got) == 1 and got[0]["v"] == "s1"
+    # absent key: usually zero files survive; never a wrong row
+    far = t.read_pruned(equals={"k": 999_983})
+    assert len(far.inputFiles()) <= 1
+    assert far.where("k = 999983").count() == 0
+    # files without a bloom sidecar are kept (safe over-approximation)
+    import os
+
+    os.remove(t._bloom_path(versions[2]))
+    assert len(t.read_pruned(equals={"k": 1001}).inputFiles()) >= 2
