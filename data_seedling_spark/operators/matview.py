@@ -150,15 +150,29 @@ class MaterializedAggregate:
         row = self.table.read().agg(F.max(SOURCE_HI).alias("hi")).collect()[0]
         return -1 if row["hi"] is None else int(row["hi"])
 
-    def refresh(self, source: VersionedTable) -> tuple[int, int]:
+    def refresh(self, source: VersionedTable, transform=None) -> tuple[int, int]:
         """Fold ``source`` versions ``(applied_hi, latest]`` into the
         view. Returns the ``(lo, hi)`` range applied (lo > hi means the
-        view was already current — the replay no-op path)."""
+        view was already current — the replay no-op path).
+
+        ``transform`` (optional) maps the raw change feed before the
+        delta aggregate — the *join-view maintenance* seam: a fact-CDC
+        view grouped by dimension attributes passes
+        ``lambda ch: ch.join(broadcast(dim), fk)`` here, and because a
+        row-wise join preserves each change row's sign, the signed
+        delta algebra goes through unchanged (the standard
+        delta-rule ``Δ(σ/π/⋈_dim(F)) = σ/π/⋈_dim(ΔF)`` for
+        dimension tables that don't change within the fold; a changing
+        dimension needs bitemporal deltas — out of scope, recompute).
+        Reserved CDC columns must survive the transform (they do for
+        joins/projections that keep them)."""
         lo = self.applied_hi() + 1
         hi = source.latest_version()
         if lo > hi:
             return lo, hi
         changes = source.read_changes(lo, hi)
+        if transform is not None:
+            changes = transform(changes)
         delta = aggregate_delta(
             changes, self.group_keys, self.sum_measures, self.scale
         )

@@ -2634,3 +2634,47 @@ def mad_robust_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("mad").cast("double").alias("mad"),
         )
     )
+
+
+@query(
+    "event_transition_probs",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type AS cur,
+             lead(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS nxt
+      FROM events
+    ), pairs AS (
+      SELECT cur, nxt, COUNT(*)::BIGINT AS n
+      FROM seq WHERE nxt IS NOT NULL GROUP BY cur, nxt
+    ), totals AS (
+      SELECT cur, SUM(n)::BIGINT AS tot FROM pairs GROUP BY cur
+    )
+    SELECT p.cur AS cur_type, p.nxt AS next_type, p.n AS n_transitions,
+           round(p.n / t.tot, 6) AS prob
+    FROM pairs p JOIN totals t USING (cur)
+    """,
+    tags=("markov", "sessions", "W-lead", "A1"),
+)
+def event_transition_probs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: P(next type | current type) — the session-model /
+    next-action analytics primitive. One lead() window partitioned by
+    user (the entity key — never a global window), then a types²-sized
+    aggregate; the conditional probability is one integer-exact
+    division rounded to the grid."""
+    events = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = events.select(
+        F.col("event_type").alias("cur"),
+        F.lead("event_type").over(w).alias("nxt"),
+    ).where(F.col("nxt").isNotNull())
+    pairs = seq.groupBy("cur", "nxt").agg(F.count("*").alias("n"))
+    totals = pairs.groupBy("cur").agg(F.sum("n").alias("tot"))
+    return pairs.join(F.broadcast(totals), "cur").select(
+        F.col("cur").alias("cur_type"),
+        F.col("nxt").alias("next_type"),
+        F.col("n").alias("n_transitions"),
+        F.round(F.col("n") / F.col("tot"), 6).alias("prob"),
+    )

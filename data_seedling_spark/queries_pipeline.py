@@ -1092,3 +1092,92 @@ def orc_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_items"),
         dec_sum(F.col("l_extendedprice"), "gross"),
     )
+
+
+@query(
+    "incremental_join_agg_maintenance",
+    oracle="""
+    WITH created  AS (SELECT o_orderkey, o_custkey, o_totalprice
+                      FROM orders WHERE o_orderkey % 4 = 1),
+         appended AS (SELECT o_orderkey, o_custkey, o_totalprice
+                      FROM orders WHERE o_orderkey % 4 = 2),
+         inserted AS (SELECT o_orderkey, o_custkey, o_totalprice
+                      FROM orders WHERE o_orderkey % 4 = 3),
+         deleted  AS (SELECT o_orderkey FROM orders WHERE o_orderkey % 8 = 1),
+         final AS (
+           SELECT * FROM (
+             SELECT * FROM created UNION ALL
+             SELECT * FROM appended UNION ALL
+             SELECT * FROM inserted
+           ) s
+           WHERE NOT EXISTS (SELECT 1 FROM deleted d
+                             WHERE d.o_orderkey = s.o_orderkey))
+    SELECT n_name,
+           COUNT(*) AS order_cnt,
+           CAST(SUM(CAST(ROUND(o_totalprice, 2) AS DECIMAL(18,2))) AS DOUBLE)
+             AS revenue
+    FROM final
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+    tags=("S2", "ST1", "A1", "J1", "ivm", "join-view"),
+)
+def incremental_join_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-view IVM: a gold per-nation revenue table over
+    orders ⋈ customer ⋈ nation, maintained from the orders CDC feed
+    alone — the delta rule Δ(F ⋈ dim) = ΔF ⋈ dim for dimensions
+    static within a fold, so each refresh joins only the *increment*
+    to the broadcast dims and folds the signed delta
+    (``MaterializedAggregate.refresh(transform=...)``). Neither the
+    fact table nor the join is ever recomputed. Same commit slices as
+    ``incremental_agg_maintenance``; oracle recomputes the joined
+    aggregate from the net state."""
+    from .operators.matview import COUNT_COL, MaterializedAggregate
+    from .operators.merge import CHANGE_TYPE, CT_DELETE, CT_INSERT
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+
+    def to_nation(changes: DataFrame) -> DataFrame:
+        return (
+            changes.join(F.broadcast(cust), changes.o_custkey == cust.c_custkey)
+            .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+            .select("n_name", "o_totalprice", CHANGE_TYPE)
+        )
+
+    base = tempfile.mkdtemp(prefix="join_ivm_")
+    source = VersionedTable(spark, f"{base}/src", write_partitions=4)
+    view = MaterializedAggregate(
+        spark,
+        VersionedTable(spark, f"{base}/gold", write_partitions=1),
+        group_keys=["n_name"],
+        sum_measures={"revenue": "o_totalprice"},
+    )
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        key = F.col("o_orderkey")
+        source.write(orders.where(key % 4 == 1), mode="overwrite")
+        source.write(orders.where(key % 4 == 2), mode="append")
+        view.refresh(source, transform=to_nation)
+        feed = (
+            orders.where(key % 8 == 1)
+            .withColumn(CHANGE_TYPE, F.lit(CT_DELETE))
+            .unionByName(
+                orders.where(key % 4 == 3).withColumn(CHANGE_TYPE, F.lit(CT_INSERT))
+            )
+        )
+        source.merge(feed, primary_keys=["o_orderkey"])
+        lo, hi = view.refresh(source, transform=to_nation)
+        assert (lo, hi) == (2, 2), f"expected to fold exactly v2, got {(lo, hi)}"
+        return view.table.read().select(
+            "n_name",
+            F.col(COUNT_COL).alias("order_cnt"),
+            F.col("revenue").cast("double").alias("revenue"),
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
