@@ -94,3 +94,89 @@ def dedup_clusters(
         F.col("component").alias("cluster_id"),
         (F.col("node") == F.col("component")).cast("int").alias("is_canonical"),
     )
+
+
+def connected_components_star(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iterations: int = 25,
+) -> DataFrame:
+    """(node, component) via the alternating large-star/small-star
+    algorithm (Kiveris et al. 2014, "Connected Components in MapReduce
+    and Beyond") — the scale-preferred alternative to min-label
+    propagation: converges in O(log² n) rounds REGARDLESS of graph
+    diameter (label propagation needs O(diameter) rounds, which a
+    100 TB web-graph chain topology turns into hundreds).
+
+    Each round is two grouped-min + join passes over the edge list:
+
+    - large-star: every node u links its LARGER neighbors to
+      ``m(u) = min(Γ(u) ∪ {u})``,
+    - small-star: every node u links its smaller-or-equal neighbors
+      (and itself) to ``m(u)``.
+
+    Both phases strictly decrease the potential Σ parent-distance, and
+    at the fixed point the edges form stars ``(node, root)`` with root
+    = the component's min id — identical output contract to
+    :func:`connected_components`, so the same oracle verifies both.
+    Convergence is detected by an order-independent edge-set signature
+    (count + bit_xor of xxhash64 — sound because the frame is
+    distinct) on the checkpointed frame — one metadata-sized action
+    per round.
+    """
+    e = (
+        edges.select(F.col(src).alias("x"), F.col(dst).alias("y"))
+        .where(F.col("x") != F.col("y"))
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def signature(df: DataFrame) -> tuple:
+        row = df.agg(
+            F.count("*").alias("n"),
+            F.bit_xor(F.xxhash64(F.least("x", "y"), F.greatest("x", "y"))).alias("h"),
+        ).collect()[0]
+        return row["n"], row["h"]
+
+    def star(frame: DataFrame, large: bool) -> DataFrame:
+        sym = frame.unionByName(
+            frame.select(F.col("y").alias("x"), F.col("x").alias("y"))
+        )
+        mins = sym.groupBy("x").agg(
+            F.least(F.min("y"), F.first("x")).alias("m")
+        )
+        joined = sym.join(mins, "x")
+        if large:
+            out = joined.where(F.col("y") > F.col("x")).select(
+                F.col("y").alias("x"), F.col("m").alias("y")
+            )
+        else:
+            out = joined.where(F.col("y") <= F.col("x")).select(
+                F.col("y").alias("x"), F.col("m").alias("y")
+            ).unionByName(joined.select("x", F.col("m").alias("y")))
+        return out.where(F.col("x") != F.col("y")).distinct()
+
+    sig = signature(e)
+    for _ in range(max_iterations):
+        e = star(star(e, large=True), large=False).localCheckpoint()
+        new_sig = signature(e)
+        if new_sig == sig:
+            break
+        sig = new_sig
+    else:
+        raise RuntimeError(
+            f"connected_components_star did not converge in "
+            f"{max_iterations} rounds"
+        )
+    # fixed point: edges are (node, root). Components = edge targets
+    # for non-roots, self for roots and isolated-in-input nodes.
+    nodes = (
+        edges.select(F.col(src).alias("node"))
+        .unionByName(edges.select(F.col(dst).alias("node")))
+        .distinct()
+    )
+    return (
+        nodes.join(e.withColumnRenamed("x", "node"), "node", "left")
+        .select("node", F.coalesce(F.col("y"), F.col("node")).alias("component"))
+    )

@@ -2892,3 +2892,58 @@ def ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     embeddings = load_table(spark, sf_dir, "embeddings")
     return ivfpq_residual_topk(embeddings, query_ids=(7, 123, 321), k=3)
+
+
+@query(
+    "dedup_cluster_star",
+    oracle="""
+    WITH RECURSIVE edges AS (
+      WITH t AS (
+        SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents
+      ), sh AS (
+        SELECT doc_id, lang,
+               list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                              FOR i IN range(1, greatest(len(w) - 1, 1))]) AS shingles
+        FROM t
+      )
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.shingles, b.shingles))::DOUBLE
+            / len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.8
+    ), sym AS (
+      SELECT doc_a AS a, doc_b AS b FROM edges
+      UNION SELECT doc_b, doc_a FROM edges
+    ), reach AS (
+      SELECT a, b FROM sym
+      UNION
+      SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+    )
+    SELECT a AS doc_id,
+           least(a, min(b)) AS cluster_id,
+           CAST(a = least(a, min(b)) AS INT) AS is_canonical
+    FROM reach GROUP BY a
+    """,
+    tags=("dedup-clusters", "iterative", "star-contraction"),
+)
+def dedup_cluster_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same duplicate-cluster assignment as
+    ``dedup_cluster_assignment`` computed by the alternating
+    large-star/small-star contraction (Kiveris et al. 2014) instead of
+    min-label propagation — O(log^2 n) rounds independent of graph
+    diameter, the algorithm to reach for when the duplicate graph has
+    long chains (operators.graph.connected_components_star). Identical
+    output contract, so the SAME recursive-CTE oracle verifies both
+    implementations."""
+    from .operators.dedup import ngram_jaccard_pairs
+    from .operators.graph import connected_components_star
+
+    documents = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(
+        documents, "text", "doc_id", block_cols=["lang"], n=3, threshold=0.8
+    )
+    cc = connected_components_star(pairs, src="doc_a", dst="doc_b")
+    return cc.select(
+        F.col("node").alias("doc_id"),
+        F.col("component").alias("cluster_id"),
+        (F.col("node") == F.col("component")).cast("int").alias("is_canonical"),
+    )

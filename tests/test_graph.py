@@ -98,3 +98,38 @@ def test_degree_orientation_bounds_hot_vertex_wedges(spark):
         .agg(F.max("d").alias("m")).collect()[0]["m"]
     )
     assert deg_out <= 2
+
+
+def test_star_contraction_matches_label_propagation_and_handles_chains(spark):
+    """Star contraction equals min-label propagation on a random
+    graph, and converges inside a small round budget on a 400-node
+    chain — the diameter-bound topology where per-round label
+    propagation would need ~400 rounds (the O(log n) vs O(diameter)
+    difference that matters on web-scale duplicate graphs)."""
+    import random
+
+    from pyspark.sql import Row
+
+    from data_seedling_spark.operators.graph import (
+        connected_components,
+        connected_components_star,
+    )
+
+    random.seed(11)
+    edges = [Row(src=random.randint(0, 120), dst=random.randint(0, 120))
+             for _ in range(90)]
+    df = spark.createDataFrame(edges)
+    lp = {(r["node"], r["component"])
+          for r in connected_components(df, max_iterations=100).collect()}
+    star = {(r["node"], r["component"])
+            for r in connected_components_star(df).collect()}
+    assert star == lp
+
+    chain = spark.createDataFrame(
+        [Row(src=i, dst=i + 1) for i in range(400)]
+    )
+    # budget far below the chain's diameter: only a logarithmic-round
+    # algorithm can finish
+    out = connected_components_star(chain, max_iterations=12).collect()
+    assert len(out) == 401
+    assert {r["component"] for r in out} == {0}
