@@ -156,3 +156,64 @@ def interval_join(
         )
         .drop("_bin")
     )
+
+
+def hll_registers(df, col: str, p: int = 8):
+    """Deterministic HyperLogLog registers (Flajolet et al. 2007) over
+    ``col``: md5-prefix bucketing into ``m = 2^p`` registers, register
+    value = 1 + leading-zero-bits of the next 60 hash bits (rank
+    computed from the hex string — no float log on wide integers, so
+    every engine lands the identical register). Returns one
+    ``(bucket, reg)`` row per non-empty register — mergeable state:
+    shards/days combine by ``max(reg)`` per bucket, the whole point of
+    HLL at 100 TB.
+
+    Unlike the DataSketches-backed ``hll_sketch_agg`` (library-opaque
+    bytes, rows-only checkable), this register frame is reproducible
+    in ANY engine with md5 — which upgrades the distinct-count sketch
+    to a hash-exact oracle check."""
+    h = F.md5(F.col(col).cast("string"))
+    bucket = F.conv(F.substring(h, 1, 2), 16, 10).cast("bigint") % (1 << p)
+    tail = F.substring(h, 3, 15)  # 60 bits
+    stripped = F.regexp_replace(tail, "^0+", "")
+    lead_hex_zeros = F.length(tail) - F.length(stripped)
+    first_val = F.conv(F.substring(stripped, 1, 1), 16, 10).cast("int")
+    rho = F.when(F.length(stripped) == 0, F.lit(61)).otherwise(
+        4 * lead_hex_zeros + (F.lit(4) - F.floor(F.log2(first_val))) 
+    ).cast("int")
+    return (
+        df.select(bucket.alias("bucket"), rho.alias("rho"))
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("reg"))
+    )
+
+
+def hll_estimate(registers, p: int = 8):
+    """Distinct-count estimate from an HLL register frame: the
+    standard raw estimator ``α_m · m² / Σ 2^(−M_j)`` with the
+    small-range linear-counting correction. The 2^(−M) sum is scaled
+    by 2^61 into exact decimal integers so it is addition-order
+    independent — the same determinism contract as every money sum.
+    Returns a 1-row frame ``(estimate, n_buckets_used)``; merge shards
+    by max-per-bucket BEFORE calling (see ``hll_registers``)."""
+    m = 1 << p
+    alpha = 0.7213 / (1 + 1.079 / m)
+    agg = registers.agg(
+        F.sum(F.pow(F.lit(2.0), 61 - F.col("reg")).cast("decimal(38,0)"))
+        .cast("double")
+        .alias("_scaled"),
+        F.count("*").alias("n_buckets_used"),
+    )
+    empty = m - F.col("n_buckets_used")
+    # empty registers contribute 2^0 = 1 each → 2^61 each when scaled
+    raw = (
+        F.lit(alpha * m * m * float(2**61))
+        / (F.col("_scaled") + empty.cast("double") * F.lit(float(2**61)))
+    )
+    corrected = F.when(
+        (raw <= 2.5 * m) & (empty > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / empty.cast("double")),
+    ).otherwise(raw)
+    return agg.select(
+        F.round(corrected, 4).alias("estimate"), "n_buckets_used"
+    )

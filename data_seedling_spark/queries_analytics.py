@@ -2678,3 +2678,102 @@ def event_transition_probs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").alias("n_transitions"),
         F.round(F.col("n") / F.col("tot"), 6).alias("prob"),
     )
+
+
+@query(
+    "hll_md5_distinct_oracle_checked",
+    oracle="""
+    WITH vals AS (
+      SELECT o_orderstatus, md5(CAST(o_custkey AS VARCHAR)) AS h FROM orders
+    ), rho AS (
+      SELECT o_orderstatus,
+             CAST('0x' || substr(h, 1, 2) AS BIGINT) % 256 AS bucket,
+             CASE WHEN regexp_replace(substr(h, 3, 15), '^0+', '') = '' THEN 61
+                  ELSE 4 * (15 - len(regexp_replace(substr(h, 3, 15), '^0+', '')))
+                       + (4 - floor(log2(CAST('0x' ||
+                           substr(regexp_replace(substr(h, 3, 15), '^0+', ''), 1, 1)
+                           AS BIGINT))))
+             END AS rho
+      FROM vals
+    ), regs AS (
+      SELECT o_orderstatus, bucket, MAX(rho) AS reg
+      FROM rho GROUP BY o_orderstatus, bucket
+      UNION ALL
+      SELECT 'ALL', bucket, MAX(rho) FROM rho GROUP BY bucket
+    ), agg AS (
+      SELECT o_orderstatus,
+             CAST(SUM(CAST(pow(2, 61 - reg) AS DECIMAL(38,0))) AS DOUBLE)
+               AS scaled,
+             COUNT(*)::BIGINT AS n_buckets_used
+      FROM regs GROUP BY o_orderstatus
+    ), est AS (
+      SELECT o_orderstatus, n_buckets_used,
+             (0.7213 / (1 + 1.079 / 256)) * 256 * 256 * pow(2, 61)
+               / (scaled + (256 - n_buckets_used) * pow(2, 61)) AS raw
+      FROM agg
+    )
+    SELECT o_orderstatus,
+           round(CASE WHEN raw <= 2.5 * 256 AND n_buckets_used < 256
+                      THEN 256.0 * ln(256.0 / (256 - n_buckets_used))
+                      ELSE raw END, 4) AS estimate,
+           n_buckets_used
+    FROM est
+    """,
+    tags=("approx", "sketch-merge", "hll", "oracle-checked"),
+)
+def hll_md5_distinct_oracle_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct customers per order status — built from
+    first principles on the portable md5 hash, so unlike the
+    DataSketches-backed `hll_sketch_mergeable_distinct` (rows-only by
+    necessity) every register AND the final estimate are hash-exact
+    against the oracle. Registers merge by max-per-bucket: the ALL row
+    is the union-merge of the shard registers, proving mergeability
+    inside the oracle check itself. The 2^(-M) sum is scaled into
+    exact decimal integers (order-independent); rank comes from hex
+    string arithmetic, never float log on wide integers
+    (operators.relational.hll_registers/hll_estimate)."""
+    orders = load_table(spark, sf_dir, "orders")
+    # registers per status in one pass: bucket the hash WITH the
+    # status in the grouping key; the ALL row max-merges shard
+    # registers (mergeability proven inside the oracle check)
+    h = F.md5(F.col("o_custkey").cast("string"))
+    bucket = F.conv(F.substring(h, 1, 2), 16, 10).cast("bigint") % 256
+    tail = F.substring(h, 3, 15)
+    stripped = F.regexp_replace(tail, "^0+", "")
+    first_val = F.conv(F.substring(stripped, 1, 1), 16, 10).cast("int")
+    rho = F.when(F.length(stripped) == 0, F.lit(61)).otherwise(
+        4 * (F.length(tail) - F.length(stripped))
+        + (F.lit(4) - F.floor(F.log2(first_val)))
+    ).cast("int")
+    rows = orders.select(
+        F.col("o_orderstatus"), bucket.alias("bucket"), rho.alias("rho")
+    )
+    per_status = rows.groupBy("o_orderstatus", "bucket").agg(
+        F.max("rho").alias("reg")
+    )
+    merged = rows.groupBy("bucket").agg(F.max("rho").alias("reg")).select(
+        F.lit("ALL").alias("o_orderstatus"), "bucket", "reg"
+    )
+    regs = per_status.unionByName(merged)
+
+    m = 256
+    alpha = 0.7213 / (1 + 1.079 / m)
+    agg = regs.groupBy("o_orderstatus").agg(
+        F.sum(F.pow(F.lit(2.0), 61 - F.col("reg")).cast("decimal(38,0)"))
+        .cast("double")
+        .alias("_scaled"),
+        F.count("*").alias("n_buckets_used"),
+    )
+    empty = (m - F.col("n_buckets_used")).cast("double")
+    raw = F.lit(alpha * m * m) * F.lit(float(2**61)) / (
+        F.col("_scaled") + empty * F.lit(float(2**61))
+    )
+    corrected = F.when(
+        (raw <= 2.5 * m) & (F.col("n_buckets_used") < m),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / empty),
+    ).otherwise(raw)
+    return agg.select(
+        "o_orderstatus",
+        F.round(corrected, 4).alias("estimate"),
+        "n_buckets_used",
+    )

@@ -184,3 +184,34 @@ def test_table_diff_statuses_and_null_handling(spark):
     ).select("pk", "b", "a")                    # ...reordered columns
     got = {r["pk"]: r["diff_status"] for r in table_diff(left, right, ["pk"]).collect()}
     assert got == {2: "changed", 3: "removed", 5: "added"}
+
+
+def test_hll_md5_accuracy_and_merge(spark):
+    """First-principles HLL: estimate within the m=256 error envelope
+    of exact distinct, and shard registers max-merge to the corpus
+    registers (the mergeable-state property)."""
+    from pyspark.sql import functions as F
+
+    from data_seedling_spark.operators.relational import (
+        hll_estimate,
+        hll_registers,
+    )
+
+    orders = spark.read.parquet("/root/testdata/sf0.01/orders.parquet")
+    exact = orders.select("o_custkey").distinct().count()
+    est = hll_estimate(hll_registers(orders, "o_custkey")).collect()[0]
+    # m=256 → ~6.5% standard error; allow 3 sigma
+    assert abs(est["estimate"] - exact) / exact < 0.20, (est, exact)
+
+    left = hll_registers(orders.where(F.col("o_orderkey") % 2 == 0), "o_custkey")
+    right = hll_registers(orders.where(F.col("o_orderkey") % 2 == 1), "o_custkey")
+    merged = (
+        left.unionByName(right).groupBy("bucket").agg(F.max("reg").alias("reg"))
+    )
+    whole = hll_registers(orders, "o_custkey")
+    diff = merged.join(whole, ["bucket"], "full_outer").where(
+        merged["reg"].eqNullSafe(whole["reg"]) == False  # noqa: E712
+    )
+    assert diff.count() == 0
+    m_est = hll_estimate(merged).collect()[0]["estimate"]
+    assert m_est == est["estimate"]
