@@ -76,6 +76,9 @@ HEADLINE = [
     "multimodal_decode_jpeg",
     "subword_tokenize_greedy",
     "pmi_collocations_top",
+    "ivfpq_residual_topk",
+    "hll_md5_distinct_oracle_checked",
+    "event_transition_probs",
 ]
 
 

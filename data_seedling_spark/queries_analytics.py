@@ -2777,3 +2777,96 @@ def hll_md5_distinct_oracle_checked(spark: SparkSession, sf_dir: str) -> DataFra
         F.round(corrected, 4).alias("estimate"),
         "n_buckets_used",
     )
+
+
+@query(
+    "seasonal_decompose_revenue",
+    oracle="""
+    WITH monthly AS (
+      SELECT date_trunc('month', o_orderdate) AS m,
+             CAST(SUM(CAST(ROUND(o_totalprice, 2) AS DECIMAL(18,2))) AS DOUBLE)
+               AS revenue
+      FROM orders GROUP BY 1
+    ), trended AS (
+      SELECT m, revenue,
+             CASE WHEN COUNT(*) OVER w = 12 THEN
+               round(CAST(SUM(CAST(revenue AS DECIMAL(18,2))) OVER w AS DOUBLE)
+                     / 12, 6)
+             END AS trend
+      FROM monthly
+      WINDOW w AS (ORDER BY m ROWS BETWEEN 5 PRECEDING AND 6 FOLLOWING)
+    ), ratios AS (
+      SELECT *, CASE WHEN trend IS NOT NULL
+                     THEN round(revenue / trend, 6) END AS ratio
+      FROM trended
+    ), seasonal AS (
+      SELECT month(m) AS moy,
+             round(CAST(SUM(CAST(ratio AS DECIMAL(28,6))) AS DOUBLE)
+                   / COUNT(ratio), 7) AS seasonal_idx
+      FROM ratios WHERE ratio IS NOT NULL GROUP BY 1
+    )
+    SELECT r.m AS month, r.revenue, r.trend, r.ratio, s.seasonal_idx,
+           round(r.revenue / s.seasonal_idx, 4) AS deseasonalized
+    FROM ratios r LEFT JOIN seasonal s ON month(r.m) = s.moy
+    """,
+    tags=("timeseries", "seasonal", "W-frame", "A1"),
+)
+def seasonal_decompose_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical multiplicative seasonal decomposition of the monthly
+    revenue series: centered 12-month moving-average trend (emitted
+    only for full windows), per-month-of-year seasonal index as the
+    mean detrended ratio, and the deseasonalized series. Scale
+    posture: the window runs over the ALREADY-AGGREGATED ~84-month
+    frame (metadata-sized), never the fact table; every mean is a
+    decimal-grid sum divided once, so both engines land identical
+    doubles despite sliding-window accumulation-order differences."""
+    orders = load_table(spark, sf_dir, "orders")
+    from .queries import dec_sum
+
+    monthly = orders.groupBy(
+        F.date_trunc("month", F.col("o_orderdate")).alias("m")
+    ).agg(dec_sum(F.col("o_totalprice"), "revenue"))
+    w = W.orderBy("m").rowsBetween(-5, 6)
+    trend = F.when(
+        F.count("*").over(w) == 12,
+        F.round(
+            F.sum(F.col("revenue").cast("decimal(18,2)")).over(w).cast("double")
+            / 12,
+            6,
+        ),
+    )
+    trended = monthly.withColumn("trend", trend)
+    ratios = trended.withColumn(
+        "ratio",
+        F.when(
+            F.col("trend").isNotNull(), F.round(F.col("revenue") / F.col("trend"), 6)
+        ),
+    )
+    seasonal = (
+        ratios.where(F.col("ratio").isNotNull())
+        .groupBy(F.month("m").alias("moy"))
+        .agg(
+            # scale 7, not 6: the mean is an exact 1e-6-grid sum over n
+            # ∈ {5,6,7} months, and 10·S/n can never be half-integer for
+            # those n — so no cross-engine half-way rounding cases (the
+            # dec_sum docstring's scale-choice rule; scale 6 DID land one)
+            F.round(
+                F.sum(F.col("ratio").cast("decimal(28,6)")).cast("double")
+                / F.count("ratio"),
+                7,
+            ).alias("seasonal_idx")
+        )
+    )
+    return (
+        ratios.join(F.broadcast(seasonal), F.month("m") == F.col("moy"), "left")
+        .select(
+            F.col("m").alias("month"),
+            "revenue",
+            "trend",
+            "ratio",
+            "seasonal_idx",
+            F.round(F.col("revenue") / F.col("seasonal_idx"), 4).alias(
+                "deseasonalized"
+            ),
+        )
+    )
