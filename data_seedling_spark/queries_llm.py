@@ -2947,3 +2947,64 @@ def dedup_cluster_star(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("component").alias("cluster_id"),
         (F.col("node") == F.col("component")).cast("int").alias("is_canonical"),
     )
+
+
+def _jl_sign_matrix(k: int = 8, dim: int = 64):
+    """Deterministic Achlioptas ±1/√k projection matrix: the sign of
+    entry (i, j) comes from the md5 parity of ``jl:i:j`` — the
+    engine's portable-hash convention, so the SQL oracle rebuilds the
+    IDENTICAL matrix and the projection is hash-exact (a seeded RNG
+    would be library-specific)."""
+    import hashlib
+    import math
+
+    inv = 1.0 / math.sqrt(float(k))
+    return [
+        [
+            (inv if int(hashlib.md5(f"jl:{i}:{j}".encode()).hexdigest()[0], 16) % 2 == 0
+             else -inv)
+            for j in range(dim)
+        ]
+        for i in range(k)
+    ]
+
+
+@query(
+    "jl_project_embeddings",
+    oracle="""
+    WITH ks AS (
+      SELECT unnest(range(0, 8)) AS i
+    ), mat AS (
+      SELECT i,
+             [CASE WHEN CAST('0x' || substr(md5('jl:' || i || ':' || j), 1, 1)
+                        AS INT) % 2 = 0
+                   THEN 1.0 ELSE -1.0 END / sqrt(8.0)
+              FOR j IN range(0, 64)] AS m
+      FROM ks
+    )
+    SELECT e.vec_id, CAST(mat.i AS INT) AS comp,
+           round(list_dot_product(e.embedding::DOUBLE[], mat.m), 6) AS val
+    FROM embeddings e, mat
+    """,
+    tags=("llm", "projection", "johnson-lindenstrauss", "embeddings"),
+)
+def jl_project_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss random projection 64 -> 8 dims with
+    Achlioptas +-1/sqrt(k) entries — the cheap distance-preserving
+    reduction upstream of ANN/clustering when a trained PCA is
+    overkill. The sign matrix derives from md5 parity (portable-hash
+    convention), so unlike a seeded-RNG projection the whole operator
+    is oracle-checked: DuckDB rebuilds the identical matrix and every
+    projected coordinate hash-matches. Plan: the matrix enters as one
+    parsed SQL literal, each coordinate is a sequential-fold dot, no
+    shuffle, no Python (operators.similarity.pca_project reused as the
+    literal-matrix projector)."""
+    from .operators.similarity import pca_project
+
+    embeddings = load_table(spark, sf_dir, "embeddings")
+    projected = pca_project(
+        embeddings, _jl_sign_matrix(), "vec_id", "embedding", out_col="_p"
+    )
+    return projected.select(
+        "vec_id", F.posexplode("_p").alias("comp", "val")
+    )

@@ -1497,3 +1497,26 @@ def test_count_min_sketch_merges_by_addition(spark):
         merged["c"].eqNullSafe(full["c"]) == False  # noqa: E712
     )
     assert diff.count() == 0
+
+
+def test_jl_projection_preserves_distances_in_expectation(spark):
+    """E[||Px||^2] = ||x||^2 for the Achlioptas +-1/sqrt(k) matrix:
+    over the corpus the mean squared-norm ratio must sit near 1 (k=8
+    gives loose per-pair bounds, but the estimator is unbiased), and
+    the matrix is deterministic across calls."""
+    import numpy as np
+
+    from data_seedling_spark.queries_llm import _jl_sign_matrix
+
+    m1 = np.array(_jl_sign_matrix())
+    m2 = np.array(_jl_sign_matrix())
+    assert (m1 == m2).all() and m1.shape == (8, 64)
+    # every entry is +-1/sqrt(8), so each row's squared norm is d/k = 8
+    assert np.allclose((m1 ** 2).sum(axis=1), 8.0)
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    vecs = np.stack([np.array(r["embedding"], dtype=np.float64)
+                     for r in emb.limit(200).collect()])
+    proj = vecs @ m1.T
+    ratio = (proj ** 2).sum(axis=1) / (vecs ** 2).sum(axis=1)
+    assert 0.8 < ratio.mean() < 1.2, ratio.mean()
