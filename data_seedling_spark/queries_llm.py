@@ -3008,3 +3008,52 @@ def jl_project_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return projected.select(
         "vec_id", F.posexplode("_p").alias("comp", "val")
     )
+
+
+@query(
+    "inverted_index_postings",
+    oracle="""
+    WITH tok AS (
+      SELECT DISTINCT doc_id, unnest(string_split(lower(text), ' ')) AS token
+      FROM documents
+    ), postings AS (
+      SELECT token,
+             COUNT(*)::BIGINT AS doc_freq,
+             string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)
+               AS posting_list
+      FROM tok WHERE token <> '' GROUP BY token
+    )
+    SELECT token, doc_freq, posting_list
+    FROM postings
+    WHERE doc_freq >= 20
+    """,
+    tags=("ir", "inverted-index", "text-corpus"),
+)
+def inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index construction: token → sorted posting list of the
+    documents containing it (the retrieval-side twin of tf-idf; BM25
+    serving reads exactly this structure). One explode + distinct +
+    token-keyed aggregate — the shuffle carries (token, doc_id) pairs
+    with map-side dedup, never text. Posting lists serialize as
+    ordered CSV strings so the oracle compare is format-stable;
+    doc_freq >= 20 keeps the output the index's dense core (the long
+    tail is the same plan, more rows)."""
+    documents = load_table(spark, sf_dir, "documents")
+    tok = (
+        documents.select(
+            "doc_id",
+            F.explode(F.split(F.lower(F.col("text")), " ")).alias("token"),
+        )
+        .where(F.col("token") != "")
+        .distinct()
+    )
+    return (
+        tok.groupBy("token")
+        .agg(
+            F.count("*").alias("doc_freq"),
+            F.array_join(
+                F.sort_array(F.collect_list(F.col("doc_id"))), ","
+            ).alias("posting_list"),
+        )
+        .where(F.col("doc_freq") >= 20)
+    )
