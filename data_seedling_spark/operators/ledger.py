@@ -649,6 +649,49 @@ class VersionedTable:
     def schema(self):
         return self.read().schema
 
+    # -- restore / tags -----------------------------------------------------
+
+    def restore(self, version: int) -> int:
+        """Delta ``RESTORE TABLE ... TO VERSION`` parity: commit the
+        historical snapshot as a NEW overwrite version — history stays
+        intact (the bad versions remain queryable and vacuumable), the
+        change feed shows the restore as delete-all + re-insert, and
+        downstream incremental consumers therefore converge on the
+        restored state with no special casing."""
+        return self.write(self.read(version), mode="overwrite")
+
+    def _tags_path(self) -> str:
+        return os.path.join(self.path, "_tags.json")
+
+    def tags(self) -> dict[str, int]:
+        if not os.path.exists(self._tags_path()):
+            return {}
+        with open(self._tags_path()) as f:
+            return json.load(f)
+
+    def set_tag(self, name: str, version: int | None = None) -> int:
+        """Name a version (lakeFS/Nessie-style tag; Delta has no
+        native tags — teams use naming conventions). Tags are
+        metadata-only: vacuum does not protect tagged versions beyond
+        its normal retention, so tag + retention policy travel
+        together."""
+        v = self.latest_version() if version is None else int(version)
+        if not any(c.version == v for c in self.commits()):
+            raise NoSuchVersionError(f"{self.path}: no version {v} to tag")
+        tags = self.tags()
+        tags[name] = v
+        tmp = self._tags_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(tags, f, indent=1)
+        os.replace(tmp, self._tags_path())
+        return v
+
+    def read_tag(self, name: str) -> DataFrame:
+        tags = self.tags()
+        if name not in tags:
+            raise NoSuchVersionError(f"{self.path}: no tag {name!r}")
+        return self.read(tags[name])
+
     def read_changes(self, starting_version: int, ending_version: int) -> DataFrame:
         """S2 CDC scan: row-level changes in ``[lo, hi]`` with reserved
         metadata columns (reference ``datalake.py:88-94``).

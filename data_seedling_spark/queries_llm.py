@@ -3057,3 +3057,109 @@ def inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("doc_freq") >= 20)
     )
+
+
+@query(
+    "bm25_rank_documents",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+      FROM documents
+    ), tokf AS (
+      SELECT doc_id, token FROM tok WHERE token <> ''
+    ), dl AS (
+      SELECT doc_id, COUNT(*)::BIGINT AS dlen FROM tokf GROUP BY doc_id
+    ), corpus AS (
+      SELECT COUNT(*)::BIGINT AS n_docs,
+             CAST(SUM(dlen) AS DOUBLE) / COUNT(*) AS avgdl
+      FROM dl
+    ), tf AS (
+      SELECT doc_id, token, COUNT(*)::BIGINT AS tf
+      FROM tokf WHERE token IN ('spark', 'query', 'join')
+      GROUP BY doc_id, token
+    ), df AS (
+      SELECT token, COUNT(*)::BIGINT AS dfreq FROM tf GROUP BY token
+    ), scored AS (
+      SELECT tf.doc_id, tf.token,
+             round(
+               ln(1 + (n_docs - dfreq + 0.5) / (dfreq + 0.5))
+               * (tf * 2.2)
+               / (tf + 1.2 * (1 - 0.75 + 0.75 * dl.dlen / corpus.avgdl)),
+               6) AS term_score
+      FROM tf
+      JOIN df USING (token)
+      JOIN dl USING (doc_id)
+      CROSS JOIN corpus
+    ), totals AS (
+      SELECT doc_id,
+             CAST(SUM(CAST(term_score AS DECIMAL(28,6))) AS DOUBLE) AS bm25,
+             COUNT(*)::BIGINT AS n_terms_hit
+      FROM scored GROUP BY doc_id
+    )
+    SELECT doc_id, bm25, n_terms_hit, rank FROM (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS rank
+      FROM totals
+    ) WHERE rank <= 10
+    """,
+    tags=("ir", "bm25", "ranking", "text-corpus"),
+)
+def bm25_rank_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranking (Robertson-Sparck Jones; k1=1.2, b=0.75) of the
+    corpus against a fixed 3-term query — the lexical-retrieval
+    scoring the inverted index serves. Per-term scores are
+    grid-rounded then decimal-summed so the total is
+    addition-order-independent; idf = ln(1 + (N-df+0.5)/(df+0.5))
+    (the non-negative Lucene form). One token explode, query-term
+    filter pushed into the scan side, corpus stats broadcast, final
+    top-10 fully tie-broken."""
+    from pyspark.sql import Window as W
+
+    terms = ("spark", "query", "join")
+    documents = load_table(spark, sf_dir, "documents")
+    tokf = (
+        documents.select(
+            "doc_id",
+            F.explode(F.split(F.lower(F.col("text")), " ")).alias("token"),
+        )
+        .where(F.col("token") != "")
+    ).persist()
+    dl = tokf.groupBy("doc_id").agg(F.count("*").alias("dlen"))
+    corpus = dl.agg(
+        F.count("*").alias("n_docs"),
+        (F.sum("dlen").cast("double") / F.count("*")).alias("avgdl"),
+    )
+    tf = (
+        tokf.where(F.col("token").isin(list(terms)))
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_ = tf.groupBy("token").agg(F.count("*").alias("dfreq"))
+    idf = F.log(
+        1 + (F.col("n_docs") - F.col("dfreq") + 0.5) / (F.col("dfreq") + 0.5)
+    )
+    term_score = F.round(
+        idf
+        * (F.col("tf") * 2.2)
+        / (
+            F.col("tf")
+            + 1.2 * (1 - 0.75 + 0.75 * F.col("dlen") / F.col("avgdl"))
+        ),
+        6,
+    )
+    scored = (
+        tf.join(F.broadcast(df_), "token")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(corpus))
+        .select("doc_id", term_score.alias("term_score"))
+    )
+    totals = scored.groupBy("doc_id").agg(
+        F.sum(F.col("term_score").cast("decimal(28,6)"))
+        .cast("double")
+        .alias("bm25"),
+        F.count("*").alias("n_terms_hit"),
+    )
+    w = W.partitionBy().orderBy(F.col("bm25").desc(), "doc_id")
+    return (
+        totals.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 10)
+    )

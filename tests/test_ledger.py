@@ -646,3 +646,48 @@ def test_bloom_index_prunes_point_lookups_across_full_range_files(
 
     os.remove(t._bloom_path(versions[2]))
     assert len(t.read_pruned(equals={"k": 1001}).inputFiles()) >= 2
+
+
+def test_restore_commits_old_snapshot_as_new_version(spark, tmp_table_dir):
+    """RESTORE parity: the restored state is a NEW overwrite commit —
+    history intact, change feed shows delete-all + re-insert, and the
+    watermark protocol sees it as an ordinary version."""
+    from pyspark.sql import Row
+
+    from data_seedling_spark.operators.merge import CHANGE_TYPE
+
+    t = VersionedTable(spark, tmp_table_dir, write_partitions=1)
+    t.write(spark.createDataFrame([Row(k=1, v="good")]), mode="overwrite")
+    t.write(spark.createDataFrame([Row(k=2, v="bad")]), mode="append")
+    restored_v = t.restore(0)
+    assert restored_v == 2
+    assert [(r["k"], r["v"]) for r in t.read().collect()] == [(1, "good")]
+    # history intact: the bad version is still time-travelable
+    assert t.read(1).count() == 2
+    # CDC of the restore commit: delete of the bad row, reinsert of good
+    ch = t.read_changes(2, 2)
+    kinds = {(r["k"], r[CHANGE_TYPE]) for r in ch.collect()}
+    assert kinds == {(1, "delete"), (2, "delete"), (1, "insert")}
+
+
+def test_tags_name_versions_and_survive_restore(spark, tmp_table_dir):
+    from pyspark.sql import Row
+
+    import pytest as _pytest
+
+    from data_seedling_spark.operators.ledger import NoSuchVersionError
+
+    t = VersionedTable(spark, tmp_table_dir, write_partitions=1)
+    t.write(spark.createDataFrame([Row(k=1)]), mode="overwrite")
+    assert t.set_tag("baseline") == 0
+    t.write(spark.createDataFrame([Row(k=2)]), mode="append")
+    t.set_tag("v2024", version=1)
+    assert t.read_tag("baseline").count() == 1
+    assert t.read_tag("v2024").count() == 2
+    with _pytest.raises(NoSuchVersionError):
+        t.read_tag("missing")
+    with _pytest.raises(NoSuchVersionError):
+        t.set_tag("bad", version=99)
+    # restore does not disturb tag resolution
+    t.restore(0)
+    assert t.read_tag("v2024").count() == 2
