@@ -3163,3 +3163,87 @@ def bm25_rank_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         totals.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= 10)
     )
+
+
+@query(
+    "centroid_classify_embeddings",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS ve FROM embeddings
+    ), x AS (
+      SELECT vec_id, label, r.i AS i, round(ve[r.i], 6) AS val
+      FROM v, (SELECT unnest(range(1, 65)) AS i) r
+    ), cent AS (
+      SELECT label AS clabel, i,
+             CAST(SUM(CAST(val AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*) AS cv
+      FROM x GROUP BY label, i
+    ), cvec AS (
+      SELECT clabel, list(cv ORDER BY i) AS c FROM cent GROUP BY clabel
+    ), assigned AS (
+      SELECT vec_id, label, clabel FROM (
+        SELECT v.vec_id, v.label, cvec.clabel,
+               ROW_NUMBER() OVER (
+                 PARTITION BY v.vec_id
+                 ORDER BY round(list_dot_product(ve, ve) + list_dot_product(c, c)
+                                - 2 * list_dot_product(ve, c), 6),
+                          cvec.clabel
+               ) AS rn
+        FROM v, cvec
+      ) WHERE rn = 1
+    )
+    SELECT label AS true_label, clabel AS predicted_label,
+           COUNT(*)::BIGINT AS n
+    FROM assigned GROUP BY label, clabel
+    """,
+    tags=("llm", "embeddings", "classify", "centroid", "eval"),
+)
+def centroid_classify_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-class-mean classification confusion matrix — the
+    standard embedding-quality probe (a good embedding space separates
+    labels under the cheapest possible classifier). Per-label
+    centroids are decimal-exact elementwise means kept as UNROUNDED
+    deterministic doubles (a round-of-mean invites the small-
+    denominator half-way rounding case seasonal decomposition hit);
+    assignment is the broadcast-centroid rounded-distance argmin with
+    the ivf_assign tie contract; output is the label x label count
+    matrix. One explode + grouped mean, one scan for assignment — no
+    vector ever shuffles."""
+    from .operators.similarity import _dot
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = emb.select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("_v")
+    )
+    x = v.select(
+        "label", F.posexplode(F.transform("_v", lambda e: F.round(e, 6))).alias(
+            "i", "val"
+        )
+    )
+    cent = (
+        x.groupBy("label", "i")
+        .agg(
+            (
+                F.sum(F.col("val").cast("decimal(28,6)")).cast("double")
+                / F.count("*")
+            ).alias("cv")
+        )
+        .groupBy(F.col("label").alias("clabel"))
+        .agg(F.array_sort(F.collect_list(F.struct("i", "cv"))).alias("_pv"))
+        .select(
+            "clabel", F.transform("_pv", lambda s: s["cv"]).alias("_c")
+        )
+    )
+    sq = (
+        _dot(F.col("_v"), F.col("_v"))
+        + _dot(F.col("_c"), F.col("_c"))
+        - 2 * _dot(F.col("_v"), F.col("_c"))
+    )
+    scored = v.join(F.broadcast(cent)).select(
+        "vec_id", "label", "clabel", F.round(sq, 6).alias("_d")
+    )
+    assigned = scored.groupBy("vec_id", "label").agg(
+        F.min_by("clabel", F.struct("_d", "clabel")).alias("predicted_label")
+    )
+    return assigned.groupBy(
+        F.col("label").alias("true_label"), "predicted_label"
+    ).agg(F.count("*").alias("n"))
