@@ -3247,3 +3247,211 @@ def centroid_classify_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assigned.groupBy(
         F.col("label").alias("true_label"), "predicted_label"
     ).agg(F.count("*").alias("n"))
+
+
+@query(
+    "ann_recall_eval",
+    oracle="""
+    WITH c AS (
+      SELECT vec_id // 50 AS centroid_id, embedding::DOUBLE[] AS cv
+      FROM embeddings WHERE vec_id % 50 = 0
+    ), v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS vv FROM embeddings
+    ), assigned AS (
+      SELECT vec_id, centroid_id FROM (
+        SELECT v.vec_id, c.centroid_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY v.vec_id
+                 ORDER BY round(list_dot_product(vv, vv) + list_dot_product(cv, cv)
+                                - 2 * list_dot_product(vv, cv), 6),
+                          c.centroid_id
+               ) AS rn
+        FROM v, c
+      ) WHERE rn = 1
+    ), cells AS (
+      SELECT v.vec_id, a.centroid_id, v.vv FROM v JOIN assigned a USING (vec_id)
+    ), approx AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, x.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY round(list_dot_product(q.vv, x.vv)
+                                / (sqrt(list_dot_product(q.vv, q.vv))
+                                   * sqrt(list_dot_product(x.vv, x.vv))), 6) DESC,
+                          x.vec_id
+               ) AS rn
+        FROM cells q JOIN cells x
+          ON q.centroid_id = x.centroid_id AND x.vec_id <> q.vec_id
+        WHERE q.vec_id < 20
+      ) WHERE rn <= 5
+    ), exact AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY round(list_dot_product(q.vv, e.vv)
+                                / (sqrt(list_dot_product(q.vv, q.vv))
+                                   * sqrt(list_dot_product(e.vv, e.vv))), 6) DESC,
+                          e.vec_id
+               ) AS rn
+        FROM v q JOIN v e ON e.vec_id <> q.vec_id
+        WHERE q.vec_id < 20
+      ) WHERE rn <= 5
+    ), hits AS (
+      SELECT e.query_id, COUNT(*) AS n_hits
+      FROM exact e JOIN approx a USING (query_id, neighbor_id)
+      GROUP BY e.query_id
+    ), base AS (
+      SELECT query_id, COUNT(*) AS n_exact FROM exact GROUP BY query_id
+    )
+    SELECT b.query_id,
+           CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+           b.n_exact,
+           round(COALESCE(h.n_hits, 0)::DOUBLE / b.n_exact, 4) AS recall_at_k
+    FROM base b LEFT JOIN hits h USING (query_id)
+    """,
+    tags=("similarity-eval",),
+)
+def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality evaluation: per-query recall@5 of the IVF index
+    (nprobe=1) against brute-force exact cosine ground truth — the
+    eval harness an embedding deployment runs before trading recall
+    for cost. Both legs are existing operators; the comparison is one
+    equi-join + two tiny grouped counts, so the eval itself adds no
+    scale hazard on top of the search legs (ground truth on a sampled
+    query set, the standard recall protocol at corpus scale)."""
+    from .operators.similarity import cosine_topk, ivf_topk
+
+    embeddings = load_table(spark, sf_dir, "embeddings")
+    queries = embeddings.where(F.col("vec_id") < 20)
+    exact = cosine_topk(queries, embeddings, k=5).select("query_id", "neighbor_id")
+    approx = ivf_topk(
+        embeddings, query_ids=range(20), k=5, centroid_stride=50
+    ).select("query_id", "neighbor_id")
+    hits = (
+        exact.join(approx, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    base = exact.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_exact"))
+    return base.join(hits, "query_id", "left").select(
+        "query_id",
+        F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
+        "n_exact",
+        F.round(
+            F.coalesce(F.col("n_hits"), F.lit(0)) / F.col("n_exact"), 4
+        ).alias("recall_at_k"),
+    )
+
+
+@query(
+    "cluster_top_terms_ctfidf",
+    oracle="""
+    WITH c AS (
+      SELECT vec_id // 50 AS centroid_id, embedding::DOUBLE[] AS cv
+      FROM embeddings WHERE vec_id % 50 = 0
+    ), v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS vv FROM embeddings
+    ), assigned AS (
+      SELECT vec_id, centroid_id FROM (
+        SELECT v.vec_id, c.centroid_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY v.vec_id
+                 ORDER BY round(list_dot_product(vv, vv) + list_dot_product(cv, cv)
+                                - 2 * list_dot_product(vv, cv), 6),
+                          c.centroid_id
+               ) AS rn
+        FROM v, c
+      ) WHERE rn = 1
+    ), toks AS (
+      SELECT a.centroid_id AS cluster_id,
+             unnest(string_split(d.text, ' ')) AS token
+      FROM documents d JOIN assigned a ON d.doc_id = a.vec_id
+    ), tf AS (
+      SELECT cluster_id, token, COUNT(*) AS tf FROM toks
+      GROUP BY cluster_id, token
+    ), ct AS (
+      SELECT cluster_id, COUNT(*) AS c_tokens FROM toks GROUP BY cluster_id
+    ), tt AS (
+      SELECT token, COUNT(*) AS t_total FROM toks GROUP BY token
+    ), tot AS (
+      SELECT COUNT(*) AS all_tokens,
+             COUNT(DISTINCT cluster_id) AS n_clusters
+      FROM toks
+    ), scored AS (
+      SELECT tf.cluster_id, tf.token,
+             round((tf.tf / ct.c_tokens)
+                   * ln(1.0 + (tot.all_tokens / tot.n_clusters) / tt.t_total),
+                   6) AS ctfidf
+      FROM tf
+      JOIN ct USING (cluster_id)
+      JOIN tt USING (token)
+      CROSS JOIN tot
+    )
+    SELECT cluster_id, token, ctfidf, rank FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY cluster_id ORDER BY ctfidf DESC, token
+      ) AS rank FROM scored
+    ) WHERE rank <= 3
+    """,
+    tags=("clustering", "text-analysis"),
+)
+def cluster_top_terms_ctfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster labeling via class-based TF-IDF (the BERTopic c-TF-IDF
+    formulation, Grootendorst 2022): cluster documents by their
+    embedding's IVF cell, then surface each cluster's 3 most
+    distinctive tokens, score = (tf_t,c / tokens_c) ·
+    ln(1 + (avg cluster size) / tf_t). All inputs are integer counts,
+    so the single ln/divide chain is IEEE-deterministic and the
+    approximate-clustering + labeling pipeline stays fully
+    oracle-checked. Scale: token stats shuffle on (cluster, token)
+    keys with map-side combine; the global totals frame is one row,
+    broadcast; the rank window partitions by cluster."""
+    from .operators.similarity import ivf_assign
+
+    embeddings = load_table(spark, sf_dir, "embeddings")
+    documents = load_table(spark, sf_dir, "documents")
+    centroids = embeddings.where((F.col("vec_id") % 50) == 0).select(
+        (F.col("vec_id") / 50).cast("long").alias("centroid_id"),
+        "embedding",
+    )
+    assigned = ivf_assign(embeddings, centroids)
+    toks = (
+        documents.join(assigned, documents.doc_id == assigned.vec_id)
+        .select(
+            F.col("centroid_id").alias("cluster_id"),
+            F.explode(F.split("text", " ")).alias("token"),
+        )
+    )
+    tf = toks.groupBy("cluster_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    ct = toks.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("c_tokens"))
+    tt = toks.groupBy("token").agg(F.count(F.lit(1)).alias("t_total"))
+    tot = toks.agg(
+        F.count(F.lit(1)).alias("all_tokens"),
+        F.countDistinct("cluster_id").alias("n_clusters"),
+    )
+    scored = (
+        tf.join(ct, "cluster_id")
+        .join(tt, "token")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "cluster_id",
+            "token",
+            F.round(
+                (F.col("tf") / F.col("c_tokens"))
+                * F.log(
+                    F.lit(1.0)
+                    + (F.col("all_tokens") / F.col("n_clusters"))
+                    / F.col("t_total")
+                ),
+                6,
+            ).alias("ctfidf"),
+        )
+    )
+    from pyspark.sql import Window as _W
+
+    w = _W.partitionBy("cluster_id").orderBy(F.col("ctfidf").desc(), "token")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+    )
