@@ -3455,3 +3455,92 @@ def cluster_top_terms_ctfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= 3)
     )
+
+
+def _logreg_oracle(nf: int = 4, lr: float = 2.0, iters: int = 5) -> str:
+    """Unrolled batch-GD oracle: one (gradient, weight) CTE pair per
+    iteration, generated so every iteration's text is structurally
+    identical to the Spark loop in ``operators.logreg.logreg_fit``
+    (explicit left-associated z-chain, round(avg, 6) gradients,
+    round(w - lr*g, 6) updates)."""
+    xs = [f"x{j + 1}" for j in range(nf)]
+    zexpr = "w0 + " + " + ".join(f"w{j + 1}*{x}" for j, x in enumerate(xs))
+    sig = f"1.0/(1.0+exp(-({zexpr})))"
+    feat_cols = ",\n             ".join(
+        f"list_extract(embedding::DOUBLE[], {i + 1}) AS f{i}" for i in range(nf)
+    )
+    stat_cols = ", ".join(
+        f"round(avg(f{i}), 6) AS m{i}, round(stddev_samp(f{i}), 6) AS s{i}"
+        for i in range(nf)
+    )
+    z_cols = ",\n             ".join(
+        f"round((f{i} - m{i})/s{i}, 4) AS x{i + 1}" for i in range(nf)
+    )
+    parts = [
+        f"""WITH e AS (
+      SELECT vec_id, CAST(label = 3 AS INT) AS label_bin,
+             {feat_cols}
+      FROM embeddings
+    ), s AS (
+      SELECT {stat_cols} FROM e
+    ), z AS (
+      SELECT vec_id, label_bin, CAST(label_bin AS DOUBLE) AS y,
+             {z_cols}
+      FROM e CROSS JOIN s
+    ), w0_ AS (
+      SELECT {', '.join(f'0.0 AS w{j}' for j in range(nf + 1))}
+    )"""
+    ]
+    for it in range(1, iters + 1):
+        grads = [f"round(avg(({sig} - y)), 6) AS g0"] + [
+            f"round(avg(({sig} - y) * {x}), 6) AS g{j + 1}"
+            for j, x in enumerate(xs)
+        ]
+        ups = ", ".join(
+            f"round(w{j} - {lr!r}*g{j}, 6) AS w{j}" for j in range(nf + 1)
+        )
+        parts.append(
+            f", g{it}_ AS (\n      SELECT {', '.join(grads)} FROM z CROSS JOIN w{it - 1}_\n    )"
+            f", w{it}_ AS (\n      SELECT {ups} FROM w{it - 1}_ CROSS JOIN g{it}_\n    )"
+        )
+    parts.append(
+        f"""
+    SELECT vec_id, label_bin, round({sig}, 6) AS p,
+           CAST(round({sig}, 6) >= 0.5 AS INT) AS predicted
+    FROM z CROSS JOIN w{iters}_"""
+    )
+    return "".join(parts)
+
+
+@query(
+    "logreg_classifier_train",
+    oracle=_logreg_oracle(nf=4, lr=2.0, iters=5),
+    tags=("model-training", "classifier"),
+)
+def logreg_classifier_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supervised in-engine model training: batch-gradient-descent
+    logistic regression (one-vs-rest on embedding class 3) over
+    z-score-standardized embedding coordinates — the learned
+    quality-filter stage of a curation pipeline, trained and scored
+    without leaving the DataFrame layer. The whole run (feature
+    standardization stats, 5 GD iterations, final per-row scores) is
+    bit-exactly reproduced by an unrolled CTE oracle, the same
+    determinism contract as the k-means/PQ trainers. Scale: one
+    partial-avg aggregate scan per iteration, weights driver-side
+    (the MLlib GD topology); scoring is a stateless projection."""
+    from .operators.logreg import logreg_fit, logreg_score, standardize
+
+    embeddings = load_table(spark, sf_dir, "embeddings")
+    base = embeddings.select(
+        "vec_id",
+        (F.col("label") == 3).cast("int").alias("label_bin"),
+        *[
+            F.col("embedding").cast("array<double>")[i].alias(f"f{i}")
+            for i in range(4)
+        ],
+    )
+    feats, zcols = standardize(base, [f"f{i}" for i in range(4)])
+    weights = logreg_fit(feats, zcols, "label_bin", lr=2.0, iters=5)
+    return logreg_score(feats, zcols, weights).select(
+        "vec_id", "label_bin", "p", "predicted"
+    )

@@ -1520,3 +1520,58 @@ def test_jl_projection_preserves_distances_in_expectation(spark):
     proj = vecs @ m1.T
     ratio = (proj ** 2).sum(axis=1) / (vecs ** 2).sum(axis=1)
     assert 0.8 < ratio.mean() < 1.2, ratio.mean()
+
+
+# ---------------------------------------------------------------------------
+# In-engine logistic-regression training (operators/logreg.py)
+# ---------------------------------------------------------------------------
+
+
+def test_logreg_loss_decreases_each_iteration(spark):
+    """Batch GD on standardized features must strictly reduce training
+    log-loss at every one of the first iterations (small enough lr on
+    this data) — the property that separates a real trainer from a
+    weight-shaped random projection."""
+    from pyspark.sql import functions as F
+
+    from data_seedling_spark.operators.logreg import (
+        logreg_fit,
+        logreg_log_loss,
+        standardize,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    base = emb.select(
+        "vec_id",
+        (F.col("label") == 3).cast("int").alias("label_bin"),
+        *[
+            F.col("embedding").cast("array<double>")[i].alias(f"f{i}")
+            for i in range(4)
+        ],
+    )
+    feats, zcols = standardize(base, [f"f{i}" for i in range(4)])
+    losses = []
+    for iters in range(4):
+        w = logreg_fit(feats, zcols, "label_bin", lr=1.0, iters=iters)
+        losses.append(logreg_log_loss(feats, zcols, "label_bin", w))
+    assert all(b < a for a, b in zip(losses, losses[1:])), losses
+
+
+def test_logreg_score_matches_manual_sigmoid(spark):
+    """Scoring with hand-picked weights reproduces the closed-form
+    sigmoid (and the 0/1 threshold) computed driver-side."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from data_seedling_spark.operators.logreg import logreg_score
+
+    df = spark.createDataFrame(
+        [(1, 0.5, -1.0), (2, -2.0, 0.25), (3, 0.0, 0.0)], "id long, a double, b double"
+    )
+    w = [0.1, 2.0, -0.5]
+    out = {r["id"]: r for r in logreg_score(df, ["a", "b"], w).collect()}
+    for _id, a, b in [(1, 0.5, -1.0), (2, -2.0, 0.25), (3, 0.0, 0.0)]:
+        p = 1.0 / (1.0 + math.exp(-(w[0] + w[1] * a + w[2] * b)))
+        assert abs(out[_id]["p"] - round(p, 6)) < 1e-9
+        assert out[_id]["predicted"] == (1 if round(p, 6) >= 0.5 else 0)
