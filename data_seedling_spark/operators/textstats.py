@@ -566,3 +566,74 @@ def count_min_estimates(
             "rank",
         )
     )
+
+
+def bpe_train(
+    df: DataFrame,
+    text_col: str,
+    n_merges: int = 3,
+) -> tuple[list[tuple[str, int]], DataFrame]:
+    """Byte-pair-encoding vocabulary induction over the corpus word-
+    frequency table (Gage 1994 / Sennrich et al. 2016): repeatedly find
+    the most frequent adjacent symbol pair (ties: lexicographically
+    first) and merge it everywhere, left-to-right non-overlapping —
+    the learning counterpart of :func:`greedy_subword_tokenize`, which
+    consumes a vocabulary this produces.
+
+    Returns ``(merges, words)``: the learned ``[(pair, count)]`` list
+    and the segmented word table ``(token, freq, segmented)`` after all
+    merges. Scale: training runs on the DISTINCT-word frequency table
+    (vocabulary-sized, not corpus-sized — the standard trick), so each
+    round is a (pair → partial-sum) shuffle plus a distributed top-1
+    (``orderBy.limit(1)`` = TakeOrdered, no global sort); the driver
+    holds only the merge list. Each round's argmax is deterministic
+    (count desc, pair asc), which keeps the whole run oracle-checkable.
+    """
+    toks = df.select(F.explode(F.split(F.col(text_col), " ")).alias("token")).where(
+        F.col("token") != ""
+    )
+    words = toks.groupBy("token").agg(F.count(F.lit(1)).alias("freq"))
+    words = words.select(
+        "token",
+        "freq",
+        F.trim(F.regexp_replace("token", "(.)", "$1 ")).alias("segmented"),
+    ).persist()
+    merges: list[tuple[str, int]] = []
+    for _ in range(n_merges):
+        arr = F.split("segmented", " ")
+        n = F.size(arr)
+        idx = F.when(n >= 2, F.sequence(F.lit(0), n - 2)).otherwise(
+            F.array().cast("array<int>")
+        )
+        pair = F.explode(
+            F.transform(
+                idx,
+                lambda i: F.concat_ws(
+                    " ", F.element_at(arr, i + 1), F.element_at(arr, i + 2)
+                ),
+            )
+        )
+        best = (
+            words.select(pair.alias("pair"), "freq")
+            .groupBy("pair")
+            .agg(F.sum("freq").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), "pair")
+            .limit(1)
+            .collect()[0]
+        )
+        merges.append((best["pair"], best["cnt"]))
+        merged = best["pair"].replace(" ", "")
+        nxt = words.select(
+            "token",
+            "freq",
+            F.trim(
+                F.replace(
+                    F.concat(F.lit(" "), F.col("segmented"), F.lit(" ")),
+                    F.lit(f" {best['pair']} "),
+                    F.lit(f" {merged} "),
+                )
+            ).alias("segmented"),
+        ).persist()
+        words.unpersist()
+        words = nxt
+    return merges, words

@@ -3544,3 +3544,60 @@ def logreg_classifier_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return logreg_score(feats, zcols, weights).select(
         "vec_id", "label_bin", "p", "predicted"
     )
+
+
+def _bpe_oracle(n_merges: int = 3) -> str:
+    """Unrolled BPE-training oracle: per merge round, a (pair-count →
+    deterministic argmax → left-to-right replace) CTE triple mirroring
+    ``operators.textstats.bpe_train``."""
+    parts = [
+        r"""WITH w0 AS (
+      SELECT token, CAST(COUNT(*) AS BIGINT) AS freq,
+             trim(regexp_replace(token, '(.)', '\1 ', 'g')) AS s
+      FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+      WHERE token <> '' GROUP BY token
+    )"""
+    ]
+    for k in range(1, n_merges + 1):
+        parts.append(
+            f""", p{k} AS (
+      SELECT pr, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
+        SELECT unnest([a[i] || ' ' || a[i+1] FOR i IN range(1, len(a))]) AS pr,
+               freq
+        FROM (SELECT string_split(s, ' ') AS a, freq FROM w{k - 1})
+      ) GROUP BY pr
+    ), b{k} AS (
+      SELECT pr FROM p{k} ORDER BY cnt DESC, pr LIMIT 1
+    ), w{k} AS (
+      SELECT token, freq,
+             trim(replace(' ' || s || ' ',
+                          ' ' || (SELECT pr FROM b{k}) || ' ',
+                          ' ' || replace((SELECT pr FROM b{k}), ' ', '') || ' ')) AS s
+      FROM w{k - 1}
+    )"""
+        )
+    parts.append(
+        f"\n    SELECT token, freq, s AS segmented FROM w{n_merges}"
+    )
+    return "".join(parts)
+
+
+@query(
+    "bpe_train_merges",
+    oracle=_bpe_oracle(3),
+    tags=("tokenizer-training",),
+)
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE vocabulary induction in-engine (Gage 1994 / Sennrich 2016):
+    learn 3 merges over the corpus word-frequency table and return the
+    segmented vocabulary — the training counterpart of
+    ``subword_tokenize_greedy``. Merge application is single-pass
+    left-to-right non-overlapping (Gage's original), which both
+    engines' ``replace`` implement identically, so the whole
+    data-dependent training trajectory (argmax per round: count desc,
+    pair asc) is hash-checked against an unrolled CTE oracle."""
+    from .operators.textstats import bpe_train
+
+    documents = load_table(spark, sf_dir, "documents")
+    _, words = bpe_train(documents, "text", n_merges=3)
+    return words.select("token", "freq", F.col("segmented"))

@@ -1575,3 +1575,38 @@ def test_logreg_score_matches_manual_sigmoid(spark):
         p = 1.0 / (1.0 + math.exp(-(w[0] + w[1] * a + w[2] * b)))
         assert abs(out[_id]["p"] - round(p, 6)) < 1e-9
         assert out[_id]["predicted"] == (1 if round(p, 6) >= 0.5 else 0)
+
+
+def test_bpe_train_matches_reference_implementation(spark):
+    """Learned merges and final segmentation equal a driver-side
+    reference BPE (most-frequent pair, ties lexicographic, single-pass
+    left-to-right merge) on a corpus with known counts."""
+    from data_seedling_spark.operators.textstats import bpe_train
+
+    texts = ["low low low lower lowest", "new newer newest low", "wide wider new"]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+
+    # reference implementation
+    from collections import Counter
+
+    freqs = Counter(w for t in texts for w in t.split(" "))
+    seg = {w: " ".join(w) for w in freqs}
+    ref_merges = []
+    for _ in range(3):
+        pc = Counter()
+        for w, f in freqs.items():
+            syms = seg[w].split(" ")
+            for a, b in zip(syms, syms[1:]):
+                pc[f"{a} {b}"] += f
+        best = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        ref_merges.append(best)
+        for w in seg:
+            seg[w] = (" " + seg[w] + " ").replace(
+                f" {best} ", " " + best.replace(" ", "") + " "
+            ).strip()
+
+    merges, words = bpe_train(df, "text", n_merges=3)
+    assert [m[0] for m in merges] == ref_merges
+    got = {r["token"]: r["segmented"] for r in words.collect()}
+    assert got == seg
+    words.unpersist()
