@@ -79,6 +79,10 @@ HEADLINE = [
     "ivfpq_residual_topk",
     "hll_md5_distinct_oracle_checked",
     "event_transition_probs",
+    "ann_recall_eval",
+    "cluster_top_terms_ctfidf",
+    "logreg_classifier_train",
+    "bpe_train_merges",
 ]
 
 

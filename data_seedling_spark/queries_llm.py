@@ -3328,19 +3328,24 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     approx = ivf_topk(
         embeddings, query_ids=range(20), k=5, centroid_stride=50
     ).select("query_id", "neighbor_id")
-    hits = (
-        exact.join(approx, ["query_id", "neighbor_id"])
-        .groupBy("query_id")
-        .agg(F.count(F.lit(1)).alias("n_hits"))
+    # Single pass over the exact leg: left-join the approx hit marker,
+    # then one grouped count/count(marker) — the brute-force ground
+    # truth is the expensive side, so it must not be evaluated twice.
+    marked = exact.join(
+        approx.withColumn("_hit", F.lit(1)), ["query_id", "neighbor_id"], "left"
     )
-    base = exact.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_exact"))
-    return base.join(hits, "query_id", "left").select(
-        "query_id",
-        F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
-        "n_exact",
-        F.round(
-            F.coalesce(F.col("n_hits"), F.lit(0)) / F.col("n_exact"), 4
-        ).alias("recall_at_k"),
+    return (
+        marked.groupBy("query_id")
+        .agg(
+            F.count("_hit").alias("n_hits"),
+            F.count(F.lit(1)).alias("n_exact"),
+        )
+        .select(
+            "query_id",
+            "n_hits",
+            "n_exact",
+            F.round(F.col("n_hits") / F.col("n_exact"), 4).alias("recall_at_k"),
+        )
     )
 
 
@@ -3423,12 +3428,16 @@ def cluster_top_terms_ctfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.explode(F.split("text", " ")).alias("token"),
         )
     )
+    # One explode + one (cluster, token) shuffle; every other statistic
+    # derives from the tf aggregate (vocabulary-sized), so the exploded
+    # token stream is scanned once and the repeated tf subtree hits
+    # Spark's ReusedExchange. Identical integer counts → same oracle.
     tf = toks.groupBy("cluster_id", "token").agg(F.count(F.lit(1)).alias("tf"))
-    ct = toks.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("c_tokens"))
-    tt = toks.groupBy("token").agg(F.count(F.lit(1)).alias("t_total"))
-    tot = toks.agg(
-        F.count(F.lit(1)).alias("all_tokens"),
-        F.countDistinct("cluster_id").alias("n_clusters"),
+    ct = tf.groupBy("cluster_id").agg(F.sum("tf").alias("c_tokens"))
+    tt = tf.groupBy("token").agg(F.sum("tf").alias("t_total"))
+    tot = ct.agg(
+        F.sum("c_tokens").alias("all_tokens"),
+        F.count(F.lit(1)).alias("n_clusters"),
     )
     scored = (
         tf.join(ct, "cluster_id")
