@@ -266,3 +266,27 @@ def test_ivfpq_residual_no_python_no_cartesian(spark, reg):
     assert "CartesianProduct" not in plan
     assert "Python" not in plan
     assert not _unpartitioned_windows(plan)
+
+
+def test_registry_wide_plan_hygiene(spark, reg):
+    """Sweep EVERY registered query's physical plan for the two
+    anti-patterns that are invisible at test SF and fatal at 100 TB:
+    an unbroadcast cartesian product and a row-at-a-time Python UDF.
+    Broadcast cross joins of scalar frames (BroadcastNestedLoopJoin)
+    and Arrow-batched Python (ArrowEvalPython / MapInPandas /
+    FlatMapGroupsInPandas) are legitimate and stay allowed."""
+    # UDTF surface demo: BatchEvalPythonUDTF is the point of the query.
+    python_ok = {"udtf_token_spans"}
+    offenders = []
+    for name in reg:
+        try:
+            plan = plan_of(spark, reg, name)
+        except Exception as exc:  # pragma: no cover - fail loudly below
+            offenders.append((name, f"plan build failed: {exc}"))
+            continue
+        if "CartesianProduct" in plan:
+            offenders.append((name, "CartesianProduct"))
+        cleaned = plan.replace("BatchEvalPythonUDTF", "")
+        if "BatchEvalPython" in cleaned and name not in python_ok:
+            offenders.append((name, "row-at-a-time BatchEvalPython"))
+    assert not offenders, offenders
