@@ -642,3 +642,184 @@ def chunk_dedup(
             .alias("n_removed_chunks"),
         )
     )
+
+
+def minhash_md5_lsh_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_perm: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """MinHash-LSH near-dup with an **engine-independent hash family**:
+    permutation *i* of shingle *s* is the 60-bit integer
+    ``('0x' || substr(md5(i || '|' || s), 1, 15))::BIGINT`` — cheap,
+    uniform, and computable identically in any engine with md5, so the
+    ENTIRE approximate pipeline (signatures → banding → candidate
+    buckets → exact-Jaccard verification) is hash-checkable against a
+    SQL oracle. The xxhash64+multiply-shift variant
+    (:func:`minhash_lsh_pairs`) remains the throughput path; this is
+    the auditable twin (same md5 trick as the HLL/count-min sketches).
+
+    Plan shape is identical to the fast path: per-document signature
+    fold (JVM transforms, no Python), O(rows × bands) band-key shuffle,
+    bucket self-join, verification join on the shingle sets. Nothing
+    is all-pairs.
+    """
+    rows_per_band = num_perm // bands
+    sh = (
+        df.select(
+            F.col(id_col), word_shingles(F.col(text_col), shingle_n).alias("shingles")
+        )
+        .where(F.size("shingles") > 0)
+        .persist()
+    )
+
+    def perm_hash(i: int, s):
+        return F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"{i}|"), s)), 1, 15), 16, 10
+        ).cast("long")
+
+    sig = sh.select(
+        F.col(id_col),
+        F.array(
+            *[
+                F.array_min(F.transform("shingles", lambda s, i=i: perm_hash(i, s)))
+                for i in range(num_perm)
+            ]
+        ).alias("signature"),
+    )
+    band_keys = [
+        F.md5(
+            F.concat_ws(
+                ",",
+                *[
+                    F.col("signature")[bi * rows_per_band + j].cast("string")
+                    for j in range(rows_per_band)
+                ],
+            )
+        )
+        for bi in range(bands)
+    ]
+    bandrows = sig.select(
+        F.col(id_col), F.posexplode(F.array(*band_keys)).alias("band", "bkey")
+    )
+    cands = (
+        bandrows.alias("x")
+        .join(bandrows.alias("y"), ["band", "bkey"])
+        .where(F.col(f"x.{id_col}") < F.col(f"y.{id_col}"))
+        .select(
+            F.col(f"x.{id_col}").alias("doc_a"), F.col(f"y.{id_col}").alias("doc_b")
+        )
+        .distinct()
+    )
+    verified = (
+        cands.join(
+            sh.select(
+                F.col(id_col).alias("doc_a"), F.col("shingles").alias("sh_a")
+            ),
+            "doc_a",
+        )
+        .join(
+            sh.select(
+                F.col(id_col).alias("doc_b"), F.col("shingles").alias("sh_b")
+            ),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 4).alias("jaccard"),
+        )
+    )
+    return verified.where(F.col("jaccard") >= threshold)
+
+
+def simhash_md5(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    bits: int = 60,
+) -> DataFrame:
+    """Per-document SimHash (Charikar 2002) over the engine-independent
+    md5 token hash (60-bit): bit *b* of the signature is the sign of
+    Σ_tokens (±1 by the token hash's bit *b*) — computed as an explode
+    → grouped conditional-sum (one shuffle keyed by document, map-side
+    partial combine absorbs the per-token rows), then the signature
+    assembles from the 60 aggregated bit-sums as a pure projection.
+    Engine-independent, so unlike the xxhash64 path (:func:`simhash64`)
+    the signature itself is oracle-checkable.
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.col(text_col), " ")).alias("_tok"),
+    ).select(
+        F.col(id_col),
+        F.conv(F.substring(F.md5("_tok"), 1, 15), 16, 10).cast("long").alias("_h"),
+    )
+    bit_sums = toks.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(
+                    F.shiftright(F.col("_h"), b).bitwiseAND(F.lit(1)) == 1, 1
+                ).otherwise(-1)
+            ).alias(f"b{b}")
+            for b in range(bits)
+        ]
+    )
+    sig = None
+    for b in range(bits):
+        term = F.when(F.col(f"b{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        sig = term if sig is None else sig + term
+    return bit_sums.select(F.col(id_col), sig.cast("long").alias("simhash"))
+
+
+def simhash_md5_near_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_hamming: int = 3,
+    bits: int = 60,
+    n_chunks: int = 4,
+) -> DataFrame:
+    """SimHash near-duplicate pairs: split the 60-bit signature into 4
+    15-bit chunks; by pigeonhole any pair within Hamming distance 3
+    agrees on ≥1 chunk, so an equi-join on (chunk index, chunk value)
+    finds all such pairs with no all-pairs stage; verification is
+    ``bit_count(xor)``. O(rows × chunks) shuffle, bucket self-join."""
+    chunk_bits = bits // n_chunks
+    mask = (1 << chunk_bits) - 1
+    sigs = simhash_md5(df, text_col, id_col, bits)
+    chunks = sigs.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("simhash"), c * chunk_bits).bitwiseAND(
+                        F.lit(mask)
+                    )
+                    for c in range(n_chunks)
+                ]
+            )
+        ).alias("chunk", "cval"),
+    )
+    a = chunks.select(
+        F.col(id_col).alias("doc_a"), F.col("simhash").alias("sig_a"), "chunk", "cval"
+    )
+    b = chunks.select(
+        F.col(id_col).alias("doc_b"), F.col("simhash").alias("sig_b"), "chunk", "cval"
+    )
+    cands = (
+        a.join(b, ["chunk", "cval"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sig_a", "sig_b")
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return (
+        cands.select("doc_a", "doc_b", hamming.cast("int").alias("hamming"))
+        .where(F.col("hamming") <= max_hamming)
+    )

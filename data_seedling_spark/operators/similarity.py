@@ -80,7 +80,7 @@ def cosine_topk(
     )
 
 
-def hyperplane_signature(vec_col, planes: np.ndarray):
+def hyperplane_signature(vec_col, planes: np.ndarray, round_digits: int | None = None):
     """Sign-bit LSH signature as a bigint: bit i = (v·plane_i > 0).
 
     The plane matrix enters the plan as ONE generated SQL literal
@@ -107,19 +107,22 @@ def hyperplane_signature(vec_col, planes: np.ndarray):
         )
         + ")"
     )
+    def dot(s):
+        d = F.aggregate(
+            F.zip_with(vec_col, s["p"], lambda x, y: x * y),
+            F.lit(0.0),
+            lambda a, v: a + v,
+        )
+        # round_digits puts the sign test on a decimal grid so an
+        # engine whose dot fold differs by an ulp (SQL oracle) lands
+        # the same bucket bit.
+        return F.round(d, round_digits) if round_digits is not None else d
+
     return F.aggregate(
         planes_expr,
         F.lit(0).cast("long"),
         lambda acc, s: acc
-        + F.when(
-            F.aggregate(
-                F.zip_with(vec_col, s["p"], lambda x, y: x * y),
-                F.lit(0.0),
-                lambda a, v: a + v,
-            )
-            > 0,
-            s["b"],
-        ).otherwise(F.lit(0).cast("long")),
+        + F.when(dot(s) > 0, s["b"]).otherwise(F.lit(0).cast("long")),
     )
 
 
@@ -1100,3 +1103,81 @@ def ivfpq_residual_topk(
         .withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
     )
+
+
+def md5_planes(n_tables: int, n_planes: int, dim: int) -> np.ndarray:
+    """Engine-independent pseudo-random hyperplanes: coordinate
+    (t, p, j) is ``(int(md5(f"{t}_{p}_{j}")[:8], 16) % 2000001
+    - 1000000) / 1e6`` — uniform in [-1, 1], reproducible from SQL
+    (``('0x' || substr(md5(...), 1, 8))::BIGINT``) so an oracle can
+    rebuild the exact plane matrix. Shape (n_tables, n_planes, dim)."""
+    import hashlib
+
+    out = np.empty((n_tables, n_planes, dim), dtype=np.float64)
+    for t in range(n_tables):
+        for p in range(n_planes):
+            for j in range(dim):
+                h = int(
+                    hashlib.md5(f"{t}_{p}_{j}".encode()).hexdigest()[:8], 16
+                )
+                out[t, p, j] = (h % 2000001 - 1000000) / 1e6
+    return out
+
+
+def embedding_near_dup_lsh_md5(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.4,
+    n_tables: int = 4,
+    n_planes: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """Embedding near-duplicate pairs blocked by multi-table hyperplane
+    LSH with md5-derived planes — the fully oracle-checkable twin of
+    the random-plane ANN path: plane matrix, sign bits (on the 1e-6
+    grid), bucket candidates, and exact-cosine verification are all
+    engine-independent. Plan: vectors fan out n_tables× as (id, sig)
+    rows, per-table bucket self-join, pair dedupe, one exact scoring
+    pass; no all-pairs stage."""
+    planes = md5_planes(n_tables, n_planes, dim)
+    v = df.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v")
+    )
+    sigs = v.select(
+        F.col(id_col),
+        F.posexplode(
+            F.array(
+                *[
+                    hyperplane_signature(F.col("_v"), planes[t], round_digits=6)
+                    for t in range(n_tables)
+                ]
+            )
+        ).alias("tbl", "sig"),
+    )
+    cands = (
+        sigs.alias("x")
+        .join(sigs.alias("y"), ["tbl", "sig"])
+        .where(F.col(f"x.{id_col}") < F.col(f"y.{id_col}"))
+        .select(
+            F.col(f"x.{id_col}").alias("vec_a"), F.col(f"y.{id_col}").alias("vec_b")
+        )
+        .distinct()
+    )
+    scored = (
+        cands.join(v.select(F.col(id_col).alias("vec_a"), F.col("_v").alias("_va")), "vec_a")
+        .join(v.select(F.col(id_col).alias("vec_b"), F.col("_v").alias("_vb")), "vec_b")
+        .select(
+            "vec_a",
+            "vec_b",
+            F.round(
+                _dot(F.col("_va"), F.col("_vb"))
+                / (
+                    F.sqrt(_dot(F.col("_va"), F.col("_va")))
+                    * F.sqrt(_dot(F.col("_vb"), F.col("_vb")))
+                ),
+                6,
+            ).alias("score"),
+        )
+    )
+    return scored.where(F.col("score") >= threshold)

@@ -3610,3 +3610,168 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     documents = load_table(spark, sf_dir, "documents")
     _, words = bpe_train(documents, "text", n_merges=3)
     return words.select("token", "freq", F.col("segmented"))
+
+
+@query(
+    "minhash_md5_lsh_near_dup",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    sh AS (
+      SELECT doc_id,
+             list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                            FOR i IN range(1, greatest(len(w) - 1, 1))]) AS shingles
+      FROM t
+    ), shf AS (
+      SELECT doc_id, shingles FROM sh WHERE len(shingles) > 0
+    ), sig AS (
+      SELECT doc_id,
+             [list_min([CAST(('0x' || substr(md5(CAST(p AS VARCHAR) || '|' || s), 1, 15))
+                             AS BIGINT)
+                        FOR s IN shingles])
+              FOR p IN range(0, 16)] AS sg
+      FROM shf
+    ), bandrows AS (
+      SELECT doc_id, b.b AS band,
+             md5(array_to_string(sg[b.b*4 + 1 : b.b*4 + 4], ',')) AS bkey
+      FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS b) b
+    ), cands AS (
+      SELECT x.doc_id AS doc_a, y.doc_id AS doc_b
+      FROM bandrows x JOIN bandrows y
+        ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           round(len(list_intersect(a.shingles, b.shingles))::DOUBLE
+                 / len(list_distinct(list_concat(a.shingles, b.shingles))), 4)
+             AS jaccard
+    FROM cands
+    JOIN shf a ON a.doc_id = doc_a
+    JOIN shf b ON b.doc_id = doc_b
+    WHERE len(list_intersect(a.shingles, b.shingles))::DOUBLE
+          / len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.8
+    """,
+    tags=("dedup-minhash", "oracle-twin"),
+)
+def minhash_md5_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-duplicate pairs with the engine-independent md5
+    hash family (16 perms × 4 bands, exact-Jaccard verification at
+    0.8): unlike the xxhash64 throughput path (rows-only checked), the
+    full approximate pipeline here — signatures, band buckets, candidate
+    generation, verification — hash-matches a DuckDB oracle, closing
+    the auditability gap for the flagship near-dup operator (same md5
+    twin pattern as the HLL and count-min sketches)."""
+    from .operators.dedup import minhash_md5_lsh_pairs
+
+    documents = load_table(spark, sf_dir, "documents")
+    return minhash_md5_lsh_pairs(
+        documents, "text", "doc_id", num_perm=16, bands=4, threshold=0.8
+    )
+
+
+def _simhash_md5_oracle(bits: int = 60, n_chunks: int = 4, max_hamming: int = 3) -> str:
+    """Generated SimHash oracle: 60 conditional bit-sums per document,
+    signature assembly, pigeonhole chunk join, bit_count verification —
+    the same stages as ``operators.dedup.simhash_md5_near_pairs``."""
+    chunk_bits = bits // n_chunks
+    mask = (1 << chunk_bits) - 1
+    bsum = ",\n             ".join(
+        f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}"
+        for b in range(bits)
+    )
+    sig = " + ".join(
+        f"(CASE WHEN b{b} > 0 THEN 1::BIGINT << {b} ELSE 0 END)" for b in range(bits)
+    )
+    chunks = ", ".join(
+        f"((sig >> {c * chunk_bits}) & {mask})" for c in range(n_chunks)
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS h
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+    ), bs AS (
+      SELECT doc_id,
+             {bsum}
+      FROM toks GROUP BY doc_id
+    ), sigs AS (
+      SELECT doc_id, CAST({sig} AS BIGINT) AS sig FROM bs
+    ), chunks AS (
+      SELECT doc_id, sig, c.c AS chunk,
+             [{chunks}][c.c + 1] AS cval
+      FROM sigs CROSS JOIN (SELECT unnest(range(0, {n_chunks})) AS c) c
+    ), cands AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sig AS sig_a, b.sig AS sig_b
+      FROM chunks a JOIN chunks b
+        ON a.chunk = b.chunk AND a.cval = b.cval AND a.doc_id < b.doc_id
+      GROUP BY 1, 2, 3, 4
+    )
+    SELECT doc_a, doc_b, CAST(bit_count(xor(sig_a, sig_b)) AS INT) AS hamming
+    FROM cands
+    WHERE bit_count(xor(sig_a, sig_b)) <= {max_hamming}
+    """
+
+
+@query(
+    "simhash_md5_near_dup",
+    oracle=_simhash_md5_oracle(),
+    tags=("dedup-simhash", "oracle-twin"),
+)
+def simhash_md5_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-duplicate pairs (Hamming ≤ 3 over a 60-bit md5
+    signature, pigeonhole 4×15-bit chunk blocking): the
+    engine-independent twin of ``simhash_documents`` — signature
+    construction, chunk candidate generation, and xor-popcount
+    verification all hash-match the SQL oracle."""
+    from .operators.dedup import simhash_md5_near_pairs
+
+    documents = load_table(spark, sf_dir, "documents")
+    return simhash_md5_near_pairs(documents, "text", "doc_id", max_hamming=3)
+
+
+@query(
+    "embedding_near_dup_lsh_md5",
+    oracle="""
+    WITH planes AS (
+      SELECT t.t, p.p,
+             [(CAST(('0x' || substr(md5(t.t || '_' || p.p || '_' || j), 1, 8))
+                    AS BIGINT) % 2000001 - 1000000) / 1000000.0
+              FOR j IN range(0, 64)] AS pv
+      FROM (SELECT unnest(range(0, 4)) AS t) t
+      CROSS JOIN (SELECT unnest(range(0, 8)) AS p) p
+    ), v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS vv FROM embeddings
+    ), sigs AS (
+      SELECT v.vec_id, pl.t AS tbl,
+             CAST(SUM(CASE WHEN round(list_dot_product(v.vv, pl.pv), 6) > 0
+                           THEN 1::BIGINT << pl.p ELSE 0 END) AS BIGINT) AS sig
+      FROM v CROSS JOIN planes pl
+      GROUP BY v.vec_id, pl.t
+    ), cands AS (
+      SELECT x.vec_id AS vec_a, y.vec_id AS vec_b
+      FROM sigs x JOIN sigs y
+        ON x.tbl = y.tbl AND x.sig = y.sig AND x.vec_id < y.vec_id
+      GROUP BY 1, 2
+    )
+    SELECT vec_a, vec_b,
+           round(list_dot_product(a.vv, b.vv)
+                 / (sqrt(list_dot_product(a.vv, a.vv))
+                    * sqrt(list_dot_product(b.vv, b.vv))), 6) AS score
+    FROM cands
+    JOIN v a ON a.vec_id = vec_a
+    JOIN v b ON b.vec_id = vec_b
+    WHERE round(list_dot_product(a.vv, b.vv)
+                / (sqrt(list_dot_product(a.vv, a.vv))
+                   * sqrt(list_dot_product(b.vv, b.vv))), 6) >= 0.4
+    """,
+    tags=("dedup-embedding", "similarity-lsh", "oracle-twin"),
+)
+def embedding_near_dup_lsh_md5_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH embedding near-dup with md5-derived planes
+    (4 tables × 8 sign bits, exact-cosine verification at 0.4): the
+    oracle-checked twin of the random-plane LSH path — the plane
+    matrix itself, the 1e-6-grid sign bits, the bucket candidates and
+    the verification scores all hash-match SQL."""
+    from .operators.similarity import embedding_near_dup_lsh_md5
+
+    embeddings = load_table(spark, sf_dir, "embeddings")
+    return embedding_near_dup_lsh_md5(embeddings, threshold=0.4)
