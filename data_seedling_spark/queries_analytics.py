@@ -2870,3 +2870,62 @@ def seasonal_decompose_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "price_histogram_equidepth",
+    oracle="""
+    WITH vc AS (
+      SELECT p_retailprice, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM part GROUP BY p_retailprice
+    ), c AS (
+      SELECT p_retailprice, cnt,
+             CAST(SUM(cnt) OVER (
+               ORDER BY p_retailprice ROWS UNBOUNDED PRECEDING
+             ) AS BIGINT) AS cum
+      FROM vc
+    ), t AS (
+      SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM vc
+    )
+    SELECT CAST(ceil(10.0 * cum / total) AS INT) AS bucket,
+           CAST(SUM(cnt) AS BIGINT) AS n_parts,
+           round(MIN(p_retailprice), 2) AS lo,
+           round(MAX(p_retailprice), 2) AS hi
+    FROM c CROSS JOIN t
+    GROUP BY 1
+    """,
+    tags=("histogram",),
+)
+def price_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact equi-depth (decile) histogram computed at the VALUE level:
+    collapse to (value, count) first, cumulative-sum over ordered
+    distinct values, bucket = ceil(10·cum/total). Rows sharing a value
+    share a bucket, so bucket sizes are equal up to value multiplicity
+    — the statistically honest exact form. The only unpartitioned
+    window runs over the DISTINCT-value frame, bounded by column
+    cardinality rather than table size (the same cardinality argument
+    as the ledger's min/max stats); the equi-WIDTH variant stays the
+    O(1)-memory companion."""
+    part = load_table(spark, sf_dir, "part")
+    from pyspark.sql import Window as _W
+
+    vc = part.groupBy("p_retailprice").agg(F.count(F.lit(1)).alias("cnt"))
+    w = _W.orderBy("p_retailprice").rowsBetween(_W.unboundedPreceding, _W.currentRow)
+    c = vc.withColumn("cum", F.sum("cnt").over(w))
+    t = vc.agg(F.sum("cnt").alias("total"))
+    return (
+        c.crossJoin(F.broadcast(t))
+        .select(
+            F.ceil(F.lit(10.0) * F.col("cum") / F.col("total"))
+            .cast("int")
+            .alias("bucket"),
+            "cnt",
+            "p_retailprice",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_parts"),
+            F.round(F.min("p_retailprice"), 2).alias("lo"),
+            F.round(F.max("p_retailprice"), 2).alias("hi"),
+        )
+    )

@@ -3775,3 +3775,70 @@ def embedding_near_dup_lsh_md5_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     embeddings = load_table(spark, sf_dir, "embeddings")
     return embedding_near_dup_lsh_md5(embeddings, threshold=0.4)
+
+
+@query(
+    "dedup_best_representative",
+    oracle="""
+    WITH RECURSIVE edges AS (
+      WITH t AS (
+        SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents
+      ), sh AS (
+        SELECT doc_id, lang,
+               list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                              FOR i IN range(1, greatest(len(w) - 1, 1))]) AS shingles
+        FROM t
+      )
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.shingles, b.shingles))::DOUBLE
+            / len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.8
+    ), sym AS (
+      SELECT doc_a AS a, doc_b AS b FROM edges
+      UNION SELECT doc_b, doc_a FROM edges
+    ), reach AS (
+      SELECT a, b FROM sym
+      UNION
+      SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+    ), memb AS (
+      SELECT a AS doc_id, least(a, min(b)) AS cluster_id FROM reach GROUP BY a
+    ), scored AS (
+      SELECT m.cluster_id, m.doc_id, length(d.text) AS n_chars
+      FROM memb m JOIN documents d USING (doc_id)
+    )
+    SELECT cluster_id, n_members, doc_id AS kept_doc_id, n_chars AS kept_n_chars
+    FROM (
+      SELECT cluster_id, doc_id, n_chars,
+             CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS n_members,
+             ROW_NUMBER() OVER (
+               PARTITION BY cluster_id ORDER BY n_chars DESC, doc_id
+             ) AS rn
+      FROM scored
+    ) WHERE rn = 1
+    """,
+    tags=("dedup-clusters", "representative-selection"),
+)
+def dedup_best_representative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Representative selection over near-duplicate clusters: instead
+    of the min-id canonical member, keep the LONGEST document per
+    cluster (ties: min id) — the curation heuristic production dedup
+    actually ships (the near-dup copies differ, so 'best copy' is a
+    real choice). One grouped max_by over the cluster assignment; no
+    window over the corpus."""
+    from .operators.dedup import ngram_jaccard_pairs
+    from .operators.graph import dedup_clusters
+
+    documents = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(
+        documents, "text", "doc_id", block_cols=["lang"], n=3, threshold=0.8
+    )
+    clusters = dedup_clusters(pairs)
+    qual = documents.select("doc_id", F.length("text").alias("n_chars"))
+    joined = clusters.join(qual, "doc_id")
+    return joined.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+        F.max_by(
+            "doc_id", F.struct(F.col("n_chars"), (-F.col("doc_id")).alias("_ni"))
+        ).alias("kept_doc_id"),
+        F.max("n_chars").alias("kept_n_chars"),
+    ).select("cluster_id", "n_members", "kept_doc_id", "kept_n_chars")
