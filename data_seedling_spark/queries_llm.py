@@ -3842,3 +3842,242 @@ def dedup_best_representative(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("kept_doc_id"),
         F.max("n_chars").alias("kept_n_chars"),
     ).select("cluster_id", "n_members", "kept_doc_id", "kept_n_chars")
+
+
+@query(
+    "mlm_mask_documents",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ), m AS (
+      SELECT doc_id, w,
+             [CAST(('0x' || substr(md5(doc_id || '_' || (i - 1)), 1, 8)) AS BIGINT)
+              % 100 < 15
+              FOR i IN range(1, len(w) + 1)] AS msk
+      FROM t
+    )
+    SELECT doc_id,
+           array_to_string(
+             [CASE WHEN msk[i] THEN '[MASK]' ELSE w[i] END
+              FOR i IN range(1, len(w) + 1)], ' ') AS masked_text,
+           COALESCE(array_to_string(
+             list_filter(
+               [CASE WHEN msk[i] THEN (i - 1) || ':' || w[i] ELSE NULL END
+                FOR i IN range(1, len(w) + 1)],
+               x -> x IS NOT NULL), ' '), '') AS targets,
+           CAST(len(list_filter(msk, x -> x)) AS INT) AS n_masked
+    FROM m
+    """,
+    tags=("pretraining-objective",),
+)
+def mlm_mask_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Masked-LM objective data prep (BERT-style): mask ~15% of tokens
+    chosen by a position-keyed md5 hash (fully deterministic →
+    reproducible across reruns AND engines — no RNG state to ship),
+    emitting the masked text plus `pos:token` recovery targets.
+    Row-local array transforms only: one scan, no shuffle, no Python —
+    the shape that holds at any corpus size."""
+    documents = load_table(spark, sf_dir, "documents")
+    w = F.split("text", " ")
+    d = documents.select("doc_id", w.alias("w"))
+    mask_of = lambda i: (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("_"), i.cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 100
+        < 15
+    )
+    m = d.select(
+        "doc_id",
+        "w",
+        F.transform("w", lambda tok, i: mask_of(i)).alias("msk"),
+    )
+    tok_i = lambda arr, i: F.element_at(arr, i + 1)
+    idx = F.sequence(F.lit(0), F.size("w") - 1)
+    masked_text = F.array_join(
+        F.transform(
+            idx,
+            lambda i: F.when(tok_i(F.col("msk"), i), F.lit("[MASK]")).otherwise(
+                tok_i(F.col("w"), i)
+            ),
+        ),
+        " ",
+    )
+    targets = F.array_join(
+        F.filter(
+            F.transform(
+                idx,
+                lambda i: F.when(
+                    tok_i(F.col("msk"), i),
+                    F.concat(i.cast("string"), F.lit(":"), tok_i(F.col("w"), i)),
+                ),
+            ),
+            lambda x: x.isNotNull(),
+        ),
+        " ",
+    )
+    return m.select(
+        "doc_id",
+        masked_text.alias("masked_text"),
+        targets.alias("targets"),
+        F.size(F.filter("msk", lambda x: x)).alias("n_masked"),
+    )
+
+
+@query(
+    "span_corruption_t5",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ), sp AS (
+      SELECT doc_id, w,
+             CAST(ceil(len(w) / 3.0) AS INT) AS nspans
+      FROM t
+    ), m AS (
+      SELECT doc_id, w, nspans,
+             [CAST(('0x' || substr(md5(doc_id || '#' || s), 1, 8)) AS BIGINT)
+              % 100 < 15
+              FOR s IN range(0, nspans)] AS corr
+      FROM sp
+    ), pre AS (
+      SELECT doc_id, w, nspans, corr,
+             [len(list_filter(corr[1:s], x -> x)) FOR s IN range(0, nspans)] AS sent,
+             len(list_filter(corr, x -> x)) AS total
+      FROM m
+    )
+    SELECT doc_id,
+           array_to_string(
+             list_filter(
+               [CASE WHEN NOT corr[(i - 1) // 3 + 1] THEN w[i]
+                     WHEN (i - 1) % 3 = 0
+                       THEN '<extra_id_' || sent[(i - 1) // 3 + 1] || '>'
+                     ELSE NULL END
+                FOR i IN range(1, len(w) + 1)],
+               x -> x IS NOT NULL), ' ') AS input_text,
+           CASE WHEN total = 0 THEN '<extra_id_0>'
+                ELSE array_to_string(
+                       list_filter(
+                         [CASE WHEN corr[s + 1]
+                               THEN '<extra_id_' || sent[s + 1] || '> '
+                                    || array_to_string(w[3*s + 1 : 3*s + 3], ' ')
+                               ELSE NULL END
+                          FOR s IN range(0, nspans)],
+                         x -> x IS NOT NULL), ' ')
+                     || ' <extra_id_' || total || '>'
+           END AS target_text,
+           CAST(total AS INT) AS n_corrupted
+    FROM pre
+    """,
+    tags=("pretraining-objective",),
+)
+def span_corruption_t5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5-style span corruption (Raffel et al. 2020 §3.1.4): 3-token
+    spans are dropped with ~15% probability chosen by a span-keyed md5
+    hash, replaced by ordered `<extra_id_k>` sentinels in the input;
+    the target interleaves each sentinel with its dropped tokens and
+    ends with a terminal sentinel. Deterministic (reproducible across
+    engines AND reruns) and entirely row-local array algebra — one
+    scan, no shuffle, no Python."""
+    documents = load_table(spark, sf_dir, "documents")
+    w = F.split("text", " ")
+    d = documents.select("doc_id", w.alias("w"))
+    nspans = F.ceil(F.size("w") / F.lit(3.0)).cast("int")
+    d = d.select("doc_id", "w", nspans.alias("nspans"))
+    corr_of = lambda s: (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("doc_id").cast("string"), F.lit("#"), s.cast("string")
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 100
+        < 15
+    )
+    d = d.select(
+        "doc_id",
+        "w",
+        "nspans",
+        F.transform(
+            F.sequence(F.lit(0), F.col("nspans") - 1), lambda s: corr_of(s)
+        ).alias("corr"),
+    )
+    d = d.select(
+        "doc_id",
+        "w",
+        "nspans",
+        "corr",
+        F.transform(
+            F.sequence(F.lit(0), F.col("nspans") - 1),
+            lambda s: F.size(F.filter(F.slice("corr", 1, s), lambda x: x)),
+        ).alias("sent"),
+        F.size(F.filter("corr", lambda x: x)).alias("total"),
+    )
+    at = lambda arr, i: F.element_at(F.col(arr), i + 1)
+    idx = F.sequence(F.lit(0), F.size("w") - 1)
+    input_text = F.array_join(
+        F.filter(
+            F.transform(
+                idx,
+                lambda i: F.when(
+                    ~at("corr", (i / 3).cast("int")), at("w", i)
+                ).when(
+                    i % 3 == 0,
+                    F.concat(
+                        F.lit("<extra_id_"),
+                        at("sent", (i / 3).cast("int")).cast("string"),
+                        F.lit(">"),
+                    ),
+                ),
+            ),
+            lambda x: x.isNotNull(),
+        ),
+        " ",
+    )
+    span_idx = F.sequence(F.lit(0), F.col("nspans") - 1)
+    corrupted_spans = F.array_join(
+        F.filter(
+            F.transform(
+                span_idx,
+                lambda s: F.when(
+                    at("corr", s),
+                    F.concat(
+                        F.lit("<extra_id_"),
+                        at("sent", s).cast("string"),
+                        F.lit("> "),
+                        F.array_join(F.slice("w", s * 3 + 1, 3), " "),
+                    ),
+                ),
+            ),
+            lambda x: x.isNotNull(),
+        ),
+        " ",
+    )
+    target_text = F.when(
+        F.col("total") == 0, F.lit("<extra_id_0>")
+    ).otherwise(
+        F.concat(
+            corrupted_spans,
+            F.lit(" <extra_id_"),
+            F.col("total").cast("string"),
+            F.lit(">"),
+        )
+    )
+    return d.select(
+        "doc_id",
+        input_text.alias("input_text"),
+        target_text.alias("target_text"),
+        F.col("total").cast("int").alias("n_corrupted"),
+    )
