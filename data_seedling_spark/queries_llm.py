@@ -4081,3 +4081,158 @@ def span_corruption_t5(spark: SparkSession, sf_dir: str) -> DataFrame:
         target_text.alias("target_text"),
         F.col("total").cast("int").alias("n_corrupted"),
     )
+
+
+@query(
+    "contrastive_negative_sample",
+    oracle="""
+    WITH anchors AS (
+      SELECT doc_id AS anchor_id, lang AS anchor_lang
+      FROM documents WHERE doc_id < 20
+    ), cand AS (
+      SELECT a.anchor_id, d.doc_id AS neg_id,
+             md5(a.anchor_id || '~' || d.doc_id) AS rk
+      FROM anchors a JOIN documents d
+        ON d.lang <> a.anchor_lang
+    )
+    SELECT anchor_id, neg_id, rank FROM (
+      SELECT anchor_id, neg_id,
+             ROW_NUMBER() OVER (PARTITION BY anchor_id ORDER BY rk, neg_id)
+               AS rank
+      FROM cand
+    ) WHERE rank <= 4
+    """,
+    tags=("contrastive-sampling",),
+)
+def contrastive_negative_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic random negative sampling for contrastive training:
+    per anchor, 4 negatives drawn from a different language, ordered by
+    an (anchor, candidate)-keyed md5 — a seedless hash shuffle that is
+    uniform, reproducible across engines/reruns, and collision-free
+    via the id tie-break. Plan: broadcast the anchor set against the
+    corpus (no corpus shuffle), rank window partitioned per anchor —
+    the same shape as hard-negative mining with the model score
+    replaced by the hash. Complements ``hard_negative_mining`` (random
+    negatives for early training, hard negatives for curriculum)."""
+    documents = load_table(spark, sf_dir, "documents")
+    anchors = documents.where(F.col("doc_id") < 20).select(
+        F.col("doc_id").alias("anchor_id"), F.col("lang").alias("anchor_lang")
+    )
+    cand = documents.join(
+        F.broadcast(anchors), F.col("lang") != F.col("anchor_lang")
+    ).select(
+        "anchor_id",
+        F.col("doc_id").alias("neg_id"),
+        F.md5(
+            F.concat(
+                F.col("anchor_id").cast("string"),
+                F.lit("~"),
+                F.col("doc_id").cast("string"),
+            )
+        ).alias("rk"),
+    )
+    from pyspark.sql import Window as _W
+
+    w = _W.partitionBy("anchor_id").orderBy("rk", "neg_id")
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 4)
+        .select("anchor_id", "neg_id", "rank")
+    )
+
+
+@query(
+    "normalize_text_documents",
+    oracle="""
+    SELECT doc_id,
+           trim(regexp_replace(
+             regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+             ' +', ' ', 'g')) AS norm_text,
+           length(trim(regexp_replace(
+             regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+             ' +', ' ', 'g'))) AS norm_chars
+    FROM documents
+    """,
+    tags=("text-normalization",),
+)
+def normalize_text_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical text normalization (the pre-dedup curation stage):
+    lowercase → strip non-alphanumerics → collapse whitespace → trim.
+    Deliberately restricted to regex constructs whose semantics agree
+    across Java and RE2-style engines (character classes and ' +'),
+    so the normalization itself is oracle-checked; row-local, one
+    scan, no shuffle."""
+    documents = load_table(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""),
+            " +",
+            " ",
+        )
+    )
+    return documents.select(
+        "doc_id", norm.alias("norm_text"), F.length(norm).alias("norm_chars")
+    )
+
+
+@query(
+    "corpus_datacard",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, lang, source, text,
+             len(string_split(text, ' ')) AS n_tokens
+      FROM documents
+    ), langs AS (
+      SELECT COUNT(DISTINCT lang) AS n_langs,
+             COUNT(DISTINCT source) AS n_sources
+      FROM t
+    ), dups AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_unique
+      FROM t
+    )
+    SELECT d.n_docs,
+           d.n_unique,
+           round((d.n_docs - d.n_unique)::DOUBLE / d.n_docs, 4) AS dup_rate,
+           (SELECT CAST(SUM(n_tokens) AS BIGINT) FROM t) AS total_tokens,
+           round((SELECT SUM(n_tokens) FROM t)::DOUBLE / d.n_docs, 4)
+             AS mean_tokens_per_doc,
+           l.n_langs,
+           l.n_sources
+    FROM dups d CROSS JOIN langs l
+    """,
+    tags=("corpus-stats",),
+)
+def corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row corpus datacard (the summary block of a dataset card):
+    document/unique counts, exact-dup rate, token totals and means,
+    language/source cardinalities — a single aggregate pass plus a
+    distinct-hash count; the content hash (not the text) is what
+    shuffles."""
+    documents = load_table(spark, sf_dir, "documents")
+    t = documents.select(
+        "lang",
+        "source",
+        F.md5("text").alias("h"),
+        F.size(F.split("text", " ")).alias("n_tokens"),
+    )
+    agg = t.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.countDistinct("h").cast("long").alias("n_unique"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct("source").alias("n_sources"),
+    )
+    return agg.select(
+        "n_docs",
+        "n_unique",
+        F.round(
+            (F.col("n_docs") - F.col("n_unique")) / F.col("n_docs"), 4
+        ).alias("dup_rate"),
+        "total_tokens",
+        F.round(F.col("total_tokens") / F.col("n_docs"), 4).alias(
+            "mean_tokens_per_doc"
+        ),
+        "n_langs",
+        "n_sources",
+    )

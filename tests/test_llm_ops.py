@@ -1610,3 +1610,34 @@ def test_bpe_train_matches_reference_implementation(spark):
     got = {r["token"]: r["segmented"] for r in words.collect()}
     assert got == seg
     words.unpersist()
+
+
+def test_span_corruption_roundtrip_reconstructs_original(spark):
+    """Splicing each target span back over its sentinel in the input
+    must reproduce the original text exactly, for every document —
+    the denoising-objective invariant (input ⊕ target ≡ source)."""
+    import re
+
+    from data_seedling_spark.queries import registry
+
+    reg = registry()
+    out = reg["span_corruption_t5"].fn(spark, "/root/testdata/sf0.001").collect()
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet"
+        ).collect()
+    }
+    assert out
+    for r in out:
+        # parse target: "<extra_id_0> tok tok <extra_id_1> tok ... <extra_id_K>"
+        spans = {}
+        parts = re.split(r"<extra_id_(\d+)>", r["target_text"])
+        # parts = ['', '0', ' tok tok ', '1', ' ...', 'K', '']
+        for k, chunk in zip(parts[1::2], parts[2::2]):
+            spans[int(k)] = chunk.strip()
+        rebuilt = re.sub(
+            r"<extra_id_(\d+)>", lambda m: spans.get(int(m.group(1)), ""), r["input_text"]
+        )
+        rebuilt = re.sub(" +", " ", rebuilt).strip()
+        assert rebuilt == docs[r["doc_id"]], r["doc_id"]
