@@ -83,6 +83,10 @@ HEADLINE = [
     "cluster_top_terms_ctfidf",
     "logreg_classifier_train",
     "bpe_train_merges",
+    "minhash_md5_lsh_near_dup",
+    "simhash_md5_near_dup",
+    "span_corruption_t5",
+    "mlm_mask_documents",
 ]
 
 
