@@ -4236,3 +4236,66 @@ def corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_langs",
         "n_sources",
     )
+
+
+@query(
+    "preference_pairs_by_quality",
+    oracle="""
+    WITH t AS (
+      SELECT source, lang, doc_id, length(text) AS n_chars FROM documents
+    ), r AS (
+      SELECT source, lang, doc_id, n_chars,
+             ROW_NUMBER() OVER (
+               PARTITION BY source, lang ORDER BY n_chars DESC, doc_id
+             ) AS rmax,
+             ROW_NUMBER() OVER (
+               PARTITION BY source, lang ORDER BY n_chars ASC, doc_id
+             ) AS rmin,
+             CAST(COUNT(*) OVER (PARTITION BY source, lang) AS BIGINT) AS n
+      FROM t
+    ), ch AS (
+      SELECT source, lang, doc_id AS chosen_doc, n_chars AS c_chars, n
+      FROM r WHERE rmax = 1 AND n >= 2
+    ), rj AS (
+      SELECT source, lang, doc_id AS rejected_doc, n_chars AS r_chars
+      FROM r WHERE rmin = 1
+    )
+    SELECT ch.source, ch.lang, chosen_doc, rejected_doc,
+           CAST(c_chars - r_chars AS BIGINT) AS margin, n AS group_size
+    FROM ch JOIN rj USING (source, lang)
+    """,
+    tags=("preference-pairs", "alignment-data"),
+)
+def preference_pairs_by_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Preference-pair construction (the DPO/RLHF reward-data shape):
+    within each (source, lang) group, pair the best document against
+    the worst by a quality signal (here length; any scored column
+    drops in) with deterministic tie-breaks, emitting
+    (chosen, rejected, margin). One grouped max_by/min_by pass — no
+    self-join, no window over the corpus."""
+    documents = load_table(spark, sf_dir, "documents")
+    t = documents.select(
+        "source", "lang", "doc_id", F.length("text").alias("n_chars")
+    )
+    g = t.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("long").alias("group_size"),
+        F.max_by(
+            "doc_id", F.struct(F.col("n_chars"), (-F.col("doc_id")).alias("_n"))
+        ).alias("chosen_doc"),
+        F.max("n_chars").alias("_c_chars"),
+        F.min_by("doc_id", F.struct(F.col("n_chars"), F.col("doc_id"))).alias(
+            "rejected_doc"
+        ),
+        F.min("n_chars").alias("_r_chars"),
+    )
+    return (
+        g.where(F.col("group_size") >= 2)
+        .select(
+            "source",
+            "lang",
+            "chosen_doc",
+            "rejected_doc",
+            (F.col("_c_chars") - F.col("_r_chars")).cast("long").alias("margin"),
+            "group_size",
+        )
+    )

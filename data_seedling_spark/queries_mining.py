@@ -594,3 +594,76 @@ def ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.round(num.cast("double") / den.cast("double"), 6).alias("ewma_value"),
     )
+
+
+@query(
+    "kcore_peel_copurchase",
+    oracle="""
+    WITH pairs AS (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ), d0 AS (
+      SELECT node, COUNT(*) AS deg FROM (
+        SELECT u AS node FROM pairs UNION ALL SELECT v FROM pairs
+      ) GROUP BY node
+    ), k1 AS (
+      SELECT node FROM d0 WHERE deg >= 3
+    ), e1 AS (
+      SELECT p.u, p.v FROM pairs p
+      JOIN k1 a ON p.u = a.node JOIN k1 b ON p.v = b.node
+    ), d1 AS (
+      SELECT node, COUNT(*) AS deg FROM (
+        SELECT u AS node FROM e1 UNION ALL SELECT v FROM e1
+      ) GROUP BY node
+    ), k2 AS (
+      SELECT node FROM d1 WHERE deg >= 3
+    ), e2 AS (
+      SELECT p.u, p.v FROM e1 p
+      JOIN k2 a ON p.u = a.node JOIN k2 b ON p.v = b.node
+    )
+    SELECT node, CAST(COUNT(*) AS BIGINT) AS degree FROM (
+      SELECT u AS node FROM e2 UNION ALL SELECT v FROM e2
+    ) GROUP BY node
+    """,
+    tags=("graph", "kcore"),
+)
+def kcore_peel_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-round 3-core peel of the part co-purchase graph (Batagelj &
+    Zaveršnik's peeling step, fixed depth so the round count is
+    engine-independent at any SF): drop nodes of degree < 3, restrict
+    edges to survivors, repeat, report surviving degrees. Each round
+    is one degree aggregate (map-side combined) + two semi-join edge
+    filters — no all-pairs stage; full-core extraction iterates the
+    identical round to fixpoint with a convergence count, exactly like
+    the connected-components loop."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .distinct()
+    )
+    for _ in range(2):
+        deg = (
+            edges.select(F.col("u").alias("node"))
+            .unionAll(edges.select(F.col("v").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+        keep = deg.where(F.col("deg") >= 3).select("node")
+        edges = (
+            edges.join(keep.withColumnRenamed("node", "u"), "u", "left_semi")
+            .join(keep.withColumnRenamed("node", "v"), "v", "left_semi")
+            .select("u", "v")
+        )
+    return (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("degree"))
+    )
