@@ -290,3 +290,31 @@ def test_registry_wide_plan_hygiene(spark, reg):
         if "BatchEvalPython" in cleaned and name not in python_ok:
             offenders.append((name, "row-at-a-time BatchEvalPython"))
     assert not offenders, offenders
+
+
+def test_minhash_md5_signatures_all_jvm_partial_agg(spark, reg):
+    """The md5-twin minhash pipeline must stay Python-free (md5/conv
+    are JVM expressions) and compute signature minima through partial
+    (map-side) aggregation — the codegen'd form, not interpreted
+    higher-order folds."""
+    plan = plan_of(spark, reg, "minhash_md5_lsh_near_dup")
+    assert "partial_min" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_objective_preps_have_no_shuffle(spark, reg):
+    """MLM masking and T5 span corruption are row-local array algebra:
+    a single scan with no Exchange and no Python anywhere."""
+    for name in ("mlm_mask_documents", "span_corruption_t5"):
+        plan = plan_of(spark, reg, name)
+        assert "Exchange" not in plan, name
+        assert "Python" not in plan, name
+
+
+def test_logreg_scoring_is_pure_projection(spark, reg):
+    """After training, classifier scoring must add no shuffle: the
+    weights are literals, so the scored frame is scan → project."""
+    plan = plan_of(spark, reg, "logreg_classifier_train")
+    import re
+
+    assert not re.search(r"Exchange hashpartitioning", plan.split("Scan")[0]), plan[:500]
