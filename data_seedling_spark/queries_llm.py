@@ -3625,7 +3625,8 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, shingles FROM sh WHERE len(shingles) > 0
     ), sig AS (
       SELECT doc_id,
-             [list_min([CAST(('0x' || substr(md5(CAST(p AS VARCHAR) || '|' || s), 1, 15))
+             [list_min([CAST(('0x' || substr(md5(CAST(p // 2 AS VARCHAR) || '|' || s),
+                                      CASE WHEN p % 2 = 0 THEN 1 ELSE 17 END, 15))
                              AS BIGINT)
                         FOR s IN shingles])
               FOR p IN range(0, 16)] AS sg
