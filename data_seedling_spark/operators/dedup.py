@@ -644,6 +644,65 @@ def chunk_dedup(
     )
 
 
+def _md5_perm_hash(i: int, s):
+    """Permutation *i* of shingle *s* as a 60-bit integer. Two
+    permutations per md5 call: md5 yields 128 bits, so perm 2k / 2k+1
+    slice hex windows [1,15] / [17,31] of md5(f"{k}|{s}") — halving the
+    dominant md5 cost while keeping every permutation an independent
+    uniform draw. Engine-independent by construction."""
+    start = 1 if i % 2 == 0 else 17
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"{i // 2}|"), s)), start, 15), 16, 10
+    ).cast("long")
+
+
+def minhash_md5_signatures_from_shingles(
+    sh: DataFrame, shingles_col: str, id_col: str, num_perm: int = 16
+) -> DataFrame:
+    """``(id, signature[num_perm])`` from a shingled frame using the
+    md5 hash family. Signature minima as explode + grouped MIN
+    aggregates rather than per-row array_min(transform(...)) folds:
+    higher-order functions run interpreted (outside whole-stage
+    codegen), and 16 of them re-walk the shingle array 16 times —
+    measured ~5x slower than the codegen'd aggregate form. The shuffle
+    after partial (map-side) min is one row per document either way."""
+    ex = sh.select(F.col(id_col), F.explode(shingles_col).alias("_s"))
+    mins = ex.groupBy(id_col).agg(
+        *[
+            F.min(_md5_perm_hash(i, F.col("_s"))).alias(f"_m{i}")
+            for i in range(num_perm)
+        ]
+    )
+    return mins.select(
+        F.col(id_col),
+        F.array(*[F.col(f"_m{i}") for i in range(num_perm)]).alias("signature"),
+    )
+
+
+def md5_band_rows(
+    sig: DataFrame, id_col: str, num_perm: int, bands: int
+) -> DataFrame:
+    """LSH band keys ``(id, band, bkey)``: md5 over the comma-joined
+    signature slice per band — the bucket key both engines derive
+    identically."""
+    rows_per_band = num_perm // bands
+    band_keys = [
+        F.md5(
+            F.concat_ws(
+                ",",
+                *[
+                    F.col("signature")[bi * rows_per_band + j].cast("string")
+                    for j in range(rows_per_band)
+                ],
+            )
+        )
+        for bi in range(bands)
+    ]
+    return sig.select(
+        F.col(id_col), F.posexplode(F.array(*band_keys)).alias("band", "bkey")
+    )
+
+
 def minhash_md5_lsh_pairs(
     df: DataFrame,
     text_col: str,
@@ -668,7 +727,6 @@ def minhash_md5_lsh_pairs(
     bucket self-join, verification join on the shingle sets. Nothing
     is all-pairs.
     """
-    rows_per_band = num_perm // bands
     sh = (
         df.select(
             F.col(id_col), word_shingles(F.col(text_col), shingle_n).alias("shingles")
@@ -676,49 +734,8 @@ def minhash_md5_lsh_pairs(
         .where(F.size("shingles") > 0)
         .persist()
     )
-
-    def perm_hash(i: int, s):
-        # Two 60-bit permutations per md5 call: md5 yields 128 bits, so
-        # perm 2k / 2k+1 slice hex windows [1,15] / [17,31] of
-        # md5(f"{k}|{s}") — halving the dominant md5 cost while keeping
-        # every permutation an independent uniform draw.
-        start = 1 if i % 2 == 0 else 17
-        return F.conv(
-            F.substring(F.md5(F.concat(F.lit(f"{i // 2}|"), s)), start, 15), 16, 10
-        ).cast("long")
-
-    # Signature minima as explode + grouped MIN aggregates rather than
-    # per-row array_min(transform(...)) folds: higher-order functions
-    # run interpreted (outside whole-stage codegen), and 16 of them
-    # re-walk the shingle array 16 times — measured ~5x slower than the
-    # codegen'd aggregate form. The shuffle after partial (map-side)
-    # min is one row per document either way; values are identical.
-    ex = sh.select(F.col(id_col), F.explode("shingles").alias("_s"))
-    mins = ex.groupBy(id_col).agg(
-        *[
-            F.min(perm_hash(i, F.col("_s"))).alias(f"_m{i}")
-            for i in range(num_perm)
-        ]
-    )
-    sig = mins.select(
-        F.col(id_col),
-        F.array(*[F.col(f"_m{i}") for i in range(num_perm)]).alias("signature"),
-    )
-    band_keys = [
-        F.md5(
-            F.concat_ws(
-                ",",
-                *[
-                    F.col("signature")[bi * rows_per_band + j].cast("string")
-                    for j in range(rows_per_band)
-                ],
-            )
-        )
-        for bi in range(bands)
-    ]
-    bandrows = sig.select(
-        F.col(id_col), F.posexplode(F.array(*band_keys)).alias("band", "bkey")
-    )
+    sig = minhash_md5_signatures_from_shingles(sh, "shingles", id_col, num_perm)
+    bandrows = md5_band_rows(sig, id_col, num_perm, bands)
     cands = (
         bandrows.alias("x")
         .join(bandrows.alias("y"), ["band", "bkey"])

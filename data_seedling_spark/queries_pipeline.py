@@ -1181,3 +1181,134 @@ def incremental_join_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFr
         )
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+
+
+@query(
+    "incremental_neardup_ingest",
+    oracle="""
+    WITH docs AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 3 < 2
+    ), t AS (SELECT doc_id, string_split(text, ' ') AS w FROM docs),
+    sh AS (
+      SELECT doc_id,
+             list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                            FOR i IN range(1, greatest(len(w) - 1, 1))]) AS shingles
+      FROM t
+    ), shf AS (
+      SELECT doc_id, shingles FROM sh WHERE len(shingles) > 0
+    ), sig AS (
+      SELECT doc_id,
+             [list_min([CAST(('0x' || substr(md5(CAST(p // 2 AS VARCHAR) || '|' || s),
+                                      CASE WHEN p % 2 = 0 THEN 1 ELSE 17 END, 15))
+                             AS BIGINT)
+                        FOR s IN shingles])
+              FOR p IN range(0, 16)] AS sg
+      FROM shf
+    ), bandrows AS (
+      SELECT doc_id, b.b AS band,
+             md5(array_to_string(sg[b.b*4 + 1 : b.b*4 + 4], ',')) AS bkey
+      FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS b) b
+    ), cands AS (
+      SELECT x.doc_id AS doc_a, y.doc_id AS doc_b
+      FROM bandrows x JOIN bandrows y
+        ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id
+      WHERE x.doc_id % 3 = 1 OR y.doc_id % 3 = 1
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           round(len(list_intersect(a.shingles, b.shingles))::DOUBLE
+                 / len(list_distinct(list_concat(a.shingles, b.shingles))), 4)
+             AS jaccard
+    FROM cands
+    JOIN shf a ON a.doc_id = doc_a
+    JOIN shf b ON b.doc_id = doc_b
+    WHERE len(list_intersect(a.shingles, b.shingles))::DOUBLE
+          / len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.8
+    """,
+    tags=("S2", "ST1", "dedup-minhash", "llm-pipeline", "oracle-twin"),
+)
+def incremental_neardup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAR-dup index maintenance under CDC ingest — the deployment
+    shape where re-running LSH over the whole corpus per batch is the
+    anti-pattern. Batch 0 (ids ≡0 mod 3) seeds a persisted signature
+    index (a versioned ledger table of ``(doc_id, signature)``); batch
+    1 (≡1 mod 3) arrives as an increment: ONLY the increment is
+    shingled and signed, its band keys probe the index (plus itself,
+    for intra-batch pairs), and exact-Jaccard verification re-shingles
+    only the candidate pair ids. Work per ingest is
+    O(increment + candidates), never O(corpus). The md5 hash family
+    makes the whole incremental run hash-checkable against a
+    full-recompute oracle filtered to increment-touching pairs — which
+    is also the correctness property that matters: incremental ==
+    recompute, restricted to the new arrivals."""
+    from .operators.dedup import (
+        jaccard,
+        md5_band_rows,
+        minhash_md5_signatures_from_shingles,
+        word_shingles,
+    )
+
+    documents = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    base_dir = tempfile.mkdtemp(prefix="inc_neardup_")
+    index = VersionedTable(spark, f"{base_dir}/sig_index", write_partitions=4)
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        def signatures(docs: DataFrame) -> DataFrame:
+            sh = docs.select(
+                "doc_id", word_shingles(F.col("text"), 3).alias("shingles")
+            ).where(F.size("shingles") > 0)
+            return minhash_md5_signatures_from_shingles(
+                sh, "shingles", "doc_id", num_perm=16
+            )
+
+        # ingest 0: sign the seed corpus, persist the index.
+        index.write(signatures(documents.where(F.col("doc_id") % 3 == 0)),
+                    mode="overwrite")
+        # ingest 1: sign ONLY the increment; probe index ∪ increment.
+        inc_sigs = signatures(documents.where(F.col("doc_id") % 3 == 1)).persist()
+        all_sigs = index.read().unionByName(inc_sigs)
+        inc_band = md5_band_rows(inc_sigs, "doc_id", 16, 4)
+        all_band = md5_band_rows(all_sigs, "doc_id", 16, 4)
+        hits = (
+            all_band.alias("x")
+            .join(inc_band.alias("y"), ["band", "bkey"])
+            .where(F.col("x.doc_id") != F.col("y.doc_id"))
+            .select(
+                F.least("x.doc_id", "y.doc_id").alias("doc_a"),
+                F.greatest("x.doc_id", "y.doc_id").alias("doc_b"),
+            )
+            .distinct()
+        )
+        # verification shingles only the candidate ids, not the corpus.
+        cand_ids = (
+            hits.select(F.col("doc_a").alias("doc_id"))
+            .unionAll(hits.select(F.col("doc_b").alias("doc_id")))
+            .distinct()
+        )
+        cand_sh = (
+            documents.join(cand_ids, "doc_id", "left_semi")
+            .select("doc_id", word_shingles(F.col("text"), 3).alias("shingles"))
+        )
+        verified = (
+            hits.join(
+                cand_sh.select(
+                    F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")
+                ),
+                "doc_a",
+            )
+            .join(
+                cand_sh.select(
+                    F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b")
+                ),
+                "doc_b",
+            )
+            .select(
+                "doc_a",
+                "doc_b",
+                F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 4).alias("jaccard"),
+            )
+        )
+        return verified.where(F.col("jaccard") >= 0.8)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
