@@ -4300,3 +4300,74 @@ def preference_pairs_by_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             "group_size",
         )
     )
+
+
+@query(
+    "naive_bayes_language_classify",
+    oracle="""
+    WITH tk AS (
+      SELECT doc_id, lang, tok FROM (
+        SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+        FROM documents
+      ) WHERE tok <> ''
+    ), ctk AS (
+      SELECT lang, tok, COUNT(*) AS c FROM tk GROUP BY 1, 2
+    ), ct AS (
+      SELECT lang, COUNT(*) AS tot FROM tk GROUP BY 1
+    ), v AS (
+      SELECT COUNT(DISTINCT tok) AS v FROM tk
+    ), nd AS (
+      SELECT COUNT(*) AS n FROM documents
+    ), pri AS (
+      SELECT lang,
+             CAST(round(ln(COUNT(*)::DOUBLE / (SELECT n FROM nd)), 6)
+                  AS DECIMAL(18,6)) AS log_prior
+      FROM documents GROUP BY lang
+    ), cond AS (
+      SELECT ctk.lang, ctk.tok,
+             CAST(round(ln((ctk.c + 1.0) / (ct.tot + 1.0 * v.v)), 6)
+                  AS DECIMAL(18,6)) AS log_cond
+      FROM ctk JOIN ct USING (lang) CROSS JOIN v
+    ), unseen AS (
+      SELECT ct.lang,
+             CAST(round(ln(1.0 / (ct.tot + 1.0 * v.v)), 6)
+                  AS DECIMAL(18,6)) AS log_unseen
+      FROM ct CROSS JOIN v
+    ), dt AS (
+      SELECT doc_id, tok, COUNT(*) AS c FROM tk GROUP BY 1, 2
+    ), scored AS (
+      SELECT dt.doc_id, u.lang,
+             CAST(SUM(CAST(dt.c * coalesce(cond.log_cond, u.log_unseen)
+                           AS DECIMAL(28,6))) + p.log_prior
+                  AS DECIMAL(28,6)) AS s
+      FROM dt
+      CROSS JOIN unseen u
+      LEFT JOIN cond ON cond.lang = u.lang AND cond.tok = dt.tok
+      JOIN pri p ON p.lang = u.lang
+      GROUP BY dt.doc_id, u.lang, p.log_prior
+    ), top AS (
+      SELECT doc_id, MAX(s) AS s FROM scored GROUP BY doc_id
+    )
+    SELECT scored.doc_id, MIN(scored.lang) AS predicted,
+           CAST(scored.s AS DOUBLE) AS score
+    FROM scored JOIN top ON scored.doc_id = top.doc_id AND scored.s = top.s
+    GROUP BY scored.doc_id, scored.s
+    """,
+    tags=("model-training", "classifier"),
+)
+def naive_bayes_language_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial Naive Bayes trained and scored in-engine (the
+    classic fastText-precursor corpus classifier): class-conditional
+    token log-likelihoods with Laplace smoothing over ``documents``
+    (class = ``lang``), then every document scored against every class
+    and the argmax kept. Training is two grouped counts; the model is
+    a broadcastable vocab×classes table; scoring is one explode + a
+    per-class fan-out join + exact-decimal grouped sums (order-
+    independent, so the whole posterior is hash-checked against the
+    DuckDB oracle). Tie-break: max score, then lexicographically
+    smallest class."""
+    from .operators.nbayes import nb_score, nb_train
+
+    documents = load_table(spark, sf_dir, "documents")
+    cond, priors = nb_train(documents, "text", "lang", alpha=1.0)
+    return nb_score(documents, "text", "doc_id", cond, priors, "lang")
