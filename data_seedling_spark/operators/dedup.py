@@ -241,6 +241,100 @@ def ngram_jaccard_pairs(
     )
 
 
+def prefix_filter_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    threshold_num: int = 4,
+    threshold_den: int = 5,
+) -> DataFrame:
+    """EXACT Jaccard-threshold self-join without blocking keys and
+    without all-pairs: the AllPairs/PPJoin prefix filter (Bayardo et
+    al. WWW'07; Xiao et al. WWW'08). Candidate pairs come only from
+    documents sharing a *prefix* shingle — each document's
+    ``|s| - ceil(t·|s|) + 1`` globally-rarest shingles — because two
+    sets with Jaccard ≥ t MUST overlap inside those prefixes. Unlike
+    MinHash-LSH this has zero false negatives; unlike per-key blocking
+    it needs no domain blocking column.
+
+    The threshold is a rational ``num/den`` so every bound
+    (prefix length, the two-sided size filter ``den·|b| ≥ num·|a|``)
+    is computed in exact integer arithmetic — no float ``ceil`` edge
+    (0.8·35 = 28.000000000000004 would otherwise inflate the bound
+    and silently drop a true pair).
+
+    Scale: shuffles are shingle-keyed (document-frequency count + the
+    rank join), doc-keyed (the per-document rank window — partition =
+    one document's shingles, never the corpus), and prefix-token-keyed
+    (the candidate join, whose per-token fan-out is bounded because
+    prefixes are by construction the RAREST shingles). Verification
+    joins candidate ids back to shingle sets — O(candidates), and the
+    prefix principle keeps candidates near the true-pair count.
+    Reference scope: the exact-guarantee sibling of the reference-side
+    near-dup surface (SURVEY §2 north-star dedup family).
+    """
+    from pyspark.sql import Window
+
+    t_frac = threshold_num / threshold_den
+    sh = (
+        scale_out(df)
+        .select(F.col(id_col), word_shingles(F.col(text_col), n).alias("s"))
+        .where(F.size("s") > 0)
+        .persist()
+    )
+    ex = sh.select(
+        F.col(id_col), F.explode("s").alias("tok"), F.size("s").alias("sz")
+    )
+    dfreq = ex.groupBy("tok").agg(F.count("*").alias("_df"))
+    w = Window.partitionBy(id_col).orderBy("_df", "tok")
+    # prefix length = sz - ceil(num*sz/den) + 1, all-integer
+    plen = (
+        F.col("sz")
+        - F.floor(
+            (F.lit(threshold_num) * F.col("sz") + F.lit(threshold_den - 1))
+            / F.lit(threshold_den)
+        )
+        + F.lit(1)
+    )
+    pref = (
+        ex.join(dfreq, "tok")
+        .withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= plen)
+        .select(F.col(id_col), "tok", "sz")
+    )
+    a, b = pref.alias("a"), pref.alias("b")
+    size_ok = (
+        F.lit(threshold_den) * F.col("b.sz")
+        >= F.lit(threshold_num) * F.col("a.sz")
+    ) & (
+        F.lit(threshold_den) * F.col("a.sz")
+        >= F.lit(threshold_num) * F.col("b.sz")
+    )
+    cands = (
+        a.join(
+            b,
+            (F.col("a.tok") == F.col("b.tok"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            & size_ok,
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+        )
+        .distinct()
+    )
+    x = sh.select(F.col(id_col).alias("doc_a"), F.col("s").alias("_sa"))
+    y = sh.select(F.col(id_col).alias("doc_b"), F.col("s").alias("_sb"))
+    j = jaccard(F.col("_sa"), F.col("_sb"))
+    return (
+        cands.join(x, "doc_a")
+        .join(y, "doc_b")
+        .select("doc_a", "doc_b", F.round(j, 4).alias("jaccard"))
+        .where(F.col("jaccard") >= t_frac)
+    )
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------

@@ -4371,3 +4371,59 @@ def naive_bayes_language_classify(spark: SparkSession, sf_dir: str) -> DataFrame
     documents = load_table(spark, sf_dir, "documents")
     cond, priors = nb_train(documents, "text", "lang", alpha=1.0)
     return nb_score(documents, "text", "doc_id", cond, priors, "lang")
+
+
+@query(
+    "prefix_filter_jaccard_join",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    sh AS (
+      SELECT doc_id,
+             list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                            FOR i IN range(1, greatest(len(w) - 1, 1))]) AS s
+      FROM t
+    ), shf AS (SELECT doc_id, s FROM sh WHERE len(s) > 0),
+    ex AS (SELECT doc_id, unnest(s) AS tok, len(s) AS sz FROM shf),
+    dfq AS (SELECT tok, COUNT(*) AS dfreq FROM ex GROUP BY tok),
+    ranked AS (
+      SELECT ex.doc_id, ex.tok, ex.sz,
+             row_number() OVER (PARTITION BY ex.doc_id
+                                ORDER BY dfq.dfreq, ex.tok) AS rk
+      FROM ex JOIN dfq USING (tok)
+    ),
+    pref AS (
+      SELECT * FROM ranked
+      WHERE rk <= sz - ((4 * sz + 4) // 5) + 1
+    ),
+    cands AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM pref a JOIN pref b
+        ON a.tok = b.tok AND a.doc_id < b.doc_id
+       AND 5 * b.sz >= 4 * a.sz AND 5 * a.sz >= 4 * b.sz
+    )
+    SELECT doc_a, doc_b,
+           round(len(list_intersect(x.s, y.s))::DOUBLE
+                 / len(list_distinct(list_concat(x.s, y.s))), 4) AS jaccard
+    FROM cands
+    JOIN shf x ON x.doc_id = doc_a
+    JOIN shf y ON y.doc_id = doc_b
+    WHERE len(list_intersect(x.s, y.s))::DOUBLE
+          / len(list_distinct(list_concat(x.s, y.s))) >= 0.8
+    """,
+    tags=("dedup-exact", "similarity-join"),
+)
+def prefix_filter_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Jaccard-threshold (0.8, trigram shingles) similarity
+    self-join via the AllPairs/PPJoin prefix filter — candidates only
+    from each document's globally-rarest ``|s|-ceil(t|s|)+1`` shingles
+    plus an integer-exact two-sided size filter, then exact-Jaccard
+    verification. Zero false negatives (unlike MinHash-LSH), zero
+    blocking columns (unlike per-key blocked dedup), and candidate
+    volume near the true-pair count because prefixes are rare by
+    construction. Fully deterministic → whole pipeline hash-checked."""
+    from .operators.dedup import prefix_filter_jaccard_pairs
+
+    documents = load_table(spark, sf_dir, "documents")
+    return prefix_filter_jaccard_pairs(
+        documents, "text", "doc_id", n=3, threshold_num=4, threshold_den=5
+    )

@@ -1706,3 +1706,46 @@ def test_naive_bayes_unseen_token_uses_class_floor(spark):
     # + deterministic argmax
     assert rows[0]["predicted"] in ("a", "b")
     assert rows[0]["score"] < 0.0
+
+
+def test_prefix_filter_join_equals_bruteforce(spark):
+    """The AllPairs/PPJoin prefix filter is EXACT: on a corpus with
+    planted near-dups and decoys it returns precisely the brute-force
+    all-pairs Jaccard>=0.8 pair set."""
+    from data_seedling_spark.operators.dedup import (
+        jaccard,
+        prefix_filter_jaccard_pairs,
+        word_shingles,
+    )
+    from pyspark.sql import functions as F
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (0, base),
+        (1, base),                                # exact dup of 0
+        (2, base + " lamda"),                     # near dup of 0/1
+        (3, "one two three four five six seven eight nine ten"),
+        (4, "totally different words entirely here now ok yes no maybe"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in prefix_filter_jaccard_pairs(
+            df, "text", "doc_id", n=3, threshold_num=4, threshold_den=5
+        ).collect()
+    }
+    sh = df.select("doc_id", word_shingles(F.col("text"), 3).alias("s"))
+    a, b = sh.alias("a"), sh.alias("b")
+    brute = {
+        (r["doc_a"], r["doc_b"])
+        for r in a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            jaccard(F.col("a.s"), F.col("b.s")).alias("j"),
+        )
+        .where(F.col("j") >= 0.8)
+        .collect()
+    }
+    assert got == brute
+    assert (0, 1) in got and (0, 2) in got
