@@ -2929,3 +2929,44 @@ def price_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("p_retailprice"), 2).alias("hi"),
         )
     )
+
+
+@query(
+    "variant_shred_props",
+    oracle="""
+    SELECT event_type,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+             AS total_k,
+           CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+             AS max_k,
+           COUNT(*) FILTER (WHERE json_extract_string(props, '$.k') IS NOT NULL)
+             AS n_extracted
+    FROM events GROUP BY event_type
+    """,
+    tags=("json", "semi-structured", "variant"),
+)
+def variant_shred_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-flexible semi-structured ingestion via Spark 4's VARIANT
+    type: ``parse_json`` parses ``events.props`` into the binary
+    variant encoding ONCE (no schema declared up front, unlike the
+    ``from_json`` path in ``json_extract_props``), then
+    ``try_variant_get`` shreds typed fields out by path at query time
+    — the open-schema lakehouse ingestion pattern where producers add
+    fields without coordinating a schema migration. Extraction stays
+    JVM-side on the variant encoding (no per-row JSON re-parse per
+    field, no Python); aggregation is an ordinary partial-agg
+    group-by."""
+    events = load_table(spark, sf_dir, "events")
+    v = events.select(
+        "event_type", F.parse_json(F.col("props")).alias("_v")
+    )
+    k = F.try_variant_get(F.col("_v"), "$.k", "bigint")
+    return (
+        v.select("event_type", k.alias("_k"))
+        .groupBy("event_type")
+        .agg(
+            F.sum("_k").alias("total_k"),
+            F.max("_k").alias("max_k"),
+            F.count("_k").alias("n_extracted"),
+        )
+    )

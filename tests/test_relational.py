@@ -215,3 +215,27 @@ def test_hll_md5_accuracy_and_merge(spark):
     assert diff.count() == 0
     m_est = hll_estimate(merged).collect()[0]["estimate"]
     assert m_est == est["estimate"]
+
+
+def test_variant_shred_malformed_and_missing_paths(spark):
+    """VARIANT robustness: try_parse_json nulls malformed rows instead
+    of failing the job; try_variant_get returns NULL for absent paths
+    and un-castable types."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, '{"k": 5, "tag": "x"}'), (2, "not-json"), (3, '{"other": 1}')],
+        ["id", "props"],
+    )
+    v = df.select("id", F.try_parse_json("props").alias("v"))
+    out = {
+        r["id"]: (r["k"], r["tag"])
+        for r in v.select(
+            "id",
+            F.try_variant_get("v", "$.k", "bigint").alias("k"),
+            F.try_variant_get("v", "$.tag", "string").alias("tag"),
+        ).collect()
+    }
+    assert out[1] == (5, "x")
+    assert out[2] == (None, None)
+    assert out[3] == (None, None)
