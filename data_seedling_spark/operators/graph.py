@@ -180,3 +180,52 @@ def connected_components_star(
         nodes.join(e.withColumnRenamed("x", "node"), "node", "left")
         .select("node", F.coalesce(F.col("y"), F.col("node")).alias("component"))
     )
+
+
+def bfs_hops(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_hops: int = 3,
+    source: DataFrame | None = None,
+) -> DataFrame:
+    """Frontier BFS: (node, hops) shortest hop-distance from a source
+    over an undirected edge list, out to ``max_hops`` levels (fixed
+    depth so the round count is engine-independent, same contract as
+    the k-core peel). ``source`` is a 1-row (node) frame; None means
+    the globally smallest node id (computed IN the plan — no driver
+    action).
+
+    Each level is one edge join keyed on the frontier + one anti-join
+    against the visited set, so per-level shuffle weight is O(frontier
+    boundary), never O(paths): the anti-join is what keeps a dense
+    graph from re-expanding nodes the way a naive path-recursive
+    formulation does. ``localCheckpoint`` per level cuts the iterative
+    lineage, as in :func:`connected_components`.
+    """
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .unionByName(
+            edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
+        )
+        .persist()
+    )
+    if source is None:
+        source = sym.agg(F.min("a").alias("node"))
+    visited = source.select("node", F.lit(0).alias("hops")).localCheckpoint()
+    frontier = visited
+    for level in range(1, max_hops + 1):
+        nxt = (
+            sym.join(frontier, sym.a == frontier.node)
+            .select(F.col("b").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .withColumn("hops", F.lit(level))
+            .localCheckpoint()
+        )
+        if nxt.isEmpty():
+            break
+        visited = visited.unionByName(nxt).localCheckpoint()
+        frontier = nxt
+    sym.unpersist()
+    return visited

@@ -667,3 +667,49 @@ def kcore_peel_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("node")
         .agg(F.count(F.lit(1)).cast("long").alias("degree"))
     )
+
+
+@query(
+    "bfs_hops_copurchase",
+    oracle="""
+    WITH RECURSIVE e1 AS (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ), e AS (
+      SELECT u AS a, v AS b FROM e1 UNION ALL SELECT v, u FROM e1
+    ), walk(node, hops) AS (
+        SELECT (SELECT MIN(a) FROM e), 0
+      UNION
+        SELECT e.b, w.hops + 1
+        FROM walk w JOIN e ON e.a = w.node
+        WHERE w.hops < 3
+    )
+    SELECT node, CAST(MIN(hops) AS INT) AS hops
+    FROM walk GROUP BY node
+    """,
+    tags=("graph", "bfs", "shortest-path"),
+)
+def bfs_hops_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shortest hop-distance (3-level BFS) from the smallest part id
+    over the co-purchase graph — the reachability/neighborhood query
+    behind \"related products within N hops\". Frontier expansion with
+    visited-set anti-join pruning keeps per-level work O(boundary
+    edges) where the oracle's recursive CTE re-derives nodes at every
+    depth and MIN-aggregates after; integer hop labels make the whole
+    traversal hash-comparable."""
+    from .operators.graph import bfs_hops
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .distinct()
+    )
+    out = bfs_hops(edges, src="u", dst="v", max_hops=3)
+    return out.select("node", F.col("hops").cast("int").alias("hops"))

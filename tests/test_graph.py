@@ -133,3 +133,27 @@ def test_star_contraction_matches_label_propagation_and_handles_chains(spark):
     out = connected_components_star(chain, max_iterations=12).collect()
     assert len(out) == 401
     assert {r["component"] for r in out} == {0}
+
+
+def test_bfs_hops_chain_and_unreachable(spark):
+    """BFS on a chain: levels are exact hop distances, traversal stops
+    at max_hops, disconnected nodes never appear, and an injected
+    source frame overrides the min-id default."""
+    from data_seedling_spark.operators.graph import bfs_hops
+    from pyspark.sql import functions as F
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6), (100, 101)],
+        ["src", "dst"],
+    )
+    got = {
+        r["node"]: r["hops"]
+        for r in bfs_hops(edges, max_hops=3).collect()
+    }
+    assert got == {1: 0, 2: 1, 3: 2, 4: 3}
+    src = spark.range(1).select(F.lit(3).alias("node"))
+    got3 = {
+        r["node"]: r["hops"]
+        for r in bfs_hops(edges, max_hops=2, source=src).collect()
+    }
+    assert got3 == {3: 0, 2: 1, 4: 1, 1: 2, 5: 2}
