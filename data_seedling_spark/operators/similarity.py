@@ -1181,3 +1181,129 @@ def embedding_near_dup_lsh_md5(
         )
     )
     return scored.where(F.col("score") >= threshold)
+
+
+def mmr_rerank(
+    df: DataFrame,
+    query_ids,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k_candidates: int = 20,
+    k_select: int = 5,
+    lam: float = 0.7,
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein
+    1998): from each query's exact top-``k_candidates`` cosine
+    shortlist, greedily select ``k_select`` results maximizing
+    ``λ·sim(q,d) − (1−λ)·max_{s∈S} sim(d,s)`` — relevance traded
+    against redundancy, the standard diversification pass between ANN
+    retrieval and serving (and the diverse-exemplar sampler in
+    curation pipelines).
+
+    Determinism: candidate and pairwise similarities are rounded to
+    the 1e-6 grid at creation; each round's MMR score is one fixed
+    double expression over those grid values rounded again to 1e-6,
+    with argmax ties broken by candidate id — so the full greedy
+    trajectory is reproducible and the DuckDB oracle (one unrolled CTE
+    block per round, as for k-means/PQ/logreg) hash-matches.
+
+    Scale: the quadratic stage is per-query over the SHORTLIST
+    (k_candidates², not corpus²) — the pairwise-sim frame is
+    |queries|·k²-rows; each greedy round is an anti-join + a grouped
+    max + a per-query rank window over ≤k_candidates rows. Rounds are
+    ``localCheckpoint``-separated so the iterative plan stays flat.
+    """
+    corpus = df.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v")
+    )
+    cands = (
+        cosine_topk(
+            df.where(F.col(id_col).isin(list(query_ids))),
+            df,
+            id_col=id_col,
+            vec_col=vec_col,
+            k=k_candidates,
+        )
+        .select("query_id", F.col("neighbor_id").alias("cand_id"), "score")
+        .persist()
+    )
+    va = corpus.select(F.col(id_col).alias("cand_id"), F.col("_v").alias("_va"))
+    vb = corpus.select(F.col(id_col).alias("_cb"), F.col("_v").alias("_vb"))
+    a = cands.select("query_id", "cand_id")
+    b = cands.select(F.col("query_id").alias("_qb"), F.col("cand_id").alias("_cb"))
+    pair_sim = F.round(
+        _dot(F.col("_va"), F.col("_vb"))
+        / (norm(F.col("_va")) * norm(F.col("_vb"))),
+        6,
+    )
+    ps = (
+        a.join(
+            b,
+            (F.col("query_id") == F.col("_qb"))
+            & (F.col("cand_id") != F.col("_cb")),
+        )
+        .join(va, "cand_id")
+        .join(vb, "_cb")
+        .select("query_id", "cand_id", F.col("_cb").alias("other_id"),
+                pair_sim.alias("sim"))
+        .persist()
+    )
+    w = W.partitionBy("query_id")
+    nu = round(1.0 - lam, 10)
+    # MMR scores round to 7dp, not 6: λ and (1−λ) are 1-decimal
+    # constants and the input sims sit on the 1e-6 grid, so the ideal
+    # score lies ON the 1e-7 grid — rounding at 6dp would park every
+    # value exactly on a half-way boundary where the two engines'
+    # round() implementations disagree.
+    first_score = F.round(F.lit(lam) * F.col("score"), 7)
+    sel = (
+        cands.withColumn(
+            "_rn",
+            F.row_number().over(w.orderBy(first_score.desc(), "cand_id")),
+        )
+        .where(F.col("_rn") == 1)
+        .select(
+            "query_id",
+            "cand_id",
+            F.lit(1).alias("pick_rank"),
+            first_score.alias("mmr_score"),
+        )
+        .localCheckpoint()
+    )
+    for i in range(2, k_select + 1):
+        rem = cands.join(sel.select("query_id", "cand_id"),
+                         ["query_id", "cand_id"], "left_anti")
+        ms = (
+            ps.join(
+                sel.select("query_id", F.col("cand_id").alias("other_id")),
+                ["query_id", "other_id"],
+            )
+            .groupBy("query_id", "cand_id")
+            .agg(F.max("sim").alias("_ms"))
+        )
+        scored = rem.join(ms, ["query_id", "cand_id"]).withColumn(
+            "_score",
+            F.round(
+                F.lit(lam) * F.col("score") - F.lit(nu) * F.col("_ms"),
+                7,
+            ),
+        )
+        pick = (
+            scored.withColumn(
+                "_rn",
+                F.row_number().over(
+                    w.orderBy(F.col("_score").desc(), "cand_id")
+                ),
+            )
+            .where(F.col("_rn") == 1)
+            .select(
+                "query_id",
+                "cand_id",
+                F.lit(i).alias("pick_rank"),
+                F.col("_score").alias("mmr_score"),
+            )
+        )
+        sel = sel.unionByName(pick).localCheckpoint()
+    cands.unpersist()
+    ps.unpersist()
+    return sel

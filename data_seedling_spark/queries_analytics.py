@@ -2970,3 +2970,88 @@ def variant_shred_props(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("_k").alias("n_extracted"),
         )
     )
+
+
+@query(
+    "acf_daily_revenue",
+    oracle="""
+    WITH daily AS (
+      SELECT o_orderdate AS day,
+             SUM(CAST(ROUND(o_totalprice, 2) AS DECIMAL(18,2))) AS rev
+      FROM orders GROUP BY o_orderdate
+    ), seq AS (
+      SELECT day, rev, row_number() OVER (ORDER BY day) AS rn FROM daily
+    ), lags AS (
+      SELECT unnest(range(1, 8)) AS lag
+    ), pairs AS (
+      SELECT l.lag, x.rev AS x, y.rev AS y
+      FROM seq x JOIN lags l ON TRUE
+      JOIN seq y ON y.rn = x.rn - l.lag
+    ), sums AS (
+      SELECT lag,
+             COUNT(*) AS n,
+             CAST(SUM(x) AS DOUBLE) AS sx,
+             CAST(SUM(y) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(x * y AS DECIMAL(38,4))) AS DOUBLE) AS sxy,
+             CAST(SUM(CAST(x * x AS DECIMAL(38,4))) AS DOUBLE) AS sx2,
+             CAST(SUM(CAST(y * y AS DECIMAL(38,4))) AS DOUBLE) AS sy2
+      FROM pairs GROUP BY lag
+    )
+    SELECT CAST(lag AS INT) AS lag, n,
+           round((n * sxy - sx * sy)
+                 / (sqrt(n * sx2 - sx * sx) * sqrt(n * sy2 - sy * sy)),
+                 6) AS acf
+    FROM sums
+    """,
+    tags=("timeseries", "statistics"),
+)
+def acf_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function of the daily order-revenue series at
+    lags 1–7 (the weekly-seasonality diagnostic that motivates
+    seasonal_decompose_revenue): Pearson r between the series and its
+    row-lagged self. Every sum feeding the correlation is an exact
+    decimal (order-independent), and the final r is one fixed double
+    expression over those exact sums, so all 7 coefficients
+    hash-match. The only window is a row_number over the ~2.4k-row
+    DAILY series (series-sized, not corpus-sized); pair generation is
+    a 7-way lag self-join on the row index."""
+    from pyspark.sql import Window as W
+
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.col("o_orderdate").alias("day")).agg(
+        F.sum(F.round(F.col("o_totalprice"), 2).cast("decimal(18,2)")).alias(
+            "rev"
+        )
+    )
+    seq = daily.withColumn(
+        "rn", F.row_number().over(W.orderBy("day"))
+    ).select("rn", "rev")
+    lags = (
+        seq.sparkSession.range(1, 8).select(F.col("id").cast("int").alias("lag"))
+    )
+    x = seq.select(F.col("rn").alias("_xr"), F.col("rev").alias("x"))
+    y = seq.select(F.col("rn").alias("_yr"), F.col("rev").alias("y"))
+    pairs = (
+        x.crossJoin(F.broadcast(lags))
+        .join(y, F.col("_yr") == F.col("_xr") - F.col("lag"))
+    )
+    sums = pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast("decimal(38,4)"))
+        .cast("double")
+        .alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(38,4)"))
+        .cast("double")
+        .alias("sx2"),
+        F.sum((F.col("y") * F.col("y")).cast("decimal(38,4)"))
+        .cast("double")
+        .alias("sy2"),
+    )
+    n = F.col("n")
+    acf = (n * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.sqrt(n * F.col("sx2") - F.col("sx") * F.col("sx"))
+        * F.sqrt(n * F.col("sy2") - F.col("sy") * F.col("sy"))
+    )
+    return sums.select("lag", "n", F.round(acf, 6).alias("acf"))

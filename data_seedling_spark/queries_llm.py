@@ -4551,3 +4551,107 @@ def ann_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ndcg_at_k"),
         )
     )
+
+
+def _mmr_oracle(n_queries: int = 8, kc: int = 20, ks: int = 5, lam: float = 0.7) -> str:
+    """Unrolled MMR oracle: shortlist + pairwise-sim CTEs, then one
+    (exclude → score → argmax) CTE block per greedy round, mirroring
+    ``operators.similarity.mmr_rerank`` exactly."""
+
+    def cos(x: str, y: str) -> str:
+        return (
+            f"round(list_dot_product({x}, {y}) / "
+            f"(sqrt(list_dot_product({x}, {x})) * sqrt(list_dot_product({y}, {y}))), 6)"
+        )
+
+    mu = repr(float(lam))
+    nu = repr(round(1.0 - float(lam), 10))
+    parts = [
+        f"""WITH v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS vv FROM embeddings
+    ), cand AS (
+      SELECT query_id, cand_id, s FROM (
+        SELECT q.vec_id AS query_id, e.vec_id AS cand_id,
+               {cos('q.vv', 'e.vv')} AS s,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY {cos('q.vv', 'e.vv')} DESC, e.vec_id
+               ) AS rn
+        FROM v q JOIN v e ON e.vec_id <> q.vec_id
+        WHERE q.vec_id < {n_queries}
+      ) WHERE rn <= {kc}
+    ), ps AS (
+      SELECT a.query_id, a.cand_id AS ca, b.cand_id AS cb,
+             {cos('va.vv', 'vb.vv')} AS sim
+      FROM cand a
+      JOIN cand b ON a.query_id = b.query_id AND a.cand_id <> b.cand_id
+      JOIN v va ON va.vec_id = a.cand_id
+      JOIN v vb ON vb.vec_id = b.cand_id
+    ), s1 AS (
+      SELECT query_id, cand_id, 1 AS pick_rank, round({mu} * s, 7) AS mmr_score
+      FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY query_id ORDER BY round({mu} * s, 7) DESC, cand_id
+        ) AS rn FROM cand
+      ) WHERE rn = 1
+    )"""
+    ]
+    for i in range(2, ks + 1):
+        parts.append(
+            f""", p{i} AS (
+      SELECT query_id, cand_id, {i} AS pick_rank, sc AS mmr_score FROM (
+        SELECT t.query_id, t.cand_id, t.sc,
+               ROW_NUMBER() OVER (
+                 PARTITION BY t.query_id ORDER BY t.sc DESC, t.cand_id
+               ) AS rn
+        FROM (
+          SELECT c.query_id, c.cand_id,
+                 round({mu} * c.s - {nu} * MAX(p.sim), 7) AS sc
+          FROM cand c
+          JOIN ps p ON p.query_id = c.query_id AND p.ca = c.cand_id
+          JOIN s{i - 1} sel
+            ON sel.query_id = p.query_id AND sel.cand_id = p.cb
+          LEFT JOIN s{i - 1} ex
+            ON ex.query_id = c.query_id AND ex.cand_id = c.cand_id
+          WHERE ex.cand_id IS NULL
+          GROUP BY c.query_id, c.cand_id, c.s
+        ) t
+      ) WHERE rn = 1
+    ), s{i} AS (
+      SELECT * FROM s{i - 1} UNION ALL SELECT * FROM p{i}
+    )"""
+        )
+    parts.append(
+        f"""
+    SELECT query_id, cand_id AS selected_id, pick_rank, mmr_score
+    FROM s{ks}"""
+    )
+    return "".join(parts)
+
+
+@query(
+    "mmr_diverse_rerank",
+    oracle=_mmr_oracle(n_queries=8, kc=20, ks=5, lam=0.7),
+    tags=("similarity-serving", "diversification"),
+)
+def mmr_diverse_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-Marginal-Relevance diversification (Carbonell &
+    Goldstein 1998) of each query's exact top-20 cosine shortlist:
+    greedily pick 5 results trading relevance against redundancy
+    (λ=0.7) — the serving-side diversity pass and the diverse-exemplar
+    sampler for curation. The whole greedy trajectory (shortlist,
+    pairwise sims, per-round argmax with id tie-breaks) runs on the
+    1e-6 grid and hash-matches an unrolled per-round CTE oracle. The
+    quadratic stage is shortlist-sized (k², never corpus²)."""
+    from .operators.similarity import mmr_rerank
+
+    embeddings = load_table(spark, sf_dir, "embeddings")
+    out = mmr_rerank(
+        embeddings, query_ids=range(8), k_candidates=20, k_select=5, lam=0.7
+    )
+    return out.select(
+        "query_id",
+        F.col("cand_id").alias("selected_id"),
+        "pick_rank",
+        "mmr_score",
+    )

@@ -1765,3 +1765,25 @@ def test_ann_ndcg_bounded_and_consistent_with_recall(spark):
     assert any(r["ndcg_at_k"] < 1.0 for r in rows) or all(
         r["ndcg_at_k"] == 1.0 for r in rows
     )
+
+
+def test_mmr_rerank_prefers_diversity_over_redundancy(spark):
+    """With two near-identical top candidates and one diverse
+    lower-scored one, λ=0.5 MMR picks the diverse candidate second —
+    plain top-k would keep both near-duplicates."""
+    from data_seedling_spark.operators.similarity import mmr_rerank
+
+    rows = [
+        (0, [1.0, 0.0]),        # query
+        (1, [0.9, 0.44]),       # best match
+        (2, [0.9, 0.45]),       # near-duplicate of 1 (sim≈1 to it)
+        (3, [0.9, -0.44]),      # equally relevant, dissimilar to 1
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = sorted(
+        (r["pick_rank"], r["cand_id"])
+        for r in mmr_rerank(
+            df, query_ids=[0], k_candidates=3, k_select=3, lam=0.5
+        ).collect()
+    )
+    assert [c for _, c in out] == [1, 3, 2]
