@@ -4655,3 +4655,245 @@ def mmr_diverse_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         "pick_rank",
         "mmr_score",
     )
+
+
+@query(
+    "hybrid_search_rrf",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+      FROM documents
+    ), tokf AS (
+      SELECT doc_id, token FROM tok WHERE token <> ''
+    ), dl AS (
+      SELECT doc_id, COUNT(*)::BIGINT AS dlen FROM tokf GROUP BY doc_id
+    ), corpus AS (
+      SELECT COUNT(*)::BIGINT AS n_docs,
+             CAST(SUM(dlen) AS DOUBLE) / COUNT(*) AS avgdl
+      FROM dl
+    ), tf AS (
+      SELECT doc_id, token, COUNT(*)::BIGINT AS tf
+      FROM tokf WHERE token IN ('spark', 'query', 'join')
+      GROUP BY doc_id, token
+    ), dfq AS (
+      SELECT token, COUNT(*)::BIGINT AS dfreq FROM tf GROUP BY token
+    ), bscored AS (
+      SELECT tf.doc_id,
+             round(
+               ln(1 + (n_docs - dfreq + 0.5) / (dfreq + 0.5))
+               * (tf * 2.2)
+               / (tf + 1.2 * (1 - 0.75 + 0.75 * dl.dlen / corpus.avgdl)),
+               6) AS term_score
+      FROM tf
+      JOIN dfq USING (token)
+      JOIN dl USING (doc_id)
+      CROSS JOIN corpus
+    ), btotals AS (
+      SELECT doc_id,
+             CAST(SUM(CAST(term_score AS DECIMAL(28,6))) AS DOUBLE) AS bm25
+      FROM bscored GROUP BY doc_id
+    ), lex AS (
+      SELECT doc_id, rank FROM (
+        SELECT doc_id, ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS rank
+        FROM btotals
+      ) WHERE rank <= 20
+    ), v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS vv FROM embeddings
+    ), q AS (
+      SELECT vv AS qv FROM v WHERE vec_id = 0
+    ), dense AS (
+      SELECT doc_id, rank FROM (
+        SELECT e.vec_id AS doc_id,
+               ROW_NUMBER() OVER (
+                 ORDER BY round(list_dot_product(q.qv, e.vv)
+                                / (sqrt(list_dot_product(q.qv, q.qv))
+                                   * sqrt(list_dot_product(e.vv, e.vv))), 6) DESC,
+                          e.vec_id
+               ) AS rank
+        FROM v e CROSS JOIN q WHERE e.vec_id <> 0
+      ) WHERE rank <= 20
+    ), fused AS (
+      SELECT COALESCE(l.doc_id, d.doc_id) AS doc_id,
+             l.rank AS lex_rank, d.rank AS dense_rank,
+             CAST(COALESCE(CAST(round(1.0 / (60 + l.rank), 6) AS DECIMAL(18,6)),
+                           0)
+                  + COALESCE(CAST(round(1.0 / (60 + d.rank), 6) AS DECIMAL(18,6)),
+                             0) AS DOUBLE) AS rrf
+      FROM lex l FULL OUTER JOIN dense d ON l.doc_id = d.doc_id
+    )
+    SELECT doc_id, CAST(lex_rank AS INT) AS lex_rank,
+           CAST(dense_rank AS INT) AS dense_rank, rrf, fused_rank FROM (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY rrf DESC, doc_id) AS fused_rank
+      FROM fused
+    ) WHERE fused_rank <= 10
+    """,
+    tags=("ir", "ranking", "hybrid-search"),
+)
+def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via Reciprocal Rank Fusion (Cormack et al.
+    2009, k=60): fuse the BM25 lexical top-20 (3-term query, same
+    scoring as bm25_rank_documents) with the dense cosine top-20
+    (query = embedding 0) by ``Σ 1/(60+rank)`` — the standard
+    score-free fusion every RAG serving stack runs, robust to the two
+    legs' incomparable score scales. Fusion terms are grid-rounded and
+    decimal-summed; the full outer join keeps docs found by only one
+    leg. Scale: both legs are existing top-k shapes; fusion touches 40
+    rows."""
+    from pyspark.sql import Window as W
+
+    terms = ("spark", "query", "join")
+    documents = load_table(spark, sf_dir, "documents")
+    tokf = (
+        documents.select(
+            "doc_id",
+            F.explode(F.split(F.lower(F.col("text")), " ")).alias("token"),
+        )
+        .where(F.col("token") != "")
+    )
+    dl = tokf.groupBy("doc_id").agg(F.count("*").alias("dlen"))
+    corpus = dl.agg(
+        F.count("*").alias("n_docs"),
+        (F.sum("dlen").cast("double") / F.count("*")).alias("avgdl"),
+    )
+    tf = (
+        tokf.where(F.col("token").isin(list(terms)))
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_ = tf.groupBy("token").agg(F.count("*").alias("dfreq"))
+    idf = F.log(
+        1 + (F.col("n_docs") - F.col("dfreq") + 0.5) / (F.col("dfreq") + 0.5)
+    )
+    term_score = F.round(
+        idf
+        * (F.col("tf") * 2.2)
+        / (
+            F.col("tf")
+            + 1.2 * (1 - 0.75 + 0.75 * F.col("dlen") / F.col("avgdl"))
+        ),
+        6,
+    )
+    btotals = (
+        tf.join(F.broadcast(df_), "token")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(corpus))
+        .select("doc_id", term_score.alias("term_score"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.col("term_score").cast("decimal(28,6)"))
+            .cast("double")
+            .alias("bm25")
+        )
+    )
+    wl = W.partitionBy().orderBy(F.col("bm25").desc(), "doc_id")
+    lex = (
+        btotals.withColumn("rank", F.row_number().over(wl))
+        .where(F.col("rank") <= 20)
+        .select("doc_id", F.col("rank").alias("lex_rank"))
+    )
+
+    from .operators.similarity import cosine_topk
+
+    embeddings = load_table(spark, sf_dir, "embeddings")
+    dense = (
+        cosine_topk(
+            embeddings.where(F.col("vec_id") == 0), embeddings, k=20
+        )
+        .select(
+            F.col("neighbor_id").alias("doc_id"),
+            F.col("rank").alias("dense_rank"),
+        )
+    )
+    rrf_term = lambda c: F.coalesce(  # noqa: E731
+        F.round(F.lit(1.0) / (F.lit(60) + F.col(c)), 6).cast("decimal(18,6)"),
+        F.lit(0).cast("decimal(18,6)"),
+    )
+    fused = (
+        lex.join(dense, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            F.col("lex_rank").cast("int").alias("lex_rank"),
+            F.col("dense_rank").cast("int").alias("dense_rank"),
+            (rrf_term("lex_rank") + rrf_term("dense_rank"))
+            .cast("double")
+            .alias("rrf"),
+        )
+    )
+    wf = W.partitionBy().orderBy(F.col("rrf").desc(), "doc_id")
+    return (
+        fused.withColumn("fused_rank", F.row_number().over(wf))
+        .where(F.col("fused_rank") <= 10)
+    )
+
+
+@query(
+    "late_interaction_maxsim",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, vec_id // 8 AS doc, embedding::DOUBLE[] AS vv
+      FROM embeddings
+    ), q AS (
+      SELECT vec_id AS q_idx, vv AS qv FROM v WHERE doc = 0
+    ), pairs AS (
+      SELECT c.doc, q.q_idx,
+             round(list_dot_product(q.qv, c.vv)
+                   / (sqrt(list_dot_product(q.qv, q.qv))
+                      * sqrt(list_dot_product(c.vv, c.vv))), 6) AS sim
+      FROM v c CROSS JOIN q WHERE c.doc <> 0
+    ), per_qd AS (
+      SELECT doc, q_idx, CAST(MAX(sim) AS DECIMAL(18,6)) AS msim
+      FROM pairs GROUP BY doc, q_idx
+    ), scores AS (
+      SELECT doc, CAST(SUM(msim) AS DOUBLE) AS maxsim
+      FROM per_qd GROUP BY doc
+    )
+    SELECT doc, maxsim, rank FROM (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY maxsim DESC, doc) AS rank
+      FROM scores
+    ) WHERE rank <= 5
+    """,
+    tags=("similarity-serving", "late-interaction"),
+)
+def late_interaction_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ColBERT-style late-interaction retrieval (Khattab & Zaharia
+    2020): documents are MULTI-vector (8 token-level vectors each —
+    here pseudo-docs of 8 consecutive embeddings), and relevance is
+    MaxSim — for each query vector take the max cosine over the doc's
+    vectors, then sum over query vectors. Query vectors broadcast; the
+    corpus is scored in one pass then reduced by two grouped
+    aggregates (max per (query-vec, doc), decimal sum per doc) — no
+    corpus×corpus stage, and the shuffle carries (doc, q_idx, sim)
+    triples, not vectors. Per-pair sims grid-rounded, the final score
+    an exact decimal sum → fully hash-checked."""
+    from pyspark.sql import Window as W
+
+    from .operators.similarity import _dot, norm
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        (F.col("vec_id") / 8).cast("long").alias("doc"),
+        F.col("embedding").cast("array<double>").alias("_v"),
+    )
+    q = emb.where(F.col("doc") == 0).select(
+        F.col("vec_id").alias("q_idx"), F.col("_v").alias("_q")
+    )
+    c = emb.where(F.col("doc") != 0)
+    sim = F.round(
+        _dot(F.col("_q"), F.col("_v"))
+        / (norm(F.col("_q")) * norm(F.col("_v"))),
+        6,
+    )
+    per_qd = (
+        c.crossJoin(F.broadcast(q))
+        .select("doc", "q_idx", sim.alias("sim"))
+        .groupBy("doc", "q_idx")
+        .agg(F.max("sim").cast("decimal(18,6)").alias("msim"))
+    )
+    scores = per_qd.groupBy("doc").agg(
+        F.sum("msim").cast("double").alias("maxsim")
+    )
+    w = W.partitionBy().orderBy(F.col("maxsim").desc(), "doc")
+    return (
+        scores.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 5)
+    )
