@@ -3055,3 +3055,145 @@ def acf_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         * F.sqrt(n * F.col("sy2") - F.col("sy") * F.col("sy"))
     )
     return sums.select("lag", "n", F.round(acf, 6).alias("acf"))
+
+
+@query(
+    "target_encoding_kfold",
+    oracle="""
+    WITH j AS (
+      SELECT c.c_mktsegment AS segment,
+             o.o_orderkey % 5 AS fold,
+             CAST(ROUND(o.o_totalprice, 2) AS DECIMAL(18,2)) AS t
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ), per_fold AS (
+      SELECT segment, fold, COUNT(*) AS n_f, SUM(t) AS s_f
+      FROM j GROUP BY segment, fold
+    ), tot AS (
+      SELECT segment, COUNT(*) AS n_all, SUM(t) AS s_all
+      FROM j GROUP BY segment
+    )
+    SELECT p.segment, CAST(p.fold AS INT) AS fold,
+           p.n_f,
+           round(CAST(t.s_all - p.s_f AS DOUBLE) / (t.n_all - p.n_f), 6)
+             AS encoded_mean
+    FROM per_fold p JOIN tot t ON p.segment = t.segment
+    """,
+    tags=("feature-engineering", "ml-prep"),
+)
+def target_encoding_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe K-fold target encoding (the CatBoost/Micci-Barreca
+    feature-engineering staple): encode ``c_mktsegment`` by the mean
+    order value computed from the OTHER four folds — a row never sees
+    a statistic its own target contributed to. One pass builds
+    per-(category, fold) decimal sums; the leave-fold-out mean is then
+    pure arithmetic over the fold and category totals
+    ((S_all−S_f)/(N_all−N_f)) — no second scan, no per-fold re-
+    aggregation, shuffle keyed on (category, fold). Exact decimal
+    sums make the means hash-comparable."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    j = orders.join(
+        customer, orders.o_custkey == customer.c_custkey
+    ).select(
+        F.col("c_mktsegment").alias("segment"),
+        (F.col("o_orderkey") % 5).alias("fold"),
+        F.round(F.col("o_totalprice"), 2).cast("decimal(18,2)").alias("t"),
+    )
+    per_fold = j.groupBy("segment", "fold").agg(
+        F.count("*").alias("n_f"), F.sum("t").alias("s_f")
+    )
+    tot = j.groupBy("segment").agg(
+        F.count("*").alias("n_all"), F.sum("t").alias("s_all")
+    )
+    return (
+        per_fold.join(F.broadcast(tot), "segment")
+        .select(
+            "segment",
+            F.col("fold").cast("int").alias("fold"),
+            "n_f",
+            F.round(
+                (F.col("s_all") - F.col("s_f")).cast("double")
+                / (F.col("n_all") - F.col("n_f")),
+                6,
+            ).alias("encoded_mean"),
+        )
+    )
+
+
+@query(
+    "attribution_touchpoints",
+    oracle="""
+    WITH p AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    ), c AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+    ), joined AS (
+      SELECT p.event_id AS purchase_id, p.user_id,
+             c.event_id AS click_id, c.ts AS click_ts
+      FROM p JOIN c
+        ON p.user_id = c.user_id
+       AND c.ts < p.ts
+       AND c.ts >= p.ts - INTERVAL 24 HOUR
+    )
+    SELECT purchase_id, user_id, n_touches, first_touch_ts,
+           first_touch_id, last_touch_ts, last_touch_id
+    FROM (
+      SELECT purchase_id, user_id, click_id,
+             CAST(COUNT(*) OVER w AS BIGINT) AS n_touches,
+             MIN(click_ts) OVER w AS first_touch_ts,
+             FIRST_VALUE(click_id) OVER (
+               PARTITION BY purchase_id ORDER BY click_ts, click_id
+             ) AS first_touch_id,
+             MAX(click_ts) OVER w AS last_touch_ts,
+             FIRST_VALUE(click_id) OVER (
+               PARTITION BY purchase_id ORDER BY click_ts DESC, click_id DESC
+             ) AS last_touch_id,
+             row_number() OVER (PARTITION BY purchase_id ORDER BY click_id)
+               AS rn
+      FROM joined WINDOW w AS (PARTITION BY purchase_id)
+    ) WHERE rn = 1
+    """,
+    tags=("attribution", "sessionization", "range-join"),
+)
+def attribution_touchpoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marketing attribution: for every purchase, the user's click
+    touchpoints in the preceding 24 h, reduced to first-touch and
+    last-touch (the two canonical attribution models) in ONE grouped
+    pass via min_by/max_by — no window over the event log, no second
+    join. The click×purchase range join is keyed on user_id (equi) with
+    the time band as a residual predicate, so it shuffles per-user
+    slices, never the event cross product. Ties inside a timestamp
+    break on event_id (earliest id for first touch, latest for last),
+    making the result hash-exact."""
+    events = load_table(spark, sf_dir, "events")
+    p = events.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("p_ts"),
+    )
+    c = events.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+    )
+    joined = p.join(
+        c,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("click_ts") < F.col("p_ts"))
+        & (
+            F.col("click_ts")
+            >= F.col("p_ts") - F.expr("INTERVAL 24 HOURS")
+        ),
+    )
+    return joined.groupBy("purchase_id", "user_id").agg(
+        F.count("*").alias("n_touches"),
+        F.min("click_ts").alias("first_touch_ts"),
+        F.min_by(
+            "click_id", F.struct(F.col("click_ts"), F.col("click_id"))
+        ).alias("first_touch_id"),
+        F.max("click_ts").alias("last_touch_ts"),
+        F.max_by(
+            "click_id",
+            F.struct(F.col("click_ts"), (-F.col("click_id")).alias("_n")),
+        ).alias("last_touch_id"),
+    )

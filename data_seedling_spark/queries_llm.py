@@ -4897,3 +4897,111 @@ def late_interaction_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
         scores.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= 5)
     )
+
+
+@query(
+    "matryoshka_truncation_audit",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS vv FROM embeddings
+    ), pairs AS (
+      SELECT a.vec_id AS pa, b.vec_id AS pb, a.vv AS va, b.vv AS vb
+      FROM v a JOIN v b ON b.vec_id = a.vec_id + 1
+      WHERE a.vec_id % 2 = 0
+    ), sims AS (
+      SELECT pa,
+             round(list_dot_product(va, vb)
+                   / (sqrt(list_dot_product(va, va))
+                      * sqrt(list_dot_product(vb, vb))), 6) AS full_sim,
+             round(list_dot_product(va[1:16], vb[1:16])
+                   / (sqrt(list_dot_product(va[1:16], va[1:16]))
+                      * sqrt(list_dot_product(vb[1:16], vb[1:16]))), 6)
+               AS trunc_sim
+      FROM pairs
+    ), sums AS (
+      SELECT COUNT(*) AS n,
+             CAST(SUM(CAST(abs(full_sim - trunc_sim) AS DECIMAL(18,6)))
+                  AS DOUBLE) AS sae,
+             CAST(SUM(CAST(full_sim AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(trunc_sim AS DECIMAL(18,6))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(full_sim * trunc_sim AS DECIMAL(38,12)))
+                  AS DOUBLE) AS sxy,
+             CAST(SUM(CAST(full_sim * full_sim AS DECIMAL(38,12)))
+                  AS DOUBLE) AS sx2,
+             CAST(SUM(CAST(trunc_sim * trunc_sim AS DECIMAL(38,12)))
+                  AS DOUBLE) AS sy2
+      FROM sims
+    )
+    SELECT n AS n_pairs,
+           round(sae / n, 6) AS mean_abs_err,
+           round((n * sxy - sx * sy)
+                 / (sqrt(n * sx2 - sx * sx) * sqrt(n * sy2 - sy * sy)),
+                 6) AS pearson_r
+    FROM sums
+    """,
+    tags=("similarity-eval", "quantization"),
+)
+def matryoshka_truncation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-representation audit (Kusupati et al. 2022): before
+    serving truncated embeddings (16 of 64 dims = 4× memory/IO
+    savings), measure how well truncated cosine tracks full cosine
+    over a deterministic pair sample — mean absolute error plus
+    Pearson r. Rounded sims sit on the 1e-6 grid, their products on
+    the exact 1e-12 decimal grid, so every moment feeding the
+    correlation is an order-independent exact sum and the audit
+    hash-matches. One pair join + one aggregate; no corpus quadratics
+    (the pair sample is id-adjacent by construction)."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("_v")
+    )
+    from .operators.similarity import _dot, norm
+
+    a = emb.where(F.col("vec_id") % 2 == 0).select(
+        F.col("vec_id").alias("pa"), F.col("_v").alias("va")
+    )
+    b = emb.select((F.col("vec_id") - 1).alias("pa"), F.col("_v").alias("vb"))
+    pairs = a.join(b, "pa").select(
+        "pa",
+        F.col("va"),
+        F.col("vb"),
+        F.slice(F.col("va"), 1, 16).alias("ta"),
+        F.slice(F.col("vb"), 1, 16).alias("tb"),
+    )
+
+    def cos(x, y):
+        return F.round(
+            _dot(F.col(x), F.col(y)) / (norm(F.col(x)) * norm(F.col(y))), 6
+        )
+
+    sims = pairs.select(
+        "pa", cos("va", "vb").alias("full_sim"), cos("ta", "tb").alias("trunc_sim")
+    )
+    sums = sims.agg(
+        F.count("*").alias("n"),
+        F.sum(
+            F.abs(F.col("full_sim") - F.col("trunc_sim")).cast("decimal(18,6)")
+        )
+        .cast("double")
+        .alias("sae"),
+        F.sum(F.col("full_sim").cast("decimal(18,6)")).cast("double").alias("sx"),
+        F.sum(F.col("trunc_sim").cast("decimal(18,6)")).cast("double").alias("sy"),
+        F.sum((F.col("full_sim") * F.col("trunc_sim")).cast("decimal(38,12)"))
+        .cast("double")
+        .alias("sxy"),
+        F.sum((F.col("full_sim") * F.col("full_sim")).cast("decimal(38,12)"))
+        .cast("double")
+        .alias("sx2"),
+        F.sum((F.col("trunc_sim") * F.col("trunc_sim")).cast("decimal(38,12)"))
+        .cast("double")
+        .alias("sy2"),
+    )
+    n = F.col("n")
+    r = (n * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.sqrt(n * F.col("sx2") - F.col("sx") * F.col("sx"))
+        * F.sqrt(n * F.col("sy2") - F.col("sy") * F.col("sy"))
+    )
+    return sums.select(
+        F.col("n").alias("n_pairs"),
+        F.round(F.col("sae") / n, 6).alias("mean_abs_err"),
+        F.round(r, 6).alias("pearson_r"),
+    )
