@@ -87,6 +87,18 @@ HEADLINE = [
     "simhash_md5_near_dup",
     "span_corruption_t5",
     "mlm_mask_documents",
+    "naive_bayes_language_classify",
+    "prefix_filter_jaccard_join",
+    "mmr_diverse_rerank",
+    "hybrid_search_rrf",
+    "late_interaction_maxsim",
+    "ann_ndcg_eval",
+    "attribution_touchpoints",
+    "bfs_hops_copurchase",
+    "target_encoding_kfold",
+    "acf_daily_revenue",
+    "variant_shred_props",
+    "matryoshka_truncation_audit",
 ]
 
 
