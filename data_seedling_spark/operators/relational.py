@@ -217,3 +217,41 @@ def hll_estimate(registers, p: int = 8):
     return agg.select(
         F.round(corrected, 4).alias("estimate"), "n_buckets_used"
     )
+
+
+def zorder_key2(a, b, a_min, a_max, b_min, b_max, bits: int = 8):
+    """Z-order (Morton) interleaved clustering key for two integer
+    dimensions — the OPTIMIZE ZORDER BY layout primitive: sort/compact
+    by this key and BOTH columns' per-file min/max ranges stay tight,
+    so file-stats pruning works for predicates on either dimension
+    (the multi-dimensional generalization of ``compact(sort_by=...)``
+    single-key range clustering).
+
+    Each value is scaled to ``bits`` buckets with EXACT integer
+    arithmetic — ``(v - vmin) * 2^bits // (vmax - vmin + 1)`` — then
+    the two bucket ids' bits interleave (a takes odd positions). No
+    floats anywhere, so the key is engine-reproducible; min/max come
+    in as parameters (one tiny stats aggregate the caller computes, or
+    table-level stats the catalog already holds).
+    """
+    def _c(v):
+        from pyspark.sql import Column
+
+        return v if isinstance(v, Column) else F.lit(v)
+
+    n = F.lit(1 << bits)
+    a_min, a_max, b_min, b_max = map(_c, (a_min, a_max, b_min, b_max))
+    qa = ((a - a_min) * n).cast("long") / (a_max - a_min + F.lit(1))
+    qb = ((b - b_min) * n).cast("long") / (b_max - b_min + F.lit(1))
+    qa = F.floor(qa).cast("long")
+    qb = F.floor(qb).cast("long")
+    key = F.lit(0).cast("long")
+    for i in range(bits):
+        abit = F.shiftright(qa, i).bitwiseAND(F.lit(1))
+        bbit = F.shiftright(qb, i).bitwiseAND(F.lit(1))
+        key = (
+            key
+            + F.shiftleft(abit, 2 * i + 1).cast("long")
+            + F.shiftleft(bbit, 2 * i).cast("long")
+        )
+    return key

@@ -3197,3 +3197,83 @@ def attribution_touchpoints(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.struct(F.col("click_ts"), (-F.col("click_id")).alias("_n")),
         ).alias("last_touch_id"),
     )
+
+
+@query(
+    "zorder_region_stats",
+    oracle="""
+    WITH stats AS (
+      SELECT MIN(l_partkey) AS pmin, MAX(l_partkey) AS pmax,
+             MIN(l_suppkey) AS smin, MAX(l_suppkey) AS smax
+      FROM lineitem
+    ), keyed AS (
+      SELECT l_partkey, l_suppkey,
+             (l_partkey - pmin) * 256 // (pmax - pmin + 1) AS qa,
+             (l_suppkey - smin) * 256 // (smax - smin + 1) AS qb
+      FROM lineitem CROSS JOIN stats
+    ), z AS (
+      SELECT l_partkey, l_suppkey,
+             (
+               ((qa >> 0) & 1) * 2 + ((qb >> 0) & 1) * 1
+             + ((qa >> 1) & 1) * 8 + ((qb >> 1) & 1) * 4
+             + ((qa >> 2) & 1) * 32 + ((qb >> 2) & 1) * 16
+             + ((qa >> 3) & 1) * 128 + ((qb >> 3) & 1) * 64
+             + ((qa >> 4) & 1) * 512 + ((qb >> 4) & 1) * 256
+             + ((qa >> 5) & 1) * 2048 + ((qb >> 5) & 1) * 1024
+             + ((qa >> 6) & 1) * 8192 + ((qb >> 6) & 1) * 4096
+             + ((qa >> 7) & 1) * 32768 + ((qb >> 7) & 1) * 16384
+             ) AS zkey
+      FROM keyed
+    )
+    SELECT CAST(zkey // 256 AS BIGINT) AS z_region,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           MIN(l_partkey) AS part_min, MAX(l_partkey) AS part_max,
+           MIN(l_suppkey) AS supp_min, MAX(l_suppkey) AS supp_max
+    FROM z GROUP BY 1
+    """,
+    tags=("scale-technique", "zorder", "clustering"),
+)
+def zorder_region_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) multi-dimensional clustering: interleave the
+    bits of bucketized (l_partkey, l_suppkey) into one sort key and
+    report per-z-region row counts and BOTH columns' min/max — the
+    file-stats footprint a ``compact(sort_by=zkey)`` rewrite would
+    give each file, demonstrating that z-ordering keeps every
+    region's range tight on every interleaved dimension (so min/max
+    data skipping serves predicates on either column, where a
+    single-key sort serves only its own). All-integer bucketing and
+    bit algebra — JVM expressions, one aggregate, no shuffle beyond
+    the group-by."""
+    from .operators.relational import zorder_key2
+
+    li = load_table(spark, sf_dir, "lineitem")
+    stats = li.agg(
+        F.min("l_partkey").alias("_pmin"),
+        F.max("l_partkey").alias("_pmax"),
+        F.min("l_suppkey").alias("_smin"),
+        F.max("l_suppkey").alias("_smax"),
+    )
+    keyed = li.select("l_partkey", "l_suppkey").crossJoin(F.broadcast(stats))
+    z = keyed.select(
+        "l_partkey",
+        "l_suppkey",
+        zorder_key2(
+            F.col("l_partkey"),
+            F.col("l_suppkey"),
+            F.col("_pmin"),
+            F.col("_pmax"),
+            F.col("_smin"),
+            F.col("_smax"),
+            bits=8,
+        ).alias("zkey"),
+    )
+    return (
+        z.groupBy(F.floor(F.col("zkey") / 256).cast("long").alias("z_region"))
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min("l_partkey").alias("part_min"),
+            F.max("l_partkey").alias("part_max"),
+            F.min("l_suppkey").alias("supp_min"),
+            F.max("l_suppkey").alias("supp_max"),
+        )
+    )

@@ -5005,3 +5005,59 @@ def matryoshka_truncation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("sae") / n, 6).alias("mean_abs_err"),
         F.round(r, 6).alias("pearson_r"),
     )
+
+
+@query(
+    "calibration_bins_logreg",
+    oracle=f"""
+    SELECT bin,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           round(CAST(SUM(CAST(p AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6)
+             AS mean_predicted,
+           round(CAST(SUM(label_bin) AS DOUBLE) / COUNT(*), 6)
+             AS frac_positive
+    FROM (
+      SELECT CAST(least(floor(p * 10), 9) AS INT) AS bin, p, label_bin
+      FROM ({_logreg_oracle(nf=4, lr=2.0, iters=5)}) t
+    ) GROUP BY bin
+    """,
+    tags=("model-training", "classifier", "eval"),
+)
+def calibration_bins_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability-diagram audit of the in-engine logistic-regression
+    classifier: decile-bin its predicted probabilities and compare
+    mean prediction vs observed positive rate per bin — the
+    calibration check a learned quality filter needs before its scores
+    gate corpus admission. Reuses the full logreg training trajectory
+    (the oracle embeds the same unrolled 5-iteration CTE program as a
+    subquery); binning and both rates are exact (grid p, decimal sums,
+    integer counts)."""
+    from .operators.logreg import logreg_fit, logreg_score, standardize
+
+    embeddings = load_table(spark, sf_dir, "embeddings")
+    base = embeddings.select(
+        "vec_id",
+        (F.col("label") == 3).cast("int").alias("label_bin"),
+        *[
+            F.col("embedding").cast("array<double>")[i].alias(f"f{i}")
+            for i in range(4)
+        ],
+    )
+    feats, zcols = standardize(base, [f"f{i}" for i in range(4)])
+    weights = logreg_fit(feats, zcols, "label_bin", lr=2.0, iters=5)
+    scored = logreg_score(feats, zcols, weights).select(
+        F.least(F.floor(F.col("p") * 10), F.lit(9)).cast("int").alias("bin"),
+        "p",
+        "label_bin",
+    )
+    return scored.groupBy("bin").agg(
+        F.count("*").alias("n"),
+        F.round(
+            F.sum(F.col("p").cast("decimal(18,6)")).cast("double")
+            / F.count("*"),
+            6,
+        ).alias("mean_predicted"),
+        F.round(
+            F.sum("label_bin").cast("double") / F.count("*"), 6
+        ).alias("frac_positive"),
+    )

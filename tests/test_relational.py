@@ -239,3 +239,39 @@ def test_variant_shred_malformed_and_missing_paths(spark):
     assert out[1] == (5, "x")
     assert out[2] == (None, None)
     assert out[3] == (None, None)
+
+
+def test_zorder_key_matches_python_morton_and_clusters(spark):
+    """zorder_key2 equals a reference Morton encoding on an exact 16x16
+    grid, and z-regions bound both dimensions' ranges."""
+    from data_seedling_spark.operators.relational import zorder_key2
+    from pyspark.sql import functions as F
+
+    rows = [(a, b) for a in range(16) for b in range(16)]
+    df = spark.createDataFrame(rows, ["a", "b"])
+    # 16 values into 256 buckets with range 16 → bucket = v * 16
+    got = {
+        (r["a"], r["b"]): r["z"]
+        for r in df.select(
+            "a", "b", zorder_key2(F.col("a"), F.col("b"), 0, 15, 0, 15).alias("z")
+        ).collect()
+    }
+
+    def morton(qa, qb):
+        k = 0
+        for i in range(8):
+            k |= ((qa >> i) & 1) << (2 * i + 1)
+            k |= ((qb >> i) & 1) << (2 * i)
+        return k
+
+    for (a, b), z in got.items():
+        assert z == morton(a * 256 // 16, b * 256 // 16), (a, b)
+    # clustering property: within one z-region (key>>8), both dims span
+    # at most a quarter of the full domain on this uniform grid
+    regions = {}
+    for (a, b), z in got.items():
+        regions.setdefault(z >> 8, []).append((a, b))
+    for pts in regions.values():
+        xs = [p[0] for p in pts]
+        ys = [p[1] for p in pts]
+        assert max(xs) - min(xs) <= 4 and max(ys) - min(ys) <= 4
