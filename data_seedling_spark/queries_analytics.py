@@ -3277,3 +3277,184 @@ def zorder_region_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("l_suppkey").alias("supp_max"),
         )
     )
+
+
+_CORR_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+
+def _corr_matrix_oracle() -> str:
+    """Generated one-pass Pearson-matrix oracle over exact decimal
+    moments (sum, sum-of-squares, all pairwise product sums)."""
+    cols = _CORR_COLS
+    moments = ["COUNT(*) AS n"]
+    for c in cols:
+        moments.append(
+            f"CAST(SUM(CAST(ROUND({c}, 2) AS DECIMAL(18,2))) AS DOUBLE) AS s_{c}"
+        )
+        moments.append(
+            f"CAST(SUM(CAST(ROUND({c}, 2) * ROUND({c}, 2) AS DECIMAL(38,4))) "
+            f"AS DOUBLE) AS q_{c}"
+        )
+    pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1:]]
+    for a, b in pairs:
+        moments.append(
+            f"CAST(SUM(CAST(ROUND({a}, 2) * ROUND({b}, 2) AS DECIMAL(38,4))) "
+            f"AS DOUBLE) AS p_{a}_{b}"
+        )
+    sel = []
+    for a, b in pairs:
+        r = (
+            f"round((n * p_{a}_{b} - s_{a} * s_{b}) / "
+            f"(sqrt(n * q_{a} - s_{a} * s_{a}) * sqrt(n * q_{b} - s_{b} * s_{b})), 6)"
+        )
+        sel.append(
+            f"SELECT '{a}' AS col_x, '{b}' AS col_y, {r} AS pearson_r FROM s"
+        )
+    return (
+        "WITH s AS (SELECT " + ", ".join(moments) + " FROM lineitem)\n    "
+        + "\n    UNION ALL ".join(sel)
+    )
+
+
+@query(
+    "correlation_matrix_lineitem",
+    oracle=_corr_matrix_oracle(),
+    tags=("statistics", "profiling"),
+)
+def correlation_matrix_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full pairwise Pearson correlation matrix over the lineitem
+    numeric columns in ONE scan: every moment the six coefficients
+    need (4 sums, 4 sums-of-squares, 6 pairwise product sums) rides a
+    single partial aggregate, then the matrix is a constant-sized
+    projection — the profiling shape for wide-table correlation at
+    100 TB, where six separate corr() passes would mean six scans.
+    All moments are exact decimals (inputs on the 1e-2 grid, products
+    on the 1e-4 grid), so each r hash-matches."""
+    cols = _CORR_COLS
+    li = load_table(spark, sf_dir, "lineitem")
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for c in cols:
+        d = F.round(F.col(c), 2).cast("decimal(18,2)")
+        aggs.append(F.sum(d).cast("double").alias(f"s_{c}"))
+        aggs.append(
+            F.sum(
+                (F.round(F.col(c), 2) * F.round(F.col(c), 2)).cast(
+                    "decimal(38,4)"
+                )
+            )
+            .cast("double")
+            .alias(f"q_{c}")
+        )
+    pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1:]]
+    for a, b in pairs:
+        aggs.append(
+            F.sum(
+                (F.round(F.col(a), 2) * F.round(F.col(b), 2)).cast(
+                    "decimal(38,4)"
+                )
+            )
+            .cast("double")
+            .alias(f"p_{a}_{b}")
+        )
+    s = li.agg(*aggs)
+    n = F.col("n")
+    structs = []
+    for a, b in pairs:
+        r = F.round(
+            (n * F.col(f"p_{a}_{b}") - F.col(f"s_{a}") * F.col(f"s_{b}"))
+            / (
+                F.sqrt(n * F.col(f"q_{a}") - F.col(f"s_{a}") * F.col(f"s_{a}"))
+                * F.sqrt(
+                    n * F.col(f"q_{b}") - F.col(f"s_{b}") * F.col(f"s_{b}")
+                )
+            ),
+            6,
+        )
+        structs.append(
+            F.struct(
+                F.lit(a).alias("col_x"),
+                F.lit(b).alias("col_y"),
+                r.alias("pearson_r"),
+            )
+        )
+    return s.select(F.explode(F.array(*structs)).alias("_e")).select("_e.*")
+
+
+@query(
+    "rfm_customer_segments",
+    oracle="""
+    WITH rfm AS (
+      SELECT o_custkey AS cust,
+             MAX(o_orderdate) AS recency,
+             COUNT(*) AS freq,
+             SUM(CAST(ROUND(o_totalprice, 2) AS DECIMAL(18,2))) AS monetary
+      FROM orders GROUP BY o_custkey
+    ), n AS (SELECT COUNT(*) AS nc FROM rfm),
+    ranked AS (
+      SELECT cust, freq, monetary,
+             row_number() OVER (ORDER BY recency, cust) AS rr,
+             row_number() OVER (ORDER BY freq, cust) AS fr,
+             row_number() OVER (ORDER BY monetary, cust) AS mr
+      FROM rfm
+    ), scored AS (
+      SELECT ((rr - 1) * 5) // nc + 1 AS r_score,
+             ((fr - 1) * 5) // nc + 1 AS f_score,
+             ((mr - 1) * 5) // nc + 1 AS m_score,
+             monetary
+      FROM ranked CROSS JOIN n
+    )
+    SELECT CAST(r_score AS INT) AS r_score, CAST(f_score AS INT) AS f_score,
+           CAST(m_score AS INT) AS m_score,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(monetary) AS DOUBLE) AS total_monetary
+    FROM scored GROUP BY 1, 2, 3
+    """,
+    tags=("segmentation", "analytics"),
+)
+def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: per-customer recency/frequency/monetary
+    quintile scores (1–5) and the resulting segment-cell census.
+    Quintiles use the explicit integer formula ``(rank−1)·5 // n + 1``
+    over a fully tie-broken row_number — engine-independent where
+    native ntile() edge behavior might not be. Scale caveat (why this
+    stays out of the headline bench): exact global quantile scoring
+    needs a total order over the CUSTOMER AGGREGATE (1 row per
+    customer, not per order); at 100 TB swap the three rank windows
+    for approx-percentile cutoffs computed in one pass, keeping the
+    same downstream cell census."""
+    from pyspark.sql import Window as W
+
+    orders = load_table(spark, sf_dir, "orders")
+    rfm = orders.groupBy(F.col("o_custkey").alias("cust")).agg(
+        F.max("o_orderdate").alias("recency"),
+        F.count("*").alias("freq"),
+        F.sum(F.round(F.col("o_totalprice"), 2).cast("decimal(18,2)")).alias(
+            "monetary"
+        ),
+    )
+    n = rfm.agg(F.count("*").alias("nc"))
+    ranked = (
+        rfm.withColumn("rr", F.row_number().over(W.orderBy("recency", "cust")))
+        .withColumn("fr", F.row_number().over(W.orderBy("freq", "cust")))
+        .withColumn("mr", F.row_number().over(W.orderBy("monetary", "cust")))
+        .crossJoin(F.broadcast(n))
+    )
+
+    def score(rank_col: str):
+        return (
+            F.floor(((F.col(rank_col) - 1) * 5) / F.col("nc")) + 1
+        ).cast("int")
+
+    return (
+        ranked.select(
+            score("rr").alias("r_score"),
+            score("fr").alias("f_score"),
+            score("mr").alias("m_score"),
+            "monetary",
+        )
+        .groupBy("r_score", "f_score", "m_score")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.sum("monetary").cast("double").alias("total_monetary"),
+        )
+    )
