@@ -229,3 +229,47 @@ def bfs_hops(
         frontier = nxt
     sym.unpersist()
     return visited
+
+
+def bellman_ford(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "w",
+    rounds: int = 3,
+    source: DataFrame | None = None,
+) -> DataFrame:
+    """Bounded Bellman-Ford: cheapest path cost from a source over an
+    undirected weighted edge list, relaxed for a fixed number of
+    rounds (paths of ≤ ``rounds`` edges — fixed so the trajectory is
+    engine-independent, same contract as :func:`bfs_hops`).
+
+    Each round relaxes EVERY edge against the current tentative costs
+    — one join keyed on the edge source + one (node, min cost)
+    aggregate, both map-side combinable; nothing enumerates paths, so
+    a dense graph costs O(edges) per round, not O(walks).
+    ``localCheckpoint`` per round keeps the plan flat. Unreached nodes
+    simply don't appear (no infinity sentinel to disagree on).
+    """
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"), F.col(weight).alias("w"))
+        .unionByName(
+            edges.select(F.col(dst).alias("a"), F.col(src).alias("b"), F.col(weight).alias("w"))
+        )
+        .persist()
+    )
+    if source is None:
+        source = sym.agg(F.min("a").alias("node"))
+    dist = source.select("node", F.lit(0).cast("long").alias("cost")).localCheckpoint()
+    for _ in range(rounds):
+        relaxed = (
+            sym.join(dist, sym.a == dist.node)
+            .select(F.col("b").alias("node"), (F.col("cost") + F.col("w")).alias("cost"))
+            .unionByName(dist.select("node", "cost"))
+            .groupBy("node")
+            .agg(F.min("cost").alias("cost"))
+            .localCheckpoint()
+        )
+        dist = relaxed
+    sym.unpersist()
+    return dist

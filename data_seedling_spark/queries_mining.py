@@ -713,3 +713,70 @@ def bfs_hops_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = bfs_hops(edges, src="u", dst="v", max_hops=3)
     return out.select("node", F.col("hops").cast("int").alias("hops"))
+
+
+@query(
+    "bellman_ford_cheapest_route",
+    oracle="""
+    WITH pc AS (
+      SELECT a.l_partkey AS u, b.l_partkey AS v, COUNT(*) AS c
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+    ), e1 AS (
+      SELECT u, v, 1 + 1000 // c AS w FROM pc
+    ), e AS (
+      SELECT u AS a, v AS b, w FROM e1 UNION ALL SELECT v, u, w FROM e1
+    ), d0 AS (
+      SELECT (SELECT MIN(a) FROM e) AS node, CAST(0 AS BIGINT) AS cost
+    ), d1 AS (
+      SELECT node, MIN(cost) AS cost FROM (
+        SELECT e.b AS node, d.cost + e.w AS cost
+        FROM e JOIN d0 d ON e.a = d.node
+        UNION ALL SELECT node, cost FROM d0
+      ) GROUP BY node
+    ), d2 AS (
+      SELECT node, MIN(cost) AS cost FROM (
+        SELECT e.b AS node, d.cost + e.w AS cost
+        FROM e JOIN d1 d ON e.a = d.node
+        UNION ALL SELECT node, cost FROM d1
+      ) GROUP BY node
+    ), d3 AS (
+      SELECT node, MIN(cost) AS cost FROM (
+        SELECT e.b AS node, d.cost + e.w AS cost
+        FROM e JOIN d2 d ON e.a = d.node
+        UNION ALL SELECT node, cost FROM d2
+      ) GROUP BY node
+    )
+    SELECT node, cost FROM d3
+    """,
+    tags=("graph", "shortest-path", "weighted"),
+)
+def bellman_ford_cheapest_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted cheapest-path costs (3-round Bellman-Ford) from the
+    smallest part over the co-purchase graph, edge weight inversely
+    tied to co-purchase count (strong associations are cheap to
+    traverse) — BFS's weighted sibling for \"association distance\"
+    analytics. Per round: relax ALL edges in one join + one min
+    aggregate (map-side combinable); integer weights via exact integer
+    division keep every tentative cost hash-exact against the
+    unrolled per-round CTE oracle."""
+    from .operators.graph import bellman_ford
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        .agg(F.count("*").alias("c"))
+        .select(
+            "u", "v", (F.lit(1) + F.floor(F.lit(1000) / F.col("c"))).alias("w")
+        )
+    )
+    return bellman_ford(edges, src="u", dst="v", weight="w", rounds=3)

@@ -157,3 +157,21 @@ def test_bfs_hops_chain_and_unreachable(spark):
         for r in bfs_hops(edges, max_hops=2, source=src).collect()
     }
     assert got3 == {3: 0, 2: 1, 4: 1, 1: 2, 5: 2}
+
+
+def test_bellman_ford_weighted_chain(spark):
+    """Cheapest cost prefers a longer-but-lighter route and respects
+    the round bound."""
+    from data_seedling_spark.operators.graph import bellman_ford
+    from pyspark.sql import functions as F
+
+    # 1→3 direct costs 10; 1→2→3 costs 2+3=5; node 4 needs 2 hops
+    edges = spark.createDataFrame(
+        [(1, 3, 10), (1, 2, 2), (2, 3, 3), (3, 4, 1)],
+        ["src", "dst", "w"],
+    )
+    got = {r["node"]: r["cost"] for r in bellman_ford(edges, rounds=3).collect()}
+    assert got == {1: 0, 2: 2, 3: 5, 4: 6}
+    # with only 1 round, the relaxed path to 3 is the direct edge
+    got1 = {r["node"]: r["cost"] for r in bellman_ford(edges, rounds=1).collect()}
+    assert got1[3] == 10 and 4 not in got1
