@@ -3458,3 +3458,91 @@ def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("monetary").cast("double").alias("total_monetary"),
         )
     )
+
+
+@query(
+    "ab_test_conversion_ztest",
+    oracle="""
+    WITH u AS (
+      SELECT user_id, user_id % 2 AS variant,
+             CASE WHEN SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                       > SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                  THEN 1 ELSE 0 END AS conv
+      FROM events GROUP BY user_id
+    ), byv AS (
+      SELECT variant, COUNT(*) AS n, SUM(conv) AS k
+      FROM u GROUP BY variant
+    ), wide AS (
+      SELECT
+        MAX(CASE WHEN variant = 0 THEN n END) AS n0,
+        MAX(CASE WHEN variant = 0 THEN k END) AS k0,
+        MAX(CASE WHEN variant = 1 THEN n END) AS n1,
+        MAX(CASE WHEN variant = 1 THEN k END) AS k1
+      FROM byv
+    )
+    SELECT CAST(n0 AS BIGINT) AS n_control, CAST(k0 AS BIGINT) AS conv_control,
+           CAST(n1 AS BIGINT) AS n_treatment, CAST(k1 AS BIGINT) AS conv_treatment,
+           round(CAST(k0 AS DOUBLE) / n0, 6) AS rate_control,
+           round(CAST(k1 AS DOUBLE) / n1, 6) AS rate_treatment,
+           CASE WHEN k0 + k1 > 0 AND k0 + k1 < n0 + n1 THEN
+             round((CAST(k1 AS DOUBLE) / n1 - CAST(k0 AS DOUBLE) / n0)
+                   / sqrt((CAST(k0 + k1 AS DOUBLE) / (n0 + n1))
+                          * (1 - CAST(k0 + k1 AS DOUBLE) / (n0 + n1))
+                          * (1.0 / n0 + 1.0 / n1)), 6)
+           END AS z_stat
+    FROM wide
+    """,
+    tags=("experimentation", "statistics"),
+)
+def ab_test_conversion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout: per-user conversion (more purchases
+    than views — a rate that cannot degenerate to all-0/all-1 the way
+    "any purchase" does on a dense event log) under a deterministic
+    hash-bucket assignment (user_id parity),
+    reduced to the two-proportion pooled z-statistic — the
+    experimentation-platform query every event pipeline feeds. Two
+    grouped aggregates (user roll-up, then variant roll-up) and one
+    conditional pivot to a single row; every input to the z formula is
+    an integer count, the formula itself one fixed double expression →
+    hash-exact; the degenerate pooled rates 0 and 1 yield NULL in both
+    engines instead of a divide-by-zero."""
+    events = load_table(spark, sf_dir, "events")
+    u = events.groupBy("user_id").agg(
+        (
+            F.sum((F.col("event_type") == "purchase").cast("int"))
+            > F.sum((F.col("event_type") == "view").cast("int"))
+        )
+        .cast("int")
+        .alias("conv")
+    ).select((F.col("user_id") % 2).alias("variant"), "conv")
+    byv = u.groupBy("variant").agg(
+        F.count("*").alias("n"), F.sum("conv").alias("k")
+    )
+    wide = byv.agg(
+        F.max(F.when(F.col("variant") == 0, F.col("n"))).alias("n0"),
+        F.max(F.when(F.col("variant") == 0, F.col("k"))).alias("k0"),
+        F.max(F.when(F.col("variant") == 1, F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("variant") == 1, F.col("k"))).alias("k1"),
+    )
+    n0, k0 = F.col("n0"), F.col("k0")
+    n1, k1 = F.col("n1"), F.col("k1")
+    pooled = (k0 + k1).cast("double") / (n0 + n1)
+    z = (
+        (k1.cast("double") / n1 - k0.cast("double") / n0)
+        / F.sqrt(
+            pooled
+            * (1 - pooled)
+            * (F.lit(1.0) / n0 + F.lit(1.0) / n1)
+        )
+    )
+    return wide.select(
+        n0.alias("n_control"),
+        k0.alias("conv_control"),
+        n1.alias("n_treatment"),
+        k1.alias("conv_treatment"),
+        F.round(k0.cast("double") / n0, 6).alias("rate_control"),
+        F.round(k1.cast("double") / n1, 6).alias("rate_treatment"),
+        F.when(
+            (k0 + k1 > 0) & (k0 + k1 < n0 + n1), F.round(z, 6)
+        ).alias("z_stat"),
+    )

@@ -780,3 +780,86 @@ def bellman_ford_cheapest_route(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return bellman_ford(edges, src="u", dst="v", weight="w", rounds=3)
+
+
+@query(
+    "association_rules_copurchase",
+    oracle="""
+    WITH n AS (
+      SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM lineitem
+    ), item AS (
+      SELECT l_partkey AS it, COUNT(DISTINCT l_orderkey) AS c
+      FROM lineitem GROUP BY 1
+    ), pc AS (
+      SELECT a.l_partkey AS u, b.l_partkey AS v,
+             COUNT(DISTINCT a.l_orderkey) AS c_uv
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING COUNT(DISTINCT a.l_orderkey) >= 2
+    ), rules AS (
+      SELECT u AS antecedent, v AS consequent, c_uv FROM pc
+      UNION ALL
+      SELECT v, u, c_uv FROM pc
+    )
+    SELECT r.antecedent, r.consequent, r.c_uv AS support_count,
+           round(r.c_uv / ia.c, 6) AS confidence,
+           round((r.c_uv * n.n_orders) / (ia.c * ic.c), 6) AS lift
+    FROM rules r
+    JOIN item ia ON ia.it = r.antecedent
+    JOIN item ic ON ic.it = r.consequent
+    CROSS JOIN n
+    """,
+    tags=("mining", "association-rules"),
+)
+def association_rules_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules (Agrawal et al. 1993) from order baskets:
+    both directions of every 2-itemset with support ≥ 2, scored with
+    confidence and lift from integer order counts (exact ratios on a
+    fixed double expression → hash-stable). The support filter runs
+    INSIDE the pair aggregate (HAVING), so low-support pairs die
+    before the item-stats join; item counts broadcast. This is the
+    rule-extraction tail of frequent_part_pairs, not a second basket
+    scan shape."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    n = li.agg(F.countDistinct("l_orderkey").alias("n_orders"))
+    item = li.groupBy(F.col("l_partkey").alias("it")).agg(
+        F.countDistinct("l_orderkey").alias("c")
+    )
+    a, b = li.alias("a"), li.alias("b")
+    pc = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        .agg(F.countDistinct(F.col("a.l_orderkey")).alias("c_uv"))
+        .where(F.col("c_uv") >= 2)
+    )
+    rules = pc.select(
+        F.col("u").alias("antecedent"), F.col("v").alias("consequent"), "c_uv"
+    ).unionByName(
+        pc.select(
+            F.col("v").alias("antecedent"), F.col("u").alias("consequent"), "c_uv"
+        )
+    )
+    ia = item.select(F.col("it").alias("antecedent"), F.col("c").alias("_ca"))
+    ic = item.select(F.col("it").alias("consequent"), F.col("c").alias("_cc"))
+    return (
+        rules.join(F.broadcast(ia), "antecedent")
+        .join(F.broadcast(ic), "consequent")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "antecedent",
+            "consequent",
+            F.col("c_uv").alias("support_count"),
+            F.round(F.col("c_uv") / F.col("_ca"), 6).alias("confidence"),
+            F.round(
+                (F.col("c_uv") * F.col("n_orders"))
+                / (F.col("_ca") * F.col("_cc")),
+                6,
+            ).alias("lift"),
+        )
+    )
