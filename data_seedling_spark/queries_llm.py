@@ -5061,3 +5061,121 @@ def calibration_bins_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("label_bin").cast("double") / F.count("*"), 6
         ).alias("frac_positive"),
     )
+
+
+@query(
+    "info_gain_token_features",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, lang, unnest(list_distinct(
+               list_filter(string_split(text, ' '), x -> x <> ''))) AS tok
+      FROM documents
+    ), nn AS (SELECT COUNT(*) AS n FROM documents),
+    nl AS (SELECT lang, COUNT(*) AS n_l FROM documents GROUP BY lang),
+    nt AS (SELECT tok, COUNT(*) AS n_t FROM d GROUP BY tok),
+    ntl AS (SELECT tok, lang, COUNT(*) AS n_tl FROM d GROUP BY tok, lang),
+    grid AS (
+      SELECT nt.tok, nt.n_t, nl.lang, nl.n_l, COALESCE(ntl.n_tl, 0) AS n_tl
+      FROM nt CROSS JOIN nl
+      LEFT JOIN ntl ON ntl.tok = nt.tok AND ntl.lang = nl.lang
+    ), base AS (
+      SELECT CAST(SUM(CAST(round(
+               -(CAST(n_l AS DOUBLE) / n) * ln(CAST(n_l AS DOUBLE) / n), 6)
+             AS DECIMAL(18,6))) AS DOUBLE) AS h_base
+      FROM nl CROSS JOIN nn
+    ), parts AS (
+      SELECT g.tok, g.n_t, nn.n,
+             CAST(SUM(CAST(CASE WHEN g.n_tl > 0 THEN round(
+               -(CAST(g.n_tl AS DOUBLE) / g.n_t)
+               * ln(CAST(g.n_tl AS DOUBLE) / g.n_t), 6) ELSE 0 END
+             AS DECIMAL(18,6))) AS DOUBLE) AS h_present,
+             CAST(SUM(CAST(CASE WHEN g.n_l - g.n_tl > 0 AND nn.n - g.n_t > 0
+               THEN round(
+                 -(CAST(g.n_l - g.n_tl AS DOUBLE) / (nn.n - g.n_t))
+                 * ln(CAST(g.n_l - g.n_tl AS DOUBLE) / (nn.n - g.n_t)), 6)
+               ELSE 0 END
+             AS DECIMAL(18,6))) AS DOUBLE) AS h_absent
+      FROM grid g CROSS JOIN nn
+      GROUP BY g.tok, g.n_t, nn.n
+    )
+    SELECT p.tok AS token, p.n_t AS n_docs_with,
+           round(b.h_base
+                 - ((CAST(p.n_t AS DOUBLE) / p.n) * p.h_present
+                    + (CAST(p.n - p.n_t AS DOUBLE) / p.n) * p.h_absent),
+                 6) AS info_gain
+    FROM parts p CROSS JOIN base b
+    """,
+    tags=("feature-selection", "classifier", "statistics"),
+)
+def info_gain_token_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Information-gain feature ranking for the corpus classifiers:
+    for every vocabulary token, IG(lang; token-presence) = H(lang) −
+    [P(t)·H(lang|t) + P(¬t)·H(lang|¬t)] from exact document counts —
+    the filter-method feature selection that decides which token
+    features feed the NB/logreg quality classifiers. Per-(token,class)
+    entropy terms are grid-rounded and decimal-summed (order-
+    independent); the final combination is one fixed double
+    expression. Shuffles are token-keyed; the class grid is
+    vocab×langs (broadcast-scale)."""
+    documents = load_table(spark, sf_dir, "documents")
+    d = documents.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.array_distinct(
+                F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+            )
+        ).alias("tok"),
+    )
+    nn = documents.agg(F.count("*").alias("n"))
+    nl = documents.groupBy("lang").agg(F.count("*").alias("n_l"))
+    nt = d.groupBy("tok").agg(F.count("*").alias("n_t"))
+    ntl = d.groupBy("tok", "lang").agg(F.count("*").alias("n_tl"))
+    grid = (
+        nt.crossJoin(F.broadcast(nl))
+        .join(ntl, ["tok", "lang"], "left")
+        .withColumn("n_tl", F.coalesce(F.col("n_tl"), F.lit(0)))
+        .crossJoin(F.broadcast(nn))
+    )
+    base = (
+        nl.crossJoin(F.broadcast(nn))
+        .agg(
+            F.sum(
+                F.round(
+                    -(F.col("n_l").cast("double") / F.col("n"))
+                    * F.log(F.col("n_l").cast("double") / F.col("n")),
+                    6,
+                ).cast("decimal(18,6)")
+            )
+            .cast("double")
+            .alias("h_base")
+        )
+    )
+    p_pres = F.col("n_tl").cast("double") / F.col("n_t")
+    term_pres = F.when(
+        F.col("n_tl") > 0,
+        F.round(-p_pres * F.log(p_pres), 6),
+    ).otherwise(F.lit(0.0))
+    m_tl = F.col("n_l") - F.col("n_tl")
+    m_t = F.col("n") - F.col("n_t")
+    p_abs = m_tl.cast("double") / m_t
+    term_abs = F.when(
+        (m_tl > 0) & (m_t > 0), F.round(-p_abs * F.log(p_abs), 6)
+    ).otherwise(F.lit(0.0))
+    parts = grid.groupBy("tok", "n_t", "n").agg(
+        F.sum(term_pres.cast("decimal(18,6)")).cast("double").alias("h_present"),
+        F.sum(term_abs.cast("decimal(18,6)")).cast("double").alias("h_absent"),
+    )
+    return parts.crossJoin(F.broadcast(base)).select(
+        F.col("tok").alias("token"),
+        F.col("n_t").alias("n_docs_with"),
+        F.round(
+            F.col("h_base")
+            - (
+                (F.col("n_t").cast("double") / F.col("n")) * F.col("h_present")
+                + ((F.col("n") - F.col("n_t")).cast("double") / F.col("n"))
+                * F.col("h_absent")
+            ),
+            6,
+        ).alias("info_gain"),
+    )
