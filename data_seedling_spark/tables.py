@@ -48,7 +48,20 @@ def _nanos_timestamp_columns(path: str) -> tuple[str, ...]:
         import pyarrow.parquet as pq
         import pyarrow as pa
 
-        schema = pq.read_schema(path)
+        footer = path
+        if os.path.isdir(path):
+            # Spark writes directory-style tables; all parts share one
+            # schema, so any part footer answers the question.
+            parts = sorted(
+                f
+                for f in os.listdir(path)
+                if f.endswith(".parquet") and not f.startswith((".", "_"))
+            )
+            if not parts:
+                _NS_TS_CACHE[path] = ()
+                return _NS_TS_CACHE[path]
+            footer = os.path.join(path, parts[0])
+        schema = pq.read_schema(footer)
         _NS_TS_CACHE[path] = tuple(
             f.name for f in schema if f.type == pa.timestamp("ns")
         )
@@ -69,6 +82,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # didn't build (the driver creates its own SparkSession).
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
+    # Only repair columns Spark ACTUALLY surfaced as long: pyarrow also
+    # reports legacy INT96 timestamps as timestamp[ns], but Spark reads
+    # those natively as TIMESTAMP — the DIV-1000 rebuild applies solely
+    # to true TIMESTAMP(NANOS) columns read under nanosAsLong.
+    long_cols = {f.name for f in df.schema.fields if f.dataType.simpleString() == "bigint"}
+    ns_cols = tuple(c for c in ns_cols if c in long_cols)
     for c in ns_cols:
         # Integer DIV, not `/`: epoch-nanos (~1.7e18) exceeds double's
         # 2^53 integer range, so float division corrupts the low digits.

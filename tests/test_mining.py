@@ -46,3 +46,42 @@ def test_cap_noop_when_under_threshold(spark):
     df = _basket(spark, rows)
     out = cap_power_users(df, max_basket=200)
     assert sorted(out.collect()) == sorted(df.collect())
+
+
+def test_attribution_window_excludes_old_and_post_clicks(spark):
+    """Only clicks strictly inside (purchase−24h, purchase) attribute;
+    purchases with no qualifying click drop out."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    base = dt.datetime(2024, 1, 10, 12, 0, 0)
+    rows = [
+        # (event_id, ts, user_id, event_type)
+        (1, base - dt.timedelta(hours=30), 7, "click"),   # too old
+        (2, base - dt.timedelta(hours=2), 7, "click"),    # first qualifying
+        (3, base - dt.timedelta(hours=1), 7, "click"),    # last qualifying
+        (4, base + dt.timedelta(hours=1), 7, "click"),    # after purchase
+        (5, base, 7, "purchase"),
+        (6, base, 8, "purchase"),                          # no clicks at all
+    ]
+    events = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type"]
+    ).withColumn("value", F.lit(0.0)).withColumn("props", F.lit("{}"))
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        for name in (
+            "events",
+        ):
+            events.write.mode("overwrite").parquet(f"{d}/{name}.parquet")
+        from data_seedling_spark.queries import registry
+
+        out = {
+            r["purchase_id"]: r
+            for r in registry()["attribution_touchpoints"].fn(spark, d).collect()
+        }
+    assert set(out) == {5}
+    r = out[5]
+    assert r["n_touches"] == 2
+    assert r["first_touch_id"] == 2 and r["last_touch_id"] == 3
