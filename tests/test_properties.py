@@ -516,3 +516,51 @@ def test_matview_incremental_equals_recompute(spark, tmp_path_factory, batches):
         .collect()
     }
     assert got == recomputed
+
+
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["aa", "bb", "cc", "dd", "ee", "ff"]),
+            min_size=3,
+            max_size=10,
+        ),
+        min_size=2,
+        max_size=8,
+    ),
+    num=st.sampled_from([3, 4]),
+)
+@slow
+def test_prefix_filter_exactness_property(spark, docs, num):
+    """PPJoin prefix filter ≡ brute-force all-pairs Jaccard at
+    threshold num/5, for ANY corpus of token sequences."""
+    from data_seedling_spark.operators.dedup import (
+        jaccard,
+        prefix_filter_jaccard_pairs,
+        word_shingles,
+    )
+
+    rows = [(i, " ".join(words)) for i, words in enumerate(docs)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in prefix_filter_jaccard_pairs(
+            df, "text", "doc_id", n=2, threshold_num=num, threshold_den=5
+        ).collect()
+    }
+    sh = df.select("doc_id", word_shingles(F.col("text"), 2).alias("s")).where(
+        F.size("s") > 0
+    )
+    a, b = sh.alias("a"), sh.alias("b")
+    brute = {
+        (r["doc_a"], r["doc_b"])
+        for r in a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.round(jaccard(F.col("a.s"), F.col("b.s")), 4).alias("j"),
+        )
+        .where(F.col("j") >= num / 5)
+        .collect()
+    }
+    assert got == brute
