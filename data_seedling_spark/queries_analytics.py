@@ -3546,3 +3546,92 @@ def ab_test_conversion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
             (k0 + k1 > 0) & (k0 + k1 < n0 + n1), F.round(z, 6)
         ).alias("z_stat"),
     )
+
+
+@query(
+    "woe_iv_price_deciles",
+    oracle="""
+    WITH lab AS (
+      SELECT o.o_orderkey,
+             CAST(ROUND(o.o_totalprice, 2) AS DECIMAL(18,2)) AS price,
+             MAX(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END) AS bad
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      GROUP BY o.o_orderkey, o.o_totalprice
+    ), n AS (SELECT COUNT(*) AS nr FROM lab),
+    ranked AS (
+      SELECT bad, row_number() OVER (ORDER BY price, o_orderkey) AS rn
+      FROM lab
+    ), binned AS (
+      SELECT ((rn - 1) * 10) // nr + 1 AS bin, bad
+      FROM ranked CROSS JOIN n
+    ), per_bin AS (
+      SELECT bin,
+             SUM(1 - bad) AS n_good, SUM(bad) AS n_bad
+      FROM binned GROUP BY bin
+    ), tot AS (
+      SELECT SUM(n_good) AS tg, SUM(n_bad) AS tb FROM per_bin
+    )
+    SELECT CAST(bin AS INT) AS bin,
+           CAST(n_good AS BIGINT) AS n_good, CAST(n_bad AS BIGINT) AS n_bad,
+           round(ln((CAST(n_good AS DOUBLE) / tg)
+                    / (CAST(n_bad AS DOUBLE) / tb)), 6) AS woe,
+           round(((CAST(n_good AS DOUBLE) / tg) - (CAST(n_bad AS DOUBLE) / tb))
+                 * ln((CAST(n_good AS DOUBLE) / tg)
+                      / (CAST(n_bad AS DOUBLE) / tb)), 6) AS iv_term
+    FROM per_bin CROSS JOIN tot
+    """,
+    tags=("feature-engineering", "statistics"),
+)
+def woe_iv_price_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-of-evidence / information-value binning (the credit-
+    scoring feature-screening classic): decile-bin order price against
+    a \"had a returned item\" outcome and report each bin's WOE =
+    ln(%good/%bad) and IV contribution. Bins use the same explicit
+    integer rank formula as rfm_customer_segments (engine-independent
+    tie-broken row_number, same global-order scale caveat and the same
+    approx-percentile swap at 100 TB); every rate is an integer-count
+    ratio in a fixed double expression → hash-exact."""
+    from pyspark.sql import Window as W
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    lab = (
+        orders.join(li, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderkey", "o_totalprice")
+        .agg(
+            F.max((F.col("l_returnflag") == "R").cast("int")).alias("bad")
+        )
+        .select(
+            "o_orderkey",
+            F.round(F.col("o_totalprice"), 2)
+            .cast("decimal(18,2)")
+            .alias("price"),
+            "bad",
+        )
+    )
+    n = lab.agg(F.count("*").alias("nr"))
+    ranked = lab.withColumn(
+        "rn", F.row_number().over(W.orderBy("price", "o_orderkey"))
+    ).crossJoin(F.broadcast(n))
+    binned = ranked.select(
+        (F.floor(((F.col("rn") - 1) * 10) / F.col("nr")) + 1)
+        .cast("int")
+        .alias("bin"),
+        "bad",
+    )
+    per_bin = binned.groupBy("bin").agg(
+        F.sum(1 - F.col("bad")).alias("n_good"),
+        F.sum("bad").alias("n_bad"),
+    )
+    tot = per_bin.agg(
+        F.sum("n_good").alias("tg"), F.sum("n_bad").alias("tb")
+    )
+    pg = F.col("n_good").cast("double") / F.col("tg")
+    pb = F.col("n_bad").cast("double") / F.col("tb")
+    return per_bin.crossJoin(F.broadcast(tot)).select(
+        "bin",
+        "n_good",
+        "n_bad",
+        F.round(F.log(pg / pb), 6).alias("woe"),
+        F.round((pg - pb) * F.log(pg / pb), 6).alias("iv_term"),
+    )
