@@ -3635,3 +3635,139 @@ def woe_iv_price_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.log(pg / pb), 6).alias("woe"),
         F.round((pg - pb) * F.log(pg / pb), 6).alias("iv_term"),
     )
+
+
+@query(
+    "join_key_skew_report",
+    oracle="""
+    WITH counts AS (
+      SELECT 'l_orderkey' AS key_col, l_orderkey AS k, COUNT(*) AS c
+      FROM lineitem GROUP BY 2
+      UNION ALL
+      SELECT 'l_partkey', l_partkey, COUNT(*) FROM lineitem GROUP BY 2
+      UNION ALL
+      SELECT 'l_suppkey', l_suppkey, COUNT(*) FROM lineitem GROUP BY 2
+    ), ranked AS (
+      SELECT key_col, c,
+             row_number() OVER (PARTITION BY key_col ORDER BY c DESC, k) AS rn,
+             COUNT(*) OVER (PARTITION BY key_col) AS nk
+      FROM counts
+    )
+    SELECT key_col,
+           CAST(MAX(nk) AS BIGINT) AS n_keys,
+           CAST(SUM(c) AS BIGINT) AS n_rows,
+           CAST(MAX(CASE WHEN rn = 1 THEN c END) AS BIGINT) AS max_key_rows,
+           CAST(MAX(CASE WHEN rn = (nk * 1 + 99) // 100 THEN c END) AS BIGINT)
+             AS p99_key_rows,
+           round(MAX(CASE WHEN rn = 1 THEN c END)
+                 / (CAST(SUM(c) AS DOUBLE) / MAX(nk)), 6) AS skew_factor
+    FROM ranked GROUP BY key_col
+    """,
+    tags=("profiling", "skew", "scale-technique"),
+)
+def join_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostic — the pre-flight check that decides
+    between a plain shuffle join, AQE skew split, and salting
+    (docs/SCALE.md §skew): per-key cardinality profile for each
+    lineitem join key, reporting hottest-key rows, the p99 key, and
+    the hot-key-to-mean skew factor. One grouped count per key column
+    (unioned, so one pass per key over the pruned column) + a per-key
+    rank window over the COUNTS frame (cardinality-sized, not
+    row-sized). Integer ranks make the percentile pick exact in both
+    engines."""
+    from pyspark.sql import Window as W
+
+    li = load_table(spark, sf_dir, "lineitem")
+    parts = []
+    for col in ("l_orderkey", "l_partkey", "l_suppkey"):
+        parts.append(
+            li.groupBy(F.col(col).alias("k"))
+            .agg(F.count("*").alias("c"))
+            .select(F.lit(col).alias("key_col"), "k", "c")
+        )
+    counts = parts[0].unionByName(parts[1]).unionByName(parts[2])
+    w = W.partitionBy("key_col")
+    ranked = counts.select(
+        "key_col",
+        "c",
+        F.row_number().over(w.orderBy(F.col("c").desc(), "k")).alias("rn"),
+        F.count("*").over(w).alias("nk"),
+    )
+    p99_rn = F.floor((F.col("nk") + 99) / 100)
+    return ranked.groupBy("key_col").agg(
+        F.max("nk").alias("n_keys"),
+        F.sum("c").alias("n_rows"),
+        F.max(F.when(F.col("rn") == 1, F.col("c"))).alias("max_key_rows"),
+        F.max(F.when(F.col("rn") == p99_rn, F.col("c"))).alias("p99_key_rows"),
+        F.round(
+            F.max(F.when(F.col("rn") == 1, F.col("c")))
+            / (F.sum("c").cast("double") / F.max("nk")),
+            6,
+        ).alias("skew_factor"),
+    )
+
+
+@query(
+    "weighted_median_price_by_flag",
+    oracle="""
+    WITH v AS (
+      SELECT l_returnflag AS flag,
+             CAST(ROUND(l_extendedprice, 2) AS DECIMAL(18,2)) AS price,
+             CAST(l_quantity AS BIGINT) AS w
+      FROM lineitem
+    ), grouped AS (
+      SELECT flag, price, SUM(w) AS w FROM v GROUP BY flag, price
+    ), cum AS (
+      SELECT flag, price, w,
+             SUM(w) OVER (PARTITION BY flag ORDER BY price
+                          ROWS UNBOUNDED PRECEDING) AS cw,
+             SUM(w) OVER (PARTITION BY flag) AS tw
+      FROM grouped
+    )
+    SELECT flag,
+           CAST(MIN(CASE WHEN 2 * cw >= tw THEN price END) AS DOUBLE)
+             AS weighted_median,
+           CAST(MAX(tw) AS BIGINT) AS total_weight
+    FROM cum GROUP BY flag
+    """,
+    tags=("statistics", "quantiles"),
+)
+def weighted_median_price_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted median (by quantity) of extended price per return
+    flag — the weighted order statistic exact quantiles don't cover:
+    the smallest price whose cumulative quantity reaches half the
+    group's total. Distinct-value pre-aggregation first, so the
+    cumulative window runs over the (flag, price) VALUE frame (bounded
+    by price cardinality), not the row frame — the same
+    cardinality-bounding trick as the equi-depth histogram. Exact
+    decimal prices and integer weights → hash-exact."""
+    from pyspark.sql import Window as W
+
+    li = load_table(spark, sf_dir, "lineitem")
+    grouped = (
+        li.select(
+            F.col("l_returnflag").alias("flag"),
+            F.round(F.col("l_extendedprice"), 2)
+            .cast("decimal(18,2)")
+            .alias("price"),
+            F.col("l_quantity").cast("long").alias("w"),
+        )
+        .groupBy("flag", "price")
+        .agg(F.sum("w").alias("w"))
+    )
+    w = W.partitionBy("flag")
+    cum = grouped.select(
+        "flag",
+        "price",
+        "w",
+        F.sum("w")
+        .over(w.orderBy("price").rowsBetween(W.unboundedPreceding, 0))
+        .alias("cw"),
+        F.sum("w").over(w).alias("tw"),
+    )
+    return cum.groupBy("flag").agg(
+        F.min(F.when(2 * F.col("cw") >= F.col("tw"), F.col("price")))
+        .cast("double")
+        .alias("weighted_median"),
+        F.max("tw").alias("total_weight"),
+    )
