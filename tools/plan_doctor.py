@@ -1,0 +1,94 @@
+"""Plan doctor: per-query physical-plan audit for scale anti-patterns.
+
+Runs each registry query's plan (no execution) and reports the
+signals a 100 TB deployment cares about — the user-facing face of the
+regression locks in tests/test_plans.py:
+
+- ``cartesian``: CartesianProduct nodes (all-pairs explosion).
+- ``bnlj``: BroadcastNestedLoopJoin nodes (non-equi fallback; fine for
+  tiny broadcast sides, fatal for two big inputs).
+- ``python``: row-at-a-time Python eval (BatchEvalPython). Arrow-batch
+  pandas UDFs (ArrowEvalPython / MapInPandas / FlatMapGroupsInPandas)
+  are reported separately — they are the sanctioned slow path.
+- ``exchanges``: shuffle count in the plan.
+- ``codegen``: WholeStageCodegen span count (bigger spans = more of
+  the plan fused into JVM loops).
+- ``scan_pushdown``: parquet scans carrying PushedFilters.
+
+Usage: python tools/plan_doctor.py [--sf DIR] [names...]
+Exit code 1 if any query shows a cartesian product or row-wise Python
+(the two hard anti-patterns), 0 otherwise.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from data_seedling_spark.session import build_session  # noqa: E402
+
+
+def audit_plan(plan: str) -> dict:
+    return {
+        "cartesian": plan.count("CartesianProduct"),
+        "bnlj": plan.count("BroadcastNestedLoopJoin"),
+        "python_rowwise": plan.count("BatchEvalPython"),
+        "python_arrow": (
+            plan.count("ArrowEvalPython")
+            + plan.count("MapInPandas")
+            + plan.count("FlatMapGroupsInPandas")
+        ),
+        "exchanges": len(re.findall(r"\bExchange\b", plan)),
+        "codegen_spans": len(set(re.findall(r"WholeStageCodegen \((\d+)\)", plan))),
+        "pushed_scans": len(
+            re.findall(r"PushedFilters: \[[^\]]+\]", plan)
+        ),
+    }
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default="/root/testdata/sf0.001")
+    ap.add_argument("names", nargs="*")
+    args = ap.parse_args()
+
+    import __spark_entry__ as entry
+
+    qs = entry.queries()
+    names = args.names or list(qs)
+    spark = build_session("plan-doctor", master="local[4]")
+    bad = 0
+    header = (
+        f"{'query':42s} cart bnlj pyRow pyArrow exch codegen pushed"
+    )
+    print(header)
+    print("-" * len(header))
+    for name in names:
+        try:
+            df = qs[name](spark, args.sf)
+            plan = df._jdf.queryExecution().executedPlan().toString()
+        except Exception as e:  # noqa: BLE001 - report and continue
+            print(f"{name:42s} PLAN-ERROR {type(e).__name__}")
+            bad += 1
+            continue
+        a = audit_plan(plan)
+        flag = ""
+        if a["cartesian"] or a["python_rowwise"]:
+            flag = "  <-- ANTI-PATTERN"
+            bad += 1
+        print(
+            f"{name:42s} {a['cartesian']:4d} {a['bnlj']:4d} "
+            f"{a['python_rowwise']:5d} {a['python_arrow']:7d} "
+            f"{a['exchanges']:4d} {a['codegen_spans']:7d} "
+            f"{a['pushed_scans']:6d}{flag}"
+        )
+    spark.stop()
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
