@@ -82,6 +82,10 @@ class Commit:
     mode: str  # "overwrite" | "append" | "merge"
     timestamp_ms: int
     has_changes_dir: bool = False
+    #: shallow-clone pointer: when set, this commit's data files live
+    #: in another table's version directory (absolute path). The clone
+    #: never owns them — vacuum/compact only touch LOCAL version dirs.
+    data_dir: str | None = None
 
     def to_json(self) -> dict:
         return {
@@ -89,6 +93,7 @@ class Commit:
             "mode": self.mode,
             "timestamp_ms": self.timestamp_ms,
             "has_changes_dir": self.has_changes_dir,
+            "data_dir": self.data_dir,
         }
 
 
@@ -225,6 +230,11 @@ class VersionedTable:
 
     def _changes_dir(self, version: int) -> str:
         return os.path.join(self.path, f"v{version:05d}.changes")
+
+    def _commit_data_dir(self, c: Commit) -> str:
+        """Where this commit's data files actually live: the local
+        version dir, or (shallow clone) the source table's dir."""
+        return c.data_dir or self._version_dir(c.version)
 
     # -- writes ---------------------------------------------------------------
 
@@ -452,13 +462,13 @@ class VersionedTable:
         """
         as_of = self.latest_version() if version is None else version
         live = self._live_versions(as_of)
-        vacuumed = [c.version for c in live if not os.path.exists(self._version_dir(c.version))]
+        vacuumed = [c.version for c in live if not os.path.exists(self._commit_data_dir(c))]
         if vacuumed:
             raise NoSuchVersionError(
                 f"{self.path}: snapshot {as_of} needs vacuumed version(s) {vacuumed}"
             )
         dfs = [
-            self.spark.read.parquet(self._version_dir(c.version)) for c in live
+            self.spark.read.parquet(self._commit_data_dir(c)) for c in live
         ]
         # allowMissingColumns: after a mergeSchema append, pre-evolution
         # versions surface NULLs for the added columns (Delta read
@@ -544,14 +554,16 @@ class VersionedTable:
         live = self._live_versions(as_of)
         dfs = []
         for c in live:
-            vdir = self._version_dir(c.version)
+            vdir = self._commit_data_dir(c)
             stats = {}
-            if os.path.exists(self._stats_path(c.version)):
-                with open(self._stats_path(c.version)) as f:
+            stats_path = os.path.join(vdir, "_file_stats.json")
+            if os.path.exists(stats_path):
+                with open(stats_path) as f:
                     stats = json.load(f)
             blooms = {}
-            if equals and os.path.exists(self._bloom_path(c.version)):
-                with open(self._bloom_path(c.version)) as f:
+            bloom_path = os.path.join(vdir, "_bloom_index.json")
+            if equals and os.path.exists(bloom_path):
+                with open(bloom_path) as f:
                     blooms = json.load(f)
             import glob as _glob
 
@@ -660,6 +672,48 @@ class VersionedTable:
         restored state with no special casing."""
         return self.write(self.read(version), mode="overwrite")
 
+    def clone(self, dest_path: str, version: int | None = None) -> "VersionedTable":
+        """Zero-copy shallow clone (Delta ``CREATE TABLE ... SHALLOW
+        CLONE`` parity): create a NEW ledger at ``dest_path`` whose
+        commits POINT at this table's data files for the snapshot at
+        ``version`` — no data is copied, the clone is O(metadata).
+
+        Semantics:
+
+        - the clone's history is the source's live commits at the
+          cloned version (base recorded as ``overwrite`` + the live
+          appends), keeping their version numbers, so time travel
+          inside the cloned range works;
+        - subsequent writes land in the clone's OWN directory and
+          never touch the source;
+        - ``vacuum`` on either side is safe: each table only ever
+          deletes its LOCAL version dirs (pointer commits aren't
+          local), matching Delta's rule that a shallow clone's vacuum
+          does not reclaim source files — and a source vacuum CAN
+          break clones pointing at the removed versions, exactly as
+          in Delta (readers get NoSuchVersionError, not silent loss);
+        - merge-commit change files are not cloned: the clone's CDC
+          feed re-derives the base as delete+insert (overwrite
+          semantics), which is the correct net effect of a snapshot.
+        """
+        as_of = self.latest_version() if version is None else version
+        live = self._live_versions(as_of)
+        os.makedirs(dest_path, exist_ok=True)
+        dest = VersionedTable(self.spark, dest_path, self.write_partitions)
+        cloned = []
+        for i, c in enumerate(live):
+            cloned.append(
+                Commit(
+                    version=c.version,
+                    mode="overwrite" if i == 0 else "append",
+                    timestamp_ms=c.timestamp_ms,
+                    has_changes_dir=False,
+                    data_dir=os.path.abspath(self._commit_data_dir(c)),
+                )
+            )
+        dest._write_ledger(cloned)
+        return dest
+
     def _tags_path(self) -> str:
         return os.path.join(self.path, "_tags.json")
 
@@ -716,7 +770,7 @@ class VersionedTable:
                     )
                 )
                 continue
-            rows = self.spark.read.parquet(self._version_dir(v))
+            rows = self.spark.read.parquet(self._commit_data_dir(commit))
             if commit.mode == "overwrite" and v > 0:
                 prev = self.read(version=v - 1)
                 parts.append(

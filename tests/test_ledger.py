@@ -691,3 +691,56 @@ def test_tags_name_versions_and_survive_restore(spark, tmp_table_dir):
     # restore does not disturb tag resolution
     t.restore(0)
     assert t.read_tag("v2024").count() == 2
+
+
+class TestShallowClone:
+    def test_clone_reads_equal_and_is_zero_copy(self, spark, tmp_path):
+        from data_seedling_spark.operators.ledger import VersionedTable
+
+        src = VersionedTable(spark, str(tmp_path / "src"), write_partitions=1)
+        src.write(spark.range(5).withColumnRenamed("id", "k"), mode="overwrite")
+        src.write(
+            spark.range(5, 8).withColumnRenamed("id", "k"), mode="append"
+        )
+        dest = src.clone(str(tmp_path / "cl"))
+        assert sorted(r["k"] for r in dest.read().collect()) == list(range(8))
+        # zero-copy: no parquet data landed under the clone
+        import glob
+
+        assert not glob.glob(str(tmp_path / "cl" / "v*" / "*.parquet"))
+        # time travel inside the cloned range works
+        assert sorted(r["k"] for r in dest.read(version=0).collect()) == list(
+            range(5)
+        )
+
+    def test_clone_diverges_without_touching_source(self, spark, tmp_path):
+        from data_seedling_spark.operators.ledger import VersionedTable
+
+        src = VersionedTable(spark, str(tmp_path / "src"), write_partitions=1)
+        src.write(spark.range(4).withColumnRenamed("id", "k"), mode="overwrite")
+        dest = src.clone(str(tmp_path / "cl"))
+        dest.write(
+            spark.range(100, 102).withColumnRenamed("id", "k"), mode="append"
+        )
+        assert sorted(r["k"] for r in dest.read().collect()) == [
+            0, 1, 2, 3, 100, 101,
+        ]
+        # source unchanged, and source vacuum of ITS files is the only
+        # thing that can break the clone (Delta parity)
+        assert sorted(r["k"] for r in src.read().collect()) == [0, 1, 2, 3]
+        # clone vacuum never deletes the source's files
+        removed = dest.vacuum(retain_last_versions=1)
+        assert sorted(r["k"] for r in src.read().collect()) == [0, 1, 2, 3]
+        assert removed == []
+
+    def test_clone_cdc_rederives_base_as_overwrite(self, spark, tmp_path):
+        from data_seedling_spark.operators.ledger import VersionedTable
+        from data_seedling_spark.operators.merge import CHANGE_TYPE
+
+        src = VersionedTable(spark, str(tmp_path / "src"), write_partitions=1)
+        src.write(spark.range(3).withColumnRenamed("id", "k"), mode="overwrite")
+        dest = src.clone(str(tmp_path / "cl"))
+        chg = dest.read_changes(0, dest.latest_version())
+        types = {r[CHANGE_TYPE] for r in chg.collect()}
+        assert types == {"insert"}
+        assert chg.count() == 3

@@ -163,7 +163,11 @@ def test_stateful_engine_injection_inits_once_per_worker(spark, tmp_path):
 
         return engine
 
-    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").repartition(8)
+    # 64 partitions: the worker POOL can hold more idle workers than this
+    # job's concurrency (earlier suite tests grow it, and Spark rotates
+    # the pool FIFO), so "reuse happened" is only guaranteed once task
+    # count safely exceeds any plausible pool size.
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").repartition(64)
     injected = anonymise_columns(
         docs, ["text"], anonymiser=per_worker("fake-heavy", build_engine)
     ).select("doc_id", "text")
