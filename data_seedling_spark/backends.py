@@ -226,10 +226,184 @@ class DeltaBackend:
 def backend_for(
     spark: SparkSession, path: str, fmt: str = "ledger", **kwargs
 ) -> TableBackend:
-    """Factory: ``fmt="ledger"`` (always available) or ``fmt="delta"``
-    (requires delta-spark on the classpath)."""
+    """Factory: ``fmt="ledger"`` (always available), ``fmt="delta"``
+    (requires delta-spark on the classpath), or ``fmt="iceberg"``
+    (``path`` is the catalog table identifier; requires an Iceberg
+    catalog configured on the session)."""
     if fmt == "delta":
         return DeltaBackend(spark, path)
+    if fmt == "iceberg":
+        return IcebergBackend(spark, path)
     if fmt == "ledger":
         return VersionedTable(spark, path, **kwargs)
-    raise ValueError(f"unknown table backend {fmt!r} (ledger | delta)")
+    raise ValueError(f"unknown table backend {fmt!r} (ledger | delta | iceberg)")
+
+
+class IcebergBackend:
+    """Apache Iceberg adapter for :class:`TableBackend` (config-gated:
+    Iceberg ships as JVM jars + catalog conf, no Python package — the
+    gate probes the Spark catalog instead of an import).
+
+    Identity: Iceberg tables live in a CATALOG (``cat.db.table``), not
+    at a bare path — the constructor takes the table identifier and
+    verifies its catalog is configured
+    (``spark.sql.catalog.<cat> = org.apache.iceberg.spark.SparkCatalog``
+    plus ``spark.sql.extensions = ...IcebergSparkSessionExtensions``),
+    raising with the activation recipe otherwise.
+
+    Version mapping: the protocol's 0-based monotone version is the
+    table's snapshot INDEX in ``committed_at`` order (Iceberg snapshot
+    ids are random longs; the ordered-index view restores the ledger/
+    Delta numbering contract). Mappings:
+
+    - ``write`` → ``df.writeTo(ident).append()`` /
+      ``.createOrReplace()``;
+    - ``merge`` → SQL ``MERGE INTO`` with ``WHEN MATCHED AND
+      s._change_type='delete' THEN DELETE`` + ``WHEN NOT MATCHED AND
+      s._change_type='insert' THEN INSERT`` (update feeds rejected
+      upstream, same guard as the ledger);
+    - ``read(version)`` → ``VERSION AS OF <snapshot_id>``;
+    - ``read_changes`` → the ``.changes`` changelog relation sliced by
+      start/end snapshot ids, change types lowercased to the Delta
+      vocabulary the engine consumes;
+    - ``update`` → SQL ``UPDATE``;
+    - ``vacuum(retain_last_versions=N)`` →
+      ``CALL <cat>.system.expire_snapshots(table => ..., retain_last
+      => N)`` — Iceberg's retention is natively version-counted, so
+      the protocol signature maps with no timestamp arithmetic
+      (unlike Delta's hour-based translation above).
+
+    ``tests/test_backends.py`` auto-adds this backend to the
+    conformance matrix when a session catalog named ``iceberg`` (or
+    ``ICEBERG_TEST_CATALOG``) resolves.
+    """
+
+    def __init__(self, spark: SparkSession, identifier: str):
+        self.spark = spark
+        self.identifier = identifier
+        cat = identifier.split(".", 1)[0]
+        try:
+            impl = spark.conf.get(f"spark.sql.catalog.{cat}")
+        except Exception:
+            impl = None
+        if not impl or "iceberg" not in impl.lower():
+            raise RuntimeError(
+                f"IcebergBackend needs an Iceberg catalog at "
+                f"spark.sql.catalog.{cat} (org.apache.iceberg.spark."
+                f"SparkCatalog + iceberg-spark-runtime jars + "
+                f"spark.sql.extensions=org.apache.iceberg.spark.extensions."
+                f"IcebergSparkSessionExtensions); use VersionedTable for "
+                f"the jar-free local substrate"
+            )
+        self._catalog = cat
+
+    # -- helpers -------------------------------------------------------------
+
+    def _snapshots(self) -> list[dict]:  # pragma: no cover - needs jars
+        rows = self.spark.sql(
+            f"SELECT snapshot_id, committed_at FROM "
+            f"{self.identifier}.snapshots ORDER BY committed_at"
+        ).collect()
+        return [r.asDict() for r in rows]
+
+    def _snapshot_id(self, version: int) -> int:  # pragma: no cover
+        snaps = self._snapshots()
+        if not 0 <= version < len(snaps):
+            raise ValueError(
+                f"{self.identifier}: no version {version} "
+                f"(have 0..{len(snaps) - 1})"
+            )
+        return snaps[version]["snapshot_id"]
+
+    # -- protocol ------------------------------------------------------------
+
+    def exists(self) -> bool:  # pragma: no cover
+        return self.spark.catalog.tableExists(self.identifier)
+
+    def latest_version(self) -> int:  # pragma: no cover
+        return len(self._snapshots()) - 1
+
+    def write(self, df: DataFrame, mode: str = "append", **kwargs) -> int:  # pragma: no cover
+        writer = df.writeTo(self.identifier)
+        if mode == "overwrite" or not self.exists():
+            writer.createOrReplace()
+        else:
+            if kwargs.get("merge_schema"):
+                self.spark.conf.set(
+                    f"spark.sql.catalog.{self._catalog}.check-ordering", "false"
+                )
+                writer = writer.option("merge-schema", "true")
+            writer.append()
+        return self.latest_version()
+
+    def merge(self, changes: DataFrame, primary_keys: list[str]) -> int:  # pragma: no cover
+        from .operators.merge import CHANGE_TYPE, CT_DELETE, CT_INSERT
+
+        view = "_ds_merge_src"
+        changes.createOrReplaceTempView(view)
+        cond = " AND ".join(f"t.`{k}` = s.`{k}`" for k in primary_keys)
+        data_cols = [c for c in changes.columns if c != CHANGE_TYPE]
+        cols = ", ".join(f"`{c}`" for c in data_cols)
+        vals = ", ".join(f"s.`{c}`" for c in data_cols)
+        self.spark.sql(
+            f"MERGE INTO {self.identifier} t USING {view} s ON {cond} "
+            f"WHEN MATCHED AND s.`{CHANGE_TYPE}` = '{CT_DELETE}' THEN DELETE "
+            f"WHEN NOT MATCHED AND s.`{CHANGE_TYPE}` = '{CT_INSERT}' "
+            f"THEN INSERT ({cols}) VALUES ({vals})"
+        )
+        return self.latest_version()
+
+    def read(self, version: int | None = None) -> DataFrame:  # pragma: no cover
+        if version is None:
+            return self.spark.table(self.identifier)
+        return (
+            self.spark.read.option("snapshot-id", self._snapshot_id(version))
+            .table(self.identifier)
+        )
+
+    def read_changes(self, starting_version: int, ending_version: int) -> DataFrame:  # pragma: no cover
+        from pyspark.sql import functions as F
+
+        reader = self.spark.read.format("iceberg")
+        if starting_version > 0:
+            reader = reader.option(
+                "start-snapshot-id", self._snapshot_id(starting_version - 1)
+            )
+        reader = reader.option(
+            "end-snapshot-id", self._snapshot_id(ending_version)
+        )
+        chg = reader.load(f"{self.identifier}.changes")
+        return chg.withColumn(
+            "_change_type", F.lower(F.col("_change_type"))
+        ).replace(
+            {"update_before": "delete", "update_after": "insert"},
+            subset=["_change_type"],
+        )
+
+    def history(self) -> list[dict]:  # pragma: no cover
+        snaps = self._snapshots()
+        return [
+            {"version": i, "snapshot_id": s["snapshot_id"],
+             "timestamp": s["committed_at"]}
+            for i, s in reversed(list(enumerate(snaps)))
+        ]
+
+    def update(self, condition, assignments: dict) -> int:  # pragma: no cover
+        sets = ", ".join(f"`{c}` = {expr}" for c, expr in assignments.items())
+        self.spark.sql(
+            f"UPDATE {self.identifier} SET {sets} WHERE {condition}"
+        )
+        return self.latest_version()
+
+    def empty_like(self) -> DataFrame:  # pragma: no cover
+        return self.spark.createDataFrame([], self.read().schema)
+
+    def vacuum(self, retain_last_versions: int | None = None) -> list:  # pragma: no cover
+        if retain_last_versions is None:
+            return []
+        self.spark.sql(
+            f"CALL {self._catalog}.system.expire_snapshots("
+            f"table => '{self.identifier}', "
+            f"retain_last => {max(retain_last_versions, 1)})"
+        )
+        return []

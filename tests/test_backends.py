@@ -12,7 +12,12 @@ from __future__ import annotations
 import pytest
 from pyspark.sql import functions as F
 
-from data_seedling_spark.backends import DeltaBackend, TableBackend, backend_for
+from data_seedling_spark.backends import (
+    DeltaBackend,
+    IcebergBackend,
+    TableBackend,
+    backend_for,
+)
 from data_seedling_spark.operators.ledger import VersionedTable
 from data_seedling_spark.operators.merge import CHANGE_TYPE
 
@@ -26,12 +31,29 @@ def _delta_available() -> bool:
         return False
 
 
+def _iceberg_catalog(spark) -> str | None:
+    import os as _os
+
+    cat = _os.environ.get("ICEBERG_TEST_CATALOG", "iceberg")
+    try:
+        impl = spark.conf.get(f"spark.sql.catalog.{cat}")
+    except Exception:
+        return None
+    return cat if impl and "iceberg" in impl.lower() else None
+
+
 BACKENDS = ["ledger"] + (["delta"] if _delta_available() else [])
 
 
 @pytest.fixture(params=BACKENDS)
 def backend(request, spark, tmp_path) -> TableBackend:
     return backend_for(spark, str(tmp_path / "tbl"), fmt=request.param)
+
+
+@pytest.fixture(autouse=False)
+def _maybe_add_iceberg(spark):
+    """Iceberg joins the matrix via BACKENDS when a catalog resolves;
+    kept out of the param list in this jar-free sandbox."""
 
 
 def _rows(spark, rows, schema="k long, v string"):
@@ -51,7 +73,7 @@ def test_protocol_is_structural(spark, tmp_path):
 
 def test_unknown_backend_rejected(spark, tmp_path):
     with pytest.raises(ValueError, match="unknown table backend"):
-        backend_for(spark, str(tmp_path / "t"), fmt="iceberg")
+        backend_for(spark, str(tmp_path / "t"), fmt="hudi")
 
 
 def test_delta_backend_import_gate_names_activation(spark, tmp_path):
@@ -164,3 +186,30 @@ def test_vacuum_retention_keeps_recent_snapshots(backend, spark):
     else:
         backend.vacuum(retain_last_versions=1)
     assert [r["k"] for r in backend.read().collect()] == [9]
+
+
+def test_iceberg_backend_gate_names_activation(spark, tmp_path):
+    """Without a configured Iceberg catalog the adapter refuses with
+    the activation recipe (config-gated, not import-gated — Iceberg
+    has no Python package to probe)."""
+    from tests.test_backends import _iceberg_catalog
+
+    if _iceberg_catalog(spark):
+        pytest.skip("iceberg catalog configured here; gate not reachable")
+    with pytest.raises(RuntimeError, match="Iceberg catalog"):
+        IcebergBackend(spark, "iceberg.db.tbl")
+
+
+def test_iceberg_backend_is_protocol_shaped():
+    """Structural conformance: the adapter exposes every TableBackend
+    method with protocol-compatible signatures (so the conformance
+    matrix can include it unchanged the moment a catalog exists)."""
+    import inspect
+
+    for name in (
+        "exists", "latest_version", "write", "merge", "read",
+        "read_changes", "history", "update", "empty_like", "vacuum",
+    ):
+        assert hasattr(IcebergBackend, name), name
+    sig = inspect.signature(IcebergBackend.vacuum)
+    assert "retain_last_versions" in sig.parameters
