@@ -1312,3 +1312,105 @@ def incremental_neardup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         return verified.where(F.col("jaccard") >= 0.8)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+
+
+@query(
+    "streaming_classify_documents",
+    oracle="""
+    WITH tk AS (
+      SELECT doc_id, lang, tok FROM (
+        SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+        FROM documents
+      ) WHERE tok <> ''
+    ), ctk AS (
+      SELECT lang, tok, COUNT(*) AS c FROM tk GROUP BY 1, 2
+    ), ct AS (
+      SELECT lang, COUNT(*) AS tot FROM tk GROUP BY 1
+    ), v AS (
+      SELECT COUNT(DISTINCT tok) AS v FROM tk
+    ), nd AS (
+      SELECT COUNT(*) AS n FROM documents
+    ), pri AS (
+      SELECT lang,
+             CAST(round(ln(COUNT(*)::DOUBLE / (SELECT n FROM nd)), 6)
+                  AS DECIMAL(18,6)) AS log_prior
+      FROM documents GROUP BY lang
+    ), cond AS (
+      SELECT ctk.lang, ctk.tok,
+             CAST(round(ln((ctk.c + 1.0) / (ct.tot + 1.0 * v.v)), 6)
+                  AS DECIMAL(18,6)) AS log_cond
+      FROM ctk JOIN ct USING (lang) CROSS JOIN v
+    ), unseen AS (
+      SELECT ct.lang,
+             CAST(round(ln(1.0 / (ct.tot + 1.0 * v.v)), 6)
+                  AS DECIMAL(18,6)) AS log_unseen
+      FROM ct CROSS JOIN v
+    ), dt AS (
+      SELECT doc_id, tok, COUNT(*) AS c FROM tk GROUP BY 1, 2
+    ), scored AS (
+      SELECT dt.doc_id, u.lang,
+             CAST(SUM(CAST(dt.c * coalesce(cond.log_cond, u.log_unseen)
+                           AS DECIMAL(28,6))) + p.log_prior
+                  AS DECIMAL(28,6)) AS s
+      FROM dt
+      CROSS JOIN unseen u
+      LEFT JOIN cond ON cond.lang = u.lang AND cond.tok = dt.tok
+      JOIN pri p ON p.lang = u.lang
+      GROUP BY dt.doc_id, u.lang, p.log_prior
+    ), top AS (
+      SELECT doc_id, MAX(s) AS s FROM scored GROUP BY doc_id
+    )
+    SELECT scored.doc_id, MIN(scored.lang) AS predicted,
+           CAST(scored.s AS DOUBLE) AS score
+    FROM scored JOIN top ON scored.doc_id = top.doc_id AND scored.s = top.s
+    GROUP BY scored.doc_id, scored.s
+    """,
+    tags=("streaming-e2e", "classifier", "model-serving"),
+)
+def streaming_classify_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming model serving: train the multinomial NB classifier
+    ONCE in batch over the static corpus, then score a document STREAM
+    against the broadcast model micro-batch by micro-batch
+    (foreachBatch → versioned sink, availableNow) — the train-batch /
+    serve-stream split every production classifier deployment runs.
+    Result is bit-identical to the batch ``naive_bayes_language_
+    classify`` (same oracle), which is the point: one scoring
+    definition serves both execution modes. Per-batch work is
+    token-explode + broadcast-model join + grouped decimal sums — no
+    streaming state beyond the file-source checkpoint."""
+    from .operators.nbayes import nb_score, nb_train
+    from .streaming.windows import read_events_stream
+
+    static_docs = load_table(spark, sf_dir, "documents")
+    cond, priors = nb_train(static_docs, "text", "lang", alpha=1.0)
+    # Materialize the tiny model once so every micro-batch joins
+    # against computed frames, not a re-derivation of the corpus scan.
+    cond = cond.cache()
+    priors = priors.cache()
+
+    base = tempfile.mkdtemp(prefix="stream_nb_")
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    stream = read_events_stream(
+        spark, sf_dir, schema, ts_col="_none", glob="documents.parquet"
+    )
+    target = VersionedTable(spark, f"{base}/scored", write_partitions=4)
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+
+        def score_batch(batch_df, batch_id: int) -> None:
+            scored = nb_score(batch_df, "text", "doc_id", cond, priors, "lang")
+            target.write(scored, mode="append")
+
+        q = (
+            stream.writeStream.foreachBatch(score_batch)
+            .option("checkpointLocation", f"{base}/ck")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        return target.read()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+        cond.unpersist()
+        priors.unpersist()
