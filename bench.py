@@ -99,6 +99,17 @@ HEADLINE = [
     "acf_daily_revenue",
     "variant_shred_props",
     "matryoshka_truncation_audit",
+    "calibration_bins_logreg",
+    "zorder_region_stats",
+    "correlation_matrix_lineitem",
+    "rfm_customer_segments",
+    "bellman_ford_cheapest_route",
+    "association_rules_copurchase",
+    "ab_test_conversion_ztest",
+    "info_gain_token_features",
+    "woe_iv_price_deciles",
+    "join_key_skew_report",
+    "weighted_median_price_by_flag",
 ]
 
 
