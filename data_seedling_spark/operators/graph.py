@@ -273,3 +273,51 @@ def bellman_ford(
         dist = relaxed
     sym.unpersist()
     return dist
+
+
+def label_propagation_communities(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    rounds: int = 2,
+) -> DataFrame:
+    """Synchronous label-propagation community detection (Raghavan et
+    al. 2007), fixed round count for engine-independence: every node
+    starts as its own label and repeatedly adopts the most frequent
+    label among its neighbors (ties → smallest label — fully
+    deterministic, unlike the randomized original).
+
+    Per round: one edge⋈labels join + a (node, label) count + a
+    per-node argmax (rank window partitioned by node — bounded by
+    degree, never corpus-wide). Shuffle weight O(edges) per round,
+    state O(nodes); ``localCheckpoint`` keeps the iterative plan flat.
+    The community census downstream is a plain group-by.
+    """
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .persist()
+    )
+    labels = (
+        sym.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("node").orderBy(F.col("_c").desc(), F.col("label"))
+    for _ in range(rounds):
+        neigh = (
+            sym.join(labels, sym.b == labels.node)
+            .groupBy(F.col("a").alias("node"), "label")
+            .agg(F.count("*").alias("_c"))
+        )
+        labels = (
+            neigh.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .select("node", "label")
+            .localCheckpoint()
+        )
+    sym.unpersist()
+    return labels

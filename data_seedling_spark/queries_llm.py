@@ -5179,3 +5179,93 @@ def info_gain_token_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("info_gain"),
     )
+
+
+@query(
+    "heldout_perplexity_eval",
+    oracle="""
+    WITH tr AS (
+      SELECT tok FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+        WHERE doc_id % 5 <> 0
+      ) WHERE tok <> ''
+    ), lm AS (
+      SELECT tok, COUNT(*) AS c FROM tr GROUP BY tok
+    ), tot AS (
+      SELECT (SELECT COUNT(*) FROM tr) AS t,
+             (SELECT COUNT(DISTINCT tok) FROM tr) AS v
+    ), te AS (
+      SELECT doc_id, tok, COUNT(*) AS c FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+        WHERE doc_id % 5 = 0
+      ) WHERE tok <> '' GROUP BY doc_id, tok
+    ), scored AS (
+      SELECT te.doc_id,
+             CAST(SUM(te.c) AS BIGINT) AS n_tokens,
+             SUM(CAST(te.c * CAST(round(
+               -ln((coalesce(lm.c, 0) + 1.0) / (tot.t + tot.v)), 6)
+             AS DECIMAL(18,6)) AS DECIMAL(28,6))) AS nll
+      FROM te CROSS JOIN tot LEFT JOIN lm USING (tok)
+      GROUP BY te.doc_id
+    )
+    SELECT doc_id, n_tokens,
+           round(CAST(nll AS DOUBLE) / n_tokens, 6) AS avg_nll,
+           round(exp(round(CAST(nll AS DOUBLE) / n_tokens, 6)), 4) AS ppl
+    FROM scored
+    """,
+    tags=("lm-eval", "text-corpus"),
+)
+def heldout_perplexity_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out language-model evaluation: fit the Laplace-smoothed
+    unigram LM on the 80% train split (doc_id % 5 ≠ 0), score the 20%
+    held-out docs with per-token negative log-likelihood and
+    perplexity — the eval loop that decides whether a cheaper corpus
+    mix degraded the LM signal. Per-token NLLs are grid-rounded and
+    decimal-summed; OOV tokens hit the smoothing floor through the
+    same left-join/coalesce shape as the NB scorer. The LM is a
+    vocab-sized broadcast; shuffles are token- and doc-keyed only."""
+    documents = load_table(spark, sf_dir, "documents")
+    train = documents.where(F.col("doc_id") % 5 != 0)
+    test = documents.where(F.col("doc_id") % 5 == 0)
+    tr = train.select(
+        F.explode(F.split(F.col("text"), " ")).alias("tok")
+    ).where(F.col("tok") != "")
+    lm = tr.groupBy("tok").agg(F.count("*").alias("c"))
+    tot = tr.agg(
+        F.count("*").alias("t"), F.countDistinct("tok").alias("v")
+    )
+    te = (
+        test.select(
+            "doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok")
+        )
+        .where(F.col("tok") != "")
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("c"))
+    )
+    nll_term = F.round(
+        -F.log(
+            (F.coalesce(F.col("lm_c"), F.lit(0)) + F.lit(1.0))
+            / (F.col("t") + F.col("v"))
+        ),
+        6,
+    ).cast("decimal(18,6)")
+    scored = (
+        te.crossJoin(F.broadcast(tot))
+        .join(
+            F.broadcast(lm.select("tok", F.col("c").alias("lm_c"))),
+            "tok",
+            "left",
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.sum((F.col("c") * nll_term).cast("decimal(28,6)")).alias("nll"),
+        )
+    )
+    avg_nll = F.round(F.col("nll").cast("double") / F.col("n_tokens"), 6)
+    return scored.select(
+        "doc_id",
+        "n_tokens",
+        avg_nll.alias("avg_nll"),
+        F.round(F.exp(avg_nll), 4).alias("ppl"),
+    )

@@ -863,3 +863,84 @@ def association_rules_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
+
+
+def _lpa_oracle(rounds: int = 2) -> str:
+    """Unrolled synchronous-LPA oracle: per round, a neighbor-label
+    count CTE + a deterministic argmax CTE."""
+    parts = [
+        """WITH e1 AS (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ), e AS (
+      SELECT u AS a, v AS b FROM e1 UNION ALL SELECT v, u FROM e1
+    ), l0 AS (
+      SELECT DISTINCT a AS node, a AS label FROM e
+    )"""
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f""", c{r} AS (
+      SELECT e.a AS node, l.label, COUNT(*) AS c
+      FROM e JOIN l{r - 1} l ON l.node = e.b
+      GROUP BY e.a, l.label
+    ), l{r} AS (
+      SELECT node, label FROM (
+        SELECT node, label,
+               row_number() OVER (PARTITION BY node
+                                  ORDER BY c DESC, label) AS rn
+        FROM c{r}
+      ) WHERE rn = 1
+    )"""
+        )
+    parts.append(
+        f"""
+    SELECT label AS community, CAST(COUNT(*) AS BIGINT) AS n_members,
+           MIN(node) AS min_node, MAX(node) AS max_node
+    FROM l{rounds} GROUP BY label"""
+    )
+    return "".join(parts)
+
+
+@query(
+    "label_propagation_communities",
+    oracle=_lpa_oracle(2),
+    tags=("graph", "community-detection"),
+)
+def label_propagation_communities_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community census of the part co-purchase graph via 2-round
+    deterministic synchronous label propagation (Raghavan et al. 2007
+    with a (count DESC, label ASC) tie rule replacing the original's
+    coin flips): the cluster-discovery sibling of the connected-
+    components dedup step — CC merges anything touching, LPA splits
+    dense regions from incidental bridges. Whole trajectory
+    hash-checked against an unrolled per-round CTE oracle."""
+    from .operators.graph import label_propagation_communities
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .distinct()
+    )
+    # The per-round localCheckpoint materializes at the configured
+    # shuffle width and AQE coalescing does not survive the checkpoint
+    # — clamp width for the node-sized label frames (same pattern as
+    # the scd2/streaming pipeline queries).
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    try:
+        labels = label_propagation_communities(edges, src="u", dst="v", rounds=2)
+        return labels.groupBy(F.col("label").alias("community")).agg(
+            F.count("*").alias("n_members"),
+            F.min("node").alias("min_node"),
+            F.max("node").alias("max_node"),
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)

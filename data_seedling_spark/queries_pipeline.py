@@ -1414,3 +1414,65 @@ def streaming_classify_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.conf.set("spark.sql.shuffle.partitions", old_parts)
         cond.unpersist()
         priors.unpersist()
+
+
+@query(
+    "synthetic_customers_generate",
+    oracle="""
+    WITH g AS (
+      SELECT r.range AS id,
+             md5('syn_' || CAST(r.range AS VARCHAR)) AS h
+      FROM range(0, 1000) r
+    )
+    SELECT id,
+           'cust_' || substr(h, 1, 8) AS name,
+           CASE CAST(('0x' || substr(h, 9, 4)) AS BIGINT) % 5
+             WHEN 0 THEN 'AUTOMOBILE' WHEN 1 THEN 'BUILDING'
+             WHEN 2 THEN 'FURNITURE' WHEN 3 THEN 'HOUSEHOLD'
+             ELSE 'MACHINERY' END AS segment,
+           CAST(CAST(('0x' || substr(h, 13, 6)) AS BIGINT) % 25 AS INT)
+             AS nation_key,
+           round(CAST(('0x' || substr(h, 19, 8)) AS BIGINT)
+                 % 1000000 / 100.0, 2) AS acct_balance
+    FROM g
+    """,
+    tags=("synthetic-data", "generation"),
+)
+def synthetic_customers_generate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic synthetic-data generation (the privacy-safe test
+    fixture / augmentation path every training-data platform needs):
+    1000 synthetic customers derived entirely from md5 of a row index
+    — names, categorical segment draw, nation key, account balance —
+    so the corpus is reproducible across engines and runs with NO RNG
+    state. Generation is ``spark.range`` + JVM hash/substr exprs:
+    embarrassingly parallel, no input, no shuffle; any schema extends
+    by adding md5-slice columns."""
+    g = spark.range(0, 1000).select(
+        F.col("id"),
+        F.md5(F.concat(F.lit("syn_"), F.col("id").cast("string"))).alias("h"),
+    )
+    seg = F.element_at(
+        F.array(
+            F.lit("AUTOMOBILE"),
+            F.lit("BUILDING"),
+            F.lit("FURNITURE"),
+            F.lit("HOUSEHOLD"),
+            F.lit("MACHINERY"),
+        ),
+        (F.conv(F.substring("h", 9, 4), 16, 10).cast("long") % 5 + 1).cast(
+            "int"
+        ),
+    )
+    return g.select(
+        "id",
+        F.concat(F.lit("cust_"), F.substring("h", 1, 8)).alias("name"),
+        seg.alias("segment"),
+        (F.conv(F.substring("h", 13, 6), 16, 10).cast("long") % 25)
+        .cast("int")
+        .alias("nation_key"),
+        F.round(
+            (F.conv(F.substring("h", 19, 8), 16, 10).cast("long") % 1000000)
+            / 100.0,
+            2,
+        ).alias("acct_balance"),
+    )
