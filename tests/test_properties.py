@@ -564,3 +564,59 @@ def test_prefix_filter_exactness_property(spark, docs, num):
         .collect()
     }
     assert got == brute
+
+
+@given(
+    docs=st.lists(
+        st.tuples(
+            st.lists(
+                st.sampled_from(["red", "blue", "green", "ox", "cat"]),
+                min_size=1,
+                max_size=6,
+            ),
+            st.sampled_from(["A", "B"]),
+        ),
+        min_size=2,
+        max_size=10,
+    ).filter(lambda d: len({label for _, label in d}) == 2)
+)
+@slow
+def test_naive_bayes_matches_python_reference(spark, docs):
+    """nb_train/nb_score ≡ a from-scratch Python multinomial NB (on
+    the same 1e-6 log grid) for ANY small labeled corpus — priors,
+    smoothing, unseen floor, and the (score, label) argmax all agree."""
+    import math
+    from collections import Counter, defaultdict
+
+    from data_seedling_spark.operators.nbayes import nb_score, nb_train
+
+    rows = [(i, " ".join(words), lab) for i, (words, lab) in enumerate(docs)]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    cond, priors = nb_train(df, "text", "lang", alpha=1.0)
+    got = {
+        r["doc_id"]: (r["predicted"], r["score"])
+        for r in nb_score(df, "text", "doc_id", cond, priors, "lang").collect()
+    }
+
+    # reference
+    ctk = defaultdict(Counter)
+    nl = Counter()
+    for words, lab in docs:
+        nl[lab] += 1
+        ctk[lab].update(words)
+    vocab = {w for words, _ in docs for w in words}
+    n = len(docs)
+    labels = sorted(nl)
+    for i, (words, _) in enumerate(docs):
+        best = None
+        for lab in labels:
+            tot = sum(ctk[lab].values())
+            s = round(math.log(nl[lab] / n), 6)
+            for w, c in Counter(words).items():
+                p = (ctk[lab][w] + 1.0) / (tot + len(vocab))
+                s += c * round(math.log(p), 6)
+            s = round(s, 6)
+            if best is None or s > best[1] or (s == best[1] and lab < best[0]):
+                best = (lab, s)
+        assert got[i][0] == best[0], (i, got[i], best)
+        assert abs(got[i][1] - best[1]) < 1e-6, (i, got[i], best)
