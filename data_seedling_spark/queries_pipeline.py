@@ -1476,3 +1476,75 @@ def synthetic_customers_generate(spark: SparkSession, sf_dir: str) -> DataFrame:
             2,
         ).alias("acct_balance"),
     )
+
+
+@query(
+    "incremental_lm_maintenance",
+    oracle="""
+    WITH final AS (
+      SELECT * FROM (
+        SELECT doc_id, text FROM documents WHERE doc_id % 4 <> 3
+        UNION ALL
+        SELECT doc_id, text FROM documents WHERE doc_id % 4 = 3
+      ) s
+      WHERE NOT EXISTS (
+        SELECT 1 FROM documents d
+        WHERE d.doc_id % 8 = 1 AND d.doc_id = s.doc_id
+      )
+    )
+    SELECT tok, CAST(COUNT(*) AS BIGINT) AS mv_count
+    FROM (
+      SELECT unnest(string_split(text, ' ')) AS tok FROM final
+    ) WHERE tok <> '' GROUP BY tok
+    """,
+    tags=("ivm", "lm-maintenance", "S2", "ST1"),
+)
+def incremental_lm_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained LANGUAGE-MODEL counts: the corpus
+    unigram table (the LM numerator every quality/perplexity scorer
+    reads) kept current from document CDC without rescanning the
+    corpus — the IVM transform seam carries an EXPLODE this time
+    (Δ(explode(F)) = explode(ΔF): every token occurrence inherits its
+    document's change sign), proving the signed-delta algebra covers
+    generators, not just joins/projections. v0 creates the corpus
+    minus ≡3 (mod 4); a merge then deletes ≡1 (mod 8) and inserts
+    ≡3 (mod 4); one refresh folds each commit's increment."""
+    from .operators.matview import COUNT_COL, SOURCE_HI, MaterializedAggregate
+    from .operators.merge import CHANGE_TYPE, CT_DELETE, CT_INSERT
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    base = tempfile.mkdtemp(prefix="ivm_lm_")
+    source = VersionedTable(spark, f"{base}/src", write_partitions=4)
+    view = MaterializedAggregate(
+        spark,
+        VersionedTable(spark, f"{base}/lm", write_partitions=1),
+        group_keys=["tok"],
+        sum_measures={},
+    )
+
+    def explode_tokens(ch):
+        reserved = [c for c in ch.columns if c.startswith("_")]
+        return ch.select(
+            F.explode(F.split(F.col("text"), " ")).alias("tok"), *reserved
+        ).where(F.col("tok") != "")
+
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        key = F.col("doc_id")
+        source.write(docs.where(key % 4 != 3), mode="overwrite")
+        view.refresh(source, transform=explode_tokens)
+        feed = (
+            docs.where(key % 8 == 1)
+            .withColumn(CHANGE_TYPE, F.lit(CT_DELETE))
+            .unionByName(
+                docs.where(key % 4 == 3).withColumn(
+                    CHANGE_TYPE, F.lit(CT_INSERT)
+                )
+            )
+        )
+        source.merge(feed, primary_keys=["doc_id"])
+        view.refresh(source, transform=explode_tokens)
+        return view.table.read().select("tok", F.col(COUNT_COL))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
