@@ -3776,3 +3776,112 @@ def weighted_median_price_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame
         .alias("weighted_median"),
         F.max("tw").alias("total_weight"),
     )
+
+
+@query(
+    "user_behavior_features",
+    oracle="""
+    WITH span AS (SELECT MAX(ts) AS mx FROM events)
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(*) FILTER (WHERE event_type = 'purchase') AS BIGINT)
+             AS n_purchases,
+           CAST(COUNT(*) FILTER (WHERE event_type = 'error') AS BIGINT)
+             AS n_errors,
+           round(COUNT(*) FILTER (WHERE event_type = 'error')
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS error_rate,
+           CAST(SUM(CAST(ROUND(value, 2) AS DECIMAL(18,2)))
+                AS DOUBLE) AS total_value,
+           CAST(date_diff('second', MAX(ts), MAX(mx)) AS BIGINT)
+             AS recency_seconds,
+           CAST(date_diff('second', MIN(ts), MAX(ts)) AS BIGINT)
+             AS tenure_seconds
+    FROM events CROSS JOIN span
+    GROUP BY user_id
+    """,
+    tags=("feature-engineering", "feature-store"),
+)
+def user_behavior_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user behavioral feature vector — the churn/LTV feature-
+    store table (activity volume, purchase and error counts, error
+    rate, exact-decimal spend, recency against the corpus horizon,
+    tenure): ONE grouped pass over the event log plus a broadcast
+    1-row horizon, the wide-aggregate shape a daily feature-refresh
+    job runs before handing rows to ``io.write_jdbc`` (the serving
+    store the jdbc_feature_store_roundtrip query exercises)."""
+    events = load_table(spark, sf_dir, "events")
+    span = events.agg(F.max("ts").alias("mx"))
+    e = F.col("event_type")
+    return (
+        events.crossJoin(F.broadcast(span))
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum((e == "purchase").cast("long")).alias("n_purchases"),
+            F.sum((e == "error").cast("long")).alias("n_errors"),
+            F.round(
+                F.sum((e == "error").cast("long"))
+                / F.count("*").cast("double"),
+                6,
+            ).alias("error_rate"),
+            F.sum(F.round(F.col("value"), 2).cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_value"),
+            (
+                F.unix_timestamp(F.max("mx")) - F.unix_timestamp(F.max("ts"))
+            ).alias("recency_seconds"),
+            (
+                F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts"))
+            ).alias("tenure_seconds"),
+        )
+    )
+
+
+@query(
+    "top_event_paths",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type, ts, event_id,
+             lead(event_type) OVER w AS e2,
+             lead(event_type, 2) OVER w AS e3
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), paths AS (
+      SELECT event_type || ' > ' || e2 || ' > ' || e3 AS path
+      FROM seq WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+    )
+    SELECT path, CAST(COUNT(*) AS BIGINT) AS n_occurrences, rank FROM (
+      SELECT path, COUNT(*) AS cnt,
+             row_number() OVER (ORDER BY COUNT(*) DESC, path) AS rank
+      FROM paths GROUP BY path
+    ) t JOIN paths USING (path)
+    GROUP BY path, rank HAVING rank <= 10
+    """,
+    tags=("sessionization", "sequence-mining"),
+)
+def top_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral path mining: the 10 most frequent 3-step event-type
+    sequences across user timelines (the \"what do users actually do\"
+    clickstream question). Per-user lead() windows build the trigram
+    paths (partitioned by user — bounded partitions, no global sort);
+    the census is one grouped count + a top-10 rank over the PATH
+    cardinality (≤ |event_types|³ rows). Tie-broken by path text for
+    a hash-exact leaderboard."""
+    from pyspark.sql import Window as W
+
+    events = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = events.select(
+        "event_type",
+        F.lead("event_type").over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    ).where(F.col("e2").isNotNull() & F.col("e3").isNotNull())
+    paths = seq.select(
+        F.concat_ws(" > ", "event_type", "e2", "e3").alias("path")
+    )
+    counts = paths.groupBy("path").agg(F.count("*").alias("n_occurrences"))
+    wr = W.partitionBy().orderBy(F.col("n_occurrences").desc(), "path")
+    return (
+        counts.withColumn("rank", F.row_number().over(wr))
+        .where(F.col("rank") <= 10)
+    )

@@ -5269,3 +5269,130 @@ def heldout_perplexity_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         avg_nll.alias("avg_nll"),
         F.round(F.exp(avg_nll), 4).alias("ppl"),
     )
+
+
+def _hash_embed_oracle(dim: int = 8) -> str:
+    """Generated hash-embedding oracle: md5-derived token vectors on
+    the exact 1e-3 grid, tf·idf decimal weights, exact component sums."""
+    comps = ",\n             ".join(
+        f"(CAST(('0x' || substr(md5('he_{j}_' || tok), 1, 12)) AS BIGINT) "
+        f"% 2001 - 1000) / 1000.0 AS v{j}"
+        for j in range(dim)
+    )
+    sums = ",\n           ".join(
+        f"round(CAST(SUM(CAST(w * v{j} AS DECIMAL(38,9))) AS DOUBLE) "
+        f"/ CAST(tw AS DOUBLE), 6) AS e{j}"
+        for j in range(dim)
+    )
+    return f"""
+    WITH dt AS (
+      SELECT doc_id, tok, COUNT(*) AS c FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+      ) WHERE tok <> '' GROUP BY doc_id, tok
+    ), dfreq AS (
+      SELECT tok, COUNT(*) AS df FROM dt GROUP BY tok
+    ), nn AS (SELECT COUNT(*) AS n FROM documents),
+    tv AS (
+      SELECT tok,
+             {comps}
+      FROM dfreq
+    ), weighted AS (
+      SELECT dt.doc_id, dt.tok,
+             CAST(dt.c * CAST(round(ln(CAST(nn.n AS DOUBLE) / dfreq.df) + 1.0,
+                                    6) AS DECIMAL(18,6))
+                  AS DECIMAL(28,6)) AS w
+      FROM dt JOIN dfreq USING (tok) CROSS JOIN nn
+    ), tot AS (
+      SELECT doc_id, SUM(w) AS tw FROM weighted GROUP BY doc_id
+    )
+    SELECT w.doc_id,
+           {sums}
+    FROM weighted w JOIN tv USING (tok) JOIN tot USING (doc_id)
+    GROUP BY w.doc_id, tot.tw
+    """
+
+
+@query(
+    "hash_embed_documents",
+    oracle=_hash_embed_oracle(8),
+    tags=("embeddings", "feature-engineering", "random-indexing"),
+)
+def hash_embed_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-free document embeddings by random indexing / hash
+    embeddings (Kanerva 2000; Svenstrup 2017): every vocabulary token
+    gets a deterministic md5-derived vector on the exact 1e-3 grid,
+    and a document embeds as its tf·(idf+1)-weighted token-vector
+    mean — the zero-model fallback embedder (cold-start similarity,
+    drift monitoring, blocking keys) that needs no GPU and reproduces
+    bit-for-bit on any engine. Token vectors are computed once per
+    VOCABULARY row and broadcast; per-doc sums are exact decimals;
+    the only corpus-sized shuffles are token-keyed."""
+    dim = 8
+    documents = load_table(spark, sf_dir, "documents")
+    dt = (
+        documents.select(
+            "doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok")
+        )
+        .where(F.col("tok") != "")
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("c"))
+    )
+    dfreq = dt.groupBy("tok").agg(F.count("*").alias("df"))
+    nn = documents.agg(F.count("*").alias("n"))
+    tv = dfreq.select(
+        "tok",
+        *[
+            (
+                (
+                    F.conv(
+                        F.substring(
+                            F.md5(F.concat(F.lit(f"he_{j}_"), F.col("tok"))),
+                            1,
+                            12,
+                        ),
+                        16,
+                        10,
+                    ).cast("long")
+                    % 2001
+                    - 1000
+                )
+                / 1000.0
+            ).alias(f"v{j}")
+            for j in range(dim)
+        ],
+    )
+    w = (
+        dt.join(F.broadcast(dfreq), "tok")
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "doc_id",
+            "tok",
+            (
+                F.col("c")
+                * F.round(
+                    F.log(F.col("n").cast("double") / F.col("df")) + 1.0, 6
+                ).cast("decimal(18,6)")
+            )
+            .cast("decimal(28,6)")
+            .alias("w"),
+        )
+    )
+    tot = w.groupBy("doc_id").agg(F.sum("w").alias("tw"))
+    return (
+        w.join(F.broadcast(tv), "tok")
+        .join(tot, "doc_id")
+        .groupBy("doc_id", "tw")
+        .agg(
+            *[
+                F.round(
+                    F.sum(
+                        (F.col("w") * F.col(f"v{j}")).cast("decimal(38,9)")
+                    ).cast("double")
+                    / F.col("tw").cast("double"),
+                    6,
+                ).alias(f"e{j}")
+                for j in range(dim)
+            ]
+        )
+        .drop("tw")
+    )
