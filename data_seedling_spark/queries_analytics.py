@@ -3885,3 +3885,103 @@ def top_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         counts.withColumn("rank", F.row_number().over(wr))
         .where(F.col("rank") <= 10)
     )
+
+
+@query(
+    "markov_next_event_accuracy",
+    oracle="""
+    WITH span AS (
+      SELECT MIN(ts) AS mn, MAX(ts) AS mx FROM events
+    ), cut AS (
+      SELECT mn + to_seconds(CAST(floor(
+               0.8 * date_diff('second', mn, mx)) AS BIGINT)) AS cutoff
+      FROM span
+    ), pairs AS (
+      SELECT event_type AS cur,
+             lead(event_type) OVER w AS nxt,
+             lead(ts) OVER w AS nxt_ts
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), labeled AS (
+      SELECT cur, nxt,
+             CASE WHEN nxt_ts < (SELECT cutoff FROM cut)
+                  THEN 'train' ELSE 'eval' END AS split
+      FROM pairs WHERE nxt IS NOT NULL
+    ), model AS (
+      SELECT cur, nxt AS predicted FROM (
+        SELECT cur, nxt, COUNT(*) AS c,
+               row_number() OVER (PARTITION BY cur
+                                  ORDER BY COUNT(*) DESC, nxt) AS rn
+        FROM labeled WHERE split = 'train' GROUP BY cur, nxt
+      ) WHERE rn = 1
+    )
+    SELECT l.cur,
+           CAST(COUNT(*) AS BIGINT) AS n_eval,
+           CAST(SUM(CASE WHEN l.nxt = m.predicted THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_correct,
+           round(SUM(CASE WHEN l.nxt = m.predicted THEN 1 ELSE 0 END)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS accuracy
+    FROM labeled l JOIN model m USING (cur)
+    WHERE l.split = 'eval'
+    GROUP BY l.cur
+    """,
+    tags=("sequence-mining", "model-eval", "markov"),
+)
+def markov_next_event_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backtested next-event prediction: fit the first-order Markov
+    argmax predictor on the first 80% of the event timeline (time
+    split, not row split — no leakage across the cutoff) and measure
+    per-state accuracy on the held-out tail — the eval loop that
+    turns event_transition_probs from a descriptive into a predictive
+    artifact. Transition pairs come from per-user lead() windows; the
+    model is |types|² rows (broadcast); the cutoff derives from the
+    corpus span in exact integer seconds."""
+    from pyspark.sql import Window as W
+
+    events = load_table(spark, sf_dir, "events")
+    span = events.agg(F.min("ts").alias("mn"), F.max("ts").alias("mx"))
+    cut = span.select(
+        F.timestamp_seconds(
+            F.unix_timestamp("mn")
+            + F.floor(
+                0.8 * (F.unix_timestamp("mx") - F.unix_timestamp("mn"))
+            )
+        )
+        .cast("timestamp_ntz")
+        .alias("cutoff")
+    )
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = events.select(
+        F.col("event_type").alias("cur"),
+        F.lead("event_type").over(w).alias("nxt"),
+        F.lead("ts").over(w).alias("nxt_ts"),
+    ).where(F.col("nxt").isNotNull())
+    labeled = pairs.crossJoin(F.broadcast(cut)).select(
+        "cur",
+        "nxt",
+        F.when(F.col("nxt_ts") < F.col("cutoff"), F.lit("train"))
+        .otherwise(F.lit("eval"))
+        .alias("split"),
+    )
+    wm = W.partitionBy("cur").orderBy(F.col("c").desc(), "nxt")
+    model = (
+        labeled.where(F.col("split") == "train")
+        .groupBy("cur", "nxt")
+        .agg(F.count("*").alias("c"))
+        .withColumn("rn", F.row_number().over(wm))
+        .where(F.col("rn") == 1)
+        .select("cur", F.col("nxt").alias("predicted"))
+    )
+    ev = labeled.where(F.col("split") == "eval")
+    hit = (F.col("nxt") == F.col("predicted")).cast("long")
+    return (
+        ev.join(F.broadcast(model), "cur")
+        .groupBy("cur")
+        .agg(
+            F.count("*").alias("n_eval"),
+            F.sum(hit).alias("n_correct"),
+            F.round(F.sum(hit) / F.count("*").cast("double"), 6).alias(
+                "accuracy"
+            ),
+        )
+    )
