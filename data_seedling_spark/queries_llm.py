@@ -5396,3 +5396,86 @@ def hash_embed_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .drop("tw")
     )
+
+
+@query(
+    "curation_ensemble_gate",
+    oracle=f"""
+    WITH lr AS (
+      SELECT vec_id, predicted FROM ({_logreg_oracle(nf=4, lr=2.0, iters=5)}) t
+    ), txt AS (
+      SELECT doc_id,
+             len(list_filter(string_split(text, ' '), x -> x <> ''))
+               AS n_words,
+             len(list_distinct(list_filter(string_split(text, ' '),
+                                           x -> x <> ''))) AS n_distinct
+      FROM documents
+    )
+    SELECT d.doc_id,
+           CAST(lr.predicted AS INT) AS s_classifier,
+           CAST(txt.n_words >= 20 AS INT) AS s_length,
+           CAST(txt.n_distinct * 2 >= txt.n_words AS INT) AS s_diversity,
+           CAST((lr.predicted
+                 + CAST(txt.n_words >= 20 AS INT)
+                 + CAST(txt.n_distinct * 2 >= txt.n_words AS INT)) >= 2
+                AS INT) AS admitted
+    FROM documents d
+    JOIN lr ON lr.vec_id = d.doc_id
+    JOIN txt ON txt.doc_id = d.doc_id
+    """,
+    tags=("curation-policy", "ensemble", "classifier"),
+)
+def curation_ensemble_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus admission as an ENSEMBLE policy gate — the shape real
+    curation stacks converge on (no single filter is trusted alone):
+    per document, vote three independent signals — the trained logreg
+    classifier's prediction (embeddings leg, full 5-iteration training
+    trajectory), a length floor, and a lexical-diversity floor
+    (distinct/total ≥ 0.5, the repetition heuristic) — and admit on
+    majority. Each signal is itself oracle-checked elsewhere; here the
+    COMPOSITION is hash-checked end-to-end (the logreg CTE program
+    embeds as a subquery). One join per signal, all on the document
+    key; signals evaluate independently, so the gate parallelises as
+    three scans + a 3-way key join."""
+    from .operators.logreg import logreg_fit, logreg_score, standardize
+
+    embeddings = load_table(spark, sf_dir, "embeddings")
+    base = embeddings.select(
+        "vec_id",
+        (F.col("label") == 3).cast("int").alias("label_bin"),
+        *[
+            F.col("embedding").cast("array<double>")[i].alias(f"f{i}")
+            for i in range(4)
+        ],
+    )
+    feats, zcols = standardize(base, [f"f{i}" for i in range(4)])
+    weights = logreg_fit(feats, zcols, "label_bin", lr=2.0, iters=5)
+    lr = logreg_score(feats, zcols, weights).select(
+        F.col("vec_id").alias("doc_id"),
+        F.col("predicted").cast("int").alias("s_classifier"),
+    )
+    documents = load_table(spark, sf_dir, "documents")
+    words = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    txt = documents.select(
+        "doc_id",
+        F.size(words).alias("n_words"),
+        F.size(F.array_distinct(words)).alias("n_distinct"),
+    )
+    gated = lr.join(txt, "doc_id").select(
+        "doc_id",
+        "s_classifier",
+        (F.col("n_words") >= 20).cast("int").alias("s_length"),
+        (F.col("n_distinct") * 2 >= F.col("n_words"))
+        .cast("int")
+        .alias("s_diversity"),
+    )
+    votes = (
+        F.col("s_classifier") + F.col("s_length") + F.col("s_diversity")
+    )
+    return gated.select(
+        "doc_id",
+        "s_classifier",
+        "s_length",
+        "s_diversity",
+        (votes >= 2).cast("int").alias("admitted"),
+    )
