@@ -110,6 +110,12 @@ HEADLINE = [
     "woe_iv_price_deciles",
     "join_key_skew_report",
     "weighted_median_price_by_flag",
+    "hash_embed_documents",
+    "heldout_perplexity_eval",
+    "curation_ensemble_gate",
+    "markov_next_event_accuracy",
+    "top_event_paths",
+    "user_behavior_features",
 ]
 
 
