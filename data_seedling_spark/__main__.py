@@ -11,8 +11,9 @@ write/monitor). One binary surface for every registry query::
 ``run`` prints up to N rows as JSON lines (machine-consumable, like
 the driver contract); ``explain`` prints the formatted physical plan —
 the same artifact the plan tests assert on; ``bench`` times
-materialisation. Exit code 1 on unknown query names, listing near
-matches.
+materialisation; ``doctor`` audits the plan for scale anti-patterns
+(cartesians, row-wise Python — JSON verdict, exit 1 on a hit). Exit
+code 1 on unknown query names, listing near matches.
 """
 
 from __future__ import annotations
@@ -51,6 +52,7 @@ def main(argv: list[str] | None = None) -> int:
         ("run", "run a query, print JSON rows"),
         ("explain", "print the formatted physical plan"),
         ("bench", "time a query's materialisation"),
+        ("doctor", "audit the physical plan for scale anti-patterns"),
     ):
         cp = sub.add_parser(cmd, help=hlp)
         cp.add_argument("query")
@@ -82,6 +84,24 @@ def main(argv: list[str] | None = None) -> int:
     if args.cmd == "explain":
         df.explain("formatted")
         return 0
+
+    if args.cmd == "doctor":
+        import os as _os
+        import sys as _sys
+
+        _sys.path.insert(
+            0, _os.path.join(_os.path.dirname(_os.path.dirname(__file__)), "tools")
+        )
+        from plan_doctor import audit_plan
+
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        audit = audit_plan(plan)
+        audit["query"] = args.query
+        audit["anti_pattern"] = bool(
+            audit["cartesian"] or audit["python_rowwise"]
+        )
+        print(json.dumps(audit))
+        return 1 if audit["anti_pattern"] else 0
 
     if args.cmd == "bench":
         best = float("inf")

@@ -99,3 +99,17 @@ def test_bronze_silver_gold_composition(spark, tmp_path):
     # silver text was anonymised before gold extraction (PERSON mask applied)
     masked = out.where(F.col("text").contains("<PERSON>")).count()
     assert masked > 0
+
+
+def test_cli_doctor_clean_query_exits_zero(capsys):
+    import json
+
+    from data_seedling_spark.__main__ import main
+
+    rc = main(
+        ["doctor", "pricing_summary", "--sf-dir", "/root/testdata/sf0.001"]
+    )
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0
+    assert out["anti_pattern"] is False
+    assert out["cartesian"] == 0 and out["python_rowwise"] == 0
