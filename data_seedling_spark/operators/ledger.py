@@ -797,7 +797,9 @@ class VersionedTable:
         """S3 schema-preserving empty relation (reference ``datalake.py:83-86``)."""
         return self.spark.createDataFrame([], self.schema())
 
-    def vacuum(self, retain_last_versions: int | None = None) -> list[int]:
+    def vacuum(
+        self, retain_last_versions: int | None = None, dry_run: bool = False
+    ) -> list[int]:
         """S14 physical-file maintenance. With no argument this is the
         reference's no-op call shape (``test_datalake.py:240-241``) —
         a no-op change to readers. With ``retain_last_versions=N`` it
@@ -808,7 +810,10 @@ class VersionedTable:
         later snapshots until an overwrite/merge supersedes it, so it
         is never deleted just for being old). Vacuumed versions keep
         their ledger entry (history stays queryable) but time-travel to
-        them raises ``NoSuchVersionError``.
+        them raises ``NoSuchVersionError``. ``dry_run=True`` returns
+        the versions that WOULD be removed without touching a file —
+        the retention-policy review every operator wants before an
+        irreversible delete (Delta ``VACUUM ... DRY RUN`` parity).
         """
         if retain_last_versions is None:
             return []
@@ -825,7 +830,8 @@ class VersionedTable:
         for c in commits:
             target = self._version_dir(c.version)
             if c.version not in live and os.path.exists(target):
-                shutil.rmtree(target)
+                if not dry_run:
+                    shutil.rmtree(target)
                 removed.append(c.version)
         return removed
 

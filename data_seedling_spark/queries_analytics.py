@@ -3985,3 +3985,82 @@ def markov_next_event_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "psi_distribution_drift",
+    oracle="""
+    WITH base AS (
+      SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v,
+             CASE WHEN year(o_orderdate) <= 1994 THEN 'ref' ELSE 'cur' END
+               AS split
+      FROM orders
+    ), span AS (
+      SELECT MIN(v) AS mn, MAX(v) AS mx FROM base
+    ), binned AS (
+      SELECT split,
+             least((v - mn) * 10 // (mx - mn + 1), 9) AS bin
+      FROM base CROSS JOIN span
+    ), counts AS (
+      SELECT bin,
+             COUNT(*) FILTER (WHERE split = 'ref') + 1 AS c_ref,
+             COUNT(*) FILTER (WHERE split = 'cur') + 1 AS c_cur
+      FROM binned GROUP BY bin
+    ), tot AS (
+      SELECT SUM(c_ref) AS t_ref, SUM(c_cur) AS t_cur FROM counts
+    )
+    SELECT CAST(bin AS INT) AS bin,
+           CAST(c_ref - 1 AS BIGINT) AS n_ref,
+           CAST(c_cur - 1 AS BIGINT) AS n_cur,
+           round((CAST(c_cur AS DOUBLE) / t_cur
+                  - CAST(c_ref AS DOUBLE) / t_ref)
+                 * ln((CAST(c_cur AS DOUBLE) / t_cur)
+                      / (CAST(c_ref AS DOUBLE) / t_ref)), 6) AS psi_term
+    FROM counts CROSS JOIN tot
+    """,
+    tags=("ml-monitoring", "drift", "statistics"),
+)
+def psi_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-stability-index drift report — the standard
+    production-ML monitor for \"did the serving distribution move away
+    from training\": decile-bin order value on the GLOBAL range and
+    compare the ≤1994 reference slice against the later current
+    slice, one PSI term per bin (Σ terms ≥ 0.2 is the classic
+    retrain alarm). Binning is exact integer-cent arithmetic (no FP
+    bucket edges); +1 smoothing keeps empty bins finite in BOTH
+    engines identically; each term is integer-count ratios through
+    one fixed double expression. Two scans' worth of work in ONE pass
+    (conditional counts), bin stats broadcast."""
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("v"),
+        F.when(F.year("o_orderdate") <= 1994, F.lit("ref"))
+        .otherwise(F.lit("cur"))
+        .alias("split"),
+    )
+    span = base.agg(F.min("v").alias("mn"), F.max("v").alias("mx"))
+    binned = base.crossJoin(F.broadcast(span)).select(
+        "split",
+        F.least(
+            F.floor(
+                ((F.col("v") - F.col("mn")) * 10)
+                / (F.col("mx") - F.col("mn") + 1)
+            ),
+            F.lit(9),
+        ).alias("bin"),
+    )
+    counts = binned.groupBy("bin").agg(
+        (F.sum((F.col("split") == "ref").cast("long")) + 1).alias("c_ref"),
+        (F.sum((F.col("split") == "cur").cast("long")) + 1).alias("c_cur"),
+    )
+    tot = counts.agg(
+        F.sum("c_ref").alias("t_ref"), F.sum("c_cur").alias("t_cur")
+    )
+    p_ref = F.col("c_ref").cast("double") / F.col("t_ref")
+    p_cur = F.col("c_cur").cast("double") / F.col("t_cur")
+    return counts.crossJoin(F.broadcast(tot)).select(
+        F.col("bin").cast("int").alias("bin"),
+        (F.col("c_ref") - 1).alias("n_ref"),
+        (F.col("c_cur") - 1).alias("n_cur"),
+        F.round((p_cur - p_ref) * F.log(p_cur / p_ref), 6).alias("psi_term"),
+    )

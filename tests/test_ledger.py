@@ -744,3 +744,25 @@ class TestShallowClone:
         types = {r[CHANGE_TYPE] for r in chg.collect()}
         assert types == {"insert"}
         assert chg.count() == 3
+
+
+def test_vacuum_dry_run_reports_without_deleting(spark, tmp_path):
+    from data_seedling_spark.operators.ledger import VersionedTable
+
+    t = VersionedTable(spark, str(tmp_path / "t"), write_partitions=1)
+    t.write(spark.range(3).withColumnRenamed("id", "k"), mode="overwrite")
+    t.write(spark.range(3, 5).withColumnRenamed("id", "k"), mode="overwrite")
+    t.write(spark.range(5, 6).withColumnRenamed("id", "k"), mode="overwrite")
+    would = t.vacuum(retain_last_versions=1, dry_run=True)
+    assert would == [0, 1]
+    # nothing deleted: time travel still works everywhere
+    assert t.read(version=0).count() == 3
+    assert t.read(version=1).count() == 2
+    # the real vacuum removes exactly what the dry run predicted
+    assert t.vacuum(retain_last_versions=1) == would
+    import pytest as _pytest
+
+    from data_seedling_spark.operators.ledger import NoSuchVersionError
+
+    with _pytest.raises(NoSuchVersionError):
+        t.read(version=0).count()
