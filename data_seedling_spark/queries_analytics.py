@@ -3992,7 +3992,7 @@ def markov_next_event_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH base AS (
       SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v,
-             CASE WHEN year(o_orderdate) <= 1994 THEN 'ref' ELSE 'cur' END
+             CASE WHEN year(o_orderdate) <= 1997 THEN 'ref' ELSE 'cur' END
                AS split
       FROM orders
     ), span AS (
@@ -4024,7 +4024,7 @@ def psi_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Population-stability-index drift report — the standard
     production-ML monitor for \"did the serving distribution move away
     from training\": decile-bin order value on the GLOBAL range and
-    compare the ≤1994 reference slice against the later current
+    compare the ≤1997 reference slice against the later current
     slice, one PSI term per bin (Σ terms ≥ 0.2 is the classic
     retrain alarm). Binning is exact integer-cent arithmetic (no FP
     bucket edges); +1 smoothing keeps empty bins finite in BOTH
@@ -4034,7 +4034,7 @@ def psi_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     base = orders.select(
         F.round(F.col("o_totalprice") * 100).cast("long").alias("v"),
-        F.when(F.year("o_orderdate") <= 1994, F.lit("ref"))
+        F.when(F.year("o_orderdate") <= 1997, F.lit("ref"))
         .otherwise(F.lit("cur"))
         .alias("split"),
     )
@@ -4063,4 +4063,87 @@ def psi_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("c_ref") - 1).alias("n_ref"),
         (F.col("c_cur") - 1).alias("n_cur"),
         F.round((p_cur - p_ref) * F.log(p_cur / p_ref), 6).alias("psi_term"),
+    )
+
+
+@query(
+    "ks_test_drift",
+    oracle="""
+    WITH base AS (
+      SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v,
+             CASE WHEN year(o_orderdate) <= 1997 THEN 1 ELSE 0 END AS is_ref
+      FROM orders
+    ), per_v AS (
+      SELECT v, SUM(is_ref) AS r, SUM(1 - is_ref) AS c
+      FROM base GROUP BY v
+    ), tot AS (
+      SELECT SUM(r) AS tr, SUM(c) AS tc FROM per_v
+    ), cdf AS (
+      SELECT v,
+             SUM(r) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cr,
+             SUM(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cc
+      FROM per_v
+    ), d AS (
+      SELECT v,
+             round(abs(CAST(cr AS DOUBLE) / tr - CAST(cc AS DOUBLE) / tc), 6)
+               AS dv
+      FROM cdf CROSS JOIN tot
+    )
+    SELECT CAST((SELECT tr FROM tot) AS BIGINT) AS n_ref,
+           CAST((SELECT tc FROM tot) AS BIGINT) AS n_cur,
+           MAX(dv) AS ks_d,
+           MIN(CASE WHEN dv = (SELECT MAX(dv) FROM d) THEN v END)
+             AS argmax_value_cents
+    FROM d
+    """,
+    tags=("ml-monitoring", "drift", "statistics"),
+)
+def ks_test_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kolmogorov–Smirnov drift statistic between the ≤1997 reference
+    and later current order-value distributions — PSI's
+    binning-free sibling (D = max CDF gap; the exact nonparametric
+    two-sample location test). CDFs accumulate over the DISTINCT
+    value frame (cardinality-bounded windows, the weighted-median
+    trick), counts are exact integers in cents, each gap one fixed
+    double expression rounded to the grid; the argmax value is
+    tie-broken to the smallest cents achieving D."""
+    from pyspark.sql import Window as W
+
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("v"),
+        (F.year("o_orderdate") <= 1997).cast("long").alias("is_ref"),
+    )
+    per_v = base.groupBy("v").agg(
+        F.sum("is_ref").alias("r"), F.sum(1 - F.col("is_ref")).alias("c")
+    )
+    tot = per_v.agg(F.sum("r").alias("tr"), F.sum("c").alias("tc"))
+    w = W.orderBy("v").rowsBetween(W.unboundedPreceding, 0)
+    cdf = per_v.select(
+        "v", F.sum("r").over(w).alias("cr"), F.sum("c").over(w).alias("cc")
+    )
+    d = cdf.crossJoin(F.broadcast(tot)).select(
+        "v",
+        F.round(
+            F.abs(
+                F.col("cr").cast("double") / F.col("tr")
+                - F.col("cc").cast("double") / F.col("tc")
+            ),
+            6,
+        ).alias("dv"),
+        "tr",
+        "tc",
+    )
+    mx = d.agg(F.max("dv").alias("ks_d"))
+    return (
+        d.crossJoin(F.broadcast(mx))
+        .groupBy("ks_d")
+        .agg(
+            F.max("tr").alias("n_ref"),
+            F.max("tc").alias("n_cur"),
+            F.min(F.when(F.col("dv") == F.col("ks_d"), F.col("v"))).alias(
+                "argmax_value_cents"
+            ),
+        )
+        .select("n_ref", "n_cur", "ks_d", "argmax_value_cents")
     )
