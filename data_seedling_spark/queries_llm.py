@@ -5479,3 +5479,183 @@ def curation_ensemble_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "s_diversity",
         (votes >= 2).cast("int").alias("admitted"),
     )
+
+
+def _rag_oracle(dim: int = 8, chunk: int = 32, stride: int = 24) -> str:
+    """Generated end-to-end RAG retrieval oracle: overlap-chunking →
+    md5 token vectors → tf-weighted chunk/query embeddings → cosine
+    top-5, all from the same closed-form pieces as the standalone
+    chunking and hash-embedding oracles."""
+    tv = ",\n             ".join(
+        f"(CAST(('0x' || substr(md5('he_{j}_' || tok), 1, 12)) AS BIGINT) "
+        f"% 2001 - 1000) / 1000.0 AS v{j}"
+        for j in range(dim)
+    )
+    emb = ",\n             ".join(
+        f"round(CAST(SUM(CAST(c * CAST(v{j} AS DECIMAL(6,3)) AS DECIMAL(38,3)))"
+        f" AS DOUBLE) / SUM(c), 6) AS e{j}"
+        for j in range(dim)
+    )
+    qemb = ",\n             ".join(
+        f"round(CAST(SUM(CAST(c * CAST(v{j} AS DECIMAL(6,3)) AS DECIMAL(38,3)))"
+        f" AS DOUBLE) / SUM(c), 6) AS q{j}"
+        for j in range(dim)
+    )
+    dot = " + ".join(f"e{j} * q{j}" for j in range(dim))
+    ne = " + ".join(f"e{j} * e{j}" for j in range(dim))
+    nq = " + ".join(f"q{j} * q{j}" for j in range(dim))
+    return f"""
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS w,
+             len(string_split(text, ' ')) AS n
+      FROM documents
+    ), chunks AS (
+      SELECT doc_id, chunk_id,
+             w[chunk_id * {stride} + 1 : chunk_id * {stride} + {chunk}] AS cw
+      FROM (
+        SELECT doc_id, w,
+               unnest(range(0, CAST(greatest(ceil((n - {chunk}) / {stride}.0),
+                                             0) AS BIGINT) + 1)) AS chunk_id
+        FROM w
+      )
+    ), ct AS (
+      SELECT doc_id, chunk_id, tok, COUNT(*) AS c
+      FROM (SELECT doc_id, chunk_id, unnest(cw) AS tok FROM chunks)
+      WHERE tok <> '' GROUP BY 1, 2, 3
+    ), vocab AS (
+      SELECT DISTINCT tok FROM ct
+      UNION
+      SELECT DISTINCT unnest(string_split(text, ' ')) AS tok
+      FROM documents WHERE doc_id = 0
+    ), tv AS (
+      SELECT tok,
+             {tv}
+      FROM vocab WHERE tok <> ''
+    ), cemb AS (
+      SELECT ct.doc_id, ct.chunk_id,
+             {emb}
+      FROM ct JOIN tv USING (tok)
+      GROUP BY ct.doc_id, ct.chunk_id
+    ), qt AS (
+      SELECT tok, COUNT(*) AS c FROM (
+        SELECT unnest(string_split(text, ' ')) AS tok
+        FROM documents WHERE doc_id = 0
+      ) WHERE tok <> '' GROUP BY tok
+    ), qemb AS (
+      SELECT {qemb}
+      FROM qt JOIN tv USING (tok)
+    )
+    SELECT doc_id, chunk_id, score, rank FROM (
+      SELECT c.doc_id, c.chunk_id,
+             round(({dot}) / (sqrt({ne}) * sqrt({nq})), 6) AS score,
+             ROW_NUMBER() OVER (
+               ORDER BY round(({dot}) / (sqrt({ne}) * sqrt({nq})), 6) DESC,
+                        c.doc_id, c.chunk_id
+             ) AS rank
+      FROM cemb c CROSS JOIN qemb
+      WHERE c.doc_id <> 0
+    ) WHERE rank <= 5
+    """
+
+
+@query(
+    "rag_chunk_retrieval",
+    oracle=_rag_oracle(8, 32, 24),
+    tags=("rag", "chunking", "embeddings", "similarity-serving"),
+)
+def rag_chunk_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The RAG indexing-and-retrieval pipeline END-TO-END in one lazy
+    plan: overlap-chunk the corpus (32-word windows, stride 24) →
+    embed every chunk with the training-free md5 hash embedder
+    (tf-weighted token vectors, exact decimal sums) → retrieve the
+    top-5 chunks for a query (document 0's full-text embedding,
+    self-chunks excluded) by cosine. Each stage is the already-
+    verified standalone operator; the composition is hash-checked as
+    one program. Chunking is a row-local generate; token vectors are
+    vocabulary-sized and broadcast; the only corpus-sized shuffles
+    are (chunk, token)-keyed; the final rank is over chunk count."""
+    from .operators.textstats import chunk_with_overlap
+
+    dim = 8
+    documents = load_table(spark, sf_dir, "documents")
+    chunks = chunk_with_overlap(
+        documents, "text", "doc_id", chunk_size=32, stride=24
+    )
+    ct = (
+        chunks.select(
+            "doc_id",
+            "chunk_id",
+            F.explode(F.split(F.col("chunk_text"), " ")).alias("tok"),
+        )
+        .where(F.col("tok") != "")
+        .groupBy("doc_id", "chunk_id", "tok")
+        .agg(F.count("*").alias("c"))
+    )
+    qt = (
+        documents.where(F.col("doc_id") == 0)
+        .select(F.explode(F.split(F.col("text"), " ")).alias("tok"))
+        .where(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count("*").alias("c"))
+    )
+    vocab = ct.select("tok").union(qt.select("tok")).distinct()
+    tv = vocab.select(
+        "tok",
+        *[
+            (
+                (
+                    F.conv(
+                        F.substring(
+                            F.md5(F.concat(F.lit(f"he_{j}_"), F.col("tok"))),
+                            1,
+                            12,
+                        ),
+                        16,
+                        10,
+                    ).cast("long")
+                    % 2001
+                    - 1000
+                )
+                / 1000.0
+            ).alias(f"v{j}")
+            for j in range(dim)
+        ],
+    )
+
+    def embed(counts, keys):
+        return counts.join(F.broadcast(tv), "tok").groupBy(*keys).agg(
+            *[
+                F.round(
+                    F.sum(
+                        (
+                            F.col("c")
+                            * F.col(f"v{j}").cast("decimal(6,3)")
+                        ).cast("decimal(38,3)")
+                    ).cast("double")
+                    / F.sum("c"),
+                    6,
+                ).alias(f"e{j}")
+                for j in range(dim)
+            ]
+        )
+
+    cemb = embed(ct, ["doc_id", "chunk_id"])
+    qemb = embed(qt, []).select(
+        *[F.col(f"e{j}").alias(f"q{j}") for j in range(dim)]
+    )
+    dot = sum(F.col(f"e{j}") * F.col(f"q{j}") for j in range(dim))
+    ne = sum(F.col(f"e{j}") * F.col(f"e{j}") for j in range(dim))
+    nq = sum(F.col(f"q{j}") * F.col(f"q{j}") for j in range(dim))
+    from pyspark.sql import Window as W
+
+    score = F.round(dot / (F.sqrt(ne) * F.sqrt(nq)), 6)
+    wr = W.partitionBy().orderBy(
+        F.col("score").desc(), "doc_id", "chunk_id"
+    )
+    return (
+        cemb.where(F.col("doc_id") != 0)
+        .crossJoin(F.broadcast(qemb))
+        .select("doc_id", "chunk_id", score.alias("score"))
+        .withColumn("rank", F.row_number().over(wr))
+        .where(F.col("rank") <= 5)
+    )
