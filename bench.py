@@ -116,6 +116,9 @@ HEADLINE = [
     "markov_next_event_accuracy",
     "top_event_paths",
     "user_behavior_features",
+    "rag_chunk_retrieval",
+    "psi_distribution_drift",
+    "ks_test_drift",
 ]
 
 
