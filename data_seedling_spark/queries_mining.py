@@ -912,9 +912,11 @@ def label_propagation_communities_q(spark: SparkSession, sf_dir: str) -> DataFra
     """Community census of the part co-purchase graph via 2-round
     deterministic synchronous label propagation (Raghavan et al. 2007
     with a (count DESC, label ASC) tie rule replacing the original's
-    coin flips): the cluster-discovery sibling of the connected-
-    components dedup step — CC merges anything touching, LPA splits
-    dense regions from incidental bridges. Whole trajectory
+    coin flips): the majority-vote sibling of the connected-components dedup step —
+    where CC's min-label propagation merges through ANY touching edge,
+    LPA weighs neighbors by count, so sparse bridges lose votes
+    against dense neighborhoods (with the deterministic tie rule,
+    tie-heavy regions still coalesce by min id). Whole trajectory
     hash-checked against an unrolled per-round CTE oracle."""
     from .operators.graph import label_propagation_communities
 

@@ -175,3 +175,29 @@ def test_bellman_ford_weighted_chain(spark):
     # with only 1 round, the relaxed path to 3 is the direct edge
     got1 = {r["node"]: r["cost"] for r in bellman_ford(edges, rounds=1).collect()}
     assert got1[3] == 10 and 4 not in got1
+
+
+def test_label_propagation_majority_vote_wins(spark):
+    """The density-weighted property that distinguishes LPA from CC's
+    min-anything propagation: a node with TWO neighbors in cluster A
+    and ONE in cluster B adopts A's label by majority (not by id
+    order — B's round-1 label here is numerically smaller than
+    nothing, the vote is 2:1)."""
+    from data_seedling_spark.operators.graph import (
+        label_propagation_communities,
+    )
+
+    # star A: center 1, leaves 2,3,4; star B: center 10, leaves 11,12,13
+    # bridge node 20 touches A-leaves 2,3 and B-leaf 11
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (10, 11), (10, 12), (10, 13),
+         (20, 2), (20, 3), (20, 11)],
+        ["src", "dst"],
+    )
+    labels = {
+        r["node"]: r["label"]
+        for r in label_propagation_communities(edges, rounds=2).collect()
+    }
+    # round 1: A-leaves -> 1, B-leaves -> 10; round 2: node 20 sees
+    # votes {1: 2 (from 2,3), 10: 1 (from 11)} -> majority 1
+    assert labels[20] == 1
