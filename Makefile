@@ -3,7 +3,7 @@
 # No runtime deps to install in this container; targets are the
 # entry points a pipeline CI would call.
 
-.PHONY: install test check check-oracle bench smoke
+.PHONY: install test check check-oracle bench smoke doctor catalog
 
 install:
 	@echo "dependencies are preinstalled (pyspark, pyarrow, pandas, numpy, duckdb, pytest, hypothesis)"
@@ -28,3 +28,11 @@ smoke:
 	python -c "from pyspark.sql import SparkSession; import __spark_entry__ as E; \
 	  s = SparkSession.builder.master('local[4]').getOrCreate(); \
 	  print(E.entry(s).count(), 'rows')"
+
+# Physical-plan anti-pattern audit over every registry query.
+doctor:
+	python tools/plan_doctor.py
+
+# Regenerate docs/QUERIES.md from the live registry.
+catalog:
+	python tools/gen_catalog.py

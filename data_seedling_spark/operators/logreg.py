@@ -112,14 +112,18 @@ def logreg_log_loss(
 
 
 def standardize(
-    df: DataFrame, cols: list[str], digits: int = 4
+    df: DataFrame, cols: list[str], digits: int = 4,
+    stats_from: DataFrame | None = None,
 ) -> tuple[DataFrame, list[str]]:
     """Z-score each feature onto a ``10^-digits`` grid using
     round(avg, 6) / round(stddev_samp, 6) global stats — one tiny
     aggregate job, stats re-enter the plan as literals (the same
     collect-and-inject shape as the Lloyd's loop; GD without
-    standardization crawls on unscaled features)."""
-    stats = df.agg(
+    standardization crawls on unscaled features). ``stats_from``
+    computes the stats on a DIFFERENT frame (the train split) while
+    transforming ``df`` — the no-leakage hold-out contract: the eval
+    rows never contribute to the scaling statistics."""
+    stats = (stats_from if stats_from is not None else df).agg(
         *[F.round(F.avg(c), 6).alias(f"m_{c}") for c in cols],
         *[F.round(F.stddev_samp(c), 6).alias(f"s_{c}") for c in cols],
     ).collect()[0]

@@ -4147,3 +4147,69 @@ def ks_test_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("n_ref", "n_cur", "ks_d", "argmax_value_cents")
     )
+
+
+@query(
+    "conversion_wilson_ci",
+    oracle="""
+    WITH u AS (
+      SELECT user_id % 2 AS variant,
+             CASE WHEN SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                       > SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                  THEN 1 ELSE 0 END AS conv
+      FROM events GROUP BY user_id
+    ), byv AS (
+      SELECT variant, COUNT(*) AS n, SUM(conv) AS k FROM u GROUP BY variant
+    )
+    SELECT CAST(variant AS INT) AS variant,
+           CAST(n AS BIGINT) AS n_users, CAST(k AS BIGINT) AS n_converted,
+           round(CAST(k AS DOUBLE) / n, 6) AS rate,
+           round(((CAST(k AS DOUBLE) / n + 1.96 * 1.96 / (2 * n))
+                  - 1.96 * sqrt((CAST(k AS DOUBLE) / n)
+                                * (1 - CAST(k AS DOUBLE) / n) / n
+                                + 1.96 * 1.96 / (4.0 * n * n)))
+                 / (1 + 1.96 * 1.96 / n), 6) AS wilson_lo,
+           round(((CAST(k AS DOUBLE) / n + 1.96 * 1.96 / (2 * n))
+                  + 1.96 * sqrt((CAST(k AS DOUBLE) / n)
+                                * (1 - CAST(k AS DOUBLE) / n) / n
+                                + 1.96 * 1.96 / (4.0 * n * n)))
+                 / (1 + 1.96 * 1.96 / n), 6) AS wilson_hi
+    FROM byv
+    """,
+    tags=("experimentation", "statistics"),
+)
+def conversion_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilson score interval (95%) for each experiment arm's
+    conversion rate — the small-sample-safe CI the naive Wald
+    interval gets wrong near 0/1, and the companion readout to the
+    pooled z-test (a CI pair that doesn't overlap tells the same
+    story as |z| > 1.96, but survives k=0 arms). Integer counts
+    through one fixed double expression per bound → hash-exact."""
+    events = load_table(spark, sf_dir, "events")
+    u = events.groupBy("user_id").agg(
+        (
+            F.sum((F.col("event_type") == "purchase").cast("int"))
+            > F.sum((F.col("event_type") == "view").cast("int"))
+        )
+        .cast("int")
+        .alias("conv")
+    ).select((F.col("user_id") % 2).alias("variant"), "conv")
+    byv = u.groupBy("variant").agg(
+        F.count("*").alias("n"), F.sum("conv").alias("k")
+    )
+    n = F.col("n")
+    p = F.col("k").cast("double") / n
+    z2 = F.lit(1.96) * F.lit(1.96)
+    center = p + z2 / (2 * n)
+    half = F.lit(1.96) * F.sqrt(
+        p * (1 - p) / n + z2 / (F.lit(4.0) * n * n)
+    )
+    denom = 1 + z2 / n
+    return byv.select(
+        F.col("variant").cast("int").alias("variant"),
+        F.col("n").alias("n_users"),
+        F.col("k").alias("n_converted"),
+        F.round(p, 6).alias("rate"),
+        F.round((center - half) / denom, 6).alias("wilson_lo"),
+        F.round((center + half) / denom, 6).alias("wilson_hi"),
+    )

@@ -5659,3 +5659,103 @@ def rag_chunk_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rank", F.row_number().over(wr))
         .where(F.col("rank") <= 5)
     )
+
+
+def _logreg_holdout_oracle(
+    nf: int = 4, lr: float = 2.0, iters: int = 5, k: int = 5
+) -> str:
+    """Hold-out twin of ``_logreg_oracle``: standardization stats and
+    every gradient come from the train folds only (vec_id % k ≠ 0);
+    the final confusion matrix scores ONLY the held-out fold."""
+    xs = [f"x{j + 1}" for j in range(nf)]
+    zexpr = "w0 + " + " + ".join(f"w{j + 1}*{x}" for j, x in enumerate(xs))
+    sig = f"1.0/(1.0+exp(-({zexpr})))"
+    feat_cols = ",\n             ".join(
+        f"list_extract(embedding::DOUBLE[], {i + 1}) AS f{i}" for i in range(nf)
+    )
+    stat_cols = ", ".join(
+        f"round(avg(f{i}), 6) AS m{i}, round(stddev_samp(f{i}), 6) AS s{i}"
+        for i in range(nf)
+    )
+    z_cols = ",\n             ".join(
+        f"round((f{i} - m{i})/s{i}, 4) AS x{i + 1}" for i in range(nf)
+    )
+    parts = [
+        f"""WITH e AS (
+      SELECT vec_id, vec_id % {k} AS fold, CAST(label = 3 AS INT) AS label_bin,
+             {feat_cols}
+      FROM embeddings
+    ), s AS (
+      SELECT {stat_cols} FROM e WHERE fold <> 0
+    ), z AS (
+      SELECT vec_id, fold, label_bin, CAST(label_bin AS DOUBLE) AS y,
+             {z_cols}
+      FROM e CROSS JOIN s
+    ), ztr AS (
+      SELECT * FROM z WHERE fold <> 0
+    ), w0_ AS (
+      SELECT {', '.join(f'0.0 AS w{j}' for j in range(nf + 1))}
+    )"""
+    ]
+    for it in range(1, iters + 1):
+        grads = [f"round(avg(({sig} - y)), 6) AS g0"] + [
+            f"round(avg(({sig} - y) * {x}), 6) AS g{j + 1}"
+            for j, x in enumerate(xs)
+        ]
+        ups = ", ".join(
+            f"round(w{j} - {lr!r}*g{j}, 6) AS w{j}" for j in range(nf + 1)
+        )
+        parts.append(
+            f", g{it}_ AS (\n      SELECT {', '.join(grads)} "
+            f"FROM ztr CROSS JOIN w{it - 1}_\n    )"
+            f", w{it}_ AS (\n      SELECT {ups} FROM w{it - 1}_ "
+            f"CROSS JOIN g{it}_\n    )"
+        )
+    parts.append(
+        f"""
+    SELECT label_bin, CAST(round({sig}, 6) >= 0.5 AS INT) AS predicted,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM z CROSS JOIN w{iters}_
+    WHERE fold = 0
+    GROUP BY label_bin, predicted"""
+    )
+    return "".join(parts)
+
+
+@query(
+    "logreg_holdout_confusion",
+    oracle=_logreg_holdout_oracle(nf=4, lr=2.0, iters=5, k=5),
+    tags=("model-training", "classifier", "eval"),
+)
+def logreg_holdout_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hold-out evaluation of the in-engine logreg trainer — the
+    no-leakage contract end to end: standardization statistics AND
+    every gradient come only from the train folds (vec_id % 5 ≠ 0),
+    then the untouched fold 0 is scored and reduced to a confusion
+    matrix. Completes the eval-loop family (held-out perplexity for
+    the LM, backtest for the Markov predictor, calibration bins for
+    the classifier's probabilities). Whole trajectory hash-checked
+    against the unrolled train-only CTE program."""
+    from .operators.logreg import logreg_fit, logreg_score, standardize
+
+    embeddings = load_table(spark, sf_dir, "embeddings")
+    base = embeddings.select(
+        "vec_id",
+        (F.col("vec_id") % 5).alias("fold"),
+        (F.col("label") == 3).cast("int").alias("label_bin"),
+        *[
+            F.col("embedding").cast("array<double>")[i].alias(f"f{i}")
+            for i in range(4)
+        ],
+    )
+    feats, zcols = standardize(
+        base,
+        [f"f{i}" for i in range(4)],
+        stats_from=base.where(F.col("fold") != 0),
+    )
+    train = feats.where(F.col("fold") != 0)
+    weights = logreg_fit(train, zcols, "label_bin", lr=2.0, iters=5)
+    ev = logreg_score(feats.where(F.col("fold") == 0), zcols, weights)
+    return ev.groupBy("label_bin", "predicted").agg(
+        F.count("*").alias("n")
+    )
