@@ -4213,3 +4213,54 @@ def conversion_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((center - half) / denom, 6).alias("wilson_lo"),
         F.round((center + half) / denom, 6).alias("wilson_hi"),
     )
+
+
+@query(
+    "trace_sample_events",
+    oracle="""
+    WITH sampled AS (
+      SELECT * FROM events
+      WHERE CAST(('0x' || substr(md5('trace_' || CAST(user_id AS VARCHAR)),
+                                 1, 8)) AS BIGINT) % 20 = 0
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types,
+           MIN(ts) AS first_ts, MAX(ts) AS last_ts
+    FROM sampled GROUP BY user_id
+    """,
+    tags=("sampling", "observability"),
+)
+def trace_sample_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-consistent trace sampling — the observability sampling
+    rule (keep ~5% of USERS, but every kept user's events COMPLETELY,
+    so sampled timelines stay analyzable end-to-end; row sampling
+    would shred every session): md5 of the user id gates the scan, so
+    the decision is reproducible across engines, runs, and tables
+    with no sampling state to store. The predicate evaluates at the
+    scan (no pre-join), then one grouped pass summarizes each kept
+    timeline."""
+    events = load_table(spark, sf_dir, "events")
+    gate = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("trace_"), F.col("user_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 20
+        == 0
+    )
+    return (
+        events.where(gate)
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("event_type").alias("n_types"),
+            F.min("ts").alias("first_ts"),
+            F.max("ts").alias("last_ts"),
+        )
+    )
