@@ -5662,7 +5662,8 @@ def rag_chunk_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _logreg_holdout_oracle(
-    nf: int = 4, lr: float = 2.0, iters: int = 5, k: int = 5
+    nf: int = 4, lr: float = 2.0, iters: int = 5, k: int = 5,
+    final: str | None = None,
 ) -> str:
     """Hold-out twin of ``_logreg_oracle``: standardization stats and
     every gradient come from the train folds only (vec_id % k ≠ 0);
@@ -5711,14 +5712,14 @@ def _logreg_holdout_oracle(
             f", w{it}_ AS (\n      SELECT {ups} FROM w{it - 1}_ "
             f"CROSS JOIN g{it}_\n    )"
         )
-    parts.append(
-        f"""
+    if final is None:
+        final = f"""
     SELECT label_bin, CAST(round({sig}, 6) >= 0.5 AS INT) AS predicted,
            CAST(COUNT(*) AS BIGINT) AS n
     FROM z CROSS JOIN w{iters}_
     WHERE fold = 0
     GROUP BY label_bin, predicted"""
-    )
+    parts.append(final.replace("__SIG__", sig).replace("__WN__", f"w{iters}_"))
     return "".join(parts)
 
 
@@ -5758,4 +5759,97 @@ def logreg_holdout_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = logreg_score(feats.where(F.col("fold") == 0), zcols, weights)
     return ev.groupBy("label_bin", "predicted").agg(
         F.count("*").alias("n")
+    )
+
+
+_LIFT_FINAL = """
+    , scored AS (
+      SELECT vec_id, label_bin, round(__SIG__, 6) AS p
+      FROM z CROSS JOIN __WN__
+      WHERE fold = 0
+    ), ranked AS (
+      SELECT label_bin,
+             row_number() OVER (ORDER BY p DESC, vec_id) AS rn,
+             COUNT(*) OVER () AS nr,
+             SUM(label_bin) OVER () AS tp
+      FROM scored
+    ), dec AS (
+      SELECT ((rn - 1) * 10) // nr + 1 AS decile, label_bin, nr, tp
+      FROM ranked
+    )
+    SELECT CAST(decile AS INT) AS decile,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(label_bin) AS BIGINT) AS n_positive,
+           round(SUM(label_bin) / CAST(MAX(tp) AS DOUBLE), 6)
+             AS capture_rate,
+           round((SUM(label_bin) / CAST(MAX(tp) AS DOUBLE))
+                 / (COUNT(*) / CAST(MAX(nr) AS DOUBLE)), 6) AS lift
+    FROM dec GROUP BY decile"""
+
+
+@query(
+    "logreg_decile_lift",
+    oracle=_logreg_holdout_oracle(nf=4, lr=2.0, iters=5, k=5, final=_LIFT_FINAL),
+    tags=("model-training", "classifier", "eval"),
+)
+def logreg_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile lift/gains table for the hold-out-scored logreg model —
+    the targeting-eval artifact (\"the top decile captures X% of all
+    positives at Y× random\") that turns a probability score into a
+    budget decision. Rides the exact no-leakage hold-out trajectory of
+    logreg_holdout_confusion; ranking is fully tie-broken (p DESC,
+    id), deciles use the integer rank-bucket formula, rates are
+    integer-count ratios. The rank window covers only the HOLD-OUT
+    fold (eval-sample-sized, never the corpus)."""
+    from pyspark.sql import Window as W
+
+    from .operators.logreg import logreg_fit, logreg_score, standardize
+
+    embeddings = load_table(spark, sf_dir, "embeddings")
+    base = embeddings.select(
+        "vec_id",
+        (F.col("vec_id") % 5).alias("fold"),
+        (F.col("label") == 3).cast("int").alias("label_bin"),
+        *[
+            F.col("embedding").cast("array<double>")[i].alias(f"f{i}")
+            for i in range(4)
+        ],
+    )
+    feats, zcols = standardize(
+        base,
+        [f"f{i}" for i in range(4)],
+        stats_from=base.where(F.col("fold") != 0),
+    )
+    train = feats.where(F.col("fold") != 0)
+    weights = logreg_fit(train, zcols, "label_bin", lr=2.0, iters=5)
+    scored = logreg_score(
+        feats.where(F.col("fold") == 0), zcols, weights
+    ).select("vec_id", "label_bin", "p")
+    w = W.orderBy(F.col("p").desc(), "vec_id")
+    ranked = scored.select(
+        "label_bin",
+        F.row_number().over(w).alias("rn"),
+    )
+    tot = scored.agg(
+        F.count("*").alias("nr"), F.sum("label_bin").alias("tp")
+    )
+    dec = ranked.crossJoin(F.broadcast(tot)).select(
+        (F.floor(((F.col("rn") - 1) * 10) / F.col("nr")) + 1)
+        .cast("int")
+        .alias("decile"),
+        "label_bin",
+        "nr",
+        "tp",
+    )
+    return dec.groupBy("decile").agg(
+        F.count("*").alias("n"),
+        F.sum("label_bin").alias("n_positive"),
+        F.round(
+            F.sum("label_bin") / F.max("tp").cast("double"), 6
+        ).alias("capture_rate"),
+        F.round(
+            (F.sum("label_bin") / F.max("tp").cast("double"))
+            / (F.count("*") / F.max("nr").cast("double")),
+            6,
+        ).alias("lift"),
     )
