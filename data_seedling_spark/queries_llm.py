@@ -5853,3 +5853,146 @@ def logreg_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("lift"),
     )
+
+
+@query(
+    "cluster_purity_nmi",
+    oracle="""
+    WITH c AS (
+      SELECT vec_id // 50 AS centroid_id, embedding::DOUBLE[] AS cv
+      FROM embeddings WHERE vec_id % 50 = 0
+    ), v AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS vv FROM embeddings
+    ), assigned AS (
+      SELECT vec_id, label, centroid_id FROM (
+        SELECT v.vec_id, v.label, c.centroid_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY v.vec_id
+                 ORDER BY round(list_dot_product(vv, vv) + list_dot_product(cv, cv)
+                                - 2 * list_dot_product(vv, cv), 6),
+                          c.centroid_id
+               ) AS rn
+        FROM v, c
+      ) WHERE rn = 1
+    ), joint AS (
+      SELECT centroid_id, label, COUNT(*) AS n_cl FROM assigned GROUP BY 1, 2
+    ), nc AS (
+      SELECT centroid_id, SUM(n_cl) AS n_c FROM joint GROUP BY 1
+    ), nl AS (
+      SELECT label, SUM(n_cl) AS n_l FROM joint GROUP BY 1
+    ), nn AS (SELECT SUM(n_cl) AS n FROM joint),
+    mi AS (
+      SELECT CAST(SUM(CAST(round(
+               (CAST(n_cl AS DOUBLE) / n)
+               * ln((CAST(n AS DOUBLE) * n_cl) / (CAST(n_c AS DOUBLE) * n_l)),
+               6) AS DECIMAL(18,6))) AS DOUBLE) AS i
+      FROM joint JOIN nc USING (centroid_id) JOIN nl USING (label)
+      CROSS JOIN nn
+    ), hc AS (
+      SELECT CAST(SUM(CAST(round(
+               -(CAST(n_c AS DOUBLE) / n) * ln(CAST(n_c AS DOUBLE) / n),
+               6) AS DECIMAL(18,6))) AS DOUBLE) AS h
+      FROM nc CROSS JOIN nn
+    ), hl AS (
+      SELECT CAST(SUM(CAST(round(
+               -(CAST(n_l AS DOUBLE) / n) * ln(CAST(n_l AS DOUBLE) / n),
+               6) AS DECIMAL(18,6))) AS DOUBLE) AS h
+      FROM nl CROSS JOIN nn
+    ), pur AS (
+      SELECT CAST(SUM(mx) AS BIGINT) AS hits FROM (
+        SELECT centroid_id, MAX(n_cl) AS mx FROM joint GROUP BY centroid_id
+      )
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM nc) AS n_clusters,
+           (SELECT CAST(n AS BIGINT) FROM nn) AS n_points,
+           round((SELECT hits FROM pur) / (SELECT CAST(n AS DOUBLE) FROM nn), 6)
+             AS purity,
+           round((SELECT i FROM mi)
+                 / sqrt((SELECT h FROM hc) * (SELECT h FROM hl)), 6) AS nmi
+    """,
+    tags=("clustering-eval", "statistics"),
+)
+def cluster_purity_nmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """External clustering evaluation — purity and normalized mutual
+    information of the IVF cell assignment against the embeddings'
+    ground-truth labels: the missing eval for the unsupervised
+    trainers (k-means/IVF now get the same train→eval closure as
+    logreg, the LM, and the Markov predictor). All probabilities are
+    integer-count ratios; every entropy/MI term is grid-rounded and
+    decimal-summed; NMI uses the sqrt normalization. One joint
+    contingency aggregate (clusters×labels rows) drives everything."""
+    from .operators.similarity import ivf_assign
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = (
+        emb.where((F.col("vec_id") % 50) == 0)
+        .select(
+            (F.col("vec_id") / 50).cast("long").alias("centroid_id"),
+            F.col("embedding"),
+        )
+    )
+    assigned = ivf_assign(emb, centroids).join(
+        emb.select("vec_id", "label"), "vec_id"
+    )
+    joint = assigned.groupBy("centroid_id", "label").agg(
+        F.count("*").alias("n_cl")
+    )
+    nc = joint.groupBy("centroid_id").agg(F.sum("n_cl").alias("n_c"))
+    nl = joint.groupBy("label").agg(F.sum("n_cl").alias("n_l"))
+    nn = joint.agg(F.sum("n_cl").alias("n"))
+    mi = (
+        joint.join(F.broadcast(nc), "centroid_id")
+        .join(F.broadcast(nl), "label")
+        .crossJoin(F.broadcast(nn))
+        .agg(
+            F.sum(
+                F.round(
+                    (F.col("n_cl").cast("double") / F.col("n"))
+                    * F.log(
+                        (F.col("n").cast("double") * F.col("n_cl"))
+                        / (F.col("n_c").cast("double") * F.col("n_l"))
+                    ),
+                    6,
+                ).cast("decimal(18,6)")
+            )
+            .cast("double")
+            .alias("i")
+        )
+    )
+
+    def entropy(df, cnt):
+        p = F.col(cnt).cast("double") / F.col("n")
+        return (
+            df.crossJoin(F.broadcast(nn))
+            .agg(
+                F.sum(F.round(-p * F.log(p), 6).cast("decimal(18,6)"))
+                .cast("double")
+                .alias("h")
+            )
+        )
+
+    hc = entropy(nc, "n_c").select(F.col("h").alias("hc"))
+    hl = entropy(nl, "n_l").select(F.col("h").alias("hl"))
+    pur = (
+        joint.groupBy("centroid_id")
+        .agg(F.max("n_cl").alias("mx"))
+        .agg(F.sum("mx").alias("hits"))
+    )
+    ncl = nc.agg(F.count("*").alias("n_clusters"))
+    return (
+        ncl.crossJoin(nn)
+        .crossJoin(pur)
+        .crossJoin(mi)
+        .crossJoin(hc)
+        .crossJoin(hl)
+        .select(
+            "n_clusters",
+            F.col("n").alias("n_points"),
+            F.round(
+                F.col("hits") / F.col("n").cast("double"), 6
+            ).alias("purity"),
+            F.round(
+                F.col("i") / F.sqrt(F.col("hc") * F.col("hl")), 6
+            ).alias("nmi"),
+        )
+    )
