@@ -4264,3 +4264,106 @@ def trace_sample_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("ts").alias("last_ts"),
         )
     )
+
+
+@query(
+    "spearman_price_quantity",
+    oracle="""
+    WITH v AS (
+      SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS price,
+             CAST(l_quantity AS BIGINT) AS qty
+      FROM lineitem
+    ), pr AS (
+      SELECT price, COUNT(*) AS cnt,
+             COALESCE(SUM(COUNT(*)) OVER (ORDER BY price
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      0) AS cb
+      FROM v GROUP BY price
+    ), qr AS (
+      SELECT qty, COUNT(*) AS cnt,
+             COALESCE(SUM(COUNT(*)) OVER (ORDER BY qty
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      0) AS cb
+      FROM v GROUP BY qty
+    ), r AS (
+      SELECT (pr.cb + (pr.cnt + 1) / 2.0) * 2 AS rx2,
+             (qr.cb + (qr.cnt + 1) / 2.0) * 2 AS ry2
+      FROM v JOIN pr USING (price) JOIN qr USING (qty)
+    ), sums AS (
+      SELECT COUNT(*) AS n,
+             CAST(SUM(CAST(rx2 AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(ry2 AS DECIMAL(38,0))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(rx2 * ry2 AS DECIMAL(38,0))) AS DOUBLE) AS sxy,
+             CAST(SUM(CAST(rx2 * rx2 AS DECIMAL(38,0))) AS DOUBLE) AS sx2,
+             CAST(SUM(CAST(ry2 * ry2 AS DECIMAL(38,0))) AS DOUBLE) AS sy2
+      FROM r
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           round((n * sxy - sx * sy)
+                 / (sqrt(n * sx2 - sx * sx) * sqrt(n * sy2 - sy * sy)),
+                 6) AS spearman_rho
+    FROM sums
+    """,
+    tags=("statistics", "correlation"),
+)
+def spearman_price_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between extended price and quantity —
+    the outlier-robust, monotonicity-sensitive complement to the
+    Pearson matrix: Pearson over exact MIDRANKS. Midranks come from
+    per-distinct-value cumulative counts (cardinality-bounded windows,
+    never a corpus-wide sort of rows), DOUBLED so every rank is an
+    exact integer (ties produce .5 midranks; ×2 keeps all five moment
+    sums in exact decimal with no fractional grid), which cancels in
+    the correlation."""
+    from pyspark.sql import Window as W
+
+    li = load_table(spark, sf_dir, "lineitem")
+    v = li.select(
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("price"),
+        F.col("l_quantity").cast("long").alias("qty"),
+    )
+
+    def midranks2(col):
+        w = W.orderBy(col).rowsBetween(W.unboundedPreceding, -1)
+        return (
+            v.groupBy(col)
+            .agg(F.count("*").alias("cnt"))
+            .select(
+                col,
+                (
+                    (
+                        F.coalesce(F.sum("cnt").over(w), F.lit(0))
+                        + (F.col("cnt") + 1) / 2.0
+                    )
+                    * 2
+                )
+                .cast("long")
+                .alias(f"r_{col}"),
+            )
+        )
+
+    r = (
+        v.join(F.broadcast(midranks2("price")), "price")
+        .join(F.broadcast(midranks2("qty")), "qty")
+        .select(F.col("r_price").alias("rx2"), F.col("r_qty").alias("ry2"))
+    )
+    sums = r.agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("rx2").cast("decimal(38,0)")).cast("double").alias("sx"),
+        F.sum(F.col("ry2").cast("decimal(38,0)")).cast("double").alias("sy"),
+        F.sum((F.col("rx2") * F.col("ry2")).cast("decimal(38,0)"))
+        .cast("double")
+        .alias("sxy"),
+        F.sum((F.col("rx2") * F.col("rx2")).cast("decimal(38,0)"))
+        .cast("double")
+        .alias("sx2"),
+        F.sum((F.col("ry2") * F.col("ry2")).cast("decimal(38,0)"))
+        .cast("double")
+        .alias("sy2"),
+    )
+    n = F.col("n")
+    rho = (n * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.sqrt(n * F.col("sx2") - F.col("sx") * F.col("sx"))
+        * F.sqrt(n * F.col("sy2") - F.col("sy") * F.col("sy"))
+    )
+    return sums.select(F.col("n"), F.round(rho, 6).alias("spearman_rho"))

@@ -5996,3 +5996,101 @@ def cluster_purity_nmi(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("nmi"),
         )
     )
+
+
+_AUC_FINAL = """
+    , scored AS (
+      SELECT vec_id, label_bin, round(__SIG__, 6) AS p
+      FROM z CROSS JOIN __WN__
+      WHERE fold = 0
+    ), perp AS (
+      SELECT p, COUNT(*) AS cnt, SUM(label_bin) AS pos
+      FROM scored GROUP BY p
+    ), ranked AS (
+      SELECT p, cnt, pos,
+             COALESCE(SUM(cnt) OVER (ORDER BY p
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      0) AS cum_before
+      FROM perp
+    ), sums AS (
+      SELECT CAST(SUM(CAST(pos * (cum_before + (cnt + 1) / 2.0)
+                           AS DECIMAL(38,1))) AS DOUBLE) AS rank_sum,
+             CAST(SUM(pos) AS BIGINT) AS np,
+             CAST(SUM(cnt - pos) AS BIGINT) AS nn
+      FROM ranked
+    )
+    SELECT np AS n_positive, nn AS n_negative,
+           round((rank_sum - np * (np + 1) / 2.0)
+                 / (CAST(np AS DOUBLE) * nn), 6) AS auc
+    FROM sums"""
+
+
+@query(
+    "logreg_holdout_auc",
+    oracle=_logreg_holdout_oracle(nf=4, lr=2.0, iters=5, k=5, final=_AUC_FINAL),
+    tags=("model-training", "classifier", "eval"),
+)
+def logreg_holdout_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC AUC of the hold-out-scored logreg model via the
+    Mann-Whitney rank-sum identity — threshold-free discrimination,
+    completing the classifier eval set (confusion, calibration, lift,
+    now AUC). Ties on the 1e-6 probability grid get exact MIDRANKS
+    (cum_before + (cnt+1)/2 over the DISTINCT-score frame — the
+    cardinality-bounded window pattern), the rank sum accumulates in
+    exact decimal halves, and the final AUC is one fixed double
+    expression over integer counts."""
+    from pyspark.sql import Window as W
+
+    from .operators.logreg import logreg_fit, logreg_score, standardize
+
+    embeddings = load_table(spark, sf_dir, "embeddings")
+    base = embeddings.select(
+        "vec_id",
+        (F.col("vec_id") % 5).alias("fold"),
+        (F.col("label") == 3).cast("int").alias("label_bin"),
+        *[
+            F.col("embedding").cast("array<double>")[i].alias(f"f{i}")
+            for i in range(4)
+        ],
+    )
+    feats, zcols = standardize(
+        base,
+        [f"f{i}" for i in range(4)],
+        stats_from=base.where(F.col("fold") != 0),
+    )
+    train = feats.where(F.col("fold") != 0)
+    weights = logreg_fit(train, zcols, "label_bin", lr=2.0, iters=5)
+    scored = logreg_score(
+        feats.where(F.col("fold") == 0), zcols, weights
+    ).select("label_bin", "p")
+    perp = scored.groupBy("p").agg(
+        F.count("*").alias("cnt"), F.sum("label_bin").alias("pos")
+    )
+    w = W.orderBy("p").rowsBetween(W.unboundedPreceding, -1)
+    ranked = perp.select(
+        "p",
+        "cnt",
+        "pos",
+        F.coalesce(F.sum("cnt").over(w), F.lit(0)).alias("cum_before"),
+    )
+    sums = ranked.agg(
+        F.sum(
+            (
+                F.col("pos")
+                * (F.col("cum_before") + (F.col("cnt") + 1) / 2.0)
+            ).cast("decimal(38,1)")
+        )
+        .cast("double")
+        .alias("rank_sum"),
+        F.sum("pos").alias("np"),
+        F.sum(F.col("cnt") - F.col("pos")).alias("nn"),
+    )
+    return sums.select(
+        F.col("np").alias("n_positive"),
+        F.col("nn").alias("n_negative"),
+        F.round(
+            (F.col("rank_sum") - F.col("np") * (F.col("np") + 1) / 2.0)
+            / (F.col("np").cast("double") * F.col("nn")),
+            6,
+        ).alias("auc"),
+    )
