@@ -4367,3 +4367,68 @@ def spearman_price_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
         * F.sqrt(n * F.col("sy2") - F.col("sy") * F.col("sy"))
     )
     return sums.select(F.col("n"), F.round(rho, 6).alias("spearman_rho"))
+
+
+@query(
+    "hhi_supplier_concentration",
+    oracle="""
+    WITH s AS (
+      SELECT n.n_name AS nation, l.l_suppkey AS supp,
+             SUM(CAST(ROUND(l.l_extendedprice, 2) AS DECIMAL(18,2))) AS rev
+      FROM lineitem l
+      JOIN supplier su ON su.s_suppkey = l.l_suppkey
+      JOIN nation n ON n.n_nationkey = su.s_nationkey
+      GROUP BY n.n_name, l.l_suppkey
+    ), tot AS (
+      SELECT nation, SUM(rev) AS trev, COUNT(*) AS n_suppliers
+      FROM s GROUP BY nation
+    )
+    SELECT s.nation,
+           CAST(MAX(t.n_suppliers) AS BIGINT) AS n_suppliers,
+           round(CAST(SUM(CAST(round(
+             10000 * (CAST(s.rev AS DOUBLE) / t.trev)
+                   * (CAST(s.rev AS DOUBLE) / t.trev), 6)
+           AS DECIMAL(18,6))) AS DOUBLE), 4) AS hhi
+    FROM s JOIN tot t ON t.nation = s.nation
+    GROUP BY s.nation
+    """,
+    tags=("concentration", "statistics", "analytics"),
+)
+def hhi_supplier_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl–Hirschman concentration of supplier revenue within
+    each nation (0–10,000 scale; >2,500 = the antitrust \"highly
+    concentrated\" line) — the market-structure measure Gini doesn't
+    give (HHI weights the LARGEST shares quadratically). Per-supplier
+    revenue and nation totals are exact decimals; each squared-share
+    term is grid-rounded then decimal-summed, so the index is
+    hash-exact. Two grouped passes, dimension joins broadcast."""
+    li = load_table(spark, sf_dir, "lineitem")
+    su = load_table(spark, sf_dir, "supplier")
+    na = load_table(spark, sf_dir, "nation")
+    s = (
+        li.join(F.broadcast(su), li.l_suppkey == su.s_suppkey)
+        .join(F.broadcast(na), su.s_nationkey == na.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"), F.col("l_suppkey").alias("supp"))
+        .agg(
+            F.sum(
+                F.round(F.col("l_extendedprice"), 2).cast("decimal(18,2)")
+            ).alias("rev")
+        )
+    )
+    tot = s.groupBy("nation").agg(
+        F.sum("rev").alias("trev"), F.count("*").alias("n_suppliers")
+    )
+    share = F.col("rev").cast("double") / F.col("trev")
+    return (
+        s.join(F.broadcast(tot), "nation")
+        .groupBy("nation")
+        .agg(
+            F.max("n_suppliers").alias("n_suppliers"),
+            F.round(
+                F.sum(
+                    F.round(10000 * share * share, 6).cast("decimal(18,6)")
+                ).cast("double"),
+                4,
+            ).alias("hhi"),
+        )
+    )
