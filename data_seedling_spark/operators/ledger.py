@@ -693,8 +693,9 @@ class VersionedTable:
           break clones pointing at the removed versions, exactly as
           in Delta (readers get NoSuchVersionError, not silent loss);
         - merge-commit change files are not cloned: the clone's CDC
-          feed re-derives the base as delete+insert (overwrite
-          semantics), which is the correct net effect of a snapshot.
+          feed re-derives the base as inserts only (a table-creation
+          commit — there is no prior snapshot on the clone to diff
+          against), which is the correct net effect of a snapshot.
         """
         as_of = self.latest_version() if version is None else version
         live = self._live_versions(as_of)
@@ -756,8 +757,23 @@ class VersionedTable:
         - merge commit → its recorded change rows verbatim
         """
         by_version = {c.version: c for c in self.commits()}
+        if not by_version:
+            raise NoSuchVersionError(f"{self.path}: table has no commits")
+        # A shallow clone keeps the source's version numbers, so its
+        # FIRST commit can be an overwrite with version > 0. That commit
+        # is still the table's creation: there is no prior snapshot to
+        # diff against, so it must surface as inserts only (same shape
+        # Delta CDF gives for a cloned table's base). Versions requested
+        # below the first commit simply predate the table — skip them,
+        # matching Delta's startingVersion-before-creation behaviour.
+        first_version = min(by_version)
+        if ending_version < first_version:
+            raise NoSuchVersionError(
+                f"{self.path}: change range [{starting_version}, "
+                f"{ending_version}] ends before first commit {first_version}"
+            )
         parts: list[DataFrame] = []
-        for v in range(starting_version, ending_version + 1):
+        for v in range(max(starting_version, first_version), ending_version + 1):
             commit = by_version.get(v)
             if commit is None:
                 raise NoSuchVersionError(f"{self.path}: version {v} does not exist")
@@ -771,7 +787,7 @@ class VersionedTable:
                 )
                 continue
             rows = self.spark.read.parquet(self._commit_data_dir(commit))
-            if commit.mode == "overwrite" and v > 0:
+            if commit.mode == "overwrite" and v > first_version:
                 prev = self.read(version=v - 1)
                 parts.append(
                     prev.withColumn(CHANGE_TYPE, F.lit(CT_DELETE))

@@ -228,9 +228,10 @@ def zorder_key2(a, b, a_min, a_max, b_min, b_max, bits: int = 8):
     single-key range clustering).
 
     Each value is scaled to ``bits`` buckets with EXACT integer
-    arithmetic — ``(v - vmin) * 2^bits // (vmax - vmin + 1)`` — then
-    the two bucket ids' bits interleave (a takes odd positions). No
-    floats anywhere, so the key is engine-reproducible; min/max come
+    arithmetic — ``div((v - vmin) * 2^bits, vmax - vmin + 1)``, Spark's
+    IntegralDivide — then the two bucket ids' bits interleave (a takes
+    odd positions). No floats anywhere, so the key is engine-reproducible
+    (DuckDB mirrors it with ``//``); min/max come
     in as parameters (one tiny stats aggregate the caller computes, or
     table-level stats the catalog already holds).
     """
@@ -241,10 +242,16 @@ def zorder_key2(a, b, a_min, a_max, b_min, b_max, bits: int = 8):
 
     n = F.lit(1 << bits)
     a_min, a_max, b_min, b_max = map(_c, (a_min, a_max, b_min, b_max))
-    qa = ((a - a_min) * n).cast("long") / (a_max - a_min + F.lit(1))
-    qb = ((b - b_min) * n).cast("long") / (b_max - b_min + F.lit(1))
-    qa = F.floor(qa).cast("long")
-    qb = F.floor(qb).cast("long")
+    # `div` is Spark's IntegralDivide: exact long arithmetic end to end.
+    # floor(double `/`) would round-trip through a 53-bit mantissa and
+    # can disagree with integer division once (v - vmin) * 2^bits nears
+    # 2^53 or a quotient lands just below an integer.
+    qa = F.call_function(
+        "div", ((a - a_min) * n).cast("long"), (a_max - a_min + F.lit(1)).cast("long")
+    )
+    qb = F.call_function(
+        "div", ((b - b_min) * n).cast("long"), (b_max - b_min + F.lit(1)).cast("long")
+    )
     key = F.lit(0).cast("long")
     for i in range(bits):
         abit = F.shiftright(qa, i).bitwiseAND(F.lit(1))

@@ -3193,8 +3193,7 @@ def attribution_touchpoints(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("first_touch_id"),
         F.max("click_ts").alias("last_touch_ts"),
         F.max_by(
-            "click_id",
-            F.struct(F.col("click_ts"), (-F.col("click_id")).alias("_n")),
+            "click_id", F.struct(F.col("click_ts"), F.col("click_id"))
         ).alias("last_touch_id"),
     )
 
