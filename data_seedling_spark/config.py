@@ -72,3 +72,15 @@ TABLE_CONFIG: dict[str, TableConfig] = {
         salt="2b6ef354-salt",
     ),
 }
+
+
+#: Plan-hygiene allowlist shared by tools/plan_doctor.py and
+#: tests/test_plans.py so the two anti-pattern gates can never
+#: disagree. Exactly ONE sanctioned Python-UDTF demo exists in the
+#: registry: ``udtf_token_spans`` is the API-surface proof for
+#: generator-shaped table functions (its own oracle shows the job is
+#: also expressible as posexplode(split(..)) — the demo exists to
+#: cover the UDTF escape hatch, not because the plan needs Python).
+#: Any OTHER query showing BatchEvalPython/BatchEvalPythonUDTF is a
+#: hard gate failure.
+PYTHON_ROWWISE_ALLOWED: frozenset[str] = frozenset({"udtf_token_spans"})

@@ -276,7 +276,9 @@ def test_registry_wide_plan_hygiene(spark, reg):
     and Arrow-batched Python (ArrowEvalPython / MapInPandas /
     FlatMapGroupsInPandas) are legitimate and stay allowed."""
     # UDTF surface demo: BatchEvalPythonUDTF is the point of the query.
-    python_ok = {"udtf_token_spans"}
+    # Single source of truth shared with tools/plan_doctor.py so the
+    # two gates cannot disagree.
+    from data_seedling_spark.config import PYTHON_ROWWISE_ALLOWED as python_ok
     offenders = []
     for name in reg:
         try:
@@ -289,6 +291,8 @@ def test_registry_wide_plan_hygiene(spark, reg):
         cleaned = plan.replace("BatchEvalPythonUDTF", "")
         if "BatchEvalPython" in cleaned and name not in python_ok:
             offenders.append((name, "row-at-a-time BatchEvalPython"))
+        if "BatchEvalPythonUDTF" in plan and name not in python_ok:
+            offenders.append((name, "unsanctioned BatchEvalPythonUDTF"))
     assert not offenders, offenders
 
 

@@ -29,14 +29,21 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from data_seedling_spark.config import PYTHON_ROWWISE_ALLOWED  # noqa: E402
 from data_seedling_spark.session import build_session  # noqa: E402
 
 
 def audit_plan(plan: str) -> dict:
+    # BatchEvalPythonUDTF (table function) is counted apart from plain
+    # row-wise BatchEvalPython: the registry carries exactly one
+    # sanctioned UDTF demo (config.PYTHON_ROWWISE_ALLOWED), gated by
+    # name below rather than blanket-tolerated.
+    udtf = plan.count("BatchEvalPythonUDTF")
     return {
         "cartesian": plan.count("CartesianProduct"),
         "bnlj": plan.count("BroadcastNestedLoopJoin"),
-        "python_rowwise": plan.count("BatchEvalPython"),
+        "python_udtf": udtf,
+        "python_rowwise": plan.count("BatchEvalPython") - udtf,
         "python_arrow": (
             plan.count("ArrowEvalPython")
             + plan.count("MapInPandas")
@@ -77,12 +84,15 @@ def main() -> int:
             continue
         a = audit_plan(plan)
         flag = ""
-        if a["cartesian"] or a["python_rowwise"]:
+        unsanctioned_udtf = a["python_udtf"] and name not in PYTHON_ROWWISE_ALLOWED
+        if a["cartesian"] or a["python_rowwise"] or unsanctioned_udtf:
             flag = "  <-- ANTI-PATTERN"
             bad += 1
+        elif a["python_udtf"]:
+            flag = "  (sanctioned UDTF demo)"
         print(
             f"{name:42s} {a['cartesian']:4d} {a['bnlj']:4d} "
-            f"{a['python_rowwise']:5d} {a['python_arrow']:7d} "
+            f"{a['python_rowwise'] + a['python_udtf']:5d} {a['python_arrow']:7d} "
             f"{a['exchanges']:4d} {a['codegen_spans']:7d} "
             f"{a['pushed_scans']:6d}{flag}"
         )
