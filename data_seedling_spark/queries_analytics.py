@@ -17,6 +17,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from .queries import _dec_sum_sql, dec_sum, query
+from .queries_mining import LI_CAPPED_CTE, copurchase_pairs
 from .tables import load_table
 
 
@@ -2376,10 +2377,11 @@ def price_histogram_equiwidth(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "frequent_part_pairs",
-    oracle="""
+    oracle=f"""
+    WITH {LI_CAPPED_CTE}
     SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
            CAST(COUNT(*) AS BIGINT) AS n_orders
-    FROM lineitem a JOIN lineitem b
+    FROM li_capped a JOIN li_capped b
       ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
     GROUP BY 1, 2
     HAVING COUNT(*) >= 2
@@ -2392,18 +2394,10 @@ def frequent_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     blow-up is bounded by basket size (TPC-H: ≤7 lines/order) — the
     same block-the-explosion discipline as the dedup family, and the
     counting backbone of association-rule mining."""
-    lineitem = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a, b = lineitem.alias("a"), lineitem.alias("b")
+    lineitem = load_table(spark, sf_dir, "lineitem")
     return (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("part_a"),
-            F.col("b.l_partkey").alias("part_b"),
-        )
+        copurchase_pairs(lineitem)
+        .groupBy(F.col("u").alias("part_a"), F.col("v").alias("part_b"))
         .agg(F.count("*").alias("n_orders"))
         .where(F.col("n_orders") >= 2)
     )

@@ -303,13 +303,68 @@ def cap_power_users(
     )
 
 
+#: Basket cap threaded through every lineitem⋈lineitem pair builder
+#: and mirrored verbatim in each query's SQL oracle. Generous: TPC-H
+#: baskets are ≤7 lines by schema, so at test SF the cap is a no-op;
+#: on real co-purchase data it bounds per-basket pair work at
+#: max_basket²/2 ≈ 500k rows instead of letting one Zipfian hot order
+#: (a bot, a wholesale account) emit billions.
+COPURCHASE_MAX_BASKET = 1000
+
+#: Oracle twin of the cap inside :func:`copurchase_pairs` — splice as
+#: the first CTE and join ``li_capped`` instead of raw ``lineitem``.
+LI_CAPPED_CTE = f"""li_capped AS (
+      SELECT l_orderkey, l_partkey FROM (
+        SELECT l_orderkey, l_partkey,
+               COUNT(*) OVER (PARTITION BY l_orderkey) AS bsz
+        FROM lineitem
+      ) WHERE bsz <= {COPURCHASE_MAX_BASKET}
+    )"""
+
+
+def copurchase_pairs(
+    li: DataFrame, max_basket: int = COPURCHASE_MAX_BASKET
+) -> DataFrame:
+    """The ONE co-purchase pair builder (basket-capped lineitem
+    self-join) behind the graph/mining family — triangles, BFS,
+    Bellman-Ford, k-core, LPA, association rules, frequent pairs.
+
+    Pair work per order is k·(k−1)/2, so a single hot basket dominates
+    the whole stage; the cap drops orders whose line count exceeds
+    ``max_basket`` BEFORE the self-join, bounding per-key work the
+    same way :func:`cap_power_users` does for customer baskets. The
+    window partitions by the same ``l_orderkey`` the pair join
+    shuffles on, so the exchange is reused — the guard costs no extra
+    shuffle. Output: one row per co-purchase incidence
+    ``(o=l_orderkey, u<v part keys)``, multiplicity preserved, so
+    callers can ``distinct`` (edge sets), ``groupBy(u, v).count``
+    (weights) or ``countDistinct(o)`` (support) without re-joining.
+    """
+    w = W.partitionBy("l_orderkey")
+    capped = (
+        li.select("l_orderkey", "l_partkey")
+        .withColumn("_bsz", F.count("*").over(w))
+        .where(F.col("_bsz") <= max_basket)
+        .drop("_bsz")
+    )
+    a, b = capped.alias("a"), capped.alias("b")
+    return a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    ).select(
+        F.col("a.l_orderkey").alias("o"),
+        F.col("a.l_partkey").alias("u"),
+        F.col("b.l_partkey").alias("v"),
+    )
+
 
 @query(
     "triangle_count_copurchase",
-    oracle="""
-    WITH pairs AS (
+    oracle=f"""
+    WITH {LI_CAPPED_CTE}, pairs AS (
       SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
-      FROM lineitem a JOIN lineitem b
+      FROM li_capped a JOIN li_capped b
         ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
     )
     SELECT CAST((SELECT count(*) FROM pairs) AS BIGINT) AS n_edges,
@@ -344,18 +399,10 @@ def triangle_count_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     by basket size (k·(k−1)/2 per order). Counts are integers: nothing
     to round, hash-exact by construction.
     """
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a = li.alias("a")
-    b = li.alias("b")
+    li = load_table(spark, sf_dir, "lineitem")
     edges = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .select(
-            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
-        )
+        copurchase_pairs(li)
+        .select("u", "v")
         .distinct()
         .persist()
     )
@@ -598,10 +645,10 @@ def ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "kcore_peel_copurchase",
-    oracle="""
-    WITH pairs AS (
+    oracle=f"""
+    WITH {LI_CAPPED_CTE}, pairs AS (
       SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
-      FROM lineitem a JOIN lineitem b
+      FROM li_capped a JOIN li_capped b
         ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
     ), d0 AS (
       SELECT node, COUNT(*) AS deg FROM (
@@ -636,18 +683,14 @@ def kcore_peel_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     is one degree aggregate (map-side combined) + two semi-join edge
     filters — no all-pairs stage; full-core extraction iterates the
     identical round to fixpoint with a convergence count, exactly like
-    the connected-components loop."""
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a, b = li.alias("a"), li.alias("b")
-    edges = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
-        .distinct()
-    )
+    the connected-components loop.
+
+    Edges come from the basket-capped :func:`copurchase_pairs`
+    builder (cap mirrored in the oracle's windowed ``bsz <=
+    1000`` CTE), so one Zipfian hot basket cannot blow the pair
+    stage."""
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = copurchase_pairs(li).select("u", "v").distinct()
     for _ in range(2):
         deg = (
             edges.select(F.col("u").alias("node"))
@@ -671,10 +714,10 @@ def kcore_peel_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "bfs_hops_copurchase",
-    oracle="""
-    WITH RECURSIVE e1 AS (
+    oracle=f"""
+    WITH RECURSIVE {LI_CAPPED_CTE}, e1 AS (
       SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
-      FROM lineitem a JOIN lineitem b
+      FROM li_capped a JOIN li_capped b
         ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
     ), e AS (
       SELECT u AS a, v AS b FROM e1 UNION ALL SELECT v, u FROM e1
@@ -697,30 +740,26 @@ def bfs_hops_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     visited-set anti-join pruning keeps per-level work O(boundary
     edges) where the oracle's recursive CTE re-derives nodes at every
     depth and MIN-aggregates after; integer hop labels make the whole
-    traversal hash-comparable."""
+    traversal hash-comparable.
+
+    Edges come from the basket-capped :func:`copurchase_pairs`
+    builder (cap mirrored in the oracle's windowed ``bsz <=
+    1000`` CTE), so one Zipfian hot basket cannot blow the pair
+    stage."""
     from .operators.graph import bfs_hops
 
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a, b = li.alias("a"), li.alias("b")
-    edges = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
-        .distinct()
-    )
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = copurchase_pairs(li).select("u", "v").distinct()
     out = bfs_hops(edges, src="u", dst="v", max_hops=3)
     return out.select("node", F.col("hops").cast("int").alias("hops"))
 
 
 @query(
     "bellman_ford_cheapest_route",
-    oracle="""
-    WITH pc AS (
+    oracle=f"""
+    WITH {LI_CAPPED_CTE}, pc AS (
       SELECT a.l_partkey AS u, b.l_partkey AS v, COUNT(*) AS c
-      FROM lineitem a JOIN lineitem b
+      FROM li_capped a JOIN li_capped b
         ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
       GROUP BY 1, 2
     ), e1 AS (
@@ -760,20 +799,18 @@ def bellman_ford_cheapest_route(spark: SparkSession, sf_dir: str) -> DataFrame:
     analytics. Per round: relax ALL edges in one join + one min
     aggregate (map-side combinable); integer weights via exact integer
     division keep every tentative cost hash-exact against the
-    unrolled per-round CTE oracle."""
+    unrolled per-round CTE oracle.
+
+    Edges come from the basket-capped :func:`copurchase_pairs`
+    builder (cap mirrored in the oracle's windowed ``bsz <=
+    1000`` CTE), so one Zipfian hot basket cannot blow the pair
+    stage."""
     from .operators.graph import bellman_ford
 
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a, b = li.alias("a"), li.alias("b")
+    li = load_table(spark, sf_dir, "lineitem")
     edges = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
-        )
+        copurchase_pairs(li)
+        .groupBy("u", "v")
         .agg(F.count("*").alias("c"))
         .select(
             "u", "v", (F.lit(1) + F.floor(F.lit(1000) / F.col("c"))).alias("w")
@@ -784,8 +821,8 @@ def bellman_ford_cheapest_route(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "association_rules_copurchase",
-    oracle="""
-    WITH n AS (
+    oracle=f"""
+    WITH {LI_CAPPED_CTE}, n AS (
       SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM lineitem
     ), item AS (
       SELECT l_partkey AS it, COUNT(DISTINCT l_orderkey) AS c
@@ -793,7 +830,7 @@ def bellman_ford_cheapest_route(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), pc AS (
       SELECT a.l_partkey AS u, b.l_partkey AS v,
              COUNT(DISTINCT a.l_orderkey) AS c_uv
-      FROM lineitem a JOIN lineitem b
+      FROM li_capped a JOIN li_capped b
         ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
       GROUP BY 1, 2 HAVING COUNT(DISTINCT a.l_orderkey) >= 2
     ), rules AS (
@@ -819,23 +856,21 @@ def association_rules_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     INSIDE the pair aggregate (HAVING), so low-support pairs die
     before the item-stats join; item counts broadcast. This is the
     rule-extraction tail of frequent_part_pairs, not a second basket
-    scan shape."""
+    scan shape.
+
+    Edges come from the basket-capped :func:`copurchase_pairs`
+    builder (cap mirrored in the oracle's windowed ``bsz <=
+    1000`` CTE), so one Zipfian hot basket cannot blow the pair
+    stage."""
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     n = li.agg(F.countDistinct("l_orderkey").alias("n_orders"))
     item = li.groupBy(F.col("l_partkey").alias("it")).agg(
         F.countDistinct("l_orderkey").alias("c")
     )
-    a, b = li.alias("a"), li.alias("b")
     pc = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
-        )
-        .agg(F.countDistinct(F.col("a.l_orderkey")).alias("c_uv"))
+        copurchase_pairs(li)
+        .groupBy("u", "v")
+        .agg(F.countDistinct("o").alias("c_uv"))
         .where(F.col("c_uv") >= 2)
     )
     rules = pc.select(
@@ -869,9 +904,9 @@ def _lpa_oracle(rounds: int = 2) -> str:
     """Unrolled synchronous-LPA oracle: per round, a neighbor-label
     count CTE + a deterministic argmax CTE."""
     parts = [
-        """WITH e1 AS (
+        f"""WITH {LI_CAPPED_CTE}, e1 AS (
       SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
-      FROM lineitem a JOIN lineitem b
+      FROM li_capped a JOIN li_capped b
         ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
     ), e AS (
       SELECT u AS a, v AS b FROM e1 UNION ALL SELECT v, u FROM e1
@@ -917,20 +952,16 @@ def label_propagation_communities_q(spark: SparkSession, sf_dir: str) -> DataFra
     LPA weighs neighbors by count, so sparse bridges lose votes
     against dense neighborhoods (with the deterministic tie rule,
     tie-heavy regions still coalesce by min id). Whole trajectory
-    hash-checked against an unrolled per-round CTE oracle."""
+    hash-checked against an unrolled per-round CTE oracle.
+
+    Edges come from the basket-capped :func:`copurchase_pairs`
+    builder (cap mirrored in the oracle's windowed ``bsz <=
+    1000`` CTE), so one Zipfian hot basket cannot blow the pair
+    stage."""
     from .operators.graph import label_propagation_communities
 
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a, b = li.alias("a"), li.alias("b")
-    edges = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
-        .distinct()
-    )
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = copurchase_pairs(li).select("u", "v").distinct()
     # The per-round localCheckpoint materializes at the configured
     # shuffle width and AQE coalescing does not survive the checkpoint
     # — clamp width for the node-sized label frames (same pattern as

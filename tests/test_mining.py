@@ -41,6 +41,37 @@ def test_cap_bounds_pair_count_under_hot_key(spark):
     assert max_kept <= 50
 
 
+def test_copurchase_pairs_bounded_under_hot_basket(spark):
+    """The shared lineitem⋈lineitem pair builder must drop a hot
+    basket BEFORE the self-join: one injected 120-line order among
+    normal 4-line orders, cap 50 → only the normal orders pair up,
+    and the output carries (o, u, v) with multiplicity so callers can
+    count support without re-joining."""
+    from data_seedling_spark.queries_mining import copurchase_pairs
+
+    rows = [(9999, i) for i in range(120)]  # hot order: C(120,2)=7140 pairs
+    for o in range(10):
+        rows += [(o, o * 10 + j) for j in range(4)]  # C(4,2)=6 pairs each
+    li = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+    pairs = copurchase_pairs(li, max_basket=50)
+    assert pairs.columns == ["o", "u", "v"]
+    got = pairs.collect()
+    assert len(got) == 60
+    assert all(r["o"] != 9999 and r["u"] < r["v"] for r in got)
+
+
+def test_copurchase_pairs_keeps_multiplicity(spark):
+    """Duplicate (order, part) lines multiply pairs — the weighted
+    callers (bellman_ford edge weights) rely on that."""
+    from data_seedling_spark.queries_mining import copurchase_pairs
+
+    li = spark.createDataFrame(
+        [(1, 10), (1, 10), (1, 20)], "l_orderkey long, l_partkey long"
+    )
+    got = [(r["u"], r["v"]) for r in copurchase_pairs(li).collect()]
+    assert sorted(got) == [(10, 20), (10, 20)]
+
+
 def test_cap_noop_when_under_threshold(spark):
     rows = [(1, 1, 3), (1, 2, 1), (2, 7, 2)]
     df = _basket(spark, rows)
