@@ -767,6 +767,14 @@ class VersionedTable:
         # below the first commit simply predate the table — skip them,
         # matching Delta's startingVersion-before-creation behaviour.
         first_version = min(by_version)
+        if starting_version < 0:
+            # Negative versions never exist on ANY table — clamping
+            # them would mask caller cursor-arithmetic bugs. Only the
+            # [0, first_version) window of a clone's retained numbering
+            # legitimately predates the table and is skipped below.
+            raise NoSuchVersionError(
+                f"{self.path}: no version {starting_version}"
+            )
         if ending_version < first_version:
             raise NoSuchVersionError(
                 f"{self.path}: change range [{starting_version}, "

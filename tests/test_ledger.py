@@ -733,7 +733,7 @@ class TestShallowClone:
         assert sorted(r["k"] for r in src.read().collect()) == [0, 1, 2, 3]
         assert removed == []
 
-    def test_clone_cdc_rederives_base_as_overwrite(self, spark, tmp_path):
+    def test_clone_cdc_base_surfaces_as_inserts_only(self, spark, tmp_path):
         from data_seedling_spark.operators.ledger import VersionedTable
         from data_seedling_spark.operators.merge import CHANGE_TYPE
 
@@ -744,6 +744,61 @@ class TestShallowClone:
         types = {r[CHANGE_TYPE] for r in chg.collect()}
         assert types == {"insert"}
         assert chg.count() == 3
+
+    def test_clone_cdc_base_commit_with_version_gt_zero(self, spark, tmp_path):
+        """Regression for the r6 clone-CDC fix: clone a source whose
+        LIVE base is an overwrite at version 2 (versions 0–1 are
+        superseded), so the clone's first commit has version > 0.
+        Pre-r6 read_changes diffed that base against a nonexistent
+        prior snapshot and raised; it must surface as inserts-only."""
+        import pytest
+
+        from data_seedling_spark.operators.ledger import (
+            NoSuchVersionError,
+            VersionedTable,
+        )
+        from data_seedling_spark.operators.merge import CHANGE_TYPE
+
+        src = VersionedTable(spark, str(tmp_path / "src"), write_partitions=1)
+        src.write(spark.range(3).withColumnRenamed("id", "k"), mode="overwrite")
+        src.write(spark.range(9).withColumnRenamed("id", "k"), mode="overwrite")
+        src.write(
+            spark.range(10, 14).withColumnRenamed("id", "k"), mode="overwrite"
+        )
+        src.write(
+            spark.range(14, 16).withColumnRenamed("id", "k"), mode="append"
+        )
+        dest = src.clone(str(tmp_path / "cl"))
+        assert dest.latest_version() == 3
+        # Full range from 0: versions 0–1 predate the clone — skipped,
+        # base (v2) inserts-only, append (v3) inserts.
+        chg = dest.read_changes(0, dest.latest_version())
+        rows = chg.collect()
+        assert {r[CHANGE_TYPE] for r in rows} == {"insert"}
+        assert sorted(r["k"] for r in rows) == list(range(10, 16))
+        base_only = dest.read_changes(2, 2).collect()
+        assert {r[CHANGE_TYPE] for r in base_only} == {"insert"}
+        assert sorted(r["k"] for r in base_only) == [10, 11, 12, 13]
+        # A range ending before the clone's first commit raises.
+        with pytest.raises(NoSuchVersionError):
+            dest.read_changes(0, 1)
+
+    def test_read_changes_negative_start_still_raises(self, spark, tmp_path):
+        """ADVICE r6: the pre-first-commit clamp must not swallow
+        negative cursors on a normal table — that is caller cursor
+        arithmetic gone wrong, not a clone artifact."""
+        import pytest
+
+        from data_seedling_spark.operators.ledger import (
+            NoSuchVersionError,
+            VersionedTable,
+        )
+
+        t = VersionedTable(spark, str(tmp_path / "t"), write_partitions=1)
+        t.write(spark.range(3).withColumnRenamed("id", "k"), mode="overwrite")
+        t.write(spark.range(3, 5).withColumnRenamed("id", "k"), mode="append")
+        with pytest.raises(NoSuchVersionError):
+            t.read_changes(-3, 1)
 
 
 def test_vacuum_dry_run_reports_without_deleting(spark, tmp_path):

@@ -116,3 +116,38 @@ def test_attribution_window_excludes_old_and_post_clicks(spark):
     r = out[5]
     assert r["n_touches"] == 2
     assert r["first_touch_id"] == 2 and r["last_touch_id"] == 3
+
+
+def test_attribution_tied_timestamps_break_on_click_id(spark):
+    """Regression for the r6 tie-break fix: two clicks at the SAME
+    timestamp — min_by/max_by over struct(ts, click_id) must pick the
+    smallest click_id as first touch and the largest as last touch
+    (the oracle's deterministic ordering), never an arbitrary one."""
+    import datetime as dt
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    base = dt.datetime(2024, 1, 10, 12, 0, 0)
+    tie = base - dt.timedelta(hours=3)
+    rows = [
+        (21, tie, 7, "click"),
+        (20, tie, 7, "click"),   # same ts, lower id → first touch
+        (22, tie, 7, "click"),   # same ts, highest id
+        (30, base, 7, "purchase"),
+    ]
+    events = (
+        spark.createDataFrame(rows, ["event_id", "ts", "user_id", "event_type"])
+        .withColumn("value", F.lit(0.0))
+        .withColumn("props", F.lit("{}"))
+    )
+    with tempfile.TemporaryDirectory() as d:
+        events.write.mode("overwrite").parquet(f"{d}/events.parquet")
+        from data_seedling_spark.queries import registry
+
+        out = registry()["attribution_touchpoints"].fn(spark, d).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_touches"] == 3
+    assert r["first_touch_id"] == 20
+    assert r["last_touch_id"] == 22

@@ -275,3 +275,42 @@ def test_zorder_key_matches_python_morton_and_clusters(spark):
         xs = [p[0] for p in pts]
         ys = [p[1] for p in pts]
         assert max(xs) - min(xs) <= 4 and max(ys) - min(ys) <= 4
+
+
+def test_zorder_key2_exact_division_beyond_double_mantissa(spark):
+    """Regression for the r6 exact-IntegralDivide fix: a range where
+    (v − min)·2^bits ≈ 2^62 exceeds the 53-bit double mantissa.
+    floor(double /) computes bucket 101 here; exact integer division
+    gives 100 — the key must agree with Python's `//`, not the float
+    path (a one-bucket error silently mis-clusters the file layout)."""
+    from pyspark.sql import functions as F
+
+    from data_seedling_spark.operators.relational import zorder_key2
+
+    m0 = 22_180_000_000_000
+    a_max = 1024 * m0 - 1          # divisor a_max+1 = 1024·m0 (·256 < 2^63)
+    hot = 812 * m0 - 1             # (hot·256)/(a_max+1): exact 202, double 203
+    import math
+
+    assert (hot * 256) // (a_max + 1) == 202
+    assert math.floor((hot * 256) / (a_max + 1)) == 203  # the trap
+    rows = [(hot, 3), (0, 3), (a_max, 3)]
+    df = spark.createDataFrame(rows, "a long, b long")
+    got = {
+        r["a"]: r["z"]
+        for r in df.select(
+            "a", zorder_key2(F.col("a"), F.col("b"), 0, a_max, 0, 15).alias("z")
+        ).collect()
+    }
+
+    def morton(qa, qb):
+        k = 0
+        for i in range(8):
+            k |= ((qa >> i) & 1) << (2 * i + 1)
+            k |= ((qb >> i) & 1) << (2 * i)
+        return k
+
+    for a in (hot, 0, a_max):
+        qa = (a * 256) // (a_max + 1)
+        qb = (3 * 256) // 16
+        assert got[a] == morton(qa, qb), a
