@@ -299,12 +299,21 @@ class IcebergBackend:
 
     # -- helpers -------------------------------------------------------------
 
+    @staticmethod
+    def order_snapshots(rows: list[dict]) -> list[dict]:
+        """Version numbering contract: snapshots order by commit time
+        with a snapshot_id tiebreak. committed_at has millisecond
+        grain, so two fast commits can share a timestamp — without the
+        tiebreak the version→snapshot_id mapping would be
+        nondeterministic across calls."""
+        return sorted(rows, key=lambda r: (r["committed_at"], r["snapshot_id"]))
+
     def _snapshots(self) -> list[dict]:  # pragma: no cover - needs jars
         rows = self.spark.sql(
             f"SELECT snapshot_id, committed_at FROM "
-            f"{self.identifier}.snapshots ORDER BY committed_at"
+            f"{self.identifier}.snapshots"
         ).collect()
-        return [r.asDict() for r in rows]
+        return self.order_snapshots([r.asDict() for r in rows])
 
     def _snapshot_id(self, version: int) -> int:  # pragma: no cover
         snaps = self._snapshots()
@@ -327,12 +336,24 @@ class IcebergBackend:
         writer = df.writeTo(self.identifier)
         if mode == "overwrite" or not self.exists():
             writer.createOrReplace()
+        elif kwargs.get("merge_schema"):
+            # check-ordering is a SESSION conf on a shared SparkSession:
+            # relax it only for this append and restore the caller's
+            # value (unset if it was unset) on every exit path.
+            key = f"spark.sql.catalog.{self._catalog}.check-ordering"
+            try:
+                prior = self.spark.conf.get(key)
+            except Exception:
+                prior = None
+            self.spark.conf.set(key, "false")
+            try:
+                writer.option("merge-schema", "true").append()
+            finally:
+                if prior is None:
+                    self.spark.conf.unset(key)
+                else:
+                    self.spark.conf.set(key, prior)
         else:
-            if kwargs.get("merge_schema"):
-                self.spark.conf.set(
-                    f"spark.sql.catalog.{self._catalog}.check-ordering", "false"
-                )
-                writer = writer.option("merge-schema", "true")
             writer.append()
         return self.latest_version()
 

@@ -213,3 +213,20 @@ def test_iceberg_backend_is_protocol_shaped():
         assert hasattr(IcebergBackend, name), name
     sig = inspect.signature(IcebergBackend.vacuum)
     assert "retain_last_versions" in sig.parameters
+
+
+def test_iceberg_snapshot_ordering_tiebreaks_on_snapshot_id():
+    """Same-millisecond commits must map to versions deterministically
+    (ADVICE r6): order by (committed_at, snapshot_id), so the listing
+    is a total order regardless of metadata-table row order."""
+    rows = [
+        {"snapshot_id": 902, "committed_at": 1000},
+        {"snapshot_id": 17, "committed_at": 1000},   # tied millisecond
+        {"snapshot_id": 445, "committed_at": 999},
+        {"snapshot_id": 1, "committed_at": 1001},
+    ]
+    got = IcebergBackend.order_snapshots(rows)
+    assert [r["snapshot_id"] for r in got] == [445, 17, 902, 1]
+    # Permutation-invariant: any input order yields the same mapping.
+    got2 = IcebergBackend.order_snapshots(list(reversed(rows)))
+    assert got2 == got
