@@ -1,0 +1,170 @@
+"""Mergeable rank/quantile sketch with an engine-replayable (md5-coin)
+KLL-style compaction schedule.
+
+KLL (Karnin, Lang, Liberty 2016) keeps per-level buffers of capacity k;
+a full level sorts, keeps alternating items chosen by a COIN FLIP, and
+promotes survivors with doubled weight. The coin is the only
+nondeterminism — so this twin derives it from data: the parity of
+``md5(pair_leader_id ':' level_weight)``. The whole compaction schedule
+is then a pure function of the input SET (arrival- and partition-order
+independent), which is what lets DuckDB replay the identical sketch in
+unrolled SQL CTEs and the driver hash-compare every survivor.
+
+Level structure == weight class: an item of weight ``2^l`` sits in
+level ``l``. One :func:`kll_compact_round` pairs adjacent items WITHIN
+each weight class (sorted by ``(value, id)``), keeps one item per pair
+by the md5 coin, and doubles its weight; unpaired stragglers (odd
+class sizes) stay at their weight — total weight is conserved exactly,
+so ``sum(w)`` always equals the original row count. ``R`` rounds leave
+``~N/2^R`` survivors plus at most one straggler per level.
+
+Scale: the per-class pair rank is computed as range-bucketed
+``row_number`` + broadcast per-(class, bucket) offsets — the same
+distributed-rank construction as ``sampling.range_rank`` — so no
+global single-partition sort ever appears; the only global window runs
+over the ~``N/2^R``-row survivor frame at quantile-extraction time.
+
+Rank error: level-``l`` compaction perturbs any rank query by at most
+``2^l / 2``, so R rounds bound the error by ``sum_{l<R} 2^l/2 <
+2^(R-1)``, plus ``2^R`` representation granularity — the bound
+asserted in ``tests/test_sketch.py``.
+
+Reference scope: the reference engine ships no sketch operator
+(SURVEY §2 gap list / docs/ROADMAP.md:427-431); this is the
+training-pipeline extension (percentile feeds for quality filtering at
+100 TB, where exact global sort is off the table).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+
+def _md5_long(col):
+    """Engine-portable 32-bit hash: ``conv(substr(md5(x),1,8),16,10)``
+    — DuckDB twin ``CAST('0x' || substr(md5(x),1,8) AS BIGINT)``."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("bigint")
+
+
+def kll_compact_round(
+    df: DataFrame,
+    value_col: str = "v",
+    id_col: str = "id",
+    weight_col: str = "w",
+    bucket_width: float = 10000.0,
+    extra_part: tuple[str, ...] = (),
+) -> DataFrame:
+    """One compaction round over EVERY weight class (and optional extra
+    partition columns, e.g. a shard id before the merge step).
+
+    Pairing rank within a class is ``row_number() OVER (PARTITION BY
+    class ORDER BY value, id)`` — computed distributed: range-bucket on
+    value (monotone, so ties never straddle buckets), per-bucket
+    row_number in parallel, broadcast cumulative per-(class, bucket)
+    offsets. The md5 coin hashes ``(pair-leader id, level weight)`` so
+    both engines pick the same survivor of every pair.
+    """
+    part = [*extra_part, weight_col]
+    bucketed = df.withColumn(
+        "_rb", F.floor(F.col(value_col) / F.lit(bucket_width)).cast("long")
+    )
+    counts = bucketed.groupBy(*part, "_rb").agg(F.count("*").alias("_n"))
+    off_w = (
+        W.partitionBy(*part)
+        .orderBy("_rb")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    offsets = counts.select(
+        *part,
+        "_rb",
+        F.coalesce(F.sum("_n").over(off_w), F.lit(0)).alias("_offset"),
+    )
+    rw = W.partitionBy(*part, "_rb").orderBy(value_col, id_col)
+    ranked = (
+        bucketed.join(F.broadcast(offsets), [*part, "_rb"])
+        .withColumn("_rnk", (F.row_number().over(rw) + F.col("_offset")).cast("long"))
+        .drop("_rb", "_offset")
+    )
+    pair = F.call_function("div", F.col("_rnk") - 1, F.lit(2).cast("long"))
+    pos = (F.col("_rnk") - 1) % 2
+    paired = ranked.withColumn("_pair", pair).withColumn("_pos", pos)
+    pw = W.partitionBy(*part, "_pair")
+    lead_w = pw.orderBy("_rnk")
+    coin = (
+        _md5_long(
+            F.concat(
+                F.first(F.col(id_col)).over(lead_w).cast("string"),
+                F.lit(":"),
+                F.col(weight_col).cast("string"),
+            )
+        )
+        % 2
+    )
+    annotated = paired.withColumn("_cnt", F.count("*").over(pw)).withColumn(
+        "_coin", coin
+    )
+    survivors = annotated.where(
+        (F.col("_cnt") == 1) | (F.col("_pos") == F.col("_coin"))
+    )
+    keep_cols = [c for c in df.columns if c != weight_col]
+    return survivors.select(
+        *keep_cols,
+        F.when(F.col("_cnt") == 1, F.col(weight_col))
+        .otherwise(F.col(weight_col) * 2)
+        .alias(weight_col),
+    )
+
+
+def kll_sketch(
+    df: DataFrame,
+    value_col: str,
+    id_col: str,
+    rounds: int,
+    bucket_width: float = 10000.0,
+    extra_part: tuple[str, ...] = (),
+) -> DataFrame:
+    """Build the sketch: tag weight 1 and run ``rounds`` compaction
+    rounds. Returns ``(value, id, w)`` survivors; ``sum(w)`` equals the
+    input row count exactly."""
+    cur = df.select(
+        *extra_part,
+        F.col(value_col).alias("v"),
+        F.col(id_col).alias("id"),
+        F.lit(1).cast("long").alias("w"),
+    )
+    for _ in range(rounds):
+        # Each round references its input twice (offset counts + the
+        # rank join), so the lazy DAG doubles per round — checkpoint
+        # the shrinking survivor frame to keep the plan linear, same
+        # pattern (and measured justification) as graph.bfs_hops.
+        cur = kll_compact_round(
+            cur, "v", "id", "w", bucket_width=bucket_width, extra_part=extra_part
+        ).localCheckpoint()
+    return cur
+
+
+def kll_quantiles(sketch: DataFrame, probs: list[float]) -> DataFrame:
+    """Estimate quantiles from a survivor frame: global cumulative
+    weight (tiny frame — the post-compaction survivors), then per
+    probability the smallest value whose cumulative weight reaches
+    ``ceil(p * total)``. Output: ``(prob, est, total_weight)``."""
+    cum_w = W.orderBy("v", "id").rowsBetween(W.unboundedPreceding, 0)
+    cum = sketch.select(
+        "v", "id", "w", F.sum("w").over(cum_w).alias("cw")
+    ).crossJoin(
+        F.broadcast(sketch.agg(F.sum("w").alias("tw")))
+    )
+    probs_df = cum.sparkSession.createDataFrame(
+        [(p,) for p in probs], "prob double"
+    )
+    return (
+        cum.crossJoin(F.broadcast(probs_df))
+        .where(F.col("cw") >= F.ceil(F.col("prob") * F.col("tw")).cast("long"))
+        .groupBy("prob")
+        .agg(
+            F.min(F.col("v").cast("double")).alias("est"),
+            F.first(F.col("tw")).alias("total_weight"),
+        )
+    )

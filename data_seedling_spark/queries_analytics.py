@@ -4425,3 +4425,134 @@ def hhi_supplier_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("hhi"),
         )
     )
+
+
+def _kll_round_sql(i: int, part: str = "w", src: str | None = None) -> str:
+    """One unrolled KLL compaction round (rank → pair → md5-coin
+    survivor), the DuckDB twin of ``operators.sketch.kll_compact_round``."""
+    cols = "shard, v, id" if "shard" in part else "v, id"
+    return f""", r{i} AS (
+      SELECT {cols}, w,
+             row_number() OVER (PARTITION BY {part} ORDER BY v, id) AS rnk
+      FROM {src or f"c{i - 1}"}
+    ), q{i} AS (
+      SELECT {cols}, w, (rnk - 1) % 2 AS pos,
+             COUNT(*) OVER (PARTITION BY {part}, (rnk - 1) // 2) AS cnt,
+             FIRST_VALUE(id) OVER (PARTITION BY {part}, (rnk - 1) // 2
+                                   ORDER BY rnk) AS leader
+      FROM r{i}
+    ), c{i} AS (
+      SELECT {cols}, CASE WHEN cnt = 1 THEN w ELSE w * 2 END AS w
+      FROM q{i}
+      WHERE cnt = 1 OR pos = CAST('0x' || substr(md5(
+              CAST(leader AS VARCHAR) || ':' || CAST(w AS VARCHAR)
+            ), 1, 8) AS BIGINT) % 2
+    )"""
+
+
+def _kll_quantile_sql(last: int) -> str:
+    return f""", cum AS (
+      SELECT v, id, w, SUM(w) OVER (ORDER BY v, id) AS cw,
+             (SELECT SUM(w) FROM c{last}) AS tw
+      FROM c{last}
+    ), probs AS (
+      SELECT * FROM (VALUES (0.25), (0.5), (0.75), (0.95)) t(prob)
+    )
+    SELECT prob, MIN(CAST(v AS DOUBLE)) AS est,
+           CAST(MAX(tw) AS BIGINT) AS total_weight
+    FROM cum CROSS JOIN probs
+    WHERE cw >= CAST(ceil(prob * tw) AS BIGINT)
+    GROUP BY prob"""
+
+
+def _kll_sketch_oracle() -> str:
+    rounds = "".join(_kll_round_sql(i) for i in range(1, 7))
+    return (
+        """
+    WITH c0 AS (
+      SELECT o_totalprice AS v, o_orderkey AS id, CAST(1 AS BIGINT) AS w
+      FROM orders
+    )"""
+        + rounds
+        + _kll_quantile_sql(6)
+    )
+
+
+@query(
+    "kll_quantile_sketch",
+    oracle=_kll_sketch_oracle(),
+    tags=("sketch", "quantile", "kll"),
+)
+def kll_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable KLL-style quantile sketch over order totals: 6
+    md5-coin compaction rounds (≈234 survivors from 15k orders at
+    sf0.01), then p25/p50/p75/p95 estimates from cumulative survivor
+    weights. The coin — parity of ``md5(pair_leader_id ':' weight)`` —
+    makes the whole compaction schedule a pure function of the input
+    set, so the unrolled-CTE oracle replays the IDENTICAL sketch and
+    the estimates hash-match exactly, not approximately. Total weight
+    is conserved (= row count), asserted via the total_weight column.
+    Scale: per-class pair ranks are range-bucketed distributed
+    row_numbers; the only global window runs over the survivor frame.
+    """
+    from .operators.sketch import kll_quantiles, kll_sketch
+
+    orders = load_table(spark, sf_dir, "orders")
+    sk = kll_sketch(orders, "o_totalprice", "o_orderkey", rounds=6)
+    return kll_quantiles(sk, [0.25, 0.5, 0.75, 0.95])
+
+
+def _kll_merge_oracle() -> str:
+    shard_rounds = "".join(
+        _kll_round_sql(i, part="shard, w") for i in range(1, 6)
+    )
+    merged_rounds = _kll_round_sql(6, src="c5m") + _kll_round_sql(7)
+    return (
+        """
+    WITH c0 AS (
+      SELECT o_orderkey % 2 AS shard, o_totalprice AS v,
+             o_orderkey AS id, CAST(1 AS BIGINT) AS w
+      FROM orders
+    )"""
+        + shard_rounds
+        + """, c5m AS (
+      SELECT v, id, w FROM c5
+    )"""
+        + merged_rounds
+        + _kll_quantile_sql(7)
+    )
+
+
+@query(
+    "kll_sketch_merge_shards",
+    oracle=_kll_merge_oracle(),
+    tags=("sketch", "quantile", "kll", "merge"),
+)
+def kll_sketch_merge_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeability of the KLL twin — the property that makes a rank
+    sketch usable at 100 TB (sketch per partition/day, merge, query):
+    two disjoint shards (orderkey parity) each compact 5 rounds
+    INDEPENDENTLY (pair ranks partitioned by shard), the survivor sets
+    union, and 2 more rounds compact the merged weight classes —
+    including cross-shard pairs at the same level, exactly KLL's
+    same-level buffer merge. Quantiles come off the merged sketch;
+    the oracle replays shard phase, union, and merge phase CTE by CTE.
+    """
+    from .operators.sketch import kll_compact_round, kll_quantiles
+
+    orders = load_table(spark, sf_dir, "orders")
+    cur = orders.select(
+        (F.col("o_orderkey") % 2).alias("shard"),
+        F.col("o_totalprice").alias("v"),
+        F.col("o_orderkey").alias("id"),
+        F.lit(1).cast("long").alias("w"),
+    )
+    # per-round localCheckpoint: see operators.sketch.kll_sketch.
+    for _ in range(5):
+        cur = kll_compact_round(
+            cur, "v", "id", "w", extra_part=("shard",)
+        ).localCheckpoint()
+    merged = cur.select("v", "id", "w")
+    for _ in range(2):
+        merged = kll_compact_round(merged, "v", "id", "w").localCheckpoint()
+    return kll_quantiles(merged, [0.25, 0.5, 0.75, 0.95])

@@ -1,0 +1,80 @@
+"""KLL-twin sketch: weight conservation, determinism, rank-error
+bound, and mergeability shape (tests/test_llm_ops.py is the model:
+property floors asserted in pytest, hash equality left to the oracle
+gate)."""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+from data_seedling_spark.operators.sketch import (
+    kll_compact_round,
+    kll_quantiles,
+    kll_sketch,
+)
+
+
+def _uniform_df(spark, n: int, seed: int = 7):
+    rng = random.Random(seed)
+    vals = list(range(n))
+    rng.shuffle(vals)
+    rows = [(float(v) * 3.0 + 100.0, i) for i, v in enumerate(vals)]
+    return spark.createDataFrame(rows, "x double, id long")
+
+
+def test_sketch_conserves_total_weight(spark):
+    n = 1000
+    sk = kll_sketch(_uniform_df(spark, n), "x", "id", rounds=4, bucket_width=97.0)
+    agg = sk.agg(F.sum("w").alias("tw"), F.count("*").alias("k")).collect()[0]
+    assert agg["tw"] == n
+    # ~n/2^4 survivors plus at most one straggler per level
+    assert agg["k"] <= n // 16 + 4 + 1
+
+
+def test_sketch_is_deterministic_and_order_independent(spark):
+    df = _uniform_df(spark, 500)
+    a = sorted(kll_sketch(df, "x", "id", rounds=3).collect())
+    b = sorted(
+        kll_sketch(df.orderBy(F.rand(seed=1)).repartition(7), "x", "id", rounds=3)
+        .collect()
+    )
+    assert a == b
+
+
+def test_sketch_rank_error_within_kll_bound(spark):
+    """Level-l compaction perturbs a rank query by <= 2^l/2, so R
+    rounds bound the error by sum_{l<R} 2^l/2 < 2^(R-1); add the 2^R
+    survivor-weight granularity. R=5 over n=4096 -> bound 48."""
+    n, rounds = 4096, 5
+    df = _uniform_df(spark, n)
+    sk = kll_sketch(df, "x", "id", rounds=rounds, bucket_width=256.0)
+    probs = [0.1, 0.25, 0.5, 0.75, 0.9]
+    out = {r["prob"]: r["est"] for r in kll_quantiles(sk, probs).collect()}
+    bound = 2 ** rounds + 2 ** (rounds - 1)
+    for p in probs:
+        # values are 100 + 3*rank, so exact rank of the estimate is
+        # recoverable in closed form
+        est_rank = (out[p] - 100.0) / 3.0 + 1
+        target = p * n
+        assert abs(est_rank - target) <= bound, (p, est_rank, target)
+
+
+def test_shard_merge_conserves_weight_and_bounds_error(spark):
+    n = 2048
+    df = _uniform_df(spark, n).withColumn("shard", F.col("id") % 2)
+    cur = df.select(
+        "shard", F.col("x").alias("v"), "id", F.lit(1).cast("long").alias("w")
+    )
+    for _ in range(4):
+        cur = kll_compact_round(
+            cur, "v", "id", "w", bucket_width=256.0, extra_part=("shard",)
+        ).localCheckpoint()
+    merged = cur.select("v", "id", "w")
+    merged = kll_compact_round(merged, "v", "id", "w", bucket_width=256.0)
+    assert merged.agg(F.sum("w")).collect()[0][0] == n
+    out = {r["prob"]: r["est"] for r in kll_quantiles(merged, [0.5]).collect()}
+    est_rank = (out[0.5] - 100.0) / 3.0 + 1
+    # shard phase (4 rounds) + merge round: error < 2^4 + 2^5 granularity
+    assert abs(est_rank - 0.5 * n) <= 2 ** 5 + 2 ** 4
