@@ -4556,3 +4556,245 @@ def kll_sketch_merge_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     for _ in range(2):
         merged = kll_compact_round(merged, "v", "id", "w").localCheckpoint()
     return kll_quantiles(merged, [0.25, 0.5, 0.75, 0.95])
+
+
+#: Deterministic synthetic partsupp (TPC-H's fourth fact table, absent
+#: from the driver schema — ROADMAP #4): 4 suppliers per part via a
+#: modular stride over the supplier count, avail-qty/supply-cost from
+#: md5 slices of the (part, replica) key. Same no-RNG generation
+#: pattern as `synthetic_customers_generate`, so both engines derive
+#: the identical relation and Q16/Q20 shapes become oracle-checkable.
+PARTSUPP_CTE = """partsupp AS (
+      SELECT p.p_partkey AS ps_partkey,
+             CAST((p.p_partkey + i.i * 13) % s.cnt + 1 AS BIGINT) AS ps_suppkey,
+             CAST(CAST('0x' || substr(md5('ps_' || CAST(p.p_partkey AS VARCHAR)
+                  || '_' || CAST(i.i AS VARCHAR)), 1, 8) AS BIGINT) % 9999 + 1
+                  AS INT) AS ps_availqty,
+             round(CAST('0x' || substr(md5('ps_' || CAST(p.p_partkey AS VARCHAR)
+                  || '_' || CAST(i.i AS VARCHAR)), 9, 8) AS BIGINT) % 100000
+                  / 100.0, 2) AS ps_supplycost
+      FROM part p
+      CROSS JOIN (VALUES (0), (1), (2), (3)) i(i)
+      CROSS JOIN (SELECT COUNT(*) AS cnt FROM supplier) s
+    )"""
+
+
+def synthetic_partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of :data:`PARTSUPP_CTE`: part × 4-row replica index ×
+    1-row supplier count — both broadcast, so the expansion is a
+    narrow map over the part scan (no shuffle). The modular stride 13
+    is coprime with small supplier counts, so a part's 4 suppliers are
+    always distinct."""
+    part = load_table(spark, sf_dir, "part").select("p_partkey")
+    scnt = load_table(spark, sf_dir, "supplier").agg(F.count("*").alias("cnt"))
+    idx = spark.range(4).select(F.col("id").alias("i"))
+    h = F.md5(
+        F.concat(
+            F.lit("ps_"),
+            F.col("p_partkey").cast("string"),
+            F.lit("_"),
+            F.col("i").cast("string"),
+        )
+    )
+    return (
+        part.crossJoin(F.broadcast(idx))
+        .crossJoin(F.broadcast(scnt))
+        .withColumn("h", h)
+        .select(
+            F.col("p_partkey").alias("ps_partkey"),
+            ((F.col("p_partkey") + F.col("i") * 13) % F.col("cnt") + 1)
+            .cast("long")
+            .alias("ps_suppkey"),
+            (F.conv(F.substring("h", 1, 8), 16, 10).cast("long") % 9999 + 1)
+            .cast("int")
+            .alias("ps_availqty"),
+            F.round(
+                (F.conv(F.substring("h", 9, 8), 16, 10).cast("long") % 100000)
+                / 100.0,
+                2,
+            ).alias("ps_supplycost"),
+        )
+    )
+
+
+@query(
+    "tpch_q15_top_supplier",
+    oracle=f"""
+    WITH revenue0 AS (
+      SELECT l_suppkey AS supplier_no,
+             {_dec_sum_sql('l_extendedprice * (1 - l_discount)', 4)}
+               AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate <  TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN revenue0 ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue0)
+    ORDER BY s_suppkey
+    """,
+    tags=("tpch", "q15", "view-equivalence"),
+)
+def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 (top supplier): the view-equivalence shape — a
+    revenue view computed once, its MAX computed over the SAME view,
+    and the equality join between the two (ROADMAP #4). The decimal
+    staging makes total_revenue a bit-identical double in both legs,
+    so the double-equality predicate is exact, not flaky. Scale: the
+    view aggregates supplier-keyed partials map-side; the 1-row MAX
+    broadcasts back; supplier side broadcasts into the final join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier")
+    revenue0 = (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp_ntz"))
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(
+            dec_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                "total_revenue",
+                4,
+            )
+        )
+    )
+    mx = revenue0.agg(F.max("total_revenue").alias("mx"))
+    return (
+        revenue0.join(
+            F.broadcast(mx), F.col("total_revenue") == F.col("mx")
+        )
+        .join(
+            F.broadcast(supplier.select("s_suppkey", "s_name")),
+            F.col("supplier_no") == F.col("s_suppkey"),
+        )
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+@query(
+    "tpch_q16_supplier_counts",
+    oracle=f"""
+    WITH {PARTSUPP_CTE}
+    SELECT p_brand, p_type, p_size,
+           CAST(COUNT(DISTINCT ps_suppkey) AS BIGINT) AS supplier_cnt
+    FROM partsupp JOIN part ON p_partkey = ps_partkey
+    WHERE p_brand <> 'Brand#3'
+      AND p_type NOT LIKE 'MEDIUM%'
+      AND p_size IN (1, 4, 9, 14, 23, 36, 45, 49)
+      AND ps_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+      )
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+    tags=("tpch", "q16", "not-in"),
+)
+def tpch_q16_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 (parts/supplier relationship): distinct supplier
+    counts per (brand, type, size) with brand/type/size exclusions and
+    a NOT IN supplier subquery (negative-balance suppliers standing in
+    for the spec's complaint filter — the schema carries no s_comment).
+    The NOT IN is a left-anti broadcast join: the excluded-supplier
+    set is tiny, the anti join runs map-side, and the distinct count
+    shuffles once on the group key."""
+    ps = synthetic_partsupp(spark, sf_dir)
+    part = load_table(spark, sf_dir, "part")
+    supplier = load_table(spark, sf_dir, "supplier")
+    excl = supplier.where(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        ps.join(
+            F.broadcast(part),
+            F.col("p_partkey") == F.col("ps_partkey"),
+        )
+        .where(
+            (F.col("p_brand") != "Brand#3")
+            & ~F.col("p_type").like("MEDIUM%")
+            & F.col("p_size").isin(1, 4, 9, 14, 23, 36, 45, 49)
+        )
+        .join(
+            F.broadcast(excl),
+            F.col("ps_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("ps_suppkey").alias("supplier_cnt"))
+        .orderBy(
+            F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size"
+        )
+    )
+
+
+@query(
+    "tpch_q20_excess_inventory",
+    oracle=f"""
+    WITH {PARTSUPP_CTE}
+    SELECT s_suppkey, s_name
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_name = 'NATION_3'
+      AND s_suppkey IN (
+        SELECT ps_suppkey FROM partsupp
+        WHERE ps_partkey IN (
+          SELECT p_partkey FROM part WHERE p_name LIKE 'red%'
+        )
+        AND ps_availqty > (
+          SELECT 0.5 * SUM(l_quantity) FROM lineitem
+          WHERE l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+            AND l_shipdate >= TIMESTAMP '1996-01-01'
+            AND l_shipdate <  TIMESTAMP '1997-01-01'
+        )
+      )
+    ORDER BY s_suppkey
+    """,
+    tags=("tpch", "q20", "correlated-subquery"),
+)
+def tpch_q20_excess_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 (potential part promotion): suppliers in one nation
+    holding more than half a year's shipped quantity of red parts —
+    the doubly-nested IN + correlated-aggregate shape (ROADMAP #4).
+    The correlated scalar subquery decorrelates into a (partkey,
+    suppkey) quantity aggregate inner-joined to partsupp (the spec's
+    NULL-on-no-rows comparison excludes the pair either way), so the
+    plan is joins + one aggregate, no per-row subquery execution."""
+    ps = synthetic_partsupp(spark, sf_dir)
+    part = load_table(spark, sf_dir, "part")
+    li = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    red_parts = part.where(F.col("p_name").like("red%")).select("p_partkey")
+    qty = (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("l_quantity").alias("half_qty_base"))
+    )
+    qualified = (
+        ps.join(
+            F.broadcast(red_parts),
+            F.col("ps_partkey") == F.col("p_partkey"),
+            "left_semi",
+        )
+        .join(
+            qty,
+            (F.col("ps_partkey") == F.col("l_partkey"))
+            & (F.col("ps_suppkey") == F.col("l_suppkey")),
+        )
+        .where(F.col("ps_availqty") > 0.5 * F.col("half_qty_base"))
+        .select("ps_suppkey")
+        .distinct()
+    )
+    return (
+        supplier.join(
+            F.broadcast(nation.where(F.col("n_name") == "NATION_3")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            qualified, F.col("s_suppkey") == F.col("ps_suppkey"), "left_semi"
+        )
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )
