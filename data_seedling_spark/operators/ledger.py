@@ -985,3 +985,164 @@ def zorder_key(col_a, col_b, bits: int = 16):
             .bitwiseOR(F.shiftleft(bit_b, 2 * i))
         )
     return z
+
+
+class MultiTableTransaction:
+    """Atomic commit across N :class:`VersionedTable`\\ s (ROADMAP #6 —
+    cross-table atomicity, which Delta itself lacks and Iceberg gets
+    only from catalog-level transactions on a real catalog).
+
+    Two-phase protocol over the same single-FS atomic primitives the
+    ledger already trusts (O_EXCL claims + rename):
+
+    1. **prepare** — claim the next version on every staged table
+       (path-sorted, so two transactions over the same tables collide
+       on the FIRST shared table instead of deadlocking), then write
+       every table's data files into its (still invisible) version
+       dir, then persist a manifest ``<txn>.prepared.json`` listing
+       (table path, version, mode, timestamp).
+    2. **commit point** — one ``os.replace`` renames the manifest to
+       ``<txn>.committed.json``. Before the rename, NO table's ledger
+       has advanced; after it, the transaction is durable.
+    3. **apply** — append each table's ledger entry (idempotent: a
+       version already present is skipped), release claims, delete
+       the manifest.
+
+    A crash anywhere leaves a recoverable state, never a torn one:
+
+    - before the rename → no reader anywhere sees any new version;
+      :meth:`recover` rolls the ``.prepared`` manifest BACK (deletes
+      staged data dirs, releases claims);
+    - after the rename → :meth:`recover` rolls the ``.committed``
+      manifest FORWARD (re-applies the missing ledger entries with the
+      manifest's recorded timestamps, so replay is byte-identical).
+
+    The claims held from prepare to apply keep concurrent writers off
+    the in-flight version numbers, so the window where table A's
+    ledger shows the commit and table B's does not is closed by
+    roll-forward without any writer having interleaved.
+    """
+
+    def __init__(self, spark: SparkSession, txn_dir: str):
+        self.spark = spark
+        self.txn_dir = txn_dir
+        self._staged: list[tuple[VersionedTable, DataFrame, str]] = []
+
+    def stage(
+        self, table: VersionedTable, df: DataFrame, mode: str = "append"
+    ) -> None:
+        if mode not in ("append", "overwrite"):
+            raise ValueError(f"unsupported mode {mode!r}")
+        self._staged.append((table, df, mode))
+
+    # -- commit ---------------------------------------------------------------
+
+    def _manifest_path(self, txn_id: str, state: str) -> str:
+        return os.path.join(self.txn_dir, f"{txn_id}.{state}.json")
+
+    def commit(self) -> dict[str, int]:
+        """Run the two-phase commit; returns {table_path: version}."""
+        if not self._staged:
+            raise ValueError("nothing staged")
+        os.makedirs(self.txn_dir, exist_ok=True)
+        txn_id = f"txn-{int(time.time() * 1000)}-{os.getpid()}"
+        staged = sorted(self._staged, key=lambda t: t[0].path)
+        claimed: list[tuple[VersionedTable, int]] = []
+        entries = []
+        try:
+            for table, df, mode in staged:
+                commits = table.commits()
+                if mode == "append" and commits:
+                    table._validate_schema(df)
+                version = (commits[-1].version if commits else -1) + 1
+                os.makedirs(table.path, exist_ok=True)
+                table._claim(version)
+                claimed.append((table, version))
+                entries.append(
+                    {
+                        "path": os.path.abspath(table.path),
+                        "version": version,
+                        "mode": mode,
+                        "timestamp_ms": int(time.time() * 1000),
+                    }
+                )
+            for (table, df, mode), e in zip(staged, entries):
+                table._shape(strip_reserved_columns(df)).write.mode(
+                    "overwrite"
+                ).parquet(table._version_dir(e["version"]))
+            prepared = self._manifest_path(txn_id, "prepared")
+            tmp = prepared + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump({"txn_id": txn_id, "entries": entries}, f, indent=1)
+            os.replace(tmp, prepared)
+        except BaseException:
+            for table, version in claimed:
+                table._release_claim(version)
+            raise
+        self._commit_point(txn_id)
+        self._apply(txn_id)
+        self._staged = []
+        return {e["path"]: e["version"] for e in entries}
+
+    def _commit_point(self, txn_id: str) -> None:
+        """THE commit point: one atomic rename (crash-injection seam —
+        a crash before this call leaves a ``.prepared`` manifest that
+        recovery rolls back; after it, a ``.committed`` manifest that
+        recovery rolls forward)."""
+        os.replace(
+            self._manifest_path(txn_id, "prepared"),
+            self._manifest_path(txn_id, "committed"),
+        )
+
+    def _apply(self, txn_id: str) -> None:
+        """Roll the committed manifest forward (idempotent)."""
+        path = self._manifest_path(txn_id, "committed")
+        with open(path) as f:
+            manifest = json.load(f)
+        for e in manifest["entries"]:
+            table = VersionedTable(self.spark, e["path"])
+            self._apply_entry(table, e)
+            table._release_claim(e["version"])
+        os.remove(path)
+
+    def _apply_entry(self, table: VersionedTable, e: dict) -> None:
+        """Append ONE ledger entry (seam for crash injection in
+        tests). Skips versions already applied, so replay after a
+        mid-apply crash is safe."""
+        commits = table.commits()
+        if any(c.version == e["version"] for c in commits):
+            return
+        commits.append(Commit(e["version"], e["mode"], e["timestamp_ms"]))
+        table._write_ledger(commits)
+
+    # -- recovery -------------------------------------------------------------
+
+    @classmethod
+    def recover(cls, spark: SparkSession, txn_dir: str) -> dict[str, list[str]]:
+        """Crash recovery: roll ``.committed`` manifests forward and
+        ``.prepared`` manifests back. Returns the txn ids handled per
+        outcome. Safe to run any time — both directions are
+        idempotent, and applied manifests no longer exist."""
+        rolled_forward, rolled_back = [], []
+        if not os.path.isdir(txn_dir):
+            return {"forward": rolled_forward, "back": rolled_back}
+        me = cls(spark, txn_dir)
+        for name in sorted(os.listdir(txn_dir)):
+            if name.endswith(".committed.json"):
+                txn_id = name[: -len(".committed.json")]
+                me._apply(txn_id)
+                rolled_forward.append(txn_id)
+            elif name.endswith(".prepared.json"):
+                with open(os.path.join(txn_dir, name)) as f:
+                    manifest = json.load(f)
+                for e in manifest["entries"]:
+                    table = VersionedTable(spark, e["path"])
+                    vdir = table._version_dir(e["version"])
+                    if os.path.isdir(vdir):
+                        import shutil
+
+                        shutil.rmtree(vdir)
+                    table._release_claim(e["version"])
+                os.remove(os.path.join(txn_dir, name))
+                rolled_back.append(name[: -len(".prepared.json")])
+        return {"forward": rolled_forward, "back": rolled_back}

@@ -1548,3 +1548,79 @@ def incremental_lm_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         return view.table.read().select("tok", F.col(COUNT_COL))
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+
+
+@query(
+    "txn_atomic_pseudonymise_advance",
+    oracle="""
+    SELECT event_id, date_trunc('hour', ts) AS ts, event_type, value,
+           sha256(CAST(user_id AS VARCHAR) || '2b6ef354-salt') AS user_id_hashed,
+           CAST(3 AS BIGINT) AS wm_next
+    FROM events
+    """,
+    tags=("S6", "ST1", "ST2", "txn"),
+)
+def txn_atomic_pseudonymise_advance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-table transactional commit (ROADMAP #6): each incremental
+    run stages the pseudonymised OUTPUT append and the WATERMARK
+    advance in ONE :class:`MultiTableTransaction` — the commit point
+    is a single manifest rename, so output-without-advance (duplicate
+    reprocessing) and advance-without-output (data loss) are both
+    impossible even across crashes (crash-injection proof:
+    ``tests/test_ledger.py::TestMultiTableTransaction``). Two runs
+    over a 3-version source (v0 create, v1+v2 appends, event_id mod 3
+    slices); the oracle reproduces the final output — the full
+    pseudonymised event set — and the advanced watermark lo = hi + 1
+    = 3 read back from the committed state table."""
+    from .config import TABLE_CONFIG
+    from .operators.ledger import MultiTableTransaction
+    from .operators.merge import CHANGE_TYPE, CT_INSERT
+    from .operators.watermark import (
+        WATERMARK_SCHEMA,
+        get_or_create_low_watermark,
+    )
+    from .pipelines.pseudonymise import pseudo_transform
+    from pyspark.sql import Row
+
+    events = load_table(spark, sf_dir, "events")
+    base = tempfile.mkdtemp(prefix="txn_advance_")
+    src = VersionedTable(spark, f"{base}/src", write_partitions=4)
+    out = VersionedTable(spark, f"{base}/out", write_partitions=4)
+    state = VersionedTable(spark, f"{base}/state", write_partitions=1)
+    key = F.col("event_id")
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        src.write(events.where(key % 3 == 0), mode="overwrite")
+        src.write(events.where(key % 3 == 1), mode="append")
+
+        def run_once():
+            lo = get_or_create_low_watermark(spark, state, "txn_pseudo", "events")
+            hi = src.latest_version()
+            inc = (
+                src.read_changes(lo, hi)
+                .where(F.col(CHANGE_TYPE) == CT_INSERT)
+                .select(*events.columns)
+            )
+            txn = MultiTableTransaction(spark, f"{base}/txn")
+            txn.stage(out, pseudo_transform(inc, TABLE_CONFIG["events"]))
+            txn.stage(
+                state,
+                spark.createDataFrame(
+                    [Row(low_watermark=hi + 1, activity="txn_pseudo",
+                         table_name="events")],
+                    WATERMARK_SCHEMA,
+                ),
+                mode="overwrite",
+            )
+            txn.commit()
+
+        run_once()                                    # consumes v0..v1
+        src.write(events.where(key % 3 == 2), mode="append")
+        run_once()                                    # consumes v2 only
+        wm = state.read().select(
+            F.col("low_watermark").alias("wm_next")
+        )
+        return out.read().crossJoin(F.broadcast(wm))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)

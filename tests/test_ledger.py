@@ -821,3 +821,125 @@ def test_vacuum_dry_run_reports_without_deleting(spark, tmp_path):
 
     with _pytest.raises(NoSuchVersionError):
         t.read(version=0).count()
+
+
+class TestMultiTableTransaction:
+    def _tables(self, spark, tmp_path):
+        from data_seedling_spark.operators.ledger import VersionedTable
+
+        a = VersionedTable(spark, str(tmp_path / "a"), write_partitions=1)
+        b = VersionedTable(spark, str(tmp_path / "b"), write_partitions=1)
+        a.write(spark.range(3).withColumnRenamed("id", "k"), mode="overwrite")
+        b.write(spark.range(2).withColumnRenamed("id", "k"), mode="overwrite")
+        return a, b
+
+    def test_commits_all_tables_atomically(self, spark, tmp_path):
+        from data_seedling_spark.operators.ledger import MultiTableTransaction
+
+        a, b = self._tables(spark, tmp_path)
+        txn = MultiTableTransaction(spark, str(tmp_path / "txn"))
+        txn.stage(a, spark.range(3, 5).withColumnRenamed("id", "k"))
+        txn.stage(b, spark.range(2, 4).withColumnRenamed("id", "k"))
+        versions = txn.commit()
+        assert set(versions.values()) == {1}
+        assert a.latest_version() == 1 and b.latest_version() == 1
+        assert sorted(r["k"] for r in a.read().collect()) == [0, 1, 2, 3, 4]
+        assert sorted(r["k"] for r in b.read().collect()) == [0, 1, 2, 3]
+        import os
+
+        assert os.listdir(str(tmp_path / "txn")) == []  # manifest applied
+        # claims released: a plain write succeeds immediately
+        assert a.write(
+            spark.range(5, 6).withColumnRenamed("id", "k"), mode="append"
+        ) == 2
+
+    def test_crash_before_commit_point_rolls_back(self, spark, tmp_path):
+        """Crash with the manifest still .prepared: NO table may
+        advance; recover() deletes staged data and frees the claims."""
+        import pytest
+
+        from data_seedling_spark.operators.ledger import MultiTableTransaction
+
+        a, b = self._tables(spark, tmp_path)
+        txn = MultiTableTransaction(spark, str(tmp_path / "txn"))
+        txn.stage(a, spark.range(3, 5).withColumnRenamed("id", "k"))
+        txn.stage(b, spark.range(2, 4).withColumnRenamed("id", "k"))
+
+        boom = RuntimeError("crash before commit point")
+
+        def crash(txn_id):
+            raise boom
+
+        txn._commit_point = crash
+        with pytest.raises(RuntimeError, match="crash before commit"):
+            txn.commit()
+        assert a.latest_version() == 0 and b.latest_version() == 0
+        out = MultiTableTransaction.recover(spark, str(tmp_path / "txn"))
+        assert len(out["back"]) == 1 and out["forward"] == []
+        assert a.latest_version() == 0 and b.latest_version() == 0
+        assert sorted(r["k"] for r in a.read().collect()) == [0, 1, 2]
+        # claims freed: both tables accept new writes at version 1
+        assert a.write(
+            spark.range(9, 10).withColumnRenamed("id", "k"), mode="append"
+        ) == 1
+        assert b.write(
+            spark.range(9, 10).withColumnRenamed("id", "k"), mode="append"
+        ) == 1
+
+    def test_crash_mid_apply_rolls_forward_untorn(self, spark, tmp_path):
+        """Crash AFTER the commit point with only table A's ledger
+        advanced — the torn window. recover() must roll table B
+        forward (and not double-apply A), restoring atomicity."""
+        import pytest
+
+        from data_seedling_spark.operators.ledger import MultiTableTransaction
+
+        a, b = self._tables(spark, tmp_path)
+        txn = MultiTableTransaction(spark, str(tmp_path / "txn"))
+        txn.stage(a, spark.range(3, 5).withColumnRenamed("id", "k"))
+        txn.stage(b, spark.range(2, 4).withColumnRenamed("id", "k"))
+
+        real_apply_entry = txn._apply_entry
+        calls = []
+
+        def crashy(table, e):
+            if len(calls) == 1:
+                raise RuntimeError("crash mid-apply")
+            calls.append(e["path"])
+            real_apply_entry(table, e)
+
+        txn._apply_entry = crashy
+        with pytest.raises(RuntimeError, match="crash mid-apply"):
+            txn.commit()
+        # torn right now: exactly one table advanced
+        assert {a.latest_version(), b.latest_version()} == {0, 1}
+        out = MultiTableTransaction.recover(spark, str(tmp_path / "txn"))
+        assert len(out["forward"]) == 1 and out["back"] == []
+        assert a.latest_version() == 1 and b.latest_version() == 1
+        assert sorted(r["k"] for r in a.read().collect()) == [0, 1, 2, 3, 4]
+        assert sorted(r["k"] for r in b.read().collect()) == [0, 1, 2, 3]
+        # recovery used the manifest timestamps: replaying again no-ops
+        again = MultiTableTransaction.recover(spark, str(tmp_path / "txn"))
+        assert again == {"forward": [], "back": []}
+
+    def test_conflicting_txn_fails_whole_and_releases(self, spark, tmp_path):
+        """A claim held by another writer on ANY staged table aborts
+        the WHOLE transaction (no partial prepare survives)."""
+        import pytest
+
+        from data_seedling_spark.operators.ledger import (
+            ConcurrentWriteConflictError,
+            MultiTableTransaction,
+        )
+
+        a, b = self._tables(spark, tmp_path)
+        b._claim(1)  # concurrent writer holds b's next version
+        txn = MultiTableTransaction(spark, str(tmp_path / "txn"))
+        txn.stage(a, spark.range(3, 5).withColumnRenamed("id", "k"))
+        txn.stage(b, spark.range(2, 4).withColumnRenamed("id", "k"))
+        with pytest.raises(ConcurrentWriteConflictError):
+            txn.commit()
+        # a's claim was released by the abort; only b's foreign claim stays
+        assert a.write(
+            spark.range(7, 8).withColumnRenamed("id", "k"), mode="append"
+        ) == 1
