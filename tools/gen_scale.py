@@ -1,0 +1,80 @@
+"""Scale-probe data generator: replicate an existing SF directory K×
+with disjoint key spaces, producing a self-consistent larger dataset
+(each replica is a closed "shard" — every FK join lands inside its own
+replica, so join/group cardinalities scale linearly with K, which is
+exactly the property a scaling probe needs).
+
+Dimension tables (region, nation) are shared across replicas, like a
+real warehouse. Every surrogate key is offset by ``replica * OFFSET``;
+unique-but-non-joining ids (event_id, doc_id, vec_id) get the same
+treatment so dedup/sketch queries see K× distinct entities.
+
+Usage: python tools/gen_scale.py [--src /root/testdata/sf0.1]
+                                 [--dst /tmp/sf1] [--k 10]
+Writes parquet per table under --dst; idempotent (overwrites).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from data_seedling_spark.session import build_session  # noqa: E402
+
+OFFSET = 1_000_000_000
+
+#: table -> columns to offset per replica
+KEY_COLS = {
+    "customer": ["c_custkey"],
+    "supplier": ["s_suppkey"],
+    "part": ["p_partkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+    "events": ["event_id", "user_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+    "region": [],
+    "nation": [],
+}
+
+
+def scale_table(spark, src: str, dst: str, table: str, k: int) -> int:
+    df = spark.read.parquet(os.path.join(src, f"{table}.parquet"))
+    keys = KEY_COLS[table]
+    if not keys:  # shared dimension
+        out = df
+    else:
+        replicas = spark.range(k).select(F.col("id").alias("_rep"))
+        out = df.crossJoin(F.broadcast(replicas)).select(
+            *[
+                (F.col(c) + F.col("_rep") * OFFSET).alias(c)
+                if c in keys
+                else F.col(c)
+                for c in df.columns
+            ]
+        )
+    out.write.mode("overwrite").parquet(os.path.join(dst, f"{table}.parquet"))
+    return spark.read.parquet(os.path.join(dst, f"{table}.parquet")).count()
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--src", default="/root/testdata/sf0.1")
+    ap.add_argument("--dst", default="/tmp/sf1")
+    ap.add_argument("--k", type=int, default=10)
+    args = ap.parse_args()
+    spark = build_session("gen-scale")
+    for table in KEY_COLS:
+        n = scale_table(spark, args.src, args.dst, table, args.k)
+        print(f"{table}: {n} rows")
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
