@@ -6094,3 +6094,55 @@ def logreg_holdout_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("auc"),
     )
+
+
+@query(
+    "embedding_near_dup_ivf_adaptive",
+    oracle="""
+    WITH st AS (
+      SELECT CAST(ceil(sqrt(CAST(COUNT(*) AS DOUBLE))) AS BIGINT) AS s
+      FROM embeddings
+    ), c AS (
+      SELECT vec_id // st.s AS centroid_id, embedding::DOUBLE[] AS cv
+      FROM embeddings, st WHERE vec_id % st.s = 0
+    ), v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS vv FROM embeddings
+    ), assigned AS (
+      SELECT vec_id, centroid_id FROM (
+        SELECT v.vec_id, c.centroid_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY v.vec_id
+                 ORDER BY round(list_dot_product(vv, vv) + list_dot_product(cv, cv)
+                                - 2 * list_dot_product(vv, cv), 6),
+                          c.centroid_id
+               ) AS rn
+        FROM v, c
+      ) WHERE rn = 1
+    ), cells AS (
+      SELECT v.vec_id, a.centroid_id, v.vv FROM v JOIN assigned a USING (vec_id)
+    )
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round(list_dot_product(a.vv, b.vv)
+                 / (sqrt(list_dot_product(a.vv, a.vv))
+                    * sqrt(list_dot_product(b.vv, b.vv))), 6) AS score
+    FROM cells a JOIN cells b
+      ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+    WHERE round(list_dot_product(a.vv, b.vv)
+                / (sqrt(list_dot_product(a.vv, a.vv))
+                   * sqrt(list_dot_product(b.vv, b.vv))), 6) >= 0.4
+    """,
+    tags=("dedup-embedding", "similarity-ivf", "adaptive"),
+)
+def embedding_near_dup_ivf_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The √N-sized IVF near-dup — the 100 TB configuration of
+    `embedding_near_dup_ivf`. A fixed centroid stride makes cell count
+    ∝ N and the flat assignment scan N²/stride (measured 54× at 10×
+    data, SCALE.md r7); stride = ceil(sqrt(N)) balances assignment and
+    in-cell pair work at N^1.5 (measured 3.7× faster at sf1, recall
+    preserved). The stride formula is IEEE-deterministic, so the
+    oracle derives the SAME index size from COUNT(*) and the
+    approximate result stays hash-exact."""
+    from .operators.similarity import embedding_near_dup_ivf as _near_dup_ivf
+
+    embeddings = load_table(spark, sf_dir, "embeddings")
+    return _near_dup_ivf(embeddings, threshold=0.4, centroid_stride=None)
