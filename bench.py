@@ -119,6 +119,14 @@ HEADLINE = [
     "rag_chunk_retrieval",
     "psi_distribution_drift",
     "ks_test_drift",
+    # r7 additions: KLL rank sketch, TPC-H Q15/Q16/Q20 shapes, and the
+    # sqrt-N adaptive IVF (the 100 TB configuration; see SCALE.md).
+    "kll_quantile_sketch",
+    "kll_sketch_merge_shards",
+    "tpch_q15_top_supplier",
+    "tpch_q16_supplier_counts",
+    "tpch_q20_excess_inventory",
+    "embedding_near_dup_ivf_adaptive",
 ]
 
 
