@@ -1336,3 +1336,88 @@ def mmr_rerank(
     cands.unpersist()
     ps.unpersist()
     return sel
+
+
+def ivf_assign_hierarchical(
+    df: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id: str = "centroid_id",
+    nprobe_coarse: int = 4,
+) -> DataFrame:
+    """Two-level (IMI-style) coarse quantization — the beyond-N^1.5
+    remedy from SCALE.md: where the flat :func:`ivf_assign` scores
+    every vector against every centroid (N × ncells), this routes
+    through ~√ncells super-centroids:
+
+    1. super-centroids = every ⌈√ncells⌉-th centroid (tiny);
+    2. each CENTROID assigns to its nearest super (ncells × √ncells);
+    3. each VECTOR scores only the supers (N × √ncells) and keeps its
+       ``nprobe_coarse`` nearest (boundary-miss knob, exactly IVF's
+       nprobe one level up);
+    4. each vector then scores only the centroids INSIDE its probed
+       supers (N × nprobe·√ncells expected) and argmins.
+
+    Total ≈ N·√ncells·(1+nprobe) vs N·ncells flat — with
+    ncells = N/stride this turns the quadratic assignment into
+    N^1.5/√stride. APPROXIMATE: a vector whose true nearest centroid
+    lives in an unprobed super-cell mis-assigns (recall floor asserted
+    in tests/test_llm_ops.py); the flat scan stays the oracle-exact
+    twin, same split as minhash-md5 vs xxhash64.
+    """
+    import math
+
+    n_cells = centroids.count()
+    sstride = max(1, int(math.ceil(math.sqrt(float(n_cells)))))
+    supers = centroids.where(F.col(centroid_id) % sstride == 0).select(
+        (F.col(centroid_id) / sstride).cast("long").alias("_super_id"),
+        F.col(vec_col).cast("array<double>").alias("_sv"),
+    )
+    c = centroids.select(
+        F.col(centroid_id), F.col(vec_col).cast("array<double>").alias("_c")
+    )
+    # level-1: centroid -> super (exact argmin over the tiny super set)
+    c_dist = (
+        _dot(F.col("_c"), F.col("_c"))
+        + _dot(F.col("_sv"), F.col("_sv"))
+        - 2 * _dot(F.col("_c"), F.col("_sv"))
+    )
+    c2s = (
+        c.join(F.broadcast(supers))
+        .select(centroid_id, "_super_id", F.round(c_dist, 6).alias("_d"))
+        .groupBy(centroid_id)
+        .agg(F.min_by("_super_id", F.struct("_d", "_super_id")).alias("_super_id"))
+    )
+    routed = c.join(F.broadcast(c2s), centroid_id)
+    # level-1: vector -> nprobe_coarse supers
+    v = df.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v")
+    )
+    v_dist = (
+        _dot(F.col("_v"), F.col("_v"))
+        + _dot(F.col("_sv"), F.col("_sv"))
+        - 2 * _dot(F.col("_v"), F.col("_sv"))
+    )
+    pw = W.partitionBy(id_col).orderBy("_ds", "_super_id")
+    v2s = (
+        v.join(F.broadcast(supers))
+        .select(id_col, "_super_id", F.round(v_dist, 6).alias("_ds"))
+        .withColumn("_rn", F.row_number().over(pw))
+        .where(F.col("_rn") <= nprobe_coarse)
+        .select(id_col, "_super_id")
+    )
+    # level-2: vector -> centroids inside its probed supers only
+    cand = v.join(v2s, id_col).join(
+        F.broadcast(routed.select(centroid_id, "_super_id", "_c")), "_super_id"
+    )
+    dist = (
+        _dot(F.col("_v"), F.col("_v"))
+        + _dot(F.col("_c"), F.col("_c"))
+        - 2 * _dot(F.col("_v"), F.col("_c"))
+    )
+    return (
+        cand.select(id_col, centroid_id, F.round(dist, 6).alias("_d"))
+        .groupBy(id_col)
+        .agg(F.min_by(centroid_id, F.struct("_d", centroid_id)).alias(centroid_id))
+    )

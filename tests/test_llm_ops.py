@@ -1787,3 +1787,44 @@ def test_mmr_rerank_prefers_diversity_over_redundancy(spark):
         ).collect()
     )
     assert [c for _, c in out] == [1, 3, 2]
+
+
+def test_hierarchical_ivf_assignment_agreement(spark):
+    """Two-level coarse quantization must reproduce the flat argmin on
+    separable data: 30 well-separated gaussian blobs, 3000 vectors,
+    stride-60 centroids -> agreement >= 0.9 at the default
+    nprobe_coarse=4 and exact flat equality at nprobe >= n_supers.
+    (On corpora with many near-tied centroids the two argmins pick
+    different members of the tie photo-finish - see SCALE.md.)"""
+    import random
+
+    from data_seedling_spark.operators.similarity import (
+        ivf_assign,
+        ivf_assign_hierarchical,
+    )
+
+    rng = random.Random(11)
+    centers = [[rng.gauss(0, 5) for _ in range(12)] for _ in range(30)]
+    rows = []
+    for i in range(3000):
+        c = centers[i % 30]
+        rows.append((i, [x + rng.gauss(0, 0.2) for x in c]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = df.where((F.col("vec_id") % 60) == 0).select(
+        (F.col("vec_id") / 60).cast("long").alias("centroid_id"),
+        F.col("embedding"),
+    )
+    flat = {r["vec_id"]: r["centroid_id"] for r in ivf_assign(df, cents).collect()}
+    hier = {
+        r["vec_id"]: r["centroid_id"]
+        for r in ivf_assign_hierarchical(df, cents).collect()
+    }
+    assert len(hier) == len(flat)
+    agree = sum(1 for k in flat if flat[k] == hier[k]) / len(flat)
+    assert agree >= 0.90, agree
+    # probing every super-cell degenerates to the exact flat argmin
+    exact = {
+        r["vec_id"]: r["centroid_id"]
+        for r in ivf_assign_hierarchical(df, cents, nprobe_coarse=64).collect()
+    }
+    assert exact == flat

@@ -50,14 +50,29 @@ def scale_table(spark, src: str, dst: str, table: str, k: int) -> int:
         out = df
     else:
         replicas = spark.range(k).select(F.col("id").alias("_rep"))
-        out = df.crossJoin(F.broadcast(replicas)).select(
-            *[
-                (F.col(c) + F.col("_rep") * OFFSET).alias(c)
-                if c in keys
-                else F.col(c)
-                for c in df.columns
-            ]
-        )
+        cols = []
+        for c in df.columns:
+            if c in keys:
+                cols.append((F.col(c) + F.col("_rep") * OFFSET).alias(c))
+            elif c == "embedding":
+                # Perturb vectors per replica: exact duplicates make
+                # nearest-neighbor ties ubiquitous (argmin comparisons
+                # between identical distances degenerate to id
+                # tie-breaks), which is not what 10× real data looks
+                # like. A deterministic per-replica epsilon keeps every
+                # vector distinct while preserving cluster structure.
+                cols.append(
+                    F.transform(
+                        F.col(c),
+                        lambda x, i: x
+                        + (F.col("_rep") + 1)
+                        * (i + 1).cast("double")
+                        * 1e-4,
+                    ).alias(c)
+                )
+            else:
+                cols.append(F.col(c))
+        out = df.crossJoin(F.broadcast(replicas)).select(*cols)
     out.write.mode("overwrite").parquet(os.path.join(dst, f"{table}.parquet"))
     return spark.read.parquet(os.path.join(dst, f"{table}.parquet")).count()
 
