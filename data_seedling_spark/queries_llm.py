@@ -6146,3 +6146,34 @@ def embedding_near_dup_ivf_adaptive(spark: SparkSession, sf_dir: str) -> DataFra
 
     embeddings = load_table(spark, sf_dir, "embeddings")
     return _near_dup_ivf(embeddings, threshold=0.4, centroid_stride=None)
+
+
+@query("embedding_near_dup_arrow", oracle=None, tags=("dedup-embedding", "arrow-matmul"))
+def embedding_near_dup_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF near-dup with the Arrow-matmul assignment twin
+    (`ivf_assign_arrow`): one BLAS matmul per Arrow batch replaces the
+    interpreted per-(vector, centroid) fold — measured 68× faster at
+    sf1 with 1.000 assignment agreement (SCALE.md r7). Rows-only by
+    design, like the xxhash64 minhash twin: numpy's pairwise/SIMD
+    summation order can differ from the sequential fold by an ulp at a
+    1e-6 rounding boundary, so the fold-based `embedding_near_dup_ivf`
+    stays the hash-exact oracle query and this records the throughput
+    path; agreement floor asserted in tests/test_llm_ops.py."""
+    from .operators.similarity import (
+        embedding_near_dup_pairs,
+        ivf_assign_arrow,
+    )
+
+    embeddings = load_table(spark, sf_dir, "embeddings")
+    stride = 50
+    centroids = embeddings.where((F.col("vec_id") % stride) == 0).select(
+        (F.col("vec_id") / stride).cast("long").alias("centroid_id"),
+        F.col("embedding"),
+    )
+    assigned = ivf_assign_arrow(embeddings, centroids)
+    blocked = embeddings.join(assigned, on="vec_id").select(
+        "vec_id", "centroid_id", "embedding"
+    )
+    return embedding_near_dup_pairs(
+        blocked, block_col="centroid_id", threshold=0.4
+    )

@@ -1828,3 +1828,27 @@ def test_hierarchical_ivf_assignment_agreement(spark):
         for r in ivf_assign_hierarchical(df, cents, nprobe_coarse=64).collect()
     }
     assert exact == flat
+
+
+def test_arrow_assignment_matches_fold_assignment(spark):
+    """The Arrow-matmul assignment twin must agree with the
+    fold-based flat argmin on virtually every vector (identical
+    round-6 grid and tie rule; disagreement requires an ulp-level
+    summation-order flip landing exactly on a 1e-6 boundary)."""
+    from data_seedling_spark.operators.similarity import (
+        ivf_assign,
+        ivf_assign_arrow,
+    )
+
+    df = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    cents = df.where((F.col("vec_id") % 50) == 0).select(
+        (F.col("vec_id") / 50).cast("long").alias("centroid_id"),
+        F.col("embedding"),
+    )
+    fold = {r["vec_id"]: r["centroid_id"] for r in ivf_assign(df, cents).collect()}
+    arrow = {
+        r["vec_id"]: r["centroid_id"] for r in ivf_assign_arrow(df, cents).collect()
+    }
+    assert len(arrow) == len(fold)
+    agree = sum(1 for k in fold if fold[k] == arrow[k]) / len(fold)
+    assert agree >= 0.999, agree
