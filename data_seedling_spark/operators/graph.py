@@ -332,3 +332,61 @@ def label_propagation_communities(
         )
     sym.unpersist()
     return labels
+
+
+def pagerank_integer(
+    edges: DataFrame,
+    src: str = "u",
+    dst: str = "v",
+    rounds: int = 3,
+    scale: int = 10**12,
+) -> DataFrame:
+    """Bounded PageRank in exact integer microunits — the
+    hash-comparable twin of the classic damped iteration.
+
+    Float PageRank sums per-node contributions in nondeterministic
+    order, so no two engines (or two shuffles) agree bit-for-bit.
+    Here ranks live on an integer grid: every node starts at ``scale``
+    (10^12 microunits), a round sends each neighbor
+    ``div(85 · r, 100 · deg)`` (Spark IntegralDivide — exact), and the
+    update is ``15% · scale + Σ contributions`` — integer sums are
+    order-independent, so the whole trajectory is reproducible in
+    unrolled SQL CTEs and across cluster sizes. Overflow headroom:
+    total mass stays ≈ N·scale, so ``85·r`` fits int64 up to ~10^5
+    nodes at 10^12 scale (drop ``scale`` a decade per decade of nodes
+    beyond that).
+
+    Same scale posture as :func:`bellman_ford`: per round one join on
+    the edge source + one map-side-combinable integer SUM;
+    ``localCheckpoint`` keeps the plan flat. Isolated nodes don't
+    appear in an edge list; every listed node has deg ≥ 1.
+    """
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .persist()
+    )
+    deg = sym.groupBy("a").agg(F.count("*").alias("_deg"))
+    base = scale * 15 // 100
+    ranks = deg.select(
+        F.col("a").alias("node"), F.lit(scale).cast("long").alias("r")
+    ).localCheckpoint()
+    for _ in range(rounds):
+        contrib = (
+            sym.join(ranks, sym.a == ranks.node)
+            .join(deg, "a")
+            .select(
+                F.col("b").alias("node"),
+                F.call_function(
+                    "div", F.lit(85).cast("long") * F.col("r"),
+                    F.lit(100).cast("long") * F.col("_deg"),
+                ).alias("c"),
+            )
+        )
+        ranks = (
+            contrib.groupBy("node")
+            .agg((F.lit(base).cast("long") + F.sum("c")).alias("r"))
+            .localCheckpoint()
+        )
+    sym.unpersist()
+    return ranks

@@ -977,3 +977,62 @@ def label_propagation_communities_q(spark: SparkSession, sf_dir: str) -> DataFra
         )
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+
+
+def _pagerank_oracle(rounds: int = 3) -> str:
+    """Unrolled integer-microunit PageRank rounds (twin of
+    ``operators.graph.pagerank_integer``)."""
+    parts = [
+        f"""
+    WITH {LI_CAPPED_CTE}, e1 AS (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM li_capped a JOIN li_capped b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ), e AS (
+      SELECT u AS a, v AS b FROM e1 UNION ALL SELECT v, u FROM e1
+    ), deg AS (
+      SELECT a, COUNT(*) AS c FROM e GROUP BY a
+    ), r0 AS (
+      SELECT a AS node, CAST(1000000000000 AS BIGINT) AS r FROM deg
+    )"""
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f""", r{i} AS (
+      SELECT e.b AS node,
+             CAST(150000000000 + SUM((85 * r.r) // (100 * d.c)) AS BIGINT) AS r
+      FROM e JOIN r{i - 1} r ON e.a = r.node JOIN deg d ON d.a = e.a
+      GROUP BY e.b
+    )"""
+        )
+    parts.append(
+        f"""
+    SELECT node, r AS rank_micro FROM r{rounds}"""
+    )
+    return "".join(parts)
+
+
+@query(
+    "pagerank_copurchase",
+    oracle=_pagerank_oracle(3),
+    tags=("graph", "pagerank", "centrality"),
+)
+def pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Part-importance centrality: 3 damped PageRank rounds over the
+    basket-capped co-purchase graph, in exact integer microunits so
+    the whole trajectory hash-matches the unrolled CTE oracle (float
+    PageRank's per-node contribution sums are order-dependent; the
+    integer grid makes them commutative). Completes the graph family
+    next to BFS/Bellman-Ford/k-core/LPA/triangles with the
+    random-walk centrality every co-view/co-purchase ranker uses."""
+    from .operators.graph import pagerank_integer
+
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = copurchase_pairs(li).select("u", "v").distinct()
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    try:
+        ranks = pagerank_integer(edges, rounds=3)
+        return ranks.select("node", F.col("r").alias("rank_micro"))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
