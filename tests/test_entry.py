@@ -27,6 +27,12 @@ def test_registry_contract_shapes():
         "hll_sketch_mergeable_distinct",
         "multimodal_decode_stub",
         "pca_project_embeddings",  # eigendecomposition: no SQL twin
+        # float32 matmul sums partial products in a different (blocked)
+        # order than the fold twin, so cosine scores can differ by ulps
+        # near the top-k threshold; agreement floor >=0.999 is asserted
+        # in tests/test_llm_ops.py instead (see similarity.py
+        # ivf_assign_arrow docstring for the ulp-order rationale).
+        "embedding_near_dup_arrow",
     }, f"unexpected rows-only queries: {missing_oracle}"
     for sql in o.values():
         assert sql.strip(), "empty oracle"
