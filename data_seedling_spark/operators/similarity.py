@@ -30,6 +30,30 @@ def _dot(a, b):
     )
 
 
+def _resolve_stride(df: DataFrame, stride: int | None) -> int:
+    """``None`` → :func:`adaptive_stride` (√N — the scale-safe
+    default since r8; a FIXED stride makes IVF/PQ/k-means index
+    sizing quadratic in corpus size, measured 16–59× wall-clock at
+    10× data in SCALE.md). Pass an explicit int to pin the index
+    size — the small-SF regression twins do."""
+    return adaptive_stride(df) if stride is None else stride
+
+
+def arrow_assign_enabled() -> bool:
+    """True when ``DS_SPARK_IVF_ARROW`` is set truthy in the
+    environment: :func:`ivf_assign` then routes through the
+    Arrow/BLAS matmul assigner (:func:`ivf_assign_arrow`, measured
+    68× at sf1 in SCALE.md). Off by default so the sequential-fold
+    plan stays the hash-exact oracle path; bench.py turns it on
+    (the throughput configuration; assignment agreement vs the fold
+    ≥0.999 is floor-tested in tests/test_llm_ops.py)."""
+    import os
+
+    return os.environ.get("DS_SPARK_IVF_ARROW", "").lower() in (
+        "1", "true", "yes",
+    )
+
+
 def cosine(a, b):
     """dot/(‖a‖·‖b‖) over double array columns (sequential fold —
     deterministic and oracle-reproducible)."""
@@ -222,7 +246,7 @@ def embedding_near_dup_pairs(
     vec_col: str = "embedding",
     block_col: str | None = None,
     threshold: float = 0.4,
-    centroid_stride: int = 50,
+    centroid_stride: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs within a blocking key.
 
@@ -288,7 +312,7 @@ def embedding_near_dup_ivf(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.4,
-    centroid_stride: int | None = 50,
+    centroid_stride: int | None = None,
 ) -> DataFrame:
     """Embedding near-dup pairs blocked on IVF quantizer cells — the
     corpus-scale path.
@@ -307,8 +331,7 @@ def embedding_near_dup_ivf(
     :func:`adaptive_stride` (the 100 TB default); a fixed stride stays
     available for the small-SF oracle twins.
     """
-    if centroid_stride is None:
-        centroid_stride = adaptive_stride(df)
+    centroid_stride = _resolve_stride(df, centroid_stride)
     centroids = df.where((F.col(id_col) % centroid_stride) == 0).select(
         (F.col(id_col) / centroid_stride).cast("long").alias("centroid_id"),
         F.col(vec_col),
@@ -328,7 +351,7 @@ def semantic_dedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.85,
-    centroid_stride: int = 50,
+    centroid_stride: int | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     "SemDeDup: Data-efficient learning at web-scale through semantic
@@ -347,6 +370,7 @@ def semantic_dedup(
     only earlier neighbor was itself pruned — at dedup thresholds
     near-dup sets are cliques and the two rules coincide.
     """
+    centroid_stride = _resolve_stride(df, centroid_stride)
     pairs = embedding_near_dup_ivf(
         df, id_col=id_col, vec_col=vec_col,
         threshold=threshold, centroid_stride=centroid_stride,
@@ -408,10 +432,17 @@ def ivf_assign(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroid_id: str = "centroid_id",
+    arrow: bool | None = None,
 ) -> DataFrame:
     """IVF coarse quantization: assign each vector to its nearest
     centroid (argmin squared L2; deterministic tie-break on centroid
     id). Centroids are broadcast; assignment is one scan, no shuffle.
+
+    ``arrow`` routes through the BLAS-matmul assigner
+    (:func:`ivf_assign_arrow`, 68× at sf1 per SCALE.md); ``None``
+    defers to the ``DS_SPARK_IVF_ARROW`` env flag
+    (:func:`arrow_assign_enabled`) so bench.py can flip every IVF
+    caller to the throughput path without touching oracle runs.
 
     Squared L2 uses the dot identity ‖v‖²+‖c‖²−2v·c so the oracle can
     reproduce the exact doubles via ``list_dot_product``.
@@ -423,6 +454,9 @@ def ivf_assign(
     per candidate, so min_by is deterministic; equivalent to
     ``ROW_NUMBER() OVER (ORDER BY dist, centroid) = 1``.
     """
+    use_arrow = arrow_assign_enabled() if arrow is None else arrow
+    if use_arrow:
+        return ivf_assign_arrow(df, centroids, id_col, vec_col, centroid_id)
     sq_dist = (
         _dot(F.col("_v"), F.col("_v"))
         + _dot(F.col("_c"), F.col("_c"))
@@ -446,7 +480,7 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 3,
-    centroid_stride: int | None = 50,
+    centroid_stride: int | None = None,
     nprobe: int = 1,
     centroids: DataFrame | None = None,
 ) -> DataFrame:
@@ -465,8 +499,7 @@ def ivf_topk(
     lifecycle); None builds the stride quantizer inline.
     ``centroid_stride=None`` → :func:`adaptive_stride` (√N sizing)."""
     if centroids is None:
-        if centroid_stride is None:
-            centroid_stride = adaptive_stride(df)
+        centroid_stride = _resolve_stride(df, centroid_stride)
         centroids = (
             df.where((F.col(id_col) % centroid_stride) == 0)
             .select(
@@ -528,7 +561,7 @@ def kmeans_lloyd(
     df: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    init_stride: int = 50,
+    init_stride: int | None = None,
     iters: int = 2,
 ) -> DataFrame:
     """Distributed Lloyd's k-means over an embedding column, returning
@@ -551,6 +584,7 @@ def kmeans_lloyd(
     re-embed iterations 1..N-1, and the rebuilt centroid frame
     broadcasts from a local relation instead of a growing subtree.
     """
+    init_stride = _resolve_stride(df, init_stride)
     vecs = df.select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias(vec_col)
     ).persist()
@@ -661,7 +695,7 @@ def pq_codebooks_trained(
     vec_col: str = "embedding",
     m: int = 4,
     dim: int = 64,
-    init_stride: int = 50,
+    init_stride: int | None = None,
     iters: int = 2,
 ) -> DataFrame:
     """Trained PQ codebooks: per-subspace Lloyd's k-means (Jégou et
@@ -679,6 +713,7 @@ def pq_codebooks_trained(
     ~1.5 s at sf0.1 for m=4). Math is identical per subspace, so the
     result matches the sequential fit bit-for-bit."""
     sub = dim // m
+    init_stride = _resolve_stride(df, init_stride)
     spark = df.sparkSession
     slices = F.array(*[F.slice(F.col("_v"), j * sub + 1, sub) for j in range(m)])
     vecs = (
@@ -746,7 +781,7 @@ def pq_codebooks(
     vec_col: str = "embedding",
     m: int = 4,
     dim: int = 64,
-    centroid_stride: int = 50,
+    centroid_stride: int | None = None,
 ) -> DataFrame:
     """Product-quantization codebooks (`Jégou et al. 2011, "Product
     Quantization for Nearest Neighbor Search"`): split the space into
@@ -756,6 +791,7 @@ def pq_codebooks(
     makes). Returns ``(subspace, code_id, subvec)``: m × (rows/stride)
     rows — tiny, always broadcastable."""
     sub = dim // m
+    centroid_stride = _resolve_stride(df, centroid_stride)
     sampled = df.where((F.col(id_col) % centroid_stride) == 0).select(
         F.expr(f"`{id_col}` DIV {centroid_stride}").alias("code_id"),
         F.col(vec_col).cast("array<double>").alias("_v"),
@@ -816,7 +852,7 @@ def pq_adc_topk(
     k: int = 3,
     m: int = 4,
     dim: int = 64,
-    centroid_stride: int = 50,
+    centroid_stride: int | None = None,
 ) -> DataFrame:
     """PQ ANN search with asymmetric distance computation (ADC): the
     corpus is scanned as codes only; each query builds a (subspace ×
@@ -832,6 +868,7 @@ def pq_adc_topk(
     addition-order-independent and the oracle hash-matches exactly.
     """
     sub = dim // m
+    centroid_stride = _resolve_stride(df, centroid_stride)
     codebooks = pq_codebooks(df, id_col, vec_col, m, dim, centroid_stride)
     codes = pq_encode(df, codebooks, id_col, vec_col, m, dim)
     queries = df.where(F.col(id_col).isin(list(query_ids))).select(
@@ -994,7 +1031,7 @@ def two_stage_rerank_topk(
     candidates: int = 10,
     m: int = 4,
     dim: int = 64,
-    centroid_stride: int = 50,
+    centroid_stride: int | None = None,
 ) -> DataFrame:
     """Two-stage retrieval: PQ-ADC candidate generation (top
     ``candidates`` by approximate distance — the corpus moves as m
@@ -1046,7 +1083,7 @@ def ivfpq_residual_topk(
     k: int = 3,
     m: int = 4,
     dim: int = 64,
-    centroid_stride: int = 50,
+    centroid_stride: int | None = None,
 ) -> DataFrame:
     """IVF-PQ with residual encoding (Jégou et al. 2011 §IV — the
     composition every production ANN index ships): a coarse IVF
@@ -1066,6 +1103,7 @@ def ivfpq_residual_topk(
     (swap in :func:`kmeans_lloyd` / :func:`pq_codebooks_trained`
     fits for recall)."""
     sub = dim // m
+    centroid_stride = _resolve_stride(df, centroid_stride)
     centroids = df.where((F.col(id_col) % centroid_stride) == 0).select(
         (F.col(id_col) / centroid_stride).cast("long").alias("centroid_id"),
         F.col(vec_col),

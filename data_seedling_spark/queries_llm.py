@@ -432,9 +432,12 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "embedding_near_dup_ivf",
     oracle="""
-    WITH c AS (
-      SELECT vec_id // 50 AS centroid_id, embedding::DOUBLE[] AS cv
-      FROM embeddings WHERE vec_id % 50 = 0
+    WITH st AS (
+      SELECT CAST(ceil(sqrt(CAST(COUNT(*) AS DOUBLE))) AS BIGINT) AS s
+      FROM embeddings
+    ), c AS (
+      SELECT vec_id // st.s AS centroid_id, embedding::DOUBLE[] AS cv
+      FROM embeddings, st WHERE vec_id % st.s = 0
     ), v AS (
       SELECT vec_id, embedding::DOUBLE[] AS vv FROM embeddings
     ), assigned AS (
@@ -471,15 +474,18 @@ def embedding_near_dup_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.similarity import embedding_near_dup_ivf as _near_dup_ivf
 
     embeddings = load_table(spark, sf_dir, "embeddings")
-    return _near_dup_ivf(embeddings, threshold=0.4, centroid_stride=50)
+    return _near_dup_ivf(embeddings, threshold=0.4)
 
 
 @query(
     "ivf_ann_topk",
     oracle="""
-    WITH c AS (
-      SELECT vec_id // 50 AS centroid_id, embedding::DOUBLE[] AS cv
-      FROM embeddings WHERE vec_id % 50 = 0
+    WITH st AS (
+      SELECT CAST(ceil(sqrt(CAST(COUNT(*) AS DOUBLE))) AS BIGINT) AS s
+      FROM embeddings
+    ), c AS (
+      SELECT vec_id // st.s AS centroid_id, embedding::DOUBLE[] AS cv
+      FROM embeddings, st WHERE vec_id % st.s = 0
     ), v AS (
       SELECT vec_id, embedding::DOUBLE[] AS vv FROM embeddings
     ), assigned AS (
@@ -520,7 +526,7 @@ def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.similarity import ivf_topk
 
     embeddings = load_table(spark, sf_dir, "embeddings")
-    return ivf_topk(embeddings, query_ids=range(10), k=3, centroid_stride=50)
+    return ivf_topk(embeddings, query_ids=range(10), k=3)
 
 
 @query(
@@ -768,26 +774,70 @@ def _km_update_cte(name: str, assign: str) -> str:
     )"""
 
 
-@query(
-    "kmeans_cluster_assignment",
-    oracle=f"""
-    WITH v AS (
+def _km_oracle(init_cte: str) -> str:
+    """Full unrolled 2-iteration Lloyd oracle over a given init CTE
+    chain (must define ``v`` and ``c0``)."""
+    return f"""
+    WITH {init_cte},{_km_assign_cte('a1', 'c0')},{_km_update_cte('c1', 'a1')},
+    {_km_assign_cte('a2', 'c1')},{_km_update_cte('c2', 'a2')},
+    {_km_assign_cte('a3', 'c2')}
+    SELECT vec_id, cid AS centroid_id FROM a3
+    """
+
+
+_KM_INIT_ADAPTIVE = """st AS (
+      SELECT CAST(ceil(sqrt(CAST(COUNT(*) AS DOUBLE))) AS BIGINT) AS s
+      FROM embeddings
+    ), v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS vv FROM embeddings
+    ), c0 AS (
+      SELECT vec_id // st.s AS cid, embedding::DOUBLE[] AS cv
+      FROM embeddings, st WHERE vec_id % st.s = 0
+    )"""
+
+_KM_INIT_STRIDE50 = """v AS (
       SELECT vec_id, embedding::DOUBLE[] AS vv FROM embeddings
     ), c0 AS (
       SELECT vec_id // 50 AS cid, embedding::DOUBLE[] AS cv
       FROM embeddings WHERE vec_id % 50 = 0
-    ),{_km_assign_cte('a1', 'c0')},{_km_update_cte('c1', 'a1')},
-    {_km_assign_cte('a2', 'c1')},{_km_update_cte('c2', 'a2')},
-    {_km_assign_cte('a3', 'c2')}
-    SELECT vec_id, cid AS centroid_id FROM a3
-    """,
-    tags=("kmeans", "iterative", "similarity-ivf"),
+    )"""
+
+
+@query(
+    "kmeans_cluster_assignment",
+    oracle=_km_oracle(_KM_INIT_ADAPTIVE),
+    tags=("kmeans", "iterative", "similarity-ivf", "adaptive"),
 )
 def kmeans_cluster_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed Lloyd's k-means (2 update iterations, deterministic
-    stride init) over the embeddings table — the iterative-algorithm
-    pattern hash-verified end-to-end: the oracle unrolls both
-    iterations as SQL CTEs and must land on identical assignments."""
+    √N-stride init — the r8 scale default: a fixed stride makes
+    k ∝ N and the assignment scan N²/stride, measured 21.6× at 10×
+    data in SCALE.md) over the embeddings table — the
+    iterative-algorithm pattern hash-verified end-to-end: the oracle
+    derives the SAME init stride from COUNT(*) and unrolls both
+    iterations as SQL CTEs, so it must land on identical
+    assignments."""
+    from .operators.similarity import kmeans_lloyd
+
+    embeddings = load_table(spark, sf_dir, "embeddings")
+    return kmeans_lloyd(embeddings, iters=2)
+
+
+@query(
+    "kmeans_cluster_assignment_stride50",
+    oracle=_km_oracle(_KM_INIT_STRIDE50),
+    tags=("kmeans", "iterative", "similarity-ivf", "pinned-stride"),
+)
+def kmeans_cluster_assignment_stride50(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The kmeans/PQ family's pinned-stride regression twin
+    (init_stride=50, the pre-r8 default): keeps the fully-literal
+    unrolled-CTE oracle — no COUNT(*)-derived index size anywhere —
+    so a regression in the Lloyd assign/update contract itself can't
+    hide behind the adaptive-sizing arithmetic. Small-SF only; the
+    adaptive `kmeans_cluster_assignment` is the configuration that
+    scales (SCALE.md)."""
     from .operators.similarity import kmeans_lloyd
 
     embeddings = load_table(spark, sf_dir, "embeddings")
@@ -1078,14 +1128,17 @@ def chunk_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "pq_ann_topk",
     oracle="""
-    WITH v AS (
+    WITH st AS (
+      SELECT CAST(ceil(sqrt(CAST(COUNT(*) AS DOUBLE))) AS BIGINT) AS s
+      FROM embeddings
+    ), v AS (
       SELECT vec_id, embedding::DOUBLE[] AS ve FROM embeddings
     ), sp AS (
       SELECT j FROM range(0, 4) AS t(j)
     ), cb AS (
-      SELECT sp.j AS subspace, vec_id // 50 AS code_id,
+      SELECT sp.j AS subspace, vec_id // st.s AS code_id,
              ve[sp.j*16+1 : sp.j*16+16] AS c
-      FROM v, sp WHERE vec_id % 50 = 0
+      FROM v, sp, st WHERE vec_id % st.s = 0
     ), sv AS (
       SELECT vec_id, sp.j AS subspace, ve[sp.j*16+1 : sp.j*16+16] AS s
       FROM v, sp
@@ -1230,9 +1283,12 @@ def unigram_logprob_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "ivf_ann_topk_nprobe2",
     oracle="""
-    WITH c AS (
-      SELECT vec_id // 50 AS centroid_id, embedding::DOUBLE[] AS cv
-      FROM embeddings WHERE vec_id % 50 = 0
+    WITH st AS (
+      SELECT CAST(ceil(sqrt(CAST(COUNT(*) AS DOUBLE))) AS BIGINT) AS s
+      FROM embeddings
+    ), c AS (
+      SELECT vec_id // st.s AS centroid_id, embedding::DOUBLE[] AS cv
+      FROM embeddings, st WHERE vec_id % st.s = 0
     ), v AS (
       SELECT vec_id, embedding::DOUBLE[] AS vv FROM embeddings
     ), assigned AS (
@@ -1285,7 +1341,7 @@ def ivf_ann_topk_nprobe2(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.similarity import ivf_topk
 
     embeddings = load_table(spark, sf_dir, "embeddings")
-    return ivf_topk(embeddings, query_ids=range(10), k=3, centroid_stride=50, nprobe=2)
+    return ivf_topk(embeddings, query_ids=range(10), k=3, nprobe=2)
 
 
 @query(
@@ -1787,9 +1843,12 @@ def chi_square_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "semantic_dedup_embeddings",
     oracle="""
-    WITH c AS (
-      SELECT vec_id // 50 AS centroid_id, embedding::DOUBLE[] AS cv
-      FROM embeddings WHERE vec_id % 50 = 0
+    WITH st AS (
+      SELECT CAST(ceil(sqrt(CAST(COUNT(*) AS DOUBLE))) AS BIGINT) AS s
+      FROM embeddings
+    ), c AS (
+      SELECT vec_id // st.s AS centroid_id, embedding::DOUBLE[] AS cv
+      FROM embeddings, st WHERE vec_id % st.s = 0
     ), v AS (
       SELECT vec_id, embedding::DOUBLE[] AS vv FROM embeddings
     ), assigned AS (
@@ -1825,7 +1884,7 @@ def semantic_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.similarity import semantic_dedup
 
     embeddings = load_table(spark, sf_dir, "embeddings")
-    return semantic_dedup(embeddings, threshold=0.4, centroid_stride=50)
+    return semantic_dedup(embeddings, threshold=0.4)
 
 
 @query(
@@ -1895,12 +1954,14 @@ def embedding_int8_quant(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quantize_int8(embeddings)
 
 
-def _pq_sub_ctes(s: int, sub: int, stride: int) -> str:
+def _pq_sub_ctes(s: int, sub: int, stride: int | None) -> str:
     """Per-subspace CTE chain for trained-PQ codebooks: slice the
     embedding to subspace ``s``, stride-init, and unroll two Lloyd
     iterations with the same assign/update contract as the kmeans
     oracle (dot-identity argmin rounded to 1e-6, centroid tie-break,
-    element-mean rounded to 1e-6)."""
+    element-mean rounded to 1e-6). ``stride=None`` references the
+    COUNT(*)-derived ``st.s`` (the caller must prepend the ``st``
+    CTE) — mirroring the engine's adaptive √N default."""
     lo, hi = s * sub + 1, (s + 1) * sub
     v = f"v{s}"
 
@@ -1933,20 +1994,25 @@ def _pq_sub_ctes(s: int, sub: int, stride: int) -> str:
       ) GROUP BY cid
     )"""
 
+    stride_sql = "st.s" if stride is None else str(stride)
+    stride_from = ", st" if stride is None else ""
     return f"""
     {v} AS (
       SELECT vec_id, (embedding::DOUBLE[])[{lo}:{hi}] AS vv FROM embeddings
     ), c{s}_0 AS (
-      SELECT vec_id // {stride} AS cid,
+      SELECT vec_id // {stride_sql} AS cid,
              (embedding::DOUBLE[])[{lo}:{hi}] AS cv
-      FROM embeddings WHERE vec_id % {stride} = 0
+      FROM embeddings{stride_from} WHERE vec_id % {stride_sql} = 0
     ),{assign(f'a{s}_1', f'c{s}_0')},{update(f'c{s}_1', f'a{s}_1')},
     {assign(f'a{s}_2', f'c{s}_1')},{update(f'c{s}_2', f'a{s}_2')}"""
 
 
 _PQ_TRAINED_ORACLE = (
-    "WITH "
-    + ",".join(_pq_sub_ctes(s, 16, 50) for s in range(4))
+    "WITH st AS (\n"
+    "      SELECT CAST(ceil(sqrt(CAST(COUNT(*) AS DOUBLE))) AS BIGINT) AS s\n"
+    "      FROM embeddings\n"
+    "    ), "
+    + ",".join(_pq_sub_ctes(s, 16, None) for s in range(4))
     + "\n    "
     + "\n    UNION ALL ".join(
         f"""SELECT {s} AS subspace, cid AS code_id,
@@ -1971,7 +2037,7 @@ def pq_codebooks_trained_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.similarity import pq_codebooks_trained
 
     embeddings = load_table(spark, sf_dir, "embeddings")
-    books = pq_codebooks_trained(embeddings, m=4, dim=64, init_stride=50, iters=2)
+    books = pq_codebooks_trained(embeddings, m=4, dim=64, iters=2)
     return books.select(
         "subspace",
         "code_id",
@@ -2518,14 +2584,17 @@ def pca_project_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "ann_two_stage_rerank",
     oracle="""
-    WITH v AS (
+    WITH st AS (
+      SELECT CAST(ceil(sqrt(CAST(COUNT(*) AS DOUBLE))) AS BIGINT) AS s
+      FROM embeddings
+    ), v AS (
       SELECT vec_id, embedding::DOUBLE[] AS ve FROM embeddings
     ), sp AS (
       SELECT j FROM range(0, 4) AS t(j)
     ), cb AS (
-      SELECT sp.j AS subspace, vec_id // 50 AS code_id,
+      SELECT sp.j AS subspace, vec_id // st.s AS code_id,
              ve[sp.j*16+1 : sp.j*16+16] AS c
-      FROM v, sp WHERE vec_id % 50 = 0
+      FROM v, sp, st WHERE vec_id % st.s = 0
     ), sv AS (
       SELECT vec_id, sp.j AS subspace, ve[sp.j*16+1 : sp.j*16+16] AS s
       FROM v, sp
@@ -2816,10 +2885,14 @@ def count_min_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "ivfpq_residual_topk",
     oracle="""
-    WITH v AS (
+    WITH st AS (
+      SELECT CAST(ceil(sqrt(CAST(COUNT(*) AS DOUBLE))) AS BIGINT) AS s
+      FROM embeddings
+    ), v AS (
       SELECT vec_id, embedding::DOUBLE[] AS ve FROM embeddings
     ), c AS (
-      SELECT vec_id // 50 AS centroid_id, ve AS cv FROM v WHERE vec_id % 50 = 0
+      SELECT vec_id // st.s AS centroid_id, ve AS cv
+      FROM v, st WHERE vec_id % st.s = 0
     ), assigned AS (
       SELECT vec_id, centroid_id FROM (
         SELECT v.vec_id, c.centroid_id,
@@ -2838,9 +2911,9 @@ def count_min_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), sp AS (
       SELECT j FROM range(0, 4) AS t(j)
     ), cb AS (
-      SELECT sp.j AS subspace, vec_id // 50 AS code_id,
+      SELECT sp.j AS subspace, vec_id // st.s AS code_id,
              rv[sp.j*16+1 : sp.j*16+16] AS cbv
-      FROM res, sp WHERE vec_id % 50 = 0
+      FROM res, sp, st WHERE vec_id % st.s = 0
     ), sv AS (
       SELECT vec_id, centroid_id, sp.j AS subspace,
              rv[sp.j*16+1 : sp.j*16+16] AS s
@@ -3252,9 +3325,12 @@ def centroid_classify_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "ann_recall_eval",
     oracle="""
-    WITH c AS (
-      SELECT vec_id // 50 AS centroid_id, embedding::DOUBLE[] AS cv
-      FROM embeddings WHERE vec_id % 50 = 0
+    WITH st AS (
+      SELECT CAST(ceil(sqrt(CAST(COUNT(*) AS DOUBLE))) AS BIGINT) AS s
+      FROM embeddings
+    ), c AS (
+      SELECT vec_id // st.s AS centroid_id, embedding::DOUBLE[] AS cv
+      FROM embeddings, st WHERE vec_id % st.s = 0
     ), v AS (
       SELECT vec_id, embedding::DOUBLE[] AS vv FROM embeddings
     ), assigned AS (
@@ -3326,7 +3402,7 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = embeddings.where(F.col("vec_id") < 20)
     exact = cosine_topk(queries, embeddings, k=5).select("query_id", "neighbor_id")
     approx = ivf_topk(
-        embeddings, query_ids=range(20), k=5, centroid_stride=50
+        embeddings, query_ids=range(20), k=5
     ).select("query_id", "neighbor_id")
     # Single pass over the exact leg: left-join the approx hit marker,
     # then one grouped count/count(marker) — the brute-force ground
@@ -3352,9 +3428,12 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "cluster_top_terms_ctfidf",
     oracle="""
-    WITH c AS (
-      SELECT vec_id // 50 AS centroid_id, embedding::DOUBLE[] AS cv
-      FROM embeddings WHERE vec_id % 50 = 0
+    WITH st AS (
+      SELECT CAST(ceil(sqrt(CAST(COUNT(*) AS DOUBLE))) AS BIGINT) AS s
+      FROM embeddings
+    ), c AS (
+      SELECT vec_id // st.s AS centroid_id, embedding::DOUBLE[] AS cv
+      FROM embeddings, st WHERE vec_id % st.s = 0
     ), v AS (
       SELECT vec_id, embedding::DOUBLE[] AS vv FROM embeddings
     ), assigned AS (
@@ -3412,12 +3491,13 @@ def cluster_top_terms_ctfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle-checked. Scale: token stats shuffle on (cluster, token)
     keys with map-side combine; the global totals frame is one row,
     broadcast; the rank window partitions by cluster."""
-    from .operators.similarity import ivf_assign
+    from .operators.similarity import adaptive_stride, ivf_assign
 
     embeddings = load_table(spark, sf_dir, "embeddings")
     documents = load_table(spark, sf_dir, "documents")
-    centroids = embeddings.where((F.col("vec_id") % 50) == 0).select(
-        (F.col("vec_id") / 50).cast("long").alias("centroid_id"),
+    stride = adaptive_stride(embeddings)
+    centroids = embeddings.where((F.col("vec_id") % stride) == 0).select(
+        (F.col("vec_id") / stride).cast("long").alias("centroid_id"),
         "embedding",
     )
     assigned = ivf_assign(embeddings, centroids)
@@ -4432,9 +4512,12 @@ def prefix_filter_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "ann_ndcg_eval",
     oracle="""
-    WITH c AS (
-      SELECT vec_id // 50 AS centroid_id, embedding::DOUBLE[] AS cv
-      FROM embeddings WHERE vec_id % 50 = 0
+    WITH st AS (
+      SELECT CAST(ceil(sqrt(CAST(COUNT(*) AS DOUBLE))) AS BIGINT) AS s
+      FROM embeddings
+    ), c AS (
+      SELECT vec_id // st.s AS centroid_id, embedding::DOUBLE[] AS cv
+      FROM embeddings, st WHERE vec_id % st.s = 0
     ), v AS (
       SELECT vec_id, embedding::DOUBLE[] AS vv FROM embeddings
     ), assigned AS (
@@ -4517,7 +4600,7 @@ def ann_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id", "neighbor_id", F.col("rank").alias("_erk")
     )
     approx = ivf_topk(
-        embeddings, query_ids=range(20), k=5, centroid_stride=50
+        embeddings, query_ids=range(20), k=5
     ).select("query_id", "neighbor_id", F.col("rank").alias("_pos"))
     term = F.round(
         F.coalesce(F.lit(6) - F.col("_erk"), F.lit(0))
@@ -5858,9 +5941,12 @@ def logreg_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "cluster_purity_nmi",
     oracle="""
-    WITH c AS (
-      SELECT vec_id // 50 AS centroid_id, embedding::DOUBLE[] AS cv
-      FROM embeddings WHERE vec_id % 50 = 0
+    WITH st AS (
+      SELECT CAST(ceil(sqrt(CAST(COUNT(*) AS DOUBLE))) AS BIGINT) AS s
+      FROM embeddings
+    ), c AS (
+      SELECT vec_id // st.s AS centroid_id, embedding::DOUBLE[] AS cv
+      FROM embeddings, st WHERE vec_id % st.s = 0
     ), v AS (
       SELECT vec_id, label, embedding::DOUBLE[] AS vv FROM embeddings
     ), assigned AS (
@@ -5921,13 +6007,14 @@ def cluster_purity_nmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer-count ratios; every entropy/MI term is grid-rounded and
     decimal-summed; NMI uses the sqrt normalization. One joint
     contingency aggregate (clusters×labels rows) drives everything."""
-    from .operators.similarity import ivf_assign
+    from .operators.similarity import adaptive_stride, ivf_assign
 
     emb = load_table(spark, sf_dir, "embeddings")
+    stride = adaptive_stride(emb)
     centroids = (
-        emb.where((F.col("vec_id") % 50) == 0)
+        emb.where((F.col("vec_id") % stride) == 0)
         .select(
-            (F.col("vec_id") / 50).cast("long").alias("centroid_id"),
+            (F.col("vec_id") / stride).cast("long").alias("centroid_id"),
             F.col("embedding"),
         )
     )
@@ -6097,14 +6184,11 @@ def logreg_holdout_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "embedding_near_dup_ivf_adaptive",
+    "embedding_near_dup_ivf_stride50",
     oracle="""
-    WITH st AS (
-      SELECT CAST(ceil(sqrt(CAST(COUNT(*) AS DOUBLE))) AS BIGINT) AS s
-      FROM embeddings
-    ), c AS (
-      SELECT vec_id // st.s AS centroid_id, embedding::DOUBLE[] AS cv
-      FROM embeddings, st WHERE vec_id % st.s = 0
+    WITH c AS (
+      SELECT vec_id // 50 AS centroid_id, embedding::DOUBLE[] AS cv
+      FROM embeddings WHERE vec_id % 50 = 0
     ), v AS (
       SELECT vec_id, embedding::DOUBLE[] AS vv FROM embeddings
     ), assigned AS (
@@ -6131,21 +6215,25 @@ def logreg_holdout_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / (sqrt(list_dot_product(a.vv, a.vv))
                    * sqrt(list_dot_product(b.vv, b.vv))), 6) >= 0.4
     """,
-    tags=("dedup-embedding", "similarity-ivf", "adaptive"),
+    tags=("dedup-embedding", "similarity-ivf", "pinned-stride"),
 )
-def embedding_near_dup_ivf_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The √N-sized IVF near-dup — the 100 TB configuration of
-    `embedding_near_dup_ivf`. A fixed centroid stride makes cell count
-    ∝ N and the flat assignment scan N²/stride (measured 54× at 10×
-    data, SCALE.md r7); stride = ceil(sqrt(N)) balances assignment and
-    in-cell pair work at N^1.5 (measured 3.7× faster at sf1, recall
-    preserved). The stride formula is IEEE-deterministic, so the
-    oracle derives the SAME index size from COUNT(*) and the
-    approximate result stays hash-exact."""
+def embedding_near_dup_ivf_stride50(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The IVF family's pinned-stride regression twin. Since r8 the
+    main `embedding_near_dup_ivf` (and every other IVF/PQ query)
+    sizes its index adaptively — stride = ceil(sqrt(N)), derived
+    identically by the oracle from COUNT(*) (a fixed stride makes the
+    assignment scan N²/stride: 41–59× wall-clock at 10× data,
+    SCALE.md). This twin pins centroid_stride=50 against a
+    fully-literal unrolled CTE so a regression in the quantizer
+    contract itself (dot-identity rounding, centroid tie-break) can't
+    hide behind the adaptive-sizing arithmetic. Small-SF only by
+    construction."""
     from .operators.similarity import embedding_near_dup_ivf as _near_dup_ivf
 
     embeddings = load_table(spark, sf_dir, "embeddings")
-    return _near_dup_ivf(embeddings, threshold=0.4, centroid_stride=None)
+    return _near_dup_ivf(embeddings, threshold=0.4, centroid_stride=50)
 
 
 @query("embedding_near_dup_arrow", oracle=None, tags=("dedup-embedding", "arrow-matmul"))
@@ -6160,12 +6248,13 @@ def embedding_near_dup_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     stays the hash-exact oracle query and this records the throughput
     path; agreement floor asserted in tests/test_llm_ops.py."""
     from .operators.similarity import (
+        adaptive_stride,
         embedding_near_dup_pairs,
         ivf_assign_arrow,
     )
 
     embeddings = load_table(spark, sf_dir, "embeddings")
-    stride = 50
+    stride = adaptive_stride(embeddings)
     centroids = embeddings.where((F.col("vec_id") % stride) == 0).select(
         (F.col("vec_id") / stride).cast("long").alias("centroid_id"),
         F.col("embedding"),

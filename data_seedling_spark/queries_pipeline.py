@@ -698,9 +698,11 @@ def ann_index_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     coarse index once, persist it as a versioned feature table
     (ledger S6 sink), read it back, and search with the PERSISTED
     copy. Parquet double/float arrays round-trip bit-exactly, so the
-    search result must hash-equal the inline-index query
-    (``ivf_ann_topk``'s oracle verbatim) — which is precisely the
-    property a build-once/search-many index service relies on."""
+    search result must hash-equal the same pinned-stride-50 index
+    built inline (the unrolled-CTE oracle; since r8 the inline
+    queries default to adaptive √N sizing, so this also serves as an
+    IVF-family pinned-stride regression twin) — which is precisely
+    the property a build-once/search-many index service relies on."""
     from .operators.similarity import ivf_topk
 
     embeddings = load_table(spark, sf_dir, "embeddings")
@@ -1622,5 +1624,101 @@ def txn_atomic_pseudonymise_advance(spark: SparkSession, sf_dir: str) -> DataFra
             F.col("low_watermark").alias("wm_next")
         )
         return out.read().crossJoin(F.broadcast(wm))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+
+
+def _ikll_oracle() -> str:
+    """Unrolled replay of the sketch-as-matview protocol: three
+    per-increment 4-round compaction chains (prefixes a/b/g — one per
+    source commit), each merge step unions the stored survivors with
+    the new increment's sketch and compacts 2 more rounds (prefixes
+    ma/mb), quantiles off the final survivor frame — CTE-for-commit
+    the same schedule `MaterializedSketch.refresh` executes."""
+    from .queries_analytics import _kll_quantile_sql, _kll_round_sql
+
+    def inc(p: str, r: int) -> str:
+        return f"""{p}c0 AS (
+      SELECT o_totalprice AS v, o_orderkey AS id, CAST(1 AS BIGINT) AS w
+      FROM orders WHERE o_orderkey % 3 = {r}
+    )""" + "".join(_kll_round_sql(i, prefix=p) for i in range(1, 5))
+
+    merge1 = """, m1u AS (
+      SELECT v, id, w FROM ac4 UNION ALL SELECT v, id, w FROM bc4
+    )""" + _kll_round_sql(1, src="m1u", prefix="ma") + _kll_round_sql(
+        2, prefix="ma"
+    )
+    merge2 = """, m2u AS (
+      SELECT v, id, w FROM mac2 UNION ALL SELECT v, id, w FROM gc4
+    )""" + _kll_round_sql(1, src="m2u", prefix="mb") + _kll_round_sql(
+        2, prefix="mb"
+    )
+    return (
+        "WITH "
+        + inc("a", 0)
+        + ", "
+        + inc("b", 1)
+        + merge1
+        + ", "
+        + inc("g", 2)
+        + merge2
+        + _kll_quantile_sql(2, prefix="mb")
+    )
+
+
+@query(
+    "incremental_quantile_maintenance",
+    oracle=_ikll_oracle(),
+    tags=("sketch", "quantile", "kll", "ivm", "ST1", "ST2"),
+)
+def incremental_quantile_maintenance(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming-percentile maintenance (r7 verdict gap #5): a KLL
+    survivor frame kept current as a MATERIALIZED SKETCH over a
+    versioned orders source — each refresh sketches only that commit's
+    increment (O(changes) rows, 4 compaction rounds) and merges it
+    into the stored survivors (2 rounds, KLL's same-level buffer
+    merge), so the p25/p50/p75/p95 feed stays current without ever
+    rescanning the fact table. The applied source version rides inside
+    the sketch commit (`operators.sketch.MaterializedSketch`, the
+    `matview` exactly-once marker), proven here by the replay no-op
+    refresh. Every compaction coin is md5-derived, so the oracle
+    replays the identical create/append/append schedule commit by
+    commit and the estimates hash-match exactly. Scale: refresh cost
+    is O(|increment| + |survivors|); survivors shrink geometrically
+    with rounds; rank windows are range-bucketed distributed
+    row_numbers (no global sort)."""
+    from .operators.sketch import MaterializedSketch
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    base = tempfile.mkdtemp(prefix="ikll_")
+    src = VersionedTable(spark, f"{base}/src", write_partitions=4)
+    sketch = MaterializedSketch(
+        spark,
+        VersionedTable(spark, f"{base}/sketch", write_partitions=1),
+        value_col="o_totalprice",
+        id_col="o_orderkey",
+        inc_rounds=4,
+        merge_rounds=2,
+    )
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        key = F.col("o_orderkey")
+        src.write(orders.where(key % 3 == 0), mode="overwrite")
+        lo, hi = sketch.refresh(src)                   # folds v0
+        assert (lo, hi) == (0, 0), (lo, hi)
+        src.write(orders.where(key % 3 == 1), mode="append")
+        lo, hi = sketch.refresh(src)                   # folds v1 only
+        assert (lo, hi) == (1, 1), (lo, hi)
+        src.write(orders.where(key % 3 == 2), mode="append")
+        lo, hi = sketch.refresh(src)                   # folds v2 only
+        assert (lo, hi) == (2, 2), (lo, hi)
+        lo, hi = sketch.refresh(src)                   # replay: no-op
+        assert lo > hi, "replayed refresh must be a no-op"
+        return sketch.quantiles([0.25, 0.5, 0.75, 0.95])
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_parts)

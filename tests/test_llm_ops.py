@@ -683,7 +683,12 @@ def test_pq_encoding_and_adc_ranking(spark):
         F.col("code") != F.expr("vec_id DIV 50")
     ).count()
     assert mismatches == 0
-    top = pq_adc_topk(df, query_ids=(10, 60, 110, 160), k=3, m=4, dim=64)
+    # centroid_stride pinned to 50 so the sampled codewords stay the
+    # four cluster centers (ids 0/50/100/150) the assertions assume;
+    # the adaptive default would sample within clusters.
+    top = pq_adc_topk(
+        df, query_ids=(10, 60, 110, 160), k=3, m=4, dim=64, centroid_stride=50
+    )
     got = top.collect()
     assert len(got) == 4 * 3
     for r in got:
@@ -1852,3 +1857,32 @@ def test_arrow_assignment_matches_fold_assignment(spark):
     assert len(arrow) == len(fold)
     agree = sum(1 for k in fold if fold[k] == arrow[k]) / len(fold)
     assert agree >= 0.999, agree
+
+
+def test_arrow_env_flag_routes_ivf_assign(spark, monkeypatch):
+    """DS_SPARK_IVF_ARROW=1 (bench.py's throughput configuration)
+    must route `ivf_assign` through the Arrow matmul assigner: the
+    resulting plan carries ArrowEvalPython instead of the fold's
+    broadcast join + min_by aggregate. Off (the default) keeps the
+    fold plan — the hash-exact oracle path."""
+    from data_seedling_spark.operators.similarity import ivf_assign
+
+    df = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    cents = df.where((F.col("vec_id") % 50) == 0).select(
+        (F.col("vec_id") / 50).cast("long").alias("centroid_id"),
+        F.col("embedding"),
+    )
+    monkeypatch.delenv("DS_SPARK_IVF_ARROW", raising=False)
+    fold_plan = ivf_assign(df, cents)._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in fold_plan
+
+    monkeypatch.setenv("DS_SPARK_IVF_ARROW", "1")
+    arrow_df = ivf_assign(df, cents)
+    arrow_plan = arrow_df._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" in arrow_plan
+    # same output contract either way
+    assert set(arrow_df.columns) == {"vec_id", "centroid_id"}
+    # explicit arg overrides the env flag in both directions
+    assert "ArrowEvalPython" not in ivf_assign(
+        df, cents, arrow=False
+    )._jdf.queryExecution().executedPlan().toString()
