@@ -168,3 +168,103 @@ def kll_quantiles(sketch: DataFrame, probs: list[float]) -> DataFrame:
             F.first(F.col("tw")).alias("total_weight"),
         )
     )
+
+
+class MaterializedSketch:
+    """A versioned KLL survivor frame kept current from a versioned
+    source's change feed — the sketch-as-matview composition
+    (streaming/decayed percentile feeds without ever rescanning the
+    fact table).
+
+    Protocol mirrors :class:`operators.matview.MaterializedAggregate`:
+    the applied source version rides *inside* the sketch commit as
+    ``_source_hi``, so apply+advance are one atomic write and a
+    replayed refresh is a no-op. Each refresh sketches ONLY the
+    increment (``inc_rounds`` compactions over O(changes) rows), then
+    merges it into the stored survivors with ``merge_rounds`` more
+    compactions — KLL's same-level buffer merge, identical to
+    ``kll_sketch_merge_shards``'s merge phase. Work per refresh is
+    O(|changes| + |survivors|); survivors stay ~N/2^rounds.
+
+    Insert-only by design: rank sketches are not self-maintainable
+    under deletes (no abelian inverse — same scoping as matview's
+    MIN/MAX note); a delete/update in the feed raises and the caller
+    recomputes. Every compaction coin is the md5 parity of
+    (pair-leader id, weight), so the maintained sketch is a pure
+    function of the increment partition — an unrolled SQL oracle can
+    replay create/append/merge commit-by-commit and hash-match the
+    quantile estimates exactly.
+    """
+
+    SOURCE_HI = "_source_hi"
+
+    def __init__(
+        self,
+        spark,
+        table,
+        value_col: str,
+        id_col: str,
+        inc_rounds: int = 4,
+        merge_rounds: int = 2,
+        bucket_width: float = 10000.0,
+    ):
+        self.spark = spark
+        self.table = table
+        self.value_col = value_col
+        self.id_col = id_col
+        self.inc_rounds = inc_rounds
+        self.merge_rounds = merge_rounds
+        self.bucket_width = bucket_width
+
+    def applied_hi(self) -> int:
+        if not self.table.exists():
+            return -1
+        row = (
+            self.table.read().agg(F.max(self.SOURCE_HI).alias("hi")).collect()[0]
+        )
+        return -1 if row["hi"] is None else int(row["hi"])
+
+    def refresh(self, source) -> tuple[int, int]:
+        """Fold source versions ``(applied_hi, latest]``; returns the
+        applied ``(lo, hi)`` (lo > hi = already current)."""
+        from .merge import CHANGE_TYPE, CT_INSERT
+
+        lo = self.applied_hi() + 1
+        hi = source.latest_version()
+        if lo > hi:
+            return lo, hi
+        changes = source.read_changes(lo, hi)
+        non_insert = changes.where(F.col(CHANGE_TYPE) != CT_INSERT)
+        if non_insert.limit(1).count() > 0:
+            raise ValueError(
+                "MaterializedSketch is insert-only: rank sketches have "
+                "no delete inverse — recompute instead"
+            )
+        inc = kll_sketch(
+            changes,
+            self.value_col,
+            self.id_col,
+            rounds=self.inc_rounds,
+            bucket_width=self.bucket_width,
+        )
+        if self.table.exists():
+            merged = (
+                self.table.read().select("v", "id", "w").unionByName(inc)
+            )
+            for _ in range(self.merge_rounds):
+                merged = kll_compact_round(
+                    merged, "v", "id", "w", bucket_width=self.bucket_width
+                ).localCheckpoint()
+            state = merged
+        else:
+            state = inc
+        self.table.write(
+            state.withColumn(self.SOURCE_HI, F.lit(hi).cast("long")),
+            mode="overwrite",
+        )
+        return lo, hi
+
+    def quantiles(self, probs: list[float]) -> DataFrame:
+        return kll_quantiles(
+            self.table.read().select("v", "id", "w"), probs
+        )

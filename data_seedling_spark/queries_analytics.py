@@ -4427,34 +4427,41 @@ def hhi_supplier_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _kll_round_sql(i: int, part: str = "w", src: str | None = None) -> str:
+def _kll_round_sql(
+    i: int, part: str = "w", src: str | None = None, prefix: str = ""
+) -> str:
     """One unrolled KLL compaction round (rank → pair → md5-coin
-    survivor), the DuckDB twin of ``operators.sketch.kll_compact_round``."""
+    survivor), the DuckDB twin of ``operators.sketch.kll_compact_round``.
+    ``prefix`` namespaces the CTEs so multiple independent compaction
+    chains (per-increment sketches, merge phases) coexist in one
+    oracle."""
     cols = "shard, v, id" if "shard" in part else "v, id"
-    return f""", r{i} AS (
+    p = prefix
+    return f""", {p}r{i} AS (
       SELECT {cols}, w,
              row_number() OVER (PARTITION BY {part} ORDER BY v, id) AS rnk
-      FROM {src or f"c{i - 1}"}
-    ), q{i} AS (
+      FROM {src or f"{p}c{i - 1}"}
+    ), {p}q{i} AS (
       SELECT {cols}, w, (rnk - 1) % 2 AS pos,
              COUNT(*) OVER (PARTITION BY {part}, (rnk - 1) // 2) AS cnt,
              FIRST_VALUE(id) OVER (PARTITION BY {part}, (rnk - 1) // 2
                                    ORDER BY rnk) AS leader
-      FROM r{i}
-    ), c{i} AS (
+      FROM {p}r{i}
+    ), {p}c{i} AS (
       SELECT {cols}, CASE WHEN cnt = 1 THEN w ELSE w * 2 END AS w
-      FROM q{i}
+      FROM {p}q{i}
       WHERE cnt = 1 OR pos = CAST('0x' || substr(md5(
               CAST(leader AS VARCHAR) || ':' || CAST(w AS VARCHAR)
             ), 1, 8) AS BIGINT) % 2
     )"""
 
 
-def _kll_quantile_sql(last: int) -> str:
+def _kll_quantile_sql(last: int, prefix: str = "") -> str:
+    src = f"{prefix}c{last}"
     return f""", cum AS (
       SELECT v, id, w, SUM(w) OVER (ORDER BY v, id) AS cw,
-             (SELECT SUM(w) FROM c{last}) AS tw
-      FROM c{last}
+             (SELECT SUM(w) FROM {src}) AS tw
+      FROM {src}
     ), probs AS (
       SELECT * FROM (VALUES (0.25), (0.5), (0.75), (0.95)) t(prob)
     )

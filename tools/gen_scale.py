@@ -28,6 +28,20 @@ from data_seedling_spark.session import build_session  # noqa: E402
 
 OFFSET = 1_000_000_000
 
+#: table -> timestamp columns shifted by ``replica * 8 years`` so K×
+#: data spans ~K× calendar. Without this, replicas stack onto the same
+#: dates and every time window densifies K× — the r7 probe measured
+#: interval_join_ship_windows at a super-linear 12.6× purely from
+#: that artifact (SCALE.md "replica artifact"); real 10× data spans
+#: more time. 8 years > the TPC-H-ish 7-year span, so replica
+#: calendars are disjoint. Order/lineitem shift by the same rule, so
+#: intra-replica date arithmetic (ship vs order date) is preserved.
+TS_COLS = {
+    "events": ["ts"],
+    "orders": ["o_orderdate"],
+    "lineitem": ["l_shipdate"],
+}
+
 #: table -> columns to offset per replica
 KEY_COLS = {
     "customer": ["c_custkey"],
@@ -50,10 +64,15 @@ def scale_table(spark, src: str, dst: str, table: str, k: int) -> int:
         out = df
     else:
         replicas = spark.range(k).select(F.col("id").alias("_rep"))
+        ts_cols = TS_COLS.get(table, [])
         cols = []
         for c in df.columns:
             if c in keys:
                 cols.append((F.col(c) + F.col("_rep") * OFFSET).alias(c))
+            elif c in ts_cols:
+                cols.append(
+                    F.expr(f"{c} + make_interval(8 * _rep)").alias(c)
+                )
             elif c == "embedding":
                 # Perturb vectors per replica: exact duplicates make
                 # nearest-neighbor ties ubiquitous (argmin comparisons
