@@ -1036,3 +1036,139 @@ def pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         return ranks.select("node", F.col("r").alias("rank_micro"))
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+
+
+def _pagerank_weighted_oracle(rounds: int = 3) -> str:
+    """Unrolled edge-weighted integer PageRank (twin of
+    ``operators.graph.pagerank_weighted``; weights = basket-capped
+    co-purchase multiplicities clamped to 100)."""
+    parts = [
+        f"""
+    WITH {LI_CAPPED_CTE}, e1 AS (
+      SELECT a.l_partkey AS u, b.l_partkey AS v, COUNT(*) AS w
+      FROM li_capped a JOIN li_capped b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+    ), e AS (
+      SELECT u AS a, v AS b, LEAST(w, 100) AS w FROM e1
+      UNION ALL SELECT v, u, LEAST(w, 100) FROM e1
+    ), deg AS (
+      SELECT a, SUM(w) AS c FROM e GROUP BY a
+    ), r0 AS (
+      SELECT a AS node, CAST(1000000000000 AS BIGINT) AS r FROM deg
+    )"""
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f""", r{i} AS (
+      SELECT e.b AS node,
+             CAST(150000000000
+                  + SUM((85 * r.r * e.w) // (100 * d.c)) AS BIGINT) AS r
+      FROM e JOIN r{i - 1} r ON e.a = r.node JOIN deg d ON d.a = e.a
+      GROUP BY e.b
+    )"""
+        )
+    parts.append(f"""
+    SELECT node, r AS rank_micro FROM r{rounds}""")
+    return "".join(parts)
+
+
+@query(
+    "pagerank_weighted_copurchase",
+    oracle=_pagerank_weighted_oracle(3),
+    tags=("graph", "pagerank", "centrality", "weighted"),
+)
+def pagerank_weighted_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edge-weighted PageRank over the capped co-purchase graph: an
+    edge's weight is its basket multiplicity (clamped to 100 for both
+    int64 headroom and bot-pair damping), so a pair bought together in
+    40 baskets pulls 40× the walk mass of a one-off pairing — the
+    co-view ranker's standard upgrade. Exact integer microunits end to
+    end (``div`` on the grid, order-independent sums), so all 3 rounds
+    hash-match the unrolled CTE oracle."""
+    from .operators.graph import pagerank_weighted
+
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = copurchase_pairs(li).groupBy("u", "v").agg(
+        F.count("*").alias("w")
+    )
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    try:
+        ranks = pagerank_weighted(edges, rounds=3)
+        return ranks.select("node", F.col("r").alias("rank_micro"))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+
+
+def _pagerank_personalized_oracle(rounds: int = 3) -> str:
+    """Unrolled personalized-restart integer PageRank (twin of
+    ``operators.graph.pagerank_personalized``; seeds = co-purchase
+    nodes ≡ 0 mod 50)."""
+    parts = [
+        f"""
+    WITH {LI_CAPPED_CTE}, e1 AS (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM li_capped a JOIN li_capped b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ), e AS (
+      SELECT u AS a, v AS b FROM e1 UNION ALL SELECT v, u FROM e1
+    ), deg AS (
+      SELECT a, COUNT(*) AS c FROM e GROUP BY a
+    ), seeds AS (
+      SELECT DISTINCT a AS node FROM e WHERE a % 50 = 0
+    ), r0 AS (
+      SELECT node, CAST(1000000000000 AS BIGINT) AS r FROM seeds
+    )"""
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f""", c{i} AS (
+      SELECT e.b AS node, SUM((85 * r.r) // (100 * d.c)) AS c
+      FROM e JOIN r{i - 1} r ON e.a = r.node JOIN deg d ON d.a = e.a
+      GROUP BY e.b
+    ), r{i} AS (
+      SELECT COALESCE(c.node, s.node) AS node,
+             CAST(CASE WHEN s.node IS NOT NULL
+                       THEN 150000000000 ELSE 0 END
+                  + COALESCE(c.c, 0) AS BIGINT) AS r
+      FROM c{i} c FULL OUTER JOIN seeds s ON c.node = s.node
+    )"""
+        )
+    parts.append(f"""
+    SELECT node, r AS rank_micro FROM r{rounds}""")
+    return "".join(parts)
+
+
+@query(
+    "pagerank_personalized_copurchase",
+    oracle=_pagerank_personalized_oracle(3),
+    tags=("graph", "pagerank", "centrality", "personalized"),
+)
+def pagerank_personalized_copurchase(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Personalized (topic-sensitive) PageRank: the 15% restart mass
+    teleports to a seed product set (part keys ≡ 0 mod 50 — a stand-in
+    for "this brand's catalog") instead of uniformly, giving
+    importance RELATIVE to the seeds — the similar-items walk behind
+    every co-purchase recommender (Haveliwala 2002). Mass starts on
+    the seeds, so round k's support is exactly the k-hop
+    neighborhood; non-seed ranks are pure walk-through traffic.
+    Integer microunits per `pagerank_integer`'s contract keep all 3
+    rounds hash-exact against the unrolled CTE oracle."""
+    from .operators.graph import pagerank_personalized
+
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = copurchase_pairs(li).select("u", "v").distinct()
+    nodes = edges.select(F.col("u").alias("node")).unionByName(
+        edges.select(F.col("v").alias("node"))
+    ).distinct()
+    seeds = nodes.where(F.col("node") % 50 == 0)
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    try:
+        ranks = pagerank_personalized(edges, seeds, rounds=3)
+        return ranks.select("node", F.col("r").alias("rank_micro"))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
