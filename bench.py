@@ -132,6 +132,11 @@ HEADLINE = [
     # the adaptive configuration; this pinned-stride twin keeps the
     # old fixed-50 index measured for regression continuity.
     "embedding_near_dup_ivf_stride50",
+    # r8 additions: sketch-as-matview percentile maintenance and the
+    # weighted / personalized PageRank walks.
+    "incremental_quantile_maintenance",
+    "pagerank_weighted_copurchase",
+    "pagerank_personalized_copurchase",
 ]
 
 
