@@ -268,3 +268,63 @@ class MaterializedSketch:
         return kll_quantiles(
             self.table.read().select("v", "id", "w"), probs
         )
+
+
+def kll_weighted_sketch(
+    df: DataFrame,
+    value_col: str,
+    id_col: str,
+    weight_col: str,
+    rounds: int,
+    bucket_width: float = 10000.0,
+    max_bits: int = 40,
+) -> DataFrame:
+    """Weighted KLL sketch — revenue/quantity-weighted percentiles at
+    corpus scale (e.g. "the price below which half the *revenue*
+    sits", not half the rows).
+
+    Arbitrary integer weights don't fit KLL's power-of-two level
+    structure directly, so each row first DECOMPOSES into its binary
+    weight components: a row with weight ``w`` emits one item per set
+    bit ``b`` of ``w`` at level weight ``2^b`` (synthetic id
+    ``id·max_bits + b`` keeps pair leaders unique). That is exactly
+    the standard weighted-input reduction for mergeable rank sketches:
+    total weight is conserved bit-for-bit, every emitted item sits in
+    a legal weight class, and :func:`kll_compact_round` then applies
+    unchanged — including the md5 coin, so the whole schedule stays a
+    pure function of the input set and an unrolled SQL oracle replays
+    it exactly. Blow-up is ``popcount(w) ≤ max_bits`` items per row
+    (~log w, e.g. ≤24 for cent-denominated revenue), after which
+    survivors shrink geometrically per round as usual.
+
+    Weights must be positive integers on the caller's chosen grid
+    (cents for money — decimal-exact); rank queries against the
+    survivors via :func:`kll_quantiles` return weighted quantiles.
+    """
+    # pyspark's shiftleft/shiftright take a literal bit count, so the
+    # per-element bit tests run as SQL expressions (column bit counts
+    # are legal there)
+    bits = F.expr(
+        f"""filter(transform(sequence(0, {max_bits - 1}),
+               b -> CASE WHEN (_w0 & shiftleft(1L, b)) != 0
+                         THEN b ELSE -1 END),
+               x -> x >= 0)"""
+    )
+    cur = (
+        df.select(
+            F.col(value_col).alias("v"),
+            F.col(id_col).alias("_id0"),
+            F.col(weight_col).cast("long").alias("_w0"),
+        )
+        .select("v", "_id0", F.explode(bits).alias("_bit"))
+        .select(
+            "v",
+            (F.col("_id0") * max_bits + F.col("_bit")).alias("id"),
+            F.expr("shiftleft(1L, _bit)").alias("w"),
+        )
+    )
+    for _ in range(rounds):
+        cur = kll_compact_round(
+            cur, "v", "id", "w", bucket_width=bucket_width
+        ).localCheckpoint()
+    return cur

@@ -4565,6 +4565,60 @@ def kll_sketch_merge_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kll_quantiles(merged, [0.25, 0.5, 0.75, 0.95])
 
 
+def _kll_weighted_oracle(rounds: int = 6, max_bits: int = 40) -> str:
+    """Replay of the weighted-KLL binary decomposition + compaction:
+    every order emits one item per set bit of its cent-denominated
+    revenue at weight 2^bit, then the standard md5-coin rounds run
+    unchanged (``operators.sketch.kll_weighted_sketch``)."""
+    return (
+        f"""
+    WITH w0 AS (
+      SELECT o_totalprice AS v, o_orderkey AS id0,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS wz
+      FROM orders
+    ), c0 AS (
+      SELECT v, id0 * {max_bits} + b.b AS id,
+             CAST(1 AS BIGINT) << b.b AS w
+      FROM w0, (SELECT unnest(range(0, {max_bits})) AS b) b
+      WHERE ((wz >> CAST(b.b AS INT)) & 1) = 1
+    )"""
+        + "".join(_kll_round_sql(i) for i in range(1, rounds + 1))
+        + _kll_quantile_sql(rounds)
+    )
+
+
+@query(
+    "kll_weighted_quantile_revenue",
+    oracle=_kll_weighted_oracle(6),
+    tags=("sketch", "quantile", "kll", "weighted"),
+)
+def kll_weighted_quantile_revenue(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Revenue-weighted price percentiles via the weighted KLL twin:
+    "the order value below which 25/50/75/95% of the REVENUE sits"
+    (weight = cent-denominated o_totalprice — decimal-exact on the
+    integer grid), the distribution question dollar-weighted SLAs and
+    spend-skew audits actually ask. Each order decomposes into its
+    weight's set bits (≤ log₂(w) items at legal power-of-two levels
+    — the standard weighted-input reduction for mergeable rank
+    sketches), then the identical md5-coin compaction schedule runs,
+    so the oracle replays decomposition and all 6 rounds and the
+    estimates hash-match exactly. total_weight returns the exact
+    total revenue in cents."""
+    from .operators.sketch import kll_quantiles, kll_weighted_sketch
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_totalprice",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    sk = kll_weighted_sketch(
+        orders, "o_totalprice", "o_orderkey", "cents", rounds=6
+    )
+    return kll_quantiles(sk, [0.25, 0.5, 0.75, 0.95])
+
+
 #: Deterministic synthetic partsupp (TPC-H's fourth fact table, absent
 #: from the driver schema — ROADMAP #4): 4 suppliers per part via a
 #: modular stride over the supplier count, avail-qty/supply-cost from

@@ -135,3 +135,45 @@ def test_materialized_sketch_incremental_maintenance(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="insert-only"):
         ms.refresh(src)
+
+
+def test_weighted_sketch_conserves_weight_and_bounds_weighted_rank(spark):
+    """Binary weight decomposition conserves total weight exactly, and
+    the weighted-median estimate lands within the KLL rank bound of
+    the true weighted median (weights = value in integer units, the
+    revenue-weighted shape)."""
+    from data_seedling_spark.operators.sketch import (
+        kll_quantiles,
+        kll_weighted_sketch,
+    )
+
+    n = 800
+    df = _uniform_df(spark, n).withColumn(
+        "wt", (F.col("x") * 10).cast("long")
+    )
+    rows = sorted((r["x"], r["wt"]) for r in df.collect())
+    total = sum(w for _, w in rows)
+
+    sk = kll_weighted_sketch(df, "x", "id", "wt", rounds=5, bucket_width=97.0)
+    agg = sk.agg(F.sum("w").alias("tw"), F.count("*").alias("k")).collect()[0]
+    assert agg["tw"] == total         # exact conservation through bits
+    assert agg["k"] < n               # compacted below the row count
+
+    est = {
+        r["prob"]: (r["est"], r["total_weight"])
+        for r in kll_quantiles(sk, [0.5]).collect()
+    }
+    assert est[0.5][1] == total
+    # true weighted median: smallest x with cumulative weight >= total/2
+    acc = 0
+    for x, w in rows:
+        acc += w
+        if acc >= total / 2:
+            true_med = x
+            break
+    # rank error in WEIGHT units: 5 rounds of compaction at growing
+    # level weights; the heaviest levels hold ~x*10 <= 3e4-unit items,
+    # so allow a generous weight-rank slack converted through the
+    # local density (~total/n weight per value step of 3.0)
+    slack_values = 64 * 3.0
+    assert abs(est[0.5][0] - true_med) <= slack_values, (est, true_med)
