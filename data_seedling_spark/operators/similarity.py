@@ -41,12 +41,14 @@ def _resolve_stride(df: DataFrame, stride: int | None) -> int:
 
 def arrow_assign_enabled() -> bool:
     """True when ``DS_SPARK_IVF_ARROW`` is set truthy in the
-    environment: :func:`ivf_assign` then routes through the
-    Arrow/BLAS matmul assigner (:func:`ivf_assign_arrow`, measured
-    68× at sf1 in SCALE.md). Off by default so the sequential-fold
-    plan stays the hash-exact oracle path; bench.py turns it on
-    (the throughput configuration; assignment agreement vs the fold
-    ≥0.999 is floor-tested in tests/test_llm_ops.py)."""
+    environment: the Arrow/BLAS kernels replace the interpreted
+    folds — :func:`ivf_assign` routes through the matmul assigner
+    (:func:`ivf_assign_arrow`, 68× at sf1 in SCALE.md) and
+    within-block pair scoring through the gram-matmul scorer
+    (:func:`near_dup_pairs_arrow`). Off by default so the
+    sequential-fold plans stay the hash-exact oracle paths; bench.py
+    turns it on (the throughput configuration; agreement vs the fold
+    ≥0.999 floor-tested for both kernels in tests/test_llm_ops.py)."""
     import os
 
     return os.environ.get("DS_SPARK_IVF_ARROW", "").lower() in (
@@ -265,6 +267,15 @@ def embedding_near_dup_pairs(
         return embedding_near_dup_ivf(
             df, id_col=id_col, vec_col=vec_col,
             threshold=threshold, centroid_stride=centroid_stride,
+        )
+    if arrow_assign_enabled():
+        # bench's throughput configuration: one BLAS gram matmul per
+        # block instead of cell² interpreted folds (ulp caveat and
+        # agreement floor documented on near_dup_pairs_arrow; oracle
+        # runs leave the flag unset and keep the fold below)
+        return near_dup_pairs_arrow(
+            df, id_col=id_col, vec_col=vec_col,
+            block_col=block_col, threshold=threshold,
         )
     v = df.select(
         F.col(id_col),
@@ -1514,4 +1525,63 @@ def ivf_assign_arrow(
     return df.select(
         F.col(id_col),
         _assign(F.col(vec_col).cast("array<double>")).alias(centroid_id),
+    )
+
+
+def near_dup_pairs_arrow(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str = "centroid_id",
+    threshold: float = 0.4,
+) -> DataFrame:
+    """Arrow/BLAS in-cell pair scoring — the throughput twin of the
+    fold-based within-block cosine join in
+    :func:`embedding_near_dup_pairs`.
+
+    Each block's vectors land in one ``applyInPandas`` group; ONE gram
+    matmul (cell × dim) @ (dim × cell) scores every in-cell pair and a
+    vectorised upper-triangle mask keeps ``id_a < id_b`` pairs at
+    ``round(score, 6) >= threshold``. Replaces cell² interpreted
+    zip_with/aggregate folds with one BLAS call per cell — the same
+    trade (and the same ulp caveat) as :func:`ivf_assign_arrow`:
+    numpy's summation order can differ from the sequential fold by an
+    ulp at a 1e-6 rounding boundary, so the fold path stays the
+    hash-exact oracle and this one is bench's configuration
+    (``DS_SPARK_IVF_ARROW``; agreement floor in tests/test_llm_ops.py).
+
+    Scale: the groupBy shuffles each vector once to its cell — the
+    same movement the fold pair join already makes — and per-cell
+    memory is cell_size × dim doubles; with adaptive √N sizing cell
+    size ≈ stride, so a group never outgrows an executor.
+    """
+    import numpy as np
+    import pandas as pd
+
+    def score(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf[id_col].to_numpy()
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        M = np.stack(
+            [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+        )[order]
+        n = len(ids)
+        if n < 2:
+            return pd.DataFrame(
+                {"vec_a": ids[:0], "vec_b": ids[:0],
+                 "score": np.empty(0, dtype=np.float64)}
+            )
+        norms = np.sqrt((M * M).sum(axis=1))
+        S = np.round((M @ M.T) / np.outer(norms, norms), 6)
+        ia, ib = np.triu_indices(n, k=1)
+        keep = S[ia, ib] >= threshold
+        return pd.DataFrame(
+            {"vec_a": ids[ia[keep]], "vec_b": ids[ib[keep]],
+             "score": S[ia[keep], ib[keep]]}
+        )
+
+    return (
+        df.select(F.col(block_col), F.col(id_col), F.col(vec_col))
+        .groupBy(block_col)
+        .applyInPandas(score, "vec_a long, vec_b long, score double")
     )

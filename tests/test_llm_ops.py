@@ -1886,3 +1886,59 @@ def test_arrow_env_flag_routes_ivf_assign(spark, monkeypatch):
     assert "ArrowEvalPython" not in ivf_assign(
         df, cents, arrow=False
     )._jdf.queryExecution().executedPlan().toString()
+
+
+def test_arrow_pair_scoring_matches_fold_pairs(spark):
+    """The Arrow gram-matmul in-cell pair scorer must agree with the
+    fold-based within-block join on virtually every pair (same
+    round-6 grid and id<id order; disagreement needs an ulp flip
+    exactly at the threshold/rounding boundary), and the env flag
+    must route embedding_near_dup_pairs through it."""
+    from data_seedling_spark.operators.similarity import (
+        embedding_near_dup_pairs,
+        near_dup_pairs_arrow,
+    )
+
+    df = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet").select(
+        "vec_id", "embedding", (F.col("vec_id") % 7).alias("blk")
+    )
+    fold = {
+        (r["vec_a"], r["vec_b"]): r["score"]
+        for r in embedding_near_dup_pairs(
+            df, block_col="blk", threshold=0.3
+        ).collect()
+    }
+    arrow = {
+        (r["vec_a"], r["vec_b"]): r["score"]
+        for r in near_dup_pairs_arrow(
+            df, block_col="blk", threshold=0.3
+        ).collect()
+    }
+    assert fold, "test premise: some pairs over threshold"
+    common = set(fold) & set(arrow)
+    agree = len(common) / max(len(fold), len(arrow))
+    assert agree >= 0.999, (len(fold), len(arrow))
+    for k in common:
+        assert abs(fold[k] - arrow[k]) <= 1e-6
+
+
+def test_arrow_env_flag_routes_pair_scoring(spark, monkeypatch):
+    from data_seedling_spark.operators.similarity import (
+        embedding_near_dup_pairs,
+    )
+
+    df = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet").select(
+        "vec_id", "embedding", (F.col("vec_id") % 7).alias("blk")
+    )
+    monkeypatch.setenv("DS_SPARK_IVF_ARROW", "1")
+    plan = (
+        embedding_near_dup_pairs(df, block_col="blk", threshold=0.3)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "FlatMapGroupsInPandas" in plan
+    monkeypatch.delenv("DS_SPARK_IVF_ARROW")
+    plan = (
+        embedding_near_dup_pairs(df, block_col="blk", threshold=0.3)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "FlatMapGroupsInPandas" not in plan
