@@ -324,15 +324,228 @@ def decode_png_pixels(data: bytes):
     return px
 
 
+#: GIF interlace passes: (first row, row step) per the GIF89a spec —
+#: pass 1 every 8th row from 0, pass 2 every 8th from 4, pass 3 every
+#: 4th from 2, pass 4 every 2nd from 1.
+_GIF_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def _gif_row_order(h: int, interlace: bool) -> list[int]:
+    if not interlace:
+        return list(range(h))
+    return [y for start, step in _GIF_PASSES for y in range(start, h, step)]
+
+
+def encode_gif(indices, palette, interlace: bool = False) -> bytes:
+    """uint8 palette-index (H, W) array + (P, 3) RGB palette → GIF89a
+    bytes with REAL variable-width LZW compression (the format's
+    mandatory codec — there is no uncompressed GIF): dictionary-coded
+    strings, clear/EOI control codes, code width growing 1 bit each
+    time the next slot crosses a power of two (capped at 12, CLEAR +
+    reset on a full 4096-entry table), LSB-first bit packing into
+    255-byte sub-blocks. ``interlace=True`` writes rows in the spec's
+    4-pass order. Palette size is rounded up to a power of two ≥ 4."""
+    import struct
+
+    import numpy as np
+
+    idx = np.asarray(indices, dtype=np.uint8)
+    pal = np.asarray(palette, dtype=np.uint8)
+    h, w = idx.shape
+    bits = max(2, int(len(pal) - 1).bit_length())
+    m = bits  # LZW min code size
+    clear, eoi = 1 << m, (1 << m) + 1
+    pal_full = np.zeros((1 << bits, 3), dtype=np.uint8)
+    pal_full[: len(pal)] = pal
+
+    data = idx[_gif_row_order(h, interlace)].reshape(-1).tolist()
+
+    out_bits: list[tuple[int, int]] = []  # (code, width)
+    # Encoder mirrors the DECODER's width schedule: the decoder adds a
+    # dictionary entry on every data code after the first of a segment,
+    # and widens when its next slot hits 1<<width — so the encoder
+    # counts emitted data codes and replays that exact bump.
+    table: dict[bytes, int] = {bytes([i]): i for i in range(1 << m)}
+    next_enc = eoi + 1
+    width = m + 1
+    dec_next = eoi + 1
+    emitted_data = 0
+
+    def emit(code: int) -> None:
+        nonlocal dec_next, width, emitted_data
+        out_bits.append((code, width))
+        emitted_data += 1
+        if emitted_data >= 2 and dec_next < 4096:
+            dec_next += 1
+            if dec_next == (1 << width) and width < 12:
+                width += 1
+
+    def reset() -> None:
+        nonlocal table, next_enc, width, dec_next, emitted_data
+        out_bits.append((clear, width))
+        table = {bytes([i]): i for i in range(1 << m)}
+        next_enc = eoi + 1
+        width = m + 1
+        dec_next = eoi + 1
+        emitted_data = 0
+
+    reset()
+    s = bytes([data[0]])
+    for c in data[1:]:
+        sc = s + bytes([c])
+        if sc in table:
+            s = sc
+            continue
+        emit(table[s])
+        if next_enc < 4096:
+            table[sc] = next_enc
+            next_enc += 1
+        else:
+            reset()
+        s = bytes([c])
+    emit(table[s])
+    out_bits.append((eoi, width))
+
+    # LSB-first bit pack
+    acc = nbits = 0
+    packed = bytearray()
+    for code, cw in out_bits:
+        acc |= code << nbits
+        nbits += cw
+        while nbits >= 8:
+            packed.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+    if nbits:
+        packed.append(acc & 0xFF)
+
+    blocks = bytearray()
+    for i in range(0, len(packed), 255):
+        chunk = packed[i : i + 255]
+        blocks.append(len(chunk))
+        blocks.extend(chunk)
+    blocks.append(0)
+
+    lsd_packed = 0x80 | ((bits - 1) << 4) | (bits - 1)
+    img_packed = 0x40 if interlace else 0x00
+    return (
+        b"GIF89a"
+        + struct.pack("<HHBBB", w, h, lsd_packed, 0, 0)
+        + pal_full.tobytes()
+        + struct.pack("<BHHHHB", 0x2C, 0, 0, w, h, img_packed)
+        + bytes([m])
+        + bytes(blocks)
+        + b"\x3B"
+    )
+
+
+def decode_gif_pixels(data: bytes):
+    """GIF87a/89a bytes → uint8 RGB (H, W, 3) array: header + global
+    color table walk, extension-block skip, full variable-width LZW
+    decode (clear/EOI, dictionary rebuild including the KwKwK
+    just-defined-code case, width bump at each power-of-two slot,
+    12-bit cap) and 4-pass de-interlace, then palette lookup. The
+    library-free inverse of :func:`encode_gif`."""
+    import struct
+
+    import numpy as np
+
+    if data[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    sw, sh, lsd, _bg, _ar = struct.unpack_from("<HHBBB", data, 6)
+    pos = 13
+    if not lsd & 0x80:
+        raise ValueError("GIF without a global color table")
+    gct_n = 2 << (lsd & 0x07)
+    palette = np.frombuffer(data, np.uint8, gct_n * 3, pos).reshape(gct_n, 3)
+    pos += gct_n * 3
+    while True:
+        block = data[pos]
+        if block == 0x21:  # extension: label + sub-blocks
+            pos += 2
+            while data[pos]:
+                pos += 1 + data[pos]
+            pos += 1
+        elif block == 0x2C:
+            break
+        else:
+            raise ValueError(f"unexpected GIF block 0x{block:02x}")
+    _l, _t, w, h, img_packed = struct.unpack_from("<HHHHB", data, pos + 1)
+    pos += 10
+    if img_packed & 0x80:
+        lct_n = 2 << (img_packed & 0x07)
+        palette = np.frombuffer(data, np.uint8, lct_n * 3, pos).reshape(lct_n, 3)
+        pos += lct_n * 3
+    interlace = bool(img_packed & 0x40)
+
+    m = data[pos]
+    pos += 1
+    stream = bytearray()
+    while data[pos]:
+        n = data[pos]
+        stream.extend(data[pos + 1 : pos + 1 + n])
+        pos += 1 + n
+
+    clear, eoi = 1 << m, (1 << m) + 1
+    width = m + 1
+    table: list[bytes] = [bytes([i]) for i in range(1 << m)] + [b"", b""]
+    prev: bytes | None = None
+    out = bytearray()
+    acc = nbits = bit_pos = 0
+    total = len(stream)
+    while True:
+        while nbits < width:
+            if bit_pos >= total:
+                raise ValueError("truncated GIF LZW stream")
+            acc |= stream[bit_pos] << nbits
+            nbits += 8
+            bit_pos += 1
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        if code == clear:
+            table = [bytes([i]) for i in range(1 << m)] + [b"", b""]
+            width = m + 1
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if prev is None:
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+        elif code == len(table):
+            entry = prev + prev[:1]  # KwKwK: code defined by this very step
+        else:
+            raise ValueError(f"corrupt GIF LZW code {code}")
+        out.extend(entry)
+        if prev is not None and len(table) < 4096:
+            table.append(prev + entry[:1])
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+
+    idx = np.frombuffer(bytes(out[: w * h]), np.uint8).reshape(h, w)
+    if interlace:
+        order = _gif_row_order(h, True)
+        deinter = np.empty_like(idx)
+        deinter[order] = idx
+        idx = deinter
+    return palette[idx]
+
+
 def decode_image_pixels(data: bytes):
-    """Format-sniffing pixel decode: BMP, PNG and baseline JPEG are
-    REAL library-free codecs; other magics raise (and the mapInPandas
-    operators turn that into ok=False / NULL per row). video stays
-    behind the decoder seam until its libs exist in the runtime."""
+    """Format-sniffing pixel decode: BMP, PNG, GIF and baseline JPEG
+    are REAL library-free codecs; other magics raise (and the
+    mapInPandas operators turn that into ok=False / NULL per row).
+    video stays behind the decoder seam until its libs exist in the
+    runtime."""
     if data[:2] == b"BM":
         return decode_bmp_pixels(data)
     if data[:8] == b"\x89PNG\r\n\x1a\n":
         return decode_png_pixels(data)
+    if data[:6] in (b"GIF87a", b"GIF89a"):
+        return decode_gif_pixels(data)
     if data[:2] == b"\xff\xd8":
         import numpy as np
 
@@ -340,7 +553,9 @@ def decode_image_pixels(data: bytes):
         # grayscale streams present as RGB so every downstream feature
         # (means, resize, re-encode) sees one shape
         return px if px.ndim == 3 else np.stack([px] * 3, axis=2)
-    raise ValueError("unrecognized image payload (supported: BMP, PNG, JPEG)")
+    raise ValueError(
+        "unrecognized image payload (supported: BMP, PNG, GIF, JPEG)"
+    )
 
 
 def resize_nearest(px, width: int, height: int):

@@ -4619,6 +4619,83 @@ def kll_weighted_quantile_revenue(
     return kll_quantiles(sk, [0.25, 0.5, 0.75, 0.95])
 
 
+def _kll_decayed_oracle(rounds: int = 6, max_bits: int = 40) -> str:
+    """Replay of the time-decayed weighted KLL: each order's weight is
+    2^max(0, 7 - age_years) relative to the corpus max date (halves
+    per 365 days of age), a single power of two — so the binary
+    decomposition emits exactly ONE item per row and the standard
+    md5-coin rounds run unchanged."""
+    return (
+        f"""
+    WITH w0 AS (
+      SELECT o_totalprice AS v, o_orderkey AS id0,
+             CAST(1 AS BIGINT) << CAST(greatest(0, 7 -
+               (date_diff('day', CAST(o_orderdate AS DATE),
+                          CAST(m.maxd AS DATE)) // 365)) AS INT) AS wz
+      FROM orders,
+           (SELECT MAX(o_orderdate) AS maxd FROM orders) m
+    ), c0 AS (
+      SELECT v, id0 * {max_bits} + b.b AS id,
+             CAST(1 AS BIGINT) << b.b AS w
+      FROM w0, (SELECT unnest(range(0, {max_bits})) AS b) b
+      WHERE ((wz >> CAST(b.b AS INT)) & 1) = 1
+    )"""
+        + "".join(_kll_round_sql(i) for i in range(1, rounds + 1))
+        + _kll_quantile_sql(rounds)
+    )
+
+
+@query(
+    "decayed_quantile_order_price",
+    oracle=_kll_decayed_oracle(6),
+    tags=("sketch", "quantile", "kll", "decay", "streaming"),
+)
+def decayed_quantile_order_price(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Time-decayed price percentiles — the streaming-monitoring
+    variant of the weighted KLL (VERDICT r7 gap #5): each order's
+    weight halves for every 365 days of age relative to the corpus
+    max date (w = 2^max(0, 7 − age_years)), so recent orders dominate
+    the estimate the way an exponentially-decayed drift monitor wants,
+    while the 1995 tail still contributes at weight 1. Because every
+    decayed weight is a single power of two, the weighted sketch's
+    binary decomposition emits exactly one item per row at a legal
+    KLL level — no item blow-up — and the identical md5-coin
+    compaction schedule runs, so the unrolled-CTE oracle replays it
+    exactly. Composes with ``kll_sketch_merge_shards``' merge phase
+    for sketch-per-day rollups: re-aging a day-sketch by one
+    half-life is just doubling every survivor's level, which the
+    power-of-two weight classes support natively. Scale: anchor date
+    is a 1-row broadcast; day arithmetic is integer-exact on the
+    midnight-aligned timestamps."""
+    from .operators.sketch import kll_quantiles, kll_weighted_sketch
+
+    orders = load_table(spark, sf_dir, "orders")
+    anchor = orders.agg(F.max("o_orderdate").alias("maxd"))
+    weighted = (
+        orders.crossJoin(F.broadcast(anchor))
+        .withColumn(
+            "age_steps",
+            (
+                F.datediff(F.col("maxd").cast("date"),
+                           F.col("o_orderdate").cast("date"))
+                .cast("long")
+                / F.lit(365)
+            ).cast("long"),
+        )
+        .withColumn(
+            "decay_w",
+            F.expr("shiftleft(1L, CAST(greatest(0, 7 - age_steps) AS INT))"),
+        )
+        .select("o_orderkey", "o_totalprice", "decay_w")
+    )
+    sk = kll_weighted_sketch(
+        weighted, "o_totalprice", "o_orderkey", "decay_w", rounds=6
+    )
+    return kll_quantiles(sk, [0.25, 0.5, 0.75, 0.95])
+
+
 #: Deterministic synthetic partsupp (TPC-H's fourth fact table, absent
 #: from the driver schema — ROADMAP #4): 4 suppliers per part via a
 #: modular stride over the supplier count, avail-qty/supply-cost from

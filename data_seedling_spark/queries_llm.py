@@ -2527,6 +2527,91 @@ def multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_decode_gif",
+    oracle="""
+    WITH px AS (
+      SELECT doc_id, n_chars, x.x AS x, y.y AS y,
+             (doc_id + x.x // 3 + 5 * y.y) % 16 AS idx
+      FROM documents,
+           (SELECT unnest(range(0, 21)) AS x) x,
+           (SELECT unnest(range(0, 15)) AS y) y
+      WHERE x.x < 8 + n_chars % 13 AND y.y < 6 + n_chars % 9
+    )
+    SELECT doc_id,
+           CAST(8 + MAX(n_chars) % 13 AS INT) AS width,
+           CAST(6 + MAX(n_chars) % 9 AS INT) AS height,
+           avg(CAST(17 * idx % 256 AS DOUBLE)) AS mean_r,
+           avg(CAST((23 * idx + 7) % 256 AS DOUBLE)) AS mean_g,
+           avg(CAST((29 * idx + 11) % 256 AS DOUBLE)) AS mean_b,
+           avg(CAST((y + 1) * (17 * idx % 256) AS DOUBLE)) AS wmean_r
+    FROM px
+    GROUP BY doc_id
+    """,
+    tags=("multimodal", "decode", "gif", "lzw"),
+)
+def multimodal_decode_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL GIF decode, oracle-checked end-to-end: per document a
+    16-color palette-indexed diagonal-gradient image (idx = (doc_id +
+    x/3 + 5y) mod 16 — horizontal runs of 3 keep the LZW dictionary
+    busy) is GIF89a-encoded with REAL variable-width LZW
+    (``operators.multimodal.encode_gif``), interlaced for odd doc_ids,
+    and decoded back by the library-free LZW decoder (sub-block walk →
+    variable-width codes → dictionary rebuild incl. KwKwK → 4-pass
+    de-interlace → palette lookup). The oracle predicts dims and every
+    channel mean in closed form; channel means alone are
+    row-permutation-invariant, so the y-WEIGHTED red mean (``wmean_r``)
+    is what makes the oracle prove the de-interlace row order — a
+    wrong pass schedule shuffles rows and shifts it. All stats are
+    integer sums / count: one IEEE division, identical in both
+    engines. Scale: Arrow-batched mapInPandas, one pass, no shuffle
+    until the final 1-row-per-doc projection."""
+    import numpy as np
+    import pandas as pd  # noqa: F401
+
+    from .operators.multimodal import decode_gif_pixels, encode_gif
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    pal = np.array(
+        [[17 * i % 256, (23 * i + 7) % 256, (29 * i + 11) % 256]
+         for i in range(16)],
+        dtype=np.uint8,
+    )
+
+    def build_and_decode(batches):
+        for pdf in batches:
+            rows = []
+            for i, n in zip(pdf["doc_id"], pdf["n_chars"]):
+                i, n = int(i), int(n)
+                w, h = 8 + n % 13, 6 + n % 9
+                x = np.arange(w, dtype=np.int64) // 3
+                y = np.arange(h, dtype=np.int64) * 5
+                idx = ((i + y[:, None] + x[None, :]) % 16).astype(np.uint8)
+                payload = encode_gif(idx, pal, interlace=bool(i % 2))
+                px = decode_gif_pixels(payload).astype(np.int64)
+                ycoef = np.arange(1, h + 1, dtype=np.int64)[:, None]
+                rows.append(
+                    {
+                        "doc_id": i,
+                        "width": px.shape[1],
+                        "height": px.shape[0],
+                        "mean_r": float(px[..., 0].mean()),
+                        "mean_g": float(px[..., 1].mean()),
+                        "mean_b": float(px[..., 2].mean()),
+                        "wmean_r": float(
+                            (px[..., 0] * ycoef).sum() / (w * h)
+                        ),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return docs.mapInPandas(
+        build_and_decode,
+        "doc_id long, width int, height int, mean_r double, "
+        "mean_g double, mean_b double, wmean_r double",
+    )
+
+
+@query(
     "embedding_gram_matrix",
     oracle="""
     WITH x AS (

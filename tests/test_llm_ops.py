@@ -1230,6 +1230,71 @@ def test_png_codec_roundtrip_all_filters():
         assert (out == img).all(), f"filter {f} roundtrip mismatch"
 
 
+def test_gif_codec_roundtrip_pixel_exact():
+    """Library-free GIF: variable-width LZW encode/decode must be
+    pixel-exact across image shapes and both row orders. Covers the
+    risky decoder paths: KwKwK (run-heavy image emits a code the
+    decoder has not finished defining), the width bump at each
+    power-of-two dictionary slot, the 4096-entry CLEAR/reset (big
+    noise image), and 4-pass de-interlace."""
+    import numpy as np
+
+    from data_seedling_spark.operators.multimodal import (
+        decode_gif_pixels,
+        decode_image_pixels,
+        encode_gif,
+    )
+
+    rng = np.random.default_rng(23)
+    pal = rng.integers(0, 256, (16, 3), dtype=np.uint8)
+    for seed in range(8):
+        h, w = 1 + seed * 3, 1 + (seed * 7) % 29
+        idx = rng.integers(0, 16, (h, w), dtype=np.uint8)
+        for interlace in (False, True):
+            px = decode_gif_pixels(encode_gif(idx, pal, interlace=interlace))
+            assert (px == pal[idx]).all(), (seed, interlace)
+    # horizontal runs: the KwKwK case fires on repeated-prefix strings
+    runs = np.tile(np.repeat(np.arange(16, dtype=np.uint8), 13), 40)
+    runs = runs.reshape(40, -1)[:, :80]
+    assert (decode_gif_pixels(encode_gif(runs, pal, interlace=True))
+            == pal[runs]).all()
+    # 64k noise pixels overflow the 4096-entry table -> CLEAR/reset path
+    big = rng.integers(0, 16, (256, 256), dtype=np.uint8)
+    assert (decode_gif_pixels(encode_gif(big, pal)) == pal[big]).all()
+    # format sniffing routes GIF magic to the GIF decoder
+    assert decode_image_pixels(encode_gif(big, pal)).shape == (256, 256, 3)
+
+
+def test_gif_decode_in_mixed_image_column(spark):
+    """decode_images sniffs GIF alongside BMP/PNG in one binary column
+    and reports identical channel means for the same pixels."""
+    import numpy as np
+    from pyspark.sql import Row
+
+    from data_seedling_spark.operators.multimodal import (
+        decode_images,
+        encode_bmp,
+        encode_gif,
+    )
+
+    pal = np.array([[i, 2 * i, 3 * i] for i in range(16)], dtype=np.uint8)
+    idx = (np.arange(48, dtype=np.uint8) % 16).reshape(6, 8)
+    rgb = pal[idx]
+    df = spark.createDataFrame(
+        [
+            Row(asset_id=1, payload=bytearray(encode_gif(idx, pal, interlace=True))),
+            Row(asset_id=2, payload=bytearray(encode_bmp(rgb))),
+        ]
+    )
+    rows = {
+        r["asset_id"]: r["decoded"]
+        for r in decode_images(df).collect()
+    }
+    assert rows[1]["ok"] and rows[2]["ok"]
+    for k in ("width", "height", "mean_r", "mean_g", "mean_b"):
+        assert rows[1][k] == rows[2][k], k
+
+
 def test_image_format_sniffing_mixed_column(spark):
     """One binary column carrying BMP + PNG + junk: decode_images must
     sniff per row, decode both real formats, and isolate the junk as

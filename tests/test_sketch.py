@@ -177,3 +177,36 @@ def test_weighted_sketch_conserves_weight_and_bounds_weighted_rank(spark):
     # local density (~total/n weight per value step of 3.0)
     slack_values = 64 * 3.0
     assert abs(est[0.5][0] - true_med) <= slack_values, (est, true_med)
+
+
+def test_decayed_weights_shift_quantiles_toward_recent(spark):
+    """Time-decay as a weighted sketch: old rows carry LOW values at
+    weight 1, recent rows HIGH values at weight 2^7 — the decayed
+    median must land in the recent (high) half while the unweighted
+    median stays at the global midpoint, and total weight is conserved
+    through the power-of-two decomposition."""
+    from data_seedling_spark.operators.sketch import kll_weighted_sketch
+
+    n = 600
+    # ids 0..n/2: "old" (value 0..900 step 3, weight 1);
+    # ids n/2..n: "recent" (value 3000..3900, weight 128)
+    rows = [
+        (float(i * 3), i, 1 if i < n // 2 else 128)
+        for i in range(n)
+    ]
+    rows = [
+        (v if w == 1 else v + 2100.0, i, w) for (v, i, w) in rows
+    ]
+    df = spark.createDataFrame(rows, "x double, id long, wt long")
+
+    sk = kll_weighted_sketch(df, "x", "id", "wt", rounds=4, bucket_width=97.0)
+    total = (n // 2) * 1 + (n // 2) * 128
+    agg = sk.agg(F.sum("w").alias("tw")).collect()[0]
+    assert agg["tw"] == total
+
+    est = {
+        r["prob"]: r["est"] for r in kll_quantiles(sk, [0.5]).collect()
+    }
+    # weighted median sits deep in the recent band (values >= 2997);
+    # allow KLL rank slack but it must clear the old/recent boundary
+    assert est[0.5] > 2000.0, est
