@@ -1639,6 +1639,75 @@ def fuzzy_name_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "entity_resolution_golden_record",
+    oracle="""
+    WITH RECURSIVE pairs AS (
+      SELECT a.p_partkey AS part_a, b.p_partkey AS part_b
+      FROM part a
+      JOIN part b
+        ON string_split(a.p_name, ' ')[2] = string_split(b.p_name, ' ')[2]
+       AND a.p_partkey < b.p_partkey
+      WHERE levenshtein(a.p_name, b.p_name) <= 2 AND a.p_name <> b.p_name
+    ), sym AS (
+      SELECT part_a AS a, part_b AS b FROM pairs
+      UNION SELECT part_b, part_a FROM pairs
+    ), reach AS (
+      SELECT a, b FROM sym
+      UNION
+      SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+    ), comp AS (
+      SELECT a AS node, least(a, min(b)) AS cluster_id
+      FROM reach GROUP BY a
+    )
+    SELECT c.cluster_id AS cluster_id,
+           COUNT(*) AS n_members,
+           MIN(p.p_partkey) AS canonical_key,
+           arg_min(p.p_name, p.p_partkey) AS canonical_name,
+           MAX(p.p_retailprice) AS max_retailprice,
+           MIN(p.p_size) AS min_size
+    FROM comp c JOIN part p ON c.node = p.p_partkey
+    GROUP BY c.cluster_id
+    """,
+    tags=("entity-resolution", "fuzzy", "graph", "survivorship"),
+)
+def entity_resolution_golden_record(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Full entity-resolution pipeline — the step BEYOND
+    ``fuzzy_name_matches``' pairwise stage that master-data and
+    training-corpus dedup actually need: blocked fuzzy candidate pairs
+    (edit distance ≤ 2, noun-token blocking with the band + salt skew
+    guards) → transitive closure into duplicate clusters
+    (large-star/small-star contraction, O(log² n) rounds independent
+    of chain length — a typo chain A~B~C links A to C even though
+    lev(A,C) may be 4) → one GOLDEN RECORD per cluster by
+    deterministic survivorship rules (canonical identity = min key,
+    name from that record via min_by, max price, min size — the
+    merge-rules pattern of MDM survivorship). The oracle replays
+    pairs, a recursive-CTE closure, and arg_min survivorship.
+    Scale: pair generation is the skew-guarded self-join (provably
+    identical output to plain blocking), the closure touches only
+    matched nodes (a vanishing fraction of the table), and
+    survivorship is one grouped aggregate over cluster members."""
+    from .operators.graph import connected_components_star
+
+    pairs = fuzzy_name_matches(spark, sf_dir)
+    cc = connected_components_star(pairs, src="part_a", dst="part_b")
+    part = load_table(spark, sf_dir, "part")
+    members = cc.join(part, cc.node == part.p_partkey)
+    return (
+        members.groupBy(F.col("component").alias("cluster_id"))
+        .agg(
+            F.count("*").alias("n_members"),
+            F.min("p_partkey").alias("canonical_key"),
+            F.min_by("p_name", "p_partkey").alias("canonical_name"),
+            F.max("p_retailprice").alias("max_retailprice"),
+            F.min("p_size").alias("min_size"),
+        )
+    )
+
+
+@query(
     "region_supplier_revenue",
     oracle=f"""
     SELECT n_name AS nation,

@@ -201,3 +201,23 @@ def test_label_propagation_majority_vote_wins(spark):
     # round 1: A-leaves -> 1, B-leaves -> 10; round 2: node 20 sees
     # votes {1: 2 (from 2,3), 10: 1 (from 11)} -> majority 1
     assert labels[20] == 1
+
+
+def test_entity_resolution_transitive_closure_and_survivorship(spark):
+    """ER golden record: a typo CHAIN A~B~C (lev(A,B)=lev(B,C)=1 but
+    lev(A,C)=2 edges absent from the pair stage under stricter
+    thresholds) must still land in ONE cluster via transitive closure,
+    and the survivorship rules must be deterministic functions of the
+    member set."""
+    from data_seedling_spark.operators.graph import (
+        connected_components_star,
+    )
+
+    # pair stage output for a 3-chain plus a separate 2-cluster
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], ["part_a", "part_b"]
+    )
+    cc = connected_components_star(pairs, src="part_a", dst="part_b")
+    comp = {r["node"]: r["component"] for r in cc.collect()}
+    assert comp[1] == comp[2] == comp[3] == 1
+    assert comp[10] == comp[11] == 10
