@@ -5,14 +5,16 @@ struct; decode / feature-extract / resize / frame-sample run as
 Arrow-batched ``mapInPandas`` operators so each python worker touches
 one batch of payloads at a time (bounded memory, no driver collect).
 
-BMP, PNG, baseline JPEG and WAV/PCM16 are REAL library-free codecs
-(fixed headers, stdlib zlib for PNG's DEFLATE, numpy for
-filters/DCT/samples), decoded and oracle-checked end-to-end.
-mp3/video (and non-baseline JPEG) need external codecs
-(Pillow/ffmpeg/torchaudio) that are NOT in this container, so they
-stay behind ``decode_stub``'s deterministic fake — the Spark-side
-plumbing (schema, batch shape, partitioning) is identical and tested;
-swap ``_fake_decode`` for a real decoder to go live.
+BMP, PNG, GIF (variable-width LZW), baseline JPEG, WAV/PCM16,
+MJPEG-in-AVI video, and mp3 frame metadata are REAL library-free
+codecs/parsers (fixed headers, stdlib zlib for PNG's DEFLATE, numpy
+for filters/DCT/samples), decoded and oracle-checked end-to-end.
+Inter-coded video (h264/vp9), mp3 PCM decode, and progressive JPEG
+need external codecs (Pillow/ffmpeg/torchaudio) that are NOT in this
+container, so they stay behind ``decode_stub``'s deterministic fake —
+the Spark-side plumbing (schema, batch shape, partitioning) is
+identical and tested; swap ``_fake_decode`` for a real decoder to go
+live.
 """
 
 from __future__ import annotations
@@ -1111,4 +1113,299 @@ def audio_features(
     out_schema = T.StructType(
         df.schema.fields + [T.StructField(out_col, AUDIO_FEATURES_SCHEMA)]
     )
+    return df.mapInPandas(run, out_schema)
+
+
+# ---------------------------------------------------------------------------
+# Real video path: MJPEG-in-AVI (RIFF container walk + the baseline
+# JPEG codec above — no library needed, each frame IS a JFIF payload).
+# Inter-coded codecs (h264/vp9/av1) stay behind the decoder seam until
+# their libs exist in the runtime.
+# ---------------------------------------------------------------------------
+
+
+def encode_avi_mjpeg(frames: list, fps: int = 10) -> bytes:
+    """List of same-size grayscale/RGB uint8 frames → MJPEG AVI bytes:
+    each frame JPEG-encoded (:func:`encode_jpeg`) into a ``00dc``
+    chunk under ``LIST movi``, with spec-shaped ``avih``/``strh``/
+    ``strf`` headers and a keyframe ``idx1`` index (every MJPEG frame
+    is a keyframe — that is what makes the format frame-sampleable
+    without decoding predecessors)."""
+    import struct
+
+    import numpy as np
+
+    imgs = [np.asarray(f, dtype=np.uint8) for f in frames]
+    h, w = imgs[0].shape[:2]
+    payloads = [encode_jpeg(f) for f in imgs]
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        pad = b"\x00" if len(body) % 2 else b""
+        return tag + struct.pack("<I", len(body)) + body + pad
+
+    def lst(four: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", four + body)
+
+    avih = struct.pack(
+        "<IIIIIIIIIIIIII",
+        1_000_000 // fps, 0, 0, 0x10, len(payloads), 0, 1, 0, w, h,
+        0, 0, 0, 0,
+    )
+    strh = struct.pack(
+        "<4s4sIHHIIIIIIIIhhhh",
+        b"vids", b"MJPG", 0, 0, 0, 0, 1, fps, 0, len(payloads),
+        0, 0xFFFFFFFF, 0, 0, 0, w, h,
+    )
+    strf = struct.pack(
+        "<IiiHH4sIiiII", 40, w, h, 1, 24, b"MJPG", w * h * 3, 0, 0, 0, 0
+    )
+    hdrl = lst(
+        b"hdrl",
+        chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
+    )
+    movi_body = b"".join(chunk(b"00dc", p) for p in payloads)
+    movi = lst(b"movi", movi_body)
+    idx = bytearray()
+    off = 4  # offsets are relative to the start of 'movi' fourcc
+    for p in payloads:
+        idx += struct.pack("<4sIII", b"00dc", 0x10, off, len(p))
+        off += 8 + len(p) + (len(p) % 2)
+    riff_body = b"AVI " + hdrl + movi + chunk(b"idx1", bytes(idx))
+    return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
+
+
+def decode_avi_frames(data: bytes):
+    """MJPEG AVI bytes → (width, height, n_frames_declared,
+    [jpeg payloads]): RIFF walk to ``avih`` for the declared geometry
+    and to ``LIST movi`` for the per-frame ``00dc``/``00db`` chunks
+    (pad-byte aware). Frame pixels come from
+    :func:`decode_jpeg_pixels` on each payload — the container layer
+    and the codec layer stay separable, which is exactly how a real
+    pipeline swaps MJPEG for an external h264 decoder."""
+    import struct
+
+    if data[:4] != b"RIFF" or data[8:12] != b"AVI ":
+        raise ValueError("not an AVI payload")
+    width = height = declared = None
+    frames: list[bytes] = []
+
+    def walk(buf: bytes, pos: int, end: int) -> None:
+        nonlocal width, height, declared
+        while pos + 8 <= end:
+            tag = buf[pos : pos + 4]
+            size = struct.unpack_from("<I", buf, pos + 4)[0]
+            body_start = pos + 8
+            if tag == b"LIST":
+                walk(buf, body_start + 4, body_start + size)
+            elif tag == b"avih":
+                fields = struct.unpack_from("<IIIIIIIIII", buf, body_start)
+                declared = fields[4]
+                width, height = fields[8], fields[9]
+            elif tag in (b"00dc", b"00db"):
+                frames.append(bytes(buf[body_start : body_start + size]))
+            pos = body_start + size + (size % 2)
+
+    walk(data, 12, len(data))
+    if width is None:
+        raise ValueError("AVI without an avih header")
+    return width, height, declared, frames
+
+
+VIDEO_FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("mean_r", T.DoubleType()),
+        T.StructField("mean_g", T.DoubleType()),
+        T.StructField("mean_b", T.DoubleType()),
+    ]
+)
+
+
+def sample_video_frames(
+    df: DataFrame,
+    payload_col: str = "payload",
+    out_col: str = "frames",
+    every: int = 1,
+) -> DataFrame:
+    """REAL video frame sampling over ``mapInPandas``: AVI container
+    walk → keep every ``every``-th MJPEG frame → JPEG-decode just
+    those (MJPEG keyframe independence means skipped frames cost
+    nothing — the property that makes stride sampling cheap) → one
+    struct per sampled frame with dims + channel means. Corrupt
+    payloads isolate as NULL, same per-row error contract as
+    :func:`decode_images`."""
+    import numpy as np
+
+    out_schema = T.StructType(
+        df.schema.fields
+        + [T.StructField(out_col, T.ArrayType(VIDEO_FRAME_SCHEMA))]
+    )
+
+    def run(batches):
+        for pdf in batches:
+            out = []
+            for b in pdf[payload_col]:
+                if b is None:
+                    out.append(None)
+                    continue
+                try:
+                    _w, _h, _n, payloads = decode_avi_frames(bytes(b))
+                    rows = []
+                    for t in range(0, len(payloads), every):
+                        px = decode_jpeg_pixels(payloads[t])
+                        if px.ndim == 2:
+                            px = np.stack([px] * 3, axis=2)
+                        rows.append(
+                            {
+                                "frame_idx": t,
+                                "width": int(px.shape[1]),
+                                "height": int(px.shape[0]),
+                                "mean_r": float(px[..., 0].mean()),
+                                "mean_g": float(px[..., 1].mean()),
+                                "mean_b": float(px[..., 2].mean()),
+                            }
+                        )
+                    out.append(rows)
+                except Exception:
+                    out.append(None)
+            pdf[out_col] = out
+            yield pdf
+
+    return df.mapInPandas(run, out_schema)
+
+
+# ---------------------------------------------------------------------------
+# Real mp3 METADATA path: frame-header walk (sync scan, bitrate/
+# samplerate tables, VBR-aware per-frame sizes, ID3v2 skip). PCM
+# decode (huffman + IMDCT) stays behind the decoder seam — metadata
+# is what corpus curation needs (duration/bitrate filters) and it
+# parses library-free.
+# ---------------------------------------------------------------------------
+
+#: MPEG-1 Layer III bitrate table (kbps), index 1..14.
+_MP3_BITRATES = (
+    None, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320,
+)
+_MP3_SAMPLERATES = (44100, 48000, 32000)
+_MP3_SAMPLES_PER_FRAME = 1152
+
+
+def encode_mp3_frames(
+    frame_bitrates_kbps: list, samplerate: int = 44100, id3_payload: bytes | None = None
+) -> bytes:
+    """Synthesize a (headers-valid, silence-payload) MPEG-1 Layer III
+    stream: one 4-byte frame header per requested bitrate + zero
+    main-data filler to the spec frame size (144·bitrate/samplerate),
+    optionally prefixed with an ID3v2 tag. Varying per-frame bitrates
+    produce a true VBR stream — a parser must walk header by header,
+    not extrapolate from the first frame."""
+    sr_idx = _MP3_SAMPLERATES.index(samplerate)
+    out = bytearray()
+    if id3_payload is not None:
+        n = len(id3_payload)
+        syncsafe = bytes(
+            [(n >> 21) & 0x7F, (n >> 14) & 0x7F, (n >> 7) & 0x7F, n & 0x7F]
+        )
+        out += b"ID3\x04\x00\x00" + syncsafe + id3_payload
+    for kbps in frame_bitrates_kbps:
+        br_idx = _MP3_BITRATES.index(kbps)
+        hdr = bytes(
+            [
+                0xFF,
+                0xFB,  # MPEG-1, Layer III, no CRC
+                (br_idx << 4) | (sr_idx << 2),  # no padding
+                0x00,
+            ]
+        )
+        size = 144 * kbps * 1000 // samplerate
+        out += hdr + b"\x00" * (size - 4)
+    return bytes(out)
+
+
+def parse_mp3_metadata(data: bytes) -> dict:
+    """mp3 bytes → {n_frames, sample_rate, avg_bitrate_kbps,
+    duration_ms}: skip an ID3v2 tag if present (syncsafe size), then
+    walk frame headers — each frame's size comes from ITS OWN header
+    (VBR-correct), duration from frames × 1152 / samplerate. Raises on
+    desync; PCM decode is behind the external-decoder seam."""
+    pos = 0
+    if data[:3] == b"ID3":
+        sz = (
+            (data[6] << 21) | (data[7] << 14) | (data[8] << 7) | data[9]
+        )
+        pos = 10 + sz
+    n = 0
+    kbps_total = 0
+    sample_rate = None
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF or (data[pos + 1] & 0xE0) != 0xE0:
+            raise ValueError(f"mp3 desync at byte {pos}")
+        if (data[pos + 1] & 0x1E) != 0x1A:
+            raise ValueError("only MPEG-1 Layer III is parsed")
+        br_idx = data[pos + 2] >> 4
+        sr_idx = (data[pos + 2] >> 2) & 0x3
+        padding = (data[pos + 2] >> 1) & 0x1
+        kbps = _MP3_BITRATES[br_idx]
+        if kbps is None or sr_idx > 2:
+            raise ValueError("bad mp3 bitrate/samplerate index")
+        sr = _MP3_SAMPLERATES[sr_idx]
+        if sample_rate is None:
+            sample_rate = sr
+        elif sr != sample_rate:
+            raise ValueError("mixed sample rates in one stream")
+        n += 1
+        kbps_total += kbps
+        pos += 144 * kbps * 1000 // sr + padding
+    if n == 0 or pos != len(data):
+        raise ValueError("truncated mp3 stream")
+    return {
+        "n_frames": n,
+        "sample_rate": sample_rate,
+        "avg_bitrate_kbps": kbps_total / n,
+        "duration_ms": n * _MP3_SAMPLES_PER_FRAME * 1000 // sample_rate,
+    }
+
+
+MP3_META_SCHEMA = T.StructType(
+    [
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("avg_bitrate_kbps", T.DoubleType()),
+        T.StructField("duration_ms", T.LongType()),
+        T.StructField("ok", T.BooleanType()),
+    ]
+)
+
+
+def mp3_metadata(
+    df: DataFrame, payload_col: str = "payload", out_col: str = "meta"
+) -> DataFrame:
+    """Arrow-batched mp3 metadata extraction with the same per-row
+    error isolation as the image decoders."""
+    out_schema = T.StructType(
+        df.schema.fields + [T.StructField(out_col, MP3_META_SCHEMA)]
+    )
+
+    def run(batches):
+        for pdf in batches:
+            metas = []
+            for b in pdf[payload_col]:
+                if b is None:
+                    metas.append(None)
+                    continue
+                try:
+                    d = parse_mp3_metadata(bytes(b))
+                    d["ok"] = True
+                except Exception:
+                    d = {
+                        "n_frames": None, "sample_rate": None,
+                        "avg_bitrate_kbps": None, "duration_ms": None,
+                        "ok": False,
+                    }
+                metas.append(d)
+            pdf[out_col] = metas
+            yield pdf
+
     return df.mapInPandas(run, out_schema)

@@ -2612,6 +2612,148 @@ def multimodal_decode_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_video_frame_sample",
+    oracle="""
+    WITH f AS (
+      SELECT doc_id, n_chars, t.t AS frame_idx
+      FROM documents, (SELECT unnest(range(0, 5)) AS t) t
+      WHERE t.t < 2 + n_chars % 4 AND t.t % 2 = 0
+    )
+    SELECT doc_id,
+           CAST(frame_idx AS INT) AS frame_idx,
+           CAST(8 * (1 + n_chars % 3) AS INT) AS width,
+           CAST(8 * (1 + n_chars % 2) AS INT) AS height,
+           (SELECT avg((doc_id + 17 * bx.r + 29 * by.r2
+                        + 41 * frame_idx) % 256)
+              FROM (SELECT unnest(range(0, 1 + n_chars % 3)) AS r) bx,
+                   (SELECT unnest(range(0, 1 + n_chars % 2)) AS r2) by)
+             AS mean_gray
+    FROM f
+    """,
+    tags=("multimodal", "video", "mjpeg", "frame-sample"),
+)
+def multimodal_video_frame_sample(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """REAL video decode + frame sampling, oracle-checked end-to-end:
+    per document a 2–5-frame MJPEG AVI is built (each frame a
+    constant-8×8-block grayscale image shifted 41 per frame, JPEG
+    frames inside a RIFF container — ``operators.multimodal.
+    encode_avi_mjpeg``), then ``sample_video_frames`` walks the
+    container, keeps every 2nd frame, and JPEG-decodes ONLY those
+    (MJPEG keyframe independence = stride sampling skips full decode
+    work — the property video curation pipelines exploit). One output
+    row per sampled frame; the oracle predicts each sampled frame's
+    dims and mean in closed form, so a wrong container walk, frame
+    stride, or per-frame DC chain all shift it. Same per-row error
+    isolation and Arrow batching as the image decoders; inter-coded
+    codecs (h264 etc.) stay behind the decoder seam."""
+    import numpy as np
+    import pandas as pd  # noqa: F401
+
+    from .operators.multimodal import encode_avi_mjpeg, sample_video_frames
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+
+    def build(batches):
+        for pdf in batches:
+            payloads = []
+            for i, n in zip(pdf["doc_id"], pdf["n_chars"]):
+                i, n = int(i), int(n)
+                wb, hb = 1 + n % 3, 1 + n % 2
+                bx = np.arange(wb, dtype=np.int64)[None, :]
+                by = np.arange(hb, dtype=np.int64)[:, None]
+                frames = []
+                for t in range(2 + n % 4):
+                    blocks = (i + 17 * bx + 29 * by + 41 * t) % 256
+                    frames.append(
+                        np.kron(blocks, np.ones((8, 8), dtype=np.int64))
+                        .astype(np.uint8)
+                    )
+                payloads.append(encode_avi_mjpeg(frames))
+            pdf["payload"] = payloads
+            yield pdf
+
+    with_payload = docs.mapInPandas(
+        build, "doc_id long, n_chars long, payload binary"
+    )
+    sampled = sample_video_frames(with_payload, every=2)
+    fr = F.explode("frames").alias("f")
+    return sampled.select("doc_id", fr).select(
+        "doc_id",
+        F.col("f.frame_idx").alias("frame_idx"),
+        F.col("f.width").alias("width"),
+        F.col("f.height").alias("height"),
+        F.col("f.mean_r").alias("mean_gray"),
+    )
+
+
+@query(
+    "multimodal_mp3_metadata",
+    oracle="""
+    WITH f AS (
+      SELECT doc_id, n_chars, t.t AS t
+      FROM documents, (SELECT unnest(range(0, 30)) AS t) t
+      WHERE t.t < 10 + n_chars % 20
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS INT) AS n_frames,
+           CAST(44100 AS INT) AS sample_rate,
+           avg(CAST(CASE (doc_id + t) % 4
+                    WHEN 0 THEN 112 WHEN 1 THEN 128
+                    WHEN 2 THEN 160 ELSE 192 END AS DOUBLE))
+             AS avg_bitrate_kbps,
+           CAST(COUNT(*) * 1152 * 1000 // 44100 AS BIGINT) AS duration_ms
+    FROM f GROUP BY doc_id
+    """,
+    tags=("multimodal", "audio", "mp3", "metadata"),
+)
+def multimodal_mp3_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL mp3 frame-header parsing, oracle-checked end-to-end: per
+    document a true VBR MPEG-1 Layer III stream (10–29 frames, frame
+    t's bitrate cycling 112/128/160/192 by (doc_id+t) mod 4, odd
+    doc_ids prefixed with an ID3v2 tag) is synthesized and walked back
+    by ``operators.multimodal.parse_mp3_metadata`` — each frame's size
+    read from ITS OWN header, so a parser that extrapolated from the
+    first frame would desync and fail the whole row. The oracle
+    predicts frame count, average bitrate, and duration in closed
+    form. This is the metadata layer corpus curation filters on
+    (duration/bitrate gates); PCM decode (huffman + IMDCT) stays
+    behind the external-decoder seam."""
+    import pandas as pd  # noqa: F401
+
+    from .operators.multimodal import encode_mp3_frames, mp3_metadata
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    rates = (112, 128, 160, 192)
+
+    def build(batches):
+        for pdf in batches:
+            payloads = []
+            for i, n in zip(pdf["doc_id"], pdf["n_chars"]):
+                i, n = int(i), int(n)
+                frames = [
+                    rates[(i + t) % 4] for t in range(10 + n % 20)
+                ]
+                id3 = (b"\x00" * (13 + i % 40)) if i % 2 else None
+                payloads.append(encode_mp3_frames(frames, id3_payload=id3))
+            pdf["payload"] = payloads
+            yield pdf
+
+    with_payload = docs.mapInPandas(
+        build, "doc_id long, n_chars long, payload binary"
+    )
+    meta = mp3_metadata(with_payload)
+    return meta.select(
+        "doc_id",
+        F.col("meta.n_frames").alias("n_frames"),
+        F.col("meta.sample_rate").alias("sample_rate"),
+        F.col("meta.avg_bitrate_kbps").alias("avg_bitrate_kbps"),
+        F.col("meta.duration_ms").alias("duration_ms"),
+    )
+
+
+@query(
     "embedding_gram_matrix",
     oracle="""
     WITH x AS (

@@ -2007,3 +2007,82 @@ def test_arrow_env_flag_routes_pair_scoring(spark, monkeypatch):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "FlatMapGroupsInPandas" not in plan
+
+
+def test_avi_mjpeg_container_roundtrip_and_stride_sampling(spark):
+    """MJPEG AVI: container walk recovers every frame bit-exact
+    (constant-block frames are DC-only through the JPEG path), stride
+    sampling decodes only every k-th frame, and corrupt payloads
+    isolate as NULL rows."""
+    import numpy as np
+    from pyspark.sql import Row
+
+    from data_seedling_spark.operators.multimodal import (
+        decode_avi_frames,
+        decode_jpeg_pixels,
+        encode_avi_mjpeg,
+        sample_video_frames,
+    )
+
+    frames = []
+    for t in range(5):
+        blocks = (np.arange(6).reshape(2, 3) * 17 + 41 * t) % 256
+        frames.append(
+            np.kron(blocks, np.ones((8, 8), dtype=np.int64)).astype(np.uint8)
+        )
+    avi = encode_avi_mjpeg(frames)
+    w, h, declared, payloads = decode_avi_frames(avi)
+    assert (w, h, declared, len(payloads)) == (24, 16, 5, 5)
+    for t, p in enumerate(payloads):
+        assert (decode_jpeg_pixels(p) == frames[t]).all(), t
+
+    df = spark.createDataFrame(
+        [
+            Row(asset_id=1, payload=bytearray(avi)),
+            Row(asset_id=2, payload=bytearray(b"RIFFjunk not avi")),
+        ]
+    )
+    rows = {
+        r["asset_id"]: r["frames"]
+        for r in sample_video_frames(df, every=2).collect()
+    }
+    assert [f["frame_idx"] for f in rows[1]] == [0, 2, 4]
+    assert rows[1][1]["mean_r"] == float(
+        np.stack([frames[2]] * 3, axis=2)[..., 0].mean()
+    )
+    assert rows[2] is None
+
+
+def test_mp3_vbr_walk_id3_skip_and_error_isolation(spark):
+    """mp3 metadata: a VBR stream must be walked header by header
+    (per-frame sizes), ID3v2 tags skip cleanly, desynced bytes raise,
+    and the mapInPandas operator isolates bad rows as ok=False."""
+    import pytest
+    from pyspark.sql import Row
+
+    from data_seedling_spark.operators.multimodal import (
+        encode_mp3_frames,
+        mp3_metadata,
+        parse_mp3_metadata,
+    )
+
+    rates = [112, 320, 128, 192, 160]
+    m = parse_mp3_metadata(encode_mp3_frames(rates, id3_payload=b"x" * 200))
+    assert m["n_frames"] == 5
+    assert m["avg_bitrate_kbps"] == sum(rates) / 5
+    assert m["duration_ms"] == 5 * 1152 * 1000 // 44100
+
+    with pytest.raises(ValueError, match="desync"):
+        parse_mp3_metadata(
+            encode_mp3_frames([128, 128]) + b"\x00garbage"
+        )
+
+    df = spark.createDataFrame(
+        [
+            Row(asset_id=1, payload=bytearray(encode_mp3_frames([160] * 3))),
+            Row(asset_id=2, payload=bytearray(b"\xff\xfbnot a frame")),
+        ]
+    )
+    rows = {r["asset_id"]: r["meta"] for r in mp3_metadata(df).collect()}
+    assert rows[1]["ok"] and rows[1]["n_frames"] == 3
+    assert not rows[2]["ok"]
