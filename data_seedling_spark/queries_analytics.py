@@ -4825,6 +4825,56 @@ def synthetic_partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "tpch_q4_order_priority",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders o
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1996-04-01'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey
+          AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+      )
+    GROUP BY o_orderpriority
+    """,
+    tags=("tpch", "J2", "subquery", "correlated-exists"),
+)
+def tpch_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 (order priority checking) — the last of the 22 TPC-H
+    shapes: count one quarter's orders that have at least one LATE
+    line, grouped by priority. The driver schema carries no
+    commitdate/receiptdate, so "late" adapts to
+    ``l_shipdate > o_orderdate + 90 days`` (same adaptation pattern
+    as the synthetic-partsupp Q16/Q20) — which keeps Q4's defining
+    feature intact: a correlated EXISTS whose inner predicate
+    references the OUTER row (the ship-vs-order date comparison), not
+    just the join key. Spark plans it as a left-semi join with the
+    compound condition; Catalyst pushes the quarter filter below the
+    semi-join probe. Scale: the semi-join shuffles only
+    (orderkey, dates) pairs from the one-quarter slice."""
+    orders = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    lineitem = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate"
+    )
+    late = orders.join(
+        lineitem,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+        ),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count("*").alias("order_count")
+    )
+
+
+@query(
     "tpch_q15_top_supplier",
     oracle=f"""
     WITH revenue0 AS (
