@@ -693,11 +693,54 @@ def _assign_literal_centroids(
     exactly: the ‖v‖²+‖c‖²−2v·c dot identity, round to the 1e-6 grid,
     lexicographic (distance, centroid) tie-break. Only for bounded k
     (literal k×dim doubles in the plan; the broadcast-join path covers
-    unbounded centroid frames)."""
+    unbounded centroid frames).
+
+    Under :func:`arrow_assign_enabled` the projection routes through
+    :func:`_assign_literal_centroids_arrow` instead: with adaptive √N
+    sizing k grows with the corpus, and a k×dim literal expression
+    tree leaves whole-stage codegen (interpreted argmin over ~500×64
+    struct literals measured 87 s at sf1 vs ~5 s for one BLAS matmul
+    per Arrow batch). Same ulp caveat as :func:`ivf_assign_arrow`, so
+    the literal fold stays the oracle-exact path."""
+    if arrow_assign_enabled():
+        return _assign_literal_centroids_arrow(vecs, cent_rows, vec_col)
     with_vv = vecs.withColumn("_vv", _dot(F.col(vec_col), F.col(vec_col)))
     return with_vv.withColumn(
         "centroid_id", _literal_argmin(cent_rows, vec_col)
     ).drop("_vv")
+
+
+def _assign_literal_centroids_arrow(
+    vecs: DataFrame, cent_rows, vec_col: str
+) -> DataFrame:
+    """Arrow/BLAS twin of :func:`_assign_literal_centroids`: one
+    (batch × dim) @ (dim × k) matmul per Arrow batch, argmin on the
+    same round-6 grid with ties to the smallest centroid id (ids
+    sorted; ``np.argmin`` takes the first minimum). The centroid
+    matrix ships once per executor in the UDF closure — k×dim doubles,
+    the same payload the literal expression embeds in the plan —
+    and the corpus streams through with no shuffle. Keeps every input
+    column (the Lloyd update re-reads ``vec_col`` from the assigned
+    frame), unlike :func:`ivf_assign_arrow`'s two-column projection."""
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+
+    ids = np.array([int(cid) for cid, _ in cent_rows], dtype=np.int64)
+    C = np.array([list(c) for _, c in cent_rows], dtype=np.float64)
+    order = np.argsort(ids, kind="stable")
+    ids, C = ids[order], C[order]
+    cc = (C * C).sum(axis=1)
+
+    @pandas_udf(T.LongType())
+    def _assign(vs: pd.Series) -> pd.Series:
+        M = np.stack(vs.map(lambda x: np.asarray(x, dtype=np.float64)))
+        d = (M * M).sum(axis=1)[:, None] + cc[None, :] - 2.0 * (M @ C.T)
+        idx = np.argmin(np.round(d, 6), axis=1)
+        return pd.Series(ids[idx])
+
+    return vecs.withColumn(
+        "centroid_id", _assign(F.col(vec_col).cast("array<double>"))
+    )
 
 
 def pq_codebooks_trained(
@@ -776,7 +819,12 @@ def _assign_literal_grouped(
     """Literal-centroid argmin with a separate centroid set per group:
     CASE over ``group_col`` selects that group's literal array — still
     a pure projection (no join, no shuffle) covering every group in
-    one pass."""
+    one pass. Under :func:`arrow_assign_enabled` routes through the
+    Arrow twin (same rationale and ulp caveat as
+    :func:`_assign_literal_centroids`: with √N sizing the CASE'd
+    literal tree reaches m×k×sub doubles and leaves codegen)."""
+    if arrow_assign_enabled():
+        return _assign_literal_grouped_arrow(vecs, groups, group_col, vec_col)
     with_vv = vecs.withColumn("_vv", _dot(F.col(vec_col), F.col(vec_col)))
     expr = F.lit(None).cast("long")
     for g, cent_rows in sorted(groups.items()):
@@ -784,6 +832,55 @@ def _assign_literal_grouped(
             F.col(group_col) == g, _literal_argmin(cent_rows, vec_col)
         ).otherwise(expr)
     return with_vv.withColumn("centroid_id", expr).drop("_vv")
+
+
+def _assign_literal_grouped_arrow(
+    vecs: DataFrame, groups: dict, group_col: str, vec_col: str
+) -> DataFrame:
+    """Arrow/BLAS twin of :func:`_assign_literal_grouped`: per Arrow
+    batch, rows are masked by group and each group's slice takes one
+    (rows × sub) @ (sub × k) matmul — the per-group codebooks ship
+    once per executor in the closure, exactly the payload the CASE
+    expression would embed literally. Same round-6 grid and
+    smallest-id tie rule; same ulp caveat (the literal path stays
+    the oracle-exact one). Rows whose group has no codebook get NULL,
+    matching the CASE's ``otherwise(NULL)``."""
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+
+    mats = {}
+    for g, cent_rows in groups.items():
+        ids = np.array([int(cid) for cid, _ in cent_rows], dtype=np.int64)
+        C = np.array([list(c) for _, c in cent_rows], dtype=np.float64)
+        order = np.argsort(ids, kind="stable")
+        ids, C = ids[order], C[order]
+        mats[int(g)] = (ids, C, (C * C).sum(axis=1))
+
+    @pandas_udf(T.LongType())
+    def _assign(gs: pd.Series, vs: pd.Series) -> pd.Series:
+        garr = gs.to_numpy()
+        out = np.full(len(garr), -1, dtype=np.int64)
+        seen_null = False
+        for gv in np.unique(garr):
+            mask = garr == gv
+            if int(gv) not in mats:
+                seen_null = True
+                continue
+            ids, C, cc = mats[int(gv)]
+            M = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in vs[mask]]
+            )
+            d = (M * M).sum(axis=1)[:, None] + cc[None, :] - 2.0 * (M @ C.T)
+            out[mask] = ids[np.argmin(np.round(d, 6), axis=1)]
+        res = pd.Series(out)
+        if seen_null:
+            res = res.where(res >= 0)
+        return res
+
+    return vecs.withColumn(
+        "centroid_id",
+        _assign(F.col(group_col), F.col(vec_col).cast("array<double>")),
+    )
 
 
 def pq_codebooks(
@@ -832,7 +929,15 @@ def pq_encode(
     the codebooks, ``min_by`` partial-aggregate per (vector, subspace).
     The shuffle carries one (id, subspace, code) row per sub-vector —
     the 100 TB corpus compresses to m bytes-ish per vector, which is
-    the entire point of PQ."""
+    the entire point of PQ.
+
+    Under :func:`arrow_assign_enabled` the scored join (rows × m ×
+    codewords interpreted folds — the PQ family's remaining hot stage
+    once training is Arrow-routed; ~50 s at sf1) collapses to one
+    matmul-argmin per (Arrow batch, subspace) via
+    :func:`_assign_literal_grouped_arrow`, the codebooks shipping in
+    the closure instead of the broadcast. Same grid/tie contract; the
+    join+min_by stays the oracle-exact path."""
     sub = dim // m
     vecs = df.select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v")
@@ -842,6 +947,15 @@ def pq_encode(
             F.array(*[F.slice(F.col("_v"), j * sub + 1, sub) for j in range(m)])
         ).alias("subspace", "_s"),
     )
+    if arrow_assign_enabled():
+        groups: dict[int, list] = {}
+        for r in codebooks.select("subspace", "code_id", "subvec").collect():
+            groups.setdefault(int(r["subspace"]), []).append(
+                (r["code_id"], list(r["subvec"]))
+            )
+        return _assign_literal_grouped_arrow(
+            vecs, groups, "subspace", "_s"
+        ).select(id_col, "subspace", F.col("centroid_id").alias("code"))
     sq_dist = (
         _dot(F.col("_s"), F.col("_s"))
         + _dot(F.col("subvec"), F.col("subvec"))

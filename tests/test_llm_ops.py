@@ -2009,6 +2009,69 @@ def test_arrow_env_flag_routes_pair_scoring(spark, monkeypatch):
     assert "FlatMapGroupsInPandas" not in plan
 
 
+def test_arrow_lloyd_assignment_matches_literal_argmin(spark, monkeypatch):
+    """kmeans/PQ Lloyd assignment under DS_SPARK_IVF_ARROW=1 (bench's
+    throughput configuration) must (a) route through the Arrow matmul
+    assigner — ArrowEvalPython in the plan instead of the k×dim
+    literal argmin expression — and (b) agree with the literal fold
+    path on virtually every vector (identical round-6 grid and
+    smallest-id tie rule; disagreement needs an ulp-level
+    summation-order flip exactly on a 1e-6 boundary)."""
+    from data_seedling_spark.operators.similarity import kmeans_lloyd
+
+    df = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    monkeypatch.delenv("DS_SPARK_IVF_ARROW", raising=False)
+    fold_df = kmeans_lloyd(df, init_stride=50, iters=1)
+    assert (
+        "ArrowEvalPython"
+        not in fold_df._jdf.queryExecution().executedPlan().toString()
+    )
+    fold = {r["vec_id"]: r["centroid_id"] for r in fold_df.collect()}
+
+    monkeypatch.setenv("DS_SPARK_IVF_ARROW", "1")
+    arrow_df = kmeans_lloyd(df, init_stride=50, iters=1)
+    assert (
+        "ArrowEvalPython"
+        in arrow_df._jdf.queryExecution().executedPlan().toString()
+    )
+    arrow = {r["vec_id"]: r["centroid_id"] for r in arrow_df.collect()}
+
+    assert len(arrow) == len(fold)
+    agree = sum(1 for k in fold if fold[k] == arrow[k]) / len(fold)
+    assert agree >= 0.999, agree
+
+
+def test_arrow_grouped_assignment_matches_case_argmin(spark, monkeypatch):
+    """PQ codebook training's per-subspace assignment under
+    DS_SPARK_IVF_ARROW=1 must agree with the CASE'd literal argmin on
+    virtually every (id, subspace) row (same grid and tie rule; the
+    trained codebooks must therefore match to the 1e-6 update grid)."""
+    from data_seedling_spark.operators.similarity import (
+        pq_codebooks_trained,
+    )
+
+    df = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    monkeypatch.delenv("DS_SPARK_IVF_ARROW", raising=False)
+    fold = {
+        (r["subspace"], r["code_id"]): tuple(r["subvec"])
+        for r in pq_codebooks_trained(df, init_stride=50, iters=1).collect()
+    }
+    monkeypatch.setenv("DS_SPARK_IVF_ARROW", "1")
+    # (no plan assertion: the codebook frame materialises driver-side
+    # as an ExistingRDD scan; routing is covered by the Lloyd test)
+    arrow = {
+        (r["subspace"], r["code_id"]): tuple(r["subvec"])
+        for r in pq_codebooks_trained(df, init_stride=50, iters=1).collect()
+    }
+    assert set(arrow) == set(fold)
+    agree = sum(
+        1
+        for k in fold
+        if all(abs(a - b) <= 1e-6 for a, b in zip(fold[k], arrow[k]))
+    ) / len(fold)
+    assert agree >= 0.999, agree
+
+
 def test_avi_mjpeg_container_roundtrip_and_stride_sampling(spark):
     """MJPEG AVI: container walk recovers every frame bit-exact
     (constant-block frames are DC-only through the JPEG path), stride
