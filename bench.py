@@ -74,6 +74,7 @@ HEADLINE = [
     "incremental_agg_maintenance",
     "ann_two_stage_rerank",
     "multimodal_decode_jpeg",
+    "multimodal_decode_jpeg_progressive",
     "subword_tokenize_greedy",
     "pmi_collocations_top",
     "ivfpq_residual_topk",

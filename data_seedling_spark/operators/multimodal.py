@@ -703,6 +703,12 @@ _AC_VALS = [0x00, 0xF0] + [
 ]
 _AC_BITS = [0, 0, 0, 0, 0, 0, 0, len(_AC_VALS), 0, 0, 0, 0, 0, 0, 0, 0]
 
+#: progressive AC table: the baseline symbols plus the EOBn run
+#: symbols (n<<4 for n=1..14, T.81 G.1.2.2) at length 9 — Kraft sum
+#: 162/256 + 14/512 < 1 and the all-ones code stays unused.
+_AC_VALS_PROG = _AC_VALS + [n << 4 for n in range(1, 15)]
+_AC_BITS_PROG = [0, 0, 0, 0, 0, 0, 0, len(_AC_VALS), 14, 0, 0, 0, 0, 0, 0, 0]
+
 
 def _dct_matrix():
     import numpy as np
@@ -851,6 +857,254 @@ def encode_jpeg(img, quant_value: int = 1) -> bytes:
     return bytes(out)
 
 
+def _quantized_blocks(img, quant_value: int = 1):
+    """Shared encoder front half: uint8 image → per-component lists of
+    quantized zigzag blocks (raster order) plus true dims. Grayscale
+    ``(H, W)`` → 1 component; RGB ``(H, W, 3)`` → 4:4:4 YCbCr. The
+    same level-shift → float DCT → uniform-quant → zigzag math as the
+    baseline encoder, so baseline and progressive streams carry
+    identical coefficients for identical pixels."""
+    import numpy as np
+
+    img = np.asarray(img, dtype=np.uint8)
+    gray = img.ndim == 2
+    h, w = img.shape[:2]
+    ph, pw = (h + 7) & ~7, (w + 7) & ~7
+    pad = [(0, ph - h), (0, pw - w)] + ([] if gray else [(0, 0)])
+    img = np.pad(img, pad, mode="edge")
+    if gray:
+        planes = [img.astype(np.float64)]
+    else:
+        r, g, b = (img[:, :, i].astype(np.float64) for i in range(3))
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+        cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+        planes = [np.round(p) for p in (y, cb, cr)]
+    qtable = np.full((8, 8), quant_value, dtype=np.float64)
+    dctm = _dct_matrix()
+    comps = []
+    for plane in planes:
+        blocks = []
+        for by in range(ph // 8):
+            for bx in range(pw // 8):
+                blk = plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+                coeffs = dctm @ (blk - 128.0) @ dctm.T
+                q = np.round(coeffs / qtable).astype(np.int64)
+                blocks.append(q.reshape(64)[_ZIGZAG])
+        comps.append(blocks)
+    return h, w, comps
+
+
+def _ac_pt(v: int, al: int) -> int:
+    """AC successive-approximation point transform (T.81 G.1.2.2):
+    sign(v) * (|v| >> Al) — NOT an arithmetic shift for negatives
+    (the DC point transform IS the arithmetic shift)."""
+    return -((-v) >> al) if v < 0 else v >> al
+
+
+def _encode_dc_first(writer, blocks_per_comp, order, al, dc_codes):
+    preds = [0] * len(blocks_per_comp)
+    for b in order:
+        for ci, blocks in enumerate(blocks_per_comp):
+            val = int(blocks[b][0]) >> al  # DC pt: arithmetic shift
+            diff = val - preds[ci]
+            preds[ci] = val
+            size = _category(diff)
+            code, length = dc_codes[size]
+            writer.write(code, length)
+            if size:
+                writer.write(diff if diff >= 0 else diff + (1 << size) - 1, size)
+
+
+def _flush_eobrun(writer, ac_codes, eobrun: int, bebits: list) -> None:
+    """Emit an EOBn symbol for an accumulated end-of-band run (T.81
+    G.1.2.2: symbol (n<<4)|0 codes a run of 2^n + n-extension-bits
+    blocks), followed by the buffered correction bits of the blocks
+    the run passed over (refinement scans only)."""
+    if eobrun:
+        r = eobrun.bit_length() - 1
+        c, ln = ac_codes[r << 4]
+        writer.write(c, ln)
+        if r:
+            writer.write(eobrun - (1 << r), r)
+    for bit in bebits:
+        writer.write(bit, 1)
+
+
+def _encode_ac_first(writer, blocks, ss, se, al, ac_codes):
+    eobrun = 0
+    for zz in blocks:
+        vals = [_ac_pt(int(zz[k]), al) for k in range(ss, se + 1)]
+        if not any(vals):  # whole band zero → join the EOB run
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                _flush_eobrun(writer, ac_codes, eobrun, [])
+                eobrun = 0
+            continue
+        _flush_eobrun(writer, ac_codes, eobrun, [])
+        eobrun = 0
+        run = 0
+        for v in vals:
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                c, ln = ac_codes[0xF0]
+                writer.write(c, ln)
+                run -= 16
+            size = _category(v)
+            c, ln = ac_codes[(run << 4) | size]
+            writer.write(c, ln)
+            writer.write(v if v >= 0 else v + (1 << size) - 1, size)
+            run = 0
+        if run:  # trailing zeros start a new EOB run
+            eobrun = 1
+    _flush_eobrun(writer, ac_codes, eobrun, [])
+
+
+def _encode_ac_refine(writer, blocks, ss, se, ah, al, ac_codes):
+    """Refinement AC scan (G.1.2.3): zero-history coefficients code as
+    runs + newly-significant (magnitude exactly 1 at this precision,
+    sign bit follows the symbol); nonzero-history coefficients emit
+    one correction bit each, buffered and flushed after the next
+    symbol. End-of-band runs accumulate ACROSS blocks (EOBn), their
+    correction bits buffered in block order behind the eventual
+    symbol — mirroring how the decoder consumes them."""
+    eobrun = 0
+    bebits: list[int] = []
+    for zz in blocks:
+        vals = [int(zz[k]) for k in range(ss, se + 1)]
+        hist = [abs(v) >> ah for v in vals]
+        now = [abs(v) >> al for v in vals]
+        new_sig = [i for i in range(len(vals)) if hist[i] == 0 and now[i]]
+        if not new_sig:  # whole band joins the EOB run
+            eobrun += 1
+            bebits.extend(now[i] & 1 for i in range(len(vals)) if hist[i])
+            if eobrun == 0x7FFF:
+                _flush_eobrun(writer, ac_codes, eobrun, bebits)
+                eobrun, bebits = 0, []
+            continue
+        _flush_eobrun(writer, ac_codes, eobrun, bebits)
+        eobrun, bebits = 0, []
+        last = new_sig[-1]
+        run = 0
+        pending: list[int] = []
+        for i in range(last + 1):
+            if hist[i] == 0 and now[i] == 0:
+                run += 1
+                continue
+            # ZRL flushes lazily AT a nonzero position so the pending
+            # corrections all lie among the 16 zeros the decoder's ZRL
+            # walk covers (an eager flush at the 16th zero could trap
+            # later corrections behind the wrong symbol)
+            while run > 15:
+                c, ln = ac_codes[0xF0]
+                writer.write(c, ln)
+                for bit in pending:
+                    writer.write(bit, 1)
+                pending = []
+                run -= 16
+            if hist[i]:
+                pending.append(now[i] & 1)
+                continue
+            # newly significant (now == 1 by Ah = Al + 1)
+            c, ln = ac_codes[(run << 4) | 1]
+            writer.write(c, ln)
+            writer.write(1 if vals[i] > 0 else 0, 1)
+            for bit in pending:
+                writer.write(bit, 1)
+            pending = []
+            run = 0
+        # remainder of the band starts a new EOB run iff anything
+        # (zero-history zeros or corrections) is left in it
+        if last + 1 <= len(vals) - 1:
+            eobrun = 1
+            bebits = [now[i] & 1 for i in range(last + 1, len(vals)) if hist[i]]
+    _flush_eobrun(writer, ac_codes, eobrun, bebits)
+
+
+def encode_jpeg_progressive(img, quant_value: int = 1) -> bytes:
+    """uint8 array → PROGRESSIVE JFIF bytes (SOF2): the same quantized
+    coefficients as :func:`encode_jpeg`, delivered across a standard
+    multi-scan script exercising all four progressive scan types —
+
+    1. DC first, all components interleaved (Ah=0, Al=1)
+    2. AC first per component, split spectral bands 1–5 and 6–63 (Al=1)
+    3. DC refinement, interleaved (Ah=1, Al=0)
+    4. AC refinement per component, band 1–63 (Ah=1, Al=0)
+
+    — i.e. spectral selection AND successive approximation, the full
+    T.81 Annex-G surface. AC first scans bound EOBRUN to 1 (EOB0 only)
+    which is spec-valid; the decoder accepts general EOBn. Since the
+    scans reconstruct every coefficient down to Al=0, a progressive
+    stream decodes bit-identically to its baseline twin."""
+    import struct
+
+    h, w, comps = _quantized_blocks(img, quant_value)
+    ncomp = len(comps)
+    nblocks = len(comps[0])
+    out = bytearray(b"\xff\xd8")
+    out += (
+        b"\xff\xe0"
+        + struct.pack(">H", 16)
+        + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    )
+    import numpy as np
+
+    qtable = np.full(64, quant_value, dtype=np.float64)
+    zz_q = qtable[_ZIGZAG].astype(np.uint8)
+    out += b"\xff\xdb" + struct.pack(">HB", 67, 0) + zz_q.tobytes()
+    out += b"\xff\xc2" + struct.pack(">HBHHB", 8 + 3 * ncomp, 8, h, w, ncomp)
+    for cid in range(1, ncomp + 1):
+        out += struct.pack(">BBB", cid, 0x11, 0)
+    for tclass, bits, vals in (
+        (0, _DC_BITS, _DC_VALS),
+        (1, _AC_BITS_PROG, _AC_VALS_PROG),
+    ):
+        out += b"\xff\xc4" + struct.pack(">HB", 19 + len(vals), tclass << 4)
+        out += bytes(bits) + bytes(vals)
+    dc_codes = _huff_codes(_DC_BITS, _DC_VALS)
+    ac_codes = _huff_codes(_AC_BITS_PROG, _AC_VALS_PROG)
+
+    def sos(scan_comps, ss, se, ah, al):
+        seg = bytearray(
+            b"\xff\xda" + struct.pack(">HB", 6 + 2 * len(scan_comps), len(scan_comps))
+        )
+        for cid in scan_comps:
+            seg += struct.pack(">BB", cid, 0x00)
+        seg += struct.pack(">BBB", ss, se, (ah << 4) | al)
+        return bytes(seg)
+
+    order = list(range(nblocks))
+    # 1. DC first (interleaved)
+    out += sos(list(range(1, ncomp + 1)), 0, 0, 0, 1)
+    wtr = _BitWriter()
+    _encode_dc_first(wtr, comps, order, 1, dc_codes)
+    out += wtr.flush()
+    # 2. AC first per component, two spectral bands
+    for ci in range(ncomp):
+        for ss, se in ((1, 5), (6, 63)):
+            out += sos([ci + 1], ss, se, 0, 1)
+            wtr = _BitWriter()
+            _encode_ac_first(wtr, comps[ci], ss, se, 1, ac_codes)
+            out += wtr.flush()
+    # 3. DC refinement (interleaved, raw bits)
+    out += sos(list(range(1, ncomp + 1)), 0, 0, 1, 0)
+    wtr = _BitWriter()
+    for b in order:
+        for ci in range(ncomp):
+            wtr.write(int(comps[ci][b][0]) & 1, 1)
+    out += wtr.flush()
+    # 4. AC refinement per component, full band
+    for ci in range(ncomp):
+        out += sos([ci + 1], 1, 63, 1, 0)
+        wtr = _BitWriter()
+        _encode_ac_refine(wtr, comps[ci], 1, 63, 1, 0, ac_codes)
+        out += wtr.flush()
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
 class _BitReader:
     """Entropy-segment bit reader with 0xFF00 unstuffing."""
 
@@ -896,12 +1150,147 @@ def _extend(v: int, size: int) -> int:
     return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
 
 
+def _decode_scan_baseline(reader, coefs, scan_comps, htables, nblocks):
+    """One baseline SOS: interleaved full-band DPCM+RLE into the
+    per-component coefficient stores (dequant/IDCT happen once at
+    EOI, shared with the progressive path)."""
+    import numpy as np
+
+    prev = [0] * len(scan_comps)
+    for b in range(nblocks):
+        for si, (ci, dc_id, ac_id) in enumerate(scan_comps):
+            dc_tab = htables[(0, dc_id)]
+            ac_tab = htables[(1, ac_id)]
+            zz = np.zeros(64, dtype=np.int64)
+            size = _read_huff_symbol(reader, dc_tab)
+            diff = _extend(reader.read(size), size) if size else 0
+            prev[si] += diff
+            zz[0] = prev[si]
+            k = 1
+            while k < 64:
+                sym = _read_huff_symbol(reader, ac_tab)
+                if sym == 0x00:  # EOB
+                    break
+                if sym == 0xF0:  # ZRL
+                    k += 16
+                    continue
+                k += sym >> 4
+                size = sym & 0xF
+                zz[k] = _extend(reader.read(size), size)
+                k += 1
+            coefs[ci][b] = zz
+
+
+def _decode_scan_progressive(
+    reader, coefs, scan_comps, htables, nblocks, ss, se, ah, al
+):
+    """One progressive SOS per T.81 Annex G.2: DC scans (Ss=0) are
+    interleaved first-pass DPCM at Al precision or 1-raw-bit
+    refinements; AC scans are single-component spectral bands with
+    EOBRUN (general EOBn) and, on refinement, correction bits for
+    already-nonzero coefficients."""
+    if ss == 0:  # DC scan (Se must be 0)
+        if ah == 0:
+            pred = [0] * len(scan_comps)
+            for b in range(nblocks):
+                for si, (ci, dc_id, _) in enumerate(scan_comps):
+                    tab = htables[(0, dc_id)]
+                    size = _read_huff_symbol(reader, tab)
+                    diff = _extend(reader.read(size), size) if size else 0
+                    pred[si] += diff
+                    coefs[ci][b][0] = pred[si] << al
+        else:
+            for b in range(nblocks):
+                for ci, _, _ in scan_comps:
+                    if reader.read(1):
+                        coefs[ci][b][0] |= 1 << al
+        return
+    ci, _, ac_id = scan_comps[0]  # AC scans are single-component
+    tab = htables[(1, ac_id)]
+    eobrun = 0
+    if ah == 0:  # first pass
+        for b in range(nblocks):
+            if eobrun:
+                eobrun -= 1
+                continue
+            zz = coefs[ci][b]
+            k = ss
+            while k <= se:
+                sym = _read_huff_symbol(reader, tab)
+                r, s = sym >> 4, sym & 0xF
+                if s:
+                    k += r
+                    zz[k] = _extend(reader.read(s), s) << al
+                    k += 1
+                elif r != 15:  # EOBn
+                    eobrun = (1 << r) - 1
+                    if r:
+                        eobrun += reader.read(r)
+                    break
+                else:  # ZRL
+                    k += 16
+        return
+    p1, m1 = 1 << al, -(1 << al)  # refinement pass
+    for b in range(nblocks):
+        zz = coefs[ci][b]
+        k = ss
+        if eobrun == 0:
+            while k <= se:
+                sym = _read_huff_symbol(reader, tab)
+                r, s = sym >> 4, sym & 0xF
+                val = 0
+                if s:  # s == 1: newly-significant, sign bit follows
+                    val = p1 if reader.read(1) else m1
+                elif r != 15:
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += reader.read(r)
+                    break
+                # advance past r zero-history coeffs, emitting
+                # correction bits for nonzero-history ones passed over
+                while k <= se:
+                    if zz[k] != 0:
+                        if reader.read(1) and (zz[k] & p1) == 0:
+                            zz[k] += p1 if zz[k] >= 0 else m1
+                    else:
+                        if r == 0:
+                            if val:
+                                zz[k] = val
+                            k += 1
+                            break
+                        r -= 1
+                    k += 1
+        if eobrun:
+            while k <= se:  # corrections only, to end of band
+                if zz[k] != 0:
+                    if reader.read(1) and (zz[k] & p1) == 0:
+                        zz[k] += p1 if zz[k] >= 0 else m1
+                k += 1
+            eobrun -= 1
+
+
+def _next_marker(data: bytes, pos: int) -> int:
+    """First byte offset at/after ``pos`` of a real marker (0xFF
+    followed by neither 0x00 stuffing nor another 0xFF fill)."""
+    while pos < len(data) - 1:
+        if data[pos] == 0xFF and data[pos + 1] not in (0x00, 0xFF):
+            return pos
+        pos += 1
+    raise ValueError("ran off stream looking for a marker")
+
+
 def decode_jpeg_pixels(data: bytes):
-    """Baseline JFIF bytes → uint8 array: ``(H, W)`` for grayscale
-    streams, ``(H, W, 3)`` RGB for 3-component 4:4:4. A general
-    baseline decoder (tables read from the stream's DQT/DHT, any
-    number of tables, any canonical code lengths); only subsampled,
-    progressive, and restart-interval variants raise."""
+    """JFIF bytes → uint8 array: ``(H, W)`` for grayscale streams,
+    ``(H, W, 3)`` RGB for 3-component 4:4:4. A general decoder for
+    baseline (SOF0, single scan) AND progressive (SOF2, multi-scan
+    spectral selection + successive approximation per T.81 Annex G)
+    streams — tables read from the stream's DQT/DHT, any number of
+    tables, any canonical code lengths, general EOBn run lengths.
+    Entropy scans accumulate into per-component coefficient stores;
+    dequant + IDCT run once at EOI, so a progressive stream whose
+    scans reach Al=0 decodes bit-identically to its baseline twin.
+    Only subsampled, restart-interval, and non-Huffman variants
+    raise."""
     import struct
 
     import numpy as np
@@ -912,7 +1301,10 @@ def decode_jpeg_pixels(data: bytes):
     qtables: dict[int, object] = {}
     htables: dict[tuple[int, int], dict] = {}
     frame = None
-    scan_comps = None
+    progressive = False
+    coefs: list | None = None
+    nblocks = 0
+    saw_scan = False
     while pos < len(data):
         if data[pos] != 0xFF:
             raise ValueError("marker expected")
@@ -933,7 +1325,8 @@ def decode_jpeg_pixels(data: bytes):
                 q[_ZIGZAG] = vals
                 qtables[tq] = q.reshape(8, 8)
                 off += 65
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
+            progressive = marker == 0xC2
             _, h, w, ncomp = struct.unpack_from(">BHHB", seg, 0)
             comps = []
             for i in range(ncomp):
@@ -942,8 +1335,13 @@ def decode_jpeg_pixels(data: bytes):
                     raise ValueError("subsampled JPEG unsupported")
                 comps.append((cid, tq))
             frame = (h, w, comps)
-        elif marker in (0xC1, 0xC2, 0xC3):
-            raise ValueError("only baseline (SOF0) JPEG supported")
+            nblocks = (((h + 7) & ~7) // 8) * (((w + 7) & ~7) // 8)
+            coefs = [
+                [np.zeros(64, dtype=np.int64) for _ in range(nblocks)]
+                for _ in comps
+            ]
+        elif marker in (0xC1, 0xC3):
+            raise ValueError("only baseline/progressive huffman JPEG supported")
         elif marker == 0xC4:  # DHT (possibly several tables)
             off = 0
             while off < len(seg):
@@ -957,51 +1355,50 @@ def decode_jpeg_pixels(data: bytes):
                 off += 17 + nvals
         elif marker == 0xDD:
             raise ValueError("restart intervals unsupported")
-        elif marker == 0xDA:  # SOS
+        elif marker == 0xDA:  # SOS — decode one entropy scan
+            if frame is None or coefs is None:
+                raise ValueError("SOS before SOF")
             ns = seg[0]
+            cid_to_ix = {cid: i for i, (cid, _) in enumerate(frame[2])}
             scan_comps = [
-                (seg[1 + 2 * i], seg[2 + 2 * i] >> 4, seg[2 + 2 * i] & 0xF)
+                (
+                    cid_to_ix[seg[1 + 2 * i]],
+                    seg[2 + 2 * i] >> 4,
+                    seg[2 + 2 * i] & 0xF,
+                )
                 for i in range(ns)
             ]
-            pos += seg_len
-            break
+            ss, se, aa = seg[1 + 2 * ns], seg[2 + 2 * ns], seg[3 + 2 * ns]
+            reader = _BitReader(data, pos + seg_len)
+            if progressive:
+                _decode_scan_progressive(
+                    reader, coefs, scan_comps, htables, nblocks,
+                    ss, se, aa >> 4, aa & 0xF,
+                )
+            else:
+                _decode_scan_baseline(
+                    reader, coefs, scan_comps, htables, nblocks
+                )
+            saw_scan = True
+            pos = _next_marker(data, reader.pos)
+            continue
         pos += seg_len
-    if frame is None or scan_comps is None:
-        raise ValueError("missing SOF0/SOS")
+    if frame is None or not saw_scan:
+        raise ValueError("missing SOF/SOS")
     h, w, comps = frame
     ph, pw = (h + 7) & ~7, (w + 7) & ~7
     dctm = _dct_matrix()
     planes = [np.zeros((ph, pw)) for _ in comps]
-    qt = {cid: qtables[tq] for cid, tq in comps}
-    reader = _BitReader(data, pos)
-    prev = [0] * len(comps)
-    for by in range(ph // 8):
-        for bx in range(pw // 8):
-            for ci, (cid, dc_id, ac_id) in enumerate(scan_comps):
-                dc_tab = htables[(0, dc_id)]
-                ac_tab = htables[(1, ac_id)]
-                zz = np.zeros(64, dtype=np.int64)
-                size = _read_huff_symbol(reader, dc_tab)
-                diff = _extend(reader.read(size), size) if size else 0
-                prev[ci] += diff
-                zz[0] = prev[ci]
-                k = 1
-                while k < 64:
-                    sym = _read_huff_symbol(reader, ac_tab)
-                    if sym == 0x00:  # EOB
-                        break
-                    if sym == 0xF0:  # ZRL
-                        k += 16
-                        continue
-                    k += sym >> 4
-                    size = sym & 0xF
-                    zz[k] = _extend(reader.read(size), size)
-                    k += 1
-                block = np.empty(64)
-                block[_ZIGZAG] = zz
-                coeffs = block.reshape(8, 8) * qt[cid]
-                px = dctm.T @ coeffs @ dctm + 128.0
-                planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = px
+    qt = [qtables[tq] for _, tq in comps]
+    bw = pw // 8
+    for ci in range(len(comps)):
+        for b in range(nblocks):
+            block = np.empty(64)
+            block[_ZIGZAG] = coefs[ci][b]
+            coeffs = block.reshape(8, 8) * qt[ci]
+            px = dctm.T @ coeffs @ dctm + 128.0
+            by, bx = divmod(b, bw)
+            planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = px
     planes = [p[:h, :w] for p in planes]
     if len(planes) == 1:
         return np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)

@@ -2951,6 +2951,67 @@ def multimodal_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "multimodal_decode_jpeg_progressive",
+    oracle="""
+    SELECT doc_id,
+           CAST(8 * (1 + n_chars % 4) AS INT) AS width,
+           CAST(8 * (1 + n_chars % 3) AS INT) AS height,
+           (SELECT avg((doc_id * 7 + 13 * bxs.r + 31 * bys.r2) % 256)
+              FROM (SELECT unnest(range(0, 1 + n_chars % 4)) AS r) bxs,
+                   (SELECT unnest(range(0, 1 + n_chars % 3)) AS r2) bys)
+             AS mean_gray
+    FROM documents
+    """,
+    tags=("multimodal", "decode", "jpeg", "progressive"),
+)
+def multimodal_decode_jpeg_progressive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL progressive JPEG (SOF2) decode, oracle-checked end-to-end:
+    per document a constant-8x8-block grayscale image is encoded with
+    the multi-scan progressive script — DC first at Al=1, AC first per
+    spectral band, DC refinement, AC refinement (T.81 Annex G:
+    spectral selection AND successive approximation) — and decoded by
+    the general multi-scan decoder over the same mapInPandas seam as
+    the baseline twin. Constant blocks make every AC band all-zero, so
+    the stream is dominated by multi-block EOBn runs: a wrong EOBRUN
+    count, refinement correction-bit order, or DC point transform
+    shifts the decoded mean visibly. Closed-form oracle: avg over
+    blocks of (doc_id*7 + 13*bx + 31*by) % 256. Bit-exactness of the
+    scan accumulation (progressive == baseline decode on arbitrary
+    content) is pinned separately in pytest."""
+    import numpy as np
+    import pandas as pd  # noqa: F401
+
+    from .operators.multimodal import decode_images, encode_jpeg_progressive
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+
+    def build(batches):
+        for pdf in batches:
+            payloads = []
+            for i, n in zip(pdf["doc_id"], pdf["n_chars"]):
+                i, n = int(i), int(n)
+                wb, hb = 1 + n % 4, 1 + n % 3
+                bx = np.arange(wb, dtype=np.int64)[None, :]
+                by = np.arange(hb, dtype=np.int64)[:, None]
+                blocks = (i * 7 + 13 * bx + 31 * by) % 256
+                img = np.kron(blocks, np.ones((8, 8), dtype=np.int64)).astype(
+                    np.uint8
+                )
+                payloads.append(encode_jpeg_progressive(img))
+            pdf["payload"] = payloads
+            yield pdf
+
+    with_payload = docs.mapInPandas(build, "doc_id long, n_chars long, payload binary")
+    dec = decode_images(with_payload)
+    return dec.select(
+        "doc_id",
+        F.col("decoded.width").alias("width"),
+        F.col("decoded.height").alias("height"),
+        F.col("decoded.mean_r").alias("mean_gray"),
+    )
+
+
 _SUBWORD_VOCAB = (
     "the", "ing", "tion", "ed", "er", "re", "and", "of", "to", "qu",
     "a", "b", "c", "d", "e", "f", "g", "h", "i", "j", "k", "l", "m",

@@ -1491,6 +1491,74 @@ def test_jpeg_flows_through_sniffing_resize_and_decode(spark):
     assert resized[2] is None
 
 
+def test_progressive_jpeg_matches_baseline_decode():
+    """A progressive (SOF2) stream carries the same quantized
+    coefficients as its baseline twin across the 4-scan-type script
+    (DC/AC first + refinement, spectral selection, successive
+    approximation), so once every scan lands the decode must be
+    BIT-IDENTICAL to the baseline decode — gray and RGB, crops,
+    every quant value."""
+    import numpy as np
+
+    from data_seedling_spark.operators.multimodal import (
+        decode_jpeg_pixels,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.default_rng(13)
+    for q, shape in ((1, (19, 13)), (2, (24, 40)), (4, (10, 22, 3)), (1, (8, 8))):
+        img = rng.integers(0, 256, shape, dtype=np.uint8)
+        base = decode_jpeg_pixels(encode_jpeg(img, quant_value=q))
+        prog = decode_jpeg_pixels(encode_jpeg_progressive(img, quant_value=q))
+        assert np.array_equal(base, prog), (q, shape)
+
+
+def test_progressive_jpeg_eobn_runs_and_sniffing(spark):
+    """Constant-block images make every AC band all-zero, so the
+    encoder emits multi-block EOBn runs (general end-of-band run
+    lengths, not just EOB0) in both first and refinement scans — the
+    stream must contain the SOF2 marker, roundtrip bit-exact, and
+    ride the format-sniffed decode_images seam with corrupt payloads
+    isolating as ok=False."""
+    import numpy as np
+    from pyspark.sql import Row
+
+    from data_seedling_spark.operators.multimodal import (
+        decode_images,
+        decode_jpeg_pixels,
+        encode_jpeg_progressive,
+    )
+
+    blocks = (np.arange(30).reshape(5, 6) * 41 + 3) % 256
+    img = np.kron(blocks, np.ones((8, 8), dtype=np.int64)).astype(np.uint8)
+    payload = encode_jpeg_progressive(img)
+    assert b"\xff\xc2" in payload  # SOF2
+    assert np.array_equal(decode_jpeg_pixels(payload), img)
+    # sparse content: mixed EOBn + ZRL + refinement correction bits
+    rng = np.random.default_rng(5)
+    sparse = np.full((40, 48), 128, dtype=np.uint8)
+    ys, xs = rng.integers(0, 40, 12), rng.integers(0, 48, 12)
+    sparse[ys, xs] = rng.integers(0, 256, 12)
+    from data_seedling_spark.operators.multimodal import encode_jpeg
+
+    assert np.array_equal(
+        decode_jpeg_pixels(encode_jpeg_progressive(sparse)),
+        decode_jpeg_pixels(encode_jpeg(sparse)),
+    )
+    rows = [
+        Row(doc_id=1, payload=bytearray(payload)),
+        Row(doc_id=2, payload=bytearray(b"\xff\xd8\xff\xc2broken")),
+    ]
+    out = {
+        r["doc_id"]: r["decoded"]
+        for r in decode_images(spark.createDataFrame(rows)).collect()
+    }
+    assert out[1]["ok"] and out[1]["width"] == 48 and out[1]["height"] == 40
+    assert out[1]["mean_r"] == float(img.mean())
+    assert not out[2]["ok"]
+
+
 def test_greedy_subword_tokenizer_hand_cases(spark):
     """Greedy longest-match: 'theming' with vocab {the,them,ing,t,h,e,m,i,n,g}
     must take 'them' (longest at pos 0), then 'ing' — never the shorter
