@@ -79,6 +79,7 @@ HEADLINE = [
     "pmi_collocations_top",
     "ivfpq_residual_topk",
     "hll_md5_distinct_oracle_checked",
+    "theta_sketch_set_ops",
     "event_transition_probs",
     "ann_recall_eval",
     "cluster_top_terms_ctfidf",

@@ -328,3 +328,120 @@ def kll_weighted_sketch(
             cur, "v", "id", "w", bucket_width=bucket_width
         ).localCheckpoint()
     return cur
+
+
+# ---------------------------------------------------------------------------
+# Theta (KMV) sketch: mergeable distinct-count state that ALSO supports
+# set intersection/difference estimates — the operation HLL registers
+# cannot answer. Keep the k smallest distinct hash values; theta is the
+# k-th smallest, estimate = (k-1)/theta (normalized). Deterministic
+# md5 hashing makes every sketch, merge, and estimate replayable in
+# any engine — the same oracle-exactness contract as hll_registers and
+# the KLL compaction schedule.
+# ---------------------------------------------------------------------------
+
+#: theta hash space: 13 hex chars = 52 bits, exact in float64 in every
+#: engine (the same width bound the z-order keys use).
+THETA_MAX = 16**13
+
+
+def theta_hash(col):
+    """52-bit md5-prefix hash onto [0, THETA_MAX) — engine-portable
+    (DuckDB twin ``CAST('0x' || substr(md5(x), 1, 13) AS BIGINT)``)."""
+    return F.conv(F.substring(F.md5(col.cast("string")), 1, 13), 16, 10).cast(
+        "bigint"
+    )
+
+
+def theta_sketch(df: DataFrame, col: str, k: int = 64) -> DataFrame:
+    """KMV/theta sketch of ``col``: the ``k`` smallest DISTINCT hash
+    values, one row each (column ``h``).
+
+    Scale: the distinct is one hash-shuffle of (hash) longs; the
+    bounded top-k compiles to ``TakeOrderedAndProject`` — every
+    partition keeps its own k smallest and the driver merges k-sized
+    heaps, no global sort. Sketches merge by union → k smallest
+    (:func:`theta_union`) — shards/days combine with k rows of state
+    each, the point of the sketch at 100 TB."""
+    return (
+        df.select(theta_hash(F.col(col)).alias("h"))
+        .where(F.col("h").isNotNull())
+        .distinct()
+        .orderBy("h")
+        .limit(k)
+    )
+
+
+def theta_union(*sketches: DataFrame, k: int = 64) -> DataFrame:
+    """Union of theta sketches: merge retained hashes, keep the k
+    smallest — the mergeable-state operation (associative and
+    commutative, so shards combine in any order)."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.union(s)
+    return out.distinct().orderBy("h").limit(k)
+
+
+def theta_stats(sketch: DataFrame, k: int = 64) -> DataFrame:
+    """1-row frame ``(n, theta, estimate)``: an unsaturated sketch
+    (n < k) retains every distinct hash so the estimate is exact = n;
+    a saturated one estimates (k−1)/θ normalized. The division runs
+    on exact ≤2^52 integers and the single multiply is IEEE-exact in
+    any engine, so the rounded estimate hash-matches the SQL twin."""
+    return sketch.agg(
+        F.count("*").alias("n"), F.max("h").alias("_maxh")
+    ).select(
+        "n",
+        F.when(F.col("n") < k, F.lit(THETA_MAX))
+        .otherwise(F.col("_maxh"))
+        .alias("theta"),
+        F.when(F.col("n") < k, F.col("n").cast("double"))
+        .otherwise(
+            F.round(
+                F.lit(float(k - 1))
+                * (F.lit(float(THETA_MAX)) / F.col("_maxh")),
+                4,
+            )
+        )
+        .alias("estimate"),
+    )
+
+
+def theta_intersection_estimate(
+    sa: DataFrame, sb: DataFrame, k: int = 64
+) -> DataFrame:
+    """Intersection estimate from two theta sketches (the canonical
+    theta-sketch set operation): with θ_AB = min(θ_A, θ_B), the
+    retained hashes below θ_AB form a uniform sample of the union at
+    rate θ_AB/MAX, so |A∩B| ≈ |S_A ∩ S_B ∩ [0, θ_AB)| · MAX/θ_AB.
+    Unsaturated sketches (θ = MAX) degrade gracefully to the exact
+    intersection of their full hash sets. Returns 1 row
+    ``(matched, theta_ab, estimate)``; the join touches ≤k rows per
+    side."""
+    stats = (
+        theta_stats(sa, k)
+        .select(F.col("theta").alias("_ta"))
+        .crossJoin(theta_stats(sb, k).select(F.col("theta").alias("_tb")))
+        .select(F.least("_ta", "_tb").alias("theta_ab"))
+    )
+    matched = (
+        sa.join(sb, "h")
+        .crossJoin(F.broadcast(stats))
+        .where(F.col("h") < F.col("theta_ab"))
+        .groupBy("theta_ab")
+        .agg(F.count("*").alias("matched"))
+    )
+    # groupBy(theta_ab) drops the row when NO hash matches — restore
+    # the zero row via the stats frame so the estimate is always 1 row
+    return (
+        stats.join(matched, "theta_ab", "left")
+        .select(
+            F.coalesce(F.col("matched"), F.lit(0)).alias("matched"),
+            "theta_ab",
+            F.round(
+                F.coalesce(F.col("matched"), F.lit(0)).cast("double")
+                * (F.lit(float(THETA_MAX)) / F.col("theta_ab")),
+                4,
+            ).alias("estimate"),
+        )
+    )

@@ -5055,3 +5055,114 @@ def tpch_q20_excess_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", "s_name")
         .orderBy("s_suppkey")
     )
+
+
+@query(
+    "theta_sketch_set_ops",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id % 2 AS shard, t
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+            FROM documents)
+      WHERE t <> ''
+    ), hs AS (
+      SELECT DISTINCT shard,
+             CAST('0x' || substr(md5(t), 1, 13) AS BIGINT) AS h
+      FROM tok
+    ), sa AS (SELECT h FROM hs WHERE shard = 0 ORDER BY h LIMIT 64),
+       sb AS (SELECT h FROM hs WHERE shard = 1 ORDER BY h LIMIT 64),
+       su AS (SELECT DISTINCT h
+              FROM (SELECT h FROM sa UNION ALL SELECT h FROM sb)
+              ORDER BY h LIMIT 64),
+       st AS (
+         SELECT (SELECT count(*) FROM sa) AS na, (SELECT max(h) FROM sa) AS ma,
+                (SELECT count(*) FROM sb) AS nb, (SELECT max(h) FROM sb) AS mb,
+                (SELECT count(*) FROM su) AS nu, (SELECT max(h) FROM su) AS mu
+       ), est AS (
+         SELECT
+           CASE WHEN na < 64 THEN CAST(na AS DOUBLE)
+                ELSE round(63.0 * (4503599627370496.0 / ma), 4) END AS est_a,
+           CASE WHEN nb < 64 THEN CAST(nb AS DOUBLE)
+                ELSE round(63.0 * (4503599627370496.0 / mb), 4) END AS est_b,
+           CASE WHEN nu < 64 THEN CAST(nu AS DOUBLE)
+                ELSE round(63.0 * (4503599627370496.0 / mu), 4) END AS est_union,
+           CASE WHEN na < 64 THEN 4503599627370496 ELSE ma END AS ta,
+           CASE WHEN nb < 64 THEN 4503599627370496 ELSE mb END AS tb
+         FROM st
+       ), inter AS (
+         SELECT count(*) AS matched
+         FROM sa JOIN sb USING (h), est
+         WHERE h < least(est.ta, est.tb)
+       )
+    SELECT est_a, est_b, est_union,
+           round(CAST(matched AS DOUBLE)
+                 * (4503599627370496.0 / least(ta, tb)), 4) AS est_intersect,
+           (SELECT count(DISTINCT t) FROM tok WHERE shard = 0) AS exact_a,
+           (SELECT count(DISTINCT t) FROM tok WHERE shard = 1) AS exact_b,
+           (SELECT count(DISTINCT t) FROM tok) AS exact_union,
+           (SELECT count(*)
+              FROM (SELECT DISTINCT t FROM tok WHERE shard = 0) x
+              JOIN (SELECT DISTINCT t FROM tok WHERE shard = 1) y USING (t))
+             AS exact_intersect
+    FROM est, inter
+    """,
+    tags=("sketch", "theta", "distinct", "set-ops"),
+)
+def theta_sketch_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta (KMV) sketch set algebra over the document token sets of
+    two corpus shards (even/odd doc_id): per-shard distinct-count
+    estimates, a merged-union estimate, and the intersection estimate
+    HLL registers cannot provide — next to the exact counts, so the
+    output shows the sketch accuracy directly. Hashing is the
+    engine-portable 52-bit md5 prefix, retention is "k=64 smallest
+    distinct hashes", and every estimator divides exact ≤2^52
+    integers — the whole construction replays identically in SQL, so
+    the oracle hash-matches exactly (the same contract as
+    hll_registers / the KLL compaction schedule).
+
+    Scale: sketch build = one distinct-shuffle of (hash) longs + a
+    TakeOrderedAndProject top-k (per-partition k-heaps, no global
+    sort); merges/intersections touch ≤k rows per side. The exact
+    columns exist for accuracy display at test SFs — at 100 TB one
+    ships only the k-row sketch states."""
+    from .operators.sketch import (
+        theta_intersection_estimate,
+        theta_sketch,
+        theta_stats,
+        theta_union,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        (F.col("doc_id") % 2).alias("shard"),
+        F.explode(F.split(F.col("text"), " ")).alias("t"),
+    ).where(F.col("t") != "")
+    ta, tb = tok.where(F.col("shard") == 0), tok.where(F.col("shard") == 1)
+    sa, sb = theta_sketch(ta, "t"), theta_sketch(tb, "t")
+    su = theta_union(sa, sb)
+    est_a = theta_stats(sa).select(F.col("estimate").alias("est_a"))
+    est_b = theta_stats(sb).select(F.col("estimate").alias("est_b"))
+    est_u = theta_stats(su).select(F.col("estimate").alias("est_union"))
+    est_i = theta_intersection_estimate(sa, sb).select(
+        F.col("estimate").alias("est_intersect")
+    )
+    exact = (
+        tok.agg(
+            F.count_distinct(
+                F.when(F.col("shard") == 0, F.col("t"))
+            ).alias("exact_a"),
+            F.count_distinct(
+                F.when(F.col("shard") == 1, F.col("t"))
+            ).alias("exact_b"),
+            F.count_distinct("t").alias("exact_union"),
+        )
+    )
+    exact_i = (
+        ta.select("t").distinct()
+        .join(tb.select("t").distinct(), "t")
+        .agg(F.count("*").alias("exact_intersect"))
+    )
+    return (
+        est_a.crossJoin(est_b).crossJoin(est_u).crossJoin(est_i)
+        .crossJoin(exact).crossJoin(exact_i)
+    )

@@ -210,3 +210,91 @@ def test_decayed_weights_shift_quantiles_toward_recent(spark):
     # weighted median sits deep in the recent band (values >= 2997);
     # allow KLL rank slack but it must clear the old/recent boundary
     assert est[0.5] > 2000.0, est
+
+
+def test_theta_sketch_exact_when_unsaturated(spark):
+    """Fewer than k distinct values → the sketch retains every hash
+    and both the distinct estimate and the intersection estimate are
+    EXACT, not approximate."""
+    from pyspark.sql import Row
+
+    from data_seedling_spark.operators.sketch import (
+        theta_intersection_estimate,
+        theta_sketch,
+        theta_stats,
+    )
+
+    a = spark.createDataFrame([Row(v=f"x{i}") for i in range(20)])
+    b = spark.createDataFrame([Row(v=f"x{i}") for i in range(10, 40)])
+    sa, sb = theta_sketch(a, "v", k=64), theta_sketch(b, "v", k=64)
+    assert theta_stats(sa, 64).collect()[0]["estimate"] == 20.0
+    assert theta_stats(sb, 64).collect()[0]["estimate"] == 30.0
+    inter = theta_intersection_estimate(sa, sb, 64).collect()[0]
+    assert inter["matched"] == 10 and inter["estimate"] == 10.0
+
+
+def test_theta_union_associative_and_estimates_within_band(spark):
+    """Saturated sketches: merging shards in either order yields the
+    identical sketch (mergeable-state contract); estimates reproduce
+    the offline-derived md5 constants exactly (engine-portability —
+    the md5 draw is FIXED, so values are pins, not samples; the 'b'
+    prefix happens to be a measured ~3.2σ low draw); and the MEAN
+    relative error across several prefixes sits well inside the KMV
+    band ~1/sqrt(k-1) ≈ 12.5% at k=64."""
+    from pyspark.sql import Row
+
+    from data_seedling_spark.operators.sketch import (
+        theta_sketch,
+        theta_stats,
+        theta_union,
+    )
+
+    a = spark.createDataFrame([Row(v=f"a{i}") for i in range(800)])
+    b = spark.createDataFrame([Row(v=f"b{i}") for i in range(1200)])
+    sa, sb = theta_sketch(a, "v"), theta_sketch(b, "v")
+    ab = {r["h"] for r in theta_union(sa, sb).collect()}
+    ba = {r["h"] for r in theta_union(sb, sa).collect()}
+    assert ab == ba and len(ab) == 64
+    # deterministic pins (same 52-bit md5-prefix KMV computed offline)
+    assert theta_stats(sa).collect()[0]["estimate"] == 778.7454
+    assert theta_stats(sb).collect()[0]["estimate"] == 724.3702
+    errs = []
+    for p in ("a", "b", "c", "d", "e", "f"):
+        df = spark.createDataFrame([Row(v=f"{p}{i}") for i in range(1000)])
+        est = theta_stats(theta_sketch(df, "v")).collect()[0]["estimate"]
+        errs.append(abs(est - 1000) / 1000)
+    assert sum(errs) / len(errs) < 0.125, errs
+
+
+def test_theta_intersection_zero_overlap_yields_zero(spark):
+    """Disjoint sets: matched = 0 row must survive the left join and
+    estimate exactly 0.0 (the no-match groupBy edge case)."""
+    from pyspark.sql import Row
+
+    from data_seedling_spark.operators.sketch import (
+        theta_intersection_estimate,
+        theta_sketch,
+    )
+
+    a = spark.createDataFrame([Row(v=f"a{i}") for i in range(500)])
+    b = spark.createDataFrame([Row(v=f"b{i}") for i in range(500)])
+    r = theta_intersection_estimate(
+        theta_sketch(a, "v"), theta_sketch(b, "v")
+    ).collect()
+    assert len(r) == 1 and r[0]["matched"] == 0 and r[0]["estimate"] == 0.0
+
+
+def test_theta_sketch_plan_uses_take_ordered(spark):
+    """The bounded top-k must compile to TakeOrderedAndProject —
+    per-partition k-heaps merged on the driver — never a global
+    sort."""
+    from pyspark.sql import Row
+
+    from data_seedling_spark.operators.sketch import theta_sketch
+
+    df = spark.createDataFrame([Row(v=f"x{i}") for i in range(100)])
+    plan = (
+        theta_sketch(df, "v")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "TakeOrderedAndProject" in plan
