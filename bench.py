@@ -103,6 +103,7 @@ HEADLINE = [
     "matryoshka_truncation_audit",
     "calibration_bins_logreg",
     "zorder_region_stats",
+    "hilbert_layout_stats",
     "correlation_matrix_lineitem",
     "rfm_customer_segments",
     "bellman_ford_cheapest_route",

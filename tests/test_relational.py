@@ -314,3 +314,103 @@ def test_zorder_key2_exact_division_beyond_double_mantissa(spark):
         qa = (a * 256) // (a_max + 1)
         qb = (3 * 256) // 16
         assert got[a] == morton(qa, qb), a
+
+
+def _hilbert_xy2d(n: int, x: int, y: int) -> int:
+    """Reference Hilbert xy→d (the standard rotate-and-flip walk)."""
+    d = 0
+    s = n // 2
+    while s > 0:
+        rx = 1 if (x & s) > 0 else 0
+        ry = 1 if (y & s) > 0 else 0
+        d += s * s * ((3 * rx) ^ ry)
+        if ry == 0:
+            if rx == 1:
+                x, y = n - 1 - x, n - 1 - y
+            x, y = y, x
+        s //= 2
+    return d
+
+
+def test_hilbert_key_matches_reference_and_is_adjacent(spark):
+    """Both hilbert forms (single-expression and chained-projection)
+    equal the reference walk on an exact 16x16 grid; the key is a
+    bijection onto [0, 256); and consecutive keys are ALWAYS
+    grid-adjacent (Manhattan distance 1) — the locality property that
+    distinguishes Hilbert from Z-order."""
+    from data_seedling_spark.operators.relational import (
+        hilbert_key2,
+        with_hilbert_key,
+    )
+
+    rows = [(a, b) for a in range(16) for b in range(16)]
+    df = spark.createDataFrame(rows, ["a", "b"])
+    got = {
+        (r["a"], r["b"]): r["h"]
+        for r in df.select(
+            "a", "b",
+            hilbert_key2(F.col("a"), F.col("b"), 0, 15, 0, 15, bits=4).alias("h"),
+        ).collect()
+    }
+    staged = {
+        (r["a"], r["b"]): r["h"]
+        for r in with_hilbert_key(
+            df, "a", "b", F.lit(0), F.lit(15), F.lit(0), F.lit(15),
+            bits=4, out_col="h",
+        ).collect()
+    }
+    assert staged == got
+    for (a, b), h in got.items():
+        assert h == _hilbert_xy2d(16, a, b), (a, b)
+    pos = {h: ab for ab, h in got.items()}
+    assert sorted(pos) == list(range(256))
+    for i in range(255):
+        (x1, y1), (x2, y2) = pos[i], pos[i + 1]
+        assert abs(x1 - x2) + abs(y1 - y2) == 1, i
+
+
+def test_hilbert_files_tighter_than_zorder(spark):
+    """The measured layout claim, on a dense 256×256 grid (sparse
+    smoke-SF data is noise-dominated at ~9 rows/file): for a
+    non-power-of-two file size (100 keys/file — a realistic row-count
+    compaction target), Hilbert files bound BOTH dimensions in a ~2×
+    smaller average bounding box than Z-order files, and the worst
+    file is ~16× tighter — i.e. min/max data skipping prunes better.
+    (At power-of-two file sizes both curves produce perfect subsquares
+    and tie; the advantage is exactly the non-aligned case.)"""
+    from data_seedling_spark.operators.relational import (
+        with_hilbert_key,
+        zorder_key2,
+    )
+
+    grid = (
+        spark.range(256).select(F.col("id").alias("a"))
+        .crossJoin(spark.range(256).select(F.col("id").alias("b")))
+    )
+
+    def bbox_stats(df, key_col):
+        return (
+            df.groupBy(F.floor(F.col(key_col) / 100).alias("f"))
+            .agg(
+                ((F.max("a") - F.min("a") + 1)
+                 * (F.max("b") - F.min("b") + 1)).alias("area")
+            )
+            .agg(F.avg("area").alias("avg"), F.max("area").alias("mx"))
+            .collect()[0]
+        )
+
+    h = with_hilbert_key(
+        grid, "a", "b", F.lit(0), F.lit(255), F.lit(0), F.lit(255),
+        bits=8, out_col="k",
+    )
+    z = grid.select(
+        "a", "b",
+        zorder_key2(
+            F.col("a"), F.col("b"), 0, 255, 0, 255, bits=8
+        ).alias("k"),
+    )
+    hb, zb = bbox_stats(h, "k"), bbox_stats(z, "k")
+    # offline reference: hilbert avg 134.8 / max 192; morton avg 280.1
+    # / max 3072
+    assert hb["avg"] < 0.6 * zb["avg"], (hb, zb)
+    assert hb["mx"] * 8 <= zb["mx"], (hb, zb)
