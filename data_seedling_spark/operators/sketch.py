@@ -445,3 +445,72 @@ def theta_intersection_estimate(
             ).alias("estimate"),
         )
     )
+
+
+class MaterializedThetaSketch:
+    """A versioned k-row theta sketch kept current from a versioned
+    source's change feed — distinct-count-as-matview, the theta twin
+    of :class:`MaterializedSketch`.
+
+    Because KMV retention is "the k smallest distinct hashes", merging
+    an increment's sketch into the stored one is LOSSLESS: the k
+    smallest of (A ∪ B) all lie within the k smallest of A or of B, so
+    the maintained sketch equals the sketch of the full history
+    exactly — which is what lets the oracle verify the incremental
+    protocol against one plain full-corpus SQL sketch (no unrolled
+    replay needed, unlike KLL's round-by-round coin schedule).
+
+    Protocol mirrors ``MaterializedSketch``: the applied source
+    version rides inside the sketch commit as ``_source_hi`` so
+    apply+advance are atomic and a replayed refresh is a no-op.
+    Insert-only (theta sketches have no delete inverse); a
+    delete/update in the feed raises and the caller recomputes.
+    Refresh cost is O(|increment|) + a k-row merge."""
+
+    SOURCE_HI = "_source_hi"
+
+    def __init__(self, spark, table, key_col: str, k: int = 64):
+        self.spark = spark
+        self.table = table
+        self.key_col = key_col
+        self.k = k
+
+    def applied_hi(self) -> int:
+        if not self.table.exists():
+            return -1
+        row = (
+            self.table.read().agg(F.max(self.SOURCE_HI).alias("hi")).collect()[0]
+        )
+        return -1 if row["hi"] is None else int(row["hi"])
+
+    def refresh(self, source) -> tuple[int, int]:
+        """Fold source versions ``(applied_hi, latest]``; returns the
+        applied ``(lo, hi)`` (lo > hi = already current)."""
+        from .merge import CHANGE_TYPE, CT_INSERT
+
+        lo = self.applied_hi() + 1
+        hi = source.latest_version()
+        if lo > hi:
+            return lo, hi
+        changes = source.read_changes(lo, hi)
+        non_insert = changes.where(F.col(CHANGE_TYPE) != CT_INSERT)
+        if non_insert.limit(1).count() > 0:
+            raise ValueError(
+                "MaterializedThetaSketch is insert-only: KMV retention "
+                "has no delete inverse — recompute instead"
+            )
+        inc = theta_sketch(changes, self.key_col, self.k)
+        if self.table.exists():
+            state = theta_union(
+                self.table.read().select("h"), inc, k=self.k
+            )
+        else:
+            state = inc
+        self.table.write(
+            state.withColumn(self.SOURCE_HI, F.lit(hi).cast("long")),
+            mode="overwrite",
+        )
+        return lo, hi
+
+    def stats(self) -> DataFrame:
+        return theta_stats(self.table.read().select("h"), self.k)

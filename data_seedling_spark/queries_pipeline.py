@@ -1845,3 +1845,85 @@ def incremental_drift_maintenance(
         )
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+
+
+@query(
+    "incremental_distinct_maintenance",
+    oracle="""
+    WITH hs AS (
+      SELECT DISTINCT
+             CAST('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 13)
+                  AS BIGINT) AS h
+      FROM orders
+    ), sk AS (SELECT h FROM hs ORDER BY h LIMIT 64),
+       st AS (SELECT count(*) AS n, max(h) AS mx FROM sk)
+    SELECT CAST(n AS BIGINT) AS n,
+           CASE WHEN n < 64 THEN 4503599627370496 ELSE mx END AS theta,
+           CASE WHEN n < 64 THEN CAST(n AS DOUBLE)
+                ELSE round(63.0 * (4503599627370496.0 / mx), 4)
+                END AS estimate,
+           (SELECT count(DISTINCT o_custkey) FROM orders) AS exact_distinct,
+           CAST(3 AS BIGINT) AS wm_next
+    FROM st
+    """,
+    tags=("sketch", "theta", "distinct", "ivm", "ST1", "ST2"),
+)
+def incremental_distinct_maintenance(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Distinct-count monitoring as a continuously-maintained view: a
+    k-row theta sketch of customer ids kept current over a versioned
+    orders source — each refresh sketches only that commit's increment
+    and merges it into the stored k rows
+    (`operators.sketch.MaterializedThetaSketch`). KMV merge is
+    LOSSLESS (the k smallest of a union lie within the per-shard k
+    smallest), so after three incremental refreshes the maintained
+    sketch must equal the one-shot full-corpus sketch — which is
+    exactly what the oracle computes, turning the whole incremental
+    protocol into a hash-exact check. The applied source version rides
+    inside the sketch commit (exactly-once marker), proven by the
+    replay no-op refresh; wm_next in the output pins the watermark.
+    Scale: refresh cost is O(|increment|) + a k-row merge — the
+    distinct-count feed stays current without rescanning the fact
+    table."""
+    from .operators.sketch import MaterializedThetaSketch
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    base = tempfile.mkdtemp(prefix="itheta_")
+    src = VersionedTable(spark, f"{base}/src", write_partitions=4)
+    sketch = MaterializedThetaSketch(
+        spark,
+        VersionedTable(spark, f"{base}/sketch", write_partitions=1),
+        key_col="o_custkey",
+        k=64,
+    )
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        key = F.col("o_orderkey")
+        src.write(orders.where(key % 3 == 0), mode="overwrite")
+        lo, hi = sketch.refresh(src)                   # folds v0
+        assert (lo, hi) == (0, 0), (lo, hi)
+        src.write(orders.where(key % 3 == 1), mode="append")
+        lo, hi = sketch.refresh(src)                   # folds v1 only
+        assert (lo, hi) == (1, 1), (lo, hi)
+        src.write(orders.where(key % 3 == 2), mode="append")
+        lo, hi = sketch.refresh(src)                   # folds v2 only
+        assert (lo, hi) == (2, 2), (lo, hi)
+        lo, hi = sketch.refresh(src)                   # replay: no-op
+        assert lo > hi, "replayed refresh must be a no-op"
+        exact = orders.agg(
+            F.count_distinct("o_custkey").alias("exact_distinct")
+        )
+        wm = spark.range(1).select(
+            F.lit(sketch.applied_hi() + 1).cast("long").alias("wm_next")
+        )
+        return (
+            sketch.stats()
+            .crossJoin(F.broadcast(exact))
+            .crossJoin(F.broadcast(wm))
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)

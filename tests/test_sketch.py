@@ -298,3 +298,50 @@ def test_theta_sketch_plan_uses_take_ordered(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "TakeOrderedAndProject" in plan
+
+
+def test_materialized_theta_sketch_lossless_and_insert_only(spark, tmp_path):
+    """Three incremental refreshes must land EXACTLY the one-shot
+    full-corpus sketch (KMV merge is lossless), the replayed refresh
+    must be a no-op, and a delete in the feed must raise (insert-only
+    scope)."""
+    import pytest
+    from pyspark.sql import Row
+
+    from data_seedling_spark.operators.ledger import VersionedTable
+    from data_seedling_spark.operators.sketch import (
+        MaterializedThetaSketch,
+        theta_sketch,
+    )
+
+    rows = [Row(k=i, v=f"c{i % 300}") for i in range(900)]
+    df = spark.createDataFrame(rows)
+    src = VersionedTable(spark, str(tmp_path / "src"), write_partitions=2)
+    mts = MaterializedThetaSketch(
+        spark,
+        VersionedTable(spark, str(tmp_path / "sk"), write_partitions=1),
+        key_col="v",
+        k=64,
+    )
+    src.write(df.where(F.col("k") % 3 == 0), mode="overwrite")
+    assert mts.refresh(src) == (0, 0)
+    src.write(df.where(F.col("k") % 3 == 1), mode="append")
+    assert mts.refresh(src) == (1, 1)
+    src.write(df.where(F.col("k") % 3 == 2), mode="append")
+    assert mts.refresh(src) == (2, 2)
+    lo, hi = mts.refresh(src)
+    assert lo > hi  # replay no-op
+    maintained = sorted(r["h"] for r in mts.table.read().select("h").collect())
+    oneshot = sorted(r["h"] for r in theta_sketch(df, "v", 64).collect())
+    assert maintained == oneshot
+    # delete in the feed → insert-only guard raises
+    from data_seedling_spark.operators.merge import CHANGE_TYPE, CT_DELETE
+
+    src.merge(
+        df.where(F.col("k") % 9 == 0)
+        .limit(5)
+        .withColumn(CHANGE_TYPE, F.lit(CT_DELETE)),
+        primary_keys=["k"],
+    )
+    with pytest.raises(ValueError, match="insert-only"):
+        mts.refresh(src)
