@@ -81,6 +81,7 @@ HEADLINE = [
     "hll_md5_distinct_oracle_checked",
     "theta_sketch_set_ops",
     "incremental_distinct_maintenance",
+    "incremental_frequency_maintenance",
     "event_transition_probs",
     "ann_recall_eval",
     "cluster_top_terms_ctfidf",

@@ -514,3 +514,154 @@ class MaterializedThetaSketch:
 
     def stats(self) -> DataFrame:
         return theta_stats(self.table.read().select("h"), self.k)
+
+
+class MaterializedCountMin:
+    """A versioned count-min counter grid kept current from a
+    versioned source's change feed — frequency-as-matview, completing
+    the sketch-maintenance family: KLL (quantiles) and theta
+    (distincts) are insert-only because they have no delete inverse,
+    but count-min is a LINEAR sketch (counters form an abelian group),
+    so it self-maintains under inserts, deletes, AND updates — inserts
+    and update post-images add 1 to each of the key's d counters,
+    deletes and update pre-images subtract 1. After any change
+    history, the maintained grid equals the one-shot sketch of the
+    surviving rows exactly (linearity), which is what the oracle
+    checks. Hashes are the engine-portable md5 convention
+    (``md5(d ':' key)``), the same grid ``count_min_estimates``
+    builds. Refresh cost is O(|changes| × depth) fixed-width rows plus
+    a (d × width)-bounded merge."""
+
+    SOURCE_HI = "_source_hi"
+
+    def __init__(self, spark, table, key_col: str, depth: int = 4, width: int = 256):
+        self.spark = spark
+        self.table = table
+        self.key_col = key_col
+        self.depth = depth
+        self.width = width
+
+    def _bucketed(self, df: DataFrame, signed) -> DataFrame:
+        rows_idx = F.explode(
+            F.array(*[F.lit(i) for i in range(self.depth)])
+        ).alias("d")
+        return (
+            df.select(
+                F.col(self.key_col).cast("string").alias("_k"),
+                signed.alias("_s"),
+            )
+            .select("_k", "_s", rows_idx)
+            .select(
+                "d",
+                (
+                    F.conv(
+                        F.substring(
+                            F.md5(
+                                F.concat(
+                                    F.col("d").cast("string"),
+                                    F.lit(":"),
+                                    F.col("_k"),
+                                )
+                            ),
+                            1,
+                            8,
+                        ),
+                        16,
+                        10,
+                    ).cast("bigint")
+                    % self.width
+                ).alias("bucket"),
+                "_s",
+            )
+            .groupBy("d", "bucket")
+            .agg(F.sum("_s").alias("c"))
+        )
+
+    def applied_hi(self) -> int:
+        if not self.table.exists():
+            return -1
+        row = (
+            self.table.read().agg(F.max(self.SOURCE_HI).alias("hi")).collect()[0]
+        )
+        return -1 if row["hi"] is None else int(row["hi"])
+
+    def refresh(self, source) -> tuple[int, int]:
+        """Fold source versions ``(applied_hi, latest]``; returns the
+        applied ``(lo, hi)`` (lo > hi = already current)."""
+        from .merge import (
+            CHANGE_TYPE,
+            CT_DELETE,
+            CT_INSERT,
+            CT_UPDATE_POST,
+            CT_UPDATE_PRE,
+        )
+
+        lo = self.applied_hi() + 1
+        hi = source.latest_version()
+        if lo > hi:
+            return lo, hi
+        changes = source.read_changes(lo, hi)
+        sign = (
+            F.when(F.col(CHANGE_TYPE).isin(CT_INSERT, CT_UPDATE_POST), F.lit(1))
+            .when(F.col(CHANGE_TYPE).isin(CT_DELETE, CT_UPDATE_PRE), F.lit(-1))
+            .otherwise(F.lit(None))
+        )
+        delta = self._bucketed(
+            changes.withColumn("_sgn", sign), F.col("_sgn")
+        )
+        if self.table.exists():
+            state = (
+                self.table.read()
+                .select("d", "bucket", "c")
+                .unionByName(delta)
+                .groupBy("d", "bucket")
+                .agg(F.sum("c").alias("c"))
+            )
+        else:
+            state = delta
+        self.table.write(
+            state.where(F.col("c") != 0).withColumn(
+                self.SOURCE_HI, F.lit(hi).cast("long")
+            ),
+            mode="overwrite",
+        )
+        return lo, hi
+
+    def estimates(self, keys: DataFrame, key_col: str) -> DataFrame:
+        """Point-frequency estimates for a key frame: min over the d
+        counters each key hashes to (the CM estimator — never an
+        under-count on insert-only histories; with deletes folded in
+        it estimates the SURVIVING multiplicity)."""
+        rows_idx = F.explode(
+            F.array(*[F.lit(i) for i in range(self.depth)])
+        ).alias("d")
+        probes = keys.select(
+            F.col(key_col), F.col(key_col).cast("string").alias("_k")
+        ).select(key_col, "_k", rows_idx).select(
+            key_col,
+            "d",
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.col("d").cast("string"),
+                                F.lit(":"),
+                                F.col("_k"),
+                            )
+                        ),
+                        1,
+                        8,
+                    ),
+                    16,
+                    10,
+                ).cast("bigint")
+                % self.width
+            ).alias("bucket"),
+        )
+        counters = self.table.read().select("d", "bucket", "c")
+        return (
+            probes.join(F.broadcast(counters), ["d", "bucket"], "left")
+            .groupBy(key_col)
+            .agg(F.min(F.coalesce(F.col("c"), F.lit(0))).alias("cm_estimate"))
+        )

@@ -1927,3 +1927,106 @@ def incremental_distinct_maintenance(
         )
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+
+
+@query(
+    "incremental_frequency_maintenance",
+    oracle="""
+    WITH surv AS (
+      SELECT o_orderpriority AS k FROM orders
+      WHERE o_orderkey % 3 IN (0, 1) AND o_orderkey % 12 <> 0
+    ), ds AS (SELECT unnest(range(0, 4)) AS d),
+    counters AS (
+      SELECT d,
+             CAST('0x' || substr(md5(CAST(d AS VARCHAR) || ':' || k), 1, 8)
+                  AS BIGINT) % 256 AS bucket,
+             count(*) AS c
+      FROM surv CROSS JOIN ds GROUP BY 1, 2
+    ), probes AS (
+      SELECT DISTINCT o_orderpriority AS k FROM orders
+    ), pb AS (
+      SELECT k, d,
+             CAST('0x' || substr(md5(CAST(d AS VARCHAR) || ':' || k), 1, 8)
+                  AS BIGINT) % 256 AS bucket
+      FROM probes CROSS JOIN ds
+    )
+    SELECT pb.k AS o_orderpriority,
+           CAST(min(coalesce(c, 0)) AS BIGINT) AS cm_estimate,
+           (SELECT count(*) FROM surv WHERE surv.k = pb.k) AS true_count,
+           CAST(3 AS BIGINT) AS wm_next
+    FROM pb LEFT JOIN counters USING (d, bucket)
+    GROUP BY pb.k
+    """,
+    tags=("sketch", "count-min", "frequency", "ivm", "ST1", "ST2", "ST3"),
+)
+def incremental_frequency_maintenance(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Frequency monitoring as a continuously-maintained view — and
+    the one sketch that self-maintains under DELETES: count-min is
+    linear (counters form an abelian group), so inserts add 1 to each
+    of the key's d counters and deletes subtract 1
+    (`operators.sketch.MaterializedCountMin`; KLL/theta are
+    insert-only by mathematical necessity). History here is two insert
+    commits then a MERGE-delete commit; by linearity the maintained
+    grid must equal the one-shot sketch of the SURVIVING rows exactly,
+    which is what the oracle computes — folding the delete-handling
+    protocol into a hash-exact check. Estimates (min over d counters)
+    for every order priority ship next to the true surviving counts;
+    the replayed refresh is proven a no-op and wm_next pins the
+    watermark. Scale: refresh is O(|changes| × depth) fixed-width
+    rows merged into a (depth × width)-bounded grid — the frequency
+    feed never rescans the fact table."""
+    from .operators.merge import CHANGE_TYPE, CT_DELETE
+    from .operators.sketch import MaterializedCountMin
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    base = tempfile.mkdtemp(prefix="icm_")
+    src = VersionedTable(spark, f"{base}/src", write_partitions=4)
+    mcm = MaterializedCountMin(
+        spark,
+        VersionedTable(spark, f"{base}/cm", write_partitions=1),
+        key_col="o_orderpriority",
+        depth=4,
+        width=256,
+    )
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        key = F.col("o_orderkey")
+        src.write(orders.where(key % 3 == 0), mode="overwrite")
+        lo, hi = mcm.refresh(src)                      # folds v0
+        assert (lo, hi) == (0, 0), (lo, hi)
+        src.write(orders.where(key % 3 == 1), mode="append")
+        lo, hi = mcm.refresh(src)                      # folds v1 only
+        assert (lo, hi) == (1, 1), (lo, hi)
+        src.merge(                                     # delete commit
+            orders.where((key % 12 == 0) & (key % 3 == 0)).withColumn(
+                CHANGE_TYPE, F.lit(CT_DELETE)
+            ),
+            primary_keys=["o_orderkey"],
+        )
+        lo, hi = mcm.refresh(src)                      # folds the deletes
+        assert (lo, hi) == (2, 2), (lo, hi)
+        lo, hi = mcm.refresh(src)                      # replay: no-op
+        assert lo > hi, "replayed refresh must be a no-op"
+        probes = orders.select("o_orderpriority").distinct()
+        est = mcm.estimates(probes, "o_orderpriority").select(
+            "o_orderpriority",
+            F.col("cm_estimate").cast("long").alias("cm_estimate"),
+        )
+        truth = (
+            src.read()
+            .groupBy("o_orderpriority")
+            .agg(F.count("*").alias("true_count"))
+        )
+        return (
+            est.join(truth, "o_orderpriority")
+            .withColumn(
+                "wm_next", F.lit(mcm.applied_hi() + 1).cast("long")
+            )
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)

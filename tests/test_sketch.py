@@ -345,3 +345,82 @@ def test_materialized_theta_sketch_lossless_and_insert_only(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="insert-only"):
         mts.refresh(src)
+
+
+def test_materialized_count_min_linear_under_deletes_and_updates(spark, tmp_path):
+    """Count-min is a LINEAR sketch: after inserts, a merge-delete,
+    and an update (pre-image −1 / post-image +1), the maintained grid
+    must equal the one-shot sketch of the surviving rows EXACTLY, and
+    estimates must dominate true surviving counts (CM never
+    under-counts)."""
+    from pyspark.sql import Row
+
+    from data_seedling_spark.operators.ledger import VersionedTable
+    from data_seedling_spark.operators.merge import (
+        CHANGE_TYPE,
+        CT_DELETE,
+        CT_INSERT,
+    )
+    from data_seedling_spark.operators.sketch import MaterializedCountMin
+
+    rows = [Row(k=i, cat=f"c{i % 7}") for i in range(700)]
+    df = spark.createDataFrame(rows)
+    src = VersionedTable(spark, str(tmp_path / "src"), write_partitions=2)
+    mcm = MaterializedCountMin(
+        spark,
+        VersionedTable(spark, str(tmp_path / "cm"), write_partitions=1),
+        key_col="cat",
+        depth=4,
+        width=64,
+    )
+    src.write(df, mode="overwrite")
+    assert mcm.refresh(src) == (0, 0)
+    # delete every 10th row
+    src.merge(
+        df.where(F.col("k") % 10 == 0).withColumn(CHANGE_TYPE, F.lit(CT_DELETE)),
+        primary_keys=["k"],
+    )
+    assert mcm.refresh(src) == (1, 1)
+    # "update" rows k%10==1 to category 'c_new', encoded as the
+    # ledger-sanctioned mixed delete+insert feed (the S9 guard rejects
+    # raw update images; Delta-CDF-style pre/post feeds exercise the
+    # same +-1 sign mapping in MaterializedCountMin.refresh)
+    pre = df.where(F.col("k") % 10 == 1).withColumn(
+        CHANGE_TYPE, F.lit(CT_DELETE)
+    )
+    post = (
+        df.where(F.col("k") % 10 == 1)
+        .withColumn("cat", F.lit("c_new"))
+        .withColumn(CHANGE_TYPE, F.lit(CT_INSERT))
+    )
+    src.merge(pre.unionByName(post), primary_keys=["k"])
+    assert mcm.refresh(src) == (2, 2)
+    lo, hi = mcm.refresh(src)
+    assert lo > hi  # replay no-op
+
+    # maintained grid == one-shot sketch of the ledger's surviving rows
+    surv = src.read()
+    oneshot = {
+        (r["d"], r["bucket"]): r["c"]
+        for r in mcm._bucketed(
+            surv.withColumn("_one", F.lit(1)), F.col("_one")
+        ).collect()
+    }
+    maintained = {
+        (r["d"], r["bucket"]): r["c"]
+        for r in mcm.table.read().select("d", "bucket", "c").collect()
+    }
+    assert maintained == oneshot
+    est = {
+        r["cat"]: r["cm_estimate"]
+        for r in mcm.estimates(
+            surv.select("cat").distinct(), "cat"
+        ).collect()
+    }
+    truth = {
+        r["cat"]: r["n"]
+        for r in surv.groupBy("cat").agg(F.count("*").alias("n")).collect()
+    }
+    assert set(est) == set(truth) and "c_new" in truth
+    for k in truth:
+        assert est[k] >= truth[k], (k, est[k], truth[k])
