@@ -118,6 +118,7 @@ HEADLINE = [
     "hash_embed_documents",
     "heldout_perplexity_eval",
     "curation_ensemble_gate",
+    "gopher_repetition_gates",
     "markov_next_event_accuracy",
     "top_event_paths",
     "user_behavior_features",

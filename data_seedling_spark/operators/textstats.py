@@ -637,3 +637,92 @@ def bpe_train(
         words.unpersist()
         words = nxt
     return merges, words
+
+
+def gopher_repetition_gates(
+    df: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    """The Gopher repetition filter battery (Rae et al. 2021, appendix
+    A1.1) beyond :func:`repetition_ratio`'s single duplicate-share:
+    per document, the fraction of characters contained in the MOST
+    FREQUENT word n-gram (n = 2, 3, 4) and the fraction of characters
+    in DUPLICATE occurrences of longer n-grams (n = 5, 10 — the
+    duplicate-occurrence formulation: (count−1)·chars(gram) summed
+    over repeated grams), plus the composite keep flag at the Gopher
+    thresholds (0.20 / 0.18 / 0.16 / 0.15 / 0.10).
+
+    Shape: ONE explode of (n, gram) pairs for all five n values →
+    (doc, n, gram) counts → per-(doc, n) top-1 window + duplicate
+    char sum → conditional aggregation back to one row per document.
+    The shuffle carries fixed-width gram counts (how a 100 TB corpus
+    runs it); every ratio divides exact integers, so the whole battery
+    is oracle-reproducible."""
+    from pyspark.sql import Window as W
+
+    base = df.select(
+        F.col(id_col),
+        F.length(F.col(text_col)).alias("n_chars"),
+        F.split(F.col(text_col), " ").alias("_w"),
+    )
+    def _grams(n: int):
+        # NB: the lambda must stay UNARY — a `n=n` keyword default
+        # makes it binary and F.transform then feeds the array INDEX
+        # into the second parameter
+        return F.when(
+            F.size("_w") >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size("_w") - (n - 1)),
+                lambda i: F.struct(
+                    F.lit(n).alias("n"),
+                    F.concat_ws(" ", F.slice("_w", i, n)).alias("gram"),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<struct<n:int,gram:string>>"))
+
+    per_n = [_grams(n) for n in (2, 3, 4, 5, 10)]
+    exploded = base.select(
+        id_col,
+        "n_chars",
+        F.explode(F.flatten(F.array(*per_n))).alias("_g"),
+    ).select(id_col, "n_chars", F.col("_g.n").alias("n"), F.col("_g.gram").alias("gram"))
+    counts = exploded.groupBy(id_col, "n_chars", "n", "gram").agg(
+        F.count("*").alias("cnt")
+    )
+    w = W.partitionBy(id_col, "n").orderBy(F.col("cnt").desc(), "gram")
+    ranked = counts.withColumn("rk", F.row_number().over(w))
+    per_doc_n = ranked.groupBy(id_col, "n_chars", "n").agg(
+        F.max(
+            F.when(F.col("rk") == 1, F.col("cnt") * F.length("gram"))
+        ).alias("top_chars"),
+        F.sum(
+            F.when(
+                F.col("cnt") > 1, (F.col("cnt") - 1) * F.length("gram")
+            ).otherwise(F.lit(0))
+        ).alias("dup_chars"),
+    )
+
+    def frac(n: int, col: str):
+        return F.round(
+            F.coalesce(
+                F.max(F.when(F.col("n") == n, F.col(col))), F.lit(0)
+            ).cast("double")
+            / F.greatest(F.first("n_chars"), F.lit(1)),
+            6,
+        )
+
+    out = per_doc_n.groupBy(id_col).agg(
+        F.first("n_chars").alias("n_chars"),
+        frac(2, "top_chars").alias("top_2gram_char_frac"),
+        frac(3, "top_chars").alias("top_3gram_char_frac"),
+        frac(4, "top_chars").alias("top_4gram_char_frac"),
+        frac(5, "dup_chars").alias("dup_5gram_char_frac"),
+        frac(10, "dup_chars").alias("dup_10gram_char_frac"),
+    )
+    return out.withColumn(
+        "keep",
+        (F.col("top_2gram_char_frac") <= 0.20)
+        & (F.col("top_3gram_char_frac") <= 0.18)
+        & (F.col("top_4gram_char_frac") <= 0.16)
+        & (F.col("dup_5gram_char_frac") <= 0.15)
+        & (F.col("dup_10gram_char_frac") <= 0.10),
+    )

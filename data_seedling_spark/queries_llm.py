@@ -6554,3 +6554,78 @@ def embedding_near_dup_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_near_dup_pairs(
         blocked, block_col="centroid_id", threshold=0.4
     )
+
+
+@query(
+    "gopher_repetition_gates",
+    oracle="""
+    WITH words AS (
+      SELECT doc_id, len(text) AS n_chars, string_split(text, ' ') AS w
+      FROM documents
+    ), g AS (
+      SELECT doc_id, n_chars, ns.n AS n,
+             unnest(list_transform(
+               range(1, len(w) - ns.n + 2),
+               i -> array_to_string(w[i:i+ns.n-1], ' '))) AS gram
+      FROM words, (SELECT unnest([2, 3, 4, 5, 10]) AS n) ns
+      WHERE len(w) >= ns.n
+    ), c AS (
+      SELECT doc_id, n_chars, n, gram, count(*) AS cnt
+      FROM g GROUP BY ALL
+    ), r AS (
+      SELECT *, row_number() OVER (
+               PARTITION BY doc_id, n ORDER BY cnt DESC, gram) AS rk
+      FROM c
+    ), pn AS (
+      SELECT doc_id, n_chars, n,
+             max(CASE WHEN rk = 1 THEN cnt * len(gram) END) AS top_chars,
+             sum(CASE WHEN cnt > 1 THEN (cnt - 1) * len(gram)
+                      ELSE 0 END) AS dup_chars
+      FROM r GROUP BY doc_id, n_chars, n
+    ), o AS (
+      SELECT doc_id,
+             CAST(max(n_chars) AS INT) AS n_chars,
+             round(coalesce(max(CASE WHEN n = 2 THEN top_chars END), 0)
+                   / greatest(max(n_chars), 1), 6) AS top_2gram_char_frac,
+             round(coalesce(max(CASE WHEN n = 3 THEN top_chars END), 0)
+                   / greatest(max(n_chars), 1), 6) AS top_3gram_char_frac,
+             round(coalesce(max(CASE WHEN n = 4 THEN top_chars END), 0)
+                   / greatest(max(n_chars), 1), 6) AS top_4gram_char_frac,
+             round(coalesce(max(CASE WHEN n = 5 THEN dup_chars END), 0)
+                   / greatest(max(n_chars), 1), 6) AS dup_5gram_char_frac,
+             round(coalesce(max(CASE WHEN n = 10 THEN dup_chars END), 0)
+                   / greatest(max(n_chars), 1), 6) AS dup_10gram_char_frac
+      FROM pn GROUP BY doc_id
+    )
+    SELECT *,
+           (top_2gram_char_frac <= 0.20 AND top_3gram_char_frac <= 0.18
+            AND top_4gram_char_frac <= 0.16 AND dup_5gram_char_frac <= 0.15
+            AND dup_10gram_char_frac <= 0.10) AS keep
+    FROM o
+    """,
+    tags=("llm", "quality", "gopher", "repetition", "curation"),
+)
+def gopher_repetition_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full Gopher repetition filter battery (Rae et al. 2021
+    A1.1) per document: fraction of characters in the most frequent
+    2/3/4-gram, fraction of characters in duplicate occurrences of
+    5/10-grams, and the composite keep flag at the published
+    thresholds — the standard pre-training curation gates beyond the
+    single duplicate-share `repetition_ratio_documents` already
+    computes. One (n, gram) explode covers all five n values; the
+    shuffle carries fixed-width gram counts; every ratio divides
+    exact integers, so the battery hash-matches its SQL oracle."""
+    from .operators.textstats import gopher_repetition_gates
+
+    documents = load_table(spark, sf_dir, "documents")
+    out = gopher_repetition_gates(documents, "text", "doc_id")
+    return out.select(
+        "doc_id",
+        F.col("n_chars").cast("int").alias("n_chars"),
+        "top_2gram_char_frac",
+        "top_3gram_char_frac",
+        "top_4gram_char_frac",
+        "dup_5gram_char_frac",
+        "dup_10gram_char_frac",
+        "keep",
+    )

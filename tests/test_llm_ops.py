@@ -2217,3 +2217,34 @@ def test_mp3_vbr_walk_id3_skip_and_error_isolation(spark):
     rows = {r["asset_id"]: r["meta"] for r in mp3_metadata(df).collect()}
     assert rows[1]["ok"] and rows[1]["n_frames"] == 3
     assert not rows[2]["ok"]
+
+
+def test_gopher_repetition_gates_hand_cases(spark):
+    """A degenerate loop document must trip every Gopher gate (top
+    n-gram fractions near 1, duplicate long-gram fractions high,
+    keep=False); a diverse document with no repeated n-grams must
+    pass with zero duplicate fractions."""
+    from pyspark.sql import Row
+
+    from data_seedling_spark.operators.textstats import (
+        gopher_repetition_gates,
+    )
+
+    loop = " ".join(["spam ham"] * 20)          # "spam ham spam ham ..."
+    diverse = " ".join(f"w{i}" for i in range(40))
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text=loop), Row(doc_id=2, text=diverse)]
+    )
+    out = {
+        r["doc_id"]: r
+        for r in gopher_repetition_gates(df, "text", "doc_id").collect()
+    }
+    assert not out[1]["keep"]
+    # "spam ham" occurs 20 times x 8 chars / 179 chars = 0.8938
+    assert out[1]["top_2gram_char_frac"] == 0.893855
+    assert out[1]["dup_10gram_char_frac"] > 0.9
+    assert out[2]["keep"]
+    assert out[2]["dup_5gram_char_frac"] == 0.0
+    assert out[2]["dup_10gram_char_frac"] == 0.0
+    # every 2-gram unique → top fraction is one occurrence's share
+    assert out[2]["top_2gram_char_frac"] < 0.05
