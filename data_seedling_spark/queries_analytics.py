@@ -5263,3 +5263,45 @@ def hilbert_layout_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("l_suppkey").alias("supp_max"),
         )
     )
+
+
+@query(
+    "bitmap_distinct_customers",
+    oracle="""
+    SELECT CAST(strftime(o_orderdate, '%Y-%m') AS VARCHAR) AS order_month,
+           COUNT(DISTINCT o_custkey) AS n_customers
+    FROM orders GROUP BY 1
+    """,
+    tags=("scale-technique", "bitmap", "distinct"),
+)
+def bitmap_distinct_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT mergeable distinct counting via Spark's built-in bitmap
+    aggregates (3.5+: bitmap_bucket_number / bitmap_bit_position /
+    bitmap_construct_agg / bitmap_or_agg / bitmap_count) — the
+    JVM-native answer where sketches are approximate: per order
+    month, customer ids bucket into 2^15-bit bitmaps, each shard
+    builds its own bitmap state (bitmap_construct_agg), shards merge
+    by OR (bitmap_or_agg — associative/commutative, the mergeable-
+    state contract), and the count is the sum of per-bucket popcounts.
+    The two-level plan here (per-shard construct → cross-shard OR)
+    deliberately exercises the merge leg; the result must equal plain
+    COUNT(DISTINCT), which is the oracle. Scale: the shuffle carries
+    fixed-width 4 KB bitmap segments instead of raw keys — for dense
+    integer key spaces this is both exact AND smaller than the
+    exploded distinct shuffle; whole-stage-codegen'd end to end."""
+    orders = load_table(spark, sf_dir, "orders")
+    keyed = orders.select(
+        F.date_format("o_orderdate", "yyyy-MM").alias("order_month"),
+        (F.col("o_orderkey") % 2).alias("_shard"),
+        F.expr("bitmap_bucket_number(o_custkey)").alias("_b"),
+        F.expr("bitmap_bit_position(o_custkey)").alias("_p"),
+    )
+    shard_state = keyed.groupBy("order_month", "_shard", "_b").agg(
+        F.expr("bitmap_construct_agg(_p)").alias("_bm")
+    )
+    merged = shard_state.groupBy("order_month", "_b").agg(
+        F.expr("bitmap_or_agg(_bm)").alias("_bm")
+    )
+    return merged.groupBy("order_month").agg(
+        F.sum(F.expr("bitmap_count(_bm)")).alias("n_customers")
+    )
