@@ -5305,3 +5305,91 @@ def bitmap_distinct_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merged.groupBy("order_month").agg(
         F.sum(F.expr("bitmap_count(_bm)")).alias("n_customers")
     )
+
+
+@query(
+    "data_quality_audit_orders",
+    oracle="""
+    WITH checks AS (
+      SELECT 'not_null:o_custkey' AS "check",
+             CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_violations,
+             COUNT(*) AS n_rows
+      FROM orders
+      UNION ALL
+      SELECT 'in_set:o_orderstatus',
+             CAST(SUM(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P')
+                           OR o_orderstatus IS NULL
+                      THEN 1 ELSE 0 END) AS BIGINT),
+             COUNT(*)
+      FROM orders
+      UNION ALL
+      SELECT 'in_range:o_totalprice',
+             CAST(SUM(CASE WHEN o_totalprice <= 0
+                           OR o_totalprice IS NULL
+                      THEN 1 ELSE 0 END) AS BIGINT),
+             COUNT(*)
+      FROM orders
+      UNION ALL
+      SELECT 'matches:o_orderpriority',
+             CAST(SUM(CASE WHEN NOT regexp_matches(o_orderpriority,
+                                                   '^[1-5]-[A-Z ]+$')
+                           OR o_orderpriority IS NULL
+                      THEN 1 ELSE 0 END) AS BIGINT),
+             COUNT(*)
+      FROM orders
+      UNION ALL
+      SELECT 'unique:o_orderkey',
+             CAST((SELECT COUNT(*) - COUNT(DISTINCT o_orderkey)
+                   FROM orders) AS BIGINT),
+             COUNT(*)
+      FROM orders
+      UNION ALL
+      SELECT 'references:o_custkey',
+             CAST((SELECT COUNT(*) FROM orders o
+                   WHERE o.o_custkey IS NOT NULL
+                     AND NOT EXISTS (SELECT 1 FROM customer c
+                                     WHERE c.c_custkey = o.o_custkey))
+                  AS BIGINT),
+             COUNT(*)
+      FROM orders
+    )
+    SELECT "check", n_violations, n_rows,
+           n_violations = 0 AS passed
+    FROM checks
+    """,
+    tags=("data-quality", "expectations", "audit"),
+)
+def data_quality_audit_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality expectation battery over orders — the
+    lakehouse constraint-audit operator class (Delta CHECK / DLT
+    expectations / dbt tests): four row-level checks fold into ONE
+    conditional-aggregation scan (null, accepted set, value range,
+    regex format), plus primary-key uniqueness (one hash aggregate)
+    and a referential check into customer (left-anti orphan count,
+    broadcast when the dim is small). One row per check with
+    violation counts — the report shape a pipeline gate consumes.
+    Every count is an exact integer, hash-matched by the oracle.
+    Scale: the row battery is one pass regardless of check count;
+    uniqueness/FK add one aggregate/join each."""
+    from .operators.quality import (
+        expectations_report,
+        in_range,
+        in_set,
+        matches,
+        not_null,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    return expectations_report(
+        orders,
+        row_checks=[
+            not_null("o_custkey"),
+            in_set("o_orderstatus", ("O", "F", "P")),
+            in_range("o_totalprice", lo=0.000001),
+            matches("o_orderpriority", r"^[1-5]-[A-Z ]+$"),
+        ],
+        unique_keys=["o_orderkey"],
+        references=[("o_custkey", customer, "c_custkey")],
+    )

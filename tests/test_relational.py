@@ -414,3 +414,58 @@ def test_hilbert_files_tighter_than_zorder(spark):
     # / max 3072
     assert hb["avg"] < 0.6 * zb["avg"], (hb, zb)
     assert hb["mx"] * 8 <= zb["mx"], (hb, zb)
+
+
+def test_expectations_report_counts_injected_violations(spark):
+    """Each expectation must count exactly its injected violations:
+    nulls, out-of-set, out-of-range, bad format, duplicate keys, and
+    FK orphans — and pass flags flip accordingly."""
+    from pyspark.sql import Row
+
+    from data_seedling_spark.operators.quality import (
+        expectations_report,
+        in_range,
+        in_set,
+        matches,
+        not_null,
+    )
+
+    rows = [
+        Row(k=1, cust=10, status="O", price=5.0, pri="1-URGENT"),
+        Row(k=2, cust=None, status="F", price=3.0, pri="2-HIGH"),   # null
+        Row(k=3, cust=10, status="X", price=2.0, pri="3-MEDIUM"),   # set
+        Row(k=4, cust=11, status="P", price=-1.0, pri="4-LOW"),     # range
+        Row(k=5, cust=11, status="O", price=1.0, pri="oops"),       # format
+        Row(k=5, cust=10, status="O", price=1.0, pri="5-LOW"),      # dup key
+        Row(k=6, cust=99, status="O", price=1.0, pri="1-URGENT"),   # orphan
+    ]
+    df = spark.createDataFrame(rows)
+    dim = spark.createDataFrame([Row(ck=10), Row(ck=11)])
+    rep = {
+        r["check"]: (r["n_violations"], r["passed"])
+        for r in expectations_report(
+            df,
+            row_checks=[
+                not_null("cust"),
+                in_set("status", ("O", "F", "P")),
+                in_range("price", lo=0.0),
+                matches("pri", r"^[1-5]-[A-Z]+$"),
+            ],
+            unique_keys=["k"],
+            references=[("cust", dim, "ck")],
+        ).collect()
+    }
+    assert rep["not_null:cust"] == (1, False)
+    assert rep["in_set:status"] == (1, False)
+    assert rep["in_range:price"] == (1, False)
+    assert rep["matches:pri"] == (1, False)
+    assert rep["unique:k"] == (1, False)
+    assert rep["references:cust"] == (1, False)
+
+    clean = expectations_report(
+        df.where(F.col("k") == 1),
+        row_checks=[not_null("cust")],
+        unique_keys=["k"],
+        references=[("cust", dim, "ck")],
+    ).collect()
+    assert all(r["passed"] for r in clean)
