@@ -79,6 +79,8 @@ HEADLINE = [
     "pmi_collocations_top",
     "ivfpq_residual_topk",
     "hll_md5_distinct_oracle_checked",
+    "bitmap_distinct_customers",
+    "data_quality_audit_orders",
     "theta_sketch_set_ops",
     "incremental_distinct_maintenance",
     "incremental_frequency_maintenance",
