@@ -1059,3 +1059,43 @@ class TestMultiTableTransactionConcurrency:
         versions = t2.commit()
         assert b.latest_version() == 2 and c.latest_version() == 2
         assert len(versions) == 2
+
+
+def test_hilbert_compact_clusters_both_columns(spark, tmp_table_dir):
+    """compact(cluster_by=(x, y)): the Hilbert rewrite must shrink
+    parquet row-group min/max spans on BOTH dimensions vs the
+    scrambled layout (same contract the manual z-order rewrite
+    satisfies), preserve every row, and refuse cluster_by+sort_by."""
+    import glob
+
+    import pyarrow.parquet as pq
+    import pytest
+    from pyspark.sql import functions as F
+
+    t = VersionedTable(spark, tmp_table_dir)
+    n = 4096
+    grid = spark.range(n).select(
+        (F.col("id") % 64).alias("x"),
+        F.floor(F.col("id") / 64).alias("y"),
+        F.col("id").alias("payload"),
+    ).orderBy(F.rand(seed=11))
+    t.write(grid.repartition(4), mode="overwrite")
+
+    def spans(version, col):
+        out = []
+        for f in glob.glob(f"{tmp_table_dir}/v{version:05d}/*.parquet"):
+            meta = pq.ParquetFile(f).metadata
+            idx = [
+                meta.schema.column(i).name for i in range(meta.num_columns)
+            ].index(col)
+            for rg in range(meta.num_row_groups):
+                st = meta.row_group(rg).column(idx).statistics
+                out.append(st.max - st.min)
+        return sum(out) / len(out)
+
+    v = t.compact(cluster_by=("x", "y"), target_files=8)
+    assert spans(v, "x") < spans(0, "x") * 0.6
+    assert spans(v, "y") < spans(0, "y") * 0.6
+    assert rows(t.read(), "payload") == rows(t.read(version=0), "payload")
+    with pytest.raises(ValueError, match="either sort_by or cluster_by"):
+        t.compact(sort_by=["x"], cluster_by=("x", "y"))
