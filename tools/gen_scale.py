@@ -28,18 +28,24 @@ from data_seedling_spark.session import build_session  # noqa: E402
 
 OFFSET = 1_000_000_000
 
-#: table -> timestamp columns shifted by ``replica * 8 years`` so K×
-#: data spans ~K× calendar. Without this, replicas stack onto the same
+#: table -> {timestamp column: per-replica shift interval} so K× data
+#: spans ~K× calendar. Without this, replicas stack onto the same
 #: dates and every time window densifies K× — the r7 probe measured
 #: interval_join_ship_windows at a super-linear 12.6× purely from
 #: that artifact (SCALE.md "replica artifact"); real 10× data spans
-#: more time. 8 years > the TPC-H-ish 7-year span, so replica
-#: calendars are disjoint. Order/lineitem shift by the same rule, so
-#: intra-replica date arithmetic (ship vs order date) is preserved.
+#: more time. The shift must match EACH table's own base span:
+#: orders/lineitem span the TPC-H-ish ~7 years → 8 years/replica keeps
+#: replica calendars disjoint; events span ~30 days → 1 month/replica
+#: (an 8-year shift there made the sf1 events calendar 876× the base
+#: span instead of 10×, and calendar-densifying queries like
+#: interpolated_sparse_hourly built 640k-hour grids — a generator
+#: artifact in the opposite direction). Order/lineitem shift by the
+#: same rule, so intra-replica date arithmetic (ship vs order date)
+#: is preserved.
 TS_COLS = {
-    "events": ["ts"],
-    "orders": ["o_orderdate"],
-    "lineitem": ["l_shipdate"],
+    "events": {"ts": "make_interval(0, _rep)"},
+    "orders": {"o_orderdate": "make_interval(8 * _rep)"},
+    "lineitem": {"l_shipdate": "make_interval(8 * _rep)"},
 }
 
 #: table -> columns to offset per replica
@@ -64,15 +70,13 @@ def scale_table(spark, src: str, dst: str, table: str, k: int) -> int:
         out = df
     else:
         replicas = spark.range(k).select(F.col("id").alias("_rep"))
-        ts_cols = TS_COLS.get(table, [])
+        ts_cols = TS_COLS.get(table, {})
         cols = []
         for c in df.columns:
             if c in keys:
                 cols.append((F.col(c) + F.col("_rep") * OFFSET).alias(c))
             elif c in ts_cols:
-                cols.append(
-                    F.expr(f"{c} + make_interval(8 * _rep)").alias(c)
-                )
+                cols.append(F.expr(f"{c} + {ts_cols[c]}").alias(c))
             elif c == "embedding":
                 # Perturb vectors per replica: exact duplicates make
                 # nearest-neighbor ties ubiquitous (argmin comparisons
