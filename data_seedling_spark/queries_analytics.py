@@ -5393,3 +5393,56 @@ def data_quality_audit_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         unique_keys=["o_orderkey"],
         references=[("o_custkey", customer, "c_custkey")],
     )
+
+
+@query(
+    "recursive_cte_key_rollup",
+    oracle="""
+    WITH RECURSIVE walk(root, cur) AS (
+      SELECT c_custkey, c_custkey FROM customer
+      UNION ALL
+      SELECT root, cur // 10 FROM walk WHERE cur >= 10
+    ), anc AS (
+      SELECT root AS c_custkey, cur AS root_digit FROM walk WHERE cur < 10
+    )
+    SELECT CAST(root_digit AS BIGINT) AS root_digit,
+           COUNT(DISTINCT a.c_custkey) AS n_customers,
+           CAST(SUM(CAST(ROUND(o.o_totalprice, 2) AS DECIMAL(18,2)))
+                AS DOUBLE) AS revenue
+    FROM anc a JOIN orders o ON o.o_custkey = a.c_custkey
+    GROUP BY root_digit
+    """,
+    tags=("S15-sql", "recursive-cte", "hierarchy"),
+)
+def recursive_cte_key_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NATIVE recursive CTE through the engine's SQL entry (Spark 4.1
+    WITH RECURSIVE / UnionLoop — until now every iterative operator
+    here drove the loop from Python with localCheckpoint): each
+    customer key walks its digit-hierarchy parent chain (cur → cur
+    DIV 10, a functional edge — exactly one parent per node, so the
+    UNION ALL recursion Spark supports cannot duplicate paths) up to
+    its single-digit root ancestor, then order revenue rolls up per
+    root. The oracle runs the structurally identical recursion in
+    DuckDB, so the whole recursive execution is hash-checked.
+    Scale: frontier size stays N rows per level (no fan-out), depth =
+    key digits (log₁₀ N levels); revenue sums in decimal — the
+    addition-order-free money contract."""
+    from .tables import register_views
+
+    register_views(spark, sf_dir, ("customer", "orders"))
+    return spark.sql("""
+        WITH RECURSIVE walk(root, cur) AS (
+          SELECT c_custkey, c_custkey FROM customer
+          UNION ALL
+          SELECT root, cur DIV 10 FROM walk WHERE cur >= 10
+        ), anc AS (
+          SELECT root AS c_custkey, cur AS root_digit FROM walk
+          WHERE cur < 10
+        )
+        SELECT CAST(root_digit AS BIGINT) AS root_digit,
+               COUNT(DISTINCT a.c_custkey) AS n_customers,
+               CAST(SUM(CAST(ROUND(o.o_totalprice, 2) AS DECIMAL(18,2)))
+                    AS DOUBLE) AS revenue
+        FROM anc a JOIN orders o ON o.o_custkey = a.c_custkey
+        GROUP BY root_digit
+    """)
