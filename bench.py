@@ -36,6 +36,8 @@ HEADLINE = [
     "asof_join_purchase_click",
     "tumbling_window_events",
     "sql_api_shipping_priority",
+    "recursive_cte_key_rollup",
+    "orc_source_partitioned_roundtrip",
     "dedup_exact_documents",
     "minhash_lsh_near_dup",
     "similarity_topk_bruteforce",

@@ -5426,10 +5426,15 @@ def recursive_cte_key_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB, so the whole recursive execution is hash-checked.
     Scale: frontier size stays N rows per level (no fan-out), depth =
     key digits (log₁₀ N levels); revenue sums in decimal — the
-    addition-order-free money contract."""
+    addition-order-free money contract. The recursion guardrail
+    ``spark.sql.cteRecursionRowLimit`` (default 1M accumulated rows)
+    is raised runtime-side: N customers × log₁₀(maxkey) levels
+    legitimately exceeds 1M once N passes ~125k — a linear walk, not
+    runaway recursion (the level limit stays at its default 100)."""
     from .tables import register_views
 
     register_views(spark, sf_dir, ("customer", "orders"))
+    spark.conf.set("spark.sql.cteRecursionRowLimit", str(100_000_000))
     return spark.sql("""
         WITH RECURSIVE walk(root, cur) AS (
           SELECT c_custkey, c_custkey FROM customer
