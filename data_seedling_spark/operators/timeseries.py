@@ -36,13 +36,23 @@ def interpolate_linear(
     w_prev = (
         W.partitionBy(key_col).orderBy(t_col).rowsBetween(W.unboundedPreceding, 0)
     )
+    # The forward-looking neighbour is expressed as a DESCENDING
+    # running frame, not ``rowsBetween(0, unboundedFollowing)``:
+    # Spark's UnboundedFollowingWindowFunctionFrame re-scans from the
+    # current row to the partition end FOR EVERY ROW — O(n²) per
+    # series (measured: the hourly-grid interpolation went 0.04 s →
+    # 4 s for 10× rows). ``last ignorenulls`` over the reversed
+    # running frame is the identical value with the O(n) running
+    # implementation both directions.
     w_next = (
-        W.partitionBy(key_col).orderBy(t_col).rowsBetween(0, W.unboundedFollowing)
+        W.partitionBy(key_col)
+        .orderBy(F.col(t_col).desc())
+        .rowsBetween(W.unboundedPreceding, 0)
     )
     prev_v = F.last(v, ignorenulls=True).over(w_prev)
     prev_t = F.last(F.when(v.isNotNull(), t), ignorenulls=True).over(w_prev)
-    next_v = F.first(v, ignorenulls=True).over(w_next)
-    next_t = F.first(F.when(v.isNotNull(), t), ignorenulls=True).over(w_next)
+    next_v = F.last(v, ignorenulls=True).over(w_next)
+    next_t = F.last(F.when(v.isNotNull(), t), ignorenulls=True).over(w_next)
     interp = prev_v + (next_v - prev_v) * (t - prev_t) / (next_t - prev_t)
     # Interpolated doubles routinely land ON the half-ulp rounding
     # boundary (grid inputs × rational ratios), where engine round()

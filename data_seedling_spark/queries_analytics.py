@@ -5311,27 +5311,27 @@ def bitmap_distinct_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     "data_quality_audit_orders",
     oracle="""
     WITH checks AS (
-      SELECT 'not_null:o_custkey' AS "check",
+      SELECT 'not_null_o_custkey' AS "check",
              CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
                   AS BIGINT) AS n_violations,
              COUNT(*) AS n_rows
       FROM orders
       UNION ALL
-      SELECT 'in_set:o_orderstatus',
+      SELECT 'in_set_o_orderstatus',
              CAST(SUM(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P')
                            OR o_orderstatus IS NULL
                       THEN 1 ELSE 0 END) AS BIGINT),
              COUNT(*)
       FROM orders
       UNION ALL
-      SELECT 'in_range:o_totalprice',
-             CAST(SUM(CASE WHEN o_totalprice <= 0
+      SELECT 'range_o_totalprice',
+             CAST(SUM(CASE WHEN o_totalprice NOT BETWEEN 0 AND 1000000
                            OR o_totalprice IS NULL
                       THEN 1 ELSE 0 END) AS BIGINT),
              COUNT(*)
       FROM orders
       UNION ALL
-      SELECT 'matches:o_orderpriority',
+      SELECT 'matches_o_orderpriority',
              CAST(SUM(CASE WHEN NOT regexp_matches(o_orderpriority,
                                                    '^[1-5]-[A-Z ]+$')
                            OR o_orderpriority IS NULL
@@ -5339,13 +5339,13 @@ def bitmap_distinct_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
              COUNT(*)
       FROM orders
       UNION ALL
-      SELECT 'unique:o_orderkey',
+      SELECT 'unique_o_orderkey',
              CAST((SELECT COUNT(*) - COUNT(DISTINCT o_orderkey)
                    FROM orders) AS BIGINT),
              COUNT(*)
       FROM orders
       UNION ALL
-      SELECT 'references:o_custkey',
+      SELECT 'references_o_custkey',
              CAST((SELECT COUNT(*) FROM orders o
                    WHERE o.o_custkey IS NOT NULL
                      AND NOT EXISTS (SELECT 1 FROM customer c
@@ -5384,10 +5384,10 @@ def data_quality_audit_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer = load_table(spark, sf_dir, "customer")
     return expectations_report(
         orders,
-        row_checks=[
+        expectations=[
             not_null("o_custkey"),
             in_set("o_orderstatus", ("O", "F", "P")),
-            in_range("o_totalprice", lo=0.000001),
+            in_range("o_totalprice", 0, 1_000_000),
             matches("o_orderpriority", r"^[1-5]-[A-Z ]+$"),
         ],
         unique_keys=["o_orderkey"],

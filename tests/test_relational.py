@@ -445,26 +445,26 @@ def test_expectations_report_counts_injected_violations(spark):
         r["check"]: (r["n_violations"], r["passed"])
         for r in expectations_report(
             df,
-            row_checks=[
+            expectations=[
                 not_null("cust"),
                 in_set("status", ("O", "F", "P")),
-                in_range("price", lo=0.0),
+                in_range("price", 0.0, 100.0),
                 matches("pri", r"^[1-5]-[A-Z]+$"),
             ],
             unique_keys=["k"],
             references=[("cust", dim, "ck")],
         ).collect()
     }
-    assert rep["not_null:cust"] == (1, False)
-    assert rep["in_set:status"] == (1, False)
-    assert rep["in_range:price"] == (1, False)
-    assert rep["matches:pri"] == (1, False)
-    assert rep["unique:k"] == (1, False)
-    assert rep["references:cust"] == (1, False)
+    assert rep["not_null_cust"] == (1, False)
+    assert rep["in_set_status"] == (1, False)
+    assert rep["range_price"] == (1, False)
+    assert rep["matches_pri"] == (1, False)
+    assert rep["unique_k"] == (1, False)
+    assert rep["references_cust"] == (1, False)
 
     clean = expectations_report(
         df.where(F.col("k") == 1),
-        row_checks=[not_null("cust")],
+        expectations=[not_null("cust")],
         unique_keys=["k"],
         references=[("cust", dim, "ck")],
     ).collect()
