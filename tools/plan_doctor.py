@@ -14,6 +14,13 @@ regression locks in tests/test_plans.py:
 - ``codegen``: WholeStageCodegen span count (bigger spans = more of
   the plan fused into JVM loops).
 - ``scan_pushdown``: parquet scans carrying PushedFilters.
+- ``quad_frame``: window frames ending at UNBOUNDED FOLLOWING with a
+  non-unbounded start — Spark's UnboundedFollowingWindowFunctionFrame
+  re-scans to the partition end for EVERY row (O(n²) per partition;
+  the interpolate_linear bug r8 found and fixed). Express forward
+  scans as descending running frames instead. Whole-partition frames
+  (UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) evaluate once and are
+  fine.
 
 Usage: python tools/plan_doctor.py [--sf DIR] [names...]
 Exit code 1 if any query shows a cartesian product or row-wise Python
@@ -54,6 +61,13 @@ def audit_plan(plan: str) -> dict:
         "pushed_scans": len(
             re.findall(r"PushedFilters: \[[^\]]+\]", plan)
         ),
+        "quad_frame": len(
+            re.findall(
+                r"specifiedwindowframe\((?:Row|Range)Frame, "
+                r"(?!unboundedpreceding)[^,]+, unboundedfollowing\$\(\)\)",
+                plan,
+            )
+        ),
     }
 
 
@@ -85,7 +99,8 @@ def main() -> int:
         a = audit_plan(plan)
         flag = ""
         unsanctioned_udtf = a["python_udtf"] and name not in PYTHON_ROWWISE_ALLOWED
-        if a["cartesian"] or a["python_rowwise"] or unsanctioned_udtf:
+        if (a["cartesian"] or a["python_rowwise"] or unsanctioned_udtf
+                or a["quad_frame"]):
             flag = "  <-- ANTI-PATTERN"
             bad += 1
         elif a["python_udtf"]:
