@@ -2074,3 +2074,50 @@ def orc_source_partitioned_roundtrip(
         F.count("*").alias("n_items"),
         dec_sum(F.col("l_quantity"), "total_qty", scale=2),
     )
+
+
+@query(
+    "aes_reversible_tokenise",
+    oracle="""
+    SELECT c_mktsegment,
+           COUNT(DISTINCT c_name) AS n_distinct_tokens,
+           COUNT(*) AS n_rows,
+           COUNT(*) AS n_decrypt_ok
+    FROM customer GROUP BY c_mktsegment
+    """,
+    tags=("privacy", "tokenisation", "aes", "UD3"),
+)
+def aes_reversible_tokenise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reversible tokenisation with Spark's built-in AES — the
+    re-identifiable-under-key complement to the one-way salted-sha2
+    pseudonymisation the reference ships: names encrypt with
+    deterministic AES-ECB (same plaintext → same token, so joins and
+    DISTINCT survive tokenisation exactly like the hash path), and the
+    key holder can decrypt back. The query proves all three contracts
+    in-plan: per segment, the DISTINCT count over tokens equals the
+    distinct count over plaintext names (determinism + injectivity),
+    and every row's decrypt(token) round-trips to its original name
+    (n_decrypt_ok = n_rows). The oracle computes the same facts from
+    plaintext — any codec drift breaks the hash. ECB is the right mode
+    HERE precisely because tokenisation REQUIRES determinism (format
+    workarounds like SIV/convergent encryption serve the same role at
+    production grade); for non-joinable encryption-at-rest use the
+    default GCM with random IVs. Scale: two codegen'd JVM expressions
+    per row, no shuffle beyond the aggregate."""
+    key = "0123456789abcdef"  # 128-bit demo key (config/KMS in prod)
+    customer = load_table(spark, sf_dir, "customer")
+    tok = customer.select(
+        "c_mktsegment",
+        "c_name",
+        F.expr(f"aes_encrypt(c_name, '{key}', 'ECB')").alias("token"),
+    ).withColumn(
+        "decrypted",
+        F.expr(f"CAST(aes_decrypt(token, '{key}', 'ECB') AS STRING)"),
+    )
+    return tok.groupBy("c_mktsegment").agg(
+        F.count_distinct("token").alias("n_distinct_tokens"),
+        F.count("*").alias("n_rows"),
+        F.sum(
+            (F.col("decrypted") == F.col("c_name")).cast("long")
+        ).alias("n_decrypt_ok"),
+    )
