@@ -2121,3 +2121,89 @@ def aes_reversible_tokenise(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("decrypted") == F.col("c_name")).cast("long")
         ).alias("n_decrypt_ok"),
     )
+
+
+def _feistel_sql_cte(src: str, key: str, alias: str, salt: str, rounds: int = 4) -> str:
+    sql = (
+        f", {alias}0 AS (SELECT *, "
+        f"((CAST({key} AS BIGINT) >> 16) & 65535) AS l0, "
+        f"(CAST({key} AS BIGINT) & 65535) AS r0 FROM {src})"
+    )
+    for i in range(rounds):
+        fk = (
+            f"(CAST('0x' || substr(md5(CAST(r{i} AS VARCHAR) "
+            f"|| ':{i}:{salt}'), 1, 8) AS BIGINT) & 65535)"
+        )
+        sql += (
+            f", {alias}{i + 1} AS (SELECT *, r{i} AS l{i + 1}, "
+            f"xor(l{i}, {fk}) AS r{i + 1} FROM {alias}{i})"
+        )
+    sql += (
+        f", {alias} AS (SELECT *, (l{rounds} << 16) + r{rounds} AS sk "
+        f"FROM {alias}{rounds})"
+    )
+    return sql
+
+
+_FEISTEL_SALT = "r8pepper"
+
+
+@query(
+    "feistel_key_pseudonymise",
+    oracle="WITH base AS (SELECT 1)"
+    + _feistel_sql_cte("customer", "c_custkey", "cs", _FEISTEL_SALT)
+    + _feistel_sql_cte("orders", "o_custkey", "os", _FEISTEL_SALT)
+    + """
+    , per_cust AS (
+      SELECT c_mktsegment,
+             COUNT(*) AS n_customers,
+             COUNT(DISTINCT sk) AS n_distinct_scrambled,
+             SUM(sk) AS sum_scrambled
+      FROM cs GROUP BY c_mktsegment
+    ), per_orders AS (
+      SELECT c_mktsegment, COUNT(*) AS n_orders
+      FROM cs JOIN os USING (sk) GROUP BY c_mktsegment
+    )
+    SELECT c_mktsegment, n_customers, n_distinct_scrambled,
+           CAST(sum_scrambled AS BIGINT) AS sum_scrambled, n_orders
+    FROM per_cust JOIN per_orders USING (c_mktsegment)
+    """,
+    tags=("privacy", "pseudonymisation", "feistel", "F1"),
+)
+def feistel_key_pseudonymise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Format-preserving key pseudonymisation via a 4-round Feistel
+    network (pipelines.pseudonymise.feistel_permute_key): customer
+    keys scramble to a salt-keyed PERMUTATION of [0, 2^32) — still
+    integers, still unique (n_distinct_scrambled == n_customers, the
+    bijection salted-sha2 cannot guarantee), and foreign keys
+    scrambled with the same salt STILL JOIN (per-segment order counts
+    through the scrambled join equal the plaintext join's). The
+    md5-based round function makes the permutation engine-portable;
+    the oracle unrolls the identical 4 rounds per table and must
+    reproduce the per-segment SUM of scrambled keys exactly — a
+    replay of the full network, not just its cardinalities. Scale:
+    ~16 codegen'd integer/md5 expressions per row, zero shuffle
+    beyond the aggregates; the inverse network (same salt) recovers
+    originals, round-trip pinned in pytest."""
+    from .pipelines.pseudonymise import feistel_permute_key
+
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    cs = customer.select(
+        "c_mktsegment",
+        feistel_permute_key(F.col("c_custkey"), _FEISTEL_SALT).alias("sk"),
+    )
+    os_ = orders.select(
+        feistel_permute_key(F.col("o_custkey"), _FEISTEL_SALT).alias("sk")
+    )
+    per_cust = cs.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_customers"),
+        F.count_distinct("sk").alias("n_distinct_scrambled"),
+        F.sum("sk").cast("long").alias("sum_scrambled"),
+    )
+    per_orders = (
+        cs.join(os_, "sk")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_orders"))
+    )
+    return per_cust.join(per_orders, "c_mktsegment")

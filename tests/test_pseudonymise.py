@@ -183,3 +183,39 @@ def test_stateful_engine_injection_inits_once_per_worker(spark, tmp_path):
     assert len(inits) == len(init_pids) >= 1
     # and the cache was exercised: strictly more batches than inits
     assert len(batches) > len(inits)
+
+
+def test_feistel_permutation_bijective_and_invertible(spark):
+    """The 4-round Feistel network is a true permutation of
+    [0, 2^32): distinct inputs stay distinct, the inverse network
+    recovers every original key, a different salt yields a different
+    permutation, and outputs stay inside the 32-bit domain."""
+    from pyspark.sql import functions as F
+
+    from data_seedling_spark.pipelines.pseudonymise import (
+        feistel_permute_key,
+        feistel_unpermute_key,
+    )
+
+    df = spark.range(5000).select(F.col("id").alias("k"))
+    out = df.select(
+        "k",
+        feistel_permute_key(F.col("k"), "s1").alias("p1"),
+        feistel_permute_key(F.col("k"), "s2").alias("p2"),
+    ).withColumn(
+        "back", feistel_unpermute_key(F.col("p1"), "s1")
+    )
+    agg = out.agg(
+        F.count_distinct("p1").alias("d1"),
+        F.sum((F.col("back") == F.col("k")).cast("long")).alias("rt"),
+        F.sum((F.col("p1") == F.col("p2")).cast("long")).alias("same"),
+        F.max("p1").alias("mx"),
+        F.min("p1").alias("mn"),
+    ).collect()[0]
+    assert agg["d1"] == 5000          # injective on the sample
+    assert agg["rt"] == 5000          # inverse recovers every key
+    assert agg["same"] < 5            # salts give unrelated permutations
+    assert 0 <= agg["mn"] and agg["mx"] < (1 << 32)
+    # keyspace scrambling: outputs leave the input range (not identity)
+    moved = out.where(F.col("p1") != F.col("k")).count()
+    assert moved > 4990
