@@ -126,6 +126,7 @@ def registry() -> dict[str, QuerySpec]:
     from . import queries_llm  # noqa: F401
     from . import queries_pipeline  # noqa: F401
     from . import queries_mining  # noqa: F401
+    from . import queries_geo  # noqa: F401
 
     missing = [n for n in _PRIORITY if n not in _REGISTRY]
     if missing:

@@ -1,0 +1,139 @@
+"""Geospatial operator tests: blocking losslessness, KNN recall, and
+plan shape (reference test strategy, SURVEY §5.1 — property assertions
+over small frames plus plan locks for the scale mechanics)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_seedling_spark.operators.geo import (
+    haversine_km,
+    spatial_join_within,
+    with_point,
+)
+from data_seedling_spark.tables import load_table
+
+from conftest import SF_SMOKE
+
+
+def _points(spark, table, id_col, cell_deg, salt="geo", n=None):
+    df = load_table(spark, SF_SMOKE, table).select(id_col)
+    if n is not None:
+        df = df.limit(n)
+    return with_point(df, id_col, cell_deg, salt=salt)
+
+
+def test_synth_points_deterministic_and_in_range(spark):
+    pts = _points(spark, "customer", "c_custkey", 4.0).collect()
+    assert len(pts) > 0
+    for r in pts:
+        assert -60_000_000 <= r.lat_micro < 60_000_000
+        assert -180_000_000 <= r.lon_micro < 180_000_000
+        # degree columns are the exact integer/1e6 quotient
+        assert r.lat_deg == r.lat_micro / 1_000_000.0
+    # same id -> same point (pure function of md5 bits)
+    again = _points(spark, "customer", "c_custkey", 4.0).collect()
+    assert {(r.c_custkey, r.lat_micro, r.lon_micro) for r in pts} == {
+        (r.c_custkey, r.lat_micro, r.lon_micro) for r in again
+    }
+
+
+def test_spatial_join_blocking_is_lossless_for_covered_radius(spark):
+    """With cell_deg sized so one step covers the radius (4 deg vs
+    200 km at |lat| <= 60), the 3x3-blocked join must find EVERY pair a
+    brute-force cross join finds — blocking is an optimization, not an
+    approximation."""
+    suppliers = _points(spark, "supplier", "s_suppkey", 4.0, salt="geo-s")
+    customers = _points(spark, "customer", "c_custkey", 4.0)
+
+    blocked = {
+        (r.q_s_suppkey, r.t_c_custkey)
+        for r in spatial_join_within(suppliers, customers, 200.0).collect()
+    }
+
+    s = suppliers.select(
+        F.col("s_suppkey"), F.col("lat_deg").alias("slat"), F.col("lon_deg").alias("slon")
+    )
+    c = customers.select(
+        F.col("c_custkey"), F.col("lat_deg").alias("clat"), F.col("lon_deg").alias("clon")
+    )
+    brute = {
+        (r.s_suppkey, r.c_custkey)
+        for r in s.crossJoin(c)
+        .withColumn(
+            "d",
+            F.round(
+                haversine_km(F.col("slat"), F.col("slon"), F.col("clat"), F.col("clon")),
+                3,
+            ),
+        )
+        .where(F.col("d") <= 200.0)
+        .collect()
+    }
+    assert blocked == brute
+    assert len(brute) > 0
+
+
+def test_knn_blocking_recall_floor(spark):
+    """Blocked KNN (2-deg cells, 3x3 neighborhood) vs brute-force
+    1-NN: the nearest neighbor is inside the neighborhood unless it is
+    over ~110 km away diagonally — on the smoke table the recall floor
+    is high and, more importantly, every returned neighbor's distance
+    must be >= the true 1-NN distance, never below (blocking can only
+    MISS, never invent)."""
+    customers = _points(spark, "customer", "c_custkey", 2.0)
+    probes = customers.where(F.col("c_custkey") % 10 == 7)
+
+    pairs = spatial_join_within(
+        probes, customers, radius_km=float("inf"), broadcast_queries=True
+    ).where(F.col("t_c_custkey") != F.col("q_c_custkey"))
+    blocked_best = {
+        r.q_c_custkey: r.best
+        for r in pairs.groupBy("q_c_custkey").agg(F.min("dist_km").alias("best")).collect()
+    }
+
+    p = probes.select(
+        F.col("c_custkey").alias("pk"),
+        F.col("lat_deg").alias("plat"),
+        F.col("lon_deg").alias("plon"),
+    )
+    c = customers.select("c_custkey", "lat_deg", "lon_deg")
+    true_best = {
+        r.pk: r.best
+        for r in p.crossJoin(c)
+        .where(F.col("c_custkey") != F.col("pk"))
+        .withColumn(
+            "d",
+            F.round(
+                haversine_km(
+                    F.col("plat"), F.col("plon"), F.col("lat_deg"), F.col("lon_deg")
+                ),
+                3,
+            ),
+        )
+        .groupBy("pk")
+        .agg(F.min("d").alias("best"))
+        .collect()
+    }
+    assert true_best
+    # every probe whose true NN is within one cell step must be found
+    # (completeness inside the blocking contract); on the 150-point
+    # smoke table most true NNs are continental distances away, so a
+    # flat recall floor would test the data, not the operator
+    for k, d in true_best.items():
+        if d <= 110.0:  # 1 deg lat ~ 111 km; conservative in-cell bound
+            assert abs(blocked_best[k] - d) < 1e-9
+        if k in blocked_best:
+            assert blocked_best[k] >= d - 1e-9  # never better than truth
+    assert blocked_best  # blocking does return candidates on the smoke table
+
+
+def test_spatial_join_plan_broadcasts_probe_side(spark):
+    """Scale lock: the exploded probe side broadcasts; the target side
+    is never replicated 9x."""
+    suppliers = _points(spark, "supplier", "s_suppkey", 4.0, salt="geo-s")
+    customers = _points(spark, "customer", "c_custkey", 4.0)
+    plan = spatial_join_within(suppliers, customers, 200.0)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
