@@ -2207,3 +2207,109 @@ def feistel_key_pseudonymise(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_orders"))
     )
     return per_cust.join(per_orders, "c_mktsegment")
+
+
+_DP_DENOM = 4294967296.0  # 2^32: md5 uniform grid, exact power of two
+_DP_EPS_COUNT = 0.5
+_DP_EPS_SUM = 0.5
+_DP_CLIP = 5000.0  # per-record contribution clip for the sum release
+_DP_B_COUNT = 1.0 / _DP_EPS_COUNT  # sensitivity 1
+_DP_B_SUM = _DP_CLIP / _DP_EPS_SUM
+
+
+def _laplace_sql(u: str, b: float) -> str:
+    """DuckDB twin of the inverse-CDF Laplace draw, op-for-op."""
+    return f"(-{b!r} * sign(({u}) - 0.5)) * ln(1.0 - 2.0 * abs(({u}) - 0.5))"
+
+
+def _laplace_col(u, b: float):
+    return (F.lit(-b) * F.signum(u - F.lit(0.5))) * F.log(
+        F.lit(1.0) - F.lit(2.0) * F.abs(u - F.lit(0.5))
+    )
+
+
+@query(
+    "dp_noisy_release_nation",
+    oracle=f"""
+    WITH per AS (
+      SELECT n.n_name AS nation,
+             CAST(count(*) AS BIGINT) AS n_true,
+             CAST(SUM(CAST(ROUND(least(greatest(c.c_acctbal, 0.0), {_DP_CLIP!r}), 2)
+                           AS DECIMAL(18,2))) AS DOUBLE) AS sum_clipped
+      FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+      GROUP BY 1
+    ),
+    draws AS (
+      SELECT nation, n_true, sum_clipped,
+             (CAST('0x' || substr(md5('dp-count:' || nation), 1, 8) AS BIGINT) + 0.5)
+               / {_DP_DENOM!r} AS u1,
+             (CAST('0x' || substr(md5('dp-sum:' || nation), 1, 8) AS BIGINT) + 0.5)
+               / {_DP_DENOM!r} AS u2
+      FROM per
+    )
+    SELECT nation, n_true, sum_clipped,
+           round(n_true + {_laplace_sql("u1", _DP_B_COUNT)}, 4) AS noisy_count,
+           round(sum_clipped + {_laplace_sql("u2", _DP_B_SUM)}, 4) AS noisy_sum,
+           {_DP_EPS_COUNT + _DP_EPS_SUM!r} AS eps_total
+    FROM draws
+    ORDER BY nation
+    """,
+    tags=("privacy", "differential-privacy", "laplace", "audit"),
+)
+def dp_noisy_release_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private release of per-nation statistics - the
+    third leg of the privacy-audit family (with ``k_anonymity_audit``
+    and ``l_diversity_audit``): a count release (sensitivity 1,
+    eps=0.5) and a CLIPPED-sum release (per-record contribution capped
+    at 5000 so sensitivity is the clip, eps=0.5), with the sequential-
+    composition total eps in the output. The Laplace draw is the
+    inverse-CDF transform of an md5-uniform in (0,1) - deterministic
+    given the release key, so both engines produce the IDENTICAL noise
+    (the repo's md5-coin idiom, ``operators/sketch.py``) and the query
+    is oracle-exact while exercising the real DP mechanism. The
+    uniform (h + 0.5) / 2^32 sits exactly on the 2^-33 grid: every
+    arithmetic step before the ln is IEEE-exact; ln is the same
+    round(libm, 4) determinism class as the oracle-green entropy
+    queries. True values ship alongside noisy ones because this is the
+    calibration/audit shape (a production release would project them
+    away). Clipped sum uses the round-decimal-sum-double pattern so
+    partial aggregation order cannot perturb the pre-noise value.
+
+    Scale: one broadcast dimension join + one map-side-combinable
+    aggregate; the noise transform is per-GROUP (25 rows), free at any
+    data scale.
+    """
+    from .queries import dec_sum
+
+    cust = load_table(spark, sf_dir, "customer").select("c_nationkey", "c_acctbal")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    clipped = F.least(F.greatest(F.col("c_acctbal"), F.lit(0.0)), F.lit(_DP_CLIP))
+    per = (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count("*").alias("n_true"),
+            dec_sum(clipped, "sum_clipped"),
+        )
+    )
+
+    def uniform(salt: str):
+        h = F.conv(
+            F.substring(F.md5(F.concat(F.lit(salt + ":"), F.col("nation"))), 1, 8),
+            16,
+            10,
+        ).cast("bigint")
+        return (h.cast("double") + F.lit(0.5)) / F.lit(_DP_DENOM)
+
+    return per.select(
+        "nation",
+        "n_true",
+        "sum_clipped",
+        F.round(
+            F.col("n_true") + _laplace_col(uniform("dp-count"), _DP_B_COUNT), 4
+        ).alias("noisy_count"),
+        F.round(
+            F.col("sum_clipped") + _laplace_col(uniform("dp-sum"), _DP_B_SUM), 4
+        ).alias("noisy_sum"),
+        F.lit(_DP_EPS_COUNT + _DP_EPS_SUM).alias("eps_total"),
+    ).orderBy("nation")

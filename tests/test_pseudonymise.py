@@ -219,3 +219,25 @@ def test_feistel_permutation_bijective_and_invertible(spark):
     # keyspace scrambling: outputs leave the input range (not identity)
     moved = out.where(F.col("p1") != F.col("k")).count()
     assert moved > 4990
+
+
+def test_dp_laplace_transform_properties(spark):
+    """Inverse-CDF Laplace on the md5-uniform grid: u=0.5 -> zero
+    noise, symmetry around 0.5, and the tail bound |noise| <= b*33ln2
+    (the grid's extreme points)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from data_seedling_spark.queries_pipeline import _laplace_col
+
+    us = [0.5, 0.25, 0.75, (0 + 0.5) / 2**32, (2**32 - 1 + 0.5) / 2**32]
+    df = spark.createDataFrame([(u,) for u in us], "u double").select(
+        F.col("u"), _laplace_col(F.col("u"), 2.0).alias("noise")
+    )
+    got = {r.u: r.noise for r in df.collect()}
+    assert got[0.5] == 0.0
+    assert abs(got[0.25] + got[0.75]) < 1e-12  # antisymmetric
+    assert got[0.25] < 0 and got[0.75] > 0  # u below median -> negative noise
+    bound = 2.0 * 33 * math.log(2.0) + 1e-9
+    assert all(abs(v) <= bound for v in got.values())
