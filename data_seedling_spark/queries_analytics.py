@@ -5451,3 +5451,44 @@ def recursive_cte_key_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM anc a JOIN orders o ON o.o_custkey = a.c_custkey
         GROUP BY root_digit
     """)
+
+
+@query(
+    "lateral_topn_customers_per_nation",
+    oracle="""
+    SELECT n.n_name AS nation, t.c_custkey, t.c_acctbal
+    FROM nation n,
+    LATERAL (SELECT c_custkey, c_acctbal FROM customer c
+             WHERE c.c_nationkey = n.n_nationkey
+             ORDER BY c_acctbal DESC, c_custkey LIMIT 3) t
+    ORDER BY nation, c_acctbal DESC, c_custkey
+    """,
+    tags=("sql-surface", "lateral", "topn", "correlated"),
+)
+def lateral_topn_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery through the engine's SQL entry —
+    the second modern-SQL surface probe next to the native recursive
+    CTE (``recursive_cte_key_rollup``): top-3 customers by balance PER
+    nation, expressed as a per-row dependent subquery with ORDER BY +
+    LIMIT rather than a window rank. Spark's optimizer decorrelates
+    the lateral into a ranked join (DomainJoin rewrite), so the
+    physical plan is the same shuffle-once window/top-k shape the
+    DataFrame twin ``window_top_orders_per_segment`` locks — the point
+    is that the ENGINE does the decorrelation, not the query author.
+    The identical SQL text runs on DuckDB, hash-checking Spark's
+    rewrite end to end. Ties break by key; no arithmetic, so values
+    hash exactly.
+    """
+    from .tables import register_views
+
+    register_views(spark, sf_dir, ("nation", "customer"))
+    return spark.sql(
+        """
+        SELECT n.n_name AS nation, t.c_custkey, t.c_acctbal
+        FROM nation n,
+        LATERAL (SELECT c_custkey, c_acctbal FROM customer c
+                 WHERE c.c_nationkey = n.n_nationkey
+                 ORDER BY c_acctbal DESC, c_custkey LIMIT 3) t
+        ORDER BY nation, c_acctbal DESC, c_custkey
+        """
+    )
