@@ -726,3 +726,63 @@ def gopher_repetition_gates(
         & (F.col("dup_5gram_char_frac") <= 0.15)
         & (F.col("dup_10gram_char_frac") <= 0.10),
     )
+
+
+#: Entity unescape map applied in ORDER (amp last so "&amp;lt;" cannot
+#: double-unescape) — mirrored verbatim by the SQL oracle twin.
+HTML_ENTITIES: tuple[tuple[str, str], ...] = (
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&nbsp;", " "),
+    ("&amp;", "&"),
+)
+
+#: Block-level elements whose ENTIRE content is boilerplate for a
+#: training corpus (navigation chrome, footers, scripts, styles).
+HTML_BOILERPLATE_TAGS: tuple[str, ...] = ("script", "style", "nav", "footer", "aside")
+
+
+def strip_html(col, keep_ratio_scale: int = 6):
+    """Extract training text from an HTML page column — the C4-style
+    web-corpus cleaning step: drop boilerplate blocks wholesale
+    (script/style/nav/footer/aside), strip remaining tags, unescape
+    the common entities, collapse runs of spaces. Returns a struct
+    ``(clean, kept_ratio)``.
+
+    Everything is JVM regexp/replace — no Python — and every pattern
+    is in the RE2-compatible subset (non-greedy ``.*?``, no
+    backreferences) so a DuckDB oracle runs the identical program
+    (with the ``'g'`` flag, since DuckDB's regexp_replace defaults to
+    first-match-only while Spark's replaces all). Scale: row-local
+    string work, embarrassingly parallel, zero shuffle.
+    """
+    page_len = F.length(col)
+    x = col
+    for tag in HTML_BOILERPLATE_TAGS:
+        x = F.regexp_replace(x, f"<{tag}[^>]*>.*?</{tag}>", " ")
+    x = F.regexp_replace(x, "<[^>]*>", " ")
+    for ent, rep in HTML_ENTITIES:
+        x = F.replace(x, F.lit(ent), F.lit(rep))
+    x = F.trim(F.regexp_replace(x, "  *", " "))
+    return F.struct(
+        x.alias("clean"),
+        F.round(F.length(x) / page_len.cast("double"), keep_ratio_scale).alias(
+            "kept_ratio"
+        ),
+    )
+
+
+def strip_html_sql(expr: str) -> str:
+    """DuckDB twin of :func:`strip_html`'s cleaning program (returns
+    the cleaned-text SQL expression; compute kept_ratio at the call
+    site from the same pieces)."""
+    x = expr
+    for tag in HTML_BOILERPLATE_TAGS:
+        x = f"regexp_replace({x}, '<{tag}[^>]*>.*?</{tag}>', ' ', 'g')"
+    x = f"regexp_replace({x}, '<[^>]*>', ' ', 'g')"
+    for ent, rep in HTML_ENTITIES:
+        rep_sql = rep.replace("'", "''")
+        x = f"replace({x}, '{ent}', '{rep_sql}')"
+    return f"trim(regexp_replace({x}, '  *', ' ', 'g'))"

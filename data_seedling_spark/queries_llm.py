@@ -6629,3 +6629,74 @@ def gopher_repetition_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dup_10gram_char_frac",
         "keep",
     )
+
+
+_HTML_PREFIX = (
+    "<html><head><title>doc</title><style>p {color: #111}</style></head>"
+    "<body><nav>Home | About | <a href=\"/c\">Contact</a></nav><h1>"
+)
+_HTML_MID = "</h1><p>Tom &amp; Jerry &lt;3 wrote:</p><p>"
+_HTML_SUFFIX = (
+    "</p><aside>SUBSCRIBE NOW</aside>"
+    "<footer>(c) Example &amp; Co. All rights reserved.</footer></body></html>"
+)
+
+
+@query(
+    "html_strip_boilerplate",
+    oracle=f"""
+    WITH pages AS (
+      SELECT doc_id,
+             '{_HTML_PREFIX}' || source || '{_HTML_MID}' || text || '{_HTML_SUFFIX}'
+               AS page
+      FROM documents
+    ),
+    cleaned AS (
+      SELECT doc_id, length(page) AS page_len,
+             trim(regexp_replace(replace(replace(replace(replace(replace(replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(page, '<script[^>]*>.*?</script>', ' ', 'g'), '<style[^>]*>.*?</style>', ' ', 'g'), '<nav[^>]*>.*?</nav>', ' ', 'g'), '<footer[^>]*>.*?</footer>', ' ', 'g'), '<aside[^>]*>.*?</aside>', ' ', 'g'), '<[^>]*>', ' ', 'g'), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'), '  *', ' ', 'g')) AS clean
+      FROM pages
+    )
+    SELECT doc_id, page_len,
+           CAST(length(clean) AS BIGINT) AS clean_len,
+           round(length(clean) / CAST(page_len AS DOUBLE), 6) AS kept_ratio,
+           substr(clean, 1, 60) AS clean_prefix,
+           md5(clean) AS clean_md5
+    FROM cleaned
+    ORDER BY doc_id
+    """,
+    tags=("llm-pipeline", "cleaning", "html", "boilerplate"),
+)
+def html_strip_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style web-corpus cleaning, closed-loop: each document is
+    deterministically wrapped into an HTML page (chrome nav, style
+    block, entity-escaped lead-in, aside/footer boilerplate) and the
+    REAL cleaning operator (``operators/textstats.py:strip_html``)
+    extracts the training text back out — boilerplate blocks dropped
+    wholesale, tags stripped, entities unescaped in a fixed order,
+    whitespace collapsed. The same synthesize-then-operate trick the
+    multimodal codecs use: the operator under test is real, the input
+    is reproducible in both engines, so the cleaned text hash-checks
+    end to end. Row-local JVM regexp work - zero shuffle, scales with
+    input bytes.
+    """
+    from .operators.textstats import strip_html
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    page = F.concat(
+        F.lit(_HTML_PREFIX),
+        F.col("source"),
+        F.lit(_HTML_MID),
+        F.col("text"),
+        F.lit(_HTML_SUFFIX),
+    )
+    staged = docs.select(
+        "doc_id", F.length(page).alias("page_len"), strip_html(page).alias("s")
+    )
+    return staged.select(
+        "doc_id",
+        "page_len",
+        F.length("s.clean").cast("long").alias("clean_len"),
+        F.col("s.kept_ratio").alias("kept_ratio"),
+        F.substring("s.clean", 1, 60).alias("clean_prefix"),
+        F.md5(F.col("s.clean")).alias("clean_md5"),
+    ).orderBy("doc_id")

@@ -2248,3 +2248,24 @@ def test_gopher_repetition_gates_hand_cases(spark):
     assert out[2]["dup_10gram_char_frac"] == 0.0
     # every 2-gram unique → top fraction is one occurrence's share
     assert out[2]["top_2gram_char_frac"] < 0.05
+
+
+def test_strip_html_entity_order_and_boilerplate(spark):
+    """&amp;lt; must NOT double-unescape (amp is replaced last); nav,
+    script, style, footer, aside content vanishes wholesale; tags
+    strip; whitespace collapses."""
+    from pyspark.sql import functions as F
+
+    from data_seedling_spark.operators.textstats import strip_html
+
+    page = (
+        "<html><style>p{x}</style><nav>Home <b>|</b> About</nav>"
+        "<p>A &amp;lt; B &lt; C &amp; D</p>"
+        "<script>var x = '<p>not text</p>';</script>"
+        "<div>  keep   <em>this</em> </div>"
+        "<footer>drop</footer></html>"
+    )
+    df = spark.range(1).select(strip_html(F.lit(page)).alias("s"))
+    row = df.select("s.clean", "s.kept_ratio").collect()[0]
+    assert row[0] == "A &lt; B < C & D keep this"
+    assert 0.0 < row[1] < 1.0
