@@ -7,6 +7,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from .queries import query
 from .tables import load_table
@@ -6700,3 +6701,214 @@ def html_strip_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring("s.clean", 1, 60).alias("clean_prefix"),
         F.md5(F.col("s.clean")).alias("clean_md5"),
     ).orderBy("doc_id")
+
+
+_SFT_SYSTEM = "<|system|>Be concise and helpful.<|end|>"
+
+
+@query(
+    "sft_chat_template_render",
+    oracle=f"""
+    WITH turns AS (
+      SELECT source, text,
+             row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rnk
+      FROM documents
+    ),
+    capped AS (
+      SELECT source, rnk,
+             CASE WHEN rnk % 2 = 1 THEN 'user' ELSE 'assistant' END AS role,
+             '<|' || CASE WHEN rnk % 2 = 1 THEN 'user' ELSE 'assistant' END
+                  || '|>' || text || '<|end|>' AS rendered
+      FROM turns WHERE rnk <= 8
+    ),
+    offs AS (
+      SELECT source, rnk, role, rendered,
+             length('{_SFT_SYSTEM}')
+               + COALESCE(SUM(length(rendered)) OVER (PARTITION BY source
+                   ORDER BY rnk ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS char_start
+      FROM capped
+    ),
+    conv AS (
+      SELECT source,
+             md5('{_SFT_SYSTEM}' || string_agg(rendered, '' ORDER BY rnk)) AS conv_md5,
+             CAST(length('{_SFT_SYSTEM}') + sum(length(rendered)) AS BIGINT) AS conv_len
+      FROM offs GROUP BY source
+    )
+    SELECT o.source, CAST(o.rnk AS BIGINT) AS turn_idx, o.role,
+           CAST(o.char_start AS BIGINT) AS char_start,
+           CAST(o.char_start + length(o.rendered) AS BIGINT) AS char_end,
+           CAST(o.role = 'assistant' AS BOOLEAN) AS loss_mask,
+           c.conv_md5, c.conv_len
+    FROM offs o JOIN conv c ON o.source = c.source
+    ORDER BY o.source, turn_idx
+    """,
+    tags=("llm-pipeline", "sft", "chat-template", "loss-mask"),
+)
+def sft_chat_template_render(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Instruction-tuning data prep: documents grouped by source become
+    alternating user/assistant turns (capped at 8), rendered into a
+    chat template with a system preamble, with per-turn CHARACTER SPAN
+    OFFSETS into the rendered conversation and the loss mask
+    (assistant turns train, user/system turns do not) - exactly the
+    metadata an SFT tokenizer needs to build labels without re-parsing
+    the template. The conversation hash and total length ride along so
+    the full rendering (an ordered string aggregation) is hash-checked,
+    not just the offsets. Offsets come from a running window sum of
+    rendered turn lengths - one shuffle on the conversation key; the
+    per-turn frame is ROWS UNBOUNDED PRECEDING TO 1 PRECEDING (linear,
+    not the quadratic re-scan shape plan_doctor flags).
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    w_rnk = Window.partitionBy("source").orderBy("doc_id")
+    role = F.when(F.col("rnk") % 2 == 1, F.lit("user")).otherwise(F.lit("assistant"))
+    capped = (
+        docs.withColumn("rnk", F.row_number().over(w_rnk))
+        .where(F.col("rnk") <= 8)
+        .select(
+            "source",
+            "rnk",
+            role.alias("role"),
+            F.concat(
+                F.lit("<|"), role, F.lit("|>"), F.col("text"), F.lit("<|end|>")
+            ).alias("rendered"),
+        )
+    )
+    w_run = (
+        Window.partitionBy("source")
+        .orderBy("rnk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    sys_len = F.length(F.lit(_SFT_SYSTEM))
+    offs = capped.withColumn(
+        "char_start",
+        sys_len + F.coalesce(F.sum(F.length("rendered")).over(w_run), F.lit(0)),
+    )
+    conv = (
+        offs.groupBy("source")
+        .agg(
+            F.md5(
+                F.concat(
+                    F.lit(_SFT_SYSTEM),
+                    F.array_join(
+                        F.transform(
+                            F.array_sort(
+                                F.collect_list(F.struct("rnk", "rendered"))
+                            ),
+                            lambda s: s.rendered,
+                        ),
+                        "",
+                    ),
+                )
+            ).alias("conv_md5"),
+            (sys_len + F.sum(F.length("rendered"))).cast("long").alias("conv_len"),
+        )
+    )
+    return (
+        offs.join(conv, "source")
+        .select(
+            "source",
+            F.col("rnk").cast("long").alias("turn_idx"),
+            "role",
+            F.col("char_start").cast("long").alias("char_start"),
+            (F.col("char_start") + F.length("rendered")).cast("long").alias("char_end"),
+            (F.col("role") == "assistant").alias("loss_mask"),
+            "conv_md5",
+            "conv_len",
+        )
+        .orderBy("source", "turn_idx")
+    )
+
+
+@query(
+    "zipf_rank_fit_tokens",
+    oracle="""
+    WITH tok AS (
+      SELECT unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    counts AS (
+      SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM tok
+      WHERE token <> '' GROUP BY token
+    ),
+    ranked AS (
+      SELECT cnt, row_number() OVER (ORDER BY cnt DESC, token) AS rnk
+      FROM counts
+    ),
+    xy AS (
+      SELECT CAST(round(ln(CAST(rnk AS DOUBLE)), 6) AS DECIMAL(28,6)) AS x,
+             CAST(round(ln(CAST(cnt AS DOUBLE)), 6) AS DECIMAL(28,6)) AS y
+      FROM ranked WHERE rnk <= 500
+    ),
+    sums AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+             CAST(sum(CAST(x * y AS DECIMAL(38,12))) AS DOUBLE) AS sxy,
+             CAST(sum(CAST(x * x AS DECIMAL(38,12))) AS DOUBLE) AS sxx,
+             CAST(sum(CAST(y * y AS DECIMAL(38,12))) AS DOUBLE) AS syy
+      FROM xy
+    )
+    SELECT CAST(n AS BIGINT) AS n_tokens_fit,
+           CAST(floor((n * sxy - sx * sy) / (n * sxx - sx * sx) * 1000000.0)
+                AS BIGINT) AS zipf_slope_e6,
+           CAST(floor((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n
+                      * 1000000.0) AS BIGINT) AS zipf_intercept_e6,
+           CAST(floor(((n * sxy - sx * sy) * (n * sxy - sx * sy))
+                 / ((n * sxx - sx * sx) * (n * syy - sy * sy)) * 1000000.0)
+                AS BIGINT) AS r2_e6
+    FROM sums
+    """,
+    tags=("llm-pipeline", "corpus-stats", "zipf", "regression"),
+)
+def zipf_rank_fit_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit over the corpus vocabulary: log-log OLS of token
+    frequency against frequency rank (top 500 types) - the standard
+    corpus-health diagnostic (natural text slopes near -1; synthetic
+    or templated corpora flatten). The OLS moments are summed in EXACT
+    DECIMAL over logs rounded to the 1e-6 grid - the repo's
+    addition-order-free pattern (``queries.dec_sum``) - because
+    built-in regr_slope accumulates raw doubles whose partial-
+    aggregation order differs between engines. Slope, intercept and
+    R^2 derive from those exact moments in identical IEEE op order and
+    ship as floor-scaled e6 integers: floor() of a bit-identical double
+    is engine-independent, where round()'s half-way tie handling is not
+    (observed live on the intercept at sf0.01).
+    Scale: token counting is the map-side-combinable wordcount; the
+    global rank window runs over the VOCABULARY (types, not tokens),
+    which is log-scale in corpus size.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("text")
+    tok = docs.select(F.explode(F.split("text", " ")).alias("token")).where(
+        F.col("token") != ""
+    )
+    counts = tok.groupBy("token").agg(F.count("*").alias("cnt"))
+    ranked = counts.select(
+        "cnt",
+        F.row_number().over(Window.orderBy(F.desc("cnt"), "token")).alias("rnk"),
+    ).where(F.col("rnk") <= 500)
+    x = F.round(F.log(F.col("rnk").cast("double")), 6).cast("decimal(28,6)")
+    y = F.round(F.log(F.col("cnt").cast("double")), 6).cast("decimal(28,6)")
+    xy = ranked.select(x.alias("x"), y.alias("y"))
+    sums = xy.agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast("decimal(38,12)")).cast("double").alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(38,12)")).cast("double").alias("sxx"),
+        F.sum((F.col("y") * F.col("y")).cast("decimal(38,12)")).cast("double").alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    e6 = F.lit(1_000_000.0)
+    return sums.select(
+        n.cast("long").alias("n_tokens_fit"),
+        F.floor(slope * e6).cast("long").alias("zipf_slope_e6"),
+        F.floor((sy - slope * sx) / n * e6).cast("long").alias("zipf_intercept_e6"),
+        F.floor(
+            ((n * sxy - sx * sy) * (n * sxy - sx * sy))
+            / ((n * sxx - sx * sx) * (n * syy - sy * sy))
+            * e6
+        )
+        .cast("long")
+        .alias("r2_e6"),
+    )
