@@ -6912,3 +6912,31 @@ def zipf_rank_fit_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("r2_e6"),
     )
+
+
+@query(
+    "compression_ratio_quality",
+    oracle=None,  # zlib has no SQL twin; ordering floors in pytest
+    tags=("llm-pipeline", "quality", "compression", "rows-only"),
+)
+def compression_ratio_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compression-ratio quality filter (``operators/textstats.py:
+    compression_quality``): flag documents whose zlib ratio is below
+    the repetitive-text threshold — the one classic corpus-quality
+    heuristic that is genuinely non-SQL (DuckDB has no deflate), so
+    this entry is rows-only by design; the signal's monotonicity
+    (repeated text compresses strictly better than shuffled text) is
+    floor-asserted in tests/test_llm_ops.py. Arrow-batched; one
+    narrow-output pass.
+    """
+    from .operators.textstats import compression_quality
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = compression_quality(docs, "text", "doc_id")
+    return scored.select(
+        "doc_id",
+        "raw_len",
+        "compressed_len",
+        F.round("ratio", 6).alias("ratio"),
+        (F.col("ratio") < 0.45).alias("too_repetitive"),
+    ).orderBy("doc_id")

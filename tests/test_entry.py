@@ -33,6 +33,9 @@ def test_registry_contract_shapes():
         # in tests/test_llm_ops.py instead (see similarity.py
         # ivf_assign_arrow docstring for the ulp-order rationale).
         "embedding_near_dup_arrow",
+        # zlib deflate has no SQL twin; monotonicity floors in
+        # tests/test_llm_ops.py (test_compression_quality_orders_repetition)
+        "compression_ratio_quality",
     }, f"unexpected rows-only queries: {missing_oracle}"
     for sql in o.values():
         assert sql.strip(), "empty oracle"

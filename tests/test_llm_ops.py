@@ -2269,3 +2269,30 @@ def test_strip_html_entity_order_and_boilerplate(spark):
     row = df.select("s.clean", "s.kept_ratio").collect()[0]
     assert row[0] == "A &lt; B < C & D keep this"
     assert 0.0 < row[1] < 1.0
+
+
+def test_compression_quality_orders_repetition(spark):
+    """Repeated text must compress strictly better (lower ratio) than
+    high-entropy text; empty text is safe (ratio uses max(raw,1))."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from data_seedling_spark.operators.textstats import compression_quality
+
+    import random
+
+    rng = random.Random(7)
+    noisy = " ".join(
+        "".join(rng.choice("abcdefghijklmnopqrstuvwxyz0123456789") for _ in range(8))
+        for _ in range(60)
+    )
+    rows = [
+        (1, "spam ham " * 200),
+        (2, noisy),
+        (3, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in compression_quality(df, "text", "doc_id").collect()}
+    assert got[1].ratio < 0.1 < got[2].ratio
+    assert got[2].ratio < 1.2
+    assert got[3].compressed_len > 0 and got[3].raw_len == 0
+    assert got[1].raw_len == len("spam ham " * 200)
