@@ -6940,3 +6940,112 @@ def compression_ratio_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("ratio", 6).alias("ratio"),
         (F.col("ratio") < 0.45).alias("too_repetitive"),
     ).orderBy("doc_id")
+
+
+_TAU = 6.283185307179586
+_DFT_N = 128  # samples per synthetic clip
+_DFT_BINS = (3, 4, 5, 6, 7)  # probe bins; truth lands inside
+
+
+@query(
+    "audio_tone_detect_dft",
+    oracle=f"""
+    WITH clips AS (
+      SELECT doc_id, 3 + doc_id % 5 AS true_bin FROM documents
+    ),
+    samples AS (
+      SELECT c.doc_id, c.true_bin, b.bin, n.n,
+             CAST(floor(1000.0 * sin({_TAU!r} * (c.true_bin / {float(_DFT_N)!r}) * n.n))
+                  AS BIGINT) AS x
+      FROM clips c
+      CROSS JOIN (SELECT unnest(ARRAY[3,4,5,6,7]) AS bin) b
+      CROSS JOIN (SELECT unnest(generate_series(0, {_DFT_N - 1})) AS n) n
+    ),
+    bins AS (
+      SELECT doc_id, true_bin, bin,
+             CAST(sum(CAST(round(x * cos({_TAU!r} * (bin / {float(_DFT_N)!r}) * n), 6)
+                           AS DECIMAL(28,6))) AS DOUBLE) AS ck,
+             CAST(sum(CAST(round(x * sin({_TAU!r} * (bin / {float(_DFT_N)!r}) * n), 6)
+                           AS DECIMAL(28,6))) AS DOUBLE) AS sk
+      FROM samples GROUP BY 1, 2, 3
+    ),
+    powered AS (
+      SELECT doc_id, true_bin, bin,
+             CAST(floor((ck * ck + sk * sk) / 1000.0) AS BIGINT) AS power_k,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY CAST(floor((ck * ck + sk * sk) / 1000.0)
+                                              AS BIGINT) DESC, bin) AS rnk
+      FROM bins
+    )
+    SELECT doc_id, CAST(true_bin AS BIGINT) AS true_bin,
+           CAST(bin AS BIGINT) AS detected_bin, power_k AS peak_power,
+           CAST(bin = true_bin AS BOOLEAN) AS detected_ok
+    FROM powered WHERE rnk = 1
+    ORDER BY doc_id
+    """,
+    tags=("multimodal", "audio", "dft", "frequency-domain"),
+)
+def audio_tone_detect_dft(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency-domain audio analysis - the DFT-bin companion to the
+    time-domain ``multimodal_audio_energy`` (RMS/peak windows): each
+    document gets a deterministic 128-sample tone clip (bin 3-7 by
+    doc_id), and the query measures spectral energy at five probe bins
+    via the closed-form single-bin DFT - power_k = (sum x_n cos(w_k n))^2
+    + (sum x_n sin(w_k n))^2, the same quantity Goertzel's recurrence
+    computes, expressed as two weighted sums so it stays declarative
+    (the recurrence itself is sequential and would need a UDF). The
+    detected bin (argmax with low-bin tiebreak) must equal the
+    synthesized bin - a real tone detector, oracle-checked end to end.
+    Determinism: samples floor-quantize identical doubles; DFT terms
+    round to the 1e-6 grid and sum in exact decimal
+    (addition-order-free); powers floor-scale.
+    Scale: rows = docs x 5 bins x 128 samples, one map-side-combinable
+    aggregate, one 5-row-per-doc window - linear in corpus size.
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", (F.lit(3) + F.col("doc_id") % 5).alias("true_bin")
+    )
+    samples = (
+        docs.withColumn("bin", F.explode(F.array(*[F.lit(b) for b in _DFT_BINS])))
+        .withColumn("n", F.explode(F.sequence(F.lit(0), F.lit(_DFT_N - 1))))
+        .withColumn(
+            "x",
+            F.floor(
+                F.lit(1000.0)
+                * F.sin(
+                    F.lit(_TAU)
+                    * (F.col("true_bin") / F.lit(float(_DFT_N)))
+                    * F.col("n")
+                )
+            ).cast("long"),
+        )
+    )
+    w = F.lit(_TAU) * (F.col("bin") / F.lit(float(_DFT_N))) * F.col("n")
+    bins = samples.groupBy("doc_id", "true_bin", "bin").agg(
+        F.sum(F.round(F.col("x") * F.cos(w), 6).cast("decimal(28,6)"))
+        .cast("double")
+        .alias("ck"),
+        F.sum(F.round(F.col("x") * F.sin(w), 6).cast("decimal(28,6)"))
+        .cast("double")
+        .alias("sk"),
+    )
+    power = F.floor(
+        (F.col("ck") * F.col("ck") + F.col("sk") * F.col("sk")) / F.lit(1000.0)
+    ).cast("long")
+    ranked = bins.withColumn("power_k", power).withColumn(
+        "rnk",
+        F.row_number().over(
+            Window.partitionBy("doc_id").orderBy(F.desc("power_k"), "bin")
+        ),
+    )
+    return (
+        ranked.where(F.col("rnk") == 1)
+        .select(
+            "doc_id",
+            F.col("true_bin").cast("long").alias("true_bin"),
+            F.col("bin").cast("long").alias("detected_bin"),
+            F.col("power_k").alias("peak_power"),
+            (F.col("bin") == F.col("true_bin")).alias("detected_ok"),
+        )
+        .orderBy("doc_id")
+    )
