@@ -5492,3 +5492,92 @@ def lateral_topn_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataF
         ORDER BY nation, c_acctbal DESC, c_custkey
         """
     )
+
+
+@query(
+    "cusum_changepoint_orders",
+    oracle="""
+    WITH daily AS (
+      SELECT o_orderdate AS d, CAST(count(*) AS BIGINT) AS x
+      FROM orders GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS total
+      FROM daily
+    ),
+    running AS (
+      SELECT d, x,
+             CAST(sum(x) OVER (ORDER BY d
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS s,
+             CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS t
+      FROM daily
+    ),
+    dev AS (
+      SELECT r.d, r.x, r.s, r.t, tot.n, tot.total,
+             r.s * tot.n - r.t * tot.total AS cusum_num
+      FROM running r, tot
+    )
+    SELECT d AS changepoint_date, t AS day_index, n AS n_days,
+           cusum_num,
+           round(CAST(s AS DOUBLE) / t, 6) AS pre_mean,
+           CASE WHEN n = t THEN NULL
+                ELSE round(CAST(total - s AS DOUBLE) / (n - t), 6) END AS post_mean
+    FROM dev
+    ORDER BY abs(cusum_num) DESC, d
+    LIMIT 1
+    """,
+    tags=("analytics", "changepoint", "cusum", "time-series"),
+)
+def cusum_changepoint_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offline CUSUM changepoint estimation over the daily order-count
+    series - the drift family's missing third leg (PSI and KS compare
+    two snapshots; CUSUM locates WHEN the level shifted): the
+    changepoint estimate is argmax_t |sum_{i<=t}(x_i - mean)|. The
+    deviation sum is kept as the EXACT INTEGER numerator
+    S_t*n - t*total (multiplying through by n avoids the division), so
+    the entire statistic is integer arithmetic - hash-exact with zero
+    float hazards; only the reported pre/post means divide at the end.
+    Scale: daily aggregation is map-side combinable; the running sum
+    is one window over the DAY series (thousands of rows, not the
+    order table), and the argmax is TakeOrderedAndProject.
+    """
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").alias("d"))
+        .agg(F.count("*").alias("x"))
+    )
+    tot = daily.agg(
+        F.count("*").alias("n"), F.sum("x").cast("long").alias("total")
+    )
+    w_run = W.orderBy("d").rowsBetween(W.unboundedPreceding, 0)
+    running = daily.select(
+        "d",
+        "x",
+        F.sum("x").over(w_run).cast("long").alias("s"),
+        F.row_number().over(W.orderBy("d")).cast("long").alias("t"),
+    )
+    dev = running.crossJoin(F.broadcast(tot)).withColumn(
+        "cusum_num", F.col("s") * F.col("n") - F.col("t") * F.col("total")
+    )
+    return (
+        dev.select(
+            F.col("d").alias("changepoint_date"),
+            F.col("t").alias("day_index"),
+            F.col("n").alias("n_days"),
+            "cusum_num",
+            F.round(F.col("s").cast("double") / F.col("t"), 6).alias("pre_mean"),
+            F.when(
+                F.col("n") == F.col("t"), F.lit(None).cast("double")
+            )
+            .otherwise(
+                F.round(
+                    (F.col("total") - F.col("s")).cast("double")
+                    / (F.col("n") - F.col("t")),
+                    6,
+                )
+            )
+            .alias("post_mean"),
+        )
+        .orderBy(F.abs(F.col("cusum_num")).desc(), "changepoint_date")
+        .limit(1)
+    )

@@ -7049,3 +7049,72 @@ def audio_tone_detect_dft(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "weighted_sample_without_replacement",
+    oracle="""
+    WITH keyed AS (
+      SELECT doc_id, n_chars AS weight,
+             ln((CAST('0x' || substr(md5('wsamp:' || CAST(doc_id AS VARCHAR)), 1, 8)
+                      AS BIGINT) + 0.5) / 4294967296.0) / n_chars AS es_logkey
+      FROM documents WHERE n_chars > 0
+    ),
+    ranked AS (
+      SELECT doc_id, weight, es_logkey,
+             CAST(row_number() OVER (ORDER BY es_logkey DESC, doc_id) AS BIGINT)
+               AS sample_rank
+      FROM keyed
+    )
+    SELECT sample_rank, doc_id, weight,
+           CAST(floor(es_logkey * 1000000000.0) AS BIGINT) AS es_logkey_e9
+    FROM ranked WHERE sample_rank <= 50
+    ORDER BY sample_rank
+    """,
+    tags=("llm-pipeline", "sampling", "weighted", "efraimidis-spirakis"),
+)
+def weighted_sample_without_replacement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Efraimidis-Spirakis A-Res weighted sampling WITHOUT replacement:
+    every document draws key u^(1/w) (here in log space, ln(u)/w, a
+    monotone transform) from a deterministic md5-uniform, and the
+    global top-k by key IS an exact weighted sample - the one-pass,
+    shuffle-light distributed algorithm for "sample 50 docs
+    proportional to length" (the existing samplers cover hash splits,
+    quotas and temperature MIXTURES; this adds exact
+    without-replacement draws). Longer documents win proportionally
+    more often, yet no document repeats. Determinism: the uniform
+    sits on the exact 2^-33 grid, ln is the round/floor-masked libm
+    class, the key ships floor-scaled at 1e-9. Scale: per-row key
+    computation + one TakeOrderedAndProject - no full sort, no
+    replacement bookkeeping, mergeable across partitions by
+    construction (the top-k of partition top-k's is the global
+    top-k).
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars").where(
+        F.col("n_chars") > 0
+    )
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit("wsamp:"), F.col("doc_id").cast("string"))), 1, 8),
+        16,
+        10,
+    ).cast("bigint")
+    u = (h.cast("double") + F.lit(0.5)) / F.lit(4294967296.0)
+    keyed = docs.select(
+        "doc_id",
+        F.col("n_chars").alias("weight"),
+        (F.log(u) / F.col("n_chars")).alias("es_logkey"),
+    )
+    ranked = keyed.withColumn(
+        "sample_rank",
+        F.row_number()
+        .over(Window.orderBy(F.desc("es_logkey"), "doc_id"))
+        .cast("long"),
+    ).where(F.col("sample_rank") <= 50)
+    return ranked.select(
+        "sample_rank",
+        "doc_id",
+        "weight",
+        F.floor(F.col("es_logkey") * F.lit(1_000_000_000.0)).cast("long").alias(
+            "es_logkey_e9"
+        ),
+    ).orderBy("sample_rank")
