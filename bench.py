@@ -147,6 +147,21 @@ HEADLINE = [
     "incremental_quantile_maintenance",
     "pagerank_weighted_copurchase",
     "pagerank_personalized_copurchase",
+    # r8 session additions: geospatial family, corpus cleaning /
+    # SFT prep / corpus stats, DP release, DFT audio, changepoint,
+    # weighted sampling, LATERAL SQL surface.
+    "geo_cell_density_customers",
+    "spatial_join_supplier_customer",
+    "haversine_knn_customers",
+    "html_strip_boilerplate",
+    "sft_chat_template_render",
+    "zipf_rank_fit_tokens",
+    "compression_ratio_quality",
+    "audio_tone_detect_dft",
+    "weighted_sample_without_replacement",
+    "cusum_changepoint_orders",
+    "dp_noisy_release_nation",
+    "lateral_topn_customers_per_nation",
 ]
 
 

@@ -5581,3 +5581,89 @@ def cusum_changepoint_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.abs(F.col("cusum_num")).desc(), "changepoint_date")
         .limit(1)
     )
+
+
+@query(
+    "burst_detect_hourly_events",
+    oracle="""
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts) AS h, CAST(count(*) AS BIGINT) AS x
+      FROM events GROUP BY 1
+    ),
+    winstats AS (
+      SELECT h, x,
+             CAST(count(*) OVER w AS BIGINT) AS n_w,
+             CAST(sum(x) OVER w AS BIGINT) AS sx,
+             CAST(sum(x * x) OVER w AS BIGINT) AS sxx
+      FROM hourly
+      WINDOW w AS (ORDER BY h ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+    ),
+    scored AS (
+      SELECT h, x, n_w, sx, sxx,
+             (n_w * x - sx) * (n_w * x - sx) AS z2_num,
+             n_w * sxx - sx * sx AS z2_den
+      FROM winstats WHERE n_w >= 12
+    )
+    SELECT h AS hour_ts, x AS n_events, n_w, sx AS window_sum,
+           z2_num, z2_den,
+           round(sqrt(CAST(z2_num AS DOUBLE) / z2_den), 6) AS zscore
+    FROM scored
+    WHERE z2_den > 0 AND n_w * x > sx AND z2_num > 4 * z2_den
+    ORDER BY hour_ts
+    LIMIT 500
+    """,
+    tags=("analytics", "anomaly", "burst", "time-series"),
+)
+def burst_detect_hourly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score burst detection over hourly event volume - the
+    alerting companion to ``cusum_changepoint_orders`` (CUSUM locates
+    a persistent level shift; this flags transient spikes): an hour is
+    a burst when its count sits more than 2 sigma ABOVE the mean of
+    the trailing 24 closed hours. The z^2 test is cross-multiplied
+    into pure INTEGER arithmetic - (n*x - sum)^2 > 4*(n*sumsq - sum^2)
+    - so detection is hash-exact with no float in the decision path;
+    the reported z-score divides/sqrts only for display. Scale: hourly
+    pre-aggregation is map-side combinable and shrinks the window
+    input to one row per hour; the trailing frame is bounded ROWS (a
+    linear running scan, not the quadratic re-scan shape).
+    """
+    hourly = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("hour", F.col("ts")).alias("h"))
+        .agg(F.count("*").alias("x"))
+    )
+    w = W.orderBy("h").rowsBetween(-24, -1)
+    stats = hourly.select(
+        "h",
+        "x",
+        F.count("*").over(w).cast("long").alias("n_w"),
+        F.sum("x").over(w).cast("long").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).over(w).cast("long").alias("sxx"),
+    ).where(F.col("n_w") >= 12)
+    scored = stats.withColumns(
+        {
+            "z2_num": (F.col("n_w") * F.col("x") - F.col("sx"))
+            * (F.col("n_w") * F.col("x") - F.col("sx")),
+            "z2_den": F.col("n_w") * F.col("sxx") - F.col("sx") * F.col("sx"),
+        }
+    )
+    return (
+        scored.where(
+            (F.col("z2_den") > 0)
+            & (F.col("n_w") * F.col("x") > F.col("sx"))
+            & (F.col("z2_num") > 4 * F.col("z2_den"))
+        )
+        .select(
+            F.col("h").alias("hour_ts"),
+            F.col("x").alias("n_events"),
+            "n_w",
+            F.col("sx").alias("window_sum"),
+            "z2_num",
+            "z2_den",
+            F.round(
+                F.sqrt(F.col("z2_num").cast("double") / F.col("z2_den")), 6
+            ).alias("zscore"),
+        )
+        .orderBy("hour_ts")
+        .limit(500)
+    )
