@@ -160,6 +160,7 @@ HEADLINE = [
     "audio_tone_detect_dft",
     "weighted_sample_without_replacement",
     "cusum_changepoint_orders",
+    "burst_detect_hourly_events",
     "dp_noisy_release_nation",
     "lateral_topn_customers_per_nation",
 ]

@@ -7118,3 +7118,160 @@ def weighted_sample_without_replacement(spark: SparkSession, sf_dir: str) -> Dat
             "es_logkey_e9"
         ),
     ).orderBy("sample_rank")
+
+
+@query(
+    "inverted_index_postings",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      FROM documents
+    ),
+    occs AS (
+      SELECT term, CAST(count(*) AS BIGINT) AS cf FROM tok
+      WHERE term <> '' GROUP BY term
+    ),
+    posting AS (
+      SELECT term, doc_id FROM tok WHERE term <> '' GROUP BY term, doc_id
+    ),
+    numbered AS (
+      SELECT term, doc_id,
+             row_number() OVER (PARTITION BY term ORDER BY doc_id) AS rnk,
+             doc_id - lag(doc_id, 1, 0) OVER (PARTITION BY term ORDER BY doc_id)
+               AS gap
+      FROM posting
+    ),
+    lists AS (
+      SELECT term,
+             CAST(count(*) AS BIGINT) AS df,
+             string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY rnk)
+               FILTER (rnk <= 16) AS postings_head,
+             string_agg(CAST(gap AS VARCHAR), ',' ORDER BY rnk)
+               FILTER (rnk <= 16) AS gaps_head
+      FROM numbered GROUP BY term
+    )
+    SELECT l.term, l.df, o.cf, l.postings_head, l.gaps_head
+    FROM lists l JOIN occs o ON l.term = o.term
+    ORDER BY l.df DESC, l.term
+    LIMIT 200
+    """,
+    tags=("llm-pipeline", "retrieval", "inverted-index", "postings"),
+)
+def inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index construction - the serving-side artifact behind
+    the BM25/RAG retrieval queries (``bm25_rank_documents`` SCORES
+    with term stats; this BUILDS the index): per term, document
+    frequency, collection frequency, and the sorted posting list with
+    DELTA-ENCODED gaps (the compression transform real posting lists
+    ship with - gaps are small and varint-friendly where absolute ids
+    are not). Heads are emitted as joined strings (16 entries) so the
+    result is engine-canonical; df/cf cover the full list. Scale: the
+    posting sort is a per-term window over DISTINCT (term, doc) pairs
+    - hash-partitioned by term, the classic build; top-200-by-df
+    bounds the driver. At 100 TB posting lists shard by (term,
+    doc-range) exactly as this plan partitions them.
+    """
+    tok = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+        .where(F.col("term") != "")
+    )
+    occs = tok.groupBy("term").agg(F.count("*").alias("cf"))
+    posting = tok.groupBy("term", "doc_id").agg(F.lit(1).alias("_one")).drop("_one")
+    w = Window.partitionBy("term").orderBy("doc_id")
+    numbered = posting.select(
+        "term",
+        "doc_id",
+        F.row_number().over(w).alias("rnk"),
+        (F.col("doc_id") - F.lag("doc_id", 1, 0).over(w)).alias("gap"),
+    )
+    # collect_list drops nulls, so the when() caps per-term aggregate
+    # state at 16 structs BEFORE the shuffle - a posting list with
+    # millions of entries never materializes as one array
+    head = F.array_sort(
+        F.collect_list(
+            F.when(
+                F.col("rnk") <= 16,
+                F.struct("rnk", F.col("doc_id").alias("v"), "gap"),
+            )
+        )
+    )
+    lists = numbered.groupBy("term").agg(
+        F.count("*").alias("df"),
+        F.array_join(
+            F.transform(head, lambda s: s.v.cast("string")), ","
+        ).alias("postings_head"),
+        F.array_join(
+            F.transform(head, lambda s: s.gap.cast("string")), ","
+        ).alias("gaps_head"),
+    )
+    return (
+        lists.join(occs, "term")
+        .select("term", "df", "cf", "postings_head", "gaps_head")
+        .orderBy(F.desc("df"), "term")
+        .limit(200)
+    )
+
+
+@query(
+    "collation_case_insensitive_vocab",
+    oracle="""
+    WITH tok AS (
+      SELECT CASE WHEN doc_id % 2 = 0 THEN upper(t) ELSE t END AS term
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+      WHERE t <> ''
+    ),
+    grouped AS (
+      SELECT lower(term) AS folded,
+             min(term) AS canonical,
+             CAST(count(DISTINCT term) AS BIGINT) AS n_variants,
+             CAST(count(*) AS BIGINT) AS n_total
+      FROM tok GROUP BY 1
+    )
+    SELECT canonical, n_variants, n_total
+    FROM grouped
+    ORDER BY n_total DESC, canonical
+    LIMIT 100
+    """,
+    tags=("sql-surface", "collation", "spark4", "vocabulary"),
+)
+def collation_case_insensitive_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 COLLATED STRINGS through the engine surface: vocabulary
+    counting over case-noised tokens (even docs shout in upper case)
+    grouped under the UTF8_LCASE collation - the engine feature that
+    makes case-insensitive grouping/joining a COLUMN PROPERTY instead
+    of a scattering of lower() calls (and at scale, lets the optimizer
+    keep statistics and shuffle partitioning on the collated key).
+    The group key a collated groupBy surfaces is an arbitrary variant,
+    so the output canonicalizes deterministically: the binary-collation
+    MIN of the variants (upper sorts before lower in ASCII). DuckDB
+    has no collation DDL, so the oracle folds with lower() - for the
+    ASCII corpus the two semantics provably coincide, which is exactly
+    the equivalence being hash-checked.
+    """
+    tok = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(F.split("text", " ")).alias("t"))
+        .where(F.col("t") != "")
+        .select(
+            F.when(F.col("doc_id") % 2 == 0, F.upper("t"))
+            .otherwise(F.col("t"))
+            .alias("term")
+        )
+    )
+    grouped = tok.groupBy(
+        F.collate(F.col("term"), "UTF8_LCASE").alias("folded")
+    ).agg(
+        F.min(F.collate(F.col("term"), "UTF8_BINARY")).alias("canonical"),
+        F.count_distinct(F.collate(F.col("term"), "UTF8_BINARY")).alias("n_variants"),
+        F.count("*").alias("n_total"),
+    )
+    return (
+        grouped.select(
+            F.collate(F.col("canonical"), "UTF8_BINARY").alias("canonical"),
+            "n_variants",
+            "n_total",
+        )
+        .orderBy(F.desc("n_total"), "canonical")
+        .limit(100)
+    )
