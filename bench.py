@@ -163,6 +163,8 @@ HEADLINE = [
     "burst_detect_hourly_events",
     "dp_noisy_release_nation",
     "lateral_topn_customers_per_nation",
+    "inverted_index_postings",
+    "collation_case_insensitive_vocab",
 ]
 
 
