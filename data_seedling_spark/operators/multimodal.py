@@ -1806,3 +1806,117 @@ def mp3_metadata(
             yield pdf
 
     return df.mapInPandas(run, out_schema)
+
+
+def image_hash_bits(px) -> tuple[int, int, int, int]:
+    """Perceptual hashes of a decoded RGB pixel array, all-integer so
+    every engine (and a SQL oracle) reproduces the exact bits.
+
+    aHash: partition the image into an 8x8 block grid (row block of
+    pixel row r is ``(r*8)//H`` — exact integer banding, any dims),
+    bit k = br*8+bc is 1 iff the block's gray mass exceeds the image
+    mean, compared cross-multiplied (``S_blk * N_tot > S_tot * N_blk``)
+    so no division ever happens. dHash: same row banding over an 8x9
+    column grid, bit = 1 iff the left block's mean exceeds its right
+    neighbour's (``S_l * N_r > S_r * N_l``; empty blocks — possible
+    when W < 9 — count as zero mass on both engines). Gray mass is the
+    raw channel sum r+g+b (no /3: comparisons are scale-invariant).
+
+    Returns ``(ahash_hi, ahash_lo, dhash_hi, dhash_lo)`` — each 64-bit
+    hash packed MSB-first into two 32-bit halves so values stay far
+    inside int64 on both Spark and DuckDB.
+    """
+    import numpy as np
+
+    px = np.asarray(px)
+    s = px.astype(np.int64).sum(axis=2)
+    h, w = s.shape
+    if h < 8 or w < 8:
+        raise ValueError(f"image too small for an 8x8 hash grid: {h}x{w}")
+    br = (np.arange(h) * 8) // h
+    bc = (np.arange(w) * 8) // w
+    idx = (br[:, None] * 8 + bc[None, :]).ravel()
+    # bincount weights are float64 but the sums are < 2^53: exact.
+    sb = np.bincount(idx, weights=s.ravel(), minlength=64).astype(np.int64)
+    nb = np.bincount(idx, minlength=64).astype(np.int64)
+    s_tot, n_tot = int(s.sum()), h * w
+    abits = (sb * n_tot > s_tot * nb).astype(np.int64)
+
+    bc9 = (np.arange(w) * 9) // w
+    idx9 = (br[:, None] * 9 + bc9[None, :]).ravel()
+    s9 = np.bincount(idx9, weights=s.ravel(), minlength=72)
+    s9 = s9.astype(np.int64).reshape(8, 9)
+    n9 = np.bincount(idx9, minlength=72).astype(np.int64).reshape(8, 9)
+    dbits = (s9[:, :8] * n9[:, 1:] > s9[:, 1:] * n9[:, :8]).astype(np.int64)
+    dbits = dbits.ravel()
+
+    def pack(bits) -> tuple[int, int]:
+        hi = lo = 0
+        for k in range(32):
+            hi = (hi << 1) | int(bits[k])
+        for k in range(32, 64):
+            lo = (lo << 1) | int(bits[k])
+        return hi, lo
+
+    ahi, alo = pack(abits)
+    dhi, dlo = pack(dbits)
+    return ahi, alo, dhi, dlo
+
+
+IMAGE_HASH_SCHEMA = T.StructType(
+    [
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("ahash_hi", T.LongType()),
+        T.StructField("ahash_lo", T.LongType()),
+        T.StructField("dhash_hi", T.LongType()),
+        T.StructField("dhash_lo", T.LongType()),
+        T.StructField("ok", T.BooleanType()),
+    ]
+)
+
+
+def hash_images(
+    df: DataFrame, payload_col: str = "payload", out_col: str = "phash"
+) -> DataFrame:
+    """REAL perceptual-hash extraction over ``mapInPandas``: decode
+    the payload with the format-sniffed codec, then
+    :func:`image_hash_bits`. Per-row error isolation (ok=False), same
+    Arrow-batched plumbing as ``decode_images`` — O(pixels) per row,
+    no shuffle, so it rides along any 100 TB scan."""
+    out_schema = T.StructType(
+        df.schema.fields + [T.StructField(out_col, IMAGE_HASH_SCHEMA)]
+    )
+
+    def run(batches):
+        for pdf in batches:
+            out = []
+            for b in pdf[payload_col]:
+                if b is None:
+                    out.append(None)
+                    continue
+                try:
+                    px = decode_image_pixels(bytes(b))
+                    ahi, alo, dhi, dlo = image_hash_bits(px)
+                    out.append(
+                        {
+                            "width": int(px.shape[1]),
+                            "height": int(px.shape[0]),
+                            "ahash_hi": ahi, "ahash_lo": alo,
+                            "dhash_hi": dhi, "dhash_lo": dlo,
+                            "ok": True,
+                        }
+                    )
+                except Exception:
+                    out.append(
+                        {
+                            "width": None, "height": None,
+                            "ahash_hi": None, "ahash_lo": None,
+                            "dhash_hi": None, "dhash_lo": None,
+                            "ok": False,
+                        }
+                    )
+            pdf[out_col] = out
+            yield pdf
+
+    return df.mapInPandas(run, out_schema)

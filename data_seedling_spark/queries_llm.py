@@ -7275,3 +7275,241 @@ def collation_case_insensitive_vocab(spark: SparkSession, sf_dir: str) -> DataFr
         .orderBy(F.desc("n_total"), "canonical")
         .limit(100)
     )
+
+
+# ---------------------------------------------------------------------------
+# Perceptual image hashing (multimodal near-dup)
+# ---------------------------------------------------------------------------
+
+# Shared closed-form image synthesis for the perceptual-hash queries:
+# every doc gets a deterministic grayscale gradient whose class
+# (doc_id % 40) fixes dims + gradient direction and whose variant
+# ((doc_id // 40) % 4) toggles a sparse pixel mask by +128 — so docs
+# of one class are near-identical images (small Hamming distance)
+# while classes differ. The SQL oracle recomputes every pixel from the
+# same formula; the Spark path round-trips REAL bytes (encode BMP →
+# sniffed decode → hash).
+_IMG_PX_CTE = """
+    d AS (
+      SELECT doc_id, doc_id % 40 AS cls, (doc_id // 40) % 4 AS var
+      FROM documents WHERE doc_id < {max_doc}
+    ), dims AS (
+      SELECT doc_id, cls, var,
+             8 + (cls % 5) * 2 AS h, 8 + ((cls * 3) % 5) * 2 AS w,
+             3 + cls % 5 AS ga, 5 + cls % 7 AS gb
+      FROM d
+    ), flat AS (
+      SELECT doc_id, cls, var, h, w, ga, gb,
+             unnest(range(0, h * w)) AS i
+      FROM dims
+    ), px AS (
+      SELECT doc_id, h, w, i // w AS r, i % w AS c,
+             CASE WHEN i % 17 = var * 3
+                  THEN ((cls * 37 + (i // w) * ga * 7 + (i % w) * gb * 3)
+                        % 256 + 128) % 256
+                  ELSE (cls * 37 + (i // w) * ga * 7 + (i % w) * gb * 3) % 256
+             END AS g
+      FROM flat
+    ), tot AS (
+      SELECT doc_id, SUM(g) AS st, COUNT(*) AS nt FROM px GROUP BY doc_id
+    ), ab AS (
+      SELECT doc_id, (r * 8) // h AS br, (c * 8) // w AS bc,
+             SUM(g) AS sb, COUNT(*) AS nb
+      FROM px GROUP BY 1, 2, 3
+    ), abits AS (
+      SELECT ab.doc_id, br * 8 + bc AS k,
+             CASE WHEN sb * nt > st * nb THEN 1 ELSE 0 END AS bit
+      FROM ab JOIN tot USING (doc_id)
+    ), apack AS (
+      SELECT doc_id,
+        CAST(SUM(CASE WHEN k < 32 THEN CAST(bit AS BIGINT) << (31 - k)
+                 ELSE 0 END) AS BIGINT) AS ahi,
+        CAST(SUM(CASE WHEN k >= 32 THEN CAST(bit AS BIGINT) << (63 - k)
+                 ELSE 0 END) AS BIGINT) AS alo
+      FROM abits GROUP BY doc_id
+    ), dgrid AS (
+      SELECT doc_id, unnest(range(0, 72)) AS k9 FROM dims
+    ), d9 AS (
+      SELECT doc_id, (r * 8) // h AS br, (c * 9) // w AS bc,
+             SUM(g) AS sb, COUNT(*) AS nb
+      FROM px GROUP BY 1, 2, 3
+    ), d9f AS (
+      SELECT g.doc_id, g.k9 // 9 AS br, g.k9 % 9 AS bc,
+             COALESCE(d9.sb, 0) AS sb, COALESCE(d9.nb, 0) AS nb
+      FROM dgrid g LEFT JOIN d9
+        ON d9.doc_id = g.doc_id AND d9.br = g.k9 // 9 AND d9.bc = g.k9 % 9
+    ), dbits AS (
+      SELECT a.doc_id, a.br * 8 + a.bc AS k,
+             CASE WHEN a.sb * b.nb > b.sb * a.nb THEN 1 ELSE 0 END AS bit
+      FROM d9f a JOIN d9f b
+        ON a.doc_id = b.doc_id AND a.br = b.br AND b.bc = a.bc + 1
+      WHERE a.bc < 8
+    ), dpack AS (
+      SELECT doc_id,
+        CAST(SUM(CASE WHEN k < 32 THEN CAST(bit AS BIGINT) << (31 - k)
+                 ELSE 0 END) AS BIGINT) AS dhi,
+        CAST(SUM(CASE WHEN k >= 32 THEN CAST(bit AS BIGINT) << (63 - k)
+                 ELSE 0 END) AS BIGINT) AS dlo
+      FROM dbits GROUP BY doc_id
+    )
+"""
+
+
+def _synth_image_hash_frame(spark: SparkSession, sf_dir: str, max_doc: int):
+    """doc_id < max_doc → REAL BMP round-trip → perceptual hashes.
+
+    Synthesizes the deterministic gradient image per doc, encodes it
+    as actual BMP bytes, decodes through the format-sniffed codec and
+    hashes the decoded pixels (operators.multimodal.image_hash_bits) —
+    the full production path, just with a generated payload."""
+
+    def build(batches):
+        import numpy as np
+
+        from .operators.multimodal import (
+            decode_image_pixels,
+            encode_bmp,
+            image_hash_bits,
+        )
+
+        for pdf in batches:
+            rows = {
+                "doc_id": [], "width": [], "height": [],
+                "ahash_hi": [], "ahash_lo": [], "dhash_hi": [], "dhash_lo": [],
+            }
+            for i in pdf["doc_id"]:
+                i = int(i)
+                cls, var = i % 40, (i // 40) % 4
+                h, w = 8 + (cls % 5) * 2, 8 + ((cls * 3) % 5) * 2
+                ga, gb = 3 + cls % 5, 5 + cls % 7
+                r = np.arange(h)[:, None]
+                c = np.arange(w)[None, :]
+                g0 = (cls * 37 + r * ga * 7 + c * gb * 3) % 256
+                mask = (r * w + c) % 17 == var * 3
+                g = np.where(mask, (g0 + 128) % 256, g0).astype(np.uint8)
+                px = decode_image_pixels(encode_bmp(np.stack([g, g, g], axis=2)))
+                ahi, alo, dhi, dlo = image_hash_bits(px)
+                rows["doc_id"].append(i)
+                rows["width"].append(int(px.shape[1]))
+                rows["height"].append(int(px.shape[0]))
+                rows["ahash_hi"].append(ahi)
+                rows["ahash_lo"].append(alo)
+                rows["dhash_hi"].append(dhi)
+                rows["dhash_lo"].append(dlo)
+            import pandas as pd
+
+            yield pd.DataFrame(rows)
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .where(F.col("doc_id") < max_doc)
+    )
+    return docs.mapInPandas(
+        build,
+        "doc_id long, width int, height int, ahash_hi long, ahash_lo long,"
+        " dhash_hi long, dhash_lo long",
+    )
+
+
+@query(
+    "image_perceptual_hashes",
+    oracle="WITH " + _IMG_PX_CTE.format(max_doc=2000) + """
+    SELECT a.doc_id,
+           CAST(dims.w AS INT) AS width, CAST(dims.h AS INT) AS height,
+           printf('%08x%08x', ahi, alo) AS ahash,
+           printf('%08x%08x', dhi, dlo) AS dhash
+    FROM apack a JOIN dpack USING (doc_id) JOIN dims USING (doc_id)
+    """,
+    tags=("multimodal", "perceptual-hash", "dedup"),
+)
+def image_perceptual_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """aHash + dHash per image over the REAL codec round-trip
+    (encode BMP → sniffed decode → all-integer hash), hash-verified
+    bit-for-bit against an oracle that recomputes every pixel, block
+    sum and comparison in SQL. O(pixels) per row, zero shuffle — the
+    hash rides the scan, which is what makes image near-dup feasible
+    inside a 100 TB multimodal curation pass."""
+    frame = _synth_image_hash_frame(spark, sf_dir, 2000)
+    return frame.select(
+        "doc_id",
+        "width",
+        "height",
+        F.format_string("%08x%08x", "ahash_hi", "ahash_lo").alias("ahash"),
+        F.format_string("%08x%08x", "dhash_hi", "dhash_lo").alias("dhash"),
+    )
+
+
+@query(
+    "image_ahash_neardup",
+    oracle="WITH " + _IMG_PX_CTE.format(max_doc=400) + """
+    , bands AS (
+      SELECT doc_id, ahi, alo, unnest(range(0, 4)) AS j FROM apack
+    ), keyed AS (
+      SELECT doc_id, ahi, alo, j,
+             CASE j WHEN 0 THEN (ahi >> 16) & 65535
+                    WHEN 1 THEN ahi & 65535
+                    WHEN 2 THEN (alo >> 16) & 65535
+                    ELSE alo & 65535 END AS v
+      FROM bands
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.ahi AS ahi_a, a.alo AS alo_a, b.ahi AS ahi_b, b.alo AS alo_b
+      FROM keyed a JOIN keyed b
+        ON a.j = b.j AND a.v = b.v AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST(bit_count(xor(ahi_a, ahi_b))
+                + bit_count(xor(alo_a, alo_b)) AS INT) AS hamming
+    FROM cand
+    WHERE bit_count(xor(ahi_a, ahi_b)) + bit_count(xor(alo_a, alo_b)) <= 6
+    """,
+    tags=("multimodal", "perceptual-hash", "dedup", "lsh"),
+)
+def image_ahash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dup pairs by banded aHash: split each 64-bit aHash
+    into four 16-bit bands, block candidate pairs on any equal band
+    (the standard LSH shuffle — O(rows) per band, never all-pairs),
+    then keep pairs within Hamming distance 6 (JVM bit_count over
+    xor'd halves). Banding guarantees recall for Hamming <= 3 (four
+    bands, pigeonhole) and the oracle applies the identical banding,
+    so the output is hash-exact, not just statistically close."""
+    frame = _synth_image_hash_frame(spark, sf_dir, 400)
+    # posexplode gives the band index j alongside the value
+    keyed = frame.select(
+        "doc_id",
+        "ahash_hi",
+        "ahash_lo",
+        F.posexplode(
+            F.array(
+                F.shiftright("ahash_hi", 16).bitwiseAND(65535),
+                F.col("ahash_hi").bitwiseAND(65535),
+                F.shiftright("ahash_lo", 16).bitwiseAND(65535),
+                F.col("ahash_lo").bitwiseAND(65535),
+            )
+        ).alias("j", "v"),
+    )
+    a, b = keyed.alias("a"), keyed.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.j") == F.col("b.j"))
+            & (F.col("a.v") == F.col("b.v"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.ahash_hi").alias("ahi_a"),
+            F.col("a.ahash_lo").alias("alo_a"),
+            F.col("b.ahash_hi").alias("ahi_b"),
+            F.col("b.ahash_lo").alias("alo_b"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(
+        F.col("ahi_a").bitwiseXOR(F.col("ahi_b"))
+    ) + F.bit_count(F.col("alo_a").bitwiseXOR(F.col("alo_b")))
+    return cand.select(
+        "doc_a", "doc_b", ham.cast("int").alias("hamming")
+    ).where(F.col("hamming") <= 6)

@@ -2296,3 +2296,79 @@ def test_compression_quality_orders_repetition(spark):
     assert got[2].ratio < 1.2
     assert got[3].compressed_len > 0 and got[3].raw_len == 0
     assert got[1].raw_len == len("spam ham " * 200)
+
+
+def test_image_hash_bits_hand_case_and_invariants():
+    """image_hash_bits on hand-constructed images: a half-dark/
+    half-bright 8x8 gives the predictable aHash/dHash split; scaling
+    every channel equally never changes a bit (cross-multiplied
+    comparisons are scale-invariant); a single strong pixel edit
+    moves few bits."""
+    import numpy as np
+
+    from data_seedling_spark.operators.multimodal import image_hash_bits
+
+    # left half 10, right half 200: aHash = right-half bits set;
+    # dHash = only the middle column transition (bc=3 vs bc=4... on
+    # the 8x9 grid the bright step lands once per row).
+    g = np.full((8, 8), 10, np.uint8)
+    g[:, 4:] = 200
+    img = np.stack([g, g, g], axis=2)
+    ahi, alo, dhi, dlo = image_hash_bits(img)
+    # each row contributes bits 4..7 set -> per-row nibble 0b00001111
+    assert ahi == int("0f0f0f0f", 16) and alo == int("0f0f0f0f", 16)
+    # dHash: left<right at exactly one adjacent-block seam per row and
+    # never right<left, so each row has at most 0 bits (strict >
+    # compares LEFT > RIGHT)
+    assert dhi == 0 and dlo == 0
+
+    # flipped image: bright on the left -> dHash now fires per row
+    g2 = np.full((8, 8), 200, np.uint8)
+    g2[:, 4:] = 10
+    img2 = np.stack([g2, g2, g2], axis=2)
+    _, _, dhi2, dlo2 = image_hash_bits(img2)
+    assert dhi2 != 0 or dlo2 != 0
+
+    # channel permutation leaves the gray mass, hence every bit, alone
+    perm = img[:, :, [2, 0, 1]]
+    assert image_hash_bits(perm) == (ahi, alo, dhi, dlo)
+
+    # a single extreme pixel flips only a few bits
+    img3 = img.copy()
+    img3[0, 0] = 255
+    a3hi, a3lo, _, _ = image_hash_bits(img3)
+    flipped = bin((a3hi ^ ahi) & 0xFFFFFFFF).count("1") + bin(
+        (a3lo ^ alo) & 0xFFFFFFFF
+    ).count("1")
+    assert flipped <= 6
+
+    # undersized images are rejected (no silent 0-bit hashes)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        image_hash_bits(np.zeros((4, 8, 3), np.uint8))
+
+
+def test_image_neardup_within_class_closer_than_across(spark):
+    """The banded near-dup query's premise: variants of one image
+    class sit within small Hamming distance while distinct classes
+    essentially never collide under a <=6 cutoff."""
+    from data_seedling_spark.queries_llm import _synth_image_hash_frame
+
+    rows = _synth_image_hash_frame(spark, SF_SMOKE, 120).collect()
+    by_id = {r["doc_id"]: r for r in rows}
+
+    def ham(x, y):
+        return bin(
+            (x["ahash_hi"] ^ y["ahash_hi"]) & 0xFFFFFFFF
+        ).count("1") + bin((x["ahash_lo"] ^ y["ahash_lo"]) & 0xFFFFFFFF).count(
+            "1"
+        )
+
+    # same class (doc_id % 40), different variant
+    within = [
+        ham(by_id[i], by_id[i + 40]) for i in range(40) if i + 40 in by_id
+    ]
+    across = [ham(by_id[i], by_id[i + 1]) for i in range(39)]
+    assert within and sum(within) / len(within) <= 12
+    assert sum(across) / len(across) > sum(within) / len(within)
