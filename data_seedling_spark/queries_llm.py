@@ -7513,3 +7513,100 @@ def image_ahash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cand.select(
         "doc_a", "doc_b", ham.cast("int").alias("hamming")
     ).where(F.col("hamming") <= 6)
+
+
+@query(
+    "isotonic_calibration_orders",
+    oracle="""
+    WITH bins AS (
+      SELECT CAST(floor(o_totalprice / 30000) AS BIGINT) AS bin,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS pos
+      FROM orders GROUP BY 1
+    ), pref AS (
+      SELECT bin, n, pos,
+             SUM(n) OVER (ORDER BY bin) AS cw,
+             SUM(pos) OVER (ORDER BY bin) AS cp
+      FROM bins
+    ), pairs AS (
+      SELECT a.bin AS j, b.bin AS k,
+             CAST(b.cp - (a.cp - a.pos) AS DOUBLE)
+               / (b.cw - (a.cw - a.n)) AS seg_avg
+      FROM pref a JOIN pref b ON a.bin <= b.bin
+    ), m1 AS (
+      SELECT i.bin, p.j, MIN(p.seg_avg) AS mn
+      FROM pairs p JOIN bins i ON p.j <= i.bin AND p.k >= i.bin
+      GROUP BY i.bin, p.j
+    ), fit AS (
+      SELECT bin, MAX(mn) AS iso FROM m1 GROUP BY bin
+    )
+    SELECT b.bin, b.n,
+           round(CAST(b.pos AS DOUBLE) / b.n, 6) AS raw_rate,
+           round(f.iso, 6) AS iso_rate,
+           CAST(f.iso <> CAST(b.pos AS DOUBLE) / b.n AS BOOLEAN) AS pooled
+    FROM bins b JOIN fit f ON b.bin = f.bin
+    ORDER BY b.bin
+    """,
+    tags=("model-training", "calibration", "isotonic"),
+)
+def isotonic_calibration_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic (PAV) calibration, hash-exact across engines: fit the
+    best monotone nondecreasing rate of F-status orders as a function
+    of the order-value bin — the calibration step that turns any
+    ranking score into usable probabilities (and the nonparametric
+    alternative to the Platt-style logreg calibration already in the
+    registry). Instead of the sequential pool-adjacent-violators loop,
+    both engines evaluate the closed-form minimax characterization
+    ``iso(i) = max_{j<=i} min_{k>=i} avg(y[j..k])`` over the
+    aggregated bins: prefix sums make every segment average one
+    division of exact integers, and min/max over identical IEEE
+    doubles is order-independent, so the fit is deterministic without
+    a single float sum. One shuffle aggregates ~20 bins from the fact
+    scan; the O(B^3) minimax runs on a bin-count-sized frame that
+    never touches the cluster's data path."""
+    from pyspark.sql.window import Window
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.floor(F.col("o_totalprice") / 30000).cast("long").alias("bin"),
+        (F.col("o_orderstatus") == "F").cast("long").alias("y"),
+    )
+    bins = orders.groupBy("bin").agg(
+        F.count("*").alias("n"), F.sum("y").alias("pos")
+    )
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    pref = bins.select(
+        "bin", "n", "pos",
+        F.sum("n").over(w).alias("cw"),
+        F.sum("pos").over(w).alias("cp"),
+    )
+    a, b = pref.alias("a"), pref.alias("b")
+    pairs = a.join(b, F.col("a.bin") <= F.col("b.bin")).select(
+        F.col("a.bin").alias("j"),
+        F.col("b.bin").alias("k"),
+        (
+            (F.col("b.cp") - (F.col("a.cp") - F.col("a.pos"))).cast("double")
+            / (F.col("b.cw") - (F.col("a.cw") - F.col("a.n")))
+        ).alias("seg_avg"),
+    )
+    i = bins.select(F.col("bin").alias("ibin"))
+    m1 = (
+        pairs.join(
+            i, (F.col("j") <= F.col("ibin")) & (F.col("k") >= F.col("ibin"))
+        )
+        .groupBy("ibin", "j")
+        .agg(F.min("seg_avg").alias("mn"))
+    )
+    fit = m1.groupBy("ibin").agg(F.max("mn").alias("iso"))
+    raw = F.col("pos").cast("double") / F.col("n")
+    return (
+        bins.join(fit, bins.bin == fit.ibin)
+        .select(
+            "bin",
+            "n",
+            F.round(raw, 6).alias("raw_rate"),
+            F.round(F.col("iso"), 6).alias("iso_rate"),
+            (F.col("iso") != raw).alias("pooled"),
+        )
+        .orderBy("bin")
+    )

@@ -829,6 +829,128 @@ def l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "t_closeness_audit",
+    oracle="""
+    WITH c AS (
+      SELECT n.n_name AS nation,
+             CAST(floor(c.c_acctbal / 2000) AS BIGINT) AS band
+      FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    ), gband AS (
+      SELECT band, CAST(count(*) AS BIGINT) AS cnt_q FROM c GROUP BY band
+    ), tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(count(DISTINCT band) AS BIGINT) AS m
+      FROM c
+    ), gcum AS (
+      SELECT band, SUM(cnt_q) OVER (ORDER BY band) AS cum_q FROM gband
+    ), grp AS (
+      SELECT nation, band, CAST(count(*) AS BIGINT) AS cnt_p
+      FROM c GROUP BY nation, band
+    ), ng AS (
+      SELECT nation, CAST(SUM(cnt_p) AS BIGINT) AS n_g FROM grp GROUP BY nation
+    ), grid AS (
+      SELECT ng.nation, g.band, ng.n_g, COALESCE(grp.cnt_p, 0) AS cnt_p
+      FROM ng CROSS JOIN gband g
+      LEFT JOIN grp ON grp.nation = ng.nation AND grp.band = g.band
+    ), cum AS (
+      SELECT nation, band, n_g,
+             SUM(cnt_p) OVER (PARTITION BY nation ORDER BY band) AS cum_p
+      FROM grid
+    ), emd AS (
+      SELECT c.nation, max(c.n_g) AS cohort_size,
+             SUM(abs(CAST(c.cum_p AS BIGINT) * t.n
+                     - CAST(g.cum_q AS BIGINT) * c.n_g)) AS emd_scaled
+      FROM cum c JOIN gcum g ON c.band = g.band CROSS JOIN tot t
+      GROUP BY c.nation
+    )
+    SELECT nation, cohort_size,
+           round(CAST(emd_scaled AS DOUBLE)
+                 / (cohort_size * t.n * (t.m - 1)), 6) AS t_emd,
+           CAST(emd_scaled * 20 > cohort_size * t.n * (t.m - 1) * 3
+                AS BOOLEAN) AS above_t
+    FROM emd CROSS JOIN tot t
+    ORDER BY nation
+    """,
+    tags=("privacy", "t-closeness", "pseudonymisation", "audit"),
+)
+def t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit — the third leg of the re-identification
+    battery (k-anonymity: cohorts big enough; l-diversity: sensitive
+    values varied enough; t-closeness: the cohort's sensitive
+    DISTRIBUTION must not stray from the corpus-wide one, or cohort
+    membership itself leaks the attribute). Sensitive attribute =
+    coarsened account-balance band (ordered), distance = the ordered
+    Earth Mover's Distance of Li et al.: mean absolute difference of
+    the two cumulative distributions. The whole decision path is
+    integer-exact: per-band cumulative counts are compared
+    cross-multiplied (``|cum_p*n - cum_q*n_g|`` — no per-row
+    division), summed as exact integers, with ONE IEEE division at
+    the end and the t>0.15 flag as a pure integer comparison
+    (``emd*20 > denom*3``), so both engines agree bit-for-bit.
+    Products stay inside int64 for cohorts up to ~3e9 rows. Plan: one
+    shuffle to (nation, band) counts, every later frame is
+    band-cardinality-sized; the dense nation x band grid and the
+    global CDF both broadcast."""
+    cust = load_table(spark, sf_dir, "customer").select("c_nationkey", "c_acctbal")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    from pyspark.sql.window import Window
+
+    c = cust.join(
+        F.broadcast(nation), cust.c_nationkey == nation.n_nationkey
+    ).select(
+        F.col("n_name").alias("nation"),
+        F.floor(F.col("c_acctbal") / 2000).cast("long").alias("band"),
+    )
+    glob = c.groupBy("band").agg(F.count("*").alias("cnt_q"))
+    tot = glob.agg(
+        F.sum("cnt_q").alias("n"), F.count("*").alias("m")
+    )
+    gcum = glob.select(
+        "band",
+        F.sum("cnt_q").over(Window.orderBy("band")).alias("cum_q"),
+    )
+    grp = c.groupBy("nation", "band").agg(F.count("*").alias("cnt_p"))
+    ng = grp.groupBy("nation").agg(F.sum("cnt_p").alias("n_g"))
+    grid = (
+        ng.crossJoin(F.broadcast(glob.select("band")))
+        .join(grp, ["nation", "band"], "left")
+        .select(
+            "nation", "band", "n_g", F.coalesce("cnt_p", F.lit(0)).alias("cnt_p")
+        )
+    )
+    cum = grid.select(
+        "nation",
+        "band",
+        "n_g",
+        F.sum("cnt_p")
+        .over(Window.partitionBy("nation").orderBy("band"))
+        .alias("cum_p"),
+    )
+    emd = (
+        cum.join(F.broadcast(gcum), "band")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("nation")
+        .agg(
+            F.max("n_g").alias("cohort_size"),
+            F.sum(
+                F.abs(F.col("cum_p") * F.col("n") - F.col("cum_q") * F.col("n_g"))
+            ).alias("emd_scaled"),
+        )
+    )
+    denom = F.col("cohort_size") * F.col("n") * (F.col("m") - 1)
+    return (
+        emd.crossJoin(F.broadcast(tot))
+        .select(
+            "nation",
+            "cohort_size",
+            F.round(F.col("emd_scaled").cast("double") / denom, 6).alias("t_emd"),
+            (F.col("emd_scaled") * 20 > denom * 3).alias("above_t"),
+        )
+        .orderBy("nation")
+    )
+
+
+@query(
     "incremental_agg_maintenance",
     oracle="""
     WITH created  AS (SELECT o_orderkey, o_orderstatus, o_totalprice

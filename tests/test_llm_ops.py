@@ -2372,3 +2372,36 @@ def test_image_neardup_within_class_closer_than_across(spark):
     across = [ham(by_id[i], by_id[i + 1]) for i in range(39)]
     assert within and sum(within) / len(within) <= 12
     assert sum(across) / len(across) > sum(within) / len(within)
+
+
+def test_isotonic_minimax_fit_properties(spark):
+    """The minimax isotonic fit must be (a) nondecreasing in the bin
+    order, (b) equal to the raw rate wherever no pooling happened,
+    and (c) conserve the weighted positive mass overall (a defining
+    property of PAV: pooled blocks average their members)."""
+    from data_seedling_spark.queries_llm import isotonic_calibration_orders
+
+    rows = isotonic_calibration_orders(spark, SF_SMOKE).collect()
+    iso = [r["iso_rate"] for r in rows]
+    assert iso == sorted(iso), "isotonic fit must be nondecreasing"
+    for r in rows:
+        assert 0.0 <= r["iso_rate"] <= 1.0
+        if not r["pooled"]:
+            assert r["iso_rate"] == r["raw_rate"]
+    total = sum(r["n"] for r in rows)
+    raw_mass = sum(r["raw_rate"] * r["n"] for r in rows)
+    iso_mass = sum(r["iso_rate"] * r["n"] for r in rows)
+    assert abs(raw_mass - iso_mass) / total < 1e-4
+
+
+def test_t_closeness_bounds_and_degenerate_uniform(spark):
+    """t-EMD lives in [0, 1]; a cohort whose sensitive distribution
+    IS the global one scores ~0 (sanity of the cross-multiplied
+    cumulative formulation)."""
+    from data_seedling_spark.queries_pipeline import t_closeness_audit
+
+    rows = t_closeness_audit(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r["t_emd"] <= 1.0
+        assert r["above_t"] == (r["t_emd"] > 0.15)
