@@ -2435,3 +2435,101 @@ def dp_noisy_release_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("noisy_sum"),
         F.lit(_DP_EPS_COUNT + _DP_EPS_SUM).alias("eps_total"),
     ).orderBy("nation")
+
+
+_DP_USER_CAP = 4
+_DP_USER_B = 8.0  # cap / eps = 4 / 0.5
+
+
+@query(
+    "dp_user_level_bounded",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT o_orderpriority, o_custkey,
+             ROW_NUMBER() OVER (
+               PARTITION BY o_custkey
+               ORDER BY md5('cap:' || CAST(o_orderkey AS VARCHAR)), o_orderkey
+             ) AS rn
+      FROM orders
+    ), capped AS (
+      SELECT o_orderpriority,
+             CAST(COUNT(*) AS BIGINT) AS n_capped,
+             CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_users
+      FROM ranked WHERE rn <= {_DP_USER_CAP}
+      GROUP BY o_orderpriority
+    ), raw AS (
+      SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_raw
+      FROM orders GROUP BY o_orderpriority
+    ), draws AS (
+      SELECT c.o_orderpriority AS priority, n_raw, n_capped, n_users,
+             (CAST('0x' || substr(md5('dp-user:' || c.o_orderpriority), 1, 8)
+                   AS BIGINT) + 0.5) / {_DP_DENOM!r} AS u
+      FROM capped c JOIN raw r ON c.o_orderpriority = r.o_orderpriority
+    )
+    SELECT priority, n_raw, n_capped, n_users,
+           round(n_capped + {{lap}}, 4) AS noisy_count,
+           {_DP_USER_CAP} AS k_cap, 0.5 AS eps
+    FROM draws
+    ORDER BY priority
+    """.format(lap=_laplace_sql("u", _DP_USER_B)),
+    tags=("privacy", "differential-privacy", "contribution-bounding", "audit"),
+)
+def dp_user_level_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """USER-level differential privacy via contribution bounding —
+    the piece record-level DP (``dp_noisy_release_nation``) misses
+    when one user owns many records: cap every customer at K=4 orders
+    (deterministic md5-ranked sample per user, so both engines keep
+    the IDENTICAL rows), then Laplace-noise the per-priority counts
+    with sensitivity K (one user can shift a count by at most the
+    cap). Emits raw vs capped counts (the bias the cap introduces is
+    visible, which is how you tune K), distinct contributing users,
+    and the deterministic md5-coin noise — oracle-exact end to end.
+    Scale: the rank-and-cap is one hash shuffle on the user key (the
+    same partitioning user-level ops need anyway); noise is per-group,
+    free at any scale."""
+    from pyspark.sql.window import Window
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderpriority"
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("o_custkey").orderBy(
+            F.md5(F.concat(F.lit("cap:"), F.col("o_orderkey").cast("string"))),
+            "o_orderkey",
+        )
+    )
+    capped = (
+        orders.withColumn("rn", rn)
+        .where(F.col("rn") <= _DP_USER_CAP)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_capped"),
+            F.countDistinct("o_custkey").alias("n_users"),
+        )
+    )
+    raw = orders.groupBy("o_orderpriority").agg(F.count("*").alias("n_raw"))
+    per = capped.join(raw, "o_orderpriority").select(
+        F.col("o_orderpriority").alias("priority"),
+        "n_raw",
+        "n_capped",
+        "n_users",
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("dp-user:"), F.col("priority"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    u = (h.cast("double") + F.lit(0.5)) / F.lit(_DP_DENOM)
+    return per.select(
+        "priority",
+        "n_raw",
+        "n_capped",
+        "n_users",
+        F.round(
+            F.col("n_capped") + _laplace_col(u, _DP_USER_B), 4
+        ).alias("noisy_count"),
+        F.lit(_DP_USER_CAP).alias("k_cap"),
+        F.lit(0.5).alias("eps"),
+    ).orderBy("priority")
