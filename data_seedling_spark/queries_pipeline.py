@@ -2533,3 +2533,87 @@ def dp_user_level_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(_DP_USER_CAP).alias("k_cap"),
         F.lit(0.5).alias("eps"),
     ).orderBy("priority")
+
+
+@query(
+    "xml_source_roundtrip",
+    oracle="""
+    SELECT c_mktsegment,
+           COUNT(*) AS n_customers,
+           CAST(SUM(CAST(ROUND(c_acctbal, 2) AS DECIMAL(18,2))) AS DOUBLE)
+             AS balance_total
+    FROM customer
+    WHERE c_custkey % 3 = 0
+    GROUP BY c_mktsegment
+    """,
+    tags=("S5-xml", "source-format", "A1"),
+)
+def xml_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML source fidelity — Spark 4's built-in XML reader (spark-xml
+    merged upstream, SPARK-44265) completes the text-source matrix
+    (CSV / JSON / XML): a deterministic customer slice writes as
+    row-tagged XML, reads back with an explicit schema (no inference
+    scan), and aggregates; the oracle aggregates the original parquet,
+    so any markup encode/parse drift (escaping, empty elements,
+    numeric text forms) breaks the hash."""
+    customers = (
+        load_table(spark, sf_dir, "customer")
+        .where(F.col("c_custkey") % 3 == 0)
+        .select("c_custkey", "c_mktsegment", "c_acctbal")
+    )
+    path = tempfile.mkdtemp(prefix="xml_rt_") + "/customer"
+    (
+        customers.write.format("xml")
+        .option("rootTag", "customers")
+        .option("rowTag", "customer")
+        .save(path)
+    )
+    back = (
+        spark.read.format("xml")
+        .option("rowTag", "customer")
+        .schema("c_custkey long, c_mktsegment string, c_acctbal double")
+        .load(path)
+    )
+    from .queries import dec_sum
+
+    return back.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_customers"),
+        dec_sum(F.col("c_acctbal"), "balance_total"),
+    )
+
+
+@query(
+    "sql_pipe_syntax_revenue",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS n_items,
+           CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount), 4)
+                         AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+    tags=("S15", "sql-entry", "pipe-syntax", "A1"),
+)
+def sql_pipe_syntax_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL entry point in Spark 4.1's PIPE syntax (SQL-standard
+    pipelined queries, SPARK-49555): the same pricing-summary shape as
+    the ANSI form, written as a linear ``FROM |> WHERE |> EXTEND
+    |> AGGREGATE |> ORDER BY`` flow. Catalyst parses both to the same
+    logical plan — which is the point: pipe syntax is a parser
+    feature, not a different engine path, and the hash check against
+    the ANSI oracle proves the equivalence."""
+    from .tables import register_views
+
+    register_views(spark, sf_dir, ("lineitem",))
+    return spark.sql("""
+        FROM lineitem
+        |> WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |> EXTEND CAST(ROUND(l_extendedprice * (1 - l_discount), 4)
+                       AS DECIMAL(18,4)) AS disc_price
+        |> AGGREGATE COUNT(*) AS n_items,
+                     CAST(SUM(disc_price) AS DOUBLE) AS revenue
+           GROUP BY l_returnflag, l_linestatus
+        |> ORDER BY l_returnflag, l_linestatus
+    """)
