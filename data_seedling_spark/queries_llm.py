@@ -7610,3 +7610,184 @@ def isotonic_calibration_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin")
     )
+
+
+_FP_N = 64  # samples per frame
+_FP_FRAMES = 6
+_FP_BINS = tuple(range(2, 14))
+
+
+@query(
+    "audio_fingerprint_match",
+    oracle=f"""
+    WITH clips AS (
+      SELECT doc_id, doc_id % 30 AS song, (doc_id // 30) % 2 AS off
+      FROM documents WHERE doc_id < 600
+    ),
+    frames AS (
+      SELECT c.doc_id, c.song, t.t,
+             2 + (c.song * 7 + (t.t + c.off) * (c.song % 5 + 2)
+                  + (t.t + c.off) * (t.t + c.off)) % 12 AS true_bin
+      FROM clips c
+      CROSS JOIN (SELECT unnest(range(0, {_FP_FRAMES})) AS t) t
+    ),
+    samples AS (
+      SELECT f.doc_id, f.t, f.true_bin, b.bin, n.n,
+             CAST(floor(1000.0 * sin({_TAU!r} * (f.true_bin / {float(_FP_N)!r}) * n.n))
+                  AS BIGINT) AS x
+      FROM frames f
+      CROSS JOIN (SELECT unnest(range(2, 14)) AS bin) b
+      CROSS JOIN (SELECT unnest(generate_series(0, {_FP_N - 1})) AS n) n
+    ),
+    bins AS (
+      SELECT doc_id, t, bin,
+             CAST(sum(CAST(round(x * cos({_TAU!r} * (bin / {float(_FP_N)!r}) * n), 6)
+                           AS DECIMAL(28,6))) AS DOUBLE) AS ck,
+             CAST(sum(CAST(round(x * sin({_TAU!r} * (bin / {float(_FP_N)!r}) * n), 6)
+                           AS DECIMAL(28,6))) AS DOUBLE) AS sk
+      FROM samples GROUP BY 1, 2, 3
+    ),
+    peaks AS (
+      SELECT doc_id, t, bin,
+             row_number() OVER (
+               PARTITION BY doc_id, t
+               ORDER BY CAST(floor((ck * ck + sk * sk) / 1000.0) AS BIGINT) DESC,
+                        bin) AS rnk
+      FROM bins
+    ),
+    melody AS (
+      SELECT doc_id, t, bin AS peak FROM peaks WHERE rnk = 1
+    ),
+    hashes AS (
+      SELECT DISTINCT a.doc_id, a.peak * 16 + b.peak AS landmark
+      FROM melody a JOIN melody b ON a.doc_id = b.doc_id AND b.t = a.t + 1
+    ),
+    matches AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(COUNT(*) AS BIGINT) AS n_shared
+      FROM hashes a JOIN hashes b
+        ON a.landmark = b.landmark AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, n_shared,
+           CAST(doc_a % 30 = doc_b % 30 AS BOOLEAN) AS same_song
+    FROM matches WHERE n_shared >= 4
+    ORDER BY doc_a, doc_b
+    """,
+    tags=("multimodal", "audio", "fingerprint", "dedup"),
+)
+def audio_fingerprint_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio fingerprint matching, Shazam-style constellation hashing
+    made oracle-exact: each capped doc is a 6-frame clip whose
+    per-frame dominant tone follows a song-specific melody (docs of
+    one song are the same melody at different clip offsets — the
+    'same recording, clipped differently' case audio dedup exists
+    for). The REAL pipeline runs declaratively: per-frame single-bin
+    DFT energies (the tone-detect machinery — decimal-summed rounded
+    terms, floor-scaled powers, so bit-exact), argmax peak per frame,
+    then landmark hashes over consecutive peak transitions
+    (peak_t*8 + peak_t+1), dedup'd per doc, and a hash-keyed
+    self-join counts shared landmarks per doc pair — pairs sharing
+    >= 4 of their 5 landmarks match. Offset-shifted clips of one song
+    share 4 transitions, so they match WITHOUT any alignment search —
+    the property landmark hashing buys at scale (O(rows) hash
+    shuffle, never pairwise audio comparison).
+    Scale: sample expansion is capped-docs x 6 frames x 6 probe bins
+    x 64 samples, one map-side-combinable aggregate; the match join
+    keys on landmark values whose per-key fan-out is bounded by docs
+    per song."""
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 600)
+        .select(
+            "doc_id",
+            (F.col("doc_id") % 30).alias("song"),
+            ((F.col("doc_id") / 30).cast("long") % 2).alias("off"),
+        )
+    )
+    frames = docs.withColumn(
+        "t", F.explode(F.sequence(F.lit(0), F.lit(_FP_FRAMES - 1)))
+    ).select(
+        "doc_id",
+        "t",
+        (
+            F.lit(2)
+            + (
+                F.col("song") * 7
+                + (F.col("t") + F.col("off")) * (F.col("song") % 5 + 2)
+                + (F.col("t") + F.col("off")) * (F.col("t") + F.col("off"))
+            )
+            % 12
+        ).alias("true_bin"),
+    )
+    samples = (
+        frames.withColumn(
+            "bin", F.explode(F.array(*[F.lit(b) for b in _FP_BINS]))
+        )
+        .withColumn("n", F.explode(F.sequence(F.lit(0), F.lit(_FP_N - 1))))
+        .withColumn(
+            "x",
+            F.floor(
+                F.lit(1000.0)
+                * F.sin(
+                    F.lit(_TAU)
+                    * (F.col("true_bin") / F.lit(float(_FP_N)))
+                    * F.col("n")
+                )
+            ).cast("long"),
+        )
+    )
+    w = F.lit(_TAU) * (F.col("bin") / F.lit(float(_FP_N))) * F.col("n")
+    bins = samples.groupBy("doc_id", "t", "bin").agg(
+        F.sum(F.round(F.col("x") * F.cos(w), 6).cast("decimal(28,6)"))
+        .cast("double")
+        .alias("ck"),
+        F.sum(F.round(F.col("x") * F.sin(w), 6).cast("decimal(28,6)"))
+        .cast("double")
+        .alias("sk"),
+    )
+    power = F.floor(
+        (F.col("ck") * F.col("ck") + F.col("sk") * F.col("sk")) / F.lit(1000.0)
+    ).cast("long")
+    melody = (
+        bins.withColumn(
+            "rnk",
+            F.row_number().over(
+                Window.partitionBy("doc_id", "t").orderBy(
+                    power.desc(), "bin"
+                )
+            ),
+        )
+        .where(F.col("rnk") == 1)
+        .select("doc_id", "t", F.col("bin").alias("peak"))
+    )
+    nxt = melody.select(
+        "doc_id", (F.col("t") - 1).alias("t"), F.col("peak").alias("peak_next")
+    )
+    hashes = (
+        melody.join(nxt, ["doc_id", "t"])
+        .select(
+            "doc_id",
+            (F.col("peak") * 16 + F.col("peak_next")).alias("landmark"),
+        )
+        .distinct()
+    )
+    a, b = hashes.alias("a"), hashes.alias("b")
+    matches = (
+        a.join(
+            b,
+            (F.col("a.landmark") == F.col("b.landmark"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("n_shared"))
+        .where(F.col("n_shared") >= 4)
+    )
+    return matches.select(
+        "doc_a",
+        "doc_b",
+        "n_shared",
+        (F.col("doc_a") % 30 == F.col("doc_b") % 30).alias("same_song"),
+    ).orderBy("doc_a", "doc_b")

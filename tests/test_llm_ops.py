@@ -2405,3 +2405,26 @@ def test_t_closeness_bounds_and_degenerate_uniform(spark):
     for r in rows:
         assert 0.0 <= r["t_emd"] <= 1.0
         assert r["above_t"] == (r["t_emd"] > 0.15)
+
+
+def test_audio_fingerprint_full_recall_same_song(spark):
+    """Landmark matching must find EVERY same-song pair (the melody
+    simulation fixed the >=4-of-5 threshold at recall 1.0): at the
+    smoke SF all capped docs pair within their song class."""
+    from collections import Counter
+
+    from data_seedling_spark.queries_llm import audio_fingerprint_match
+
+    rows = audio_fingerprint_match(spark, SF_SMOKE).collect()
+    same = [r for r in rows if r["same_song"]]
+    docs = [
+        r["doc_id"]
+        for r in spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        .select("doc_id")
+        .where("doc_id < 600")
+        .collect()
+    ]
+    per_song = Counter(d % 30 for d in docs)
+    expected = sum(n * (n - 1) // 2 for n in per_song.values())
+    assert len(same) == expected
+    assert all(r["n_shared"] >= 4 for r in rows)
