@@ -165,6 +165,14 @@ HEADLINE = [
     "lateral_topn_customers_per_nation",
     "inverted_index_postings",
     "collation_case_insensitive_vocab",
+    "image_perceptual_hashes",
+    "image_ahash_neardup",
+    "audio_fingerprint_match",
+    "t_closeness_audit",
+    "isotonic_calibration_orders",
+    "dp_user_level_bounded",
+    "xml_source_roundtrip",
+    "sql_pipe_syntax_revenue",
 ]
 
 

@@ -1172,3 +1172,149 @@ def pagerank_personalized_copurchase(
         return ranks.select("node", F.col("r").alias("rank_micro"))
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+
+
+def _als_solve_sql(pre: str, lam: str = "0.25") -> str:
+    """Closed-form 2x2 ridge solve shared by both ALS half-sweeps:
+    given per-key sums a=Σv1², b=Σv1v2, d=Σv2², e=Σv1r, f=Σv2r from
+    CTE ``pre``, emit x=(V'V+λI)⁻¹V'r rounded to the 1e-6 grid."""
+    det = f"((a + {lam}) * (d + {lam}) - b * b)"
+    return f"""
+      SELECT key, n,
+             round(((d + {lam}) * e - b * f) / {det}, 6) AS x1,
+             round(((a + {lam}) * f - b * e) / {det}, 6) AS x2
+      FROM {pre}
+    """
+
+
+@query(
+    "als_factorization_sweep",
+    oracle="""
+    WITH ratings AS (
+      SELECT o.o_custkey AS u, l.l_partkey AS p,
+             CAST(l.l_quantity AS BIGINT) AS r
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ), rated AS (
+      SELECT u, p, r,
+             1.0 AS v1, ((p % 7) - 3) / 2.0 AS v2
+      FROM ratings
+    ), upre AS (
+      SELECT u AS key, CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(SUM(CAST(ROUND(v1 * v1, 6) AS DECIMAL(38,6))) AS DOUBLE) AS a,
+        CAST(SUM(CAST(ROUND(v1 * v2, 6) AS DECIMAL(38,6))) AS DOUBLE) AS b,
+        CAST(SUM(CAST(ROUND(v2 * v2, 6) AS DECIMAL(38,6))) AS DOUBLE) AS d,
+        CAST(SUM(CAST(ROUND(v1 * r, 6) AS DECIMAL(38,6))) AS DOUBLE) AS e,
+        CAST(SUM(CAST(ROUND(v2 * r, 6) AS DECIMAL(38,6))) AS DOUBLE) AS f
+      FROM rated GROUP BY u
+    ), ufac AS (
+    """ + _als_solve_sql("upre") + """
+    ), joined AS (
+      SELECT rt.p, rt.r, uf.x1 AS u1, uf.x2 AS u2
+      FROM ratings rt JOIN ufac uf ON rt.u = uf.key
+    ), ipre AS (
+      SELECT p AS key, CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(SUM(CAST(ROUND(u1 * u1, 12) AS DECIMAL(38,12))) AS DOUBLE) AS a,
+        CAST(SUM(CAST(ROUND(u1 * u2, 12) AS DECIMAL(38,12))) AS DOUBLE) AS b,
+        CAST(SUM(CAST(ROUND(u2 * u2, 12) AS DECIMAL(38,12))) AS DOUBLE) AS d,
+        CAST(SUM(CAST(ROUND(u1 * r, 12) AS DECIMAL(38,12))) AS DOUBLE) AS e,
+        CAST(SUM(CAST(ROUND(u2 * r, 12) AS DECIMAL(38,12))) AS DOUBLE) AS f
+      FROM joined GROUP BY p
+    ), ifac AS (
+    """ + _als_solve_sql("ipre") + """
+    )
+    SELECT key AS part_id, n AS n_ratings, x1 AS w1, x2 AS w2
+    FROM ifac WHERE key < 300
+    ORDER BY part_id
+    """,
+    tags=("recommender", "als", "matrix-factorization", "model-training"),
+)
+def als_factorization_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One full ALS sweep (k=2) of collaborative filtering over the
+    customer x part quantity matrix, hash-exact across engines — the
+    matrix-factorization companion to the neighborhood recommender
+    (``item_item_cosine_recommend``). The trick that keeps an
+    iterative float algorithm oracle-checkable: each half-sweep's
+    normal-equation sums run as exact decimal aggregation (the
+    deterministic item init lives on a 0.5 grid, so every product is
+    on a fixed decimal grid — no float-sum order dependence), the 2x2
+    ridge solve ``x = (V'V + λI)⁻¹ V'r`` is a handful of IEEE ops on
+    identical operands, and factors are ROUNDED BACK TO THE 1e-6 GRID
+    between half-sweeps so the item update's products land on the
+    1e-12 grid and decimal-sum exactly again. Regrid-between-sweeps
+    generalizes to any fixed number of ALS iterations.
+    Scale: the classic two-shuffle ALS shape — one hash aggregate per
+    half-sweep keyed on user then item (map-side combinable), one
+    broadcast-or-shuffle join to carry factors back to the ratings;
+    no driver-side matrix ever materializes (k=2 factors are columns,
+    not a collected model)."""
+    lam = F.lit(0.25)
+
+    def solve(pre):
+        det = (F.col("a") + lam) * (F.col("d") + lam) - F.col("b") * F.col("b")
+        return pre.select(
+            "key",
+            "n",
+            F.round(
+                ((F.col("d") + lam) * F.col("e") - F.col("b") * F.col("f"))
+                / det,
+                6,
+            ).alias("x1"),
+            F.round(
+                ((F.col("a") + lam) * F.col("f") - F.col("b") * F.col("e"))
+                / det,
+                6,
+            ).alias("x2"),
+        )
+
+    def pre(df, key, v1, v2, r, scale):
+        def dsum(col, alias):
+            return (
+                F.sum(F.round(col, scale).cast(f"decimal(38,{scale})"))
+                .cast("double")
+                .alias(alias)
+            )
+
+        return df.groupBy(F.col(key).alias("key")).agg(
+            F.count("*").alias("n"),
+            dsum(v1 * v1, "a"),
+            dsum(v1 * v2, "b"),
+            dsum(v2 * v2, "d"),
+            dsum(v1 * r, "e"),
+            dsum(v2 * r, "f"),
+        )
+
+    lineitem = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity"
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    ratings = lineitem.join(
+        orders, lineitem.l_orderkey == orders.o_orderkey
+    ).select(
+        F.col("o_custkey").alias("u"),
+        F.col("l_partkey").alias("p"),
+        F.col("l_quantity").cast("long").alias("r"),
+    )
+    rated = ratings.select(
+        "u", "p", "r",
+        F.lit(1.0).alias("v1"),
+        ((F.col("p") % 7 - 3) / 2.0).alias("v2"),
+    )
+    ufac = solve(
+        pre(rated, "u", F.col("v1"), F.col("v2"), F.col("r"), 6)
+    ).select(F.col("key").alias("u"), F.col("x1").alias("u1"), F.col("x2").alias("u2"))
+    joined = ratings.join(ufac, "u").select(
+        "p", "r", F.col("u1"), F.col("u2")
+    )
+    ifac = solve(
+        pre(joined, "p", F.col("u1"), F.col("u2"), F.col("r"), 12)
+    )
+    return (
+        ifac.where(F.col("key") < 300)
+        .select(
+            F.col("key").alias("part_id"),
+            F.col("n").alias("n_ratings"),
+            F.col("x1").alias("w1"),
+            F.col("x2").alias("w2"),
+        )
+        .orderBy("part_id")
+    )

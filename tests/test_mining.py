@@ -151,3 +151,55 @@ def test_attribution_tied_timestamps_break_on_click_id(spark):
     assert r["n_touches"] == 3
     assert r["first_touch_id"] == 20
     assert r["last_touch_id"] == 22
+
+
+def test_als_sweep_ridge_solution_is_local_optimum(spark):
+    """The ALS item update must satisfy its normal equations: for a
+    sampled item, rebuilding (V'V+λI)w - V'r from the same rounded
+    user factors must give ~0 gradient (validates the closed-form
+    2x2 solve + regrid pipeline, independent of the SQL oracle)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from data_seedling_spark.queries_mining import als_factorization_sweep
+    from tests.conftest import SF_SMOKE
+
+    out = als_factorization_sweep(spark, SF_SMOKE)
+    rows = out.limit(5).collect()
+    assert rows and all(r["n_ratings"] >= 1 for r in rows)
+
+    # reconstruct the user-factor frame exactly as the query does
+    lineitem = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
+    orders = spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+    ratings = (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .select(
+            F.col("o_custkey").alias("u"),
+            F.col("l_partkey").alias("p"),
+            F.col("l_quantity").cast("long").alias("r"),
+        )
+    )
+    lam = 0.25
+    import collections
+
+    per_user = collections.defaultdict(list)
+    for rr in ratings.collect():
+        per_user[rr["u"]].append((rr["p"], rr["r"]))
+    ufac = {}
+    for u, items in per_user.items():
+        V = np.array([[1.0, ((p % 7) - 3) / 2.0] for p, _ in items])
+        r = np.array([float(x) for _, x in items])
+        x = np.linalg.solve(V.T @ V + lam * np.eye(2), V.T @ r)
+        ufac[u] = np.round(x, 6)
+    by_part = collections.defaultdict(list)
+    for rr in ratings.collect():
+        by_part[rr["p"]].append((ufac[rr["u"]], float(rr["r"])))
+    for row in rows:
+        U = np.array([u for u, _ in by_part[row["part_id"]]])
+        r = np.array([x for _, x in by_part[row["part_id"]]])
+        w = np.array([row["w1"], row["w2"]])
+        grad = (U.T @ U + lam * np.eye(2)) @ w - U.T @ r
+        # w and the user factors are rounded to the 1e-6 grid, so the
+        # residual scales with the normal-equation magnitudes
+        tol = 2e-6 * (np.abs(U.T @ U).sum() + np.abs(U.T @ r).sum() + 1)
+        assert np.abs(grad).max() < tol, (row["part_id"], grad, tol)
