@@ -173,6 +173,7 @@ HEADLINE = [
     "dp_user_level_bounded",
     "xml_source_roundtrip",
     "sql_pipe_syntax_revenue",
+    "als_factorization_sweep",
 ]
 
 
