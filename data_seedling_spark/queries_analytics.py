@@ -5667,3 +5667,93 @@ def burst_detect_hourly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("hour_ts")
         .limit(500)
     )
+
+
+@query(
+    "event_pattern_regex_cep",
+    oracle="""
+    WITH ranked AS (
+      SELECT user_id, substr(event_type, 1, 1) AS ch,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ), journeys AS (
+      SELECT user_id,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             string_agg(ch, '' ORDER BY rn) AS j
+      FROM ranked WHERE rn <= 500
+      GROUP BY user_id
+    ), matched AS (
+      SELECT user_id, n_events, j,
+             CAST(len(regexp_extract_all(j, 'v+c+p')) AS BIGINT)
+               AS n_funnel_matches,
+             regexp_extract(j, 'v+c+p') AS first_match
+      FROM journeys
+    )
+    SELECT user_id, n_events, n_funnel_matches,
+           CAST(CASE WHEN first_match = '' THEN 0
+                     ELSE strpos(j, first_match) END AS BIGINT)
+             AS first_match_pos,
+           CAST(regexp_matches(j, 'e[^p]*p') AS BOOLEAN)
+             AS error_shadowed_purchase
+    FROM matched
+    ORDER BY user_id
+    """,
+    tags=("cep", "pattern-matching", "events", "funnel"),
+)
+def event_pattern_regex_cep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Complex-event-processing by regex — MATCH_RECOGNIZE semantics
+    without the clause: each user's event stream becomes a journey
+    string (one char per event, ts-ordered, capped at 500 events so
+    per-user state is bounded), and sequence patterns compile to
+    regular expressions evaluated ONCE per user by the JVM regex
+    engine: the strict funnel ``v+c+p`` (views, then clicks, then
+    purchase, nothing in between) with non-overlapping match count
+    and first-match position (after-match-skip-past semantics — the
+    standard CEP contract), plus an ``e[^p]*p`` detector (purchase
+    shadowed by an earlier unresolved error). The pattern alphabet
+    works because event types have distinct initials; a general
+    deployment maps types to chars first. Both engines run
+    leftmost-greedy matching and the patterns contain no alternation,
+    so Java regex and RE2 agree exactly (first-match position is
+    recovered as strpos of the extracted match — any earlier
+    occurrence of that substring would itself be an earlier match).
+    Scale: one shuffle to (user) for the ordered aggregation; regex
+    state is per-row (journey), never cross-row — embarrassingly
+    parallel over users, the same shape sessionization already runs."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id",
+        F.substring("event_type", 1, 1).alias("ch"),
+    )
+    journeys = (
+        ev.groupBy("user_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("ts", "event_id", "ch"))
+            ).alias("s")
+        )
+        .select(
+            "user_id",
+            F.least(F.size("s"), F.lit(500)).cast("long").alias("n_events"),
+            F.concat_ws(
+                "",
+                F.transform(F.slice("s", 1, 500), lambda x: x["ch"]),
+            ).alias("j"),
+        )
+    )
+    first_match = F.regexp_extract(F.col("j"), "v+c+p", 0)
+    return (
+        journeys.select(
+            "user_id",
+            "n_events",
+            F.size(F.regexp_extract_all(F.col("j"), F.lit("v+c+p"), F.lit(0)))
+            .cast("long")
+            .alias("n_funnel_matches"),
+            F.when(first_match == "", F.lit(0))
+            .otherwise(F.instr(F.col("j"), first_match))
+            .cast("long")
+            .alias("first_match_pos"),
+            F.col("j").rlike("e[^p]*p").alias("error_shadowed_purchase"),
+        )
+        .orderBy("user_id")
+    )
