@@ -5757,3 +5757,115 @@ def event_pattern_regex_cep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@query(
+    "kaplan_meier_retention",
+    oracle="""
+    WITH lifetimes AS (
+      SELECT o_custkey,
+             CAST(floor(date_diff('day', MIN(o_orderdate), MAX(o_orderdate))
+                        / 30.0) AS BIGINT) AS dur_m,
+             CAST(MAX(o_orderdate) >= TIMESTAMP '2001-02-01' AS INT)
+               AS censored
+      FROM orders GROUP BY o_custkey
+    ), by_t AS (
+      SELECT dur_m,
+             CAST(SUM(1 - censored) AS BIGINT) AS d_churn,
+             CAST(SUM(censored) AS BIGINT) AS c_censored
+      FROM lifetimes GROUP BY dur_m
+    ), risk AS (
+      SELECT dur_m, d_churn, c_censored,
+             CAST(SUM(d_churn + c_censored) OVER (
+                    ORDER BY dur_m DESC) AS BIGINT) AS n_risk
+      FROM by_t
+    ), terms AS (
+      SELECT dur_m, d_churn, c_censored, n_risk,
+             round(ln(greatest(1.0 - CAST(d_churn AS DOUBLE) / n_risk,
+                               1e-12)), 9) AS logterm
+      FROM risk
+    )
+    SELECT dur_m, n_risk, d_churn, c_censored,
+           round(exp(CAST(SUM(CAST(logterm AS DECIMAL(28,9)))
+                          OVER (ORDER BY dur_m) AS DOUBLE)), 6) AS survival
+    FROM terms
+    ORDER BY dur_m
+    """,
+    tags=("survival-analysis", "kaplan-meier", "retention", "cohort"),
+)
+def kaplan_meier_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier product-limit survival of customer lifetimes —
+    the censoring-aware answer to 'how long do customers stay' that a
+    naive churn-rate average gets wrong: customers still active at
+    the dataset edge (last order inside the final six months) are
+    CENSORED, contributing to the at-risk denominator for as long as
+    observed but never counted as churn. Lifetime = months between
+    first and last order; at each month the hazard is d/n over the
+    shrinking risk set (a descending cumulative window — no per-time
+    subquery), and the survival curve multiplies (1 - d/n) in time
+    order. Cross-engine exactness of a running PRODUCT: each factor's
+    ln is rounded to the 1e-9 grid (coarse enough that both engines'
+    libm agree, fine enough to be exact to 6 output decimals), the
+    logs sum as exact decimals in an ordered window (order-free), and
+    one exp at the end — the multiplicative twin of the engine's
+    round->decimal->sum->double idiom.
+    Scale: two hash aggregates (customer, then month) and two windows
+    over a month-cardinality frame; nothing driver-side."""
+    from pyspark.sql.window import Window
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate"
+    )
+    lifetimes = orders.groupBy("o_custkey").agg(
+        F.floor(
+            F.datediff(F.max("o_orderdate"), F.min("o_orderdate")) / 30.0
+        )
+        .cast("long")
+        .alias("dur_m"),
+        (F.max("o_orderdate") >= F.lit("2001-02-01").cast("timestamp"))
+        .cast("int")
+        .alias("censored"),
+    )
+    by_t = lifetimes.groupBy("dur_m").agg(
+        F.sum(1 - F.col("censored")).alias("d_churn"),
+        F.sum("censored").alias("c_censored"),
+    )
+    risk = by_t.withColumn(
+        "n_risk",
+        F.sum(F.col("d_churn") + F.col("c_censored"))
+        .over(
+            Window.orderBy(F.desc("dur_m")).rowsBetween(
+                Window.unboundedPreceding, 0
+            )
+        )
+        .cast("long"),
+    )
+    logterm = F.round(
+        F.log(
+            F.greatest(
+                F.lit(1.0) - F.col("d_churn").cast("double") / F.col("n_risk"),
+                F.lit(1e-12),
+            )
+        ),
+        9,
+    )
+    return (
+        risk.withColumn("logterm", logterm)
+        .withColumn(
+            "survival",
+            F.round(
+                F.exp(
+                    F.sum(F.col("logterm").cast("decimal(28,9)"))
+                    .over(
+                        Window.orderBy("dur_m").rowsBetween(
+                            Window.unboundedPreceding, 0
+                        )
+                    )
+                    .cast("double")
+                ),
+                6,
+            ),
+        )
+        .select("dur_m", "n_risk", "d_churn", "c_censored", "survival")
+        .orderBy("dur_m")
+    )
