@@ -5869,3 +5869,206 @@ def kaplan_meier_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("dur_m", "n_risk", "d_churn", "c_censored", "survival")
         .orderBy("dur_m")
     )
+
+
+def _markov_attr_oracle(iters: int = 12) -> str:
+    """Unrolled integer value-iteration CTE program for the Markov
+    removal-effect oracle (the `_logreg_oracle` idiom: the oracle runs
+    the SAME fixed-horizon protocol, generated iteration by
+    iteration)."""
+    head = """
+    WITH ranked AS (
+      SELECT user_id, substr(event_type, 1, 1) AS ch,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ), firstp AS (
+      SELECT user_id, MIN(CASE WHEN ch = 'p' THEN rn END) AS prn,
+             MAX(rn) AS maxrn
+      FROM ranked GROUP BY user_id
+    ), kept AS (
+      SELECT r.user_id, r.rn, r.ch, f.prn
+      FROM ranked r JOIN firstp f ON r.user_id = f.user_id
+      WHERE r.rn <= COALESCE(f.prn, f.maxrn)
+    ), steps AS (
+      SELECT user_id, rn,
+             COALESCE(LAG(ch) OVER (PARTITION BY user_id ORDER BY rn), 'S')
+               AS src,
+             CASE WHEN ch = 'p' THEN 'P' ELSE ch END AS dst
+      FROM kept
+    ), terminal AS (
+      SELECT k.user_id, MAX(k.ch) FILTER (WHERE k.rn = m.mx) AS src, 'N' AS dst
+      FROM kept k JOIN (SELECT user_id, MAX(rn) AS mx FROM kept GROUP BY user_id) m
+        ON k.user_id = m.user_id
+      WHERE m.user_id IN (SELECT user_id FROM firstp WHERE prn IS NULL)
+      GROUP BY k.user_id
+    ), edges AS (
+      SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+        SELECT src, dst FROM steps
+        UNION ALL
+        SELECT src, dst FROM terminal
+      ) GROUP BY src, dst
+    ), chains0 AS (
+      SELECT v.rm, e.src,
+             CASE WHEN e.dst = v.rm THEN 'N' ELSE e.dst END AS dst,
+             e.cnt
+      FROM edges e
+      CROSS JOIN (SELECT unnest(ARRAY['-','v','c','s','e']) AS rm) v
+      WHERE e.src <> v.rm
+    ), chains AS (
+      SELECT rm, src, dst, CAST(SUM(cnt) AS BIGINT) AS cnt,
+             CAST(SUM(SUM(cnt)) OVER (PARTITION BY rm, src) AS BIGINT) AS outc
+      FROM chains0 GROUP BY rm, src, dst
+    ), w0 AS (
+      SELECT DISTINCT rm, src AS state, CAST(0 AS BIGINT) AS w FROM chains
+    )"""
+    its = []
+    for i in range(1, iters + 1):
+        its.append(f""", w{i} AS (
+      SELECT c.rm, c.src AS state,
+             CAST(SUM(c.cnt * CASE WHEN c.dst = 'P' THEN 1000000
+                                   WHEN c.dst = 'N' THEN 0
+                                   ELSE COALESCE(p.w, 0) END)
+                  // MAX(c.outc) AS BIGINT) AS w
+      FROM chains c LEFT JOIN w{i - 1} p
+        ON p.rm = c.rm AND p.state = c.dst
+      GROUP BY c.rm, c.src
+    )""")
+    tail = f"""
+    SELECT t.rm AS channel,
+           b.w AS base_conv_micro,
+           t.w AS removed_conv_micro,
+           round((b.w - t.w) / CAST(b.w AS DOUBLE), 6) AS removal_effect
+    FROM w{iters} t
+    JOIN (SELECT w FROM w{iters} WHERE rm = '-' AND state = 'S') b ON TRUE
+    WHERE t.rm <> '-' AND t.state = 'S'
+    ORDER BY channel
+    """
+    return head + "".join(its) + tail
+
+
+@query(
+    "markov_attribution_removal",
+    oracle=_markov_attr_oracle(12),
+    tags=("attribution", "markov-chain", "events", "marketing"),
+)
+def markov_attribution_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov-chain removal-effect attribution — the data-driven
+    alternative to last-touch: model each user's pre-purchase journey
+    as a first-order chain over channels (view/click/signup/error,
+    with Start, and absorbing Purchase/Null states), then credit each
+    channel by how much the chain's conversion probability DROPS when
+    that channel is removed (its transitions redirected to Null) —
+    Shapley-flavored credit from pure transition counts. Absorption
+    probabilities come from a fixed 12-step value iteration run
+    ENTIRELY IN INTEGER MICRO-UNITS: w'(x) = (Σ cnt_xj·w(j)) DIV
+    out(x) with Purchase pinned at 1e6 — integer sums are
+    addition-order-free and integer division is exact, so all five
+    chains (base + four removals, evaluated together as one keyed
+    frame) are bit-identical across engines with no float anywhere
+    until the final removal-effect ratio. The 12-step horizon is part
+    of the protocol (both engines truncate identically; longer paths
+    contribute geometrically little).
+    Scale: transition counting is the only data-sized stage (one
+    user-keyed window + one count shuffle — the sessionization
+    shape); the value iteration runs on a ~150-row chains frame, 12
+    tiny self-joins that never touch the fact table again."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id",
+        F.substring("event_type", 1, 1).alias("ch"),
+    )
+    ranked = ev.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("user_id").orderBy("ts", "event_id")
+        ),
+    ).select("user_id", "rn", "ch")
+    firstp = ranked.groupBy("user_id").agg(
+        F.min(F.when(F.col("ch") == "p", F.col("rn"))).alias("prn"),
+        F.max("rn").alias("maxrn"),
+    )
+    kept = ranked.join(firstp, "user_id").where(
+        F.col("rn") <= F.coalesce("prn", "maxrn")
+    )
+    steps = kept.select(
+        F.coalesce(
+            F.lag("ch").over(Window.partitionBy("user_id").orderBy("rn")),
+            F.lit("S"),
+        ).alias("src"),
+        F.when(F.col("ch") == "p", F.lit("P")).otherwise(F.col("ch")).alias("dst"),
+    )
+    last_no_p = (
+        kept.where(F.col("prn").isNull())
+        .groupBy("user_id")
+        .agg(F.max_by("ch", "rn").alias("src"))
+        .select("src", F.lit("N").alias("dst"))
+    )
+    edges = (
+        steps.unionByName(last_no_p)
+        .groupBy("src", "dst")
+        .agg(F.count("*").alias("cnt"))
+    )
+    chans = spark.createDataFrame(
+        [("-",), ("v",), ("c",), ("s",), ("e",)], "rm string"
+    )
+    chains = (
+        edges.crossJoin(F.broadcast(chans))
+        .where(F.col("src") != F.col("rm"))
+        .select(
+            "rm",
+            "src",
+            F.when(F.col("dst") == F.col("rm"), F.lit("N"))
+            .otherwise(F.col("dst"))
+            .alias("dst"),
+            "cnt",
+        )
+        .groupBy("rm", "src", "dst")
+        .agg(F.sum("cnt").alias("cnt"))
+        .withColumn(
+            "outc",
+            F.sum("cnt").over(Window.partitionBy("rm", "src")),
+        )
+        .persist()
+    )
+    w = chains.select("rm", F.col("src").alias("state")).distinct().withColumn(
+        "w", F.lit(0).cast("long")
+    )
+    for _ in range(12):
+        w = (
+            chains.alias("c")
+            .join(
+                w.alias("p"),
+                (F.col("p.rm") == F.col("c.rm"))
+                & (F.col("p.state") == F.col("c.dst")),
+                "left",
+            )
+            .groupBy(F.col("c.rm").alias("rm"), F.col("c.src").alias("state"))
+            .agg(
+                F.expr(
+                    "CAST(SUM(cnt * CASE WHEN dst = 'P' THEN 1000000 "
+                    "WHEN dst = 'N' THEN 0 ELSE COALESCE(w, 0) END) "
+                    "DIV MAX(outc) AS BIGINT)"
+                ).alias("w")
+            )
+            .localCheckpoint(eager=False)
+        )
+    base = (
+        w.where((F.col("rm") == "-") & (F.col("state") == "S"))
+        .select(F.col("w").alias("base_w"))
+    )
+    return (
+        w.where((F.col("rm") != "-") & (F.col("state") == "S"))
+        .crossJoin(F.broadcast(base))
+        .select(
+            F.col("rm").alias("channel"),
+            F.col("base_w").alias("base_conv_micro"),
+            F.col("w").alias("removed_conv_micro"),
+            F.round(
+                (F.col("base_w") - F.col("w")) / F.col("base_w").cast("double"),
+                6,
+            ).alias("removal_effect"),
+        )
+        .orderBy("channel")
+    )

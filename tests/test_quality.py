@@ -116,3 +116,67 @@ def test_dsir_weights_favor_target_domain(spark, tmp_path):
         for r in dsir_importance_weights(spark, str(tmp_path)).collect()
     }
     assert out[100] > out[101]
+
+
+def test_markov_attribution_effects_bounded_and_monotone(spark):
+    """Removal can only redirect probability mass to the null state,
+    so every removed-chain conversion <= base and effects lie in
+    [0, 1]; micro-unit integers make reruns bit-identical."""
+    from data_seedling_spark.queries_analytics import (
+        markov_attribution_removal,
+    )
+    from tests.conftest import SF_SMOKE
+
+    rows = markov_attribution_removal(spark, SF_SMOKE).collect()
+    assert {r["channel"] for r in rows} == {"v", "c", "s", "e"}
+    for r in rows:
+        assert 0 <= r["removed_conv_micro"] <= r["base_conv_micro"]
+        assert 0.0 <= r["removal_effect"] <= 1.0
+    again = markov_attribution_removal(spark, SF_SMOKE).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_kaplan_meier_monotone_nonincreasing(spark):
+    """A survival curve never rises, starts <= 1, and the risk set
+    shrinks as duration grows."""
+    from data_seedling_spark.queries_analytics import kaplan_meier_retention
+    from tests.conftest import SF_SMOKE
+
+    rows = kaplan_meier_retention(spark, SF_SMOKE).collect()
+    assert rows
+    surv = [r["survival"] for r in rows]
+    assert all(0.0 <= s <= 1.0 for s in surv)
+    assert all(a >= b for a, b in zip(surv, surv[1:]))
+    risks = [r["n_risk"] for r in rows]
+    assert all(a >= b for a, b in zip(risks, risks[1:]))
+
+
+def test_cep_regex_matches_hand_journey(spark):
+    """The CEP pattern machinery agrees with a hand-evaluated regex on
+    a few real journeys rebuilt in Python."""
+    import re
+
+    from data_seedling_spark.queries_analytics import event_pattern_regex_cep
+    from tests.conftest import SF_SMOKE
+
+    out = {
+        r["user_id"]: r
+        for r in event_pattern_regex_cep(spark, SF_SMOKE).collect()
+    }
+    ev = (
+        spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+        .select("user_id", "ts", "event_id", "event_type")
+        .collect()
+    )
+    from collections import defaultdict
+
+    per = defaultdict(list)
+    for r in ev:
+        per[r["user_id"]].append((r["ts"], r["event_id"], r["event_type"][0]))
+    for uid in list(per)[:20]:
+        j = "".join(ch for _, _, ch in sorted(per[uid])[:500])
+        row = out[uid]
+        assert row["n_funnel_matches"] == len(re.findall("v+c+p", j)), uid
+        m = re.search("v+c+p", j)
+        assert row["first_match_pos"] == (m.start() + 1 if m else 0), uid
+        assert row["error_shadowed_purchase"] == bool(re.search("e[^p]*p", j))
