@@ -174,6 +174,9 @@ HEADLINE = [
     "xml_source_roundtrip",
     "sql_pipe_syntax_revenue",
     "als_factorization_sweep",
+    "event_pattern_regex_cep",
+    "kaplan_meier_retention",
+    "markov_attribution_removal",
 ]
 
 
