@@ -6072,3 +6072,136 @@ def markov_attribution_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("channel")
     )
+
+
+#: cumulative Poisson(1) thresholds (shared literals in both engines):
+#: a uniform u maps to weight = number of thresholds below u (0..9).
+_POIS1_CUM = (
+    0.3678794411714423, 0.7357588823428846, 0.9196986029286058,
+    0.9810118431238462, 0.9963401531726563, 0.9994058151824183,
+    0.9999167588507119, 0.9999897508033253, 0.9999988747974019,
+    0.9999998885745217,
+)
+
+
+@query(
+    "poisson_bootstrap_ci",
+    oracle=f"""
+    WITH reps AS (
+      SELECT o.o_orderkey, o.o_totalprice, b.b,
+             (CAST('0x' || substr(md5('boot:' || CAST(b.b AS VARCHAR) || ':'
+                                       || CAST(o.o_orderkey AS VARCHAR)), 1, 8)
+                   AS BIGINT) + 0.5) / 4294967296.0 AS u
+      FROM orders o
+      CROSS JOIN (SELECT unnest(range(1, 201)) AS b) b
+    ), weighted AS (
+      SELECT b, o_totalprice,
+             {" + ".join(f"CAST(u > {t!r} AS INT)" for t in _POIS1_CUM)} AS w
+      FROM reps
+    ), means AS (
+      SELECT b,
+             CAST(SUM(w * CAST(ROUND(o_totalprice, 2) AS DECIMAL(18,2)))
+                  AS DOUBLE) / SUM(w) AS m
+      FROM weighted GROUP BY b
+    ), ranked AS (
+      SELECT m, ROW_NUMBER() OVER (ORDER BY m, b) AS rk FROM means
+    ), pt AS (
+      SELECT CAST(SUM(CAST(ROUND(o_totalprice, 2) AS DECIMAL(18,2))) AS DOUBLE)
+               / COUNT(*) AS point_mean
+      FROM orders
+    )
+    SELECT round(pt.point_mean, 6) AS point_mean,
+           round(lo.m, 6) AS ci_lo, round(hi.m, 6) AS ci_hi,
+           CAST(200 AS BIGINT) AS n_replicas
+    FROM pt
+    CROSS JOIN (SELECT m FROM ranked WHERE rk = 5) lo
+    CROSS JOIN (SELECT m FROM ranked WHERE rk = 196) hi
+    """,
+    tags=("statistics", "bootstrap", "confidence-interval", "sampling"),
+)
+def poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson bootstrap — THE way to bootstrap on a cluster: instead
+    of 200 resampling passes, each row draws an independent
+    Poisson(1) replication weight per replica (the n→∞ limit of
+    multinomial resampling), so ALL 200 bootstrap replicas of the
+    mean order value compute in ONE pass over the data as a weighted
+    aggregate, and the 2.5/97.5 percentile of replica means gives the
+    CI. Every draw is an md5-coin uniform mapped through the
+    Poisson(1) inverse CDF as 10 literal threshold comparisons
+    (integer weights — the replica sums stay on the decimal grid and
+    are addition-order-free), replica means are one division each,
+    and the CI bounds are order statistics with a replica-id
+    tiebreak: bit-identical across engines.
+    Scale: the x200 row expansion never materializes — it feeds a
+    map-side-combinable aggregate straight to 200 groups; data is
+    read once no matter how many replicas (B is a CPU knob, not an
+    I/O knob)."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    reps = orders.withColumn(
+        "b", F.explode(F.sequence(F.lit(1), F.lit(200)))
+    ).withColumn(
+        "u",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit("boot:"),
+                            F.col("b").cast("string"),
+                            F.lit(":"),
+                            F.col("o_orderkey").cast("string"),
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            + F.lit(0.5)
+        )
+        / F.lit(4294967296.0),
+    )
+    w = sum(
+        (F.col("u") > F.lit(t)).cast("int") for t in _POIS1_CUM
+    )
+    means = (
+        reps.withColumn("w", w)
+        .groupBy("b")
+        .agg(
+            (
+                F.sum(
+                    F.col("w")
+                    * F.round("o_totalprice", 2).cast("decimal(18,2)")
+                ).cast("double")
+                / F.sum("w")
+            ).alias("m")
+        )
+    )
+    from pyspark.sql.window import Window
+
+    ranked = means.withColumn(
+        "rk", F.row_number().over(Window.orderBy("m", "b"))
+    )
+    pt = orders.agg(
+        (
+            F.sum(F.round("o_totalprice", 2).cast("decimal(18,2)")).cast(
+                "double"
+            )
+            / F.count("*")
+        ).alias("point_mean")
+    )
+    lo = ranked.where(F.col("rk") == 5).select(F.col("m").alias("ci_lo"))
+    hi = ranked.where(F.col("rk") == 196).select(F.col("m").alias("ci_hi"))
+    return (
+        pt.crossJoin(F.broadcast(lo))
+        .crossJoin(F.broadcast(hi))
+        .select(
+            F.round("point_mean", 6).alias("point_mean"),
+            F.round("ci_lo", 6).alias("ci_lo"),
+            F.round("ci_hi", 6).alias("ci_hi"),
+            F.lit(200).cast("long").alias("n_replicas"),
+        )
+    )

@@ -180,3 +180,24 @@ def test_cep_regex_matches_hand_journey(spark):
         m = re.search("v+c+p", j)
         assert row["first_match_pos"] == (m.start() + 1 if m else 0), uid
         assert row["error_shadowed_purchase"] == bool(re.search("e[^p]*p", j))
+
+
+def test_poisson_bootstrap_ci_brackets_mean(spark):
+    """CI must bracket the point estimate with plausible width
+    (~±2 s.e. of the mean under Poisson(1) replication)."""
+    import math
+
+    from data_seedling_spark.queries_analytics import poisson_bootstrap_ci
+    from tests.conftest import SF_SMOKE
+
+    row = poisson_bootstrap_ci(spark, SF_SMOKE).collect()[0]
+    assert row["ci_lo"] < row["point_mean"] < row["ci_hi"]
+    orders = spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+    import pyspark.sql.functions as F
+
+    stats = orders.agg(
+        F.stddev("o_totalprice").alias("sd"), F.count("*").alias("n")
+    ).collect()[0]
+    se = stats["sd"] / math.sqrt(stats["n"])
+    width = row["ci_hi"] - row["ci_lo"]
+    assert 1.5 * se < width < 8 * se, (width, se)
