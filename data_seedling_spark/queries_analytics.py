@@ -6205,3 +6205,337 @@ def poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(200).cast("long").alias("n_replicas"),
         )
     )
+
+
+@query(
+    "conformal_prediction_interval",
+    oracle="""
+    WITH base AS (
+      SELECT l_orderkey, l_linenumber, l_quantity AS x,
+             CAST(ROUND(l_extendedprice, 2) AS DECIMAL(18,2)) AS y,
+             CAST('0x' || substr(md5('conf:' || CAST(l_orderkey AS VARCHAR)
+                                      || ':' || CAST(l_linenumber AS VARCHAR)),
+                                 1, 8) AS BIGINT) % 100 AS h
+      FROM lineitem
+    ), marked AS (
+      SELECT *, CASE WHEN h < 60 THEN 'train'
+                     WHEN h < 80 THEN 'cal' ELSE 'test' END AS split
+      FROM base
+    ), fit AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(x AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+             CAST(SUM(y) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(x * x AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+             CAST(SUM(x * y) AS DOUBLE) AS sxy
+      FROM marked WHERE split = 'train'
+    ), coef AS (
+      SELECT (n * sxy - sx * sy) / (n * sxx - sx * sx) AS b,
+             (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n AS a
+      FROM fit
+    ), cal AS (
+      SELECT abs(CAST(m.y AS DOUBLE) - (c.a + c.b * m.x)) AS r,
+             m.l_orderkey, m.l_linenumber
+      FROM marked m CROSS JOIN coef c WHERE m.split = 'cal'
+    ), calq AS (
+      SELECT r AS q FROM (
+        SELECT r, ROW_NUMBER() OVER (ORDER BY r, l_orderkey, l_linenumber)
+                 AS rk,
+               COUNT(*) OVER () AS n
+        FROM cal
+      ) WHERE rk = CAST(ceil(0.9 * (n + 1)) AS BIGINT)
+    ), test AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_test,
+             CAST(SUM(CASE WHEN abs(CAST(m.y AS DOUBLE) - (c.a + c.b * m.x))
+                                <= q.q THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_covered
+      FROM marked m CROSS JOIN coef c CROSS JOIN calq q
+      WHERE m.split = 'test'
+    )
+    SELECT round(c.a, 6) AS intercept, round(c.b, 6) AS slope,
+           round(q.q, 6) AS q_hat, t.n_test, t.n_covered,
+           round(CAST(t.n_covered AS DOUBLE) / t.n_test, 6) AS coverage
+    FROM coef c CROSS JOIN calq q CROSS JOIN test t
+    """,
+    tags=("statistics", "conformal", "model-eval", "uncertainty"),
+)
+def conformal_prediction_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal prediction — distribution-free uncertainty for
+    ANY point model, the modern companion to the engine's calibration
+    queries: a leak-proof md5 split (60/20/20) fits OLS price~quantity
+    on train (exact decimal normal-equation sums — x integer, y on
+    the 2-decimal grid), takes q̂ = the ⌈0.9(n+1)⌉-th order statistic
+    of calibration |residuals| (the finite-sample-valid conformal
+    quantile, computed as a ranked window with a deterministic key
+    tiebreak, not an interpolated percentile), and audits empirical
+    test coverage of ŷ ± q̂ — which conformal theory guarantees
+    ≥ 90% in expectation REGARDLESS of the model being right.
+    Residuals are IEEE functions of identical exact inputs, so both
+    engines rank and count them bit-identically.
+    Scale: two aggregate scans (fit, coverage) and one
+    sort-of-calibration-split for the order statistic — the split
+    keeps the sorted set to 20% of rows, and the coefficients/quantile
+    travel as a broadcast scalar, never a shuffle key."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"
+    )
+    h = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("conf:"),
+                        F.col("l_orderkey").cast("string"),
+                        F.lit(":"),
+                        F.col("l_linenumber").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 100
+    )
+    marked = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_quantity").alias("x"),
+        F.round("l_extendedprice", 2).cast("decimal(18,2)").alias("y"),
+        F.when(h < 60, "train").when(h < 80, "cal").otherwise("test").alias(
+            "split"
+        ),
+    )
+    fit = marked.where(F.col("split") == "train").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("x").cast("decimal(18,2)")).cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+    )
+    b_expr = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    coef = fit.select(
+        b_expr.alias("b"),
+        ((F.col("sy") - b_expr * F.col("sx")) / F.col("n")).alias("a"),
+    )
+    from pyspark.sql.window import Window
+
+    cal = (
+        marked.where(F.col("split") == "cal")
+        .crossJoin(F.broadcast(coef))
+        .select(
+            F.abs(
+                F.col("y").cast("double") - (F.col("a") + F.col("b") * F.col("x"))
+            ).alias("r"),
+            "l_orderkey",
+            "l_linenumber",
+        )
+    )
+    ranked = cal.select(
+        "r",
+        F.row_number()
+        .over(Window.orderBy("r", "l_orderkey", "l_linenumber"))
+        .alias("rk"),
+        F.count("*").over(Window.partitionBy()).alias("n"),
+    )
+    calq = ranked.where(
+        F.col("rk") == F.ceil(0.9 * (F.col("n") + 1)).cast("long")
+    ).select(F.col("r").alias("q"))
+    test = (
+        marked.where(F.col("split") == "test")
+        .crossJoin(F.broadcast(coef))
+        .crossJoin(F.broadcast(calq))
+        .agg(
+            F.count("*").alias("n_test"),
+            F.sum(
+                (
+                    F.abs(
+                        F.col("y").cast("double")
+                        - (F.col("a") + F.col("b") * F.col("x"))
+                    )
+                    <= F.col("q")
+                ).cast("long")
+            ).alias("n_covered"),
+        )
+    )
+    return (
+        coef.crossJoin(F.broadcast(calq))
+        .crossJoin(F.broadcast(test))
+        .select(
+            F.round("a", 6).alias("intercept"),
+            F.round("b", 6).alias("slope"),
+            F.round("q", 6).alias("q_hat"),
+            "n_test",
+            "n_covered",
+            F.round(
+                F.col("n_covered").cast("double") / F.col("n_test"), 6
+            ).alias("coverage"),
+        )
+    )
+
+
+@query(
+    "cuped_variance_reduction",
+    oracle="""
+    WITH per AS (
+      SELECT o_custkey,
+             CAST('0x' || substr(md5('arm:' || CAST(o_custkey AS VARCHAR)),
+                                 1, 8) AS BIGINT) % 2 AS arm,
+             CAST(SUM(CASE WHEN o_orderdate < TIMESTAMP '1998-01-01'
+                           THEN CAST(ROUND(o_totalprice, 2) AS DECIMAL(18,2))
+                           ELSE CAST(0.00 AS DECIMAL(18,2)) END)
+                  AS DOUBLE) AS pre,
+             CAST(SUM(CASE WHEN o_orderdate >= TIMESTAMP '1998-01-01'
+                           THEN CAST(ROUND(o_totalprice, 2) AS DECIMAL(18,2))
+                           ELSE CAST(0.00 AS DECIMAL(18,2)) END)
+                  AS DOUBLE) AS post
+      FROM orders GROUP BY o_custkey
+    ), sums AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(ROUND(pre, 2) AS DECIMAL(28,2))) AS DOUBLE) AS sp,
+             CAST(SUM(CAST(ROUND(post, 2) AS DECIMAL(28,2))) AS DOUBLE) AS sq,
+             CAST(SUM(CAST(ROUND(pre * pre, 4) AS DECIMAL(38,4))) AS DOUBLE)
+               AS spp,
+             CAST(SUM(CAST(ROUND(post * post, 4) AS DECIMAL(38,4))) AS DOUBLE)
+               AS sqq,
+             CAST(SUM(CAST(ROUND(pre * post, 4) AS DECIMAL(38,4))) AS DOUBLE)
+               AS spq
+      FROM per
+    ), arms AS (
+      SELECT arm, CAST(COUNT(*) AS BIGINT) AS n_arm,
+             CAST(SUM(CAST(ROUND(pre, 2) AS DECIMAL(28,2))) AS DOUBLE) AS sp,
+             CAST(SUM(CAST(ROUND(post, 2) AS DECIMAL(28,2))) AS DOUBLE) AS sq
+      FROM per GROUP BY arm
+    ), theta AS (
+      SELECT (n * spq - sp * sq) / (n * spp - sp * sp) AS th,
+             sp / n AS mu_pre,
+             ((n * spq - sp * sq) * (n * spq - sp * sq))
+               / ((n * spp - sp * sp) * (n * sqq - sq * sq)) AS rho2
+      FROM sums
+    ), adj AS (
+      SELECT a.arm, a.n_arm,
+             a.sq / a.n_arm AS mean_post,
+             (a.sq / a.n_arm) - t.th * ((a.sp / a.n_arm) - t.mu_pre)
+               AS mean_cuped
+      FROM arms a CROSS JOIN theta t
+    )
+    SELECT b.n_arm AS n_treat, a.n_arm AS n_control,
+           round(b.mean_post - a.mean_post, 6) AS diff_raw,
+           round(b.mean_cuped - a.mean_cuped, 6) AS diff_cuped,
+           round(t.th, 6) AS theta,
+           round(t.rho2, 6) AS var_reduction
+    FROM adj a JOIN adj b ON a.arm = 0 AND b.arm = 1
+    CROSS JOIN theta t
+    """,
+    tags=("statistics", "ab-test", "cuped", "variance-reduction"),
+)
+def cuped_variance_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED (controlled pre-experiment data) — the industry-standard
+    A/B variance-reduction: adjust each customer's experiment-period
+    revenue by θ × their pre-period revenue (θ = cov/var from pooled
+    data), shrinking metric variance by ρ² with zero bias. Everything
+    reduces to SEVEN exact sums (per-customer pre/post land on the
+    2-decimal grid, their squares/products on the 4-decimal grid —
+    no float-sum order anywhere), so arm means, θ, the adjusted
+    difference and the ρ² variance-reduction factor are closed-form
+    IEEE expressions of identical operands in both engines. The
+    md5-coin arm split is the same leak-proof hash idiom as the
+    engine's train/test splits.
+    Scale: one customer-keyed aggregate then three scalar aggregates
+    over the per-customer frame — the per-unit covariate adjustment
+    never materializes because arm means of adjusted values are
+    algebraically means-of-sums."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    cut = F.lit("1998-01-01").cast("timestamp")
+    dec = F.round("o_totalprice", 2).cast("decimal(18,2)")
+    zero = F.lit(0.00).cast("decimal(18,2)")
+    per = orders.groupBy("o_custkey").agg(
+        F.sum(F.when(F.col("o_orderdate") < cut, dec).otherwise(zero))
+        .cast("double")
+        .alias("pre"),
+        F.sum(F.when(F.col("o_orderdate") >= cut, dec).otherwise(zero))
+        .cast("double")
+        .alias("post"),
+    ).select(
+        "pre",
+        "post",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit("arm:"), F.col("o_custkey").cast("string")
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % 2
+        ).alias("arm"),
+    )
+
+    def dsum(col, scale, alias):
+        return (
+            F.sum(F.round(col, scale).cast(f"decimal(38,{scale})"))
+            .cast("double")
+            .alias(alias)
+        )
+
+    sums = per.agg(
+        F.count("*").alias("n"),
+        dsum(F.col("pre"), 2, "sp"),
+        dsum(F.col("post"), 2, "sq"),
+        dsum(F.col("pre") * F.col("pre"), 4, "spp"),
+        dsum(F.col("post") * F.col("post"), 4, "sqq"),
+        dsum(F.col("pre") * F.col("post"), 4, "spq"),
+    )
+    arms = per.groupBy("arm").agg(
+        F.count("*").alias("n_arm"),
+        dsum(F.col("pre"), 2, "sp_a"),
+        dsum(F.col("post"), 2, "sq_a"),
+    )
+    covn = F.col("n") * F.col("spq") - F.col("sp") * F.col("sq")
+    varn = F.col("n") * F.col("spp") - F.col("sp") * F.col("sp")
+    varq = F.col("n") * F.col("sqq") - F.col("sq") * F.col("sq")
+    theta = sums.select(
+        (covn / varn).alias("th"),
+        (F.col("sp") / F.col("n")).alias("mu_pre"),
+        ((covn * covn) / (varn * varq)).alias("rho2"),
+    )
+    adj = arms.crossJoin(F.broadcast(theta)).select(
+        "arm",
+        "n_arm",
+        (F.col("sq_a") / F.col("n_arm")).alias("mean_post"),
+        (
+            F.col("sq_a") / F.col("n_arm")
+            - F.col("th")
+            * (F.col("sp_a") / F.col("n_arm") - F.col("mu_pre"))
+        ).alias("mean_cuped"),
+    )
+    a = adj.where(F.col("arm") == 0).alias("a")
+    b = adj.where(F.col("arm") == 1).alias("b")
+    return (
+        b.crossJoin(F.broadcast(a))
+        .crossJoin(F.broadcast(theta))
+        .select(
+            F.col("b.n_arm").alias("n_treat"),
+            F.col("a.n_arm").alias("n_control"),
+            F.round(F.col("b.mean_post") - F.col("a.mean_post"), 6).alias(
+                "diff_raw"
+            ),
+            F.round(F.col("b.mean_cuped") - F.col("a.mean_cuped"), 6).alias(
+                "diff_cuped"
+            ),
+            F.round("th", 6).alias("theta"),
+            F.round("rho2", 6).alias("var_reduction"),
+        )
+    )

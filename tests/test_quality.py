@@ -201,3 +201,53 @@ def test_poisson_bootstrap_ci_brackets_mean(spark):
     se = stats["sd"] / math.sqrt(stats["n"])
     width = row["ci_hi"] - row["ci_lo"]
     assert 1.5 * se < width < 8 * se, (width, se)
+
+
+def test_conformal_coverage_near_nominal(spark):
+    """Split-conformal guarantees >= 90% expected coverage; on the
+    smoke data the empirical rate should sit near nominal."""
+    from data_seedling_spark.queries_analytics import (
+        conformal_prediction_interval,
+    )
+    from tests.conftest import SF_SMOKE
+
+    row = conformal_prediction_interval(spark, SF_SMOKE).collect()[0]
+    assert row["q_hat"] > 0
+    assert 0.82 <= row["coverage"] <= 0.98, row
+
+
+def test_cuped_reduces_toward_rho2_and_keeps_sign(spark):
+    """theta must equal cov/var (checked against a numpy recompute)
+    and the variance-reduction factor must lie in [0, 1]."""
+    import numpy as np
+
+    from data_seedling_spark.queries_analytics import cuped_variance_reduction
+    from tests.conftest import SF_SMOKE
+
+    row = cuped_variance_reduction(spark, SF_SMOKE).collect()[0]
+    assert 0.0 <= row["var_reduction"] <= 1.0
+    import pyspark.sql.functions as F
+
+    orders = spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+    per = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"),
+                    F.col("o_totalprice"),
+                ).otherwise(0.0)
+            ).alias("pre"),
+            F.sum(
+                F.when(
+                    F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp"),
+                    F.col("o_totalprice"),
+                ).otherwise(0.0)
+            ).alias("post"),
+        )
+        .collect()
+    )
+    pre = np.array([r["pre"] for r in per])
+    post = np.array([r["post"] for r in per])
+    th = np.cov(pre, post, bias=True)[0, 1] / np.var(pre)
+    assert abs(row["theta"] - th) < 1e-3 * (1 + abs(th))
