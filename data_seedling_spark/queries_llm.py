@@ -7791,3 +7791,94 @@ def audio_fingerprint_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_shared",
         (F.col("doc_a") % 30 == F.col("doc_b") % 30).alias("same_song"),
     ).orderBy("doc_a", "doc_b")
+
+
+_GRID_LRS = (1.0, 2.0, 4.0)
+
+
+@query(
+    "logreg_grid_search",
+    oracle="\nUNION ALL\n".join(
+        f"""SELECT {lr!r} AS lr, n_positive, n_negative, auc FROM (
+        {_logreg_holdout_oracle(nf=4, lr=lr, iters=5, k=5, final=_AUC_FINAL)}
+        ) t_{i}"""
+        for i, lr in enumerate(_GRID_LRS)
+    )
+    + "\nORDER BY lr",
+    tags=("model-training", "classifier", "hyperparameter-search"),
+)
+def logreg_grid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed hyperparameter search — the model-selection loop a
+    learned quality filter actually ships through: three logistic-
+    regression trials (learning rates 1/2/4, five epochs each) train
+    against the same leak-proof fold split and score hold-out ROC AUC,
+    all composed as one union'd lazy plan (trials are embarrassingly
+    parallel — on a cluster each trial's aggregates pipeline
+    independently; the driver holds only 3x5 weight scalars). The
+    oracle is three unrolled GD+AUC programs UNION'd — trial
+    isolation is part of the check (any cross-trial contamination
+    breaks the hash). Scale: 3x the single-trial cost, zero extra
+    scans of anything but the embeddings table already cached per
+    trial; adding trials widens the union, never deepens a shuffle."""
+    from pyspark.sql import Window as W
+
+    from .operators.logreg import logreg_fit, logreg_score, standardize
+
+    embeddings = load_table(spark, sf_dir, "embeddings")
+    base = embeddings.select(
+        "vec_id",
+        (F.col("vec_id") % 5).alias("fold"),
+        (F.col("label") == 3).cast("int").alias("label_bin"),
+        *[
+            F.col("embedding").cast("array<double>")[i].alias(f"f{i}")
+            for i in range(4)
+        ],
+    )
+    feats, zcols = standardize(
+        base,
+        [f"f{i}" for i in range(4)],
+        stats_from=base.where(F.col("fold") != 0),
+    )
+    train = feats.where(F.col("fold") != 0)
+    held = feats.where(F.col("fold") == 0)
+    trials = []
+    for lr in _GRID_LRS:
+        weights = logreg_fit(train, zcols, "label_bin", lr=lr, iters=5)
+        scored = logreg_score(held, zcols, weights).select("label_bin", "p")
+        perp = scored.groupBy("p").agg(
+            F.count("*").alias("cnt"), F.sum("label_bin").alias("pos")
+        )
+        w = W.orderBy("p").rowsBetween(W.unboundedPreceding, -1)
+        ranked = perp.select(
+            "cnt",
+            "pos",
+            F.coalesce(F.sum("cnt").over(w), F.lit(0)).alias("cum_before"),
+        )
+        sums = ranked.agg(
+            F.sum(
+                (
+                    F.col("pos")
+                    * (F.col("cum_before") + (F.col("cnt") + 1) / 2.0)
+                ).cast("decimal(38,1)")
+            )
+            .cast("double")
+            .alias("rank_sum"),
+            F.sum("pos").alias("np"),
+            F.sum(F.col("cnt") - F.col("pos")).alias("nn"),
+        )
+        trials.append(
+            sums.select(
+                F.lit(lr).alias("lr"),
+                F.col("np").alias("n_positive"),
+                F.col("nn").alias("n_negative"),
+                F.round(
+                    (F.col("rank_sum") - F.col("np") * (F.col("np") + 1) / 2.0)
+                    / (F.col("np").cast("double") * F.col("nn")),
+                    6,
+                ).alias("auc"),
+            )
+        )
+    out = trials[0]
+    for t in trials[1:]:
+        out = out.unionByName(t)
+    return out.orderBy("lr")
