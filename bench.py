@@ -177,6 +177,10 @@ HEADLINE = [
     "event_pattern_regex_cep",
     "kaplan_meier_retention",
     "markov_attribution_removal",
+    "poisson_bootstrap_ci",
+    "conformal_prediction_interval",
+    "cuped_variance_reduction",
+    "logreg_grid_search",
 ]
 
 

@@ -6539,3 +6539,298 @@ def cuped_variance_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("rho2", 6).alias("var_reduction"),
         )
     )
+
+
+@query(
+    "decision_stump_returns",
+    oracle="""
+    WITH lab AS (
+      SELECT CAST(FLOOR(o.o_totalprice / 10000) AS INT) AS bucket,
+             MAX(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END) AS bad
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      GROUP BY o.o_orderkey, o.o_totalprice
+    ), per AS (
+      SELECT bucket, COUNT(*) AS n, SUM(bad) AS nb FROM lab GROUP BY bucket
+    ), cum AS (
+      SELECT bucket,
+             SUM(n)  OVER (ORDER BY bucket
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS ln,
+             SUM(nb) OVER (ORDER BY bucket
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS lb,
+             SUM(n)  OVER () AS tn,
+             SUM(nb) OVER () AS tb
+      FROM per
+    ), cand AS (
+      SELECT bucket, ln, lb, tn - ln AS rn, tb - lb AS rb, tn
+      FROM cum WHERE ln < tn
+    ), scored AS (
+      SELECT bucket, ln, lb, rn, rb,
+             (CAST(ln AS DOUBLE)
+                * (1 - (CAST(lb AS DOUBLE) / ln) * (CAST(lb AS DOUBLE) / ln)
+                     - (CAST(ln - lb AS DOUBLE) / ln)
+                       * (CAST(ln - lb AS DOUBLE) / ln))
+              + CAST(rn AS DOUBLE)
+                * (1 - (CAST(rb AS DOUBLE) / rn) * (CAST(rb AS DOUBLE) / rn)
+                     - (CAST(rn - rb AS DOUBLE) / rn)
+                       * (CAST(rn - rb AS DOUBLE) / rn)))
+             / tn AS g
+      FROM cand
+    )
+    SELECT CAST(bucket AS INT) AS split_bucket,
+           CAST(ln AS BIGINT) AS n_left, CAST(lb AS BIGINT) AS bad_left,
+           CAST(rn AS BIGINT) AS n_right, CAST(rb AS BIGINT) AS bad_right,
+           round(g, 6) AS weighted_gini
+    FROM scored ORDER BY g, bucket LIMIT 1
+    """,
+    tags=("ml", "statistics", "classification"),
+)
+def decision_stump_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-level CART: the best threshold split of order price against
+    a "has a returned item" label, chosen by weighted Gini impurity —
+    the base learner of every tree ensemble, reduced to its
+    distributed-aggregate essence. The only data-sized stages are the
+    label join and the per-bucket count (both map-side combinable);
+    candidate evaluation runs on the ~55-row bucket frame, where the
+    cumulative window gives every candidate's left/right class counts
+    in one pass. All split statistics are integer counts; the Gini
+    formula is one fixed double expression over them, so both engines
+    produce bit-identical scores and the argmin (tie-broken by bucket)
+    is deterministic. At 100 TB the bucket frame is still tiny: the
+    single-partition window only ever sees one row per price bucket.
+    Reference analogue: none (engine-agnostic ML-adjacent analytics);
+    grading base learner for SURVEY §2's classifier-curation family."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    lab = (
+        orders.join(li, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderkey", "o_totalprice")
+        .agg(F.max((F.col("l_returnflag") == "R").cast("int")).alias("bad"))
+        .select(
+            F.floor(F.col("o_totalprice") / 10000).cast("int").alias("bucket"),
+            "bad",
+        )
+    )
+    per = lab.groupBy("bucket").agg(
+        F.count("*").alias("n"), F.sum("bad").alias("nb")
+    )
+    w_cum = W.orderBy("bucket").rowsBetween(W.unboundedPreceding, W.currentRow)
+    w_all = W.orderBy("bucket").rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
+    cum = per.select(
+        "bucket",
+        F.sum("n").over(w_cum).alias("ln"),
+        F.sum("nb").over(w_cum).alias("lb"),
+        F.sum("n").over(w_all).alias("tn"),
+        F.sum("nb").over(w_all).alias("tb"),
+    )
+    cand = cum.where(F.col("ln") < F.col("tn")).select(
+        "bucket",
+        "ln",
+        "lb",
+        (F.col("tn") - F.col("ln")).alias("rn"),
+        (F.col("tb") - F.col("lb")).alias("rb"),
+        "tn",
+    )
+    ln, lb = F.col("ln"), F.col("lb")
+    rn, rb = F.col("rn"), F.col("rb")
+    gl = (
+        F.lit(1)
+        - (lb.cast("double") / ln) * (lb.cast("double") / ln)
+        - ((ln - lb).cast("double") / ln) * ((ln - lb).cast("double") / ln)
+    )
+    gr = (
+        F.lit(1)
+        - (rb.cast("double") / rn) * (rb.cast("double") / rn)
+        - ((rn - rb).cast("double") / rn) * ((rn - rb).cast("double") / rn)
+    )
+    scored = cand.select(
+        "bucket",
+        "ln",
+        "lb",
+        "rn",
+        "rb",
+        ((ln.cast("double") * gl + rn.cast("double") * gr) / F.col("tn")).alias(
+            "g"
+        ),
+    )
+    return (
+        scored.orderBy("g", "bucket")
+        .limit(1)
+        .select(
+            F.col("bucket").cast("int").alias("split_bucket"),
+            ln.cast("long").alias("n_left"),
+            lb.cast("long").alias("bad_left"),
+            rn.cast("long").alias("n_right"),
+            rb.cast("long").alias("bad_right"),
+            F.round("g", 6).alias("weighted_gini"),
+        )
+    )
+
+
+@query(
+    "srm_chisq_assignment",
+    oracle="""
+    WITH u AS (
+      SELECT DISTINCT user_id FROM events
+    ), per AS (
+      SELECT user_id % 3 AS bucket, COUNT(*) AS n FROM u GROUP BY user_id % 3
+    ), wide AS (
+      SELECT MAX(CASE WHEN bucket = 0 THEN n END) AS n0,
+             MAX(CASE WHEN bucket = 1 THEN n END) AS n1,
+             MAX(CASE WHEN bucket = 2 THEN n END) AS n2
+      FROM per
+    )
+    SELECT CAST(n0 AS BIGINT) AS n0, CAST(n1 AS BIGINT) AS n1,
+           CAST(n2 AS BIGINT) AS n2,
+           round((CAST(n0 AS DOUBLE) - CAST(n0 + n1 + n2 AS DOUBLE) / 3)
+                   * (CAST(n0 AS DOUBLE) - CAST(n0 + n1 + n2 AS DOUBLE) / 3)
+                   / (CAST(n0 + n1 + n2 AS DOUBLE) / 3)
+                 + (CAST(n1 AS DOUBLE) - CAST(n0 + n1 + n2 AS DOUBLE) / 3)
+                   * (CAST(n1 AS DOUBLE) - CAST(n0 + n1 + n2 AS DOUBLE) / 3)
+                   / (CAST(n0 + n1 + n2 AS DOUBLE) / 3)
+                 + (CAST(n2 AS DOUBLE) - CAST(n0 + n1 + n2 AS DOUBLE) / 3)
+                   * (CAST(n2 AS DOUBLE) - CAST(n0 + n1 + n2 AS DOUBLE) / 3)
+                   / (CAST(n0 + n1 + n2 AS DOUBLE) / 3), 6) AS chisq,
+           CAST((CAST(n0 AS DOUBLE) - CAST(n0 + n1 + n2 AS DOUBLE) / 3)
+                   * (CAST(n0 AS DOUBLE) - CAST(n0 + n1 + n2 AS DOUBLE) / 3)
+                   / (CAST(n0 + n1 + n2 AS DOUBLE) / 3)
+                 + (CAST(n1 AS DOUBLE) - CAST(n0 + n1 + n2 AS DOUBLE) / 3)
+                   * (CAST(n1 AS DOUBLE) - CAST(n0 + n1 + n2 AS DOUBLE) / 3)
+                   / (CAST(n0 + n1 + n2 AS DOUBLE) / 3)
+                 + (CAST(n2 AS DOUBLE) - CAST(n0 + n1 + n2 AS DOUBLE) / 3)
+                   * (CAST(n2 AS DOUBLE) - CAST(n0 + n1 + n2 AS DOUBLE) / 3)
+                   / (CAST(n0 + n1 + n2 AS DOUBLE) / 3) > 5.991464547107979
+                AS INT) AS srm_flag
+    FROM wide
+    """,
+    tags=("statistics", "experimentation"),
+)
+def srm_chisq_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch guardrail: the chi-square goodness-of-fit
+    test every experimentation platform runs before trusting an A/B
+    readout. Users are assigned to three buckets by ``user_id % 3``
+    (expected 1:1:1); the observed bucket counts feed the chi-square
+    statistic against the df=2 critical value at p=0.05. Distinct-user
+    dedup and the bucket count are the only data-sized stages (both
+    shuffle on user_id / bucket with map-side combine); the statistic
+    itself is one fixed double expression over three integer counts →
+    bit-identical across engines, so even the boolean flag hashes
+    exactly. Companion to ab_test_conversion_ztest (SURVEY §2
+    experimentation family)."""
+    events = load_table(spark, sf_dir, "events")
+    per = (
+        events.select("user_id")
+        .distinct()
+        .groupBy((F.col("user_id") % 3).alias("bucket"))
+        .agg(F.count("*").alias("n"))
+    )
+    wide = per.agg(
+        F.max(F.when(F.col("bucket") == 0, F.col("n"))).alias("n0"),
+        F.max(F.when(F.col("bucket") == 1, F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("bucket") == 2, F.col("n"))).alias("n2"),
+    )
+    n0, n1, n2 = F.col("n0"), F.col("n1"), F.col("n2")
+    exp = (n0 + n1 + n2).cast("double") / 3
+    chisq = (
+        (n0.cast("double") - exp) * (n0.cast("double") - exp) / exp
+        + (n1.cast("double") - exp) * (n1.cast("double") - exp) / exp
+        + (n2.cast("double") - exp) * (n2.cast("double") - exp) / exp
+    )
+    return wide.select(
+        n0.cast("long").alias("n0"),
+        n1.cast("long").alias("n1"),
+        n2.cast("long").alias("n2"),
+        F.round(chisq, 6).alias("chisq"),
+        (chisq > F.lit(5.991464547107979)).cast("int").alias("srm_flag"),
+    )
+
+
+@query(
+    "quantile_regression_pinball",
+    oracle="""
+    WITH pts AS (
+      SELECT CAST((EXTRACT(year FROM o_orderdate) - 1992) * 12
+                  + EXTRACT(month FROM o_orderdate) - 1 AS BIGINT) AS x,
+             CAST(CAST(ROUND(o_totalprice, 2) AS DECIMAL(18,2)) * 100
+                  AS BIGINT) AS yc
+      FROM orders
+    ), grid AS (
+      SELECT a.a AS intercept, b.b AS slope
+      FROM (VALUES (50000), (100000), (150000), (200000), (250000)) a(a)
+      CROSS JOIN (VALUES (-200), (-100), (0), (100), (200)) b(b)
+    ), scored AS (
+      SELECT intercept, slope,
+             SUM(CASE WHEN yc - (intercept + slope * x) * 100 >= 0
+                      THEN 9 * (yc - (intercept + slope * x) * 100)
+                      ELSE -(yc - (intercept + slope * x) * 100) END)
+               AS loss10,
+             COUNT(*) AS n
+      FROM pts CROSS JOIN grid
+      GROUP BY intercept, slope
+    )
+    SELECT CAST(intercept AS BIGINT) AS intercept,
+           CAST(slope AS BIGINT) AS slope,
+           CAST(n AS BIGINT) AS n,
+           round(CAST(loss10 AS DOUBLE) / 1000 / n, 6)
+             AS mean_pinball_dollars
+    FROM scored ORDER BY loss10, slope, intercept LIMIT 1
+    """,
+    tags=("ml", "statistics", "regression"),
+)
+def quantile_regression_pinball(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile (q=0.9) regression of order price on order month by
+    grid search over (intercept, slope), minimising pinball loss — the
+    distributed form of the P90-forecasting fit. The trick that makes
+    the argmin EXACT: with q=9/10 and prices on the cent grid, ten
+    times the pinball loss of each residual is an integer number of
+    tenth-cents (9·d for d≥0, −d otherwise), so each candidate's total
+    loss is an exact integer sum (map-side combinable groupBy over a
+    15-wide literal grid cross join — a 25× fact-scan fan-out whose
+    aggregate state is 25 rows) and the winner (tie-broken by
+    slope/intercept) is engine-independent with no float comparisons
+    anywhere. The reported mean loss is one terminal double division.
+    At 100 TB the same plan holds: fan-out × partial-agg, no shuffle of
+    raw rows beyond the 25-key combine."""
+    orders = load_table(spark, sf_dir, "orders")
+    pts = orders.select(
+        (
+            (F.year("o_orderdate") - 1992) * 12 + F.month("o_orderdate") - 1
+        )
+        .cast("long")
+        .alias("x"),
+        (F.round("o_totalprice", 2).cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("yc"),
+    )
+    grid = spark.createDataFrame(
+        [
+            (a, b)
+            for a in (50000, 100000, 150000, 200000, 250000)
+            for b in (-200, -100, 0, 100, 200)
+        ],
+        "intercept long, slope long",
+    )
+    d = F.col("yc") - (F.col("intercept") + F.col("slope") * F.col("x")) * 100
+    scored = (
+        pts.crossJoin(F.broadcast(grid))
+        .groupBy("intercept", "slope")
+        .agg(
+            F.sum(F.when(d >= 0, 9 * d).otherwise(-d)).alias("loss10"),
+            F.count("*").alias("n"),
+        )
+    )
+    return (
+        scored.orderBy("loss10", "slope", "intercept")
+        .limit(1)
+        .select(
+            F.col("intercept").cast("long"),
+            F.col("slope").cast("long"),
+            F.col("n").cast("long"),
+            F.round(
+                F.col("loss10").cast("double") / 1000 / F.col("n"), 6
+            ).alias("mean_pinball_dollars"),
+        )
+    )

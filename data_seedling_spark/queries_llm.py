@@ -7882,3 +7882,150 @@ def logreg_grid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     for t in trials[1:]:
         out = out.unionByName(t)
     return out.orderBy("lr")
+
+
+@query(
+    "bleu_corpus_self_eval",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         t -> t <> '')[1:64] AS l
+      FROM documents
+    ), ref AS (
+      SELECT doc_id, unnest(l) AS tok, generate_subscripts(l, 1) AS pos
+      FROM toks
+    ), cand AS (
+      SELECT doc_id, pos,
+             CASE WHEN (pos - 1) % 5 = 4 THEN reverse(tok) ELSE tok END AS tok
+      FROM ref WHERE (pos - 1) % 11 <> 10
+    ), ref2 AS (
+      SELECT doc_id, tok || ' ' ||
+             LEAD(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS bg
+      FROM ref
+    ), cand2 AS (
+      SELECT doc_id, tok || ' ' ||
+             LEAD(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS bg
+      FROM cand
+    ), rc1 AS (
+      SELECT doc_id, tok, COUNT(*) AS rc FROM ref GROUP BY doc_id, tok
+    ), cc1 AS (
+      SELECT doc_id, tok, COUNT(*) AS cc FROM cand GROUP BY doc_id, tok
+    ), rc2 AS (
+      SELECT doc_id, bg, COUNT(*) AS rc FROM ref2 WHERE bg IS NOT NULL
+      GROUP BY doc_id, bg
+    ), cc2 AS (
+      SELECT doc_id, bg, COUNT(*) AS cc FROM cand2 WHERE bg IS NOT NULL
+      GROUP BY doc_id, bg
+    ), uni AS (
+      SELECT SUM(LEAST(c.cc, COALESCE(r.rc, 0))) AS m1,
+             SUM(c.cc) AS c1
+      FROM cc1 c LEFT JOIN rc1 r ON r.doc_id = c.doc_id AND r.tok = c.tok
+    ), bi AS (
+      SELECT SUM(LEAST(c.cc, COALESCE(r.rc, 0))) AS m2,
+             SUM(c.cc) AS c2
+      FROM cc2 c LEFT JOIN rc2 r ON r.doc_id = c.doc_id AND r.bg = c.bg
+    ), rlen AS (
+      SELECT COUNT(*) AS r1 FROM ref
+    )
+    SELECT CAST(c1 AS BIGINT) AS cand_tokens,
+           CAST(r1 AS BIGINT) AS ref_tokens,
+           CAST(m1 AS BIGINT) AS clipped_1gram,
+           CAST(c2 AS BIGINT) AS cand_bigrams,
+           CAST(m2 AS BIGINT) AS clipped_2gram,
+           round(CAST(m1 AS DOUBLE) / c1, 6) AS p1,
+           round(CAST(m2 AS DOUBLE) / c2, 6) AS p2,
+           round(CASE WHEN c1 < r1 THEN exp(1 - CAST(r1 AS DOUBLE) / c1)
+                      ELSE 1 END
+                 * exp(0.5 * (ln(CAST(m1 AS DOUBLE) / c1)
+                              + ln(CAST(m2 AS DOUBLE) / c2))), 6) AS bleu2
+    FROM uni CROSS JOIN bi CROSS JOIN rlen
+    """,
+    tags=("llm", "evaluation", "text"),
+)
+def bleu_corpus_self_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level BLEU-2 (Papineni et al. 2002): clipped n-gram
+    precision with brevity penalty — the generation-eval metric an LLM
+    pipeline runs over (candidate, reference) pairs at scale. The
+    harness is self-contained and deterministic: the reference is each
+    document's first 64 tokens; the candidate is the same stream with
+    every 11th token dropped (exercising the brevity penalty, c < r)
+    and every 5th reversed (exercising clipping — a reversed token only
+    counts if the reference really contains that string elsewhere).
+    Modified precision is the classic two-sided count join: per-doc
+    n-gram counts for both streams, LEAST(cand, ref) summed — integer
+    counts end to end, map-side combinable, with per-doc keys so the
+    shuffle is (doc_id, gram)-wide, never corpus-wide. Bigrams come
+    from a per-doc LEAD window (partitioned — no global sort). The only
+    doubles are the final fixed p1/p2/BP/exp-mean expression → hash-
+    exact. At 100 TB the plan is the same: tokenise → two grouped
+    counts → broadcast-sized scalar assembly."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.slice(
+            F.filter(
+                F.split(F.lower("text"), "[^a-z0-9]+"),
+                lambda t: t != F.lit(""),
+            ),
+            1,
+            64,
+        ).alias("l"),
+    )
+    ref = toks.select(
+        "doc_id", F.posexplode("l").alias("pos0", "tok")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok")
+    cand = ref.where((F.col("pos") - 1) % 11 != 10).select(
+        "doc_id",
+        "pos",
+        F.when((F.col("pos") - 1) % 5 == 4, F.reverse("tok"))
+        .otherwise(F.col("tok"))
+        .alias("tok"),
+    )
+    wdoc = Window.partitionBy("doc_id").orderBy("pos")
+
+    def bigrams(df: DataFrame) -> DataFrame:
+        nx = F.lead("tok").over(wdoc)
+        return (
+            df.select("doc_id", "tok", nx.alias("nx"))
+            .where(F.col("nx").isNotNull())
+            .select("doc_id", F.concat_ws(" ", "tok", "nx").alias("bg"))
+        )
+
+    rc1 = ref.groupBy("doc_id", "tok").agg(F.count("*").alias("rc"))
+    cc1 = cand.groupBy("doc_id", "tok").agg(F.count("*").alias("cc"))
+    uni = cc1.join(rc1, ["doc_id", "tok"], "left").agg(
+        F.sum(F.least("cc", F.coalesce("rc", F.lit(0)))).alias("m1"),
+        F.sum("cc").alias("c1"),
+    )
+    rc2 = bigrams(ref).groupBy("doc_id", "bg").agg(F.count("*").alias("rc"))
+    cc2 = bigrams(cand).groupBy("doc_id", "bg").agg(F.count("*").alias("cc"))
+    bi = cc2.join(rc2, ["doc_id", "bg"], "left").agg(
+        F.sum(F.least("cc", F.coalesce("rc", F.lit(0)))).alias("m2"),
+        F.sum("cc").alias("c2"),
+    )
+    rlen = ref.agg(F.count("*").alias("r1"))
+    row = uni.crossJoin(bi).crossJoin(rlen)
+    m1, c1 = F.col("m1"), F.col("c1")
+    m2, c2 = F.col("m2"), F.col("c2")
+    r1 = F.col("r1")
+    bp = F.when(
+        c1 < r1, F.exp(F.lit(1) - r1.cast("double") / c1)
+    ).otherwise(F.lit(1.0))
+    bleu = bp * F.exp(
+        0.5
+        * (
+            F.log(m1.cast("double") / c1)
+            + F.log(m2.cast("double") / c2)
+        )
+    )
+    return row.select(
+        c1.cast("long").alias("cand_tokens"),
+        r1.cast("long").alias("ref_tokens"),
+        m1.cast("long").alias("clipped_1gram"),
+        c2.cast("long").alias("cand_bigrams"),
+        m2.cast("long").alias("clipped_2gram"),
+        F.round(m1.cast("double") / c1, 6).alias("p1"),
+        F.round(m2.cast("double") / c2, 6).alias("p2"),
+        F.round(bleu, 6).alias("bleu2"),
+    )

@@ -251,3 +251,93 @@ def test_cuped_reduces_toward_rho2_and_keeps_sign(spark):
     post = np.array([r["post"] for r in per])
     th = np.cov(pre, post, bias=True)[0, 1] / np.var(pre)
     assert abs(row["theta"] - th) < 1e-3 * (1 + abs(th))
+
+
+def test_decision_stump_split_counts_and_gini(spark):
+    """The winning split's left/right counts must partition the order
+    set exactly, class counts must nest, and the weighted Gini must
+    beat (or tie) the unsplit root impurity — the defining property
+    of an argmin split."""
+    from data_seedling_spark.queries_analytics import decision_stump_returns
+    from tests.conftest import SF_SMOKE
+
+    row = decision_stump_returns(spark, SF_SMOKE).collect()[0]
+    n_orders_with_items = (
+        spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
+        .select("l_orderkey")
+        .distinct()
+        .count()
+    )
+    assert row["n_left"] + row["n_right"] == n_orders_with_items
+    assert 0 <= row["bad_left"] <= row["n_left"]
+    assert 0 <= row["bad_right"] <= row["n_right"]
+    nb = row["bad_left"] + row["bad_right"]
+    n = row["n_left"] + row["n_right"]
+    p = nb / n
+    root_gini = 1 - p * p - (1 - p) * (1 - p)
+    assert row["weighted_gini"] <= root_gini + 1e-9
+
+
+def test_srm_chisq_matches_scipy_free_recompute(spark):
+    """Chi-square recomputed from the reported bucket counts must
+    match the query's statistic, and the flag must agree with the
+    df=2, p=0.05 critical value."""
+    from data_seedling_spark.queries_analytics import srm_chisq_assignment
+    from tests.conftest import SF_SMOKE
+
+    row = srm_chisq_assignment(spark, SF_SMOKE).collect()[0]
+    ns = [row["n0"], row["n1"], row["n2"]]
+    assert all(n > 0 for n in ns)
+    exp = sum(ns) / 3
+    chisq = sum((n - exp) ** 2 / exp for n in ns)
+    assert abs(chisq - row["chisq"]) < 1e-4
+    assert row["srm_flag"] == int(chisq > 5.991464547107979)
+
+
+def test_pinball_winner_beats_other_grid_points(spark):
+    """The reported (intercept, slope) must achieve the minimum mean
+    pinball loss among a sample of rival grid points recomputed
+    directly over the raw orders."""
+    from data_seedling_spark.queries_analytics import (
+        quantile_regression_pinball,
+    )
+    from tests.conftest import SF_SMOKE
+
+    row = quantile_regression_pinball(spark, SF_SMOKE).collect()[0]
+    orders = spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+    pts = orders.select(
+        ((F.year("o_orderdate") - 1992) * 12 + F.month("o_orderdate") - 1)
+        .cast("long")
+        .alias("x"),
+        (F.round("o_totalprice", 2).cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("yc"),
+    )
+
+    def loss10(intercept, slope):
+        d = F.col("yc") - (F.lit(intercept) + F.lit(slope) * F.col("x")) * 100
+        return pts.agg(
+            F.sum(F.when(d >= 0, 9 * d).otherwise(-d)).alias("s")
+        ).collect()[0]["s"]
+
+    win = loss10(row["intercept"], row["slope"])
+    for a in (50000, 150000, 250000):
+        for b in (-200, 0, 200):
+            if (a, b) != (row["intercept"], row["slope"]):
+                assert loss10(a, b) >= win, (a, b)
+
+
+def test_bleu_self_eval_bounds_and_brevity(spark):
+    """BLEU-2 of the perturbed candidate must be in (0, 1); the
+    candidate drops every 11th token so the brevity penalty must be
+    active (cand_tokens < ref_tokens); clipped counts can never
+    exceed totals."""
+    from data_seedling_spark.queries_llm import bleu_corpus_self_eval
+    from tests.conftest import SF_SMOKE
+
+    row = bleu_corpus_self_eval(spark, SF_SMOKE).collect()[0]
+    assert row["cand_tokens"] < row["ref_tokens"]
+    assert row["clipped_1gram"] <= row["cand_tokens"]
+    assert row["clipped_2gram"] <= row["cand_bigrams"]
+    assert 0.0 < row["bleu2"] < 1.0
+    assert 0.0 < row["p2"] <= row["p1"] <= 1.0
