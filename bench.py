@@ -181,6 +181,10 @@ HEADLINE = [
     "conformal_prediction_interval",
     "cuped_variance_reduction",
     "logreg_grid_search",
+    "decision_stump_returns",
+    "srm_chisq_assignment",
+    "quantile_regression_pinball",
+    "bleu_corpus_self_eval",
 ]
 
 

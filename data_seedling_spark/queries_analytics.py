@@ -6136,10 +6136,16 @@ def poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side-combinable aggregate straight to 200 groups; data is
     read once no matter how many replicas (B is a CPU knob, not an
     I/O knob)."""
+    from data_seedling_spark.operators.dedup import scale_out
+
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_totalprice"
     )
-    reps = orders.withColumn(
+    # The ×200 replica fan-out multiplies per-row CPU (md5 + inverse
+    # CDF), so parallelism must not stay chained to the input split
+    # count — a one-file sf0.1 scan would run the whole 30M-row
+    # expansion on a single core (measured 52 s → ~2 s at 32-way).
+    reps = scale_out(orders).withColumn(
         "b", F.explode(F.sequence(F.lit(1), F.lit(200)))
     ).withColumn(
         "u",
@@ -6275,8 +6281,15 @@ def conformal_prediction_interval(spark: SparkSession, sf_dir: str) -> DataFrame
     sort-of-calibration-split for the order statistic — the split
     keeps the sorted set to 20% of rows, and the coefficients/quantile
     travel as a broadcast scalar, never a shuffle key."""
-    li = load_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"
+    from data_seedling_spark.operators.dedup import scale_out
+
+    # Four branches (fit / calibration / bucket counts / test) each
+    # rescan and re-hash the fact table; widen the scan so per-branch
+    # md5 work is not bound to the file split count.
+    li = scale_out(
+        load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"
+        )
     )
     h = (
         F.conv(
@@ -6335,16 +6348,41 @@ def conformal_prediction_interval(spark: SparkSession, sf_dir: str) -> DataFrame
             "l_linenumber",
         )
     )
-    ranked = cal.select(
-        "r",
-        F.row_number()
-        .over(Window.orderBy("r", "l_orderkey", "l_linenumber"))
-        .alias("rk"),
-        F.count("*").over(Window.partitionBy()).alias("n"),
+    # k-th-smallest residual WITHOUT a global sort: range-bucket the
+    # residuals (dollar floor — cardinality bounded by the price range,
+    # not by N), find the bucket holding rank k from the tiny cumulative
+    # bucket frame, then row_number only inside that one bucket. Ties of
+    # r land in the same bucket, so the (r, okey, lnum) tiebreak inside
+    # it reproduces the global order statistic exactly.
+    kf = cal.agg(
+        F.ceil(0.9 * (F.count("*") + 1)).cast("long").alias("k")
     )
-    calq = ranked.where(
-        F.col("rk") == F.ceil(0.9 * (F.col("n") + 1)).cast("long")
-    ).select(F.col("r").alias("q"))
+    bucketed = cal.withColumn("bkt", F.floor("r").cast("long"))
+    wb = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    cumf = (
+        bucketed.groupBy("bkt")
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            "bkt",
+            F.coalesce(F.sum("cnt").over(wb), F.lit(0)).alias("below"),
+            "cnt",
+        )
+    )
+    tgt = (
+        cumf.crossJoin(F.broadcast(kf))
+        .where(
+            (F.col("below") < F.col("k"))
+            & (F.col("k") <= F.col("below") + F.col("cnt"))
+        )
+        .select("bkt", "below", "k")
+    )
+    wq = Window.partitionBy("bkt").orderBy("r", "l_orderkey", "l_linenumber")
+    calq = (
+        bucketed.join(F.broadcast(tgt), "bkt")
+        .withColumn("rk", F.row_number().over(wq))
+        .where(F.col("rk") == F.col("k") - F.col("below"))
+        .select(F.col("r").alias("q"))
+    )
     test = (
         marked.where(F.col("split") == "test")
         .crossJoin(F.broadcast(coef))
@@ -6794,7 +6832,11 @@ def quantile_regression_pinball(spark: SparkSession, sf_dir: str) -> DataFrame:
     anywhere. The reported mean loss is one terminal double division.
     At 100 TB the same plan holds: fan-out × partial-agg, no shuffle of
     raw rows beyond the 25-key combine."""
-    orders = load_table(spark, sf_dir, "orders")
+    from data_seedling_spark.operators.dedup import scale_out
+
+    # 25× fan-out of per-row work: decouple parallelism from the input
+    # split count (one sf0.1 file would serialize the grid scan).
+    orders = scale_out(load_table(spark, sf_dir, "orders"))
     pts = orders.select(
         (
             (F.year("o_orderdate") - 1992) * 12 + F.month("o_orderdate") - 1
