@@ -6876,3 +6876,146 @@ def quantile_regression_pinball(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mean_pinball_dollars"),
         )
     )
+
+
+@query(
+    "shapley_attribution_channels",
+    oracle="""
+    WITH ranked AS (
+      SELECT user_id,
+             substr(event_type, 1, 1) AS ch,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ), firstp AS (
+      SELECT user_id, MIN(CASE WHEN ch = 'p' THEN rn END) AS prn,
+             MAX(rn) AS maxrn
+      FROM ranked GROUP BY user_id
+    ), kept AS (
+      SELECT r.user_id, r.ch
+      FROM ranked r JOIN firstp f ON r.user_id = f.user_id
+      WHERE r.rn <= COALESCE(f.prn, f.maxrn)
+    ), per_user AS (
+      SELECT user_id,
+             MAX(CASE WHEN ch = 'v' THEN 1 ELSE 0 END)
+           + 2 * MAX(CASE WHEN ch = 'c' THEN 1 ELSE 0 END)
+           + 4 * MAX(CASE WHEN ch = 's' THEN 1 ELSE 0 END)
+           + 8 * MAX(CASE WHEN ch = 'e' THEN 1 ELSE 0 END) AS mask,
+             MAX(CASE WHEN ch = 'p' THEN 1 ELSE 0 END) AS conv
+      FROM kept GROUP BY user_id
+    ), mc AS (
+      SELECT mask, SUM(conv) AS conv FROM per_user GROUP BY mask
+    ), subsets AS (
+      SELECT unnest(range(16)) AS s
+    ), v AS (
+      SELECT s.s, COALESCE(SUM(mc.conv), 0) AS v
+      FROM subsets s LEFT JOIN mc ON (mc.mask & s.s) = mc.mask
+      GROUP BY s.s
+    ), chan AS (
+      SELECT * FROM (VALUES ('view', 1), ('click', 2),
+                            ('signup', 4), ('error', 8)) t(channel, bit)
+    ), contrib AS (
+      SELECT c.channel,
+             SUM(CASE ((v0.s >> 0) & 1) + ((v0.s >> 1) & 1)
+                    + ((v0.s >> 2) & 1) + ((v0.s >> 3) & 1)
+                 WHEN 0 THEN 6 WHEN 1 THEN 2 WHEN 2 THEN 2 ELSE 6 END
+                 * (v1.v - v0.v)) AS phi24
+      FROM chan c
+      JOIN v v0 ON (v0.s & c.bit) = 0
+      JOIN v v1 ON v1.s = v0.s + c.bit
+      GROUP BY c.channel
+    ), tot AS (
+      SELECT SUM(phi24) AS t FROM contrib
+    )
+    SELECT channel,
+           CAST(phi24 AS BIGINT) AS shapley_x24,
+           round(CAST(phi24 AS DOUBLE) / t, 6) AS credit_share
+    FROM contrib CROSS JOIN tot
+    ORDER BY channel
+    """,
+    tags=("attribution", "shapley", "events", "marketing"),
+)
+def shapley_attribution_channels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shapley-value multi-touch attribution (the game-theoretic
+    companion to markov_attribution_removal): each converting user's
+    pre-purchase journey is reduced to the SET of channels touched
+    (view/click/signup/error → a 4-bit mask), the coalition value
+    v(S) counts conversions among users whose touch set ⊆ S, and each
+    channel's credit is its exact Shapley value Σ_S |S|!(3−|S|)!/4! ·
+    (v(S∪{i}) − v(S)). With n=4 the weights ×24 are the integers
+    {6,2,2,6} and every v(S) is an integer count, so the reported
+    shapley_x24 is integer-exact and addition-order-free; the only
+    double is the final credit-share division. Efficiency axiom
+    (Σφ = v(full) − v(∅)) is pytest-asserted.
+    Scale: the per-user window + 16-group mask count are the only
+    data-sized stages (map-side combinable); the subset lattice,
+    coalition values and Shapley sums all live on 16-row broadcast
+    frames no matter how many users."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id",
+        F.substring("event_type", 1, 1).alias("ch"),
+    )
+    ranked = ev.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("user_id").orderBy("ts", "event_id")
+        ),
+    ).select("user_id", "rn", "ch")
+    firstp = ranked.groupBy("user_id").agg(
+        F.min(F.when(F.col("ch") == "p", F.col("rn"))).alias("prn"),
+        F.max("rn").alias("maxrn"),
+    )
+    kept = ranked.join(firstp, "user_id").where(
+        F.col("rn") <= F.coalesce("prn", "maxrn")
+    )
+    per_user = kept.groupBy("user_id").agg(
+        (
+            F.max((F.col("ch") == "v").cast("int"))
+            + 2 * F.max((F.col("ch") == "c").cast("int"))
+            + 4 * F.max((F.col("ch") == "s").cast("int"))
+            + 8 * F.max((F.col("ch") == "e").cast("int"))
+        ).alias("mask"),
+        F.max((F.col("ch") == "p").cast("int")).alias("conv"),
+    )
+    mc = per_user.groupBy("mask").agg(F.sum("conv").alias("conv"))
+    subsets = spark.range(16).select(F.col("id").cast("int").alias("s"))
+    v = (
+        subsets.join(
+            F.broadcast(mc),
+            F.expr("(mask & s) = mask"),
+            "left",
+        )
+        .groupBy("s")
+        .agg(F.coalesce(F.sum("conv"), F.lit(0)).alias("v"))
+    )
+    chan = spark.createDataFrame(
+        [("view", 1), ("click", 2), ("signup", 4), ("error", 8)],
+        "channel string, bit int",
+    )
+    popw = F.expr(
+        "CASE ((s >> 0) & 1) + ((s >> 1) & 1) + ((s >> 2) & 1)"
+        " + ((s >> 3) & 1)"
+        " WHEN 0 THEN 6 WHEN 1 THEN 2 WHEN 2 THEN 2 ELSE 6 END"
+    )
+    v0 = v.select("s", "v")
+    v1 = v.select(F.col("s").alias("s1"), F.col("v").alias("v1"))
+    contrib = (
+        chan.join(F.broadcast(v0), F.expr("(s & bit) = 0"))
+        .join(F.broadcast(v1), F.expr("s1 = s + bit"))
+        .groupBy("channel")
+        .agg(F.sum(popw * (F.col("v1") - F.col("v"))).alias("phi24"))
+    )
+    tot = contrib.agg(F.sum("phi24").alias("t"))
+    return (
+        contrib.crossJoin(F.broadcast(tot))
+        .select(
+            "channel",
+            F.col("phi24").cast("long").alias("shapley_x24"),
+            F.round(F.col("phi24").cast("double") / F.col("t"), 6).alias(
+                "credit_share"
+            ),
+        )
+        .orderBy("channel")
+    )

@@ -341,3 +341,48 @@ def test_bleu_self_eval_bounds_and_brevity(spark):
     assert row["clipped_2gram"] <= row["cand_bigrams"]
     assert 0.0 < row["bleu2"] < 1.0
     assert 0.0 < row["p2"] <= row["p1"] <= 1.0
+
+
+def test_shapley_efficiency_axiom(spark):
+    """Σ φ_i = v(full coalition) − v(∅): the channel credits (×24)
+    must sum to 24 × (total conversions − conversions by users whose
+    pre-purchase journey touched no channel)."""
+    from data_seedling_spark.queries_analytics import (
+        shapley_attribution_channels,
+    )
+    from tests.conftest import SF_SMOKE
+
+    rows = shapley_attribution_channels(spark, SF_SMOKE).collect()
+    assert sorted(r["channel"] for r in rows) == [
+        "click", "error", "signup", "view",
+    ]
+    phi_sum = sum(r["shapley_x24"] for r in rows)
+
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    from pyspark.sql.window import Window
+
+    ranked = ev.select(
+        "user_id",
+        F.substring("event_type", 1, 1).alias("ch"),
+        F.row_number()
+        .over(Window.partitionBy("user_id").orderBy("ts", "event_id"))
+        .alias("rn"),
+    )
+    firstp = ranked.groupBy("user_id").agg(
+        F.min(F.when(F.col("ch") == "p", F.col("rn"))).alias("prn"),
+        F.max("rn").alias("maxrn"),
+    )
+    kept = ranked.join(firstp, "user_id").where(
+        F.col("rn") <= F.coalesce("prn", "maxrn")
+    )
+    per = kept.groupBy("user_id").agg(
+        F.max((F.col("ch") != "p").cast("int")).alias("touched"),
+        F.max((F.col("ch") == "p").cast("int")).alias("conv"),
+    )
+    tots = per.agg(
+        F.sum("conv").alias("v_full"),
+        F.sum(F.when(F.col("touched") == 0, F.col("conv"))).alias("v_empty"),
+    ).collect()[0]
+    assert phi_sum == 24 * (tots["v_full"] - (tots["v_empty"] or 0))
+    shares = sum(r["credit_share"] for r in rows)
+    assert abs(shares - 1.0) < 1e-4
