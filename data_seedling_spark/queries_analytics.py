@@ -7019,3 +7019,147 @@ def shapley_attribution_channels(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("channel")
     )
+
+
+@query(
+    "bloom_filter_semi_join",
+    oracle="""
+    WITH build AS (
+      SELECT p_partkey FROM part WHERE p_brand = 'Brand#23'
+    ), bits AS (
+      SELECT DISTINCT bit FROM (
+        SELECT CAST('0x' || substr(md5('bf1:' || CAST(p_partkey AS VARCHAR)),
+                                   1, 8) AS BIGINT) % 8192 AS bit FROM build
+        UNION ALL
+        SELECT CAST('0x' || substr(md5('bf2:' || CAST(p_partkey AS VARCHAR)),
+                                   1, 8) AS BIGINT) % 8192 FROM build
+        UNION ALL
+        SELECT CAST('0x' || substr(md5('bf3:' || CAST(p_partkey AS VARCHAR)),
+                                   1, 8) AS BIGINT) % 8192 FROM build
+      )
+    ), probe AS (
+      SELECT l_partkey,
+        CAST('0x' || substr(md5('bf1:' || CAST(l_partkey AS VARCHAR)),
+                            1, 8) AS BIGINT) % 8192 AS h1,
+        CAST('0x' || substr(md5('bf2:' || CAST(l_partkey AS VARCHAR)),
+                            1, 8) AS BIGINT) % 8192 AS h2,
+        CAST('0x' || substr(md5('bf3:' || CAST(l_partkey AS VARCHAR)),
+                            1, 8) AS BIGINT) % 8192 AS h3
+      FROM lineitem
+    ), flagged AS (
+      SELECT p.l_partkey,
+             CAST(b1.bit IS NOT NULL AND b2.bit IS NOT NULL
+                  AND b3.bit IS NOT NULL AS INT) AS pass_bloom,
+             CAST(m.p_partkey IS NOT NULL AS INT) AS member
+      FROM probe p
+      LEFT JOIN bits b1 ON b1.bit = p.h1
+      LEFT JOIN bits b2 ON b2.bit = p.h2
+      LEFT JOIN bits b3 ON b3.bit = p.h3
+      LEFT JOIN build m ON m.p_partkey = p.l_partkey
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM build) AS n_build,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM bits) AS bits_set,
+           CAST(COUNT(*) AS BIGINT) AS n_probe,
+           CAST(SUM(pass_bloom) AS BIGINT) AS n_pass_bloom,
+           CAST(SUM(member) AS BIGINT) AS n_true_match,
+           CAST(SUM(pass_bloom) - SUM(member) AS BIGINT) AS n_false_pos,
+           round(CAST(SUM(pass_bloom) - SUM(member) AS DOUBLE)
+                 / (COUNT(*) - SUM(member)), 6) AS fp_rate,
+           round(1 - CAST(SUM(pass_bloom) AS DOUBLE) / COUNT(*), 6)
+             AS pruned_frac
+    FROM flagged
+    """,
+    tags=("join", "bloom-filter", "runtime-filter", "optimization"),
+)
+def bloom_filter_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter runtime pruning — the distributed-join workhorse
+    Spark itself applies under `spark.sql.optimizer.runtime.bloomFilter`
+    (here built explicitly so the filter is engine-portable and its
+    false-positive accounting is oracle-checkable): hash each build-side
+    key (parts of one brand) into an m=8192-bit / k=3 Bloom filter of
+    md5-coin bit positions, broadcast the SET of set bits, and gate the
+    fact scan on all-3-bits-present before any exact join work. Members
+    always pass (no false negatives — pytest-asserted); the residual
+    false-positive rate among non-members is reported exactly. The
+    filter is a ≤8192-row broadcast no matter how large the build side;
+    probe-side checks are three broadcast hash-join lookups fused into
+    the scan's codegen stage — zero shuffle of the fact table. At 100 TB
+    this is the shape that turns a shuffle-everything semi-join into a
+    scan-local prune, with the exact join only over surviving rows."""
+    M = 8192
+
+    def hbit(prefix: str, col):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(prefix), col.cast("string"))), 1, 8
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % M
+        )
+
+    part = load_table(spark, sf_dir, "part")
+    build = part.where(F.col("p_brand") == "Brand#23").select("p_partkey")
+    bits = None
+    for i in (1, 2, 3):
+        b = build.select(hbit(f"bf{i}:", F.col("p_partkey")).alias("bit"))
+        bits = b if bits is None else bits.unionByName(b)
+    bits = bits.distinct()
+    probe = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        hbit("bf1:", F.col("l_partkey")).alias("h1"),
+        hbit("bf2:", F.col("l_partkey")).alias("h2"),
+        hbit("bf3:", F.col("l_partkey")).alias("h3"),
+    )
+    b1 = bits.select(F.col("bit").alias("bit1"))
+    b2 = bits.select(F.col("bit").alias("bit2"))
+    b3 = bits.select(F.col("bit").alias("bit3"))
+    mem = build.select(F.col("p_partkey").alias("mkey"))
+    flagged = (
+        probe.join(F.broadcast(b1), F.col("h1") == F.col("bit1"), "left")
+        .join(F.broadcast(b2), F.col("h2") == F.col("bit2"), "left")
+        .join(F.broadcast(b3), F.col("h3") == F.col("bit3"), "left")
+        .join(F.broadcast(mem), F.col("l_partkey") == F.col("mkey"), "left")
+        .select(
+            (
+                F.col("bit1").isNotNull()
+                & F.col("bit2").isNotNull()
+                & F.col("bit3").isNotNull()
+            )
+            .cast("int")
+            .alias("pass_bloom"),
+            F.col("mkey").isNotNull().cast("int").alias("member"),
+        )
+    )
+    counts = flagged.agg(
+        F.count("*").alias("n_probe"),
+        F.sum("pass_bloom").alias("n_pass"),
+        F.sum("member").alias("n_true"),
+    )
+    nb = build.agg(F.count("*").alias("n_build"))
+    nbits = bits.agg(F.count("*").alias("bits_set"))
+    return (
+        nb.crossJoin(F.broadcast(nbits))
+        .crossJoin(F.broadcast(counts))
+        .select(
+            F.col("n_build").cast("long"),
+            F.col("bits_set").cast("long"),
+            F.col("n_probe").cast("long"),
+            F.col("n_pass").cast("long").alias("n_pass_bloom"),
+            F.col("n_true").cast("long").alias("n_true_match"),
+            (F.col("n_pass") - F.col("n_true"))
+            .cast("long")
+            .alias("n_false_pos"),
+            F.round(
+                (F.col("n_pass") - F.col("n_true")).cast("double")
+                / (F.col("n_probe") - F.col("n_true")),
+                6,
+            ).alias("fp_rate"),
+            F.round(
+                F.lit(1) - F.col("n_pass").cast("double") / F.col("n_probe"),
+                6,
+            ).alias("pruned_frac"),
+        )
+    )

@@ -386,3 +386,24 @@ def test_shapley_efficiency_axiom(spark):
     assert phi_sum == 24 * (tots["v_full"] - (tots["v_empty"] or 0))
     shares = sum(r["credit_share"] for r in rows)
     assert abs(shares - 1.0) < 1e-4
+
+
+def test_bloom_filter_no_false_negatives(spark):
+    """Every true member must pass the bloom gate (n_pass >= n_true),
+    the bit budget must bound bits_set, and the measured FP rate must
+    sit within a loose factor of the (1 - e^{-kn/m})^k prediction."""
+    import math
+
+    from data_seedling_spark.queries_analytics import bloom_filter_semi_join
+    from tests.conftest import SF_SMOKE
+
+    row = bloom_filter_semi_join(spark, SF_SMOKE).collect()[0]
+    assert row["n_pass_bloom"] >= row["n_true_match"]
+    assert row["n_false_pos"] == row["n_pass_bloom"] - row["n_true_match"]
+    assert 0 < row["bits_set"] <= min(8192, 3 * row["n_build"])
+    load = 1 - math.exp(-3.0 * row["n_build"] / 8192)
+    predicted = load**3
+    assert row["fp_rate"] <= max(5 * predicted, 0.02), (
+        row["fp_rate"],
+        predicted,
+    )
