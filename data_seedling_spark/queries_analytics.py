@@ -7163,3 +7163,210 @@ def bloom_filter_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pruned_frac"),
         )
     )
+
+
+@query(
+    "decision_tree_depth2_returns",
+    oracle="""
+    WITH lab AS (
+      SELECT CAST(FLOOR(o.o_totalprice / 10000) AS INT) AS bucket,
+             CAST(EXTRACT(month FROM o.o_orderdate) AS INT) AS mth,
+             MAX(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END) AS bad
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      GROUP BY o.o_orderkey, o.o_totalprice, o.o_orderdate
+    ), per AS (
+      SELECT bucket, COUNT(*) AS n, SUM(bad) AS nb FROM lab GROUP BY bucket
+    ), cum AS (
+      SELECT bucket,
+             SUM(n)  OVER (ORDER BY bucket
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS ln,
+             SUM(nb) OVER (ORDER BY bucket
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS lb,
+             SUM(n)  OVER () AS tn, SUM(nb) OVER () AS tb
+      FROM per
+    ), scored AS (
+      SELECT bucket, ln, lb, tn - ln AS rn, tb - lb AS rb, tn,
+             (CAST(ln AS DOUBLE)
+                * (1 - (CAST(lb AS DOUBLE) / ln) * (CAST(lb AS DOUBLE) / ln)
+                     - (CAST(ln - lb AS DOUBLE) / ln)
+                       * (CAST(ln - lb AS DOUBLE) / ln))
+              + CAST(tn - ln AS DOUBLE)
+                * (1 - (CAST(tb - lb AS DOUBLE) / (tn - ln))
+                       * (CAST(tb - lb AS DOUBLE) / (tn - ln))
+                     - (CAST(tn - ln - tb + lb AS DOUBLE) / (tn - ln))
+                       * (CAST(tn - ln - tb + lb AS DOUBLE) / (tn - ln))))
+             / tn AS g
+      FROM cum WHERE ln < tn
+    ), root AS (
+      SELECT bucket AS split_bucket, g AS root_g, tn
+      FROM scored ORDER BY g, bucket LIMIT 1
+    ), sided AS (
+      SELECT CASE WHEN l.bucket <= r.split_bucket THEN 0 ELSE 1 END AS side,
+             l.mth, l.bad
+      FROM lab l CROSS JOIN root r
+    ), perm AS (
+      SELECT side, mth, COUNT(*) AS n, SUM(bad) AS nb
+      FROM sided GROUP BY side, mth
+    ), cumm AS (
+      SELECT side, mth,
+             SUM(n)  OVER (PARTITION BY side ORDER BY mth
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS ln,
+             SUM(nb) OVER (PARTITION BY side ORDER BY mth
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS lb,
+             SUM(n)  OVER (PARTITION BY side) AS tn,
+             SUM(nb) OVER (PARTITION BY side) AS tb
+      FROM perm
+    ), scoredm AS (
+      SELECT side, mth, ln, tn,
+             (CAST(ln AS DOUBLE)
+                * (1 - (CAST(lb AS DOUBLE) / ln) * (CAST(lb AS DOUBLE) / ln)
+                     - (CAST(ln - lb AS DOUBLE) / ln)
+                       * (CAST(ln - lb AS DOUBLE) / ln))
+              + CAST(tn - ln AS DOUBLE)
+                * (1 - (CAST(tb - lb AS DOUBLE) / (tn - ln))
+                       * (CAST(tb - lb AS DOUBLE) / (tn - ln))
+                     - (CAST(tn - ln - tb + lb AS DOUBLE) / (tn - ln))
+                       * (CAST(tn - ln - tb + lb AS DOUBLE) / (tn - ln))))
+             / tn AS g
+      FROM cumm WHERE ln < tn
+    ), best AS (
+      SELECT side, mth, ln, tn, g,
+             ROW_NUMBER() OVER (PARTITION BY side ORDER BY g, mth) AS rk
+      FROM scoredm
+    )
+    SELECT r.split_bucket,
+           CAST(MAX(CASE WHEN b.side = 0 THEN b.mth END) AS INT)
+             AS left_month_split,
+           CAST(MAX(CASE WHEN b.side = 1 THEN b.mth END) AS INT)
+             AS right_month_split,
+           CAST(MAX(CASE WHEN b.side = 0 THEN b.tn END) AS BIGINT) AS n_left,
+           CAST(MAX(CASE WHEN b.side = 1 THEN b.tn END) AS BIGINT) AS n_right,
+           round(MAX(r.root_g), 6) AS root_gini,
+           round(SUM(b.g * b.tn) / MAX(r.tn), 6) AS tree_gini
+    FROM best b CROSS JOIN root r
+    WHERE b.rk = 1
+    GROUP BY r.split_bucket
+    """,
+    tags=("ml", "statistics", "classification", "decision-tree"),
+)
+def decision_tree_depth2_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy depth-2 CART: the decision_stump_returns root split on
+    order-price bucket, then — inside each side — the best order-month
+    split, all chosen by weighted Gini over integer class counts. This
+    is real recursive tree induction reduced to its distributed shape:
+    level k is one (side, feature-value) grouped count (map-side
+    combinable over the fact join) plus a cumulative window on the tiny
+    per-side candidate frame; the chosen root broadcasts into the
+    side assignment, so the fact table is scanned once per level and
+    never shuffled beyond the grouped counts. Gini scores are fixed
+    double expressions over integer counts with (g, value) tiebreaks —
+    the whole tree is bit-identical across engines. tree_gini ≤
+    root_gini (splits never hurt training impurity) is pytest-asserted.
+    At 100 TB each extra level is one more grouped-count pass, never a
+    data-sized sort or per-node shuffle."""
+    from pyspark.sql.window import Window as W
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    lab = (
+        orders.join(li, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderkey", "o_totalprice", "o_orderdate")
+        .agg(F.max((F.col("l_returnflag") == "R").cast("int")).alias("bad"))
+        .select(
+            F.floor(F.col("o_totalprice") / 10000).cast("int").alias("bucket"),
+            F.month("o_orderdate").cast("int").alias("mth"),
+            "bad",
+        )
+    )
+
+    def gini_scored(per, key, part_cols):
+        pw = (
+            W.partitionBy(*part_cols) if part_cols else W.partitionBy(F.lit(1))
+        )
+        w_cum = pw.orderBy(key).rowsBetween(W.unboundedPreceding, W.currentRow)
+        w_all = pw.orderBy(key).rowsBetween(
+            W.unboundedPreceding, W.unboundedFollowing
+        )
+        cum = per.select(
+            *part_cols,
+            key,
+            F.sum("n").over(w_cum).alias("ln"),
+            F.sum("nb").over(w_cum).alias("lb"),
+            F.sum("n").over(w_all).alias("tn"),
+            F.sum("nb").over(w_all).alias("tb"),
+        ).where(F.col("ln") < F.col("tn"))
+        ln, lb = F.col("ln"), F.col("lb")
+        tn, tb = F.col("tn"), F.col("tb")
+        rn, rb = tn - ln, tb - lb
+        gl = (
+            F.lit(1)
+            - (lb.cast("double") / ln) * (lb.cast("double") / ln)
+            - ((ln - lb).cast("double") / ln) * ((ln - lb).cast("double") / ln)
+        )
+        gr = (
+            F.lit(1)
+            - (rb.cast("double") / rn) * (rb.cast("double") / rn)
+            - ((rn - rb).cast("double") / rn) * ((rn - rb).cast("double") / rn)
+        )
+        return cum.select(
+            *part_cols,
+            key,
+            "ln",
+            "tn",
+            ((ln.cast("double") * gl + rn.cast("double") * gr) / tn).alias("g"),
+        )
+
+    per_root = lab.groupBy("bucket").agg(
+        F.count("*").alias("n"), F.sum("bad").alias("nb")
+    )
+    root = (
+        gini_scored(per_root, "bucket", [])
+        .orderBy("g", "bucket")
+        .limit(1)
+        .select(
+            F.col("bucket").alias("split_bucket"),
+            F.col("g").alias("root_g"),
+            F.col("tn").alias("tn_total"),
+        )
+    )
+    sided = lab.crossJoin(F.broadcast(root)).select(
+        F.when(F.col("bucket") <= F.col("split_bucket"), 0)
+        .otherwise(1)
+        .alias("side"),
+        "mth",
+        "bad",
+    )
+    perm = sided.groupBy("side", "mth").agg(
+        F.count("*").alias("n"), F.sum("bad").alias("nb")
+    )
+    scoredm = gini_scored(perm, "mth", ["side"])
+    best = scoredm.withColumn(
+        "rk",
+        F.row_number().over(W.partitionBy("side").orderBy("g", "mth")),
+    ).where(F.col("rk") == 1)
+    return (
+        best.crossJoin(F.broadcast(root))
+        .groupBy("split_bucket")
+        .agg(
+            F.max(F.when(F.col("side") == 0, F.col("mth")))
+            .cast("int")
+            .alias("left_month_split"),
+            F.max(F.when(F.col("side") == 1, F.col("mth")))
+            .cast("int")
+            .alias("right_month_split"),
+            F.max(F.when(F.col("side") == 0, F.col("tn")))
+            .cast("long")
+            .alias("n_left"),
+            F.max(F.when(F.col("side") == 1, F.col("tn")))
+            .cast("long")
+            .alias("n_right"),
+            F.round(F.max("root_g"), 6).alias("root_gini"),
+            F.round(
+                F.sum(F.col("g") * F.col("tn")) / F.max("tn_total"), 6
+            ).alias("tree_gini"),
+        )
+    )

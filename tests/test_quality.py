@@ -407,3 +407,24 @@ def test_bloom_filter_no_false_negatives(spark):
         row["fp_rate"],
         predicted,
     )
+
+
+def test_depth2_tree_improves_on_stump(spark):
+    """Greedy splitting never raises training impurity: tree_gini ≤
+    root_gini, the root agrees with the standalone stump, and side
+    counts partition the labelled orders."""
+    from data_seedling_spark.queries_analytics import (
+        decision_stump_returns,
+        decision_tree_depth2_returns,
+    )
+    from tests.conftest import SF_SMOKE
+
+    tree = decision_tree_depth2_returns(spark, SF_SMOKE).collect()[0]
+    stump = decision_stump_returns(spark, SF_SMOKE).collect()[0]
+    assert tree["split_bucket"] == stump["split_bucket"]
+    assert abs(tree["root_gini"] - stump["weighted_gini"]) < 1e-9
+    assert tree["tree_gini"] <= tree["root_gini"] + 1e-9
+    assert tree["n_left"] == stump["n_left"]
+    assert tree["n_right"] == stump["n_right"]
+    assert 1 <= tree["left_month_split"] <= 12
+    assert 1 <= tree["right_month_split"] <= 12
