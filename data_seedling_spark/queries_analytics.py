@@ -7370,3 +7370,121 @@ def decision_tree_depth2_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("tree_gini"),
         )
     )
+
+
+@query(
+    "bandit_replay_offpolicy",
+    oracle="""
+    WITH logged AS (
+      SELECT event_type AS arm,
+             CAST(ROUND(value, 2) AS DECIMAL(18,2)) AS reward,
+             CAST('0x' || substr(md5('bandit:' || CAST(event_id AS VARCHAR)),
+                                 1, 8) AS BIGINT) % 2 AS epoch
+      FROM events
+    ), learn AS (
+      SELECT arm, COUNT(*) AS cnt, SUM(reward) AS s
+      FROM logged WHERE epoch = 0 GROUP BY arm
+    ), greedy AS (
+      SELECT arm, CAST(s AS DOUBLE) / cnt AS mean_learn
+      FROM learn
+      ORDER BY CAST(s AS DOUBLE) / cnt DESC, arm LIMIT 1
+    ), eval AS (
+      SELECT COUNT(*) AS n_eval,
+             SUM(reward) AS s_all,
+             SUM(CASE WHEN l.arm = g.arm THEN 1 ELSE 0 END) AS n_matched,
+             SUM(CASE WHEN l.arm = g.arm THEN reward
+                      ELSE CAST(0.00 AS DECIMAL(18,2)) END) AS s_matched
+      FROM logged l CROSS JOIN greedy g WHERE l.epoch = 1
+    )
+    SELECT g.arm AS greedy_arm,
+           round(g.mean_learn, 6) AS mean_learn,
+           (SELECT CAST(SUM(cnt) AS BIGINT) FROM learn) AS n_learn,
+           CAST(e.n_eval AS BIGINT) AS n_eval,
+           CAST(e.n_matched AS BIGINT) AS n_matched,
+           round(CAST(e.s_matched AS DOUBLE) / e.n_matched, 6)
+             AS policy_value,
+           round(CAST(e.s_all AS DOUBLE) / e.n_eval, 6) AS logged_value,
+           round(CAST(e.s_matched AS DOUBLE) / e.n_matched
+                 - CAST(e.s_all AS DOUBLE) / e.n_eval, 6) AS uplift
+    FROM greedy g CROSS JOIN eval e
+    """,
+    tags=("ml", "bandit", "off-policy", "evaluation", "events"),
+)
+def bandit_replay_offpolicy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Off-policy replay evaluation (Li et al. 2011, the unbiased
+    offline estimator for bandit policies when the logging policy is
+    uniform): split the event log into a learning epoch and an
+    evaluation epoch by an md5 coin, fit the greedy policy (arm with
+    the highest mean logged reward) on the learning half, then score it
+    on the held-out half by the replay method — keep exactly the events
+    where the logged arm equals the policy's choice and average their
+    rewards. Rewards are decimal-grid sums (addition-order-free); the
+    greedy argmax orders by a double computed from one decimal sum and
+    one count, identical in both engines; all reported values are
+    terminal divisions. Uplift = policy value − logged average.
+    Scale: two grouped passes over the fact table (5-arm learn agg,
+    then the eval agg with the 1-row greedy choice broadcast in) — no
+    shuffle wider than the 5-arm combine, no per-event state."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("event_type").alias("arm"),
+        F.round("value", 2).cast("decimal(18,2)").alias("reward"),
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit("bandit:"), F.col("event_id").cast("string")
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % 2
+        ).alias("epoch"),
+    )
+    learn = (
+        ev.where(F.col("epoch") == 0)
+        .groupBy("arm")
+        .agg(F.count("*").alias("cnt"), F.sum("reward").alias("s"))
+    )
+    mean_learn = F.col("s").cast("double") / F.col("cnt")
+    greedy = (
+        learn.orderBy(mean_learn.desc(), "arm")
+        .limit(1)
+        .select(F.col("arm").alias("g_arm"), mean_learn.alias("mean_learn"))
+    )
+    n_learn = learn.agg(F.sum("cnt").alias("n_learn"))
+    ev1 = ev.where(F.col("epoch") == 1).crossJoin(F.broadcast(greedy))
+    zero = F.lit("0.00").cast("decimal(18,2)")
+    ev_agg = ev1.agg(
+        F.count("*").alias("n_eval"),
+        F.sum("reward").alias("s_all"),
+        F.sum((F.col("arm") == F.col("g_arm")).cast("long")).alias(
+            "n_matched"
+        ),
+        F.sum(
+            F.when(F.col("arm") == F.col("g_arm"), F.col("reward")).otherwise(
+                zero
+            )
+        ).alias("s_matched"),
+        F.max("g_arm").alias("greedy_arm"),
+        F.max("mean_learn").alias("mean_learn"),
+    )
+    pol = F.col("s_matched").cast("double") / F.col("n_matched")
+    log_v = F.col("s_all").cast("double") / F.col("n_eval")
+    return (
+        ev_agg.crossJoin(F.broadcast(n_learn))
+        .select(
+            "greedy_arm",
+            F.round("mean_learn", 6).alias("mean_learn"),
+            F.col("n_learn").cast("long"),
+            F.col("n_eval").cast("long"),
+            F.col("n_matched").cast("long"),
+            F.round(pol, 6).alias("policy_value"),
+            F.round(log_v, 6).alias("logged_value"),
+            F.round(pol - log_v, 6).alias("uplift"),
+        )
+    )

@@ -428,3 +428,41 @@ def test_depth2_tree_improves_on_stump(spark):
     assert tree["n_right"] == stump["n_right"]
     assert 1 <= tree["left_month_split"] <= 12
     assert 1 <= tree["right_month_split"] <= 12
+
+
+def test_bandit_replay_consistency(spark):
+    """The replay estimate must be computed from held-out events only:
+    n_matched ≤ n_eval, n_learn + n_eval = total events, and the
+    greedy arm really has the max learning-epoch mean (recomputed)."""
+    from data_seedling_spark.queries_analytics import bandit_replay_offpolicy
+    from tests.conftest import SF_SMOKE
+
+    row = bandit_replay_offpolicy(spark, SF_SMOKE).collect()[0]
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    assert row["n_learn"] + row["n_eval"] == ev.count()
+    assert 0 < row["n_matched"] <= row["n_eval"]
+    assert abs(row["uplift"] - (row["policy_value"] - row["logged_value"])) < 2e-6
+
+    h = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("bandit:"), F.col("event_id").cast("string"))),
+                1, 8,
+            ),
+            16, 10,
+        ).cast("bigint") % 2
+    )
+    means = (
+        ev.where(h == 0)
+        .groupBy("event_type")
+        .agg(
+            (
+                F.sum(F.round("value", 2).cast("decimal(18,2)")).cast("double")
+                / F.count("*")
+            ).alias("m")
+        )
+        .collect()
+    )
+    best = max(means, key=lambda r: (r["m"], ))
+    assert row["greedy_arm"] == best["event_type"]
+    assert abs(row["mean_learn"] - best["m"]) < 2e-6
