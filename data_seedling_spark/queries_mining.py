@@ -1318,3 +1318,112 @@ def als_factorization_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("part_id")
     )
+
+
+@query(
+    "link_prediction_jaccard",
+    oracle=f"""
+    WITH {LI_CAPPED_CTE}, pairs AS (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM li_capped a JOIN li_capped b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ), adj0 AS (
+      SELECT u, v FROM pairs UNION ALL SELECT v AS u, u AS v FROM pairs
+    ), deg0 AS (
+      SELECT u AS node, COUNT(*) AS d FROM adj0 GROUP BY u
+    ), keep AS (
+      SELECT node FROM deg0 WHERE d <= 1000
+    ), adj AS (
+      SELECT a.u, a.v FROM adj0 a
+      JOIN keep k1 ON k1.node = a.u
+      JOIN keep k2 ON k2.node = a.v
+    ), degk AS (
+      SELECT u AS node, COUNT(*) AS d FROM adj GROUP BY u
+    ), cand AS (
+      SELECT a1.u AS a, a2.u AS b, COUNT(*) AS cn
+      FROM adj a1 JOIN adj a2 ON a1.v = a2.v AND a1.u < a2.u
+      GROUP BY a1.u, a2.u
+    ), nonedge AS (
+      SELECT c.a, c.b, c.cn FROM cand c
+      LEFT JOIN pairs p ON p.u = c.a AND p.v = c.b
+      WHERE p.u IS NULL
+    )
+    SELECT CAST(n.a AS BIGINT) AS part_a, CAST(n.b AS BIGINT) AS part_b,
+           CAST(n.cn AS BIGINT) AS common_neighbors,
+           CAST(da.d AS BIGINT) AS deg_a, CAST(db.d AS BIGINT) AS deg_b,
+           round(CAST(n.cn AS DOUBLE) / (da.d + db.d - n.cn), 6) AS jaccard
+    FROM nonedge n
+    JOIN degk da ON da.node = n.a
+    JOIN degk db ON db.node = n.b
+    ORDER BY n.cn DESC,
+             CAST(n.cn AS DOUBLE) / (da.d + db.d - n.cn) DESC,
+             part_a, part_b
+    LIMIT 20
+    """,
+    tags=("graph", "link-prediction", "recommendation"),
+)
+def link_prediction_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neighborhood link prediction (Liben-Nowell & Kleinberg): score
+    NON-adjacent part pairs of the co-purchase graph by common-neighbor
+    count and Jaccard overlap of their neighborhoods — the classic
+    \"customers who bought these also bought\" candidate generator. The
+    graph is the capped copurchase_pairs edge set; hub nodes with
+    degree > 1000 are removed BEFORE the wedge join (mirrored in the
+    oracle), which bounds the common-neighbor fan-out at cap² per
+    intermediate — the wedge join is the Σ deg(z)² stage that a single
+    celebrity node would otherwise blow up at 100 TB, and hubs carry
+    asymptotically no discriminative signal (every pair shares them).
+    Common-neighbor counts and subgraph degrees are exact integers; the
+    Jaccard cn/(deg_a+deg_b−cn) is one terminal division, so the
+    (cn, jaccard, a, b)-ordered top-20 is engine-identical.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    pairs = copurchase_pairs(li).select("u", "v").distinct()
+    adj0 = pairs.unionByName(
+        pairs.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    deg0 = adj0.groupBy(F.col("u").alias("node")).agg(
+        F.count("*").alias("d")
+    )
+    keep = deg0.where(F.col("d") <= 1000).select("node")
+    adj = (
+        adj0.join(keep.withColumnRenamed("node", "u"), "u")
+        .join(keep.withColumnRenamed("node", "v"), "v")
+        .select("u", "v")
+    )
+    degk = adj.groupBy(F.col("u").alias("node")).agg(F.count("*").alias("d"))
+    a1, a2 = adj.alias("a1"), adj.alias("a2")
+    cand = (
+        a1.join(
+            a2,
+            (F.col("a1.v") == F.col("a2.v"))
+            & (F.col("a1.u") < F.col("a2.u")),
+        )
+        .groupBy(F.col("a1.u").alias("a"), F.col("a2.u").alias("b"))
+        .agg(F.count("*").alias("cn"))
+    )
+    nonedge = cand.join(
+        pairs,
+        (F.col("a") == F.col("u")) & (F.col("b") == F.col("v")),
+        "left_anti",
+    )
+    da = degk.select(F.col("node").alias("a"), F.col("d").alias("deg_a"))
+    db = degk.select(F.col("node").alias("b"), F.col("d").alias("deg_b"))
+    scored = nonedge.join(da, "a").join(db, "b")
+    jac = F.col("cn").cast("double") / (
+        F.col("deg_a") + F.col("deg_b") - F.col("cn")
+    )
+    return (
+        scored.orderBy(
+            F.col("cn").desc(), jac.desc(), F.col("a"), F.col("b")
+        )
+        .limit(20)
+        .select(
+            F.col("a").cast("long").alias("part_a"),
+            F.col("b").cast("long").alias("part_b"),
+            F.col("cn").cast("long").alias("common_neighbors"),
+            F.col("deg_a").cast("long"),
+            F.col("deg_b").cast("long"),
+            F.round(jac, 6).alias("jaccard"),
+        )
+    )

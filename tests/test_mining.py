@@ -203,3 +203,26 @@ def test_als_sweep_ridge_solution_is_local_optimum(spark):
         # residual scales with the normal-equation magnitudes
         tol = 2e-6 * (np.abs(U.T @ U).sum() + np.abs(U.T @ r).sum() + 1)
         assert np.abs(grad).max() < tol, (row["part_id"], grad, tol)
+
+
+def test_link_prediction_hand_graph(spark, tmp_path):
+    """Path graph 1-2-3 built from two 2-line baskets: the only
+    non-adjacent pair is (1,3) with one common neighbor (2) and
+    Jaccard 1/(1+1-1) = 1.0; adjacent pairs must not appear."""
+    import pandas as pd
+
+    from data_seedling_spark.queries_mining import link_prediction_jaccard
+
+    li = pd.DataFrame(
+        {
+            "l_orderkey": [10, 10, 20, 20],
+            "l_partkey": [1, 2, 2, 3],
+        }
+    )
+    li.to_parquet(str(tmp_path / "lineitem.parquet"))
+    rows = link_prediction_jaccard(spark, str(tmp_path)).collect()
+    assert [(r["part_a"], r["part_b"]) for r in rows] == [(1, 3)]
+    r = rows[0]
+    assert r["common_neighbors"] == 1
+    assert r["deg_a"] == 1 and r["deg_b"] == 1
+    assert r["jaccard"] == 1.0
