@@ -1427,3 +1427,121 @@ def link_prediction_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(jac, 6).alias("jaccard"),
         )
     )
+
+
+@query(
+    "sequential_patterns_prefixspan",
+    oracle="""
+    WITH ranked AS (
+      SELECT user_id, substr(event_type, 1, 1) AS ch,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ), pos AS (
+      SELECT user_id, ch, rn FROM ranked WHERE rn <= 500
+    ), mn AS (
+      SELECT user_id, ch, MIN(rn) AS mn, MAX(rn) AS mx
+      FROM pos GROUP BY user_id, ch
+    ), pair_user AS (
+      SELECT a.user_id, a.ch AS ca, b.ch AS cb
+      FROM mn a JOIN mn b ON a.user_id = b.user_id
+      WHERE a.mn < b.mx
+    ), pair_support AS (
+      SELECT ca, cb, COUNT(*) AS support FROM pair_user GROUP BY ca, cb
+    ), m2 AS (
+      SELECT p.user_id, a.ch AS ca, p.ch AS cb, MIN(p.rn) AS m2
+      FROM pos p JOIN mn a ON a.user_id = p.user_id
+      WHERE p.rn > a.mn
+      GROUP BY p.user_id, a.ch, p.ch
+    ), tri_user AS (
+      SELECT m.user_id, m.ca, m.cb, c.ch AS cc
+      FROM m2 m JOIN mn c ON c.user_id = m.user_id
+      WHERE m.m2 < c.mx
+    ), tri_support AS (
+      SELECT ca, cb, cc, COUNT(*) AS support
+      FROM tri_user GROUP BY ca, cb, cc
+    ), unioned AS (
+      SELECT ca || '>' || cb AS pattern, 2 AS length, support
+      FROM pair_support
+      UNION ALL
+      SELECT ca || '>' || cb || '>' || cc, 3, support FROM tri_support
+    )
+    SELECT pattern, CAST(length AS INT) AS length,
+           CAST(support AS BIGINT) AS support
+    FROM unioned
+    ORDER BY support DESC, pattern
+    LIMIT 15
+    """,
+    tags=("mining", "sequential-patterns", "events"),
+)
+def sequential_patterns_prefixspan(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Sequential-pattern mining in the PrefixSpan style (Pei et al.):
+    support counts of length-2 and length-3 NON-contiguous event-type
+    subsequences across per-user journeys — \"how many users ever did
+    a … then b … then c\". Instead of materializing subsequence
+    candidates per user (exponential), each user's journey is reduced
+    to per-type position statistics: (a,b) is supported iff
+    min_pos(a) < max_pos(b), and (a,b,c) iff the earliest b AFTER the
+    first a precedes the last c — the m2 frame (min pos of b beyond
+    min_pos(a)) is the one data-sized intermediate, bounded at
+    5 × journey length per user (journeys capped at 500 events,
+    mirrored in the oracle, the same cap the CEP query uses). Every
+    stage shuffles on user_id with map-side combine; supports are
+    exact integer counts with a (support, pattern) tiebreak.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id",
+        F.substring("event_type", 1, 1).alias("ch"),
+    )
+    pos = (
+        ev.withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("user_id").orderBy("ts", "event_id")
+            ),
+        )
+        .where(F.col("rn") <= 500)
+        .select("user_id", "ch", "rn")
+    )
+    mn = pos.groupBy("user_id", "ch").agg(
+        F.min("rn").alias("mn"), F.max("rn").alias("mx")
+    )
+    a = mn.select("user_id", F.col("ch").alias("ca"), "mn")
+    b = mn.select("user_id", F.col("ch").alias("cb"), "mx")
+    pair_support = (
+        a.join(b, "user_id")
+        .where(F.col("mn") < F.col("mx"))
+        .groupBy("ca", "cb")
+        .agg(F.count("*").alias("support"))
+    )
+    m2 = (
+        pos.join(a, "user_id")
+        .where(F.col("rn") > F.col("mn"))
+        .groupBy("user_id", "ca", F.col("ch").alias("cb"))
+        .agg(F.min("rn").alias("m2"))
+    )
+    c = mn.select("user_id", F.col("ch").alias("cc"), F.col("mx").alias("mxc"))
+    tri_support = (
+        m2.join(c, "user_id")
+        .where(F.col("m2") < F.col("mxc"))
+        .groupBy("ca", "cb", "cc")
+        .agg(F.count("*").alias("support"))
+    )
+    unioned = pair_support.select(
+        F.concat_ws(">", "ca", "cb").alias("pattern"),
+        F.lit(2).cast("int").alias("length"),
+        "support",
+    ).unionByName(
+        tri_support.select(
+            F.concat_ws(">", "ca", "cb", "cc").alias("pattern"),
+            F.lit(3).cast("int").alias("length"),
+            "support",
+        )
+    )
+    return (
+        unioned.orderBy(F.col("support").desc(), "pattern")
+        .limit(15)
+        .select("pattern", "length", F.col("support").cast("long"))
+    )

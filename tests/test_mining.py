@@ -226,3 +226,38 @@ def test_link_prediction_hand_graph(spark, tmp_path):
     assert r["common_neighbors"] == 1
     assert r["deg_a"] == 1 and r["deg_b"] == 1
     assert r["jaccard"] == 1.0
+
+
+def test_sequential_patterns_hand_journeys(spark, tmp_path):
+    """Two hand journeys: user 1 = v,c,p and user 2 = v,p,c. Pattern
+    v>c>p must be supported only by user 1; v>c by both; c>c by
+    neither (needs two c's)."""
+    import pandas as pd
+
+    from data_seedling_spark.queries_mining import (
+        sequential_patterns_prefixspan,
+    )
+
+    ev = pd.DataFrame(
+        {
+            "event_id": [1, 2, 3, 4, 5, 6],
+            "ts": pd.to_datetime(
+                ["2024-01-01 00:00:0%d" % i for i in range(6)]
+            ),
+            "user_id": [1, 1, 1, 2, 2, 2],
+            "event_type": [
+                "view", "click", "purchase", "view", "purchase", "click",
+            ],
+            "value": [0.0] * 6,
+            "props": ["{}"] * 6,
+        }
+    )
+    ev.to_parquet(str(tmp_path / "events.parquet"))
+    sup = {
+        r["pattern"]: r["support"]
+        for r in sequential_patterns_prefixspan(spark, str(tmp_path)).collect()
+    }
+    assert sup["v>c"] == 2
+    assert sup["v>c>p"] == 1
+    assert sup["v>p>c"] == 1
+    assert "c>c" not in sup
