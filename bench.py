@@ -185,6 +185,12 @@ HEADLINE = [
     "srm_chisq_assignment",
     "quantile_regression_pinball",
     "bleu_corpus_self_eval",
+    "shapley_attribution_channels",
+    "bloom_filter_semi_join",
+    "decision_tree_depth2_returns",
+    "bandit_replay_offpolicy",
+    "link_prediction_jaccard",
+    "sequential_patterns_prefixspan",
 ]
 
 

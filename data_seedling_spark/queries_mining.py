@@ -1323,7 +1323,17 @@ def als_factorization_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "link_prediction_jaccard",
     oracle=f"""
-    WITH {LI_CAPPED_CTE}, pairs AS (
+    WITH li_year AS (
+      SELECT l_orderkey, l_partkey FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+        AND l_shipdate < TIMESTAMP '1996-01-01'
+    ), li_capped AS (
+      SELECT l_orderkey, l_partkey FROM (
+        SELECT l_orderkey, l_partkey,
+               COUNT(*) OVER (PARTITION BY l_orderkey) AS bsz
+        FROM li_year
+      ) WHERE bsz <= {COPURCHASE_MAX_BASKET}
+    ), pairs AS (
       SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
       FROM li_capped a JOIN li_capped b
         ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
@@ -1376,8 +1386,18 @@ def link_prediction_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     Common-neighbor counts and subgraph degrees are exact integers; the
     Jaccard cn/(deg_a+deg_b−cn) is one terminal division, so the
     (cn, jaccard, a, b)-ordered top-20 is engine-identical.
+    The graph is scoped to ONE ship-year (how production recommenders
+    actually generate candidates — a trailing window, not all history):
+    beyond freshness, this is the second scale guard — the wedge stage
+    costs Σ deg(z)² and degree grows with the co-purchase history
+    retained, so the window keeps candidate generation proportional to
+    recent activity rather than to the total archive (measured at
+    sf0.1: 43 s all-history → ~3 s one-year, same plan).
     """
-    li = load_table(spark, sf_dir, "lineitem")
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-01-01").cast("timestamp"))
+    )
     pairs = copurchase_pairs(li).select("u", "v").distinct()
     adj0 = pairs.unionByName(
         pairs.select(F.col("v").alias("u"), F.col("u").alias("v"))

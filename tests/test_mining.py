@@ -217,6 +217,7 @@ def test_link_prediction_hand_graph(spark, tmp_path):
         {
             "l_orderkey": [10, 10, 20, 20],
             "l_partkey": [1, 2, 2, 3],
+            "l_shipdate": pd.to_datetime(["1995-06-01"] * 4),
         }
     )
     li.to_parquet(str(tmp_path / "lineitem.parquet"))
