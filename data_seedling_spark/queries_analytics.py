@@ -7488,3 +7488,123 @@ def bandit_replay_offpolicy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(pol - log_v, 6).alias("uplift"),
         )
     )
+
+
+@query(
+    "diff_in_diff_spend",
+    oracle="""
+    WITH per AS (
+      SELECT o_custkey,
+             CAST('0x' || substr(md5('arm:' || CAST(o_custkey AS VARCHAR)),
+                                 1, 8) AS BIGINT) % 2 AS arm,
+             SUM(CASE WHEN o_orderdate < TIMESTAMP '1997-01-01'
+                      THEN CAST(ROUND(o_totalprice, 2) AS DECIMAL(18,2))
+                      ELSE CAST(0.00 AS DECIMAL(18,2)) END) AS pre,
+             SUM(CASE WHEN o_orderdate >= TIMESTAMP '1997-01-01'
+                      THEN CAST(ROUND(o_totalprice, 2) AS DECIMAL(18,2))
+                      ELSE CAST(0.00 AS DECIMAL(18,2)) END) AS post
+      FROM orders GROUP BY o_custkey
+    ), cells AS (
+      SELECT COUNT(CASE WHEN arm = 1 THEN 1 END) AS n_treat,
+             COUNT(CASE WHEN arm = 0 THEN 1 END) AS n_ctrl,
+             SUM(CASE WHEN arm = 1 THEN pre
+                      ELSE CAST(0.00 AS DECIMAL(18,2)) END) AS s_tp,
+             SUM(CASE WHEN arm = 1 THEN post
+                      ELSE CAST(0.00 AS DECIMAL(18,2)) END) AS s_tq,
+             SUM(CASE WHEN arm = 0 THEN pre
+                      ELSE CAST(0.00 AS DECIMAL(18,2)) END) AS s_cp,
+             SUM(CASE WHEN arm = 0 THEN post
+                      ELSE CAST(0.00 AS DECIMAL(18,2)) END) AS s_cq
+      FROM per
+    )
+    SELECT CAST(n_treat AS BIGINT) AS n_treat,
+           CAST(n_ctrl AS BIGINT) AS n_ctrl,
+           round(CAST(s_tp AS DOUBLE) / n_treat, 6) AS mean_treat_pre,
+           round(CAST(s_tq AS DOUBLE) / n_treat, 6) AS mean_treat_post,
+           round(CAST(s_cp AS DOUBLE) / n_ctrl, 6) AS mean_ctrl_pre,
+           round(CAST(s_cq AS DOUBLE) / n_ctrl, 6) AS mean_ctrl_post,
+           round(CAST(s_tp AS DOUBLE) / n_treat
+                 - CAST(s_cp AS DOUBLE) / n_ctrl, 6) AS pre_gap,
+           round((CAST(s_tq AS DOUBLE) / n_treat
+                  - CAST(s_tp AS DOUBLE) / n_treat)
+                 - (CAST(s_cq AS DOUBLE) / n_ctrl
+                    - CAST(s_cp AS DOUBLE) / n_ctrl), 6) AS did_effect
+    FROM cells
+    """,
+    tags=("statistics", "experimentation", "causal-inference"),
+)
+def diff_in_diff_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences — the workhorse quasi-experimental
+    estimator: customers hash into treatment/control by the same
+    md5-coin the CUPED query uses, periods split at a fixed date, and
+    the effect is (Δ treat) − (Δ control) of per-customer mean spend,
+    which nets out both the arm-level baseline gap and the common time
+    trend. The pre-period gap is reported as the parallel-trends
+    diagnostic. One grouped pass builds per-customer pre/post decimal
+    sums; one 6-accumulator aggregate builds all four cells; every
+    reported value is a fixed double expression over decimal sums and
+    integer counts — hash-exact. Completes the experimentation family
+    (z-test, SRM, CUPED, DiD).
+    Scale: two map-side-combinable aggregations, no window, no join —
+    the same two-shuffle shape at any volume."""
+    arm = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(F.lit("arm:"), F.col("o_custkey").cast("string"))
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 2
+    )
+    cut = F.lit("1997-01-01").cast("timestamp")
+    zero = F.lit("0.00").cast("decimal(18,2)")
+    price = F.round("o_totalprice", 2).cast("decimal(18,2)")
+    per = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(
+                F.when(F.col("o_orderdate") < cut, price).otherwise(zero)
+            ).alias("pre"),
+            F.sum(
+                F.when(F.col("o_orderdate") >= cut, price).otherwise(zero)
+            ).alias("post"),
+        )
+        .select(arm.alias("arm"), "pre", "post")
+    )
+    zero_ = F.lit("0.00").cast("decimal(18,2)")
+    cells = per.agg(
+        F.count(F.when(F.col("arm") == 1, F.lit(1))).alias("n_treat"),
+        F.count(F.when(F.col("arm") == 0, F.lit(1))).alias("n_ctrl"),
+        F.sum(F.when(F.col("arm") == 1, F.col("pre")).otherwise(zero_)).alias(
+            "s_tp"
+        ),
+        F.sum(
+            F.when(F.col("arm") == 1, F.col("post")).otherwise(zero_)
+        ).alias("s_tq"),
+        F.sum(F.when(F.col("arm") == 0, F.col("pre")).otherwise(zero_)).alias(
+            "s_cp"
+        ),
+        F.sum(
+            F.when(F.col("arm") == 0, F.col("post")).otherwise(zero_)
+        ).alias("s_cq"),
+    )
+    tp = F.col("s_tp").cast("double") / F.col("n_treat")
+    tq = F.col("s_tq").cast("double") / F.col("n_treat")
+    cp = F.col("s_cp").cast("double") / F.col("n_ctrl")
+    cq = F.col("s_cq").cast("double") / F.col("n_ctrl")
+    return cells.select(
+        F.col("n_treat").cast("long"),
+        F.col("n_ctrl").cast("long"),
+        F.round(tp, 6).alias("mean_treat_pre"),
+        F.round(tq, 6).alias("mean_treat_post"),
+        F.round(cp, 6).alias("mean_ctrl_pre"),
+        F.round(cq, 6).alias("mean_ctrl_post"),
+        F.round(tp - cp, 6).alias("pre_gap"),
+        F.round((tq - tp) - (cq - cp), 6).alias("did_effect"),
+    )

@@ -466,3 +466,21 @@ def test_bandit_replay_consistency(spark):
     best = max(means, key=lambda r: (r["m"], ))
     assert row["greedy_arm"] == best["event_type"]
     assert abs(row["mean_learn"] - best["m"]) < 2e-6
+
+
+def test_did_identity_and_null_effect(spark):
+    """DiD must equal the four-cell arithmetic identity, and under a
+    pure hash split (no real treatment) the effect should be small
+    relative to the post-period means."""
+    from data_seedling_spark.queries_analytics import diff_in_diff_spend
+    from tests.conftest import SF_SMOKE
+
+    r = diff_in_diff_spend(spark, SF_SMOKE).collect()[0]
+    ident = (r["mean_treat_post"] - r["mean_treat_pre"]) - (
+        r["mean_ctrl_post"] - r["mean_ctrl_pre"]
+    )
+    assert abs(r["did_effect"] - ident) < 5e-6
+    assert abs(r["pre_gap"] - (r["mean_treat_pre"] - r["mean_ctrl_pre"])) < 5e-6
+    assert r["n_treat"] > 0 and r["n_ctrl"] > 0
+    scale = abs(r["mean_treat_post"]) + abs(r["mean_ctrl_post"])
+    assert abs(r["did_effect"]) < 0.5 * scale
