@@ -1565,3 +1565,109 @@ def sequential_patterns_prefixspan(
         .limit(15)
         .select("pattern", "length", F.col("support").cast("long"))
     )
+
+
+def _truss_round_sql(i: int) -> str:
+    """One unrolled k-truss peel round: per-edge triangle support via
+    the two-sided adjacency join, then the support >= k-2 filter
+    (k = 4 -> threshold 2)."""
+    return f""", adj{i} AS (
+      SELECT u, v FROM e{i} UNION ALL SELECT v AS u, u AS v FROM e{i}
+    ), sup{i + 1} AS (
+      SELECT e.u, e.v, COUNT(*) AS sup
+      FROM e{i} e
+      JOIN adj{i} a ON a.u = e.u
+      JOIN adj{i} b ON b.u = e.v AND b.v = a.v
+      GROUP BY e.u, e.v
+    ), e{i + 1} AS (
+      SELECT u, v FROM sup{i + 1} WHERE sup >= 2
+    )"""
+
+
+@query(
+    "ktruss_copurchase",
+    oracle=f"""
+    WITH li_year AS (
+      SELECT l_orderkey, l_partkey FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+        AND l_shipdate < TIMESTAMP '1996-01-01'
+    ), li_capped AS (
+      SELECT l_orderkey, l_partkey FROM (
+        SELECT l_orderkey, l_partkey,
+               COUNT(*) OVER (PARTITION BY l_orderkey) AS bsz
+        FROM li_year
+      ) WHERE bsz <= {COPURCHASE_MAX_BASKET}
+    ), e0 AS (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM li_capped a JOIN li_capped b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ){_truss_round_sql(0)}{_truss_round_sql(1)}{_truss_round_sql(2)}
+    SELECT CAST(4 AS INT) AS k,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM e0) AS n_edges_initial,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM e1) AS n_after_round1,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM e2) AS n_after_round2,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM e3) AS n_after_round3,
+           (SELECT CAST(COUNT(DISTINCT u) AS BIGINT) FROM
+              (SELECT u FROM e3 UNION ALL SELECT v FROM e3) t(u))
+             AS n_nodes_final
+    """,
+    tags=("graph", "k-truss", "community"),
+)
+def ktruss_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-truss decomposition (k=4, three bounded peel rounds — the
+    protocol both engines run identically, like the bounded-horizon
+    PageRank): repeatedly drop every edge that participates in fewer
+    than k−2 = 2 triangles of the CURRENT edge set. The truss is the
+    standard cohesive-subgraph refinement of k-core — edges survive
+    only inside overlapping triangles, so it isolates genuinely dense
+    co-purchase communities rather than hub stars. Per round the edge
+    support is one two-sided adjacency join grouped per edge (the
+    triangle-count shape, Σ deg² bounded by the one-year window + the
+    basket cap), and each round's edge set is localCheckpointed so the
+    lineage doesn't re-expand. Supports and edge counts are exact
+    integers — the round-by-round census hash-matches the unrolled
+    3-round CTE oracle.
+    """
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-01-01").cast("timestamp"))
+    )
+    edges = copurchase_pairs(li).select("u", "v").distinct()
+    counts = [edges.count()]
+    cur = edges.localCheckpoint(eager=False)
+    for _ in range(3):
+        adj = cur.unionByName(
+            cur.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        a = adj.select(F.col("u").alias("eu"), F.col("v").alias("z"))
+        b = adj.select(F.col("u").alias("ev"), F.col("v").alias("z2"))
+        sup = (
+            cur.join(a, F.col("u") == F.col("eu"))
+            .join(b, (F.col("v") == F.col("ev")) & (F.col("z") == F.col("z2")))
+            .groupBy("u", "v")
+            .agg(F.count("*").alias("sup"))
+        )
+        cur = (
+            sup.where(F.col("sup") >= 2)
+            .select("u", "v")
+            .localCheckpoint(eager=False)
+        )
+        counts.append(cur.count())
+    nodes = cur.select("u").unionByName(
+        cur.select(F.col("v").alias("u"))
+    ).distinct()
+    n_nodes = nodes.count()
+    return spark.createDataFrame(
+        [
+            (
+                4,
+                counts[0],
+                counts[1],
+                counts[2],
+                counts[3],
+                n_nodes,
+            )
+        ],
+        "k int, n_edges_initial long, n_after_round1 long,"
+        " n_after_round2 long, n_after_round3 long, n_nodes_final long",
+    )

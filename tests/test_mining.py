@@ -262,3 +262,35 @@ def test_sequential_patterns_hand_journeys(spark, tmp_path):
     assert sup["v>c>p"] == 1
     assert sup["v>p>c"] == 1
     assert "c>c" not in sup
+
+
+def test_ktruss_peels_monotone_and_hand_graph(spark, tmp_path):
+    """Peeling never adds edges (monotone round census); a 4-clique
+    basket survives k=4 trussing while a star basket... cannot form
+    one (a star has no triangles). Hand fixture: one order with 4
+    parts (K4: every edge in 2 triangles -> survives), one order with
+    2 parts (single edge, no triangle -> peeled in round 1)."""
+    import pandas as pd
+
+    from data_seedling_spark.queries_mining import ktruss_copurchase
+
+    li = pd.DataFrame(
+        {
+            "l_orderkey": [1, 1, 1, 1, 2, 2],
+            "l_partkey": [10, 11, 12, 13, 20, 21],
+            "l_shipdate": pd.to_datetime(["1995-06-01"] * 6),
+        }
+    )
+    li.to_parquet(str(tmp_path / "lineitem.parquet"))
+    r = ktruss_copurchase(spark, str(tmp_path)).collect()[0]
+    assert r["n_edges_initial"] == 7  # K4 (6 edges) + 1 lone edge
+    assert r["n_after_round1"] == 6
+    assert r["n_after_round2"] == 6
+    assert r["n_after_round3"] == 6
+    assert r["n_nodes_final"] == 4
+    assert (
+        r["n_edges_initial"]
+        >= r["n_after_round1"]
+        >= r["n_after_round2"]
+        >= r["n_after_round3"]
+    )
