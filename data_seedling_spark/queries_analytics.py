@@ -7608,3 +7608,196 @@ def diff_in_diff_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(tp - cp, 6).alias("pre_gap"),
         F.round((tq - tp) - (cq - cp), 6).alias("did_effect"),
     )
+
+
+@query(
+    "theil_sen_trend_revenue",
+    oracle="""
+    WITH pts AS (
+      SELECT CAST((EXTRACT(year FROM o_orderdate) - 1992) * 12
+                  + EXTRACT(month FROM o_orderdate) - 1 AS BIGINT) AS x,
+             CAST(SUM(CAST(ROUND(o_totalprice, 2) AS DECIMAL(18,2))) * 100
+                  AS BIGINT) AS yc
+      FROM orders GROUP BY x
+    ), pairs AS (
+      SELECT a.x AS x1, b.x AS x2,
+             CAST(b.yc - a.yc AS DOUBLE) / (b.x - a.x) AS slope
+      FROM pts a JOIN pts b ON a.x < b.x
+    ), ranked AS (
+      SELECT slope,
+             ROW_NUMBER() OVER (ORDER BY slope, x1, x2) AS rk,
+             COUNT(*) OVER () AS n
+      FROM pairs
+    ), med AS (
+      SELECT slope FROM ranked WHERE rk = (n + 1) // 2
+    ), resid AS (
+      SELECT p.x, CAST(p.yc AS DOUBLE) - m.slope * p.x AS r
+      FROM pts p CROSS JOIN med m
+    ), rranked AS (
+      SELECT r, ROW_NUMBER() OVER (ORDER BY r, x) AS rk,
+             COUNT(*) OVER () AS n
+      FROM resid
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM pts) AS n_points,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM pairs) AS n_pairs,
+           round(m.slope / 100, 6) AS slope_dollars_per_month,
+           round(rr.r / 100, 6) AS intercept_dollars
+    FROM med m CROSS JOIN (SELECT r FROM rranked WHERE rk = (n + 1) // 2) rr
+    """,
+    tags=("statistics", "robust", "trend", "time-series"),
+)
+def theil_sen_trend_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust trend: the median of all pairwise slopes of
+    monthly revenue — the 29%-breakdown-point alternative to OLS that
+    one outlier month cannot drag. Monthly totals are decimal-grid
+    cent integers, every pairwise slope is one integer-difference
+    division (identical doubles in both engines), and both medians
+    (slope, then intercept residual) are order statistics with
+    (value, x1, x2) tiebreaks — no float summation anywhere.
+    Scale: the fact table collapses to ~80 monthly integers in one
+    map-side-combinable pass; the O(months²) pair frame (~3k rows) and
+    its rank windows are metadata-sized forever — at 100 TB the pair
+    stage grows with the CALENDAR, not the data."""
+    from pyspark.sql.window import Window as W
+
+    pts = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(
+            (
+                (F.year("o_orderdate") - 1992) * 12
+                + F.month("o_orderdate")
+                - 1
+            )
+            .cast("long")
+            .alias("x")
+        )
+        .agg(
+            (F.sum(F.round("o_totalprice", 2).cast("decimal(18,2)")) * 100)
+            .cast("long")
+            .alias("yc")
+        )
+    )
+    a = pts.select(F.col("x").alias("x1"), F.col("yc").alias("y1"))
+    b = pts.select(F.col("x").alias("x2"), F.col("yc").alias("y2"))
+    pairs = a.join(b, F.col("x1") < F.col("x2")).select(
+        "x1",
+        "x2",
+        (
+            (F.col("y2") - F.col("y1")).cast("double")
+            / (F.col("x2") - F.col("x1"))
+        ).alias("slope"),
+    )
+    wall = W.partitionBy(F.lit(1))
+    ranked = pairs.select(
+        "slope",
+        F.row_number().over(W.orderBy("slope", "x1", "x2")).alias("rk"),
+        F.count("*").over(wall).alias("n"),
+    )
+    med = ranked.where(
+        F.col("rk") == F.expr("(n + 1) DIV 2")
+    ).select("slope")
+    resid = pts.crossJoin(F.broadcast(med)).select(
+        "x", (F.col("yc").cast("double") - F.col("slope") * F.col("x")).alias("r")
+    )
+    rranked = resid.select(
+        "r",
+        F.row_number().over(W.orderBy("r", "x")).alias("rk"),
+        F.count("*").over(wall).alias("n"),
+    )
+    rmed = rranked.where(F.col("rk") == F.expr("(n + 1) DIV 2")).select("r")
+    n_points = pts.agg(F.count("*").alias("n_points"))
+    n_pairs = pairs.agg(F.count("*").alias("n_pairs"))
+    return (
+        n_points.crossJoin(F.broadcast(n_pairs))
+        .crossJoin(F.broadcast(med))
+        .crossJoin(F.broadcast(rmed))
+        .select(
+            F.col("n_points").cast("long"),
+            F.col("n_pairs").cast("long"),
+            F.round(F.col("slope") / 100, 6).alias(
+                "slope_dollars_per_month"
+            ),
+            F.round(F.col("r") / 100, 6).alias("intercept_dollars"),
+        )
+    )
+
+
+@query(
+    "dp_randomized_response",
+    oracle="""
+    WITH resp AS (
+      SELECT CAST(c_mktsegment = 'BUILDING' AS INT) AS truth,
+             CAST((CAST('0x' || substr(md5('rr:' || CAST(c_custkey
+                                                         AS VARCHAR)),
+                                       1, 8) AS BIGINT) + 0.5)
+                  / 4294967296.0 < 0.25 AS INT) AS flip
+      FROM customer
+    ), obs AS (
+      SELECT COUNT(*) AS n,
+             SUM(CASE WHEN flip = 1 THEN 1 - truth ELSE truth END)
+               AS n_yes,
+             SUM(truth) AS n_true
+      FROM resp
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           CAST(n_yes AS BIGINT) AS n_reported_yes,
+           round((CAST(n_yes AS DOUBLE) / n - 0.25) / 0.5, 6)
+             AS rr_estimate,
+           round(CAST(n_true AS DOUBLE) / n, 6) AS true_rate,
+           round(abs((CAST(n_yes AS DOUBLE) / n - 0.25) / 0.5
+                     - CAST(n_true AS DOUBLE) / n), 6) AS abs_error
+    FROM obs
+    """,
+    tags=("privacy", "differential-privacy", "randomized-response"),
+)
+def dp_randomized_response(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Randomized response (Warner 1965) — LOCAL differential privacy,
+    the mechanism where the raw data is never trusted to the
+    aggregator: each customer reports their sensitive bit (is their
+    segment BUILDING?) truthfully with probability 3/4 and flipped
+    with probability 1/4 (an ε=ln 3 local-DP channel), and the
+    aggregator debiases the observed yes-rate by (p̂ − q)/(p − q).
+    The flip coin is the md5-coin uniform, so both engines flip the
+    SAME respondents — the estimate, the ground-truth rate (reported
+    here only to exhibit the estimator's error) and the debiasing are
+    all integer counts plus fixed terminal arithmetic, hash-exact.
+    Completes the DP family: central Laplace release, user-level
+    bounded contribution, and now the local model.
+    Scale: one map-side-combinable aggregate over the respondent
+    table; nothing else."""
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(F.lit("rr:"), F.col("c_custkey").cast("string"))
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        + F.lit(0.5)
+    ) / F.lit(4294967296.0)
+    resp = load_table(spark, sf_dir, "customer").select(
+        (F.col("c_mktsegment") == "BUILDING").cast("int").alias("truth"),
+        (u < 0.25).cast("int").alias("flip"),
+    )
+    obs = resp.agg(
+        F.count("*").alias("n"),
+        F.sum(
+            F.when(F.col("flip") == 1, 1 - F.col("truth")).otherwise(
+                F.col("truth")
+            )
+        ).alias("n_yes"),
+        F.sum("truth").alias("n_true"),
+    )
+    est = (F.col("n_yes").cast("double") / F.col("n") - 0.25) / 0.5
+    true_rate = F.col("n_true").cast("double") / F.col("n")
+    return obs.select(
+        F.col("n").cast("long"),
+        F.col("n_yes").cast("long").alias("n_reported_yes"),
+        F.round(est, 6).alias("rr_estimate"),
+        F.round(true_rate, 6).alias("true_rate"),
+        F.round(F.abs(est - true_rate), 6).alias("abs_error"),
+    )

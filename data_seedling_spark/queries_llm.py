@@ -8125,3 +8125,100 @@ def logreg_cv_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
     for t in rotations[1:]:
         out = out.unionByName(t)
     return out.orderBy("fold")
+
+
+@query(
+    "phrase_search_positional",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         t -> t <> '') AS l
+      FROM documents
+    ), post AS (
+      SELECT doc_id, unnest(l) AS tok, generate_subscripts(l, 1) AS pos
+      FROM toks
+    ), bg AS (
+      SELECT doc_id, tok,
+             LEAD(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+      FROM post
+    ), top_bigram AS (
+      SELECT tok AS w1, nxt AS w2
+      FROM bg WHERE nxt IS NOT NULL
+      GROUP BY tok, nxt
+      ORDER BY COUNT(*) DESC, tok, nxt LIMIT 1
+    ), hits AS (
+      SELECT a.doc_id
+      FROM post a
+      JOIN top_bigram t ON a.tok = t.w1
+      JOIN post b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+                 AND b.tok = t.w2
+    )
+    SELECT (SELECT w1 || ' ' || w2 FROM top_bigram) AS phrase,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs_matched,
+           CAST(COUNT(*) AS BIGINT) AS n_occurrences
+    FROM hits
+    """,
+    tags=("search", "inverted-index", "phrase", "text"),
+)
+def phrase_search_positional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional phrase search — the inverted-index operation BM25
+    and bag-of-words retrieval cannot do: find exact multi-word
+    phrases by intersecting POSITIONAL postings (doc_id, token, pos)
+    on pos_b = pos_a + 1, the way Lucene executes quoted queries. The
+    probe phrase is self-contained and deterministic: the corpus's
+    most frequent bigram (count-then-lexicographic tiebreak) selected
+    from a per-doc LEAD window, broadcast as a 1-row frame into the
+    postings join. Postings are built once and shuffled by
+    (doc_id)-keyed joins; occurrence and doc counts are exact
+    integers. Scale: postings ∝ corpus tokens (the inverted-index
+    build every search engine pays), the phrase join touches only the
+    two tokens' posting lists, never the corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    post = (
+        docs.select(
+            "doc_id",
+            F.posexplode(
+                F.filter(
+                    F.split(F.lower("text"), "[^a-z0-9]+"),
+                    lambda t: t != F.lit(""),
+                )
+            ).alias("pos0", "tok"),
+        )
+        .select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok")
+    )
+    from pyspark.sql.window import Window as W
+
+    bg = post.select(
+        "doc_id",
+        "tok",
+        F.lead("tok").over(W.partitionBy("doc_id").orderBy("pos")).alias(
+            "nxt"
+        ),
+    ).where(F.col("nxt").isNotNull())
+    top_bigram = (
+        bg.groupBy("tok", "nxt")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.col("c").desc(), "tok", "nxt")
+        .limit(1)
+        .select(F.col("tok").alias("w1"), F.col("nxt").alias("w2"))
+    )
+    a = post.join(
+        F.broadcast(top_bigram), F.col("tok") == F.col("w1")
+    ).select("doc_id", "pos", "w1", "w2")
+    b = post.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("pos").alias("pos_b"),
+        F.col("tok").alias("tok_b"),
+    )
+    hits = a.join(
+        b,
+        (F.col("doc_b") == F.col("doc_id"))
+        & (F.col("pos_b") == F.col("pos") + 1)
+        & (F.col("tok_b") == F.col("w2")),
+    )
+    return hits.agg(
+        F.max(F.concat_ws(" ", "w1", "w2")).alias("phrase"),
+        F.countDistinct("doc_id").cast("long").alias("n_docs_matched"),
+        F.count("*").cast("long").alias("n_occurrences"),
+    )

@@ -484,3 +484,72 @@ def test_did_identity_and_null_effect(spark):
     assert r["n_treat"] > 0 and r["n_ctrl"] > 0
     scale = abs(r["mean_treat_post"]) + abs(r["mean_ctrl_post"])
     assert abs(r["did_effect"]) < 0.5 * scale
+
+
+def test_theil_sen_robust_to_outlier_month(spark, tmp_path):
+    """Planted linear trend y = 100 + 5x with ONE wild outlier month:
+    Theil-Sen must recover slope 5 exactly (median of pairwise slopes)
+    where an OLS fit would be dragged."""
+    import pandas as pd
+
+    from data_seedling_spark.queries_analytics import theil_sen_trend_revenue
+
+    rows = []
+    oid = 0
+    for m in range(12):
+        price = 100.0 + 5.0 * m if m != 6 else 100000.0
+        rows.append(
+            (oid, 1, pd.Timestamp(f"1992-{m + 1:02d}-15"), price)
+        )
+        oid += 1
+    pd.DataFrame(
+        rows, columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"]
+    ).to_parquet(str(tmp_path / "orders.parquet"))
+    r = theil_sen_trend_revenue(spark, str(tmp_path)).collect()[0]
+    assert r["n_points"] == 12
+    assert r["n_pairs"] == 66
+    assert abs(r["slope_dollars_per_month"] - 5.0) < 1e-6
+    assert abs(r["intercept_dollars"] - 100.0) < 1e-6
+
+
+def test_phrase_search_finds_planted_phrase(spark, tmp_path):
+    """A planted corpus where 'red widget' dominates: the self-chosen
+    top bigram must be exactly that phrase, with per-doc occurrence
+    counts matching hand counts (including a doc where the words are
+    adjacent twice and one where they appear non-adjacent)."""
+    import pandas as pd
+
+    from data_seedling_spark.queries_llm import phrase_search_positional
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [
+                "red widget red widget",         # 2 adjacent occurrences
+                "the red widget shines",          # 1
+                "red shiny widget",               # adjacency broken: 0
+            ],
+            "lang": ["en"] * 3,
+            "source": ["s"] * 3,
+            "n_chars": [21, 20, 16],
+        }
+    )
+    docs.to_parquet(str(tmp_path / "documents.parquet"))
+    r = phrase_search_positional(spark, str(tmp_path)).collect()[0]
+    assert r["phrase"] == "red widget"
+    assert r["n_docs_matched"] == 2
+    assert r["n_occurrences"] == 3
+
+
+def test_randomized_response_debias_identity(spark):
+    """The debiased estimate must equal the closed-form identity of
+    the reported counts, and with the 3/4-truth channel the estimator
+    error on 1.5k respondents should be a few percent."""
+    from data_seedling_spark.queries_analytics import dp_randomized_response
+    from tests.conftest import SF_SMOKE
+
+    r = dp_randomized_response(spark, SF_SMOKE).collect()[0]
+    ident = (r["n_reported_yes"] / r["n"] - 0.25) / 0.5
+    assert abs(r["rr_estimate"] - ident) < 2e-6
+    assert abs(r["abs_error"]) < 0.15
+    assert 0 < r["true_rate"] < 1
