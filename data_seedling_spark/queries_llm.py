@@ -8222,3 +8222,218 @@ def phrase_search_positional(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("doc_id").cast("long").alias("n_docs_matched"),
         F.count("*").cast("long").alias("n_occurrences"),
     )
+
+
+def _perm_importance_oracle(
+    nf: int = 4, lr: float = 2.0, iters: int = 5, k: int = 5, nbkt: int = 64
+) -> str:
+    """Permutation-importance program: the trained-weights prefix from
+    ``_logreg_holdout_oracle``, then a bucket-partitioned md5-rank
+    permutation of the held-out fold and one grouped-midrank AUC block
+    per scored variant (base + each feature permuted)."""
+    xs = [f"x{j + 1}" for j in range(nf)]
+
+    def sig(cols: list[str]) -> str:
+        zexpr = "w0 + " + " + ".join(
+            f"w{j + 1}*{c}" for j, c in enumerate(cols)
+        )
+        return f"1.0/(1.0+exp(-({zexpr})))"
+
+    variants = [("base", xs)] + [
+        (xs[j], [f"d{j + 1}" if i == j else xs[i] for i in range(nf)])
+        for j in range(nf)
+    ]
+    blocks = []
+    for name, cols in variants:
+        blocks.append(f""", scored_{name} AS (
+      SELECT label_bin, round({sig(cols)}, 6) AS p
+      FROM paired CROSS JOIN __WN__
+    ), perp_{name} AS (
+      SELECT p, COUNT(*) AS cnt, SUM(label_bin) AS pos
+      FROM scored_{name} GROUP BY p
+    ), ranked_{name} AS (
+      SELECT cnt, pos,
+             COALESCE(SUM(cnt) OVER (ORDER BY p
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      0) AS cum_before
+      FROM perp_{name}
+    ), auc_{name} AS (
+      SELECT round((CAST(SUM(CAST(pos * (cum_before + (cnt + 1) / 2.0)
+                                  AS DECIMAL(38,1))) AS DOUBLE)
+                    - SUM(pos) * (SUM(pos) + 1) / 2.0)
+                   / (CAST(SUM(pos) AS DOUBLE) * SUM(cnt - pos)), 6) AS auc
+      FROM ranked_{name}
+    )""")
+    xlist = ", ".join(xs)
+    dsel = ", ".join(f"x{j + 1} AS d{j + 1}" for j in range(nf))
+    union = "\n      UNION ALL\n".join(
+        f"SELECT '{xs[j]}' AS feature, auc FROM auc_{xs[j]}"
+        for j in range(nf)
+    )
+    final = f"""
+    , held AS (
+      SELECT vec_id, label_bin, {xlist},
+             CAST('0x' || substr(md5('pib:' || CAST(vec_id AS VARCHAR)),
+                                 1, 8) AS BIGINT) % {nbkt} AS bkt
+      FROM z WHERE fold = 0
+    ), ra AS (
+      SELECT label_bin, {xlist}, bkt,
+             ROW_NUMBER() OVER (PARTITION BY bkt ORDER BY vec_id) AS rn
+      FROM held
+    ), rb AS (
+      SELECT {dsel}, bkt,
+             ROW_NUMBER() OVER (PARTITION BY bkt
+               ORDER BY md5('pi:' || CAST(vec_id AS VARCHAR))) AS rn
+      FROM held
+    ), paired AS (
+      SELECT a.label_bin, {", ".join("a." + x for x in xs)},
+             {", ".join(f"b.d{j + 1}" for j in range(nf))}
+      FROM ra a JOIN rb b ON a.bkt = b.bkt AND a.rn = b.rn
+    ){"".join(blocks)}
+    SELECT v.feature, b.auc AS base_auc, v.auc AS permuted_auc,
+           round(b.auc - v.auc, 6) AS auc_drop
+    FROM ({union}) v CROSS JOIN auc_base b
+    ORDER BY feature"""
+    return _logreg_holdout_oracle(nf=nf, lr=lr, iters=iters, k=k, final=final)
+
+
+@query(
+    "permutation_importance_logreg",
+    oracle=_perm_importance_oracle(),
+    tags=("ml", "feature-importance", "eval"),
+)
+def permutation_importance_logreg(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Permutation feature importance (Breiman 2001): retrain nothing —
+    score the held-out fold once per feature with THAT feature's
+    column permuted, and report the AUC drop. The permutation is
+    deterministic and cluster-shaped: held-out rows hash into 64
+    buckets and are re-paired WITHIN each bucket by md5 rank (a true
+    permutation per bucket, windows partitioned by bucket — no global
+    N-sized sort, unlike the textbook single shuffle), so both engines
+    permute identically and every variant's grouped-midrank AUC is
+    hash-exact. Importance ranks features by what the model actually
+    uses, interactions included — the model-agnostic eval a curation
+    pipeline runs before trusting a learned filter.
+    Scale: one trained-weights prefix (shared), then 5 stateless
+    scoring projections + tiny grouped AUC reductions; the pairing
+    shuffle is bucket-local."""
+    from pyspark.sql import Window as W
+
+    from .operators.logreg import _sigmoid, _z, logreg_fit, standardize
+
+    embeddings = load_table(spark, sf_dir, "embeddings")
+    base = embeddings.select(
+        "vec_id",
+        (F.col("vec_id") % 5).alias("fold"),
+        (F.col("label") == 3).cast("int").alias("label_bin"),
+        *[
+            F.col("embedding").cast("array<double>")[i].alias(f"f{i}")
+            for i in range(4)
+        ],
+    )
+    feats, zcols = standardize(
+        base,
+        [f"f{i}" for i in range(4)],
+        stats_from=base.where(F.col("fold") != 0),
+    )
+    train = feats.where(F.col("fold") != 0)
+    weights = logreg_fit(train, zcols, "label_bin", lr=2.0, iters=5)
+    held = feats.where(F.col("fold") == 0).select(
+        "vec_id",
+        "label_bin",
+        *zcols,
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(F.lit("pib:"), F.col("vec_id").cast("string"))
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % 64
+        ).alias("bkt"),
+    )
+    ra = held.select(
+        "label_bin",
+        *zcols,
+        "bkt",
+        F.row_number()
+        .over(W.partitionBy("bkt").orderBy("vec_id"))
+        .alias("rn"),
+    )
+    rb = held.select(
+        *[F.col(c).alias(f"d{j + 1}") for j, c in enumerate(zcols)],
+        "bkt",
+        F.row_number()
+        .over(
+            W.partitionBy("bkt").orderBy(
+                F.md5(F.concat(F.lit("pi:"), F.col("vec_id").cast("string")))
+            )
+        )
+        .alias("rn"),
+    )
+    paired = ra.join(rb, ["bkt", "rn"]).localCheckpoint(eager=False)
+
+    def auc_of(cols: list[str], name: str) -> DataFrame:
+        scored = paired.select(
+            "label_bin",
+            F.round(_sigmoid(_z(cols, weights)), 6).alias("p"),
+        )
+        perp = scored.groupBy("p").agg(
+            F.count("*").alias("cnt"), F.sum("label_bin").alias("pos")
+        )
+        w = W.orderBy("p").rowsBetween(W.unboundedPreceding, -1)
+        ranked = perp.select(
+            "cnt",
+            "pos",
+            F.coalesce(F.sum("cnt").over(w), F.lit(0)).alias("cum_before"),
+        )
+        return ranked.agg(
+            F.round(
+                (
+                    F.sum(
+                        (
+                            F.col("pos")
+                            * (F.col("cum_before") + (F.col("cnt") + 1) / 2.0)
+                        ).cast("decimal(38,1)")
+                    ).cast("double")
+                    - F.sum("pos") * (F.sum("pos") + 1) / 2.0
+                )
+                / (
+                    F.sum("pos").cast("double")
+                    * F.sum(F.col("cnt") - F.col("pos"))
+                ),
+                6,
+            ).alias(name)
+        )
+
+    base_auc = auc_of(zcols, "base_auc")
+    rows = []
+    for j, c in enumerate(zcols):
+        cols = [f"d{j + 1}" if i == j else zcols[i] for i in range(len(zcols))]
+        rows.append(
+            auc_of(cols, "permuted_auc").select(
+                F.lit(f"x{j + 1}").alias("feature"), "permuted_auc"
+            )
+        )
+    out = rows[0]
+    for t in rows[1:]:
+        out = out.unionByName(t)
+    return (
+        out.crossJoin(F.broadcast(base_auc))
+        .select(
+            "feature",
+            "base_auc",
+            "permuted_auc",
+            F.round(F.col("base_auc") - F.col("permuted_auc"), 6).alias(
+                "auc_drop"
+            ),
+        )
+        .orderBy("feature")
+    )

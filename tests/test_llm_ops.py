@@ -2451,3 +2451,42 @@ def test_cv_folds_partition_and_auc_sane(spark):
     for f, r in rows.items():
         assert r["n_positive"] + r["n_negative"] == per_fold[f]
         assert 0.0 <= r["auc"] <= 1.0
+
+
+def test_permutation_importance_base_dominates(spark, tmp_path):
+    """Planted fixture: feature 0 fully determines the label (others
+    are hash noise), so base AUC ~= 1 and permuting x1 must produce by
+    far the largest drop; the drop column must equal base - permuted."""
+    import hashlib
+
+    import pandas as pd
+
+    from data_seedling_spark.queries_llm import permutation_importance_logreg
+
+    def coin(s, m=1000):
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16) % m / m
+
+    rows_ = []
+    for i in range(400):
+        y = 3 if i % 2 == 0 else 1
+        emb = [
+            2.0 if y == 3 else -2.0,
+            coin(f"a{i}") - 0.5,
+            coin(f"b{i}") - 0.5,
+            coin(f"c{i}") - 0.5,
+        ]
+        rows_.append((i, emb, y))
+    pd.DataFrame(rows_, columns=["vec_id", "embedding", "label"]).to_parquet(
+        str(tmp_path / "embeddings.parquet")
+    )
+    rows = permutation_importance_logreg(spark, str(tmp_path)).collect()
+    assert [r["feature"] for r in rows] == ["x1", "x2", "x3", "x4"]
+    base = rows[0]["base_auc"]
+    assert base > 0.95
+    for r in rows:
+        assert r["base_auc"] == base
+        assert 0.0 <= r["permuted_auc"] <= 1.0
+        assert abs(r["auc_drop"] - round(base - r["permuted_auc"], 6)) < 2e-6
+    drops = {r["feature"]: r["auc_drop"] for r in rows}
+    assert drops["x1"] > 0.2
+    assert drops["x1"] > max(v for k, v in drops.items() if k != "x1")
