@@ -1671,3 +1671,153 @@ def ktruss_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         "k int, n_edges_initial long, n_after_round1 long,"
         " n_after_round2 long, n_after_round3 long, n_nodes_final long",
     )
+
+
+@query(
+    "apriori_triples_census",
+    oracle=f"""
+    WITH {LI_CAPPED_CTE}, items AS (
+      SELECT DISTINCT l_orderkey AS o, l_partkey AS i FROM li_capped
+    ), l1 AS (
+      SELECT i, COUNT(*) AS sup FROM items GROUP BY i HAVING COUNT(*) >= 5
+    ), items1 AS (
+      SELECT t.o, t.i FROM items t JOIN l1 ON l1.i = t.i
+    ), l2 AS (
+      SELECT a.i AS u, b.i AS v, COUNT(*) AS sup
+      FROM items1 a JOIN items1 b ON a.o = b.o AND a.i < b.i
+      GROUP BY a.i, b.i HAVING COUNT(*) >= 2
+    ), c3 AS (
+      SELECT p.u AS a, p.v AS b, q.v AS c
+      FROM l2 p JOIN l2 q ON p.u = q.u AND p.v < q.v
+      JOIN l2 r ON r.u = p.v AND r.v = q.v
+    ), l3 AS (
+      SELECT c3.a, c3.b, c3.c, COUNT(*) AS sup
+      FROM c3
+      JOIN items x ON x.i = c3.a
+      JOIN items y ON y.o = x.o AND y.i = c3.b
+      JOIN items z ON z.o = x.o AND z.i = c3.c
+      GROUP BY c3.a, c3.b, c3.c HAVING COUNT(*) >= 2
+    ), top3 AS (
+      SELECT a, b, c, sup FROM l3
+      ORDER BY sup DESC, a, b, c LIMIT 1
+    )
+    SELECT (SELECT CAST(COUNT(DISTINCT o) AS BIGINT) FROM items)
+             AS n_baskets,
+           (SELECT CAST(COUNT(DISTINCT i) AS BIGINT) FROM items) AS n_items,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM l1) AS n_l1,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM l2) AS n_l2,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM c3) AS n_c3,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM l3) AS n_l3,
+           COALESCE((SELECT CAST(a AS BIGINT) FROM top3), -1) AS top_a,
+           COALESCE((SELECT CAST(b AS BIGINT) FROM top3), -1) AS top_b,
+           COALESCE((SELECT CAST(c AS BIGINT) FROM top3), -1) AS top_c,
+           COALESCE((SELECT CAST(sup AS BIGINT) FROM top3), 0)
+             AS top_support
+    """,
+    tags=("mining", "apriori", "frequent-itemsets"),
+)
+def apriori_triples_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apriori at level 3 (Agrawal & Srikant) — the anti-monotone
+    prune that makes frequent-itemset mining tractable: L1 (items with
+    support ≥ 5) shrinks the basket stream BEFORE the pair self-join,
+    L2 (pairs ≥ 2) generates level-3 candidates by the classic
+    prefix join L2⋈L2 PLUS the (b,c)∈L2 subset check, and only the
+    surviving candidates are counted against baskets (three keyed
+    joins against the candidate frame — at real scale a broadcast,
+    since pruning keeps C3 tiny regardless of corpus size; this is the
+    entire point of the algorithm). The per-level census plus the
+    (support, keys)-tiebroken top triple are exact integers; sentinel
+    −1/0 keeps the row hash-stable when no triple clears support.
+    Pair work is bounded by the shared basket cap."""
+    li = load_table(spark, sf_dir, "lineitem")
+    w = W.partitionBy("l_orderkey")
+    items = (
+        li.select("l_orderkey", "l_partkey")
+        .withColumn("_bsz", F.count("*").over(w))
+        .where(F.col("_bsz") <= COPURCHASE_MAX_BASKET)
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("i"))
+        .distinct()
+    )
+    l1 = (
+        items.groupBy("i")
+        .agg(F.count("*").alias("sup"))
+        .where(F.col("sup") >= 5)
+    )
+    items1 = items.join(l1.select("i"), "i").select("o", "i")
+    a, b = items1.alias("a"), items1.alias("b")
+    l2 = (
+        a.join(
+            b,
+            (F.col("a.o") == F.col("b.o")) & (F.col("a.i") < F.col("b.i")),
+        )
+        .groupBy(F.col("a.i").alias("u"), F.col("b.i").alias("v"))
+        .agg(F.count("*").alias("sup"))
+        .where(F.col("sup") >= 2)
+        .select("u", "v")
+        .localCheckpoint(eager=False)
+    )
+    p = l2.select(F.col("u").alias("pa"), F.col("v").alias("pb"))
+    q = l2.select(F.col("u").alias("qa"), F.col("v").alias("qc"))
+    r = l2.select(F.col("u").alias("rb"), F.col("v").alias("rc"))
+    c3 = (
+        p.join(q, (F.col("pa") == F.col("qa")) & (F.col("pb") < F.col("qc")))
+        .join(
+            r,
+            (F.col("rb") == F.col("pb")) & (F.col("rc") == F.col("qc")),
+        )
+        .select(
+            F.col("pa").alias("ca"),
+            F.col("pb").alias("cb"),
+            F.col("qc").alias("cc"),
+        )
+    )
+    x = items.select(F.col("o").alias("ox"), F.col("i").alias("ca"))
+    y = items.select(F.col("o").alias("oy"), F.col("i").alias("yb"))
+    z = items.select(F.col("o").alias("oz"), F.col("i").alias("zc"))
+    l3 = (
+        c3.join(x, "ca")
+        .join(
+            y,
+            (F.col("oy") == F.col("ox")) & (F.col("yb") == F.col("cb")),
+        )
+        .join(
+            z,
+            (F.col("oz") == F.col("ox")) & (F.col("zc") == F.col("cc")),
+        )
+        .groupBy("ca", "cb", "cc")
+        .agg(F.count("*").alias("sup"))
+        .where(F.col("sup") >= 2)
+    )
+    top3 = l3.orderBy(F.col("sup").desc(), "ca", "cb", "cc").limit(1)
+    stats = items.agg(
+        F.countDistinct("o").alias("n_baskets"),
+        F.countDistinct("i").alias("n_items"),
+    )
+    counts = (
+        stats.crossJoin(F.broadcast(l1.agg(F.count("*").alias("n_l1"))))
+        .crossJoin(F.broadcast(l2.agg(F.count("*").alias("n_l2"))))
+        .crossJoin(F.broadcast(c3.agg(F.count("*").alias("n_c3"))))
+        .crossJoin(F.broadcast(l3.agg(F.count("*").alias("n_l3"))))
+        .crossJoin(
+            F.broadcast(
+                top3.agg(
+                    F.coalesce(F.max("ca"), F.lit(-1)).alias("top_a"),
+                    F.coalesce(F.max("cb"), F.lit(-1)).alias("top_b"),
+                    F.coalesce(F.max("cc"), F.lit(-1)).alias("top_c"),
+                    F.coalesce(F.max("sup"), F.lit(0)).alias("top_support"),
+                )
+            )
+        )
+    )
+    return counts.select(
+        F.col("n_baskets").cast("long"),
+        F.col("n_items").cast("long"),
+        F.col("n_l1").cast("long"),
+        F.col("n_l2").cast("long"),
+        F.col("n_c3").cast("long"),
+        F.col("n_l3").cast("long"),
+        F.col("top_a").cast("long"),
+        F.col("top_b").cast("long"),
+        F.col("top_c").cast("long"),
+        F.col("top_support").cast("long"),
+    )

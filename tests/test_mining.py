@@ -294,3 +294,30 @@ def test_ktruss_peels_monotone_and_hand_graph(spark, tmp_path):
         >= r["n_after_round2"]
         >= r["n_after_round3"]
     )
+
+
+def test_apriori_prune_and_planted_triple(spark, tmp_path):
+    """Planted fixture: parts (1,2,3) appear together in 6 baskets
+    (clears every support gate), part 99 appears in ONE basket only
+    (pruned at L1, so no pair or triple containing it survives).
+    The census must reflect the funnel and the top triple must be
+    (1,2,3) with support 6."""
+    import pandas as pd
+
+    from data_seedling_spark.queries_mining import apriori_triples_census
+
+    rows = []
+    for o in range(6):
+        rows += [(o, 1), (o, 2), (o, 3)]
+    rows += [(100, 99), (100, 1)]
+    pd.DataFrame(rows, columns=["l_orderkey", "l_partkey"]).to_parquet(
+        str(tmp_path / "lineitem.parquet")
+    )
+    r = apriori_triples_census(spark, str(tmp_path)).collect()[0]
+    assert r["n_baskets"] == 7
+    assert r["n_items"] == 4
+    assert r["n_l1"] == 3          # 99 pruned (support 1 < 5)
+    assert r["n_l2"] == 3          # (1,2) (1,3) (2,3)
+    assert r["n_c3"] == 1 and r["n_l3"] == 1
+    assert (r["top_a"], r["top_b"], r["top_c"]) == (1, 2, 3)
+    assert r["top_support"] == 6
