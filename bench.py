@@ -191,6 +191,14 @@ HEADLINE = [
     "bandit_replay_offpolicy",
     "link_prediction_jaccard",
     "sequential_patterns_prefixspan",
+    "diff_in_diff_spend",
+    "ktruss_copurchase",
+    "logreg_cv_kfold",
+    "theil_sen_trend_revenue",
+    "phrase_search_positional",
+    "dp_randomized_response",
+    "permutation_importance_logreg",
+    "apriori_triples_census",
 ]
 
 
