@@ -7801,3 +7801,232 @@ def dp_randomized_response(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(true_rate, 6).alias("true_rate"),
         F.round(F.abs(est - true_rate), 6).alias("abs_error"),
     )
+
+
+@query(
+    "quantile_treatment_effect",
+    oracle="""
+    WITH per AS (
+      SELECT o_custkey,
+             CAST('0x' || substr(md5('arm:' || CAST(o_custkey AS VARCHAR)),
+                                 1, 8) AS BIGINT) % 2 AS arm,
+             CAST(SUM(CAST(ROUND(o_totalprice, 2) AS DECIMAL(18,2))) * 100
+                  AS BIGINT) AS cents
+      FROM orders GROUP BY o_custkey
+    ), r AS (
+      SELECT arm, cents,
+             ROW_NUMBER() OVER (PARTITION BY arm
+                                ORDER BY cents, o_custkey) AS rk,
+             COUNT(*) OVER (PARTITION BY arm) AS n
+      FROM per
+    ), med AS (
+      SELECT arm, cents, n FROM r WHERE rk = (n + 1) // 2
+    )
+    SELECT CAST(t.n AS BIGINT) AS n_treat, CAST(c.n AS BIGINT) AS n_ctrl,
+           round(t.cents / 100.0, 6) AS median_treat,
+           round(c.cents / 100.0, 6) AS median_ctrl,
+           round((t.cents - c.cents) / 100.0, 6) AS qte
+    FROM (SELECT * FROM med WHERE arm = 1) t
+    CROSS JOIN (SELECT * FROM med WHERE arm = 0) c
+    """,
+    tags=("statistics", "causal-inference", "quantile", "experimentation"),
+)
+def quantile_treatment_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile treatment effect at the median — the causal estimand
+    the mean-based z-test/CUPED/DiD family cannot see (heavy-tailed
+    spend makes means swing on whales; the median QTE is what a
+    pricing experiment actually shifts for the TYPICAL customer).
+    Per-customer lifetime spend is an exact cent integer; each arm's
+    median is the (n+1)/2-th order statistic with a (value, custkey)
+    tiebreak, selected by the range-bucketed exact rank
+    (``operators.sampling.range_rank``, $1000 buckets): per-bucket
+    row_number + broadcast cumulative offsets — NO arm-sized global
+    sort, the same machinery the conformal and KLL queries use. The
+    effect is one integer subtraction.
+    Scale: one grouped pass to customer totals, then two
+    bucket-partitioned rank windows whose offset frames are bounded
+    by the price RANGE, not by N."""
+    from data_seedling_spark.operators.sampling import range_rank
+
+    arm = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(F.lit("arm:"), F.col("o_custkey").cast("string"))
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 2
+    )
+    per = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            (F.sum(F.round("o_totalprice", 2).cast("decimal(18,2)")) * 100)
+            .cast("long")
+            .alias("cents")
+        )
+        .select("o_custkey", arm.alias("arm"), "cents")
+    )
+
+    def arm_median(df, label):
+        n = df.agg(F.count("*").alias("n"))
+        ranked = range_rank(
+            df,
+            "cents",
+            ("o_custkey",),
+            bucket_expr=F.floor(F.col("cents") / 100000),
+        )
+        return (
+            ranked.crossJoin(F.broadcast(n))
+            .where(F.col("rank") == F.expr("(n + 1) DIV 2"))
+            .select(
+                F.col("n").alias(f"n_{label}"),
+                F.col("cents").alias(f"cents_{label}"),
+            )
+        )
+    t = arm_median(per.where(F.col("arm") == 1), "treat")
+    c = arm_median(per.where(F.col("arm") == 0), "ctrl")
+    return t.crossJoin(F.broadcast(c)).select(
+        F.col("n_treat").cast("long"),
+        F.col("n_ctrl").cast("long"),
+        F.round(F.col("cents_treat") / 100.0, 6).alias("median_treat"),
+        F.round(F.col("cents_ctrl") / 100.0, 6).alias("median_ctrl"),
+        F.round(
+            (F.col("cents_treat") - F.col("cents_ctrl")) / 100.0, 6
+        ).alias("qte"),
+    )
+
+
+#: BH critical lattice for m=5 tests at FDR alpha=0.05: the k-th
+#: smallest p-value is rejected iff p_(k) <= alpha*k/m, i.e. iff
+#: |z|_(k) >= PHI^-1(1 - alpha*k/(2m)). Literal protocol constants
+#: shared by both engines (two-sided).
+_BH_CRIT = (
+    2.5758293035489004,  # k=1: 1 - 0.005
+    2.3263478740408408,  # k=2: 1 - 0.010
+    2.1700903775845606,  # k=3: 1 - 0.015
+    2.0537489106318225,  # k=4: 1 - 0.020
+    1.959963984540054,   # k=5: 1 - 0.025
+)
+
+
+@query(
+    "multiple_testing_bh",
+    oracle=f"""
+    WITH lab AS (
+      SELECT c.c_mktsegment AS seg,
+             CAST(o.o_orderpriority = '1-URGENT' AS INT) AS y
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    ), per AS (
+      SELECT seg, COUNT(*) AS n, SUM(y) AS x FROM lab GROUP BY seg
+    ), tot AS (
+      SELECT SUM(n) AS tn, SUM(x) AS tx FROM per
+    ), z AS (
+      SELECT seg, n, x,
+             (CAST(x AS DOUBLE) / n
+              - CAST(tx - x AS DOUBLE) / (tn - n))
+             / sqrt((CAST(tx AS DOUBLE) / tn)
+                    * (1 - CAST(tx AS DOUBLE) / tn)
+                    * (1.0 / n + 1.0 / (tn - n))) AS zval
+      FROM per CROSS JOIN tot
+    ), ranked AS (
+      SELECT seg, n, x, zval,
+             ROW_NUMBER() OVER (ORDER BY abs(zval) DESC, seg) AS rk
+      FROM z
+    ), crit AS (
+      SELECT *,
+             CASE rk WHEN 1 THEN {_BH_CRIT[0]!r} WHEN 2 THEN {_BH_CRIT[1]!r}
+                     WHEN 3 THEN {_BH_CRIT[2]!r} WHEN 4 THEN {_BH_CRIT[3]!r}
+                     ELSE {_BH_CRIT[4]!r} END AS zcrit
+      FROM ranked
+    ), kmax AS (
+      SELECT COALESCE(MAX(CASE WHEN abs(zval) >= zcrit THEN rk END), 0)
+               AS km
+      FROM crit
+    )
+    SELECT c.seg AS segment, CAST(c.n AS BIGINT) AS n,
+           CAST(c.x AS BIGINT) AS n_urgent,
+           round(c.zval, 6) AS z, CAST(c.rk AS INT) AS rank,
+           round(c.zcrit, 6) AS z_critical,
+           CAST(c.rk <= k.km AS INT) AS rejected
+    FROM crit c CROSS JOIN kmax k
+    ORDER BY c.rk
+    """,
+    tags=("statistics", "multiple-testing", "experimentation"),
+)
+def multiple_testing_bh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini–Hochberg FDR control — what separates a metrics
+    platform from a p-hacking machine: five simultaneous two-proportion
+    z-tests (is each market segment's urgent-order rate different from
+    the rest?) adjusted by the BH step-up rule. p-value sorting is
+    equivalent to |z| sorting, so the rule is expressed on the z scale
+    against a LITERAL critical lattice Φ⁻¹(1 − αk/2m) shared by both
+    engines: reject every rank ≤ max{{k : |z|₍ₖ₎ ≥ crit_k}} — the
+    step-up (which can rescue a test its own rank would fail) is one
+    conditional MAX over the 5-row frame. z statistics are fixed
+    double expressions over integer counts; the only windows live on
+    the 5-row test frame.
+    Scale: one fact join + 5-group count; the testing machinery is
+    O(m), independent of data volume."""
+    from pyspark.sql.window import Window as W
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    lab = orders.join(
+        F.broadcast(cust.select("c_custkey", "c_mktsegment")),
+        orders.o_custkey == F.col("c_custkey"),
+    ).select(
+        F.col("c_mktsegment").alias("seg"),
+        (F.col("o_orderpriority") == "1-URGENT").cast("int").alias("y"),
+    )
+    per = lab.groupBy("seg").agg(
+        F.count("*").alias("n"), F.sum("y").alias("x")
+    )
+    tot = per.agg(F.sum("n").alias("tn"), F.sum("x").alias("tx"))
+    p1 = F.col("x").cast("double") / F.col("n")
+    p2 = (F.col("tx") - F.col("x")).cast("double") / (
+        F.col("tn") - F.col("n")
+    )
+    pool = F.col("tx").cast("double") / F.col("tn")
+    zval = (p1 - p2) / F.sqrt(
+        pool * (1 - pool) * (1.0 / F.col("n") + 1.0 / (F.col("tn") - F.col("n")))
+    )
+    z = per.crossJoin(F.broadcast(tot)).select(
+        "seg", "n", "x", zval.alias("zval")
+    )
+    ranked = z.withColumn(
+        "rk",
+        F.row_number().over(W.orderBy(F.abs("zval").desc(), "seg")),
+    )
+    crit_expr = (
+        F.when(F.col("rk") == 1, F.lit(_BH_CRIT[0]))
+        .when(F.col("rk") == 2, F.lit(_BH_CRIT[1]))
+        .when(F.col("rk") == 3, F.lit(_BH_CRIT[2]))
+        .when(F.col("rk") == 4, F.lit(_BH_CRIT[3]))
+        .otherwise(F.lit(_BH_CRIT[4]))
+    )
+    crit = ranked.withColumn("zcrit", crit_expr)
+    kmax = crit.agg(
+        F.coalesce(
+            F.max(F.when(F.abs("zval") >= F.col("zcrit"), F.col("rk"))),
+            F.lit(0),
+        ).alias("km")
+    )
+    return (
+        crit.crossJoin(F.broadcast(kmax))
+        .select(
+            F.col("seg").alias("segment"),
+            F.col("n").cast("long"),
+            F.col("x").cast("long").alias("n_urgent"),
+            F.round("zval", 6).alias("z"),
+            F.col("rk").cast("int").alias("rank"),
+            F.round("zcrit", 6).alias("z_critical"),
+            (F.col("rk") <= F.col("km")).cast("int").alias("rejected"),
+        )
+        .orderBy("rank")
+    )

@@ -1821,3 +1821,153 @@ def apriori_triples_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("top_c").cast("long"),
         F.col("top_support").cast("long"),
     )
+
+
+@query(
+    "recommender_hitrate_temporal",
+    oracle=f"""
+    WITH li_o AS (
+      SELECT l.l_orderkey, l.l_partkey, o.o_custkey, o.o_orderdate
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    ), pre AS (
+      SELECT * FROM li_o WHERE o_orderdate < TIMESTAMP '1997-01-01'
+    ), post AS (
+      SELECT DISTINCT o_custkey, l_partkey FROM li_o
+      WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+    ), pre_capped AS (
+      SELECT l_orderkey, l_partkey FROM (
+        SELECT l_orderkey, l_partkey,
+               COUNT(*) OVER (PARTITION BY l_orderkey) AS bsz
+        FROM pre
+      ) WHERE bsz <= {COPURCHASE_MAX_BASKET}
+    ), co AS (
+      SELECT a.l_partkey AS u, b.l_partkey AS v,
+             COUNT(DISTINCT a.l_orderkey) AS c
+      FROM pre_capped a JOIN pre_capped b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY a.l_partkey, b.l_partkey
+    ), sym AS (
+      SELECT u AS src, v AS dst, c FROM co
+      UNION ALL SELECT v AS src, u AS dst, c FROM co
+    ), top10 AS (
+      SELECT src, dst FROM (
+        SELECT src, dst,
+               ROW_NUMBER() OVER (PARTITION BY src
+                                  ORDER BY c DESC, dst) AS rk
+        FROM sym
+      ) WHERE rk <= 10
+    ), qitem AS (
+      SELECT o_custkey, l_partkey AS q FROM (
+        SELECT o_custkey, l_partkey,
+               ROW_NUMBER() OVER (PARTITION BY o_custkey
+                 ORDER BY o_orderdate DESC, l_orderkey DESC,
+                          l_partkey DESC) AS rk
+        FROM pre
+      ) WHERE rk = 1
+    ), eval_users AS (
+      SELECT q.o_custkey, q.q FROM qitem q
+      WHERE q.o_custkey IN (SELECT o_custkey FROM post)
+    ), hits AS (
+      SELECT e.o_custkey,
+             MAX(CASE WHEN p.l_partkey IS NOT NULL THEN 1 ELSE 0 END) AS hit
+      FROM eval_users e
+      LEFT JOIN top10 t ON t.src = e.q
+      LEFT JOIN post p ON p.o_custkey = e.o_custkey
+                      AND p.l_partkey = t.dst
+      GROUP BY e.o_custkey
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_eval_users,
+           CAST(SUM(hit) AS BIGINT) AS n_hits,
+           round(CAST(SUM(hit) AS DOUBLE) / COUNT(*), 6) AS hit_rate
+    FROM hits
+    """,
+    tags=("recommendation", "evaluation", "temporal"),
+)
+def recommender_hitrate_temporal(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Hit-rate@10 with an honest TEMPORAL split — the offline
+    recommender eval done right: the item-item co-occurrence model is
+    trained ONLY on pre-1997 baskets, each eval customer's query item
+    is their last pre-split purchase, and a hit means any of their
+    actual POST-split purchases appears in the query item's top-10
+    co-occurrence neighbors. No leakage: future baskets never touch
+    the model. The top-10-per-item window is rank-limited per
+    partition key (Spark's WindowGroupLimit pushes the cutoff
+    map-side — each item forwards ≤10 neighbors into the shuffle),
+    pair counting is basket-capped, and hit accounting is one
+    left-join aggregate of integer flags — hash-exact.
+    Scale: model ∝ co-pair counts (capped), eval ∝ customers; the
+    per-item window never globally sorts."""
+    from pyspark.sql.window import Window as W2
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    cut = F.lit("1997-01-01").cast("timestamp")
+    li_o = li.join(orders, li.l_orderkey == orders.o_orderkey)
+    pre = li_o.where(F.col("o_orderdate") < cut)
+    post = (
+        li_o.where(F.col("o_orderdate") >= cut)
+        .select("o_custkey", "l_partkey")
+        .distinct()
+    )
+    co = (
+        copurchase_pairs(pre.select("l_orderkey", "l_partkey"))
+        .groupBy("u", "v")
+        .agg(F.countDistinct("o").alias("c"))
+    )
+    sym = co.select(
+        F.col("u").alias("src"), F.col("v").alias("dst"), "c"
+    ).unionByName(
+        co.select(F.col("v").alias("src"), F.col("u").alias("dst"), "c")
+    )
+    top10 = (
+        sym.withColumn(
+            "rk",
+            F.row_number().over(
+                W2.partitionBy("src").orderBy(F.col("c").desc(), "dst")
+            ),
+        )
+        .where(F.col("rk") <= 10)
+        .select("src", "dst")
+    )
+    qitem = (
+        pre.withColumn(
+            "rk",
+            F.row_number().over(
+                W2.partitionBy("o_custkey").orderBy(
+                    F.col("o_orderdate").desc(),
+                    F.col("l_orderkey").desc(),
+                    F.col("l_partkey").desc(),
+                )
+            ),
+        )
+        .where(F.col("rk") == 1)
+        .select("o_custkey", F.col("l_partkey").alias("q"))
+    )
+    eval_users = qitem.join(
+        post.select("o_custkey").distinct(), "o_custkey", "left_semi"
+    )
+    recs = eval_users.join(
+        top10, F.col("q") == F.col("src"), "left"
+    ).select("o_custkey", "dst")
+    hit_rows = recs.join(
+        post.select(
+            F.col("o_custkey").alias("pc"), F.col("l_partkey").alias("pp")
+        ),
+        (F.col("pc") == F.col("o_custkey")) & (F.col("pp") == F.col("dst")),
+        "left",
+    ).groupBy("o_custkey").agg(
+        F.max(F.col("pp").isNotNull().cast("int")).alias("hit")
+    )
+    return hit_rows.agg(
+        F.count("*").cast("long").alias("n_eval_users"),
+        F.sum("hit").cast("long").alias("n_hits"),
+        F.round(
+            F.sum("hit").cast("double") / F.count("*"), 6
+        ).alias("hit_rate"),
+    )

@@ -553,3 +553,78 @@ def test_randomized_response_debias_identity(spark):
     assert abs(r["rr_estimate"] - ident) < 2e-6
     assert abs(r["abs_error"]) < 0.15
     assert 0 < r["true_rate"] < 1
+
+
+def test_qte_medians_match_numpy_lower_median(spark):
+    """Each arm's reported median must equal the numpy lower median
+    of that arm's per-customer cent totals."""
+    import numpy as np
+
+    from data_seedling_spark.queries_analytics import (
+        quantile_treatment_effect,
+    )
+    from tests.conftest import SF_SMOKE
+
+    r = quantile_treatment_effect(spark, SF_SMOKE).collect()[0]
+    import hashlib
+
+    orders = spark.read.parquet(f"{SF_SMOKE}/orders.parquet").collect()
+    from collections import defaultdict
+    from decimal import Decimal
+
+    per = defaultdict(Decimal)
+    for o in orders:
+        per[o["o_custkey"]] += Decimal(str(round(o["o_totalprice"], 2)))
+    arms = defaultdict(list)
+    for ck, cents in per.items():
+        arm = int(hashlib.md5(f"arm:{ck}".encode()).hexdigest()[:8], 16) % 2
+        arms[arm].append(int(cents * 100))
+    for arm, label in ((1, "median_treat"), (0, "median_ctrl")):
+        vals = sorted(arms[arm])
+        lower_med = vals[(len(vals) + 1) // 2 - 1]
+        assert abs(r[label] - lower_med / 100.0) < 1e-6, label
+    assert abs(r["qte"] - round(r["median_treat"] - r["median_ctrl"], 6)) < 1e-6
+
+
+def test_bh_stepup_monotone_and_rescue(spark):
+    """BH rejections must be a prefix of the |z| ranking (step-up:
+    everything at rank <= k_max is rejected, nothing after), and the
+    critical lattice must be decreasing in rank."""
+    from data_seedling_spark.queries_analytics import multiple_testing_bh
+    from tests.conftest import SF_SMOKE
+
+    rows = multiple_testing_bh(spark, SF_SMOKE).collect()
+    assert [r["rank"] for r in rows] == [1, 2, 3, 4, 5]
+    crits = [r["z_critical"] for r in rows]
+    assert all(a > b for a, b in zip(crits, crits[1:]))
+    rejected = [r["rejected"] for r in rows]
+    # prefix property: once a 0 appears, no later 1
+    assert "10" not in "".join(map(str, rejected)).lstrip("1")[:0] or True
+    seen_zero = False
+    for flag in rejected:
+        if flag == 0:
+            seen_zero = True
+        assert not (seen_zero and flag == 1)
+    zs = [abs(r["z"]) for r in rows]
+    assert all(a >= b - 1e-9 for a, b in zip(zs, zs[1:]))
+
+
+def test_recommender_hitrate_bounds_and_leakfree_shape(spark):
+    """0 <= hits <= eval users; every eval user must have both a pre-
+    and post-split purchase (recomputed)."""
+    from data_seedling_spark.queries_mining import (
+        recommender_hitrate_temporal,
+    )
+    from tests.conftest import SF_SMOKE
+
+    r = recommender_hitrate_temporal(spark, SF_SMOKE).collect()[0]
+    assert 0 <= r["n_hits"] <= r["n_eval_users"]
+    li = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
+    orders = spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+    j = li.join(orders, li.l_orderkey == orders.o_orderkey)
+    cut = F.lit("1997-01-01").cast("timestamp")
+    pre_u = {x["o_custkey"] for x in j.where(F.col("o_orderdate") < cut)
+             .select("o_custkey").distinct().collect()}
+    post_u = {x["o_custkey"] for x in j.where(F.col("o_orderdate") >= cut)
+              .select("o_custkey").distinct().collect()}
+    assert r["n_eval_users"] == len(pre_u & post_u)
