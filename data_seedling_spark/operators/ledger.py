@@ -934,6 +934,96 @@ class VersionedTable:
             snapshot, mode="overwrite", collect_stats=collect_stats
         )
 
+    # ------------------------------------------------------------------
+    # Write-Audit-Publish (WAP): stage invisibly, audit with arbitrary
+    # cross-frame checks (staged vs live), publish without rewriting.
+    # ------------------------------------------------------------------
+
+    def _staging_dir(self, staging_id: str) -> str:
+        return os.path.join(self.path, "_staging", staging_id)
+
+    def stage(self, df: DataFrame, staging_id: str) -> str:
+        """WAP step 1: materialise ``df`` under ``_staging/<id>`` —
+        durable and re-readable, but INVISIBLE to every reader (the
+        ledger never references staging paths; ``read``/CDC/time
+        travel cannot see it). Unlike ``write(constraints=...)`` — a
+        row-predicate gate inside one commit — staging decouples the
+        expensive write from the audit, so audits can be arbitrary
+        queries (staged vs LIVE comparisons, distribution drift,
+        row-count deltas) run minutes later, by another process, or by
+        a human. Returns the staged path. Restaging the same id
+        overwrites (idempotent retry)."""
+        if self.commits():
+            self._validate_schema(df)
+        sdir = self._staging_dir(staging_id)
+        self._shape(strip_reserved_columns(df)).write.mode(
+            "overwrite"
+        ).parquet(sdir)
+        return sdir
+
+    def read_staged(self, staging_id: str) -> DataFrame:
+        """The audit surface: the staged snapshot, exactly as it would
+        publish."""
+        sdir = self._staging_dir(staging_id)
+        if not os.path.isdir(sdir):
+            raise NoSuchVersionError(f"no staged write {staging_id!r}")
+        return self.spark.read.parquet(sdir)
+
+    def publish_staged(
+        self,
+        staging_id: str,
+        audits: dict[str, "object"] | None = None,
+        mode: str = "append",
+    ) -> int:
+        """WAP step 3: run ``audits`` (name → callable
+        ``(staged_df, live_df) -> bool``; live is the CURRENT snapshot,
+        or an empty frame for a first publish) and, only if ALL pass,
+        commit the staged directory as the next version by a
+        data-movement-free rename under the standard OCC claim. On any
+        audit failure the staged data is kept for inspection and
+        nothing becomes visible; on a crash after stage and before
+        publish the table is untouched (staging is outside the
+        ledger). Publishing consumes the staging id."""
+        sdir = self._staging_dir(staging_id)
+        staged = self.read_staged(staging_id)
+        live = self.read() if self.commits() else self.empty_like_from(staged)
+        failed = {}
+        for name, check in (audits or {}).items():
+            if not check(staged, live):
+                failed[name] = False
+        if failed:
+            raise ConstraintViolationError(
+                f"publish of staged {staging_id!r} to {self.path} rejected; "
+                f"failed audits: {sorted(failed)}"
+            )
+        if mode not in ("append", "overwrite"):
+            raise ValueError(f"unsupported mode {mode!r}")
+        commits = self.commits()
+        version = (commits[-1].version if commits else -1) + 1
+        self._claim(version)
+        try:
+            os.rename(sdir, self._version_dir(version))
+            commits.append(Commit(version, mode, int(time.time() * 1000)))
+            self._write_ledger(commits)
+        except BaseException:
+            self._release_claim(version)
+            raise
+        return version
+
+    def empty_like_from(self, df: DataFrame) -> DataFrame:
+        """Empty frame with ``df``'s schema (first-publish audit
+        baseline)."""
+        return self.spark.createDataFrame([], df.schema)
+
+    def abort_staged(self, staging_id: str) -> None:
+        """WAP abort: drop the staged data; the table was never
+        touched."""
+        import shutil
+
+        sdir = self._staging_dir(staging_id)
+        if os.path.isdir(sdir):
+            shutil.rmtree(sdir)
+
 
 def _json_stat(v):
     """JSON-native form of a parquet statistic (numbers/strings pass

@@ -14,7 +14,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .operators.ledger import VersionedTable
+from .operators.ledger import ConstraintViolationError, VersionedTable
 from .queries import query
 from .tables import load_table
 
@@ -2617,3 +2617,63 @@ def sql_pipe_syntax_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
            GROUP BY l_returnflag, l_linestatus
         |> ORDER BY l_returnflag, l_linestatus
     """)
+
+
+@query(
+    "wap_publish_pipeline",
+    oracle="""
+    WITH inc1 AS (
+      SELECT event_id, user_id, event_type FROM events WHERE event_id % 2 = 0
+    ), inc2 AS (
+      SELECT event_id, user_id, event_type FROM events WHERE event_id % 2 = 1
+    )
+    SELECT event_id, user_id, event_type FROM inc1
+    UNION ALL
+    SELECT event_id, user_id, event_type FROM inc2
+    """,
+    tags=("S6", "wap", "quality", "ledger"),
+)
+def wap_publish_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-Audit-Publish end to end (the Iceberg/Netflix staging
+    pattern; reference quality scope: datalake write path): two
+    increments stage invisibly under the table, each is audited with
+    CROSS-FRAME checks the in-commit constraint gate cannot express —
+    staged row count vs live (mass-delete guard), no event_id already
+    live (duplicate-feed guard) — and only then published by a
+    data-movement-free rename commit. A third, poisoned increment
+    (duplicates of live keys) FAILS its audit, is aborted, and must
+    leave no trace. The returned frame is the published table read
+    back through the normal ledger reader; the oracle reproduces it as
+    pure SQL over the source — any audit misfire, ghost publish or
+    lost stage breaks the hash. Crash/OCC coverage:
+    ``tests/test_ledger.py`` WAP suite."""
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type"
+    )
+    base = tempfile.mkdtemp(prefix="wap_pub_")
+    t = VersionedTable(spark, f"{base}/tbl", write_partitions=4)
+    audits = {
+        "no_mass_delete": lambda staged, live: (
+            staged.count() >= 0.5 * max(live.count(), 1) or live.count() == 0
+        ),
+        "no_duplicate_ids": lambda staged, live: (
+            staged.join(live, "event_id", "left_semi").count() == 0
+        ),
+    }
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        t.stage(events.where(F.col("event_id") % 2 == 0), "inc-1")
+        t.publish_staged("inc-1", audits=audits)
+        t.stage(events.where(F.col("event_id") % 2 == 1), "inc-2")
+        t.publish_staged("inc-2", audits=audits)
+        # poisoned feed: re-sends rows that are already live
+        t.stage(events.where(F.col("event_id") % 10 == 0), "inc-3-dup")
+        try:
+            t.publish_staged("inc-3-dup", audits=audits)
+            raise AssertionError("duplicate feed must not publish")
+        except ConstraintViolationError:
+            t.abort_staged("inc-3-dup")
+        return t.read().select("event_id", "user_id", "event_type")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)

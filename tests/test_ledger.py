@@ -8,7 +8,12 @@ import pytest
 from pyspark.sql import Row
 from pyspark.sql import functions as F
 
-from data_seedling_spark.operators.ledger import NoSuchVersionError, VersionedTable
+from data_seedling_spark.operators.ledger import (
+    ConstraintViolationError,
+    NoSuchVersionError,
+    SchemaMismatchError,
+    VersionedTable,
+)
 from data_seedling_spark.operators.merge import (
     CHANGE_TYPE,
     CT_DELETE,
@@ -1099,3 +1104,93 @@ def test_hilbert_compact_clusters_both_columns(spark, tmp_table_dir):
     assert rows(t.read(), "payload") == rows(t.read(version=0), "payload")
     with pytest.raises(ValueError, match="either sort_by or cluster_by"):
         t.compact(sort_by=["x"], cluster_by=("x", "y"))
+
+
+def _wap_rows(spark, vals):
+    from pyspark.sql import Row
+
+    return spark.createDataFrame([Row(k=i, v=float(i)) for i in vals])
+
+
+def test_wap_staged_invisible_until_publish(spark, tmp_table_dir):
+    """Staged data must be unreadable through every reader surface
+    until publish; publish makes it the next version atomically."""
+    t = VersionedTable(spark, tmp_table_dir)
+    v0 = t.write(_wap_rows(spark, [1, 2]))
+    t.stage(_wap_rows(spark, [3, 4]), "batch-1")
+    assert t.latest_version() == v0
+    assert sorted(r["k"] for r in t.read().collect()) == [1, 2]
+    v1 = t.publish_staged(
+        "batch-1",
+        audits={
+            "nonempty": lambda staged, live: staged.count() > 0,
+            "no_shrink": lambda staged, live: staged.count() >= 0,
+        },
+    )
+    assert v1 == v0 + 1
+    assert sorted(r["k"] for r in t.read().collect()) == [1, 2, 3, 4]
+    # staging id is consumed
+    import pytest as _pytest
+
+    with _pytest.raises(NoSuchVersionError):
+        t.read_staged("batch-1")
+
+
+def test_wap_failed_audit_keeps_table_and_stage(spark, tmp_table_dir):
+    """A failing cross-frame audit (staged row count drops below 50%
+    of live) must block publish, leave the table untouched, and KEEP
+    the staged data for inspection; abort then discards it."""
+    import pytest as _pytest
+
+    t = VersionedTable(spark, tmp_table_dir)
+    t.write(_wap_rows(spark, [1, 2, 3, 4]))
+    t.stage(_wap_rows(spark, [9]), "suspicious")
+    with _pytest.raises(ConstraintViolationError) as e:
+        t.publish_staged(
+            "suspicious",
+            mode="overwrite",
+            audits={
+                "no_mass_delete": lambda staged, live: (
+                    staged.count() >= 0.5 * live.count()
+                )
+            },
+        )
+    assert "no_mass_delete" in str(e.value)
+    assert sorted(r["k"] for r in t.read().collect()) == [1, 2, 3, 4]
+    assert t.read_staged("suspicious").count() == 1
+    t.abort_staged("suspicious")
+    with _pytest.raises(NoSuchVersionError):
+        t.read_staged("suspicious")
+
+
+def test_wap_publish_occ_and_cdc_consistency(spark, tmp_table_dir):
+    """Publish goes through the standard OCC claim: a writer that
+    advances the table between stage and publish does not corrupt the
+    ledger — the publish lands as the NEXT version and CDC sees the
+    staged rows as that version's inserts."""
+    t = VersionedTable(spark, tmp_table_dir)
+    t.write(_wap_rows(spark, [1]))
+    t.stage(_wap_rows(spark, [7, 8]), "b")
+    t.write(_wap_rows(spark, [2]))  # interleaved writer advances to v1
+    v = t.publish_staged("b")
+    assert v == 2
+    changes = t.read_changes(v, v)
+    assert sorted(r["k"] for r in changes.collect()) == [7, 8]
+    assert all(r["_change_type"] == "insert" for r in changes.collect())
+
+
+def test_wap_first_publish_and_schema_gate(spark, tmp_table_dir):
+    """First publish works against an empty live baseline; staging a
+    mismatched schema into an existing table raises at STAGE time
+    (fail fast, before any audit spend)."""
+    import pytest as _pytest
+
+    t = VersionedTable(spark, tmp_table_dir)
+    t.stage(_wap_rows(spark, [1]), "init")
+    v = t.publish_staged(
+        "init", audits={"nonempty": lambda s, l: s.count() > l.count()}
+    )
+    assert v == 0
+    bad = spark.createDataFrame([(1, "x")], "k long, wrong string")
+    with _pytest.raises(SchemaMismatchError):
+        t.stage(bad, "bad-schema")
