@@ -8437,3 +8437,91 @@ def permutation_importance_logreg(
         )
         .orderBy("feature")
     )
+
+
+@query(
+    "binary_quantize_hamming_topk",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+    ), flat AS (
+      SELECT vec_id, unnest(emb) AS v, generate_subscripts(emb, 1) AS i
+      FROM e
+    ), bits AS (
+      SELECT vec_id,
+             SUM(CASE WHEN i <= 32 AND v > 0
+                      THEN (CAST(1 AS BIGINT) << (i - 1)) ELSE 0 END) AS w0,
+             SUM(CASE WHEN i > 32 AND v > 0
+                      THEN (CAST(1 AS BIGINT) << (i - 33)) ELSE 0 END) AS w1
+      FROM flat GROUP BY vec_id
+    ), probe AS (
+      SELECT vec_id AS pid, w0 AS p0, w1 AS p1 FROM bits
+      ORDER BY vec_id LIMIT 1
+    )
+    SELECT b.vec_id AS neighbor_id,
+           CAST(bit_count(xor(b.w0, p.p0))
+                + bit_count(xor(b.w1, p.p1)) AS INT) AS hamming
+    FROM bits b CROSS JOIN probe p
+    WHERE b.vec_id <> p.pid
+    ORDER BY hamming, b.vec_id
+    LIMIT 10
+    """,
+    tags=("embedding", "quantization", "similarity", "hamming"),
+)
+def binary_quantize_hamming_topk(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Binary (sign) embedding quantization with Hamming retrieval —
+    the 32× compression every billion-vector store reaches for before
+    PQ: each 64-dim float vector collapses to 64 sign bits packed into
+    two BIGINT words (32 bits per word — no sign-bit edge cases), and
+    nearest neighbors are ranked by popcount of XOR, a register-width
+    instruction instead of 64 multiplies. Packing is an integer
+    conditional sum of disjoint powers of two (exact in both engines);
+    Hamming distances are integers; the (distance, id)-tiebroken
+    top-10 for the smallest-id probe is engine-identical. Completes
+    the quantization ladder: int8 scalar → PQ/IVFPQ → binary.
+    Scale: quantization is one grouped pass (or a stateless projection
+    at 64 fixed terms); retrieval scans two BIGINTs per candidate —
+    bandwidth-bound at 16 bytes/vector vs 256 for floats — and the
+    probe ships as a 1-row broadcast."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "i0", "v"
+        ),
+    ).select("vec_id", (F.col("i0") + 1).alias("i"), "v")
+    bits = e.groupBy("vec_id").agg(
+        F.sum(
+            F.when(
+                (F.col("i") <= 32) & (F.col("v") > 0),
+                F.expr("shiftleft(CAST(1 AS BIGINT), CAST(i AS INT) - 1)"),
+            ).otherwise(F.lit(0))
+        ).alias("w0"),
+        F.sum(
+            F.when(
+                (F.col("i") > 32) & (F.col("v") > 0),
+                F.expr("shiftleft(CAST(1 AS BIGINT), CAST(i AS INT) - 33)"),
+            ).otherwise(F.lit(0))
+        ).alias("w1"),
+    )
+    probe = (
+        bits.orderBy("vec_id")
+        .limit(1)
+        .select(
+            F.col("vec_id").alias("pid"),
+            F.col("w0").alias("p0"),
+            F.col("w1").alias("p1"),
+        )
+    )
+    ham = (
+        F.bit_count(F.col("w0").bitwiseXOR(F.col("p0")))
+        + F.bit_count(F.col("w1").bitwiseXOR(F.col("p1")))
+    ).cast("int")
+    return (
+        bits.crossJoin(F.broadcast(probe))
+        .where(F.col("vec_id") != F.col("pid"))
+        .select(F.col("vec_id").alias("neighbor_id"), ham.alias("hamming"))
+        .orderBy("hamming", "neighbor_id")
+        .limit(10)
+    )

@@ -2490,3 +2490,27 @@ def test_permutation_importance_base_dominates(spark, tmp_path):
     drops = {r["feature"]: r["auc_drop"] for r in rows}
     assert drops["x1"] > 0.2
     assert drops["x1"] > max(v for k, v in drops.items() if k != "x1")
+
+
+def test_binary_hamming_identical_and_opposite_vectors(spark, tmp_path):
+    """Planted geometry: a copy of the probe must rank first at
+    Hamming 0; its sign-flip must land at distance 64; an orthogonal-
+    ish half-flip at 32."""
+    import pandas as pd
+
+    from data_seedling_spark.queries_llm import binary_quantize_hamming_topk
+
+    base = [1.0 if i % 3 else -1.0 for i in range(64)]
+    rows = [
+        (0, base, 0),                                  # probe (smallest id)
+        (1, base, 0),                                  # exact copy → ham 0
+        (2, [-x for x in base], 0),                    # flip → ham 64
+        (3, [x if i < 32 else -x for i, x in enumerate(base)], 0),  # 32
+    ]
+    pd.DataFrame(rows, columns=["vec_id", "embedding", "label"]).to_parquet(
+        str(tmp_path / "embeddings.parquet")
+    )
+    out = binary_quantize_hamming_topk(spark, str(tmp_path)).collect()
+    got = {r["neighbor_id"]: r["hamming"] for r in out}
+    assert got == {1: 0, 3: 32, 2: 64}
+    assert [r["neighbor_id"] for r in out] == [1, 3, 2]
