@@ -199,6 +199,11 @@ HEADLINE = [
     "dp_randomized_response",
     "permutation_importance_logreg",
     "apriori_triples_census",
+    "quantile_treatment_effect",
+    "recommender_hitrate_temporal",
+    "multiple_testing_bh",
+    "wap_publish_pipeline",
+    "binary_quantize_hamming_topk",
 ]
 
 
