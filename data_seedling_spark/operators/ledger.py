@@ -399,18 +399,64 @@ class VersionedTable:
     def update(self, condition, assignments: dict) -> int:
         """S10 point UPDATE (reference ``watermark.py:125-130``): new
         version with ``assignments`` applied where ``condition`` holds.
-        Read-modify-write guarded by ``expected_version``: if another
-        writer commits between this read and the write, the update
-        aborts with ConcurrentWriteConflictError instead of silently
-        dropping the concurrent rows."""
+        Read-modify-write: the target version is claimed first and the
+        update aborts with ConcurrentWriteConflictError if another
+        writer advanced the table, instead of silently dropping the
+        concurrent rows.
+
+        Delta CDF UPDATE parity: the commit records ROW-LEVEL change
+        images — each matched row as ``update_preimage`` (old values) +
+        ``update_postimage`` (new values) — and ``read_changes``
+        surfaces them verbatim, so CDC consumers see exactly what
+        changed instead of the coarse whole-snapshot delete+insert an
+        overwrite commit implies. Unmatched rows emit nothing. The
+        commit itself is a full snapshot (mode ``update`` is a base
+        for time travel, like overwrite/merge)."""
+        from .merge import CT_UPDATE_POST, CT_UPDATE_PRE
+
         expected = self.latest_version()
-        df = self.read()
-        updated = df
-        for col_name, value in assignments.items():
-            updated = updated.withColumn(
-                col_name, F.when(condition, value).otherwise(F.col(col_name))
+        commits = self.commits()
+        version = expected + 1
+        self._claim(version)
+        try:
+            if self.latest_version() != expected:
+                raise ConcurrentWriteConflictError(
+                    f"{self.path}: table advanced past version {expected} "
+                    "during update; re-read and retry"
+                )
+            df = self.read()
+            updated = df
+            for col_name, value in assignments.items():
+                updated = updated.withColumn(
+                    col_name,
+                    F.when(condition, value).otherwise(F.col(col_name)),
+                )
+            self._shape(strip_reserved_columns(updated)).write.mode(
+                "overwrite"
+            ).parquet(self._version_dir(version))
+            pre = df.where(condition)
+            post = pre
+            for col_name, value in assignments.items():
+                post = post.withColumn(col_name, value)
+            changes = pre.withColumn(CHANGE_TYPE, F.lit(CT_UPDATE_PRE)).unionByName(
+                post.withColumn(CHANGE_TYPE, F.lit(CT_UPDATE_POST))
             )
-        return self.write(updated, mode="overwrite", expected_version=expected)
+            self._shape(changes).write.mode("overwrite").parquet(
+                self._changes_dir(version)
+            )
+            commits.append(
+                Commit(
+                    version,
+                    "update",
+                    int(time.time() * 1000),
+                    has_changes_dir=True,
+                )
+            )
+            self._write_ledger(commits)
+        except BaseException:
+            self._release_claim(version)
+            raise
+        return version
 
     def _validate_schema(self, df: DataFrame, merge_schema: bool = False) -> None:
         """Delta-style schema validation on append (reference
@@ -450,7 +496,7 @@ class VersionedTable:
             raise NoSuchVersionError(f"{self.path}: no version <= {as_of}")
         base = 0
         for i, c in enumerate(commits):
-            if c.mode in ("overwrite", "merge"):
+            if c.mode in ("overwrite", "merge", "update"):
                 base = i
         return commits[base:]
 
@@ -786,7 +832,7 @@ class VersionedTable:
             if commit is None:
                 raise NoSuchVersionError(f"{self.path}: version {v} does not exist")
             ts = F.lit(commit.timestamp_ms).cast("long")
-            if commit.mode == "merge":
+            if commit.mode in ("merge", "update"):
                 chg = self.spark.read.parquet(self._changes_dir(v))
                 parts.append(
                     chg.withColumn(COMMIT_VERSION, F.lit(v).cast("long")).withColumn(

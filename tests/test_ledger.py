@@ -1194,3 +1194,51 @@ def test_wap_first_publish_and_schema_gate(spark, tmp_table_dir):
     bad = spark.createDataFrame([(1, "x")], "k long, wrong string")
     with _pytest.raises(SchemaMismatchError):
         t.stage(bad, "bad-schema")
+
+
+def test_update_emits_row_level_pre_post_images(spark, tmp_table_dir):
+    """Delta CDF UPDATE parity: only MATCHED rows appear in the feed,
+    once as update_preimage (old values) and once as update_postimage
+    (new values); the snapshot reflects the update and stays a time-
+    travel base."""
+    from data_seedling_spark.operators.merge import (
+        CHANGE_TYPE,
+        CT_UPDATE_POST,
+        CT_UPDATE_PRE,
+    )
+
+    t = VersionedTable(spark, tmp_table_dir)
+    t.write(_wap_rows(spark, [1, 2, 3]))
+    v = t.update(F.col("k") >= 2, {"v": F.lit(99.0)})
+    assert v == 1
+    snap = {r["k"]: r["v"] for r in t.read().collect()}
+    assert snap == {1: 1.0, 2: 99.0, 3: 99.0}
+    chg = t.read_changes(v, v).collect()
+    pre = sorted(
+        (r["k"], r["v"]) for r in chg if r[CHANGE_TYPE] == CT_UPDATE_PRE
+    )
+    post = sorted(
+        (r["k"], r["v"]) for r in chg if r[CHANGE_TYPE] == CT_UPDATE_POST
+    )
+    assert pre == [(2, 2.0), (3, 3.0)]
+    assert post == [(2, 99.0), (3, 99.0)]
+    assert len(chg) == 4  # unmatched row 1 emits nothing
+    # time travel: the update commit is a snapshot base
+    assert sorted(r["k"] for r in t.read(version=v).collect()) == [1, 2, 3]
+    assert sorted(r["k"] for r in t.read(version=0).collect()) == [1, 2, 3]
+    assert {r["v"] for r in t.read(version=0).collect()} == {1.0, 2.0, 3.0}
+
+
+def test_update_then_append_cdc_and_clone(spark, tmp_table_dir):
+    """The update commit composes with later appends in one change
+    range, and a shallow clone at the updated version reads the
+    updated values."""
+    t = VersionedTable(spark, tmp_table_dir)
+    t.write(_wap_rows(spark, [1]))
+    t.update(F.col("k") == 1, {"v": F.lit(-1.0)})
+    t.write(_wap_rows(spark, [5]), mode="append")
+    chg = t.read_changes(1, 2)
+    kinds = sorted(r["_change_type"] for r in chg.collect())
+    assert kinds == ["insert", "update_postimage", "update_preimage"]
+    clone = t.clone(str(tmp_table_dir) + "_c", version=1)
+    assert {r["v"] for r in clone.read().collect()} == {-1.0}
