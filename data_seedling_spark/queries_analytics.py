@@ -8030,3 +8030,220 @@ def multiple_testing_bh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rank")
     )
+
+
+_AMS_K = 16
+
+
+def _ams_sign_sql(j: int) -> str:
+    """±1 md5-coin sign for estimator ``j`` (shared literal protocol)."""
+    return (
+        f"(1 - 2 * (CAST('0x' || substr(md5('ams{j}:' "
+        f"|| CAST(l_partkey AS VARCHAR)), 1, 8) AS BIGINT) % 2))"
+    )
+
+
+@query(
+    "ams_f2_sketch",
+    oracle=f"""
+    WITH sk AS (
+      SELECT {", ".join(f"SUM({_ams_sign_sql(j)}) AS s{j}"
+                        for j in range(_AMS_K))}
+      FROM lineitem
+    ), est AS (
+      SELECT list_sort([{", ".join(f"s{j} * s{j}" for j in range(_AMS_K))}])
+               AS ests
+      FROM sk
+    ), exact AS (
+      SELECT SUM(c * c) AS f2 FROM (
+        SELECT COUNT(*) AS c FROM lineitem GROUP BY l_partkey
+      )
+    )
+    SELECT CAST(exact.f2 AS BIGINT) AS exact_f2,
+           CAST(ests[{(_AMS_K + 1) // 2}] AS BIGINT) AS ams_estimate,
+           CAST({_AMS_K} AS INT) AS n_estimators,
+           round(abs(CAST(ests[{(_AMS_K + 1) // 2}] AS DOUBLE) - exact.f2)
+                 / exact.f2, 6) AS rel_error
+    FROM est CROSS JOIN exact
+    """,
+    tags=("sketch", "streaming", "second-moment"),
+)
+def ams_f2_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AMS second-moment sketch (Alon–Matias–Szegedy, the Gödel-prize
+    origin of the streaming-sketch field): estimate F₂ = Σ freq(key)²
+    — the self-join size, the quantity a query optimizer needs before
+    choosing a join strategy — from 16 integers instead of a
+    per-key table. Each estimator keeps one running sum of md5-coin ±1
+    signs (a 4-universal-enough fixed hash family shared by both
+    engines), its square is an unbiased F₂ estimate, and the median of
+    the 16 squares is the reported value. Everything is integer
+    arithmetic end to end — the signed sums, the squares, the sorted
+    median — so the sketch is bit-identical across engines (the ONLY
+    exactly-reproducible sketch shape: sums commute). The exact F₂ is
+    computed alongside for the reported relative error.
+    Scale: one map-side-combinable pass carrying 16 longs per
+    partition, merge = addition — the canonical mergeable sketch; the
+    exact leg is one grouped count (which is exactly what the sketch
+    exists to avoid at 100 TB — reported here as the oracle of its
+    own error)."""
+
+    def sign(j: int):
+        return 1 - 2 * (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit(f"ams{j}:"),
+                            F.col("l_partkey").cast("string"),
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % 2
+        )
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey")
+    sk = li.agg(
+        *[F.sum(sign(j)).alias(f"s{j}") for j in range(_AMS_K)]
+    )
+    ests = F.sort_array(
+        F.array(*[(F.col(f"s{j}") * F.col(f"s{j}")) for j in range(_AMS_K)])
+    )
+    med = ests[(_AMS_K + 1) // 2 - 1]
+    exact = (
+        li.groupBy("l_partkey")
+        .count()
+        .agg(F.sum(F.col("count") * F.col("count")).alias("f2"))
+    )
+    return (
+        sk.select(med.alias("ams_estimate"))
+        .crossJoin(F.broadcast(exact))
+        .select(
+            F.col("f2").cast("long").alias("exact_f2"),
+            F.col("ams_estimate").cast("long"),
+            F.lit(_AMS_K).cast("int").alias("n_estimators"),
+            F.round(
+                F.abs(
+                    F.col("ams_estimate").cast("double") - F.col("f2")
+                )
+                / F.col("f2"),
+                6,
+            ).alias("rel_error"),
+        )
+    )
+
+
+@query(
+    "subclassification_ate",
+    oracle="""
+    WITH per AS (
+      SELECT o_custkey,
+             COUNT(*) AS n_orders,
+             CAST(MIN(EXTRACT(year FROM o_orderdate)) <= 1996 AS INT) AS t,
+             SUM(CAST(ROUND(o_totalprice, 2) AS DECIMAL(18,2))) AS spend
+      FROM orders GROUP BY o_custkey
+    ), banded AS (
+      SELECT LEAST((n_orders - 1) // 8, 4) AS band, t, spend FROM per
+    ), cells AS (
+      SELECT band,
+             COUNT(CASE WHEN t = 1 THEN 1 END) AS nt,
+             COUNT(CASE WHEN t = 0 THEN 1 END) AS nc,
+             SUM(CASE WHEN t = 1 THEN spend
+                      ELSE CAST(0.00 AS DECIMAL(18,2)) END) AS st,
+             SUM(CASE WHEN t = 0 THEN spend
+                      ELSE CAST(0.00 AS DECIMAL(18,2)) END) AS sc
+      FROM banded GROUP BY band
+    ), diffs AS (
+      SELECT band, nt, nc,
+             CAST(round(CAST(st AS DOUBLE) / nt
+                        - CAST(sc AS DOUBLE) / nc, 6)
+                  AS DECIMAL(18,6)) AS diff
+      FROM cells WHERE nt > 0 AND nc > 0
+    ), ate AS (
+      SELECT CAST(SUM(diff * (nt + nc)) AS DOUBLE) / SUM(nt + nc) AS a
+      FROM diffs
+    )
+    SELECT CAST(d.band AS INT) AS band,
+           CAST(d.nt AS BIGINT) AS n_treat, CAST(d.nc AS BIGINT) AS n_ctrl,
+           round(CAST(d.diff AS DOUBLE), 6) AS diff_spend,
+           round(ate.a, 6) AS ate_spend
+    FROM diffs d CROSS JOIN ate
+    ORDER BY d.band
+    """,
+    tags=("statistics", "causal-inference", "observational"),
+)
+def subclassification_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subclassification on a confounder (Cochran 1968 — the blocking
+    estimator propensity-score stratification generalizes): the
+    observational contrast \"do early-adopter customers (first order ≤
+    1996) spend more?\" is confounded by order count (longer tenure ⇒
+    both earlier first order and more spend), so customers are blocked
+    into five order-count bands and the treated-vs-control spend gap
+    is taken WITHIN bands, then combined weighted by band size —
+    adjusting away the confounder's between-band variation. Per-band
+    diffs land on the 1e-6 decimal grid before the weighted
+    combination (decimal × integer sums — addition-order-free), so the
+    ATE is hash-exact; bands missing either arm drop out, as the
+    estimator requires. One grouped pass to customer aggregates, one
+    5-cell conditional aggregate — no window wider than the band
+    frame, at any scale."""
+    per = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.count("*").alias("n_orders"),
+            (F.min(F.year("o_orderdate")) <= 1996).cast("int").alias("t"),
+            F.sum(F.round("o_totalprice", 2).cast("decimal(18,2)")).alias(
+                "spend"
+            ),
+        )
+    )
+    zero = F.lit("0.00").cast("decimal(18,2)")
+    banded = per.select(
+        F.least(F.expr("(n_orders - 1) DIV 8"), F.lit(4)).alias("band"),
+        "t",
+        "spend",
+    )
+    cells = banded.groupBy("band").agg(
+        F.count(F.when(F.col("t") == 1, 1)).alias("nt"),
+        F.count(F.when(F.col("t") == 0, 1)).alias("nc"),
+        F.sum(F.when(F.col("t") == 1, F.col("spend")).otherwise(zero)).alias(
+            "st"
+        ),
+        F.sum(F.when(F.col("t") == 0, F.col("spend")).otherwise(zero)).alias(
+            "sc"
+        ),
+    )
+    diffs = cells.where((F.col("nt") > 0) & (F.col("nc") > 0)).select(
+        "band",
+        "nt",
+        "nc",
+        F.round(
+            F.col("st").cast("double") / F.col("nt")
+            - F.col("sc").cast("double") / F.col("nc"),
+            6,
+        )
+        .cast("decimal(18,6)")
+        .alias("diff"),
+    )
+    ate = diffs.agg(
+        (
+            F.sum(F.col("diff") * (F.col("nt") + F.col("nc"))).cast("double")
+            / F.sum(F.col("nt") + F.col("nc"))
+        ).alias("a")
+    )
+    return (
+        diffs.crossJoin(F.broadcast(ate))
+        .select(
+            F.col("band").cast("int"),
+            F.col("nt").cast("long").alias("n_treat"),
+            F.col("nc").cast("long").alias("n_ctrl"),
+            F.round(F.col("diff").cast("double"), 6).alias("diff_spend"),
+            F.round("a", 6).alias("ate_spend"),
+        )
+        .orderBy("band")
+    )

@@ -2677,3 +2677,48 @@ def wap_publish_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         return t.read().select("event_id", "user_id", "event_type")
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+
+
+@query(
+    "update_cdc_images_roundtrip",
+    oracle="""
+    WITH base AS (
+      SELECT event_id, user_id, value FROM events
+    ), matched AS (
+      SELECT event_id, user_id, value FROM base WHERE user_id % 10 = 3
+    )
+    SELECT event_id, user_id, value, 'update_preimage' AS _change_type
+    FROM matched
+    UNION ALL
+    SELECT event_id, user_id, CAST(0.0 AS DOUBLE) AS value,
+           'update_postimage' AS _change_type
+    FROM matched
+    """,
+    tags=("S2", "S10", "cdc", "update"),
+)
+def update_cdc_images_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level UPDATE change images through the full ledger
+    round-trip (Delta CDF parity): load events into a versioned table,
+    run a point UPDATE (zero out the value of one user cohort), and
+    return what a CDC consumer reads for that commit — each matched
+    row exactly once as update_preimage with old values and once as
+    update_postimage with new, unmatched rows absent. The oracle
+    derives the same images as pure SQL over the source; any coarse
+    delete+insert fallback, double-emission or missed row breaks the
+    hash. Protocol-level crash/OCC coverage lives in
+    tests/test_ledger.py."""
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value"
+    )
+    base = tempfile.mkdtemp(prefix="upd_cdc_")
+    t = VersionedTable(spark, f"{base}/tbl", write_partitions=4)
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        t.write(events, mode="overwrite")
+        v = t.update(F.col("user_id") % 10 == 3, {"value": F.lit(0.0)})
+        return t.read_changes(v, v).select(
+            "event_id", "user_id", "value", "_change_type"
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)

@@ -628,3 +628,40 @@ def test_recommender_hitrate_bounds_and_leakfree_shape(spark):
     post_u = {x["o_custkey"] for x in j.where(F.col("o_orderdate") >= cut)
               .select("o_custkey").distinct().collect()}
     assert r["n_eval_users"] == len(pre_u & post_u)
+
+
+def test_ams_f2_concentration_and_exactness_of_sketch(spark):
+    """Each AMS estimator is unbiased with variance ≤ 2·F2²; the
+    16-way median should land within 60% of exact F2 on the smoke
+    data, and the reported error must equal |est − exact| / exact."""
+    from data_seedling_spark.queries_analytics import ams_f2_sketch
+    from tests.conftest import SF_SMOKE
+
+    r = ams_f2_sketch(spark, SF_SMOKE).collect()[0]
+    assert r["n_estimators"] == 16
+    assert r["exact_f2"] > 0 and r["ams_estimate"] > 0
+    rel = abs(r["ams_estimate"] - r["exact_f2"]) / r["exact_f2"]
+    assert abs(r["rel_error"] - round(rel, 6)) < 2e-6
+    assert rel < 0.6, rel
+
+
+def test_subclassification_weights_and_band_partition(spark):
+    """The combined ATE must equal the band-size-weighted mean of
+    the per-band diffs (recomputed), and every customer lands in
+    exactly one band."""
+    from data_seedling_spark.queries_analytics import subclassification_ate
+    from tests.conftest import SF_SMOKE
+
+    rows = subclassification_ate(spark, SF_SMOKE).collect()
+    assert rows
+    num = sum(r["diff_spend"] * (r["n_treat"] + r["n_ctrl"]) for r in rows)
+    den = sum(r["n_treat"] + r["n_ctrl"] for r in rows)
+    assert abs(rows[0]["ate_spend"] - num / den) < 5e-6
+    assert all(r["ate_spend"] == rows[0]["ate_spend"] for r in rows)
+    custs = (
+        spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+        .select("o_custkey")
+        .distinct()
+        .count()
+    )
+    assert den <= custs  # bands missing an arm drop out
