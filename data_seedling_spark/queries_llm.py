@@ -8525,3 +8525,121 @@ def binary_quantize_hamming_topk(
         .orderBy("hamming", "neighbor_id")
         .limit(10)
     )
+
+
+_RAKE_STOP = (
+    "the", "a", "an", "and", "or", "of", "to", "in", "on", "for",
+    "with", "is", "are", "was", "be", "as", "at", "by", "it", "that",
+)
+
+
+@query(
+    "rake_keyword_extraction",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(lower(text),
+                                                   '[^a-z0-9]+'),
+                                t -> t <> '')) AS tok,
+             generate_subscripts(list_filter(string_split_regex(lower(text),
+                                                                '[^a-z0-9]+'),
+                                             t -> t <> ''), 1) AS pos
+      FROM documents
+    ), cand AS (
+      SELECT doc_id, tok, pos,
+             pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos)
+               AS grp
+      FROM toks
+      WHERE tok NOT IN ({", ".join(f"'{w}'" for w in _RAKE_STOP)})
+    ), phr AS (
+      SELECT doc_id, grp,
+             string_agg(tok, ' ' ORDER BY pos) AS phrase,
+             COUNT(*) AS nwords
+      FROM cand GROUP BY doc_id, grp
+      HAVING COUNT(*) <= 4
+    ), member AS (
+      SELECT c.doc_id, c.grp, c.tok, p.nwords
+      FROM cand c JOIN phr p ON p.doc_id = c.doc_id AND p.grp = c.grp
+    ), wstat AS (
+      SELECT tok, SUM(nwords) AS deg FROM member GROUP BY tok
+    ), scored AS (
+      SELECT m.doc_id, m.grp, SUM(w.deg) AS score
+      FROM member m JOIN wstat w ON w.tok = m.tok
+      GROUP BY m.doc_id, m.grp
+    )
+    SELECT p.phrase, CAST(MAX(s.score) AS BIGINT) AS score,
+           CAST(COUNT(*) AS BIGINT) AS support
+    FROM phr p JOIN scored s ON s.doc_id = p.doc_id AND s.grp = p.grp
+    GROUP BY p.phrase
+    ORDER BY score DESC, support DESC, phrase
+    LIMIT 15
+    """,
+    tags=("text", "keywords", "rake"),
+)
+def rake_keyword_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword extraction (Rose et al.) in its integer degree-sum
+    form: candidate phrases are the maximal stopword-free token runs
+    (the gaps-and-islands pos − row_number trick, windows partitioned
+    per doc), each word's degree is the total length of every phrase
+    it appears in (co-occurrence degree, counting itself), and a
+    phrase scores the SUM of its members' degrees — multi-word domain
+    terms outscore frequent single words, which is the whole point of
+    RAKE. Degrees, scores and supports are exact integer counts (the
+    float deg/freq ratio of the original is deliberately replaced by
+    the documented degree-sum variant so the ranking is
+    addition-order-free); identical phrase texts share identical
+    member stats, so MAX(score) per phrase is exact dedup, not
+    approximation. Phrases cap at 4 words.
+    Scale: tokenize → per-doc windows → three grouped joins keyed by
+    (doc, phrase-island) and word — map-side combinable throughout,
+    vocabulary-sized aggregates at the end."""
+    from pyspark.sql.window import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.filter(
+                F.split(F.lower("text"), "[^a-z0-9]+"),
+                lambda t: t != F.lit(""),
+            )
+        ).alias("pos0", "tok"),
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok")
+    cand = toks.where(~F.col("tok").isin(*_RAKE_STOP)).withColumn(
+        "grp",
+        F.col("pos")
+        - F.row_number().over(W.partitionBy("doc_id").orderBy("pos")),
+    )
+    phr = (
+        cand.groupBy("doc_id", "grp")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                    lambda s: s.tok,
+                ),
+                " ",
+            ).alias("phrase"),
+            F.count("*").alias("nwords"),
+        )
+        .where(F.col("nwords") <= 4)
+    )
+    member = cand.join(phr, ["doc_id", "grp"]).select(
+        "doc_id", "grp", "tok", "nwords"
+    )
+    wstat = member.groupBy("tok").agg(F.sum("nwords").alias("deg"))
+    scored = (
+        member.join(wstat, "tok")
+        .groupBy("doc_id", "grp")
+        .agg(F.sum("deg").alias("score"))
+    )
+    return (
+        phr.join(scored, ["doc_id", "grp"])
+        .groupBy("phrase")
+        .agg(
+            F.max("score").cast("long").alias("score"),
+            F.count("*").cast("long").alias("support"),
+        )
+        .orderBy(F.col("score").desc(), F.col("support").desc(), "phrase")
+        .limit(15)
+    )

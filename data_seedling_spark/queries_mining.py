@@ -1971,3 +1971,103 @@ def recommender_hitrate_temporal(
             F.sum("hit").cast("double") / F.count("*"), 6
         ).alias("hit_rate"),
     )
+
+
+def _hits_round_sql(i: int) -> str:
+    """One unrolled HITS round: authority = sum of incident hub
+    scores, hub = sum of incident (fresh) authority scores, each
+    max-normalized back to the 1e6 integer grid (integer division —
+    exact, order-free)."""
+    return f""", a{i}_raw AS (
+      SELECT e.p, SUM(h.s) AS s FROM edges e
+      JOIN h{i - 1} h ON h.c = e.c GROUP BY e.p
+    ), a{i} AS (
+      SELECT p, CAST(s * 1000000 // (SELECT MAX(s) FROM a{i}_raw) AS BIGINT)
+               AS s
+      FROM a{i}_raw
+    ), h{i}_raw AS (
+      SELECT e.c, SUM(a.s) AS s FROM edges e
+      JOIN a{i} a ON a.p = e.p GROUP BY e.c
+    ), h{i} AS (
+      SELECT c, CAST(s * 1000000 // (SELECT MAX(s) FROM h{i}_raw) AS BIGINT)
+               AS s
+      FROM h{i}_raw
+    )"""
+
+
+@query(
+    "hits_bipartite_copurchase",
+    oracle=f"""
+    WITH edges AS (
+      SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    ), h0 AS (
+      SELECT DISTINCT c, CAST(1000000 AS BIGINT) AS s FROM edges
+    ){_hits_round_sql(1)}{_hits_round_sql(2)}{_hits_round_sql(3)}
+    SELECT CAST(p AS BIGINT) AS part, CAST(s AS BIGINT) AS authority_micro
+    FROM a3 ORDER BY s DESC, p LIMIT 10
+    """,
+    tags=("graph", "hits", "centrality", "bipartite"),
+)
+def hits_bipartite_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS (Kleinberg's hubs-and-authorities) on the bipartite
+    customer→part purchase graph: a part is authoritative when bought
+    by strong hub customers, a customer is a hub when they buy
+    authoritative parts — the mutually recursive centrality that plain
+    degree (popularity) cannot express. Three bounded rounds in
+    INTEGER MICRO-UNITS, the pagerank_integer protocol: each round's
+    scores are integer sums over the edge frame, max-normalized back
+    to the 1e6 grid by integer division — order-free, bit-identical
+    across engines, no floats anywhere. Returns the top-10 authorities
+    with (score, part) tiebreak.
+    Scale: each round is two edge-keyed join+sum shuffles (degree-
+    linear — HITS needs no basket self-join, so no cap is required)
+    plus a 1-row max broadcast; rounds are localCheckpointed so
+    lineage stays flat."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    edges = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    h = edges.select("c").distinct().withColumn(
+        "s", F.lit(1000000).cast("long")
+    )
+    a = None
+    for _ in range(3):
+        a_raw = (
+            edges.join(h.withColumnRenamed("s", "hs"), "c")
+            .groupBy("p")
+            .agg(F.sum("hs").alias("s"))
+        )
+        amax = a_raw.agg(F.max("s").alias("mx"))
+        a = (
+            a_raw.crossJoin(F.broadcast(amax))
+            .select("p", F.expr("CAST(s * 1000000 DIV mx AS BIGINT)").alias("s"))
+            .localCheckpoint(eager=False)
+        )
+        h_raw = (
+            edges.join(a.withColumnRenamed("s", "as_"), "p")
+            .groupBy("c")
+            .agg(F.sum("as_").alias("s"))
+        )
+        hmax = h_raw.agg(F.max("s").alias("mx"))
+        h = (
+            h_raw.crossJoin(F.broadcast(hmax))
+            .select("c", F.expr("CAST(s * 1000000 DIV mx AS BIGINT)").alias("s"))
+            .localCheckpoint(eager=False)
+        )
+    return (
+        a.orderBy(F.col("s").desc(), "p")
+        .limit(10)
+        .select(
+            F.col("p").cast("long").alias("part"),
+            F.col("s").cast("long").alias("authority_micro"),
+        )
+    )

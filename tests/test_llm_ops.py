@@ -2514,3 +2514,39 @@ def test_binary_hamming_identical_and_opposite_vectors(spark, tmp_path):
     got = {r["neighbor_id"]: r["hamming"] for r in out}
     assert got == {1: 0, 3: 32, 2: 64}
     assert [r["neighbor_id"] for r in out] == [1, 3, 2]
+
+
+def test_rake_prefers_multiword_domain_terms(spark, tmp_path):
+    """Planted corpus: 'gradient descent' appears as a stopword-free
+    island; RAKE's degree-sum must score the bigram above any single
+    word, and stopwords must never enter a phrase."""
+    import pandas as pd
+
+    from data_seedling_spark.queries_llm import rake_keyword_extraction
+
+    texts = [
+        "the gradient descent of the loss",
+        "gradient descent is used in the training",
+        "a training run with gradient descent",
+    ]
+    pd.DataFrame(
+        {
+            "doc_id": range(3),
+            "text": texts,
+            "lang": ["en"] * 3,
+            "source": ["s"] * 3,
+            "n_chars": [len(t) for t in texts],
+        }
+    ).to_parquet(str(tmp_path / "documents.parquet"))
+    rows = rake_keyword_extraction(spark, str(tmp_path)).collect()
+    by = {r["phrase"]: r for r in rows}
+    assert "gradient descent" in by
+    assert by["gradient descent"]["support"] == 3
+    singles = [r for r in rows if " " not in r["phrase"]]
+    assert all(
+        by["gradient descent"]["score"] >= s["score"] for s in singles
+    )
+    assert all(
+        w not in ("the", "of", "is", "in", "a", "with")
+        for r in rows for w in r["phrase"].split()
+    )

@@ -321,3 +321,34 @@ def test_apriori_prune_and_planted_triple(spark, tmp_path):
     assert r["n_c3"] == 1 and r["n_l3"] == 1
     assert (r["top_a"], r["top_b"], r["top_c"]) == (1, 2, 3)
     assert r["top_support"] == 6
+
+
+def test_hits_authority_prefers_hub_endorsement(spark, tmp_path):
+    """Planted bipartite graph: part 10 is bought by three customers
+    who buy EVERYTHING (strong hubs); part 20 is bought by three
+    one-shot customers. Same degree — HITS must rank 10 above 20."""
+    import pandas as pd
+
+    from data_seedling_spark.queries_mining import hits_bipartite_copurchase
+
+    rows = []
+    oid = 0
+    # hubs 1-3 buy parts 10, 30, 40, 50
+    for c in (1, 2, 3):
+        for p in (10, 30, 40, 50):
+            rows.append((oid, c, p)); oid += 1
+    # one-shot customers 7-9 buy only part 20
+    for c in (7, 8, 9):
+        rows.append((oid, c, 20)); oid += 1
+    li = pd.DataFrame(
+        [(i, p) for i, _, p in rows], columns=["l_orderkey", "l_partkey"]
+    )
+    od = pd.DataFrame(
+        [(i, c) for i, c, _ in rows], columns=["o_orderkey", "o_custkey"]
+    )
+    li.to_parquet(str(tmp_path / "lineitem.parquet"))
+    od.to_parquet(str(tmp_path / "orders.parquet"))
+    out = hits_bipartite_copurchase(spark, str(tmp_path)).collect()
+    score = {r["part"]: r["authority_micro"] for r in out}
+    assert score[10] > score[20]
+    assert score[10] == 1000000  # the max authority normalizes to 1e6
