@@ -8247,3 +8247,234 @@ def subclassification_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("band")
     )
+
+
+def _ipf_round_sql(i: int) -> str:
+    """One unrolled IPF round: scale cell weights to hit the segment
+    margin, re-grid to 1e-6 decimals, then the region margin."""
+    return f""", s{i} AS (
+      SELECT seg, SUM(w) AS m FROM w{2 * i - 2} GROUP BY seg
+    ), w{2 * i - 1} AS (
+      SELECT c.seg, c.reg, c.n,
+             CAST(round(CAST(c.w AS DOUBLE) * t.tgt / CAST(s.m AS DOUBLE), 6)
+                  AS DECIMAL(28,6)) AS w
+      FROM w{2 * i - 2} c
+      JOIN s{i} s ON s.seg = c.seg
+      CROSS JOIN tgt t
+    ), r{i} AS (
+      SELECT reg, SUM(w) AS m FROM w{2 * i - 1} GROUP BY reg
+    ), w{2 * i} AS (
+      SELECT c.seg, c.reg, c.n,
+             CAST(round(CAST(c.w AS DOUBLE) * t.tgt / CAST(r.m AS DOUBLE), 6)
+                  AS DECIMAL(28,6)) AS w
+      FROM w{2 * i - 1} c
+      JOIN r{i} r ON r.reg = c.reg
+      CROSS JOIN tgt t
+    )"""
+
+
+@query(
+    "raking_ipf_weights",
+    oracle=f"""
+    WITH cells AS (
+      SELECT c.c_mktsegment AS seg, r.r_name AS reg,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM customer c
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey
+      GROUP BY seg, reg
+    ), tgt AS (
+      SELECT CAST(SUM(n) AS DOUBLE) / 5 AS tgt FROM cells
+    ), w0 AS (
+      SELECT seg, reg, n, CAST(n AS DECIMAL(28,6)) AS w FROM cells
+    ){_ipf_round_sql(1)}{_ipf_round_sql(2)}
+    SELECT seg AS segment, reg AS region, n,
+           round(CAST(w AS DOUBLE) / n, 6) AS rake_weight,
+           round(CAST(w AS DOUBLE), 6) AS weighted_n
+    FROM w4 ORDER BY segment, region
+    """,
+    tags=("statistics", "survey", "weighting"),
+)
+def raking_ipf_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survey raking / iterative proportional fitting (Deming &
+    Stephan 1940): adjust per-cell weights of the (segment × region)
+    customer table so BOTH margins hit uniform targets (total/5 per
+    segment and per region) — the post-stratification every survey
+    and every panel-imbalance correction runs. Two IPF rounds, each a
+    pair of margin-scalings; after every scaling the weights re-grid
+    to 1e-6 decimals (round → DECIMAL), so margin sums are exact
+    decimal arithmetic and both engines walk the identical weight
+    trajectory — the multiplicative updates are single double ops
+    between grid points, bit-identical. Returns per-cell rake weights
+    and weighted counts.
+    Scale: the data-sized stage is one grouped count to the 25-cell
+    frame; the IPF iterations live entirely on that broadcast-sized
+    frame no matter how many customers."""
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    cells = (
+        cust.join(
+            F.broadcast(nation),
+            cust.c_nationkey == nation.n_nationkey,
+        )
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy(
+            F.col("c_mktsegment").alias("seg"), F.col("r_name").alias("reg")
+        )
+        .agg(F.count("*").alias("n"))
+    )
+    tgt = cells.agg((F.sum("n").cast("double") / 5).alias("tgt"))
+    w = cells.select(
+        "seg", "reg", "n", F.col("n").cast("decimal(28,6)").alias("w")
+    )
+    for _ in range(2):
+        for margin in ("seg", "reg"):
+            m = w.groupBy(margin).agg(F.sum("w").alias("m"))
+            w = (
+                w.join(F.broadcast(m), margin)
+                .crossJoin(F.broadcast(tgt))
+                .select(
+                    "seg",
+                    "reg",
+                    "n",
+                    F.round(
+                        F.col("w").cast("double")
+                        * F.col("tgt")
+                        / F.col("m").cast("double"),
+                        6,
+                    )
+                    .cast("decimal(28,6)")
+                    .alias("w"),
+                )
+            )
+    return w.select(
+        F.col("seg").alias("segment"),
+        F.col("reg").alias("region"),
+        F.col("n").cast("long").alias("n"),
+        F.round(F.col("w").cast("double") / F.col("n"), 6).alias(
+            "rake_weight"
+        ),
+        F.round(F.col("w").cast("double"), 6).alias("weighted_n"),
+    ).orderBy("segment", "region")
+
+
+@query(
+    "fifo_lot_matching",
+    oracle="""
+    WITH supply AS (
+      SELECT l_partkey AS p, CAST(l_quantity AS BIGINT) AS q,
+             SUM(CAST(l_quantity AS BIGINT)) OVER (
+               PARTITION BY l_partkey
+               ORDER BY l_shipdate, l_orderkey, l_linenumber
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ) AS lo
+      FROM lineitem WHERE l_linenumber % 2 = 0
+    ), demand AS (
+      SELECT l_partkey AS p, CAST(l_quantity AS BIGINT) AS q,
+             SUM(CAST(l_quantity AS BIGINT)) OVER (
+               PARTITION BY l_partkey
+               ORDER BY l_shipdate, l_orderkey, l_linenumber
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ) AS lo
+      FROM lineitem WHERE l_linenumber % 2 = 1
+    ), s AS (
+      SELECT p, COALESCE(lo, 0) AS s0, COALESCE(lo, 0) + q AS s1 FROM supply
+    ), d AS (
+      SELECT p, COALESCE(lo, 0) AS d0, COALESCE(lo, 0) + q AS d1 FROM demand
+    ), matches AS (
+      SELECT s.p,
+             LEAST(s.s1, d.d1) - GREATEST(s.s0, d.d0) AS m
+      FROM s JOIN d ON d.p = s.p AND s.s0 < d.d1 AND d.d0 < s.s1
+    ), totals AS (
+      SELECT (SELECT SUM(s1 - s0) FROM s) AS tot_supply,
+             (SELECT SUM(d1 - d0) FROM d) AS tot_demand,
+             (SELECT COUNT(*) FROM s) AS n_lots,
+             (SELECT COUNT(*) FROM d) AS n_demands,
+             (SELECT COUNT(*) FROM matches) AS n_matches,
+             (SELECT SUM(m) FROM matches) AS matched
+    )
+    SELECT CAST(n_lots AS BIGINT) AS n_lots,
+           CAST(n_demands AS BIGINT) AS n_demands,
+           CAST(n_matches AS BIGINT) AS n_matches,
+           CAST(matched AS BIGINT) AS matched_qty,
+           CAST(tot_supply - matched AS BIGINT) AS unmatched_supply,
+           CAST(tot_demand - matched AS BIGINT) AS unmatched_demand
+    FROM totals
+    """,
+    tags=("allocation", "fifo", "range-join", "window"),
+)
+def fifo_lot_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIFO lot matching — the inventory/cost-basis allocation every
+    fintech and WMS ledger runs, solved the distributed way: instead
+    of a sequential consume loop, supply lots and demand rows (here
+    the even/odd line-number split of each part's shipments, in
+    ship-date order) become INTERVALS on each part's cumulative-
+    quantity axis, and FIFO matching is exactly their pairwise
+    overlap: matched(l, d) = min(ends) − max(starts) on
+    s0 < d1 ∧ d0 < s1. The sequential dependency disappears into two
+    per-part cumulative windows plus one within-part range join whose
+    match count is LINEAR per part (interval chains interleave; each
+    lot overlaps O(1 + skew) demands). Quantities are integers end to
+    end; conservation (matched ≤ min(supply, demand), with equality
+    on the shared prefix) is pytest-asserted.
+    Scale: windows and the join all key on l_partkey — one shuffle
+    family, no global sequence point anywhere."""
+    from pyspark.sql.window import Window as W
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("p"),
+        F.col("l_quantity").cast("long").alias("q"),
+        "l_shipdate",
+        "l_orderkey",
+        "l_linenumber",
+    )
+    w = W.partitionBy("p").orderBy(
+        "l_shipdate", "l_orderkey", "l_linenumber"
+    ).rowsBetween(W.unboundedPreceding, -1)
+
+    def intervals(df, a, b):
+        lo = F.coalesce(F.sum("q").over(w), F.lit(0))
+        return df.select(
+            "p", lo.alias(a), (lo + F.col("q")).alias(b)
+        )
+
+    s = intervals(li.where(F.col("l_linenumber") % 2 == 0), "s0", "s1")
+    d = intervals(li.where(F.col("l_linenumber") % 2 == 1), "d0", "d1")
+    matches = s.join(
+        d.withColumnRenamed("p", "pd"),
+        (F.col("pd") == F.col("p"))
+        & (F.col("s0") < F.col("d1"))
+        & (F.col("d0") < F.col("s1")),
+    ).select(
+        (
+            F.least("s1", "d1") - F.greatest("s0", "d0")
+        ).alias("m")
+    )
+    ts = s.agg(
+        F.sum(F.col("s1") - F.col("s0")).alias("tot_supply"),
+        F.count("*").alias("n_lots"),
+    )
+    td = d.agg(
+        F.sum(F.col("d1") - F.col("d0")).alias("tot_demand"),
+        F.count("*").alias("n_demands"),
+    )
+    tm = matches.agg(
+        F.count("*").alias("n_matches"), F.sum("m").alias("matched")
+    )
+    return (
+        ts.crossJoin(F.broadcast(td))
+        .crossJoin(F.broadcast(tm))
+        .select(
+            F.col("n_lots").cast("long"),
+            F.col("n_demands").cast("long"),
+            F.col("n_matches").cast("long"),
+            F.col("matched").cast("long").alias("matched_qty"),
+            (F.col("tot_supply") - F.col("matched"))
+            .cast("long")
+            .alias("unmatched_supply"),
+            (F.col("tot_demand") - F.col("matched"))
+            .cast("long")
+            .alias("unmatched_demand"),
+        )
+    )

@@ -665,3 +665,57 @@ def test_subclassification_weights_and_band_partition(spark):
         .count()
     )
     assert den <= custs  # bands missing an arm drop out
+
+
+def test_raking_hits_uniform_margins(spark):
+    """After two IPF rounds both margins must sit within 0.5% of the
+    uniform target, every weight must be positive, and weighted_n
+    must equal n * rake_weight on the 1e-6 grid."""
+    from collections import defaultdict
+
+    from data_seedling_spark.queries_analytics import raking_ipf_weights
+    from tests.conftest import SF_SMOKE
+
+    rows = raking_ipf_weights(spark, SF_SMOKE).collect()
+    total = sum(r["n"] for r in rows)
+    tgt = total / 5
+    segm = defaultdict(float)
+    regm = defaultdict(float)
+    for r in rows:
+        assert r["rake_weight"] > 0
+        assert abs(r["weighted_n"] - r["n"] * r["rake_weight"]) < 5e-2
+        segm[r["segment"]] += r["weighted_n"]
+        regm[r["region"]] += r["weighted_n"]
+    for m in regm.values():          # region scaled last → exact-ish
+        assert abs(m - tgt) / tgt < 1e-4
+    for m in segm.values():          # segment margin approaches target
+        assert abs(m - tgt) / tgt < 0.05
+
+
+def test_fifo_matching_conservation_hand_case(spark, tmp_path):
+    """Hand case, one part: supply lots 5 and 3 (even lines), demand
+    4 and 6 (odd lines). FIFO overlap: lot1 covers demand1's first 4
+    and demand2's first 1; lot2 covers demand2's next 3. Matched = 8,
+    demand 2 short by 2."""
+    import pandas as pd
+
+    from data_seedling_spark.queries_analytics import fifo_lot_matching
+
+    li = pd.DataFrame(
+        {
+            "l_partkey": [1, 1, 1, 1],
+            "l_quantity": [5.0, 4.0, 3.0, 6.0],
+            "l_linenumber": [2, 1, 4, 3],
+            "l_orderkey": [1, 1, 2, 2],
+            "l_shipdate": pd.to_datetime(
+                ["1995-01-01", "1995-01-01", "1995-02-01", "1995-02-01"]
+            ),
+        }
+    )
+    li.to_parquet(str(tmp_path / "lineitem.parquet"))
+    r = fifo_lot_matching(spark, str(tmp_path)).collect()[0]
+    assert r["n_lots"] == 2 and r["n_demands"] == 2
+    assert r["matched_qty"] == 8
+    assert r["unmatched_supply"] == 0
+    assert r["unmatched_demand"] == 2
+    assert r["n_matches"] == 3  # (lot1,d1) (lot1,d2) (lot2,d2)
