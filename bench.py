@@ -204,6 +204,13 @@ HEADLINE = [
     "multiple_testing_bh",
     "wap_publish_pipeline",
     "binary_quantize_hamming_topk",
+    "update_cdc_images_roundtrip",
+    "ams_f2_sketch",
+    "subclassification_ate",
+    "hits_bipartite_copurchase",
+    "rake_keyword_extraction",
+    "raking_ipf_weights",
+    "fifo_lot_matching",
 ]
 
 

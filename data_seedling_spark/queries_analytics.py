@@ -8106,8 +8106,12 @@ def ams_f2_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             % 2
         )
 
+    from data_seedling_spark.operators.dedup import scale_out
+
     li = load_table(spark, sf_dir, "lineitem").select("l_partkey")
-    sk = li.agg(
+    # 16 md5 draws per row: widen the scan so the per-row hash CPU is
+    # not bound to the file split count.
+    sk = scale_out(li).agg(
         *[F.sum(sign(j)).alias(f"s{j}") for j in range(_AMS_K)]
     )
     ests = F.sort_array(
