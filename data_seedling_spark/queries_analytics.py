@@ -8482,3 +8482,198 @@ def fifo_lot_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("unmatched_demand"),
         )
     )
+
+
+@query(
+    "tpch_q11_important_stock",
+    oracle=f"""
+    WITH {PARTSUPP_CTE}, top_nation AS (
+      SELECT s_nationkey FROM supplier
+      JOIN nation ON n_nationkey = s_nationkey
+      GROUP BY s_nationkey, n_name
+      ORDER BY COUNT(*) DESC, n_name LIMIT 1
+    ), german AS (
+      SELECT ps_partkey,
+             CAST(ps_supplycost AS DECIMAL(18,2)) * ps_availqty AS v
+      FROM partsupp
+      JOIN supplier ON s_suppkey = ps_suppkey
+      JOIN top_nation t ON t.s_nationkey = supplier.s_nationkey
+    ), per AS (
+      SELECT ps_partkey, SUM(v) AS value FROM german GROUP BY ps_partkey
+    ), tot AS (
+      SELECT SUM(v) AS t FROM german
+    )
+    SELECT CAST(ps_partkey AS BIGINT) AS ps_partkey,
+           round(CAST(value AS DOUBLE), 2) AS part_value
+    FROM per CROSS JOIN tot
+    WHERE CAST(value AS DOUBLE) > CAST(t AS DOUBLE) * 0.001
+    ORDER BY CAST(value AS DOUBLE) DESC, ps_partkey
+    """,
+    tags=("tpch", "aggregation", "having"),
+)
+def tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 (important stock identification) over the synthetic
+    partsupp: the value of each part held by the LARGEST supplier
+    nation (self-chosen by count with a name tiebreak — the spec's
+    GERMANY role, robust to the testdata's nation draw)
+    (Σ supplycost × availqty), keeping parts whose value exceeds a
+    fixed fraction (0.001) of the national total — the classic
+    scalar-subquery HAVING shape. Products sit on the cent grid
+    (decimal × int), so both the per-part values and the grand total
+    are exact decimal sums; the fraction comparison and the ordering
+    are single double ops on identical inputs. Completes the
+    partsupp-dependent TPC-H family (Q15, Q16, Q20 → Q11).
+    Scale: partsupp expands as a narrow broadcast map over the part
+    scan; one grouped sum + a 1-row total broadcast — no shuffle
+    beyond the part-key combine."""
+    ps = synthetic_partsupp(spark, sf_dir)
+    supplier = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    top_nation = (
+        supplier.join(
+            F.broadcast(nation),
+            supplier.s_nationkey == nation.n_nationkey,
+        )
+        .groupBy("s_nationkey", "n_name")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.col("c").desc(), "n_name")
+        .limit(1)
+        .select(F.col("s_nationkey").alias("tk"))
+    )
+    german = (
+        ps.join(F.broadcast(supplier), ps.ps_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(top_nation), F.col("s_nationkey") == F.col("tk"))
+        .select(
+            "ps_partkey",
+            (
+                F.col("ps_supplycost").cast("decimal(18,2)")
+                * F.col("ps_availqty")
+            ).alias("v"),
+        )
+    )
+    per = german.groupBy("ps_partkey").agg(F.sum("v").alias("value"))
+    tot = german.agg(F.sum("v").alias("t"))
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .where(
+            F.col("value").cast("double") > F.col("t").cast("double") * 0.001
+        )
+        .select(
+            F.col("ps_partkey").cast("long"),
+            F.round(F.col("value").cast("double"), 2).alias("part_value"),
+        )
+        .orderBy(F.col("part_value").desc(), "ps_partkey")
+    )
+
+
+@query(
+    "ams_join_size_estimate",
+    oracle=f"""
+    WITH a AS (
+      SELECT l_partkey FROM lineitem WHERE l_orderkey % 2 = 0
+    ), b AS (
+      SELECT l_partkey FROM lineitem WHERE l_orderkey % 2 = 1
+    ), ska AS (
+      SELECT {", ".join(f"SUM({_ams_sign_sql(j)}) AS s{j}"
+                        for j in range(_AMS_K))}
+      FROM a
+    ), skb AS (
+      SELECT {", ".join(f"SUM({_ams_sign_sql(j)}) AS s{j}"
+                        for j in range(_AMS_K))}
+      FROM b
+    ), est AS (
+      SELECT list_sort([{", ".join(f"ska.s{j} * skb.s{j}"
+                                   for j in range(_AMS_K))}]) AS ests
+      FROM ska CROSS JOIN skb
+    ), exact AS (
+      SELECT SUM(ca * cb) AS jsz FROM (
+        SELECT a.l_partkey, COUNT(*) AS ca FROM a GROUP BY a.l_partkey
+      ) fa JOIN (
+        SELECT b.l_partkey, COUNT(*) AS cb FROM b GROUP BY b.l_partkey
+      ) fb ON fa.l_partkey = fb.l_partkey
+    )
+    SELECT CAST(exact.jsz AS BIGINT) AS exact_join_size,
+           CAST(ests[{(_AMS_K + 1) // 2}] AS BIGINT) AS ams_estimate,
+           CAST({_AMS_K} AS INT) AS n_estimators,
+           round(abs(CAST(ests[{(_AMS_K + 1) // 2}] AS DOUBLE) - exact.jsz)
+                 / exact.jsz, 6) AS rel_error
+    FROM est CROSS JOIN exact
+    """,
+    tags=("sketch", "join-cardinality", "optimizer"),
+)
+def ams_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AMS inner-product join-size estimation — what a cost-based
+    optimizer wants BEFORE committing to a join strategy: |A ⋈ B| =
+    Σ_k freq_A(k)·freq_B(k) estimated from two 16-integer sketches
+    whose dot product is unbiased for the true size (the same ±1 sign
+    family as ams_f2_sketch, so sketches built independently on each
+    side compose — the streaming property that makes this usable on
+    ingest). Median-of-16 products reported against the exact join
+    size. Integer arithmetic end to end: signed sums, products,
+    sorted median — bit-identical across engines.
+    Scale: each side is one map-side-combinable 16-long pass; the
+    estimate itself is a 1×1 cross of two single-row frames. The
+    exact leg (grouped counts + key join) is precisely the work the
+    sketch avoids at 100 TB."""
+    from data_seedling_spark.operators.dedup import scale_out
+
+    def sign(j: int):
+        return 1 - 2 * (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit(f"ams{j}:"),
+                            F.col("l_partkey").cast("string"),
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % 2
+        )
+
+    li = scale_out(
+        load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_partkey"
+        )
+    )
+    a = li.where(F.col("l_orderkey") % 2 == 0).select("l_partkey")
+    b = li.where(F.col("l_orderkey") % 2 == 1).select("l_partkey")
+    ska = a.agg(*[F.sum(sign(j)).alias(f"a{j}") for j in range(_AMS_K)])
+    skb = b.agg(*[F.sum(sign(j)).alias(f"b{j}") for j in range(_AMS_K)])
+    ests = F.sort_array(
+        F.array(
+            *[(F.col(f"a{j}") * F.col(f"b{j}")) for j in range(_AMS_K)]
+        )
+    )
+    med = ests[(_AMS_K + 1) // 2 - 1]
+    fa = a.groupBy("l_partkey").agg(F.count("*").alias("ca"))
+    fb = b.groupBy("l_partkey").agg(F.count("*").alias("cb"))
+    exact = fa.join(fb, "l_partkey").agg(
+        F.sum(F.col("ca") * F.col("cb")).alias("jsz")
+    )
+    return (
+        ska.crossJoin(F.broadcast(skb))
+        .select(med.alias("ams_estimate"))
+        .crossJoin(F.broadcast(exact))
+        .select(
+            F.col("jsz").cast("long").alias("exact_join_size"),
+            F.col("ams_estimate").cast("long"),
+            F.lit(_AMS_K).cast("int").alias("n_estimators"),
+            F.round(
+                F.abs(
+                    F.col("ams_estimate").cast("double") - F.col("jsz")
+                )
+                / F.col("jsz"),
+                6,
+            ).alias("rel_error"),
+        )
+    )

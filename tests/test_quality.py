@@ -719,3 +719,55 @@ def test_fifo_matching_conservation_hand_case(spark, tmp_path):
     assert r["unmatched_supply"] == 0
     assert r["unmatched_demand"] == 2
     assert r["n_matches"] == 3  # (lot1,d1) (lot1,d2) (lot2,d2)
+
+
+def test_ams_join_size_reasonable_and_identity(spark):
+    """The median-of-16 dot product should land within a factor of 2
+    of the exact join size on the smoke data, and the reported error
+    must equal |est − exact| / exact."""
+    from data_seedling_spark.queries_analytics import ams_join_size_estimate
+    from tests.conftest import SF_SMOKE
+
+    r = ams_join_size_estimate(spark, SF_SMOKE).collect()[0]
+    assert r["exact_join_size"] > 0
+    rel = abs(r["ams_estimate"] - r["exact_join_size"]) / r["exact_join_size"]
+    assert abs(r["rel_error"] - round(rel, 6)) < 2e-6
+    assert rel < 1.0, rel
+
+
+def test_tpch_q11_threshold_and_value_recompute(spark):
+    """Every returned part's value must exceed 0.1% of the top supplier
+    nation's total (recomputed), and values must be non-increasing."""
+    from data_seedling_spark.queries_analytics import (
+        synthetic_partsupp,
+        tpch_q11_important_stock,
+    )
+    from tests.conftest import SF_SMOKE
+
+    rows = tpch_q11_important_stock(spark, SF_SMOKE).collect()
+    assert rows
+    vals = [r["part_value"] for r in rows]
+    assert all(a >= b for a, b in zip(vals, vals[1:]))
+    ps = synthetic_partsupp(spark, SF_SMOKE)
+    sup = spark.read.parquet(f"{SF_SMOKE}/supplier.parquet")
+    nat = spark.read.parquet(f"{SF_SMOKE}/nation.parquet")
+    top = (
+        sup.join(nat, sup.s_nationkey == nat.n_nationkey)
+        .groupBy("s_nationkey", "n_name")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.col("c").desc(), "n_name")
+        .limit(1)
+        .collect()[0]["s_nationkey"]
+    )
+    total = (
+        ps.join(sup, ps.ps_suppkey == sup.s_suppkey)
+        .where(F.col("s_nationkey") == top)
+        .agg(
+            F.sum(
+                F.col("ps_supplycost").cast("decimal(18,2)")
+                * F.col("ps_availqty")
+            ).alias("t")
+        )
+        .collect()[0]["t"]
+    )
+    assert all(v > float(total) * 0.001 for v in vals)
