@@ -8677,3 +8677,265 @@ def ams_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("rel_error"),
         )
     )
+
+
+@query(
+    "nelson_aalen_hazard",
+    oracle="""
+    WITH lifetimes AS (
+      SELECT o_custkey,
+             CAST(floor(date_diff('day', MIN(o_orderdate), MAX(o_orderdate))
+                        / 30.0) AS BIGINT) AS dur_m,
+             CAST(MAX(o_orderdate) >= TIMESTAMP '2001-02-01' AS INT)
+               AS censored
+      FROM orders GROUP BY o_custkey
+    ), by_t AS (
+      SELECT dur_m,
+             CAST(SUM(1 - censored) AS BIGINT) AS d_churn,
+             CAST(SUM(censored) AS BIGINT) AS c_censored
+      FROM lifetimes GROUP BY dur_m
+    ), risk AS (
+      SELECT dur_m, d_churn, c_censored,
+             CAST(SUM(d_churn + c_censored) OVER (
+                    ORDER BY dur_m DESC) AS BIGINT) AS n_risk
+      FROM by_t
+    ), terms AS (
+      SELECT dur_m, d_churn, c_censored, n_risk,
+             CAST(round(CAST(d_churn AS DOUBLE) / n_risk, 9)
+                  AS DECIMAL(28,9)) AS hterm,
+             CAST(round(CAST(d_churn AS DOUBLE)
+                        / (CAST(n_risk AS DOUBLE) * n_risk), 12)
+                  AS DECIMAL(28,12)) AS vterm
+      FROM risk
+    )
+    SELECT dur_m, n_risk, d_churn,
+           round(CAST(SUM(hterm) OVER (ORDER BY dur_m) AS DOUBLE), 6)
+             AS cum_hazard,
+           round(exp(-CAST(SUM(hterm) OVER (ORDER BY dur_m) AS DOUBLE)), 6)
+             AS surv_from_hazard,
+           round(sqrt(CAST(SUM(vterm) OVER (ORDER BY dur_m) AS DOUBLE)), 6)
+             AS hazard_se
+    FROM terms
+    ORDER BY dur_m
+    """,
+    tags=("survival-analysis", "nelson-aalen", "hazard", "cohort"),
+)
+def nelson_aalen_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nelson–Aalen cumulative hazard — Kaplan-Meier's additive twin
+    and the quantity whose increments ARE the per-period churn rates
+    (what a finance team plugs into LTV): H(t) = Σ_{tᵢ≤t} dᵢ/nᵢ over
+    the same censored customer lifetimes as kaplan_meier_retention,
+    with the Poisson-variance standard error Σ dᵢ/nᵢ² alongside and
+    exp(−H) as the Breslow survival estimate (≈ the KM curve — the
+    agreement is pytest-asserted). Cross-engine exactness of running
+    SUMS of ratios: each dᵢ/nᵢ term rounds to the 1e-9 grid (1e-12
+    for the variance term) and accumulates as DECIMAL — order-free —
+    with one exp/sqrt at the end.
+    Scale: identical shape to KM — one grouped pass to event times,
+    a descending cumulative window on the time frame (calendar-sized,
+    not data-sized)."""
+    from pyspark.sql.window import Window as W
+
+    lifetimes = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.floor(
+                F.datediff(F.max("o_orderdate"), F.min("o_orderdate")) / 30.0
+            )
+            .cast("long")
+            .alias("dur_m"),
+            (
+                F.max("o_orderdate")
+                >= F.lit("2001-02-01").cast("timestamp")
+            )
+            .cast("int")
+            .alias("censored"),
+        )
+    )
+    by_t = lifetimes.groupBy("dur_m").agg(
+        F.sum(1 - F.col("censored")).alias("d_churn"),
+        F.sum("censored").alias("c_censored"),
+    )
+    w_desc = W.orderBy(F.col("dur_m").desc()).rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    risk = by_t.select(
+        "dur_m",
+        "d_churn",
+        F.sum(F.col("d_churn") + F.col("c_censored"))
+        .over(w_desc)
+        .alias("n_risk"),
+    )
+    terms = risk.select(
+        "dur_m",
+        "n_risk",
+        "d_churn",
+        F.round(F.col("d_churn").cast("double") / F.col("n_risk"), 9)
+        .cast("decimal(28,9)")
+        .alias("hterm"),
+        F.round(
+            F.col("d_churn").cast("double")
+            / (F.col("n_risk").cast("double") * F.col("n_risk")),
+            12,
+        )
+        .cast("decimal(28,12)")
+        .alias("vterm"),
+    )
+    w_asc = W.orderBy("dur_m").rowsBetween(W.unboundedPreceding, W.currentRow)
+    ch = F.sum("hterm").over(w_asc).cast("double")
+    cv = F.sum("vterm").over(w_asc).cast("double")
+    return terms.select(
+        "dur_m",
+        "n_risk",
+        "d_churn",
+        F.round(ch, 6).alias("cum_hazard"),
+        F.round(F.exp(-ch), 6).alias("surv_from_hazard"),
+        F.round(F.sqrt(cv), 6).alias("hazard_se"),
+    ).orderBy("dur_m")
+
+
+#: O'Brien–Fleming-shaped group-sequential boundary for K=5 looks at
+#: two-sided alpha=0.05: z_k = z_K * sqrt(K/k) with z_K = 2.040 (the
+#: canonical table's final-look value). Literal protocol constants.
+_OBF_ZK = 2.040
+
+
+@query(
+    "group_sequential_obf",
+    oracle=f"""
+    WITH marked AS (
+      SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS yr,
+             CAST('0x' || substr(md5('gs:' || CAST(o_orderkey AS VARCHAR)),
+                                 1, 8) AS BIGINT) % 2 AS arm,
+             CAST(o_orderpriority = '1-URGENT' AS INT) AS y
+      FROM orders WHERE EXTRACT(year FROM o_orderdate) <= 1999
+    ), per AS (
+      SELECT yr,
+             SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS na,
+             SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS nb,
+             SUM(CASE WHEN arm = 1 THEN y ELSE 0 END) AS xa,
+             SUM(CASE WHEN arm = 0 THEN y ELSE 0 END) AS xb
+      FROM marked GROUP BY yr
+    ), looks AS (
+      SELECT yr,
+             ROW_NUMBER() OVER (ORDER BY yr) AS k,
+             SUM(na) OVER (ORDER BY yr) AS na,
+             SUM(nb) OVER (ORDER BY yr) AS nb,
+             SUM(xa) OVER (ORDER BY yr) AS xa,
+             SUM(xb) OVER (ORDER BY yr) AS xb
+      FROM per
+    ), z AS (
+      SELECT yr, k, na, nb, xa, xb,
+             (CAST(xa AS DOUBLE) / na - CAST(xb AS DOUBLE) / nb)
+             / sqrt((CAST(xa + xb AS DOUBLE) / (na + nb))
+                    * (1 - CAST(xa + xb AS DOUBLE) / (na + nb))
+                    * (1.0 / na + 1.0 / nb)) AS zval,
+             {_OBF_ZK!r} * sqrt(5.0 / k) AS zbound
+      FROM looks
+    ), stopped AS (
+      SELECT COALESCE(MIN(CASE WHEN abs(zval) >= zbound THEN k END), 0)
+               AS stop_k
+      FROM z
+    )
+    SELECT CAST(z.k AS INT) AS look, CAST(z.yr AS INT) AS year,
+           CAST(z.na AS BIGINT) AS n_treat, CAST(z.nb AS BIGINT) AS n_ctrl,
+           round(z.zval, 6) AS z,
+           round(z.zbound, 6) AS z_boundary,
+           CAST(abs(z.zval) >= z.zbound AS INT) AS crossed,
+           CAST(s.stop_k AS INT) AS first_stop_look
+    FROM z CROSS JOIN stopped s
+    ORDER BY look
+    """,
+    tags=("statistics", "experimentation", "sequential-testing"),
+)
+def group_sequential_obf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-sequential testing with O'Brien–Fleming boundaries — how
+    a mature experimentation platform peeks at a running A/B WITHOUT
+    inflating false positives: five calendar looks (cumulative through
+    each year ≤1999), a two-proportion z at each, compared against the
+    spending boundary z_K·√(K/k) (very conservative early, nominal at
+    the final look — the canonical OBF shape as literal protocol
+    constants). Reports each look's z, its boundary, whether it
+    crossed, and the first stopping look (0 = ran to completion).
+    Under the md5-coin null assignment the expected outcome is no
+    early stop — the guard this procedure exists to provide. All
+    counts are integers via one grouped pass + a 5-row cumulative
+    window; z and boundaries are fixed double expressions — hash-exact.
+    Scale: one map-side-combinable aggregate; the sequential machinery
+    is O(looks)."""
+    from pyspark.sql.window import Window as W
+
+    marked = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.year("o_orderdate") <= 1999)
+        .select(
+            F.year("o_orderdate").cast("int").alias("yr"),
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.lit("gs:"),
+                                F.col("o_orderkey").cast("string"),
+                            )
+                        ),
+                        1,
+                        8,
+                    ),
+                    16,
+                    10,
+                ).cast("bigint")
+                % 2
+            ).alias("arm"),
+            (F.col("o_orderpriority") == "1-URGENT").cast("int").alias("y"),
+        )
+    )
+    per = marked.groupBy("yr").agg(
+        F.sum((F.col("arm") == 1).cast("long")).alias("na"),
+        F.sum((F.col("arm") == 0).cast("long")).alias("nb"),
+        F.sum(F.when(F.col("arm") == 1, F.col("y")).otherwise(0)).alias("xa"),
+        F.sum(F.when(F.col("arm") == 0, F.col("y")).otherwise(0)).alias("xb"),
+    )
+    w = W.orderBy("yr").rowsBetween(W.unboundedPreceding, W.currentRow)
+    looks = per.select(
+        "yr",
+        F.row_number().over(W.orderBy("yr")).alias("k"),
+        F.sum("na").over(w).alias("na"),
+        F.sum("nb").over(w).alias("nb"),
+        F.sum("xa").over(w).alias("xa"),
+        F.sum("xb").over(w).alias("xb"),
+    )
+    pa = F.col("xa").cast("double") / F.col("na")
+    pb = F.col("xb").cast("double") / F.col("nb")
+    pool = (F.col("xa") + F.col("xb")).cast("double") / (
+        F.col("na") + F.col("nb")
+    )
+    zval = (pa - pb) / F.sqrt(
+        pool * (1 - pool) * (1.0 / F.col("na") + 1.0 / F.col("nb"))
+    )
+    zbound = F.lit(_OBF_ZK) * F.sqrt(F.lit(5.0) / F.col("k"))
+    z = looks.select(
+        "yr", "k", "na", "nb",
+        zval.alias("zval"), zbound.alias("zbound"),
+    )
+    stopped = z.agg(
+        F.coalesce(
+            F.min(F.when(F.abs("zval") >= F.col("zbound"), F.col("k"))),
+            F.lit(0),
+        ).alias("stop_k")
+    )
+    return (
+        z.crossJoin(F.broadcast(stopped))
+        .select(
+            F.col("k").cast("int").alias("look"),
+            F.col("yr").cast("int").alias("year"),
+            F.col("na").cast("long").alias("n_treat"),
+            F.col("nb").cast("long").alias("n_ctrl"),
+            F.round("zval", 6).alias("z"),
+            F.round("zbound", 6).alias("z_boundary"),
+            (F.abs("zval") >= F.col("zbound")).cast("int").alias("crossed"),
+            F.col("stop_k").cast("int").alias("first_stop_look"),
+        )
+        .orderBy("look")
+    )

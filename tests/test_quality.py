@@ -771,3 +771,41 @@ def test_tpch_q11_threshold_and_value_recompute(spark):
         .collect()[0]["t"]
     )
     assert all(v > float(total) * 0.001 for v in vals)
+
+
+def test_nelson_aalen_matches_km_and_monotone(spark):
+    """H(t) must be nondecreasing, exp(−H) must sit within 2% of the
+    Kaplan-Meier curve (Breslow vs product-limit agreement), and the
+    SE must grow with t."""
+    from data_seedling_spark.queries_analytics import (
+        kaplan_meier_retention,
+        nelson_aalen_hazard,
+    )
+    from tests.conftest import SF_SMOKE
+
+    na = nelson_aalen_hazard(spark, SF_SMOKE).collect()
+    km = {r["dur_m"]: r["survival"] for r in
+          kaplan_meier_retention(spark, SF_SMOKE).collect()}
+    hz = [r["cum_hazard"] for r in na]
+    assert all(a <= b + 1e-9 for a, b in zip(hz, hz[1:]))
+    ses = [r["hazard_se"] for r in na]
+    assert all(a <= b + 1e-9 for a, b in zip(ses, ses[1:]))
+    for r in na:
+        assert abs(r["surv_from_hazard"] - km[r["dur_m"]]) <= 0.02 + 1e-9
+
+
+def test_obf_boundary_shape_and_null_no_early_stop(spark):
+    """Boundaries must decrease toward the final look's 2.04, and a
+    pure hash-coin null assignment should not cross the very
+    conservative early boundaries."""
+    from data_seedling_spark.queries_analytics import group_sequential_obf
+    from tests.conftest import SF_SMOKE
+
+    rows = group_sequential_obf(spark, SF_SMOKE).collect()
+    assert [r["look"] for r in rows] == [1, 2, 3, 4, 5]
+    bounds = [r["z_boundary"] for r in rows]
+    assert all(a > b for a, b in zip(bounds, bounds[1:]))
+    assert abs(bounds[-1] - 2.04) < 1e-6
+    assert all(r["first_stop_look"] == rows[0]["first_stop_look"] for r in rows)
+    # null design: no crossing at the ultra-conservative first looks
+    assert rows[0]["crossed"] == 0 and rows[1]["crossed"] == 0
