@@ -211,6 +211,10 @@ HEADLINE = [
     "rake_keyword_extraction",
     "raking_ipf_weights",
     "fifo_lot_matching",
+    "tpch_q11_important_stock",
+    "ams_join_size_estimate",
+    "nelson_aalen_hazard",
+    "group_sequential_obf",
 ]
 
 
