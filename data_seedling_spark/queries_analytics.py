@@ -8939,3 +8939,198 @@ def group_sequential_obf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("look")
     )
+
+
+@query(
+    "mann_kendall_trend",
+    oracle="""
+    WITH pts AS (
+      SELECT CAST((EXTRACT(year FROM o_orderdate) - 1992) * 12
+                  + EXTRACT(month FROM o_orderdate) - 1 AS BIGINT) AS x,
+             CAST(SUM(CAST(ROUND(o_totalprice, 2) AS DECIMAL(18,2))) * 100
+                  AS BIGINT) AS yc
+      FROM orders GROUP BY x
+    ), s AS (
+      SELECT SUM(CASE WHEN b.yc > a.yc THEN 1
+                      WHEN b.yc < a.yc THEN -1 ELSE 0 END) AS s,
+             COUNT(*) AS n_pairs
+      FROM pts a JOIN pts b ON a.x < b.x
+    ), n AS (
+      SELECT COUNT(*) AS n FROM pts
+    )
+    SELECT CAST(n.n AS BIGINT) AS n_points,
+           CAST(s.s AS BIGINT) AS kendall_s,
+           round(CAST(s.s AS DOUBLE)
+                 / ((CAST(n.n AS DOUBLE) * (n.n - 1)) / 2), 6) AS tau,
+           round((CAST(s.s AS DOUBLE)
+                  - CASE WHEN s.s > 0 THEN 1
+                         WHEN s.s < 0 THEN -1 ELSE 0 END)
+                 / sqrt(CAST(n.n AS DOUBLE) * (n.n - 1) * (2 * n.n + 5)
+                        / 18), 6) AS z,
+           CAST(abs((CAST(s.s AS DOUBLE)
+                     - CASE WHEN s.s > 0 THEN 1
+                            WHEN s.s < 0 THEN -1 ELSE 0 END)
+                    / sqrt(CAST(n.n AS DOUBLE) * (n.n - 1) * (2 * n.n + 5)
+                           / 18)) > 1.959963984540054 AS INT)
+             AS trend_significant
+    FROM s CROSS JOIN n
+    """,
+    tags=("statistics", "time-series", "nonparametric", "trend"),
+)
+def mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Kendall trend test — the significance companion to the
+    Theil–Sen slope (together they are THE standard nonparametric
+    trend toolkit): S = Σ_{i<j} sign(yⱼ − yᵢ) over monthly revenue
+    cents, Kendall's τ = S / C(n,2), and the continuity-corrected
+    normal z against the no-ties variance n(n−1)(2n+5)/18 (monthly
+    cent totals never tie in practice; cent integers make the sign
+    comparisons exact, so S is an exact integer in both engines).
+    Distribution-free: no normality assumption an OLS t-test would
+    need. Scale: the fact table collapses to ~80 monthly integers in
+    one map-side pass; the O(months²) sign-pair frame is
+    calendar-sized forever."""
+    pts = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(
+            (
+                (F.year("o_orderdate") - 1992) * 12
+                + F.month("o_orderdate")
+                - 1
+            )
+            .cast("long")
+            .alias("x")
+        )
+        .agg(
+            (F.sum(F.round("o_totalprice", 2).cast("decimal(18,2)")) * 100)
+            .cast("long")
+            .alias("yc")
+        )
+    )
+    a = pts.select(F.col("x").alias("x1"), F.col("yc").alias("y1"))
+    b = pts.select(F.col("x").alias("x2"), F.col("yc").alias("y2"))
+    s = a.join(b, F.col("x1") < F.col("x2")).agg(
+        F.sum(
+            F.when(F.col("y2") > F.col("y1"), 1)
+            .when(F.col("y2") < F.col("y1"), -1)
+            .otherwise(0)
+        ).alias("s")
+    )
+    n = pts.agg(F.count("*").alias("n"))
+    sd = F.col("s").cast("double")
+    nd = F.col("n").cast("double")
+    corr = F.when(F.col("s") > 0, 1).when(F.col("s") < 0, -1).otherwise(0)
+    z = (sd - corr) / F.sqrt(nd * (F.col("n") - 1) * (2 * F.col("n") + 5) / 18)
+    return s.crossJoin(F.broadcast(n)).select(
+        F.col("n").cast("long").alias("n_points"),
+        F.col("s").cast("long").alias("kendall_s"),
+        F.round(sd / ((nd * (F.col("n") - 1)) / 2), 6).alias("tau"),
+        F.round(z, 6).alias("z"),
+        (F.abs(z) > F.lit(1.959963984540054))
+        .cast("int")
+        .alias("trend_significant"),
+    )
+
+
+@query(
+    "pettitt_changepoint",
+    oracle="""
+    WITH pts AS (
+      SELECT CAST((EXTRACT(year FROM o_orderdate) - 1992) * 12
+                  + EXTRACT(month FROM o_orderdate) - 1 AS BIGINT) AS x,
+             CAST(SUM(CAST(ROUND(o_totalprice, 2) AS DECIMAL(18,2))) * 100
+                  AS BIGINT) AS yc
+      FROM orders GROUP BY x
+    ), signs AS (
+      SELECT a.x AS xi, b.x AS xj,
+             CASE WHEN b.yc > a.yc THEN 1
+                  WHEN b.yc < a.yc THEN -1 ELSE 0 END AS sg
+      FROM pts a JOIN pts b ON a.x < b.x
+    ), u AS (
+      SELECT t.x AS t,
+             SUM(CASE WHEN s.xi <= t.x AND s.xj > t.x THEN s.sg
+                      ELSE 0 END) AS ut
+      FROM pts t JOIN signs s ON TRUE
+      GROUP BY t.x
+    ), best AS (
+      SELECT t, ut FROM u ORDER BY abs(ut) DESC, t LIMIT 1
+    ), n AS (SELECT COUNT(*) AS n FROM pts)
+    SELECT CAST(best.t AS BIGINT) AS change_month,
+           CAST(best.ut AS BIGINT) AS u_stat,
+           CAST(n.n AS BIGINT) AS n_points,
+           round(2 * exp(-6.0 * best.ut * best.ut
+                         / (CAST(n.n AS DOUBLE) * n.n * n.n
+                            + CAST(n.n AS DOUBLE) * n.n)), 6)
+             AS p_approx
+    FROM best CROSS JOIN n
+    """,
+    tags=("statistics", "time-series", "changepoint", "nonparametric"),
+)
+def pettitt_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pettitt changepoint test — the rank-based answer to \"did the
+    level of this series shift, and when?\" that the mean-based CUSUM
+    query cannot give distribution-free: U_t = Σ_{i≤t<j} sign(yⱼ−yᵢ)
+    over monthly revenue, the argmax |U_t| locates the most likely
+    break (with a time tiebreak) and 2·exp(−6U²/(n³+n²)) approximates
+    its significance. Every U_t is an exact integer (cent-grid sign
+    comparisons); the statistic frame is the straddling-pair rollup of
+    the SAME sign pairs Mann–Kendall sums — a calendar-sized cross
+    join (~80 × ~3k rows), never data-sized.
+    Scale: one grouped pass to months; everything after is metadata-
+    sized regardless of corpus volume."""
+    pts = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(
+            (
+                (F.year("o_orderdate") - 1992) * 12
+                + F.month("o_orderdate")
+                - 1
+            )
+            .cast("long")
+            .alias("x")
+        )
+        .agg(
+            (F.sum(F.round("o_totalprice", 2).cast("decimal(18,2)")) * 100)
+            .cast("long")
+            .alias("yc")
+        )
+        .localCheckpoint(eager=False)
+    )
+    a = pts.select(F.col("x").alias("xi"), F.col("yc").alias("y1"))
+    b = pts.select(F.col("x").alias("xj"), F.col("yc").alias("y2"))
+    signs = a.join(b, F.col("xi") < F.col("xj")).select(
+        "xi",
+        "xj",
+        F.when(F.col("y2") > F.col("y1"), 1)
+        .when(F.col("y2") < F.col("y1"), -1)
+        .otherwise(0)
+        .alias("sg"),
+    )
+    u = (
+        pts.select(F.col("x").alias("t"))
+        .crossJoin(signs)
+        .groupBy("t")
+        .agg(
+            F.sum(
+                F.when(
+                    (F.col("xi") <= F.col("t")) & (F.col("xj") > F.col("t")),
+                    F.col("sg"),
+                ).otherwise(0)
+            ).alias("ut")
+        )
+    )
+    best = u.orderBy(F.abs("ut").desc(), "t").limit(1)
+    n = pts.agg(F.count("*").alias("n"))
+    nd = F.col("n").cast("double")
+    ud = F.col("ut").cast("double")
+    return best.crossJoin(F.broadcast(n)).select(
+        F.col("t").cast("long").alias("change_month"),
+        F.col("ut").cast("long").alias("u_stat"),
+        F.col("n").cast("long").alias("n_points"),
+        F.round(
+            2
+            * F.exp(
+                -6.0 * ud * ud / (nd * F.col("n") * F.col("n") + nd * F.col("n"))
+            ),
+            6,
+        ).alias("p_approx"),
+    )

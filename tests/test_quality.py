@@ -809,3 +809,43 @@ def test_obf_boundary_shape_and_null_no_early_stop(spark):
     assert all(r["first_stop_look"] == rows[0]["first_stop_look"] for r in rows)
     # null design: no crossing at the ultra-conservative first looks
     assert rows[0]["crossed"] == 0 and rows[1]["crossed"] == 0
+
+
+def test_mann_kendall_detects_planted_trend(spark, tmp_path):
+    """A strictly increasing monthly series must give S = C(n,2),
+    tau = 1 and a significant trend; Pettitt on a planted level shift
+    must locate the break month."""
+    import pandas as pd
+
+    from data_seedling_spark.queries_analytics import (
+        mann_kendall_trend,
+        pettitt_changepoint,
+    )
+
+    rows = []
+    oid = 0
+    for m in range(12):
+        rows.append((oid, 1, pd.Timestamp(f"1992-{m + 1:02d}-15"),
+                     100.0 + 10.0 * m))
+        oid += 1
+    pd.DataFrame(
+        rows, columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"]
+    ).to_parquet(str(tmp_path / "orders.parquet"))
+    r = mann_kendall_trend(spark, str(tmp_path)).collect()[0]
+    assert r["kendall_s"] == 66 and r["tau"] == 1.0
+    assert r["trend_significant"] == 1
+
+    shift = []
+    oid = 0
+    for m in range(12):
+        price = 100.0 if m < 6 else 10000.0
+        shift.append((oid, 1, pd.Timestamp(f"1993-{m + 1:02d}-15"), price))
+        oid += 1
+    pd.DataFrame(
+        shift, columns=["o_orderkey", "o_custkey", "o_orderdate",
+                        "o_totalprice"]
+    ).to_parquet(str(tmp_path / "orders.parquet"))
+    p = pettitt_changepoint(spark, str(tmp_path)).collect()[0]
+    assert p["change_month"] == 17  # (1993-6month index) last low month
+    assert abs(p["u_stat"]) == 36  # 6x6 straddling pairs all positive
+    assert p["p_approx"] < 0.05
