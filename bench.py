@@ -215,6 +215,8 @@ HEADLINE = [
     "ams_join_size_estimate",
     "nelson_aalen_hazard",
     "group_sequential_obf",
+    "mann_kendall_trend",
+    "pettitt_changepoint",
 ]
 
 
