@@ -9141,3 +9141,278 @@ def pettitt_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("p_approx"),
     )
+
+
+@query(
+    "logrank_test_survival",
+    oracle="""
+    WITH lifetimes AS (
+      SELECT o_custkey,
+             CAST('0x' || substr(md5('arm:' || CAST(o_custkey AS VARCHAR)),
+                                 1, 8) AS BIGINT) % 2 AS arm,
+             CAST(floor(date_diff('day', MIN(o_orderdate), MAX(o_orderdate))
+                        / 30.0) AS BIGINT) AS dur_m,
+             CAST(MAX(o_orderdate) >= TIMESTAMP '2001-02-01' AS INT)
+               AS censored
+      FROM orders GROUP BY o_custkey
+    ), by_at AS (
+      SELECT arm, dur_m,
+             CAST(SUM(1 - censored) AS BIGINT) AS d,
+             CAST(COUNT(*) AS BIGINT) AS e
+      FROM lifetimes GROUP BY arm, dur_m
+    ), times AS (
+      SELECT DISTINCT dur_m FROM by_at
+    ), grid AS (
+      SELECT t.dur_m, a.arm,
+             COALESCE(b.d, 0) AS d, COALESCE(b.e, 0) AS e
+      FROM times t
+      CROSS JOIN (VALUES (0), (1)) a(arm)
+      LEFT JOIN by_at b ON b.dur_m = t.dur_m AND b.arm = a.arm
+    ), risk AS (
+      SELECT dur_m, arm, d,
+             SUM(e) OVER (PARTITION BY arm ORDER BY dur_m DESC) AS n
+      FROM grid
+    ), wide AS (
+      SELECT dur_m,
+             SUM(CASE WHEN arm = 1 THEN d ELSE 0 END) AS d1,
+             SUM(CASE WHEN arm = 0 THEN d ELSE 0 END) AS d0,
+             SUM(CASE WHEN arm = 1 THEN n ELSE 0 END) AS n1,
+             SUM(CASE WHEN arm = 0 THEN n ELSE 0 END) AS n0
+      FROM risk GROUP BY dur_m
+    ), terms AS (
+      SELECT CAST(round(d1 - CAST((d1 + d0) * n1 AS DOUBLE) / (n1 + n0), 9)
+                  AS DECIMAL(28,9)) AS oe,
+             CAST(round(CASE WHEN n1 + n0 > 1 THEN
+                    CAST((d1 + d0) * n1 AS DOUBLE) * n0
+                    * (n1 + n0 - d1 - d0)
+                    / (CAST(n1 + n0 AS DOUBLE) * (n1 + n0) * (n1 + n0 - 1))
+                  ELSE 0 END, 9) AS DECIMAL(28,9)) AS v
+      FROM wide WHERE d1 + d0 > 0 AND n1 > 0 AND n0 > 0
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_event_times,
+           round(CAST(SUM(oe) AS DOUBLE), 6) AS observed_minus_expected,
+           round(CAST(SUM(v) AS DOUBLE), 6) AS variance,
+           round(CAST(SUM(oe) AS DOUBLE) * CAST(SUM(oe) AS DOUBLE)
+                 / CAST(SUM(v) AS DOUBLE), 6) AS chisq,
+           CAST(CAST(SUM(oe) AS DOUBLE) * CAST(SUM(oe) AS DOUBLE)
+                / CAST(SUM(v) AS DOUBLE) > 3.841458820694124 AS INT)
+             AS curves_differ
+    FROM terms
+    """,
+    tags=("survival-analysis", "log-rank", "experimentation"),
+)
+def logrank_test_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-rank (Mantel–Cox) test — \"are these two survival curves the
+    same?\", the inferential capstone of the KM / Nelson–Aalen family:
+    customers hash into two arms (the md5 coin the A/B family shares),
+    and at every event time the observed arm-1 churn is compared with
+    its hypergeometric expectation given the at-risk sets, accumulating
+    Σ(O−E) and the variance Σ n1·n0·d·(n−d)/(n²(n−1)). Per-time terms
+    round to the 1e-9 grid and accumulate as decimals (the KM exactness
+    trick), so the χ² against the df=1 critical value is hash-exact.
+    Under the null coin the expected answer is \"no difference\" — the
+    calibration this test exists to provide.
+    Scale: one grouped pass per (arm, time); at-risk sets come from
+    descending cumulative windows over the calendar-sized time frame —
+    never data-sized."""
+    from pyspark.sql.window import Window as W
+
+    arm = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(F.lit("arm:"), F.col("o_custkey").cast("string"))
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 2
+    )
+    lifetimes = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.floor(
+                F.datediff(F.max("o_orderdate"), F.min("o_orderdate")) / 30.0
+            )
+            .cast("long")
+            .alias("dur_m"),
+            (
+                F.max("o_orderdate")
+                >= F.lit("2001-02-01").cast("timestamp")
+            )
+            .cast("int")
+            .alias("censored"),
+        )
+        .select(arm.alias("arm"), "dur_m", "censored")
+    )
+    by_at = lifetimes.groupBy("arm", "dur_m").agg(
+        F.sum(1 - F.col("censored")).alias("d"),
+        F.count("*").alias("e"),
+    )
+    times = by_at.select("dur_m").distinct()
+    arms = spark.createDataFrame([(0,), (1,)], "arm long")
+    grid = (
+        times.crossJoin(F.broadcast(arms))
+        .join(by_at, ["dur_m", "arm"], "left")
+        .select(
+            "dur_m",
+            "arm",
+            F.coalesce("d", F.lit(0)).alias("d"),
+            F.coalesce("e", F.lit(0)).alias("e"),
+        )
+    )
+    w_desc = W.partitionBy("arm").orderBy(F.col("dur_m").desc()).rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    risk = grid.select(
+        "dur_m", "arm", "d", F.sum("e").over(w_desc).alias("n")
+    )
+    wide = risk.groupBy("dur_m").agg(
+        F.sum(F.when(F.col("arm") == 1, F.col("d")).otherwise(0)).alias("d1"),
+        F.sum(F.when(F.col("arm") == 0, F.col("d")).otherwise(0)).alias("d0"),
+        F.sum(F.when(F.col("arm") == 1, F.col("n")).otherwise(0)).alias("n1"),
+        F.sum(F.when(F.col("arm") == 0, F.col("n")).otherwise(0)).alias("n0"),
+    )
+    dt = F.col("d1") + F.col("d0")
+    nt = F.col("n1") + F.col("n0")
+    oe = F.round(
+        F.col("d1") - (dt * F.col("n1")).cast("double") / nt, 9
+    ).cast("decimal(28,9)")
+    v = F.round(
+        F.when(
+            nt > 1,
+            (dt * F.col("n1")).cast("double")
+            * F.col("n0")
+            * (nt - dt)
+            / (nt.cast("double") * nt * (nt - 1)),
+        ).otherwise(0.0),
+        9,
+    ).cast("decimal(28,9)")
+    terms = wide.where(
+        (dt > 0) & (F.col("n1") > 0) & (F.col("n0") > 0)
+    ).select(oe.alias("oe"), v.alias("v"))
+    soe = F.sum("oe").cast("double")
+    sv = F.sum("v").cast("double")
+    chisq = soe * soe / sv
+    return terms.agg(
+        F.count("*").cast("long").alias("n_event_times"),
+        F.round(soe, 6).alias("observed_minus_expected"),
+        F.round(sv, 6).alias("variance"),
+        F.round(chisq, 6).alias("chisq"),
+        (chisq > F.lit(3.841458820694124)).cast("int").alias("curves_differ"),
+    )
+
+
+@query(
+    "seasonal_naive_backtest_mase",
+    oracle="""
+    WITH pts AS (
+      SELECT CAST((EXTRACT(year FROM o_orderdate) - 1992) * 12
+                  + EXTRACT(month FROM o_orderdate) - 1 AS BIGINT) AS x,
+             CAST(SUM(CAST(ROUND(o_totalprice, 2) AS DECIMAL(18,2))) * 100
+                  AS BIGINT) AS yc
+      FROM orders GROUP BY x
+    ), mx AS (
+      SELECT MAX(x) AS mx FROM pts
+    ), fc AS (
+      SELECT t.x, t.yc, l.yc AS yhat
+      FROM pts t
+      JOIN pts l ON l.x = t.x - 12
+      CROSS JOIN mx
+      WHERE t.x > mx.mx - 12
+    ), train AS (
+      SELECT abs(t.yc - p.yc) AS ae
+      FROM pts t JOIN pts p ON p.x = t.x - 1
+      CROSS JOIN mx
+      WHERE t.x <= mx.mx - 12
+    ), agg AS (
+      SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM fc) AS n_test,
+             (SELECT SUM(abs(yc - yhat)) FROM fc) AS sae_model,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM train) AS n_train,
+             (SELECT SUM(ae) FROM train) AS sae_naive
+    )
+    SELECT n_test, n_train,
+           round(CAST(sae_model AS DOUBLE) / n_test / 100, 6)
+             AS mae_model_dollars,
+           round(CAST(sae_naive AS DOUBLE) / n_train / 100, 6)
+             AS mae_naive1_dollars,
+           round((CAST(sae_model AS DOUBLE) / n_test)
+                 / (CAST(sae_naive AS DOUBLE) / n_train), 6) AS mase
+    FROM agg
+    """,
+    tags=("time-series", "forecasting", "evaluation"),
+)
+def seasonal_naive_backtest_mase(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """MASE backtest (Hyndman & Koehler) of the seasonal-naive
+    forecaster — the scale-free forecast-accuracy metric that made
+    \"beat the naive model or ship nothing\" an industry norm: hold out
+    the final 12 months, forecast each as the same month last year,
+    and scale the hold-out MAE by the TRAINING-period one-step naive
+    MAE (so MASE < 1 = better than naive drift, comparable across
+    series of any magnitude). Monthly totals are cent integers, both
+    absolute-error sums are exact integer sums, and the MASE is one
+    ratio of two integer means — hash-exact with no distributional
+    assumptions.
+    Scale: the fact table collapses to the month frame in one
+    map-side pass; forecasting and scoring are self-joins on a
+    calendar-sized frame."""
+    pts = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(
+            (
+                (F.year("o_orderdate") - 1992) * 12
+                + F.month("o_orderdate")
+                - 1
+            )
+            .cast("long")
+            .alias("x")
+        )
+        .agg(
+            (F.sum(F.round("o_totalprice", 2).cast("decimal(18,2)")) * 100)
+            .cast("long")
+            .alias("yc")
+        )
+        .localCheckpoint(eager=False)
+    )
+    mx = pts.agg(F.max("x").alias("mx"))
+    lag12 = pts.select(F.col("x").alias("lx"), F.col("yc").alias("lyc"))
+    fc = (
+        pts.crossJoin(F.broadcast(mx))
+        .where(F.col("x") > F.col("mx") - 12)
+        .join(lag12, F.col("lx") == F.col("x") - 12)
+        .select(F.abs(F.col("yc") - F.col("lyc")).alias("ae"))
+    )
+    lag1 = pts.select(F.col("x").alias("px"), F.col("yc").alias("pyc"))
+    train = (
+        pts.crossJoin(F.broadcast(mx))
+        .where(F.col("x") <= F.col("mx") - 12)
+        .join(lag1, F.col("px") == F.col("x") - 1)
+        .select(F.abs(F.col("yc") - F.col("pyc")).alias("ae"))
+    )
+    afc = fc.agg(
+        F.count("*").alias("n_test"), F.sum("ae").alias("sae_model")
+    )
+    atr = train.agg(
+        F.count("*").alias("n_train"), F.sum("ae").alias("sae_naive")
+    )
+    return afc.crossJoin(F.broadcast(atr)).select(
+        F.col("n_test").cast("long"),
+        F.col("n_train").cast("long"),
+        F.round(
+            F.col("sae_model").cast("double") / F.col("n_test") / 100, 6
+        ).alias("mae_model_dollars"),
+        F.round(
+            F.col("sae_naive").cast("double") / F.col("n_train") / 100, 6
+        ).alias("mae_naive1_dollars"),
+        F.round(
+            (F.col("sae_model").cast("double") / F.col("n_test"))
+            / (F.col("sae_naive").cast("double") / F.col("n_train")),
+            6,
+        ).alias("mase"),
+    )

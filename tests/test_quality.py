@@ -849,3 +849,36 @@ def test_mann_kendall_detects_planted_trend(spark, tmp_path):
     assert p["change_month"] == 17  # (1993-6month index) last low month
     assert abs(p["u_stat"]) == 36  # 6x6 straddling pairs all positive
     assert p["p_approx"] < 0.05
+
+
+def test_logrank_null_coin_no_difference(spark):
+    """Under the md5-coin null assignment the log-rank chi-square
+    should not scream: variance positive, identity chisq = (O−E)²/V,
+    and (a calibration property, not a tautology) the null flag."""
+    from data_seedling_spark.queries_analytics import logrank_test_survival
+    from tests.conftest import SF_SMOKE
+
+    r = logrank_test_survival(spark, SF_SMOKE).collect()[0]
+    assert r["n_event_times"] > 0
+    assert r["variance"] > 0
+    ident = r["observed_minus_expected"] ** 2 / r["variance"]
+    assert abs(r["chisq"] - ident) < 1e-4 * (1 + ident)
+    assert r["curves_differ"] == int(r["chisq"] > 3.841458820694124)
+
+
+def test_mase_seasonal_naive_identities(spark):
+    """n_test must be exactly 12 held-out months with a year-ago
+    anchor, and MASE must equal the ratio of the two reported MAEs."""
+    from data_seedling_spark.queries_analytics import (
+        seasonal_naive_backtest_mase,
+    )
+    from tests.conftest import SF_SMOKE
+
+    r = seasonal_naive_backtest_mase(spark, SF_SMOKE).collect()[0]
+    assert r["n_test"] == 12
+    assert r["n_train"] > 12
+    assert r["mae_model_dollars"] > 0 and r["mae_naive1_dollars"] > 0
+    assert (
+        abs(r["mase"] - r["mae_model_dollars"] / r["mae_naive1_dollars"])
+        < 1e-4 * (1 + r["mase"])
+    )
