@@ -217,6 +217,9 @@ HEADLINE = [
     "group_sequential_obf",
     "mann_kendall_trend",
     "pettitt_changepoint",
+    "logrank_test_survival",
+    "seasonal_naive_backtest_mase",
+    "price_elasticity_loglog",
 ]
 
 

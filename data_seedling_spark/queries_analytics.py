@@ -9416,3 +9416,69 @@ def seasonal_naive_backtest_mase(
             6,
         ).alias("mase"),
     )
+
+
+@query(
+    "price_elasticity_loglog",
+    oracle="""
+    WITH pts AS (
+      SELECT CAST(round(ln(l_extendedprice / l_quantity), 9)
+                  AS DECIMAL(28,9)) AS x,
+             CAST(round(ln(l_quantity), 9) AS DECIMAL(28,9)) AS y
+      FROM lineitem WHERE l_quantity > 0 AND l_extendedprice > 0
+    ), sums AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+             CAST(SUM(x * x) AS DOUBLE) AS sxx,
+             CAST(SUM(x * y) AS DOUBLE) AS sxy
+      FROM pts
+    )
+    SELECT n,
+           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
+             AS elasticity,
+           round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n,
+                 6) AS intercept_ln
+    FROM sums
+    """,
+    tags=("econometrics", "regression", "elasticity"),
+)
+def price_elasticity_loglog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Price elasticity of demand by the log-log regression economists
+    actually run: the OLS slope of ln(quantity) on ln(unit price) IS
+    the elasticity (percent demand change per percent price change) —
+    the one transform that makes a multiplicative law linear. Per-row
+    logarithms round to the 1e-9 grid before DECIMAL accumulation (the
+    engine's standard libm-agreement trick: both engines' ln agree far
+    above the grid, and the grid makes sums addition-order-free), the
+    four moment sums are exact decimal arithmetic, and slope/intercept
+    are fixed closed-form double expressions — hash-exact.
+    On TPC-H's uniform quantities the true elasticity is ≈0 — the
+    pytest pins the estimator near zero AND recovers a planted
+    elasticity of −1.5 exactly.
+    Scale: one map-side-combinable moment pass; nothing else."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_quantity") > 0) & (F.col("l_extendedprice") > 0)
+    )
+    pts = li.select(
+        F.round(F.log(F.col("l_extendedprice") / F.col("l_quantity")), 9)
+        .cast("decimal(28,9)")
+        .alias("x"),
+        F.round(F.log("l_quantity"), 9).cast("decimal(28,9)").alias("y"),
+    )
+    sums = pts.agg(
+        F.count("*").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return sums.select(
+        F.col("n").cast("long"),
+        F.round(slope, 6).alias("elasticity"),
+        F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 6).alias(
+            "intercept_ln"
+        ),
+    )

@@ -882,3 +882,30 @@ def test_mase_seasonal_naive_identities(spark):
         abs(r["mase"] - r["mae_model_dollars"] / r["mae_naive1_dollars"])
         < 1e-4 * (1 + r["mase"])
     )
+
+
+def test_elasticity_recovers_planted_power_law(spark, tmp_path):
+    """Planted q = 1000 · p^(−1.5): the log-log slope must recover
+    −1.5 to 4 decimals; and on a constant-quantity series the slope
+    must be ~0."""
+    import pandas as pd
+
+    from data_seedling_spark.queries_analytics import price_elasticity_loglog
+
+    rows = []
+    for i, p in enumerate((1.0, 2.0, 4.0, 8.0, 16.0, 32.0)):
+        q = 1000.0 * p ** (-1.5)
+        rows.append((i, q, p * q))  # unit price = p
+    pd.DataFrame(
+        rows, columns=["l_linenumber", "l_quantity", "l_extendedprice"]
+    ).to_parquet(str(tmp_path / "lineitem.parquet"))
+    r = price_elasticity_loglog(spark, str(tmp_path)).collect()[0]
+    assert abs(r["elasticity"] - (-1.5)) < 1e-4
+
+    flat = pd.DataFrame(
+        [(i, 5.0, 5.0 * p) for i, p in enumerate((1.0, 2.0, 4.0, 8.0))],
+        columns=["l_linenumber", "l_quantity", "l_extendedprice"],
+    )
+    flat.to_parquet(str(tmp_path / "lineitem.parquet"))
+    r2 = price_elasticity_loglog(spark, str(tmp_path)).collect()[0]
+    assert abs(r2["elasticity"]) < 1e-6
