@@ -1070,6 +1070,76 @@ class VersionedTable:
         if os.path.isdir(sdir):
             shutil.rmtree(sdir)
 
+    # ------------------------------------------------------------------
+    # Branches (Iceberg/Nessie-style): fork a zero-copy writable branch,
+    # work in isolation, squash-merge back under OCC.
+    # ------------------------------------------------------------------
+
+    def _branch_dir(self, name: str) -> str:
+        return os.path.join(self.path, "_branches", name)
+
+    def create_branch(self, name: str) -> "VersionedTable":
+        """Fork a writable branch at the current snapshot: a shallow
+        clone under ``_branches/<name>`` (zero-copy pointer commits —
+        O(metadata)) plus a recorded fork version. Branch writes land
+        in the branch's own directory; main never sees them until
+        :meth:`merge_branch`. The isolation/merge/conflict protocol is
+        the Iceberg branch workflow (write to a branch, validate,
+        fast-forward) with the merge realised as a squash."""
+        base = self.latest_version()
+        dest = self._branch_dir(name)
+        if os.path.isdir(dest):
+            raise ValueError(f"branch {name!r} already exists at {dest}")
+        br = self.clone(dest, version=base)
+        with open(os.path.join(dest, "_branch_meta.json"), "w") as fh:
+            json.dump({"base_version": base, "source": self.path}, fh)
+        return br
+
+    def branch(self, name: str) -> "VersionedTable":
+        """Open an existing branch."""
+        dest = self._branch_dir(name)
+        if not os.path.isfile(os.path.join(dest, "_branch_meta.json")):
+            raise NoSuchVersionError(f"no branch {name!r} at {dest}")
+        return VersionedTable(self.spark, dest, self.write_partitions)
+
+    def _branch_base(self, name: str) -> int:
+        with open(
+            os.path.join(self._branch_dir(name), "_branch_meta.json")
+        ) as fh:
+            return int(json.load(fh)["base_version"])
+
+    def merge_branch(self, name: str) -> int:
+        """Squash-merge the branch back: commit the branch HEAD
+        snapshot onto main as ONE overwrite, guarded by
+        ``expected_version = fork version`` — if main advanced since
+        the fork the merge aborts with ConcurrentWriteConflictError
+        (divergence needs a re-fork; silent last-writer-wins is
+        exactly what the guard exists to prevent). A branch with no
+        new commits is a no-op returning main's current version. The
+        branch stays readable afterwards; :meth:`drop_branch` discards
+        it."""
+        base = self._branch_base(name)
+        br = self.branch(name)
+        if br.latest_version() == base:
+            return self.latest_version()
+        if self.latest_version() != base:
+            raise ConcurrentWriteConflictError(
+                f"{self.path}: advanced past fork version {base} of branch "
+                f"{name!r}; re-fork and replay the branch work"
+            )
+        return self.write(
+            br.read(), mode="overwrite", expected_version=base
+        )
+
+    def drop_branch(self, name: str) -> None:
+        """Discard a branch (its local version dirs with it; pointer
+        commits never owned main's files)."""
+        import shutil
+
+        dest = self._branch_dir(name)
+        if os.path.isdir(dest):
+            shutil.rmtree(dest)
+
 
 def _json_stat(v):
     """JSON-native form of a parquet statistic (numbers/strings pass

@@ -2722,3 +2722,48 @@ def update_cdc_images_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+
+
+@query(
+    "branch_merge_pipeline",
+    oracle="""
+    SELECT event_id, user_id, event_type FROM events
+    WHERE event_id % 3 <> 2
+    UNION ALL
+    SELECT event_id, user_id,
+           upper(event_type) AS event_type
+    FROM events WHERE event_id % 3 = 2
+    """,
+    tags=("S6", "branch", "ledger"),
+)
+def branch_merge_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table branching end to end (the Iceberg/Nessie workflow): main
+    is created from two-thirds of the events; a zero-copy branch forks
+    off, appends the remaining third UPPER-CASED (the risky transform
+    worked in isolation — main provably never sees it mid-flight), and
+    squash-merges back under the fork-version OCC guard. The returned
+    frame is main read through the normal ledger reader after the
+    merge; the oracle reproduces it as pure SQL — a leaked pre-merge
+    row, a lost branch commit or a clobbered main row all break the
+    hash. Isolation/conflict/no-op protocol coverage:
+    tests/test_ledger.py branch suite."""
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type"
+    )
+    base = tempfile.mkdtemp(prefix="branch_pipe_")
+    t = VersionedTable(spark, f"{base}/tbl", write_partitions=4)
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        t.write(events.where(F.col("event_id") % 3 != 2), mode="overwrite")
+        br = t.create_branch("upcase-third")
+        br.write(
+            events.where(F.col("event_id") % 3 == 2).withColumn(
+                "event_type", F.upper("event_type")
+            ),
+            mode="append",
+        )
+        t.merge_branch("upcase-third")
+        return t.read().select("event_id", "user_id", "event_type")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)

@@ -1242,3 +1242,61 @@ def test_update_then_append_cdc_and_clone(spark, tmp_table_dir):
     assert kinds == ["insert", "update_postimage", "update_preimage"]
     clone = t.clone(str(tmp_table_dir) + "_c", version=1)
     assert {r["v"] for r in clone.read().collect()} == {-1.0}
+
+
+def test_branch_isolation_and_squash_merge(spark, tmp_table_dir):
+    """Branch writes are invisible on main until merge; the squash
+    merge lands the branch HEAD as one overwrite commit on main."""
+    t = VersionedTable(spark, tmp_table_dir)
+    t.write(_wap_rows(spark, [1, 2]))
+    br = t.create_branch("feature")
+    br.write(_wap_rows(spark, [3]), mode="append")
+    br.write(_wap_rows(spark, [4]), mode="append")
+    # isolation: main unchanged, branch sees everything
+    assert sorted(r["k"] for r in t.read().collect()) == [1, 2]
+    assert sorted(r["k"] for r in br.read().collect()) == [1, 2, 3, 4]
+    v = t.merge_branch("feature")
+    assert sorted(r["k"] for r in t.read().collect()) == [1, 2, 3, 4]
+    assert v == t.latest_version()
+    # time travel on main still shows the pre-merge snapshot
+    assert sorted(r["k"] for r in t.read(version=0).collect()) == [1, 2]
+
+
+def test_branch_merge_conflict_on_divergence(spark, tmp_table_dir):
+    """If main advances after the fork, merge must abort with a
+    conflict instead of silently clobbering the concurrent write."""
+    import pytest as _pytest
+
+    from data_seedling_spark.operators.ledger import (
+        ConcurrentWriteConflictError,
+    )
+
+    t = VersionedTable(spark, tmp_table_dir)
+    t.write(_wap_rows(spark, [1]))
+    br = t.create_branch("risky")
+    br.write(_wap_rows(spark, [2]), mode="append")
+    t.write(_wap_rows(spark, [9]), mode="append")  # main diverges
+    with _pytest.raises(ConcurrentWriteConflictError):
+        t.merge_branch("risky")
+    # main keeps its own line; the branch survives for inspection
+    assert sorted(r["k"] for r in t.read().collect()) == [1, 9]
+    assert sorted(r["k"] for r in t.branch("risky").read().collect()) == [1, 2]
+    t.drop_branch("risky")
+    import pytest as _p
+
+    with _p.raises(NoSuchVersionError):
+        t.branch("risky")
+
+
+def test_branch_noop_merge_and_duplicate_name(spark, tmp_table_dir):
+    """Merging an untouched branch is a no-op; re-creating an existing
+    branch name raises."""
+    import pytest as _pytest
+
+    t = VersionedTable(spark, tmp_table_dir)
+    t.write(_wap_rows(spark, [1]))
+    t.create_branch("idle")
+    v = t.merge_branch("idle")
+    assert v == 0 and t.latest_version() == 0
+    with _pytest.raises(ValueError):
+        t.create_branch("idle")
