@@ -220,6 +220,7 @@ HEADLINE = [
     "logrank_test_survival",
     "seasonal_naive_backtest_mase",
     "price_elasticity_loglog",
+    "branch_merge_pipeline",
 ]
 
 
