@@ -221,6 +221,7 @@ HEADLINE = [
     "seasonal_naive_backtest_mase",
     "price_elasticity_loglog",
     "branch_merge_pipeline",
+    "logreg_holdout_prauc",
 ]
 
 

@@ -8643,3 +8643,115 @@ def rake_keyword_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("score").desc(), F.col("support").desc(), "phrase")
         .limit(15)
     )
+
+
+_AP_FINAL = """
+    , scored AS (
+      SELECT vec_id, label_bin, round(__SIG__, 6) AS p
+      FROM z CROSS JOIN __WN__
+      WHERE fold = 0
+    ), perp AS (
+      SELECT p, COUNT(*) AS cnt, SUM(label_bin) AS pos
+      FROM scored GROUP BY p
+    ), blocks AS (
+      SELECT p, cnt, pos,
+             SUM(cnt) OVER (ORDER BY p DESC) AS cum_cnt,
+             SUM(pos) OVER (ORDER BY p DESC) AS cum_pos,
+             SUM(pos) OVER () AS np
+      FROM perp
+    ), terms AS (
+      SELECT CAST(round(CAST(pos AS DOUBLE) / np
+                        * CAST(cum_pos AS DOUBLE) / cum_cnt, 9)
+                  AS DECIMAL(28,9)) AS t,
+             pos, np, cum_cnt, cum_pos
+      FROM blocks WHERE pos > 0
+    )
+    SELECT CAST(MAX(np) AS BIGINT) AS n_positive,
+           CAST((SELECT SUM(cnt) FROM perp) - MAX(np) AS BIGINT)
+             AS n_negative,
+           round(CAST(SUM(t) AS DOUBLE), 6) AS average_precision,
+           round(CAST(MAX(np) AS DOUBLE)
+                 / (SELECT SUM(cnt) FROM perp), 6) AS baseline_prevalence
+    FROM terms"""
+
+
+@query(
+    "logreg_holdout_prauc",
+    oracle=_logreg_holdout_oracle(nf=4, lr=2.0, iters=5, k=5, final=_AP_FINAL),
+    tags=("model-training", "classifier", "eval"),
+)
+def logreg_holdout_prauc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average precision (the PR-AUC) of the in-engine logreg on its
+    untouched hold-out fold — the imbalance-honest companion to the
+    ROC AUC already in the registry: under heavy class skew ROC can
+    look great while precision is garbage, and AP's baseline is the
+    prevalence, not 0.5. Tie handling is the block-wise protocol:
+    distinct scores form blocks in descending order, each contributes
+    (block positives / total positives) × (cumulative precision at
+    the block) — every factor a ratio of integer counts, each term
+    rounded to the 1e-9 grid and decimal-summed (addition-order-free,
+    block count is score-grid-bounded). The prevalence baseline is
+    reported alongside.
+    Scale: one grouped-by-score reduction (scores on the 1e-6 sigmoid
+    grid), windows only over the block frame."""
+    from pyspark.sql import Window as W
+
+    from .operators.logreg import logreg_fit, logreg_score, standardize
+
+    embeddings = load_table(spark, sf_dir, "embeddings")
+    base = embeddings.select(
+        "vec_id",
+        (F.col("vec_id") % 5).alias("fold"),
+        (F.col("label") == 3).cast("int").alias("label_bin"),
+        *[
+            F.col("embedding").cast("array<double>")[i].alias(f"f{i}")
+            for i in range(4)
+        ],
+    )
+    feats, zcols = standardize(
+        base,
+        [f"f{i}" for i in range(4)],
+        stats_from=base.where(F.col("fold") != 0),
+    )
+    weights = logreg_fit(
+        feats.where(F.col("fold") != 0), zcols, "label_bin", lr=2.0, iters=5
+    )
+    scored = logreg_score(
+        feats.where(F.col("fold") == 0), zcols, weights
+    ).select("label_bin", "p")
+    perp = scored.groupBy("p").agg(
+        F.count("*").alias("cnt"), F.sum("label_bin").alias("pos")
+    )
+    wd = W.orderBy(F.col("p").desc()).rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    wall = W.partitionBy(F.lit(1))
+    blocks = perp.select(
+        "cnt",
+        "pos",
+        F.sum("cnt").over(wd).alias("cum_cnt"),
+        F.sum("pos").over(wd).alias("cum_pos"),
+        F.sum("pos").over(wall).alias("np"),
+        F.sum("cnt").over(wall).alias("ntot"),
+    )
+    terms = blocks.where(F.col("pos") > 0).select(
+        F.round(
+            F.col("pos").cast("double")
+            / F.col("np")
+            * F.col("cum_pos").cast("double")
+            / F.col("cum_cnt"),
+            9,
+        )
+        .cast("decimal(28,9)")
+        .alias("t"),
+        "np",
+        "ntot",
+    )
+    return terms.agg(
+        F.max("np").cast("long").alias("n_positive"),
+        (F.max("ntot") - F.max("np")).cast("long").alias("n_negative"),
+        F.round(F.sum("t").cast("double"), 6).alias("average_precision"),
+        F.round(
+            F.max("np").cast("double") / F.max("ntot"), 6
+        ).alias("baseline_prevalence"),
+    )

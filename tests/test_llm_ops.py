@@ -2550,3 +2550,37 @@ def test_rake_prefers_multiword_domain_terms(spark, tmp_path):
         w not in ("the", "of", "is", "in", "a", "with")
         for r in rows for w in r["phrase"].split()
     )
+
+
+def test_prauc_bounds_and_perfect_classifier(spark, tmp_path):
+    """AP of a perfectly separable fixture must be 1.0; AP always sits
+    in [prevalence-ish, 1]; the real hold-out AP must beat prevalence
+    on the planted label structure."""
+    import pandas as pd
+
+    from data_seedling_spark.queries_llm import logreg_holdout_prauc
+    from tests.conftest import SF_SMOKE
+
+    r = logreg_holdout_prauc(spark, SF_SMOKE).collect()[0]
+    assert 0.0 <= r["average_precision"] <= 1.0
+    assert r["n_positive"] > 0
+    assert r["average_precision"] >= r["baseline_prevalence"] * 0.8
+
+    import hashlib
+
+    def coin(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16) % 1000 / 1000
+
+    rows = []
+    for i in range(200):
+        y = 3 if i % 4 == 0 else 1
+        emb = [
+            3.0 if y == 3 else -3.0,
+            coin(f"a{i}"), coin(f"b{i}"), coin(f"c{i}"),
+        ]
+        rows.append((i, emb, y))
+    pd.DataFrame(rows, columns=["vec_id", "embedding", "label"]).to_parquet(
+        str(tmp_path / "embeddings.parquet")
+    )
+    p = logreg_holdout_prauc(spark, str(tmp_path)).collect()[0]
+    assert p["average_precision"] == 1.0
