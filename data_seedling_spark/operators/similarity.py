@@ -40,20 +40,44 @@ def _resolve_stride(df: DataFrame, stride: int | None) -> int:
 
 
 def arrow_assign_enabled() -> bool:
-    """True when ``DS_SPARK_IVF_ARROW`` is set truthy in the
-    environment: the Arrow/BLAS kernels replace the interpreted
-    folds — :func:`ivf_assign` routes through the matmul assigner
-    (:func:`ivf_assign_arrow`, 68× at sf1 in SCALE.md) and
-    within-block pair scoring through the gram-matmul scorer
-    (:func:`near_dup_pairs_arrow`). Off by default so the
-    sequential-fold plans stay the hash-exact oracle paths; bench.py
-    turns it on (the throughput configuration; agreement vs the fold
-    ≥0.999 floor-tested for both kernels in tests/test_llm_ops.py)."""
+    """Library default for the Arrow/BLAS ANN kernels — **ON** (r9):
+    a bare :func:`ivf_assign` / :func:`kmeans_lloyd` / PQ call routes
+    through the matmul assigner (:func:`ivf_assign_arrow`, 68× at sf1
+    in SCALE.md) and within-block pair scoring through the gram-matmul
+    scorer (:func:`near_dup_pairs_arrow`) — the only paths that hold
+    at 100 TB. Set ``DS_SPARK_IVF_ARROW=0`` to force the interpreted
+    sequential folds everywhere (debugging / engine-parity runs).
+
+    Hash-checked oracle queries do NOT consult this default: they pin
+    ``arrow=False`` explicitly (via :func:`oracle_arrow`) because the
+    DuckDB oracles reproduce the fold's exact IEEE summation order,
+    while BLAS matmuls can differ by an ulp at the 1e-6 rounding
+    boundary (agreement vs the fold ≥0.999 floor-tested for every
+    kernel in tests/test_llm_ops.py)."""
     import os
 
-    return os.environ.get("DS_SPARK_IVF_ARROW", "").lower() in (
-        "1", "true", "yes",
-    )
+    val = os.environ.get("DS_SPARK_IVF_ARROW")
+    if val is None:
+        return True
+    return val.lower() not in ("0", "false", "no", "off")
+
+
+def _use_arrow(arrow: bool | None) -> bool:
+    """Resolve a per-call ``arrow`` override: explicit bool wins;
+    ``None`` defers to the library default (:func:`arrow_assign_enabled`)."""
+    return arrow_assign_enabled() if arrow is None else arrow
+
+
+def oracle_arrow() -> bool | None:
+    """Path pin for the hash-checked ANN oracle queries: ``False``
+    (sequential fold — the DuckDB-reproducible plan) unless
+    ``DS_SPARK_BENCH_ARROW`` is set truthy, bench.py's knob for timing
+    the same catalog entries on the throughput kernels (returns
+    ``None`` → library default → Arrow). Correctness runs never set
+    the bench knob, so the driver always hash-checks the fold."""
+    import os
+
+    return None if os.environ.get("DS_SPARK_BENCH_ARROW") else False
 
 
 def cosine(a, b):
@@ -249,6 +273,7 @@ def embedding_near_dup_pairs(
     block_col: str | None = None,
     threshold: float = 0.4,
     centroid_stride: int | None = None,
+    arrow: bool | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs within a blocking key.
 
@@ -267,12 +292,13 @@ def embedding_near_dup_pairs(
         return embedding_near_dup_ivf(
             df, id_col=id_col, vec_col=vec_col,
             threshold=threshold, centroid_stride=centroid_stride,
+            arrow=arrow,
         )
-    if arrow_assign_enabled():
-        # bench's throughput configuration: one BLAS gram matmul per
-        # block instead of cell² interpreted folds (ulp caveat and
-        # agreement floor documented on near_dup_pairs_arrow; oracle
-        # runs leave the flag unset and keep the fold below)
+    if _use_arrow(arrow):
+        # the scale default: one BLAS gram matmul per block instead of
+        # cell² interpreted folds (ulp caveat and agreement floor
+        # documented on near_dup_pairs_arrow; oracle queries pin
+        # arrow=False and keep the fold below)
         return near_dup_pairs_arrow(
             df, id_col=id_col, vec_col=vec_col,
             block_col=block_col, threshold=threshold,
@@ -324,6 +350,7 @@ def embedding_near_dup_ivf(
     vec_col: str = "embedding",
     threshold: float = 0.4,
     centroid_stride: int | None = None,
+    arrow: bool | None = None,
 ) -> DataFrame:
     """Embedding near-dup pairs blocked on IVF quantizer cells — the
     corpus-scale path.
@@ -347,13 +374,13 @@ def embedding_near_dup_ivf(
         (F.col(id_col) / centroid_stride).cast("long").alias("centroid_id"),
         F.col(vec_col),
     )
-    assigned = ivf_assign(df, centroids, id_col, vec_col)
+    assigned = ivf_assign(df, centroids, id_col, vec_col, arrow=arrow)
     blocked = df.join(assigned, on=id_col).select(
         F.col(id_col), F.col("centroid_id"), F.col(vec_col)
     )
     return embedding_near_dup_pairs(
         blocked, id_col=id_col, vec_col=vec_col,
-        block_col="centroid_id", threshold=threshold,
+        block_col="centroid_id", threshold=threshold, arrow=arrow,
     )
 
 
@@ -363,6 +390,7 @@ def semantic_dedup(
     vec_col: str = "embedding",
     threshold: float = 0.85,
     centroid_stride: int | None = None,
+    arrow: bool | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     "SemDeDup: Data-efficient learning at web-scale through semantic
@@ -384,14 +412,14 @@ def semantic_dedup(
     centroid_stride = _resolve_stride(df, centroid_stride)
     pairs = embedding_near_dup_ivf(
         df, id_col=id_col, vec_col=vec_col,
-        threshold=threshold, centroid_stride=centroid_stride,
+        threshold=threshold, centroid_stride=centroid_stride, arrow=arrow,
     )
     pruned = pairs.select(F.col("vec_b").alias(id_col)).distinct()
     centroids = df.where((F.col(id_col) % centroid_stride) == 0).select(
         (F.col(id_col) / centroid_stride).cast("long").alias("centroid_id"),
         F.col(vec_col),
     )
-    cells = ivf_assign(df, centroids, id_col, vec_col)
+    cells = ivf_assign(df, centroids, id_col, vec_col, arrow=arrow)
     return cells.join(pruned, id_col, "left_anti").select(id_col, "centroid_id")
 
 
@@ -451,9 +479,9 @@ def ivf_assign(
 
     ``arrow`` routes through the BLAS-matmul assigner
     (:func:`ivf_assign_arrow`, 68× at sf1 per SCALE.md); ``None``
-    defers to the ``DS_SPARK_IVF_ARROW`` env flag
-    (:func:`arrow_assign_enabled`) so bench.py can flip every IVF
-    caller to the throughput path without touching oracle runs.
+    defers to the library default (:func:`arrow_assign_enabled` —
+    ON since r9). Hash-checked oracle queries pin ``arrow=False``
+    (the engine-exact fold; see :func:`oracle_arrow`).
 
     Squared L2 uses the dot identity ‖v‖²+‖c‖²−2v·c so the oracle can
     reproduce the exact doubles via ``list_dot_product``.
@@ -465,8 +493,7 @@ def ivf_assign(
     per candidate, so min_by is deterministic; equivalent to
     ``ROW_NUMBER() OVER (ORDER BY dist, centroid) = 1``.
     """
-    use_arrow = arrow_assign_enabled() if arrow is None else arrow
-    if use_arrow:
+    if _use_arrow(arrow):
         return ivf_assign_arrow(df, centroids, id_col, vec_col, centroid_id)
     sq_dist = (
         _dot(F.col("_v"), F.col("_v"))
@@ -494,6 +521,7 @@ def ivf_topk(
     centroid_stride: int | None = None,
     nprobe: int = 1,
     centroids: DataFrame | None = None,
+    arrow: bool | None = None,
 ) -> DataFrame:
     """IVF ANN search: quantize the corpus against a deterministic
     centroid set (every ``centroid_stride``-th vector — a k-means fit
@@ -518,7 +546,7 @@ def ivf_topk(
                 F.col(vec_col),
             )
         )
-    assigned = ivf_assign(df, centroids, id_col, vec_col)
+    assigned = ivf_assign(df, centroids, id_col, vec_col, arrow=arrow)
     v = df.join(assigned, on=id_col).select(
         F.col(id_col),
         F.col("centroid_id"),
@@ -574,6 +602,7 @@ def kmeans_lloyd(
     vec_col: str = "embedding",
     init_stride: int | None = None,
     iters: int = 2,
+    arrow: bool | None = None,
 ) -> DataFrame:
     """Distributed Lloyd's k-means over an embedding column, returning
     the final (id, centroid_id) assignment.
@@ -599,14 +628,19 @@ def kmeans_lloyd(
     vecs = df.select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias(vec_col)
     ).persist()
-    cent_rows = _lloyd_cent_rows(vecs, id_col, vec_col, init_stride, iters)
-    return _assign_literal_centroids(vecs, cent_rows, id_col, vec_col).select(
-        id_col, "centroid_id"
-    )
+    cent_rows = _lloyd_cent_rows(vecs, id_col, vec_col, init_stride, iters, arrow)
+    return _assign_literal_centroids(
+        vecs, cent_rows, id_col, vec_col, arrow=arrow
+    ).select(id_col, "centroid_id")
 
 
 def _lloyd_cent_rows(
-    vecs: DataFrame, id_col: str, vec_col: str, init_stride: int, iters: int
+    vecs: DataFrame,
+    id_col: str,
+    vec_col: str,
+    init_stride: int,
+    iters: int,
+    arrow: bool | None = None,
 ) -> list:
     """The Lloyd iteration loop shared by :func:`kmeans_lloyd` and the
     trained-PQ codebook fit: stride init, ``iters`` × (literal-assign →
@@ -618,7 +652,9 @@ def _lloyd_cent_rows(
     )
     cent_rows = [(r["centroid_id"], list(r[vec_col])) for r in init.collect()]
     for _ in range(iters):
-        assigned = _assign_literal_centroids(vecs, cent_rows, id_col, vec_col)
+        assigned = _assign_literal_centroids(
+            vecs, cent_rows, id_col, vec_col, arrow=arrow
+        )
         updated = (
             assigned
             .select("centroid_id", F.posexplode(vec_col).alias("pos", "val"))
@@ -682,7 +718,8 @@ def _literal_argmin(cent_rows, vec_col: str):
 
 
 def _assign_literal_centroids(
-    vecs: DataFrame, cent_rows, id_col: str, vec_col: str
+    vecs: DataFrame, cent_rows, id_col: str, vec_col: str,
+    arrow: bool | None = None,
 ) -> DataFrame:
     """Nearest-centroid assignment as a pure projection: the centroid
     set (already driver-side between Lloyd iterations) becomes a
@@ -702,7 +739,7 @@ def _assign_literal_centroids(
     struct literals measured 87 s at sf1 vs ~5 s for one BLAS matmul
     per Arrow batch). Same ulp caveat as :func:`ivf_assign_arrow`, so
     the literal fold stays the oracle-exact path."""
-    if arrow_assign_enabled():
+    if _use_arrow(arrow):
         return _assign_literal_centroids_arrow(vecs, cent_rows, vec_col)
     with_vv = vecs.withColumn("_vv", _dot(F.col(vec_col), F.col(vec_col)))
     return with_vv.withColumn(
@@ -751,6 +788,7 @@ def pq_codebooks_trained(
     dim: int = 64,
     init_stride: int | None = None,
     iters: int = 2,
+    arrow: bool | None = None,
 ) -> DataFrame:
     """Trained PQ codebooks: per-subspace Lloyd's k-means (Jégou et
     al. 2011 §III trains one k-means per subquantizer; the stride
@@ -782,7 +820,9 @@ def pq_codebooks_trained(
     for r in init.collect():
         groups.setdefault(r["subspace"], []).append((r["cid"], list(r["sv"])))
     for _ in range(iters):
-        assigned = _assign_literal_grouped(vecs, groups, "subspace", "sv")
+        assigned = _assign_literal_grouped(
+            vecs, groups, "subspace", "sv", arrow=arrow
+        )
         updated = (
             assigned.select(
                 "subspace", "centroid_id", F.posexplode("sv").alias("pos", "val")
@@ -814,7 +854,8 @@ def pq_codebooks_trained(
 
 
 def _assign_literal_grouped(
-    vecs: DataFrame, groups: dict, group_col: str, vec_col: str
+    vecs: DataFrame, groups: dict, group_col: str, vec_col: str,
+    arrow: bool | None = None,
 ) -> DataFrame:
     """Literal-centroid argmin with a separate centroid set per group:
     CASE over ``group_col`` selects that group's literal array — still
@@ -823,7 +864,7 @@ def _assign_literal_grouped(
     Arrow twin (same rationale and ulp caveat as
     :func:`_assign_literal_centroids`: with √N sizing the CASE'd
     literal tree reaches m×k×sub doubles and leaves codegen)."""
-    if arrow_assign_enabled():
+    if _use_arrow(arrow):
         return _assign_literal_grouped_arrow(vecs, groups, group_col, vec_col)
     with_vv = vecs.withColumn("_vv", _dot(F.col(vec_col), F.col(vec_col)))
     expr = F.lit(None).cast("long")
@@ -919,6 +960,7 @@ def pq_encode(
     vec_col: str = "embedding",
     m: int = 4,
     dim: int = 64,
+    arrow: bool | None = None,
 ) -> DataFrame:
     """PQ encoding: per subspace, assign each vector's sub-vector to
     its nearest codeword (argmin squared-L2 via the dot identity,
@@ -947,7 +989,7 @@ def pq_encode(
             F.array(*[F.slice(F.col("_v"), j * sub + 1, sub) for j in range(m)])
         ).alias("subspace", "_s"),
     )
-    if arrow_assign_enabled():
+    if _use_arrow(arrow):
         groups: dict[int, list] = {}
         for r in codebooks.select("subspace", "code_id", "subvec").collect():
             groups.setdefault(int(r["subspace"]), []).append(
@@ -978,6 +1020,7 @@ def pq_adc_topk(
     m: int = 4,
     dim: int = 64,
     centroid_stride: int | None = None,
+    arrow: bool | None = None,
 ) -> DataFrame:
     """PQ ANN search with asymmetric distance computation (ADC): the
     corpus is scanned as codes only; each query builds a (subspace ×
@@ -995,7 +1038,7 @@ def pq_adc_topk(
     sub = dim // m
     centroid_stride = _resolve_stride(df, centroid_stride)
     codebooks = pq_codebooks(df, id_col, vec_col, m, dim, centroid_stride)
-    codes = pq_encode(df, codebooks, id_col, vec_col, m, dim)
+    codes = pq_encode(df, codebooks, id_col, vec_col, m, dim, arrow=arrow)
     queries = df.where(F.col(id_col).isin(list(query_ids))).select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("_qv"),
@@ -1157,6 +1200,7 @@ def two_stage_rerank_topk(
     m: int = 4,
     dim: int = 64,
     centroid_stride: int | None = None,
+    arrow: bool | None = None,
 ) -> DataFrame:
     """Two-stage retrieval: PQ-ADC candidate generation (top
     ``candidates`` by approximate distance — the corpus moves as m
@@ -1173,7 +1217,8 @@ def two_stage_rerank_topk(
     dot-identity contract as the brute-force baseline, so the rerank
     is oracle-checkable end-to-end."""
     shortlist = pq_adc_topk(
-        df, query_ids, id_col, vec_col, candidates, m, dim, centroid_stride
+        df, query_ids, id_col, vec_col, candidates, m, dim, centroid_stride,
+        arrow=arrow,
     ).select("query_id", "neighbor_id")
     vecs = df.select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v")
@@ -1209,6 +1254,7 @@ def ivfpq_residual_topk(
     m: int = 4,
     dim: int = 64,
     centroid_stride: int | None = None,
+    arrow: bool | None = None,
 ) -> DataFrame:
     """IVF-PQ with residual encoding (Jégou et al. 2011 §IV — the
     composition every production ANN index ships): a coarse IVF
@@ -1233,7 +1279,7 @@ def ivfpq_residual_topk(
         (F.col(id_col) / centroid_stride).cast("long").alias("centroid_id"),
         F.col(vec_col),
     )
-    assigned = ivf_assign(df, centroids, id_col, vec_col)
+    assigned = ivf_assign(df, centroids, id_col, vec_col, arrow=arrow)
     c = centroids.select(
         "centroid_id", F.col(vec_col).cast("array<double>").alias("_c")
     )
@@ -1253,7 +1299,7 @@ def ivfpq_residual_topk(
         .persist()
     )
     codebooks = pq_codebooks(residuals, id_col, "_r", m, dim, centroid_stride)
-    codes = pq_encode(residuals, codebooks, id_col, "_r", m, dim)
+    codes = pq_encode(residuals, codebooks, id_col, "_r", m, dim, arrow=arrow)
     q_res = residuals.where(F.col(id_col).isin(list(query_ids))).select(
         F.col(id_col).alias("query_id"),
         F.col("centroid_id").alias("_qcell"),

@@ -9,6 +9,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from .operators.similarity import oracle_arrow
 from .queries import query
 from .tables import load_table
 
@@ -427,7 +428,9 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.similarity import embedding_near_dup_pairs
 
     embeddings = load_table(spark, sf_dir, "embeddings")
-    return embedding_near_dup_pairs(embeddings, block_col="label", threshold=0.4)
+    return embedding_near_dup_pairs(
+        embeddings, block_col="label", threshold=0.4, arrow=oracle_arrow()
+    )
 
 
 @query(
@@ -475,7 +478,7 @@ def embedding_near_dup_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.similarity import embedding_near_dup_ivf as _near_dup_ivf
 
     embeddings = load_table(spark, sf_dir, "embeddings")
-    return _near_dup_ivf(embeddings, threshold=0.4)
+    return _near_dup_ivf(embeddings, threshold=0.4, arrow=oracle_arrow())
 
 
 @query(
@@ -527,7 +530,7 @@ def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.similarity import ivf_topk
 
     embeddings = load_table(spark, sf_dir, "embeddings")
-    return ivf_topk(embeddings, query_ids=range(10), k=3)
+    return ivf_topk(embeddings, query_ids=range(10), k=3, arrow=oracle_arrow())
 
 
 @query(
@@ -821,7 +824,7 @@ def kmeans_cluster_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.similarity import kmeans_lloyd
 
     embeddings = load_table(spark, sf_dir, "embeddings")
-    return kmeans_lloyd(embeddings, iters=2)
+    return kmeans_lloyd(embeddings, iters=2, arrow=oracle_arrow())
 
 
 @query(
@@ -842,7 +845,7 @@ def kmeans_cluster_assignment_stride50(
     from .operators.similarity import kmeans_lloyd
 
     embeddings = load_table(spark, sf_dir, "embeddings")
-    return kmeans_lloyd(embeddings, init_stride=50, iters=2)
+    return kmeans_lloyd(embeddings, init_stride=50, iters=2, arrow=oracle_arrow())
 
 
 @query(
@@ -1187,7 +1190,9 @@ def pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.similarity import pq_adc_topk
 
     embeddings = load_table(spark, sf_dir, "embeddings")
-    return pq_adc_topk(embeddings, query_ids=(7, 123, 321), k=3)
+    return pq_adc_topk(
+        embeddings, query_ids=(7, 123, 321), k=3, arrow=oracle_arrow()
+    )
 
 
 @query(
@@ -1342,7 +1347,9 @@ def ivf_ann_topk_nprobe2(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.similarity import ivf_topk
 
     embeddings = load_table(spark, sf_dir, "embeddings")
-    return ivf_topk(embeddings, query_ids=range(10), k=3, nprobe=2)
+    return ivf_topk(
+        embeddings, query_ids=range(10), k=3, nprobe=2, arrow=oracle_arrow()
+    )
 
 
 @query(
@@ -1885,7 +1892,7 @@ def semantic_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.similarity import semantic_dedup
 
     embeddings = load_table(spark, sf_dir, "embeddings")
-    return semantic_dedup(embeddings, threshold=0.4)
+    return semantic_dedup(embeddings, threshold=0.4, arrow=oracle_arrow())
 
 
 @query(
@@ -2038,7 +2045,9 @@ def pq_codebooks_trained_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.similarity import pq_codebooks_trained
 
     embeddings = load_table(spark, sf_dir, "embeddings")
-    books = pq_codebooks_trained(embeddings, m=4, dim=64, iters=2)
+    books = pq_codebooks_trained(
+        embeddings, m=4, dim=64, iters=2, arrow=oracle_arrow()
+    )
     return books.select(
         "subspace",
         "code_id",
@@ -2886,7 +2895,8 @@ def ann_two_stage_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     embeddings = load_table(spark, sf_dir, "embeddings")
     return two_stage_rerank_topk(
-        embeddings, query_ids=(7, 123, 321), k=3, candidates=10
+        embeddings, query_ids=(7, 123, 321), k=3, candidates=10,
+        arrow=oracle_arrow(),
     )
 
 
@@ -3253,7 +3263,9 @@ def ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.similarity import ivfpq_residual_topk
 
     embeddings = load_table(spark, sf_dir, "embeddings")
-    return ivfpq_residual_topk(embeddings, query_ids=(7, 123, 321), k=3)
+    return ivfpq_residual_topk(
+        embeddings, query_ids=(7, 123, 321), k=3, arrow=oracle_arrow()
+    )
 
 
 @query(
@@ -3691,7 +3703,7 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = embeddings.where(F.col("vec_id") < 20)
     exact = cosine_topk(queries, embeddings, k=5).select("query_id", "neighbor_id")
     approx = ivf_topk(
-        embeddings, query_ids=range(20), k=5
+        embeddings, query_ids=range(20), k=5, arrow=oracle_arrow()
     ).select("query_id", "neighbor_id")
     # Single pass over the exact leg: left-join the approx hit marker,
     # then one grouped count/count(marker) — the brute-force ground
@@ -3789,7 +3801,7 @@ def cluster_top_terms_ctfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("vec_id") / stride).cast("long").alias("centroid_id"),
         "embedding",
     )
-    assigned = ivf_assign(embeddings, centroids)
+    assigned = ivf_assign(embeddings, centroids, arrow=oracle_arrow())
     toks = (
         documents.join(assigned, documents.doc_id == assigned.vec_id)
         .select(
@@ -4889,7 +4901,7 @@ def ann_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id", "neighbor_id", F.col("rank").alias("_erk")
     )
     approx = ivf_topk(
-        embeddings, query_ids=range(20), k=5
+        embeddings, query_ids=range(20), k=5, arrow=oracle_arrow()
     ).select("query_id", "neighbor_id", F.col("rank").alias("_pos"))
     term = F.round(
         F.coalesce(F.lit(6) - F.col("_erk"), F.lit(0))
@@ -6311,7 +6323,7 @@ def cluster_purity_nmi(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("embedding"),
         )
     )
-    assigned = ivf_assign(emb, centroids).join(
+    assigned = ivf_assign(emb, centroids, arrow=oracle_arrow()).join(
         emb.select("vec_id", "label"), "vec_id"
     )
     joint = assigned.groupBy("centroid_id", "label").agg(
@@ -6526,7 +6538,9 @@ def embedding_near_dup_ivf_stride50(
     from .operators.similarity import embedding_near_dup_ivf as _near_dup_ivf
 
     embeddings = load_table(spark, sf_dir, "embeddings")
-    return _near_dup_ivf(embeddings, threshold=0.4, centroid_stride=50)
+    return _near_dup_ivf(
+        embeddings, threshold=0.4, centroid_stride=50, arrow=oracle_arrow()
+    )
 
 
 @query("embedding_near_dup_arrow", oracle=None, tags=("dedup-embedding", "arrow-matmul"))

@@ -703,7 +703,7 @@ def ann_index_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries default to adaptive √N sizing, so this also serves as an
     IVF-family pinned-stride regression twin) — which is precisely
     the property a build-once/search-many index service relies on."""
-    from .operators.similarity import ivf_topk
+    from .operators.similarity import ivf_topk, oracle_arrow
 
     embeddings = load_table(spark, sf_dir, "embeddings")
     centroids = embeddings.where((F.col("vec_id") % 50) == 0).select(
@@ -715,7 +715,8 @@ def ann_index_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     index_table.write(centroids, mode="overwrite")
     persisted = index_table.read()
     return ivf_topk(
-        embeddings, query_ids=range(10), k=3, centroids=persisted
+        embeddings, query_ids=range(10), k=3, centroids=persisted,
+        arrow=oracle_arrow(),
     )
 
 

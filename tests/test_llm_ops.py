@@ -1952,7 +1952,13 @@ def test_hierarchical_ivf_assignment_agreement(spark):
         (F.col("vec_id") / 60).cast("long").alias("centroid_id"),
         F.col("embedding"),
     )
-    flat = {r["vec_id"]: r["centroid_id"] for r in ivf_assign(df, cents).collect()}
+    # pin the fold so full-probe equality below is bit-exact (the
+    # hierarchical path is fold-only; the Arrow default could differ
+    # by an ulp on a tie)
+    flat = {
+        r["vec_id"]: r["centroid_id"]
+        for r in ivf_assign(df, cents, arrow=False).collect()
+    }
     hier = {
         r["vec_id"]: r["centroid_id"]
         for r in ivf_assign_hierarchical(df, cents).collect()
@@ -1983,7 +1989,10 @@ def test_arrow_assignment_matches_fold_assignment(spark):
         (F.col("vec_id") / 50).cast("long").alias("centroid_id"),
         F.col("embedding"),
     )
-    fold = {r["vec_id"]: r["centroid_id"] for r in ivf_assign(df, cents).collect()}
+    fold = {
+        r["vec_id"]: r["centroid_id"]
+        for r in ivf_assign(df, cents, arrow=False).collect()
+    }
     arrow = {
         r["vec_id"]: r["centroid_id"] for r in ivf_assign_arrow(df, cents).collect()
     }
@@ -1993,12 +2002,18 @@ def test_arrow_assignment_matches_fold_assignment(spark):
 
 
 def test_arrow_env_flag_routes_ivf_assign(spark, monkeypatch):
-    """DS_SPARK_IVF_ARROW=1 (bench.py's throughput configuration)
-    must route `ivf_assign` through the Arrow matmul assigner: the
-    resulting plan carries ArrowEvalPython instead of the fold's
-    broadcast join + min_by aggregate. Off (the default) keeps the
-    fold plan — the hash-exact oracle path."""
-    from data_seedling_spark.operators.similarity import ivf_assign
+    """The Arrow/BLAS matmul assigner is the LIBRARY DEFAULT (r9): a
+    bare `ivf_assign` call with no env flags set must produce an
+    ArrowEvalPython plan. DS_SPARK_IVF_ARROW=0 forces the interpreted
+    fold (broadcast join + min_by); an explicit ``arrow`` arg
+    overrides the environment in both directions. The hash-exact
+    oracle queries pin arrow=False via `oracle_arrow` (tested
+    separately)."""
+    from data_seedling_spark.operators.similarity import (
+        arrow_assign_enabled,
+        ivf_assign,
+        oracle_arrow,
+    )
 
     df = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
     cents = df.where((F.col("vec_id") % 50) == 0).select(
@@ -2006,19 +2021,31 @@ def test_arrow_env_flag_routes_ivf_assign(spark, monkeypatch):
         F.col("embedding"),
     )
     monkeypatch.delenv("DS_SPARK_IVF_ARROW", raising=False)
-    fold_plan = ivf_assign(df, cents)._jdf.queryExecution().executedPlan().toString()
-    assert "ArrowEvalPython" not in fold_plan
-
-    monkeypatch.setenv("DS_SPARK_IVF_ARROW", "1")
+    monkeypatch.delenv("DS_SPARK_BENCH_ARROW", raising=False)
+    # the scale-safe kernel is what a bare library call gets
+    assert arrow_assign_enabled() is True
     arrow_df = ivf_assign(df, cents)
     arrow_plan = arrow_df._jdf.queryExecution().executedPlan().toString()
     assert "ArrowEvalPython" in arrow_plan
-    # same output contract either way
     assert set(arrow_df.columns) == {"vec_id", "centroid_id"}
+    # ...while the oracle queries keep hash-checking the exact fold
+    assert oracle_arrow() is False
+
+    monkeypatch.setenv("DS_SPARK_IVF_ARROW", "0")
+    assert arrow_assign_enabled() is False
+    fold_plan = ivf_assign(df, cents)._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in fold_plan
     # explicit arg overrides the env flag in both directions
+    assert "ArrowEvalPython" in ivf_assign(
+        df, cents, arrow=True
+    )._jdf.queryExecution().executedPlan().toString()
+    monkeypatch.setenv("DS_SPARK_IVF_ARROW", "1")
     assert "ArrowEvalPython" not in ivf_assign(
         df, cents, arrow=False
     )._jdf.queryExecution().executedPlan().toString()
+    # bench's knob releases the oracle pin back to the library default
+    monkeypatch.setenv("DS_SPARK_BENCH_ARROW", "1")
+    assert oracle_arrow() is None
 
 
 def test_arrow_pair_scoring_matches_fold_pairs(spark):
@@ -2038,7 +2065,7 @@ def test_arrow_pair_scoring_matches_fold_pairs(spark):
     fold = {
         (r["vec_a"], r["vec_b"]): r["score"]
         for r in embedding_near_dup_pairs(
-            df, block_col="blk", threshold=0.3
+            df, block_col="blk", threshold=0.3, arrow=False
         ).collect()
     }
     arrow = {
@@ -2063,15 +2090,22 @@ def test_arrow_env_flag_routes_pair_scoring(spark, monkeypatch):
     df = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet").select(
         "vec_id", "embedding", (F.col("vec_id") % 7).alias("blk")
     )
-    monkeypatch.setenv("DS_SPARK_IVF_ARROW", "1")
+    monkeypatch.delenv("DS_SPARK_IVF_ARROW", raising=False)
     plan = (
         embedding_near_dup_pairs(df, block_col="blk", threshold=0.3)
         ._jdf.queryExecution().executedPlan().toString()
     )
-    assert "FlatMapGroupsInPandas" in plan
-    monkeypatch.delenv("DS_SPARK_IVF_ARROW")
+    assert "FlatMapGroupsInPandas" in plan  # library default = Arrow
+    monkeypatch.setenv("DS_SPARK_IVF_ARROW", "0")
     plan = (
         embedding_near_dup_pairs(df, block_col="blk", threshold=0.3)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "FlatMapGroupsInPandas" not in plan
+    # explicit pin beats the env in both directions
+    monkeypatch.setenv("DS_SPARK_IVF_ARROW", "1")
+    plan = (
+        embedding_near_dup_pairs(df, block_col="blk", threshold=0.3, arrow=False)
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "FlatMapGroupsInPandas" not in plan
@@ -2088,7 +2122,7 @@ def test_arrow_lloyd_assignment_matches_literal_argmin(spark, monkeypatch):
     from data_seedling_spark.operators.similarity import kmeans_lloyd
 
     df = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
-    monkeypatch.delenv("DS_SPARK_IVF_ARROW", raising=False)
+    monkeypatch.setenv("DS_SPARK_IVF_ARROW", "0")
     fold_df = kmeans_lloyd(df, init_stride=50, iters=1)
     assert (
         "ArrowEvalPython"
@@ -2119,7 +2153,7 @@ def test_arrow_grouped_assignment_matches_case_argmin(spark, monkeypatch):
     )
 
     df = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
-    monkeypatch.delenv("DS_SPARK_IVF_ARROW", raising=False)
+    monkeypatch.setenv("DS_SPARK_IVF_ARROW", "0")
     fold = {
         (r["subspace"], r["code_id"]): tuple(r["subvec"])
         for r in pq_codebooks_trained(df, init_stride=50, iters=1).collect()
