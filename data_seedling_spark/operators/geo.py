@@ -139,17 +139,38 @@ def with_point(df: DataFrame, id_col: str, cell_deg: float, salt: str = "geo") -
     )
 
 
-def expand_neighbors(df: DataFrame) -> DataFrame:
+def expand_neighbors(df: DataFrame, cell_deg: float | None = None) -> DataFrame:
     """Expand each row to its 3x3 cell neighborhood - the bounded 9x
     fanout applied to the QUERY (small) side of a cell-blocked join.
-    The probe cell key lands in ``probe_cell``."""
+    The probe cell key lands in ``probe_cell``.
+
+    ``cell_deg`` wraps the x probe modulo the longitude cell count
+    (``ceil(360 / cell_deg)``), so neighborhoods straddling the
+    antimeridian probe the cells on the other side of lon ±180 - without
+    it a query point in the first/last column silently misses
+    cross-seam pairs and the blocking is NOT lossless (r8 ADVICE).
+    Latitude does not wrap (the grid caps at the poles; off-grid y
+    probes hit empty cells, which is correct)."""
     offsets = F.array(*[F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
                         for dx in (-1, 0, 1) for dy in (-1, 0, 1)])
     exploded = df.withColumn("_off", F.explode(offsets))
+    px = F.col("cell_x") + F.col("_off.dx")
+    if cell_deg is not None:
+        n_cx = lon_cell_count(cell_deg)
+        px = (px + F.lit(n_cx)) % F.lit(n_cx)
     return exploded.withColumn(
         "probe_cell",
-        cell_key(F.col("cell_x") + F.col("_off.dx"), F.col("cell_y") + F.col("_off.dy")),
+        cell_key(px, F.col("cell_y") + F.col("_off.dy")),
     ).drop("_off")
+
+
+def lon_cell_count(cell_deg: float) -> int:
+    """Number of longitude columns in a ``cell_deg`` grid - the wrap
+    modulus for antimeridian-correct probing. The last column may be
+    narrower when cell_deg does not divide 360; it is still the column
+    adjacent to lon -180, so modular wrap stays lossless."""
+    cell_micro = int(round(cell_deg * 1_000_000))
+    return -(-LON_SPAN_MICRO // cell_micro)
 
 
 def spatial_join_within(
@@ -157,6 +178,7 @@ def spatial_join_within(
     targets: DataFrame,
     radius_km: float,
     broadcast_queries: bool = True,
+    cell_deg: float | None = None,
 ) -> DataFrame:
     """Cell-blocked radius join: every (query, target) pair with
     haversine distance <= radius_km, provided both sides were prepared
@@ -164,14 +186,17 @@ def spatial_join_within(
     at the widest latitude in play (caller's contract - with cell_deg
     chosen so one cell step covers the radius, the 3x3 neighborhood is
     a complete candidate set and the blocking is LOSSLESS, not
-    approximate).
+    approximate). Pass the SAME ``cell_deg`` given to
+    :func:`with_point` to wrap x probes at the antimeridian
+    (:func:`expand_neighbors`); without it, pairs straddling lon ±180
+    are excluded and losslessness holds only away from the seam.
 
     Columns from both sides survive with ``q_`` / ``t_`` prefixes plus
     ``dist_km`` (rounded to meter precision). The query side carries
     the 9x fanout and broadcasts when small; the target side - the big
     one at scale - is shuffled once on its cell key, never replicated.
     """
-    q = expand_neighbors(queries).select(
+    q = expand_neighbors(queries, cell_deg).select(
         *[F.col(c).alias(f"q_{c}") for c in queries.columns], "probe_cell"
     )
     if broadcast_queries:

@@ -1049,10 +1049,24 @@ class VersionedTable:
         self._claim(version)
         try:
             os.rename(sdir, self._version_dir(version))
+        except BaseException:
+            self._release_claim(version)
+            raise
+        try:
             commits.append(Commit(version, mode, int(time.time() * 1000)))
             self._write_ledger(commits)
         except BaseException:
-            self._release_claim(version)
+            # The rename already consumed the staging dir; without a
+            # rollback a failed ledger write would wedge the publish —
+            # the claim is released but the version dir is populated,
+            # so a retry of the same staging id dies on rename-onto-
+            # existing with its staged data gone (r8 ADVICE). Move the
+            # data back BEFORE releasing the claim so the staged write
+            # survives and publish_staged(staging_id) stays retryable.
+            try:
+                os.rename(self._version_dir(version), sdir)
+            finally:
+                self._release_claim(version)
             raise
         return version
 

@@ -601,10 +601,24 @@ class MaterializedCountMin:
         if lo > hi:
             return lo, hi
         changes = source.read_changes(lo, hi)
+        # A NULL sign would be dropped by F.sum and silently corrupt
+        # the maintained counters — fail loudly on change types outside
+        # the four CDC kinds instead, matching the KLL/theta
+        # maintainers' contract (r8 ADVICE).
+        known = (CT_INSERT, CT_UPDATE_POST, CT_DELETE, CT_UPDATE_PRE)
+        unknown = changes.where(~F.col(CHANGE_TYPE).isin(*known))
+        if unknown.limit(1).count() > 0:
+            bad = sorted(
+                r[0]
+                for r in unknown.select(CHANGE_TYPE).distinct().collect()
+            )
+            raise ValueError(
+                "MaterializedCountMin.refresh: unsupported change types "
+                f"in feed: {bad} (known: {list(known)})"
+            )
         sign = (
             F.when(F.col(CHANGE_TYPE).isin(CT_INSERT, CT_UPDATE_POST), F.lit(1))
             .when(F.col(CHANGE_TYPE).isin(CT_DELETE, CT_UPDATE_PRE), F.lit(-1))
-            .otherwise(F.lit(None))
         )
         delta = self._bucketed(
             changes.withColumn("_sgn", sign), F.col("_sgn")

@@ -214,8 +214,17 @@ def feistel_permute_key(
     convention (``conv(substr(md5(R ':' round ':' salt), 1, 8))``), so
     the permutation is deterministic, keyed by the salt, and
     reproducible in ANY engine with md5 — unrolled SQL replays it
-    exactly. Luby–Rackoff: ≥3 rounds of a PRF make a Feistel network a
-    pseudorandom permutation; 4 is the standard margin.
+    exactly.
+
+    SECURITY SCOPE: this is deterministic keyed pseudonymisation, NOT
+    cryptographic format-preserving encryption. On a 32-bit domain the
+    halves are 16 bits, where Luby–Rackoff bounds are vacuous and a
+    per-value brute force is trivial; truncated md5 is not a PRF. An
+    adversary who can guess-and-check salts, or who holds known
+    (key, scrambled) pairs, should be assumed to win. It protects
+    against casual re-identification in analytics outputs while
+    preserving join structure; for adversarial settings use real FPE
+    (FF1/FF3 with AES) outside this engine.
 
     Scale: ``rounds`` × ~4 codegen'd JVM expressions per row, no
     shuffle, no state. Inverse = the same network with the round

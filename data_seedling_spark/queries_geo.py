@@ -126,7 +126,7 @@ _SUPPLIER_CELL_DEG = 4.0
       FROM cp
     ),
     probes AS (
-      SELECT sc.*, (sc.cell_y + dy.dy) * 1048576 + (sc.cell_x + dx.dx) AS probe_cell
+      SELECT sc.*, (sc.cell_y + dy.dy) * 1048576 + ((sc.cell_x + dx.dx + 90) % 90) AS probe_cell
       FROM sc
       CROSS JOIN (VALUES (-1), (0), (1)) dx(dx)
       CROSS JOIN (VALUES (-1), (0), (1)) dy(dy)
@@ -176,7 +176,9 @@ def spatial_join_supplier_customer(spark: SparkSession, sf_dir: str) -> DataFram
         "c_custkey",
         _SUPPLIER_CELL_DEG,
     )
-    pairs = spatial_join_within(suppliers, customers, _SUPPLIER_RADIUS_KM)
+    pairs = spatial_join_within(
+        suppliers, customers, _SUPPLIER_RADIUS_KM, cell_deg=_SUPPLIER_CELL_DEG
+    )
     w = Window.partitionBy("s_suppkey").orderBy("dist_km", "c_custkey")
     ranked = pairs.select(
         F.col("q_s_suppkey").alias("s_suppkey"),
@@ -211,7 +213,7 @@ _KNN_K = 3
       FROM cp
     ),
     probes AS (
-      SELECT cc.*, (cc.cell_y + dy.dy) * 1048576 + (cc.cell_x + dx.dx) AS probe_cell
+      SELECT cc.*, (cc.cell_y + dy.dy) * 1048576 + ((cc.cell_x + dx.dx + 180) % 180) AS probe_cell
       FROM cc
       CROSS JOIN (VALUES (-1), (0), (1)) dx(dx)
       CROSS JOIN (VALUES (-1), (0), (1)) dy(dy)
@@ -259,7 +261,8 @@ def haversine_knn_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     probes = customers.where(F.col("c_custkey") % 100 == 7)
     pairs = spatial_join_within(
-        probes, customers, radius_km=float("inf"), broadcast_queries=True
+        probes, customers, radius_km=float("inf"), broadcast_queries=True,
+        cell_deg=_KNN_CELL_DEG,
     ).where(F.col("t_c_custkey") != F.col("q_c_custkey"))
     w = Window.partitionBy("q_custkey").orderBy("dist_km", "neighbor_custkey")
     return (

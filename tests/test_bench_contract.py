@@ -1,0 +1,70 @@
+"""Bench-contract guards (VERDICT r8 items #1/#3/#6).
+
+The regression rule is only falsifiable when every benched headliner
+has a recorded bound — these tests hold that invariant at commit time,
+mirroring the hard refusal in ``bench.py::main``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.join(REPO, "tools"))
+
+import baseline_bounds  # noqa: E402
+import bench  # noqa: E402
+
+
+def test_every_headliner_has_a_time_bound():
+    """A headline query with no BASELINE.md row makes the 2x rule
+    unfalsifiable for it (r8 shipped 15 such queries); bench.py
+    refuses to run in that state and this test turns the same gap
+    red before a bench run ever happens."""
+    missing = baseline_bounds.unbounded(bench.HEADLINE)
+    assert missing == [], (
+        f"headline queries without a 2x bound in BASELINE.md: {missing}; "
+        "record a best-of-2 baseline row (see tools/baseline_bounds.py)"
+    )
+
+
+def test_bounds_parser_reads_both_table_layouts():
+    bounds = baseline_bounds.time_bounds()
+    # r1 6-column layout
+    assert bounds["flagship_revenue_by_nation"][1] > 0
+    # r9 batch (3- and 6-column rows in the same section)
+    assert bounds["audio_tone_detect_dft"] == (8.583, 17.17)
+    # the dagger alias carries embedding_near_dup over to the IVF twin
+    assert "embedding_near_dup_ivf" in bounds
+    # bounds are 2x the recorded best-of-2 (parser reads, not derives —
+    # sanity-check the ledger itself on a few rows)
+    for name in ("audio_tone_detect_dft", "geo_cell_density_customers"):
+        sec, bound = bounds[name]
+        assert abs(bound - round(2 * sec, 2)) <= 0.015, (name, sec, bound)
+
+
+def test_headliners_exist_in_registry():
+    from data_seedling_spark.queries import registry
+
+    reg = registry()
+    ghosts = [n for n in bench.HEADLINE if n not in reg]
+    assert ghosts == [], f"bench.HEADLINE names not in the registry: {ghosts}"
+
+
+def test_shuffle_baseline_well_formed():
+    """BASELINE_SHUFFLE.json (self-seeded by bench.py on first
+    measurement, append-only after) must stay a flat {query: bytes}
+    map over known headliners."""
+    path = os.path.join(REPO, "BASELINE_SHUFFLE.json")
+    if not os.path.exists(path):
+        return  # seeded on the first post-r9 bench run
+    with open(path) as f:
+        base = json.load(f)
+    assert base, "shuffle baseline exists but is empty"
+    headline = set(bench.HEADLINE)
+    for name, val in base.items():
+        assert isinstance(val, int) and val >= 0, (name, val)
+        assert name in headline, f"stale shuffle baseline entry: {name}"

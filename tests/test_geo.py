@@ -48,7 +48,9 @@ def test_spatial_join_blocking_is_lossless_for_covered_radius(spark):
 
     blocked = {
         (r.q_s_suppkey, r.t_c_custkey)
-        for r in spatial_join_within(suppliers, customers, 200.0).collect()
+        for r in spatial_join_within(
+            suppliers, customers, 200.0, cell_deg=4.0
+        ).collect()
     }
 
     s = suppliers.select(
@@ -137,3 +139,34 @@ def test_spatial_join_plan_broadcasts_probe_side(spark):
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_antimeridian_pairs_found_with_wrap(spark):
+    """A query at lon ~-179.9 and a target at lon ~+179.9 are ~22 km
+    apart but sit in the first and last grid columns; without the
+    modular x-probe wrap the blocked join misses the pair entirely
+    (the r8 ADVICE finding), with cell_deg it must find it."""
+    from data_seedling_spark.operators.geo import cell_xy, lon_cell_count
+
+    def frame(rows):
+        df = spark.createDataFrame(rows, "pid long, lat_micro long, lon_micro long")
+        cx, cy = cell_xy(F.col("lat_micro"), F.col("lon_micro"), 4.0)
+        return df.withColumns(
+            {
+                "lat_deg": F.col("lat_micro") / 1_000_000.0,
+                "lon_deg": F.col("lon_micro") / 1_000_000.0,
+                "cell_x": cx,
+                "cell_y": cy,
+            }
+        )
+
+    q = frame([(1, 0, -179_900_000)])          # just west of the seam
+    t = frame([(2, 0, 179_900_000)])           # just east of the seam
+
+    assert lon_cell_count(4.0) == 90
+    with_wrap = spatial_join_within(q, t, 200.0, cell_deg=4.0).collect()
+    assert {(r.q_pid, r.t_pid) for r in with_wrap} == {(1, 2)}
+    assert with_wrap[0].dist_km < 30.0
+    # the unwrapped legacy probe demonstrably misses the pair
+    without = spatial_join_within(q, t, 200.0).collect()
+    assert without == []

@@ -1300,3 +1300,37 @@ def test_branch_noop_merge_and_duplicate_name(spark, tmp_table_dir):
     assert v == 0 and t.latest_version() == 0
     with _pytest.raises(ValueError):
         t.create_branch("idle")
+
+
+def test_wap_publish_retryable_after_ledger_write_failure(spark, tmp_table_dir, monkeypatch):
+    """A ledger-write crash mid-publish must not consume the staged
+    data: the rename rolls back before the claim releases, so the
+    stage is still auditable and the SAME staging id publishes cleanly
+    on retry (r8 ADVICE: previously the claim released with the
+    version dir populated, wedging every retry)."""
+    t = VersionedTable(spark, tmp_table_dir)
+    t.write(_wap_rows(spark, [1, 2]))
+    t.stage(_wap_rows(spark, [3, 4]), "crashy")
+
+    real = VersionedTable._write_ledger
+
+    def boom(self, commits):
+        raise OSError("disk full")
+
+    monkeypatch.setattr(VersionedTable, "_write_ledger", boom)
+    with pytest.raises(OSError, match="disk full"):
+        t.publish_staged("crashy")
+    monkeypatch.setattr(VersionedTable, "_write_ledger", real)
+
+    # table untouched, stage intact and auditable
+    assert t.latest_version() == 0
+    assert sorted(r["k"] for r in t.read().collect()) == [1, 2]
+    assert sorted(r["k"] for r in t.read_staged("crashy").collect()) == [3, 4]
+
+    # the same staging id retries to a clean commit
+    v = t.publish_staged("crashy")
+    assert v == 1
+    assert sorted(r["k"] for r in t.read().collect()) == [1, 2, 3, 4]
+    # publishing consumed the stage
+    with pytest.raises(NoSuchVersionError):
+        t.read_staged("crashy")

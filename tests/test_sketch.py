@@ -424,3 +424,35 @@ def test_materialized_count_min_linear_under_deletes_and_updates(spark, tmp_path
     assert set(est) == set(truth) and "c_new" in truth
     for k in truth:
         assert est[k] >= truth[k], (k, est[k], truth[k])
+
+
+def test_materialized_count_min_raises_on_unknown_change_type(spark, tmp_path):
+    """A change type outside the four CDC kinds must raise, not map to
+    a NULL sign that F.sum silently drops (r8 ADVICE: silent counter
+    corruption)."""
+    from pyspark.sql import Row
+
+    from data_seedling_spark.operators.ledger import VersionedTable
+    from data_seedling_spark.operators.merge import CHANGE_TYPE
+    from data_seedling_spark.operators.sketch import MaterializedCountMin
+
+    class BogusSource:
+        def latest_version(self):
+            return 0
+
+        def read_changes(self, lo, hi):
+            return spark.createDataFrame(
+                [Row(k=1, cat="a"), Row(k=2, cat="b")]
+            ).withColumn(CHANGE_TYPE, F.lit("truncate"))
+
+    mcm = MaterializedCountMin(
+        spark,
+        VersionedTable(spark, str(tmp_path / "cm"), write_partitions=1),
+        key_col="cat",
+        depth=2,
+        width=16,
+    )
+    import pytest
+
+    with pytest.raises(ValueError, match="unsupported change types.*truncate"):
+        mcm.refresh(BogusSource())
