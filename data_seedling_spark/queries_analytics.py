@@ -9482,3 +9482,306 @@ def price_elasticity_loglog(spark: SparkSession, sf_dir: str) -> DataFrame:
             "intercept_ln"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-DS starter set (VERDICT r8 #8): the decision-support shapes TPC-H
+# lacks, adapted onto the driver star schema the same way the Q4/Q16/Q20
+# TPC-H adaptations were. Q3 = dim-filtered brand/year report; Q7 =
+# demographic-sliced item averages; Q34 = ticket-size cohort
+# (aggregate → HAVING band → re-join detail); Q59 = week-over-week
+# cross-year self-join of an aggregated fact; Q89 = window-over-join
+# deviation-from-category-average report.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "tpcds_q3_brand_year_sales",
+    oracle=f"""
+    SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS d_year,
+           p_brand,
+           {_dec_sum_sql('l_extendedprice * (1 - l_discount)', 4)} AS ext_sales
+    FROM lineitem
+    JOIN part   ON p_partkey = l_partkey
+    JOIN orders ON o_orderkey = l_orderkey
+    WHERE p_type = 'PROMO'
+    GROUP BY 1, 2
+    """,
+    tags=("tpcds", "q3", "star-join"),
+)
+def tpcds_q3_brand_year_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q3 analogue: yearly brand sales for one manufacturer
+    slice (``p_type = 'PROMO'`` stands in for Q3's
+    ``i_manufact_id``; year(o_orderdate) is the date dim). The
+    defining shape — fact scanned once, both dims broadcast, the
+    selective item filter pushed below the join so only the PROMO
+    slice of lineitem survives to the aggregate. One shuffle on
+    (year, brand); revenue is the exact-decimal sum."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").where(F.col("p_type") == "PROMO")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate"
+    )
+    return (
+        lineitem.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy(
+            F.year("o_orderdate").cast("int").alias("d_year"),
+            "p_brand",
+        )
+        .agg(
+            dec_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                "ext_sales",
+                4,
+            )
+        )
+    )
+
+
+@query(
+    "tpcds_q7_segment_item_averages",
+    oracle="""
+    SELECT p_brand,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           round(CAST(SUM(CAST(ROUND(l_quantity, 2) AS DECIMAL(18,2))) AS DOUBLE)
+                 / COUNT(*), 6) AS avg_qty,
+           round(CAST(SUM(CAST(ROUND(l_extendedprice, 2) AS DECIMAL(18,2))) AS DOUBLE)
+                 / COUNT(*), 6) AS avg_price,
+           round(CAST(SUM(CAST(ROUND(l_discount, 2) AS DECIMAL(18,2))) AS DOUBLE)
+                 / COUNT(*), 6) AS avg_disc
+    FROM lineitem
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    JOIN part     ON p_partkey = l_partkey
+    WHERE c_mktsegment = 'AUTOMOBILE'
+    GROUP BY p_brand
+    """,
+    tags=("tpcds", "q7", "demographic-slice"),
+)
+def tpcds_q7_segment_item_averages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q7 analogue: per-item average quantity / price /
+    discount for one customer demographic (``c_mktsegment`` stands in
+    for the customer_demographics dim). Averages are exact-decimal
+    sums divided by the group count — one IEEE division per group,
+    identical in both engines, rounded to the 1e-6 grid. Scale:
+    customer and part broadcast; the one shuffle carries (brand,
+    partial decimal sums)."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    customer = load_table(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == "AUTOMOBILE"
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+
+    def dec_avg(col, scale, alias):
+        s = F.sum(F.round(col, scale).cast(f"decimal(18,{scale})")).cast("double")
+        return F.round(s / F.count("*"), 6).alias(alias)
+
+    return (
+        lineitem.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(customer), F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n_lines"),
+            dec_avg(F.col("l_quantity"), 2, "avg_qty"),
+            dec_avg(F.col("l_extendedprice"), 2, "avg_price"),
+            dec_avg(F.col("l_discount"), 2, "avg_disc"),
+        )
+    )
+
+
+@query(
+    "tpcds_q34_ticket_size_buyers",
+    oracle="""
+    WITH dn AS (
+      SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS line_cnt
+      FROM lineitem
+      GROUP BY l_orderkey
+      HAVING COUNT(*) BETWEEN 6 AND 7
+    )
+    SELECT c.c_custkey, c.c_name, o.o_orderkey, dn.line_cnt
+    FROM dn
+    JOIN orders o   ON o.o_orderkey = dn.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    WHERE EXTRACT(year FROM o.o_orderdate) = 1996
+    """,
+    tags=("tpcds", "q34", "having-band", "agg-then-join"),
+)
+def tpcds_q34_ticket_size_buyers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q34 analogue: customers whose 1996 tickets carried 6-7
+    lines (Q34's 15-20 item band scaled to the driver's smaller
+    baskets). The defining multi-step shape: aggregate the fact to
+    per-ticket counts, HAVING-band the aggregate, then re-join the
+    band BACK to the dimension detail. Scale: the dn aggregate is one
+    map-side-combinable count shuffled on orderkey; the band output is
+    tiny and the customer join broadcasts it."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.year("o_orderdate") == 1996
+    )
+    customer = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name"
+    )
+    dn = (
+        lineitem.groupBy("l_orderkey")
+        .agg(F.count("*").alias("line_cnt"))
+        .where(F.col("line_cnt").between(6, 7))
+    )
+    return (
+        dn.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(customer, F.col("c_custkey") == F.col("o_custkey"))
+        .select("c_custkey", "c_name", "o_orderkey", "line_cnt")
+    )
+
+
+@query(
+    "tpcds_q59_wow_revenue",
+    oracle=f"""
+    WITH rev AS (
+      SELECT n_name AS nation,
+             CAST(EXTRACT(year FROM o_orderdate) AS INT) AS yr,
+             CAST((dayofyear(o_orderdate) - 1) // 7 AS INT) AS wk,
+             {_dec_sum_sql('o_totalprice', 2)} AS revenue
+      FROM orders
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation   ON n_nationkey = c_nationkey
+      WHERE EXTRACT(year FROM o_orderdate) IN (1996, 1997)
+      GROUP BY 1, 2, 3
+    )
+    SELECT a.nation, a.wk,
+           a.revenue AS rev_1996,
+           b.revenue AS rev_1997,
+           round(b.revenue / a.revenue, 6) AS wow_ratio
+    FROM rev a JOIN rev b
+      ON a.nation = b.nation AND a.wk = b.wk
+    WHERE a.yr = 1996 AND b.yr = 1997
+    """,
+    tags=("tpcds", "q59", "self-join", "week-over-week"),
+)
+def tpcds_q59_wow_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q59 analogue: week-over-week revenue by nation, 1997
+    against 1996 — the aggregated-fact self-join TPC-H never asks for.
+    Week is engine-uniform integer arithmetic ``(dayofyear-1) div 7``
+    (ISO weekofyear differs between engines at year boundaries).
+    Scale: the fact aggregates FIRST (one shuffle onto (nation, year,
+    week) — thousands of rows at any SF), and the self-join runs on
+    the aggregate, not the fact; both sides of the join are
+    broadcast-size."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    rev = (
+        orders.where(F.year("o_orderdate").isin(1996, 1997))
+        .join(F.broadcast(customer), F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(nation), F.col("n_nationkey") == F.col("c_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("yr"),
+            F.expr("CAST((dayofyear(o_orderdate) - 1) DIV 7 AS INT)").alias("wk"),
+        )
+        .agg(dec_sum(F.col("o_totalprice"), "revenue", 2))
+    )
+    a = rev.where(F.col("yr") == 1996).select(
+        "nation", "wk", F.col("revenue").alias("rev_1996")
+    )
+    b = rev.where(F.col("yr") == 1997).select(
+        "nation", "wk", F.col("revenue").alias("rev_1997")
+    )
+    return (
+        a.join(b, ["nation", "wk"])
+        .withColumn(
+            "wow_ratio", F.round(F.col("rev_1997") / F.col("rev_1996"), 6)
+        )
+        .select("nation", "wk", "rev_1996", "rev_1997", "wow_ratio")
+    )
+
+
+@query(
+    "tpcds_q89_category_deviation",
+    oracle=f"""
+    WITH monthly AS (
+      SELECT p_type AS category, p_brand AS brand,
+             CAST(EXTRACT(month FROM o_orderdate) AS INT) AS mon,
+             {_dec_sum_sql('l_extendedprice * (1 - l_discount)', 4)} AS sum_sales
+      FROM lineitem
+      JOIN part   ON p_partkey = l_partkey
+      JOIN orders ON o_orderkey = l_orderkey
+      WHERE EXTRACT(year FROM o_orderdate) = 1996
+      GROUP BY 1, 2, 3
+    ),
+    win AS (
+      SELECT category, brand, mon, sum_sales,
+             round(CAST(SUM(CAST(ROUND(sum_sales, 4) AS DECIMAL(18,4)))
+                          OVER (PARTITION BY category, brand) AS DOUBLE)
+                   / COUNT(*) OVER (PARTITION BY category, brand), 6)
+               AS avg_monthly
+      FROM monthly
+    )
+    SELECT category, brand, mon, sum_sales, avg_monthly,
+           round(abs(sum_sales - avg_monthly) / avg_monthly, 6) AS deviation
+    FROM win
+    WHERE avg_monthly > 0
+      AND round(abs(sum_sales - avg_monthly) / avg_monthly, 6) > 0.1
+    """,
+    tags=("tpcds", "q89", "window-over-join", "deviation"),
+)
+def tpcds_q89_category_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q89 analogue: months where a brand's sales deviate more
+    than 10% from its own monthly average for the year — the
+    window-over-joined-aggregate reshape (aggregate the star join to
+    monthly grain, then a partition window re-reads the aggregate, not
+    the fact). Determinism: monthly sums are grid-exact decimals; the
+    window average is one decimal-sum / count division rounded to the
+    1e-6 grid; the 10% gate compares the ROUNDED deviation so both
+    engines test identical doubles. Scale: the window partitions by
+    (category, brand) over ≤12 rows each — trivially small after the
+    first aggregate; the only fact-sized shuffle is the monthly
+    groupBy."""
+    from pyspark.sql.window import Window
+
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_type", "p_brand"
+    )
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.year("o_orderdate") == 1996
+    ).select("o_orderkey", "o_orderdate")
+    monthly = (
+        lineitem.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy(
+            F.col("p_type").alias("category"),
+            F.col("p_brand").alias("brand"),
+            F.month("o_orderdate").cast("int").alias("mon"),
+        )
+        .agg(
+            dec_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                "sum_sales",
+                4,
+            )
+        )
+    )
+    w = Window.partitionBy("category", "brand")
+    avg_monthly = F.round(
+        F.sum(F.round(F.col("sum_sales"), 4).cast("decimal(18,4)"))
+        .over(w)
+        .cast("double")
+        / F.count("*").over(w),
+        6,
+    )
+    dev = F.round(
+        F.abs(F.col("sum_sales") - F.col("avg_monthly")) / F.col("avg_monthly"), 6
+    )
+    return (
+        monthly.withColumn("avg_monthly", avg_monthly)
+        .withColumn("deviation", dev)
+        .where((F.col("avg_monthly") > 0) & (F.col("deviation") > 0.1))
+        .select("category", "brand", "mon", "sum_sales", "avg_monthly", "deviation")
+    )
