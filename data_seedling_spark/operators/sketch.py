@@ -679,3 +679,142 @@ class MaterializedCountMin:
             .groupBy(key_col)
             .agg(F.min(F.coalesce(F.col("c"), F.lit(0))).alias("cm_estimate"))
         )
+
+
+# ---------------------------------------------------------------------------
+# t-digest (Dunning & Ertl, "Computing extremely accurate quantiles
+# using t-digests", arXiv 1902.04023) — the interpolated-quantile twin
+# beside KLL: KLL answers rank queries with step estimates from
+# survivor weights; the t-digest keeps (mean, count) centroids sized by
+# the k1 scale function, so tail quantiles interpolate smoothly.
+# This construction is the DETERMINISTIC batch form: values collapse to
+# the distinct-value histogram, each distinct value takes its mid-rank
+# quantile from the cumulative CDF, and the k1 function
+# k(q) = delta * (asin(2q-1)/pi + 1/2) buckets values into clusters —
+# a pure function of the value multiset, so a SQL oracle rebuilds the
+# identical digest and estimates hash-match exactly (the same
+# oracle-exactness trick as the md5-coin KLL).
+# Scale: the only row-count-sized stage is the first groupBy (map-side
+# combinable histogram shuffle); the CDF window and everything after
+# run over DISTINCT values — bounded by value cardinality (2-decimal
+# money: ~1e5 cells), the same cardinality class as the
+# weighted-median/histogram family. Centroid count is bounded by delta.
+# ---------------------------------------------------------------------------
+
+#: Correctly-rounded double pi, written identically in the SQL twins.
+TDIGEST_PI = 3.141592653589793
+
+
+def tdigest_centroids(
+    df: DataFrame, value_col: str, delta: int = 50, value_scale: int = 2
+) -> DataFrame:
+    """Build the digest: ``(cluster, n_c, mean)`` centroid rows.
+
+    ``value_scale`` grids the values first (2 for money) so the
+    histogram key — and the weighted mean numerator — is decimal-exact
+    in both engines. The asin is libm on both sides; k rounds to the
+    1e-9 grid before the floor so a sub-ulp asin divergence cannot
+    flip a cluster boundary."""
+    h = (
+        df.groupBy(F.round(F.col(value_col), value_scale).alias("v"))
+        .agg(F.count("*").alias("cnt"))
+    )
+    # CDF over the distinct-value histogram (cardinality-bounded, not
+    # row-bounded — see module note above).
+    cum = h.withColumn(
+        "cum", F.sum("cnt").over(W.orderBy("v"))
+    ).crossJoin(F.broadcast(h.agg(F.sum("cnt").alias("n"))))
+    q_mid = (F.col("cum") - F.col("cnt") / 2.0) / F.col("n")
+    k = F.lit(float(delta)) * (
+        F.asin(2.0 * q_mid - 1.0) / F.lit(TDIGEST_PI) + F.lit(0.5)
+    )
+    return (
+        cum.withColumn("cluster", F.floor(F.round(k, 9)).cast("long"))
+        .groupBy("cluster")
+        .agg(
+            F.sum("cnt").alias("n_c"),
+            F.round(
+                F.sum(
+                    (F.col("v") * F.col("cnt")).cast(
+                        f"decimal(28,{value_scale})"
+                    )
+                ).cast("double")
+                / F.sum("cnt"),
+                6,
+            ).alias("mean"),
+        )
+    )
+
+
+def tdigest_quantiles(centroids: DataFrame, probs: list[float]) -> DataFrame:
+    """Interpolated quantile estimates from a centroid frame.
+
+    Standard t-digest interpolation: centroid i covers mid-rank
+    ``cum_i - n_i/2``; for target rank ``t = p*N`` the bracketing
+    centroids interpolate linearly; past the last centroid the
+    estimate clamps to its mean (and symmetrically at the head).
+    Output ``(prob, est, total_weight)`` — the same shape as
+    :func:`kll_quantiles` so the drift family can swap sketches.
+    All arithmetic runs over <= delta centroid rows."""
+    w = W.orderBy("cluster")
+    cm = (
+        centroids.select(
+            "cluster", "n_c", "mean",
+            (F.sum("n_c").over(w) - F.col("n_c") / 2.0).alias("cum_mid"),
+        )
+        .select(
+            "cluster", "n_c", "mean", "cum_mid",
+            F.lead("mean").over(w).alias("next_mean"),
+            F.lead("cum_mid").over(w).alias("next_cum_mid"),
+        )
+    )
+    tot = centroids.agg(F.sum("n_c").alias("total_weight"))
+    probs_df = centroids.sparkSession.createDataFrame(
+        [(p,) for p in probs], "prob double"
+    )
+    joined = (
+        cm.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(probs_df))
+        .withColumn("t", F.col("prob") * F.col("total_weight"))
+    )
+    sel = (
+        joined.where(F.col("cum_mid") <= F.col("t"))
+        .groupBy("prob")
+        .agg(
+            F.max_by(
+                F.struct(
+                    "mean", "cum_mid", "next_mean", "next_cum_mid", "t",
+                    "total_weight",
+                ),
+                F.col("cum_mid"),
+            ).alias("s")
+        )
+        .select("prob", "s.*")
+    )
+    est = F.when(
+        F.col("next_cum_mid").isNull(), F.col("mean")
+    ).otherwise(
+        F.col("mean")
+        + (F.col("next_mean") - F.col("mean"))
+        * ((F.col("t") - F.col("cum_mid"))
+           / (F.col("next_cum_mid") - F.col("cum_mid")))
+    )
+    head = (
+        probs_df.crossJoin(F.broadcast(tot))
+        .join(sel.select("prob", F.lit(1).alias("_hit")), "prob", "left_anti")
+        .crossJoin(
+            F.broadcast(
+                centroids.orderBy("cluster").limit(1).select(
+                    F.col("mean").alias("_first_mean")
+                )
+            )
+        )
+        .select(
+            "prob",
+            F.round(F.col("_first_mean"), 6).alias("est"),
+            "total_weight",
+        )
+    )
+    return sel.select(
+        "prob", F.round(est, 6).alias("est"), "total_weight"
+    ).unionByName(head)

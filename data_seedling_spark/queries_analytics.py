@@ -9785,3 +9785,94 @@ def tpcds_q89_category_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where((F.col("avg_monthly") > 0) & (F.col("deviation") > 0.1))
         .select("category", "brand", "mon", "sum_sales", "avg_monthly", "deviation")
     )
+
+
+_TDIGEST_CENT_CTE = """h AS (
+      SELECT round(o_totalprice, 2) AS v, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM orders GROUP BY 1
+    ), tot AS (
+      SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM h
+    ), cdf AS (
+      SELECT v, cnt, CAST(SUM(cnt) OVER (ORDER BY v) AS BIGINT) AS cum FROM h
+    ), kk AS (
+      SELECT v, cnt,
+             CAST(floor(round(50.0 * (asin(2.0 * ((cum - cnt / 2.0) / n)
+                  - 1.0) / 3.141592653589793 + 0.5), 9)) AS BIGINT) AS cluster
+      FROM cdf, tot
+    ), cent AS (
+      SELECT cluster, CAST(SUM(cnt) AS BIGINT) AS n_c,
+             round(CAST(SUM(CAST(v * cnt AS DECIMAL(28,2))) AS DOUBLE)
+                   / SUM(cnt), 6) AS mean
+      FROM kk GROUP BY cluster
+    )"""
+
+
+@query(
+    "tdigest_centroids_orders",
+    oracle=f"""
+    WITH {_TDIGEST_CENT_CTE}
+    SELECT cluster, n_c, mean FROM cent
+    """,
+    tags=("sketch", "quantile", "tdigest"),
+)
+def tdigest_centroids_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic t-digest centroids over order totals (delta=50,
+    k1 asin scale) — the interpolated-quantile twin beside KLL
+    (operators/sketch.py module note): the distinct-value CDF assigns
+    mid-rank quantiles, the k1 function buckets values into clusters,
+    centroids are decimal-exact weighted means. A pure function of the
+    value multiset, so the SQL oracle rebuilds the identical digest.
+    Scale: one histogram shuffle over rows; every later stage runs on
+    distinct values (~1e5 for 2-decimal money), centroids bounded by
+    delta."""
+    from .operators.sketch import tdigest_centroids
+
+    orders = load_table(spark, sf_dir, "orders")
+    return tdigest_centroids(orders, "o_totalprice", delta=50)
+
+
+@query(
+    "tdigest_quantiles_orders",
+    oracle=f"""
+    WITH {_TDIGEST_CENT_CTE}, cm AS (
+      SELECT cluster, n_c, mean,
+             CAST(SUM(n_c) OVER (ORDER BY cluster) AS BIGINT) AS cum
+      FROM cent
+    ), cm2 AS (
+      SELECT cluster, mean, n_c, cum - n_c / 2.0 AS cum_mid,
+             lead(mean) OVER (ORDER BY cluster) AS next_mean,
+             lead(cum - n_c / 2.0) OVER (ORDER BY cluster) AS next_cum_mid
+      FROM cm
+    ), probs AS (
+      SELECT unnest([0.25, 0.5, 0.75, 0.95]) AS prob
+    ), cand AS (
+      SELECT p.prob, cm2.mean, cm2.cum_mid, cm2.next_mean,
+             cm2.next_cum_mid, p.prob * t.n AS t, t.n AS total_weight,
+             row_number() OVER (PARTITION BY p.prob
+                                ORDER BY cm2.cum_mid DESC) AS rn
+      FROM probs p, cm2, tot t
+      WHERE cm2.cum_mid <= p.prob * t.n
+    )
+    SELECT prob,
+           round(CASE WHEN next_cum_mid IS NULL THEN mean
+                 ELSE mean + (next_mean - mean)
+                      * ((t - cum_mid) / (next_cum_mid - cum_mid)) END,
+                 6) AS est,
+           total_weight
+    FROM cand WHERE rn = 1
+    """,
+    tags=("sketch", "quantile", "tdigest", "drift"),
+)
+def tdigest_quantiles_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated p25/p50/p75/p95 from the t-digest — same output
+    shape as `kll_quantile_sketch` so the drift family swaps sketches.
+    Bracketing centroids interpolate linearly at target rank p*N;
+    every post-centroid stage runs over <= delta rows. The estimates
+    land BETWEEN centroid means (smooth), where KLL steps between
+    survivor values — the tail-accuracy trade the two sketches
+    represent."""
+    from .operators.sketch import tdigest_centroids, tdigest_quantiles
+
+    orders = load_table(spark, sf_dir, "orders")
+    cent = tdigest_centroids(orders, "o_totalprice", delta=50)
+    return tdigest_quantiles(cent, [0.25, 0.5, 0.75, 0.95])

@@ -456,3 +456,40 @@ def test_materialized_count_min_raises_on_unknown_change_type(spark, tmp_path):
 
     with pytest.raises(ValueError, match="unsupported change types.*truncate"):
         mcm.refresh(BogusSource())
+
+
+def test_tdigest_quantiles_accuracy_and_weight_conservation(spark):
+    """t-digest estimates must (a) conserve total weight exactly,
+    (b) land within a tight relative band of the TRUE quantiles (the
+    k1 scale guarantees per-cluster rank error <= ~n/delta in the
+    middle, far tighter at the tails), and (c) interpolate — i.e. the
+    median estimate need not be an observed value, unlike KLL's
+    step estimator."""
+    from data_seedling_spark.operators.sketch import (
+        tdigest_centroids,
+        tdigest_quantiles,
+    )
+    from data_seedling_spark.tables import load_table
+
+    from conftest import SF_SMOKE
+
+    orders = load_table(spark, SF_SMOKE, "orders")
+    vals = sorted(r[0] for r in orders.select("o_totalprice").collect())
+    n = len(vals)
+
+    cent = tdigest_centroids(orders, "o_totalprice", delta=50)
+    crows = cent.collect()
+    assert sum(r["n_c"] for r in crows) == n  # weight conserved
+    assert len(crows) <= 50
+    # cluster means are monotone in cluster id (sorted construction)
+    means = [r["mean"] for r in sorted(crows, key=lambda r: r["cluster"])]
+    assert means == sorted(means)
+
+    probs = [0.25, 0.5, 0.75, 0.95]
+    est = {
+        r["prob"]: r["est"]
+        for r in tdigest_quantiles(cent, probs).collect()
+    }
+    for p in probs:
+        true = vals[min(n - 1, max(0, round(p * n) - 1))]
+        assert abs(est[p] - true) / true < 0.05, (p, est[p], true)
