@@ -1745,3 +1745,147 @@ def near_dup_pairs_arrow(
         .groupBy(block_col)
         .applyInPandas(score, "vec_a long, vec_b long, score double")
     )
+
+
+# ---------------------------------------------------------------------------
+# Graph ANN (NSW-style): completes the ANN family beyond IVF/PQ/LSH
+# with the graph-traversal paradigm HNSW popularised (Malkov & Yashunin
+# 2016, "Efficient and robust approximate nearest neighbor search using
+# Hierarchical Navigable Small World graphs"). HNSW's insert loop is
+# inherently sequential; the Spark-idiomatic equivalent is the
+# single-layer navigable-small-world form built relationally:
+# cell-blocked k-NN edges give local navigability, deterministic
+# md5-derived long links give the small-world shortcuts, and search is
+# a bounded-hop BEAM traversal — each hop one equi-join against the
+# adjacency list plus one broadcast-scored candidate ranking.
+# APPROXIMATE by design (recall floors in tests/test_llm_ops.py, like
+# hyperplane LSH); the brute-force and IVF paths stay the oracle legs.
+# ---------------------------------------------------------------------------
+
+
+def nsw_build(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    centroid_stride: int | None = None,
+    arrow: bool | None = None,
+) -> DataFrame:
+    """Build the NSW adjacency: per node its ``m`` nearest in-cell
+    neighbors (IVF quantizer cells bound the candidate set —
+    O(rows·stride) scored pairs at any corpus size, never all-pairs)
+    plus ONE deterministic long-range link per node
+    (``md5(id) % N`` → an existing node), which restores the
+    cross-cell navigability the blocking removed. Returns directed
+    edges ``(src, dst)``."""
+    centroid_stride = _resolve_stride(df, centroid_stride)
+    pairs = embedding_near_dup_ivf(
+        df, id_col=id_col, vec_col=vec_col,
+        threshold=-1.0, centroid_stride=centroid_stride, arrow=arrow,
+    )
+    both = pairs.select(
+        F.col("vec_a").alias("src"), F.col("vec_b").alias("dst"), "score"
+    ).unionByName(
+        pairs.select(
+            F.col("vec_b").alias("src"), F.col("vec_a").alias("dst"), "score"
+        )
+    )
+    w = W.partitionBy("src").orderBy(F.col("score").desc(), "dst")
+    local = (
+        both.withColumn("_r", F.row_number().over(w))
+        .where(F.col("_r") <= m)
+        .select("src", "dst")
+    )
+    ids = df.select(F.col(id_col).alias("_nid"))
+    n_total = df.count()
+    jump_target = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("nsw:"), F.col(id_col).cast("string"))), 1, 8),
+            16, 10,
+        ).cast("long")
+        % F.lit(n_total)
+    )
+    jumps = (
+        df.select(F.col(id_col).alias("src"), jump_target.alias("dst"))
+        .where(F.col("src") != F.col("dst"))
+        # only keep links whose target exists (ids need not be dense)
+        .join(ids, F.col("dst") == F.col("_nid"), "left_semi")
+    )
+    return local.unionByName(jumps).distinct()
+
+
+def nsw_search(
+    adj: DataFrame,
+    df: DataFrame,
+    query_ids,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+    beam: int = 8,
+    hops: int = 3,
+    entry_stride: int | None = None,
+) -> DataFrame:
+    """Beam search over the NSW graph: start from a deterministic
+    entry set (every ``entry_stride``-th node — √N entries by
+    default), then ``hops`` rounds of expand-score-prune. Per hop the
+    candidate frontier is |queries| × beam rows; expansion joins it
+    against the adjacency list (broadcast — the frontier side is
+    tiny), scoring joins candidates against the corpus by id with the
+    candidate side broadcast, so the corpus streams once per hop and
+    NEVER shuffles. Returns ``(query_id, neighbor_id, score, rank)``
+    like the other top-k legs."""
+    entry_stride = _resolve_stride(df, entry_stride)
+    vecs = df.select(
+        F.col(id_col).alias("_nid"),
+        F.col(vec_col).cast("array<double>").alias("_nv"),
+    ).withColumn("_nn", norm(F.col("_nv")))
+    queries = df.where(F.col(id_col).isin(list(query_ids))).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("_qv"),
+    ).withColumn("_qn", norm(F.col("_qv")))
+
+    def score(cand: DataFrame) -> DataFrame:
+        """(query_id, _nid) -> scored, deduped, top-beam frontier."""
+        scored = (
+            vecs.join(F.broadcast(cand.distinct()), "_nid")
+            .join(F.broadcast(queries), "query_id")
+            .where(F.col("_nid") != F.col("query_id"))
+            .select(
+                "query_id",
+                "_nid",
+                F.round(
+                    _dot(F.col("_qv"), F.col("_nv"))
+                    / (F.col("_qn") * F.col("_nn")),
+                    6,
+                ).alias("score"),
+            )
+        )
+        w = W.partitionBy("query_id").orderBy(F.col("score").desc(), "_nid")
+        return (
+            scored.withColumn("_r", F.row_number().over(w))
+            .where(F.col("_r") <= beam)
+            .select("query_id", "_nid", "score")
+        )
+
+    entries = df.where((F.col(id_col) % entry_stride) == 0).select(
+        F.col(id_col).alias("_nid")
+    )
+    frontier = score(
+        queries.select("query_id").crossJoin(F.broadcast(entries))
+    ).localCheckpoint()
+    for _ in range(hops):
+        expanded = (
+            adj.join(
+                F.broadcast(frontier.select("query_id", F.col("_nid").alias("src"))),
+                "src",
+            )
+            .select("query_id", F.col("dst").alias("_nid"))
+            .unionByName(frontier.select("query_id", "_nid"))
+        )
+        frontier = score(expanded).localCheckpoint()
+    wk = W.partitionBy("query_id").orderBy(F.col("score").desc(), "neighbor_id")
+    return (
+        frontier.withColumnRenamed("_nid", "neighbor_id")
+        .withColumn("rank", F.row_number().over(wk))
+        .where(F.col("rank") <= k)
+    )

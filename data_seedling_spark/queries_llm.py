@@ -8769,3 +8769,28 @@ def logreg_holdout_prauc(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("np").cast("double") / F.max("ntot"), 6
         ).alias("baseline_prevalence"),
     )
+
+
+@query(
+    "nsw_graph_ann_topk",
+    oracle=None,
+    tags=("similarity-graph", "nsw", "rows-only"),
+)
+def nsw_graph_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph ANN (single-layer NSW, `operators/similarity.py` module
+    note): cell-blocked k-NN edges + md5 long links, then a 3-hop beam
+    search from a √N entry set — the graph-traversal ANN paradigm
+    (HNSW family) beside IVF/PQ/LSH. Rows-only by design, like
+    hyperplane LSH: the traversal is approximate and its value is the
+    paradigm's cost shape (per hop one broadcast-frontier join against
+    the adjacency + one corpus stream; the corpus never shuffles).
+    Recall floor (>=0.7 @ k=3 vs brute force on the smoke corpus —
+    an adversarially hard unclustered uniform cloud) and determinism
+    (run-to-run hash equality) are asserted in tests/test_llm_ops.py."""
+    from .operators.similarity import nsw_build, nsw_search
+
+    embeddings = load_table(spark, sf_dir, "embeddings")
+    adj = nsw_build(embeddings, m=12)
+    return nsw_search(
+        adj, embeddings, query_ids=range(10), k=3, beam=16, hops=3
+    )

@@ -2618,3 +2618,46 @@ def test_prauc_bounds_and_perfect_classifier(spark, tmp_path):
     )
     p = logreg_holdout_prauc(spark, str(tmp_path)).collect()[0]
     assert p["average_precision"] == 1.0
+
+
+def test_nsw_graph_ann_recall_floor_and_determinism(spark):
+    """NSW beam search must (a) return exactly k rows per query,
+    (b) hit >=0.7 recall@3 against brute force on the uniform smoke
+    cloud (no cluster structure — the hard case for graph ANN), and
+    (c) be deterministic run-to-run (md5 long links, stride entries,
+    (score, id) tie-breaks everywhere)."""
+    from data_seedling_spark.operators.similarity import (
+        cosine_topk,
+        nsw_build,
+        nsw_search,
+    )
+
+    df = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    adj = nsw_build(df, m=12)
+    res = nsw_search(adj, df, query_ids=range(20), k=3, beam=16, hops=3)
+    rows = res.collect()
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r["query_id"], []).append(r["neighbor_id"])
+    assert set(per_q) == set(range(20))
+    assert all(len(v) == 3 for v in per_q.values())
+
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk(
+            df.where(F.col("vec_id") < 20), df, k=3
+        ).collect()
+    }
+    got = {(r["query_id"], r["neighbor_id"]) for r in rows}
+    recall = len(got & exact) / len(exact)
+    assert recall >= 0.7, recall
+
+    again = {
+        (r["query_id"], r["neighbor_id"], r["score"], r["rank"])
+        for r in nsw_search(
+            adj, df, query_ids=range(20), k=3, beam=16, hops=3
+        ).collect()
+    }
+    assert again == {
+        (r["query_id"], r["neighbor_id"], r["score"], r["rank"]) for r in rows
+    }
