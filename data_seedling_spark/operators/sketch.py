@@ -755,7 +755,11 @@ def tdigest_quantiles(centroids: DataFrame, probs: list[float]) -> DataFrame:
     estimate clamps to its mean (and symmetrically at the head).
     Output ``(prob, est, total_weight)`` — the same shape as
     :func:`kll_quantiles` so the drift family can swap sketches.
-    All arithmetic runs over <= delta centroid rows."""
+    All arithmetic runs over <= delta centroid rows; the centroid
+    frame is checkpointed first so the five consumers below (window,
+    total, selection, head fallback) re-read ~delta rows instead of
+    re-running the histogram lineage."""
+    centroids = centroids.localCheckpoint()
     w = W.orderBy("cluster")
     cm = (
         centroids.select(
