@@ -222,6 +222,16 @@ HEADLINE = [
     "price_elasticity_loglog",
     "branch_merge_pipeline",
     "logreg_holdout_prauc",
+    # r9 additions: TPC-DS starter shapes, the t-digest twin, NSW graph
+    # ANN (rows-only; recall-floored in tests).
+    "tpcds_q3_brand_year_sales",
+    "tpcds_q7_segment_item_averages",
+    "tpcds_q34_ticket_size_buyers",
+    "tpcds_q59_wow_revenue",
+    "tpcds_q89_category_deviation",
+    "tdigest_centroids_orders",
+    "tdigest_quantiles_orders",
+    "nsw_graph_ann_topk",
 ]
 
 
@@ -369,9 +379,15 @@ def main() -> None:
             timings[name] = round(min(timings.get(name, float("inf")), t), 3)
             if _pass == 0:
                 after = _stage_metrics(spark)
-                shuffle_bytes[name] = after.get(
-                    "shuffle_write_bytes", 0
-                ) - before.get("shuffle_write_bytes", 0)
+                # The status API reports stages asynchronously, so a
+                # prior query's late stage can land inside this
+                # query's window — clamp at 0 rather than record a
+                # negative volume.
+                shuffle_bytes[name] = max(
+                    0,
+                    after.get("shuffle_write_bytes", 0)
+                    - before.get("shuffle_write_bytes", 0),
+                )
 
     # Shuffle-bytes regression rule (VERDICT r8 #6): a plan regression
     # that hides inside the time bound on this 32-core box would not
@@ -387,7 +403,14 @@ def main() -> None:
     if os.path.exists(shuffle_path):
         with open(shuffle_path) as f:
             shuffle_base = json.load(f)
-    seeded = {n: b for n, b in shuffle_bytes.items() if n not in shuffle_base}
+    # A 0 baseline is an unusable sample (async-sampling artifact or a
+    # genuinely shuffle-free query measured during noise) — re-seed it
+    # rather than bound real volume against 2*0.
+    seeded = {
+        n: b
+        for n, b in shuffle_bytes.items()
+        if n not in shuffle_base or (shuffle_base[n] == 0 and b > 0)
+    }
     if seeded:
         shuffle_base.update(seeded)
         with open(shuffle_path, "w") as f:
