@@ -706,7 +706,11 @@ TDIGEST_PI = 3.141592653589793
 
 
 def tdigest_centroids(
-    df: DataFrame, value_col: str, delta: int = 50, value_scale: int = 2
+    df: DataFrame,
+    value_col: str,
+    delta: int = 50,
+    value_scale: int = 2,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Build the digest: ``(cluster, n_c, mean)`` centroid rows.
 
@@ -714,10 +718,18 @@ def tdigest_centroids(
     histogram key — and the weighted mean numerator — is decimal-exact
     in both engines. The asin is libm on both sides; k rounds to the
     1e-9 grid before the floor so a sub-ulp asin divergence cannot
-    flip a cluster boundary."""
+    flip a cluster boundary.
+
+    ``weight_col`` feeds pre-weighted values in — the MERGE path:
+    a shard's centroid frame re-digests as (mean, n_c) weighted
+    values, which is exactly Dunning's centroid-merge recipe
+    (sort combined centroids, re-cluster by the scale function)."""
+    wexp = (
+        F.lit(1).cast("long") if weight_col is None else F.col(weight_col)
+    )
     h = (
         df.groupBy(F.round(F.col(value_col), value_scale).alias("v"))
-        .agg(F.count("*").alias("cnt"))
+        .agg(F.sum(wexp).alias("cnt"))
     )
     # CDF over the distinct-value histogram (cardinality-bounded, not
     # row-bounded — see module note above).
@@ -728,20 +740,26 @@ def tdigest_centroids(
     k = F.lit(float(delta)) * (
         F.asin(2.0 * q_mid - 1.0) / F.lit(TDIGEST_PI) + F.lit(0.5)
     )
+    # Mean at the 1e-6 grid via EXACT integer round-half-up:
+    # units = Σ(v·cnt) in 10^-6 units (decimal-exact, then one exact
+    # long cast), mean_micro = ⌊(2·units + n_c) / (2·n_c)⌋. A double
+    # division + round(…, 6) can land exactly on a .5 tie, where
+    # Spark and DuckDB round in opposite directions (observed once in
+    # the shard-merge digest); integer arithmetic cannot.
+    units = (
+        F.sum((F.col("v") * F.col("cnt")).cast(f"decimal(28,{value_scale})"))
+        * F.lit(1_000_000)
+    ).cast("decimal(38,0)").cast("long")
+    n_c = F.sum("cnt")
+    mean_micro = F.call_function(
+        "div", 2 * units + n_c, 2 * n_c
+    )
     return (
         cum.withColumn("cluster", F.floor(F.round(k, 9)).cast("long"))
         .groupBy("cluster")
         .agg(
-            F.sum("cnt").alias("n_c"),
-            F.round(
-                F.sum(
-                    (F.col("v") * F.col("cnt")).cast(
-                        f"decimal(28,{value_scale})"
-                    )
-                ).cast("double")
-                / F.sum("cnt"),
-                6,
-            ).alias("mean"),
+            n_c.alias("n_c"),
+            (mean_micro / F.lit(1_000_000.0)).alias("mean"),
         )
     )
 

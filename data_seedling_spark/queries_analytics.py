@@ -9801,8 +9801,10 @@ _TDIGEST_CENT_CTE = """h AS (
       FROM cdf, tot
     ), cent AS (
       SELECT cluster, CAST(SUM(cnt) AS BIGINT) AS n_c,
-             round(CAST(SUM(CAST(v * cnt AS DECIMAL(28,2))) AS DOUBLE)
-                   / SUM(cnt), 6) AS mean
+             ((2 * CAST(CAST(SUM(CAST(v * cnt AS DECIMAL(28,2))) * 1000000
+                             AS DECIMAL(38,0)) AS BIGINT)
+               + CAST(SUM(cnt) AS BIGINT))
+              // (2 * CAST(SUM(cnt) AS BIGINT))) / 1000000.0 AS mean
       FROM kk GROUP BY cluster
     )"""
 
@@ -9876,3 +9878,168 @@ def tdigest_quantiles_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     cent = tdigest_centroids(orders, "o_totalprice", delta=50)
     return tdigest_quantiles(cent, [0.25, 0.5, 0.75, 0.95])
+
+
+@query(
+    "tpcds_q71_multichannel_revenue",
+    oracle=f"""
+    WITH channels AS (
+      SELECT 'store' AS channel, n_name AS nation,
+             CAST(EXTRACT(month FROM o_orderdate) AS INT) AS mon,
+             round(o_totalprice, 2) AS amount
+      FROM orders
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation   ON n_nationkey = c_nationkey
+      WHERE EXTRACT(year FROM o_orderdate) = 1996
+      UNION ALL
+      SELECT 'web' AS channel, 'NATION_' || CAST(user_id % 25 AS VARCHAR)
+               AS nation,
+             CAST(EXTRACT(month FROM ts) AS INT) AS mon,
+             round(value, 2) AS amount
+      FROM events
+      WHERE event_type = 'purchase'
+    )
+    SELECT channel, nation, mon,
+           CAST(COUNT(*) AS BIGINT) AS n_sales,
+           {_dec_sum_sql('amount', 2)} AS revenue
+    FROM channels
+    GROUP BY 1, 2, 3
+    """,
+    tags=("tpcds", "q71", "multi-channel-union"),
+)
+def tpcds_q71_multichannel_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q71 analogue — the multi-channel UNION fact, the
+    defining TPC-DS shape (store_sales ∪ catalog_sales ∪ web_sales
+    scanned as one fact): the orders fact is the "store" channel, the
+    events purchase stream is the "web" channel, conformed to a
+    common (channel, nation, month, amount) schema and aggregated
+    once. Scale: each branch aggregates from its own scan (the union
+    is a physical no-op — Spark unions partitions, no shuffle until
+    the single combined groupBy); dimension joins broadcast; the one
+    shuffle carries (channel, nation, month) partials with map-side
+    combine. The events nation derives from user_id % 25 — the same
+    md5-free conformance rule in both engines."""
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.year("o_orderdate") == 1996
+    )
+    customer = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    events = load_table(spark, sf_dir, "events").where(
+        F.col("event_type") == "purchase"
+    )
+    store = (
+        orders.join(F.broadcast(customer), F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(nation), F.col("n_nationkey") == F.col("c_nationkey"))
+        .select(
+            F.lit("store").alias("channel"),
+            F.col("n_name").alias("nation"),
+            F.month("o_orderdate").cast("int").alias("mon"),
+            F.round("o_totalprice", 2).alias("amount"),
+        )
+    )
+    web = events.select(
+        F.lit("web").alias("channel"),
+        F.concat(F.lit("NATION_"), (F.col("user_id") % 25).cast("string")).alias(
+            "nation"
+        ),
+        F.month("ts").cast("int").alias("mon"),
+        F.round("value", 2).alias("amount"),
+    )
+    return (
+        store.unionByName(web)
+        .groupBy("channel", "nation", "mon")
+        .agg(
+            F.count("*").alias("n_sales"),
+            dec_sum(F.col("amount"), "revenue", 2),
+        )
+    )
+
+
+def _tdigest_shard_cte(shard: int) -> str:
+    """Per-shard t-digest CTEs (orders split by o_orderkey % 2) — the
+    same construction as ``_TDIGEST_CENT_CTE`` scoped to one shard."""
+    p = f"s{shard}"
+    return f"""{p}_h AS (
+      SELECT round(o_totalprice, 2) AS v, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM orders WHERE o_orderkey % 2 = {shard} GROUP BY 1
+    ), {p}_tot AS (
+      SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM {p}_h
+    ), {p}_cdf AS (
+      SELECT v, cnt, CAST(SUM(cnt) OVER (ORDER BY v) AS BIGINT) AS cum
+      FROM {p}_h
+    ), {p}_kk AS (
+      SELECT v, cnt,
+             CAST(floor(round(50.0 * (asin(2.0 * ((cum - cnt / 2.0) / n)
+                  - 1.0) / 3.141592653589793 + 0.5), 9)) AS BIGINT) AS cluster
+      FROM {p}_cdf, {p}_tot
+    ), {p}_cent AS (
+      SELECT cluster, CAST(SUM(cnt) AS BIGINT) AS n_c,
+             ((2 * CAST(CAST(SUM(CAST(v * cnt AS DECIMAL(28,2))) * 1000000
+                             AS DECIMAL(38,0)) AS BIGINT)
+               + CAST(SUM(cnt) AS BIGINT))
+              // (2 * CAST(SUM(cnt) AS BIGINT))) / 1000000.0 AS mean
+      FROM {p}_kk GROUP BY cluster
+    )"""
+
+
+@query(
+    "tdigest_merge_shards",
+    oracle=f"""
+    WITH {_tdigest_shard_cte(0)}, {_tdigest_shard_cte(1)},
+    merged AS (
+      SELECT mean, n_c FROM s0_cent
+      UNION ALL
+      SELECT mean, n_c FROM s1_cent
+    ), m_h AS (
+      SELECT round(mean, 6) AS v, CAST(SUM(n_c) AS BIGINT) AS cnt
+      FROM merged GROUP BY 1
+    ), m_tot AS (
+      SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM m_h
+    ), m_cdf AS (
+      SELECT v, cnt, CAST(SUM(cnt) OVER (ORDER BY v) AS BIGINT) AS cum
+      FROM m_h
+    ), m_kk AS (
+      SELECT v, cnt,
+             CAST(floor(round(50.0 * (asin(2.0 * ((cum - cnt / 2.0) / n)
+                  - 1.0) / 3.141592653589793 + 0.5), 9)) AS BIGINT) AS cluster
+      FROM m_cdf, m_tot
+    )
+    SELECT cluster, CAST(SUM(cnt) AS BIGINT) AS n_c,
+           ((2 * CAST(CAST(SUM(CAST(v * cnt AS DECIMAL(28,6))) * 1000000
+                           AS DECIMAL(38,0)) AS BIGINT)
+             + CAST(SUM(cnt) AS BIGINT))
+            // (2 * CAST(SUM(cnt) AS BIGINT))) / 1000000.0 AS mean
+    FROM m_kk GROUP BY cluster
+    """,
+    tags=("sketch", "quantile", "tdigest", "merge"),
+)
+def tdigest_merge_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-digest MERGEABILITY — the property that makes it a sketch
+    (Dunning's centroid merge: concatenate shard centroids, re-cluster
+    by the scale function): orders split into two shards, each shard
+    digests independently (the distributed build), and the merged
+    digest re-digests the union of (mean, n_c) weighted centroid rows
+    at value_scale=6. Total weight is conserved through BOTH levels
+    (asserted in tests), and the whole two-level construction is a
+    pure function of the value multiset — the unrolled two-shard
+    oracle hash-matches exactly, the same shape as
+    `kll_sketch_merge_shards`. Scale: shard digests are the
+    map-side partials of a 1000-executor build; the merge input is
+    2×delta rows."""
+    from .operators.sketch import tdigest_centroids
+
+    orders = load_table(spark, sf_dir, "orders")
+    s0 = tdigest_centroids(
+        orders.where(F.col("o_orderkey") % 2 == 0), "o_totalprice", delta=50
+    )
+    s1 = tdigest_centroids(
+        orders.where(F.col("o_orderkey") % 2 == 1), "o_totalprice", delta=50
+    )
+    merged = s0.select("mean", "n_c").unionByName(s1.select("mean", "n_c"))
+    return tdigest_centroids(
+        merged, "mean", delta=50, value_scale=6, weight_col="n_c"
+    )
