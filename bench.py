@@ -232,6 +232,8 @@ HEADLINE = [
     "tdigest_centroids_orders",
     "tdigest_quantiles_orders",
     "nsw_graph_ann_topk",
+    "tpcds_q71_multichannel_revenue",
+    "tdigest_merge_shards",
 ]
 
 
