@@ -234,6 +234,9 @@ HEADLINE = [
     "nsw_graph_ann_topk",
     "tpcds_q71_multichannel_revenue",
     "tdigest_merge_shards",
+    "tpcds_q88_timeband_counts",
+    "tpcds_q77_channel_rollup",
+    "tpcds_q51_cumulative_crossover",
 ]
 
 

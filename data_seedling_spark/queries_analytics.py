@@ -10043,3 +10043,206 @@ def tdigest_merge_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tdigest_centroids(
         merged, "mean", delta=50, value_scale=6, weight_col="n_c"
     )
+
+
+@query(
+    "tpcds_q88_timeband_counts",
+    oracle="""
+    SELECT
+      CAST(COUNT(CASE WHEN l_quantity <= 10 AND l_discount <= 0.02 THEN 1 END) AS BIGINT) AS b1,
+      CAST(COUNT(CASE WHEN l_quantity <= 10 AND l_discount >  0.02 THEN 1 END) AS BIGINT) AS b2,
+      CAST(COUNT(CASE WHEN l_quantity >  10 AND l_quantity <= 20 AND l_discount <= 0.02 THEN 1 END) AS BIGINT) AS b3,
+      CAST(COUNT(CASE WHEN l_quantity >  10 AND l_quantity <= 20 AND l_discount >  0.02 THEN 1 END) AS BIGINT) AS b4,
+      CAST(COUNT(CASE WHEN l_quantity >  20 AND l_quantity <= 35 AND l_discount <= 0.02 THEN 1 END) AS BIGINT) AS b5,
+      CAST(COUNT(CASE WHEN l_quantity >  20 AND l_quantity <= 35 AND l_discount >  0.02 THEN 1 END) AS BIGINT) AS b6,
+      CAST(COUNT(CASE WHEN l_quantity >  35 AND l_discount <= 0.02 THEN 1 END) AS BIGINT) AS b7,
+      CAST(COUNT(CASE WHEN l_quantity >  35 AND l_discount >  0.02 THEN 1 END) AS BIGINT) AS b8
+    FROM lineitem
+    JOIN orders ON o_orderkey = l_orderkey
+    WHERE o_orderstatus = 'F'
+    """,
+    tags=("tpcds", "q88", "multi-band", "single-scan"),
+)
+def tpcds_q88_timeband_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q88 analogue: eight independent band counts
+    (quantity × discount bands over finished orders; Q88's eight
+    half-hour × demographic bands). The benchmark text writes eight
+    SELF-CONTAINED subqueries — eight scans; the Spark-first
+    re-expression is ONE scan with eight conditional counts fused
+    into a single hash aggregate (what Catalyst cannot do for you if
+    you write eight scans — the query author picks the fused shape).
+    At 100 TB the difference is 8× the fact I/O. One row out."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey")
+    j = li.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+    q, d = F.col("l_quantity"), F.col("l_discount")
+
+    def band(cond, alias):
+        return F.count(F.when(cond, 1)).alias(alias)
+
+    return j.agg(
+        band((q <= 10) & (d <= 0.02), "b1"),
+        band((q <= 10) & (d > 0.02), "b2"),
+        band((q > 10) & (q <= 20) & (d <= 0.02), "b3"),
+        band((q > 10) & (q <= 20) & (d > 0.02), "b4"),
+        band((q > 20) & (q <= 35) & (d <= 0.02), "b5"),
+        band((q > 20) & (q <= 35) & (d > 0.02), "b6"),
+        band((q > 35) & (d <= 0.02), "b7"),
+        band((q > 35) & (d > 0.02), "b8"),
+    )
+
+
+@query(
+    "tpcds_q77_channel_rollup",
+    oracle=f"""
+    WITH channels AS (
+      SELECT 'store' AS channel, n_name AS nation,
+             round(o_totalprice, 2) AS amount
+      FROM orders
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation   ON n_nationkey = c_nationkey
+      WHERE EXTRACT(year FROM o_orderdate) = 1996
+      UNION ALL
+      SELECT 'web' AS channel, 'NATION_' || CAST(user_id % 25 AS VARCHAR),
+             round(value, 2)
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT channel, nation,
+           CAST(COUNT(*) AS BIGINT) AS n_sales,
+           {_dec_sum_sql('amount', 2)} AS revenue
+    FROM channels
+    GROUP BY ROLLUP (channel, nation)
+    """,
+    tags=("tpcds", "q77", "rollup", "multi-channel-union"),
+)
+def tpcds_q77_channel_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q77 analogue: the channel profit report with ROLLUP
+    subtotals — per (channel, nation), per channel, and grand total in
+    one grouping-sets aggregate over the conformed two-channel union
+    (the grouping-set-heavy report family TPC-H lacks). Spark expands
+    the rollup into grouping sets inside ONE hash aggregate (partial
+    combine per set), so the fact scans once; subtotal rows carry the
+    standard NULL pattern in both engines."""
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.year("o_orderdate") == 1996
+    )
+    customer = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    events = load_table(spark, sf_dir, "events").where(
+        F.col("event_type") == "purchase"
+    )
+    store = (
+        orders.join(F.broadcast(customer), F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(nation), F.col("n_nationkey") == F.col("c_nationkey"))
+        .select(
+            F.lit("store").alias("channel"),
+            F.col("n_name").alias("nation"),
+            F.round("o_totalprice", 2).alias("amount"),
+        )
+    )
+    web = events.select(
+        F.lit("web").alias("channel"),
+        F.concat(F.lit("NATION_"), (F.col("user_id") % 25).cast("string")).alias(
+            "nation"
+        ),
+        F.round("value", 2).alias("amount"),
+    )
+    return (
+        store.unionByName(web)
+        .rollup("channel", "nation")
+        .agg(
+            F.count("*").alias("n_sales"),
+            dec_sum(F.col("amount"), "revenue", 2),
+        )
+    )
+
+
+@query(
+    "tpcds_q51_cumulative_crossover",
+    oracle=f"""
+    WITH urgent_w AS (
+      SELECT CAST((dayofyear(o_orderdate) - 1) // 7 AS INT) AS wk,
+             {_dec_sum_sql('o_totalprice', 2)} AS rev
+      FROM orders
+      WHERE EXTRACT(year FROM o_orderdate) = 1996
+        AND o_orderpriority = '1-URGENT'
+      GROUP BY 1
+    ), high_w AS (
+      SELECT CAST((dayofyear(o_orderdate) - 1) // 7 AS INT) AS wk,
+             {_dec_sum_sql('o_totalprice', 2)} AS rev
+      FROM orders
+      WHERE EXTRACT(year FROM o_orderdate) = 1996
+        AND o_orderpriority = '2-HIGH'
+      GROUP BY 1
+    ), joined AS (
+      SELECT COALESCE(u.wk, h.wk) AS wk, u.rev AS urgent_rev, h.rev AS high_rev
+      FROM urgent_w u FULL OUTER JOIN high_w h ON u.wk = h.wk
+    ), cum AS (
+      SELECT wk,
+             CAST(SUM(CAST(ROUND(COALESCE(urgent_rev, 0), 2) AS DECIMAL(18,2)))
+                    OVER (ORDER BY wk) AS DOUBLE) AS urgent_cum,
+             CAST(SUM(CAST(ROUND(COALESCE(high_rev, 0), 2) AS DECIMAL(18,2)))
+                    OVER (ORDER BY wk) AS DOUBLE) AS high_cum
+      FROM joined
+    )
+    SELECT wk, urgent_cum, high_cum
+    FROM cum
+    WHERE high_cum > urgent_cum
+    """,
+    tags=("tpcds", "q51", "full-outer", "window-over-join"),
+)
+def tpcds_q51_cumulative_crossover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q51 analogue: FULL OUTER join of two per-week revenue
+    series (urgent vs high-priority orders — comparable magnitudes, so
+    real crossovers exist at every SF), running cumulative revenue
+    over each, report the weeks where the second series' cumulative
+    total has overtaken the first — the window-over-full-outer-join
+    reshape. Both series aggregate to week grain FIRST (map-side
+    combine; the window then runs over <= 53 rows), cumulative sums
+    are decimal-exact running sums; weeks use the engine-uniform
+    (dayofyear-1) div 7 arithmetic."""
+    from pyspark.sql.window import Window
+
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.year("o_orderdate") == 1996
+    )
+    wk = F.expr("CAST((dayofyear(o_orderdate) - 1) DIV 7 AS INT)").alias("wk")
+    urgent_w = (
+        orders.where(F.col("o_orderpriority") == "1-URGENT")
+        .groupBy(wk)
+        .agg(dec_sum(F.col("o_totalprice"), "rev", 2))
+    )
+    high_w = (
+        orders.where(F.col("o_orderpriority") == "2-HIGH")
+        .groupBy(wk)
+        .agg(dec_sum(F.col("o_totalprice"), "rev", 2))
+    )
+    joined = (
+        urgent_w.select("wk", F.col("rev").alias("urgent_rev"))
+        .join(
+            high_w.select("wk", F.col("rev").alias("high_rev")),
+            "wk",
+            "full_outer",
+        )
+    )
+    w = Window.orderBy("wk").rowsBetween(Window.unboundedPreceding, 0)
+
+    def cum(col):
+        return (
+            F.sum(F.round(F.coalesce(col, F.lit(0)), 2).cast("decimal(18,2)"))
+            .over(w)
+            .cast("double")
+        )
+
+    return (
+        joined.withColumn("urgent_cum", cum(F.col("urgent_rev")))
+        .withColumn("high_cum", cum(F.col("high_rev")))
+        .where(F.col("high_cum") > F.col("urgent_cum"))
+        .select("wk", "urgent_cum", "high_cum")
+    )
