@@ -36,6 +36,10 @@ def test_registry_contract_shapes():
         # zlib deflate has no SQL twin; monotonicity floors in
         # tests/test_llm_ops.py (test_compression_quality_orders_repetition)
         "compression_ratio_quality",
+        # graph-traversal ANN is approximate by design (like the LSH
+        # entries above); recall floor + determinism in
+        # tests/test_llm_ops.py (test_nsw_graph_ann_recall_floor...)
+        "nsw_graph_ann_topk",
     }, f"unexpected rows-only queries: {missing_oracle}"
     for sql in o.values():
         assert sql.strip(), "empty oracle"
