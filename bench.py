@@ -456,10 +456,13 @@ def main() -> None:
     # stdout-tail record truncates again).
     with open(os.path.join(repo, "BENCH_LAST.json"), "w") as f:
         f.write(payload + "\n")
+    # Current round = latest driver-written CORRECTNESS record + 1
+    # (bench writes BENCH_r files itself, so keying off those would
+    # advance the round number on every in-round re-run).
     rounds = [
         int(m.group(1))
         for fn in os.listdir(repo)
-        if (m := re.match(r"BENCH_r(\d+)\.json$", fn))
+        if (m := re.match(r"CORRECTNESS_r(\d+)\.json$", fn))
     ]
     with open(os.path.join(repo, f"BENCH_r{max(rounds, default=0) + 1:02d}.json"), "w") as f:
         f.write(payload + "\n")
