@@ -3,7 +3,7 @@
 # No runtime deps to install in this container; targets are the
 # entry points a pipeline CI would call.
 
-.PHONY: install test check check-oracle bench smoke doctor catalog
+.PHONY: install test check check-oracle bench smoke doctor catalog scale-data scale-probe
 
 install:
 	@echo "dependencies are preinstalled (pyspark, pyarrow, pandas, numpy, duckdb, pytest, hypothesis)"
@@ -36,3 +36,12 @@ doctor:
 # Regenerate docs/QUERIES.md from the live registry.
 catalog:
 	python tools/gen_catalog.py
+
+# Scale evidence: build the 10x/100x replica sets and probe headliners
+# (SCALE.md records the per-decade ratio tables; see tools/mk_scale_table.py).
+scale-data:
+	python tools/gen_scale.py --src /root/testdata/sf0.1 --dst /tmp/sf1 --k 10
+	python tools/gen_scale.py --src /root/testdata/sf0.1 --dst /tmp/sf10 --k 100
+
+scale-probe:
+	python tools/scale_probe.py --sf /tmp/sf1
