@@ -1374,9 +1374,11 @@ def test_ledger_torture_branch_wap_update_interleaved(spark, tmp_table_dir):
         rows("base", range(10)).unionByName(rows("wm", [-1])),
         mode="overwrite",
     )
+    aux_dir = tmp_table_dir + "_aux"
+    txn_dir = tmp_table_dir + "_txn"
 
     errors: list[BaseException] = []
-    barrier = threading.Barrier(3)
+    barrier = threading.Barrier(4)
 
     def branch_writer():
         t = VersionedTable(spark, tmp_table_dir)
@@ -1426,6 +1428,28 @@ def test_ledger_torture_branch_wap_update_interleaved(spark, tmp_table_dir):
                 except ConcurrentWriteConflictError:
                     continue
 
+    def txn_writer():
+        # cross-table 2PC racing the same main table: atomicity must
+        # hold against every other writer's commits
+        from data_seedling_spark.operators.ledger import (
+            MultiTableTransaction,
+        )
+
+        t = VersionedTable(spark, tmp_table_dir)
+        aux = VersionedTable(spark, aux_dir)
+        barrier.wait()
+        for round_no in range(2):
+            txn = MultiTableTransaction(spark, txn_dir)
+            lo = 300 + round_no * 10
+            txn.stage(t, rows(f"txn{round_no}", range(lo, lo + 5)))
+            txn.stage(aux, rows(f"txn{round_no}", range(lo, lo + 5)))
+            while True:
+                try:
+                    txn.commit()
+                    break
+                except ConcurrentWriteConflictError:
+                    continue  # staged frames survive; re-prepare
+
     def guarded(fn):
         def run():
             try:
@@ -1437,7 +1461,7 @@ def test_ledger_torture_branch_wap_update_interleaved(spark, tmp_table_dir):
 
     threads = [
         threading.Thread(target=guarded(w), name=w.__name__)
-        for w in (branch_writer, wap_writer, watermark_writer)
+        for w in (branch_writer, wap_writer, watermark_writer, txn_writer)
     ]
     for th in threads:
         th.start()
@@ -1456,12 +1480,21 @@ def test_ledger_torture_branch_wap_update_interleaved(spark, tmp_table_dir):
     assert by_src["branch1"] == set(range(110, 115))
     assert by_src["wap0"] == set(range(200, 205))
     assert by_src["wap1"] == set(range(210, 215))
+    assert by_src["txn0"] == set(range(300, 305))
+    assert by_src["txn1"] == set(range(310, 315))
     assert by_src["wm"] == {-1}
     # the watermark row holds the LAST advance in the updater's program
     # order (updates to one row serialize; later retries rebase)
     wm_v = [r["v"] for r in final if r["src"] == "wm"]
     assert wm_v == [13.0]
-    assert len(final) == 10 + 5 + 5 + 5 + 5 + 1
+    assert len(final) == 10 + 5 + 5 + 5 + 5 + 5 + 5 + 1
+    # the 2PC's second table got EXACTLY the same two commits — the
+    # cross-table atomicity the manifest rename guarantees
+    aux = VersionedTable(spark, aux_dir)
+    aux_rows = {(r["src"], r["k"]) for r in aux.read().collect()}
+    assert aux_rows == {
+        (f"txn{i}", k) for i in (0, 1) for k in range(300 + i * 10, 305 + i * 10)
+    }
 
     # version history is contiguous and every snapshot is readable
     versions = [c["version"] for c in t.history()]
