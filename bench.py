@@ -237,6 +237,8 @@ HEADLINE = [
     "tpcds_q88_timeband_counts",
     "tpcds_q77_channel_rollup",
     "tpcds_q51_cumulative_crossover",
+    "quantile_drift_tdigest",
+    "tpcds_q67_rollup_topn",
 ]
 
 

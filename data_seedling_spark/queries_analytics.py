@@ -10246,3 +10246,166 @@ def tpcds_q51_cumulative_crossover(spark: SparkSession, sf_dir: str) -> DataFram
         .where(F.col("high_cum") > F.col("urgent_cum"))
         .select("wk", "urgent_cum", "high_cum")
     )
+
+
+def _tdigest_year_quantiles_cte(p: str, year: int) -> str:
+    """Digest + interpolated-quantile CTE chain for one order-year —
+    the ``tdigest_quantiles_orders`` oracle parameterized by prefix
+    and year filter (drift compares two of these)."""
+    return f"""{p}_h AS (
+      SELECT round(o_totalprice, 2) AS v, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM orders WHERE EXTRACT(year FROM o_orderdate) = {year} GROUP BY 1
+    ), {p}_tot AS (
+      SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM {p}_h
+    ), {p}_cdf AS (
+      SELECT v, cnt, CAST(SUM(cnt) OVER (ORDER BY v) AS BIGINT) AS cum
+      FROM {p}_h
+    ), {p}_kk AS (
+      SELECT v, cnt,
+             CAST(floor(round(50.0 * (asin(2.0 * ((cum - cnt / 2.0) / n)
+                  - 1.0) / 3.141592653589793 + 0.5), 9)) AS BIGINT) AS cluster
+      FROM {p}_cdf, {p}_tot
+    ), {p}_cent AS (
+      SELECT cluster, CAST(SUM(cnt) AS BIGINT) AS n_c,
+             ((2 * CAST(CAST(SUM(CAST(v * cnt AS DECIMAL(28,2))) * 1000000
+                             AS DECIMAL(38,0)) AS BIGINT)
+               + CAST(SUM(cnt) AS BIGINT))
+              // (2 * CAST(SUM(cnt) AS BIGINT))) / 1000000.0 AS mean
+      FROM {p}_kk GROUP BY cluster
+    ), {p}_cm AS (
+      SELECT cluster, n_c, mean,
+             CAST(SUM(n_c) OVER (ORDER BY cluster) AS BIGINT) AS cum
+      FROM {p}_cent
+    ), {p}_cm2 AS (
+      SELECT cluster, mean, n_c, cum - n_c / 2.0 AS cum_mid,
+             lead(mean) OVER (ORDER BY cluster) AS next_mean,
+             lead(cum - n_c / 2.0) OVER (ORDER BY cluster) AS next_cum_mid
+      FROM {p}_cm
+    ), {p}_cand AS (
+      SELECT pr.prob, c.mean, c.cum_mid, c.next_mean, c.next_cum_mid,
+             pr.prob * t.n AS t,
+             row_number() OVER (PARTITION BY pr.prob
+                                ORDER BY c.cum_mid DESC) AS rn
+      FROM probs pr, {p}_cm2 c, {p}_tot t
+      WHERE c.cum_mid <= pr.prob * t.n
+    ), {p}_q AS (
+      SELECT prob,
+             round(CASE WHEN next_cum_mid IS NULL THEN mean
+                   ELSE mean + (next_mean - mean)
+                        * ((t - cum_mid) / (next_cum_mid - cum_mid)) END,
+                   6) AS est
+      FROM {p}_cand WHERE rn = 1
+    )"""
+
+
+@query(
+    "quantile_drift_tdigest",
+    oracle=f"""
+    WITH probs AS (
+      SELECT unnest([0.25, 0.5, 0.75, 0.95]) AS prob
+    ), {_tdigest_year_quantiles_cte('a', 1996)},
+    {_tdigest_year_quantiles_cte('b', 1997)}
+    SELECT a.prob, a.est AS est_1996, b.est AS est_1997,
+           round(b.est - a.est, 6) AS shift
+    FROM a_q a JOIN b_q b ON a.prob = b.prob
+    """,
+    tags=("sketch", "tdigest", "drift", "quantile"),
+)
+def quantile_drift_tdigest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile drift via t-digests — the sketch-swap the drift family
+    was built for: one digest per order-year, interpolated
+    p25/p50/p75/p95 from each, per-quantile shift between years. At
+    100 TB the digests are the ONLY thing that moves (delta centroids
+    per shard/day), while the exact-percentile alternative re-sorts
+    the fact; this is the same job `kll_quantile_sketch` answers with
+    step estimates, now with interpolated tails. Both digest chains
+    and the final join are hash-exact against the unrolled two-year
+    oracle."""
+    from .operators.sketch import tdigest_centroids, tdigest_quantiles
+
+    orders = load_table(spark, sf_dir, "orders")
+    probs = [0.25, 0.5, 0.75, 0.95]
+
+    def year_q(year, alias):
+        cent = tdigest_centroids(
+            orders.where(F.year("o_orderdate") == year), "o_totalprice", delta=50
+        )
+        return tdigest_quantiles(cent, probs).select(
+            "prob", F.col("est").alias(alias)
+        )
+
+    a = year_q(1996, "est_1996")
+    b = year_q(1997, "est_1997")
+    return a.join(b, "prob").withColumn(
+        "shift", F.round(F.col("est_1997") - F.col("est_1996"), 6)
+    )
+
+
+@query(
+    "tpcds_q67_rollup_topn",
+    oracle=f"""
+    WITH monthly AS (
+      SELECT p_type AS category, p_brand AS brand,
+             CAST(EXTRACT(month FROM o_orderdate) AS INT) AS mon,
+             {_dec_sum_sql('l_extendedprice * (1 - l_discount)', 4)} AS revenue
+      FROM lineitem
+      JOIN part   ON p_partkey = l_partkey
+      JOIN orders ON o_orderkey = l_orderkey
+      WHERE EXTRACT(year FROM o_orderdate) = 1996
+      GROUP BY ROLLUP (category, brand, mon)
+    ), ranked AS (
+      SELECT category, brand, mon, revenue,
+             CAST(row_number() OVER (
+               PARTITION BY category
+               ORDER BY revenue DESC,
+                        brand ASC NULLS FIRST,
+                        mon ASC NULLS FIRST
+             ) AS BIGINT) AS rk
+      FROM monthly
+    )
+    SELECT category, brand, mon, revenue, rk
+    FROM ranked WHERE rk <= 5
+    """,
+    tags=("tpcds", "q67", "rollup", "window-over-grouping-sets"),
+)
+def tpcds_q67_rollup_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q67 analogue: rank within category OVER the rollup
+    lattice — every (category, brand, month) aggregation level ranks
+    together, so a brand's yearly subtotal competes with its best
+    single months (exactly Q67's "which aggregation level carries the
+    sales" report). Grouping sets compute in ONE hash aggregate; the
+    rank window then runs over the lattice (≈4× the monthly grain),
+    never the fact. NULL ordering pinned explicitly (Spark defaults
+    NULLS FIRST ascending, DuckDB NULLS LAST — the one portability
+    trap of window-over-rollup)."""
+    from pyspark.sql.window import Window
+
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_type", "p_brand"
+    )
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.year("o_orderdate") == 1996
+    ).select("o_orderkey", "o_orderdate")
+    monthly = (
+        lineitem.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(
+            F.col("p_type").alias("category"),
+            F.col("p_brand").alias("brand"),
+            F.month("o_orderdate").cast("int").alias("mon"),
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("_rev"),
+        )
+        .rollup("category", "brand", "mon")
+        .agg(dec_sum(F.col("_rev"), "revenue", 4))
+    )
+    w = Window.partitionBy("category").orderBy(
+        F.col("revenue").desc(),
+        F.col("brand").asc_nulls_first(),
+        F.col("mon").asc_nulls_first(),
+    )
+    return (
+        monthly.withColumn("rk", F.row_number().over(w).cast("long"))
+        .where(F.col("rk") <= 5)
+        .select("category", "brand", "mon", "revenue", "rk")
+    )
