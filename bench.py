@@ -239,6 +239,7 @@ HEADLINE = [
     "tpcds_q51_cumulative_crossover",
     "quantile_drift_tdigest",
     "tpcds_q67_rollup_topn",
+    "tpcds_q36_lochierarchy_margin",
 ]
 
 

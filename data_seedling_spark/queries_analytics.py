@@ -10409,3 +10409,95 @@ def tpcds_q67_rollup_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rk") <= 5)
         .select("category", "brand", "mon", "revenue", "rk")
     )
+
+
+@query(
+    "tpcds_q36_lochierarchy_margin",
+    oracle=f"""
+    WITH agg AS (
+      SELECT p_type AS category, p_brand AS brand,
+             GROUPING(p_type) + GROUPING(p_brand) AS lochierarchy,
+             GROUPING(p_brand) AS g_brand,
+             {_dec_sum_sql('l_extendedprice * (1 - l_discount)', 4)} AS revenue,
+             {_dec_sum_sql('l_extendedprice * l_discount', 4)} AS discount_cost
+      FROM lineitem
+      JOIN part   ON p_partkey = l_partkey
+      JOIN orders ON o_orderkey = l_orderkey
+      WHERE EXTRACT(year FROM o_orderdate) = 1996
+      GROUP BY ROLLUP (p_type, p_brand)
+    ), ranked AS (
+      SELECT category, brand,
+             CAST(lochierarchy AS INT) AS lochierarchy,
+             round(discount_cost / revenue, 6) AS margin_ratio,
+             CAST(row_number() OVER (
+               PARTITION BY lochierarchy,
+                            CASE WHEN g_brand = 0 THEN category END
+               ORDER BY round(discount_cost / revenue, 6) DESC,
+                        category ASC NULLS FIRST,
+                        brand ASC NULLS FIRST
+             ) AS BIGINT) AS rank_within_parent
+      FROM agg
+      WHERE revenue > 0
+    )
+    SELECT category, brand, lochierarchy, margin_ratio, rank_within_parent
+    FROM ranked
+    """,
+    tags=("tpcds", "q36", "rollup", "grouping-fn", "lochierarchy"),
+)
+def tpcds_q36_lochierarchy_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q36 analogue — the GROUPING()-arithmetic report: a
+    (category, brand) ROLLUP where the aggregation depth
+    (``lochierarchy`` = sum of GROUPING flags) is itself a computed
+    column, and ranking runs WITHIN EACH PARENT — brands rank inside
+    their category, categories rank at the rollup level — via Q36's
+    exact CASE-on-GROUPING partition key. This is the one grouping-set
+    feature ROLLUP output alone can't express: NULL-as-subtotal is
+    ambiguous against NULL-as-data, and GROUPING() disambiguates. One
+    hash aggregate for all lattice levels; the window runs over the
+    lattice, not the fact; NULL ordering pinned on both engines."""
+    from pyspark.sql.window import Window
+
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_type", "p_brand"
+    )
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.year("o_orderdate") == 1996
+    ).select("o_orderkey")
+    agg = (
+        lineitem.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(
+            F.col("p_type").alias("category"),
+            F.col("p_brand").alias("brand"),
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("_rev"),
+            (F.col("l_extendedprice") * F.col("l_discount")).alias("_disc"),
+        )
+        .rollup("category", "brand")
+        .agg(
+            (F.grouping("category") + F.grouping("brand")).cast("int").alias(
+                "lochierarchy"
+            ),
+            F.grouping("brand").alias("g_brand"),
+            dec_sum(F.col("_rev"), "revenue", 4),
+            dec_sum(F.col("_disc"), "discount_cost", 4),
+        )
+    )
+    margin = F.round(F.col("discount_cost") / F.col("revenue"), 6)
+    w = Window.partitionBy(
+        "lochierarchy",
+        F.when(F.col("g_brand") == 0, F.col("category")),
+    ).orderBy(
+        F.col("margin_ratio").desc(),
+        F.col("category").asc_nulls_first(),
+        F.col("brand").asc_nulls_first(),
+    )
+    return (
+        agg.where(F.col("revenue") > 0)
+        .withColumn("margin_ratio", margin)
+        .withColumn("rank_within_parent", F.row_number().over(w).cast("long"))
+        .select(
+            "category", "brand", "lochierarchy", "margin_ratio",
+            "rank_within_parent",
+        )
+    )
