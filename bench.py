@@ -240,6 +240,7 @@ HEADLINE = [
     "quantile_drift_tdigest",
     "tpcds_q67_rollup_topn",
     "tpcds_q36_lochierarchy_margin",
+    "bucketed_colocated_join",
 ]
 
 

@@ -9,6 +9,7 @@ and the final snapshot is returned — which plain SQL can reproduce.
 
 from __future__ import annotations
 
+import os
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -2768,3 +2769,73 @@ def branch_merge_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         return t.read().select("event_id", "user_id", "event_type")
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+
+
+@query(
+    "bucketed_colocated_join",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount), 4)
+                         AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE o_orderstatus = 'O'
+    GROUP BY o_orderpriority
+    """,
+    tags=("bucketing", "colocated-join", "scale-technique", "S6"),
+)
+def bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed co-located join — the build-once/join-many layout the
+    brief names beside broadcast and salting: both fact tables are
+    written ``bucketBy(8, orderkey).sortBy(orderkey)`` into the
+    session catalog, and the join of the READ-BACK tables needs NO
+    shuffle on either side (the bucketed scans already satisfy the
+    join's required distribution — plan-locked in
+    tests/test_plans.py: exactly one Exchange in the whole query, the
+    final aggregate's). At 100 TB this is the difference between
+    shuffling both facts on every join and paying one layout shuffle
+    at ingest: every subsequent orderkey equi-join — merges, CDC
+    reconciliation, point-in-time audits — is a zipper over
+    pre-sorted buckets. The oracle computes the same aggregate from
+    the raw parquet; bucketing is a layout property, not a semantic
+    one, which is exactly what the hash check proves."""
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderstatus") == "O"
+    ).select("o_orderkey", "o_orderpriority")
+    lineitem = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    import shutil
+    import urllib.parse
+
+    warehouse = urllib.parse.urlparse(
+        spark.conf.get("spark.sql.warehouse.dir")
+    ).path
+    for name in ("ds_bkt_orders", "ds_bkt_lineitem"):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        # a previous SESSION's managed-table dir is an orphan this
+        # session's catalog doesn't know about — saveAsTable refuses
+        # to reuse the location, so clear it
+        shutil.rmtree(os.path.join(warehouse, name), ignore_errors=True)
+    (
+        orders.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .mode("overwrite").format("parquet").saveAsTable("ds_bkt_orders")
+    )
+    (
+        lineitem.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .mode("overwrite").format("parquet").saveAsTable("ds_bkt_lineitem")
+    )
+    o = spark.table("ds_bkt_orders")
+    li = spark.table("ds_bkt_lineitem")
+    return (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.sum(
+                F.round(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")), 4
+                ).cast("decimal(18,4)")
+            ).cast("double").alias("revenue"),
+        )
+    )

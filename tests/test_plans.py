@@ -322,3 +322,28 @@ def test_logreg_scoring_is_pure_projection(spark, reg):
     import re
 
     assert not re.search(r"Exchange hashpartitioning", plan.split("Scan")[0]), plan[:500]
+
+
+def test_bucketed_join_has_no_join_side_exchange(spark, reg):
+    """The bucketed co-located join's scale claim, plan-locked: after
+    the bucketBy(8, key).sortBy(key) layout, the read-back equi-join
+    runs over the bucketed scans with NO Exchange on either join input
+    — the only Exchange in the whole query belongs to the final
+    groupBy aggregate. Also assert the scans actually select buckets
+    (the layout is being used, not coincidentally absent)."""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    # on the smoke table AQE broadcasts the tiny side, which hides the
+    # property under test: force the sort-merge planner so the join
+    # must satisfy its distribution from the BUCKETED layout alone
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = reg["bucketed_colocated_join"].fn(spark, SF_SMOKE)
+        df.write.format("noop").mode("overwrite").save()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    final = plan.split("== Initial Plan ==")[0]  # AQE-final section
+    assert "SortMergeJoin" in final
+    assert "Bucketed: true" in final  # bucketed scans engaged
+    # join inputs need NO shuffle; the one Exchange is the aggregate's
+    assert final.count("Exchange") == 1, final
