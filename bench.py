@@ -328,6 +328,12 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1).rstrip(".")) if m else -1.0
+    # Every recorded baseline (BASELINE.md time bounds, BASELINE_SHUFFLE
+    # byte volumes) was measured at sf0.1; seeding or comparing at any
+    # other sf would corrupt the append-only ledgers / raise false
+    # regressions (r9 ADVICE #4). Off-sf runs still time everything —
+    # they just neither seed nor judge against the sf0.1 records.
+    at_baseline_sf = abs(sf - 0.1) < 1e-9
 
     # Bench the throughput configuration: the Arrow/BLAS kernels are
     # the library default since r9 (similarity.arrow_assign_enabled),
@@ -419,7 +425,7 @@ def main() -> None:
         n: b
         for n, b in shuffle_bytes.items()
         if n not in shuffle_base or (shuffle_base[n] == 0 and b > 0)
-    }
+    } if at_baseline_sf else {}
     if seeded:
         shuffle_base.update(seeded)
         with open(shuffle_path, "w") as f:
@@ -431,12 +437,12 @@ def main() -> None:
         for n, b in shuffle_bytes.items()
         if n in shuffle_base and n not in seeded
         and b > 2 * shuffle_base[n] + slack
-    }
+    } if at_baseline_sf else {}
     over_bound = {
         n: {"sec": t, "bound": bounds[n][1]}
         for n, t in timings.items()
         if n in bounds and t > bounds[n][1]
-    }
+    } if at_baseline_sf else {}
 
     total = round(sum(timings.values()), 3)
     payload = json.dumps(
@@ -449,6 +455,7 @@ def main() -> None:
             "shuffle_bytes": shuffle_bytes,
             "over_bound": over_bound,
             "shuffle_regressions": shuffle_regressions,
+            "baseline_guard_active": at_baseline_sf,
         }
     )
     # The driver records only a bounded stdout tail, which has truncated
@@ -460,15 +467,27 @@ def main() -> None:
     # stdout-tail record truncates again).
     with open(os.path.join(repo, "BENCH_LAST.json"), "w") as f:
         f.write(payload + "\n")
-    # Current round = latest driver-written CORRECTNESS record + 1
-    # (bench writes BENCH_r files itself, so keying off those would
-    # advance the round number on every in-round re-run).
-    rounds = [
-        int(m.group(1))
-        for fn in os.listdir(repo)
-        if (m := re.match(r"CORRECTNESS_r(\d+)\.json$", fn))
-    ]
-    with open(os.path.join(repo, f"BENCH_r{max(rounds, default=0) + 1:02d}.json"), "w") as f:
+    # The round being built is PINNED in the repo-root ROUND file
+    # (r9 verdict #3: inferring it as max(CORRECTNESS_r*)+1 drifted —
+    # the driver's correctness record for a round can land before or
+    # after the builder's final bench run, so round 9's artifact filed
+    # as BENCH_r10.json). The builder bumps ROUND at round start;
+    # tests/test_bench_contract.py asserts it stays ahead of the
+    # driver's correctness records. Inference remains the fallback.
+    round_path = os.path.join(repo, "ROUND")
+    if os.path.exists(round_path):
+        with open(round_path) as f:
+            rnd = int(f.read().strip())
+    else:
+        rnd = max(
+            (
+                int(m.group(1))
+                for fn in os.listdir(repo)
+                if (m := re.match(r"CORRECTNESS_r(\d+)\.json$", fn))
+            ),
+            default=0,
+        ) + 1
+    with open(os.path.join(repo, f"BENCH_r{rnd:02d}.json"), "w") as f:
         f.write(payload + "\n")
     print(payload)
 

@@ -166,11 +166,21 @@ def expand_neighbors(df: DataFrame, cell_deg: float | None = None) -> DataFrame:
 
 def lon_cell_count(cell_deg: float) -> int:
     """Number of longitude columns in a ``cell_deg`` grid - the wrap
-    modulus for antimeridian-correct probing. The last column may be
-    narrower when cell_deg does not divide 360; it is still the column
-    adjacent to lon -180, so modular wrap stays lossless."""
+    modulus for antimeridian-correct probing. ``cell_deg`` must divide
+    360 exactly: a non-divisor grid leaves a seam-adjacent last column
+    NARROWER than cell_deg, so a query point near lon -180 can need
+    two columns of westward coverage and the 3x3 probe would miss
+    cross-seam candidates - wrap losslessness holds only for divisor
+    grids, which this guard enforces (r9 ADVICE)."""
     cell_micro = int(round(cell_deg * 1_000_000))
-    return -(-LON_SPAN_MICRO // cell_micro)
+    if LON_SPAN_MICRO % cell_micro != 0:
+        raise ValueError(
+            f"cell_deg={cell_deg} does not divide 360: the seam-adjacent "
+            "column would be narrower than cell_deg and the 3x3 wrap "
+            "probe would miss cross-seam pairs; pick a divisor grid "
+            "(e.g. 4.0, 2.0, 1.5, 0.5)"
+        )
+    return LON_SPAN_MICRO // cell_micro
 
 
 def spatial_join_within(

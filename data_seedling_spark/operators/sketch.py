@@ -723,7 +723,17 @@ def tdigest_centroids(
     ``weight_col`` feeds pre-weighted values in — the MERGE path:
     a shard's centroid frame re-digests as (mean, n_c) weighted
     values, which is exactly Dunning's centroid-merge recipe
-    (sort combined centroids, re-cluster by the scale function)."""
+    (sort combined centroids, re-cluster by the scale function).
+
+    Precondition (r9 ADVICE): every cluster's value SUM must be
+    non-negative. The exact half-up mean ⌊(2·units+n)/(2n)⌋ relies on
+    floor division, and the two engines only agree there for
+    non-negative numerators — Spark's ``div`` truncates toward zero
+    while DuckDB's ``//`` floors, so a cluster whose Σ(v·cnt) goes
+    negative would round down in DuckDB and up in Spark, off by 1e-6.
+    All current callers digest money/price columns (≥ 0); to digest a
+    signed column, shift it by a known lower bound first and shift the
+    quantile estimates back."""
     wexp = (
         F.lit(1).cast("long") if weight_col is None else F.col(weight_col)
     )

@@ -9854,14 +9854,24 @@ def tdigest_centroids_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 ORDER BY cm2.cum_mid DESC) AS rn
       FROM probs p, cm2, tot t
       WHERE cm2.cum_mid <= p.prob * t.n
+    ), sel AS (
+      SELECT prob,
+             round(CASE WHEN next_cum_mid IS NULL THEN mean
+                   ELSE mean + (next_mean - mean)
+                        * ((t - cum_mid) / (next_cum_mid - cum_mid)) END,
+                   6) AS est,
+             total_weight
+      FROM cand WHERE rn = 1
+    ), head AS (
+      SELECT p.prob, round(fc.mean, 6) AS est, t.n AS total_weight
+      FROM probs p
+      CROSS JOIN tot t
+      CROSS JOIN (SELECT mean FROM cm2 ORDER BY cluster LIMIT 1) fc
+      WHERE p.prob NOT IN (SELECT prob FROM sel)
     )
-    SELECT prob,
-           round(CASE WHEN next_cum_mid IS NULL THEN mean
-                 ELSE mean + (next_mean - mean)
-                      * ((t - cum_mid) / (next_cum_mid - cum_mid)) END,
-                 6) AS est,
-           total_weight
-    FROM cand WHERE rn = 1
+    SELECT prob, est, total_weight FROM sel
+    UNION ALL
+    SELECT prob, est, total_weight FROM head
     """,
     tags=("sketch", "quantile", "tdigest", "drift"),
 )
@@ -10288,13 +10298,22 @@ def _tdigest_year_quantiles_cte(p: str, year: int) -> str:
                                 ORDER BY c.cum_mid DESC) AS rn
       FROM probs pr, {p}_cm2 c, {p}_tot t
       WHERE c.cum_mid <= pr.prob * t.n
-    ), {p}_q AS (
+    ), {p}_sel AS (
       SELECT prob,
              round(CASE WHEN next_cum_mid IS NULL THEN mean
                    ELSE mean + (next_mean - mean)
                         * ((t - cum_mid) / (next_cum_mid - cum_mid)) END,
                    6) AS est
       FROM {p}_cand WHERE rn = 1
+    ), {p}_head AS (
+      SELECT pr.prob, round(fc.mean, 6) AS est
+      FROM probs pr
+      CROSS JOIN (SELECT mean FROM {p}_cm2 ORDER BY cluster LIMIT 1) fc
+      WHERE pr.prob NOT IN (SELECT prob FROM {p}_sel)
+    ), {p}_q AS (
+      SELECT prob, est FROM {p}_sel
+      UNION ALL
+      SELECT prob, est FROM {p}_head
     )"""
 
 

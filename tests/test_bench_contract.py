@@ -68,3 +68,27 @@ def test_shuffle_baseline_well_formed():
     for name, val in base.items():
         assert isinstance(val, int) and val >= 0, (name, val)
         assert name in headline, f"stale shuffle baseline entry: {name}"
+
+
+def test_round_marker_pinned_and_current():
+    """BENCH_r{N}.json names the round being BUILT (r9 verdict #3:
+    inferring N from CORRECTNESS records drifted a round off the
+    driver's convention). The repo-root ROUND file pins it; it must
+    exist and be no older than the newest driver correctness record —
+    a stale pin would file this round's bench under last round's
+    name."""
+    import re
+
+    round_path = os.path.join(REPO, "ROUND")
+    assert os.path.exists(round_path), "ROUND marker missing (bump at round start)"
+    with open(round_path) as f:
+        rnd = int(f.read().strip())
+    recorded = [
+        int(m.group(1))
+        for fn in os.listdir(REPO)
+        if (m := re.match(r"CORRECTNESS_r(\d+)\.json$", fn))
+    ]
+    assert rnd >= max(recorded, default=0), (
+        f"ROUND={rnd} is behind the newest driver correctness record "
+        f"r{max(recorded):02d}; bump ROUND at round start"
+    )
