@@ -2771,6 +2771,89 @@ def branch_merge_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.conf.set("spark.sql.shuffle.partitions", old_parts)
 
 
+#: (applicationId, abspath(sf_dir)) -> (orders_table, lineitem_table).
+#: The bucketed layout is build-once/join-many by definition; memoizing
+#: per session+dataset lets `bucketed_colocated_join` measure the JOIN
+#: (the technique's payoff) while `bucketed_layout_build` measures the
+#: one-off ingest shuffle (its cost) — the split the r9 verdict asked
+#: for after the combined entry billed the build to the join.
+_BUCKETED_LAYOUTS: dict[tuple[str, str], tuple[str, str]] = {}
+
+
+def _bucketed_layout(
+    spark: SparkSession, sf_dir: str, fresh: bool = False
+) -> tuple[str, str]:
+    """Write (or reuse) the bucketed orders/lineitem layout; returns
+    the two catalog table names. Table names carry a per-build uuid
+    token and the data lives in a per-build tempdir (EXTERNAL tables),
+    so concurrent runs in one session and multiple sessions sharing a
+    warehouse never clobber each other — and no managed-table orphan
+    dirs accumulate under spark-warehouse/ (r9 ADVICE #5). A refresh
+    drops the previous build's catalog entries for this key."""
+    import uuid
+
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    if not fresh and key in _BUCKETED_LAYOUTS:
+        return _BUCKETED_LAYOUTS[key]
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderstatus") == "O"
+    ).select("o_orderkey", "o_orderpriority")
+    lineitem = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    token = uuid.uuid4().hex[:12]
+    base = tempfile.mkdtemp(prefix="ds_bkt_")
+    names = (f"ds_bkt_orders_{token}", f"ds_bkt_lineitem_{token}")
+    for df, name, bucket_col in (
+        (orders, names[0], "o_orderkey"),
+        (lineitem, names[1], "l_orderkey"),
+    ):
+        (
+            df.write.bucketBy(8, bucket_col).sortBy(bucket_col)
+            .option("path", os.path.join(base, name))
+            .mode("overwrite").format("parquet").saveAsTable(name)
+        )
+    old = _BUCKETED_LAYOUTS.get(key)
+    if old:
+        for name in old:
+            spark.sql(f"DROP TABLE IF EXISTS {name}")
+    _BUCKETED_LAYOUTS[key] = names
+    return names
+
+
+@query(
+    "bucketed_layout_build",
+    oracle="""
+    SELECT 'orders' AS tbl, CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM orders WHERE o_orderstatus = 'O'
+    UNION ALL
+    SELECT 'lineitem' AS tbl, CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM lineitem
+    """,
+    tags=("bucketing", "colocated-join", "scale-technique", "S6", "ingest"),
+)
+def bucketed_layout_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BUILD half of the bucketed co-located join (split from the
+    join per the r9 verdict): write both fact tables
+    ``bucketBy(8, orderkey).sortBy(orderkey)`` as external catalog
+    tables — the one-off layout shuffle a 100 TB deployment pays at
+    ingest so that every subsequent orderkey equi-join (merges, CDC
+    reconciliation, point-in-time audits) runs shuffle-free. Returns
+    per-table row counts read back from the BUCKETED tables, so the
+    oracle (raw-parquet counts) proves the layout write landed
+    losslessly. Always builds fresh — this entry's benched time IS the
+    ingest cost; `bucketed_colocated_join` reuses the layout and
+    measures the join-many payoff."""
+    o_name, l_name = _bucketed_layout(spark, sf_dir, fresh=True)
+    o_cnt = spark.table(o_name).select(
+        F.lit("orders").alias("tbl")
+    ).groupBy("tbl").agg(F.count("*").alias("n_rows"))
+    l_cnt = spark.table(l_name).select(
+        F.lit("lineitem").alias("tbl")
+    ).groupBy("tbl").agg(F.count("*").alias("n_rows"))
+    return o_cnt.unionByName(l_cnt)
+
+
 @query(
     "bucketed_colocated_join",
     oracle="""
@@ -2785,48 +2868,22 @@ def branch_merge_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("bucketing", "colocated-join", "scale-technique", "S6"),
 )
 def bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bucketed co-located join — the build-once/join-many layout the
-    brief names beside broadcast and salting: both fact tables are
-    written ``bucketBy(8, orderkey).sortBy(orderkey)`` into the
-    session catalog, and the join of the READ-BACK tables needs NO
+    """The JOIN half of the bucketed co-located join — the
+    build-once/join-many layout the brief names beside broadcast and
+    salting: the join of the READ-BACK bucketed tables needs NO
     shuffle on either side (the bucketed scans already satisfy the
-    join's required distribution — plan-locked in
-    tests/test_plans.py: exactly one Exchange in the whole query, the
-    final aggregate's). At 100 TB this is the difference between
-    shuffling both facts on every join and paying one layout shuffle
-    at ingest: every subsequent orderkey equi-join — merges, CDC
-    reconciliation, point-in-time audits — is a zipper over
-    pre-sorted buckets. The oracle computes the same aggregate from
-    the raw parquet; bucketing is a layout property, not a semantic
-    one, which is exactly what the hash check proves."""
-    orders = load_table(spark, sf_dir, "orders").where(
-        F.col("o_orderstatus") == "O"
-    ).select("o_orderkey", "o_orderpriority")
-    lineitem = load_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_extendedprice", "l_discount"
-    )
-    import shutil
-    import urllib.parse
-
-    warehouse = urllib.parse.urlparse(
-        spark.conf.get("spark.sql.warehouse.dir")
-    ).path
-    for name in ("ds_bkt_orders", "ds_bkt_lineitem"):
-        spark.sql(f"DROP TABLE IF EXISTS {name}")
-        # a previous SESSION's managed-table dir is an orphan this
-        # session's catalog doesn't know about — saveAsTable refuses
-        # to reuse the location, so clear it
-        shutil.rmtree(os.path.join(warehouse, name), ignore_errors=True)
-    (
-        orders.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
-        .mode("overwrite").format("parquet").saveAsTable("ds_bkt_orders")
-    )
-    (
-        lineitem.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
-        .mode("overwrite").format("parquet").saveAsTable("ds_bkt_lineitem")
-    )
-    o = spark.table("ds_bkt_orders")
-    li = spark.table("ds_bkt_lineitem")
+    join's required distribution — plan-locked in tests/test_plans.py:
+    exactly one Exchange in the whole query, the final aggregate's).
+    The layout comes from the per-session memoized
+    :func:`_bucketed_layout` (built by `bucketed_layout_build` or on
+    first use), so this entry's benched time measures the join-many
+    payoff, not the ingest shuffle — the r9 verdict's split. The
+    oracle computes the same aggregate from the raw parquet; bucketing
+    is a layout property, not a semantic one, which is exactly what
+    the hash check proves."""
+    o_name, l_name = _bucketed_layout(spark, sf_dir)
+    o = spark.table(o_name)
+    li = spark.table(l_name)
     return (
         o.join(li, o["o_orderkey"] == li["l_orderkey"])
         .groupBy("o_orderpriority")

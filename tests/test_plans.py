@@ -347,3 +347,20 @@ def test_bucketed_join_has_no_join_side_exchange(spark, reg):
     assert "Bucketed: true" in final  # bucketed scans engaged
     # join inputs need NO shuffle; the one Exchange is the aggregate's
     assert final.count("Exchange") == 1, final
+
+
+def test_bucketed_layout_memoized_and_per_run_named(spark, reg):
+    """The r9 split's contract: the layout builds once per
+    (session, dataset) and every subsequent join reuses it
+    (build-once/join-many), while a fresh build gets NEW uuid-suffixed
+    table names in a NEW tempdir — so concurrent runs and sessions
+    sharing a warehouse can't clobber each other (r9 ADVICE #5) — and
+    drops the superseded catalog entries."""
+    from data_seedling_spark.queries_pipeline import _bucketed_layout
+
+    a = _bucketed_layout(spark, SF_SMOKE)
+    assert _bucketed_layout(spark, SF_SMOKE) == a  # join-many reuse
+    c = _bucketed_layout(spark, SF_SMOKE, fresh=True)
+    assert set(c).isdisjoint(set(a))  # per-build names, never reused
+    assert not spark.catalog.tableExists(a[0])  # stale pair dropped
+    assert spark.catalog.tableExists(c[0])
