@@ -850,3 +850,97 @@ def tdigest_quantiles(centroids: DataFrame, probs: list[float]) -> DataFrame:
     return sel.select(
         "prob", F.round(est, 6).alias("est"), "total_weight"
     ).unionByName(head)
+
+
+class MaterializedTDigest:
+    """A versioned t-digest centroid frame kept current from a
+    versioned source's change feed — the interpolated-quantile twin of
+    :class:`MaterializedSketch` (KLL), so BOTH quantile families now
+    maintain incrementally (r9 verdict #8).
+
+    Protocol mirrors ``MaterializedSketch``: the applied source
+    version rides *inside* the centroid commit as ``_source_hi``, so
+    apply+advance are one atomic write and a replayed refresh is a
+    no-op. Each refresh digests ONLY the increment
+    (:func:`tdigest_centroids` over O(changes) rows —
+    cardinality-bounded after the first groupBy) and folds it into the
+    stored centroids with Dunning's centroid merge: re-digest the
+    union of ``(mean, n_c)`` weighted rows at ``value_scale=6`` —
+    exactly the merge phase of ``tdigest_merge_shards``. Work per
+    refresh is O(|changes| + delta); the stored state never exceeds
+    ~delta centroid rows, so at 100 TB only centroids move.
+
+    Insert-only by design: centroids have no delete inverse (same
+    scoping as ``MaterializedSketch``); non-insert changes raise and
+    the caller recomputes. The whole schedule — deterministic
+    histogram digests, integer half-up means on the 1e-6 grid — is a
+    pure function of the commit partition, so an unrolled SQL oracle
+    replays create/append/append commit-by-commit and the interpolated
+    quantiles hash-match exactly (``incremental_tdigest_maintenance``).
+    """
+
+    SOURCE_HI = "_source_hi"
+
+    def __init__(
+        self,
+        spark,
+        table,
+        value_col: str,
+        delta: int = 50,
+        value_scale: int = 2,
+    ):
+        self.spark = spark
+        self.table = table
+        self.value_col = value_col
+        self.delta = delta
+        self.value_scale = value_scale
+
+    def applied_hi(self) -> int:
+        if not self.table.exists():
+            return -1
+        row = (
+            self.table.read().agg(F.max(self.SOURCE_HI).alias("hi")).collect()[0]
+        )
+        return -1 if row["hi"] is None else int(row["hi"])
+
+    def refresh(self, source) -> tuple[int, int]:
+        """Fold source versions ``(applied_hi, latest]``; returns the
+        applied ``(lo, hi)`` (lo > hi = already current)."""
+        from .merge import CHANGE_TYPE, CT_INSERT
+
+        lo = self.applied_hi() + 1
+        hi = source.latest_version()
+        if lo > hi:
+            return lo, hi
+        changes = source.read_changes(lo, hi)
+        non_insert = changes.where(F.col(CHANGE_TYPE) != CT_INSERT)
+        if non_insert.limit(1).count() > 0:
+            raise ValueError(
+                "MaterializedTDigest is insert-only: centroids have "
+                "no delete inverse — recompute instead"
+            )
+        inc = tdigest_centroids(
+            changes, self.value_col, delta=self.delta,
+            value_scale=self.value_scale,
+        )
+        if self.table.exists():
+            merged = (
+                self.table.read().select("mean", "n_c")
+                .unionByName(inc.select("mean", "n_c"))
+            )
+            state = tdigest_centroids(
+                merged, "mean", delta=self.delta, value_scale=6,
+                weight_col="n_c",
+            )
+        else:
+            state = inc
+        self.table.write(
+            state.withColumn(self.SOURCE_HI, F.lit(hi).cast("long")),
+            mode="overwrite",
+        )
+        return lo, hi
+
+    def quantiles(self, probs: list[float]) -> DataFrame:
+        return tdigest_quantiles(
+            self.table.read().select("cluster", "n_c", "mean"), probs
+        )

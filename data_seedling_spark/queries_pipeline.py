@@ -1848,6 +1848,160 @@ def incremental_quantile_maintenance(
         spark.conf.set("spark.sql.shuffle.partitions", old_parts)
 
 
+def _itdigest_oracle() -> str:
+    """Unrolled replay of the centroid-matview protocol
+    (`MaterializedTDigest.refresh`): one scale-2 digest chain per
+    source commit (prefixes a/b/g — orders split by o_orderkey % 3),
+    each merge step re-digesting stored ∪ increment centroids at
+    scale 6 (Dunning's centroid merge — the `tdigest_merge_shards`
+    recipe), and interpolated quantiles (head-clamp leg included, the
+    `tdigest_quantiles` contract) off the final centroid frame —
+    CTE-for-commit the exact schedule the refreshes execute."""
+
+    def digest(p: str, h_body: str, scale: int) -> str:
+        return f"""{p}_h AS (
+      {h_body}
+    ), {p}_tot AS (
+      SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM {p}_h
+    ), {p}_cdf AS (
+      SELECT v, cnt, CAST(SUM(cnt) OVER (ORDER BY v) AS BIGINT) AS cum
+      FROM {p}_h
+    ), {p}_kk AS (
+      SELECT v, cnt,
+             CAST(floor(round(50.0 * (asin(2.0 * ((cum - cnt / 2.0) / n)
+                  - 1.0) / 3.141592653589793 + 0.5), 9)) AS BIGINT) AS cluster
+      FROM {p}_cdf, {p}_tot
+    ), {p}_cent AS (
+      SELECT cluster, CAST(SUM(cnt) AS BIGINT) AS n_c,
+             ((2 * CAST(CAST(SUM(CAST(v * cnt AS DECIMAL(28,{scale}))) * 1000000
+                             AS DECIMAL(38,0)) AS BIGINT)
+               + CAST(SUM(cnt) AS BIGINT))
+              // (2 * CAST(SUM(cnt) AS BIGINT))) / 1000000.0 AS mean
+      FROM {p}_kk GROUP BY cluster
+    )"""
+
+    def inc(p: str, r: int) -> str:
+        return digest(
+            p,
+            "SELECT round(o_totalprice, 2) AS v, "
+            "CAST(COUNT(*) AS BIGINT) AS cnt\n"
+            f"      FROM orders WHERE o_orderkey % 3 = {r} GROUP BY 1",
+            2,
+        )
+
+    def merge(p: str, left: str, right: str) -> str:
+        return digest(
+            p,
+            "SELECT round(mean, 6) AS v, CAST(SUM(n_c) AS BIGINT) AS cnt\n"
+            f"      FROM (SELECT mean, n_c FROM {left}_cent\n"
+            f"            UNION ALL SELECT mean, n_c FROM {right}_cent) u\n"
+            "      GROUP BY 1",
+            6,
+        )
+
+    quant = """, qcm AS (
+      SELECT cluster, n_c, mean,
+             CAST(SUM(n_c) OVER (ORDER BY cluster) AS BIGINT) AS cum
+      FROM m2_cent
+    ), qcm2 AS (
+      SELECT cluster, mean, n_c, cum - n_c / 2.0 AS cum_mid,
+             lead(mean) OVER (ORDER BY cluster) AS next_mean,
+             lead(cum - n_c / 2.0) OVER (ORDER BY cluster) AS next_cum_mid
+      FROM qcm
+    ), probs AS (
+      SELECT unnest([0.25, 0.5, 0.75, 0.95]) AS prob
+    ), cand AS (
+      SELECT p.prob, c.mean, c.cum_mid, c.next_mean, c.next_cum_mid,
+             p.prob * t.n AS t, t.n AS total_weight,
+             row_number() OVER (PARTITION BY p.prob
+                                ORDER BY c.cum_mid DESC) AS rn
+      FROM probs p, qcm2 c, m2_tot t
+      WHERE c.cum_mid <= p.prob * t.n
+    ), sel AS (
+      SELECT prob,
+             round(CASE WHEN next_cum_mid IS NULL THEN mean
+                   ELSE mean + (next_mean - mean)
+                        * ((t - cum_mid) / (next_cum_mid - cum_mid)) END,
+                   6) AS est,
+             total_weight
+      FROM cand WHERE rn = 1
+    ), head AS (
+      SELECT p.prob, round(fc.mean, 6) AS est, t.n AS total_weight
+      FROM probs p
+      CROSS JOIN m2_tot t
+      CROSS JOIN (SELECT mean FROM qcm2 ORDER BY cluster LIMIT 1) fc
+      WHERE p.prob NOT IN (SELECT prob FROM sel)
+    )
+    SELECT prob, est, total_weight FROM sel
+    UNION ALL
+    SELECT prob, est, total_weight FROM head"""
+
+    return (
+        "WITH " + inc("a", 0) + ", " + inc("b", 1) + ", "
+        + merge("m1", "a", "b") + ", " + inc("g", 2) + ", "
+        + merge("m2", "m1", "g") + quant
+    )
+
+
+@query(
+    "incremental_tdigest_maintenance",
+    oracle=_itdigest_oracle(),
+    tags=("sketch", "quantile", "tdigest", "ivm", "ST1", "ST2"),
+)
+def incremental_tdigest_maintenance(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The t-digest twin of `incremental_quantile_maintenance` (r9
+    verdict #8 — KLL had an O(changes) refresh, the second quantile
+    family didn't): a centroid frame kept current as a MATERIALIZED
+    DIGEST over a versioned orders source. Each refresh digests only
+    that commit's increment (cardinality-bounded after the first
+    map-side-combinable groupBy) and folds it into the stored
+    centroids with Dunning's centroid merge — re-digest the ≤2·delta
+    (mean, n_c) weighted rows at value_scale=6, exactly
+    `tdigest_merge_shards`'s merge phase — so the interpolated
+    p25/p50/p75/p95 feed stays current without ever rescanning the
+    fact table. The applied source version rides inside the centroid
+    commit (exactly-once), proven here by the replay no-op refresh.
+    Deterministic digests + integer half-up means make the whole
+    schedule a pure function of the commit partition: the oracle
+    replays the identical create/append/append schedule commit by
+    commit and the estimates hash-match exactly. Scale: refresh cost
+    is O(|increment| + delta); stored state never exceeds ~delta
+    centroid rows — at 100 TB only centroids move."""
+    from .operators.sketch import MaterializedTDigest
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    base = tempfile.mkdtemp(prefix="itd_")
+    src = VersionedTable(spark, f"{base}/src", write_partitions=4)
+    dig = MaterializedTDigest(
+        spark,
+        VersionedTable(spark, f"{base}/dig", write_partitions=1),
+        value_col="o_totalprice",
+        delta=50,
+    )
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        key = F.col("o_orderkey")
+        src.write(orders.where(key % 3 == 0), mode="overwrite")
+        lo, hi = dig.refresh(src)                      # folds v0
+        assert (lo, hi) == (0, 0), (lo, hi)
+        src.write(orders.where(key % 3 == 1), mode="append")
+        lo, hi = dig.refresh(src)                      # folds v1 only
+        assert (lo, hi) == (1, 1), (lo, hi)
+        src.write(orders.where(key % 3 == 2), mode="append")
+        lo, hi = dig.refresh(src)                      # folds v2 only
+        assert (lo, hi) == (2, 2), (lo, hi)
+        lo, hi = dig.refresh(src)                      # replay: no-op
+        assert lo > hi, "replayed refresh must be a no-op"
+        return dig.quantiles([0.25, 0.5, 0.75, 0.95])
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+
+
 @query(
     "incremental_drift_maintenance",
     oracle="""

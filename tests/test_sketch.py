@@ -493,3 +493,62 @@ def test_tdigest_quantiles_accuracy_and_weight_conservation(spark):
     for p in probs:
         true = vals[min(n - 1, max(0, round(p * n) - 1))]
         assert abs(est[p] - true) / true < 0.05, (p, est[p], true)
+
+
+def test_materialized_tdigest_incremental_maintenance(spark, tmp_path):
+    """Centroid-matview protocol (the t-digest twin of
+    MaterializedSketch): each refresh folds exactly the new source
+    versions, total centroid weight stays conserved (= rows ingested
+    so far), stored state stays bounded by ~delta centroids, the
+    applied-hi marker makes replays no-ops, quantiles track the true
+    median, and a delete in the feed raises (centroids have no delete
+    inverse)."""
+    import pytest
+
+    from data_seedling_spark.operators.ledger import VersionedTable
+    from data_seedling_spark.operators.merge import CHANGE_TYPE, CT_DELETE
+    from data_seedling_spark.operators.sketch import MaterializedTDigest
+
+    df = _uniform_df(spark, 900)
+    src = VersionedTable(spark, str(tmp_path / "src"), write_partitions=2)
+    md = MaterializedTDigest(
+        spark,
+        VersionedTable(spark, str(tmp_path / "td"), write_partitions=1),
+        value_col="x",
+        delta=30,
+    )
+    src.write(df.where(F.col("id") % 3 == 0), mode="overwrite")
+    assert md.refresh(src) == (0, 0)
+    assert md.table.read().agg(F.sum("n_c")).collect()[0][0] == 300
+
+    src.write(df.where(F.col("id") % 3 == 1), mode="append")
+    assert md.refresh(src) == (1, 1)
+    assert md.table.read().agg(F.sum("n_c")).collect()[0][0] == 600
+    # state stays centroid-bounded, not row-bounded
+    assert md.table.read().count() <= 2 * 30
+
+    lo, hi = md.refresh(src)
+    assert lo > hi  # replay no-op
+
+    # p50 of the maintained digest vs the true median of ingested rows:
+    # uniform values spaced 3.0 apart, delta=30 → interior clusters
+    # hold ~2/delta of the mass; one merge level doubles the blur.
+    # A generous 10%-of-range accuracy floor catches protocol bugs
+    # (wrong increment, double-fold) without overfitting the estimator.
+    est = {r["prob"]: r["est"] for r in md.quantiles([0.5]).collect()}
+    ingested = sorted(
+        r["x"] for r in df.where(F.col("id") % 3 < 2).collect()
+    )
+    true_median = ingested[len(ingested) // 2]
+    value_range = ingested[-1] - ingested[0]
+    assert abs(est[0.5] - true_median) <= 0.1 * value_range
+
+    # insert-only guard: a delete in the feed must raise
+    src.merge(
+        df.where(F.col("id") % 9 == 0)
+        .limit(5)
+        .withColumn(CHANGE_TYPE, F.lit(CT_DELETE)),
+        primary_keys=["id"],
+    )
+    with pytest.raises(ValueError, match="insert-only"):
+        md.refresh(src)
