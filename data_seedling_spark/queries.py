@@ -70,7 +70,6 @@ _ANCHORS: tuple[str, ...] = (
     "pricing_summary",
     "groupby_count_status",
     "filter_predicates",
-    "project_cast_literal",
     "salted_hash_ids",
     "datetime_truncation",
     "top_orders_limit",
@@ -81,9 +80,7 @@ _ANCHORS: tuple[str, ...] = (
     "merge_delete_apply",
     "distinct_users_by_type",
     # High-value extended-surface representatives.
-    "semantic_dedup_embeddings",
     "window_top_orders_per_segment",
-    "asof_join_purchase_click",
     "interval_join_ship_windows",
     # LLM training-data pipeline suite (BASELINE north_star).
     "dedup_exact_documents",
@@ -96,7 +93,6 @@ _ANCHORS: tuple[str, ...] = (
     "multimodal_decode_bmp",
     "embedding_near_dup_ivf",
     "ivf_ann_topk",
-    "pq_ann_topk",
     "dedup_cluster_assignment",
     "incremental_dedup_ingest",
     "train_test_split_hash",
@@ -117,21 +113,35 @@ _ANCHORS: tuple[str, ...] = (
     "stream_interval_join_clicks",
 )
 
-#: Rotating window slots — r9: the TPC-DS starter set, the t-digest
-#: twin, and the two geo queries whose blocking gained the
-#: antimeridian wrap this round. All oracle-checked (rows-only
-#: queries never rotate in: they would read as `err` in the driver
-#: window — see the minhash note above).
+#: Rotating window slots — r10: the nine r9 additions that landed
+#: AFTER the r9 rotation was set (judge-green but never
+#: driver-verified — VERDICT r9 #1) plus this round's four new
+#: oracle-backed queries. Four multiply-covered anchors
+#: (project_cast_literal, semantic_dedup_embeddings,
+#: asof_join_purchase_click, pq_ann_topk — each 5+ rounds
+#: driver-green, families still anchored by siblings) moved to the
+#: registry tail to make room. POLICY (enforced by
+#: tests/test_bench_contract.py::test_new_oracle_queries_enter_window
+#: against tools/registry_snapshot.txt): every oracle-backed query
+#: added during a round must be in _ROTATING before round end.
+#: Rows-only queries never rotate in (they would read as `err` in the
+#: driver window — see the minhash note above).
 _ROTATING: tuple[str, ...] = (
-    "tpcds_q3_brand_year_sales",
-    "tpcds_q7_segment_item_averages",
-    "tpcds_q34_ticket_size_buyers",
-    "tpcds_q59_wow_revenue",
-    "tpcds_q89_category_deviation",
-    "tdigest_centroids_orders",
-    "tdigest_quantiles_orders",
-    "spatial_join_supplier_customer",
-    "haversine_knn_customers",
+    # r9 additions the r9 rotation missed:
+    "tpcds_q36_lochierarchy_margin",
+    "tpcds_q51_cumulative_crossover",
+    "tpcds_q67_rollup_topn",
+    "tpcds_q71_multichannel_revenue",
+    "tpcds_q77_channel_rollup",
+    "tpcds_q88_timeband_counts",
+    "tdigest_merge_shards",
+    "quantile_drift_tdigest",
+    "bucketed_colocated_join",
+    # r10 additions:
+    "bucketed_layout_build",
+    "incremental_tdigest_maintenance",
+    "tpcds_q14_cross_channel_sales",
+    "tpcds_q64_snapshot_compare",
 )
 
 _PRIORITY: tuple[str, ...] = _ANCHORS + _ROTATING

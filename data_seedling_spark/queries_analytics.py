@@ -10520,3 +10520,187 @@ def tpcds_q36_lochierarchy_margin(spark: SparkSession, sf_dir: str) -> DataFrame
             "rank_within_parent",
         )
     )
+
+
+@query(
+    "tpcds_q14_cross_channel_sales",
+    oracle=f"""
+    WITH cells AS (
+      SELECT CASE l_linenumber % 3 WHEN 0 THEN 'store'
+                  WHEN 1 THEN 'catalog' ELSE 'web' END AS channel,
+             p_brand AS brand,
+             CAST(COUNT(*) AS BIGINT) AS n_sales,
+             {_dec_sum_sql('l_extendedprice * (1 - l_discount)', 4)} AS revenue
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      WHERE EXTRACT(year FROM l_shipdate) = 1996
+      GROUP BY 1, 2
+    ), cross_items AS (
+      SELECT brand FROM cells GROUP BY brand HAVING COUNT(*) = 3
+    ), totals AS (
+      SELECT CAST(SUM(CAST(revenue AS DECIMAL(18,4))) AS DOUBLE) AS total_rev,
+             CAST(SUM(n_sales) AS BIGINT) AS total_n
+      FROM cells
+    )
+    SELECT channel, brand, n_sales, revenue
+    FROM cells
+    JOIN cross_items USING (brand)
+    CROSS JOIN totals
+    WHERE revenue * CAST(total_n AS DOUBLE)
+          > total_rev * CAST(n_sales AS DOUBLE)
+    """,
+    tags=("tpcds", "q14", "cte-reuse", "cross-channel"),
+)
+def tpcds_q14_cross_channel_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q14 analogue — the SHARED-CTE-REUSED-BY-MANY-CONSUMERS
+    paradigm (Q14 builds cross_items/avg_sales once and every channel
+    branch consumes them): the per-(channel, brand) sales cells are
+    computed ONCE and localCheckpoint'd (materialized — brands x 3
+    rows, the Spark equivalent of Q14's materialized CTE), then THREE
+    consumers read the materialized frame instead of re-running the
+    fact scan: (1) cross_items = brands sold in all three channels,
+    (2) the global (total revenue, total sales) scalar, (3) the final
+    per-cell report keeping cells whose per-sale average beats the
+    global per-sale average. The compare is cross-multiplied
+    (revenue·total_n > total_rev·n_sales) so no engine ever rounds a
+    division — both sides are IEEE double products of exact
+    decimal-grid values. Scale: the fact is scanned exactly once
+    (year-filter and 2-column projection pushed to parquet; part
+    broadcast); everything after the first aggregate runs over O(brands)
+    rows. Channel derives from l_linenumber % 3 — the same conformance
+    rule in both engines."""
+    lineitem = load_table(spark, sf_dir, "lineitem").where(
+        F.year("l_shipdate") == 1996
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    channel = (
+        F.when(F.col("l_linenumber") % 3 == 0, F.lit("store"))
+        .when(F.col("l_linenumber") % 3 == 1, F.lit("catalog"))
+        .otherwise(F.lit("web"))
+    )
+    cells = (
+        lineitem.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .select(
+            channel.alias("channel"),
+            F.col("p_brand").alias("brand"),
+            F.round(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), 4
+            ).alias("amount"),
+        )
+        .groupBy("channel", "brand")
+        .agg(
+            F.count("*").alias("n_sales"),
+            dec_sum(F.col("amount"), "revenue", 4),
+        )
+        .localCheckpoint()  # Q14's materialize-once: 3 consumers below
+    )
+    cross_items = (
+        cells.groupBy("brand").agg(F.count("*").alias("_nch"))
+        .where(F.col("_nch") == 3)
+        .select("brand")
+    )
+    totals = cells.agg(
+        F.sum(F.col("revenue").cast("decimal(18,4)"))
+        .cast("double").alias("total_rev"),
+        F.sum("n_sales").alias("total_n"),
+    )
+    return (
+        cells.join(F.broadcast(cross_items), "brand")
+        .crossJoin(F.broadcast(totals))
+        .where(
+            F.col("revenue") * F.col("total_n").cast("double")
+            > F.col("total_rev") * F.col("n_sales").cast("double")
+        )
+        .select("channel", "brand", "n_sales", "revenue")
+    )
+
+
+@query(
+    "tpcds_q64_snapshot_compare",
+    oracle=f"""
+    WITH profile AS (
+      SELECT o_custkey AS custkey,
+             CAST(EXTRACT(year FROM o_orderdate) AS INT) AS yr,
+             {_dec_sum_sql('l_extendedprice * (1 - l_discount)', 4)} AS revenue,
+             CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+             CAST(COUNT(DISTINCT s_nationkey) AS BIGINT) AS n_supp_nations
+      FROM lineitem
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      WHERE EXTRACT(year FROM o_orderdate) IN (1996, 1997)
+      GROUP BY 1, 2
+    )
+    SELECT c_custkey, c_name, n_name AS nation,
+           p1.revenue AS rev_1996, p2.revenue AS rev_1997,
+           p1.n_parts AS n_parts_1996, p2.n_parts AS n_parts_1997,
+           p1.n_supp_nations AS n_supp_nations_1996,
+           p2.n_supp_nations AS n_supp_nations_1997
+    FROM profile p1
+    JOIN profile p2 ON p1.custkey = p2.custkey
+    JOIN customer ON c_custkey = p1.custkey
+    JOIN nation   ON n_nationkey = c_nationkey
+    WHERE p1.yr = 1996 AND p2.yr = 1997
+      AND p2.revenue > p1.revenue
+    """,
+    tags=("tpcds", "q64", "snapshot-compare", "wide-join"),
+)
+def tpcds_q64_snapshot_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q64 analogue — the WIDE-MULTI-JOIN SNAPSHOT-VS-SNAPSHOT
+    paradigm (Q64 builds a cross_sales profile through a dozen
+    dimension joins, instantiates it at two consecutive years, and
+    self-joins to keep entities whose second-year metric crossed the
+    first's): the per-(customer, year) purchase profile joins the
+    lineitem fact through orders, supplier, customer and nation —
+    revenue plus part- and supplier-nation breadth — is built in ONE
+    fact scan covering both years (the year column keeps the
+    snapshots apart; Q64's two CTE instantiations share the scan), and
+    the 1996/1997 snapshots join on custkey keeping customers whose
+    revenue GREW. Scale: one shuffle on (custkey, yr) for the profile
+    aggregate (count-distincts expand it map-side); the snapshot
+    self-join and dimension decorations run over post-aggregate
+    O(customers) rows with broadcast dims; revenue compare is exact
+    (decimal-grid doubles). The fact never rescans for the second
+    snapshot."""
+    lineitem = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_partkey", "l_extendedprice", "l_discount"
+    )
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.year("o_orderdate").isin(1996, 1997)
+    ).select("o_orderkey", "o_custkey", F.year("o_orderdate").cast("int").alias("yr"))
+    supplier = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    customer = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    profile = (
+        lineitem.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(supplier), F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy(F.col("o_custkey").alias("custkey"), "yr")
+        .agg(
+            dec_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                "revenue",
+                4,
+            ),
+            F.countDistinct("l_partkey").alias("n_parts"),
+            F.countDistinct("s_nationkey").alias("n_supp_nations"),
+        )
+    )
+    p1 = profile.where(F.col("yr") == 1996).alias("p1")
+    p2 = profile.where(F.col("yr") == 1997).alias("p2")
+    return (
+        p1.join(p2, F.col("p1.custkey") == F.col("p2.custkey"))
+        .where(F.col("p2.revenue") > F.col("p1.revenue"))
+        .join(F.broadcast(customer), F.col("c_custkey") == F.col("p1.custkey"))
+        .join(F.broadcast(nation), F.col("n_nationkey") == F.col("c_nationkey"))
+        .select(
+            "c_custkey", "c_name", F.col("n_name").alias("nation"),
+            F.col("p1.revenue").alias("rev_1996"),
+            F.col("p2.revenue").alias("rev_1997"),
+            F.col("p1.n_parts").alias("n_parts_1996"),
+            F.col("p2.n_parts").alias("n_parts_1997"),
+            F.col("p1.n_supp_nations").alias("n_supp_nations_1996"),
+            F.col("p2.n_supp_nations").alias("n_supp_nations_1997"),
+        )
+    )

@@ -92,3 +92,36 @@ def test_round_marker_pinned_and_current():
         f"ROUND={rnd} is behind the newest driver correctness record "
         f"r{max(recorded):02d}; bump ROUND at round start"
     )
+
+
+def test_new_oracle_queries_enter_window():
+    """VERDICT r9 #1's policy, enforced: every oracle-backed query
+    added since the round-start registry snapshot must be in the
+    driver's rotating verification window (_ROTATING), so fresh code
+    always gets independently driver-verified the round it lands.
+    Rows-only queries are exempt (they would read as `err` in the
+    window and are bounded by pytest floors + oracle-exact twins)."""
+    from data_seedling_spark.queries import _ANCHORS, _ROTATING, registry
+
+    snap_path = os.path.join(REPO, "tools", "registry_snapshot.txt")
+    with open(snap_path) as f:
+        snapshot = {
+            line.strip() for line in f
+            if line.strip() and not line.startswith("#")
+        }
+    reg = registry()
+    unrotated = [
+        n for n, spec in reg.items()
+        if n not in snapshot and spec.oracle is not None
+        and n not in _ROTATING
+    ]
+    assert unrotated == [], (
+        f"oracle-backed queries added this round but not in _ROTATING: "
+        f"{unrotated}; point queries.py _ROTATING at them (and regenerate "
+        "tools/registry_snapshot.txt at the NEXT round's start)"
+    )
+    # window invariants: exactly the driver's 50 slots, no overlap,
+    # every rotating entry oracle-backed
+    assert len(_ANCHORS) + len(_ROTATING) == 50
+    assert not set(_ANCHORS) & set(_ROTATING)
+    assert all(reg[n].oracle is not None for n in _ROTATING)
