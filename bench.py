@@ -241,6 +241,13 @@ HEADLINE = [
     "tpcds_q67_rollup_topn",
     "tpcds_q36_lochierarchy_margin",
     "bucketed_colocated_join",
+    # r10 additions: the bucketed-layout split (build cost measured
+    # apart from the join-many payoff), the t-digest O(changes)
+    # refresh, and the two closing TPC-DS paradigms.
+    "bucketed_layout_build",
+    "incremental_tdigest_maintenance",
+    "tpcds_q14_cross_channel_sales",
+    "tpcds_q64_snapshot_compare",
 ]
 
 
