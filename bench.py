@@ -240,11 +240,13 @@ HEADLINE = [
     "quantile_drift_tdigest",
     "tpcds_q67_rollup_topn",
     "tpcds_q36_lochierarchy_margin",
-    "bucketed_colocated_join",
     # r10 additions: the bucketed-layout split (build cost measured
-    # apart from the join-many payoff), the t-digest O(changes)
-    # refresh, and the two closing TPC-DS paradigms.
+    # apart from the join-many payoff; build runs FIRST so the join
+    # leg's pass-0 time and shuffle delta never carry the first-use
+    # layout build), the t-digest O(changes) refresh, and the two
+    # closing TPC-DS paradigms.
     "bucketed_layout_build",
+    "bucketed_colocated_join",
     "incremental_tdigest_maintenance",
     "tpcds_q14_cross_channel_sales",
     "tpcds_q64_snapshot_compare",
