@@ -651,54 +651,64 @@ def gopher_repetition_gates(
     over repeated grams), plus the composite keep flag at the Gopher
     thresholds (0.20 / 0.18 / 0.16 / 0.15 / 0.10).
 
-    Shape: ONE explode of (n, gram) pairs for all five n values →
-    (doc, n, gram) counts → per-(doc, n) top-1 window + duplicate
-    char sum → conditional aggregation back to one row per document.
-    The shuffle carries fixed-width gram counts (how a 100 TB corpus
-    runs it); every ratio divides exact integers, so the whole battery
-    is oracle-reproducible."""
-    from pyspark.sql import Window as W
-
+    Shape: a TWO-LEVEL explode — n first (5 rows/doc), then that n's
+    grams — so the largest transient value per row is ONE n's gram
+    array (≤ ~n× the document text) instead of the ~24×-text flattened
+    all-n array the r9 probe GC-thrashed on at sf10 (SCALE.md "heap"
+    notes: GCLocker retries, OOM at 8 g). The per-(doc, n) top-1 is a
+    ``min(struct(-cnt, gram))`` aggregate rather than a row_number
+    window, dropping the window's extra exchange+sort; the shuffle
+    carries fixed-width gram counts (how a 100 TB corpus runs it);
+    every ratio divides exact integers, so the whole battery is
+    oracle-reproducible."""
     base = df.select(
         F.col(id_col),
         F.length(F.col(text_col)).alias("n_chars"),
         F.split(F.col(text_col), " ").alias("_w"),
     )
-    def _grams(n: int):
-        # NB: the lambda must stay UNARY — a `n=n` keyword default
-        # makes it binary and F.transform then feeds the array INDEX
-        # into the second parameter
-        return F.when(
-            F.size("_w") >= n,
-            F.transform(
-                F.sequence(F.lit(1), F.size("_w") - (n - 1)),
-                lambda i: F.struct(
-                    F.lit(n).alias("n"),
-                    F.concat_ws(" ", F.slice("_w", i, n)).alias("gram"),
-                ),
-            ),
-        ).otherwise(F.array().cast("array<struct<n:int,gram:string>>"))
-
-    per_n = [_grams(n) for n in (2, 3, 4, 5, 10)]
-    exploded = base.select(
+    by_n = base.select(
         id_col,
         "n_chars",
-        F.explode(F.flatten(F.array(*per_n))).alias("_g"),
-    ).select(id_col, "n_chars", F.col("_g.n").alias("n"), F.col("_g.gram").alias("gram"))
-    counts = exploded.groupBy(id_col, "n_chars", "n", "gram").agg(
+        "_w",
+        F.explode(F.array(*[F.lit(n) for n in (2, 3, 4, 5, 10)])).alias("n"),
+    )
+    grams = by_n.select(
+        id_col,
+        "n_chars",
+        "n",
+        F.explode(
+            F.when(
+                F.size("_w") >= F.col("n"),
+                F.transform(
+                    F.sequence(F.lit(1), F.size("_w") - (F.col("n") - 1)),
+                    lambda i: F.concat_ws(
+                        " ", F.slice("_w", i, F.col("n"))
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("gram"),
+    )
+    counts = grams.groupBy(id_col, "n_chars", "n", "gram").agg(
         F.count("*").alias("cnt")
     )
-    w = W.partitionBy(id_col, "n").orderBy(F.col("cnt").desc(), "gram")
-    ranked = counts.withColumn("rk", F.row_number().over(w))
-    per_doc_n = ranked.groupBy(id_col, "n_chars", "n").agg(
-        F.max(
-            F.when(F.col("rk") == 1, F.col("cnt") * F.length("gram"))
-        ).alias("top_chars"),
+    # top-1 by (cnt DESC, gram ASC) without a sort: min over the
+    # struct orders by -cnt first (largest count wins), then by gram
+    # ascending — the same deterministic tie-break the old window used.
+    per_doc_n = counts.groupBy(id_col, "n_chars", "n").agg(
+        F.min(F.struct((-F.col("cnt")).alias("neg_cnt"), F.col("gram"))).alias(
+            "_top"
+        ),
         F.sum(
             F.when(
                 F.col("cnt") > 1, (F.col("cnt") - 1) * F.length("gram")
             ).otherwise(F.lit(0))
         ).alias("dup_chars"),
+    ).select(
+        id_col,
+        "n_chars",
+        "n",
+        ((-F.col("_top.neg_cnt")) * F.length("_top.gram")).alias("top_chars"),
+        "dup_chars",
     )
 
     def frac(n: int, col: str):

@@ -29,7 +29,13 @@ def build_session(
     """Create (or reuse) a SparkSession with the engine's standard conf."""
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
     master = master or f"local[{cpus}]"
-    shuffle_partitions = shuffle_partitions or max(cpus, 8)
+    # SPARK_GRAFT_SHUFFLE: per-run override for scale probes — at sf10
+    # in one JVM the 32-partition default makes per-task hash maps the
+    # memory ceiling; more, smaller tasks is the per-executor sizing a
+    # real cluster applies (SCALE.md "heap" notes).
+    shuffle_partitions = shuffle_partitions or int(
+        os.environ.get("SPARK_GRAFT_SHUFFLE", max(cpus, 8))
+    )
 
     builder = (
         SparkSession.builder.master(master)

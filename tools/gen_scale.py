@@ -7,7 +7,10 @@ exactly the property a scaling probe needs).
 Dimension tables (region, nation) are shared across replicas, like a
 real warehouse. Every surrogate key is offset by ``replica * OFFSET``;
 unique-but-non-joining ids (event_id, doc_id, vec_id) get the same
-treatment so dedup/sketch queries see K× distinct entities.
+treatment so dedup/sketch queries see K× distinct entities. Document
+TEXT is seeded-perturbed per clone (see :func:`_perturbed_text`) so
+the duplicate rate stays constant as the corpus grows instead of
+every doc becoming a K-clique of verbatim copies.
 
 Usage: python tools/gen_scale.py [--src /root/testdata/sf0.1]
                                  [--dst /tmp/sf1] [--k 10]
@@ -63,7 +66,64 @@ KEY_COLS = {
 }
 
 
-def scale_table(spark, src: str, dst: str, table: str, k: int) -> int:
+def _perturbed_text(table: str, k: int, dup_copies: float, sub_rate: float):
+    """Column expression for the documents ``text`` under replication.
+
+    Cloning text verbatim K× is NOT what K× real data looks like: every
+    source doc becomes a K-clique of exact duplicates, so any pair-
+    listing dedup (Jaccard self-join, MinHash-LSH) emits O(K²) pairs
+    per doc and the sf10 probe measures the generator, not the
+    operator (r9 VERDICT "what's wrong": prefix_filter_jaccard_join
+    read 50×/decade purely from 110× more OUTPUT). Real corpora keep a
+    roughly constant duplicates-per-document rate as they grow, so
+    pair counts scale ~linearly with corpus size. Model that:
+
+    - each source doc keeps an EXACT copy in ``dup_copies`` replicas
+      on average, chosen by a seeded coin keyed on (doc_id, _rep) —
+      constant expected clique size regardless of K, so exact/near-dup
+      output grows linearly with the corpus;
+    - every other clone gets a deterministic per-(doc, replica, token)
+      substitution at ``sub_rate``: token i is replaced by a replica-
+      salted variant when xxhash64(doc_id, _rep, i) lands under the
+      rate. At the default 0.35 the clone-vs-original Jaccard is
+      ≈ (1-s)/(1+s) ≈ 0.48, safely below the 0.8 near-dup thresholds,
+      and two different perturbed replicas are farther apart still.
+
+    Everything is hash-derived — no Math.random — so regeneration is
+    bit-identical and DuckDB-side oracles replay the same corpus.
+    """
+    pct = int(round(sub_rate * 100))
+    keep_exact = (
+        F.pmod(F.xxhash64(F.col("doc_id"), F.col("_rep")), F.lit(k))
+        < F.lit(dup_copies)
+    )
+    perturbed = F.array_join(
+        F.transform(
+            F.split(F.col("text"), " "),
+            lambda t, i: F.when(
+                F.pmod(F.xxhash64(F.col("doc_id"), F.col("_rep"), i), 100)
+                < pct,
+                F.concat(t, F.lit("~r"), F.col("_rep").cast("string")),
+            ).otherwise(t),
+        ),
+        " ",
+    )
+    return (
+        F.when((F.col("_rep") == 0) | keep_exact, F.col("text"))
+        .otherwise(perturbed)
+        .alias("text")
+    )
+
+
+def scale_table(
+    spark,
+    src: str,
+    dst: str,
+    table: str,
+    k: int,
+    dup_copies: float = 1.0,
+    sub_rate: float = 0.35,
+) -> int:
     df = spark.read.parquet(os.path.join(src, f"{table}.parquet"))
     keys = KEY_COLS[table]
     if not keys:  # shared dimension
@@ -71,12 +131,15 @@ def scale_table(spark, src: str, dst: str, table: str, k: int) -> int:
     else:
         replicas = spark.range(k).select(F.col("id").alias("_rep"))
         ts_cols = TS_COLS.get(table, {})
+        perturb_text = table == "documents" and sub_rate > 0
         cols = []
         for c in df.columns:
             if c in keys:
                 cols.append((F.col(c) + F.col("_rep") * OFFSET).alias(c))
             elif c in ts_cols:
                 cols.append(F.expr(f"{c} + {ts_cols[c]}").alias(c))
+            elif c == "text" and perturb_text:
+                cols.append(_perturbed_text(table, k, dup_copies, sub_rate))
             elif c == "embedding":
                 # Perturb vectors per replica: exact duplicates make
                 # nearest-neighbor ties ubiquitous (argmin comparisons
@@ -96,6 +159,10 @@ def scale_table(spark, src: str, dst: str, table: str, k: int) -> int:
             else:
                 cols.append(F.col(c))
         out = df.crossJoin(F.broadcast(replicas)).select(*cols)
+        if perturb_text and "n_chars" in df.columns:
+            # keep the metadata column consistent with the text it
+            # describes after perturbation
+            out = out.withColumn("n_chars", F.length("text").cast("long"))
     out.write.mode("overwrite").parquet(os.path.join(dst, f"{table}.parquet"))
     return spark.read.parquet(os.path.join(dst, f"{table}.parquet")).count()
 
@@ -105,10 +172,33 @@ def main() -> int:
     ap.add_argument("--src", default="/root/testdata/sf0.1")
     ap.add_argument("--dst", default="/tmp/sf1")
     ap.add_argument("--k", type=int, default=10)
+    ap.add_argument(
+        "--dup-copies",
+        type=float,
+        default=1.0,
+        help="expected EXACT-duplicate copies kept per source doc "
+        "across all replicas (constant in k: real corpora keep a "
+        "roughly fixed duplicate rate as they grow)",
+    )
+    ap.add_argument(
+        "--sub-rate",
+        type=float,
+        default=0.35,
+        help="per-token seeded substitution rate for non-duplicate "
+        "document clones (0 restores verbatim cloning)",
+    )
     args = ap.parse_args()
     spark = build_session("gen-scale")
     for table in KEY_COLS:
-        n = scale_table(spark, args.src, args.dst, table, args.k)
+        n = scale_table(
+            spark,
+            args.src,
+            args.dst,
+            table,
+            args.k,
+            dup_copies=args.dup_copies,
+            sub_rate=args.sub_rate,
+        )
         print(f"{table}: {n} rows")
     spark.stop()
     return 0
