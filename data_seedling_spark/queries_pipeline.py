@@ -3050,3 +3050,78 @@ def bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("double").alias("revenue"),
         )
     )
+
+
+@query(
+    "salted_skew_join",
+    oracle="""
+    WITH dim AS (
+      SELECT event_type, MAX(value) AS t_max
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CASE WHEN e.value >= 0.5 * d.t_max THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_hot,
+           CAST(SUM(CAST(ROUND(CASE WHEN e.value >= 0.5 * d.t_max
+                                     THEN e.value ELSE 0 END, 2)
+                         AS DECIMAL(18,2))) AS DOUBLE) AS hot_value
+    FROM events e JOIN dim d ON e.event_type = d.event_type
+    GROUP BY e.event_type
+    """,
+    tags=("skew", "salting", "scale-technique", "J1"),
+)
+def salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted join over a HOT key — the third leg of the brief's skew
+    triad beside broadcast (`flagship_revenue_by_nation`) and bucketing
+    (`bucketed_colocated_join`): ``event_type`` has only 5 distinct
+    values, so a plain shuffle join lands the whole fact table on 5
+    reducers no matter how many executors exist. Salting fans each hot
+    key across ``_SALT`` sub-keys: the fact side gets
+    ``pmod(xxhash64(event_id), _SALT)`` and the (aggregated) dimension
+    side is replicated ``_SALT``× with `explode(sequence(...))`, so the
+    join key becomes ``(event_type, salt)`` — 5×32 = 160 evenly-sized
+    shuffle groups instead of 5 monsters. The MERGE hint pins a
+    sort-merge join (a 5-row dim would otherwise broadcast, which is
+    the RIGHT choice here and taken by the flagship — this entry exists
+    to demonstrate the technique for when BOTH sides are too large to
+    broadcast; the docstring is the honesty, the plan-lock in
+    tests/test_plans.py is the proof). Arithmetic stays on exact
+    grids: ``value`` sits on the 2-decimal grid (TESTDATA), ``t_max``
+    is a MAX (no new values), and ``0.5 * t_max`` halves a double —
+    exact in binary — so the hot flag and the dec_sum are engine-exact.
+
+    Scale: the salt column is data-independent (hash of the fact PK),
+    so the fan-out survives any key distribution; dimension
+    replication is |dim|×_SALT rows — negligible against a 100 TB
+    fact side. Reference analogue: none (the reference has no skew
+    mitigation); pattern per the Spark perf guide's salting idiom.
+    """
+    from .queries import dec_sum
+
+    n_salt = 32
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    dim = (
+        ev.groupBy("event_type")
+        .agg(F.max("value").alias("t_max"))
+        .withColumn(
+            "salt", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1)))
+        )
+    )
+    fact = ev.withColumn(
+        "salt", F.pmod(F.xxhash64("event_id"), F.lit(n_salt)).cast("int")
+    )
+    joined = fact.join(
+        dim.hint("merge"), on=["event_type", "salt"], how="inner"
+    )
+    hot = F.col("value") >= F.lit(0.5) * F.col("t_max")
+    return (
+        joined.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(hot.cast("bigint")).alias("n_hot"),
+            dec_sum(F.when(hot, F.col("value")).otherwise(F.lit(0.0)), "hot_value"),
+        )
+    )
