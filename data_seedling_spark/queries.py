@@ -80,7 +80,9 @@ _ANCHORS: tuple[str, ...] = (
     "merge_delete_apply",
     "distinct_users_by_type",
     # High-value extended-surface representatives.
-    "window_top_orders_per_segment",
+    # (window_top_orders_per_segment moved to the registry tail in r10
+    # after 6 driver-green rounds — the window family stays anchored by
+    # top_orders_limit — to make room for salted_skew_join.)
     "interval_join_ship_windows",
     # LLM training-data pipeline suite (BASELINE north_star).
     "dedup_exact_documents",
@@ -142,6 +144,7 @@ _ROTATING: tuple[str, ...] = (
     "incremental_tdigest_maintenance",
     "tpcds_q14_cross_channel_sales",
     "tpcds_q64_snapshot_compare",
+    "salted_skew_join",
 )
 
 _PRIORITY: tuple[str, ...] = _ANCHORS + _ROTATING
