@@ -163,6 +163,15 @@ def scale_table(
             # keep the metadata column consistent with the text it
             # describes after perturbation
             out = out.withColumn("n_chars", F.length("text").cast("long"))
+        # Scatter the K replicas of each source row across output
+        # files: the crossJoin emits a row's clones contiguously, so
+        # without this every probe stage inherits a straggler split
+        # holding the K copies of the LARGEST rows (measured: one task
+        # pinning a 16-task stage for minutes at k=100). Hashing on the
+        # offset surrogate key spreads clones uniformly — the layout a
+        # real ingest (arrival order) produces.
+        n_files = max(16, min(256, 2 * k))
+        out = out.repartition(n_files, F.col(keys[0]))
     out.write.mode("overwrite").parquet(os.path.join(dst, f"{table}.parquet"))
     return spark.read.parquet(os.path.join(dst, f"{table}.parquet")).count()
 
