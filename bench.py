@@ -250,6 +250,7 @@ HEADLINE = [
     "incremental_tdigest_maintenance",
     "tpcds_q14_cross_channel_sales",
     "tpcds_q64_snapshot_compare",
+    "salted_skew_join",
 ]
 
 
