@@ -301,7 +301,7 @@ def prefix_filter_jaccard_pairs(
         ex.join(dfreq, "tok")
         .withColumn("_rk", F.row_number().over(w))
         .where(F.col("_rk") <= plen)
-        .select(F.col(id_col), "tok", "sz")
+        .select(F.col(id_col), "tok", "sz", "_rk")
     )
     a, b = pref.alias("a"), pref.alias("b")
     size_ok = (
@@ -311,12 +311,37 @@ def prefix_filter_jaccard_pairs(
         F.lit(threshold_den) * F.col("a.sz")
         >= F.lit(threshold_num) * F.col("b.sz")
     )
+    # PPJoin positional filter (Xiao et al. WWW'08 §3.2), all-integer:
+    # a pair with Jaccard ≥ num/den has overlap O ≥ ceil(num·(|a|+|b|)
+    # / (num+den)); at a shared token ranked i in a and j in b (both
+    # docs sorted by the same global (df, tok) order), every OTHER
+    # common token lies after it in both, so O ≤ 1 + min(|a|-i,
+    # |b|-j). Requiring that bound ≥ the overlap floor at the join
+    # kills candidates that agree only late in their prefixes — the
+    # dominant candidate class as corpus-wide df grows (SCALE.md
+    # round-10 probe). Exact: the pair's FIRST common token in global
+    # order always satisfies the bound, and for true pairs it is
+    # inside both prefixes by the prefix principle.
+    min_overlap = F.floor(
+        (
+            F.lit(threshold_num) * (F.col("a.sz") + F.col("b.sz"))
+            + F.lit(threshold_num + threshold_den - 1)
+        )
+        / F.lit(threshold_num + threshold_den)
+    )
+    pos_ok = (
+        F.lit(1)
+        + F.least(
+            F.col("a.sz") - F.col("a._rk"), F.col("b.sz") - F.col("b._rk")
+        )
+    ) >= min_overlap
     cands = (
         a.join(
             b,
             (F.col("a.tok") == F.col("b.tok"))
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-            & size_ok,
+            & size_ok
+            & pos_ok,
         )
         .select(
             F.col(f"a.{id_col}").alias("doc_a"),
