@@ -45,3 +45,10 @@ scale-data:
 
 scale-probe:
 	python tools/scale_probe.py --sf /tmp/sf1
+
+# The sf10 second-decade setting SCALE.md's round-10 tables were
+# measured at: 16 g single-JVM heap (per-executor sizing a real
+# cluster applies), 256 shuffle partitions (smaller per-task state).
+scale-probe-sf10:
+	SPARK_GRAFT_DRIVER_MEM=16g SPARK_GRAFT_SHUFFLE=256 \
+	python tools/scale_probe.py --sf /tmp/sf10
