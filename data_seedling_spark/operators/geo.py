@@ -145,7 +145,8 @@ def expand_neighbors(df: DataFrame, cell_deg: float | None = None) -> DataFrame:
     The probe cell key lands in ``probe_cell``.
 
     ``cell_deg`` wraps the x probe modulo the longitude cell count
-    (``ceil(360 / cell_deg)``), so neighborhoods straddling the
+    (``360 / cell_deg``, exact — :func:`lon_cell_count` raises on
+    cell sizes that do not divide 360), so neighborhoods straddling the
     antimeridian probe the cells on the other side of lon ±180 - without
     it a query point in the first/last column silently misses
     cross-seam pairs and the blocking is NOT lossless (r8 ADVICE).

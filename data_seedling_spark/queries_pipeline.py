@@ -2943,12 +2943,15 @@ def _bucketed_layout(
     so concurrent runs in one session and multiple sessions sharing a
     warehouse never clobber each other — and no managed-table orphan
     dirs accumulate under spark-warehouse/ (r9 ADVICE #5). A refresh
-    drops the previous build's catalog entries for this key."""
+    drops the previous build's catalog entries for this key AND
+    deletes its data directory, so at most one build's files exist
+    per (session, dataset) at any time."""
+    import shutil
     import uuid
 
     key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
     if not fresh and key in _BUCKETED_LAYOUTS:
-        return _BUCKETED_LAYOUTS[key]
+        return _BUCKETED_LAYOUTS[key][0]
     orders = load_table(spark, sf_dir, "orders").where(
         F.col("o_orderstatus") == "O"
     ).select("o_orderkey", "o_orderpriority")
@@ -2969,9 +2972,14 @@ def _bucketed_layout(
         )
     old = _BUCKETED_LAYOUTS.get(key)
     if old:
-        for name in old:
+        old_names, old_base = old
+        for name in old_names:
             spark.sql(f"DROP TABLE IF EXISTS {name}")
-    _BUCKETED_LAYOUTS[key] = names
+        # The DROP only removes catalog entries (EXTERNAL tables):
+        # delete the superseded build's data too, or each fresh build
+        # leaks a full bucketed copy of the facts into /tmp.
+        shutil.rmtree(old_base, ignore_errors=True)
+    _BUCKETED_LAYOUTS[key] = (names, base)
     return names
 
 

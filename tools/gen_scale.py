@@ -66,7 +66,7 @@ KEY_COLS = {
 }
 
 
-def _perturbed_text(table: str, k: int, dup_copies: float, sub_rate: float):
+def _perturbed_text(k: int, dup_copies: float, sub_rate: float):
     """Column expression for the documents ``text`` under replication.
 
     Cloning text verbatim K× is NOT what K× real data looks like: every
@@ -93,10 +93,11 @@ def _perturbed_text(table: str, k: int, dup_copies: float, sub_rate: float):
     bit-identical and DuckDB-side oracles replay the same corpus.
     """
     pct = int(round(sub_rate * 100))
-    keep_exact = (
-        F.pmod(F.xxhash64(F.col("doc_id"), F.col("_rep")), F.lit(k))
-        < F.lit(dup_copies)
-    )
+    # mille-grid so FRACTIONAL dup_copies work: pmod(h, k) < 0.5 would
+    # quantize up to 1.0 (integer pmod), doubling the requested rate
+    keep_exact = F.pmod(
+        F.xxhash64(F.col("doc_id"), F.col("_rep")), F.lit(1000 * k)
+    ) < F.lit(int(round(1000 * dup_copies)))
     perturbed = F.array_join(
         F.transform(
             F.split(F.col("text"), " "),
@@ -139,7 +140,7 @@ def scale_table(
             elif c in ts_cols:
                 cols.append(F.expr(f"{c} + {ts_cols[c]}").alias(c))
             elif c == "text" and perturb_text:
-                cols.append(_perturbed_text(table, k, dup_copies, sub_rate))
+                cols.append(_perturbed_text(k, dup_copies, sub_rate))
             elif c == "embedding":
                 # Perturb vectors per replica: exact duplicates make
                 # nearest-neighbor ties ubiquitous (argmin comparisons
