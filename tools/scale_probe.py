@@ -28,6 +28,13 @@ def main() -> int:
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
 
+    # Probe the same configuration bench.py times: the Arrow/BLAS
+    # kernels (the library default; registry entries pin the fold for
+    # oracle exactness unless this is set — see similarity.oracle_arrow).
+    # Without it the ANN-family rows measure the deliberately-slow
+    # engine-exact fold and read as phantom regressions.
+    os.environ.setdefault("DS_SPARK_BENCH_ARROW", "1")
+
     import bench
 
     from data_seedling_spark.queries import registry
