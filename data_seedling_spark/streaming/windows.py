@@ -20,6 +20,8 @@ in tests (local smoke of cluster semantics).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -49,11 +51,22 @@ def read_events_stream(
 ) -> DataFrame:
     """File-source stream over a parquet directory (the streaming file
     source requires a directory; ``glob`` narrows to specific files).
-    The nanos→micros conversion mirrors ``tables.load_table``."""
+    The nanos→micros conversion mirrors ``tables.load_table``.
+
+    ``glob`` matching a DIRECTORY (Spark-written tables are
+    directories of part files, e.g. the scale-probe sets under /tmp;
+    the driver's testdata are single files) streams that directory
+    itself: ``pathGlobFilter`` only ever matches LEAF file names, so
+    ``events.parquet`` as a filter would silently match nothing and
+    the stream would terminate with zero batches."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     reader = spark.readStream.schema(schema)
     if glob:
-        reader = reader.option("pathGlobFilter", glob)
+        target = os.path.join(path, glob)
+        if os.path.isdir(target):
+            path, glob = target, None
+        else:
+            reader = reader.option("pathGlobFilter", glob)
     df = reader.parquet(path)
     if dict(df.dtypes).get(ts_col) == "bigint":
         df = df.withColumn(
