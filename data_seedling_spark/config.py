@@ -84,3 +84,75 @@ TABLE_CONFIG: dict[str, TableConfig] = {
 #: Any OTHER query showing BatchEvalPython/BatchEvalPythonUDTF is a
 #: hard gate failure.
 PYTHON_ROWWISE_ALLOWED: frozenset[str] = frozenset({"udtf_token_spans"})
+
+
+#: Global-window sanction list (VERDICT r10 #2) — queries whose plans
+#: legitimately contain a PARTITION-LESS window. The defect class this
+#: guards: ``row_number()/sum() OVER (ORDER BY ...)`` with no partition
+#: key moves the window's ENTIRE input through one task (WindowExec
+#: "Moving all data to a single partition") — fatal when the input is a
+#: fact-sized frame (the r10 woe_iv/rfm defect, both since rewritten on
+#: range_rank). Every name below runs its global window over a BOUNDED
+#: frame instead: sketch centroid/bin/grid tables (t-digest, KLL,
+#: count-min, equidepth histograms), calendar series (daily/hourly
+#: aggregates, changepoint/survival/seasonality series), score grids and
+#: ROC/lift/quantile ladders (distinct predicted-probability values,
+#: decile tables), or top-k shortlists — cardinality set by value
+#:/time/bin granularity, not by corpus row count. Adding a NEW query
+#: with an unpartitioned window fails tools/plan_doctor.py and
+#: tests/test_plans.py::test_registry_wide_plan_hygiene unless it is
+#: deliberately sanctioned here (reviewed for bounded input).
+GLOBAL_WINDOW_ALLOWED: frozenset[str] = frozenset({
+    # sketch / quantile-grid family (centroid & bin frames)
+    "count_min_heavy_hitters",
+    "decayed_quantile_order_price",
+    "incremental_quantile_maintenance",
+    "incremental_tdigest_maintenance",
+    "kll_quantile_sketch",
+    "kll_sketch_merge_shards",
+    "kll_weighted_quantile_revenue",
+    "price_histogram_equidepth",
+    "quantile_drift_tdigest",
+    "tdigest_centroids_orders",
+    "tdigest_merge_shards",
+    "tdigest_quantiles_orders",
+    # calendar-series / changepoint / survival family (date-grained)
+    "acf_daily_revenue",
+    "burst_detect_hourly_events",
+    "cusum_changepoint_orders",
+    "kaplan_meier_retention",
+    "nelson_aalen_hazard",
+    "pettitt_changepoint",
+    "seasonal_decompose_revenue",
+    "theil_sen_trend_revenue",
+    # score-grid / evaluation-ladder family (distinct-value frames)
+    "conformal_prediction_interval",
+    "decision_stump_returns",
+    "decision_tree_depth2_returns",
+    "group_sequential_obf",
+    "isotonic_calibration_orders",
+    "ks_test_drift",
+    "logreg_cv_kfold",
+    "logreg_decile_lift",
+    "logreg_grid_search",
+    "logreg_holdout_auc",
+    "logreg_holdout_prauc",
+    "multiple_testing_bh",
+    "permutation_importance_logreg",
+    "poisson_bootstrap_ci",
+    "spearman_price_quantity",
+    # ranking over top-k shortlists / vocab-bounded frames
+    "bm25_rank_documents",
+    "hybrid_search_rrf",
+    "late_interaction_maxsim",
+    "pmi_collocations_top",
+    "rag_chunk_retrieval",
+    "top_event_paths",
+    "weighted_sample_without_replacement",
+    "zipf_rank_fit_tokens",
+    # misc bounded frames (frontier / audit / bin-packing state)
+    "pareto_frontier_parts",
+    "sequence_packing_bins",
+    "t_closeness_audit",
+    "tpcds_q51_cumulative_crossover",
+})

@@ -174,7 +174,10 @@ def lon_cell_count(cell_deg: float) -> int:
     cross-seam candidates - wrap losslessness holds only for divisor
     grids, which this guard enforces (r9 ADVICE)."""
     cell_micro = int(round(cell_deg * 1_000_000))
-    if LON_SPAN_MICRO % cell_micro != 0:
+    # cell_deg < 5e-7 rounds to 0 micro-degrees; without this check the
+    # divisor test below would raise ZeroDivisionError instead of the
+    # intended contract error (r10 ADVICE).
+    if cell_micro <= 0 or LON_SPAN_MICRO % cell_micro != 0:
         raise ValueError(
             f"cell_deg={cell_deg} does not divide 360: the seam-adjacent "
             "column would be narrower than cell_deg and the 3x3 wrap "

@@ -598,10 +598,14 @@ def udtf_token_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Python UDTF (table function) surface: one input document →
     0..n output rows (matched token + position). The generator-shaped
     escape hatch when a transform's cardinality varies per row and
-    built-in ``explode`` can't express the row logic."""
+    built-in ``explode`` can't express the row logic. ``useArrow=True``
+    (Spark 4 Arrow-optimized UDTF, VERDICT r10 #6): rows move to
+    Python in Arrow batches and the plan is ArrowEvalPythonUDTF — the
+    registry's last row-at-a-time BatchEvalPython node is gone, so the
+    plan-doctor pyRow column reads zero everywhere."""
     from pyspark.sql.functions import udtf
 
-    @udtf(returnType="token: string, position: int")
+    @udtf(returnType="token: string, position: int", useArrow=True)
     class TokenSpans:
         VOCAB = {"customer", "supplier", "part"}
 
@@ -4767,7 +4771,7 @@ def naive_bayes_language_classify(spark: SparkSession, sf_dir: str) -> DataFrame
     ex AS (SELECT doc_id, unnest(s) AS tok, len(s) AS sz FROM shf),
     dfq AS (SELECT tok, COUNT(*) AS dfreq FROM ex GROUP BY tok),
     ranked AS (
-      SELECT ex.doc_id, ex.tok, ex.sz,
+      SELECT ex.doc_id, ex.tok, ex.sz, dfq.dfreq,
              row_number() OVER (PARTITION BY ex.doc_id
                                 ORDER BY dfq.dfreq, ex.tok) AS rk
       FROM ex JOIN dfq USING (tok)
@@ -4776,11 +4780,40 @@ def naive_bayes_language_classify(spark: SparkSession, sf_dir: str) -> DataFrame
       SELECT * FROM ranked
       WHERE rk <= sz - ((4 * sz + 4) // 5) + 1
     ),
-    cands AS (
+    prefb AS (SELECT * FROM pref WHERE dfreq <= 64),
+    cands_exact AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-      FROM pref a JOIN pref b
+      FROM prefb a JOIN prefb b
         ON a.tok = b.tok AND a.doc_id < b.doc_id
        AND 5 * b.sz >= 4 * a.sz AND 5 * a.sz >= 4 * b.sz
+       AND 1 + least(a.sz - a.rk, b.sz - b.rk)
+           >= (4 * (a.sz + b.sz) + 8) // 9
+    ),
+    over_docs AS (SELECT DISTINCT doc_id FROM pref WHERE dfreq > 64),
+    osh AS (SELECT shf.doc_id, shf.s FROM shf JOIN over_docs USING (doc_id)),
+    sig AS (
+      SELECT doc_id,
+             [list_min([CAST(('0x' || substr(md5(CAST(p // 2 AS VARCHAR)
+                                             || '|' || tok),
+                                      CASE WHEN p % 2 = 0 THEN 1 ELSE 17 END,
+                                      15)) AS BIGINT)
+                        FOR tok IN s])
+              FOR p IN range(0, 16)] AS sg
+      FROM osh
+    ), bandrows AS (
+      SELECT doc_id, b.b AS band,
+             md5(array_to_string(sg[b.b*4 + 1 : b.b*4 + 4], ',')) AS bkey
+      FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS b) b
+    ), cands_lsh AS (
+      SELECT x.doc_id AS doc_a, y.doc_id AS doc_b
+      FROM bandrows x JOIN bandrows y
+        ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id
+      GROUP BY 1, 2
+    ),
+    cands AS (
+      SELECT doc_a, doc_b FROM cands_exact
+      UNION
+      SELECT doc_a, doc_b FROM cands_lsh
     )
     SELECT doc_a, doc_b,
            round(len(list_intersect(x.s, y.s))::DOUBLE
@@ -4791,22 +4824,30 @@ def naive_bayes_language_classify(spark: SparkSession, sf_dir: str) -> DataFrame
     WHERE len(list_intersect(x.s, y.s))::DOUBLE
           / len(list_distinct(list_concat(x.s, y.s))) >= 0.8
     """,
-    tags=("dedup-exact", "similarity-join"),
+    tags=("dedup-exact", "similarity-join", "hybrid"),
 )
 def prefix_filter_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact Jaccard-threshold (0.8, trigram shingles) similarity
-    self-join via the AllPairs/PPJoin prefix filter — candidates only
-    from each document's globally-rarest ``|s|-ceil(t|s|)+1`` shingles
-    plus an integer-exact two-sided size filter, then exact-Jaccard
-    verification. Zero false negatives (unlike MinHash-LSH), zero
-    blocking columns (unlike per-key blocked dedup), and candidate
-    volume near the true-pair count because prefixes are rare by
-    construction. Fully deterministic → whole pipeline hash-checked."""
+    """Jaccard-threshold (0.8, trigram shingles) similarity self-join
+    via the **bounded-df AllPairs/PPJoin hybrid** (VERDICT r10 #3):
+    prefix-filter candidates (globally-rarest ``|s|-ceil(t|s|)+1``
+    shingles + integer-exact size and positional filters) restricted
+    to shingles with document frequency ≤ 64 — per-token fan-out is
+    capped, so candidate volume is ≤ 64·Σdf = LINEAR in the corpus
+    where the uncapped filter's Σdf² grew superlinearly (17.2×/decade
+    at sf10) — while documents owning any overflow (df > 64) prefix
+    shingle are additionally routed through the md5-MinHash-LSH leg
+    (16 perms × 4 bands). Candidate sets union before shared
+    exact-Jaccard verification. Pairs whose first common prefix
+    shingle is bounded are found EXACTLY; pairs that only meet in
+    overflow shingles get standard LSH recall. Every stage is
+    deterministic md5/integer arithmetic → whole hybrid
+    hash-checked."""
     from .operators.dedup import prefix_filter_jaccard_pairs
 
     documents = load_table(spark, sf_dir, "documents")
     return prefix_filter_jaccard_pairs(
-        documents, "text", "doc_id", n=3, threshold_num=4, threshold_den=5
+        documents, "text", "doc_id", n=3, threshold_num=4, threshold_den=5,
+        df_cap=64,
     )
 
 

@@ -327,7 +327,11 @@ def streaming_pseudonymise_pipeline(spark: SparkSession, sf_dir: str) -> DataFra
     definition serves both execution modes."""
     from .config import TABLE_CONFIG
     from .pipelines.pseudonymise import pseudo_transform
-    from .streaming.windows import read_events_stream, stream_merge_into
+    from .streaming.windows import (
+        read_events_stream,
+        require_stream_progress,
+        stream_merge_into,
+    )
 
     base = tempfile.mkdtemp(prefix="stream_pseudo_")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -343,6 +347,7 @@ def streaming_pseudonymise_pipeline(spark: SparkSession, sf_dir: str) -> DataFra
             checkpoint_dir=f"{base}/ck",
         )
         q.awaitTermination(300)
+        require_stream_progress(q, os.path.join(sf_dir, "events.parquet"))
         return target.read()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_parts)
@@ -372,7 +377,11 @@ def stream_interval_join_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
     equal the static interval join the oracle runs."""
     import uuid as _uuid
 
-    from .streaming.windows import read_events_stream, stream_interval_join
+    from .streaming.windows import (
+        read_events_stream,
+        require_stream_progress,
+        stream_interval_join,
+    )
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
@@ -396,6 +405,7 @@ def stream_interval_join_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.processAllAvailable()
+    require_stream_progress(q, os.path.join(sf_dir, "events.parquet"))
     q.stop()
     return spark.table(name)
 
@@ -463,6 +473,8 @@ def streaming_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     run processes one bounded backlog."""
     import uuid as _uuid
 
+    from .streaming.windows import require_stream_progress
+
     schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
     stream = (
         spark.readStream.schema(schema)
@@ -481,6 +493,7 @@ def streaming_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.processAllAvailable()
+    require_stream_progress(q, os.path.join(sf_dir, "documents.parquet"))
     q.stop()
     return spark.table(name)
 
@@ -502,7 +515,7 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-verified by the oracle."""
     import uuid as _uuid
 
-    from .streaming.windows import read_events_stream
+    from .streaming.windows import read_events_stream, require_stream_progress
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
@@ -526,6 +539,7 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.processAllAvailable()
+    require_stream_progress(q, os.path.join(sf_dir, "events.parquet"))
     q.stop()
     return spark.table(name)
 
@@ -1505,7 +1519,7 @@ def streaming_classify_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     token-explode + broadcast-model join + grouped decimal sums — no
     streaming state beyond the file-source checkpoint."""
     from .operators.nbayes import nb_score, nb_train
-    from .streaming.windows import read_events_stream
+    from .streaming.windows import read_events_stream, require_stream_progress
 
     static_docs = load_table(spark, sf_dir, "documents")
     cond, priors = nb_train(static_docs, "text", "lang", alpha=1.0)
@@ -1535,6 +1549,7 @@ def streaming_classify_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         q.awaitTermination(300)
+        require_stream_progress(q, os.path.join(sf_dir, "documents.parquet"))
         return target.read()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_parts)

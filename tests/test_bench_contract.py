@@ -125,3 +125,34 @@ def test_new_oracle_queries_enter_window():
     assert len(_ANCHORS) + len(_ROTATING) == 50
     assert not set(_ANCHORS) & set(_ROTATING)
     assert all(reg[n].oracle is not None for n in _ROTATING)
+
+
+def test_calibration_drift_scaling():
+    """VERDICT r10 #7: the over-bound check scales bounds by the
+    pass's calibration ratio, clamped to ±30%, so shared-box drift
+    stops producing false regressions (r10 needed a manual A/B for
+    four of them) while a real 2×+ plan regression still blows
+    through the 1.3× allowance."""
+    # no baseline yet → neutral (first run self-seeds)
+    assert bench.drift_ratio(5.0, None) == 1.0
+    assert bench.drift_ratio(5.0, 0) == 1.0
+    # in-range drift passes through
+    assert abs(bench.drift_ratio(2.4, 2.0) - 1.2) < 1e-9
+    assert abs(bench.drift_ratio(1.8, 2.0) - 0.9) < 1e-9
+    # clamped at ±CALIBRATION_CLAMP
+    assert bench.drift_ratio(10.0, 2.0) == 1.0 + bench.CALIBRATION_CLAMP
+    assert bench.drift_ratio(0.1, 2.0) == 1.0 - bench.CALIBRATION_CLAMP
+
+
+def test_calibration_baseline_well_formed():
+    """BASELINE_CALIBRATION.json (self-seeded on the first baseline-sf
+    bench run, append-only after) holds the single host-speed anchor
+    the drift scaling divides by."""
+    path = os.path.join(REPO, "BASELINE_CALIBRATION.json")
+    if not os.path.exists(path):
+        return  # seeded on the first post-r10 bench run
+    with open(path) as f:
+        base = json.load(f)
+    assert set(base) == {"calibration_sec"}
+    assert isinstance(base["calibration_sec"], (int, float))
+    assert base["calibration_sec"] > 0

@@ -208,7 +208,8 @@ def _unpartitioned_windows(plan: str) -> list[str]:
 
 
 def test_scale_safe_rankings_have_no_global_windows(spark, reg):
-    """gini (range_rank), sharded packing, and global_index must plan
+    """gini (range_rank), sharded packing, global_index, and the two
+    r11 range_rank rewrites (woe_iv / rfm — VERDICT r10 #1) must plan
     every window partitioned — an unpartitioned running-sum window
     funnels the corpus through one partition (the WindowExec
     'Moving all data to a single partition' scale-killer)."""
@@ -216,6 +217,8 @@ def test_scale_safe_rankings_have_no_global_windows(spark, reg):
         "gini_revenue_concentration",
         "sequence_packing_sharded",
         "global_row_index_documents",
+        "woe_iv_price_deciles",
+        "rfm_customer_segments",
     ):
         plan = plan_of(spark, reg, name)
         assert _unpartitioned_windows(plan) == [], name
@@ -269,16 +272,24 @@ def test_ivfpq_residual_no_python_no_cartesian(spark, reg):
 
 
 def test_registry_wide_plan_hygiene(spark, reg):
-    """Sweep EVERY registered query's physical plan for the two
+    """Sweep EVERY registered query's physical plan for the
     anti-patterns that are invisible at test SF and fatal at 100 TB:
-    an unbroadcast cartesian product and a row-at-a-time Python UDF.
-    Broadcast cross joins of scalar frames (BroadcastNestedLoopJoin)
-    and Arrow-batched Python (ArrowEvalPython / MapInPandas /
-    FlatMapGroupsInPandas) are legitimate and stay allowed."""
+    an unbroadcast cartesian product, a row-at-a-time Python UDF, and
+    (r11, VERDICT r10 #2) an UNSANCTIONED partition-less window —
+    WindowExec funnels its whole input through one task, so a global
+    window is only legitimate over a bounded frame (sketch centroids,
+    bin/score grids, calendar series, shortlists), sanctioned by name
+    in config.GLOBAL_WINDOW_ALLOWED. Broadcast cross joins of scalar
+    frames (BroadcastNestedLoopJoin) and Arrow-batched Python
+    (ArrowEvalPython / MapInPandas / FlatMapGroupsInPandas) are
+    legitimate and stay allowed."""
     # UDTF surface demo: BatchEvalPythonUDTF is the point of the query.
     # Single source of truth shared with tools/plan_doctor.py so the
     # two gates cannot disagree.
-    from data_seedling_spark.config import PYTHON_ROWWISE_ALLOWED as python_ok
+    from data_seedling_spark.config import (
+        GLOBAL_WINDOW_ALLOWED as gwin_ok,
+        PYTHON_ROWWISE_ALLOWED as python_ok,
+    )
     offenders = []
     for name in reg:
         try:
@@ -293,6 +304,8 @@ def test_registry_wide_plan_hygiene(spark, reg):
             offenders.append((name, "row-at-a-time BatchEvalPython"))
         if "BatchEvalPythonUDTF" in plan and name not in python_ok:
             offenders.append((name, "unsanctioned BatchEvalPythonUDTF"))
+        if name not in gwin_ok and _unpartitioned_windows(plan):
+            offenders.append((name, "unsanctioned global window"))
     assert not offenders, offenders
 
 

@@ -21,10 +21,19 @@ regression locks in tests/test_plans.py:
   scans as descending running frames instead. Whole-partition frames
   (UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) evaluate once and are
   fine.
+- ``global_window``: PARTITION-LESS window specs (``... OVER (ORDER BY
+  ...)`` with no partition key) — WindowExec moves the window's entire
+  input through ONE task, the single-partition sort that made
+  woe_iv/rfm scale-killers at 100× (VERDICT r10 #1/#2). Sanctioned
+  per-name via config.GLOBAL_WINDOW_ALLOWED for queries whose window
+  input is a bounded frame (sketch centroids, bin/score grids,
+  calendar series, top-k shortlists); any UNSANCTIONED hit is a hard
+  anti-pattern. Fact-sized ranking belongs on
+  operators/sampling.range_rank instead.
 
 Usage: python tools/plan_doctor.py [--sf DIR] [names...]
-Exit code 1 if any query shows a cartesian product or row-wise Python
-(the two hard anti-patterns), 0 otherwise.
+Exit code 1 if any query shows a cartesian product, row-wise Python,
+or an unsanctioned global window (the hard anti-patterns), 0 otherwise.
 """
 
 from __future__ import annotations
@@ -36,8 +45,18 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from data_seedling_spark.config import PYTHON_ROWWISE_ALLOWED  # noqa: E402
+from data_seedling_spark.config import (  # noqa: E402
+    GLOBAL_WINDOW_ALLOWED,
+    PYTHON_ROWWISE_ALLOWED,
+)
 from data_seedling_spark.session import build_session  # noqa: E402
+
+#: windowspecdefinition whose FIRST argument is already an ordered
+#: column (`col ASC/DESC ...`) — i.e. no partition columns. Shared
+#: shape with tests/test_plans.py::_unpartitioned_windows.
+GLOBAL_WINDOW_RE = re.compile(
+    r"windowspecdefinition\(\s*[^,()]*\s(?:ASC|DESC)[^)]*"
+)
 
 
 def audit_plan(plan: str) -> dict:
@@ -68,6 +87,7 @@ def audit_plan(plan: str) -> dict:
                 plan,
             )
         ),
+        "global_window": len(GLOBAL_WINDOW_RE.findall(plan)),
     }
 
 
@@ -84,7 +104,7 @@ def main() -> int:
     spark = build_session("plan-doctor", master="local[4]")
     bad = 0
     header = (
-        f"{'query':42s} cart bnlj pyRow pyArrow exch codegen pushed"
+        f"{'query':42s} cart bnlj pyRow pyArrow exch codegen pushed gWin"
     )
     print(header)
     print("-" * len(header))
@@ -99,17 +119,22 @@ def main() -> int:
         a = audit_plan(plan)
         flag = ""
         unsanctioned_udtf = a["python_udtf"] and name not in PYTHON_ROWWISE_ALLOWED
+        unsanctioned_gwin = (
+            a["global_window"] and name not in GLOBAL_WINDOW_ALLOWED
+        )
         if (a["cartesian"] or a["python_rowwise"] or unsanctioned_udtf
-                or a["quad_frame"]):
+                or a["quad_frame"] or unsanctioned_gwin):
             flag = "  <-- ANTI-PATTERN"
             bad += 1
         elif a["python_udtf"]:
             flag = "  (sanctioned UDTF demo)"
+        elif a["global_window"]:
+            flag = "  (sanctioned bounded-frame global window)"
         print(
             f"{name:42s} {a['cartesian']:4d} {a['bnlj']:4d} "
             f"{a['python_rowwise'] + a['python_udtf']:5d} {a['python_arrow']:7d} "
             f"{a['exchanges']:4d} {a['codegen_spans']:7d} "
-            f"{a['pushed_scans']:6d}{flag}"
+            f"{a['pushed_scans']:6d} {a['global_window']:4d}{flag}"
         )
     spark.stop()
     return 1 if bad else 0
