@@ -126,6 +126,9 @@ GLOBAL_WINDOW_ALLOWED: frozenset[str] = frozenset({
     "seasonal_decompose_revenue",
     "theil_sen_trend_revenue",
     # score-grid / evaluation-ladder family (distinct-value frames)
+    # (spearman / logreg_holdout_auc / logreg_holdout_prauc moved OFF
+    #  this list in r11: their value grids grow with the fact table or
+    #  sit at 1e6 rows, so they now rank via range_cumsum instead)
     "conformal_prediction_interval",
     "decision_stump_returns",
     "decision_tree_depth2_returns",
@@ -135,12 +138,9 @@ GLOBAL_WINDOW_ALLOWED: frozenset[str] = frozenset({
     "logreg_cv_kfold",
     "logreg_decile_lift",
     "logreg_grid_search",
-    "logreg_holdout_auc",
-    "logreg_holdout_prauc",
     "multiple_testing_bh",
     "permutation_importance_logreg",
     "poisson_bootstrap_ci",
-    "spearman_price_quantity",
     # ranking over top-k shortlists / vocab-bounded frames
     "bm25_rank_documents",
     "hybrid_search_rrf",

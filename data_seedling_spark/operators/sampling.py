@@ -243,6 +243,51 @@ def range_rank(
     )
 
 
+def range_cumsum(
+    df: DataFrame,
+    order_col: str,
+    weight_col: str,
+    bucket_expr=None,
+    out_col: str = "_cumsum",
+    inclusive: bool = False,
+) -> DataFrame:
+    """Running sum of ``weight_col`` in ``order_col`` order WITHOUT a
+    global window — the running-sum twin of :func:`range_rank` (r11:
+    what ROC accumulation, midrank, and CDF queries were spelling as
+    ``SUM() OVER (ORDER BY ...)``, a single-partition funnel when the
+    frame is distinct-VALUES of a fact column and therefore fact-sized).
+
+    ``bucket_expr`` must be MONOTONE non-decreasing in ``order_col``
+    (default ``floor(order_col)``) and ``order_col`` must be UNIQUE in
+    ``df`` (the natural shape: one row per distinct value, weights
+    already grouped) so the prefix is well-defined. Pass 1 sums weights
+    per bucket and takes exclusive bucket offsets via the broadcast
+    triangular join (O(buckets²) on a tiny frame, windowless); pass 2
+    runs the running sum within buckets in parallel. ``inclusive``
+    selects between ``ROWS UNBOUNDED PRECEDING AND CURRENT ROW`` and
+    ``... AND 1 PRECEDING`` (exclusive, 0 for the first value).
+    """
+    weight = F.col(weight_col)
+    b = bucket_expr if bucket_expr is not None else F.floor(F.col(order_col))
+    bucketed = df.withColumn("_cb", b.cast("long"))
+    per_bucket = bucketed.groupBy("_cb").agg(F.sum(weight).alias("count"))
+    offsets = _cumulative_offsets(per_bucket, "_cb")
+    hi = 0 if inclusive else -1
+    w = (
+        W.partitionBy("_cb")
+        .orderBy(order_col)
+        .rowsBetween(W.unboundedPreceding, hi)
+    )
+    return (
+        bucketed.join(F.broadcast(offsets), "_cb")
+        .withColumn(
+            out_col,
+            F.coalesce(F.sum(weight).over(w), F.lit(0)) + F.col("_offset"),
+        )
+        .drop("_cb", "_offset")
+    )
+
+
 def quota_sample(
     df: DataFrame,
     key_col: str,

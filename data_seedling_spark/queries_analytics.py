@@ -4394,12 +4394,16 @@ def spearman_price_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spearman rank correlation between extended price and quantity —
     the outlier-robust, monotonicity-sensitive complement to the
     Pearson matrix: Pearson over exact MIDRANKS. Midranks come from
-    per-distinct-value cumulative counts (cardinality-bounded windows,
-    never a corpus-wide sort of rows), DOUBLED so every rank is an
+    per-distinct-value cumulative counts, DOUBLED so every rank is an
     exact integer (ties produce .5 midranks; ×2 keeps all five moment
     sums in exact decimal with no fractional grid), which cancels in
-    the correlation."""
-    from pyspark.sql import Window as W
+    the correlation. The cumulative counts use ``range_cumsum``
+    (operators/sampling.py, r11): distinct PRICES grow with the fact
+    table, so the old ``SUM() OVER (ORDER BY price)`` was a
+    single-partition funnel in disguise — now $5k price buckets (and
+    per-value buckets for the ~50 quantities) rank in parallel with
+    broadcast bucket offsets, hash-identical by construction."""
+    from .operators.sampling import range_cumsum
 
     li = load_table(spark, sf_dir, "lineitem")
     v = li.select(
@@ -4408,22 +4412,19 @@ def spearman_price_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def midranks2(col):
-        w = W.orderBy(col).rowsBetween(W.unboundedPreceding, -1)
-        return (
-            v.groupBy(col)
-            .agg(F.count("*").alias("cnt"))
-            .select(
-                col,
-                (
-                    (
-                        F.coalesce(F.sum("cnt").over(w), F.lit(0))
-                        + (F.col("cnt") + 1) / 2.0
-                    )
-                    * 2
-                )
-                .cast("long")
-                .alias(f"r_{col}"),
-            )
+        counts = v.groupBy(col).agg(F.count("*").alias("cnt"))
+        # price is in CENTS: /500_000 = $5k-wide buckets; qty is 1..50
+        # already (its own bucket). Both monotone in the order column.
+        width = 500_000 if col == "price" else 1
+        cum = range_cumsum(
+            counts, col, "cnt",
+            bucket_expr=F.floor(F.col(col) / width), out_col="cb",
+        )
+        return cum.select(
+            col,
+            ((F.col("cb") + (F.col("cnt") + 1) / 2.0) * 2)
+            .cast("long")
+            .alias(f"r_{col}"),
         )
 
     r = (

@@ -164,6 +164,17 @@ def spatial_join_supplier_customer(spark: SparkSession, sf_dir: str) -> DataFram
     fanout and broadcasts, customers shuffle once on their cell key.
     Per supplier: match count, nearest distance, and the nearest
     customer with a (distance, key) tiebreak so the answer is unique.
+
+    r11 plan fix: the nearest customer comes from ONE grouped
+    ``min(struct(dist_km, c_custkey))`` instead of a per-supplier
+    row_number window + rank-1 filter. Same output (struct ordering IS
+    the (dist, key) tiebreak), but the window forced the ENTIRE
+    within-radius pair volume through a shuffle+sort before any
+    reduction — the aggregate's map-side partial combine collapses
+    each partition to one row per supplier first, so the shuffle
+    carries O(suppliers), not O(pairs). Pair volume grows ~quadratically
+    with uniform-density corpus growth (SCALE.md r11 geo adjudication),
+    which is exactly why the reduction must happen before the exchange.
     """
     suppliers = with_point(
         load_table(spark, sf_dir, "supplier").select("s_suppkey"),
@@ -179,20 +190,19 @@ def spatial_join_supplier_customer(spark: SparkSession, sf_dir: str) -> DataFram
     pairs = spatial_join_within(
         suppliers, customers, _SUPPLIER_RADIUS_KM, cell_deg=_SUPPLIER_CELL_DEG
     )
-    w = Window.partitionBy("s_suppkey").orderBy("dist_km", "c_custkey")
-    ranked = pairs.select(
-        F.col("q_s_suppkey").alias("s_suppkey"),
-        F.col("t_c_custkey").alias("c_custkey"),
-        "dist_km",
-    ).withColumn("rnk", F.row_number().over(w))
     return (
-        ranked.groupBy("s_suppkey")
+        pairs.select(
+            F.col("q_s_suppkey").alias("s_suppkey"),
+            F.col("t_c_custkey").alias("c_custkey"),
+            "dist_km",
+        )
+        .groupBy("s_suppkey")
         .agg(
             F.count("*").alias("n_within"),
             F.min("dist_km").alias("nearest_km"),
-            F.max(F.when(F.col("rnk") == 1, F.col("c_custkey"))).alias(
-                "nearest_custkey"
-            ),
+            F.min(F.struct("dist_km", "c_custkey"))
+            .getField("c_custkey")
+            .alias("nearest_custkey"),
         )
         .orderBy("s_suppkey")
     )

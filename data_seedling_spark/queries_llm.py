@@ -6468,13 +6468,15 @@ def logreg_holdout_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     Mann-Whitney rank-sum identity — threshold-free discrimination,
     completing the classifier eval set (confusion, calibration, lift,
     now AUC). Ties on the 1e-6 probability grid get exact MIDRANKS
-    (cum_before + (cnt+1)/2 over the DISTINCT-score frame — the
-    cardinality-bounded window pattern), the rank sum accumulates in
-    exact decimal halves, and the final AUC is one fixed double
-    expression over integer counts."""
-    from pyspark.sql import Window as W
-
+    (cum_before + (cnt+1)/2 over the DISTINCT-score frame), the rank
+    sum accumulates in exact decimal halves, and the final AUC is one
+    fixed double expression over integer counts. The cumulative count
+    uses ``range_cumsum`` (r11): the score grid bounds the frame at
+    1e6+1 rows, but that is still a million-row single-partition sort
+    as a global window — 0.01-wide score buckets rank it in parallel
+    instead, hash-identical."""
     from .operators.logreg import logreg_fit, logreg_score, standardize
+    from .operators.sampling import range_cumsum
 
     embeddings = load_table(spark, sf_dir, "embeddings")
     base = embeddings.select(
@@ -6499,13 +6501,10 @@ def logreg_holdout_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     perp = scored.groupBy("p").agg(
         F.count("*").alias("cnt"), F.sum("label_bin").alias("pos")
     )
-    w = W.orderBy("p").rowsBetween(W.unboundedPreceding, -1)
-    ranked = perp.select(
-        "p",
-        "cnt",
-        "pos",
-        F.coalesce(F.sum("cnt").over(w), F.lit(0)).alias("cum_before"),
-    )
+    ranked = range_cumsum(
+        perp, "p", "cnt",
+        bucket_expr=F.floor(F.col("p") * 100), out_col="cum_before",
+    ).select("p", "cnt", "pos", "cum_before")
     sums = ranked.agg(
         F.sum(
             (
@@ -8748,10 +8747,12 @@ def logreg_holdout_prauc(spark: SparkSession, sf_dir: str) -> DataFrame:
     block count is score-grid-bounded). The prevalence baseline is
     reported alongside.
     Scale: one grouped-by-score reduction (scores on the 1e-6 sigmoid
-    grid), windows only over the block frame."""
-    from pyspark.sql import Window as W
-
+    grid); the two descending cumulative sums run on ``range_cumsum``
+    (r11, 0.01-wide buckets over the negated score — parallel instead
+    of a million-row single-partition window), and the np/ntot scalars
+    broadcast from an aggregate rather than a whole-frame window."""
     from .operators.logreg import logreg_fit, logreg_score, standardize
+    from .operators.sampling import range_cumsum
 
     embeddings = load_table(spark, sf_dir, "embeddings")
     base = embeddings.select(
@@ -8777,17 +8778,24 @@ def logreg_holdout_prauc(spark: SparkSession, sf_dir: str) -> DataFrame:
     perp = scored.groupBy("p").agg(
         F.count("*").alias("cnt"), F.sum("label_bin").alias("pos")
     )
-    wd = W.orderBy(F.col("p").desc()).rowsBetween(
-        W.unboundedPreceding, W.currentRow
+    # Descending cumulative sums = ascending over the negated score
+    # (the bucket key stays monotone); inclusive frame matches the old
+    # ROWS UNBOUNDED PRECEDING AND CURRENT ROW over p DESC.
+    neg = perp.withColumn("_negp", -F.col("p"))
+    neg_bucket = F.floor(F.col("_negp") * 100)
+    cum = range_cumsum(
+        neg, "_negp", "cnt",
+        bucket_expr=neg_bucket, out_col="cum_cnt", inclusive=True,
     )
-    wall = W.partitionBy(F.lit(1))
-    blocks = perp.select(
-        "cnt",
-        "pos",
-        F.sum("cnt").over(wd).alias("cum_cnt"),
-        F.sum("pos").over(wd).alias("cum_pos"),
-        F.sum("pos").over(wall).alias("np"),
-        F.sum("cnt").over(wall).alias("ntot"),
+    cum = range_cumsum(
+        cum, "_negp", "pos",
+        bucket_expr=neg_bucket, out_col="cum_pos", inclusive=True,
+    )
+    tot = perp.agg(
+        F.sum("pos").alias("np"), F.sum("cnt").alias("ntot")
+    )
+    blocks = cum.crossJoin(F.broadcast(tot)).select(
+        "cnt", "pos", "cum_cnt", "cum_pos", "np", "ntot"
     )
     terms = blocks.where(F.col("pos") > 0).select(
         F.round(

@@ -340,6 +340,54 @@ def test_range_rank_equals_global_row_number(spark, vals, width):
 
 @slow
 @given(
+    vals=st.lists(
+        st.tuples(
+            st.integers(min_value=-1000, max_value=1000),  # order value
+            st.integers(min_value=1, max_value=9),         # weight
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    width=st.sampled_from([1, 7, 100, 10_000]),
+    inclusive=st.booleans(),
+)
+def test_range_cumsum_equals_global_running_sum(spark, vals, width, inclusive):
+    """range_cumsum's contract (r11, the running-sum twin of
+    range_rank): for ANY unique-valued frame, ANY bucket width, and
+    both frame kinds, the bucketed two-pass cumulative sum equals
+    SUM(w) OVER (ORDER BY val ROWS UNBOUNDED PRECEDING AND
+    {CURRENT ROW | 1 PRECEDING}) — what the spearman midranks and the
+    AUC/PR-AUC ROC accumulations rely on."""
+    from pyspark.sql import Window as W
+
+    from data_seedling_spark.operators.sampling import range_cumsum
+
+    uniq = {}
+    for v, w in vals:
+        uniq.setdefault(v, w)  # order values must be unique
+    rows = [Row(val=v, w=w) for v, w in sorted(uniq.items())]
+    df = spark.createDataFrame(rows, "val long, w long")
+    got = {
+        r["val"]: r["_cumsum"]
+        for r in range_cumsum(
+            df, "val", "w",
+            bucket_expr=F.floor(F.col("val") / width), inclusive=inclusive,
+        ).collect()
+    }
+    hi = 0 if inclusive else -1
+    win = W.orderBy("val").rowsBetween(W.unboundedPreceding, hi)
+    want = {
+        r["val"]: r["cs"]
+        for r in df.select(
+            "val",
+            F.coalesce(F.sum("w").over(win), F.lit(0)).alias("cs"),
+        ).collect()
+    }
+    assert got == want
+
+
+@slow
+@given(
     n_words=st.integers(min_value=1, max_value=120),
     chunk=st.integers(min_value=2, max_value=40),
     stride_frac=st.floats(min_value=0.25, max_value=1.0),
