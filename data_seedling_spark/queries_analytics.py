@@ -3673,12 +3673,18 @@ def woe_iv_price_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ln(%good/%bad) and IV contribution. Bins use the same explicit
     integer rank formula as rfm_customer_segments (engine-independent
     tie-broken row_number), computed via ``range_rank``
-    (operators/sampling.py): $50k price buckets + per-bucket
-    row_number + broadcast cumulative offsets reproduce
-    ``row_number() OVER (ORDER BY price, o_orderkey)`` exactly with
-    every rank window PARTITIONED — no single-task global sort of the
-    order-sized frame (VERDICT r10 #1). Every rate is an integer-count
-    ratio in a fixed double expression → hash-exact."""
+    (operators/sampling.py): $2k price buckets (~300 partitions over
+    the TPC-H price range — wide enough that the offsets frame stays
+    broadcast-tiny, narrow enough that no single bucket holds a
+    meaningful corpus fraction at 100×) + per-bucket row_number +
+    broadcast cumulative offsets reproduce ``row_number() OVER (ORDER
+    BY price, o_orderkey)`` exactly with every rank window PARTITIONED
+    — no single-task global sort of the order-sized frame (VERDICT r10
+    #1). The labeled frame is checkpointed once: range_rank's offsets
+    branch is a second consumer, and without it the orders⋈lineitem
+    join runs twice (measured 15.5×/decade at sf10 → re-probed after
+    both fixes). Every rate is an integer-count ratio in a fixed
+    double expression → hash-exact."""
     from .operators.sampling import range_rank
 
     orders = load_table(spark, sf_dir, "orders")
@@ -3697,10 +3703,11 @@ def woe_iv_price_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bad",
         )
     )
+    lab = lab.localCheckpoint()
     n = lab.agg(F.count("*").alias("nr"))
     ranked = range_rank(
         lab, "price", tie_cols=("o_orderkey",),
-        bucket_expr=F.floor(F.col("price") / 50000), rank_col="rn",
+        bucket_expr=F.floor(F.col("price") / 2000), rank_col="rn",
     ).crossJoin(F.broadcast(n))
     binned = ranked.select(
         (F.floor(((F.col("rn") - 1) * 10) / F.col("nr")) + 1)
