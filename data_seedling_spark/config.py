@@ -128,13 +128,14 @@ GLOBAL_WINDOW_ALLOWED: frozenset[str] = frozenset({
     # score-grid / evaluation-ladder family (distinct-value frames)
     # (spearman / logreg_holdout_auc / logreg_holdout_prauc moved OFF
     #  this list in r11: their value grids grow with the fact table or
-    #  sit at 1e6 rows, so they now rank via range_cumsum instead)
+    #  sit at 1e6 rows, so they now rank via range_cumsum instead;
+    #  ks_test_drift followed in the same round — distinct prices are
+    #  order-count-sized)
     "conformal_prediction_interval",
     "decision_stump_returns",
     "decision_tree_depth2_returns",
     "group_sequential_obf",
     "isotonic_calibration_orders",
-    "ks_test_drift",
     "logreg_cv_kfold",
     "logreg_decile_lift",
     "logreg_grid_search",

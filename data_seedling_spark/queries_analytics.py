@@ -4194,11 +4194,14 @@ def ks_test_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     and later current order-value distributions — PSI's
     binning-free sibling (D = max CDF gap; the exact nonparametric
     two-sample location test). CDFs accumulate over the DISTINCT
-    value frame (cardinality-bounded windows, the weighted-median
-    trick), counts are exact integers in cents, each gap one fixed
-    double expression rounded to the grid; the argmax value is
+    value frame via ``range_cumsum`` (r11: distinct order prices grow
+    with the fact table — at 100× they are order-count-sized, so the
+    old ``SUM() OVER (ORDER BY v)`` was a single-partition funnel;
+    $5k cent-buckets accumulate in parallel with broadcast offsets,
+    hash-identical). Counts are exact integers in cents, each gap one
+    fixed double expression rounded to the grid; the argmax value is
     tie-broken to the smallest cents achieving D."""
-    from pyspark.sql import Window as W
+    from .operators.sampling import range_cumsum
 
     orders = load_table(spark, sf_dir, "orders")
     base = orders.select(
@@ -4208,11 +4211,17 @@ def ks_test_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_v = base.groupBy("v").agg(
         F.sum("is_ref").alias("r"), F.sum(1 - F.col("is_ref")).alias("c")
     )
+    # Three downstream consumers (tot + two cumsum offset branches)
+    # would each re-aggregate the orders scan without this.
+    per_v = per_v.localCheckpoint()
     tot = per_v.agg(F.sum("r").alias("tr"), F.sum("c").alias("tc"))
-    w = W.orderBy("v").rowsBetween(W.unboundedPreceding, 0)
-    cdf = per_v.select(
-        "v", F.sum("r").over(w).alias("cr"), F.sum("c").over(w).alias("cc")
+    bucket = F.floor(F.col("v") / 500_000)
+    cdf = range_cumsum(
+        per_v, "v", "r", bucket_expr=bucket, out_col="cr", inclusive=True
     )
+    cdf = range_cumsum(
+        cdf, "v", "c", bucket_expr=bucket, out_col="cc", inclusive=True
+    ).select("v", "cr", "cc")
     d = cdf.crossJoin(F.broadcast(tot)).select(
         "v",
         F.round(

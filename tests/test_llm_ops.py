@@ -1889,6 +1889,48 @@ def test_prefix_filter_join_equals_bruteforce(spark):
     assert (0, 1) in got and (0, 2) in got
 
 
+def test_prefix_filter_df_cap_hybrid_routes_overflow_to_lsh(spark):
+    """The bounded-df hybrid (r11): with df_cap active, (a) a corpus of
+    exact duplicates whose EVERY shingle is overflow (df > cap) is
+    still fully paired — via the md5-LSH leg, since the exact leg sees
+    no bounded tokens; (b) rare-shingle near-dups keep the exact-leg
+    zero-false-negative guarantee; (c) no false positives ever
+    (shared verification). Proves both legs and the union are live."""
+    from pyspark.sql import functions as F
+
+    from data_seedling_spark.operators.dedup import (
+        prefix_filter_jaccard_pairs,
+    )
+
+    copies = 12  # df of every clique shingle = 12 > cap=8
+    clique = "red orange yellow green blue indigo violet silver gold"
+    rows = [(i, clique) for i in range(copies)]
+    # rare-shingle near-dup pair: every shingle df <= 2 (bounded)
+    rows += [
+        (100, "one two three four five six seven eight nine ten"),
+        (101, "one two three four five six seven eight nine ten"),
+        (200, "totally unrelated decoy words appear exactly once here"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in prefix_filter_jaccard_pairs(
+            df, "text", "doc_id", n=3, threshold_num=4, threshold_den=5,
+            df_cap=8,
+        ).collect()
+    }
+    # (a) all C(12,2) overflow-clique pairs found via LSH (identical
+    # docs -> identical signatures -> every band collides)
+    clique_pairs = {
+        (a, b) for a in range(copies) for b in range(copies) if a < b
+    }
+    assert clique_pairs <= set(got)
+    # (b) the bounded rare pair is found exactly
+    assert (100, 101) in got and got[(100, 101)] == 1.0
+    # (c) nothing else: the decoy pairs with no one
+    assert set(got) == clique_pairs | {(100, 101)}
+
+
 def test_ann_ndcg_bounded_and_consistent_with_recall(spark):
     """NDCG@5 lies in [0,1]; a query with recall 1.0 and identical
     ordering scores exactly 1.0; IDCG is the same positive constant
