@@ -103,7 +103,11 @@ PYTHON_ROWWISE_ALLOWED: frozenset[str] = frozenset({"udtf_token_spans"})
 #: tests/test_plans.py::test_registry_wide_plan_hygiene unless it is
 #: deliberately sanctioned here (reviewed for bounded input).
 GLOBAL_WINDOW_ALLOWED: frozenset[str] = frozenset({
-    # sketch / quantile-grid family (centroid & bin frames)
+    # sketch / quantile-grid family — remaining entries run windows
+    # only over post-compaction survivors or <=delta centroid frames
+    # (price_histogram_equidepth, tdigest_centroids_orders and
+    #  tdigest_merge_shards left in r11: their distinct-value CDFs
+    #  track fact cardinality and now accumulate via range_cumsum)
     "count_min_heavy_hitters",
     "decayed_quantile_order_price",
     "incremental_quantile_maintenance",
@@ -111,10 +115,7 @@ GLOBAL_WINDOW_ALLOWED: frozenset[str] = frozenset({
     "kll_quantile_sketch",
     "kll_sketch_merge_shards",
     "kll_weighted_quantile_revenue",
-    "price_histogram_equidepth",
     "quantile_drift_tdigest",
-    "tdigest_centroids_orders",
-    "tdigest_merge_shards",
     "tdigest_quantiles_orders",
     # calendar-series / changepoint / survival family (date-grained)
     "acf_daily_revenue",

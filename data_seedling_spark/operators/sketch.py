@@ -734,6 +734,8 @@ def tdigest_centroids(
     All current callers digest money/price columns (≥ 0); to digest a
     signed column, shift it by a known lower bound first and shift the
     quantile estimates back."""
+    from .sampling import range_cumsum
+
     wexp = (
         F.lit(1).cast("long") if weight_col is None else F.col(weight_col)
     )
@@ -741,10 +743,17 @@ def tdigest_centroids(
         df.groupBy(F.round(F.col(value_col), value_scale).alias("v"))
         .agg(F.sum(wexp).alias("cnt"))
     )
-    # CDF over the distinct-value histogram (cardinality-bounded, not
-    # row-bounded — see module note above).
-    cum = h.withColumn(
-        "cum", F.sum("cnt").over(W.orderBy("v"))
+    # CDF over the distinct-value histogram. Distinct VALUES are
+    # cardinality-bounded, not row-bounded — but for a money column at
+    # scale 2 that cardinality still tracks the fact table (ks_test
+    # measured order-count-sized), so the cumulative runs on
+    # range_cumsum (r11): $1k value buckets accumulate in parallel
+    # with broadcast offsets instead of one global-window task,
+    # hash-identical (v is unique per row here).
+    cum = range_cumsum(
+        h, "v", "cnt",
+        bucket_expr=F.floor(F.col("v") / 1000), out_col="cum",
+        inclusive=True,
     ).crossJoin(F.broadcast(h.agg(F.sum("cnt").alias("n"))))
     q_mid = (F.col("cum") - F.col("cnt") / 2.0) / F.col("n")
     k = F.lit(float(delta)) * (

@@ -143,13 +143,14 @@ _ROTATING: tuple[str, ...] = (
     "tpcds_q64_snapshot_compare",
     "streaming_dedup_exact",
     "stream_static_enrich",
-    # r10 additions, second driver round:
-    "bucketed_layout_build",
-    "salted_skew_join",
-    "incremental_tdigest_maintenance",
-    "tpcds_q14_cross_channel_sales",
-    "tdigest_merge_shards",
+    # r11 late additions (distinct-value CDFs moved to range_cumsum):
+    "ks_test_drift",
+    "tdigest_centroids_orders",
+    "price_histogram_equidepth",
+    # r10/r11 queries exercising the changed t-digest builder path:
     "quantile_drift_tdigest",
+    "incremental_tdigest_maintenance",
+    "tdigest_merge_shards",
 )
 
 _PRIORITY: tuple[str, ...] = _ANCHORS + _ROTATING

@@ -2964,17 +2964,21 @@ def price_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
     collapse to (value, count) first, cumulative-sum over ordered
     distinct values, bucket = ceil(10·cum/total). Rows sharing a value
     share a bucket, so bucket sizes are equal up to value multiplicity
-    — the statistically honest exact form. The only unpartitioned
-    window runs over the DISTINCT-value frame, bounded by column
-    cardinality rather than table size (the same cardinality argument
-    as the ledger's min/max stats); the equi-WIDTH variant stays the
-    O(1)-memory companion."""
-    part = load_table(spark, sf_dir, "part")
-    from pyspark.sql import Window as _W
+    — the statistically honest exact form. The cumulative sum over the
+    distinct-value frame runs on ``range_cumsum`` (r11: distinct
+    retail prices track the part table's row count, the same
+    value-grid-is-fact-sized lesson as ks_test_drift), so every window
+    is partitioned; the equi-WIDTH variant stays the O(1)-memory
+    companion."""
+    from .operators.sampling import range_cumsum
 
+    part = load_table(spark, sf_dir, "part")
     vc = part.groupBy("p_retailprice").agg(F.count(F.lit(1)).alias("cnt"))
-    w = _W.orderBy("p_retailprice").rowsBetween(_W.unboundedPreceding, _W.currentRow)
-    c = vc.withColumn("cum", F.sum("cnt").over(w))
+    c = range_cumsum(
+        vc, "p_retailprice", "cnt",
+        bucket_expr=F.floor(F.col("p_retailprice") / 50), out_col="cum",
+        inclusive=True,
+    )
     t = vc.agg(F.sum("cnt").alias("total"))
     return (
         c.crossJoin(F.broadcast(t))
