@@ -144,6 +144,9 @@ GLOBAL_WINDOW_ALLOWED: frozenset[str] = frozenset({
     "permutation_importance_logreg",
     "poisson_bootstrap_ci",
     # ranking over top-k shortlists / vocab-bounded frames
+    # (r11: weighted_sample / bm25 / rag_chunk / maxsim now take
+    #  their top-k via sort+limit (TakeOrderedAndProject), so their
+    #  remaining global window ranks only the <=k survivors)
     "bm25_rank_documents",
     "hybrid_search_rrf",
     "late_interaction_maxsim",

@@ -3536,11 +3536,13 @@ def bm25_rank_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("bm25"),
         F.count("*").alias("n_terms_hit"),
     )
+    # Top-10 via sort+limit (TakeOrderedAndProject: per-partition
+    # partial top-k, merged) — matching docs are corpus-sized, so the
+    # previous partition-less rank window funneled them through one
+    # task (r11). The rank window now runs over 10 rows.
+    top = totals.orderBy(F.col("bm25").desc(), "doc_id").limit(10)
     w = W.partitionBy().orderBy(F.col("bm25").desc(), "doc_id")
-    return (
-        totals.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= 10)
-    )
+    return top.withColumn("rank", F.row_number().over(w))
 
 
 @query(
@@ -5317,11 +5319,11 @@ def late_interaction_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
     scores = per_qd.groupBy("doc").agg(
         F.sum("msim").cast("double").alias("maxsim")
     )
+    # Top-5 via sort+limit (TakeOrderedAndProject) — the doc-score
+    # frame is corpus-sized; the rank window now sees 5 rows (r11).
+    top = scores.orderBy(F.col("maxsim").desc(), "doc").limit(5)
     w = W.partitionBy().orderBy(F.col("maxsim").desc(), "doc")
-    return (
-        scores.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= 5)
-    )
+    return top.withColumn("rank", F.row_number().over(w))
 
 
 @query(
@@ -6077,13 +6079,15 @@ def rag_chunk_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     wr = W.partitionBy().orderBy(
         F.col("score").desc(), "doc_id", "chunk_id"
     )
-    return (
+    scored = (
         cemb.where(F.col("doc_id") != 0)
         .crossJoin(F.broadcast(qemb))
         .select("doc_id", "chunk_id", score.alias("score"))
-        .withColumn("rank", F.row_number().over(wr))
-        .where(F.col("rank") <= 5)
     )
+    # Top-5 via sort+limit (TakeOrderedAndProject) — the chunk-score
+    # frame is corpus-sized; the rank window now sees 5 rows (r11).
+    top = scored.orderBy(F.col("score").desc(), "doc_id", "chunk_id").limit(5)
+    return top.withColumn("rank", F.row_number().over(wr))
 
 
 def _logreg_holdout_oracle(
@@ -7162,12 +7166,18 @@ def weighted_sample_without_replacement(spark: SparkSession, sf_dir: str) -> Dat
         F.col("n_chars").alias("weight"),
         (F.log(u) / F.col("n_chars")).alias("es_logkey"),
     )
-    ranked = keyed.withColumn(
+    # Top-50 via sort+limit → TakeOrderedAndProject (per-partition
+    # partial top-k, merged): the r11 fix that makes the docstring's
+    # "no full sort" claim true — the previous partition-less
+    # row_number window sorted the whole corpus on one task before the
+    # rank<=50 filter. The rank window now sees only the 50 survivors.
+    top = keyed.orderBy(F.desc("es_logkey"), "doc_id").limit(50)
+    ranked = top.withColumn(
         "sample_rank",
         F.row_number()
         .over(Window.orderBy(F.desc("es_logkey"), "doc_id"))
         .cast("long"),
-    ).where(F.col("sample_rank") <= 50)
+    )
     return ranked.select(
         "sample_rank",
         "doc_id",

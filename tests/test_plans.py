@@ -396,3 +396,20 @@ def test_salted_skew_join_fans_hot_keys(spark, reg):
     # the salt participates in the join's equi-key list
     smj = final[final.index("SortMergeJoin"):]
     assert "salt" in smj.split("\n")[0], smj.split("\n")[0]
+
+
+def test_topk_rankings_take_ordered_not_global_sort(spark, reg):
+    """r11: corpus-scored top-k queries (A-Res sample, BM25, MaxSim,
+    RAG retrieval) must take their k via sort+limit —
+    TakeOrderedAndProject does per-partition partial top-k and merges
+    — so the only global window left ranks the <=k survivors. Without
+    the lock, a row_number-then-filter spelling silently sorts the
+    whole corpus-sized score frame on one task."""
+    for name in (
+        "weighted_sample_without_replacement",
+        "bm25_rank_documents",
+        "late_interaction_maxsim",
+        "rag_chunk_retrieval",
+    ):
+        plan = plan_of(spark, reg, name)
+        assert "TakeOrderedAndProject" in plan, name
