@@ -111,6 +111,11 @@ GLOBAL_WINDOW_ALLOWED: frozenset[str] = frozenset({
     "count_min_heavy_hitters",
     "decayed_quantile_order_price",
     "incremental_quantile_maintenance",
+    # (tdigest_merge_shards: its two shard digests build via
+    #  range_cumsum; the one remaining global window is the final
+    #  centroid-merge re-digest over exactly 2*delta rows —
+    #  assume_bounded fast path, see operators/sketch.py)
+    "tdigest_merge_shards",
     "incremental_tdigest_maintenance",
     "kll_quantile_sketch",
     "kll_sketch_merge_shards",

@@ -10094,7 +10094,8 @@ def tdigest_merge_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     merged = s0.select("mean", "n_c").unionByName(s1.select("mean", "n_c"))
     return tdigest_centroids(
-        merged, "mean", delta=50, value_scale=6, weight_col="n_c"
+        merged, "mean", delta=50, value_scale=6, weight_col="n_c",
+        assume_bounded=True,  # merge input is exactly 2*delta centroid rows
     )
 
 
