@@ -7697,11 +7697,20 @@ def theil_sen_trend_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     division (identical doubles in both engines), and both medians
     (slope, then intercept residual) are order statistics with
     (value, x1, x2) tiebreaks — no float summation anywhere.
-    Scale: the fact table collapses to ~80 monthly integers in one
-    map-side-combinable pass; the O(months²) pair frame (~3k rows) and
-    its rank windows are metadata-sized forever — at 100 TB the pair
-    stage grows with the CALENDAR, not the data."""
+    Scale: the fact table collapses to one monthly integer per
+    calendar month in one map-side-combinable pass; the O(months²)
+    pair frame grows with the CALENDAR, not the data — bounded at a
+    few hundred months (≤~100k pairs) for any real deployment. The
+    scale-probe corpus deliberately grows the calendar ∝ k (the
+    anti-densification shift), which makes ITS pair frame quadratic
+    in k (SCALE.md r11 adjudication); the slope median therefore
+    ranks via ``range_rank`` (1e8-cent/month slope buckets) so even a
+    synthetic 10k-month calendar never funnels the pair frame through
+    one task. The residual median stays a global window over the
+    months-sized frame."""
     from pyspark.sql.window import Window as W
+
+    from .operators.sampling import range_rank
 
     pts = (
         load_table(spark, sf_dir, "orders")
@@ -7722,20 +7731,25 @@ def theil_sen_trend_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = pts.select(F.col("x").alias("x1"), F.col("yc").alias("y1"))
     b = pts.select(F.col("x").alias("x2"), F.col("yc").alias("y2"))
+    # try_divide, not `/`: the range_rank offsets branch prunes this
+    # projection down to the bucket key, and the fused BNLJ codegen
+    # stage can evaluate it on candidate rows BEFORE the x1<x2
+    # condition gates them — an ANSI DIVIDE_BY_ZERO on pairs that
+    # never survive. x2-x1 >= 1 on every surviving row, so values are
+    # unchanged.
     pairs = a.join(b, F.col("x1") < F.col("x2")).select(
         "x1",
         "x2",
-        (
-            (F.col("y2") - F.col("y1")).cast("double")
-            / (F.col("x2") - F.col("x1"))
+        F.try_divide(
+            (F.col("y2") - F.col("y1")).cast("double"),
+            F.col("x2") - F.col("x1"),
         ).alias("slope"),
     )
-    wall = W.partitionBy(F.lit(1))
-    ranked = pairs.select(
-        "slope",
-        F.row_number().over(W.orderBy("slope", "x1", "x2")).alias("rk"),
-        F.count("*").over(wall).alias("n"),
-    )
+    n_pairs_f = F.broadcast(pairs.agg(F.count("*").alias("n")))
+    ranked = range_rank(
+        pairs, "slope", tie_cols=("x1", "x2"),
+        bucket_expr=F.floor(F.col("slope") / 100_000_000), rank_col="rk",
+    ).crossJoin(n_pairs_f)
     med = ranked.where(
         F.col("rk") == F.expr("(n + 1) DIV 2")
     ).select("slope")
@@ -7745,7 +7759,7 @@ def theil_sen_trend_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     rranked = resid.select(
         "r",
         F.row_number().over(W.orderBy("r", "x")).alias("rk"),
-        F.count("*").over(wall).alias("n"),
+        F.count("*").over(W.partitionBy(F.lit(1))).alias("n"),
     )
     rmed = rranked.where(F.col("rk") == F.expr("(n + 1) DIV 2")).select("r")
     n_points = pts.agg(F.count("*").alias("n_points"))
