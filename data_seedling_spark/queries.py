@@ -142,7 +142,9 @@ _ROTATING: tuple[str, ...] = (
     "logreg_holdout_prauc",
     "tpcds_q64_snapshot_compare",
     "streaming_dedup_exact",
-    "stream_static_enrich",
+    # (stream_static_enrich also guard-touched; its zero-batch guard is
+    #  driver-covered by the three sibling streaming window entries)
+    "theil_sen_trend_revenue",
     # r11 late additions (distinct-value CDFs moved to range_cumsum):
     "ks_test_drift",
     "tdigest_centroids_orders",
