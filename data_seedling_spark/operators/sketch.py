@@ -278,51 +278,99 @@ def kll_weighted_sketch(
     rounds: int,
     bucket_width: float = 10000.0,
     max_bits: int = 40,
+    weight_mode: str = "round",
 ) -> DataFrame:
     """Weighted KLL sketch — revenue/quantity-weighted percentiles at
     corpus scale (e.g. "the price below which half the *revenue*
     sits", not half the rows).
 
     Arbitrary integer weights don't fit KLL's power-of-two level
-    structure directly, so each row first DECOMPOSES into its binary
-    weight components: a row with weight ``w`` emits one item per set
-    bit ``b`` of ``w`` at level weight ``2^b`` (synthetic id
-    ``id·max_bits + b`` keeps pair leaders unique). That is exactly
-    the standard weighted-input reduction for mergeable rank sketches:
-    total weight is conserved bit-for-bit, every emitted item sits in
-    a legal weight class, and :func:`kll_compact_round` then applies
-    unchanged — including the md5 coin, so the whole schedule stays a
-    pure function of the input set and an unrolled SQL oracle replays
-    it exactly. Blow-up is ``popcount(w) ≤ max_bits`` items per row
-    (~log w, e.g. ≤24 for cent-denominated revenue), after which
-    survivors shrink geometrically per round as usual.
+    structure directly; two engine-replayable reductions are offered:
+
+    ``weight_mode="round"`` (default — the scale path): each row's
+    weight ``w = 2^l + r`` (``l = floor(log2 w)``) is STOCHASTICALLY
+    ROUNDED to an adjacent power of two — up to ``2^(l+1)`` when
+    ``md5_32(id) mod 2^l < r`` (probability exactly ``r/2^l``), else
+    down to ``2^l``. One item per row, no fan-out, unbiased
+    (``E[w'] = w``); per-row error ``< 2^l ≤ w`` is zero-mean and
+    independent across rows, so aggregate rank perturbation
+    concentrates well inside the sketch's own ``2^(R-1)`` compaction
+    bound (asserted in ``tests/test_sketch.py``). The coin is the md5
+    parity grid both engines derive identically, so the whole schedule
+    stays a pure function of the input set and an unrolled SQL oracle
+    replays it exactly. Weights that are already powers of two have
+    ``r = 0`` and round to themselves deterministically — the decayed
+    (``2^k``) weighting is exact on this path. ``sum(w)`` is the
+    rounded total, NOT the exact input mass.
+
+    ``weight_mode="bits"`` (exact mass): binary decomposition — a row
+    with weight ``w`` emits one item per set bit ``b`` of ``w`` at
+    level ``2^b`` (synthetic id ``id·max_bits + b`` keeps pair leaders
+    unique). Total weight is conserved bit-for-bit, but the fan-out is
+    ``popcount(w) ≤ max_bits`` items per row (~12–25× for
+    cent-denominated revenue) — measured 8.7×/decade and the catalog's
+    heaviest row at sf10 before the r12 default flip (VERDICT r11 #1);
+    use only when exact total mass matters more than scale.
 
     Weights must be positive integers on the caller's chosen grid
     (cents for money — decimal-exact); rank queries against the
     survivors via :func:`kll_quantiles` return weighted quantiles.
     """
-    # pyspark's shiftleft/shiftright take a literal bit count, so the
-    # per-element bit tests run as SQL expressions (column bit counts
-    # are legal there)
-    bits = F.expr(
-        f"""filter(transform(sequence(0, {max_bits - 1}),
-               b -> CASE WHEN (_w0 & shiftleft(1L, b)) != 0
-                         THEN b ELSE -1 END),
-               x -> x >= 0)"""
-    )
-    cur = (
-        df.select(
+    if weight_mode == "round":
+        # l = bit_length(w) - 1 via length(bin(w)) — exact integer
+        # logic, no float log2; identical in DuckDB (bin()).
+        base = df.select(
             F.col(value_col).alias("v"),
-            F.col(id_col).alias("_id0"),
-            F.col(weight_col).cast("long").alias("_w0"),
+            F.col(id_col).alias("id"),
+            F.col(weight_col).cast("long").alias("_wz"),
+        ).withColumn("_l", (F.length(F.bin("_wz")) - 1).cast("int"))
+        # md5_32(id) mod 2^l is exactly uniform on [0, 2^l) (2^32 is a
+        # multiple of 2^l for l <= 32 < 40-bit weights' l), so the
+        # round-up probability is exactly r / 2^l in both engines.
+        coin = _md5_long(F.col("id").cast("string")) % F.expr(
+            "shiftleft(1L, _l)"
         )
-        .select("v", "_id0", F.explode(bits).alias("_bit"))
-        .select(
+        cur = base.select(
             "v",
-            (F.col("_id0") * max_bits + F.col("_bit")).alias("id"),
-            F.expr("shiftleft(1L, _bit)").alias("w"),
+            "id",
+            F.expr("shiftleft(1L, _l)").alias("_lo"),
+            coin.alias("_coin"),
+            F.col("_wz"),
+        ).select(
+            "v",
+            "id",
+            F.when(
+                F.col("_coin") < F.col("_wz") - F.col("_lo"),
+                F.col("_lo") * 2,
+            )
+            .otherwise(F.col("_lo"))
+            .alias("w"),
         )
-    )
+    elif weight_mode == "bits":
+        # pyspark's shiftleft/shiftright take a literal bit count, so
+        # the per-element bit tests run as SQL expressions (column bit
+        # counts are legal there)
+        bits = F.expr(
+            f"""filter(transform(sequence(0, {max_bits - 1}),
+                   b -> CASE WHEN (_w0 & shiftleft(1L, b)) != 0
+                             THEN b ELSE -1 END),
+                   x -> x >= 0)"""
+        )
+        cur = (
+            df.select(
+                F.col(value_col).alias("v"),
+                F.col(id_col).alias("_id0"),
+                F.col(weight_col).cast("long").alias("_w0"),
+            )
+            .select("v", "_id0", F.explode(bits).alias("_bit"))
+            .select(
+                "v",
+                (F.col("_id0") * max_bits + F.col("_bit")).alias("id"),
+                F.expr("shiftleft(1L, _bit)").alias("w"),
+            )
+        )
+    else:
+        raise ValueError(f"unknown weight_mode: {weight_mode!r}")
     for _ in range(rounds):
         cur = kll_compact_round(
             cur, "v", "id", "w", bucket_width=bucket_width

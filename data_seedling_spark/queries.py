@@ -117,42 +117,43 @@ _ANCHORS: tuple[str, ...] = (
     "stream_interval_join_clicks",
 )
 
-#: Rotating window slots — r11: every query MATERIALLY CHANGED this
-#: round (the two range_rank ranking rewrites, the bounded-df hybrid
-#: jaccard join + its md5-LSH-leg twin, the Arrow UDTF conversion, the
-#: three range_cumsum eval rewrites, the q64 materialize-once fix, the
-#: two zero-batch-guarded streaming queries) plus six r10 additions
-#: held for a second driver round. The r9/r10 TPC-DS batch
-#: (q36/q51/q67/q71/q77/q88) and bucketed_colocated_join rotated to
-#: the registry tail after going driver-green in r10. POLICY (enforced
+#: Rotating window slots — r12: every query MATERIALLY CHANGED this
+#: round (the weighted-KLL stochastic-rounding default, the md5-LSH
+#: hot-bucket cap) plus the heaviest r11 rewrites held for a second
+#: driver round. The bulk of the r11 batch (woe_iv, spearman,
+#: logreg_holdout_*, udtf, q64, streaming_dedup, price_histogram,
+#: quantile_drift, incremental_tdigest, tdigest_merge) rotated to the
+#: registry tail after going driver-green in r11. POLICY (enforced
 #: by tests/test_bench_contract.py::test_new_oracle_queries_enter_window
 #: against tools/registry_snapshot.txt): every oracle-backed query
 #: added during a round must be in _ROTATING before round end.
 #: Rows-only queries never rotate in (they would read as `err` in the
 #: driver window — see the minhash note above).
 _ROTATING: tuple[str, ...] = (
-    # r11 materially-changed queries:
-    "woe_iv_price_deciles",
-    "rfm_customer_segments",
-    "prefix_filter_jaccard_join",
+    # r12 materially-changed queries: the weighted-KLL default flipped
+    # to stochastic power-of-two rounding (one item per row — VERDICT
+    # r11 #1; oracle replays the md5 rounding coin) and the md5-LSH
+    # band join gained the hot-bucket salt-split cap (VERDICT r11 #2).
+    "kll_weighted_quantile_revenue",
+    "decayed_quantile_order_price",
     "minhash_md5_lsh_near_dup",
-    "udtf_token_spans",
-    "spearman_price_quantity",
-    "logreg_holdout_auc",
-    "logreg_holdout_prauc",
-    "tpcds_q64_snapshot_compare",
-    "streaming_dedup_exact",
-    # (stream_static_enrich also guard-touched; its zero-batch guard is
-    #  driver-covered by the three sibling streaming window entries)
+    # r11 rewrites held for a second driver round (window is fixed at
+    # 50 = anchors + 17 rotating slots; the six r10/r11 t-digest-path
+    # holdovers rotated to the registry tail after two green rounds):
+    "rfm_customer_segments",
     "theil_sen_trend_revenue",
-    # r11 late additions (distinct-value CDFs moved to range_cumsum):
+    "prefix_filter_jaccard_join",
     "ks_test_drift",
     "tdigest_centroids_orders",
     "price_histogram_equidepth",
-    # r10/r11 queries exercising the changed t-digest builder path:
+    "woe_iv_price_deciles",
+    "spearman_price_quantity",
+    "logreg_holdout_auc",
+    "logreg_holdout_prauc",
+    "udtf_token_spans",
+    "tpcds_q64_snapshot_compare",
+    "streaming_dedup_exact",
     "quantile_drift_tdigest",
-    "incremental_tdigest_maintenance",
-    "tdigest_merge_shards",
 )
 
 _PRIORITY: tuple[str, ...] = _ANCHORS + _ROTATING
