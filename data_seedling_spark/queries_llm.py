@@ -4022,10 +4022,16 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, b.b AS band,
              md5(array_to_string(sg[b.b*4 + 1 : b.b*4 + 4], ',')) AS bkey
       FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS b) b
+    ), salted AS (
+      SELECT doc_id, band, bkey,
+             CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+               % ((COUNT(*) OVER (PARTITION BY band, bkey) + 63) // 64) AS sub
+      FROM bandrows
     ), cands AS (
       SELECT x.doc_id AS doc_a, y.doc_id AS doc_b
-      FROM bandrows x JOIN bandrows y
-        ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id
+      FROM salted x JOIN salted y
+        ON x.band = y.band AND x.bkey = y.bkey AND x.sub = y.sub
+           AND x.doc_id < y.doc_id
       GROUP BY 1, 2
     )
     SELECT doc_a, doc_b,
@@ -4047,12 +4053,18 @@ def minhash_md5_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     full approximate pipeline here — signatures, band buckets, candidate
     generation, verification — hash-matches a DuckDB oracle, closing
     the auditability gap for the flagship near-dup operator (same md5
-    twin pattern as the HLL and count-min sketches)."""
+    twin pattern as the HLL and count-min sketches). r12: band buckets
+    larger than 64 members are salt-split into ceil(m/64) md5-decided
+    subgroups before the self-join (VERDICT r11 #2 — hot buckets grew
+    quadratically with the corpus, 7.2×/decade at sf10); the oracle
+    replays the split, and the recall trade is documented at
+    ``operators.dedup.band_bucket_candidates``."""
     from .operators.dedup import minhash_md5_lsh_pairs
 
     documents = load_table(spark, sf_dir, "documents")
     return minhash_md5_lsh_pairs(
-        documents, "text", "doc_id", num_perm=16, bands=4, threshold=0.8
+        documents, "text", "doc_id", num_perm=16, bands=4, threshold=0.8,
+        bucket_cap=64,
     )
 
 

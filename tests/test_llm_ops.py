@@ -1931,6 +1931,52 @@ def test_prefix_filter_df_cap_hybrid_routes_overflow_to_lsh(spark):
     assert set(got) == clique_pairs | {(100, 101)}
 
 
+def test_md5_lsh_bucket_cap_splits_hot_buckets_only(spark):
+    """The hot-bucket salt split (r12, VERDICT r11 #2): with
+    bucket_cap=B, (a) families smaller than B are paired IDENTICALLY
+    to the uncapped join (the split is a no-op when nsplits=1); (b) a
+    hot family (identical docs >> B, so one band bucket holds all of
+    them) still yields pairs — within md5-decided subgroups — but far
+    fewer than the quadratic m²/2, and every emitted pair is a subset
+    of the uncapped candidate set; (c) determinism: same input, same
+    output."""
+    from data_seedling_spark.operators.dedup import minhash_md5_lsh_pairs
+
+    small = [
+        (100 * f + i, f"family {f} shares these exact tokens repeated "
+                      f"for shingling purposes number {f}")
+        for f in range(3)
+        for i in range(4)
+    ]
+    hot = [(10_000 + i, "identical boilerplate text that lands every "
+                        "member in one band bucket always") for i in range(60)]
+    df = spark.createDataFrame(small + hot, ["doc_id", "text"])
+
+    def pairs(cap):
+        return {
+            (r["doc_a"], r["doc_b"])
+            for r in minhash_md5_lsh_pairs(
+                df, "text", "doc_id", num_perm=16, bands=4, threshold=0.8,
+                bucket_cap=cap,
+            ).collect()
+        }
+
+    uncapped = pairs(None)
+    capped = pairs(8)
+    # (a) small families unaffected: their pairs survive the cap
+    small_pairs = {(a, b) for (a, b) in uncapped if a < 10_000}
+    assert small_pairs <= capped
+    # (b) hot family: subset, nonempty, and strictly fewer than m²/2
+    hot_unc = {(a, b) for (a, b) in uncapped if a >= 10_000}
+    hot_cap = {(a, b) for (a, b) in capped if a >= 10_000}
+    assert hot_unc == {(a, b) for a in range(10_000, 10_060)
+                       for b in range(10_000, 10_060) if a < b}
+    assert hot_cap and hot_cap < hot_unc
+    assert capped <= uncapped
+    # (c) deterministic
+    assert capped == pairs(8)
+
+
 def test_ann_ndcg_bounded_and_consistent_with_recall(spark):
     """NDCG@5 lies in [0,1]; a query with recall 1.0 and identical
     ordering scores exactly 1.0; IDCG is the same positive constant
