@@ -291,13 +291,21 @@ def calibration_run(spark) -> float:
 
 def drift_ratio(calibration_sec: float, baseline_sec: float | None) -> float:
     """Bound-scaling factor for this pass: calibration time relative to
-    its recorded baseline, clamped to ±CALIBRATION_CLAMP. 1.0 when no
-    baseline exists yet (first run self-seeds)."""
+    its recorded baseline, clamped to [1.0, 1.0 + CALIBRATION_CLAMP].
+    1.0 when no baseline exists yet (first run self-seeds).
+
+    One-sided BY DESIGN (r11 ADVICE): bounds scale UP on a slow host
+    but never DOWN on a fast one. Every per-query baseline was
+    recorded under unknown (possibly loaded) host conditions, while
+    the calibration anchor was seeded idle — so a faster-than-anchor
+    pass says nothing about how loaded the box was when a given bound
+    was seeded, and ratcheting bounds down would reopen the
+    false-over-bound channel this feature exists to close."""
     if not baseline_sec or baseline_sec <= 0:
         return 1.0
     return min(
         1.0 + CALIBRATION_CLAMP,
-        max(1.0 - CALIBRATION_CLAMP, calibration_sec / baseline_sec),
+        max(1.0, calibration_sec / baseline_sec),
     )
 
 

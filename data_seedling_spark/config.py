@@ -86,6 +86,24 @@ TABLE_CONFIG: dict[str, TableConfig] = {
 PYTHON_ROWWISE_ALLOWED: frozenset[str] = frozenset({"udtf_token_spans"})
 
 
+#: Partition-less window detector — SINGLE SOURCE OF TRUTH shared by
+#: tools/plan_doctor.py and tests/test_plans.py (r11 ADVICE: the two
+#: copies could drift, and the old first-argument matcher ``[^,()]*``
+#: could not cross parentheses, so a global window whose ORDER BY
+#: expression was inlined rather than projected to a ``_w#`` attribute
+#: — ``windowspecdefinition(floor(x#1L) ASC ...)`` — escaped both
+#: gates). The first argument now tolerates up to two levels of nested
+#: parens (covers ``floor(x)``, ``cast(round(x, 0) as int)`` — Spark
+#: projects anything deeper to an attribute first); top-level commas
+#: still terminate it, so a partitioned window (partition column(s)
+#: before the ordered column) never matches.
+GLOBAL_WINDOW_PATTERN: str = (
+    r"windowspecdefinition\(\s*"
+    r"(?:[^,()]|\((?:[^()]|\([^()]*\))*\))*"
+    r"\s(?:ASC|DESC)[^)]*"
+)
+
+
 #: Global-window sanction list (VERDICT r10 #2) — queries whose plans
 #: legitimately contain a PARTITION-LESS window. The defect class this
 #: guards: ``row_number()/sum() OVER (ORDER BY ...)`` with no partition

@@ -74,8 +74,10 @@ def require_stream_progress(query, source_path: str | None = None) -> int:
     total input-row count across micro-batches and raises
     :class:`ZeroBatchStreamError` when it is zero despite a non-empty
     source. ``source_path`` bounds the check: if it is provided, is
-    local (or ``file:``), and holds no files, zero rows is legitimate
-    (genuinely empty source) and no error is raised; for non-local
+    local (or ``file:``), EXISTS, and holds no files, zero rows is
+    legitimate (genuinely empty source) and no error is raised — a
+    nonexistent path raises (r11 ADVICE: a typo'd source must not
+    silently pass the guard it exists to enforce); for non-local
     URIs emptiness cannot be cheaply stat'ed, so zero rows always
     raises — a false alarm on an empty remote source is the safe
     failure direction for a pipeline guard."""
@@ -90,18 +92,26 @@ def require_stream_progress(query, source_path: str | None = None) -> int:
     if source_path is not None:
         local = _local_fs_path(source_path)
         if local is not None:
-            has_files = os.path.isfile(local) or (
+            if not os.path.exists(local):
+                # A NONEXISTENT source is a caller bug (typo'd path),
+                # not a legitimately-empty source — the exact
+                # silent-empty class this guard exists to catch
+                # (r11 ADVICE): fall through to the raise.
+                pass
+            elif os.path.isfile(local) or (
                 os.path.isdir(local) and any(
                     e.is_file() or e.is_dir() for e in os.scandir(local)
                 )
-            )
-            if not has_files:
-                return 0
+            ):
+                pass  # non-empty source, zero rows: raise below
+            else:
+                return 0  # exists and genuinely empty: legitimate
     raise ZeroBatchStreamError(
         f"stream {query.name or query.id} terminated with zero input rows "
-        f"but its source {source_path!r} is non-empty: the source options "
-        "(pathGlobFilter vs directory layout, schema, path) selected no "
-        "files — failing loudly instead of returning an empty result"
+        f"but its source {source_path!r} is non-empty (or does not exist): "
+        "the source options (pathGlobFilter vs directory layout, schema, "
+        "path) selected no files — failing loudly instead of returning an "
+        "empty result"
     )
 
 

@@ -128,20 +128,23 @@ def test_new_oracle_queries_enter_window():
 
 
 def test_calibration_drift_scaling():
-    """VERDICT r10 #7: the over-bound check scales bounds by the
-    pass's calibration ratio, clamped to ±30%, so shared-box drift
-    stops producing false regressions (r10 needed a manual A/B for
-    four of them) while a real 2×+ plan regression still blows
-    through the 1.3× allowance."""
+    """VERDICT r10 #7 + r11 ADVICE: the over-bound check scales bounds
+    by the pass's calibration ratio, clamped to [1.0, 1.3] — bounds
+    scale UP on a slow host but never DOWN on a fast one (per-query
+    baselines were seeded under unknown load; a fast calibration pass
+    must not ratchet them tighter and reopen the false-over-bound
+    channel) — while a real 2×+ plan regression still blows through
+    the 1.3× allowance."""
     # no baseline yet → neutral (first run self-seeds)
     assert bench.drift_ratio(5.0, None) == 1.0
     assert bench.drift_ratio(5.0, 0) == 1.0
-    # in-range drift passes through
+    # slow-host drift passes through
     assert abs(bench.drift_ratio(2.4, 2.0) - 1.2) < 1e-9
-    assert abs(bench.drift_ratio(1.8, 2.0) - 0.9) < 1e-9
-    # clamped at ±CALIBRATION_CLAMP
+    # fast-host drift floors at neutral — bounds never tighten
+    assert bench.drift_ratio(1.8, 2.0) == 1.0
+    assert bench.drift_ratio(0.1, 2.0) == 1.0
+    # clamped at 1 + CALIBRATION_CLAMP
     assert bench.drift_ratio(10.0, 2.0) == 1.0 + bench.CALIBRATION_CLAMP
-    assert bench.drift_ratio(0.1, 2.0) == 1.0 - bench.CALIBRATION_CLAMP
 
 
 def test_calibration_baseline_well_formed():

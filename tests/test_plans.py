@@ -198,13 +198,36 @@ def test_interval_join_plans_as_equi_join(spark, reg):
 
 def _unpartitioned_windows(plan: str) -> list[str]:
     """Window specs with no partition columns: windowspecdefinition's
-    FIRST argument is already an ordered column (`col ASC/DESC ...`)
-    instead of a bare partition column."""
+    FIRST argument is already an ordered column/expression
+    (`expr ASC/DESC ...`) instead of a bare partition column. Single
+    source of truth in config.GLOBAL_WINDOW_PATTERN, shared with
+    tools/plan_doctor.py (r11 ADVICE)."""
     import re
 
-    return re.findall(
-        r"windowspecdefinition\(\s*[^,()]*\s(?:ASC|DESC)[^)]*", plan
-    )
+    from data_seedling_spark.config import GLOBAL_WINDOW_PATTERN
+
+    return re.findall(GLOBAL_WINDOW_PATTERN, plan)
+
+
+def test_global_window_regex_catches_inlined_expressions():
+    """r11 ADVICE: a partition-less window whose ORDER BY expression is
+    INLINED (parenthesised) rather than projected to a `_w#` attribute
+    must still be caught, while partitioned windows — including ones
+    whose partition key is itself a paren expression — must not."""
+    caught = [
+        "windowspecdefinition(x#1L ASC NULLS FIRST, specifiedwindowframe(...))",
+        "windowspecdefinition(floor(x#1L) ASC NULLS FIRST, specified...)",
+        "windowspecdefinition(cast(round(x#1, 0) as int) DESC NULLS LAST, s)",
+    ]
+    clean = [
+        "windowspecdefinition(k#5, x#1L ASC NULLS FIRST, specified...)",
+        "windowspecdefinition(floor(k#5L), x#1 ASC NULLS FIRST, s)",
+        "windowspecdefinition(k#5, j#6, x#1 DESC NULLS LAST, s)",
+    ]
+    for plan in caught:
+        assert _unpartitioned_windows(plan), plan
+    for plan in clean:
+        assert not _unpartitioned_windows(plan), plan
 
 
 def test_scale_safe_rankings_have_no_global_windows(spark, reg):

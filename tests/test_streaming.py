@@ -459,6 +459,27 @@ def test_zero_batch_guard_allows_genuinely_empty_source(spark, events_schema, tm
     assert require_stream_progress(q, base) == 0
 
 
+def test_zero_batch_guard_raises_on_nonexistent_source(
+    spark, events_schema, tmp_path
+):
+    """r11 ADVICE: a NONEXISTENT local source path (typo) must raise,
+    not slide through the empty-source branch — a typo'd path is a
+    caller bug, exactly the silent-empty class the guard catches."""
+    from data_seedling_spark.streaming.windows import (
+        ZeroBatchStreamError,
+        require_stream_progress,
+    )
+
+    base = str(tmp_path / "exists")
+    import os
+
+    os.makedirs(base)
+    stream = spark.readStream.schema(events_schema).parquet(base)
+    q = _drive_to_memory(spark, stream, f"zb_{uuid.uuid4().hex[:8]}")
+    with pytest.raises(ZeroBatchStreamError, match="zero input rows"):
+        require_stream_progress(q, str(tmp_path / "typo_never_created"))
+
+
 def test_read_events_stream_strips_file_scheme(spark, events_schema, tmp_path):
     """r10 ADVICE: a file:// URI naming a parquet DIRECTORY must take
     the directory branch (os.path.isdir sees through the scheme), not

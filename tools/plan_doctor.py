@@ -47,16 +47,16 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from data_seedling_spark.config import (  # noqa: E402
     GLOBAL_WINDOW_ALLOWED,
+    GLOBAL_WINDOW_PATTERN,
     PYTHON_ROWWISE_ALLOWED,
 )
 from data_seedling_spark.session import build_session  # noqa: E402
 
 #: windowspecdefinition whose FIRST argument is already an ordered
-#: column (`col ASC/DESC ...`) — i.e. no partition columns. Shared
-#: shape with tests/test_plans.py::_unpartitioned_windows.
-GLOBAL_WINDOW_RE = re.compile(
-    r"windowspecdefinition\(\s*[^,()]*\s(?:ASC|DESC)[^)]*"
-)
+#: column/expression (`expr ASC/DESC ...`) — i.e. no partition
+#: columns. Single source of truth in config (shared with
+#: tests/test_plans.py so the two gates cannot disagree).
+GLOBAL_WINDOW_RE = re.compile(GLOBAL_WINDOW_PATTERN)
 
 
 def audit_plan(plan: str) -> dict:
