@@ -243,12 +243,48 @@ def range_rank(
     )
 
 
+def range_rank_multi(
+    df: DataFrame,
+    specs: list[tuple[str, str, tuple[str, ...], "F.Column"]],
+) -> DataFrame:
+    """Several independent :func:`range_rank` axes over ONE base frame
+    — ``specs`` is ``[(rank_col, order_col, tie_cols, bucket_expr)]``.
+
+    Composing ``range_rank`` calls nests them: pass N's offsets branch
+    (a groupBy count over pass N's *input*) re-executes passes 1..N-1's
+    rank joins and windows just to count buckets — measured ~1.2 s of
+    pure constant at sf0.1 for rfm's three axes (VERDICT r11 #3). Here
+    every bucket column is attached to the base frame first, every
+    offsets frame derives from that SHARED frame (bucket counts only —
+    no nested rank work), and the rank windows then apply sequentially.
+    Output is column-for-column identical to the nested composition:
+    each axis's rank depends only on its own (order, ties, bucket)
+    columns, never on another axis's rank.
+    """
+    bucket_cols = []
+    bucketed = df
+    for rank_col, _order, _ties, bexpr in specs:
+        bcol = f"_rb_{rank_col}"
+        bucket_cols.append(bcol)
+        bucketed = bucketed.withColumn(bcol, bexpr.cast("long"))
+    out = bucketed
+    for (rank_col, order_col, tie_cols, _bexpr), bcol in zip(
+        specs, bucket_cols
+    ):
+        offsets = _cumulative_offsets(bucketed.groupBy(bcol).count(), bcol)
+        w = W.partitionBy(bcol).orderBy(order_col, *tie_cols)
+        out = out.join(F.broadcast(offsets), bcol).withColumn(
+            rank_col, (F.row_number().over(w) + F.col("_offset")).cast("long")
+        ).drop("_offset")
+    return out.drop(*bucket_cols)
+
+
 def range_cumsum(
     df: DataFrame,
     order_col: str,
-    weight_col: str,
+    weight_col,
     bucket_expr=None,
-    out_col: str = "_cumsum",
+    out_col="_cumsum",
     inclusive: bool = False,
 ) -> DataFrame:
     """Running sum of ``weight_col`` in ``order_col`` order WITHOUT a
@@ -266,26 +302,50 @@ def range_cumsum(
     runs the running sum within buckets in parallel. ``inclusive``
     selects between ``ROWS UNBOUNDED PRECEDING AND CURRENT ROW`` and
     ``... AND 1 PRECEDING`` (exclusive, 0 for the first value).
+
+    ``weight_col`` / ``out_col`` also accept equal-length LISTS (r12,
+    VERDICT r11 #3): several running sums over the SAME order column
+    share one bucket count, one offsets broadcast, and one window —
+    chaining two single-weight calls instead makes call 2's offsets
+    branch re-execute call 1's whole join+window (the measured
+    constant behind the ks_test / PR-AUC r11 overhead), and doubles
+    the shuffles.
     """
-    weight = F.col(weight_col)
+    multi = not isinstance(weight_col, str)
+    weights = list(weight_col) if multi else [weight_col]
+    outs = list(out_col) if multi else [out_col]
+    if len(weights) != len(outs):
+        raise ValueError("weight_col and out_col lists must align")
     b = bucket_expr if bucket_expr is not None else F.floor(F.col(order_col))
     bucketed = df.withColumn("_cb", b.cast("long"))
-    per_bucket = bucketed.groupBy("_cb").agg(F.sum(weight).alias("count"))
-    offsets = _cumulative_offsets(per_bucket, "_cb")
+    per_bucket = bucketed.groupBy("_cb").agg(
+        *[F.sum(F.col(wc)).alias(f"_pb{i}") for i, wc in enumerate(weights)]
+    )
+    a, pb = per_bucket.alias("a"), per_bucket.alias("b")
+    offsets = (
+        a.join(F.broadcast(pb), F.col("b._cb") < F.col("a._cb"), "left")
+        .groupBy(F.col("a._cb").alias("_cb"))
+        .agg(
+            *[
+                F.coalesce(F.sum(f"b._pb{i}"), F.lit(0)).alias(f"_offset{i}")
+                for i in range(len(weights))
+            ]
+        )
+    )
     hi = 0 if inclusive else -1
     w = (
         W.partitionBy("_cb")
         .orderBy(order_col)
         .rowsBetween(W.unboundedPreceding, hi)
     )
-    return (
-        bucketed.join(F.broadcast(offsets), "_cb")
-        .withColumn(
-            out_col,
-            F.coalesce(F.sum(weight).over(w), F.lit(0)) + F.col("_offset"),
+    out = bucketed.join(F.broadcast(offsets), "_cb")
+    for i, (wc, oc) in enumerate(zip(weights, outs)):
+        out = out.withColumn(
+            oc,
+            F.coalesce(F.sum(F.col(wc)).over(w), F.lit(0))
+            + F.col(f"_offset{i}"),
         )
-        .drop("_cb", "_offset")
-    )
+    return out.drop("_cb", *[f"_offset{i}" for i in range(len(weights))])
 
 
 def quota_sample(

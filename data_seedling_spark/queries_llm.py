@@ -8805,13 +8805,13 @@ def logreg_holdout_prauc(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ROWS UNBOUNDED PRECEDING AND CURRENT ROW over p DESC.
     neg = perp.withColumn("_negp", -F.col("p"))
     neg_bucket = F.floor(F.col("_negp") * 100)
+    # Both running sums in ONE range_cumsum pass (r12): shared bucket
+    # counts/offsets/window instead of the second call's offsets
+    # branch re-executing the first (VERDICT r11 #3).
     cum = range_cumsum(
-        neg, "_negp", "cnt",
-        bucket_expr=neg_bucket, out_col="cum_cnt", inclusive=True,
-    )
-    cum = range_cumsum(
-        cum, "_negp", "pos",
-        bucket_expr=neg_bucket, out_col="cum_pos", inclusive=True,
+        neg, "_negp", ["cnt", "pos"],
+        bucket_expr=neg_bucket, out_col=["cum_cnt", "cum_pos"],
+        inclusive=True,
     )
     tot = perp.agg(
         F.sum("pos").alias("np"), F.sum("cnt").alias("ntot")

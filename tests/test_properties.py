@@ -342,6 +342,57 @@ def test_range_rank_equals_global_row_number(spark, vals, width):
 @given(
     vals=st.lists(
         st.tuples(
+            st.integers(min_value=-1000, max_value=1000),  # axis 1
+            st.integers(min_value=-50, max_value=50),      # axis 2
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    width=st.sampled_from([1, 7, 10_000]),
+)
+def test_range_rank_multi_equals_per_axis_global_row_number(
+    spark, vals, width
+):
+    """range_rank_multi's contract (r12, the shared-offsets fusion of
+    several range_rank axes — what rfm relies on): for ANY frame and
+    ANY bucket width, every axis's rank equals its own global
+    row_number() OVER (ORDER BY axis, id) — identical to composing
+    nested range_rank calls, with all offsets frames derived from the
+    shared base."""
+    from pyspark.sql import Window as W
+
+    from data_seedling_spark.operators.sampling import range_rank_multi
+
+    rows = [
+        Row(a=v, b=w, id=i)
+        for i, (v, w) in enumerate(sorted(set(vals)))
+    ]
+    df = spark.createDataFrame(rows, "a long, b long, id long")
+    got = {
+        (r["a"], r["b"], r["id"]): (r["ra"], r["rb"])
+        for r in range_rank_multi(
+            df,
+            [
+                ("ra", "a", ("id",), F.floor(F.col("a") / width)),
+                ("rb", "b", ("id",), F.col("b")),
+            ],
+        ).collect()
+    }
+    want = {
+        (r["a"], r["b"], r["id"]): (r["ra"], r["rb"])
+        for r in df.select(
+            "a", "b", "id",
+            F.row_number().over(W.orderBy("a", "id")).alias("ra"),
+            F.row_number().over(W.orderBy("b", "id")).alias("rb"),
+        ).collect()
+    }
+    assert got == want
+
+
+@slow
+@given(
+    vals=st.lists(
+        st.tuples(
             st.integers(min_value=-1000, max_value=1000),  # order value
             st.integers(min_value=1, max_value=9),         # weight
         ),
@@ -384,6 +435,36 @@ def test_range_cumsum_equals_global_running_sum(spark, vals, width, inclusive):
         ).collect()
     }
     assert got == want
+
+
+def test_range_cumsum_multi_weight_equals_chained_singles(spark):
+    """The list form (r12): two running sums over the same order
+    column in one pass must equal two chained single-weight calls —
+    same windows, shared bucket counts/offsets (what ks_test_drift
+    and the PR-AUC accumulation rely on)."""
+    from data_seedling_spark.operators.sampling import range_cumsum
+
+    rows = [Row(val=v, a=v % 5 + 1, b=(v * 7) % 3 + 1) for v in range(40)]
+    df = spark.createDataFrame(rows, "val long, a long, b long")
+    bexpr = F.floor(F.col("val") / 7)
+    fused = {
+        r["val"]: (r["ca"], r["cb"])
+        for r in range_cumsum(
+            df, "val", ["a", "b"], bucket_expr=bexpr,
+            out_col=["ca", "cb"], inclusive=True,
+        ).collect()
+    }
+    chained = range_cumsum(
+        df, "val", "a", bucket_expr=bexpr, out_col="ca", inclusive=True
+    )
+    chained = {
+        r["val"]: (r["ca"], r["cb"])
+        for r in range_cumsum(
+            chained, "val", "b", bucket_expr=bexpr, out_col="cb",
+            inclusive=True,
+        ).collect()
+    }
+    assert fused == chained
 
 
 @slow
