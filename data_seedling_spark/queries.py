@@ -137,6 +137,7 @@ _ROTATING: tuple[str, ...] = (
     "kll_weighted_quantile_revenue",
     "decayed_quantile_order_price",
     "minhash_md5_lsh_near_dup",
+    "poisson_bootstrap_ci",
     # r11 rewrites held for a second driver round (window is fixed at
     # 50 = anchors + 17 rotating slots; the six r10/r11 t-digest-path
     # holdovers rotated to the registry tail after two green rounds):
@@ -153,7 +154,6 @@ _ROTATING: tuple[str, ...] = (
     "udtf_token_spans",
     "tpcds_q64_snapshot_compare",
     "streaming_dedup_exact",
-    "quantile_drift_tdigest",
 )
 
 _PRIORITY: tuple[str, ...] = _ANCHORS + _ROTATING

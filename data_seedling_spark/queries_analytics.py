@@ -6131,8 +6131,8 @@ def markov_attribution_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: cumulative Poisson(1) thresholds (shared literals in both engines):
-#: a uniform u maps to weight = number of thresholds below u (0..9).
+#: cumulative Poisson(1) thresholds: a uniform u maps to weight =
+#: number of thresholds below u (0..9).
 _POIS1_CUM = (
     0.3678794411714423, 0.7357588823428846, 0.9196986029286058,
     0.9810118431238462, 0.9963401531726563, 0.9994058151824183,
@@ -6140,32 +6140,42 @@ _POIS1_CUM = (
     0.9999998885745217,
 )
 
+#: the same thresholds on the 32-bit INTEGER grid (shared literals in
+#: both engines): the md5 word h ~ U{0..2^32-1} replaces the uniform
+#: directly — ``h > round(t * 2^32)`` is one long compare per
+#: threshold, no division and no double comparison in the 200×-row
+#: hot loop (r12: the double path was ~35% of the replica-expansion
+#: stage's CPU).
+_POIS1_THRESH = tuple(int(round(t * 4294967296)) for t in _POIS1_CUM)
+
 
 @query(
     "poisson_bootstrap_ci",
     oracle=f"""
-    WITH reps AS (
-      SELECT o.o_orderkey, o.o_totalprice, b.b,
-             (CAST('0x' || substr(md5('boot:' || CAST(b.b AS VARCHAR) || ':'
-                                       || CAST(o.o_orderkey AS VARCHAR)), 1, 8)
-                   AS BIGINT) + 0.5) / 4294967296.0 AS u
-      FROM orders o
+    WITH oc AS (
+      SELECT o_orderkey,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ), reps AS (
+      SELECT o.o_orderkey, o.cents, b.b,
+             CAST('0x' || substr(md5('boot:' || CAST((b.b - 1) // 4 AS VARCHAR)
+                                      || ':' || CAST(o.o_orderkey AS VARCHAR)),
+                                 1 + 8 * CAST((b.b - 1) % 4 AS INT), 8)
+                  AS BIGINT) AS h
+      FROM oc o
       CROSS JOIN (SELECT unnest(range(1, 201)) AS b) b
     ), weighted AS (
-      SELECT b, o_totalprice,
-             {" + ".join(f"CAST(u > {t!r} AS INT)" for t in _POIS1_CUM)} AS w
+      SELECT b, cents,
+             {" + ".join(f"CAST(h > {t} AS INT)" for t in _POIS1_THRESH)} AS w
       FROM reps
     ), means AS (
-      SELECT b,
-             CAST(SUM(w * CAST(ROUND(o_totalprice, 2) AS DECIMAL(18,2)))
-                  AS DOUBLE) / SUM(w) AS m
+      SELECT b, CAST(SUM(w * cents) AS DOUBLE) / (100.0 * SUM(w)) AS m
       FROM weighted GROUP BY b
     ), ranked AS (
       SELECT m, ROW_NUMBER() OVER (ORDER BY m, b) AS rk FROM means
     ), pt AS (
-      SELECT CAST(SUM(CAST(ROUND(o_totalprice, 2) AS DECIMAL(18,2))) AS DOUBLE)
-               / COUNT(*) AS point_mean
-      FROM orders
+      SELECT CAST(SUM(cents) AS DOUBLE) / (100.0 * COUNT(*)) AS point_mean
+      FROM oc
     )
     SELECT round(pt.point_mean, 6) AS point_mean,
            round(lo.m, 6) AS ci_lo, round(hi.m, 6) AS ci_hi,
@@ -6192,54 +6202,62 @@ def poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the x200 row expansion never materializes — it feeds a
     map-side-combinable aggregate straight to 200 groups; data is
     read once no matter how many replicas (B is a CPU knob, not an
-    I/O knob)."""
+    I/O knob). The CPU knob itself is amortized 4× (r12): one md5
+    yields 128 bits = FOUR 32-bit uniforms, so replica ``b`` draws
+    from hex window ``(b-1) mod 4`` of ``md5('boot:' || (b-1)//4 ||
+    ':' || key)`` — 50 md5 calls per row instead of 200, the same
+    multi-draw-per-hash trick as the MinHash signature fold. The sf10
+    probe read 216 s before (3.0e9 md5s, pure linear CPU at fixed
+    cores); ~4× less after."""
     from data_seedling_spark.operators.dedup import scale_out
 
     orders = load_table(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_totalprice"
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
     )
     # The ×200 replica fan-out multiplies per-row CPU (md5 + inverse
     # CDF), so parallelism must not stay chained to the input split
     # count — a one-file sf0.1 scan would run the whole 30M-row
     # expansion on a single core (measured 52 s → ~2 s at 32-way).
-    reps = scale_out(orders).withColumn(
-        "b", F.explode(F.sequence(F.lit(1), F.lit(200)))
-    ).withColumn(
-        "u",
-        (
-            F.conv(
-                F.substring(
-                    F.md5(
-                        F.concat(
-                            F.lit("boot:"),
-                            F.col("b").cast("string"),
-                            F.lit(":"),
-                            F.col("o_orderkey").cast("string"),
-                        )
-                    ),
-                    1,
-                    8,
-                ),
-                16,
-                10,
-            ).cast("bigint")
-            + F.lit(0.5)
+    # Two-level explode so the md5 computes ONCE per hash group k and
+    # its four 32-bit windows feed replicas 4k+1..4k+4; all hot-loop
+    # arithmetic is INTEGER (cent-grid sums, long threshold compares)
+    # — the r12 probe measured the decimal(18,2) multiply + double
+    # uniform of the old spelling at ~2/3 of the whole query's sf10
+    # wall (216 s → 62 s after this rewrite).
+    reps = (
+        scale_out(orders)
+        .withColumn("_k", F.explode(F.sequence(F.lit(0), F.lit(49))))
+        .withColumn(
+            "_h",
+            F.md5(
+                F.concat(
+                    F.lit("boot:"),
+                    F.col("_k").cast("string"),
+                    F.lit(":"),
+                    F.col("o_orderkey").cast("string"),
+                )
+            ),
         )
-        / F.lit(4294967296.0),
+        .withColumn("_s", F.explode(F.sequence(F.lit(0), F.lit(3))))
+        .withColumn("b", F.col("_k") * 4 + F.col("_s") + 1)
+        .withColumn(
+            "h",
+            F.conv(
+                F.expr("substring(_h, 1 + 8 * _s, 8)"), 16, 10
+            ).cast("bigint"),
+        )
     )
     w = sum(
-        (F.col("u") > F.lit(t)).cast("int") for t in _POIS1_CUM
+        (F.col("h") > F.lit(t)).cast("int") for t in _POIS1_THRESH
     )
     means = (
         reps.withColumn("w", w)
         .groupBy("b")
         .agg(
             (
-                F.sum(
-                    F.col("w")
-                    * F.round("o_totalprice", 2).cast("decimal(18,2)")
-                ).cast("double")
-                / F.sum("w")
+                F.sum(F.col("w") * F.col("cents")).cast("double")
+                / (F.lit(100.0) * F.sum("w"))
             ).alias("m")
         )
     )
@@ -6250,10 +6268,7 @@ def poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pt = orders.agg(
         (
-            F.sum(F.round("o_totalprice", 2).cast("decimal(18,2)")).cast(
-                "double"
-            )
-            / F.count("*")
+            F.sum("cents").cast("double") / (F.lit(100.0) * F.count("*"))
         ).alias("point_mean")
     )
     lo = ranked.where(F.col("rk") == 5).select(F.col("m").alias("ci_lo"))
