@@ -251,6 +251,12 @@ HEADLINE = [
     "tpcds_q14_cross_channel_sales",
     "tpcds_q64_snapshot_compare",
     "salted_skew_join",
+    # r12: the weighted-quantile pair joins the headline set now that
+    # the stochastic power-of-two rounding makes them KLL-sketch-cost
+    # (the former bit-decomposition path was deliberately kept out —
+    # 11.5 s at sf0.1 would have dominated a bench pass).
+    "kll_weighted_quantile_revenue",
+    "decayed_quantile_order_price",
 ]
 
 
