@@ -395,15 +395,11 @@ def prefix_filter_jaccard_pairs(
         sh_over = sh.join(overflow_ids, id_col, "semi")
         sig = minhash_md5_signatures_from_shingles(sh_over, "s", id_col, 16)
         bandrows = md5_band_rows(sig, id_col, num_perm=16, bands=4)
-        lsh_cands = (
-            bandrows.alias("x")
-            .join(bandrows.alias("y"), ["band", "bkey"])
-            .where(F.col(f"x.{id_col}") < F.col(f"y.{id_col}"))
-            .select(
-                F.col(f"x.{id_col}").alias("doc_a"),
-                F.col(f"y.{id_col}").alias("doc_b"),
-            )
-        )
+        # Uncapped on purpose: this leg bands only the overflow-doc
+        # subset (docs owning a df>cap prefix token), and the hybrid's
+        # oracle replays the plain bucket join — the standalone md5-LSH
+        # query is where the hot-bucket salt split applies.
+        lsh_cands = band_bucket_candidates(bandrows, id_col, bucket_cap=None)
         cands = cands.unionByName(lsh_cands).distinct()
     x = sh.select(F.col(id_col).alias("doc_a"), F.col("s").alias("_sa"))
     y = sh.select(F.col(id_col).alias("doc_b"), F.col("s").alias("_sb"))
