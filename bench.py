@@ -257,6 +257,9 @@ HEADLINE = [
     # 11.5 s at sf0.1 would have dominated a bench pass).
     "kll_weighted_quantile_revenue",
     "decayed_quantile_order_price",
+    # r12: ExactSubstr-style duplicated-span removal (any-alignment
+    # sibling of chunk_dedup_documents).
+    "exact_substring_dedup_documents",
 ]
 
 

@@ -815,6 +815,115 @@ def chunk_dedup(
     )
 
 
+def exact_substring_dedup(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    span_words: int = 15,
+) -> DataFrame:
+    """Exact duplicated-SPAN removal at any token offset — the
+    fixed-window form of ExactSubstr dedup (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"):
+    every ``span_words``-token window (stride 1) hashes to a seed; a
+    seed occurring at ≥2 positions corpus-wide marks a duplicated
+    region; per document the non-keeper seed positions merge into
+    maximal spans (gaps-and-islands), and the covered tokens are
+    removed — the globally-first occurrence ``min(doc, pos)`` of each
+    seed is the keeper, so exactly one copy of every duplicated
+    region survives. Unlike :func:`chunk_dedup` (C4-style fixed
+    NON-overlapping chunks) this catches duplicates at ANY alignment;
+    unlike true suffix-array ExactSubstr the duplicate length
+    granularity is fixed at ``span_words`` (regions shorter than one
+    window are kept, longer regions are covered by their run of
+    consecutive seeds) — the standard sliding-fingerprint trade that
+    keeps the operator one linear scan + one hash shuffle.
+
+    Returns ``(id, clean_text, n_removed_tokens)``.
+
+    Scale: the window explode is a ~tokens-per-doc × 1 linear
+    expansion (row-local md5s, parallelised via :func:`scale_out`);
+    the seed groupBy shuffles (hash, id, pos) triples keyed by hash;
+    island-merge windows partition by DOCUMENT (bounded by document
+    length, never corpus-sized); span containment tests run as
+    nested JVM lambdas over the per-doc span array (O(tokens ×
+    spans), both document-bounded). Every stage is md5/min/integer
+    arithmetic — a SQL oracle replays it exactly.
+    """
+    from pyspark.sql import Window
+
+    L = span_words
+    base = (
+        scale_out(df)
+        .select(
+            F.col(id_col),
+            F.col(text_col).alias("_text"),
+            F.split(F.col(text_col), " ").alias("_w"),
+        )
+        .withColumn("_n", F.size("_w"))
+        .persist()  # two consumers (seed scan + final reassembly);
+        # cache ownership passes to the caller, as across this package
+    )
+    occ = (
+        base.where(F.col("_n") >= L)
+        .select(
+            id_col,
+            F.explode(F.sequence(F.lit(1), F.col("_n") - L + 1)).alias("pos"),
+            "_w",
+        )
+        .select(
+            id_col,
+            "pos",
+            F.md5(F.array_join(F.slice("_w", F.col("pos"), L), " ")).alias(
+                "_key"
+            ),
+        )
+    )
+    keepers = occ.groupBy("_key").agg(
+        F.count("*").alias("_cnt"),
+        F.min(
+            F.struct(F.col(id_col).alias("kid"), F.col("pos").alias("kpos"))
+        ).alias("_keep"),
+    )
+    dup_occ = (
+        occ.join(keepers.where(F.col("_cnt") >= 2).select("_key", "_keep"), "_key")
+        .where(
+            ~(
+                (F.col(id_col) == F.col("_keep.kid"))
+                & (F.col("pos") == F.col("_keep.kpos"))
+            )
+        )
+        .select(id_col, "pos")
+    )
+    wdoc = Window.partitionBy(id_col).orderBy("pos")
+    brk = (
+        F.col("pos") - F.lag("pos", 1, -1_000_000_000).over(wdoc) > L
+    ).cast("int")
+    spans = (
+        dup_occ.withColumn("_b", brk)
+        .withColumn("_isl", F.sum("_b").over(wdoc))
+        .groupBy(id_col, "_isl")
+        .agg(F.min("pos").alias("s"), (F.max("pos") + L - 1).alias("e"))
+        .groupBy(id_col)
+        .agg(F.collect_list(F.struct("s", "e")).alias("_spans"))
+    )
+    covered = lambda i: F.exists(  # noqa: E731 - token-index containment
+        F.col("_spans"), lambda sp: (i >= sp["s"]) & (i <= sp["e"])
+    )
+    kept = F.filter(
+        F.col("_w"), lambda tok, idx: ~covered(idx + F.lit(1))
+    )
+    return base.join(spans, id_col, "left").select(
+        id_col,
+        F.when(F.col("_spans").isNull(), F.col("_text"))
+        .otherwise(F.array_join(kept, " "))
+        .alias("clean_text"),
+        F.when(F.col("_spans").isNull(), F.lit(0))
+        .otherwise(F.size("_w") - F.size(kept))
+        .cast("long")
+        .alias("n_removed_tokens"),
+    )
+
+
 def _md5_perm_hash(i: int, s):
     """Permutation *i* of shingle *s* as a 60-bit integer. Two
     permutations per md5 call: md5 yields 128 bits, so perm 2k / 2k+1

@@ -138,6 +138,9 @@ _ROTATING: tuple[str, ...] = (
     "decayed_quantile_order_price",
     "minhash_md5_lsh_near_dup",
     "poisson_bootstrap_ci",
+    # r12 addition: ExactSubstr-style duplicated-span removal (new
+    # oracle-backed query -> must enter the window per the policy).
+    "exact_substring_dedup_documents",
     # r11 rewrites held for a second driver round (window is fixed at
     # 50 = anchors + 17 rotating slots; the six r10/r11 t-digest-path
     # holdovers rotated to the registry tail after two green rounds):
@@ -151,7 +154,6 @@ _ROTATING: tuple[str, ...] = (
     "spearman_price_quantity",
     "logreg_holdout_auc",
     "logreg_holdout_prauc",
-    "udtf_token_spans",
     "tpcds_q64_snapshot_compare",
     "streaming_dedup_exact",
 )

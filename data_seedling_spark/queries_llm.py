@@ -1134,6 +1134,79 @@ def chunk_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "exact_substring_dedup_documents",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, text, string_split(text, ' ') AS w,
+             len(string_split(text, ' ')) AS n
+      FROM documents
+    ), occ AS (
+      SELECT doc_id, u.pos, u.key FROM (
+        SELECT doc_id,
+               unnest([{'pos': i,
+                        'key': md5(array_to_string(w[i : i + 14], ' '))}
+                       FOR i IN range(1, n - 15 + 2)]) AS u
+        FROM t WHERE n >= 15
+      )
+    ), ranked AS (
+      SELECT doc_id, pos,
+             ROW_NUMBER() OVER (PARTITION BY key ORDER BY doc_id, pos) AS rk,
+             COUNT(*) OVER (PARTITION BY key) AS cnt
+      FROM occ
+    ), dup_occ AS (
+      SELECT doc_id, pos FROM ranked WHERE cnt >= 2 AND rk > 1
+    ), brk AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos - COALESCE(lag(pos) OVER
+                    (PARTITION BY doc_id ORDER BY pos), -1000000000) > 15
+                  THEN 1 ELSE 0 END AS b
+      FROM dup_occ
+    ), isl AS (
+      SELECT doc_id, pos,
+             SUM(b) OVER (PARTITION BY doc_id ORDER BY pos) AS g
+      FROM brk
+    ), spans AS (
+      SELECT doc_id, MIN(pos) AS s, MAX(pos) + 15 - 1 AS e
+      FROM isl GROUP BY doc_id, g
+    ), sp AS (
+      SELECT doc_id, list({'s': s, 'e': e}) AS spans
+      FROM spans GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           CASE WHEN sp.spans IS NULL THEN t.text
+                ELSE COALESCE(array_to_string(
+                  [t.w[i] FOR i IN range(1, t.n + 1)
+                   IF len(list_filter(sp.spans,
+                          x -> i >= x.s AND i <= x.e)) = 0], ' '), '')
+           END AS clean_text,
+           CAST(CASE WHEN sp.spans IS NULL THEN 0
+                ELSE len([i FOR i IN range(1, t.n + 1)
+                          IF len(list_filter(sp.spans,
+                                 x -> i >= x.s AND i <= x.e)) > 0])
+                END AS BIGINT) AS n_removed_tokens
+    FROM t LEFT JOIN sp USING (doc_id)
+    """,
+    tags=("dedup-substring", "exactsubstr"),
+)
+def exact_substring_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr-style duplicated-SPAN removal at ANY token offset
+    (Lee et al. 2022), fixed 15-token window granularity: sliding
+    md5 window seeds → corpus-wide duplicate seeds → per-doc
+    gaps-and-islands span merge → keeper-preserving removal (the
+    globally-first occurrence of each seed survives, so exactly one
+    copy of every duplicated region remains in the corpus). The
+    boundary-robust sibling of ``chunk_dedup_documents`` (C4 chunks
+    miss duplicates straddling fixed chunk boundaries; this catches
+    every alignment). Whole pipeline is md5/min/integer arithmetic —
+    hash-checked against the unrolled SQL oracle
+    (operators.dedup.exact_substring_dedup)."""
+    from .operators.dedup import exact_substring_dedup
+
+    documents = load_table(spark, sf_dir, "documents")
+    return exact_substring_dedup(documents, "text", "doc_id", span_words=15)
+
+
+@query(
     "pq_ann_topk",
     oracle="""
     WITH st AS (

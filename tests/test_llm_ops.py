@@ -1931,6 +1931,45 @@ def test_prefix_filter_df_cap_hybrid_routes_overflow_to_lsh(spark):
     assert set(got) == clique_pairs | {(100, 101)}
 
 
+def test_exact_substring_dedup_spans_any_alignment(spark):
+    """ExactSubstr-style span removal (r12): a duplicated ≥L-token
+    region is removed from every occurrence EXCEPT the globally-first
+    one, at ANY alignment (here the copy sits mid-document, offset by
+    a prefix no chunk boundary would align with); non-duplicated text
+    and short documents are untouched; islands merge runs of
+    overlapping seeds into one maximal span."""
+    from data_seedling_spark.operators.dedup import exact_substring_dedup
+
+    dup = " ".join(f"dup{i}" for i in range(20))        # 20-token region
+    rows = [
+        (1, f"{dup} tail one two three"),               # keeper (min doc)
+        (2, f"lead la lb lc ld {dup} coda x y"),        # misaligned copy
+        (3, "totally unrelated words that repeat nothing at all here"),
+        (4, "short doc"),                               # < L tokens
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r["doc_id"]: (r["clean_text"], r["n_removed_tokens"])
+        for r in exact_substring_dedup(df, "text", "doc_id", span_words=15)
+        .collect()
+    }
+    # keeper doc unchanged
+    assert out[1] == (rows[0][1], 0)
+    # copy: the whole 20-token region removed as ONE merged span
+    # (6 consecutive seeds -> one island), surroundings kept
+    assert out[2] == ("lead la lb lc ld coda x y", 20)
+    # untouched docs
+    assert out[3] == (rows[2][1], 0)
+    assert out[4] == (rows[3][1], 0)
+
+    # intra-document repeats: second occurrence removed, first kept
+    one_doc = [(7, f"{dup} mid {dup}")]
+    df2 = spark.createDataFrame(one_doc, ["doc_id", "text"])
+    out2 = exact_substring_dedup(df2, "text", "doc_id", span_words=15).collect()[0]
+    assert out2["clean_text"] == f"{dup} mid"
+    assert out2["n_removed_tokens"] == 20
+
+
 def test_md5_lsh_bucket_cap_splits_hot_buckets_only(spark):
     """The hot-bucket salt split (r12, VERDICT r11 #2): with
     bucket_cap=B, (a) families smaller than B are paired IDENTICALLY
