@@ -258,8 +258,10 @@ HEADLINE = [
     "kll_weighted_quantile_revenue",
     "decayed_quantile_order_price",
     # r12: ExactSubstr-style duplicated-span removal (any-alignment
-    # sibling of chunk_dedup_documents).
+    # sibling of chunk_dedup_documents) and the GPT-3-style 13-gram
+    # decontamination report.
     "exact_substring_dedup_documents",
+    "ngram_decontamination_check",
 ]
 
 

@@ -138,9 +138,11 @@ _ROTATING: tuple[str, ...] = (
     "decayed_quantile_order_price",
     "minhash_md5_lsh_near_dup",
     "poisson_bootstrap_ci",
-    # r12 addition: ExactSubstr-style duplicated-span removal (new
-    # oracle-backed query -> must enter the window per the policy).
+    # r12 additions: ExactSubstr-style duplicated-span removal and the
+    # GPT-3-style 13-gram decontamination report (new oracle-backed
+    # queries -> must enter the window per the policy).
     "exact_substring_dedup_documents",
+    "ngram_decontamination_check",
     # r11 rewrites held for a second driver round (window is fixed at
     # 50 = anchors + 17 rotating slots; the six r10/r11 t-digest-path
     # holdovers rotated to the registry tail after two green rounds):
@@ -149,7 +151,6 @@ _ROTATING: tuple[str, ...] = (
     "prefix_filter_jaccard_join",
     "ks_test_drift",
     "tdigest_centroids_orders",
-    "price_histogram_equidepth",
     "woe_iv_price_deciles",
     "spearman_price_quantity",
     "logreg_holdout_auc",

@@ -746,6 +746,108 @@ def split_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "ngram_decontamination_check",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+                          ' ') AS w,
+             len(string_split(trim(regexp_replace(lower(text), '\\s+', ' ',
+                          'g')), ' ')) AS n,
+             CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                       AS BIGINT) % 100 < 90
+                  THEN 'train' ELSE 'holdout' END AS split
+      FROM documents
+    ), occ AS (
+      SELECT doc_id, split, n, u.key FROM (
+        SELECT doc_id, split, n,
+               unnest([{'key': md5(array_to_string(w[i : i + 12], ' '))}
+                       FOR i IN range(1, n - 13 + 2)]) AS u
+        FROM t WHERE n >= 13
+      )
+    ), tk AS (
+      SELECT DISTINCT key FROM occ WHERE split = 'train'
+    )
+    SELECT h.doc_id AS holdout_doc_id,
+           CAST(COUNT(DISTINCT h.key) AS BIGINT) AS n_contaminated_ngrams,
+           CAST(MAX(h.n) - 13 + 1 AS BIGINT) AS n_ngrams,
+           round(CAST(COUNT(DISTINCT h.key) AS DOUBLE)
+                 / (MAX(h.n) - 13 + 1), 4) AS contaminated_frac
+    FROM occ h JOIN tk USING (key)
+    WHERE h.split = 'holdout'
+    GROUP BY h.doc_id
+    """,
+    tags=("contamination", "dedup-substring", "split"),
+)
+def ngram_decontamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-3-style n-gram decontamination (Brown et al. 2020 App. C /
+    PaLM): a holdout document is contaminated where ANY of its 13-gram
+    windows (stride 1, lowercased, whitespace-collapsed) also occurs
+    in the train split — window-level overlap catches partial leakage
+    that the document-level min-shingle fingerprint
+    (``split_contamination_check``) and boundary-aligned chunk hashes
+    both miss. Returns per contaminated holdout doc the count of
+    distinct leaked 13-grams, its window total, and the contaminated
+    fraction — the report an eval-decontamination pass acts on.
+    Scale: the same linear sliding-window expansion as
+    ``exact_substring_dedup`` (row-local md5s, parallelised via
+    scale_out); train keys deduplicate BEFORE the join (one
+    hash-keyed shuffle of 32-char keys, never text); per-doc
+    aggregation is document-bounded."""
+    from .operators.dedup import scale_out
+    from .operators.sampling import hash_bucket
+
+    L = 13
+    documents = load_table(spark, sf_dir, "documents")
+    base = (
+        scale_out(documents)
+        .select(
+            "doc_id",
+            F.split(
+                F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")), " "
+            ).alias("_w"),
+            F.when(hash_bucket(F.col("doc_id")) < 90, "train")
+            .otherwise("holdout")
+            .alias("split"),
+        )
+        .withColumn("_n", F.size("_w"))
+    )
+    occ = (
+        base.where(F.col("_n") >= L)
+        .select(
+            "doc_id",
+            "split",
+            "_n",
+            F.explode(F.sequence(F.lit(1), F.col("_n") - L + 1)).alias("pos"),
+            "_w",
+        )
+        .select(
+            "doc_id",
+            "split",
+            "_n",
+            F.md5(F.array_join(F.slice("_w", F.col("pos"), L), " ")).alias(
+                "key"
+            ),
+        )
+    )
+    train_keys = occ.where(F.col("split") == "train").select("key").distinct()
+    return (
+        occ.where(F.col("split") == "holdout")
+        .join(train_keys, "key")
+        .groupBy(F.col("doc_id").alias("holdout_doc_id"))
+        .agg(
+            F.countDistinct("key").alias("n_contaminated_ngrams"),
+            (F.max("_n") - L + 1).cast("long").alias("n_ngrams"),
+            F.round(
+                F.countDistinct("key").cast("double")
+                / (F.max("_n") - L + 1),
+                4,
+            ).alias("contaminated_frac"),
+        )
+    )
+
+
 def _km_assign_cte(name: str, cent: str) -> str:
     """DuckDB CTE: argmin-squared-L2 assignment of v against ``cent``
     — the dot-identity + round(,6) + centroid tie-break contract of

@@ -1970,6 +1970,51 @@ def test_exact_substring_dedup_spans_any_alignment(spark):
     assert out2["n_removed_tokens"] == 20
 
 
+def test_ngram_decontamination_flags_window_level_leakage(spark):
+    """GPT-3-style 13-gram decontamination (r12): a holdout doc
+    sharing one 13-gram run with a train doc is flagged with the
+    right distinct-gram count and fraction; clean holdout docs and
+    train docs never appear. Splits are the md5 hash_bucket of
+    doc_id, so the test derives train/holdout ids the same way."""
+    import hashlib
+
+    from data_seedling_spark.queries import registry  # noqa: F401
+    from data_seedling_spark.queries_llm import ngram_decontamination_check
+
+    def bucket(i):
+        return int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % 100
+
+    train_id = next(i for i in range(1000) if bucket(i) < 90)
+    hold_ids = [i for i in range(1000) if bucket(i) >= 90][:2]
+    leaked = " ".join(f"w{k}" for k in range(13))        # exactly one 13-gram
+    rows = [
+        (train_id, f"{leaked} trailer alpha beta gamma delta epsilon zeta"),
+        (hold_ids[0], f"prefix one two {leaked} suffix three four five"),
+        (hold_ids[1], "a clean holdout document with thirteen or more "
+                      "completely different tokens in it today"),
+    ]
+    import os
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(rows, ["doc_id", "text"]).write.parquet(
+            os.path.join(d, "documents.parquet")
+        )
+        out = {
+            r["holdout_doc_id"]: (
+                r["n_contaminated_ngrams"],
+                r["n_ngrams"],
+                r["contaminated_frac"],
+            )
+            for r in ngram_decontamination_check(spark, d).collect()
+        }
+    # only the leaked holdout doc appears; it has 20 tokens -> 8
+    # windows, exactly 1 of which (the aligned leaked gram) matches
+    assert list(out) == [hold_ids[0]]
+    n_contam, n_grams, frac = out[hold_ids[0]]
+    assert n_contam == 1 and n_grams == 8 and frac == 0.125
+
+
 def test_md5_lsh_bucket_cap_splits_hot_buckets_only(spark):
     """The hot-bucket salt split (r12, VERDICT r11 #2): with
     bucket_cap=B, (a) families smaller than B are paired IDENTICALLY
