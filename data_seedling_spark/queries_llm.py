@@ -831,10 +831,13 @@ def ngram_decontamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    train_keys = occ.where(F.col("split") == "train").select("key").distinct()
+    # LEFT SEMI instead of distinct-train-keys + inner join: identical
+    # rows (a holdout window either has >=1 train occurrence or not)
+    # without materializing the distinct-key aggregate first.
+    train_keys = occ.where(F.col("split") == "train").select("key")
     return (
         occ.where(F.col("split") == "holdout")
-        .join(train_keys, "key")
+        .join(train_keys, "key", "left_semi")
         .groupBy(F.col("doc_id").alias("holdout_doc_id"))
         .agg(
             F.countDistinct("key").alias("n_contaminated_ngrams"),
