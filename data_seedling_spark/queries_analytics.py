@@ -6148,6 +6148,14 @@ _POIS1_CUM = (
 #: stage's CPU).
 _POIS1_THRESH = tuple(int(round(t * 4294967296)) for t in _POIS1_CUM)
 
+#: the identical thresholds as 8-char lowercase hex: for equal-width
+#: lowercase hex, byte-lexicographic string order IS numeric order, so
+#: the Spark side compares the md5 hex window directly against these
+#: and skips 200 string→long ``conv`` parses per row (~12% of the
+#: replica stage at sf1); the SQL oracle keeps the numeric compare —
+#: provably the same predicate, and a nice cross-engine spelling check.
+_POIS1_THRESH_HEX = tuple(format(t, "08x") for t in _POIS1_THRESH)
+
 
 @query(
     "poisson_bootstrap_ci",
@@ -6206,9 +6214,12 @@ def poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     yields 128 bits = FOUR 32-bit uniforms, so replica ``b`` draws
     from hex window ``(b-1) mod 4`` of ``md5('boot:' || (b-1)//4 ||
     ':' || key)`` — 50 md5 calls per row instead of 200, the same
-    multi-draw-per-hash trick as the MinHash signature fold. The sf10
-    probe read 216 s before (3.0e9 md5s, pure linear CPU at fixed
-    cores); ~4× less after."""
+    multi-draw-per-hash trick as the MinHash signature fold — and the
+    threshold compares run on the hex WINDOW directly (equal-width
+    lowercase hex: lexicographic order == numeric order), skipping
+    200 string→long parses per row. The sf10 probe read 216 s before
+    the r12 rewrites (3.0e9 md5s + decimal/double per-draw math, pure
+    linear CPU at fixed cores); 46.7 s after."""
     from data_seedling_spark.operators.dedup import scale_out
 
     orders = load_table(spark, sf_dir, "orders").select(
@@ -6241,15 +6252,10 @@ def poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("_s", F.explode(F.sequence(F.lit(0), F.lit(3))))
         .withColumn("b", F.col("_k") * 4 + F.col("_s") + 1)
-        .withColumn(
-            "h",
-            F.conv(
-                F.expr("substring(_h, 1 + 8 * _s, 8)"), 16, 10
-            ).cast("bigint"),
-        )
+        .withColumn("hx", F.expr("substring(_h, 1 + 8 * _s, 8)"))
     )
     w = sum(
-        (F.col("h") > F.lit(t)).cast("int") for t in _POIS1_THRESH
+        (F.col("hx") > F.lit(t)).cast("int") for t in _POIS1_THRESH_HEX
     )
     means = (
         reps.withColumn("w", w)
