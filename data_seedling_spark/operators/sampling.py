@@ -311,9 +311,21 @@ def range_cumsum(
     constant behind the ks_test / PR-AUC r11 overhead), and doubles
     the shuffles.
     """
-    multi = not isinstance(weight_col, str)
-    weights = list(weight_col) if multi else [weight_col]
-    outs = list(out_col) if multi else [out_col]
+    multi = isinstance(weight_col, (list, tuple))
+    if multi:
+        if not isinstance(out_col, (list, tuple)):
+            raise TypeError(
+                "range_cumsum: list weight_col requires a matching list "
+                f"out_col, got {type(out_col).__name__}"
+            )
+        weights, outs = list(weight_col), list(out_col)
+    else:
+        if not isinstance(weight_col, str):
+            raise TypeError(
+                "range_cumsum: weight_col must be a column NAME (str) or a "
+                f"list/tuple of names, got {type(weight_col).__name__}"
+            )
+        weights, outs = [weight_col], [out_col]
     if len(weights) != len(outs):
         raise ValueError("weight_col and out_col lists must align")
     b = bucket_expr if bucket_expr is not None else F.floor(F.col(order_col))

@@ -301,7 +301,10 @@ def kll_weighted_sketch(
     replays it exactly. Weights that are already powers of two have
     ``r = 0`` and round to themselves deterministically — the decayed
     (``2^k``) weighting is exact on this path. ``sum(w)`` is the
-    rounded total, NOT the exact input mass.
+    rounded total, NOT the exact input mass. The 32-bit md5 coin is
+    exactly uniform mod ``2^l`` only for ``l ≤ 32``, so this mode
+    REQUIRES ``w < 2^33`` (enforced per row with ``raise_error``);
+    heavier weights must take the ``"bits"`` path.
 
     ``weight_mode="bits"`` (exact mass): binary decomposition — a row
     with weight ``w`` emits one item per set bit ``b`` of ``w`` at
@@ -324,12 +327,28 @@ def kll_weighted_sketch(
             F.col(id_col).alias("id"),
             F.col(weight_col).cast("long").alias("_wz"),
         ).withColumn("_l", (F.length(F.bin("_wz")) - 1).cast("int"))
-        # md5_32(id) mod 2^l is exactly uniform on [0, 2^l) (2^32 is a
-        # multiple of 2^l for l <= 32 < 40-bit weights' l), so the
-        # round-up probability is exactly r / 2^l in both engines.
+        # md5_32(id) mod 2^l is exactly uniform on [0, 2^l) only while
+        # 2^32 is a multiple of 2^l, i.e. l <= 32 (w < 2^33). Beyond
+        # that the coin saturates and P(round up) silently becomes
+        # min(1, r/2^32) — biased up — so the bound is ENFORCED per
+        # row (ADVICE r12): heavier weights must use weight_mode="bits".
         coin = _md5_long(F.col("id").cast("string")) % F.expr(
             "shiftleft(1L, _l)"
         )
+        too_heavy = F.col("_wz") >= F.lit(1 << 33)
+        coin = F.when(
+            too_heavy,
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "kll_weighted_sketch(weight_mode='round') requires "
+                        "weights < 2^33 for an unbiased md5_32 coin; got "
+                    ),
+                    F.col("_wz").cast("string"),
+                    F.lit(" — use weight_mode='bits' for heavier weights"),
+                )
+            ).cast("bigint"),
+        ).otherwise(coin)
         cur = base.select(
             "v",
             "id",

@@ -117,46 +117,49 @@ _ANCHORS: tuple[str, ...] = (
     "stream_interval_join_clicks",
 )
 
-#: Rotating window slots — r12: every query MATERIALLY CHANGED this
-#: round (the weighted-KLL stochastic-rounding default, the md5-LSH
-#: hot-bucket cap) plus the heaviest r11 rewrites held for a second
-#: driver round. The bulk of the r11 batch (woe_iv, spearman,
-#: logreg_holdout_*, udtf, q64, streaming_dedup, price_histogram,
-#: quantile_drift, incremental_tdigest, tdigest_merge) rotated to the
-#: registry tail after going driver-green in r11. POLICY (enforced
+#: Rotating window slots — r13: every query MATERIALLY CHANGED this
+#: round (the bucket-keyed LSH subgroup salt — ADVICE r12; the hybrid
+#: jaccard's capped overflow leg — VERDICT r12 #2) plus the new
+#: maintained-LSH-index query, the r12-changed/new queries held for
+#: their second driver round, and nine never-driver-verified tail
+#: queries rotated in for fresh coverage. The 10 r11 holdovers
+#: (rfm, theil_sen, ks_test, tdigest_centroids, woe_iv, spearman,
+#: logreg_holdout_*, q64, streaming_dedup) rotated to the registry
+#: tail after two green driver rounds. POLICY (enforced
 #: by tests/test_bench_contract.py::test_new_oracle_queries_enter_window
 #: against tools/registry_snapshot.txt): every oracle-backed query
 #: added during a round must be in _ROTATING before round end.
 #: Rows-only queries never rotate in (they would read as `err` in the
 #: driver window — see the minhash note above).
 _ROTATING: tuple[str, ...] = (
-    # r12 materially-changed queries: the weighted-KLL default flipped
-    # to stochastic power-of-two rounding (one item per row — VERDICT
-    # r11 #1; oracle replays the md5 rounding coin) and the md5-LSH
-    # band join gained the hot-bucket salt-split cap (VERDICT r11 #2).
+    # r13 materially-changed / new: the hot-bucket subgroup salt is now
+    # keyed by (band, bkey, id) so a pair's survival draws are
+    # independent across hot buckets (ADVICE r12; both oracles replay
+    # it); the hybrid's overflow LSH leg gained the same bucket_cap=64
+    # split (VERDICT r12 #2); and the CDC-maintained LSH band-row
+    # index is new (VERDICT r12 #1).
+    "minhash_md5_lsh_near_dup",
+    "prefix_filter_jaccard_join",
+    "minhash_lsh_index_maintenance",
+    # r12-changed/new queries held for their second driver round:
     "kll_weighted_quantile_revenue",
     "decayed_quantile_order_price",
-    "minhash_md5_lsh_near_dup",
     "poisson_bootstrap_ci",
-    # r12 additions: ExactSubstr-style duplicated-span removal and the
-    # GPT-3-style 13-gram decontamination report (new oracle-backed
-    # queries -> must enter the window per the policy).
     "exact_substring_dedup_documents",
     "ngram_decontamination_check",
-    # r11 rewrites held for a second driver round (window is fixed at
-    # 50 = anchors + 17 rotating slots; the six r10/r11 t-digest-path
-    # holdovers rotated to the registry tail after two green rounds):
-    "rfm_customer_segments",
-    "theil_sen_trend_revenue",
-    "prefix_filter_jaccard_join",
-    "ks_test_drift",
-    "tdigest_centroids_orders",
-    "woe_iv_price_deciles",
-    "spearman_price_quantity",
-    "logreg_holdout_auc",
-    "logreg_holdout_prauc",
-    "tpcds_q64_snapshot_compare",
-    "streaming_dedup_exact",
+    # Fresh tail rotations (never driver-verified; chosen across the
+    # heavy/watch-list families: IVM latency, PQ-ANN, simhash twin,
+    # iterative graph, audio DSP, count-min, ledger compliance, DSIR,
+    # as-of join):
+    "incremental_quantile_maintenance",
+    "ivfpq_residual_topk",
+    "simhash_md5_near_dup",
+    "pagerank_weighted_copurchase",
+    "audio_fingerprint_match",
+    "count_min_heavy_hitters",
+    "gdpr_forget_propagation",
+    "dsir_importance_weights",
+    "asof_join_purchase_click",
 )
 
 _PRIORITY: tuple[str, ...] = _ANCHORS + _ROTATING

@@ -4202,7 +4202,9 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS b) b
     ), salted AS (
       SELECT doc_id, band, bkey,
-             CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+             CAST('0x' || substr(md5(CAST(band AS VARCHAR) || ':' || bkey
+                                     || ':' || CAST(doc_id AS VARCHAR)),
+                                 1, 8) AS BIGINT)
                % ((COUNT(*) OVER (PARTITION BY band, bkey) + 63) // 64) AS sub
       FROM bandrows
     ), cands AS (
@@ -4236,7 +4238,10 @@ def minhash_md5_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     subgroups before the self-join (VERDICT r11 #2 — hot buckets grew
     quadratically with the corpus, 7.2×/decade at sf10); the oracle
     replays the split, and the recall trade is documented at
-    ``operators.dedup.band_bucket_candidates``."""
+    ``operators.dedup.band_bucket_candidates``. r13: the subgroup salt
+    is keyed by (band, bkey, id) rather than id alone, so a pair's
+    survival draws are independent across its hot buckets (ADVICE
+    r12)."""
     from .operators.dedup import minhash_md5_lsh_pairs
 
     documents = load_table(spark, sf_dir, "documents")
@@ -4996,10 +5001,18 @@ def naive_bayes_language_classify(spark: SparkSession, sf_dir: str) -> DataFrame
       SELECT doc_id, b.b AS band,
              md5(array_to_string(sg[b.b*4 + 1 : b.b*4 + 4], ',')) AS bkey
       FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS b) b
+    ), salted AS (
+      SELECT doc_id, band, bkey,
+             CAST('0x' || substr(md5(CAST(band AS VARCHAR) || ':' || bkey
+                                     || ':' || CAST(doc_id AS VARCHAR)),
+                                 1, 8) AS BIGINT)
+               % ((COUNT(*) OVER (PARTITION BY band, bkey) + 63) // 64) AS sub
+      FROM bandrows
     ), cands_lsh AS (
       SELECT x.doc_id AS doc_a, y.doc_id AS doc_b
-      FROM bandrows x JOIN bandrows y
-        ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id
+      FROM salted x JOIN salted y
+        ON x.band = y.band AND x.bkey = y.bkey AND x.sub = y.sub
+           AND x.doc_id < y.doc_id
       GROUP BY 1, 2
     ),
     cands AS (
@@ -5033,7 +5046,11 @@ def prefix_filter_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle is bounded are found EXACTLY; pairs that only meet in
     overflow shingles get standard LSH recall. Every stage is
     deterministic md5/integer arithmetic → whole hybrid
-    hash-checked."""
+    hash-checked. r13 (VERDICT r12 #2): the LSH leg applies the same
+    hot-bucket salt split (bucket_cap=64, bucket-keyed salt) as the
+    standalone md5-LSH query — the overflow docs own the hottest
+    prefix shingles, so their band buckets are the likeliest to go
+    hot; the oracle replays the split."""
     from .operators.dedup import prefix_filter_jaccard_pairs
 
     documents = load_table(spark, sf_dir, "documents")

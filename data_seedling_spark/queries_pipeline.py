@@ -610,6 +610,169 @@ def incremental_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "minhash_lsh_index_maintenance",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    sh AS (
+      SELECT doc_id,
+             list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                            FOR i IN range(1, greatest(len(w) - 1, 1))]) AS shingles
+      FROM t
+    ), shf AS (
+      SELECT doc_id, shingles FROM sh WHERE len(shingles) > 0
+    ), sig AS (
+      SELECT doc_id,
+             [list_min([CAST(('0x' || substr(md5(CAST(p // 2 AS VARCHAR) || '|' || s),
+                                      CASE WHEN p % 2 = 0 THEN 1 ELSE 17 END, 15))
+                             AS BIGINT)
+                        FOR s IN shingles])
+              FOR p IN range(0, 16)] AS sg
+      FROM shf
+    ), bandrows AS (
+      SELECT doc_id, b.b AS band,
+             md5(array_to_string(sg[b.b*4 + 1 : b.b*4 + 4], ',')) AS bkey
+      FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS b) b
+    ), salted AS (
+      SELECT doc_id, band, bkey,
+             CAST('0x' || substr(md5(CAST(band AS VARCHAR) || ':' || bkey
+                                     || ':' || CAST(doc_id AS VARCHAR)),
+                                 1, 8) AS BIGINT)
+               % ((COUNT(*) OVER (PARTITION BY band, bkey) + 63) // 64) AS sub
+      FROM bandrows
+    ), cands AS (
+      SELECT least(x.doc_id, y.doc_id) AS doc_a,
+             greatest(x.doc_id, y.doc_id) AS doc_b
+      FROM salted x JOIN salted y
+        ON x.band = y.band AND x.bkey = y.bkey AND x.sub = y.sub
+           AND x.doc_id <> y.doc_id
+      WHERE x.doc_id % 3 = 2
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           round(len(list_intersect(a.shingles, b.shingles))::DOUBLE
+                 / len(list_distinct(list_concat(a.shingles, b.shingles))), 4)
+             AS jaccard,
+           CAST(3 AS BIGINT) AS wm_next
+    FROM cands
+    JOIN shf a ON a.doc_id = doc_a
+    JOIN shf b ON b.doc_id = doc_b
+    WHERE round(len(list_intersect(a.shingles, b.shingles))::DOUBLE
+                / len(list_distinct(list_concat(a.shingles, b.shingles))), 4)
+          >= 0.8
+    """,
+    tags=("dedup-minhash", "ivm", "S2", "ST1", "ST2", "oracle-twin"),
+)
+def minhash_lsh_index_maintenance(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Incremental NEAR-dup maintenance (VERDICT r12 #1): a MinHash-LSH
+    band-row index kept current over a versioned document corpus — the
+    near-dup sibling of ``incremental_dedup_ingest``'s exact hash
+    index, and the missing 100 TB deployment shape: at corpus scale
+    you never re-shingle/re-sign/re-band the corpus per ingest; each
+    refresh bands ONLY that commit's documents (O(increment text),
+    append-sized write, watermark riding inside the index commit —
+    ``operators.dedup.MaterializedLshIndex``), and the arriving
+    batch's new-vs-all candidates come from equi-joining its band rows
+    against the index inside touched buckets, with the same hot-bucket
+    salt split (bucket_cap=64) as the one-shot query.
+
+    Three incremental refreshes (doc_id ≡ 0,1,2 mod 3) + a replay
+    no-op, then the LAST increment's verified near-dup pairs
+    (exact Jaccard ≥ 0.8 over candidate docs only). Band rows are a
+    pure per-document function and the salt's per-bucket counts are
+    taken over the full index, so the maintained protocol's output is
+    IDENTICAL to the one-shot capped bucket join restricted to pairs
+    touching the increment — which is exactly what the oracle
+    computes one-shot, turning the whole incremental protocol into a
+    hash-exact check (the ``incremental_distinct_maintenance`` proof
+    pattern). ``wm_next`` pins the advanced watermark.
+
+    vs ``incremental_neardup_ingest`` (r10): that query persists a
+    SIGNATURE index and re-derives band rows for the whole index on
+    every probe, with no watermark protocol and no hot-bucket cap;
+    this one stores the band rows themselves (read back as-is — zero
+    per-probe recompute), folds arbitrarily many commits exactly-once,
+    handles deletes, and caps hot buckets like the one-shot query."""
+    from .operators.dedup import (
+        MaterializedLshIndex,
+        jaccard,
+        word_shingles,
+    )
+
+    documents = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text"
+    )
+    base = tempfile.mkdtemp(prefix="lsh_idx_")
+    src = VersionedTable(spark, f"{base}/src", write_partitions=4)
+    index = MaterializedLshIndex(
+        spark,
+        VersionedTable(spark, f"{base}/idx", write_partitions=4),
+        text_col="text",
+        id_col="doc_id",
+        num_perm=16,
+        bands=4,
+        shingle_n=3,
+    )
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        key = F.col("doc_id")
+        src.write(documents.where(key % 3 == 0), mode="overwrite")
+        lo, hi = index.refresh(src)                    # folds v0
+        assert (lo, hi) == (0, 0), (lo, hi)
+        src.write(documents.where(key % 3 == 1), mode="append")
+        lo, hi = index.refresh(src)                    # folds v1 only
+        assert (lo, hi) == (1, 1), (lo, hi)
+        src.write(documents.where(key % 3 == 2), mode="append")
+        lo, hi = index.refresh(src)                    # folds v2 only
+        assert (lo, hi) == (2, 2), (lo, hi)
+        lo, hi = index.refresh(src)                    # replay: no-op
+        assert lo > hi, "replayed refresh must be a no-op"
+        inc_ids = src.read_changes(2, 2).select("doc_id")
+        cands = index.new_vs_all_candidates(inc_ids, bucket_cap=64)
+        cand_ids = (
+            cands.select(F.col("doc_a").alias("doc_id"))
+            .unionByName(cands.select(F.col("doc_b").alias("doc_id")))
+            .distinct()
+        )
+        sh = (
+            documents.join(cand_ids, "doc_id", "semi")
+            .select(
+                "doc_id", word_shingles(F.col("text"), 3).alias("_sh")
+            )
+            .where(F.size("_sh") > 0)
+        )
+        verified = (
+            cands.join(
+                sh.select(
+                    F.col("doc_id").alias("doc_a"), F.col("_sh").alias("sh_a")
+                ),
+                "doc_a",
+            )
+            .join(
+                sh.select(
+                    F.col("doc_id").alias("doc_b"), F.col("_sh").alias("sh_b")
+                ),
+                "doc_b",
+            )
+            .select(
+                "doc_a",
+                "doc_b",
+                F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 4).alias(
+                    "jaccard"
+                ),
+            )
+            .where(F.col("jaccard") >= 0.8)
+        )
+        return verified.withColumn(
+            "wm_next", F.lit(index.applied_hi() + 1).cast("long")
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+
+
+@query(
     "scd2_order_history",
     oracle="""
     WITH chg AS (

@@ -2833,3 +2833,123 @@ def test_nsw_graph_ann_recall_floor_and_determinism(spark):
     assert again == {
         (r["query_id"], r["neighbor_id"], r["score"], r["rank"]) for r in rows
     }
+
+
+# ---------------------------------------------------------------------------
+# MaterializedLshIndex (r13, VERDICT r12 #1): CDC-maintained band-row
+# index — maintained ≡ one-shot, exactly-once watermark, delete
+# compaction, new-vs-all candidate parity with the capped one-shot join.
+# ---------------------------------------------------------------------------
+
+
+def _neardup_corpus():
+    """Three near-dup families plus a hot family, ids spread across
+    batches (id % 2) so cross-batch pairs exist."""
+    rows = [
+        (100 * f + i,
+         f"family {f} shares these exact tokens repeated for shingling "
+         f"purposes number {f}")
+        for f in range(3)
+        for i in range(4)
+    ]
+    rows += [
+        (10_000 + i,
+         "identical boilerplate text that lands every member in one band "
+         "bucket always")
+        for i in range(30)
+    ]
+    rows += [(50_000 + i, f"unique filler document number {i} with its own "
+                          f"distinct words {i * 7} and {i * 13}")
+             for i in range(6)]
+    return rows
+
+
+def test_lsh_index_maintained_equals_oneshot_and_replay_noop(spark, tmp_path):
+    from data_seedling_spark.operators.dedup import MaterializedLshIndex
+    from data_seedling_spark.operators.ledger import VersionedTable
+
+    docs = spark.createDataFrame(_neardup_corpus(), ["doc_id", "text"])
+    src = VersionedTable(spark, str(tmp_path / "src"), write_partitions=2)
+    idx = MaterializedLshIndex(
+        spark, VersionedTable(spark, str(tmp_path / "idx"), write_partitions=2),
+        text_col="text", id_col="doc_id",
+    )
+    src.write(docs.where(F.col("doc_id") % 2 == 0), mode="overwrite")
+    assert idx.refresh(src) == (0, 0)
+    src.write(docs.where(F.col("doc_id") % 2 == 1), mode="append")
+    assert idx.refresh(src) == (1, 1)
+    lo, hi = idx.refresh(src)
+    assert lo > hi, "replayed refresh must be a no-op"
+    maintained = {
+        (r["doc_id"], r["band"], r["bkey"]) for r in idx.read().collect()
+    }
+    oneshot = {
+        (r["doc_id"], r["band"], r["bkey"])
+        for r in idx.band_rows(docs).collect()
+    }
+    assert maintained == oneshot
+
+
+def test_lsh_index_new_vs_all_matches_capped_oneshot(spark, tmp_path):
+    """Candidates for the increment == the one-shot capped bucket join
+    restricted to pairs touching the increment (the oracle-equality
+    property the maintenance query hash-checks end to end)."""
+    from data_seedling_spark.operators.dedup import (
+        MaterializedLshIndex,
+        band_bucket_candidates,
+    )
+    from data_seedling_spark.operators.ledger import VersionedTable
+
+    docs = spark.createDataFrame(_neardup_corpus(), ["doc_id", "text"])
+    src = VersionedTable(spark, str(tmp_path / "src"), write_partitions=2)
+    idx = MaterializedLshIndex(
+        spark, VersionedTable(spark, str(tmp_path / "idx"), write_partitions=2),
+        text_col="text", id_col="doc_id",
+    )
+    src.write(docs.where(F.col("doc_id") % 2 == 0), mode="overwrite")
+    idx.refresh(src)
+    src.write(docs.where(F.col("doc_id") % 2 == 1), mode="append")
+    idx.refresh(src)
+    inc_ids = docs.where(F.col("doc_id") % 2 == 1).select("doc_id")
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in idx.new_vs_all_candidates(inc_ids, bucket_cap=8).collect()
+    }
+    oneshot = {
+        (r["doc_a"], r["doc_b"])
+        for r in band_bucket_candidates(
+            idx.band_rows(docs), "doc_id", bucket_cap=8
+        ).collect()
+        if r["doc_a"] % 2 == 1 or r["doc_b"] % 2 == 1
+    }
+    assert got == oneshot and got, "expected nonempty candidate parity"
+    # hot family pairs present but capped below the quadratic count
+    hot = {(a, b) for (a, b) in got if a >= 10_000 and b < 50_000}
+    assert hot and len(hot) < 30 * 29 / 2
+
+
+def test_lsh_index_delete_compacts_and_excludes(spark, tmp_path):
+    from data_seedling_spark.operators.dedup import MaterializedLshIndex
+    from data_seedling_spark.operators.ledger import VersionedTable
+    from data_seedling_spark.operators.merge import CHANGE_TYPE, CT_DELETE
+
+    docs = spark.createDataFrame(_neardup_corpus(), ["doc_id", "text"])
+    src = VersionedTable(spark, str(tmp_path / "src"), write_partitions=2)
+    idx = MaterializedLshIndex(
+        spark, VersionedTable(spark, str(tmp_path / "idx"), write_partitions=2),
+        text_col="text", id_col="doc_id",
+    )
+    src.write(docs, mode="overwrite")
+    assert idx.refresh(src) == (0, 0)
+    feed = docs.where(F.col("doc_id").between(10_000, 10_014)).withColumn(
+        CHANGE_TYPE, F.lit(CT_DELETE)
+    )
+    src.merge(feed, primary_keys=["doc_id"])
+    assert idx.refresh(src) == (1, 1)
+    left = {r["doc_id"] for r in idx.read().select("doc_id").distinct().collect()}
+    assert not any(10_000 <= d <= 10_014 for d in left)
+    assert 10_015 in left and 0 in left
+    inc = spark.createDataFrame([(10_020,)], ["doc_id"])
+    cands = idx.new_vs_all_candidates(inc, bucket_cap=None).collect()
+    ids = {r["doc_a"] for r in cands} | {r["doc_b"] for r in cands}
+    assert cands and not any(10_000 <= d <= 10_014 for d in ids)
