@@ -262,6 +262,10 @@ HEADLINE = [
     # decontamination report.
     "exact_substring_dedup_documents",
     "ngram_decontamination_check",
+    # r13: the CDC-maintained LSH band-row index (VERDICT r12 #1) —
+    # protocol-latency-shaped like incremental_quantile_maintenance
+    # (three ledger refreshes + the new-vs-all candidate join).
+    "minhash_lsh_index_maintenance",
 ]
 
 
