@@ -1210,8 +1210,14 @@ class MaterializedLshIndex:
 
     def band_rows(self, docs: DataFrame) -> DataFrame:
         """One-shot band rows ``(id, band, bkey)`` for ``docs`` — the
-        per-document pure function the index accumulates."""
-        sh = docs.select(
+        per-document pure function the index accumulates. The input is
+        ``scale_out``-repartitioned first: a CDC increment arrives in
+        however few files its commit was written with (the ledger
+        coalesces writes), and the Arrow shingling UDF + signature
+        aggregate are the corpus-scale text work of the refresh — an
+        sf10 probe read the refresh 2.4× slower when they inherited
+        the commit's 4-file parallelism."""
+        sh = scale_out(docs).select(
             F.col(self.id_col),
             word_shingles(F.col(self.text_col), self.shingle_n).alias("_sh"),
         ).where(F.size("_sh") > 0)

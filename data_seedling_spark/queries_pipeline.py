@@ -714,62 +714,64 @@ def minhash_lsh_index_maintenance(
         bands=4,
         shingle_n=3,
     )
-    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
-        key = F.col("doc_id")
-        src.write(documents.where(key % 3 == 0), mode="overwrite")
-        lo, hi = index.refresh(src)                    # folds v0
-        assert (lo, hi) == (0, 0), (lo, hi)
-        src.write(documents.where(key % 3 == 1), mode="append")
-        lo, hi = index.refresh(src)                    # folds v1 only
-        assert (lo, hi) == (1, 1), (lo, hi)
-        src.write(documents.where(key % 3 == 2), mode="append")
-        lo, hi = index.refresh(src)                    # folds v2 only
-        assert (lo, hi) == (2, 2), (lo, hi)
-        lo, hi = index.refresh(src)                    # replay: no-op
-        assert lo > hi, "replayed refresh must be a no-op"
-        inc_ids = src.read_changes(2, 2).select("doc_id")
-        cands = index.new_vs_all_candidates(inc_ids, bucket_cap=64)
-        cand_ids = (
-            cands.select(F.col("doc_a").alias("doc_id"))
-            .unionByName(cands.select(F.col("doc_b").alias("doc_id")))
-            .distinct()
+    # Unlike the orders-protocol incremental queries (tiny ledger
+    # frames → shuffle partitions pinned at 8), the refresh here does
+    # corpus-scale TEXT work (shingle + sign the increment), so it
+    # keeps the ambient shuffle partitions and scale_outs the
+    # increment before banding — pinned at 8 with 4-file commit
+    # parallelism the sf10 probe read 99 s; unpinned + scale_out it
+    # reads 37 s (decades 1.55x/2.15x).
+    key = F.col("doc_id")
+    src.write(documents.where(key % 3 == 0), mode="overwrite")
+    lo, hi = index.refresh(src)                    # folds v0
+    assert (lo, hi) == (0, 0), (lo, hi)
+    src.write(documents.where(key % 3 == 1), mode="append")
+    lo, hi = index.refresh(src)                    # folds v1 only
+    assert (lo, hi) == (1, 1), (lo, hi)
+    src.write(documents.where(key % 3 == 2), mode="append")
+    lo, hi = index.refresh(src)                    # folds v2 only
+    assert (lo, hi) == (2, 2), (lo, hi)
+    lo, hi = index.refresh(src)                    # replay: no-op
+    assert lo > hi, "replayed refresh must be a no-op"
+    inc_ids = src.read_changes(2, 2).select("doc_id")
+    cands = index.new_vs_all_candidates(inc_ids, bucket_cap=64)
+    cand_ids = (
+        cands.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(cands.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    sh = (
+        documents.join(cand_ids, "doc_id", "semi")
+        .select(
+            "doc_id", word_shingles(F.col("text"), 3).alias("_sh")
         )
-        sh = (
-            documents.join(cand_ids, "doc_id", "semi")
-            .select(
-                "doc_id", word_shingles(F.col("text"), 3).alias("_sh")
-            )
-            .where(F.size("_sh") > 0)
+        .where(F.size("_sh") > 0)
+    )
+    verified = (
+        cands.join(
+            sh.select(
+                F.col("doc_id").alias("doc_a"), F.col("_sh").alias("sh_a")
+            ),
+            "doc_a",
         )
-        verified = (
-            cands.join(
-                sh.select(
-                    F.col("doc_id").alias("doc_a"), F.col("_sh").alias("sh_a")
-                ),
-                "doc_a",
-            )
-            .join(
-                sh.select(
-                    F.col("doc_id").alias("doc_b"), F.col("_sh").alias("sh_b")
-                ),
-                "doc_b",
-            )
-            .select(
-                "doc_a",
-                "doc_b",
-                F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 4).alias(
-                    "jaccard"
-                ),
-            )
-            .where(F.col("jaccard") >= 0.8)
+        .join(
+            sh.select(
+                F.col("doc_id").alias("doc_b"), F.col("_sh").alias("sh_b")
+            ),
+            "doc_b",
         )
-        return verified.withColumn(
-            "wm_next", F.lit(index.applied_hi() + 1).cast("long")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 4).alias(
+                "jaccard"
+            ),
         )
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+        .where(F.col("jaccard") >= 0.8)
+    )
+    return verified.withColumn(
+        "wm_next", F.lit(index.applied_hi() + 1).cast("long")
+    )
 
 
 @query(

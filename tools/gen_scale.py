@@ -197,9 +197,24 @@ def main() -> int:
         help="per-token seeded substitution rate for non-duplicate "
         "document clones (0 restores verbatim cloning)",
     )
+    ap.add_argument(
+        "--tables",
+        default=None,
+        help="comma-separated subset of tables to generate (default: "
+        "all) — e.g. --tables documents for a text-only third-decade "
+        "spot set without paying for a 300x lineitem",
+    )
     args = ap.parse_args()
     spark = build_session("gen-scale")
-    for table in KEY_COLS:
+    selected = (
+        list(KEY_COLS)
+        if args.tables is None
+        else [t.strip() for t in args.tables.split(",") if t.strip()]
+    )
+    unknown = [t for t in selected if t not in KEY_COLS]
+    if unknown:
+        raise SystemExit(f"unknown tables: {unknown}")
+    for table in selected:
         n = scale_table(
             spark,
             args.src,
