@@ -1287,6 +1287,28 @@ class MaterializedLshIndex:
         self.table.write(kept.unionByName(new_rows), mode="overwrite")
         return lo, hi
 
+    def fold_batch(self, batch: DataFrame, batch_id: int) -> bool:
+        """Fold one Structured-Streaming micro-batch of documents (pure
+        inserts — append streams) into the index: the foreachBatch twin
+        of :meth:`refresh`, with the stream's ``batch_id`` as the
+        in-commit watermark (the standard idempotent-foreachBatch
+        guard — a batch replayed after a failure sees ``batch_id <=
+        applied_hi`` and no-ops instead of double-banding). Returns
+        False when the batch was already applied. Same pattern as
+        ``operators.matview.fold_stream_batch``."""
+        from .matview import SOURCE_HI
+
+        if batch_id <= self.applied_hi():
+            return False
+        rows = self.band_rows(
+            batch.select(self.id_col, self.text_col)
+        ).withColumn(SOURCE_HI, F.lit(batch_id).cast("long"))
+        if not self.table.exists():
+            self.table.write(rows, mode="overwrite")
+        else:
+            self.table.write(rows, mode="append")
+        return True
+
     def read(self) -> DataFrame:
         return self.table.read().select(self.id_col, "band", "bkey")
 

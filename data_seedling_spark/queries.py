@@ -136,11 +136,13 @@ _ROTATING: tuple[str, ...] = (
     # keyed by (band, bkey, id) so a pair's survival draws are
     # independent across hot buckets (ADVICE r12; both oracles replay
     # it); the hybrid's overflow LSH leg gained the same bucket_cap=64
-    # split (VERDICT r12 #2); and the CDC-maintained LSH band-row
-    # index is new (VERDICT r12 #1).
+    # split (VERDICT r12 #2); the CDC-maintained LSH band-row index is
+    # new (VERDICT r12 #1), with its Structured-Streaming foreachBatch
+    # ingest twin.
     "minhash_md5_lsh_near_dup",
     "prefix_filter_jaccard_join",
     "minhash_lsh_index_maintenance",
+    "streaming_neardup_lsh_ingest",
     # r12-changed/new queries held for their second driver round:
     "kll_weighted_quantile_revenue",
     "decayed_quantile_order_price",
@@ -149,8 +151,7 @@ _ROTATING: tuple[str, ...] = (
     "ngram_decontamination_check",
     # Fresh tail rotations (never driver-verified; chosen across the
     # heavy/watch-list families: IVM latency, PQ-ANN, simhash twin,
-    # iterative graph, audio DSP, count-min, ledger compliance, DSIR,
-    # as-of join):
+    # iterative graph, audio DSP, count-min, ledger compliance, DSIR):
     "incremental_quantile_maintenance",
     "ivfpq_residual_topk",
     "simhash_md5_near_dup",
@@ -159,7 +160,6 @@ _ROTATING: tuple[str, ...] = (
     "count_min_heavy_hitters",
     "gdpr_forget_propagation",
     "dsir_importance_weights",
-    "asof_join_purchase_click",
 )
 
 _PRIORITY: tuple[str, ...] = _ANCHORS + _ROTATING

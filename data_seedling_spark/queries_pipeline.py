@@ -775,6 +775,142 @@ def minhash_lsh_index_maintenance(
 
 
 @query(
+    "streaming_neardup_lsh_ingest",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    sh AS (
+      SELECT doc_id,
+             list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                            FOR i IN range(1, greatest(len(w) - 1, 1))]) AS shingles
+      FROM t
+    ), shf AS (
+      SELECT doc_id, shingles FROM sh WHERE len(shingles) > 0
+    ), sig AS (
+      SELECT doc_id,
+             [list_min([CAST(('0x' || substr(md5(CAST(p // 2 AS VARCHAR) || '|' || s),
+                                      CASE WHEN p % 2 = 0 THEN 1 ELSE 17 END, 15))
+                             AS BIGINT)
+                        FOR s IN shingles])
+              FOR p IN range(0, 16)] AS sg
+      FROM shf
+    ), bandrows AS (
+      SELECT doc_id, b.b AS band,
+             md5(array_to_string(sg[b.b*4 + 1 : b.b*4 + 4], ',')) AS bkey
+      FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS b) b
+    ), salted AS (
+      SELECT doc_id, band, bkey,
+             CAST('0x' || substr(md5(CAST(band AS VARCHAR) || ':' || bkey
+                                     || ':' || CAST(doc_id AS VARCHAR)),
+                                 1, 8) AS BIGINT)
+               % ((COUNT(*) OVER (PARTITION BY band, bkey) + 63) // 64) AS sub
+      FROM bandrows
+    ), cands AS (
+      SELECT x.doc_id AS doc_a, y.doc_id AS doc_b
+      FROM salted x JOIN salted y
+        ON x.band = y.band AND x.bkey = y.bkey AND x.sub = y.sub
+           AND x.doc_id < y.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           round(len(list_intersect(a.shingles, b.shingles))::DOUBLE
+                 / len(list_distinct(list_concat(a.shingles, b.shingles))), 4)
+             AS jaccard
+    FROM cands
+    JOIN shf a ON a.doc_id = doc_a
+    JOIN shf b ON b.doc_id = doc_b
+    WHERE len(list_intersect(a.shingles, b.shingles))::DOUBLE
+          / len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.8
+    """,
+    tags=("streaming", "dedup-minhash", "ivm", "ST2", "oracle-twin"),
+)
+def streaming_neardup_lsh_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming NEAR-dup ingest — the Structured-Streaming deployment
+    of the maintained LSH index: documents consumed as a file stream,
+    every micro-batch shingled/signed/banded and folded into the
+    ledger-backed band-row index via ``foreachBatch`` with the
+    batch-id idempotence guard
+    (``operators.dedup.MaterializedLshIndex.fold_batch`` — the LSH twin
+    of ``matview.fold_stream_batch``), then the FULL near-dup pair set
+    computed from the index alone (capped bucket join + exact-Jaccard
+    verification over candidate docs only; no document is ever
+    re-banded).
+
+    The correctness property that makes this oracle-checkable despite
+    micro-batch nondeterminism: band rows are a pure PER-DOCUMENT
+    function, so the maintained index equals the one-shot banding of
+    the corpus for ANY batch split — the result is
+    batch-order-INDEPENDENT and hash-matches the same one-shot SQL as
+    the batch query (`minhash_md5_lsh_near_dup`'s oracle verbatim).
+    Scale: per-batch work is O(batch text); the pair query touches
+    only band rows and candidate ids."""
+    import uuid as _uuid
+
+    from .operators.dedup import (
+        MaterializedLshIndex,
+        band_bucket_candidates,
+        jaccard,
+        word_shingles,
+    )
+    from .streaming.windows import require_stream_progress
+
+    base = tempfile.mkdtemp(prefix="stream_lsh_")
+    index = MaterializedLshIndex(
+        spark,
+        VersionedTable(spark, f"{base}/idx", write_partitions=4),
+        text_col="text",
+        id_col="doc_id",
+    )
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+        .select("doc_id", "text")
+    )
+    name = f"snl_{_uuid.uuid4().hex[:10]}"
+    q = (
+        stream.writeStream.foreachBatch(
+            lambda batch, bid: index.fold_batch(batch, bid) and None
+        )
+        .option("checkpointLocation", f"{base}/ckpt")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    require_stream_progress(q, os.path.join(sf_dir, "documents.parquet"))
+    q.stop()
+    cands = band_bucket_candidates(index.read(), "doc_id", bucket_cap=64)
+    cand_ids = (
+        cands.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(cands.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    documents = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    sh = (
+        documents.join(cand_ids, "doc_id", "semi")
+        .select("doc_id", word_shingles(F.col("text"), 3).alias("_sh"))
+        .where(F.size("_sh") > 0)
+    )
+    verified = (
+        cands.join(
+            sh.select(F.col("doc_id").alias("doc_a"), F.col("_sh").alias("sh_a")),
+            "doc_a",
+        )
+        .join(
+            sh.select(F.col("doc_id").alias("doc_b"), F.col("_sh").alias("sh_b")),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 4).alias("jaccard"),
+        )
+    )
+    return verified.where(F.col("jaccard") >= 0.8)
+
+
+@query(
     "scd2_order_history",
     oracle="""
     WITH chg AS (

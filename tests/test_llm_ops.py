@@ -2953,3 +2953,33 @@ def test_lsh_index_delete_compacts_and_excludes(spark, tmp_path):
     cands = idx.new_vs_all_candidates(inc, bucket_cap=None).collect()
     ids = {r["doc_a"] for r in cands} | {r["doc_b"] for r in cands}
     assert cands and not any(10_000 <= d <= 10_014 for d in ids)
+
+
+def test_lsh_index_fold_batch_idempotent_and_oneshot_equal(spark, tmp_path):
+    """The foreachBatch guard: replaying a batch id is a no-op; folding
+    disjoint batches in any split yields the one-shot banding (the
+    batch-order-independence the streaming query's oracle relies on)."""
+    from data_seedling_spark.operators.dedup import MaterializedLshIndex
+    from data_seedling_spark.operators.ledger import VersionedTable
+
+    docs = spark.createDataFrame(_neardup_corpus(), ["doc_id", "text"])
+    idx = MaterializedLshIndex(
+        spark, VersionedTable(spark, str(tmp_path / "idx"), write_partitions=2),
+        text_col="text", id_col="doc_id",
+    )
+    b0 = docs.where(F.col("doc_id") % 2 == 0)
+    b1 = docs.where(F.col("doc_id") % 2 == 1)
+    assert idx.fold_batch(b0, 0) is True
+    n_after_b0 = idx.read().count()
+    assert idx.fold_batch(b0, 0) is False           # replayed batch: no-op
+    assert idx.read().count() == n_after_b0
+    assert idx.fold_batch(b1, 1) is True
+    assert idx.fold_batch(b1, 1) is False
+    maintained = {
+        (r["doc_id"], r["band"], r["bkey"]) for r in idx.read().collect()
+    }
+    oneshot = {
+        (r["doc_id"], r["band"], r["bkey"])
+        for r in idx.band_rows(docs).collect()
+    }
+    assert maintained == oneshot
