@@ -2983,3 +2983,51 @@ def test_lsh_index_fold_batch_idempotent_and_oneshot_equal(spark, tmp_path):
         for r in idx.band_rows(docs).collect()
     }
     assert maintained == oneshot
+
+
+def test_lsh_index_multi_commit_net_effect(spark, tmp_path):
+    """One refresh spanning several commits applies each id's NET
+    effect: a doc inserted in v1 and deleted in v2 must NOT be
+    resurrected; a doc point-updated in v3 is re-banded with its NEW
+    text (update_pre rows drop, update_post rows band)."""
+    from data_seedling_spark.operators.dedup import MaterializedLshIndex
+    from data_seedling_spark.operators.ledger import VersionedTable
+    from data_seedling_spark.operators.merge import CHANGE_TYPE, CT_DELETE
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta"),
+         (2, "one two three four five six seven"),
+         (3, "red orange yellow green blue indigo violet")],
+        ["doc_id", "text"],
+    )
+    src = VersionedTable(spark, str(tmp_path / "src"), write_partitions=1)
+    idx = MaterializedLshIndex(
+        spark, VersionedTable(spark, str(tmp_path / "idx"), write_partitions=1),
+        text_col="text", id_col="doc_id",
+    )
+    src.write(docs, mode="overwrite")                                 # v0
+    ephemeral = spark.createDataFrame(
+        [(9, "short lived document that gets deleted in flight here")],
+        ["doc_id", "text"],
+    )
+    src.write(ephemeral, mode="append")                               # v1
+    src.merge(ephemeral.withColumn(CHANGE_TYPE, F.lit(CT_DELETE)),
+              primary_keys=["doc_id"])                                # v2
+    src.update(F.col("doc_id") == 3,
+               {"text": F.lit("brand new replacement text tokens entirely")})  # v3
+    lo, hi = idx.refresh(src)                                         # fold v0..v3 at once
+    assert (lo, hi) == (0, 3)
+    final = src.read()
+    oneshot = {
+        (r["doc_id"], r["band"], r["bkey"])
+        for r in idx.band_rows(final).collect()
+    }
+    maintained = {
+        (r["doc_id"], r["band"], r["bkey"]) for r in idx.read().collect()
+    }
+    assert maintained == oneshot
+    ids = {d for d, _, _ in maintained}
+    assert 9 not in ids and {1, 2, 3} <= ids
+    # replay no-op
+    lo, hi = idx.refresh(src)
+    assert lo > hi
