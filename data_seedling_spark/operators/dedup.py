@@ -1230,95 +1230,22 @@ class MaterializedLshIndex:
         """Highest source version folded into the index — read from the
         index itself (metadata-sized scalar), so apply+advance stay one
         atomic commit."""
-        from .matview import SOURCE_HI
+        from .matview import mapped_index_applied_hi
 
-        if not self.table.exists():
-            return -1
-        row = (
-            self.table.read().agg(F.max(SOURCE_HI).alias("hi")).collect()[0]
-        )
-        return -1 if row["hi"] is None else int(row["hi"])
+        return mapped_index_applied_hi(self.table)
 
     def refresh(self, source) -> tuple[int, int]:
         """Fold ``source`` versions ``(applied_hi, latest]`` into the
-        index. Returns the applied ``(lo, hi)`` (lo > hi = already
-        current, the replay no-op path). Cost: shingle+sign+band the
-        increment only; append-sized write for pure-insert increments
-        (the corpus-ingest common case); removals (deletes/updates)
-        take an anti-join overwrite — the compaction path.
+        index via the shared row-mapped-index protocol
+        (``operators.matview.refresh_mapped_index``: O(increment)
+        append for pure-insert increments, net-effect reduction +
+        anti-join overwrite for removal-bearing ones). Cost: shingle +
+        sign + band the increment only."""
+        from .matview import refresh_mapped_index
 
-        A multi-commit range can carry several changes for one id
-        (insert in v1, delete in v2, …), so the removal path first
-        reduces the feed to each id's NET EFFECT — its last change by
-        ``_commit_version``, insert-like (insert/update_postimage)
-        outranking remove-like within one version, the same reduction
-        as ``operators.merge.apply_change_feed`` — and re-bands only
-        the net survivors; applying "all deletes, then all inserts"
-        would resurrect net-deleted documents."""
-        from .matview import SOURCE_HI
-        from .merge import (
-            CHANGE_TYPE,
-            COMMIT_VERSION,
-            CT_DELETE,
-            CT_INSERT,
-            CT_UPDATE_POST,
-            CT_UPDATE_PRE,
+        return refresh_mapped_index(
+            self.table, source, self.id_col, [self.text_col], self.band_rows
         )
-
-        lo = self.applied_hi() + 1
-        hi = source.latest_version()
-        if lo > hi:
-            return lo, hi
-        changes = source.read_changes(lo, hi)
-        insert_like = F.col(CHANGE_TYPE).isin([CT_INSERT, CT_UPDATE_POST])
-        remove_like = F.col(CHANGE_TYPE).isin([CT_DELETE, CT_UPDATE_PRE])
-        if changes.where(remove_like).isEmpty():
-            ins = changes.where(insert_like).select(
-                self.id_col, self.text_col
-            )
-            if ins.isEmpty():
-                return lo, hi  # empty commits: nothing to fold or stamp
-            new_rows = self.band_rows(ins).withColumn(
-                SOURCE_HI, F.lit(hi).cast("long")
-            )
-            self.table.write(
-                new_rows,
-                mode="append" if self.table.exists() else "overwrite",
-            )
-            return lo, hi
-        from pyspark.sql import Window
-
-        version = (
-            F.col(COMMIT_VERSION)
-            if COMMIT_VERSION in changes.columns
-            else F.lit(0).cast("long")
-        )
-        w = Window.partitionBy(self.id_col).orderBy(
-            version.desc(),
-            insert_like.cast("int").desc(),
-            F.col(self.text_col).desc_nulls_last(),
-        )
-        last = (
-            changes.withColumn("_rn", F.row_number().over(w))
-            .where(F.col("_rn") == 1)
-        )
-        survivors = last.where(insert_like).select(self.id_col, self.text_col)
-        changed_ids = changes.select(self.id_col).distinct()
-        new_rows = self.band_rows(survivors)
-        if not self.table.exists():
-            state = new_rows
-        else:
-            kept = (
-                self.table.read()
-                .drop(SOURCE_HI)
-                .join(changed_ids, self.id_col, "left_anti")
-            )
-            state = kept.unionByName(new_rows)
-        self.table.write(
-            state.withColumn(SOURCE_HI, F.lit(hi).cast("long")),
-            mode="overwrite",
-        )
-        return lo, hi
 
     def fold_batch(self, batch: DataFrame, batch_id: int) -> bool:
         """Fold one Structured-Streaming micro-batch of documents (pure

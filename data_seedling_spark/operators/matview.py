@@ -194,6 +194,92 @@ class MaterializedAggregate:
         return lo, hi
 
 
+def mapped_index_applied_hi(table: VersionedTable) -> int:
+    """Highest source version folded into a row-mapped index — read
+    from the index itself (metadata-sized scalar aggregate), so
+    apply+advance stay one atomic commit. -1 for a not-yet-built
+    index."""
+    if not table.exists():
+        return -1
+    row = table.read().agg(F.max(SOURCE_HI).alias("hi")).collect()[0]
+    return -1 if row["hi"] is None else int(row["hi"])
+
+
+def refresh_mapped_index(
+    table: VersionedTable,
+    source: VersionedTable,
+    id_col: str,
+    input_cols: Sequence[str],
+    row_fn,
+) -> tuple[int, int]:
+    """Shared refresh protocol for CDC-maintained ROW-MAPPED indexes —
+    derived tables where ``row_fn`` maps each live source row
+    (``id_col`` + ``input_cols``) to zero-or-more index rows keyed by
+    ``id_col`` and the map is a pure PER-ROW function (LSH band rows,
+    IVF cell assignments). Purity is what makes the maintained index
+    provably equal the one-shot mapping of the live corpus, row for
+    row, under any commit split — the hash-proof the consumers'
+    oracles rely on.
+
+    Folds ``source`` versions ``(applied_hi, latest]`` into ``table``;
+    returns the applied ``(lo, hi)`` (lo > hi = already current, the
+    replay no-op path). Pure-insert increments take the O(increment)
+    append path; removal-bearing increments (deletes / update
+    preimages) reduce the feed to each id's NET EFFECT — its last
+    change by ``_commit_version``, insert-like outranking remove-like
+    within one version, the ``merge.apply_change_feed`` reduction —
+    re-map only the net survivors, and anti-join all changed ids out
+    of the old state (applying "all deletes, then all inserts" would
+    resurrect a net-deleted row). The applied version rides inside the
+    index commit as ``_source_hi`` (exactly-once, same marker as
+    :class:`MaterializedAggregate`)."""
+    from pyspark.sql import Window
+
+    lo = mapped_index_applied_hi(table) + 1
+    hi = source.latest_version()
+    if lo > hi:
+        return lo, hi
+    changes = source.read_changes(lo, hi)
+    insert_like = F.col(CHANGE_TYPE).isin([CT_INSERT, CT_UPDATE_POST])
+    remove_like = F.col(CHANGE_TYPE).isin([CT_DELETE, CT_UPDATE_PRE])
+    cols = [id_col, *input_cols]
+    if changes.where(remove_like).isEmpty():
+        ins = changes.where(insert_like).select(*cols)
+        if ins.isEmpty():
+            return lo, hi  # empty commits: nothing to fold or stamp
+        new_rows = row_fn(ins).withColumn(SOURCE_HI, F.lit(hi).cast("long"))
+        table.write(new_rows, mode="append" if table.exists() else "overwrite")
+        return lo, hi
+    from .merge import COMMIT_VERSION
+
+    version = (
+        F.col(COMMIT_VERSION)
+        if COMMIT_VERSION in changes.columns
+        else F.lit(0).cast("long")
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        version.desc(),
+        insert_like.cast("int").desc(),
+        F.struct(*[F.col(c) for c in input_cols]).desc(),
+    )
+    last = changes.withColumn("_rn", F.row_number().over(w)).where(
+        F.col("_rn") == 1
+    )
+    survivors = last.where(insert_like).select(*cols)
+    changed_ids = changes.select(id_col).distinct()
+    new_rows = row_fn(survivors)
+    if table.exists():
+        kept = (
+            table.read().drop(SOURCE_HI).join(changed_ids, id_col, "left_anti")
+        )
+        new_rows = kept.unionByName(new_rows)
+    table.write(
+        new_rows.withColumn(SOURCE_HI, F.lit(hi).cast("long")),
+        mode="overwrite",
+    )
+    return lo, hi
+
+
 def fold_stream_batch(
     view: MaterializedAggregate, batch: DataFrame, batch_id: int
 ) -> bool:

@@ -512,6 +512,119 @@ def ivf_assign(
     )
 
 
+class MaterializedIvfIndex:
+    """CDC-maintained IVF assignment index — the EMBEDDING-side sibling
+    of ``operators.dedup.MaterializedLshIndex`` (VERDICT r12 #1's
+    deployment shape applied to the ANN family): centroids are FROZEN
+    at index build (the build-once / search-many lifecycle of
+    ``ann_index_lifecycle``), each refresh assigns ONLY the increment's
+    vectors to their nearest frozen centroid (broadcast centroids, one
+    scan, no corpus rescan) and appends ``(id, centroid_id)`` rows
+    through the shared row-mapped-index protocol
+    (``matview.refresh_mapped_index``: exactly-once ``_source_hi``
+    marker, O(increment) append, net-effect delete compaction).
+
+    Because assignment against FIXED centroids is a pure per-vector
+    function, the maintained index equals the one-shot assignment of
+    the live corpus row-for-row — so a one-shot SQL oracle replays the
+    whole incremental protocol exactly (the same proof as the LSH band
+    index). Re-training centroids is an index REBUILD, not a refresh —
+    the standard IVF operational split.
+    """
+
+    def __init__(
+        self,
+        spark,
+        table,
+        centroids: DataFrame,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        arrow: bool | None = None,
+    ):
+        self.spark = spark
+        self.table = table
+        self.centroids = centroids
+        self.id_col = id_col
+        self.vec_col = vec_col
+        self.arrow = arrow
+
+    def assign_rows(self, vecs: DataFrame) -> DataFrame:
+        """One-shot ``(id, centroid_id)`` assignments for ``vecs`` —
+        the per-vector pure function the index accumulates."""
+        return ivf_assign(
+            vecs, self.centroids, self.id_col, self.vec_col,
+            arrow=self.arrow,
+        )
+
+    def applied_hi(self) -> int:
+        from .matview import mapped_index_applied_hi
+
+        return mapped_index_applied_hi(self.table)
+
+    def refresh(self, source) -> tuple[int, int]:
+        from .matview import refresh_mapped_index
+
+        return refresh_mapped_index(
+            self.table, source, self.id_col, [self.vec_col],
+            self.assign_rows,
+        )
+
+    def read(self) -> DataFrame:
+        return self.table.read().select(self.id_col, "centroid_id")
+
+    def new_vs_all_pairs(
+        self,
+        vectors: DataFrame,
+        inc_ids: DataFrame,
+        threshold: float = 0.4,
+    ) -> DataFrame:
+        """Near-dup pairs ``(vec_a, vec_b, score)`` with at least one
+        side in ``inc_ids``, scored by cosine within shared index
+        cells — identical to the one-shot cell-blocked join restricted
+        to those pairs (assignments are count-independent, unlike the
+        LSH bucket salt, so no count window is even needed). Plan: the
+        index semi-joins to the increment, TOUCHED cells semi-join
+        back (work ∝ the increment's cells), vectors attach only for
+        the pooled ids, and the equi-join on ``centroid_id`` pairs
+        increment rows against the cell pool."""
+        idx = self.read()
+        inc_rows = idx.join(inc_ids.select(self.id_col), self.id_col, "semi")
+        touched = inc_rows.select("centroid_id").distinct()
+        pool = (
+            idx.join(touched, ["centroid_id"], "semi")
+            .join(
+                vectors.select(
+                    F.col(self.id_col),
+                    F.col(self.vec_col).cast("array<double>").alias("_v"),
+                ),
+                self.id_col,
+            )
+            .withColumn("_n", norm(F.col("_v")))
+        )
+        x = pool.join(
+            inc_ids.select(self.id_col), self.id_col, "semi"
+        ).alias("x")
+        y = pool.alias("y")
+        score = _dot(F.col("x._v"), F.col("y._v")) / (
+            F.col("x._n") * F.col("y._n")
+        )
+        return (
+            x.join(y, ["centroid_id"])
+            .where(F.col(f"x.{self.id_col}") != F.col(f"y.{self.id_col}"))
+            .select(
+                F.least(
+                    F.col(f"x.{self.id_col}"), F.col(f"y.{self.id_col}")
+                ).alias("vec_a"),
+                F.greatest(
+                    F.col(f"x.{self.id_col}"), F.col(f"y.{self.id_col}")
+                ).alias("vec_b"),
+                F.round(score, 6).alias("score"),
+            )
+            .where(F.col("score") >= threshold)
+            .distinct()
+        )
+
+
 def ivf_topk(
     df: DataFrame,
     query_ids,

@@ -143,6 +143,7 @@ _ROTATING: tuple[str, ...] = (
     "prefix_filter_jaccard_join",
     "minhash_lsh_index_maintenance",
     "streaming_neardup_lsh_ingest",
+    "incremental_ivf_assign_maintenance",
     # r12-changed/new queries held for their second driver round:
     "kll_weighted_quantile_revenue",
     "decayed_quantile_order_price",
@@ -159,7 +160,6 @@ _ROTATING: tuple[str, ...] = (
     "audio_fingerprint_match",
     "count_min_heavy_hitters",
     "gdpr_forget_propagation",
-    "dsir_importance_weights",
 )
 
 _PRIORITY: tuple[str, ...] = _ANCHORS + _ROTATING

@@ -911,6 +911,99 @@ def streaming_neardup_lsh_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "incremental_ivf_assign_maintenance",
+    oracle="""
+    WITH c AS (
+      SELECT vec_id // 150 AS centroid_id, embedding::DOUBLE[] AS cv
+      FROM embeddings WHERE vec_id % 150 = 0
+    ), v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS vv FROM embeddings
+    ), assigned AS (
+      SELECT vec_id, centroid_id FROM (
+        SELECT v.vec_id, c.centroid_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY v.vec_id
+                 ORDER BY round(list_dot_product(vv, vv) + list_dot_product(cv, cv)
+                                - 2 * list_dot_product(vv, cv), 6),
+                          c.centroid_id
+               ) AS rn
+        FROM v, c
+      ) WHERE rn = 1
+    ), cells AS (
+      SELECT v.vec_id, a.centroid_id, v.vv FROM v JOIN assigned a USING (vec_id)
+    ), pairs AS (
+      SELECT least(x.vec_id, y.vec_id) AS vec_a,
+             greatest(x.vec_id, y.vec_id) AS vec_b,
+             round(list_dot_product(x.vv, y.vv)
+                   / (sqrt(list_dot_product(x.vv, x.vv))
+                      * sqrt(list_dot_product(y.vv, y.vv))), 6) AS score
+      FROM cells x JOIN cells y
+        ON x.centroid_id = y.centroid_id AND x.vec_id <> y.vec_id
+      WHERE x.vec_id % 3 = 2
+      GROUP BY 1, 2, 3
+    )
+    SELECT vec_a, vec_b, score, CAST(3 AS BIGINT) AS wm_next
+    FROM pairs WHERE score >= 0.4
+    """,
+    tags=("similarity-ivf", "ivm", "S2", "ST1", "ST2", "index-lifecycle"),
+)
+def incremental_ivf_assign_maintenance(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Incremental ANN-index maintenance — the embedding-side sibling
+    of ``minhash_lsh_index_maintenance``: an IVF assignment index
+    (frozen stride-150 centroids, all of which live in batch 0 — the
+    build-once / search-many split of ``ann_index_lifecycle``) kept
+    current over a versioned embedding corpus. Each refresh assigns
+    ONLY that commit's vectors against the broadcast centroids
+    (O(increment), no corpus rescan) and appends through the shared
+    row-mapped-index protocol
+    (``operators.similarity.MaterializedIvfIndex``); three refreshes
+    (vec_id ≡ 0,1,2 mod 3) + a replay no-op, then the LAST
+    increment's new-vs-all cosine near-dup pairs (≥ 0.4) within
+    shared cells. Assignment against fixed centroids is a pure
+    per-vector function, so maintained ≡ one-shot and the one-shot
+    oracle replays the whole protocol hash-exactly; ``wm_next`` pins
+    the advanced watermark."""
+    from .operators.similarity import MaterializedIvfIndex, oracle_arrow
+
+    embeddings = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    centroids = embeddings.where(F.col("vec_id") % 150 == 0).select(
+        (F.col("vec_id") / 150).cast("long").alias("centroid_id"),
+        F.col("embedding"),
+    )
+    base = tempfile.mkdtemp(prefix="ivf_idx_")
+    src = VersionedTable(spark, f"{base}/src", write_partitions=4)
+    index = MaterializedIvfIndex(
+        spark,
+        VersionedTable(spark, f"{base}/idx", write_partitions=4),
+        centroids=centroids,
+        id_col="vec_id",
+        vec_col="embedding",
+        arrow=oracle_arrow(),
+    )
+    key = F.col("vec_id")
+    src.write(embeddings.where(key % 3 == 0), mode="overwrite")
+    lo, hi = index.refresh(src)                    # folds v0
+    assert (lo, hi) == (0, 0), (lo, hi)
+    src.write(embeddings.where(key % 3 == 1), mode="append")
+    lo, hi = index.refresh(src)                    # folds v1 only
+    assert (lo, hi) == (1, 1), (lo, hi)
+    src.write(embeddings.where(key % 3 == 2), mode="append")
+    lo, hi = index.refresh(src)                    # folds v2 only
+    assert (lo, hi) == (2, 2), (lo, hi)
+    lo, hi = index.refresh(src)                    # replay: no-op
+    assert lo > hi, "replayed refresh must be a no-op"
+    inc_ids = src.read_changes(2, 2).select("vec_id")
+    pairs = index.new_vs_all_pairs(embeddings, inc_ids, threshold=0.4)
+    return pairs.withColumn(
+        "wm_next", F.lit(index.applied_hi() + 1).cast("long")
+    )
+
+
+@query(
     "scd2_order_history",
     oracle="""
     WITH chg AS (

@@ -3031,3 +3031,67 @@ def test_lsh_index_multi_commit_net_effect(spark, tmp_path):
     # replay no-op
     lo, hi = idx.refresh(src)
     assert lo > hi
+
+
+def test_ivf_index_maintained_equals_oneshot_and_new_vs_all(spark, tmp_path):
+    """The embedding-side mapped index: maintained assignments equal
+    the one-shot assignment after incremental folds; replay no-ops;
+    new-vs-all pairs equal the one-shot cell join restricted to pairs
+    touching the increment."""
+    from data_seedling_spark.operators.ledger import VersionedTable
+    from data_seedling_spark.operators.similarity import MaterializedIvfIndex
+
+    import random
+    rng = random.Random(7)
+    rows = []
+    for i in range(120):
+        base = [rng.uniform(-1, 1) for _ in range(8)]
+        rows.append((i, [round(x, 3) for x in base]))
+        # a near-duplicate of every 10th vector, landing in a later batch
+        if i % 10 == 0:
+            rows.append((1000 + i, [round(x + 0.001, 3) for x in base]))
+    vecs = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    centroids = vecs.where(F.col("vec_id") % 15 == 0).select(
+        (F.col("vec_id") / 15).cast("long").alias("centroid_id"),
+        F.col("embedding"),
+    )
+    src = VersionedTable(spark, str(tmp_path / "src"), write_partitions=2)
+    idx = MaterializedIvfIndex(
+        spark, VersionedTable(spark, str(tmp_path / "idx"), write_partitions=2),
+        centroids=centroids, id_col="vec_id", vec_col="embedding",
+        arrow=False,
+    )
+    src.write(vecs.where(F.col("vec_id") % 2 == 0), mode="overwrite")
+    assert idx.refresh(src) == (0, 0)
+    src.write(vecs.where(F.col("vec_id") % 2 == 1), mode="append")
+    assert idx.refresh(src) == (1, 1)
+    lo, hi = idx.refresh(src)
+    assert lo > hi
+    maintained = {
+        (r["vec_id"], r["centroid_id"]) for r in idx.read().collect()
+    }
+    oneshot = {
+        (r["vec_id"], r["centroid_id"])
+        for r in idx.assign_rows(vecs).collect()
+    }
+    assert maintained == oneshot
+    inc_ids = vecs.where(F.col("vec_id") % 2 == 1).select("vec_id")
+    got = {
+        (r["vec_a"], r["vec_b"], r["score"])
+        for r in idx.new_vs_all_pairs(vecs, inc_ids, threshold=0.9).collect()
+    }
+    # one-shot restriction: same-cell pairs touching the increment
+    from data_seedling_spark.operators.similarity import (
+        embedding_near_dup_pairs,
+    )
+    assigned = idx.assign_rows(vecs)
+    blocked = vecs.join(assigned, "vec_id")
+    oneshot_pairs = {
+        (r["vec_a"], r["vec_b"], r["score"])
+        for r in embedding_near_dup_pairs(
+            blocked, id_col="vec_id", vec_col="embedding",
+            block_col="centroid_id", threshold=0.9, arrow=False,
+        ).collect()
+        if r["vec_a"] % 2 == 1 or r["vec_b"] % 2 == 1
+    }
+    assert got == oneshot_pairs and got, "expected nonempty pair parity"
