@@ -264,8 +264,10 @@ HEADLINE = [
     "ngram_decontamination_check",
     # r13: the CDC-maintained LSH band-row index (VERDICT r12 #1) —
     # protocol-latency-shaped like incremental_quantile_maintenance
-    # (three ledger refreshes + the new-vs-all candidate join).
+    # (three ledger refreshes + the new-vs-all candidate join) — and
+    # its embedding-side sibling on the shared mapped-index protocol.
     "minhash_lsh_index_maintenance",
+    "incremental_ivf_assign_maintenance",
 ]
 
 

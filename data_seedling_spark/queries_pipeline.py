@@ -851,7 +851,7 @@ def streaming_neardup_lsh_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         jaccard,
         word_shingles,
     )
-    from .streaming.windows import require_stream_progress
+    from .streaming.windows import read_events_stream, require_stream_progress
 
     base = tempfile.mkdtemp(prefix="stream_lsh_")
     index = MaterializedLshIndex(
@@ -861,12 +861,15 @@ def streaming_neardup_lsh_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         id_col="doc_id",
     )
     schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
-    stream = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "documents.parquet")
-        .parquet(sf_dir)
-        .select("doc_id", "text")
-    )
+    # read_events_stream, not a raw pathGlobFilter: the driver's
+    # testdata tables are single FILES but scale sets are Spark-written
+    # DIRECTORIES, where a glob naming the directory matches no leaf
+    # file and the stream terminates zero-batch (the r10 bug the
+    # helper closes; no ts column in documents, so the event-time
+    # plumbing is a no-op).
+    stream = read_events_stream(
+        spark, sf_dir, schema, glob="documents.parquet"
+    ).select("doc_id", "text")
     name = f"snl_{_uuid.uuid4().hex[:10]}"
     q = (
         stream.writeStream.foreachBatch(
