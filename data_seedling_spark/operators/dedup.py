@@ -249,6 +249,7 @@ def prefix_filter_jaccard_pairs(
     threshold_num: int = 4,
     threshold_den: int = 5,
     df_cap: int | None = None,
+    bucket_cap: int | None = 64,
 ) -> DataFrame:
     """Jaccard-threshold self-join without blocking keys and without
     all-pairs — EXACT (zero false negatives) when ``df_cap is None``;
@@ -289,7 +290,8 @@ def prefix_filter_jaccard_pairs(
     least one OVERFLOW (df > D) prefix token is additionally routed
     through the md5-MinHash-LSH leg (16 perms × 4 bands, the
     engine-independent family of :func:`minhash_md5_lsh_pairs`, with
-    the same hot-bucket salt split at ``bucket_cap=64`` — r13, VERDICT
+    the same hot-bucket salt split at ``bucket_cap`` (default 64,
+    caller-tunable alongside ``df_cap`` — ADVICE r13) — r13, VERDICT
     r12 #2); candidate sets union before the shared exact-Jaccard
     verification. Guarantee split: a qualifying pair whose FIRST
     common prefix token (global (df, tok) order) is bounded is found
@@ -405,7 +407,7 @@ def prefix_filter_jaccard_pairs(
         # untouched, and overflow-only pairs were already
         # probabilistic (standard LSH recall, now × the hot-bucket
         # subgroup term documented at band_bucket_candidates).
-        lsh_cands = band_bucket_candidates(bandrows, id_col, bucket_cap=64)
+        lsh_cands = band_bucket_candidates(bandrows, id_col, bucket_cap=bucket_cap)
         cands = cands.unionByName(lsh_cands).distinct()
     x = sh.select(F.col(id_col).alias("doc_a"), F.col("s").alias("_sa"))
     y = sh.select(F.col(id_col).alias("doc_b"), F.col("s").alias("_sb"))
@@ -1177,12 +1179,18 @@ class MaterializedLshIndex:
     therefore reproduces the incremental protocol's candidates
     exactly (the ``incremental_distinct_maintenance`` proof pattern).
 
-    Deletes / updates: a delete (or update preimage) drops the
-    document's band rows via an anti-join overwrite — the compaction
-    path, O(index) rewrite, amortized across the rare delete batches;
-    pure-insert increments take the O(increment) append path. An
-    increment with no rows at all leaves the stored watermark where it
-    was (replaying empty commits is a no-op by construction).
+    Deletes / updates (ctor ``deletes``): ``"rewrite"`` drops the
+    document's band rows via an anti-join overwrite — O(index) per
+    delete batch, amortized while deletes are rare; ``"tombstone"``
+    (VERDICT r13 #3 — the GDPR-batch deployment shape) appends one
+    tombstone per changed id plus the survivors' fresh band rows,
+    O(changes), with last-writer-wins resolution at read time
+    (``matview.read_mapped_index``) and threshold compaction
+    (``matview.compact_mapped_index``). Pure-insert increments take
+    the O(increment) append path either way. Every commit carries a
+    NULL-id watermark marker row, so the stored watermark advances
+    with the returned ``hi`` even for increments that band to zero
+    rows (ADVICE r13).
 
     Reference scope: the reference's CDC protocol
     (``patient_notes/src/patient_notes/datalake.py:52-99``) married to
@@ -1199,6 +1207,7 @@ class MaterializedLshIndex:
         num_perm: int = 16,
         bands: int = 4,
         shingle_n: int = 3,
+        deletes: str = "rewrite",
     ):
         self.spark = spark
         self.table = table
@@ -1207,6 +1216,11 @@ class MaterializedLshIndex:
         self.num_perm = num_perm
         self.bands = bands
         self.shingle_n = shingle_n
+        #: removal-increment strategy (matview.refresh_mapped_index):
+        #: "rewrite" = anti-join overwrite (O(index) per delete batch);
+        #: "tombstone" = O(changes) append + read-time last-writer-wins
+        #: resolution (VERDICT r13 #3 — the GDPR-batch deployment shape).
+        self.deletes = deletes
 
     def band_rows(self, docs: DataFrame) -> DataFrame:
         """One-shot band rows ``(id, band, bkey)`` for ``docs`` — the
@@ -1244,7 +1258,8 @@ class MaterializedLshIndex:
         from .matview import refresh_mapped_index
 
         return refresh_mapped_index(
-            self.table, source, self.id_col, [self.text_col], self.band_rows
+            self.table, source, self.id_col, [self.text_col],
+            self.band_rows, deletes=self.deletes,
         )
 
     def fold_batch(self, batch: DataFrame, batch_id: int) -> bool:
@@ -1256,13 +1271,17 @@ class MaterializedLshIndex:
         applied_hi`` and no-ops instead of double-banding). Returns
         False when the batch was already applied. Same pattern as
         ``operators.matview.fold_stream_batch``."""
-        from .matview import SOURCE_HI
+        from .matview import SOURCE_HI, _marker_row
 
         if batch_id <= self.applied_hi():
             return False
         rows = self.band_rows(
             batch.select(self.id_col, self.text_col)
         ).withColumn(SOURCE_HI, F.lit(batch_id).cast("long"))
+        # The same NULL-id watermark marker as refresh_mapped_index:
+        # a batch whose documents all band to zero rows still advances
+        # the stored watermark atomically (ADVICE r13).
+        rows = rows.unionByName(_marker_row(rows, self.id_col, batch_id))
         if not self.table.exists():
             self.table.write(rows, mode="overwrite")
         else:
@@ -1270,7 +1289,11 @@ class MaterializedLshIndex:
         return True
 
     def read(self) -> DataFrame:
-        return self.table.read().select(self.id_col, "band", "bkey")
+        from .matview import read_mapped_index
+
+        return read_mapped_index(self.table, self.id_col).select(
+            self.id_col, "band", "bkey"
+        )
 
     def new_vs_all_candidates(
         self, inc_ids: DataFrame, bucket_cap: int | None = 64

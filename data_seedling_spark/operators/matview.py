@@ -55,6 +55,9 @@ from .merge import (
 COUNT_COL = "mv_count"
 #: applied-source-version marker column (see module docstring).
 SOURCE_HI = "_source_hi"
+#: tombstone flag column for the O(changes) delete path of
+#: :func:`refresh_mapped_index` (``deletes="tombstone"``).
+TOMBSTONE = "_tomb"
 
 
 def change_sign():
@@ -198,11 +201,90 @@ def mapped_index_applied_hi(table: VersionedTable) -> int:
     """Highest source version folded into a row-mapped index — read
     from the index itself (metadata-sized scalar aggregate), so
     apply+advance stay one atomic commit. -1 for a not-yet-built
-    index."""
+    index. Watermark MARKER rows (id NULL — see
+    :func:`refresh_mapped_index`) count here by design: they exist so
+    this scalar always equals the ``hi`` the last refresh returned,
+    even when that refresh mapped to zero index rows (ADVICE r13)."""
     if not table.exists():
         return -1
     row = table.read().agg(F.max(SOURCE_HI).alias("hi")).collect()[0]
     return -1 if row["hi"] is None else int(row["hi"])
+
+
+def _marker_row(template: DataFrame, id_col: str, hi: int) -> DataFrame:
+    """One watermark marker row in ``template``'s schema: every data
+    column NULL (``id_col`` included; the tombstone flag, when present,
+    is true so BOTH read filters drop it), ``_source_hi = hi``. Unioned
+    into every index commit so ``mapped_index_applied_hi`` always
+    advances with the returned ``hi`` — a refresh whose increment maps
+    to zero index rows (all-empty-shingle docs; an empty change feed
+    over ledger versions that committed no rows) previously left the
+    stored watermark behind its return value (ADVICE r13). Readers go
+    through :func:`read_mapped_index`, which drops NULL-id rows."""
+    spark = template.sparkSession
+    cols = []
+    for field in template.schema.fields:
+        if field.name == SOURCE_HI:
+            cols.append(F.lit(hi).cast("long").alias(SOURCE_HI))
+        elif field.name == TOMBSTONE:
+            cols.append(F.lit(True).alias(TOMBSTONE))
+        else:
+            cols.append(F.lit(None).cast(field.dataType).alias(field.name))
+    return spark.range(1).select(*cols)
+
+
+def read_mapped_index(table: VersionedTable, id_col: str) -> DataFrame:
+    """The consumer-facing read of a row-mapped index: drops watermark
+    marker rows (id NULL) and — when the index carries the tombstone
+    column — resolves last-writer-wins per id: visible rows are the
+    non-tombstone rows at each id's highest ``_source_hi``. With the
+    O(changes) delete path (:func:`refresh_mapped_index`
+    ``deletes="tombstone"``) a changed id's newest generation is a
+    same-commit tombstone + fresh map rows, so this filter yields
+    exactly ``row_fn`` over the LIVE corpus — the maintained ≡ one-shot
+    proof carries over verbatim. Cost: one id-keyed window over the
+    index per read (the price of O(changes) deletes; amortize with
+    :func:`compact_mapped_index`). Rewrite-mode indexes (no tombstone
+    column) pay only the NULL-id filter — no shuffle."""
+    from pyspark.sql import Window
+
+    df = table.read().where(F.col(id_col).isNotNull())
+    if TOMBSTONE in df.columns:
+        w = Window.partitionBy(id_col)
+        df = (
+            df.withColumn("_hi_max", F.max(SOURCE_HI).over(w))
+            .where((F.col(SOURCE_HI) == F.col("_hi_max")) & ~F.col(TOMBSTONE))
+            .drop("_hi_max", TOMBSTONE)
+        )
+    return df
+
+
+def compact_mapped_index(
+    table: VersionedTable, id_col: str, min_stale_fraction: float = 0.0
+) -> bool:
+    """Rewrite a tombstone-mode index to its resolved form: visible
+    rows only, restamped at the current watermark, plus one marker row
+    preserving it — the O(index) compaction that amortizes the
+    O(changes) delete path's read-time window. With
+    ``min_stale_fraction`` set, compaction runs only when at least that
+    fraction of raw rows is invisible (tombstones, superseded
+    generations, markers) — the caller's threshold knob. Returns
+    whether a rewrite happened."""
+    hi = mapped_index_applied_hi(table)
+    if hi < 0:
+        return False
+    resolved = read_mapped_index(table, id_col).drop(SOURCE_HI)
+    if min_stale_fraction > 0:
+        raw = table.read().count()
+        live = resolved.count()
+        if raw == 0 or (raw - live) / raw < min_stale_fraction:
+            return False
+    out = resolved.withColumn(TOMBSTONE, F.lit(False)).withColumn(
+        SOURCE_HI, F.lit(hi).cast("long")
+    )
+    out = out.unionByName(_marker_row(out, id_col, hi))
+    table.write(out, mode="overwrite")
+    return True
 
 
 def refresh_mapped_index(
@@ -211,43 +293,76 @@ def refresh_mapped_index(
     id_col: str,
     input_cols: Sequence[str],
     row_fn,
+    deletes: str = "rewrite",
 ) -> tuple[int, int]:
     """Shared refresh protocol for CDC-maintained ROW-MAPPED indexes —
     derived tables where ``row_fn`` maps each live source row
     (``id_col`` + ``input_cols``) to zero-or-more index rows keyed by
     ``id_col`` and the map is a pure PER-ROW function (LSH band rows,
-    IVF cell assignments). Purity is what makes the maintained index
-    provably equal the one-shot mapping of the live corpus, row for
-    row, under any commit split — the hash-proof the consumers'
-    oracles rely on.
+    IVF cell assignments, n-gram fingerprints). Purity is what makes
+    the maintained index provably equal the one-shot mapping of the
+    live corpus, row for row, under any commit split — the hash-proof
+    the consumers' oracles rely on.
 
     Folds ``source`` versions ``(applied_hi, latest]`` into ``table``;
     returns the applied ``(lo, hi)`` (lo > hi = already current, the
     replay no-op path). Pure-insert increments take the O(increment)
-    append path; removal-bearing increments (deletes / update
+    append path. Removal-bearing increments (deletes / update
     preimages) reduce the feed to each id's NET EFFECT — its last
     change by ``_commit_version``, insert-like outranking remove-like
     within one version, the ``merge.apply_change_feed`` reduction —
-    re-map only the net survivors, and anti-join all changed ids out
-    of the old state (applying "all deletes, then all inserts" would
-    resurrect a net-deleted row). The applied version rides inside the
-    index commit as ``_source_hi`` (exactly-once, same marker as
-    :class:`MaterializedAggregate`)."""
+    then apply it per ``deletes``:
+
+    - ``"rewrite"`` (default): re-map only the net survivors and
+      anti-join all changed ids out of the old state (applying "all
+      deletes, then all inserts" would resurrect a net-deleted row).
+      O(index) rewrite per removal batch — fine while deletes are
+      rare, the weak joint at 100 TB (VERDICT r13 #3).
+    - ``"tombstone"``: O(changes) — append one tombstone row per
+      changed id plus the net survivors' fresh map rows, both stamped
+      at ``hi``; :func:`read_mapped_index` resolves last-writer-wins
+      per id at read time (visible = non-tombstone rows at the id's
+      highest ``_source_hi``), and :func:`compact_mapped_index`
+      amortizes the read-time window away on a threshold. The
+      tombstone covers every changed id, not just net-deleted ones: an
+      UPDATED id whose new input maps to zero rows (text edited down
+      to no shingles) has no fresh rows to outrank its old generation
+      — the tombstone is what hides it.
+
+    The applied version rides inside the index commit as
+    ``_source_hi`` (exactly-once, same marker as
+    :class:`MaterializedAggregate`), and every commit carries one
+    NULL-id watermark marker row (:func:`_marker_row`) so the stored
+    watermark always advances with the returned ``hi`` — including
+    increments that map to zero index rows (ADVICE r13). Consumers
+    read via :func:`read_mapped_index`, which drops markers (and, in
+    tombstone mode, resolves generations)."""
     from pyspark.sql import Window
 
+    if deletes not in ("rewrite", "tombstone"):
+        raise ValueError(f"unsupported deletes mode {deletes!r}")
+    tomb = deletes == "tombstone"
     lo = mapped_index_applied_hi(table) + 1
     hi = source.latest_version()
     if lo > hi:
         return lo, hi
+
+    def _stamp(rows: DataFrame, tombstone_col=None) -> DataFrame:
+        if tomb:
+            rows = rows.withColumn(
+                TOMBSTONE,
+                F.lit(False) if tombstone_col is None else tombstone_col,
+            )
+        rows = rows.withColumn(SOURCE_HI, F.lit(hi).cast("long"))
+        return rows.unionByName(_marker_row(rows, id_col, hi))
+
     changes = source.read_changes(lo, hi)
     insert_like = F.col(CHANGE_TYPE).isin([CT_INSERT, CT_UPDATE_POST])
     remove_like = F.col(CHANGE_TYPE).isin([CT_DELETE, CT_UPDATE_PRE])
     cols = [id_col, *input_cols]
     if changes.where(remove_like).isEmpty():
         ins = changes.where(insert_like).select(*cols)
-        if ins.isEmpty():
-            return lo, hi  # empty commits: nothing to fold or stamp
-        new_rows = row_fn(ins).withColumn(SOURCE_HI, F.lit(hi).cast("long"))
+        new_rows = _stamp(row_fn(ins))
         table.write(new_rows, mode="append" if table.exists() else "overwrite")
         return lo, hi
     from .merge import COMMIT_VERSION
@@ -268,15 +383,32 @@ def refresh_mapped_index(
     survivors = last.where(insert_like).select(*cols)
     changed_ids = changes.select(id_col).distinct()
     new_rows = row_fn(survivors)
+    if tomb and table.exists():
+        # O(changes): tombstones for every changed id + fresh map rows,
+        # one append — the index body is never read or rewritten.
+        tombstones = changed_ids
+        for c in new_rows.columns:
+            if c != id_col:
+                tombstones = tombstones.withColumn(
+                    c, F.lit(None).cast(new_rows.schema[c].dataType)
+                )
+        out = _stamp(
+            tombstones.select(*new_rows.columns).withColumn(
+                "_is_tomb", F.lit(True)
+            ).unionByName(new_rows.withColumn("_is_tomb", F.lit(False))),
+            tombstone_col=F.col("_is_tomb"),
+        ).drop("_is_tomb")
+        table.write(out, mode="append")
+        return lo, hi
     if table.exists():
         kept = (
-            table.read().drop(SOURCE_HI).join(changed_ids, id_col, "left_anti")
+            table.read()
+            .where(F.col(id_col).isNotNull())
+            .drop(SOURCE_HI, TOMBSTONE)
+            .join(changed_ids, id_col, "left_anti")
         )
         new_rows = kept.unionByName(new_rows)
-    table.write(
-        new_rows.withColumn(SOURCE_HI, F.lit(hi).cast("long")),
-        mode="overwrite",
-    )
+    table.write(_stamp(new_rows), mode="overwrite")
     return lo, hi
 
 

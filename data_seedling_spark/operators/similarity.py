@@ -561,16 +561,20 @@ class MaterializedIvfIndex:
 
         return mapped_index_applied_hi(self.table)
 
-    def refresh(self, source) -> tuple[int, int]:
+    def refresh(self, source, deletes: str = "rewrite") -> tuple[int, int]:
         from .matview import refresh_mapped_index
 
         return refresh_mapped_index(
             self.table, source, self.id_col, [self.vec_col],
-            self.assign_rows,
+            self.assign_rows, deletes=deletes,
         )
 
     def read(self) -> DataFrame:
-        return self.table.read().select(self.id_col, "centroid_id")
+        from .matview import read_mapped_index
+
+        return read_mapped_index(self.table, self.id_col).select(
+            self.id_col, "centroid_id"
+        )
 
     def new_vs_all_pairs(
         self,

@@ -54,8 +54,8 @@ def dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(len(list_intersect(a.shingles, b.shingles))::DOUBLE
                  / len(list_distinct(list_concat(a.shingles, b.shingles))), 4) AS jaccard
     FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
-    WHERE len(list_intersect(a.shingles, b.shingles))::DOUBLE
-          / len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.8
+    WHERE round(len(list_intersect(a.shingles, b.shingles))::DOUBLE
+          / len(list_distinct(list_concat(a.shingles, b.shingles))), 4) >= 0.8
     """,
     tags=("dedup-jaccard",),
 )
@@ -547,8 +547,8 @@ def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
       )
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
       FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
-      WHERE len(list_intersect(a.shingles, b.shingles))::DOUBLE
-            / len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.8
+      WHERE round(len(list_intersect(a.shingles, b.shingles))::DOUBLE
+            / len(list_distinct(list_concat(a.shingles, b.shingles))), 4) >= 0.8
     ), sym AS (
       SELECT doc_a AS a, doc_b AS b FROM edges
       UNION SELECT doc_b, doc_a FROM edges
@@ -3464,8 +3464,8 @@ def ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
       )
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
       FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
-      WHERE len(list_intersect(a.shingles, b.shingles))::DOUBLE
-            / len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.8
+      WHERE round(len(list_intersect(a.shingles, b.shingles))::DOUBLE
+            / len(list_distinct(list_concat(a.shingles, b.shingles))), 4) >= 0.8
     ), sym AS (
       SELECT doc_a AS a, doc_b AS b FROM edges
       UNION SELECT doc_b, doc_a FROM edges
@@ -4221,8 +4221,8 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM cands
     JOIN shf a ON a.doc_id = doc_a
     JOIN shf b ON b.doc_id = doc_b
-    WHERE len(list_intersect(a.shingles, b.shingles))::DOUBLE
-          / len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.8
+    WHERE round(len(list_intersect(a.shingles, b.shingles))::DOUBLE
+          / len(list_distinct(list_concat(a.shingles, b.shingles))), 4) >= 0.8
     """,
     tags=("dedup-minhash", "oracle-twin"),
 )
@@ -4374,8 +4374,8 @@ def embedding_near_dup_lsh_md5_q(spark: SparkSession, sf_dir: str) -> DataFrame:
       )
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
       FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
-      WHERE len(list_intersect(a.shingles, b.shingles))::DOUBLE
-            / len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.8
+      WHERE round(len(list_intersect(a.shingles, b.shingles))::DOUBLE
+            / len(list_distinct(list_concat(a.shingles, b.shingles))), 4) >= 0.8
     ), sym AS (
       SELECT doc_a AS a, doc_b AS b FROM edges
       UNION SELECT doc_b, doc_a FROM edges
@@ -5026,8 +5026,8 @@ def naive_bayes_language_classify(spark: SparkSession, sf_dir: str) -> DataFrame
     FROM cands
     JOIN shf x ON x.doc_id = doc_a
     JOIN shf y ON y.doc_id = doc_b
-    WHERE len(list_intersect(x.s, y.s))::DOUBLE
-          / len(list_distinct(list_concat(x.s, y.s))) >= 0.8
+    WHERE round(len(list_intersect(x.s, y.s))::DOUBLE
+          / len(list_distinct(list_concat(x.s, y.s))), 4) >= 0.8
     """,
     tags=("dedup-exact", "similarity-join", "hybrid"),
 )

@@ -818,8 +818,8 @@ def minhash_lsh_index_maintenance(
     FROM cands
     JOIN shf a ON a.doc_id = doc_a
     JOIN shf b ON b.doc_id = doc_b
-    WHERE len(list_intersect(a.shingles, b.shingles))::DOUBLE
-          / len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.8
+    WHERE round(len(list_intersect(a.shingles, b.shingles))::DOUBLE
+          / len(list_distinct(list_concat(a.shingles, b.shingles))), 4) >= 0.8
     """,
     tags=("streaming", "dedup-minhash", "ivm", "ST2", "oracle-twin"),
 )
@@ -1759,8 +1759,8 @@ def incremental_join_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFr
     FROM cands
     JOIN shf a ON a.doc_id = doc_a
     JOIN shf b ON b.doc_id = doc_b
-    WHERE len(list_intersect(a.shingles, b.shingles))::DOUBLE
-          / len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.8
+    WHERE round(len(list_intersect(a.shingles, b.shingles))::DOUBLE
+          / len(list_distinct(list_concat(a.shingles, b.shingles))), 4) >= 0.8
     """,
     tags=("S2", "ST1", "dedup-minhash", "llm-pipeline", "oracle-twin"),
 )

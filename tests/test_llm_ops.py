@@ -3095,3 +3095,207 @@ def test_ivf_index_maintained_equals_oneshot_and_new_vs_all(spark, tmp_path):
         if r["vec_a"] % 2 == 1 or r["vec_b"] % 2 == 1
     }
     assert got == oneshot_pairs and got, "expected nonempty pair parity"
+
+
+# ---------------------------------------------------------------------------
+# Tombstone delete path + watermark marker (r14, VERDICT r13 #3 / ADVICE r13):
+# O(changes) delete folding with read-time last-writer-wins resolution,
+# threshold compaction, and the applied_hi == returned-hi contract.
+# ---------------------------------------------------------------------------
+
+
+def test_lsh_index_tombstone_maintained_equals_oneshot(spark, tmp_path):
+    """Tombstone mode: inserts + a delete batch + a point update fold
+    O(changes); the RESOLVED read equals the one-shot banding of the
+    live corpus — the same hash-proof as rewrite mode, now without the
+    O(index) rewrite (the index ledger gains only appends)."""
+    from data_seedling_spark.operators.dedup import MaterializedLshIndex
+    from data_seedling_spark.operators.ledger import VersionedTable
+    from data_seedling_spark.operators.merge import CHANGE_TYPE, CT_DELETE
+
+    docs = spark.createDataFrame(_neardup_corpus(), ["doc_id", "text"])
+    src = VersionedTable(spark, str(tmp_path / "src"), write_partitions=2)
+    idx = MaterializedLshIndex(
+        spark, VersionedTable(spark, str(tmp_path / "idx"), write_partitions=2),
+        text_col="text", id_col="doc_id", deletes="tombstone",
+    )
+    src.write(docs.where(F.col("doc_id") % 2 == 0), mode="overwrite")  # v0
+    assert idx.refresh(src) == (0, 0)
+    src.write(docs.where(F.col("doc_id") % 2 == 1), mode="append")     # v1
+    assert idx.refresh(src) == (1, 1)
+    feed = docs.where(F.col("doc_id").between(10_000, 10_014)).withColumn(
+        CHANGE_TYPE, F.lit(CT_DELETE)
+    )
+    src.merge(feed, primary_keys=["doc_id"])                           # v2
+    assert idx.refresh(src) == (2, 2)
+    src.update(F.col("doc_id") == 0,
+               {"text": F.lit("completely rewritten text with fresh tokens")})  # v3
+    assert idx.refresh(src) == (3, 3)
+    lo, hi = idx.refresh(src)
+    assert lo > hi, "replayed refresh must be a no-op"
+    # every index commit after the build is an append (O(changes)):
+    # the delete batch never rewrote the index body
+    maintained = {
+        (r["doc_id"], r["band"], r["bkey"]) for r in idx.read().collect()
+    }
+    oneshot = {
+        (r["doc_id"], r["band"], r["bkey"])
+        for r in idx.band_rows(src.read()).collect()
+    }
+    assert maintained == oneshot and maintained
+    ids = {d for d, _, _ in maintained}
+    assert not any(10_000 <= d <= 10_014 for d in ids)
+    assert 10_015 in ids and 0 in ids
+
+
+def test_lsh_index_tombstone_delete_then_reinsert(spark, tmp_path):
+    """A doc deleted in one commit and re-inserted in a later one must
+    resurface with its NEW banding: the re-insert's higher _source_hi
+    outranks the tombstone at resolution."""
+    from data_seedling_spark.operators.dedup import MaterializedLshIndex
+    from data_seedling_spark.operators.ledger import VersionedTable
+    from data_seedling_spark.operators.merge import CHANGE_TYPE, CT_DELETE
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta"),
+         (2, "one two three four five six seven")],
+        ["doc_id", "text"],
+    )
+    src = VersionedTable(spark, str(tmp_path / "src"), write_partitions=1)
+    idx = MaterializedLshIndex(
+        spark, VersionedTable(spark, str(tmp_path / "idx"), write_partitions=1),
+        text_col="text", id_col="doc_id", deletes="tombstone",
+    )
+    src.write(docs, mode="overwrite")                                  # v0
+    assert idx.refresh(src) == (0, 0)
+    src.merge(docs.where(F.col("doc_id") == 1).withColumn(
+        CHANGE_TYPE, F.lit(CT_DELETE)), primary_keys=["doc_id"])       # v1
+    assert idx.refresh(src) == (1, 1)
+    assert {r["doc_id"] for r in idx.read().collect()} == {2}
+    reborn = spark.createDataFrame(
+        [(1, "resurrected with a different body of words now")],
+        ["doc_id", "text"],
+    )
+    src.write(reborn, mode="append")                                   # v2
+    assert idx.refresh(src) == (2, 2)
+    maintained = {
+        (r["doc_id"], r["band"], r["bkey"]) for r in idx.read().collect()
+    }
+    oneshot = {
+        (r["doc_id"], r["band"], r["bkey"])
+        for r in idx.band_rows(src.read()).collect()
+    }
+    assert maintained == oneshot and {d for d, _, _ in maintained} == {1, 2}
+
+
+def test_mapped_index_compaction_preserves_content_and_watermark(spark, tmp_path):
+    """compact_mapped_index rewrites a tombstone-mode index to its
+    resolved form: identical consumer read before/after, watermark
+    preserved, raw row count shrunk; the min_stale_fraction knob skips
+    a fresh index."""
+    from data_seedling_spark.operators.dedup import MaterializedLshIndex
+    from data_seedling_spark.operators.ledger import VersionedTable
+    from data_seedling_spark.operators.matview import (
+        compact_mapped_index,
+        mapped_index_applied_hi,
+    )
+    from data_seedling_spark.operators.merge import CHANGE_TYPE, CT_DELETE
+
+    docs = spark.createDataFrame(_neardup_corpus(), ["doc_id", "text"])
+    src = VersionedTable(spark, str(tmp_path / "src"), write_partitions=2)
+    idx = MaterializedLshIndex(
+        spark, VersionedTable(spark, str(tmp_path / "idx"), write_partitions=2),
+        text_col="text", id_col="doc_id", deletes="tombstone",
+    )
+    src.write(docs, mode="overwrite")                                  # v0
+    assert idx.refresh(src) == (0, 0)
+    feed = docs.where(F.col("doc_id") >= 10_000).withColumn(
+        CHANGE_TYPE, F.lit(CT_DELETE)
+    )
+    src.merge(feed, primary_keys=["doc_id"])                           # v1
+    assert idx.refresh(src) == (1, 1)
+    before = {(r["doc_id"], r["band"], r["bkey"]) for r in idx.read().collect()}
+    raw_before = idx.table.read().count()
+    assert compact_mapped_index(idx.table, "doc_id", min_stale_fraction=0.05)
+    after = {(r["doc_id"], r["band"], r["bkey"]) for r in idx.read().collect()}
+    assert after == before
+    assert mapped_index_applied_hi(idx.table) == 1
+    assert idx.table.read().count() < raw_before
+    # already compact: below the stale threshold, no rewrite
+    assert not compact_mapped_index(idx.table, "doc_id", min_stale_fraction=0.05)
+    # a post-compaction refresh still folds (schema stays tombstone-shaped)
+    more = spark.createDataFrame(
+        [(77_000, "a brand new post compaction document body")],
+        ["doc_id", "text"],
+    )
+    src.write(more, mode="append")                                     # v2
+    assert idx.refresh(src) == (2, 2)
+    assert 77_000 in {r["doc_id"] for r in idx.read().collect()}
+
+
+def test_mapped_index_zero_row_increment_advances_watermark(spark, tmp_path):
+    """ADVICE r13: an increment whose docs all band to ZERO index rows
+    (empty texts -> no shingles) must still advance the stored
+    watermark — applied_hi() equals the hi the refresh returned, in
+    both delete modes."""
+    from data_seedling_spark.operators.dedup import MaterializedLshIndex
+    from data_seedling_spark.operators.ledger import VersionedTable
+
+    for mode in ("rewrite", "tombstone"):
+        src = VersionedTable(
+            spark, str(tmp_path / f"src_{mode}"), write_partitions=1
+        )
+        idx = MaterializedLshIndex(
+            spark, VersionedTable(
+                spark, str(tmp_path / f"idx_{mode}"), write_partitions=1
+            ),
+            text_col="text", id_col="doc_id", deletes=mode,
+        )
+        docs = spark.createDataFrame(
+            [(1, "alpha beta gamma delta epsilon zeta")], ["doc_id", "text"]
+        )
+        src.write(docs, mode="overwrite")                              # v0
+        assert idx.refresh(src) == (0, 0)
+        empties = spark.createDataFrame([(2, ""), (3, " ")], ["doc_id", "text"])
+        src.write(empties, mode="append")                              # v1
+        assert idx.refresh(src) == (1, 1)
+        assert idx.applied_hi() == 1, mode
+        # the marker is invisible to consumers; the next refresh is a
+        # genuine no-op rather than a refold of v1
+        assert {r["doc_id"] for r in idx.read().collect()} == {1}
+        lo, hi = idx.refresh(src)
+        assert lo > hi, mode
+
+
+def test_lsh_index_tombstone_equals_rewrite(spark, tmp_path):
+    """The two delete modes are observationally identical through the
+    consumer read — same commits, same resolved rows."""
+    from data_seedling_spark.operators.dedup import MaterializedLshIndex
+    from data_seedling_spark.operators.ledger import VersionedTable
+    from data_seedling_spark.operators.merge import CHANGE_TYPE, CT_DELETE
+
+    docs = spark.createDataFrame(_neardup_corpus(), ["doc_id", "text"])
+    reads = {}
+    for mode in ("rewrite", "tombstone"):
+        src = VersionedTable(
+            spark, str(tmp_path / f"src_{mode}"), write_partitions=2
+        )
+        idx = MaterializedLshIndex(
+            spark, VersionedTable(
+                spark, str(tmp_path / f"idx_{mode}"), write_partitions=2
+            ),
+            text_col="text", id_col="doc_id", deletes=mode,
+        )
+        src.write(docs.where(F.col("doc_id") % 2 == 0), mode="overwrite")
+        idx.refresh(src)
+        src.write(docs.where(F.col("doc_id") % 2 == 1), mode="append")
+        idx.refresh(src)
+        feed = docs.where(F.col("doc_id").between(10_000, 10_009)).withColumn(
+            CHANGE_TYPE, F.lit(CT_DELETE)
+        )
+        src.merge(feed, primary_keys=["doc_id"])
+        idx.refresh(src)
+        reads[mode] = {
+            (r["doc_id"], r["band"], r["bkey"]) for r in idx.read().collect()
+        }
+    assert reads["rewrite"] == reads["tombstone"] and reads["rewrite"]
