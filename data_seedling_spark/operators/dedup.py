@@ -1339,6 +1339,120 @@ class MaterializedLshIndex:
         )
 
 
+class MaterializedNgramIndex:
+    """CDC-maintained n-gram FINGERPRINT index (VERDICT r13 #1) — the
+    decontamination-side instance of the shared row-mapped-index
+    protocol (:func:`matview.refresh_mapped_index`), closing the last
+    one-shot-only text family: ``ngram_decontamination_check``
+    re-hashes the TRAIN corpus's 13-gram windows on every run, but in
+    deployment the train corpus is huge and static-ish while
+    eval/holdout sets arrive continuously. This index persists the
+    train windows' 32-char md5 keys once and folds each source commit
+    incrementally — a holdout set then LEFT SEMI joins the stored keys
+    (32-byte key shuffle, never text) without re-hashing a single
+    train document.
+
+    The stored mapping per live train doc is EXACTLY the one-shot
+    query's window expansion (lowercase → whitespace-collapse → split
+    → md5 per stride-1 window of ``n`` words; docs under ``n`` words
+    map to zero rows), and window extraction is a pure per-document
+    function, so the maintained index provably equals the one-shot
+    mapping of the live corpus under any commit split — the
+    ``minhash_lsh_index_maintenance`` hash-proof verbatim. The refresh
+    is NARROW-only for insert commits (split/explode/md5 — no shuffle
+    at all; duplicate windows within a doc are kept, which costs a few
+    duplicate 32 B rows but keeps the fold a pure map over the
+    increment); the semi-join consumer is insensitive to those
+    duplicates.
+
+    Deletes / updates follow the ctor ``deletes`` mode of the shared
+    protocol (``"rewrite"`` / ``"tombstone"`` — GDPR-forget batches on
+    the train corpus fold O(changes) in tombstone mode, and leaked
+    windows from a forgotten document stop matching immediately).
+
+    Reference scope: the CDC watermark protocol at
+    ``patient_notes/src/patient_notes/datalake.py:52-99``; the
+    decontamination semantics are GPT-3 App. C (Brown et al. 2020).
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        table,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        n: int = 13,
+        deletes: str = "rewrite",
+    ):
+        self.spark = spark
+        self.table = table
+        self.text_col = text_col
+        self.id_col = id_col
+        self.n = n
+        self.deletes = deletes
+
+    def window_keys(self, docs: DataFrame) -> DataFrame:
+        """One-shot window keys ``(id, key)`` for ``docs`` — the pure
+        per-document map the index maintains (the engine path of
+        ``ngram_decontamination_check``, minus the split logic that
+        belongs to the consumer)."""
+        L = self.n
+        base = docs.select(
+            self.id_col,
+            F.split(
+                F.trim(
+                    F.regexp_replace(F.lower(self.text_col), r"\s+", " ")
+                ),
+                " ",
+            ).alias("_w"),
+        ).withColumn("_n", F.size("_w"))
+        return (
+            base.where(F.col("_n") >= L)
+            .select(
+                self.id_col,
+                F.explode(
+                    F.sequence(F.lit(1), F.col("_n") - L + 1)
+                ).alias("_pos"),
+                "_w",
+            )
+            .select(
+                self.id_col,
+                F.md5(F.array_join(F.slice("_w", F.col("_pos"), L), " ")).alias(
+                    "key"
+                ),
+            )
+        )
+
+    def refresh(self, source) -> tuple[int, int]:
+        """Fold ``source``'s unapplied commits; returns applied
+        ``(lo, hi)`` (lo > hi = already current). The increment is
+        ``scale_out``'d before the window expansion like the LSH
+        sibling — a commit written as few files must still hash on
+        every core."""
+        from .matview import refresh_mapped_index
+
+        return refresh_mapped_index(
+            self.table,
+            source,
+            self.id_col,
+            [self.text_col],
+            lambda df: self.window_keys(scale_out(df)),
+            deletes=self.deletes,
+        )
+
+    def applied_hi(self) -> int:
+        from .matview import mapped_index_applied_hi
+
+        return mapped_index_applied_hi(self.table)
+
+    def read(self) -> DataFrame:
+        from .matview import read_mapped_index
+
+        return read_mapped_index(self.table, self.id_col).select(
+            self.id_col, "key"
+        )
+
+
 def simhash_md5(
     df: DataFrame,
     text_col: str,

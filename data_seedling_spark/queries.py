@@ -117,49 +117,51 @@ _ANCHORS: tuple[str, ...] = (
     "stream_interval_join_clicks",
 )
 
-#: Rotating window slots — r13: every query MATERIALLY CHANGED this
-#: round (the bucket-keyed LSH subgroup salt — ADVICE r12; the hybrid
-#: jaccard's capped overflow leg — VERDICT r12 #2) plus the new
-#: maintained-LSH-index query, the r12-changed/new queries held for
-#: their second driver round, and nine never-driver-verified tail
-#: queries rotated in for fresh coverage. The 10 r11 holdovers
-#: (rfm, theil_sen, ks_test, tdigest_centroids, woe_iv, spearman,
-#: logreg_holdout_*, q64, streaming_dedup) rotated to the registry
-#: tail after two green driver rounds. POLICY (enforced
-#: by tests/test_bench_contract.py::test_new_oracle_queries_enter_window
+#: Rotating window slots — r14: the three NEW queries (the
+#: CDC-maintained n-gram decontamination index — VERDICT r13 #1; the
+#: GDPR tombstone-path LSH consumer — VERDICT r13 #3; the per-batch
+#: pair-emission streaming query — VERDICT r13 #4), every query whose
+#: ORACLE materially changed this round (eight oracles moved their
+#: jaccard WHERE to the rounded value the engine filters on — ADVICE
+#: r13; four of them are covered by the r13 holdovers below), and the
+#: 5 r13-changed/new queries held for their second driver round —
+#: these also cover the mapped-index read-path change (markers +
+#: tombstone-aware resolution). The 5 r12 holdovers and 7 fresh-
+#: coverage rotations of r13 rotated to the tail after their green
+#: driver rounds. POLICY (enforced by
+#: tests/test_bench_contract.py::test_new_oracle_queries_enter_window
 #: against tools/registry_snapshot.txt): every oracle-backed query
 #: added during a round must be in _ROTATING before round end.
 #: Rows-only queries never rotate in (they would read as `err` in the
 #: driver window — see the minhash note above).
 _ROTATING: tuple[str, ...] = (
-    # r13 materially-changed / new: the hot-bucket subgroup salt is now
-    # keyed by (band, bkey, id) so a pair's survival draws are
-    # independent across hot buckets (ADVICE r12; both oracles replay
-    # it); the hybrid's overflow LSH leg gained the same bucket_cap=64
-    # split (VERDICT r12 #2); the CDC-maintained LSH band-row index is
-    # new (VERDICT r12 #1), with its Structured-Streaming foreachBatch
-    # ingest twin.
+    # r14 new (maintained decontamination index, tombstone GDPR path,
+    # per-batch streaming pair emission):
+    "ngram_decontamination_index_maintenance",
+    "lsh_index_gdpr_tombstone_maintenance",
+    "streaming_neardup_pair_emission",
+    # r14 oracle-changed (rounded-jaccard WHERE — ADVICE r13) not
+    # already covered by the r13 holdovers or the anchors
+    # (dedup_cluster_assignment's changed oracle is ANCHORED — always
+    # in the window):
+    "ngram_jaccard_dedup",
+    "dedup_cluster_star",
+    "dedup_best_representative",
+    "incremental_neardup_ingest",
+    # r13-changed/new queries held for their second driver round (also
+    # carry this round's oracle-rounding + index-read-path changes):
     "minhash_md5_lsh_near_dup",
     "prefix_filter_jaccard_join",
     "minhash_lsh_index_maintenance",
     "streaming_neardup_lsh_ingest",
     "incremental_ivf_assign_maintenance",
-    # r12-changed/new queries held for their second driver round:
-    "kll_weighted_quantile_revenue",
-    "decayed_quantile_order_price",
-    "poisson_bootstrap_ci",
-    "exact_substring_dedup_documents",
-    "ngram_decontamination_check",
-    # Fresh tail rotations (never driver-verified; chosen across the
-    # heavy/watch-list families: IVM latency, PQ-ANN, simhash twin,
-    # iterative graph, audio DSP, count-min, ledger compliance, DSIR):
-    "incremental_quantile_maintenance",
-    "ivfpq_residual_topk",
-    "simhash_md5_near_dup",
-    "pagerank_weighted_copurchase",
-    "audio_fingerprint_match",
-    "count_min_heavy_hitters",
-    "gdpr_forget_propagation",
+    # Fresh tail rotations (never driver-verified; sketch set-algebra,
+    # layout stats, IR ranking, audio DSP, Bloom semi-join):
+    "theta_sketch_set_ops",
+    "hilbert_layout_stats",
+    "bm25_rank_documents",
+    "audio_tone_detect_dft",
+    "bloom_filter_semi_join",
 )
 
 _PRIORITY: tuple[str, ...] = _ANCHORS + _ROTATING

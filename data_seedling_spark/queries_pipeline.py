@@ -913,6 +913,169 @@ def streaming_neardup_lsh_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return verified.where(F.col("jaccard") >= 0.8)
 
 
+def _fold_emit_neardup_batch(index, corpus, pairs_tbl, batch, batch_id) -> bool:
+    """One micro-batch of the per-batch pair-emission protocol
+    (``streaming_neardup_pair_emission``): fold the batch's band rows
+    into the LSH index (batch-id idempotence guard), append its
+    documents to the corpus ledger, then emit the batch's verified
+    new-vs-all near-dup pairs into the results table. Returns False
+    for an already-applied batch (replay no-op — nothing re-emitted).
+
+    Exactly-once pair semantics: candidates use the UNCAPPED bucket
+    predicate (``bucket_cap=None`` — a pair is a candidate iff the two
+    docs share any (band, bkey), a timing-independent property of the
+    pair alone), and a pair is emitted by exactly the batch of its
+    LATER-arriving member (the earlier member is already in the index;
+    the later one is in ``batch``). The hot-bucket cap is deliberately
+    NOT used here: the capped subgroup split depends on bucket counts
+    AT EMISSION TIME, which would make the accumulated pair set depend
+    on the batch split — the capped variant lives in the maintained
+    batch query (``minhash_lsh_index_maintenance``). Fold and emit are
+    two ledger commits; a crash between them would need the pair
+    append keyed by batch id too (the documented transactional seam —
+    availableNow runs each batch once)."""
+    from .operators.dedup import jaccard, word_shingles
+
+    batch = batch.select("doc_id", "text")
+    if not index.fold_batch(batch, batch_id):
+        return False
+    corpus.write(batch, mode="append" if corpus.exists() else "overwrite")
+    cands = index.new_vs_all_candidates(
+        batch.select("doc_id"), bucket_cap=None
+    )
+    cand_ids = (
+        cands.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(cands.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    sh = (
+        corpus.read()
+        .join(cand_ids, "doc_id", "semi")
+        .select("doc_id", word_shingles(F.col("text"), 3).alias("_sh"))
+        .where(F.size("_sh") > 0)
+    )
+    verified = (
+        cands.join(
+            sh.select(F.col("doc_id").alias("doc_a"), F.col("_sh").alias("sh_a")),
+            "doc_a",
+        )
+        .join(
+            sh.select(F.col("doc_id").alias("doc_b"), F.col("_sh").alias("sh_b")),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 4).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= 0.8)
+    )
+    pairs_tbl.write(
+        verified, mode="append" if pairs_tbl.exists() else "overwrite"
+    )
+    return True
+
+
+@query(
+    "streaming_neardup_pair_emission",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    sh AS (
+      SELECT doc_id,
+             list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                            FOR i IN range(1, greatest(len(w) - 1, 1))]) AS shingles
+      FROM t
+    ), shf AS (
+      SELECT doc_id, shingles FROM sh WHERE len(shingles) > 0
+    ), sig AS (
+      SELECT doc_id,
+             [list_min([CAST(('0x' || substr(md5(CAST(p // 2 AS VARCHAR) || '|' || s),
+                                      CASE WHEN p % 2 = 0 THEN 1 ELSE 17 END, 15))
+                             AS BIGINT)
+                        FOR s IN shingles])
+              FOR p IN range(0, 16)] AS sg
+      FROM shf
+    ), bandrows AS (
+      SELECT doc_id, b.b AS band,
+             md5(array_to_string(sg[b.b*4 + 1 : b.b*4 + 4], ',')) AS bkey
+      FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS b) b
+    ), cands AS (
+      SELECT x.doc_id AS doc_a, y.doc_id AS doc_b
+      FROM bandrows x JOIN bandrows y
+        ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           round(len(list_intersect(a.shingles, b.shingles))::DOUBLE
+                 / len(list_distinct(list_concat(a.shingles, b.shingles))), 4)
+             AS jaccard
+    FROM cands
+    JOIN shf a ON a.doc_id = doc_a
+    JOIN shf b ON b.doc_id = doc_b
+    WHERE round(len(list_intersect(a.shingles, b.shingles))::DOUBLE
+          / len(list_distinct(list_concat(a.shingles, b.shingles))), 4) >= 0.8
+    """,
+    tags=("streaming", "dedup-minhash", "ivm", "ST2", "ST4", "oracle-twin"),
+)
+def streaming_neardup_pair_emission(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-batch near-dup PAIR EMISSION (VERDICT r13 #4) — the
+    deployment shape ``streaming_neardup_lsh_ingest`` stops short of:
+    instead of folding batches and computing the pair set one-shot at
+    the end, every micro-batch emits its own verified new-vs-all
+    pairs INSIDE ``foreachBatch`` (fold band rows → append corpus →
+    candidates against the index → exact-Jaccard verify → append to a
+    results ledger). At 100 TB the one-shot final join over the whole
+    index is exactly what streaming exists to avoid; per-batch work
+    here is O(batch text + batch's bucket pools).
+
+    The accumulated pair table is BATCH-SPLIT-INDEPENDENT: band rows
+    are per-document pure and a pair is emitted by exactly the batch
+    of its later-arriving member, so for ANY split the union of
+    per-batch emissions equals the one-shot near-dup pair set of the
+    whole corpus — which is what the oracle computes (uncapped bucket
+    predicate; see ``_fold_emit_neardup_batch`` for why the hot-bucket
+    cap would break timing-independence). Replayed batches no-op on
+    the fold guard and emit nothing, keeping the accumulation
+    exactly-once."""
+    import uuid as _uuid
+
+    from .operators.dedup import MaterializedLshIndex
+    from .streaming.windows import read_events_stream, require_stream_progress
+
+    base = tempfile.mkdtemp(prefix="stream_emit_")
+    index = MaterializedLshIndex(
+        spark,
+        VersionedTable(spark, f"{base}/idx", write_partitions=4),
+        text_col="text",
+        id_col="doc_id",
+    )
+    corpus = VersionedTable(spark, f"{base}/docs", write_partitions=4)
+    pairs_tbl = VersionedTable(spark, f"{base}/pairs", write_partitions=4)
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    stream = read_events_stream(
+        spark, sf_dir, schema, glob="documents.parquet"
+    ).select("doc_id", "text")
+    name = f"snp_{_uuid.uuid4().hex[:10]}"
+    q = (
+        stream.writeStream.foreachBatch(
+            lambda batch, bid: _fold_emit_neardup_batch(
+                index, corpus, pairs_tbl, batch, bid
+            )
+            and None
+        )
+        .option("checkpointLocation", f"{base}/ckpt")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    require_stream_progress(q, os.path.join(sf_dir, "documents.parquet"))
+    q.stop()
+    return pairs_tbl.read().select("doc_a", "doc_b", "jaccard")
+
+
 @query(
     "incremental_ivf_assign_maintenance",
     oracle="""
@@ -1002,6 +1165,294 @@ def incremental_ivf_assign_maintenance(
     inc_ids = src.read_changes(2, 2).select("vec_id")
     pairs = index.new_vs_all_pairs(embeddings, inc_ids, threshold=0.4)
     return pairs.withColumn(
+        "wm_next", F.lit(index.applied_hi() + 1).cast("long")
+    )
+
+
+@query(
+    "ngram_decontamination_index_maintenance",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+                          ' ') AS w,
+             len(string_split(trim(regexp_replace(lower(text), '\\s+', ' ',
+                          'g')), ' ')) AS n,
+             CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                       AS BIGINT) % 100 < 90
+                  THEN 'train' ELSE 'holdout' END AS split
+      FROM documents
+    ), occ AS (
+      SELECT doc_id, split, n, u.key FROM (
+        SELECT doc_id, split, n,
+               unnest([{'key': md5(array_to_string(w[i : i + 12], ' '))}
+                       FOR i IN range(1, n - 13 + 2)]) AS u
+        FROM t WHERE n >= 13
+      )
+    ), tk AS (
+      SELECT DISTINCT key FROM occ WHERE split = 'train'
+    )
+    SELECT h.doc_id AS holdout_doc_id,
+           CAST(COUNT(DISTINCT h.key) AS BIGINT) AS n_contaminated_ngrams,
+           CAST(MAX(h.n) - 13 + 1 AS BIGINT) AS n_ngrams,
+           round(CAST(COUNT(DISTINCT h.key) AS DOUBLE)
+                 / (MAX(h.n) - 13 + 1), 4) AS contaminated_frac,
+           CAST(3 AS BIGINT) AS wm_next
+    FROM occ h JOIN tk USING (key)
+    WHERE h.split = 'holdout'
+    GROUP BY h.doc_id
+    """,
+    tags=("contamination", "dedup-substring", "ivm", "S2", "ST1", "ST2",
+          "oracle-twin"),
+)
+def ngram_decontamination_index_maintenance(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Incremental DECONTAMINATION maintenance (VERDICT r13 #1) — the
+    last one-shot-only text family joins the mapped-index protocol:
+    the TRAIN corpus's 13-gram window fingerprints are persisted as a
+    CDC-maintained index (``operators.dedup.MaterializedNgramIndex``,
+    the decontamination sibling of ``minhash_lsh_index_maintenance``'s
+    band rows), so arriving eval/holdout sets left-semi against the
+    stored 32-char keys WITHOUT re-hashing a single train document.
+    At 100 TB this is THE decontamination deployment shape: the train
+    corpus is huge and static-ish, holdout sets arrive continuously;
+    ``ngram_decontamination_check`` re-hashes the whole train split
+    per run, this query hashes each train commit exactly once
+    (narrow-only refresh — split/explode/md5, zero shuffle).
+
+    Three incremental refreshes (train docs, doc_id ≡ 0,1,2 mod 3) +
+    a replay no-op, then the GPT-3-style contamination report for the
+    holdout split computed against the INDEX: per contaminated holdout
+    doc, its distinct leaked 13-grams, window total, and contaminated
+    fraction — identical output to the one-shot query because window
+    extraction is per-document pure, so the maintained index equals
+    the one-shot train key set under any commit split (the
+    ``minhash_lsh_index_maintenance`` hash-proof verbatim, which is
+    exactly what the oracle computes one-shot). ``wm_next`` pins the
+    advanced watermark."""
+    from .operators.dedup import MaterializedNgramIndex, scale_out
+    from .operators.sampling import hash_bucket
+
+    L = 13
+    documents = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text"
+    )
+    split = F.when(hash_bucket(F.col("doc_id")) < 90, "train").otherwise(
+        "holdout"
+    )
+    train = documents.where(split == "train")
+    base = tempfile.mkdtemp(prefix="ngram_idx_")
+    src = VersionedTable(spark, f"{base}/src", write_partitions=4)
+    index = MaterializedNgramIndex(
+        spark,
+        VersionedTable(spark, f"{base}/idx", write_partitions=4),
+        text_col="text",
+        id_col="doc_id",
+        n=L,
+    )
+    # Same shuffle posture as the LSH index refresh: corpus-scale TEXT
+    # work keeps the ambient shuffle partitions; the refresh itself is
+    # narrow (no shuffle), the consumer's semi-join shuffles 32 B keys.
+    key = F.col("doc_id")
+    src.write(train.where(key % 3 == 0), mode="overwrite")
+    lo, hi = index.refresh(src)                    # folds v0
+    assert (lo, hi) == (0, 0), (lo, hi)
+    src.write(train.where(key % 3 == 1), mode="append")
+    lo, hi = index.refresh(src)                    # folds v1 only
+    assert (lo, hi) == (1, 1), (lo, hi)
+    src.write(train.where(key % 3 == 2), mode="append")
+    lo, hi = index.refresh(src)                    # folds v2 only
+    assert (lo, hi) == (2, 2), (lo, hi)
+    lo, hi = index.refresh(src)                    # replay: no-op
+    assert lo > hi, "replayed refresh must be a no-op"
+    holdout = documents.where(split == "holdout")
+    occ = (
+        scale_out(holdout)
+        .select(
+            "doc_id",
+            F.split(
+                F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")), " "
+            ).alias("_w"),
+        )
+        .withColumn("_n", F.size("_w"))
+        .where(F.col("_n") >= L)
+        .select(
+            "doc_id",
+            "_n",
+            F.explode(F.sequence(F.lit(1), F.col("_n") - L + 1)).alias("pos"),
+            "_w",
+        )
+        .select(
+            "doc_id",
+            "_n",
+            F.md5(F.array_join(F.slice("_w", F.col("pos"), L), " ")).alias(
+                "key"
+            ),
+        )
+    )
+    report = (
+        occ.join(index.read().select("key"), "key", "left_semi")
+        .groupBy(F.col("doc_id").alias("holdout_doc_id"))
+        .agg(
+            F.countDistinct("key").alias("n_contaminated_ngrams"),
+            (F.max("_n") - L + 1).cast("long").alias("n_ngrams"),
+            F.round(
+                F.countDistinct("key").cast("double")
+                / (F.max("_n") - L + 1),
+                4,
+            ).alias("contaminated_frac"),
+        )
+    )
+    return report.withColumn(
+        "wm_next", F.lit(index.applied_hi() + 1).cast("long")
+    )
+
+
+@query(
+    "lsh_index_gdpr_tombstone_maintenance",
+    oracle="""
+    WITH live AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 7 <> 3
+    ), t AS (SELECT doc_id, string_split(text, ' ') AS w FROM live),
+    sh AS (
+      SELECT doc_id,
+             list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                            FOR i IN range(1, greatest(len(w) - 1, 1))]) AS shingles
+      FROM t
+    ), shf AS (
+      SELECT doc_id, shingles FROM sh WHERE len(shingles) > 0
+    ), sig AS (
+      SELECT doc_id,
+             [list_min([CAST(('0x' || substr(md5(CAST(p // 2 AS VARCHAR) || '|' || s),
+                                      CASE WHEN p % 2 = 0 THEN 1 ELSE 17 END, 15))
+                             AS BIGINT)
+                        FOR s IN shingles])
+              FOR p IN range(0, 16)] AS sg
+      FROM shf
+    ), bandrows AS (
+      SELECT doc_id, b.b AS band,
+             md5(array_to_string(sg[b.b*4 + 1 : b.b*4 + 4], ',')) AS bkey
+      FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS b) b
+    ), salted AS (
+      SELECT doc_id, band, bkey,
+             CAST('0x' || substr(md5(CAST(band AS VARCHAR) || ':' || bkey
+                                     || ':' || CAST(doc_id AS VARCHAR)),
+                                 1, 8) AS BIGINT)
+               % ((COUNT(*) OVER (PARTITION BY band, bkey) + 63) // 64) AS sub
+      FROM bandrows
+    ), cands AS (
+      SELECT x.doc_id AS doc_a, y.doc_id AS doc_b
+      FROM salted x JOIN salted y
+        ON x.band = y.band AND x.bkey = y.bkey AND x.sub = y.sub
+           AND x.doc_id < y.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           round(len(list_intersect(a.shingles, b.shingles))::DOUBLE
+                 / len(list_distinct(list_concat(a.shingles, b.shingles))), 4)
+             AS jaccard,
+           CAST(3 AS BIGINT) AS wm_next
+    FROM cands
+    JOIN shf a ON a.doc_id = doc_a
+    JOIN shf b ON b.doc_id = doc_b
+    WHERE round(len(list_intersect(a.shingles, b.shingles))::DOUBLE
+          / len(list_distinct(list_concat(a.shingles, b.shingles))), 4) >= 0.8
+    """,
+    tags=("dedup-minhash", "ivm", "gdpr", "S2", "S8", "ST1", "ST2",
+          "oracle-twin"),
+)
+def lsh_index_gdpr_tombstone_maintenance(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """GDPR-forget folding through the TOMBSTONE delete path (VERDICT
+    r13 #3 made oracle-checkable): the MinHash-LSH band-row index is
+    maintained in ``deletes="tombstone"`` mode, so a forget batch
+    appends one tombstone per forgotten document — O(changes), the
+    index body is never read or rewritten — and read-time
+    last-writer-wins resolution (``matview.read_mapped_index``) hides
+    every forgotten document's band rows immediately. At 100 TB this
+    is the GDPR deployment shape: the rewrite mode's O(index) pass per
+    forget batch is the weak joint this closes.
+
+    Two insert commits seed the corpus, then a CDC delete batch
+    (doc_id ≡ 3 mod 7) folds as tombstones, plus a replay no-op; the
+    returned result is the FULL verified near-dup pair set computed
+    from the resolved index (capped bucket join + exact Jaccard ≥ 0.8
+    over candidate docs of the LIVE ledger). Because band rows are
+    per-document pure and resolution yields exactly the live corpus's
+    rows, the maintained-through-deletes index equals the one-shot
+    banding of the live corpus — the oracle computes that one-shot
+    over ``documents`` minus the forgotten slice, so tombstone
+    resolution itself is what the hash check proves. ``wm_next`` pins
+    the advanced watermark."""
+    from .operators.dedup import (
+        MaterializedLshIndex,
+        band_bucket_candidates,
+        jaccard,
+        word_shingles,
+    )
+    from .operators.merge import CHANGE_TYPE, CT_DELETE
+
+    documents = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text"
+    )
+    base = tempfile.mkdtemp(prefix="lsh_gdpr_")
+    src = VersionedTable(spark, f"{base}/src", write_partitions=4)
+    index = MaterializedLshIndex(
+        spark,
+        VersionedTable(spark, f"{base}/idx", write_partitions=4),
+        text_col="text",
+        id_col="doc_id",
+        num_perm=16,
+        bands=4,
+        shingle_n=3,
+        deletes="tombstone",
+    )
+    key = F.col("doc_id")
+    src.write(documents.where(key % 3 < 2), mode="overwrite")
+    lo, hi = index.refresh(src)                    # folds v0
+    assert (lo, hi) == (0, 0), (lo, hi)
+    src.write(documents.where(key % 3 == 2), mode="append")
+    lo, hi = index.refresh(src)                    # folds v1 only
+    assert (lo, hi) == (1, 1), (lo, hi)
+    forget = documents.where(key % 7 == 3).withColumn(
+        CHANGE_TYPE, F.lit(CT_DELETE)
+    )
+    src.merge(forget, primary_keys=["doc_id"])     # v2: the GDPR batch
+    lo, hi = index.refresh(src)                    # folds as tombstones
+    assert (lo, hi) == (2, 2), (lo, hi)
+    lo, hi = index.refresh(src)                    # replay: no-op
+    assert lo > hi, "replayed refresh must be a no-op"
+    cands = band_bucket_candidates(index.read(), "doc_id", bucket_cap=64)
+    cand_ids = (
+        cands.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(cands.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    sh = (
+        src.read()
+        .join(cand_ids, "doc_id", "semi")
+        .select("doc_id", word_shingles(F.col("text"), 3).alias("_sh"))
+        .where(F.size("_sh") > 0)
+    )
+    verified = (
+        cands.join(
+            sh.select(F.col("doc_id").alias("doc_a"), F.col("_sh").alias("sh_a")),
+            "doc_a",
+        )
+        .join(
+            sh.select(F.col("doc_id").alias("doc_b"), F.col("_sh").alias("sh_b")),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 4).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= 0.8)
+    )
+    return verified.withColumn(
         "wm_next", F.lit(index.applied_hi() + 1).cast("long")
     )
 

@@ -3299,3 +3299,132 @@ def test_lsh_index_tombstone_equals_rewrite(spark, tmp_path):
             (r["doc_id"], r["band"], r["bkey"]) for r in idx.read().collect()
         }
     assert reads["rewrite"] == reads["tombstone"] and reads["rewrite"]
+
+
+def _oneshot_uncapped_pairs(index, docs):
+    """One-shot verified near-dup pair set under the UNCAPPED bucket
+    predicate — the truth the per-batch emission protocol must
+    accumulate to for any batch split."""
+    from data_seedling_spark.operators.dedup import (
+        band_bucket_candidates,
+        jaccard,
+        word_shingles,
+    )
+
+    cands = band_bucket_candidates(
+        index.band_rows(docs), "doc_id", bucket_cap=None
+    )
+    sh = docs.select(
+        "doc_id", word_shingles(F.col("text"), 3).alias("_sh")
+    ).where(F.size("_sh") > 0)
+    return {
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in (
+            cands.join(
+                sh.select(F.col("doc_id").alias("doc_a"),
+                          F.col("_sh").alias("sh_a")),
+                "doc_a",
+            )
+            .join(
+                sh.select(F.col("doc_id").alias("doc_b"),
+                          F.col("_sh").alias("sh_b")),
+                "doc_b",
+            )
+            .select(
+                "doc_a", "doc_b",
+                F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 4)
+                 .alias("jaccard"),
+            )
+            .where(F.col("jaccard") >= 0.8)
+            .collect()
+        )
+    }
+
+
+def test_pair_emission_batch_split_invariance(spark, tmp_path):
+    """VERDICT r13 #4: the accumulated per-batch pair table equals the
+    one-shot pair set for ANY batch split (two different splits tried),
+    each pair appears exactly once, and a replayed batch emits
+    nothing."""
+    from data_seedling_spark.operators.dedup import MaterializedLshIndex
+    from data_seedling_spark.operators.ledger import VersionedTable
+    from data_seedling_spark.queries_pipeline import _fold_emit_neardup_batch
+
+    docs = spark.createDataFrame(_neardup_corpus(), ["doc_id", "text"])
+    splits = {
+        "two": [docs.where(F.col("doc_id") % 2 == i) for i in range(2)],
+        "three": [docs.where(F.col("doc_id") % 3 == i) for i in range(3)],
+    }
+    accumulated = {}
+    oneshot = None
+    for name, batches in splits.items():
+        index = MaterializedLshIndex(
+            spark,
+            VersionedTable(spark, str(tmp_path / f"idx_{name}"),
+                           write_partitions=2),
+            text_col="text", id_col="doc_id",
+        )
+        corpus = VersionedTable(spark, str(tmp_path / f"docs_{name}"),
+                                write_partitions=2)
+        pairs = VersionedTable(spark, str(tmp_path / f"pairs_{name}"),
+                               write_partitions=2)
+        for bid, batch in enumerate(batches):
+            assert _fold_emit_neardup_batch(index, corpus, pairs, batch, bid)
+        # replayed batch: fold guard no-ops, nothing emitted
+        n_before = pairs.read().count()
+        assert not _fold_emit_neardup_batch(
+            index, corpus, pairs, batches[-1], len(batches) - 1
+        )
+        assert pairs.read().count() == n_before
+        rows = pairs.read().collect()
+        got = {(r["doc_a"], r["doc_b"], r["jaccard"]) for r in rows}
+        assert len(rows) == len(got), "a pair was emitted more than once"
+        accumulated[name] = got
+        if oneshot is None:
+            oneshot = _oneshot_uncapped_pairs(index, docs)
+    assert accumulated["two"] == accumulated["three"] == oneshot and oneshot
+
+
+def test_ngram_index_maintained_equals_oneshot(spark, tmp_path):
+    """VERDICT r13 #1: the maintained n-gram fingerprint index equals
+    the one-shot window mapping of the live corpus across inserts, a
+    tombstone-mode delete batch, and a replay no-op; short docs map to
+    zero rows without stalling the watermark."""
+    from data_seedling_spark.operators.dedup import MaterializedNgramIndex
+    from data_seedling_spark.operators.ledger import VersionedTable
+    from data_seedling_spark.operators.merge import CHANGE_TYPE, CT_DELETE
+
+    body = ("the quick brown fox jumps over the lazy dog while counting "
+            "one two three four five six seven eight nine ten")
+    docs = spark.createDataFrame(
+        [(i, f"{body} variant {i} " + ("shared suffix tail " * 5))
+         for i in range(8)]
+        + [(100, "too short for thirteen")],   # < 13 words -> zero rows
+        ["doc_id", "text"],
+    )
+    src = VersionedTable(spark, str(tmp_path / "src"), write_partitions=2)
+    idx = MaterializedNgramIndex(
+        spark,
+        VersionedTable(spark, str(tmp_path / "idx"), write_partitions=2),
+        text_col="text", id_col="doc_id", n=13, deletes="tombstone",
+    )
+    src.write(docs.where(F.col("doc_id") % 2 == 0), mode="overwrite")  # v0
+    assert idx.refresh(src) == (0, 0)
+    src.write(docs.where(F.col("doc_id") % 2 == 1), mode="append")     # v1
+    assert idx.refresh(src) == (1, 1)
+    feed = docs.where(F.col("doc_id") < 2).withColumn(
+        CHANGE_TYPE, F.lit(CT_DELETE)
+    )
+    src.merge(feed, primary_keys=["doc_id"])                           # v2
+    assert idx.refresh(src) == (2, 2)
+    lo, hi = idx.refresh(src)
+    assert lo > hi, "replayed refresh must be a no-op"
+    assert idx.applied_hi() == 2
+    maintained = {(r["doc_id"], r["key"]) for r in idx.read().collect()}
+    oneshot = {
+        (r["doc_id"], r["key"])
+        for r in idx.window_keys(src.read()).collect()
+    }
+    assert maintained == oneshot and maintained
+    ids = {d for d, _ in maintained}
+    assert 0 not in ids and 1 not in ids and 2 in ids and 100 not in ids
