@@ -268,6 +268,13 @@ HEADLINE = [
     # its embedding-side sibling on the shared mapped-index protocol.
     "minhash_lsh_index_maintenance",
     "incremental_ivf_assign_maintenance",
+    # r14: the maintained n-gram decontamination index (VERDICT r13
+    # #1) and the GDPR tombstone-path consumer (VERDICT r13 #3) —
+    # both protocol-latency-shaped (ledger refreshes + a corpus-scale
+    # text/pair stage). streaming_neardup_pair_emission stays out
+    # like every streaming query (stream machinery dominates).
+    "ngram_decontamination_index_maintenance",
+    "lsh_index_gdpr_tombstone_maintenance",
 ]
 
 
@@ -302,6 +309,45 @@ def calibration_run(spark) -> float:
         .groupBy("k")
         .agg(F.count("*").alias("n"), F.max("h").alias("hmax"))
         .write.format("noop").mode("overwrite").save()
+    )
+    return time.time() - t0
+
+
+def calibration_text_run(spark) -> float:
+    """Time the TEXT calibration workload — the second basket
+    component (VERDICT r13 #2): the r13 driver re-run slowed the
+    window-explode text queries 1.5× while the scan/sha2/shuffle mix
+    above read drift 1.0, because a single-shape calibration is
+    uncorrelated with string-allocation/GC/page-cache pressure. This
+    workload reproduces that shape synthetically (no parquet, no
+    catalog code): build a 40-word string per row from md5s, then the
+    sliding-window expansion — split → explode positions → md5 of each
+    13-word window → grouped count. Only the host moves this number.
+    Bounds scale by the WORST component ratio (each clamped), so a
+    session that hits only text shapes now scales text-heavy bounds
+    too."""
+    from pyspark.sql import functions as F
+
+    spark.catalog.clearCache()
+    t0 = time.time()
+    words = [
+        F.md5(F.concat(F.col("id").cast("string"), F.lit(f"-{i}")))
+        for i in range(40)
+    ]
+    (
+        spark.range(0, 60_000, 1, 32)
+        .select(F.split(F.concat_ws(" ", *words), " ").alias("w"))
+        .select(
+            F.explode(F.sequence(F.lit(1), F.lit(28))).alias("p"), "w"
+        )
+        .select(
+            F.md5(F.array_join(F.slice("w", F.col("p"), 13), " ")).alias("k")
+        )
+        .groupBy("k")
+        .agg(F.count("*").alias("n"))
+        .write.format("noop")
+        .mode("overwrite")
+        .save()
     )
     return time.time() - t0
 
@@ -469,11 +515,16 @@ def main() -> None:
     timings: dict[str, float] = {}
     shuffle_bytes: dict[str, int] = {}
     calibration_sec = float("inf")
+    calibration_text_sec = float("inf")
     for _pass in range(2):
-        # One calibration sample per pass (best-of-2, same policy as
-        # the queries): catalog-independent host-speed probe that the
-        # over-bound check scales its bounds by (VERDICT r10 #7).
+        # One calibration sample per pass per basket component
+        # (best-of-2, same policy as the queries): catalog-independent
+        # host-speed probes that the over-bound check scales its
+        # bounds by (VERDICT r10 #7; text component VERDICT r13 #2).
         calibration_sec = round(min(calibration_sec, calibration_run(spark)), 3)
+        calibration_text_sec = round(
+            min(calibration_text_sec, calibration_text_run(spark)), 3
+        )
         for name in names:
             if _pass == 0:
                 before = _stage_metrics(spark)
@@ -534,12 +585,27 @@ def main() -> None:
     if os.path.exists(cal_path):
         with open(cal_path) as f:
             cal_base = json.load(f)
+    seeded_cal = False
     if at_baseline_sf and "calibration_sec" not in cal_base:
         cal_base["calibration_sec"] = calibration_sec
+        seeded_cal = True
+    if at_baseline_sf and "calibration_text_sec" not in cal_base:
+        cal_base["calibration_text_sec"] = calibration_text_sec
+        seeded_cal = True
+    if seeded_cal:
         with open(cal_path, "w") as f:
             json.dump(cal_base, f, indent=1)
             f.write("\n")
-    drift = drift_ratio(calibration_sec, cal_base.get("calibration_sec"))
+    # Basket drift (VERDICT r13 #2): the WORST per-component ratio,
+    # each individually clamped — a session hitting only one shape
+    # (e.g. text/GC pressure invisible to the scan/shuffle mix) still
+    # scales every bound.
+    drift = max(
+        drift_ratio(calibration_sec, cal_base.get("calibration_sec")),
+        drift_ratio(
+            calibration_text_sec, cal_base.get("calibration_text_sec")
+        ),
+    )
     over_bound = {
         n: {"sec": t, "bound": bounds[n][1],
             "scaled_bound": round(bounds[n][1] * drift, 3)}
@@ -561,6 +627,10 @@ def main() -> None:
             "baseline_guard_active": at_baseline_sf,
             "calibration_sec": calibration_sec,
             "calibration_baseline_sec": cal_base.get("calibration_sec"),
+            "calibration_text_sec": calibration_text_sec,
+            "calibration_text_baseline_sec": cal_base.get(
+                "calibration_text_sec"
+            ),
             "calibration_drift": round(drift, 4),
         }
     )
