@@ -149,13 +149,17 @@ def test_calibration_drift_scaling():
 
 def test_calibration_baseline_well_formed():
     """BASELINE_CALIBRATION.json (self-seeded on the first baseline-sf
-    bench run, append-only after) holds the single host-speed anchor
-    the drift scaling divides by."""
+    bench run, append-only after) holds the host-speed anchors the
+    drift scaling divides by — since r14 a two-component BASKET
+    (VERDICT r13 #2): the scan/sha2/shuffle mix plus the text-shaped
+    window-explode workload."""
     path = os.path.join(REPO, "BASELINE_CALIBRATION.json")
     if not os.path.exists(path):
         return  # seeded on the first post-r10 bench run
     with open(path) as f:
         base = json.load(f)
-    assert set(base) == {"calibration_sec"}
-    assert isinstance(base["calibration_sec"], (int, float))
-    assert base["calibration_sec"] > 0
+    assert {"calibration_sec"} <= set(base) <= {
+        "calibration_sec", "calibration_text_sec"
+    }
+    for v in base.values():
+        assert isinstance(v, (int, float)) and v > 0
