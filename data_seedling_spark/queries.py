@@ -136,10 +136,11 @@ _ANCHORS: tuple[str, ...] = (
 #: driver window — see the minhash note above).
 _ROTATING: tuple[str, ...] = (
     # r14 new (maintained decontamination index, tombstone GDPR path,
-    # per-batch streaming pair emission):
+    # per-batch streaming pair emission, streaming decontamination):
     "ngram_decontamination_index_maintenance",
     "lsh_index_gdpr_tombstone_maintenance",
     "streaming_neardup_pair_emission",
+    "streaming_decontamination_ingest",
     # r14 oracle-changed (rounded-jaccard WHERE — ADVICE r13) not
     # already covered by the r13 holdovers or the anchors
     # (dedup_cluster_assignment's changed oracle is ANCHORED — always
@@ -156,12 +157,11 @@ _ROTATING: tuple[str, ...] = (
     "streaming_neardup_lsh_ingest",
     "incremental_ivf_assign_maintenance",
     # Fresh tail rotations (never driver-verified; sketch set-algebra,
-    # layout stats, IR ranking, audio DSP, Bloom semi-join):
+    # layout stats, IR ranking, audio DSP):
     "theta_sketch_set_ops",
     "hilbert_layout_stats",
     "bm25_rank_documents",
     "audio_tone_detect_dft",
-    "bloom_filter_semi_join",
 )
 
 _PRIORITY: tuple[str, ...] = _ANCHORS + _ROTATING

@@ -1310,6 +1310,164 @@ def ngram_decontamination_index_maintenance(
 
 
 @query(
+    "streaming_decontamination_ingest",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+                          ' ') AS w,
+             len(string_split(trim(regexp_replace(lower(text), '\\s+', ' ',
+                          'g')), ' ')) AS n,
+             CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                       AS BIGINT) % 100 < 90
+                  THEN 'train' ELSE 'holdout' END AS split
+      FROM documents
+    ), occ AS (
+      SELECT doc_id, split, n, u.key FROM (
+        SELECT doc_id, split, n,
+               unnest([{'key': md5(array_to_string(w[i : i + 12], ' '))}
+                       FOR i IN range(1, n - 13 + 2)]) AS u
+        FROM t WHERE n >= 13
+      )
+    ), tk AS (
+      SELECT DISTINCT key FROM occ WHERE split = 'train'
+    )
+    SELECT h.doc_id AS holdout_doc_id,
+           CAST(COUNT(DISTINCT h.key) AS BIGINT) AS n_contaminated_ngrams,
+           CAST(MAX(h.n) - 13 + 1 AS BIGINT) AS n_ngrams,
+           round(CAST(COUNT(DISTINCT h.key) AS DOUBLE)
+                 / (MAX(h.n) - 13 + 1), 4) AS contaminated_frac
+    FROM occ h JOIN tk USING (key)
+    WHERE h.split = 'holdout'
+    GROUP BY h.doc_id
+    """,
+    tags=("contamination", "streaming", "dedup-substring", "ST2", "ST4",
+          "oracle-twin"),
+)
+def streaming_decontamination_ingest(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming DECONTAMINATION — the deployment composition of this
+    round's two pieces: the train corpus's 13-gram fingerprint index
+    is built ONCE (``MaterializedNgramIndex`` — in production it is
+    CDC-maintained; here one refresh folds the whole train split),
+    and eval/holdout documents arrive as a Structured-Streaming file
+    stream; every micro-batch computes its own contamination report
+    INSIDE ``foreachBatch`` (window-expand the batch → left-semi the
+    stored 32-char keys → per-doc aggregate → append to a results
+    ledger, guarded by batch id for idempotent replay). At 100 TB
+    this is how eval sets are screened continuously: per-batch work
+    is O(batch text) + a key-only semi-join against the static index
+    — the train corpus is never re-read, let alone re-hashed.
+
+    The accumulated report is trivially batch-split-INDEPENDENT: each
+    holdout doc's row depends only on its own windows and the static
+    index, and every doc arrives in exactly one batch — so for ANY
+    split the union of per-batch reports equals the one-shot
+    decontamination report, which is what the oracle computes
+    (identical SQL to ``ngram_decontamination_check``). A replayed
+    batch no-ops on the results ledger's own watermark."""
+    import uuid as _uuid
+
+    from .operators.dedup import MaterializedNgramIndex, scale_out
+    from .operators.matview import SOURCE_HI, mapped_index_applied_hi
+    from .operators.sampling import hash_bucket
+    from .streaming.windows import read_events_stream, require_stream_progress
+
+    L = 13
+    documents = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text"
+    )
+    split = F.when(hash_bucket(F.col("doc_id")) < 90, "train").otherwise(
+        "holdout"
+    )
+    base = tempfile.mkdtemp(prefix="stream_decon_")
+    src = VersionedTable(spark, f"{base}/src", write_partitions=4)
+    index = MaterializedNgramIndex(
+        spark,
+        VersionedTable(spark, f"{base}/idx", write_partitions=4),
+        text_col="text",
+        id_col="doc_id",
+        n=L,
+    )
+    src.write(documents.where(split == "train"), mode="overwrite")
+    lo, hi = index.refresh(src)                    # one-shot build here;
+    assert (lo, hi) == (0, 0), (lo, hi)            # CDC-maintained in prod
+    train_keys = index.read().select("key")
+    results = VersionedTable(spark, f"{base}/out", write_partitions=4)
+
+    def handle(batch: DataFrame, batch_id: int) -> None:
+        # Idempotent-replay guard on the RESULTS ledger itself (the
+        # fold_batch pattern): the applied batch id rides inside the
+        # commit as _source_hi.
+        if batch_id <= mapped_index_applied_hi(results):
+            return
+        occ = (
+            scale_out(batch.where(split == "holdout"))
+            .select(
+                "doc_id",
+                F.split(
+                    F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")),
+                    " ",
+                ).alias("_w"),
+            )
+            .withColumn("_n", F.size("_w"))
+            .where(F.col("_n") >= L)
+            .select(
+                "doc_id",
+                "_n",
+                F.explode(
+                    F.sequence(F.lit(1), F.col("_n") - L + 1)
+                ).alias("pos"),
+                "_w",
+            )
+            .select(
+                "doc_id",
+                "_n",
+                F.md5(F.array_join(F.slice("_w", F.col("pos"), L), " "))
+                .alias("key"),
+            )
+        )
+        report = (
+            occ.join(train_keys, "key", "left_semi")
+            .groupBy(F.col("doc_id").alias("holdout_doc_id"))
+            .agg(
+                F.countDistinct("key").alias("n_contaminated_ngrams"),
+                (F.max("_n") - L + 1).cast("long").alias("n_ngrams"),
+                F.round(
+                    F.countDistinct("key").cast("double")
+                    / (F.max("_n") - L + 1),
+                    4,
+                ).alias("contaminated_frac"),
+            )
+            .withColumn(SOURCE_HI, F.lit(batch_id).cast("long"))
+        )
+        results.write(
+            report, mode="append" if results.exists() else "overwrite"
+        )
+
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    stream = read_events_stream(
+        spark, sf_dir, schema, glob="documents.parquet"
+    ).select("doc_id", "text")
+    name = f"sdc_{_uuid.uuid4().hex[:10]}"
+    q = (
+        stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", f"{base}/ckpt")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    require_stream_progress(q, os.path.join(sf_dir, "documents.parquet"))
+    q.stop()
+    return results.read().select(
+        "holdout_doc_id", "n_contaminated_ngrams", "n_ngrams",
+        "contaminated_frac",
+    )
+
+
+@query(
     "lsh_index_gdpr_tombstone_maintenance",
     oracle="""
     WITH live AS (
