@@ -275,6 +275,12 @@ HEADLINE = [
     # like every streaming query (stream machinery dominates).
     "ngram_decontamination_index_maintenance",
     "lsh_index_gdpr_tombstone_maintenance",
+    # r14 late addition: incremental ExactSubstr (trim-batch against
+    # the original-text seed index; hash-proves incremental ≡
+    # one-shot). Protocol-heavy at sf0.1 (3 trims + 3 ledger commits
+    # + 3 index refreshes) — the scaling, not the constant, is the
+    # operator's point.
+    "exact_substring_incremental_ingest",
 ]
 
 

@@ -861,35 +861,9 @@ def exact_substring_dedup(
     spans), both document-bounded). Every stage is md5/min/integer
     arithmetic — a SQL oracle replays it exactly.
     """
-    from pyspark.sql import Window
-
     L = span_words
-    base = (
-        scale_out(df)
-        .select(
-            F.col(id_col),
-            F.col(text_col).alias("_text"),
-            F.split(F.col(text_col), " ").alias("_w"),
-        )
-        .withColumn("_n", F.size("_w"))
-        .persist()  # two consumers (seed scan + final reassembly);
-        # cache ownership passes to the caller, as across this package
-    )
-    occ = (
-        base.where(F.col("_n") >= L)
-        .select(
-            id_col,
-            F.explode(F.sequence(F.lit(1), F.col("_n") - L + 1)).alias("pos"),
-            "_w",
-        )
-        .select(
-            id_col,
-            "pos",
-            F.md5(F.array_join(F.slice("_w", F.col("pos"), L), " ")).alias(
-                "_key"
-            ),
-        )
-    )
+    base = _exact_substring_base(df, text_col, id_col)
+    occ = _window_occ(base, id_col, L)
     keepers = occ.groupBy("_key").agg(
         F.count("*").alias("_cnt"),
         F.min(
@@ -906,6 +880,56 @@ def exact_substring_dedup(
         )
         .select(id_col, "pos")
     )
+    return _exact_substring_apply(base, dup_occ, id_col, L)
+
+
+def _exact_substring_base(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Shared head of the ExactSubstr family: the persisted
+    ``(id, _text, _w, _n)`` frame (two consumers — seed scan + final
+    reassembly; cache ownership passes to the caller, as across this
+    package)."""
+    return (
+        scale_out(df)
+        .select(
+            F.col(id_col),
+            F.col(text_col).alias("_text"),
+            F.split(F.col(text_col), " ").alias("_w"),
+        )
+        .withColumn("_n", F.size("_w"))
+        .persist()
+    )
+
+
+def _window_occ(base: DataFrame, id_col: str, L: int) -> DataFrame:
+    """Sliding-window seed occurrences ``(id, pos, _key)`` — md5 of
+    each stride-1 ``L``-token window, the per-document pure expansion
+    shared by the one-shot operator and the incremental batch trim."""
+    return (
+        base.where(F.col("_n") >= L)
+        .select(
+            id_col,
+            F.explode(F.sequence(F.lit(1), F.col("_n") - L + 1)).alias("pos"),
+            "_w",
+        )
+        .select(
+            id_col,
+            "pos",
+            F.md5(F.array_join(F.slice("_w", F.col("pos"), L), " ")).alias(
+                "_key"
+            ),
+        )
+    )
+
+
+def _exact_substring_apply(
+    base: DataFrame, dup_occ: DataFrame, id_col: str, L: int
+) -> DataFrame:
+    """Shared tail of the ExactSubstr family: merge non-keeper seed
+    positions into maximal spans (gaps-and-islands, document-bounded
+    windows) and remove the covered tokens. Returns
+    ``(id, clean_text, n_removed_tokens)``."""
+    from pyspark.sql import Window
+
     wdoc = Window.partitionBy(id_col).orderBy("pos")
     brk = (
         F.col("pos") - F.lag("pos", 1, -1_000_000_000).over(wdoc) > L
@@ -933,6 +957,66 @@ def exact_substring_dedup(
         .otherwise(F.size("_w") - F.size(kept))
         .cast("long")
         .alias("n_removed_tokens"),
+    )
+
+
+def exact_substring_trim_batch(
+    df: DataFrame,
+    index_keys: DataFrame,
+    text_col: str,
+    id_col: str,
+    span_words: int = 15,
+) -> DataFrame:
+    """Incremental ExactSubstr: trim ONE arriving batch against a
+    persisted seed index of the already-ingested corpus (VERDICT-r13
+    mapped-index family applied to duplicated-span removal). An
+    occurrence in the batch is a non-keeper — and its window removed —
+    iff its seed either (a) exists in ``index_keys`` (the indexed
+    occurrence is globally earlier: ingestion order IS keeper order),
+    or (b) occurs ≥2 times WITHIN the batch and this occurrence is not
+    the batch's ``min(id, pos)`` (the intra-batch keeper, which
+    one-shot semantics would also keep).
+
+    Provided batches partition the corpus in increasing ``id_col``
+    ranges (so ingestion order equals the one-shot keeper order) and
+    the index stores the ORIGINAL ingested text's window keys — NOT
+    the cleaned text's (a keeper occurrence can lose its own tokens to
+    a different seed's overlapping span, Lee et al. §4.1; indexing
+    cleaned text would un-mark such seeds and resurrect their later
+    duplicates), the union of per-batch trims is IDENTICAL to the
+    one-shot :func:`exact_substring_dedup` of the whole corpus — the
+    hash-proof `exact_substring_incremental_ingest` relies on.
+
+    Scale: O(batch text) window expansion; one left-semi + one
+    left-anti against 32-char keys (key-only shuffles, never text);
+    the keeper aggregate runs over the batch's fresh seeds only; the
+    span-merge tail is document-bounded."""
+    L = span_words
+    base = _exact_substring_base(df, text_col, id_col)
+    occ = _window_occ(base, id_col, L)
+    keys = index_keys.select(F.col(index_keys.columns[0]).alias("_key"))
+    hit = occ.join(keys, "_key", "left_semi").select(id_col, "pos")
+    fresh = occ.join(keys, "_key", "left_anti")
+    keepers = fresh.groupBy("_key").agg(
+        F.count("*").alias("_cnt"),
+        F.min(
+            F.struct(F.col(id_col).alias("kid"), F.col("pos").alias("kpos"))
+        ).alias("_keep"),
+    )
+    intra = (
+        fresh.join(
+            keepers.where(F.col("_cnt") >= 2).select("_key", "_keep"), "_key"
+        )
+        .where(
+            ~(
+                (F.col(id_col) == F.col("_keep.kid"))
+                & (F.col("pos") == F.col("_keep.kpos"))
+            )
+        )
+        .select(id_col, "pos")
+    )
+    return _exact_substring_apply(
+        base, hit.unionByName(intra), id_col, L
     )
 
 
@@ -1383,6 +1467,7 @@ class MaterializedNgramIndex:
         id_col: str = "doc_id",
         n: int = 13,
         deletes: str = "rewrite",
+        normalize: bool = True,
     ):
         self.spark = spark
         self.table = table
@@ -1390,6 +1475,11 @@ class MaterializedNgramIndex:
         self.id_col = id_col
         self.n = n
         self.deletes = deletes
+        #: True = the decontamination convention (lowercase +
+        #: whitespace-collapse before splitting — GPT-3 App. C);
+        #: False = raw space-split windows, the ExactSubstr seed
+        #: convention (`exact_substring_incremental_ingest`).
+        self.normalize = normalize
 
     def window_keys(self, docs: DataFrame) -> DataFrame:
         """One-shot window keys ``(id, key)`` for ``docs`` — the pure
@@ -1397,14 +1487,14 @@ class MaterializedNgramIndex:
         ``ngram_decontamination_check``, minus the split logic that
         belongs to the consumer)."""
         L = self.n
+        text = (
+            F.trim(F.regexp_replace(F.lower(self.text_col), r"\s+", " "))
+            if self.normalize
+            else F.col(self.text_col)
+        )
         base = docs.select(
             self.id_col,
-            F.split(
-                F.trim(
-                    F.regexp_replace(F.lower(self.text_col), r"\s+", " ")
-                ),
-                " ",
-            ).alias("_w"),
+            F.split(text, " ").alias("_w"),
         ).withColumn("_n", F.size("_w"))
         return (
             base.where(F.col("_n") >= L)

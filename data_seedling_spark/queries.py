@@ -141,6 +141,7 @@ _ROTATING: tuple[str, ...] = (
     "lsh_index_gdpr_tombstone_maintenance",
     "streaming_neardup_pair_emission",
     "streaming_decontamination_ingest",
+    "exact_substring_incremental_ingest",
     # r14 oracle-changed (rounded-jaccard WHERE — ADVICE r13) not
     # already covered by the r13 holdovers or the anchors
     # (dedup_cluster_assignment's changed oracle is ANCHORED — always
@@ -157,11 +158,10 @@ _ROTATING: tuple[str, ...] = (
     "streaming_neardup_lsh_ingest",
     "incremental_ivf_assign_maintenance",
     # Fresh tail rotations (never driver-verified; sketch set-algebra,
-    # layout stats, IR ranking, audio DSP):
+    # layout stats, IR ranking):
     "theta_sketch_set_ops",
     "hilbert_layout_stats",
     "bm25_rank_documents",
-    "audio_tone_detect_dft",
 )
 
 _PRIORITY: tuple[str, ...] = _ANCHORS + _ROTATING

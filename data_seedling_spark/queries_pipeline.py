@@ -1310,6 +1310,133 @@ def ngram_decontamination_index_maintenance(
 
 
 @query(
+    "exact_substring_incremental_ingest",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, text, string_split(text, ' ') AS w,
+             len(string_split(text, ' ')) AS n
+      FROM documents
+    ), occ AS (
+      SELECT doc_id, u.pos, u.key FROM (
+        SELECT doc_id,
+               unnest([{'pos': i,
+                        'key': md5(array_to_string(w[i : i + 14], ' '))}
+                       FOR i IN range(1, n - 15 + 2)]) AS u
+        FROM t WHERE n >= 15
+      )
+    ), ranked AS (
+      SELECT doc_id, pos,
+             ROW_NUMBER() OVER (PARTITION BY key ORDER BY doc_id, pos) AS rk,
+             COUNT(*) OVER (PARTITION BY key) AS cnt
+      FROM occ
+    ), dup_occ AS (
+      SELECT doc_id, pos FROM ranked WHERE cnt >= 2 AND rk > 1
+    ), brk AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos - COALESCE(lag(pos) OVER
+                    (PARTITION BY doc_id ORDER BY pos), -1000000000) > 15
+                  THEN 1 ELSE 0 END AS b
+      FROM dup_occ
+    ), isl AS (
+      SELECT doc_id, pos,
+             SUM(b) OVER (PARTITION BY doc_id ORDER BY pos) AS g
+      FROM brk
+    ), spans AS (
+      SELECT doc_id, MIN(pos) AS s, MAX(pos) + 15 - 1 AS e
+      FROM isl GROUP BY doc_id, g
+    ), sp AS (
+      SELECT doc_id, list({'s': s, 'e': e}) AS spans
+      FROM spans GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           CASE WHEN sp.spans IS NULL THEN t.text
+                ELSE COALESCE(array_to_string(
+                  [t.w[i] FOR i IN range(1, t.n + 1)
+                   IF len(list_filter(sp.spans,
+                          x -> i >= x.s AND i <= x.e)) = 0], ' '), '')
+           END AS clean_text,
+           CAST(CASE WHEN sp.spans IS NULL THEN 0
+                ELSE len([i FOR i IN range(1, t.n + 1)
+                          IF len(list_filter(sp.spans,
+                                 x -> i >= x.s AND i <= x.e)) > 0])
+                END AS BIGINT) AS n_removed_tokens
+    FROM t LEFT JOIN sp USING (doc_id)
+    """,
+    tags=("dedup-substring", "exactsubstr", "ivm", "S2", "ST1", "ST2",
+          "oracle-twin"),
+)
+def exact_substring_incremental_ingest(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Incremental ExactSubstr ingest — duplicated-SPAN removal
+    without ever re-hashing the ingested corpus: a maintained seed
+    index (``MaterializedNgramIndex`` with ``normalize=False``,
+    ``n=15`` — the raw-split ExactSubstr window convention, on the
+    shared mapped-index protocol) stores the ORIGINAL text's window
+    keys of everything ingested so far; each arriving batch is
+    trimmed by ``operators.dedup.exact_substring_trim_batch``
+    (batch windows left-semi the index = cross-batch duplicates;
+    intra-batch keeper logic covers the rest), the CLEANED docs land
+    in the corpus ledger, and the batch's ORIGINAL windows fold into
+    the index (indexing cleaned text would un-mark seeds whose keeper
+    occurrence lost tokens to an overlapping span — the Lee et al.
+    §4.1 caveat — and resurrect their later duplicates). At 100 TB
+    this is the ExactSubstr deployment shape: the one-shot operator
+    re-windows the whole corpus per run; here each ingested token is
+    hashed exactly once, and a batch costs O(batch text) plus
+    key-only joins.
+
+    Batches partition the corpus in increasing doc_id RANGES (tertile
+    thresholds from a scalar max — ingestion order must equal the
+    one-shot keeper order ``min(doc, pos)``), which makes the union
+    of per-batch trims IDENTICAL to the one-shot
+    ``exact_substring_dedup`` of the whole corpus — the oracle is
+    that one-shot SQL verbatim, so the entire incremental protocol
+    (three refreshes + replay no-op) is hash-checked."""
+    from .operators.dedup import (
+        MaterializedNgramIndex,
+        exact_substring_trim_batch,
+    )
+
+    L = 15
+    documents = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text"
+    )
+    hi_id = documents.agg(F.max("doc_id")).collect()[0][0]
+    t1, t2 = hi_id // 3, (2 * hi_id) // 3
+    key = F.col("doc_id")
+    batches = [
+        documents.where(key <= t1),
+        documents.where((key > t1) & (key <= t2)),
+        documents.where(key > t2),
+    ]
+    base = tempfile.mkdtemp(prefix="xsub_inc_")
+    src = VersionedTable(spark, f"{base}/src", write_partitions=4)
+    index = MaterializedNgramIndex(
+        spark,
+        VersionedTable(spark, f"{base}/idx", write_partitions=4),
+        text_col="text",
+        id_col="doc_id",
+        n=L,
+        normalize=False,
+    )
+    corpus = VersionedTable(spark, f"{base}/out", write_partitions=4)
+    empty_keys = spark.createDataFrame([], "key string")
+    for i, batch in enumerate(batches):
+        keys = index.read().select("key") if i else empty_keys
+        trimmed = exact_substring_trim_batch(
+            batch, keys, "text", "doc_id", span_words=L
+        )
+        corpus.write(trimmed, mode="append" if i else "overwrite")
+        src.write(batch, mode="append" if i else "overwrite")
+        lo, hi = index.refresh(src)               # folds commit i only
+        assert (lo, hi) == (i, i), (lo, hi)
+    lo, hi = index.refresh(src)                   # replay: no-op
+    assert lo > hi, "replayed refresh must be a no-op"
+    return corpus.read().select("doc_id", "clean_text", "n_removed_tokens")
+
+
+@query(
     "streaming_decontamination_ingest",
     oracle="""
     WITH t AS (

@@ -3428,3 +3428,65 @@ def test_ngram_index_maintained_equals_oneshot(spark, tmp_path):
     assert maintained == oneshot and maintained
     ids = {d for d, _ in maintained}
     assert 0 not in ids and 1 not in ids and 2 in ids and 100 not in ids
+
+
+def test_exact_substring_incremental_equals_oneshot(spark, tmp_path):
+    """Incremental ExactSubstr (trim-batch × original-text seed index)
+    equals the one-shot operator for an id-ordered batch split, on a
+    corpus with planted CROSS-batch duplicated spans, an intra-batch
+    duplicate, and the overlap caveat shape (a keeper that loses
+    tokens to a different seed's span — indexing original text is
+    what keeps its later duplicates marked)."""
+    from data_seedling_spark.operators.dedup import (
+        MaterializedNgramIndex,
+        exact_substring_dedup,
+        exact_substring_trim_batch,
+    )
+    from data_seedling_spark.operators.ledger import VersionedTable
+
+    span = " ".join(f"dup{i}" for i in range(20))       # 20-token region
+    other = " ".join(f"alt{i}" for i in range(18))
+    filler = lambda k: " ".join(f"w{k}_{i}" for i in range(25))  # noqa: E731
+    rows = [
+        # batch 0 (ids 0-9): the keepers
+        (0, f"{filler(0)} {span} {filler(1)}"),
+        (1, f"{other} {filler(2)}"),
+        (2, filler(3)),
+        # intra-batch duplicate inside batch 0:
+        (3, f"{filler(4)} {other}"),
+        # batch 1 (ids 10-19): cross-batch duplicates of batch-0 spans
+        (10, f"{filler(5)} {span}"),
+        (11, f"{other} {filler(6)}"),
+        (12, filler(7)),
+        # batch 2 (ids 20-29): duplicates of both batches
+        (20, f"{span} {filler(8)}"),
+        (21, f"{filler(9)} {other} {span}"),
+        (22, filler(10)),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    oneshot = {
+        (r["doc_id"], r["clean_text"], r["n_removed_tokens"])
+        for r in exact_substring_dedup(docs, "text", "doc_id", 15).collect()
+    }
+    src = VersionedTable(spark, str(tmp_path / "src"), write_partitions=1)
+    idx = MaterializedNgramIndex(
+        spark, VersionedTable(spark, str(tmp_path / "idx"), write_partitions=1),
+        text_col="text", id_col="doc_id", n=15, normalize=False,
+    )
+    corpus = VersionedTable(spark, str(tmp_path / "out"), write_partitions=1)
+    empty_keys = spark.createDataFrame([], "key string")
+    for i, (lo_id, hi_id) in enumerate([(0, 9), (10, 19), (20, 29)]):
+        batch = docs.where(F.col("doc_id").between(lo_id, hi_id))
+        keys = idx.read().select("key") if i else empty_keys
+        trimmed = exact_substring_trim_batch(batch, keys, "text", "doc_id", 15)
+        corpus.write(trimmed, mode="append" if i else "overwrite")
+        src.write(batch, mode="append" if i else "overwrite")
+        assert idx.refresh(src) == (i, i)
+    got = {
+        (r["doc_id"], r["clean_text"], r["n_removed_tokens"])
+        for r in corpus.read().collect()
+    }
+    assert got == oneshot
+    removed = {d: n for d, _, n in got if n > 0}
+    assert set(removed) >= {3, 10, 11, 20, 21}, removed
+    assert removed.get(21, 0) > 30, "doc 21 must lose both planted regions"
