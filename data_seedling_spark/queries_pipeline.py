@@ -916,10 +916,16 @@ def streaming_neardup_lsh_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _fold_emit_neardup_batch(index, corpus, pairs_tbl, batch, batch_id) -> bool:
     """One micro-batch of the per-batch pair-emission protocol
     (``streaming_neardup_pair_emission``): fold the batch's band rows
-    into the LSH index (batch-id idempotence guard), append its
-    documents to the corpus ledger, then emit the batch's verified
-    new-vs-all near-dup pairs into the results table. Returns False
-    for an already-applied batch (replay no-op — nothing re-emitted).
+    into the LSH index, append its documents to the corpus ledger,
+    then emit the batch's verified new-vs-all near-dup pairs into the
+    results table — EACH of the three commits behind its own batch-id
+    watermark (the index via ``fold_batch``'s guard; corpus and pairs
+    via their own in-commit ``_source_hi``), so a crash between any
+    two commits replays safely: the already-applied prefix no-ops and
+    only the missing commits run (at-least-once foreachBatch →
+    exactly-once tables, the r13 ``fold_stream_batch`` discipline
+    applied per table). Returns False when the batch was already fully
+    applied (nothing re-emitted).
 
     Exactly-once pair semantics: candidates use the UNCAPPED bucket
     predicate (``bucket_cap=None`` — a pair is a candidate iff the two
@@ -930,16 +936,21 @@ def _fold_emit_neardup_batch(index, corpus, pairs_tbl, batch, batch_id) -> bool:
     NOT used here: the capped subgroup split depends on bucket counts
     AT EMISSION TIME, which would make the accumulated pair set depend
     on the batch split — the capped variant lives in the maintained
-    batch query (``minhash_lsh_index_maintenance``). Fold and emit are
-    two ledger commits; a crash between them would need the pair
-    append keyed by batch id too (the documented transactional seam —
-    availableNow runs each batch once)."""
+    batch query (``minhash_lsh_index_maintenance``)."""
     from .operators.dedup import jaccard, word_shingles
+    from .operators.matview import SOURCE_HI, mapped_index_applied_hi
 
     batch = batch.select("doc_id", "text")
-    if not index.fold_batch(batch, batch_id):
-        return False
-    corpus.write(batch, mode="append" if corpus.exists() else "overwrite")
+    folded = index.fold_batch(batch, batch_id)
+    did_work = folded
+    if mapped_index_applied_hi(corpus) < batch_id:
+        corpus.write(
+            batch.withColumn(SOURCE_HI, F.lit(batch_id).cast("long")),
+            mode="append" if corpus.exists() else "overwrite",
+        )
+        did_work = True
+    if mapped_index_applied_hi(pairs_tbl) >= batch_id:
+        return did_work
     cands = index.new_vs_all_candidates(
         batch.select("doc_id"), bucket_cap=None
     )
@@ -971,7 +982,8 @@ def _fold_emit_neardup_batch(index, corpus, pairs_tbl, batch, batch_id) -> bool:
         .where(F.col("jaccard") >= 0.8)
     )
     pairs_tbl.write(
-        verified, mode="append" if pairs_tbl.exists() else "overwrite"
+        verified.withColumn(SOURCE_HI, F.lit(batch_id).cast("long")),
+        mode="append" if pairs_tbl.exists() else "overwrite",
     )
     return True
 

@@ -3369,6 +3369,11 @@ def test_pair_emission_batch_split_invariance(spark, tmp_path):
         pairs = VersionedTable(spark, str(tmp_path / f"pairs_{name}"),
                                write_partitions=2)
         for bid, batch in enumerate(batches):
+            if name == "three" and bid == 2:
+                # crash-replay: the index commit landed but corpus and
+                # pairs did not — the per-table watermarks must run
+                # only the missing commits on replay.
+                assert index.fold_batch(batch, bid)
             assert _fold_emit_neardup_batch(index, corpus, pairs, batch, bid)
         # replayed batch: fold guard no-ops, nothing emitted
         n_before = pairs.read().count()
