@@ -1142,7 +1142,19 @@ def incremental_ivf_assign_maintenance(
     shared cells. Assignment against fixed centroids is a pure
     per-vector function, so maintained ≡ one-shot and the one-shot
     oracle replays the whole protocol hash-exactly; ``wm_next`` pins
-    the advanced watermark."""
+    the advanced watermark.
+
+    **WARNING — do not copy the ``vec_id % 150`` centroid grid to a
+    real deployment.** The pinned modulo exists ONLY so the DuckDB
+    oracle can replay centroid choice deterministically; it grows
+    centroid COUNT linearly with the corpus, so the broadcast and the
+    assignment scan grow with it — measured at a 300× embeddings set,
+    where this query exceeds a 10-minute probe budget while the same
+    protocol with a FROZEN fixed-size centroid frame reads 1.33×
+    wall for 3× data (SCALE.md r14 "IVF sf30"). Pass
+    ``MaterializedIvfIndex`` an adaptive-stride or k-means centroid
+    frame (√N sizing for the pair-query path); the ctor takes any
+    ``(centroid_id, vec)`` DataFrame."""
     from .operators.similarity import MaterializedIvfIndex, oracle_arrow
 
     embeddings = load_table(spark, sf_dir, "embeddings").select(
