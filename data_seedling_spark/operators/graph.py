@@ -23,6 +23,18 @@ from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 
+def _state(df: DataFrame, broadcast_state: bool) -> DataFrame:
+    """Per-round node-state frame for an iterative join (r14, guide
+    §3.1): with ``broadcast_state`` the O(nodes) state ships to every
+    task and the O(edges) side is never shuffled inside the loop —
+    the right trade whenever the state fits Spark's broadcast limits
+    (8 GB / 512M rows; a (long, long) state row is ~16 bytes, so up
+    to ~10^8 nodes). Beyond that pass ``broadcast_state=False``: the
+    planner falls back to shuffle joins against the persisted edge
+    list, which scales without a cap."""
+    return F.broadcast(df) if broadcast_state else df
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "src",
@@ -189,6 +201,7 @@ def bfs_hops(
     max_hops: int = 3,
     source: DataFrame | None = None,
     checkpoint: bool = True,
+    broadcast_state: bool = True,
 ) -> DataFrame:
     """Frontier BFS: (node, hops) shortest hop-distance from a source
     over an undirected edge list, out to ``max_hops`` levels (fixed
@@ -226,11 +239,21 @@ def bfs_hops(
     visited = _cut(source.select("node", F.lit(0).alias("hops")))
     frontier = visited
     for level in range(1, max_hops + 1):
+        # Frontier and visited are O(nodes) while sym is O(edges):
+        # broadcast the state frames so the edge list is NEVER
+        # shuffled per level (guide §3.1 — the big side stays put;
+        # previously both joins sort-merge-shuffled the edges every
+        # level). The only remaining per-level exchange is the
+        # boundary distinct.
         nxt = _cut(
-            sym.join(frontier, sym.a == frontier.node)
+            sym.join(_state(frontier, broadcast_state), sym.a == frontier.node)
             .select(F.col("b").alias("node"))
             .distinct()
-            .join(visited.select("node"), "node", "left_anti")
+            .join(
+                _state(visited.select("node"), broadcast_state),
+                "node",
+                "left_anti",
+            )
             .withColumn("hops", F.lit(level))
         )
         if checkpoint and nxt.isEmpty():
@@ -249,6 +272,7 @@ def bellman_ford(
     weight: str = "w",
     rounds: int = 3,
     source: DataFrame | None = None,
+    broadcast_state: bool = True,
 ) -> DataFrame:
     """Bounded Bellman-Ford: cheapest path cost from a source over an
     undirected weighted edge list, relaxed for a fixed number of
@@ -273,8 +297,11 @@ def bellman_ford(
         source = sym.agg(F.min("a").alias("node"))
     dist = source.select("node", F.lit(0).cast("long").alias("cost")).localCheckpoint()
     for _ in range(rounds):
+        # dist is O(reached nodes), sym O(edges): broadcast the state
+        # so relaxation never shuffles the edge list (guide §3.1); the
+        # per-round exchange is only the map-side-combined MIN.
         relaxed = (
-            sym.join(dist, sym.a == dist.node)
+            sym.join(_state(dist, broadcast_state), sym.a == dist.node)
             .select(F.col("b").alias("node"), (F.col("cost") + F.col("w")).alias("cost"))
             .unionByName(dist.select("node", "cost"))
             .groupBy("node")
@@ -291,6 +318,7 @@ def label_propagation_communities(
     src: str = "src",
     dst: str = "dst",
     rounds: int = 2,
+    broadcast_state: bool = True,
 ) -> DataFrame:
     """Synchronous label-propagation community detection (Raghavan et
     al. 2007), fixed round count for engine-independence: every node
@@ -319,8 +347,10 @@ def label_propagation_communities(
 
     w = W.partitionBy("node").orderBy(F.col("_c").desc(), F.col("label"))
     for _ in range(rounds):
+        # labels is O(nodes): broadcast it so the edge list is never
+        # shuffled per round (guide §3.1).
         neigh = (
-            sym.join(labels, sym.b == labels.node)
+            sym.join(_state(labels, broadcast_state), sym.b == labels.node)
             .groupBy(F.col("a").alias("node"), "label")
             .agg(F.count("*").alias("_c"))
         )
@@ -340,6 +370,7 @@ def pagerank_integer(
     dst: str = "v",
     rounds: int = 3,
     scale: int = 10**12,
+    broadcast_state: bool = True,
 ) -> DataFrame:
     """Bounded PageRank in exact integer microunits — the
     hash-comparable twin of the classic damped iteration.
@@ -361,34 +392,47 @@ def pagerank_integer(
     ``localCheckpoint`` keeps the plan flat. Isolated nodes don't
     appear in an edge list; every listed node has deg ≥ 1.
     """
-    sym = (
-        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
-        .persist()
+    # r14 optimization: persist the (small, pre-union) edge input once —
+    # the symmetrized view scans it twice and deg/sym_den each scan the
+    # view — rather than persisting the 2×-size symmetrized frame (an
+    # A/B showed double-persisting sym AND sym_den pays the cache write
+    # twice and reads slower than recomputing the union off the cached
+    # input).
+    edges = edges.persist()
+    sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).unionByName(
+        edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
     )
     deg = sym.groupBy("a").agg(F.count("*").alias("_deg"))
+    # The per-edge denominator 100·deg(a) is loop-invariant — join it
+    # into the persisted edge list ONCE instead of re-aggregating and
+    # re-joining deg every round, and broadcast the O(nodes) rank state
+    # so the O(edges) side is never shuffled inside the loop (guide
+    # §2.4/§3.1). Per round: one broadcast join + one map-side-combined
+    # integer SUM; the arithmetic (and therefore the exact integer
+    # trajectory) is unchanged.
+    sym_den = sym.join(deg, "a").select(
+        "a", "b", (F.lit(100).cast("long") * F.col("_deg")).alias("_den")
+    ).persist()
     base = scale * 15 // 100
     ranks = deg.select(
         F.col("a").alias("node"), F.lit(scale).cast("long").alias("r")
     ).localCheckpoint()
     for _ in range(rounds):
-        contrib = (
-            sym.join(ranks, sym.a == ranks.node)
-            .join(deg, "a")
-            .select(
-                F.col("b").alias("node"),
-                F.call_function(
-                    "div", F.lit(85).cast("long") * F.col("r"),
-                    F.lit(100).cast("long") * F.col("_deg"),
-                ).alias("c"),
-            )
+        contrib = sym_den.join(
+            _state(ranks, broadcast_state), sym_den.a == ranks.node
+        ).select(
+            F.col("b").alias("node"),
+            F.call_function(
+                "div", F.lit(85).cast("long") * F.col("r"), F.col("_den")
+            ).alias("c"),
         )
         ranks = (
             contrib.groupBy("node")
             .agg((F.lit(base).cast("long") + F.sum("c")).alias("r"))
             .localCheckpoint()
         )
-    sym.unpersist()
+    sym_den.unpersist()
+    edges.unpersist()
     return ranks
 
 
@@ -400,6 +444,7 @@ def pagerank_weighted(
     rounds: int = 3,
     scale: int = 10**12,
     max_weight: int = 100,
+    broadcast_state: bool = True,
 ) -> DataFrame:
     """Edge-weighted integer PageRank: a round sends each neighbor
     ``div(85 · r · w, 100 · wdeg)`` where ``wdeg`` is the node's total
@@ -415,44 +460,49 @@ def pagerank_weighted(
     at corpus scale, where one bot basket pair shouldn't own the
     random walk (same posture as the basket cap upstream).
     """
-    sym = (
+    # Persist the pre-union input once (see :func:`pagerank_integer`);
+    # the symmetrized view and deg recompute cheaply off the cache.
+    edges = edges.persist()
+    sym = edges.select(
+        F.col(src).alias("a"), F.col(dst).alias("b"),
+        F.least(F.col(weight), F.lit(max_weight)).cast("long").alias("_w"),
+    ).unionByName(
         edges.select(
-            F.col(src).alias("a"), F.col(dst).alias("b"),
-            F.least(F.col(weight), F.lit(max_weight)).cast("long").alias("_w"),
+            F.col(dst).alias("a"), F.col(src).alias("b"),
+            F.least(F.col(weight), F.lit(max_weight))
+            .cast("long").alias("_w"),
         )
-        .unionByName(
-            edges.select(
-                F.col(dst).alias("a"), F.col(src).alias("b"),
-                F.least(F.col(weight), F.lit(max_weight))
-                .cast("long").alias("_w"),
-            )
-        )
-        .persist()
     )
     deg = sym.groupBy("a").agg(F.sum("_w").alias("_wd"))
+    # Loop-invariant denominator folded into the persisted edges once +
+    # broadcast rank state — same restructure (and same exact integer
+    # trajectory) as :func:`pagerank_integer`.
+    sym_den = sym.join(deg, "a").select(
+        "a", "b", "_w",
+        (F.lit(100).cast("long") * F.col("_wd")).alias("_den"),
+    ).persist()
     base = scale * 15 // 100
     ranks = deg.select(
         F.col("a").alias("node"), F.lit(scale).cast("long").alias("r")
     ).localCheckpoint()
     for _ in range(rounds):
-        contrib = (
-            sym.join(ranks, sym.a == ranks.node)
-            .join(deg, "a")
-            .select(
-                F.col("b").alias("node"),
-                F.call_function(
-                    "div",
-                    F.lit(85).cast("long") * F.col("r") * F.col("_w"),
-                    F.lit(100).cast("long") * F.col("_wd"),
-                ).alias("c"),
-            )
+        contrib = sym_den.join(
+            _state(ranks, broadcast_state), sym_den.a == ranks.node
+        ).select(
+            F.col("b").alias("node"),
+            F.call_function(
+                "div",
+                F.lit(85).cast("long") * F.col("r") * F.col("_w"),
+                F.col("_den"),
+            ).alias("c"),
         )
         ranks = (
             contrib.groupBy("node")
             .agg((F.lit(base).cast("long") + F.sum("c")).alias("r"))
             .localCheckpoint()
         )
-    sym.unpersist()
+    sym_den.unpersist()
+    edges.unpersist()
     return ranks
 
 
@@ -463,6 +513,7 @@ def pagerank_personalized(
     dst: str = "v",
     rounds: int = 3,
     scale: int = 10**12,
+    broadcast_state: bool = True,
 ) -> DataFrame:
     """Personalized PageRank: the 15% restart mass teleports to the
     ``seeds`` node set instead of uniformly — "importance relative to
@@ -480,12 +531,18 @@ def pagerank_personalized(
     map-side-combinable integer SUM per round — no outer join; the
     SQL oracle's FULL OUTER formulation is the same arithmetic).
     """
-    sym = (
-        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
-        .persist()
+    # Persist the pre-union input once (see :func:`pagerank_integer`).
+    edges = edges.persist()
+    sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).unionByName(
+        edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
     )
     deg = sym.groupBy("a").agg(F.count("*").alias("_deg"))
+    # Same restructure as :func:`pagerank_integer`: loop-invariant
+    # 100·deg(a) folded into the persisted edges, O(reached nodes)
+    # rank state broadcast per round.
+    sym_den = sym.join(deg, "a").select(
+        "a", "b", (F.lit(100).cast("long") * F.col("_deg")).alias("_den")
+    ).persist()
     seed_nodes = seeds.select(
         F.col(seeds.columns[0]).alias("node")
     ).persist()
@@ -497,16 +554,13 @@ def pagerank_personalized(
         "node", F.lit(scale).cast("long").alias("r")
     ).localCheckpoint()
     for _ in range(rounds):
-        contrib = (
-            sym.join(ranks, sym.a == ranks.node)
-            .join(deg, "a")
-            .select(
-                F.col("b").alias("node"),
-                F.call_function(
-                    "div", F.lit(85).cast("long") * F.col("r"),
-                    F.lit(100).cast("long") * F.col("_deg"),
-                ).alias("c"),
-            )
+        contrib = sym_den.join(
+            _state(ranks, broadcast_state), sym_den.a == ranks.node
+        ).select(
+            F.col("b").alias("node"),
+            F.call_function(
+                "div", F.lit(85).cast("long") * F.col("r"), F.col("_den")
+            ).alias("c"),
         )
         ranks = (
             contrib.unionByName(seed_base)
@@ -514,6 +568,7 @@ def pagerank_personalized(
             .agg(F.sum("c").alias("r"))
             .localCheckpoint()
         )
-    sym.unpersist()
+    sym_den.unpersist()
+    edges.unpersist()
     seed_nodes.unpersist()
     return ranks
