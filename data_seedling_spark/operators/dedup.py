@@ -863,7 +863,11 @@ def exact_substring_dedup(
     """
     L = span_words
     base = _exact_substring_base(df, text_col, id_col)
-    occ = _window_occ(base, id_col, L)
+    # occ has two consumers (the keeper aggregate and the join probe);
+    # without the persist the md5 window expansion — the operator's
+    # dominant per-row cost — runs twice (r14, guide §1.2 "don't
+    # compute things twice"; measured A/B in OPTIMIZATION_r14.md).
+    occ = _window_occ(base, id_col, L).persist()
     keepers = occ.groupBy("_key").agg(
         F.count("*").alias("_cnt"),
         F.min(
@@ -993,7 +997,11 @@ def exact_substring_trim_batch(
     span-merge tail is document-bounded."""
     L = span_words
     base = _exact_substring_base(df, text_col, id_col)
-    occ = _window_occ(base, id_col, L)
+    # Three consumers (index hit probe, intra-batch keeper aggregate,
+    # intra-batch non-keeper join) would each re-run the md5 window
+    # expansion — persist so the batch text is hashed ONCE (r14, guide
+    # §1.2; the expansion dominates the trim's cost).
+    occ = _window_occ(base, id_col, L).persist()
     keys = index_keys.select(F.col(index_keys.columns[0]).alias("_key"))
     hit = occ.join(keys, "_key", "left_semi").select(id_col, "pos")
     fresh = occ.join(keys, "_key", "left_anti")

@@ -2040,9 +2040,16 @@ def hits_bipartite_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         "s", F.lit(1000000).cast("long")
     )
     a = None
+    # r14 (guide §3.1, same restructure as the pagerank family): the
+    # score frames are O(nodes) while edges is O(edges) — broadcast the
+    # state side of each round's join so the edge list is never
+    # shuffled inside the loop; the per-round exchange is only the
+    # map-side-combined SUM.
+    from .operators.graph import _state
+
     for _ in range(3):
         a_raw = (
-            edges.join(h.withColumnRenamed("s", "hs"), "c")
+            edges.join(_state(h.withColumnRenamed("s", "hs"), True), "c")
             .groupBy("p")
             .agg(F.sum("hs").alias("s"))
         )
@@ -2053,7 +2060,7 @@ def hits_bipartite_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint(eager=False)
         )
         h_raw = (
-            edges.join(a.withColumnRenamed("s", "as_"), "p")
+            edges.join(_state(a.withColumnRenamed("s", "as_"), True), "p")
             .groupBy("c")
             .agg(F.sum("as_").alias("s"))
         )
