@@ -1952,6 +1952,12 @@ def nsw_search(
     NEVER shuffles. Returns ``(query_id, neighbor_id, score, rank)``
     like the other top-k legs."""
     entry_stride = _resolve_stride(df, entry_stride)
+    # The adjacency is consumed once per hop, and its build (the
+    # cell-blocked k-NN pair scoring) is the expensive subtree — without
+    # the persist every hop re-executes the whole build DAG (r14, guide
+    # §1.2/§5: cache only what is reused AND expensive to recompute;
+    # measured 4.81→4.21 s solo best-of-2 at sf0.1).
+    adj = adj.persist()
     vecs = df.select(
         F.col(id_col).alias("_nid"),
         F.col(vec_col).cast("array<double>").alias("_nv"),
