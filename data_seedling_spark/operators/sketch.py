@@ -70,48 +70,74 @@ def kll_compact_round(
     bucketed = df.withColumn(
         "_rb", F.floor(F.col(value_col) / F.lit(bucket_width)).cast("long")
     )
-    counts = bucketed.groupBy(*part, "_rb").agg(F.count("*").alias("_n"))
-    off_w = (
-        W.partitionBy(*part)
-        .orderBy("_rb")
-        .rowsBetween(W.unboundedPreceding, -1)
+    # One pass over the data collects, per (class, bucket): the row
+    # count AND the (value, id)-max row's id — the bucket's LAST row
+    # under the rank order. The per-class windows below (all over this
+    # tiny bucket-stats frame) derive the exclusive rank offset, the
+    # class total, and the previous non-empty bucket's last id, so the
+    # pair step never needs its own exchange: a pair's two members are
+    # rank-adjacent, hence in the same bucket except when the pair
+    # straddles a bucket boundary — and the straddling follower's
+    # leader is exactly `_prev_last`. (r14: this fuses the old
+    # (class, pair) window — a third full-data exchange + sort per
+    # round — into the rank window; survivors are bit-identical
+    # because pairing, leader ids, and the md5 coin are unchanged.)
+    stats = bucketed.groupBy(*part, "_rb").agg(
+        F.count("*").alias("_n"),
+        F.max(F.struct(F.col(value_col), F.col(id_col))).alias("_m"),
     )
-    offsets = counts.select(
+    off_w = W.partitionBy(*part).orderBy("_rb")
+    aux = stats.select(
         *part,
         "_rb",
-        F.coalesce(F.sum("_n").over(off_w), F.lit(0)).alias("_offset"),
+        F.coalesce(
+            F.sum("_n").over(off_w.rowsBetween(W.unboundedPreceding, -1)),
+            F.lit(0),
+        ).alias("_offset"),
+        F.sum("_n")
+        .over(off_w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing))
+        .alias("_tot"),
+        F.lag(F.col("_m")[id_col]).over(off_w).alias("_prev_last"),
     )
     rw = W.partitionBy(*part, "_rb").orderBy(value_col, id_col)
     ranked = (
-        bucketed.join(F.broadcast(offsets), [*part, "_rb"])
-        .withColumn("_rnk", (F.row_number().over(rw) + F.col("_offset")).cast("long"))
-        .drop("_rb", "_offset")
+        bucketed.join(F.broadcast(aux), [*part, "_rb"])
+        .withColumn(
+            "_rnk", (F.row_number().over(rw) + F.col("_offset")).cast("long")
+        )
+        # same partition + order as the row_number — shares its
+        # exchange and sort, no extra shuffle
+        .withColumn("_lag_id", F.lag(F.col(id_col)).over(rw))
     )
-    pair = F.call_function("div", F.col("_rnk") - 1, F.lit(2).cast("long"))
     pos = (F.col("_rnk") - 1) % 2
-    paired = ranked.withColumn("_pair", pair).withColumn("_pos", pos)
-    pw = W.partitionBy(*part, "_pair")
-    lead_w = pw.orderBy("_rnk")
+    # pair leader (the lower-rank member): a pos-0 row leads itself; a
+    # pos-1 row's leader is the in-bucket predecessor, or the previous
+    # bucket's last row when the pair straddles the boundary. A
+    # single-member pair exists only at an odd class tail (rank == T,
+    # T odd — a pos-0 row with no follower).
+    leader = F.when(pos == 0, F.col(id_col)).otherwise(
+        F.when(
+            F.col("_rnk") - F.col("_offset") > 1, F.col("_lag_id")
+        ).otherwise(F.col("_prev_last"))
+    )
     coin = (
         _md5_long(
             F.concat(
-                F.first(F.col(id_col)).over(lead_w).cast("string"),
+                leader.cast("string"),
                 F.lit(":"),
                 F.col(weight_col).cast("string"),
             )
         )
         % 2
     )
-    annotated = paired.withColumn("_cnt", F.count("*").over(pw)).withColumn(
-        "_coin", coin
-    )
-    survivors = annotated.where(
-        (F.col("_cnt") == 1) | (F.col("_pos") == F.col("_coin"))
-    )
+    annotated = ranked.withColumn(
+        "_single", (pos == 0) & (F.col("_rnk") == F.col("_tot"))
+    ).withColumn("_coin", coin)
+    survivors = annotated.where(F.col("_single") | (pos == F.col("_coin")))
     keep_cols = [c for c in df.columns if c != weight_col]
     return survivors.select(
         *keep_cols,
-        F.when(F.col("_cnt") == 1, F.col(weight_col))
+        F.when(F.col("_single"), F.col(weight_col))
         .otherwise(F.col(weight_col) * 2)
         .alias(weight_col),
     )
