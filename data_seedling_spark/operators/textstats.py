@@ -651,77 +651,110 @@ def gopher_repetition_gates(
     over repeated grams), plus the composite keep flag at the Gopher
     thresholds (0.20 / 0.18 / 0.16 / 0.15 / 0.10).
 
-    Shape: a TWO-LEVEL explode — n first (5 rows/doc), then that n's
-    grams — so the largest transient value per row is ONE n's gram
-    array (≤ ~n× the document text) instead of the ~24×-text flattened
-    all-n array the r9 probe GC-thrashed on at sf10 (SCALE.md "heap"
-    notes: GCLocker retries, OOM at 8 g). The per-(doc, n) top-1 is a
-    ``min(struct(-cnt, gram))`` aggregate rather than a row_number
-    window, dropping the window's extra exchange+sort; the shuffle
-    carries fixed-width gram counts (how a 100 TB corpus runs it);
-    every ratio divides exact integers, so the whole battery is
-    oracle-reproducible."""
+    Shape (r14): the gram census is DOC-LOCAL, so no gram ever needs
+    to leave its row — per (doc, n) the gram array is built, sorted,
+    and run-length folded in place (``array_sort`` + ``aggregate``:
+    the most frequent gram is the longest run with a strict-``>``
+    update, which keeps the lexicographically smallest gram on count
+    ties — the same (cnt DESC, gram ASC) tie-break the old aggregate
+    encoded via ``min(struct(-cnt, gram))``; duplicate chars sum
+    ``(run-1)·length`` over runs). This replaces the old explode →
+    groupBy(doc, n, gram) → groupBy(doc, n) → groupBy(doc) chain —
+    three exchanges, the widest of which shuffled every gram string
+    (48.7 MB at sf0.1) — with a zero-shuffle map-only plan. The five
+    n values evaluate as five sequential column expressions, so the
+    largest transient per row stays ONE n's gram array (≤ ~n× the
+    document text), the same heap bound the old two-level explode
+    enforced after the r9 GC-thrash (SCALE.md "heap" notes). Every
+    ratio still divides exact integers, so the battery remains
+    oracle-reproducible. Docs with fewer than two words drop, exactly
+    as the old explode dropped them (no grams for any n)."""
+    _long0 = F.lit(0).cast("long")
+
+    def _rep_stats(n: int):
+        """struct(top_chars, dup_chars) for one n, row-locally."""
+        grams = F.when(
+            F.size("_w") >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size("_w") - (n - 1)),
+                lambda i: F.concat_ws(" ", F.slice("_w", i, n)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+        def step(acc, x):
+            same = acc["prev"].isNotNull() & (x == acc["prev"])
+            new_best = acc["run"] > acc["best_cnt"]
+            fin_cnt = F.when(new_best, acc["run"]).otherwise(acc["best_cnt"])
+            fin_gram = F.when(new_best, acc["prev"]).otherwise(
+                acc["best_gram"]
+            )
+            fin_dup = acc["dup"] + F.when(
+                acc["run"] > 1,
+                (acc["run"] - 1) * F.length(acc["prev"]).cast("long"),
+            ).otherwise(_long0)
+            return F.when(
+                same,
+                F.struct(
+                    acc["prev"].alias("prev"),
+                    (acc["run"] + F.lit(1).cast("long")).alias("run"),
+                    acc["best_cnt"].alias("best_cnt"),
+                    acc["best_gram"].alias("best_gram"),
+                    acc["dup"].alias("dup"),
+                ),
+            ).otherwise(
+                F.struct(
+                    x.alias("prev"),
+                    F.lit(1).cast("long").alias("run"),
+                    fin_cnt.alias("best_cnt"),
+                    fin_gram.alias("best_gram"),
+                    fin_dup.alias("dup"),
+                )
+            )
+
+        def finish(acc):
+            new_best = acc["run"] > acc["best_cnt"]
+            b_cnt = F.when(new_best, acc["run"]).otherwise(acc["best_cnt"])
+            b_gram = F.when(new_best, acc["prev"]).otherwise(acc["best_gram"])
+            dup = acc["dup"] + F.when(
+                acc["run"] > 1,
+                (acc["run"] - 1) * F.length(acc["prev"]).cast("long"),
+            ).otherwise(_long0)
+            return F.struct(
+                F.coalesce(
+                    b_cnt * F.length(b_gram).cast("long"), _long0
+                ).alias("top_chars"),
+                dup.alias("dup_chars"),
+            )
+
+        init = F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            _long0.alias("run"),
+            _long0.alias("best_cnt"),
+            F.lit(None).cast("string").alias("best_gram"),
+            _long0.alias("dup"),
+        )
+        return F.aggregate(F.array_sort(grams), init, step, finish)
+
     base = df.select(
         F.col(id_col),
         F.length(F.col(text_col)).alias("n_chars"),
         F.split(F.col(text_col), " ").alias("_w"),
-    )
-    by_n = base.select(
-        id_col,
-        "n_chars",
-        "_w",
-        F.explode(F.array(*[F.lit(n) for n in (2, 3, 4, 5, 10)])).alias("n"),
-    )
-    grams = by_n.select(
-        id_col,
-        "n_chars",
-        "n",
-        F.explode(
-            F.when(
-                F.size("_w") >= F.col("n"),
-                F.transform(
-                    F.sequence(F.lit(1), F.size("_w") - (F.col("n") - 1)),
-                    lambda i: F.concat_ws(
-                        " ", F.slice("_w", i, F.col("n"))
-                    ),
-                ),
-            ).otherwise(F.array().cast("array<string>"))
-        ).alias("gram"),
-    )
-    counts = grams.groupBy(id_col, "n_chars", "n", "gram").agg(
-        F.count("*").alias("cnt")
-    )
-    # top-1 by (cnt DESC, gram ASC) without a sort: min over the
-    # struct orders by -cnt first (largest count wins), then by gram
-    # ascending — the same deterministic tie-break the old window used.
-    per_doc_n = counts.groupBy(id_col, "n_chars", "n").agg(
-        F.min(F.struct((-F.col("cnt")).alias("neg_cnt"), F.col("gram"))).alias(
-            "_top"
-        ),
-        F.sum(
-            F.when(
-                F.col("cnt") > 1, (F.col("cnt") - 1) * F.length("gram")
-            ).otherwise(F.lit(0))
-        ).alias("dup_chars"),
-    ).select(
-        id_col,
-        "n_chars",
-        "n",
-        ((-F.col("_top.neg_cnt")) * F.length("_top.gram")).alias("top_chars"),
-        "dup_chars",
+    ).where(F.size("_w") >= 2)
+    ns = (2, 3, 4, 5, 10)
+    staged = base.select(
+        id_col, "n_chars", *[_rep_stats(n).alias(f"_s{n}") for n in ns]
     )
 
-    def frac(n: int, col: str):
+    def frac(n: int, field: str):
         return F.round(
-            F.coalesce(
-                F.max(F.when(F.col("n") == n, F.col(col))), F.lit(0)
-            ).cast("double")
-            / F.greatest(F.first("n_chars"), F.lit(1)),
+            F.col(f"_s{n}.{field}").cast("double")
+            / F.greatest(F.col("n_chars"), F.lit(1)),
             6,
         )
 
-    out = per_doc_n.groupBy(id_col).agg(
-        F.first("n_chars").alias("n_chars"),
+    out = staged.select(
+        id_col,
+        "n_chars",
         frac(2, "top_chars").alias("top_2gram_char_frac"),
         frac(3, "top_chars").alias("top_3gram_char_frac"),
         frac(4, "top_chars").alias("top_4gram_char_frac"),
