@@ -56,6 +56,18 @@ from .merge import (
 _LEDGER = "_ledger.json"
 _CLAIMS = "_claims"
 
+#: Inferred parquet schema per committed data/changes directory,
+#: keyed by (path, dir mtime_ns). Commit dirs are immutable once the
+#: ledger entry lands (overwrite/compact/update all write NEW version
+#: dirs; vacuum removes whole dirs, which changes the key), so the
+#: schema inferred on first read can be replayed on every later read
+#: — skipping the driver-side listing + footer-inference pass that
+#: protocol queries otherwise repeat per refresh (guide §5: driver
+#: round-trips). The mtime in the key makes a recreated path (tests'
+#: tmp dirs, rm -rf + rebuild) miss the cache instead of reading a
+#: stale schema.
+_DIR_SCHEMA_CACHE: dict = {}
+
 
 class NoSuchVersionError(ValueError):
     pass
@@ -500,6 +512,22 @@ class VersionedTable:
                 base = i
         return commits[base:]
 
+    def _read_parquet_dir(self, d: str) -> DataFrame:
+        """Scan one committed (immutable) parquet dir, replaying the
+        schema inferred on its first read so later reads skip the
+        driver's listing + footer-inference pass (see
+        ``_DIR_SCHEMA_CACHE``)."""
+        try:
+            key = (d, os.stat(d).st_mtime_ns)
+        except OSError:
+            return self.spark.read.parquet(d)
+        schema = _DIR_SCHEMA_CACHE.get(key)
+        if schema is None:
+            df = self.spark.read.parquet(d)
+            _DIR_SCHEMA_CACHE[key] = df.schema
+            return df
+        return self.spark.read.schema(schema).parquet(d)
+
     def read(self, version: int | None = None) -> DataFrame:
         """S1 snapshot scan (optionally time-travel to ``version``).
 
@@ -514,7 +542,7 @@ class VersionedTable:
                 f"{self.path}: snapshot {as_of} needs vacuumed version(s) {vacuumed}"
             )
         dfs = [
-            self.spark.read.parquet(self._commit_data_dir(c)) for c in live
+            self._read_parquet_dir(self._commit_data_dir(c)) for c in live
         ]
         # allowMissingColumns: after a mergeSchema append, pre-evolution
         # versions surface NULLs for the added columns (Delta read
@@ -833,14 +861,14 @@ class VersionedTable:
                 raise NoSuchVersionError(f"{self.path}: version {v} does not exist")
             ts = F.lit(commit.timestamp_ms).cast("long")
             if commit.mode in ("merge", "update"):
-                chg = self.spark.read.parquet(self._changes_dir(v))
+                chg = self._read_parquet_dir(self._changes_dir(v))
                 parts.append(
                     chg.withColumn(COMMIT_VERSION, F.lit(v).cast("long")).withColumn(
                         COMMIT_TIMESTAMP, ts
                     )
                 )
                 continue
-            rows = self.spark.read.parquet(self._commit_data_dir(commit))
+            rows = self._read_parquet_dir(self._commit_data_dir(commit))
             if commit.mode == "overwrite" and v > first_version:
                 prev = self.read(version=v - 1)
                 parts.append(
@@ -862,6 +890,79 @@ class VersionedTable:
         return reduce(
             lambda a, b: a.unionByName(b, allowMissingColumns=True), parts
         )
+
+    def changes_insert_only(self, lo: int, hi: int) -> bool | None:
+        """Decide from ledger METADATA alone whether the change feed of
+        ``[lo, hi]`` is pure inserts — the Delta-CDF reasoning: append
+        commits (and the creation commit) only ever surface inserts; a
+        post-creation overwrite surfaces the previous snapshot as
+        deletes; merge/update commits carry recorded change rows whose
+        types are data-dependent. Returns True (provably insert-only),
+        False (provably remove-bearing), or None (merge/update in
+        range — the caller must probe the rows). Saves the per-refresh
+        emptiness-probe Spark job on the common append-ingest path
+        (guide §5: driver round-trips)."""
+        by_version = {c.version: c for c in self.commits()}
+        if not by_version:
+            return None
+        first = min(by_version)
+        for v in range(max(lo, first), hi + 1):
+            c = by_version.get(v)
+            if c is None:
+                return None  # let read_changes raise on the real path
+            if c.mode == "append":
+                continue
+            if c.mode == "overwrite":
+                if v > first:
+                    return False
+                continue
+            return None
+        return True
+
+    def column_max_footer(self, col: str):
+        """Metadata-only max of ``col`` over the LAST commit's data
+        files, from parquet row-group statistics (no Spark job — the
+        same footer-only driver reads ``collect_file_stats`` does).
+        Correct as a TABLE-wide max only when the caller guarantees the
+        last commit contains the column's maximum — true for protocol
+        watermarks (``_source_hi``), which ride in every commit and
+        increase monotonically. Returns None when any row group's
+        statistics are unusable (caller falls back to a scan)."""
+        import glob as _glob
+
+        import pyarrow.parquet as pq
+
+        commits = self.commits()
+        if not commits:
+            return None
+        d = self._commit_data_dir(commits[-1])
+        files = sorted(_glob.glob(os.path.join(d, "*.parquet")))
+        if not files:
+            return None
+        best = None
+        for fpath in files:
+            md = pq.ParquetFile(fpath).metadata
+            names = {
+                md.schema.column(i).name: i for i in range(md.num_columns)
+            }
+            if col not in names:
+                return None
+            idx = names[col]
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                if st is None:
+                    return None
+                if not st.has_min_max:
+                    # all-NULL row groups carry no min/max and are
+                    # skippable (max ignores NULLs); anything else
+                    # without stats forces the scan fallback
+                    if st.has_null_count and st.null_count == md.row_group(
+                        rg
+                    ).num_rows:
+                        continue
+                    return None
+                best = st.max if best is None else max(best, st.max)
+        return best
 
     def empty_like(self) -> DataFrame:
         """S3 schema-preserving empty relation (reference ``datalake.py:83-86``)."""

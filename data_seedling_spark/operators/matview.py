@@ -148,10 +148,7 @@ class MaterializedAggregate:
         """Highest source version already folded into the view — read
         from the view itself (metadata-sized scalar aggregate), so
         apply+advance are one atomic commit."""
-        if not self.table.exists():
-            return -1
-        row = self.table.read().agg(F.max(SOURCE_HI).alias("hi")).collect()[0]
-        return -1 if row["hi"] is None else int(row["hi"])
+        return stored_watermark(self.table)
 
     def refresh(self, source: VersionedTable, transform=None) -> tuple[int, int]:
         """Fold ``source`` versions ``(applied_hi, latest]`` into the
@@ -197,6 +194,28 @@ class MaterializedAggregate:
         return lo, hi
 
 
+def stored_watermark(table: VersionedTable) -> int:
+    """``max(_source_hi)`` of a protocol state table, -1 when absent.
+
+    Every protocol commit stamps ALL its rows (markers included) with
+    the just-applied ``hi``, and ``hi`` increases monotonically — so
+    the table-wide max always lives in the LAST commit, and the parquet
+    row-group statistics of that commit's files answer it without a
+    Spark job (``VersionedTable.column_max_footer`` — the same
+    metadata-only read Delta does against its checkpoint; guide §5:
+    driver round-trips). Falls back to the scan+collect when footer
+    stats are unusable. The semantics are unchanged: the watermark is
+    still read from the committed table itself, so apply+advance stay
+    one atomic commit and a fresh process recovers it from storage."""
+    if not table.exists():
+        return -1
+    hi = table.column_max_footer(SOURCE_HI)
+    if hi is not None:
+        return int(hi)
+    row = table.read().agg(F.max(SOURCE_HI).alias("hi")).collect()[0]
+    return -1 if row["hi"] is None else int(row["hi"])
+
+
 def mapped_index_applied_hi(table: VersionedTable) -> int:
     """Highest source version folded into a row-mapped index — read
     from the index itself (metadata-sized scalar aggregate), so
@@ -205,10 +224,7 @@ def mapped_index_applied_hi(table: VersionedTable) -> int:
     :func:`refresh_mapped_index`) count here by design: they exist so
     this scalar always equals the ``hi`` the last refresh returned,
     even when that refresh mapped to zero index rows (ADVICE r13)."""
-    if not table.exists():
-        return -1
-    row = table.read().agg(F.max(SOURCE_HI).alias("hi")).collect()[0]
-    return -1 if row["hi"] is None else int(row["hi"])
+    return stored_watermark(table)
 
 
 def _marker_row(template: DataFrame, id_col: str, hi: int) -> DataFrame:
@@ -360,7 +376,11 @@ def refresh_mapped_index(
     insert_like = F.col(CHANGE_TYPE).isin([CT_INSERT, CT_UPDATE_POST])
     remove_like = F.col(CHANGE_TYPE).isin([CT_DELETE, CT_UPDATE_PRE])
     cols = [id_col, *input_cols]
-    if changes.where(remove_like).isEmpty():
+    # commit modes often decide insert-only without a probe job
+    ins_only = source.changes_insert_only(lo, hi)
+    if ins_only is None:
+        ins_only = changes.where(remove_like).isEmpty()
+    if ins_only:
         ins = changes.where(insert_like).select(*cols)
         new_rows = _stamp(row_fn(ins))
         table.write(new_rows, mode="append" if table.exists() else "overwrite")

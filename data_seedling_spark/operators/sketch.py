@@ -243,12 +243,10 @@ class MaterializedSketch:
         self.bucket_width = bucket_width
 
     def applied_hi(self) -> int:
-        if not self.table.exists():
-            return -1
-        row = (
-            self.table.read().agg(F.max(self.SOURCE_HI).alias("hi")).collect()[0]
-        )
-        return -1 if row["hi"] is None else int(row["hi"])
+        # footer-stats watermark read with scan fallback (matview)
+        from .matview import stored_watermark
+
+        return stored_watermark(self.table)
 
     def refresh(self, source) -> tuple[int, int]:
         """Fold source versions ``(applied_hi, latest]``; returns the
@@ -260,8 +258,14 @@ class MaterializedSketch:
         if lo > hi:
             return lo, hi
         changes = source.read_changes(lo, hi)
-        non_insert = changes.where(F.col(CHANGE_TYPE) != CT_INSERT)
-        if non_insert.limit(1).count() > 0:
+        # ledger commit modes usually prove insert-only without a
+        # probe job (append commits emit only CT_INSERT rows)
+        _ins_only = getattr(source, "changes_insert_only", lambda *_: None)(
+            lo, hi
+        )
+        if _ins_only is not True and (
+            changes.where(F.col(CHANGE_TYPE) != CT_INSERT).limit(1).count() > 0
+        ):
             raise ValueError(
                 "MaterializedSketch is insert-only: rank sketches have "
                 "no delete inverse — recompute instead"
@@ -569,12 +573,10 @@ class MaterializedThetaSketch:
         self.k = k
 
     def applied_hi(self) -> int:
-        if not self.table.exists():
-            return -1
-        row = (
-            self.table.read().agg(F.max(self.SOURCE_HI).alias("hi")).collect()[0]
-        )
-        return -1 if row["hi"] is None else int(row["hi"])
+        # footer-stats watermark read with scan fallback (matview)
+        from .matview import stored_watermark
+
+        return stored_watermark(self.table)
 
     def refresh(self, source) -> tuple[int, int]:
         """Fold source versions ``(applied_hi, latest]``; returns the
@@ -586,8 +588,14 @@ class MaterializedThetaSketch:
         if lo > hi:
             return lo, hi
         changes = source.read_changes(lo, hi)
-        non_insert = changes.where(F.col(CHANGE_TYPE) != CT_INSERT)
-        if non_insert.limit(1).count() > 0:
+        # ledger commit modes usually prove insert-only without a
+        # probe job (append commits emit only CT_INSERT rows)
+        _ins_only = getattr(source, "changes_insert_only", lambda *_: None)(
+            lo, hi
+        )
+        if _ins_only is not True and (
+            changes.where(F.col(CHANGE_TYPE) != CT_INSERT).limit(1).count() > 0
+        ):
             raise ValueError(
                 "MaterializedThetaSketch is insert-only: KMV retention "
                 "has no delete inverse — recompute instead"
@@ -671,12 +679,10 @@ class MaterializedCountMin:
         )
 
     def applied_hi(self) -> int:
-        if not self.table.exists():
-            return -1
-        row = (
-            self.table.read().agg(F.max(self.SOURCE_HI).alias("hi")).collect()[0]
-        )
-        return -1 if row["hi"] is None else int(row["hi"])
+        # footer-stats watermark read with scan fallback (matview)
+        from .matview import stored_watermark
+
+        return stored_watermark(self.table)
 
     def refresh(self, source) -> tuple[int, int]:
         """Fold source versions ``(applied_hi, latest]``; returns the
@@ -699,8 +705,14 @@ class MaterializedCountMin:
         # the four CDC kinds instead, matching the KLL/theta
         # maintainers' contract (r8 ADVICE).
         known = (CT_INSERT, CT_UPDATE_POST, CT_DELETE, CT_UPDATE_PRE)
+        # append-only ranges provably carry CT_INSERT rows alone —
+        # the unknown-type probe job is needed only for data-dependent
+        # (merge/update/overwrite) feeds
+        _ins_only = getattr(source, "changes_insert_only", lambda *_: None)(
+            lo, hi
+        )
         unknown = changes.where(~F.col(CHANGE_TYPE).isin(*known))
-        if unknown.limit(1).count() > 0:
+        if _ins_only is not True and unknown.limit(1).count() > 0:
             bad = sorted(
                 r[0]
                 for r in unknown.select(CHANGE_TYPE).distinct().collect()
@@ -1019,12 +1031,10 @@ class MaterializedTDigest:
         self.value_scale = value_scale
 
     def applied_hi(self) -> int:
-        if not self.table.exists():
-            return -1
-        row = (
-            self.table.read().agg(F.max(self.SOURCE_HI).alias("hi")).collect()[0]
-        )
-        return -1 if row["hi"] is None else int(row["hi"])
+        # footer-stats watermark read with scan fallback (matview)
+        from .matview import stored_watermark
+
+        return stored_watermark(self.table)
 
     def refresh(self, source) -> tuple[int, int]:
         """Fold source versions ``(applied_hi, latest]``; returns the
@@ -1036,8 +1046,14 @@ class MaterializedTDigest:
         if lo > hi:
             return lo, hi
         changes = source.read_changes(lo, hi)
-        non_insert = changes.where(F.col(CHANGE_TYPE) != CT_INSERT)
-        if non_insert.limit(1).count() > 0:
+        # ledger commit modes usually prove insert-only without a
+        # probe job (append commits emit only CT_INSERT rows)
+        _ins_only = getattr(source, "changes_insert_only", lambda *_: None)(
+            lo, hi
+        )
+        if _ins_only is not True and (
+            changes.where(F.col(CHANGE_TYPE) != CT_INSERT).limit(1).count() > 0
+        ):
             raise ValueError(
                 "MaterializedTDigest is insert-only: centroids have "
                 "no delete inverse — recompute instead"
