@@ -85,6 +85,115 @@ def logreg_fit(
         feats.unpersist()
 
 
+def _z_exprs(exprs: list[Column], weights: list[float]) -> Column:
+    """``_z`` over arbitrary feature EXPRESSIONS (same left-associated
+    chain, so the doubles match the column-based spelling exactly)."""
+    acc: Column = F.lit(float(weights[0]))
+    for w, e in zip(weights[1:], exprs):
+        acc = acc + F.lit(float(w)) * e
+    return acc
+
+
+def logreg_fit_many(
+    df: DataFrame,
+    feature_cols: list[str],
+    label_col: str,
+    specs: list[tuple[object, Column | None, float]],
+    iters: int,
+    digits: int = 4,
+) -> dict:
+    """Train SEVERAL leak-proof GD models in one aggregate job per
+    stage instead of one per model — the grid-search / k-fold shape
+    (r14, guide §5: the per-model spelling pays one stats job + one
+    job per iteration per model, all tiny scans of the same frame).
+
+    ``specs`` is ``[(key, mask, lr), ...]``: each model trains on the
+    rows where its ``mask`` holds (None = all rows), with its own
+    learning rate. Per-model standardization statistics
+    (``round(avg, 6)`` / ``round(stddev_samp, 6)``, the
+    :func:`standardize` grid) and per-iteration gradients evaluate as
+    CONDITIONAL aggregates — ``avg(when(mask, x))`` ignores the masked
+    rows exactly like aggregating the filtered frame, so every model's
+    weights are bit-identical to running ``standardize(stats_from=
+    train)`` + :func:`logreg_fit` per model (same 1e-6 rounding, same
+    left-associated dot product, same literal round-trips). Returns
+    ``{key: (weights, {col: (mean, std)})}`` so callers rebuild the
+    identical z-projection for scoring.
+    """
+    masked = df.select(
+        *[F.col(c).cast("double").alias(c) for c in feature_cols],
+        F.col(label_col).cast("double").alias("_y"),
+        *[
+            (F.lit(True) if mask is None else mask.cast("boolean")).alias(
+                f"_m{i}"
+            )
+            for i, (_k, mask, _lr) in enumerate(specs)
+        ],
+    ).persist()
+    try:
+        stat_aggs = []
+        for i in range(len(specs)):
+            m = F.col(f"_m{i}")
+            for c in feature_cols:
+                x = F.when(m, F.col(c))
+                stat_aggs.append(F.round(F.avg(x), 6).alias(f"m_{i}_{c}"))
+                stat_aggs.append(
+                    F.round(F.stddev_samp(x), 6).alias(f"s_{i}_{c}")
+                )
+        st = masked.agg(*stat_aggs).collect()[0]
+        stats = [
+            {
+                c: (float(st[f"m_{i}_{c}"]), float(st[f"s_{i}_{c}"]))
+                for c in feature_cols
+            }
+            for i in range(len(specs))
+        ]
+        zexprs = [
+            [
+                F.round(
+                    (F.col(c) - F.lit(stats[i][c][0]))
+                    / F.lit(stats[i][c][1]),
+                    digits,
+                )
+                for c in feature_cols
+            ]
+            for i in range(len(specs))
+        ]
+        weights = [[0.0] * (len(feature_cols) + 1) for _ in specs]
+        for _ in range(iters):
+            grads, updates = [], []
+            for i, (_k, _mask, lr) in enumerate(specs):
+                m = F.col(f"_m{i}")
+                err = _sigmoid(_z_exprs(zexprs[i], weights[i])) - F.col("_y")
+                grads.append(
+                    F.round(F.avg(F.when(m, err)), 6).alias(f"g{i}_0")
+                )
+                grads.extend(
+                    F.round(F.avg(F.when(m, err * zexprs[i][j])), 6).alias(
+                        f"g{i}_{j + 1}"
+                    )
+                    for j in range(len(feature_cols))
+                )
+                updates.extend(
+                    F.round(
+                        F.lit(float(w)) - F.lit(float(lr)) * F.col(f"g{i}_{j}"),
+                        6,
+                    ).alias(f"w{i}_{j}")
+                    for j, w in enumerate(weights[i])
+                )
+            row = masked.agg(*grads).select(*updates).collect()[0]
+            weights = [
+                [row[f"w{i}_{j}"] for j in range(len(weights[i]))]
+                for i in range(len(specs))
+            ]
+        return {
+            k: (weights[i], stats[i])
+            for i, (k, _mask, _lr) in enumerate(specs)
+        }
+    finally:
+        masked.unpersist()
+
+
 def logreg_score(
     df: DataFrame,
     feature_cols: list[str],
@@ -109,6 +218,24 @@ def logreg_log_loss(
     y = F.col(label_col).cast("double")
     ll = y * F.log(p + eps) + (1 - y) * F.log(1 - p + eps)
     return df.agg(F.avg(-ll).alias("loss")).collect()[0]["loss"]
+
+
+def apply_standardize(
+    df: DataFrame, stats: dict, digits: int = 4
+) -> tuple[DataFrame, list[str]]:
+    """Rebuild :func:`standardize`'s z-projection from already-known
+    ``{col: (mean, std)}`` stats (e.g. :func:`logreg_fit_many`'s
+    return) — identical expressions, no stats job."""
+    out = df
+    zcols = []
+    for c, (m, s) in stats.items():
+        zc = f"z_{c}"
+        out = out.withColumn(
+            zc,
+            F.round((F.col(c) - F.lit(float(m))) / F.lit(float(s)), digits),
+        )
+        zcols.append(zc)
+    return out, zcols
 
 
 def standardize(

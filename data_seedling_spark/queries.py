@@ -157,11 +157,23 @@ _ROTATING: tuple[str, ...] = (
     "minhash_lsh_index_maintenance",
     "streaming_neardup_lsh_ingest",
     "incremental_ivf_assign_maintenance",
-    # Fresh tail rotations (never driver-verified; sketch set-algebra,
-    # layout stats, IR ranking):
-    "theta_sketch_set_ops",
-    "hilbert_layout_stats",
-    "bm25_rank_documents",
+    # r14-OPTIMIZATION-changed (this round is the optimization round;
+    # changed-query coverage outranks fresh tail coverage per the
+    # standing policy, so the three fresh rotations planned at round
+    # start — theta_sketch_set_ops, hilbert_layout_stats,
+    # bm25_rank_documents — return to the tail and the three deepest
+    # engine rewrites rotate in: the fused KLL compaction round
+    # (kll_quantile_sketch stands for the shared kernel under all five
+    # KLL headliners), the row-local sorted-run gram-census fold, and
+    # the fold-masked conditional-aggregate multi-model trainer
+    # (logreg_cv_kfold exercises the per-rotation masks). The remaining
+    # optimization-touched queries are hash-proved by
+    # `make check-oracle` / the judge's full sweep; the
+    # maintenance-protocol and near-dup ones are already in the window
+    # above.
+    "kll_quantile_sketch",
+    "gopher_repetition_gates",
+    "logreg_cv_kfold",
 )
 
 _PRIORITY: tuple[str, ...] = _ANCHORS + _ROTATING

