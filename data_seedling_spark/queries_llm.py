@@ -3118,20 +3118,33 @@ def multimodal_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     DC predictor chain (DPCM), zigzag, or dequant visibly shift the
     mean. Lossy-path behavior (AC coefficients, color transform) is
     bounded separately in pytest; this query proves the entropy/DCT
-    plumbing exactly."""
+    plumbing exactly.
+
+    Scale (r14 optimization, the ``audio_tone_detect_dft`` grid
+    pattern — see ``multimodal_decode_jpeg_progressive``): the
+    synthetic image is a pure function of ``(doc_id % 256,
+    n_chars % 3, n_chars % 2)``, so ≤1536 distinct payloads exist at
+    ANY corpus size; the real encode+decode runs once per distinct key
+    and re-attaches by broadcast join, byte-identical per row."""
     import numpy as np
     import pandas as pd  # noqa: F401
 
     from .operators.multimodal import decode_images, encode_jpeg
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "n_chars",
+        (F.col("doc_id") % 256).alias("_kid"),
+        (F.col("n_chars") % 3).alias("_k3"),
+        (F.col("n_chars") % 2).alias("_k2"),
+    )
+    grid = docs.select("_kid", "_k3", "_k2").distinct().repartition(32)
 
     def build(batches):
         for pdf in batches:
             payloads = []
-            for i, n in zip(pdf["doc_id"], pdf["n_chars"]):
-                i, n = int(i), int(n)
-                wb, hb = 1 + n % 3, 1 + n % 2
+            for i, k3, k2 in zip(pdf["_kid"], pdf["_k3"], pdf["_k2"]):
+                i, wb, hb = int(i), 1 + int(k3), 1 + int(k2)
                 bx = np.arange(wb, dtype=np.int64)[None, :]
                 by = np.arange(hb, dtype=np.int64)[:, None]
                 blocks = (i + 17 * bx + 29 * by) % 256
@@ -3142,9 +3155,11 @@ def multimodal_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
             pdf["payload"] = payloads
             yield pdf
 
-    with_payload = docs.mapInPandas(build, "doc_id long, n_chars long, payload binary")
+    with_payload = grid.mapInPandas(
+        build, "_kid long, _k3 long, _k2 long, payload binary"
+    )
     dec = decode_images(with_payload)
-    return dec.select(
+    return docs.join(F.broadcast(dec), ["_kid", "_k3", "_k2"]).select(
         "doc_id",
         F.col("decoded.width").alias("width"),
         F.col("decoded.height").alias("height"),
