@@ -8191,50 +8191,60 @@ def logreg_grid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(lr, F.col("fold") != 0, lr) for lr in _GRID_LRS],
         iters=5,
     )
-    trials = []
+    # the three per-trial AUC chains fuse into ONE lr-keyed chain (r14,
+    # same reformulation as logreg_cv_kfold's fold-keyed fusion): the
+    # per-trial groups, window frames, and decimal sums are identical,
+    # and the formerly-global score window becomes lr-partitioned
+    scored_parts = []
     for lr in _GRID_LRS:
         weights, stats = fitted[lr]
         held, zcols = apply_standardize(
             base.where(F.col("fold") == 0), stats
         )
-        scored = logreg_score(held, zcols, weights).select("label_bin", "p")
-        perp = scored.groupBy("p").agg(
-            F.count("*").alias("cnt"), F.sum("label_bin").alias("pos")
-        )
-        w = W.orderBy("p").rowsBetween(W.unboundedPreceding, -1)
-        ranked = perp.select(
-            "cnt",
-            "pos",
-            F.coalesce(F.sum("cnt").over(w), F.lit(0)).alias("cum_before"),
-        )
-        sums = ranked.agg(
-            F.sum(
-                (
-                    F.col("pos")
-                    * (F.col("cum_before") + (F.col("cnt") + 1) / 2.0)
-                ).cast("decimal(38,1)")
-            )
-            .cast("double")
-            .alias("rank_sum"),
-            F.sum("pos").alias("np"),
-            F.sum(F.col("cnt") - F.col("pos")).alias("nn"),
-        )
-        trials.append(
-            sums.select(
-                F.lit(lr).alias("lr"),
-                F.col("np").alias("n_positive"),
-                F.col("nn").alias("n_negative"),
-                F.round(
-                    (F.col("rank_sum") - F.col("np") * (F.col("np") + 1) / 2.0)
-                    / (F.col("np").cast("double") * F.col("nn")),
-                    6,
-                ).alias("auc"),
+        scored_parts.append(
+            logreg_score(held, zcols, weights).select(
+                F.lit(lr).alias("_tag"), "label_bin", "p"
             )
         )
-    out = trials[0]
-    for t in trials[1:]:
-        out = out.unionByName(t)
-    return out.orderBy("lr")
+    scored = scored_parts[0]
+    for t in scored_parts[1:]:
+        scored = scored.unionByName(t)
+    perp = scored.groupBy("_tag", "p").agg(
+        F.count("*").alias("cnt"), F.sum("label_bin").alias("pos")
+    )
+    w = (
+        W.partitionBy("_tag")
+        .orderBy("p")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    ranked = perp.select(
+        "_tag",
+        "cnt",
+        "pos",
+        F.coalesce(F.sum("cnt").over(w), F.lit(0)).alias("cum_before"),
+    )
+    sums = ranked.groupBy("_tag").agg(
+        F.sum(
+            (
+                F.col("pos")
+                * (F.col("cum_before") + (F.col("cnt") + 1) / 2.0)
+            ).cast("decimal(38,1)")
+        )
+        .cast("double")
+        .alias("rank_sum"),
+        F.sum("pos").alias("np"),
+        F.sum(F.col("cnt") - F.col("pos")).alias("nn"),
+    )
+    return sums.select(
+        F.col("_tag").alias("lr"),
+        F.col("np").alias("n_positive"),
+        F.col("nn").alias("n_negative"),
+        F.round(
+            (F.col("rank_sum") - F.col("np") * (F.col("np") + 1) / 2.0)
+            / (F.col("np").cast("double") * F.col("nn")),
+            6,
+        ).alias("auc"),
+    ).orderBy("lr")
 
 
 @query(
@@ -8442,48 +8452,60 @@ def logreg_cv_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(f, F.col("fold") != f, 2.0) for f in _CV_FOLDS],
         iters=5,
     )
-    rotations = []
+    # the three per-rotation AUC chains fuse into ONE fold-keyed chain
+    # (r14): union the tagged scored frames, group by (fold, p), and
+    # run the midrank cumulative as a fold-PARTITIONED window — the
+    # per-fold groups, window frames, and decimal sums are identical
+    # to the per-rotation spelling, and the formerly-global (sanctioned
+    # bounded-frame) score window becomes a plainly partitioned one
+    scored_parts = []
     for f in _CV_FOLDS:
         weights, stats = fitted[f]
         held, zcols = apply_standardize(base.where(F.col("fold") == f), stats)
-        scored = logreg_score(held, zcols, weights).select("label_bin", "p")
-        perp = scored.groupBy("p").agg(
-            F.count("*").alias("cnt"), F.sum("label_bin").alias("pos")
-        )
-        w = W.orderBy("p").rowsBetween(W.unboundedPreceding, -1)
-        ranked = perp.select(
-            "cnt",
-            "pos",
-            F.coalesce(F.sum("cnt").over(w), F.lit(0)).alias("cum_before"),
-        )
-        sums = ranked.agg(
-            F.sum(
-                (
-                    F.col("pos")
-                    * (F.col("cum_before") + (F.col("cnt") + 1) / 2.0)
-                ).cast("decimal(38,1)")
-            )
-            .cast("double")
-            .alias("rank_sum"),
-            F.sum("pos").alias("np"),
-            F.sum(F.col("cnt") - F.col("pos")).alias("nn"),
-        )
-        rotations.append(
-            sums.select(
-                F.lit(f).cast("int").alias("fold"),
-                F.col("np").cast("long").alias("n_positive"),
-                F.col("nn").cast("long").alias("n_negative"),
-                F.round(
-                    (F.col("rank_sum") - F.col("np") * (F.col("np") + 1) / 2.0)
-                    / (F.col("np").cast("double") * F.col("nn")),
-                    6,
-                ).alias("auc"),
+        scored_parts.append(
+            logreg_score(held, zcols, weights).select(
+                F.lit(f).cast("int").alias("_tag"), "label_bin", "p"
             )
         )
-    out = rotations[0]
-    for t in rotations[1:]:
-        out = out.unionByName(t)
-    return out.orderBy("fold")
+    scored = scored_parts[0]
+    for t in scored_parts[1:]:
+        scored = scored.unionByName(t)
+    perp = scored.groupBy("_tag", "p").agg(
+        F.count("*").alias("cnt"), F.sum("label_bin").alias("pos")
+    )
+    w = (
+        W.partitionBy("_tag")
+        .orderBy("p")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    ranked = perp.select(
+        "_tag",
+        "cnt",
+        "pos",
+        F.coalesce(F.sum("cnt").over(w), F.lit(0)).alias("cum_before"),
+    )
+    sums = ranked.groupBy("_tag").agg(
+        F.sum(
+            (
+                F.col("pos")
+                * (F.col("cum_before") + (F.col("cnt") + 1) / 2.0)
+            ).cast("decimal(38,1)")
+        )
+        .cast("double")
+        .alias("rank_sum"),
+        F.sum("pos").alias("np"),
+        F.sum(F.col("cnt") - F.col("pos")).alias("nn"),
+    )
+    return sums.select(
+        F.col("_tag").alias("fold"),
+        F.col("np").cast("long").alias("n_positive"),
+        F.col("nn").cast("long").alias("n_negative"),
+        F.round(
+            (F.col("rank_sum") - F.col("np") * (F.col("np") + 1) / 2.0)
+            / (F.col("np").cast("double") * F.col("nn")),
+            6,
+        ).alias("auc"),
+    ).orderBy("fold")
 
 
 @query(
