@@ -23,11 +23,27 @@ width integers through Arrow, never the document text.
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+# Driver-side construction memos (guide §5, driver round-trips): the
+# md5-LSH family rebuilds the same large expression trees on every
+# call — the 16-permutation signature aggregate alone is ~130 py4j
+# round trips, measured 0.3-1.4 s of pure lazy DataFrame construction
+# per band_rows call, ×3 refreshes per maintenance query. The memos
+# below cache ONLY exprId-free Columns (unaliased expressions over
+# UnresolvedAttributes) plus the shingle UDF object; `.alias(...)`
+# mints an Alias exprId at construction time, so aliases are always
+# applied fresh per call — a memoized Alias appearing on both sides
+# of a join (incremental_neardup_ingest joins two md5_band_rows
+# outputs) would collide exprIds across branches. The cached handles
+# live in the py4j gateway, which outlives individual SparkSessions
+# within a process, so cross-session reuse is safe.
 
 
 def _estimated_scan_partitions(df: DataFrame, files: list[str]) -> int:
@@ -136,17 +152,12 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def word_shingles(text_col, n: int = 3):
-    """Distinct word n-gram shingles as an array column.
-
-    Arrow-vectorized pandas UDF rather than a JVM higher-order
-    expression: an index-lambda formulation (``transform(sequence,
-    i -> concat_ws(get(words,i)...))``) embeds the ``split`` inside the
-    lambda body, and Catalyst re-evaluates it per element access —
-    ~n×shingles splits of the full text *per row* (measured 30× slower).
-    The Python split runs once per document and produces byte-identical
-    strings to the SQL oracle's ``string_split`` formulation.
-    """
+@lru_cache(maxsize=None)
+def _shingle_udf(n: int):
+    """The shingling pandas UDF for gram size ``n``, built once per
+    process: ``@F.pandas_udf`` pickles the function and registers it
+    through py4j on every call, ~0.1-0.3 s of driver latency that the
+    maintenance protocol paid per refresh."""
 
     @F.pandas_udf(T.ArrayType(T.StringType()))
     def shingle(texts: pd.Series) -> pd.Series:
@@ -160,7 +171,21 @@ def word_shingles(text_col, n: int = 3):
             out.append(list(dict.fromkeys(grams)))
         return pd.Series(out)
 
-    return shingle(text_col)
+    return shingle
+
+
+def word_shingles(text_col, n: int = 3):
+    """Distinct word n-gram shingles as an array column.
+
+    Arrow-vectorized pandas UDF rather than a JVM higher-order
+    expression: an index-lambda formulation (``transform(sequence,
+    i -> concat_ws(get(words,i)...))``) embeds the ``split`` inside the
+    lambda body, and Catalyst re-evaluates it per element access —
+    ~n×shingles splits of the full text *per row* (measured 30× slower).
+    The Python split runs once per document and produces byte-identical
+    strings to the SQL oracle's ``string_split`` formulation.
+    """
+    return _shingle_udf(n)(text_col)
 
 
 def with_word_shingles_jvm(
@@ -1061,14 +1086,28 @@ def minhash_md5_signatures_from_shingles(
     ex = sh.select(F.col(id_col), F.explode(shingles_col).alias("_s"))
     mins = ex.groupBy(id_col).agg(
         *[
-            F.min(_md5_perm_hash(i, F.col("_s"))).alias(f"_m{i}")
-            for i in range(num_perm)
+            m.alias(f"_m{i}")
+            for i, m in enumerate(_md5_perm_min_exprs(num_perm))
         ]
     )
     return mins.select(
-        F.col(id_col),
-        F.array(*[F.col(f"_m{i}") for i in range(num_perm)]).alias("signature"),
+        F.col(id_col), _signature_array(num_perm).alias("signature")
     )
+
+
+@lru_cache(maxsize=None)
+def _md5_perm_min_exprs(num_perm: int) -> tuple:
+    """The UNALIASED ``min(perm_i("_s"))`` aggregate Columns, built once
+    per process (exprId-free — aliases are minted per call above)."""
+    return tuple(
+        F.min(_md5_perm_hash(i, F.col("_s"))) for i in range(num_perm)
+    )
+
+
+@lru_cache(maxsize=None)
+def _signature_array(num_perm: int):
+    """Unaliased ``array(_m0.._m{n-1})`` Column, built once per process."""
+    return F.array(*[F.col(f"_m{i}") for i in range(num_perm)])
 
 
 def md5_band_rows(
@@ -1077,6 +1116,16 @@ def md5_band_rows(
     """LSH band keys ``(id, band, bkey)``: md5 over the comma-joined
     signature slice per band — the bucket key both engines derive
     identically."""
+    return sig.select(
+        F.col(id_col),
+        F.posexplode(_band_key_array(num_perm, bands)).alias("band", "bkey"),
+    )
+
+
+@lru_cache(maxsize=None)
+def _band_key_array(num_perm: int, bands: int):
+    """Unaliased ``array(md5(slice_0), ..)`` band-key Column over the
+    ``signature`` attribute, built once per process."""
     rows_per_band = num_perm // bands
     band_keys = [
         F.md5(
@@ -1090,9 +1139,7 @@ def md5_band_rows(
         )
         for bi in range(bands)
     ]
-    return sig.select(
-        F.col(id_col), F.posexplode(F.array(*band_keys)).alias("band", "bkey")
-    )
+    return F.array(*band_keys)
 
 
 def salted_band_rows(
