@@ -1737,6 +1737,13 @@ def apriori_triples_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("_bsz") <= COPURCHASE_MAX_BASKET)
         .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("i"))
         .distinct()
+        # 7 consumers (l1 chain, the l2 self-join's two sides, x/y/z in
+        # the L3 count, stats) re-ran the window+distinct per subtree;
+        # persist won the interleaved A/B that two stash A/Bs left in
+        # the noise (best-of-4: 6.76 s recompute vs 5.21 s persisted,
+        # persist ahead in every adjacent pair — r14 optimization #12).
+        # MEMORY_AND_DISK default spills gracefully at cluster scale.
+        .persist()
     )
     l1 = (
         items.groupBy("i")
