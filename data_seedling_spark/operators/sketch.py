@@ -37,6 +37,8 @@ training-pipeline extension (percentile feeds for quality filtering at
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
@@ -67,12 +69,9 @@ def kll_compact_round(
     both engines pick the same survivor of every pair.
     """
     part = [*extra_part, weight_col]
-    bucketed = df.withColumn(
-        "_rb", F.floor(F.col(value_col) / F.lit(bucket_width)).cast("long")
-    )
     # One pass over the data collects, per (class, bucket): the row
     # count AND the (value, id)-max row's id — the bucket's LAST row
-    # under the rank order. The per-class windows below (all over this
+    # under the rank order. The per-class windows (all over this
     # tiny bucket-stats frame) derive the exclusive rank offset, the
     # class total, and the previous non-empty bucket's last id, so the
     # pair step never needs its own exchange: a pair's two members are
@@ -82,33 +81,58 @@ def kll_compact_round(
     # (class, pair) window — a third full-data exchange + sort per
     # round — into the rank window; survivors are bit-identical
     # because pairing, leader ids, and the md5 coin are unchanged.)
-    stats = bucketed.groupBy(*part, "_rb").agg(
-        F.count("*").alias("_n"),
-        F.max(F.struct(F.col(value_col), F.col(id_col))).alias("_m"),
+    #
+    # All expressions come prebuilt from the per-shape memo (r14 #13,
+    # guide §5): a sketch runs this construction once per ROUND — the
+    # old spelling rebuilt ~100 py4j expressions and ran ~9 analysis
+    # passes per round, measured ~0.45 s of pure driver-side latency
+    # per round (≈90% of the KLL one-shots' wall time was lazy build).
+    E = _compact_round_exprs(
+        value_col, id_col, weight_col, bucket_width, tuple(extra_part)
     )
-    off_w = W.partitionBy(*part).orderBy("_rb")
+    bucketed = df.withColumn("_rb", E["rb"])
+    stats = bucketed.groupBy(*part, "_rb").agg(
+        E["n"].alias("_n"), E["m"].alias("_m")
+    )
     aux = stats.select(
         *part,
         "_rb",
-        F.coalesce(
-            F.sum("_n").over(off_w.rowsBetween(W.unboundedPreceding, -1)),
-            F.lit(0),
-        ).alias("_offset"),
-        F.sum("_n")
-        .over(off_w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing))
-        .alias("_tot"),
-        F.lag(F.col("_m")[id_col]).over(off_w).alias("_prev_last"),
+        E["offset"].alias("_offset"),
+        E["tot"].alias("_tot"),
+        E["prev_last"].alias("_prev_last"),
     )
+    # the two window functions share one spec — one exchange + sort
+    ranked = bucketed.join(F.broadcast(aux), [*part, "_rb"]).select(
+        *bucketed.columns,
+        "_offset",
+        "_tot",
+        "_prev_last",
+        E["rnk"].alias("_rnk"),
+        E["lag_id"].alias("_lag_id"),
+    )
+    survivors = ranked.where(E["survive"])
+    keep_cols = [c for c in df.columns if c != weight_col]
+    return survivors.select(*keep_cols, E["new_w"].alias(weight_col))
+
+
+@lru_cache(maxsize=None)
+def _compact_round_exprs(
+    value_col: str,
+    id_col: str,
+    weight_col: str,
+    bucket_width: float,
+    extra_part: tuple,
+) -> dict:
+    """The UNALIASED expression Columns + window specs of one
+    compaction round, built once per (shape) per process. Only
+    exprId-free expressions are cached (aliases are minted per call in
+    :func:`kll_compact_round`), so sharing across plans — and across
+    both sides of a union, as in the shard merge — is safe. Semantics
+    are identical to the historical inline spelling: pairing, leader
+    ids, and the md5 coin are unchanged expression-for-expression."""
+    part = [*extra_part, weight_col]
+    off_w = W.partitionBy(*part).orderBy("_rb")
     rw = W.partitionBy(*part, "_rb").orderBy(value_col, id_col)
-    ranked = (
-        bucketed.join(F.broadcast(aux), [*part, "_rb"])
-        .withColumn(
-            "_rnk", (F.row_number().over(rw) + F.col("_offset")).cast("long")
-        )
-        # same partition + order as the row_number — shares its
-        # exchange and sort, no extra shuffle
-        .withColumn("_lag_id", F.lag(F.col(id_col)).over(rw))
-    )
     pos = (F.col("_rnk") - 1) % 2
     # pair leader (the lower-rank member): a pos-0 row leads itself; a
     # pos-1 row's leader is the in-bucket predecessor, or the previous
@@ -130,17 +154,26 @@ def kll_compact_round(
         )
         % 2
     )
-    annotated = ranked.withColumn(
-        "_single", (pos == 0) & (F.col("_rnk") == F.col("_tot"))
-    ).withColumn("_coin", coin)
-    survivors = annotated.where(F.col("_single") | (pos == F.col("_coin")))
-    keep_cols = [c for c in df.columns if c != weight_col]
-    return survivors.select(
-        *keep_cols,
-        F.when(F.col("_single"), F.col(weight_col))
-        .otherwise(F.col(weight_col) * 2)
-        .alias(weight_col),
-    )
+    single = (pos == 0) & (F.col("_rnk") == F.col("_tot"))
+    return {
+        "rb": F.floor(F.col(value_col) / F.lit(bucket_width)).cast("long"),
+        "n": F.count("*"),
+        "m": F.max(F.struct(F.col(value_col), F.col(id_col))),
+        "offset": F.coalesce(
+            F.sum("_n").over(off_w.rowsBetween(W.unboundedPreceding, -1)),
+            F.lit(0),
+        ),
+        "tot": F.sum("_n").over(
+            off_w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+        ),
+        "prev_last": F.lag(F.col("_m")[id_col]).over(off_w),
+        "rnk": (F.row_number().over(rw) + F.col("_offset")).cast("long"),
+        "lag_id": F.lag(F.col(id_col)).over(rw),
+        "survive": single | (pos == coin),
+        "new_w": F.when(single, F.col(weight_col)).otherwise(
+            F.col(weight_col) * 2
+        ),
+    }
 
 
 def kll_sketch(
