@@ -1958,10 +1958,14 @@ def nsw_search(
     # §1.2/§5: cache only what is reused AND expensive to recompute;
     # measured 4.81→4.21 s solo best-of-2 at sf0.1).
     adj = adj.persist()
+    # Reused once per hop (the scoring join streams it against the
+    # broadcast candidates); without the persist every hop re-scans the
+    # corpus and re-computes the norms. Interleaved A/B (r14 #15):
+    # persisted won every adjacent pair, best 5.25 → 4.93 s at sf0.1.
     vecs = df.select(
         F.col(id_col).alias("_nid"),
         F.col(vec_col).cast("array<double>").alias("_nv"),
-    ).withColumn("_nn", norm(F.col("_nv")))
+    ).withColumn("_nn", norm(F.col("_nv"))).persist()
     queries = df.where(F.col(id_col).isin(list(query_ids))).select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("_qv"),
