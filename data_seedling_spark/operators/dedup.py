@@ -1573,7 +1573,22 @@ class MaterializedNgramIndex:
         ``(lo, hi)`` (lo > hi = already current). The increment is
         ``scale_out``'d before the window expansion like the LSH
         sibling — a commit written as few files must still hash on
-        every core."""
+        every core.
+
+        The ``localCheckpoint`` between the window expansion and the
+        index write is what makes that scale_out actually take (r14
+        #16): window_keys is a NARROW chain (split/explode/md5 — no
+        shuffle, by design), so the state table's ``coalesce(4)``
+        write shape would otherwise merge the whole chain into 4
+        tasks and hash the increment on 4 cores — the same
+        pinned-parallelism trap as the LSH index's first spelling
+        (99 → 37 s at sf10). The LSH sibling is immune only because
+        its signature groupBy inserts an exchange between the heavy
+        work and the write coalesce; here the checkpoint materializes
+        the keys at scale_out parallelism (no new shuffle, file
+        layout unchanged) and the write merely re-encodes them.
+        Interleaved A/B at sf0.1: ngram maintenance 3.91 → 3.43 s,
+        ExactSubstr ingest 8.99 → 8.18 s best-of-3."""
         from .matview import refresh_mapped_index
 
         return refresh_mapped_index(
@@ -1581,7 +1596,7 @@ class MaterializedNgramIndex:
             source,
             self.id_col,
             [self.text_col],
-            lambda df: self.window_keys(scale_out(df)),
+            lambda df: self.window_keys(scale_out(df)).localCheckpoint(),
             deletes=self.deletes,
         )
 
