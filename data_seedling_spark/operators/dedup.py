@@ -995,6 +995,7 @@ def exact_substring_trim_batch(
     text_col: str,
     id_col: str,
     span_words: int = 15,
+    with_occ: bool = False,
 ) -> DataFrame:
     """Incremental ExactSubstr: trim ONE arriving batch against a
     persisted seed index of the already-ingested corpus (VERDICT-r13
@@ -1019,7 +1020,17 @@ def exact_substring_trim_batch(
     Scale: O(batch text) window expansion; one left-semi + one
     left-anti against 32-char keys (key-only shuffles, never text);
     the keeper aggregate runs over the batch's fresh seeds only; the
-    span-merge tail is document-bounded."""
+    span-merge tail is document-bounded.
+
+    ``with_occ=True`` additionally returns the persisted window
+    expansion ``(id, pos, _key)`` as a second element — the ingest
+    seam (r15): the batch's ORIGINAL windows are exactly what the
+    seed index must fold next
+    (``MaterializedNgramIndex.refresh(precomputed_keys=...)``), so
+    handing the already-persisted frame over means each ingested
+    token is md5-hashed ONCE per batch instead of twice (the refresh
+    re-ran the identical split/explode/md5 chain over the committed
+    copy of the same rows)."""
     L = span_words
     base = _exact_substring_base(df, text_col, id_col)
     # Three consumers (index hit probe, intra-batch keeper aggregate,
@@ -1048,9 +1059,10 @@ def exact_substring_trim_batch(
         )
         .select(id_col, "pos")
     )
-    return _exact_substring_apply(
+    cleaned = _exact_substring_apply(
         base, hit.unionByName(intra), id_col, L
     )
+    return (cleaned, occ) if with_occ else cleaned
 
 
 def _md5_perm_hash(i: int, s):
@@ -1568,12 +1580,19 @@ class MaterializedNgramIndex:
             )
         )
 
-    def refresh(self, source) -> tuple[int, int]:
+    def refresh(self, source, precomputed_keys=None) -> tuple[int, int]:
         """Fold ``source``'s unapplied commits; returns applied
         ``(lo, hi)`` (lo > hi = already current). The increment is
         ``scale_out``'d before the window expansion like the LSH
         sibling — a commit written as few files must still hash on
         every core.
+
+        ``precomputed_keys`` (r15): an already-materialized
+        ``(id, key)`` frame equal to :meth:`window_keys` over the
+        pending pure-insert increment — the ingest seam that lets a
+        caller who just window-expanded the same batch (the
+        ExactSubstr trim) fold it without hashing the text a second
+        time. See :func:`matview.refresh_mapped_index`.
 
         The ``localCheckpoint`` between the window expansion and the
         index write is what makes that scale_out actually take (r14
@@ -1598,6 +1617,7 @@ class MaterializedNgramIndex:
             [self.text_col],
             lambda df: self.window_keys(scale_out(df)).localCheckpoint(),
             deletes=self.deletes,
+            precomputed=precomputed_keys,
         )
 
     def applied_hi(self) -> int:

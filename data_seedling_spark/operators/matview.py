@@ -310,6 +310,7 @@ def refresh_mapped_index(
     input_cols: Sequence[str],
     row_fn,
     deletes: str = "rewrite",
+    precomputed=None,
 ) -> tuple[int, int]:
     """Shared refresh protocol for CDC-maintained ROW-MAPPED indexes —
     derived tables where ``row_fn`` maps each live source row
@@ -352,7 +353,18 @@ def refresh_mapped_index(
     watermark always advances with the returned ``hi`` — including
     increments that map to zero index rows (ADVICE r13). Consumers
     read via :func:`read_mapped_index`, which drops markers (and, in
-    tombstone mode, resolves generations)."""
+    tombstone mode, resolves generations).
+
+    ``precomputed`` (r15, guide §1.2 "don't compute it twice"): an
+    already-materialized frame EQUAL to ``row_fn`` over the pending
+    pure-insert increment, supplied by callers that necessarily ran
+    the identical per-row map moments earlier in the same pipeline
+    (the ExactSubstr ingest trims each batch against the index using
+    the very window expansion the index then folds). Used only on the
+    provably insert-only path — removal-bearing ranges re-map net
+    survivors from the feed and ignore the hint. The caller owns the
+    equality contract; everything else (stamping, markers, commit
+    atomicity, watermark) is unchanged."""
     from pyspark.sql import Window
 
     if deletes not in ("rewrite", "tombstone"):
@@ -381,8 +393,11 @@ def refresh_mapped_index(
     if ins_only is None:
         ins_only = changes.where(remove_like).isEmpty()
     if ins_only:
-        ins = changes.where(insert_like).select(*cols)
-        new_rows = _stamp(row_fn(ins))
+        if precomputed is not None:
+            new_rows = _stamp(precomputed)
+        else:
+            ins = changes.where(insert_like).select(*cols)
+            new_rows = _stamp(row_fn(ins))
         table.write(new_rows, mode="append" if table.exists() else "overwrite")
         return lo, hi
     from .merge import COMMIT_VERSION

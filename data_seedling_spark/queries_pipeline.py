@@ -1448,12 +1448,20 @@ def exact_substring_incremental_ingest(
     empty_keys = spark.createDataFrame([], "key string")
     for i, batch in enumerate(batches):
         keys = index.read().select("key") if i else empty_keys
-        trimmed = exact_substring_trim_batch(
-            batch, keys, "text", "doc_id", span_words=L
+        # with_occ: the trim's persisted window expansion IS the
+        # index increment (same split/explode/md5 over the same batch
+        # rows), so the refresh folds it directly instead of
+        # re-hashing the committed copy — each ingested token is
+        # md5-hashed exactly once per batch (r15, guide §1.2).
+        trimmed, occ = exact_substring_trim_batch(
+            batch, keys, "text", "doc_id", span_words=L, with_occ=True
         )
         corpus.write(trimmed, mode="append" if i else "overwrite")
         src.write(batch, mode="append" if i else "overwrite")
-        lo, hi = index.refresh(src)               # folds commit i only
+        lo, hi = index.refresh(       # folds commit i only
+            src,
+            precomputed_keys=occ.select("doc_id", F.col("_key").alias("key")),
+        )
         assert (lo, hi) == (i, i), (lo, hi)
     lo, hi = index.refresh(src)                   # replay: no-op
     assert lo > hi, "replayed refresh must be a no-op"
