@@ -37,6 +37,7 @@ training-pipeline extension (percentile feeds for quality filtering at
 
 from __future__ import annotations
 
+from contextlib import contextmanager
 from functools import lru_cache
 
 from pyspark.sql import DataFrame
@@ -48,6 +49,47 @@ def _md5_long(col):
     """Engine-portable 32-bit hash: ``conv(substr(md5(x),1,8),16,10)``
     — DuckDB twin ``CAST('0x' || substr(md5(x),1,8) AS BIGINT)``."""
     return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("bigint")
+
+
+@contextmanager
+def _carried_partitioning(spark):
+    """AQE off for a compaction LOOP (restored on exit): with AQE on,
+    ``localCheckpoint`` captures an adaptive plan whose output
+    partitioning is unknown at capture time, so the bucket clustering
+    established by :func:`kll_bucketed` dies at every round boundary
+    and each round re-exchanges the survivor frame. Non-adaptive
+    plans checkpoint WITH their ``hash(_rb)`` partitioning (measured:
+    groupBy over an AQE-off checkpoint plans zero exchanges), which is
+    what makes the one-shuffle loop shape real. Round frames are
+    loop-local and shrink geometrically, so none of AQE's runtime
+    rescue (coalescing, skew splits) is load-bearing inside the loop;
+    everything outside runs with the session's AQE untouched."""
+    old = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", old)
+
+
+def kll_bucketed(
+    df: DataFrame, value_col: str, bucket_width: float
+) -> DataFrame:
+    """Establish the compaction loop's partitioning ONCE (guide §2.4
+    "two operations keyed the same way can share one exchange"): tag
+    the round-invariant range bucket ``_rb = floor(v / width)`` and
+    hash-repartition on it. Every round's stats aggregate groups by
+    ``(class, _rb)`` and its rank window partitions by ``(class, _rb)``
+    — both clustered-satisfied by ``hash(_rb)`` — so with the
+    partitioning carried across checkpoints (:func:`_carried_partitioning`)
+    the survivor frame is never exchanged again: one shuffle for the
+    whole loop instead of two per round. ``_rb`` rides as a column
+    (:func:`kll_compact_round` reuses it and keeps it on survivors —
+    values are round-invariant because ``v`` never changes); callers
+    drop it after the loop."""
+    return df.withColumn(
+        "_rb", F.floor(F.col(value_col) / F.lit(bucket_width)).cast("long")
+    ).repartition("_rb")
 
 
 def kll_compact_round(
@@ -90,7 +132,14 @@ def kll_compact_round(
     E = _compact_round_exprs(
         value_col, id_col, weight_col, bucket_width, tuple(extra_part)
     )
-    bucketed = df.withColumn("_rb", E["rb"])
+    # A pre-established `_rb` (see :func:`kll_bucketed`) is reused —
+    # its values are identical to E["rb"] by the bucketing contract
+    # (same floor over the same never-changing value column), and
+    # reusing the COLUMN is what lets the carried hash(_rb)
+    # partitioning satisfy this round's aggregate and window without
+    # an exchange. Survivors then keep `_rb` (it lands in keep_cols),
+    # so the next round reuses it too.
+    bucketed = df if "_rb" in df.columns else df.withColumn("_rb", E["rb"])
     stats = bucketed.groupBy(*part, "_rb").agg(
         E["n"].alias("_n"), E["m"].alias("_m")
     )
@@ -187,21 +236,33 @@ def kll_sketch(
     """Build the sketch: tag weight 1 and run ``rounds`` compaction
     rounds. Returns ``(value, id, w)`` survivors; ``sum(w)`` equals the
     input row count exactly."""
-    cur = df.select(
-        *extra_part,
-        F.col(value_col).alias("v"),
-        F.col(id_col).alias("id"),
-        F.lit(1).cast("long").alias("w"),
+    cur = kll_bucketed(
+        df.select(
+            *extra_part,
+            F.col(value_col).alias("v"),
+            F.col(id_col).alias("id"),
+            F.lit(1).cast("long").alias("w"),
+        ),
+        "v",
+        bucket_width,
     )
-    for _ in range(rounds):
-        # Each round references its input twice (offset counts + the
-        # rank join), so the lazy DAG doubles per round — checkpoint
-        # the shrinking survivor frame to keep the plan linear, same
-        # pattern (and measured justification) as graph.bfs_hops.
-        cur = kll_compact_round(
-            cur, "v", "id", "w", bucket_width=bucket_width, extra_part=extra_part
-        ).localCheckpoint()
-    return cur
+    # One shuffle for the whole loop (r15, guide §2.4): the input is
+    # range-bucket-partitioned ONCE by kll_bucketed, and with AQE off
+    # inside the loop the hash(_rb) partitioning survives every
+    # checkpoint, so no round exchanges the survivor frame again —
+    # the old shape paid two full-data exchanges per round.
+    with _carried_partitioning(df.sparkSession):
+        for _ in range(rounds):
+            # Each round references its input twice (offset counts +
+            # the rank join), so the lazy DAG doubles per round —
+            # checkpoint the shrinking survivor frame to keep the plan
+            # linear, same pattern (and measured justification) as
+            # graph.bfs_hops.
+            cur = kll_compact_round(
+                cur, "v", "id", "w",
+                bucket_width=bucket_width, extra_part=extra_part,
+            ).localCheckpoint()
+    return cur.drop("_rb")
 
 
 def kll_quantiles(sketch: DataFrame, probs: list[float]) -> DataFrame:
@@ -311,14 +372,19 @@ class MaterializedSketch:
             bucket_width=self.bucket_width,
         )
         if self.table.exists():
-            merged = (
-                self.table.read().select("v", "id", "w").unionByName(inc)
+            merged = kll_bucketed(
+                self.table.read().select("v", "id", "w").unionByName(inc),
+                "v",
+                self.bucket_width,
             )
-            for _ in range(self.merge_rounds):
-                merged = kll_compact_round(
-                    merged, "v", "id", "w", bucket_width=self.bucket_width
-                ).localCheckpoint()
-            state = merged
+            # same one-shuffle loop shape as kll_sketch (r15)
+            with _carried_partitioning(self.spark):
+                for _ in range(self.merge_rounds):
+                    merged = kll_compact_round(
+                        merged, "v", "id", "w",
+                        bucket_width=self.bucket_width,
+                    ).localCheckpoint()
+            state = merged.drop("_rb")
         else:
             state = inc
         self.table.write(
@@ -453,11 +519,14 @@ def kll_weighted_sketch(
         )
     else:
         raise ValueError(f"unknown weight_mode: {weight_mode!r}")
-    for _ in range(rounds):
-        cur = kll_compact_round(
-            cur, "v", "id", "w", bucket_width=bucket_width
-        ).localCheckpoint()
-    return cur
+    # same one-shuffle loop shape as kll_sketch (r15)
+    cur = kll_bucketed(cur, "v", bucket_width)
+    with _carried_partitioning(df.sparkSession):
+        for _ in range(rounds):
+            cur = kll_compact_round(
+                cur, "v", "id", "w", bucket_width=bucket_width
+            ).localCheckpoint()
+    return cur.drop("_rb")
 
 
 # ---------------------------------------------------------------------------

@@ -4661,24 +4661,40 @@ def kll_sketch_merge_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     same-level buffer merge. Quantiles come off the merged sketch;
     the oracle replays shard phase, union, and merge phase CTE by CTE.
     """
-    from .operators.sketch import kll_compact_round, kll_quantiles
+    from .operators.sketch import (
+        _carried_partitioning,
+        kll_bucketed,
+        kll_compact_round,
+        kll_quantiles,
+    )
 
     orders = load_table(spark, sf_dir, "orders")
-    cur = orders.select(
-        (F.col("o_orderkey") % 2).alias("shard"),
-        F.col("o_totalprice").alias("v"),
-        F.col("o_orderkey").alias("id"),
-        F.lit(1).cast("long").alias("w"),
+    cur = kll_bucketed(
+        orders.select(
+            (F.col("o_orderkey") % 2).alias("shard"),
+            F.col("o_totalprice").alias("v"),
+            F.col("o_orderkey").alias("id"),
+            F.lit(1).cast("long").alias("w"),
+        ),
+        "v",
+        10000.0,
     )
     # per-round localCheckpoint: see operators.sketch.kll_sketch.
-    for _ in range(5):
-        cur = kll_compact_round(
-            cur, "v", "id", "w", extra_part=("shard",)
-        ).localCheckpoint()
-    merged = cur.select("v", "id", "w")
-    for _ in range(2):
-        merged = kll_compact_round(merged, "v", "id", "w").localCheckpoint()
-    return kll_quantiles(merged, [0.25, 0.5, 0.75, 0.95])
+    # One shuffle for BOTH loops (r15): the range-bucket partitioning
+    # established above satisfies the shard phase's (shard, w, _rb)
+    # clustering AND the merge phase's (w, _rb) clustering, and it is
+    # carried across every checkpoint while AQE is off in the loop.
+    with _carried_partitioning(spark):
+        for _ in range(5):
+            cur = kll_compact_round(
+                cur, "v", "id", "w", extra_part=("shard",)
+            ).localCheckpoint()
+        merged = cur.select("v", "id", "w", "_rb")
+        for _ in range(2):
+            merged = kll_compact_round(
+                merged, "v", "id", "w"
+            ).localCheckpoint()
+    return kll_quantiles(merged.drop("_rb"), [0.25, 0.5, 0.75, 0.95])
 
 
 def _kll_weighted_oracle(rounds: int = 6) -> str:
