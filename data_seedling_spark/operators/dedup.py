@@ -1446,6 +1446,19 @@ class MaterializedLshIndex:
             self.id_col, "band", "bkey"
         )
 
+    def compact(self, min_stale_fraction: float = 0.0) -> bool:
+        """Threshold compaction of a tombstone-mode index
+        (:func:`matview.compact_mapped_index`): rewrite to the resolved
+        single-generation form when at least ``min_stale_fraction`` of
+        raw rows is invisible, so subsequent :meth:`read` calls skip
+        the last-writer-wins window entirely (the COMPACTED_TAG fast
+        path). Returns whether a rewrite happened."""
+        from .matview import compact_mapped_index
+
+        return compact_mapped_index(
+            self.table, self.id_col, min_stale_fraction
+        )
+
     def new_vs_all_candidates(
         self, inc_ids: DataFrame, bucket_cap: int | None = 64
     ) -> DataFrame:

@@ -964,6 +964,30 @@ class VersionedTable:
                 best = st.max if best is None else max(best, st.max)
         return best
 
+    def row_count_footer(self) -> int | None:
+        """Metadata-only row count of the current snapshot, from the
+        parquet footers of every live commit's data files (no Spark
+        job — the same driver-side reads ``column_max_footer`` does).
+        Exact: parquet footers record num_rows per file. Returns None
+        when a live commit's directory has no parquet files to read
+        (caller falls back to a count job)."""
+        import glob as _glob
+
+        import pyarrow.parquet as pq
+
+        commits = self.commits()
+        if not commits:
+            return None
+        total = 0
+        for c in self._live_versions(commits[-1].version):
+            d = self._commit_data_dir(c)
+            files = sorted(_glob.glob(os.path.join(d, "*.parquet")))
+            if not files:
+                return None
+            for fpath in files:
+                total += pq.ParquetFile(fpath).metadata.num_rows
+        return total
+
     def empty_like(self) -> DataFrame:
         """S3 schema-preserving empty relation (reference ``datalake.py:83-86``)."""
         return self.spark.createDataFrame([], self.schema())

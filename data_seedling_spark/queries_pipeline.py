@@ -1741,6 +1741,14 @@ def lsh_index_gdpr_tombstone_maintenance(
     assert (lo, hi) == (2, 2), (lo, hi)
     lo, hi = index.refresh(src)                    # replay: no-op
     assert lo > hi, "replayed refresh must be a no-op"
+    # Threshold compaction (r15, VERDICT r14 #3): the forget batch
+    # left ~1/7 of raw rows invisible (old generations + tombstones),
+    # past the 10% policy knob — one O(index) rewrite here and every
+    # read below (the bucket join references the index on several
+    # branches) skips the last-writer-wins window via the
+    # COMPACTED_TAG proof instead of re-paying it per branch.
+    compacted = index.compact(min_stale_fraction=0.1)
+    assert compacted, "GDPR batch must cross the stale threshold"
     cands = band_bucket_candidates(index.read(), "doc_id", bucket_cap=64)
     cand_ids = (
         cands.select(F.col("doc_a").alias("doc_id"))

@@ -3233,6 +3233,49 @@ def test_mapped_index_compaction_preserves_content_and_watermark(spark, tmp_path
     assert 77_000 in {r["doc_id"] for r in idx.read().collect()}
 
 
+def test_mapped_index_compaction_tag_skips_resolution_window(spark, tmp_path):
+    """r15: while the table's latest version IS the compacted rewrite
+    (COMPACTED_TAG proof), read_mapped_index provably needs no
+    last-writer-wins window — the plan must contain none — and any
+    later commit brings the window back. Rows are identical on both
+    paths (covered by the sibling test above)."""
+    from data_seedling_spark.operators.dedup import MaterializedLshIndex
+    from data_seedling_spark.operators.ledger import VersionedTable
+    from data_seedling_spark.operators.matview import compact_mapped_index
+    from data_seedling_spark.operators.merge import CHANGE_TYPE, CT_DELETE
+
+    docs = spark.createDataFrame(_neardup_corpus(), ["doc_id", "text"])
+    src = VersionedTable(spark, str(tmp_path / "src"), write_partitions=2)
+    idx = MaterializedLshIndex(
+        spark, VersionedTable(spark, str(tmp_path / "idx"), write_partitions=2),
+        text_col="text", id_col="doc_id", deletes="tombstone",
+    )
+    src.write(docs, mode="overwrite")                                  # v0
+    assert idx.refresh(src) == (0, 0)
+    feed = docs.where(F.col("doc_id") >= 10_000).withColumn(
+        CHANGE_TYPE, F.lit(CT_DELETE)
+    )
+    src.merge(feed, primary_keys=["doc_id"])                           # v1
+    assert idx.refresh(src) == (1, 1)
+
+    def n_windows():
+        return idx.read()._jdf.queryExecution().executedPlan().toString().count(
+            "Window"
+        )
+
+    assert n_windows() > 0  # tombstone mode pays the window pre-compaction
+    assert compact_mapped_index(idx.table, "doc_id", min_stale_fraction=0.05)
+    assert n_windows() == 0  # tag proof: single generation, no window
+    more = spark.createDataFrame(
+        [(88_000, "another fresh document body after the compaction")],
+        ["doc_id", "text"],
+    )
+    src.write(more, mode="append")                                     # v3
+    assert idx.refresh(src)[1] >= 2
+    assert n_windows() > 0  # tag stale -> resolution window returns
+    assert 88_000 in {r["doc_id"] for r in idx.read().collect()}
+
+
 def test_mapped_index_zero_row_increment_advances_watermark(spark, tmp_path):
     """ADVICE r13: an increment whose docs all band to ZERO index rows
     (empty texts -> no shingles) must still advance the stored
