@@ -6103,36 +6103,41 @@ def markov_attribution_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
             "outc",
             F.sum("cnt").over(Window.partitionBy("rm", "src")),
         )
-        .persist()
     )
-    w = chains.select("rm", F.col("src").alias("state")).distinct().withColumn(
-        "w", F.lit(0).cast("long")
+    # r15 (the Gopher-fold pattern, guide §1.2/§2.4): the value
+    # iteration used to run as 12 chain⋈w shuffle joins + aggregates —
+    # ~24 tiny stages of pure scheduling latency over a ~150-row frame.
+    # The chain alphabet is BOUNDED (≤7 states regardless of corpus
+    # size), so each rm's edge list collapses into one array row and
+    # the 12 steps run as row-local integer folds: per state,
+    # w'(src) = Σ cnt·val(dst) DIV outc with val(dst) = 1e6 for P, 0
+    # for N, else coalesce(w[dst], 0) — term-for-term the old join's
+    # arithmetic (integer sums are order-free, DIV exact), so the
+    # trajectory is bit-identical (verified: collected rows equal, and
+    # the oracle hash is unchanged). The per-iteration lazy checkpoints
+    # keep the map column materialized once per step instead of letting
+    # CollapseProject inline step k-1's fold into step k's lambda.
+    # Only the transition COUNT ever touches the fact table — that
+    # stage is unchanged.
+    per = chains.groupBy("rm").agg(
+        F.collect_list(F.struct("src", "dst", "cnt")).alias("E"),
+        F.collect_set(F.struct("src", "outc")).alias("S"),
     )
+    cur = per.withColumn("w", F.expr("map()").cast("map<string,bigint>"))
+    step = """
+      map_from_entries(transform(S, s -> struct(s.src,
+        CAST(aggregate(filter(E, e -> e.src = s.src), 0L,
+          (acc, e) -> acc + e.cnt * CASE WHEN e.dst = 'P' THEN 1000000L
+                                         WHEN e.dst = 'N' THEN 0L
+                                         ELSE coalesce(w[e.dst], 0L) END)
+          DIV s.outc AS BIGINT))))
+    """
     for _ in range(12):
-        w = (
-            chains.alias("c")
-            .join(
-                w.alias("p"),
-                (F.col("p.rm") == F.col("c.rm"))
-                & (F.col("p.state") == F.col("c.dst")),
-                "left",
-            )
-            .groupBy(F.col("c.rm").alias("rm"), F.col("c.src").alias("state"))
-            .agg(
-                F.expr(
-                    "CAST(SUM(cnt * CASE WHEN dst = 'P' THEN 1000000 "
-                    "WHEN dst = 'N' THEN 0 ELSE COALESCE(w, 0) END) "
-                    "DIV MAX(outc) AS BIGINT)"
-                ).alias("w")
-            )
-            .localCheckpoint(eager=False)
-        )
-    base = (
-        w.where((F.col("rm") == "-") & (F.col("state") == "S"))
-        .select(F.col("w").alias("base_w"))
-    )
+        cur = cur.withColumn("w", F.expr(step)).localCheckpoint(eager=False)
+    w = cur.select("rm", F.expr("coalesce(w['S'], 0L)").alias("w"))
+    base = w.where(F.col("rm") == "-").select(F.col("w").alias("base_w"))
     return (
-        w.where((F.col("rm") != "-") & (F.col("state") == "S"))
+        w.where(F.col("rm") != "-")
         .crossJoin(F.broadcast(base))
         .select(
             F.col("rm").alias("channel"),
