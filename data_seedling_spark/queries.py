@@ -145,9 +145,10 @@ _ROTATING: tuple[str, ...] = (
     # r14 oracle-changed (rounded-jaccard WHERE — ADVICE r13) not
     # already covered by the r13 holdovers or the anchors
     # (dedup_cluster_assignment's changed oracle is ANCHORED — always
-    # in the window):
-    "ngram_jaccard_dedup",
-    "dedup_cluster_star",
+    # in the window). ngram_jaccard_dedup / dedup_cluster_star rotated
+    # back out after their r14 driver round to make room for the r15
+    # block below; dedup_best_representative / incremental_neardup stay
+    # (they exercise the shared md5-LSH construction memo under joins).
     "dedup_best_representative",
     "incremental_neardup_ingest",
     # r13-changed/new queries held for their second driver round (also
@@ -172,8 +173,20 @@ _ROTATING: tuple[str, ...] = (
     # maintenance-protocol and near-dup ones are already in the window
     # above.
     "kll_quantile_sketch",
-    "gopher_repetition_gates",
-    "logreg_cv_kfold",
+    # r15-OPTIMIZATION-changed (same standing policy — changed-query
+    # coverage outranks fresh tail coverage; gopher_repetition_gates
+    # and logreg_cv_kfold, untouched this round, rotate back out after
+    # their r14 driver round): kll_quantile_sketch above now stands for
+    # the r15 one-shuffle compaction loop, kll_sketch_merge_shards
+    # exercises its two-phase (extra_part) variant,
+    # kll_weighted_quantile_revenue the weighted-rounding loop, and
+    # markov_attribution_removal the row-local value-iteration fold.
+    # The ingest/tombstone/index queries this round also touched are
+    # already in the window above.
+    "kll_sketch_merge_shards",
+    "kll_weighted_quantile_revenue",
+    "decayed_quantile_order_price",
+    "markov_attribution_removal",
 )
 
 _PRIORITY: tuple[str, ...] = _ANCHORS + _ROTATING
