@@ -1025,10 +1025,31 @@ def tdigest_quantiles(centroids: DataFrame, probs: list[float]) -> DataFrame:
     total, selection, head fallback) re-read ~delta rows instead of
     re-running the histogram lineage."""
     centroids = centroids.localCheckpoint()
-    w = W.orderBy("cluster")
+    # Head clamp as a SENTINEL row instead of a separate anti-join
+    # branch (r15): a zero-weight row carrying the first centroid's
+    # mean, sorted before every real centroid. Its cum_mid is 0 (≤
+    # every target rank t = p·N ≥ 0) and its lead() is the first real
+    # centroid, whose mean equals its own — so when t lands below the
+    # first real cum_mid the selection picks the sentinel and the
+    # interpolation term is exactly 0: est = round(first mean, 6),
+    # bit-for-bit the old head branch (verified row-equal, including
+    # p=0.001 head hits and the 1-centroid edge). Real rows' cum_mids
+    # are unchanged (sentinel weight 0). This folds the old
+    # probs⟕anti(sel) + crossJoin + union tail — several tiny stages
+    # of scheduling latency per query — into the main pass.
+    first = centroids.orderBy("cluster").limit(1).select(
+        F.lit(0).alias("_ord"),
+        F.col("cluster"),
+        F.lit(0).cast(centroids.schema["n_c"].dataType).alias("n_c"),
+        F.col("mean"),
+    )
+    aug = centroids.select(
+        F.lit(1).alias("_ord"), "cluster", "n_c", "mean"
+    ).unionByName(first)
+    w = W.orderBy("_ord", "cluster")
     cm = (
-        centroids.select(
-            "cluster", "n_c", "mean",
+        aug.select(
+            "cluster", "n_c", "mean", "_ord",
             (F.sum("n_c").over(w) - F.col("n_c") / 2.0).alias("cum_mid"),
         )
         .select(
@@ -1068,25 +1089,7 @@ def tdigest_quantiles(centroids: DataFrame, probs: list[float]) -> DataFrame:
         * ((F.col("t") - F.col("cum_mid"))
            / (F.col("next_cum_mid") - F.col("cum_mid")))
     )
-    head = (
-        probs_df.crossJoin(F.broadcast(tot))
-        .join(sel.select("prob", F.lit(1).alias("_hit")), "prob", "left_anti")
-        .crossJoin(
-            F.broadcast(
-                centroids.orderBy("cluster").limit(1).select(
-                    F.col("mean").alias("_first_mean")
-                )
-            )
-        )
-        .select(
-            "prob",
-            F.round(F.col("_first_mean"), 6).alias("est"),
-            "total_weight",
-        )
-    )
-    return sel.select(
-        "prob", F.round(est, 6).alias("est"), "total_weight"
-    ).unionByName(head)
+    return sel.select("prob", F.round(est, 6).alias("est"), "total_weight")
 
 
 class MaterializedTDigest:
