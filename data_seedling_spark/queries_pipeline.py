@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import os
 import tempfile
+from concurrent.futures import ThreadPoolExecutor
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -1456,8 +1457,17 @@ def exact_substring_incremental_ingest(
         trimmed, occ = exact_substring_trim_batch(
             batch, keys, "text", "doc_id", span_words=L, with_occ=True
         )
-        corpus.write(trimmed, mode="append" if i else "overwrite")
-        src.write(batch, mode="append" if i else "overwrite")
+        mode = "append" if i else "overwrite"
+        # The two commits are independent tables fed by the same batch
+        # (guide §2.6: actions are only sequential because the driver
+        # calls them sequentially) — submitting both lets the light
+        # src commit back-fill cores idled by the trim job's tail.
+        # Both must land before the refresh reads src's watermark.
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            fc = pool.submit(corpus.write, trimmed, mode)
+            fs = pool.submit(src.write, batch, mode)
+            fc.result()
+            fs.result()
         lo, hi = index.refresh(       # folds commit i only
             src,
             precomputed_keys=occ.select("doc_id", F.col("_key").alias("key")),
