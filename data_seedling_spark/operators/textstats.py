@@ -9,6 +9,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..tables import spread
+
 #: Tiny function-word table for the heuristic language scorer. The
 #: synthetic corpus is English-like; real corpora extend this map (or
 #: plug a fastText-style model in via mapInPandas).
@@ -720,11 +722,19 @@ def gopher_repetition_gates(
     'dup_chars', {dup_add}))"""
         )
 
-    base = df.select(
-        F.col(id_col),
-        F.length(F.col(text_col)).alias("n_chars"),
-        F.split(F.col(text_col), " ").alias("_w"),
-    ).where(F.size("_w") >= 2)
+    # spread first (r15): the fold is zero-shuffle by design, so with a
+    # single-row-group scan the WHOLE battery ran as one task (2.5 s
+    # single-core at sf0.1); ship the raw text once and fold wide. A
+    # no-op whenever the scan already splits >= core count.
+    base = (
+        spread(df.select(F.col(id_col), F.col(text_col)))
+        .select(
+            F.col(id_col),
+            F.length(F.col(text_col)).alias("n_chars"),
+            F.split(F.col(text_col), " ").alias("_w"),
+        )
+        .where(F.size("_w") >= 2)
+    )
     ns = (2, 3, 4, 5, 10)
     staged = base.select(
         id_col, "n_chars", *[_rep_stats(n).alias(f"_s{n}") for n in ns]
