@@ -31,8 +31,6 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..tables import spread
-
 # Driver-side construction memos (guide §5, driver round-trips): the
 # md5-LSH family rebuilds the same large expression trees on every
 # call — the 16-permutation signature aggregate alone is ~130 py4j
@@ -1272,12 +1270,13 @@ def minhash_md5_lsh_pairs(
     buckets (see :func:`band_bucket_candidates`) so no single bucket
     ever goes quadratic at corpus scale.
     """
-    # spread BEFORE the shingle/md5 work: the scan of a small corpus is
-    # one row group = one task, which single-threads the whole
-    # signature fold (r15 — two ~3.3 s 1-task jobs at sf0.1); a no-op
-    # whenever the scan already splits >= core count (any real corpus).
+    # scale_out BEFORE the shingle/md5 work (the X1 pattern): the scan
+    # of a small corpus is one row group = one task, which
+    # single-threads the whole signature fold (r15 — two ~3.3 s 1-task
+    # jobs at sf0.1); a no-op whenever the scan already splits >= core
+    # count (any real corpus).
     sh = (
-        spread(df.select(F.col(id_col), F.col(text_col)))
+        scale_out(df.select(F.col(id_col), F.col(text_col)))
         .select(
             F.col(id_col), word_shingles(F.col(text_col), shingle_n).alias("shingles")
         )

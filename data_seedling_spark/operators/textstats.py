@@ -9,8 +9,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..tables import spread
-
 #: Tiny function-word table for the heuristic language scorer. The
 #: synthetic corpus is English-like; real corpora extend this map (or
 #: plug a fastText-style model in via mapInPandas).
@@ -722,12 +720,15 @@ def gopher_repetition_gates(
     'dup_chars', {dup_add}))"""
         )
 
-    # spread first (r15): the fold is zero-shuffle by design, so with a
-    # single-row-group scan the WHOLE battery ran as one task (2.5 s
-    # single-core at sf0.1); ship the raw text once and fold wide. A
-    # no-op whenever the scan already splits >= core count.
+    # scale_out first (r15, the X1 pattern): the fold is zero-shuffle
+    # by design, so with a single-row-group scan the WHOLE battery ran
+    # as one task (2.5 s single-core at sf0.1); ship the raw text once
+    # and fold wide. A no-op whenever the scan already splits >= core
+    # count.
+    from .dedup import scale_out
+
     base = (
-        spread(df.select(F.col(id_col), F.col(text_col)))
+        scale_out(df.select(F.col(id_col), F.col(text_col)))
         .select(
             F.col(id_col),
             F.length(F.col(text_col)).alias("n_chars"),

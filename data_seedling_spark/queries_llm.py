@@ -11,7 +11,7 @@ from pyspark.sql.window import Window
 
 from .operators.similarity import oracle_arrow
 from .queries import query
-from .tables import load_table, spread
+from .tables import load_table
 
 _VOCAB_SQL = "('the','a','and','of','to')"
 
@@ -2639,10 +2639,13 @@ def char_entropy_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import Window as W
 
+    from .operators.dedup import scale_out
+
     docs = load_table(spark, sf_dir, "documents")
-    # spread before the per-char explode (r15): the explode runs in the
-    # scan stage, and a single-row-group scan made it one 2.4 s task.
-    chars = spread(docs.select("doc_id", "text")).select(
+    # scale_out before the per-char explode (r15): the explode runs in
+    # the scan stage, and a single-row-group scan made it one 2.4 s
+    # task.
+    chars = scale_out(docs.select("doc_id", "text")).select(
         "doc_id",
         F.explode(
             F.expr("transform(sequence(1, length(text)), i -> substr(text, i, 1))")

@@ -113,34 +113,6 @@ def register_views(
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
 
 
-def spread(df: DataFrame) -> DataFrame:
-    """Scale-adaptive parallelism floor for CPU-heavy row-local stages
-    (guide §2.4): round-robin repartition to ``defaultParallelism``,
-    ONLY when the plan currently provides fewer partitions than that.
-
-    Why: a small corpus lands in one parquet row group, and a row
-    group is Spark's split atom — every narrow stage downstream of
-    that scan (shingle+md5 signatures, repetition folds, chunk+embed)
-    then runs as ONE task regardless of core count, pinning the query
-    to single-core throughput while the rest of the machine idles. At
-    production scale the same scan yields thousands of splits and this
-    is a no-op (no shuffle is added where bytes dominate, guide §2.3);
-    at small scale it ships the projected input once (~MBs) to unlock
-    every core for the hash stage. Content-deterministic: round-robin
-    repartition sorts rows within source partitions before dealing
-    (``spark.sql.execution.sortBeforeRepartition``, on by default),
-    and all consumers are order-independent by the engine's
-    determinism contract regardless.
-
-    Call it AFTER projecting down to the columns the heavy stage needs
-    (so only those bytes ship) and BEFORE the per-row compute.
-    """
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= target:
-        return df
-    return df.repartition(target)
-
-
 def empty_like(spark: SparkSession, df: DataFrame) -> DataFrame:
     """S3 schema-preserving empty relation (reference ``datalake.py:83-86``).
 
