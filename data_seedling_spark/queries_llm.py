@@ -800,8 +800,16 @@ def ngram_decontamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     L = 13
     documents = load_table(spark, sf_dir, "documents")
+    # persist the tokenized base (r15): without the cache boundary,
+    # Catalyst substitutes `_n` back to size(split(regexp_replace(..)))
+    # in the >= L filter and pushes it BELOW the scale_out exchange —
+    # the full regexp+split then runs single-threaded in the 1-task
+    # scan stage, once per branch (two ~1.1 s 1-task jobs at sf0.1),
+    # and again post-exchange. The cache pins the split at scale_out
+    # parallelism and shares the one tokenize pass across the train
+    # and holdout subtrees.
     base = (
-        scale_out(documents)
+        scale_out(documents.select("doc_id", "text"))
         .select(
             "doc_id",
             F.split(
@@ -812,6 +820,7 @@ def ngram_decontamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("split"),
         )
         .withColumn("_n", F.size("_w"))
+        .persist()
     )
     occ = (
         base.where(F.col("_n") >= L)
