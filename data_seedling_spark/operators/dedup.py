@@ -1667,7 +1667,9 @@ def simhash_md5(
     Engine-independent, so unlike the xxhash64 path (:func:`simhash64`)
     the signature itself is oracle-checkable.
     """
-    toks = df.select(
+    # scale_out (r15): the explode+md5 runs in the scan stage, which a
+    # single-row-group corpus pins to one task.
+    toks = scale_out(df.select(F.col(id_col), F.col(text_col))).select(
         F.col(id_col),
         F.explode(F.split(F.col(text_col), " ")).alias("_tok"),
     ).select(
@@ -1676,19 +1678,40 @@ def simhash_md5(
     )
     bit_sums = toks.groupBy(id_col).agg(
         *[
-            F.sum(
-                F.when(
-                    F.shiftright(F.col("_h"), b).bitwiseAND(F.lit(1)) == 1, 1
-                ).otherwise(-1)
-            ).alias(f"b{b}")
-            for b in range(bits)
+            e.alias(f"b{b}")
+            for b, e in enumerate(_simhash_bit_sum_exprs(bits))
         ]
     )
+    return bit_sums.select(
+        F.col(id_col), _simhash_sig_expr(bits).cast("long").alias("simhash")
+    )
+
+
+@lru_cache(maxsize=None)
+def _simhash_bit_sum_exprs(bits: int) -> tuple:
+    """The UNALIASED conditional bit-sum aggregates over ``_h``, built
+    once per process (r15, the r14 §5 construction-memo pattern: the
+    two 60-term trees cost ~600 py4j round trips ≈ 1.8–3.3 s of pure
+    driver-side construction per call). Aliases are minted per call."""
+    return tuple(
+        F.sum(
+            F.when(
+                F.shiftright(F.col("_h"), b).bitwiseAND(F.lit(1)) == 1, 1
+            ).otherwise(-1)
+        )
+        for b in range(bits)
+    )
+
+
+@lru_cache(maxsize=None)
+def _simhash_sig_expr(bits: int):
+    """Unaliased signature fold ``Σ (b_i > 0 ? 2^i : 0)`` over the
+    aggregated bit-sum columns, built once per process."""
     sig = None
     for b in range(bits):
         term = F.when(F.col(f"b{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
         sig = term if sig is None else sig + term
-    return bit_sums.select(F.col(id_col), sig.cast("long").alias("simhash"))
+    return sig
 
 
 def simhash_md5_near_pairs(

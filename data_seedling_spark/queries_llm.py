@@ -6269,6 +6269,11 @@ def rag_chunk_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     dim = 8
     documents = load_table(spark, sf_dir, "documents")
+    # r15 negative result: scale_out before the chunk generate was
+    # A/B'd and REVERTED — the chunk/token explode's 1-task stages are
+    # only ~0.5 s and overlap the broadcast builds, so the added
+    # exchange bought nothing (interleaved A/B best 2.85 old vs 3.26
+    # new, new ahead 2/4). The query's residual is plan/AQE latency.
     chunks = chunk_with_overlap(
         documents, "text", "doc_id", chunk_size=32, stride=24
     )
