@@ -6430,10 +6430,16 @@ def conformal_prediction_interval(spark: SparkSession, sf_dir: str) -> DataFrame
     b_expr = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
         F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
     )
+    # persist the 1-row coefficient frame (r15): each of its three
+    # broadcast builds (cal, test, final select) otherwise re-runs the
+    # whole fit aggregate INCLUDING the scan+md5 split hash (~1.1 s
+    # per build at sf0.1). This is not r14's rejected experiment —
+    # that persisted the fact-sized `marked` frame and lost to cache
+    # IO; a 1-row cache has no such cost.
     coef = fit.select(
         b_expr.alias("b"),
         ((F.col("sy") - b_expr * F.col("sx")) / F.col("n")).alias("a"),
-    )
+    ).persist()
     from pyspark.sql.window import Window
 
     cal = (
@@ -6453,10 +6459,15 @@ def conformal_prediction_interval(spark: SparkSession, sf_dir: str) -> DataFrame
     # bucket frame, then row_number only inside that one bucket. Ties of
     # r land in the same bucket, so the (r, okey, lnum) tiebreak inside
     # it reproduces the global order statistic exactly.
-    kf = cal.agg(
+    # persist the calibration split once (r15): kf, the bucket counts
+    # and the in-bucket rank each re-ran cal's scan+md5+residual
+    # otherwise. 20% of rows, 4 narrow columns — not the fact-sized
+    # frame r14's A/B rejected. kf counts bucketed (rows 1:1 with cal,
+    # bkt is a pure projection) so it shares the same cache.
+    bucketed = cal.withColumn("bkt", F.floor("r").cast("long")).persist()
+    kf = bucketed.agg(
         F.ceil(0.9 * (F.count("*") + 1)).cast("long").alias("k")
     )
-    bucketed = cal.withColumn("bkt", F.floor("r").cast("long"))
     wb = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
     cumf = (
         bucketed.groupBy("bkt")
