@@ -1283,8 +1283,16 @@ def als_factorization_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum(v2 * r, "f"),
         )
 
-    lineitem = load_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_partkey", "l_quantity"
+    from .operators.dedup import scale_out
+
+    # scale_out (r15): the ratings join + the decimal normal-equation
+    # partials run in the lineitem scan stage, which the bench file's
+    # 3 splits pinned to 3 tasks (1.8 s stage at sf0.1); a no-op when
+    # the scan already splits >= core count.
+    lineitem = scale_out(
+        load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_partkey", "l_quantity"
+        )
     )
     orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     ratings = lineitem.join(
