@@ -8996,6 +8996,11 @@ def rake_keyword_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window as W
 
     docs = load_table(spark, sf_dir, "documents")
+    # r15 negative result: scale_out before the posexplode was A/B'd
+    # and REVERTED (old best 1.49 s vs new 2.02, old ahead 4/4) — the
+    # warm regex tokenize of this corpus is cheaper than the added
+    # exchange paid once per consumer branch; the cold-profile 1.5 s
+    # 1-task readings were drift-inflated.
     toks = docs.select(
         "doc_id",
         F.posexplode(
