@@ -142,22 +142,18 @@ _ROTATING: tuple[str, ...] = (
     "streaming_neardup_pair_emission",
     "streaming_decontamination_ingest",
     "exact_substring_incremental_ingest",
-    # r14 oracle-changed (rounded-jaccard WHERE — ADVICE r13) not
-    # already covered by the r13 holdovers or the anchors
-    # (dedup_cluster_assignment's changed oracle is ANCHORED — always
-    # in the window). ngram_jaccard_dedup / dedup_cluster_star rotated
-    # back out after their r14 driver round to make room for the r15
-    # block below; dedup_best_representative / incremental_neardup stay
-    # (they exercise the shared md5-LSH construction memo under joins).
-    "dedup_best_representative",
-    "incremental_neardup_ingest",
-    # r13-changed/new queries held for their second driver round (also
-    # carry this round's oracle-rounding + index-read-path changes):
+    # r13/r14-changed entries already driver-verified twice and
+    # untouched by r15's changes (dedup_best_representative,
+    # incremental_neardup_ingest, minhash_lsh_index_maintenance,
+    # streaming_neardup_lsh_ingest, incremental_ivf_assign_maintenance)
+    # rotated back out late in r15 to make room for the second-wave
+    # r15 changes below (changed-query coverage outranks holdover
+    # coverage, same standing policy).
+    # r13-changed queries still carrying r15-changed paths:
+    # minhash_md5_lsh_near_dup (r15 scale_out'd shingle stage) and
+    # prefix_filter_jaccard_join (its LSH overflow leg inherits it).
     "minhash_md5_lsh_near_dup",
     "prefix_filter_jaccard_join",
-    "minhash_lsh_index_maintenance",
-    "streaming_neardup_lsh_ingest",
-    "incremental_ivf_assign_maintenance",
     # r14-OPTIMIZATION-changed (this round is the optimization round;
     # changed-query coverage outranks fresh tail coverage per the
     # standing policy, so the three fresh rotations planned at round
@@ -187,6 +183,19 @@ _ROTATING: tuple[str, ...] = (
     "kll_weighted_quantile_revenue",
     "decayed_quantile_order_price",
     "markov_attribution_removal",
+    # r15-OPTIMIZATION second wave (the under-split parallelism fixes
+    # + recompute caches): the five deepest of the seven changed
+    # queries rotate in — gopher (zero-shuffle fold now scale_out'd;
+    # it also stands for char_entropy's identical spread, which stays
+    # hash-proved by the full sweep), simhash (construction memo +
+    # spread), the decontamination check (tokenize cache versus filter
+    # re-push), conformal (scalar/calibration caches), and ALS (the
+    # relational-side scale_out under a join + decimal aggregates).
+    "gopher_repetition_gates",
+    "simhash_md5_near_dup",
+    "ngram_decontamination_check",
+    "conformal_prediction_interval",
+    "als_factorization_sweep",
 )
 
 _PRIORITY: tuple[str, ...] = _ANCHORS + _ROTATING
