@@ -1667,9 +1667,13 @@ def simhash_md5(
     Engine-independent, so unlike the xxhash64 path (:func:`simhash64`)
     the signature itself is oracle-checkable.
     """
-    # scale_out (r15): the explode+md5 runs in the scan stage, which a
-    # single-row-group corpus pins to one task.
-    toks = scale_out(df.select(F.col(id_col), F.col(text_col))).select(
+    # r15 negative result at scale: scale_out here won at sf0.1 (the
+    # single-row-group scan pinned the token stage to one 0.6 s task)
+    # but LOST the sf1 interleaved A/B (old best 1.75 vs new 2.43,
+    # old 2/3) — ONE md5 per token is too light to pay for shipping
+    # the text once the scan is already 20 files wide. REVERTED; the
+    # expression memos below are the change that stays.
+    toks = df.select(
         F.col(id_col),
         F.explode(F.split(F.col(text_col), " ")).alias("_tok"),
     ).select(

@@ -184,18 +184,19 @@ _ROTATING: tuple[str, ...] = (
     "decayed_quantile_order_price",
     "markov_attribution_removal",
     # r15-OPTIMIZATION second wave (the under-split parallelism fixes
-    # + recompute caches): the five deepest of the seven changed
-    # queries rotate in — gopher (zero-shuffle fold now scale_out'd;
-    # it also stands for char_entropy's identical spread, which stays
-    # hash-proved by the full sweep), simhash (construction memo +
-    # spread), the decontamination check (tokenize cache versus filter
-    # re-push), conformal (scalar/calibration caches), and ALS (the
-    # relational-side scale_out under a join + decimal aggregates).
+    # + recompute caches): the deepest of the changed queries rotate
+    # in — gopher (zero-shuffle fold now scale_out'd; it also stands
+    # for char_entropy's identical spread, which stays hash-proved by
+    # the full sweep), simhash (construction memos), the
+    # decontamination check (tokenize cache versus filter re-push)
+    # and conformal (scalar/calibration caches). The ALS scale_out was
+    # reverted after losing its sf1 A/B, so its planned slot returns
+    # to the minhash_lsh_index_maintenance holdover.
     "gopher_repetition_gates",
     "simhash_md5_near_dup",
     "ngram_decontamination_check",
     "conformal_prediction_interval",
-    "als_factorization_sweep",
+    "minhash_lsh_index_maintenance",
 )
 
 _PRIORITY: tuple[str, ...] = _ANCHORS + _ROTATING

@@ -1283,16 +1283,15 @@ def als_factorization_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum(v2 * r, "f"),
         )
 
-    from .operators.dedup import scale_out
-
-    # scale_out (r15): the ratings join + the decimal normal-equation
-    # partials run in the lineitem scan stage, which the bench file's
-    # 3 splits pinned to 3 tasks (1.8 s stage at sf0.1); a no-op when
-    # the scan already splits >= core count.
-    lineitem = scale_out(
-        load_table(spark, sf_dir, "lineitem").select(
-            "l_orderkey", "l_partkey", "l_quantity"
-        )
+    # r15 negative result at scale: scale_out on the projected lineitem
+    # won the sf0.1 interleaved A/B (2.85 -> 2.33 s, 4/4 — the 3-split
+    # scan pinned the ratings join + decimal partials to 3 tasks) but
+    # LOST the sf1 one (old 3.82 vs new 4.60 best, old 2/3): with the
+    # input already 20 files wide, repartitioning the full fact table
+    # ships ~100 MB for marginal width. Bytes outrank local latency
+    # (guide §2.3, the bfs pre-partition precedent) — REVERTED.
+    lineitem = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity"
     )
     orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     ratings = lineitem.join(
