@@ -149,9 +149,11 @@ _ROTATING: tuple[str, ...] = (
     # rotated back out late in r15 to make room for the second-wave
     # r15 changes below (changed-query coverage outranks holdover
     # coverage, same standing policy).
-    # r13-changed queries still carrying r15-changed paths:
-    # minhash_md5_lsh_near_dup (r15 scale_out'd shingle stage) and
-    # prefix_filter_jaccard_join (its LSH overflow leg inherits it).
+    # r13-changed queries still held: minhash_md5_lsh_near_dup also
+    # carries the r15 scale_out'd shingle stage;
+    # prefix_filter_jaccard_join stays as the hybrid-routing holdover
+    # (verified UNCHANGED by the r15 second session — its LSH leg
+    # builds from its own scale_out'd sh, plans identical modulo ids).
     "minhash_md5_lsh_near_dup",
     "prefix_filter_jaccard_join",
     # r14-OPTIMIZATION-changed (this round is the optimization round;
